@@ -1,0 +1,47 @@
+"""Query registry: name → (Spark builder, DuckDB oracle SQL).
+
+Every operator the engine claims is registered here with
+  - a builder ``fn(spark, sf_dir) -> DataFrame`` (the Spark-first
+    implementation — DataFrame/SQL API, Catalyst-optimized), and
+  - an equivalent ANSI-ish SQL string the DuckDB oracle can run on the same
+    parquet tables (``None`` for genuinely non-SQL-expressible operators,
+    which get a weaker rows-only check).
+
+Determinism contract (so order-insensitive value hashes match across engines):
+  * money/double aggregates go through exact DECIMAL arithmetic — float sums
+    are order-dependent across partitions, decimals are exact;
+  * every aggregate/computed column is aliased identically on both sides;
+  * DuckDB's SUM(INTEGER)→HUGEINT / SUM(DECIMAL(p,s))→DECIMAL(38,s) widenings
+    are cast back to BIGINT / DECIMAL(18,s) to match Spark's arrow schema;
+  * timestamps are surfaced as DATE or epoch integers, never raw timestamps;
+  * rank() (never row_number) over non-unique orderings, or a total-order
+    tie-break column, so result membership is deterministic.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    builder: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]
+    doc: str = ""
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def query(name: str, oracle: Optional[str] = None, doc: str = ""):
+    """Decorator registering a query builder with its oracle SQL."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = QuerySpec(name=name, builder=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco

@@ -1,0 +1,713 @@
+"""Core relational surface — the SELECT grammar the reference's gate admits.
+
+The reference delegates this entire surface to DuckDB (reference:
+src/iceberg_explorer/query/executor.py:254, gate at :43-116); here each
+category from SURVEY.md §2B is a first-class Spark DataFrame pipeline with a
+DuckDB oracle. Catalyst supplies pushdown/pruning/join-selection; the builders
+only add hints Catalyst can't infer (broadcast of fixed-cardinality dims).
+
+Scale notes:
+- region/nation are fixed-cardinality → always `F.broadcast`.
+- customer/part/supplier/orders scale with SF → no forced broadcast; AQE
+  converts to broadcast at runtime when a filtered side is small.
+- Aggregations are expressed groupBy().agg() → Spark plans partial (map-side)
+  + final aggregation automatically; no `.collect()` driver loops anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from iceberg_explorer_spark.functions.deterministic import avg_exact, dec, sum_dec
+from iceberg_explorer_spark.operators.registry import query
+from iceberg_explorer_spark.sources.registry import load_table, register_tables
+
+
+# ---------------------------------------------------------------------------
+# Aggregation: full-scan grouped aggregate (TPC-H Q1 shape)
+# ---------------------------------------------------------------------------
+@query(
+    "pricing_summary",
+    oracle="""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
+      CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)))
+           AS DECIMAL(18,4)) AS sum_disc_price,
+      CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))
+                    * (1 + CAST(l_tax AS DECIMAL(18,2))) AS DECIMAL(18,6)))
+           AS DECIMAL(18,6)) AS sum_charge,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="Grouped aggregate over the fact table with exact decimal money math "
+    "(SURVEY §2B aggregations; reference golden-value tests "
+    "tests/test_executor.py:414-422).",
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    disc_price = (dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    charge = (disc_price * (F.lit(1) + dec("l_tax"))).cast("decimal(18,6)")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        sum_dec("l_quantity").alias("sum_qty"),
+        sum_dec("l_extendedprice").alias("sum_base_price"),
+        F.sum(disc_price).cast("decimal(18,4)").alias("sum_disc_price"),
+        F.sum(charge).cast("decimal(18,6)").alias("sum_charge"),
+        avg_exact("l_quantity").alias("avg_qty"),
+        avg_exact("l_extendedprice").alias("avg_price"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scan / projection / filter with pushdown
+# ---------------------------------------------------------------------------
+@query(
+    "filter_projection",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(o_totalprice AS DECIMAL(18,2)) AS total_price,
+           CAST(o_orderdate AS DATE) AS order_date
+    FROM orders
+    WHERE o_orderstatus = 'O'
+      AND o_totalprice > 400000.0
+      AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+    """,
+    doc="Projection + conjunctive predicates; filters and the 4-column "
+    "ReadSchema push into the parquet scan (check .explain PushedFilters).",
+)
+def filter_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderstatus") == "O")
+            & (F.col("o_totalprice") > 400000.0)
+            & (F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp"))
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            dec("o_totalprice").alias("total_price"),
+            F.col("o_orderdate").cast("date").alias("order_date"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-way join + aggregation (broadcast dims)
+# ---------------------------------------------------------------------------
+@query(
+    "join_revenue_by_nation",
+    oracle="""
+    SELECT n.n_name,
+           CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                         * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)))
+                AS DECIMAL(18,4)) AS revenue,
+           COUNT(*) AS n_lines
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '2001-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+    doc="4-way fact/dim join: fixed-cardinality nation/region broadcast, "
+    "customer⋈orders⋈lineitem shuffle on their keys; AQE may re-plan. "
+    "(SURVEY §2B joins; reference tests/test_executor.py:92-98.)",
+)
+def join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("2001-01-01 00:00:00").cast("timestamp"))
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    revenue = (dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey)
+        .join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(revenue).cast("decimal(18,4)").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Outer joins
+# ---------------------------------------------------------------------------
+@query(
+    "left_join_order_lines",
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(COALESCE(lc.n_lines, 0)) AS BIGINT) AS total_lines
+    FROM orders o
+    LEFT JOIN (
+      SELECT l_orderkey, COUNT(*) AS n_lines FROM lineitem GROUP BY l_orderkey
+    ) lc ON o.o_orderkey = lc.l_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    doc="Left outer join against a pre-aggregated subquery; the pre-agg "
+    "shrinks the shuffle (partial aggregation before the join).",
+)
+def left_join_order_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    line_counts = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+    )
+    return (
+        orders.join(line_counts, orders.o_orderkey == line_counts.l_orderkey, "left")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.coalesce(F.col("n_lines"), F.lit(0)))
+            .cast("bigint")
+            .alias("total_lines"),
+        )
+    )
+
+
+@query(
+    "full_outer_nation_balance",
+    oracle="""
+    SELECT COALESCE(c.nk, s.nk) AS nationkey,
+           COALESCE(c.n_cust, 0) AS n_customers,
+           COALESCE(s.n_supp, 0) AS n_suppliers
+    FROM (SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer GROUP BY 1) c
+    FULL OUTER JOIN
+         (SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier GROUP BY 1) s
+    ON c.nk = s.nk
+    """,
+    doc="Full outer join of two aggregates (SURVEY §2B joins — full).",
+)
+def full_outer_nation_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return c.join(s, "nk", "full").select(
+        F.col("nk").alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_customers"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_suppliers"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semi / anti joins (EXISTS / NOT EXISTS)
+# ---------------------------------------------------------------------------
+@query(
+    "semi_join_active_customers",
+    oracle="""
+    SELECT c.c_mktsegment, COUNT(*) AS n_customers
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0
+    )
+    GROUP BY c.c_mktsegment
+    """,
+    doc="Left-semi join = EXISTS; Spark never materializes the right side "
+    "columns, so the shuffle carries only the join key.",
+)
+def semi_join_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    big_orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 300000.0
+    )
+    return (
+        customer.join(
+            big_orders, customer.c_custkey == big_orders.o_custkey, "left_semi"
+        )
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@query(
+    "anti_join_idle_customers",
+    oracle="""
+    SELECT c.c_mktsegment, COUNT(*) AS n_idle
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+    )
+    GROUP BY c.c_mktsegment
+    """,
+    doc="Left-anti join = NOT EXISTS (SURVEY §2B joins — anti).",
+)
+def anti_join_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_idle"))
+    )
+
+
+@query(
+    "cross_join_region_status",
+    oracle="""
+    SELECT r.r_name, s.o_orderstatus
+    FROM region r
+    CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+    """,
+    doc="Cross join of two tiny relations (reference uses a cross join as its "
+    "slow-query fixture, tests/test_executor.py:370).",
+)
+def cross_join_region_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region").select("r_name")
+    status = load_table(spark, sf_dir, "orders").select("o_orderstatus").distinct()
+    return region.crossJoin(status)
+
+
+# ---------------------------------------------------------------------------
+# Distinct aggregation / rollup / cube / grouping sets / pivot
+# ---------------------------------------------------------------------------
+@query(
+    "distinct_customers_per_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="COUNT(DISTINCT) — Spark plans expand+two-phase aggregation; at scale "
+    "prefer approx_count_distinct when exactness is not required.",
+)
+def distinct_customers_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "rollup_quantity",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="ROLLUP hierarchy totals (SURVEY §2B aggregations).",
+)
+def rollup_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            sum_dec("l_quantity").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "cube_order_status",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="CUBE over two dimensions (SURVEY §2B aggregations).",
+)
+def cube_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            sum_dec("o_totalprice").alias("total"),
+        )
+    )
+
+
+@query(
+    "grouping_sets_mix",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+    doc="Explicit GROUPING SETS via the SQL API (same Catalyst plan as the "
+    "DataFrame rollup/cube builders).",
+)
+def grouping_sets_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir, ("lineitem",))
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n_lines,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )
+
+
+@query(
+    "pivot_status_by_flag",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'O'
+                         THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS qty_open,
+           CAST(SUM(CASE WHEN l_linestatus = 'F'
+                         THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS qty_filled
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Pivot (wide aggregation) — one shuffle, conditional aggregates.",
+)
+def pivot_status_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(sum_dec("l_quantity"))
+        .withColumnRenamed("O", "qty_open")
+        .withColumnRenamed("F", "qty_filled")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions
+# ---------------------------------------------------------------------------
+@query(
+    "window_top_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(o_totalprice AS DECIMAL(18,2)) AS total_price,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rnk
+      FROM orders
+    )
+    WHERE rnk <= 3
+    """,
+    doc="rank() per partition + filter = per-group top-k. rank (not "
+    "row_number) keeps ties deterministic across engines/partitionings.",
+)
+def window_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc())
+    return (
+        load_table(spark, sf_dir, "orders")
+        .withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            dec("o_totalprice").alias("total_price"),
+            "rnk",
+        )
+    )
+
+
+@query(
+    "window_ship_gaps",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           CAST(DATE_DIFF('day',
+                          CAST(LAG(l_shipdate) OVER w AS DATE),
+                          CAST(l_shipdate AS DATE)) AS INTEGER) AS gap_days
+    FROM lineitem
+    WHERE l_suppkey < 10
+    WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+    """,
+    doc="lag() over a total order (tie-broken by the table key) → "
+    "deterministic gaps; demonstrates ordered analytic windows.",
+)
+def window_ship_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("l_suppkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_suppkey") < 10)
+        .withColumn(
+            "gap_days",
+            F.datediff(
+                F.col("l_shipdate").cast("date"),
+                F.lag("l_shipdate").over(w).cast("date"),
+            ),
+        )
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "gap_days")
+    )
+
+
+@query(
+    "window_running_revenue",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  OVER (PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DECIMAL(18,2)) AS running_total
+    FROM orders
+    WHERE o_custkey < 100
+    """,
+    doc="Running sum with an explicit ROWS frame; exact decimal keeps the "
+    "prefix sums identical across engines.",
+)
+def window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 100)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.sum(dec("o_totalprice")).over(w).cast("decimal(18,2)").alias(
+                "running_total"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sort / limit / top-k
+# ---------------------------------------------------------------------------
+@query(
+    "topk_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(o_totalprice AS DECIMAL(18,2)) AS total_price,
+           CAST(o_orderdate AS DATE) AS order_date
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+    doc="Global top-k: Spark plans TakeOrderedAndProject (per-partition heap "
+    "+ driver merge), no full sort — the right plan at any scale. Tie-broken "
+    "by key for determinism.",
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            dec("o_totalprice").alias("total_price"),
+            F.col("o_orderdate").cast("date").alias("order_date"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations
+# ---------------------------------------------------------------------------
+@query(
+    "set_ops_nation_presence",
+    oracle="""
+    SELECT 'both' AS side, nk FROM (
+      SELECT DISTINCT c_nationkey AS nk FROM customer
+      INTERSECT
+      SELECT DISTINCT s_nationkey AS nk FROM supplier
+    )
+    UNION ALL
+    SELECT 'customer_only' AS side, nk FROM (
+      SELECT DISTINCT c_nationkey AS nk FROM customer
+      EXCEPT
+      SELECT DISTINCT s_nationkey AS nk FROM supplier
+    )
+    UNION ALL
+    SELECT 'supplier_only' AS side, nk FROM (
+      SELECT DISTINCT s_nationkey AS nk FROM supplier
+      EXCEPT
+      SELECT DISTINCT c_nationkey AS nk FROM customer
+    )
+    """,
+    doc="UNION ALL / INTERSECT / EXCEPT in one result (SURVEY §2B set ops).",
+)
+def set_ops_nation_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_nationkey").alias("nk"))
+        .distinct()
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .select(F.col("s_nationkey").alias("nk"))
+        .distinct()
+    )
+    tag = lambda df, t: df.select(F.lit(t).alias("side"), "nk")  # noqa: E731
+    return (
+        tag(cust.intersect(supp), "both")
+        .unionAll(tag(cust.exceptAll(supp).distinct(), "customer_only"))
+        .unionAll(tag(supp.exceptAll(cust).distinct(), "supplier_only"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar function library (string / math)
+# ---------------------------------------------------------------------------
+@query(
+    "scalar_string_math",
+    oracle="""
+    SELECT p_partkey,
+           UPPER(p_name) AS name_upper,
+           SUBSTR(p_type, 1, 4) AS type_prefix,
+           CAST(LENGTH(p_name) AS INTEGER) AS name_len,
+           p_brand || '/' || p_type AS brand_type,
+           REPLACE(p_name, 'a', '@') AS name_sub,
+           CAST(p_size % 5 AS INTEGER) AS size_mod,
+           CAST(FLOOR(p_retailprice / 100) AS BIGINT) AS price_bucket,
+           CAST(ABS(p_size - 25) AS INTEGER) AS size_dev
+    FROM part
+    WHERE p_partkey < 200
+    """,
+    doc="Scalar string/math function core (SURVEY §2B scalar functions).",
+)
+def scalar_string_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 200)
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_type", 1, 4).alias("type_prefix"),
+        F.length("p_name").cast("int").alias("name_len"),
+        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+        F.replace(F.col("p_name"), F.lit("a"), F.lit("@")).alias("name_sub"),
+        (F.col("p_size") % 5).cast("int").alias("size_mod"),
+        F.floor(F.col("p_retailprice") / 100).cast("bigint").alias("price_bucket"),
+        F.abs(F.col("p_size") - 25).cast("int").alias("size_dev"),
+    )
+
+
+@query(
+    "scalar_date_functions",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(YEAR(o_orderdate) AS INTEGER) AS order_year,
+           CAST(MONTH(o_orderdate) AS INTEGER) AS order_month,
+           CAST(DAY(o_orderdate) AS INTEGER) AS order_day,
+           CAST(o_orderdate AS DATE) + 30 AS due_date,
+           CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month_start,
+           LAST_DAY(CAST(o_orderdate AS DATE)) AS month_end
+    FROM orders
+    WHERE o_orderkey < 500
+    """,
+    doc="Date/time scalar functions over the timestamp column.",
+)
+def scalar_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        F.month("o_orderdate").cast("int").alias("order_month"),
+        F.dayofmonth("o_orderdate").cast("int").alias("order_day"),
+        F.date_add(d, 30).alias("due_date"),
+        F.trunc(d, "month").alias("month_start"),
+        F.last_day(d).alias("month_end"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CTEs / subqueries
+# ---------------------------------------------------------------------------
+@query(
+    "cte_above_avg_orders",
+    oracle="""
+    WITH pavg AS (
+      SELECT o_orderpriority,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*) AS avg_price
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o.o_orderpriority, COUNT(*) AS n_above
+    FROM orders o
+    JOIN pavg p ON o.o_orderpriority = p.o_orderpriority
+    WHERE o.o_totalprice > p.avg_price
+    GROUP BY o.o_orderpriority
+    """,
+    doc="CTE + join back against a per-group aggregate (decorrelated 'above "
+    "average' pattern — SURVEY §2B CTEs/subqueries).",
+)
+def cte_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    pavg = orders.groupBy("o_orderpriority").agg(
+        avg_exact("o_totalprice").alias("avg_price")
+    )
+    return (
+        orders.join(F.broadcast(pavg), "o_orderpriority")
+        .filter(F.col("o_totalprice") > F.col("avg_price"))
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_above"))
+    )
+
+
+@query(
+    "subquery_in_having",
+    oracle="""
+    SELECT c_nationkey, COUNT(*) AS n_heavy
+    FROM customer
+    WHERE c_custkey IN (
+      SELECT o_custkey FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15
+    )
+    GROUP BY c_nationkey
+    """,
+    doc="IN-subquery with HAVING → semi join against an aggregate.",
+)
+def subquery_in_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    heavy = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 15)
+        .select("o_custkey")
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        customer.join(heavy, customer.c_custkey == heavy.o_custkey, "left_semi")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_heavy"))
+    )

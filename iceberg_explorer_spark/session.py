@@ -1,0 +1,139 @@
+"""SparkSession factory — the analogue of the reference's singleton engine.
+
+The reference holds one process-wide DuckDB connection configured with a
+memory limit, thread count, and an attached Iceberg catalog
+(reference: src/iceberg_explorer/query/engine.py:44-164, 219-239). Here the
+analogue is one long-lived SparkSession configured for deterministic SQL
+semantics (UTC session timezone, ANSI off to match permissive engines),
+Arrow-based transfers, and AQE for runtime re-planning at scale.
+
+Scale notes (100 TB / 1000-executor design intent):
+- AQE is on: runtime coalescing of shuffle partitions, skew-join splitting,
+  and dynamic broadcast-join conversion replace hand-tuned partition counts.
+- ``spark.sql.shuffle.partitions`` is only the *initial* number; AQE coalesces.
+  On a real cluster this should be ~2-3x total cores; locally we default to
+  the local core count.
+- Iceberg catalog support is configured when the runtime jar is available
+  (see :func:`iceberg_catalog_conf`); everything else works against plain
+  parquet/csv/json paths, which is what the test harness uses.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Mapping
+
+from pyspark.sql import SparkSession
+
+_DEF_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def default_conf(cpus: str | int | None = None) -> dict[str, str]:
+    """Session conf tuned for local testing but shaped for cluster scale."""
+    n = str(cpus or _DEF_CPUS)
+    return {
+        # Determinism / semantics
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.ansi.enabled": "false",
+        # Arrow edge (result materialization, pandas UDFs)
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+        # Adaptive execution: runtime re-plan, skew handling, partition coalesce
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        # Initial shuffle parallelism (AQE coalesces down as needed)
+        "spark.sql.shuffle.partitions": n,
+        # Pushdown / pruning are default-on; keep explicit for documentation
+        "spark.sql.parquet.filterPushdown": "true",
+        "spark.sql.parquet.aggregatePushdown": "true",
+        # Broadcast threshold: dims like region/nation always fit
+        "spark.sql.autoBroadcastJoinThreshold": "64MB",
+        "spark.ui.enabled": "false",
+        "spark.sql.parquet.datetimeRebaseModeInRead": "CORRECTED",
+        "spark.sql.parquet.int96RebaseModeInRead": "CORRECTED",
+        # events.parquet carries TIMESTAMP(NANOS) which Spark rejects by
+        # default; read as epoch-nanos long and convert in the loader.
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+    }
+
+
+def iceberg_catalog_conf(
+    name: str = "lake",
+    *,
+    catalog_type: str = "hadoop",
+    warehouse: str | None = None,
+    uri: str | None = None,
+) -> dict[str, str]:
+    """Spark conf for an Iceberg catalog (REST or hadoop/local warehouse).
+
+    Mirrors the reference's two attach modes — REST catalog vs local warehouse
+    (reference: src/iceberg_explorer/query/engine.py:86-110,
+    src/iceberg_explorer/config.py:20-56) — expressed as Spark catalog conf.
+    Requires the iceberg-spark-runtime jar on the classpath; callers should
+    gate on :func:`iceberg_available`.
+    """
+    conf = {
+        f"spark.sql.catalog.{name}": "org.apache.iceberg.spark.SparkCatalog",
+        "spark.sql.extensions": (
+            "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions"
+        ),
+    }
+    if catalog_type == "rest":
+        conf[f"spark.sql.catalog.{name}.type"] = "rest"
+        if uri:
+            conf[f"spark.sql.catalog.{name}.uri"] = uri
+    else:
+        conf[f"spark.sql.catalog.{name}.type"] = "hadoop"
+        if warehouse:
+            conf[f"spark.sql.catalog.{name}.warehouse"] = warehouse
+    return conf
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when the Iceberg Spark runtime is on the classpath."""
+    try:
+        spark.sparkContext._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def build_session(
+    app_name: str = "iceberg_explorer_spark",
+    master: str | None = None,
+    extra_conf: Mapping[str, str] | None = None,
+    cpus: str | int | None = None,
+) -> SparkSession:
+    builder = SparkSession.builder.appName(app_name)
+    if master:
+        builder = builder.master(master)
+    elif not os.environ.get("SPARK_MASTER"):
+        builder = builder.master(f"local[{cpus or _DEF_CPUS}]")
+    for k, v in default_conf(cpus).items():
+        builder = builder.config(k, v)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+_SPARK: SparkSession | None = None
+
+
+def get_spark() -> SparkSession:
+    """Process-wide session singleton (reference engine singleton analogue)."""
+    global _SPARK
+    if _SPARK is None:
+        _SPARK = build_session()
+    return _SPARK
+
+
+def stop_spark() -> None:
+    global _SPARK
+    if _SPARK is not None:
+        _SPARK.stop()
+        _SPARK = None

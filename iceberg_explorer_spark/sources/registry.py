@@ -1,0 +1,75 @@
+"""Table sources: parquet test tables, plus generic reader entry points.
+
+The reference scans only Iceberg tables attached through its DuckDB engine
+(reference: src/iceberg_explorer/query/engine.py:86-110). The rebuild's scan
+layer is Spark's DataSourceV2: Iceberg tables when a catalog is configured
+(see session.iceberg_catalog_conf), and direct parquet/csv/json paths for the
+test harness. Either way Catalyst pushes filters and prunes columns into the
+scan — check ``df.explain(True)`` for ``PushedFilters`` / ``ReadSchema``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: tables materialized by the test-data generator (TESTDATA.md)
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: dimension tables that are small at every scale factor (region/nation are
+#: fixed-cardinality in TPC-H-style schemas) — always broadcast-joinable.
+SMALL_DIMS = frozenset({"region", "nation"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one test table. Plain parquet scan → vectorized reader,
+    filter pushdown and column pruning apply automatically.
+
+    ``events.ts`` is physically TIMESTAMP(NANOS); with
+    ``spark.sql.legacy.parquet.nanosAsLong`` it scans as epoch-nanos long and
+    is converted here to a microsecond timestamp (integer division — a double
+    division would lose precision on 1e18-scale nanos) to match what other
+    engines (e.g. the DuckDB oracle) surface for the same file.
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def register_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> None:
+    """Register all test tables as temp views for the SQL surface."""
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_csv(spark: SparkSession, path: str, schema=None, header: bool = True):
+    """CSV connector (reference has none — gap noted in SURVEY §2C)."""
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema=None):
+    """JSON-lines connector."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
