@@ -1,1 +1,260 @@
-"""Placeholder — filled in later this round."""
+"""Deduplication operators for training-data pipelines (north-star extension;
+SURVEY §7 / BASELINE.json).
+
+All four operators are pure DataFrame compositions — no UDFs — so they run
+JVM-side under whole-stage codegen and scale linearly:
+
+- exact:    hash-groupBy on a content digest. One shuffle on the digest.
+- minhash:  shingle → 12 minhashes → 4 bands × 3 rows → bucket self-join.
+            The self-join is on (band, band_key) — candidate pairs only, never
+            a cartesian product. This is the 100 TB-safe shape: work scales
+            with Σ bucket² not n².
+- simhash:  60-bit signature from per-word hash bit votes; pure aggregation.
+- ngram jaccard: exact verification via shingle equi-join (intersection
+            counts) — again join-on-content-key, not pairwise loops.
+
+Determinism: hashes are md5 (identical hex in Spark and DuckDB); minhash uses
+min-of-md5(shingle + seed) which is engine-independent; all counts are exact
+integers so derived ratios are bit-identical doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_explorer_spark.operators.registry import query
+from iceberg_explorer_spark.sources.registry import load_table
+
+N_HASHES = 12
+N_BANDS = 4  # 3 rows per band
+SIMHASH_BITS = 60  # from 15 hex chars of md5 → fits a signed BIGINT
+
+
+def _words(col: str = "text"):
+    """Lowercased whitespace tokens (same regex both engines)."""
+    return F.split(F.lower(F.trim(F.col(col))), r"\s+")
+
+
+def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc_id, 3-word shingle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = _words()
+    shingles = F.when(
+        F.size(w) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(w, i),
+                F.element_at(w, i + 1),
+                F.element_at(w, i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select("doc_id", F.explode(shingles).alias("s"))
+        .distinct()
+    )
+
+
+_SHINGLE_SQL = r"""
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        FROM documents) words,
+       UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+  WHERE len(w) >= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           CAST(MIN(doc_id) AS BIGINT) AS canonical_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+    doc="Exact dedup: group by content digest, keep the smallest doc_id as "
+    "canonical. At scale: one shuffle on the digest; digest is computed "
+    "map-side so only (hash, id) ever shuffles, not the text.",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select(F.md5(F.col("text")).alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    mh AS (
+      SELECT doc_id, seed, MIN(md5(s || '#' || CAST(seed AS VARCHAR))) AS h
+      FROM sh, (SELECT UNNEST(generate_series(0, {N_HASHES - 1})) AS seed)
+      GROUP BY doc_id, seed
+    ),
+    bands AS (
+      SELECT doc_id, CAST(seed // 3 AS INTEGER) AS band,
+             md5(string_agg(h, '|' ORDER BY h)) AS bkey
+      FROM mh GROUP BY doc_id, CAST(seed // 3 AS INTEGER)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.band
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, COUNT(*) AS n_shared_bands
+    FROM cand GROUP BY doc_a, doc_b
+    """,
+    doc="MinHash-LSH near-dup candidates: 3-word shingles → 12 minhashes "
+    "(min of md5(shingle+seed)) → 4 bands × 3 rows → self-join on band "
+    "buckets. Work = Σ bucket², never n²; shuffles on (band, bkey).",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles_df(spark, sf_dir)
+    seeds = F.explode(
+        F.array(*[F.lit(i) for i in range(N_HASHES)])
+    ).alias("seed")
+    mh = (
+        sh.select("doc_id", "s", seeds)
+        .select(
+            "doc_id",
+            "seed",
+            F.md5(F.concat(F.col("s"), F.lit("#"), F.col("seed").cast("string"))).alias(
+                "sh_hash"
+            ),
+        )
+        .groupBy("doc_id", "seed")
+        .agg(F.min("sh_hash").alias("h"))
+    )
+    bands = (
+        mh.withColumn("band", F.expr("CAST(seed DIV 3 AS INT)"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(F.array_join(F.array_sort(F.collect_list("h")), "|")).alias("bkey")
+        )
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.band").alias("band"),
+        )
+        .distinct()
+    )
+    return cand.groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("n_shared_bands"))
+
+
+# ---------------------------------------------------------------------------
+def _simhash_sql_terms(hash_col: str = "h", weight: str = "1") -> str:
+    """±vote sums per bit, shared by the Spark expr and the oracle SQL."""
+    return ", ".join(
+        f"SUM(CASE WHEN (({hash_col} >> {j}) & 1) = 1 THEN {weight} ELSE -{weight} END)"
+        f" AS s{j}"
+        for j in range(SIMHASH_BITS)
+    )
+
+
+def _simhash_combine_sql() -> str:
+    return (
+        "CAST("
+        + " + ".join(f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(SIMHASH_BITS))
+        + " AS BIGINT)"
+    )
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
+      FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id, ('0x' || substr(md5(word), 1, 15))::BIGINT AS h FROM toks
+    ),
+    votes AS (
+      SELECT doc_id, {_simhash_sql_terms()} FROM hashed GROUP BY doc_id
+    )
+    SELECT doc_id, {_simhash_combine_sql()} AS simhash FROM votes
+    """,
+    doc="SimHash document fingerprint: 60-bit signature from per-token md5 "
+    "bit votes (token multiplicity = vote weight). Pure two-level "
+    "aggregation — map-side partial sums make this cheap at any scale.",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(_words()).alias("word")
+    ).withColumn("h", F.expr("CAST(conv(substr(md5(word), 1, 15), 16, 10) AS BIGINT)"))
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"((h >> {j}) & 1) = 1"), F.lit(1)).otherwise(F.lit(-1))
+            ).alias(f"s{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    return votes.select("doc_id", F.expr(_simhash_combine_sql()).alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT i.doc_a, i.doc_b, i.n_common,
+           i.n_common * 1.0 / (sa.n + sb.n - i.n_common) AS jaccard
+    FROM inter i
+    JOIN sz sa ON sa.doc_id = i.doc_a
+    JOIN sz sb ON sb.doc_id = i.doc_b
+    WHERE i.n_common * 1.0 / (sa.n + sb.n - i.n_common) >= 0.8
+    """,
+    doc="Exact n-gram Jaccard near-dup pairs (threshold 0.8) via shingle "
+    "equi-join: intersection counts come from a join on shingle content — "
+    "work scales with shingle-frequency², not docs². Integer counts → "
+    "bit-identical jaccard doubles.",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles_df(spark, sf_dir)
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sz.alias("sa")
+    sb = sz.alias("sb")
+    j = F.col("n_common") * 1.0 / (F.col("sa.n") + F.col("sb.n") - F.col("n_common"))
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", "n_common", j.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.8)
+    )

@@ -1,1 +1,176 @@
-"""Placeholder — filled in later this round."""
+"""Event-stream analytics, batch form: tumbling/sliding/session windows and
+JSON extraction over the events table.
+
+These are the batch twins of the Structured Streaming operators in
+``iceberg_explorer_spark.streaming`` — same semantics, expressed over a static
+DataFrame so they are oracle-checkable. (The reference has no streaming at
+all — SURVEY §2C; "streaming" there is HTTP chunking. These extend it per the
+north star.)
+
+Window starts are surfaced as epoch-microsecond BIGINTs: integer arithmetic
+is engine- and timezone-independent, unlike raw timestamps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from iceberg_explorer_spark.functions.deterministic import dec, sum_dec
+from iceberg_explorer_spark.operators.registry import query
+from iceberg_explorer_spark.sources.registry import load_table
+
+FIVE_MIN_US = 300_000_000
+TEN_MIN_US = 600_000_000
+
+
+@query(
+    "events_tumbling_window",
+    oracle=f"""
+    SELECT (EPOCH_US(ts) // {FIVE_MIN_US}) * {FIVE_MIN_US} AS window_start_us,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Tumbling 5-minute windows per event type — F.window() tumbling "
+    "aggregation (epoch-aligned, same as the oracle's integer bucketing). "
+    "Streaming twin: streaming/windows.py tumbling_counts.",
+)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            sum_dec("value").alias("total_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "events_sliding_window",
+    oracle=f"""
+    SELECT ((EPOCH_US(ts) // {FIVE_MIN_US}) - k) * {FIVE_MIN_US} AS window_start_us,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events, (SELECT UNNEST(generate_series(0, 1)) AS k)
+    GROUP BY 1
+    """,
+    doc="Sliding windows (10-minute width, 5-minute slide): each event lands "
+    "in exactly width/slide = 2 windows. Spark's F.window(slideDuration=...) "
+    "does the same expansion map-side.",
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "n_events",
+            "n_users",
+        )
+    )
+
+
+@query(
+    "events_session_window",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w) > {TEN_MIN_US}
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM seq
+    )
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           CAST(MIN(EPOCH_US(ts)) AS BIGINT) AS session_start_us,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+    FROM sess GROUP BY user_id, session_no
+    """,
+    doc="Sessionization (10-minute inactivity gap) via lag + running sum of "
+    "session starts — the classic scalable sessionizer: one shuffle on "
+    "user_id, linear per-user pass. Streaming twin uses session_window().",
+)
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    seq = ev.withColumn(
+        "new_session",
+        F.when(F.lag("ts").over(w).isNull() | (gap > TEN_MIN_US), 1).otherwise(0),
+    )
+    sess = seq.withColumn("session_no", F.sum("new_session").over(wrun).cast("bigint"))
+    return sess.groupBy("user_id", "session_no").agg(
+        F.min(F.unix_micros("ts")).cast("bigint").alias("session_start_us"),
+        F.count(F.lit(1)).alias("n_events"),
+        sum_dec("value").alias("total_value"),
+    )
+
+
+@query(
+    "events_json_extract",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT)
+             AS sum_k,
+           COUNT(CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
+                      THEN 1 END) AS n_high
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Semi-structured extraction: JSON property pulled JVM-side "
+    "(get_json_object) then aggregated — schema-on-read over a string "
+    "column, no Python.",
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k).cast("bigint").alias("sum_k"),
+        F.count(F.when(k > 50, 1)).alias("n_high"),
+    )
+
+
+@query(
+    "events_rate_per_user_type",
+    oracle="""
+    SELECT user_id, event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value,
+           CAST(MIN(EPOCH_US(ts)) AS BIGINT) AS first_seen_us,
+           CAST(MAX(EPOCH_US(ts)) AS BIGINT) AS last_seen_us
+    FROM events GROUP BY user_id, event_type
+    """,
+    doc="Per-(user, type) activity profile — the wide-key aggregation shape "
+    "used for per-entity feature extraction at scale.",
+)
+def events_rate_per_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        sum_dec("value").alias("total_value"),
+        F.min(F.unix_micros("ts")).cast("bigint").alias("first_seen_us"),
+        F.max(F.unix_micros("ts")).cast("bigint").alias("last_seen_us"),
+    )
