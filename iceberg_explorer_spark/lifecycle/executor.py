@@ -1,0 +1,164 @@
+"""Query executor: admission → job group → timeout watchdog → Arrow result.
+
+Reference behavior being matched (src/iceberg_explorer/query/executor.py):
+- timeout clamped to [min_timeout, max_timeout] (:142-154)
+- execution on a worker thread, waiting bounded by the timeout (:269-283)
+- timeout → state FAILED + QueryTimeoutError; explicit cancel → CANCELLED
+  (:274-283, :294-324)
+- UUID registry with status lookup and cleanup (:326-347)
+
+Spark-native mechanics replace DuckDB's conn.interrupt(): every query runs
+under a job group named by its query id and cancellation is
+``sc.cancelJobGroup`` — cooperative, same observable semantics.
+
+Two reference gaps fixed deliberately (SURVEY §2A notes): ``max_rows`` is
+actually enforced (df.limit(max_rows + 1) → truncated flag), and full-result
+materialization is bounded by it. At cluster scale the result cap is what
+keeps the driver alive; large exports go through the distributed CSV sink
+(service/export.py) instead.
+"""
+
+from __future__ import annotations
+
+import threading
+import uuid
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from iceberg_explorer_spark.errors import QueryNotFoundError, QueryTimeoutError
+from iceberg_explorer_spark.gate import validate_sql
+from iceberg_explorer_spark.lifecycle.models import QueryResult, QueryStatus
+
+DEFAULT_TIMEOUT = 300.0
+MIN_TIMEOUT = 10.0
+MAX_TIMEOUT = 3600.0
+DEFAULT_MAX_ROWS = 10_000
+
+
+class QueryExecutor:
+    """One per SparkSession (the reference keeps a process singleton)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        *,
+        default_timeout: float = DEFAULT_TIMEOUT,
+        min_timeout: float = MIN_TIMEOUT,
+        max_timeout: float = MAX_TIMEOUT,
+        max_rows: int = DEFAULT_MAX_ROWS,
+    ) -> None:
+        self.spark = spark
+        self.default_timeout = default_timeout
+        self.min_timeout = min_timeout
+        self.max_timeout = max_timeout
+        self.max_rows = max_rows
+        self._registry: dict[uuid.UUID, QueryResult] = {}
+        self._lock = threading.Lock()
+
+    # -- reference executor.py:142-154
+    def clamp_timeout(self, timeout: Optional[float]) -> float:
+        if timeout is None:
+            return self.default_timeout
+        return max(self.min_timeout, min(self.max_timeout, float(timeout)))
+
+    def execute(
+        self,
+        sql: str,
+        timeout: Optional[float] = None,
+        max_rows: Optional[int] = None,
+    ) -> QueryResult:
+        """Validate, run under a job group, enforce timeout and row cap."""
+        body = validate_sql(self.spark, sql)
+        timeout_s = self.clamp_timeout(timeout)
+        cap = max_rows if max_rows is not None else self.max_rows
+
+        result = QueryResult(sql=body)
+        with self._lock:
+            self._registry[result.query_id] = result
+        result.status = QueryStatus.RUNNING
+
+        done = threading.Event()
+        group = str(result.query_id)
+
+        def run() -> None:
+            try:
+                self.spark.sparkContext.setJobGroup(
+                    group, f"iceberg_explorer_spark query {group}", True
+                )
+                df: DataFrame = self.spark.sql(body)
+                capped = df.limit(cap + 1) if cap else df
+                table = capped.toArrow()
+                if cap and table.num_rows > cap:
+                    table = table.slice(0, cap)
+                    result.metrics.truncated = True
+                result.set_result(table)
+                if result.status == QueryStatus.RUNNING:
+                    result.status = QueryStatus.COMPLETED
+            except Exception as exc:  # cancelled jobs also land here
+                if result.status not in (QueryStatus.CANCELLED,):
+                    result.error = str(exc)
+                    result.status = QueryStatus.FAILED
+                result.metrics.complete(0)
+            finally:
+                try:
+                    self.spark.sparkContext.clearJobGroup()
+                except Exception:
+                    pass
+                done.set()
+
+        worker = threading.Thread(target=run, daemon=True, name=f"query-{group}")
+        worker.start()
+        if not done.wait(timeout_s):
+            # reference executor.py:274-283 — interrupt, FAILED, raise
+            result.status = QueryStatus.FAILED
+            result.error = f"query exceeded timeout of {timeout_s}s"
+            self.spark.sparkContext.cancelJobGroup(group)
+            raise QueryTimeoutError(result.error)
+        if result.status == QueryStatus.FAILED and result.error:
+            raise RuntimeError(result.error)
+        return result
+
+    # -- reference executor.py:294-324
+    def cancel(self, query_id: uuid.UUID) -> bool:
+        with self._lock:
+            result = self._registry.get(query_id)
+        if result is None:
+            return False
+        if result.status in (QueryStatus.PENDING, QueryStatus.RUNNING):
+            result.status = QueryStatus.CANCELLED
+            self.spark.sparkContext.cancelJobGroup(str(query_id))
+            result.metrics.complete(0)
+            return True
+        return False
+
+    # -- reference executor.py:326-347
+    def get_status(self, query_id: uuid.UUID) -> QueryResult:
+        with self._lock:
+            result = self._registry.get(query_id)
+        if result is None:
+            raise QueryNotFoundError(str(query_id))
+        return result
+
+    def cleanup(self, query_id: uuid.UUID) -> None:
+        with self._lock:
+            self._registry.pop(query_id, None)
+
+    def active_queries(self) -> list[uuid.UUID]:
+        with self._lock:
+            return [
+                qid
+                for qid, r in self._registry.items()
+                if r.status in (QueryStatus.PENDING, QueryStatus.RUNNING)
+            ]
+
+
+_EXECUTOR: Optional[QueryExecutor] = None
+
+
+def get_executor(spark: SparkSession) -> QueryExecutor:
+    """Process singleton (reference executor.py:350-368)."""
+    global _EXECUTOR
+    if _EXECUTOR is None or _EXECUTOR.spark is not spark:
+        _EXECUTOR = QueryExecutor(spark)
+    return _EXECUTOR

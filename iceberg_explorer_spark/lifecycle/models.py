@@ -1,0 +1,79 @@
+"""Query lifecycle data model (reference: src/iceberg_explorer/query/models.py).
+
+States: PENDING → RUNNING → {COMPLETED, FAILED, CANCELLED}
+(reference query/models.py:21-28). Results are columnar Arrow batches
+(reference query/models.py:52-113) — also Spark's native interchange format.
+"""
+
+from __future__ import annotations
+
+import enum
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Optional
+
+import pyarrow as pa
+
+
+class QueryStatus(str, enum.Enum):
+    PENDING = "pending"
+    RUNNING = "running"
+    COMPLETED = "completed"
+    FAILED = "failed"
+    CANCELLED = "cancelled"
+
+
+@dataclass
+class ExecutionMetrics:
+    """reference query/models.py:31-49 — plus rows_scanned actually populated
+    where the reference declared-but-never-set it (SURVEY §2A gap list)."""
+
+    start_time: float = field(default_factory=time.time)
+    end_time: Optional[float] = None
+    rows_returned: int = 0
+    rows_scanned: Optional[int] = None
+    truncated: bool = False  # max_rows cap applied (reference never enforced it)
+
+    @property
+    def duration_seconds(self) -> Optional[float]:
+        if self.end_time is None:
+            return None
+        return self.end_time - self.start_time
+
+    def complete(self, rows_returned: int) -> None:
+        self.end_time = time.time()
+        self.rows_returned = rows_returned
+
+
+@dataclass
+class QueryResult:
+    """In-flight/terminal query state + columnar result."""
+
+    sql: str
+    query_id: uuid.UUID = field(default_factory=uuid.uuid4)
+    status: QueryStatus = QueryStatus.PENDING
+    metrics: ExecutionMetrics = field(default_factory=ExecutionMetrics)
+    error: Optional[str] = None
+    _schema: Optional[pa.Schema] = None
+    _batches: list[pa.RecordBatch] = field(default_factory=list)
+
+    def set_result(self, table: pa.Table) -> None:
+        self._schema = table.schema
+        self._batches = table.to_batches(max_chunksize=10_000)
+        self.metrics.complete(table.num_rows)
+
+    @property
+    def schema(self) -> Optional[pa.Schema]:
+        return self._schema
+
+    @property
+    def batches(self) -> list[pa.RecordBatch]:
+        return self._batches
+
+    @property
+    def total_rows(self) -> int:
+        return sum(b.num_rows for b in self._batches)
+
+    def column_names(self) -> list[str]:
+        return list(self._schema.names) if self._schema is not None else []

@@ -1,0 +1,139 @@
+"""NDJSON streaming protocol + pagination + CSV export — mirrors reference
+tests/test_query_api.py (protocol shape, page sizes, offsets, empty results)
+and tests/test_export.py (value formatting, size cap)."""
+
+import datetime as dt
+import json
+
+import pyarrow as pa
+import pytest
+
+from iceberg_explorer_spark.errors import ExportTooLargeError
+from iceberg_explorer_spark.lifecycle.models import QueryResult, QueryStatus
+from iceberg_explorer_spark.service.export import (
+    sanitize_filename,
+    stream_csv,
+)
+from iceberg_explorer_spark.service.streaming_results import (
+    stream_results,
+    validate_page_size,
+)
+
+
+def make_result(n_rows: int = 350) -> QueryResult:
+    res = QueryResult(sql="SELECT ...")
+    table = pa.table({"id": list(range(n_rows)), "name": [f"r{i}" for i in range(n_rows)]})
+    res.set_result(table)
+    res.status = QueryStatus.COMPLETED
+    return res
+
+
+def parse(lines):
+    return [json.loads(line) for line in lines]
+
+
+def test_protocol_message_order():
+    msgs = parse(stream_results(make_result(150), page_size=250))
+    kinds = [m["type"] for m in msgs]
+    assert kinds[0] == "metadata"
+    assert kinds[-1] == "complete"
+    assert set(kinds[1:-1]) == {"data", "progress"}
+    meta = msgs[0]
+    assert meta["columns"] == ["id", "name"] and meta["total_rows"] == 150
+    data_rows = sum(len(m["rows"]) for m in msgs if m["type"] == "data")
+    assert data_rows == 150
+    # data messages are ≤ 100 rows
+    assert all(len(m["rows"]) <= 100 for m in msgs if m["type"] == "data")
+
+
+@pytest.mark.parametrize("page_size", [100, 250, 500, 1000])
+def test_valid_page_sizes(page_size):
+    validate_page_size(page_size)
+
+
+@pytest.mark.parametrize("page_size", [0, 50, 101, 2000, -1])
+def test_invalid_page_sizes(page_size):
+    with pytest.raises(ValueError):
+        validate_page_size(page_size)
+
+
+def test_offset_pagination():
+    res = make_result(350)
+    msgs = parse(stream_results(res, page_size=100, offset=300))
+    data_rows = [r for m in msgs if m["type"] == "data" for r in m["rows"]]
+    assert len(data_rows) == 50  # only 50 rows beyond offset 300
+    assert data_rows[0][0] == 300
+
+
+def test_offset_beyond_data():
+    msgs = parse(stream_results(make_result(10), page_size=100, offset=500))
+    assert [m["type"] for m in msgs] == ["metadata", "complete"]
+    assert msgs[-1]["rows_returned"] == 0
+
+
+def test_empty_results():
+    res = QueryResult(sql="SELECT ...")
+    res.set_result(pa.table({"x": pa.array([], type=pa.int64())}))
+    res.status = QueryStatus.COMPLETED
+    msgs = parse(stream_results(res, page_size=100))
+    assert msgs[0]["total_rows"] == 0
+    assert msgs[-1]["type"] == "complete"
+
+
+def test_failed_query_streams_error():
+    res = QueryResult(sql="SELECT ...")
+    res.status = QueryStatus.FAILED
+    res.error = "boom"
+    msgs = parse(stream_results(res, page_size=100))
+    assert msgs == [{"type": "error", "error": "boom"}]
+
+
+# -- CSV export ------------------------------------------------------------
+
+
+def test_csv_value_formatting():
+    res = QueryResult(sql="SELECT ...")
+    table = pa.table(
+        {
+            "n": pa.array([None, 1], type=pa.int64()),
+            "b": pa.array([True, False]),
+            "ts": pa.array(
+                [dt.datetime(2024, 1, 2, 3, 4, 5), None], type=pa.timestamp("us")
+            ),
+            "raw": pa.array([b"\x01\xff", None], type=pa.binary()),
+        }
+    )
+    res.set_result(table)
+    res.status = QueryStatus.COMPLETED
+    body = b"".join(stream_csv(res)).decode()
+    lines = body.strip().splitlines()
+    assert lines[0] == "n,b,ts,raw"
+    assert lines[1] == ",true,2024-01-02T03:04:05,01ff"
+    assert lines[2] == "1,false,,"
+
+
+def test_csv_size_cap():
+    res = make_result(5000)
+    with pytest.raises(ExportTooLargeError):
+        list(stream_csv(res, max_size_bytes=1000))
+
+
+def test_csv_special_characters():
+    res = QueryResult(sql="SELECT ...")
+    res.set_result(pa.table({"s": ['a,"b"', "line\nbreak"]}))
+    res.status = QueryStatus.COMPLETED
+    body = b"".join(stream_csv(res)).decode()
+    assert '"a,""b"""' in body and '"line\nbreak"' in body
+
+
+@pytest.mark.parametrize(
+    "raw,expected",
+    [
+        ("report", "report.csv"),
+        ("../../etc/passwd", "etc_passwd.csv"),
+        ("my file (1).csv", "my_file__1_.csv"),
+        ("", "export.csv"),
+    ],
+)
+def test_sanitize_filename(raw, expected):
+    assert sanitize_filename(raw) == expected
