@@ -37,25 +37,29 @@ def _words(col: str = "text"):
 
 
 def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct (doc_id, 3-word shingle)."""
+    """Distinct (doc_id, 3-word shingle).
+
+    The word array is materialized as a projected column BEFORE the shingle
+    transform references it. Inlining the split() expression into every
+    element_at() makes codegen re-tokenize the full text per shingle term —
+    O(words²) per document, measured 8× slower at sf0.1 and worse the longer
+    the documents get.
+    """
     docs = load_table(spark, sf_dir, "documents")
-    w = _words()
+    dw = docs.select("doc_id", _words().alias("w"))
     shingles = F.when(
-        F.size(w) >= 3,
+        F.size("w") >= 3,
         F.transform(
-            F.sequence(F.lit(1), F.size(w) - 2),
+            F.sequence(F.lit(1), F.size("w") - 2),
             lambda i: F.concat_ws(
                 " ",
-                F.element_at(w, i),
-                F.element_at(w, i + 1),
-                F.element_at(w, i + 2),
+                F.element_at("w", i),
+                F.element_at("w", i + 1),
+                F.element_at("w", i + 2),
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return (
-        docs.select("doc_id", F.explode(shingles).alias("s"))
-        .distinct()
-    )
+    return dw.select("doc_id", F.explode(shingles).alias("s")).distinct()
 
 
 _SHINGLE_SQL = r"""
