@@ -36,14 +36,21 @@ def _words(col: str = "text"):
     return F.split(F.lower(F.trim(F.col(col))), r"\s+")
 
 
-def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct (doc_id, 3-word shingle).
+def _shingles_df(
+    spark: SparkSession, sf_dir: str, distinct: bool = True
+) -> DataFrame:
+    """(doc_id, 3-word shingle) rows, optionally deduplicated.
 
     The word array is materialized as a projected column BEFORE the shingle
     transform references it. Inlining the split() expression into every
     element_at() makes codegen re-tokenize the full text per shingle term —
     O(words²) per document, measured 8× slower at sf0.1 and worse the longer
     the documents get.
+
+    ``distinct=False`` skips the dedup shuffle entirely — for consumers whose
+    downstream aggregate is idempotent over duplicates (minhash: min over a
+    multiset equals min over its set), the distinct is a pure cost. The
+    Jaccard intersection counts DO need set semantics and keep the default.
     """
     docs = load_table(spark, sf_dir, "documents")
     dw = docs.select("doc_id", _words().alias("w"))
@@ -59,7 +66,8 @@ def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return dw.select("doc_id", F.explode(shingles).alias("s")).distinct()
+    out = dw.select("doc_id", F.explode(shingles).alias("s"))
+    return out.distinct() if distinct else out
 
 
 _SHINGLE_SQL = r"""
@@ -146,7 +154,9 @@ def lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a bands⋈bands self-join would recompute the pipeline twice more).
     Every stage is a single linear pass with one shuffle.
     """
-    sh = _shingles_df(spark, sf_dir)
+    # non-distinct shingles: min(hash) is identical over a multiset, so the
+    # dedup shuffle the Jaccard path needs is dead weight here
+    sh = _shingles_df(spark, sf_dir, distinct=False)
     sig = sh.groupBy("doc_id").agg(
         *[
             F.min(F.md5(F.concat(F.col("s"), F.lit(f"#{i}")))).alias(f"h{i}")

@@ -29,6 +29,12 @@ from iceberg_explorer_spark.sources.registry import load_table
 DIM = 64
 N_PLANES = 4  # 16 buckets; enough selectivity at test scale
 QUERY_VEC_ID = 0
+#: near-dup cosine threshold. Production pipelines run ~0.95; the synthetic
+#: corpus has no true duplicates (max pairwise cos ≈ 0.51), so the threshold
+#: sits where the distribution has mass to keep the operator exercised.
+NEAR_DUP_TAU = 0.4
+IVF_K = 8  # coarse-quantizer lists
+IVF_NPROBE = 2
 
 
 def _plane_signs(plane: int, dim: int = DIM) -> list[int]:
@@ -70,6 +76,33 @@ _COS_SPARK = (
     " * sqrt(aggregate(CAST({b} AS ARRAY<DOUBLE>), CAST(0 AS DOUBLE),"
     " (acc, v) -> acc + v * v)))"
 )
+
+_DOT_SPARK = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
+    " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+
+
+def _with_normalized(df: DataFrame, out: str = "ne") -> DataFrame:
+    """Add an L2-normalized copy of ``embedding`` as column ``out``.
+
+    Normalizing once per VECTOR (linear work, before any join) turns every
+    per-PAIR cosine into a bare dot product. Higher-order array lambdas are
+    interpreted, not codegen'd, so cutting 3 aggregates/pair to 1 moves the
+    bottleneck from the lambda back to the join itself. The norm is
+    materialized as its own projected column first — inlining it into the
+    transform lambda would re-evaluate the aggregate per element (O(dim²)).
+    """
+    return df.withColumn(
+        "_nrm",
+        F.expr(
+            "sqrt(aggregate(CAST(embedding AS ARRAY<DOUBLE>),"
+            " CAST(0 AS DOUBLE), (acc, e) -> acc + e * e))"
+        ),
+    ).withColumn(
+        out,
+        F.expr("transform(CAST(embedding AS ARRAY<DOUBLE>), x -> x / _nrm)"),
+    ).drop("_nrm")
 
 
 @query(
@@ -165,12 +198,12 @@ def similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def similarity_all_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    coded = emb.withColumn("bucket", F.expr(_srp_code_sql("embedding"))).select(
-        "vec_id", "embedding", "bucket"
-    )
+    coded = _with_normalized(
+        emb.withColumn("bucket", F.expr(_srp_code_sql("embedding")))
+    ).select("vec_id", "ne", "bucket")
     a = coded.alias("a")
     b = coded.alias("b")
-    cos = F.expr(_COS_SPARK.format(a="a.embedding", b="b.embedding"))
+    cos = F.expr(_DOT_SPARK.format(a="a.ne", b="b.ne"))
     return (
         a.join(
             b,
@@ -184,4 +217,146 @@ def similarity_all_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("cos_sim").desc(), "vec_a", "vec_b")
         .limit(20)
+    )
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH coded AS (
+      SELECT vec_id, embedding, {_srp_code_duckdb('embedding')} AS bucket
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+      FROM coded a JOIN coded b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT id_b AS duplicate_vec_id,
+           MIN(id_a) AS canonical_vec_id,
+           COUNT(*) AS n_matches
+    FROM pairs
+    WHERE cos_sim >= {NEAR_DUP_TAU}
+    GROUP BY id_b
+    """,
+    doc="Embedding-cosine near-dedup: SRP-bucketed self-join (candidates "
+    "share a bucket, never n²), cosine threshold, one-hop canonicalization "
+    "(duplicate → smallest-id neighbor). The bucket code is the only "
+    "shuffle key; cosine is a single dot product over pre-normalized "
+    "vectors.",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    coded = _with_normalized(
+        emb.withColumn("bucket", F.expr(_srp_code_sql("embedding")))
+    ).select("vec_id", "ne", "bucket")
+    a = coded.alias("a")
+    b = coded.alias("b")
+    cos = F.round(F.expr(_DOT_SPARK.format(a="a.ne", b="b.ne")), 6)
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= NEAR_DUP_TAU)
+        .groupBy(F.col("id_b").alias("duplicate_vec_id"))
+        .agg(
+            F.min("id_a").alias("canonical_vec_id"),
+            F.count(F.lit(1)).alias("n_matches"),
+        )
+    )
+
+
+def _ivf_assign_sql_duckdb() -> str:
+    """Shared CTE text: rank every vector's centroids by rounded cosine."""
+    return f"""
+    cents AS (
+      SELECT vec_id AS cid, embedding AS ce FROM embeddings
+      WHERE vec_id < {IVF_K}
+    ),
+    ranked AS (
+      SELECT e.vec_id, e.embedding, c.cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY ROUND(list_cosine_similarity(
+                          CAST(e.embedding AS DOUBLE[]),
+                          CAST(c.ce AS DOUBLE[])), 6) DESC, c.cid
+             ) AS rn
+      FROM embeddings e CROSS JOIN cents c
+    )"""
+
+
+@query(
+    "similarity_ivf_topk",
+    oracle=f"""
+    WITH {_ivf_assign_sql_duckdb()},
+    lists AS (SELECT vec_id, embedding, cid FROM ranked WHERE rn = 1),
+    qprobe AS (SELECT cid FROM ranked
+               WHERE vec_id = {QUERY_VEC_ID} AND rn <= {IVF_NPROBE}),
+    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
+    SELECT l.vec_id, l.cid AS probe_list,
+           ROUND(list_cosine_similarity(CAST(l.embedding AS DOUBLE[]),
+                                        CAST(q.qe AS DOUBLE[])), 6) AS cos_sim
+    FROM lists l JOIN qprobe p ON l.cid = p.cid, q
+    WHERE l.vec_id <> {QUERY_VEC_ID}
+    ORDER BY cos_sim DESC, l.vec_id
+    LIMIT 10
+    """,
+    doc=f"IVF-style ANN: {IVF_K} deterministic coarse centroids (seed pick = "
+    "k-means|| init step; production would iterate Lloyd's on a sample), "
+    "every vector assigned to its nearest list map-side via a broadcast of "
+    f"the centroids, query probes its {IVF_NPROBE} nearest lists. At scale "
+    "the corpus is partitioned/bucketed BY list id, so a probe touches "
+    "nprobe/K of the data — the classic IVF selectivity argument — and "
+    "assignment never shuffles the corpus.",
+)
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = _with_normalized(load_table(spark, sf_dir, "embeddings"))
+    cents = F.broadcast(
+        emb.filter(F.col("vec_id") < IVF_K).select(
+            F.col("vec_id").alias("cid"), F.col("ne").alias("ce")
+        )
+    )
+    sim = F.round(F.expr(_DOT_SPARK.format(a="ne", b="ce")), 6)
+    ranked = (
+        emb.crossJoin(cents)
+        .withColumn("csim", sim)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(
+                    F.col("csim").desc(), F.col("cid")
+                )
+            ),
+        )
+    )
+    lists = ranked.filter(F.col("rn") == 1).select("vec_id", "ne", "cid")
+    qprobe = F.broadcast(
+        ranked.filter(
+            (F.col("vec_id") == QUERY_VEC_ID) & (F.col("rn") <= IVF_NPROBE)
+        ).select("cid")
+    )
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+            F.col("ne").alias("qe")
+        )
+    )
+    cos = F.round(F.expr(_DOT_SPARK.format(a="ne", b="qe")), 6)
+    return (
+        lists.join(qprobe, "cid")
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(q)
+        .select("vec_id", F.col("cid").alias("probe_list"), cos.alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(10)
     )
