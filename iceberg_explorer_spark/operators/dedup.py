@@ -13,9 +13,11 @@ JVM-side under whole-stage codegen and scale linearly:
 - ngram jaccard: exact verification via shingle equi-join (intersection
             counts) — again join-on-content-key, not pairwise loops.
 
-Determinism: hashes are md5 (identical hex in Spark and DuckDB); minhash uses
-min-of-md5(shingle + seed) which is engine-independent; all counts are exact
-integers so derived ratios are bit-identical doubles.
+Determinism: hashes are md5 (identical hex in Spark and DuckDB); minhash
+hashes each shingle once (md5 → 60-bit int) then applies a universal-hash
+family (a_i*h + b_i) mod 2^31-1 in exact BIGINT arithmetic, engine-
+independent; all counts are exact integers so derived ratios are
+bit-identical doubles.
 """
 
 from __future__ import annotations
@@ -106,16 +108,40 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+#: modulus for the universal-hash minhash family (2^31-1, prime). a*h stays
+#: under 2^63 so both engines do exact BIGINT arithmetic — no overflow, no
+#: floats, bit-identical mins.
+MINHASH_P = 2_147_483_647
+
+
+def _lcg_params(i: int) -> tuple[int, int]:
+    """Deterministic (a, b) for hash_i(x) = (a*x + b) mod P, from md5 bytes."""
+    import hashlib
+
+    d = hashlib.md5(f"minhash:{i}".encode()).digest()
+    a = int.from_bytes(d[:8], "big") % (MINHASH_P - 1) + 1
+    b = int.from_bytes(d[8:], "big") % MINHASH_P
+    return a, b
+
+
 def _minhash_agg_sql() -> str:
     """12 min-aggregates in ONE pass (shared text for Spark SQL and oracle).
 
     One groupBy(doc_id) with 12 mins — instead of exploding ×12 and grouping
     by (doc_id, seed) — keeps the shuffle at one row per doc per partition
     (map-side partial mins). 5× faster at sf0.1, and the difference grows
-    with data size."""
-    return ", ".join(
-        f"MIN(md5(s || '#{i}')) AS h{i}" for i in range(N_HASHES)
-    )
+    with data size.
+
+    Each shingle is md5'd ONCE into a 60-bit base hash ``hb``; the 12 family
+    members are linear-congruential mixes (a_i*hb + b_i) mod P — the
+    standard universal-hash minhash construction. 12 integer ops replace 12
+    string md5s per shingle row, which was the dominant cost of the whole
+    LSH pipeline."""
+    terms = []
+    for i in range(N_HASHES):
+        a, b = _lcg_params(i)
+        terms.append(f"MIN(({a} * hb + {b}) % {MINHASH_P}) AS h{i}")
+    return ", ".join(terms)
 
 
 def _bands_sql(rows_per_band: int = 3) -> str:
@@ -133,7 +159,11 @@ def _bands_sql(rows_per_band: int = 3) -> str:
 
 _LSH_CANDIDATES_SQL = f"""
     WITH sh AS ({_SHINGLE_SQL}),
-    sig AS (SELECT doc_id, {_minhash_agg_sql()} FROM sh GROUP BY doc_id),
+    hashed AS (
+      SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT % {MINHASH_P} AS hb
+      FROM sh
+    ),
+    sig AS (SELECT doc_id, {_minhash_agg_sql()} FROM hashed GROUP BY doc_id),
     bands AS ({_bands_sql()}),
     cand AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.band
@@ -145,7 +175,9 @@ _LSH_CANDIDATES_SQL = f"""
 """
 
 
-def lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+def lsh_candidates(
+    spark: SparkSession, sf_dir: str, shingles: DataFrame | None = None
+) -> DataFrame:
     """MinHash-LSH candidate pairs (doc_a, doc_b, n_shared_bands).
 
     Plan shape matters here: band rows come from ONE explode (a unionAll of
@@ -153,16 +185,36 @@ def lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     branch), and pair generation is group-by-bucket + emit-pairs-in-bucket
     (a bands⋈bands self-join would recompute the pipeline twice more).
     Every stage is a single linear pass with one shuffle.
+
+    ``shingles``: optional precomputed (doc_id, s) DataFrame — callers that
+    also need the shingle set elsewhere (the Jaccard verifier) pass their
+    persisted copy so the pipeline is computed once. min(hash) over a
+    multiset equals min over its set, so distinct and non-distinct shingle
+    inputs give identical signatures.
     """
-    # non-distinct shingles: min(hash) is identical over a multiset, so the
-    # dedup shuffle the Jaccard path needs is dead weight here
-    sh = _shingles_df(spark, sf_dir, distinct=False)
-    sig = sh.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.col("s"), F.lit(f"#{i}")))).alias(f"h{i}")
-            for i in range(N_HASHES)
-        ]
+    # non-distinct shingles by default: the dedup shuffle the Jaccard path
+    # needs is dead weight here
+    sh = (
+        shingles
+        if shingles is not None
+        else _shingles_df(spark, sf_dir, distinct=False)
     )
+    hashed = sh.select(
+        "doc_id",
+        (
+            F.expr("CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT)")
+            % MINHASH_P
+        ).alias("hb"),
+    )
+    mins = []
+    for i in range(N_HASHES):
+        a, b = _lcg_params(i)
+        mins.append(
+            F.min(
+                (F.lit(a) * F.col("hb") + F.lit(b)) % F.lit(MINHASH_P)
+            ).alias(f"h{i}")
+        )
+    sig = hashed.groupBy("doc_id").agg(*mins)
     band_structs = F.array(
         *[
             F.struct(
@@ -201,9 +253,10 @@ def lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_minhash_lsh",
     oracle=_LSH_CANDIDATES_SQL,
-    doc="MinHash-LSH near-dup candidates: 3-word shingles → 12 minhashes in "
-    "one grouped pass (map-side partial mins) → 4 bands × 3 rows → self-join "
-    "on band buckets. Work = Σ bucket², never n²; shuffles on (band, bkey).",
+    doc="MinHash-LSH near-dup candidates: 3-word shingles → one md5 per "
+    "shingle → 12 universal-hash mins in one grouped pass (map-side partial "
+    "mins) → 4 bands × 3 rows → bucket grouping. Work = Σ bucket², never "
+    "n²; shuffles on (band, bkey).",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidates(spark, sf_dir)
@@ -291,10 +344,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bit-identical jaccard doubles.",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the shingle set feeds FOUR consumers (LSH signatures, both sides of
+    # the intersection join, the size table) — compute it once and persist.
+    # At 100 TB this is a checkpoint to parquet instead of a memory cache,
+    # but the plan principle is the same: never recompute the corpus scan.
+    sh = _shingles_df(spark, sf_dir).persist()
     # candidate set is tiny relative to the corpus → broadcast it so the
     # shingle table is filtered map-side instead of shuffled twice
-    cands = F.broadcast(lsh_candidates(spark, sf_dir).select("doc_a", "doc_b"))
-    sh = _shingles_df(spark, sf_dir)
+    cands = F.broadcast(
+        lsh_candidates(spark, sf_dir, shingles=sh).select("doc_a", "doc_b")
+    )
     sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
