@@ -1,0 +1,100 @@
+"""Physical-plan inspection: the guardrails that keep plans scale-shaped.
+
+The reference delegates all planning to DuckDB and never inspects a plan
+(reference: src/iceberg_explorer/query/executor.py:254 — results only). On
+Spark the plan IS the scale story: a filter that doesn't reach the parquet
+scan, a dimension join that shuffles instead of broadcasting, or an
+aggregate without a map-side partial each turn into cluster-sized
+regressions at 100 TB while staying invisible at test scale. These helpers
+parse ``df.explain``-level plan text so tests can pin the properties we
+designed for:
+
+- ``pushed_filters``      — predicate pushdown reached the scan
+- ``scan_columns``        — column pruning reached the scan (ReadSchema)
+- ``broadcast_join_count``/``shuffle_count`` — join strategy + shuffle budget
+- ``has_partial_aggregate`` — map-side combine before the exchange
+- ``whole_stage_codegen_spans`` — the hot path stays JVM-side
+
+They read the *final* plan (AQE applied where possible) and are string-level
+on purpose: plan node names are Spark's stable public explain vocabulary,
+and tests that assert on them survive refactors that keep the plan shape
+while failing loudly when a change quietly de-optimizes it.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def physical_plan(df: DataFrame) -> str:
+    """Final physical plan text (post-AQE where the plan was adaptive)."""
+    qe = df._jdf.queryExecution()
+    return qe.executedPlan().toString()
+
+
+def formatted_plan(df: DataFrame) -> str:
+    """``EXPLAIN FORMATTED``-style text (node tree + per-node details)."""
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """All PushedFilters entries across the plan's file scans, flattened."""
+    out: list[str] = []
+    for m in re.finditer(r"PushedFilters: \[([^\]]*)", physical_plan(df)):
+        body = m.group(1).strip()
+        if body:
+            out.extend(p.strip() for p in body.split(","))
+    return out
+
+
+def scan_columns(df: DataFrame, table_path_fragment: str) -> set[str]:
+    """Column names the scan of ``table_path_fragment`` actually reads.
+
+    Matches the FileScan whose Location contains the fragment and parses its
+    bracketed output column list — the ground truth for column pruning.
+    """
+    plan = physical_plan(df)
+    cols: set[str] = set()
+    for m in re.finditer(r"FileScan parquet \[([^\]]*)\][^\n]*", plan):
+        if table_path_fragment in m.group(0):
+            for c in m.group(1).split(","):
+                name = c.strip().split("#")[0]
+                if name:
+                    cols.add(name)
+    return cols
+
+
+def broadcast_join_count(df: DataFrame) -> int:
+    return len(re.findall(r"BroadcastHashJoin|BroadcastNestedLoopJoin",
+                          physical_plan(df)))
+
+
+def sort_merge_join_count(df: DataFrame) -> int:
+    return len(re.findall(r"SortMergeJoin", physical_plan(df)))
+
+
+def shuffle_count(df: DataFrame) -> int:
+    """Number of Exchange (shuffle) operators — the plan's shuffle budget.
+
+    Broadcast exchanges are excluded: they move only the small side and are
+    the *alternative* to a shuffle, not an instance of one.
+    """
+    plan = physical_plan(df)
+    total = len(re.findall(r"Exchange ", plan))
+    broadcast = len(re.findall(r"BroadcastExchange", plan))
+    return total - broadcast
+
+
+def has_partial_aggregate(df: DataFrame) -> bool:
+    """True when the plan combines map-side (partial_*) before any exchange."""
+    return bool(re.search(r"partial_\w+", physical_plan(df)))
+
+
+def whole_stage_codegen_spans(df: DataFrame) -> int:
+    """Count of WholeStageCodegen regions (``*(n)`` markers) in the plan."""
+    ids = set(re.findall(r"\*\((\d+)\)", physical_plan(df)))
+    return len(ids)

@@ -1,0 +1,124 @@
+"""Physical-plan shape tests: the 100 TB guardrails.
+
+Correctness tests can't see a de-optimization — a filter that stops reaching
+the scan or a broadcast that silently becomes a shuffle returns the same
+rows, just 100× slower at cluster scale. These tests pin the plan properties
+each operator was designed around, using the explain-text inspectors in
+``iceberg_explorer_spark.plans.inspect``.
+
+Plans are built at sf0.001 — plan SHAPE (pushdown, pruning, join strategy
+chosen from stats, partial aggregation) is what's asserted, and broadcast
+thresholds comfortably cover every dim table at any test scale.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from iceberg_explorer_spark.operators import QUERIES
+from iceberg_explorer_spark.plans import inspect as pi
+
+from .conftest import SF_DIR_SMALL
+
+
+def build(spark, name):
+    return QUERIES[name].builder(spark, SF_DIR_SMALL)
+
+
+def test_filter_projection_pushdown_and_pruning(spark):
+    df = build(spark, "filter_projection")
+    pushed = " ".join(pi.pushed_filters(df))
+    assert "o_orderstatus" in pushed and "o_totalprice" in pushed
+    # 4 output columns + the filter-only o_orderstatus/... — but never the
+    # full 9-column orders schema
+    cols = pi.scan_columns(df, "orders.parquet")
+    assert cols == {
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate",
+    }
+    assert pi.shuffle_count(df) == 0
+
+
+def test_pricing_summary_one_shuffle_partial_agg(spark):
+    df = build(spark, "pricing_summary")
+    assert pi.shuffle_count(df) == 1  # exactly the groupBy exchange
+    assert pi.has_partial_aggregate(df)  # map-side combine before it
+    assert "l_shipdate" in " ".join(pi.pushed_filters(df))
+    assert "l_orderkey" not in pi.scan_columns(df, "lineitem.parquet")
+
+
+def test_join_revenue_by_nation_broadcasts_dims(spark):
+    df = build(spark, "join_revenue_by_nation")
+    # customer/nation/region (and the orders build side) broadcast — the
+    # fact table is never shuffled for the join, only the final groupBy
+    assert pi.broadcast_join_count(df) >= 3
+    assert pi.sort_merge_join_count(df) == 0
+    assert pi.shuffle_count(df) <= 1
+    assert pi.has_partial_aggregate(df)
+
+
+def test_topk_is_not_a_global_sort(spark):
+    df = build(spark, "topk_orders")
+    assert "TakeOrderedAndProject" in pi.physical_plan(df)
+
+
+def test_dedup_exact_shuffles_digest_not_text(spark):
+    df = build(spark, "dedup_exact")
+    assert pi.shuffle_count(df) == 1
+    assert pi.has_partial_aggregate(df)
+    # only the two needed columns leave the scan
+    assert pi.scan_columns(df, "documents.parquet") == {"doc_id", "text"}
+
+
+def test_minhash_lsh_shuffle_budget(spark):
+    # shingle hash → sig groupBy, band groupBy, pair groupBy: the linear
+    # pipeline needs ≤3 shuffles and no join at all (bucket grouping, not a
+    # bands⋈bands self-join)
+    df = build(spark, "dedup_minhash_lsh")
+    assert pi.shuffle_count(df) <= 3
+    assert pi.sort_merge_join_count(df) == 0
+    assert pi.broadcast_join_count(df) == 0
+
+
+def test_ngram_jaccard_broadcasts_candidates(spark):
+    df = build(spark, "dedup_ngram_jaccard")
+    # candidate pairs and sizes are broadcast; the big shingle table is
+    # never on the build side of a shuffled join
+    assert pi.broadcast_join_count(df) >= 1
+
+
+def test_similarity_bruteforce_broadcasts_query_vector(spark):
+    df = build(spark, "similarity_bruteforce_topk")
+    assert pi.broadcast_join_count(df) >= 1
+    assert pi.shuffle_count(df) == 0  # single pass + TakeOrdered
+    assert "TakeOrderedAndProject" in pi.physical_plan(df)
+
+
+def test_ivf_assignment_broadcasts_centroids(spark):
+    df = build(spark, "similarity_ivf_topk")
+    # centroids, probe lists and the query vector all broadcast; the corpus
+    # is shuffled only by the per-vector rank window
+    assert pi.broadcast_join_count(df) >= 3
+    assert pi.sort_merge_join_count(df) == 0
+
+
+def test_semi_and_anti_joins_stay_joins(spark):
+    for name in ("semi_join_active_customers", "anti_join_idle_customers"):
+        plan = pi.physical_plan(build(spark, name))
+        assert "Semi" in plan or "Anti" in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["pricing_summary", "filter_projection", "join_revenue_by_nation",
+     "dedup_exact", "text_token_count"],
+)
+def test_hot_paths_are_codegen(spark, name):
+    # the scan→project→filter→partial-agg pipeline must sit inside
+    # WholeStageCodegen regions, not fall back to interpreted mode. Adaptive
+    # plans only materialize their codegen'd stages on execution, and a
+    # .write wraps the plan in a NEW query execution — collect() is the
+    # action that finalizes the DataFrame's own plan.
+    df = build(spark, name)
+    df.collect()
+    assert pi.whole_stage_codegen_spans(df) >= 1
