@@ -39,7 +39,9 @@ HEADLINE = [
     "dedup_minhash_lsh",          # LSH candidates
     "dedup_ngram_jaccard",        # shingle-join verify
     "similarity_bruteforce_topk", # embedding top-k
+    "similarity_ivf_topk",        # IVF probe ANN
     "similarity_all_pairs_topk",  # bucketed all-pairs
+    "dedup_embedding_cosine",     # embedding near-dedup
     "text_language_id",           # profile classifier
     "text_token_count",           # token stats
     "events_tumbling_window",     # time windows

@@ -174,3 +174,31 @@ def events_rate_per_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.unix_micros("ts")).cast("bigint").alias("first_seen_us"),
         F.max(F.unix_micros("ts")).cast("bigint").alias("last_seen_us"),
     )
+
+
+@query(
+    "events_distinct_users_salted",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Exact distinct count with a LOW-cardinality group key (5 event "
+    "types → 5 reduce keys at any data size). Salting by a hash OF THE "
+    "COUNTED COLUMN keeps the count exact: each user_id lands in exactly "
+    "one of 32 salt buckets, so per-(type, salt) distinct counts sum to the "
+    "true per-type count. Both shuffles spread over type×32 keys instead of "
+    "funneling 100 TB of rows into 5 reducers. The salt never escapes the "
+    "plan, so the oracle is the plain COUNT(DISTINCT).",
+)
+def events_distinct_users_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    salted = ev.select(
+        "event_type",
+        "user_id",
+        F.pmod(F.xxhash64("user_id"), F.lit(32)).alias("salt"),
+    )
+    per_salt = salted.groupBy("event_type", "salt").agg(
+        F.countDistinct("user_id").alias("nd")
+    )
+    return per_salt.groupBy("event_type").agg(F.sum("nd").alias("n_users"))

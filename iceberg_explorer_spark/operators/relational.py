@@ -711,3 +711,41 @@ def subquery_in_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey")
         .agg(F.count(F.lit(1)).alias("n_heavy"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Ordered-set aggregates: exact interpolated percentiles
+# ---------------------------------------------------------------------------
+@query(
+    "percentile_order_price",
+    oracle="""
+    SELECT o_orderpriority,
+           quantile_cont(o_totalprice, 0.5) AS p50_price,
+           quantile_cont(o_totalprice, 0.9) AS p90_price,
+           quantile_cont(o_totalprice, 0.99) AS p99_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="Exact interpolated percentiles (PERCENTILE_CONT) per priority. "
+    "Lerp between order statistics is bit-identical across engines. At "
+    "scale exact percentiles need a per-group sort — groups here are few "
+    "and Spark sorts within partial aggregation buffers; for high-"
+    "cardinality percentile jobs switch to approx_percentile (t-digest) "
+    "and drop the oracle to rows-only.",
+)
+def percentile_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("_pct_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice)
+                 AS p50_price,
+               percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice)
+                 AS p90_price,
+               percentile_cont(0.99) WITHIN GROUP (ORDER BY o_totalprice)
+                 AS p99_price
+        FROM _pct_orders
+        GROUP BY o_orderpriority
+        """
+    )
