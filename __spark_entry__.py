@@ -19,11 +19,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from iceberg_explorer_spark.operators import QUERIES  # noqa: E402
 
 _SMOKE_SF_DIR = "/root/testdata/sf0.001"
-_FLAGSHIP = "join_revenue_by_nation"
+_FLAGSHIP = "pipeline_clean_corpus"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on sf0.001: 4-way fact/dim join + exact-decimal agg."""
+    """Flagship on sf0.001: the composed corpus-curation pipeline (quality
+    gate → exact dedup → LSH near-dup removal → token accounting)."""
     return QUERIES[_FLAGSHIP].builder(spark, _SMOKE_SF_DIR)
 
 

@@ -35,6 +35,7 @@ HEADLINE = [
     "range_join_ship_window",     # banded range join
     "asof_join_purchase_click",   # as-of join
     "cte_above_avg_orders",       # CTE + rejoin
+    "pipeline_clean_corpus",      # composed curation pipeline
     "dedup_exact",                # digest dedup
     "dedup_minhash_lsh",          # LSH candidates
     "dedup_ngram_jaccard",        # shingle-join verify

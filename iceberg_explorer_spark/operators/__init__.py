@@ -10,3 +10,4 @@ from iceberg_explorer_spark.operators import similarity  # noqa: E402,F401
 from iceberg_explorer_spark.operators import text  # noqa: E402,F401
 from iceberg_explorer_spark.operators import events  # noqa: E402,F401
 from iceberg_explorer_spark.operators import multimodal  # noqa: E402,F401
+from iceberg_explorer_spark.operators import pipeline  # noqa: E402,F401

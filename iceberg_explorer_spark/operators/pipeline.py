@@ -1,0 +1,101 @@
+"""End-to-end corpus curation: the composed flagship of the training-data
+operators (north-star extension; SURVEY §7).
+
+One query chains the stages a real 100 TB pre-training pipeline runs —
+
+    quality gate → exact dedup → near-dup removal → token accounting
+
+— as a single declarative DataFrame plan, so Catalyst sees the whole
+pipeline at once: the quality filter pushes into the scan feeding the exact-
+dedup hash, the near-dup drop list (LSH candidate pairs, tiny by
+construction) broadcasts into an anti-join, and the final accounting is one
+partial-aggregated shuffle on (source, lang). Nothing materializes between
+stages; at 100 TB each stage would checkpoint to parquet but keep the same
+per-stage plan shapes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_explorer_spark.operators.dedup import (
+    _LSH_CANDIDATES_SQL,
+    lsh_candidates,
+)
+from iceberg_explorer_spark.operators.registry import query
+from iceberg_explorer_spark.operators.text import _tokens
+from iceberg_explorer_spark.sources.registry import load_table
+
+#: quality gate: minimum whitespace words per document
+MIN_WORDS = 20
+
+
+@query(
+    "pipeline_clean_corpus",
+    oracle=f"""
+    WITH near_dups AS (
+      SELECT DISTINCT doc_b AS doc_id FROM ({_LSH_CANDIDATES_SQL})
+    ),
+    quality AS (
+      SELECT doc_id, text, lang, source,
+             LEN(regexp_split_to_array(lower(trim(text)), '\\s+')) AS n_words
+      FROM documents
+      WHERE LENGTH(text) > 0
+        AND LEN(regexp_split_to_array(lower(trim(text)), '\\s+')) >= {MIN_WORDS}
+    ),
+    exact_canon AS (
+      SELECT MIN(doc_id) AS doc_id FROM quality GROUP BY md5(text)
+    ),
+    kept AS (
+      SELECT q.* FROM quality q
+      JOIN exact_canon c ON q.doc_id = c.doc_id
+      WHERE q.doc_id NOT IN (SELECT doc_id FROM near_dups)
+    )
+    SELECT source, lang,
+           COUNT(*) AS n_docs_kept,
+           CAST(SUM(n_words) AS BIGINT) AS total_words,
+           CAST(SUM(CAST(CEIL(LENGTH(text) / 4.0) AS BIGINT)) AS BIGINT)
+             AS est_bpe_tokens
+    FROM kept
+    GROUP BY source, lang
+    """,
+    doc="Composed curation pipeline: word-count quality gate → exact dedup "
+    "(keep min doc_id per content digest) → near-dup removal (anti-join "
+    "against the broadcast LSH candidate drop list) → per-(source, lang) "
+    "token accounting. The whole pipeline is ONE Catalyst plan: the quality "
+    "predicate pushes below the digest computation, only (digest, id) pairs "
+    "shuffle for dedup, the drop list broadcasts, and accounting is one "
+    "partial-aggregated shuffle.",
+)
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    quality = (
+        docs.filter(F.length("text") > 0)
+        .withColumn("n_words", F.size(_tokens()))
+        .filter(F.col("n_words") >= MIN_WORDS)
+    )
+    # exact dedup: survivors are the min doc_id per digest; only the
+    # (digest, id) projection shuffles, never the text
+    canon = (
+        quality.select(F.md5("text").alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    # near-dup drop list: every doc_b of an LSH candidate pair. Tiny by
+    # construction (Σ bucket-collisions) → broadcast anti-join.
+    near_dups = (
+        lsh_candidates(spark, sf_dir).select(F.col("doc_b").alias("doc_id")).distinct()
+    )
+    kept = (
+        quality.join(canon, "doc_id", "left_semi")
+        .join(F.broadcast(near_dups), "doc_id", "left_anti")
+    )
+    return kept.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs_kept"),
+        F.sum("n_words").cast("bigint").alias("total_words"),
+        F.sum(F.ceil(F.length("text") / 4.0).cast("bigint"))
+        .cast("bigint")
+        .alias("est_bpe_tokens"),
+    )
