@@ -41,7 +41,8 @@ HEADLINE = [
     "dedup_ngram_jaccard",        # shingle-join verify
     "similarity_bruteforce_topk", # embedding top-k
     "similarity_ivf_topk",        # IVF probe ANN
-    "similarity_all_pairs_topk",  # bucketed all-pairs
+    "similarity_all_pairs_topk",  # bucketed all-pairs (JVM lambdas)
+    "similarity_bucket_gemm",     # bucketed all-pairs (Arrow + BLAS)
     "dedup_embedding_cosine",     # embedding near-dedup
     "text_language_id",           # profile classifier
     "text_token_count",           # token stats

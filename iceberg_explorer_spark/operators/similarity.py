@@ -360,3 +360,65 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
         .limit(10)
     )
+
+
+def _gemm_schema() -> str:
+    return "vec_a long, vec_b long, cos_sim double"
+
+
+@query(
+    "similarity_bucket_gemm",
+    oracle=f"""
+    WITH coded AS (
+      SELECT vec_id, embedding, {_srp_code_duckdb('embedding')} AS bucket
+      FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+    FROM coded a JOIN coded b
+      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ORDER BY cos_sim DESC, vec_a, vec_b
+    LIMIT 20
+    """,
+    doc="All-pairs similarity as per-bucket GEMM: groupBy(bucket) → "
+    "applyInPandas → numpy M @ M.T per bucket (Arrow batch transfer, "
+    "vectorized f64). Same result as similarity_all_pairs_topk, but the "
+    "per-pair work is a BLAS matrix multiply instead of an interpreted "
+    "array lambda — the scale path when buckets are dense. At 100 TB the "
+    "shuffle key is still the bucket code; pathological buckets get tiled "
+    "(block the GEMM) rather than exploded into a pair join. Rounding "
+    "happens JVM-side (F.round, HALF_UP) so numpy's banker's rounding "
+    "never touches the contract.",
+)
+def similarity_bucket_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    coded = _with_normalized(
+        emb.withColumn("bucket", F.expr(_srp_code_sql("embedding")))
+    ).select("vec_id", "ne", "bucket")
+
+    def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {"vec_a": pd.Series(dtype="int64"),
+                 "vec_b": pd.Series(dtype="int64"),
+                 "cos_sim": pd.Series(dtype="float64")}
+            )
+        order = pdf["vec_id"].to_numpy().argsort()
+        ids = pdf["vec_id"].to_numpy()[order]
+        m = np.stack(pdf["ne"].to_numpy()[order])
+        sims = m @ m.T
+        iu = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame(
+            {"vec_a": ids[iu[0]], "vec_b": ids[iu[1]], "cos_sim": sims[iu]}
+        )
+
+    pairs = coded.groupBy("bucket").applyInPandas(per_bucket, _gemm_schema())
+    return (
+        pairs.select("vec_a", "vec_b", F.round("cos_sim", 6).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), "vec_a", "vec_b")
+        .limit(20)
+    )
