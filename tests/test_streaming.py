@@ -90,3 +90,86 @@ def test_stateful_user_activity(spark, events_stream, events_batch):
     )
     cols = ["user_id", "n_events", "last_seen_us"]
     assert _sorted_rows(got_last, cols) == _sorted_rows(want, cols)
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """An event arriving after its window passed the watermark is DROPPED:
+    the already-finalized window's count must not change.
+
+    Three files → three availableNow micro-batches (maxFilesPerTrigger=1).
+    Dropping is guaranteed only once the window's STATE is evicted, which
+    happens at the end of the first batch that runs with watermark past the
+    window end — so the late row must arrive a full batch after the
+    watermark advance, not in the same one:
+      batch 0: events at 10:00 and 10:58   → watermark becomes 10:48
+      batch 1: event at 11:00; runs WITH wm 10:48 → [10:00,10:05) emitted
+               and evicted at batch end; wm becomes 10:50
+      batch 2: LATE event back at 10:01 (state gone, below wm → dropped)
+               + an event at 12:00 → wm 11:50 finalizes the 10:55/11:00
+               windows at batch end.
+    Append-mode output holds exactly the finalized windows with the late
+    event invisible; the still-open 12:00 window must be absent.
+    """
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from iceberg_explorer_spark.streaming.windows import EVENTS_SCHEMA
+
+    def ns(hhmm: str) -> int:  # epoch nanos on 2024-01-01
+        h, m = map(int, hhmm.split(":"))
+        return (1704067200 + h * 3600 + m * 60) * 1_000_000_000
+
+    def write(path, rows):
+        cols = list(zip(*rows))
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array(cols[0], pa.int64()),
+                    "ts": pa.array(cols[1], pa.int64()),
+                    "user_id": pa.array(cols[2], pa.int64()),
+                    "event_type": pa.array(cols[3], pa.string()),
+                    "value": pa.array(cols[4], pa.float64()),
+                    "props": pa.array(cols[5], pa.string()),
+                }
+            ),
+            path,
+        )
+
+    stage = tmp_path / "landing"
+    stage.mkdir()
+    f1 = str(stage / "b1.parquet")
+    f2 = str(stage / "b2.parquet")
+    f3 = str(stage / "b3.parquet")
+    write(f1, [(1, ns("10:00"), 1, "click", 1.0, "{}"),
+               (2, ns("10:58"), 1, "click", 1.0, "{}")])
+    write(f2, [(3, ns("11:00"), 1, "click", 1.0, "{}")])  # evicts 10:00 win
+    write(f3, [(4, ns("10:01"), 1, "click", 1.0, "{}"),   # LATE: dropped
+               (5, ns("12:00"), 1, "click", 1.0, "{}")])  # advances watermark
+    now = time.time()
+    os.utime(f1, (now - 120, now - 120))  # file source orders by mtime
+    os.utime(f2, (now - 60, now - 60))
+    os.utime(f3, (now, now))
+
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stage))
+    )
+    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    out = run_to_memory(
+        tumbling_counts(events, watermark="10 minutes"),
+        "late_data_tbl",
+        output_mode="append",
+    )
+    got = _sorted_rows(out, ["window_start_us", "n_events"])
+    us = lambda hhmm: ns(hhmm) // 1000  # noqa: E731
+    assert got == [
+        (us("10:00"), 1),  # late event NOT counted — stayed at 1
+        (us("10:55"), 1),
+        (us("11:00"), 1),
+    ]
