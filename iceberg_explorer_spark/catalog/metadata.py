@@ -66,6 +66,22 @@ class SnapshotInfo:
 
 
 @dataclass
+class ColumnStats:
+    """Per-column statistics (null count, bounds) — the structure the
+    reference models but NEVER populates (models/catalog.py:195-209,
+    api/routes/catalog.py:262 hardcodes {}). Here it is filled from file
+    metadata: Iceberg ``tbl.files`` readable_metrics when a catalog is
+    attached, parquet footers otherwise. Both are metadata-only reads — no
+    Spark job, no data scan — so they hold the sub-second PRD target at any
+    table size (footers are O(files), and Iceberg aggregates manifests)."""
+
+    column: str
+    null_count: Optional[int] = None
+    min_value: Optional[object] = None
+    max_value: Optional[object] = None
+
+
+@dataclass
 class TableDetails:
     name: str
     namespace: list[str]
@@ -185,6 +201,96 @@ class CatalogService:
             )
             for r in rows
         ]
+
+    def column_stats(
+        self,
+        namespace: list[str],
+        table: str,
+        path: Optional[str] = None,
+    ) -> list[ColumnStats]:
+        """Column statistics from file metadata (fixes the reference's empty
+        ``column_stats`` — api/routes/catalog.py:262).
+
+        Resolution order: explicit ``path`` → Iceberg ``.files`` metadata
+        table (readable_metrics) → the table's parquet location from
+        DESCRIBE EXTENDED. Returns [] when no metadata source is available
+        (e.g. a bare temp view with no resolvable storage)."""
+        if path is None and self._iceberg:
+            stats = self._iceberg_column_stats(namespace, table)
+            if stats:
+                return stats
+        loc = path
+        if loc is None:
+            loc = self.table_details(namespace, table).location
+        if not loc:
+            return []
+        return self._parquet_footer_stats(loc.removeprefix("file:"))
+
+    def _iceberg_column_stats(
+        self, namespace: list[str], table: str
+    ) -> list[ColumnStats]:
+        ident = self._qualify(namespace, table)
+        try:
+            cols = [
+                f.name
+                for f in self.spark.table(ident).schema.fields
+            ]
+            exprs = ", ".join(
+                f"SUM(readable_metrics.{quote_identifier(c)}.null_value_count) AS n_{i},"
+                f" MIN(readable_metrics.{quote_identifier(c)}.lower_bound) AS lo_{i},"
+                f" MAX(readable_metrics.{quote_identifier(c)}.upper_bound) AS hi_{i}"
+                for i, c in enumerate(cols)
+            )
+            row = self.spark.sql(f"SELECT {exprs} FROM {ident}.files").collect()[0]
+        except Exception:
+            return []
+        return [
+            ColumnStats(
+                column=c,
+                null_count=row[f"n_{i}"],
+                min_value=row[f"lo_{i}"],
+                max_value=row[f"hi_{i}"],
+            )
+            for i, c in enumerate(cols)
+        ]
+
+    @staticmethod
+    def _parquet_footer_stats(location: str) -> list[ColumnStats]:
+        """Merge row-group statistics across all parquet footers under
+        ``location`` (file or directory). Pure metadata I/O."""
+        import pyarrow.dataset as ds
+
+        try:
+            dataset = ds.dataset(location, format="parquet")
+        except Exception:
+            return []
+        merged: dict[str, ColumnStats] = {}
+        order: list[str] = []
+        for frag in dataset.get_fragments():
+            md = frag.metadata
+            for rg in range(md.num_row_groups):
+                group = md.row_group(rg)
+                for ci in range(group.num_columns):
+                    col = group.column(ci)
+                    name = col.path_in_schema
+                    if name not in merged:
+                        merged[name] = ColumnStats(column=name)
+                        order.append(name)
+                    cs, s = merged[name], col.statistics
+                    if s is None:
+                        continue
+                    if s.has_null_count:
+                        cs.null_count = (cs.null_count or 0) + s.null_count
+                    if s.has_min_max:
+                        cs.min_value = (
+                            s.min if cs.min_value is None
+                            else min(cs.min_value, s.min)
+                        )
+                        cs.max_value = (
+                            s.max if cs.max_value is None
+                            else max(cs.max_value, s.max)
+                        )
+        return [merged[n] for n in order]
 
     # -- A20 health (reference query/engine.py:166-211)
     def health(self) -> dict:

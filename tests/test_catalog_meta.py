@@ -56,3 +56,26 @@ def test_health(service):
     report = service.health()
     assert report["status"] == "healthy"
     assert report["checks"]["engine"] == "healthy"
+
+
+def test_column_stats_from_parquet_footers(service, oracle):
+    stats = {
+        s.column: s
+        for s in service.column_stats([], "lineitem", path=f"{SF_DIR}/lineitem.parquet")
+    }
+    want_min, want_max = oracle.execute(
+        "SELECT MIN(l_orderkey), MAX(l_orderkey) FROM lineitem"
+    ).fetchone()
+    assert stats["l_orderkey"].null_count == 0
+    assert stats["l_orderkey"].min_value == want_min
+    assert stats["l_orderkey"].max_value == want_max
+    qmin, qmax = oracle.execute(
+        "SELECT MIN(l_quantity), MAX(l_quantity) FROM lineitem"
+    ).fetchone()
+    assert stats["l_quantity"].min_value == qmin
+    assert stats["l_quantity"].max_value == qmax
+
+
+def test_column_stats_unresolvable_is_empty(service):
+    # bare temp view: no storage location, no Iceberg catalog → []
+    assert service.column_stats([], "lineitem") == []
