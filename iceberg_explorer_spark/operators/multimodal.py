@@ -108,3 +108,55 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     binary_df = docs.select("doc_id", F.col("text").cast("binary").alias("payload"))
     return decode_features(binary_df)
+
+
+FRAME_BYTES = 16
+FRAME_STRIDE = 4
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle=f"""
+    -- DuckDB substring() is VARCHAR/character-based (no BLOB overload); the
+    -- synthetic corpus is pure ASCII so characters == bytes and the digests
+    -- agree with Spark's byte-based substring over the binary payload.
+    SELECT doc_id, i AS frame_idx,
+           md5(substring(text, CAST(i * {FRAME_BYTES} + 1 AS BIGINT),
+                         {FRAME_BYTES})) AS frame_digest
+    FROM documents,
+         UNNEST(generate_series(0,
+             CAST(FLOOR(octet_length(encode(text)) / {FRAME_BYTES}) AS BIGINT)
+               - 1)) AS t(i)
+    WHERE i % {FRAME_STRIDE} = 0
+    """,
+    doc=f"Frame sampling over opaque video-like payloads: chunk the binary "
+    f"column into {FRAME_BYTES}-byte frames, keep every {FRAME_STRIDE}th, "
+    "digest each sampled frame — entirely JVM-side (sequence + substring on "
+    "binary, no Python, no decode). This is the partition-parallel shape of "
+    "real frame sampling: per-row expansion with zero shuffle; a real "
+    "deployment swaps the digest for a decoder call in the mapInPandas "
+    "stage (decode_features) AFTER sampling has cut the data volume.",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.col("text").cast("binary")
+    # FLOOR on both engines: a bare double→bigint cast truncates in Spark
+    # but ROUNDS in DuckDB, silently changing the frame count
+    n_frames = F.floor(F.octet_length(payload) / FRAME_BYTES).cast("bigint")
+    return (
+        docs.select(
+            "doc_id",
+            payload.alias("payload"),
+            F.explode(F.sequence(F.lit(0).cast("bigint"), n_frames - 1)).alias(
+                "frame_idx"
+            ),
+        )
+        .filter(F.col("frame_idx") % FRAME_STRIDE == 0)
+        .select(
+            "doc_id",
+            "frame_idx",
+            F.md5(
+                F.expr(f"substring(payload, frame_idx * {FRAME_BYTES} + 1, {FRAME_BYTES})")
+            ).alias("frame_digest"),
+        )
+    )
