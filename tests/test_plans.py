@@ -122,3 +122,24 @@ def test_hot_paths_are_codegen(spark, name):
     df = build(spark, name)
     df.collect()
     assert pi.whole_stage_codegen_spans(df) >= 1
+
+
+def test_bucketed_join_no_shuffle(spark):
+    """Co-located bucketed tables join WITHOUT any exchange: the standing-
+    workload shape for fact⋈fact joins (SCALE.md). Both sides bucketed+
+    sorted by the join key → SortMergeJoin, zero shuffles."""
+    from iceberg_explorer_spark.sources.bucketing import write_bucketed
+
+    lo = write_bucketed(spark, SF_DIR_SMALL, "orders", "o_orderkey", 8)
+    try:
+        li = write_bucketed(spark, SF_DIR_SMALL, "lineitem", "l_orderkey", 8)
+        lt = spark.table(lo).hint("merge")
+        rt = spark.table(li)
+        df = lt.join(rt, lt.o_orderkey == rt.l_orderkey)
+        assert pi.sort_merge_join_count(df) == 1
+        assert pi.shuffle_count(df) == 0
+        # and it actually runs
+        assert df.count() > 0
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {lo}")
+        spark.sql("DROP TABLE IF EXISTS bucketed_lineitem")
