@@ -57,9 +57,23 @@ def register_tables(
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
-def read_csv(spark: SparkSession, path: str, schema=None, header: bool = True):
-    """CSV connector (reference has none — gap noted in SURVEY §2C)."""
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    header: bool = True,
+    multiline: bool = False,
+):
+    """CSV connector (reference has none — gap noted in SURVEY §2C).
+
+    ``multiline=True`` parses quoted fields containing record separators
+    (exported free text). It costs parallelism — files stop being
+    line-splittable — so it's opt-in; prefer escaping newlines upstream for
+    100 TB exports.
+    """
     reader = spark.read.option("header", str(header).lower())
+    if multiline:
+        reader = reader.option("multiLine", "true")
     if schema is not None:
         reader = reader.schema(schema)
     else:
