@@ -248,25 +248,15 @@ def similarity_all_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "vectors.",
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    coded = _with_normalized(
-        emb.withColumn("bucket", F.expr(_srp_code_sql("embedding")))
-    ).select("vec_id", "ne", "bucket")
-    a = coded.alias("a")
-    b = coded.alias("b")
-    cos = F.round(F.expr(_DOT_SPARK.format(a="a.ne", b="b.ne")), 6)
+    # pair generation via the per-bucket GEMM engine (2× the JVM-lambda
+    # self-join at sf0.1); threshold + canonicalization stay JVM-side
+    pairs = _bucket_pairs_gemm(spark, sf_dir).select(
+        F.col("vec_a").alias("id_a"),
+        F.col("vec_b").alias("id_b"),
+        F.round("cos_sim", 6).alias("cos_sim"),
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-            cos.alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= NEAR_DUP_TAU)
+        pairs.filter(F.col("cos_sim") >= NEAR_DUP_TAU)
         .groupBy(F.col("id_b").alias("duplicate_vec_id"))
         .agg(
             F.min("id_a").alias("canonical_vec_id"),
@@ -366,6 +356,41 @@ def _gemm_schema() -> str:
     return "vec_a long, vec_b long, cos_sim double"
 
 
+def _bucket_pairs_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All within-bucket pairs with raw cosine, via per-bucket numpy GEMM.
+
+    Shared engine for the GEMM-flavored all-pairs operators: SRP-code the
+    corpus, normalize once, groupBy(bucket) → applyInPandas → M @ M.T.
+    Rounding is left to callers (JVM-side F.round, HALF_UP) so numpy's
+    banker's rounding never touches the cross-engine contract.
+    """
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    coded = _with_normalized(
+        emb.withColumn("bucket", F.expr(_srp_code_sql("embedding")))
+    ).select("vec_id", "ne", "bucket")
+
+    def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {"vec_a": pd.Series(dtype="int64"),
+                 "vec_b": pd.Series(dtype="int64"),
+                 "cos_sim": pd.Series(dtype="float64")}
+            )
+        order = pdf["vec_id"].to_numpy().argsort()
+        ids = pdf["vec_id"].to_numpy()[order]
+        m = np.stack(pdf["ne"].to_numpy()[order])
+        sims = m @ m.T
+        iu = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame(
+            {"vec_a": ids[iu[0]], "vec_b": ids[iu[1]], "cos_sim": sims[iu]}
+        )
+
+    return coded.groupBy("bucket").applyInPandas(per_bucket, _gemm_schema())
+
+
 @query(
     "similarity_bucket_gemm",
     oracle=f"""
@@ -392,31 +417,7 @@ def _gemm_schema() -> str:
     "never touches the contract.",
 )
 def similarity_bucket_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import numpy as np
-    import pandas as pd
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    coded = _with_normalized(
-        emb.withColumn("bucket", F.expr(_srp_code_sql("embedding")))
-    ).select("vec_id", "ne", "bucket")
-
-    def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(pdf) < 2:
-            return pd.DataFrame(
-                {"vec_a": pd.Series(dtype="int64"),
-                 "vec_b": pd.Series(dtype="int64"),
-                 "cos_sim": pd.Series(dtype="float64")}
-            )
-        order = pdf["vec_id"].to_numpy().argsort()
-        ids = pdf["vec_id"].to_numpy()[order]
-        m = np.stack(pdf["ne"].to_numpy()[order])
-        sims = m @ m.T
-        iu = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame(
-            {"vec_a": ids[iu[0]], "vec_b": ids[iu[1]], "cos_sim": sims[iu]}
-        )
-
-    pairs = coded.groupBy("bucket").applyInPandas(per_bucket, _gemm_schema())
+    pairs = _bucket_pairs_gemm(spark, sf_dir)
     return (
         pairs.select("vec_a", "vec_b", F.round("cos_sim", 6).alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), "vec_a", "vec_b")
