@@ -35,10 +35,10 @@ HEADLINE = [
     "range_join_ship_window",     # banded range join
     "asof_join_purchase_click",   # as-of join
     "cte_above_avg_orders",       # CTE + rejoin
-    "pipeline_clean_corpus",      # composed curation pipeline
     "dedup_exact",                # digest dedup
     "dedup_minhash_lsh",          # LSH candidates
     "dedup_ngram_jaccard",        # shingle-join verify
+    "pipeline_clean_corpus",      # composed curation pipeline (uses the above)
     "similarity_bruteforce_topk", # embedding top-k
     "similarity_ivf_topk",        # IVF probe ANN
     "similarity_all_pairs_topk",  # bucketed all-pairs (JVM lambdas)
