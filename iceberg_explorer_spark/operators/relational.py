@@ -749,3 +749,38 @@ def percentile_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
         """
     )
+
+
+@query(
+    "window_ntile_navigation",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(NTILE(4) OVER w AS INTEGER) AS price_quartile,
+           CAST(LEAD(o_totalprice) OVER w AS DECIMAL(18,2)) AS next_lower_price,
+           CAST(FIRST_VALUE(o_orderkey) OVER w AS BIGINT) AS top_order_key
+    FROM orders
+    WHERE o_custkey < 100
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+    doc="Navigation/distribution window functions (NTILE, LEAD, FIRST_VALUE) "
+    "over one total-ordered window (price desc, key tie-break → "
+    "deterministic). One shuffle on the partition key; all three functions "
+    "share a single sort.",
+)
+def window_ntile_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 100)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.ntile(4).over(w).alias("price_quartile"),
+            F.lead("o_totalprice").over(w).cast("decimal(18,2)")
+            .alias("next_lower_price"),
+            F.first("o_orderkey").over(w).cast("bigint").alias("top_order_key"),
+        )
+    )
