@@ -355,8 +355,20 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         lsh_candidates(spark, sf_dir, shingles=sh).select("doc_a", "doc_b")
     )
     sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    # broadcast SEMI-joins shrink both shingle sides to candidate docs
+    # BEFORE the intersection join — the (doc, shingle) shuffle then carries
+    # only candidates' shingles, not the whole corpus. This is the step that
+    # keeps verify ∝ |candidates| in network terms, not just CPU terms.
+    a = sh.join(
+        F.broadcast(cands.select(F.col("doc_a").alias("doc_id"))),
+        "doc_id",
+        "left_semi",
+    ).alias("a")
+    b = sh.join(
+        F.broadcast(cands.select(F.col("doc_b").alias("doc_id"))),
+        "doc_id",
+        "left_semi",
+    ).alias("b")
     inter = (
         cands.join(a, F.col("doc_a") == F.col("a.doc_id"))
         .join(
