@@ -38,6 +38,7 @@ HEADLINE = [
     "dedup_exact",                # digest dedup
     "dedup_minhash_lsh",          # LSH candidates
     "dedup_ngram_jaccard",        # shingle-join verify
+    "dedup_clusters",             # connected components over candidates
     "pipeline_clean_corpus",      # composed curation pipeline (uses the above)
     "similarity_bruteforce_topk", # embedding top-k
     "similarity_ivf_topk",        # IVF probe ANN

@@ -387,3 +387,75 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "n_common", j.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.8)
     )
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE cands AS ({_LSH_CANDIDATES_SQL}),
+    und AS (
+      SELECT doc_a AS s, doc_b AS d FROM cands
+      UNION ALL
+      SELECT doc_b, doc_a FROM cands
+    ),
+    reach(s, d) AS (
+      SELECT s, d FROM und
+      UNION
+      SELECT r.s, u.d FROM reach r JOIN und u ON r.d = u.s
+    )
+    SELECT s AS doc_id,
+           LEAST(s, MIN(d)) AS cluster_id
+    FROM reach GROUP BY s
+    """,
+    doc="Near-dup clusters: connected components over the LSH candidate "
+    "graph via iterative min-label propagation — each iteration is one "
+    "distributed join+groupBy, converging in O(log n) rounds (label hops "
+    "double per round). The driver only checks a convergence COUNT; all "
+    "data work is executor-side, labels cached per round (checkpointed at "
+    "100 TB to cut lineage). The oracle is the recursive-CTE transitive "
+    "closure — fine for the oracle's candidate-graph size, quadratic "
+    "blowup at scale, which is exactly why the Spark side iterates labels "
+    "instead.",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = lsh_candidates(spark, sf_dir).select("doc_a", "doc_b")
+    und = edges.unionByName(
+        edges.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    ).persist()
+    labels = (
+        und.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("lbl", F.col("doc_id"))
+        .persist()
+    )
+    while True:
+        neighbor_min = (
+            und.join(labels, und.doc_a == labels.doc_id)
+            .groupBy(F.col("doc_b").alias("nid"))
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc_id == F.col("nid"), "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    und.unpersist()
+    return labels.select("doc_id", F.col("lbl").alias("cluster_id"))
