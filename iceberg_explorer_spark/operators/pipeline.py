@@ -99,3 +99,40 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("est_bpe_tokens"),
     )
+
+
+@query(
+    "pipeline_stratified_sample",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_total,
+           COUNT(*) FILTER (
+             WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                   % 100 < 20 + (CAST(substr(source, 4) AS INTEGER) % 8) * 10
+           ) AS n_sampled,
+           CAST(20 + (CAST(substr(source, 4) AS INTEGER) % 8) * 10
+                AS INTEGER) AS target_pct
+    FROM documents
+    GROUP BY source
+    """,
+    doc="Deterministic stratified sampling: per-source quota (derived here "
+    "from the source id; a config map in production) applied by hashing the "
+    "ROW KEY — reproducible across runs, engines, and cluster sizes, unlike "
+    "TABLESAMPLE/rand() which change under repartitioning. Pure map-side "
+    "predicate + one partial-aggregated shuffle; at 100 TB the sample "
+    "decision never moves data, only the accounting does.",
+)
+def pipeline_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(
+        "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % 100"
+    )
+    target = (
+        F.lit(20)
+        + (F.substring("source", 4, 10).cast("int") % 8) * F.lit(10)
+    )
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(F.when(bucket < target, 1)).alias("n_sampled"),
+        F.first(target).cast("int").alias("target_pct"),
+    )
