@@ -202,3 +202,57 @@ def events_distinct_users_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("nd")
     )
     return per_salt.groupBy("event_type").agg(F.sum("nd").alias("n_users"))
+
+
+@query(
+    "events_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, CAST(MIN(EPOCH_US(ts)) AS BIGINT) AS t_view_us
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, CAST(MIN(EPOCH_US(e.ts)) AS BIGINT) AS t_click_us
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND EPOCH_US(e.ts) >= v.t_view_us
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, CAST(MIN(EPOCH_US(e.ts)) AS BIGINT) AS t_purchase_us
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND EPOCH_US(e.ts) >= c.t_click_us
+      GROUP BY e.user_id
+    )
+    SELECT v.user_id, v.t_view_us, c.t_click_us, p.t_purchase_us
+    FROM v LEFT JOIN c ON c.user_id = v.user_id
+           LEFT JOIN p ON p.user_id = v.user_id
+    """,
+    doc="Ordered conversion funnel (view → click → purchase): earliest "
+    "qualifying timestamp per stage, each stage gated on the previous "
+    "stage's time. Every join and aggregate keys on user_id, so the whole "
+    "funnel reuses ONE hash partitioning — on a cluster the exchanges after "
+    "the first are eliminated (ReusedExchange/co-partitioning), and at "
+    "100 TB the events table bucketed by user_id runs the funnel with no "
+    "shuffle at all.",
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("t_us")
+    )
+
+    def stage(etype: str, gate: DataFrame | None, gate_col: str, out: str):
+        src = ev.filter(F.col("event_type") == etype)
+        if gate is not None:
+            src = src.join(gate, "user_id").filter(
+                F.col("t_us") >= F.col(gate_col)
+            )
+        return src.groupBy("user_id").agg(F.min("t_us").alias(out))
+
+    v = stage("view", None, "", "t_view_us")
+    c = stage("click", v, "t_view_us", "t_click_us")
+    p = stage("purchase", c, "t_click_us", "t_purchase_us")
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select("user_id", "t_view_us", "t_click_us", "t_purchase_us")
+    )

@@ -423,3 +423,60 @@ def similarity_bucket_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cos_sim").desc(), "vec_a", "vec_b")
         .limit(20)
     )
+
+
+KNN_K = 3
+
+
+@query(
+    "similarity_knn_join",
+    oracle=f"""
+    WITH coded AS (
+      SELECT vec_id, embedding, {_srp_code_duckdb('embedding')} AS bucket
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])), 6)
+               AS cos_sim
+      FROM coded a JOIN coded b
+        ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    )
+    SELECT vec_id, neighbor_id, cos_sim, CAST(rn AS INTEGER) AS rn
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rn
+      FROM pairs
+    ) WHERE rn <= {KNN_K}
+    """,
+    doc=f"Batch k-NN join: top-{KNN_K} in-bucket neighbors for EVERY vector "
+    "(the all-queries-at-once shape a dedup or retrieval-index build "
+    "needs, vs the single-query ANN ops). Pairs come from the per-bucket "
+    "GEMM engine symmetrized; ranking is one window over (vec_id) — so "
+    "the whole join is bucket-local GEMMs plus one shuffle on vec_id. "
+    "Recall is bucket-bounded exactly like the other LSH ops; more planes "
+    "or multi-probe raise it without changing the plan shape.",
+)
+def similarity_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    pairs = _bucket_pairs_gemm(spark, sf_dir)
+    sym = pairs.unionByName(
+        pairs.select(
+            F.col("vec_b").alias("vec_a"),
+            F.col("vec_a").alias("vec_b"),
+            "cos_sim",
+        )
+    ).select(
+        F.col("vec_a").alias("vec_id"),
+        F.col("vec_b").alias("neighbor_id"),
+        F.round("cos_sim", 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        sym.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= KNN_K)
+    )
