@@ -42,6 +42,7 @@ HEADLINE = [
     "pipeline_clean_corpus",      # composed curation pipeline (uses the above)
     "similarity_bruteforce_topk", # embedding top-k
     "similarity_ivf_topk",        # IVF probe ANN
+    "similarity_knn_join",        # batch k-NN for every vector
     "similarity_all_pairs_topk",  # bucketed all-pairs (JVM lambdas)
     "similarity_bucket_gemm",     # bucketed all-pairs (Arrow + BLAS)
     "dedup_embedding_cosine",     # embedding near-dedup
