@@ -784,3 +784,43 @@ def window_ntile_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.first("o_orderkey").over(w).cast("bigint").alias("top_order_key"),
         )
     )
+
+
+@query(
+    "cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT o_custkey,
+             MIN(EXTRACT(YEAR FROM o_orderdate) * 12
+                 + EXTRACT(MONTH FROM o_orderdate)) AS first_m
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT CAST(f.first_m AS BIGINT) AS cohort_month,
+           CAST(EXTRACT(YEAR FROM o.o_orderdate) * 12
+                + EXTRACT(MONTH FROM o.o_orderdate) - f.first_m
+                AS BIGINT) AS months_since_first,
+           COUNT(DISTINCT o.o_custkey) AS n_active
+    FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
+    GROUP BY 1, 2
+    """,
+    doc="Cohort retention: customers bucketed by first-order month, activity "
+    "counted per (cohort, months-since-first). Month arithmetic is explicit "
+    "integer form (y*12+m) so both engines agree exactly — months_between/"
+    "date_diff('month') have engine-specific day-of-month semantics. Both "
+    "aggregations key on o_custkey / (cohort, offset); the firsts table is "
+    "customer-sized and the join key matches the first groupBy, so the "
+    "partitioning is reused.",
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    m = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("bigint")
+    om = orders.select("o_custkey", m.alias("om"))
+    firsts = om.groupBy("o_custkey").agg(F.min("om").alias("first_m"))
+    return (
+        om.join(firsts, "o_custkey")
+        .groupBy(
+            F.col("first_m").alias("cohort_month"),
+            (F.col("om") - F.col("first_m")).alias("months_since_first"),
+        )
+        .agg(F.countDistinct("o_custkey").alias("n_active"))
+    )
