@@ -61,8 +61,20 @@ def main() -> None:
 
     spark = build_session(app_name="iceberg_explorer_spark_bench", cpus=CPUS)
     try:
-        # warm the JVM + parquet footers once so per-query numbers measure
-        # execution, not first-touch overhead
+        # Warm up: run every headline query once at the SMALLEST scale factor
+        # (sf0.001, ~1k rows) so whole-stage codegen is compiled and JIT'd
+        # before anything is timed. First-call numbers otherwise measure JVM
+        # compilation of each operator's generated code (~2-3 s for the heavy
+        # expression pipelines), not the engine — a long-running cluster
+        # session is always in the warmed state this produces.
+        warm_dir = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.001")
+        if not os.path.isdir(warm_dir):
+            warm_dir = SF_DIR
+        for name in HEADLINE:
+            QUERIES[name].builder(spark, warm_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        # touch the target-SF parquet footers too
         QUERIES["topk_orders"].builder(spark, SF_DIR).write.format("noop").mode(
             "overwrite"
         ).save()
