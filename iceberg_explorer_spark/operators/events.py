@@ -256,3 +256,23 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(p, "user_id", "left")
         .select("user_id", "t_view_us", "t_click_us", "t_purchase_us")
     )
+
+
+@query(
+    "events_approx_distinct_hll",
+    oracle=None,
+    doc="HyperLogLog++ approximate distinct users per event type "
+    "(approx_count_distinct, rsd=2%) — the 100 TB-scale companion to "
+    "events_distinct_users_salted: sketches merge associatively, so the "
+    "count is one map-side-combined shuffle of ~1.5 KB sketches per group "
+    "instead of shuffling every (type, user) pair. No oracle: HLL estimates "
+    "are sketch-implementation-specific, so DuckDB's approx_count_distinct "
+    "would legitimately differ; the rows-only check pins shape, and the "
+    "test suite bounds the estimate against the exact count.",
+)
+def events_approx_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -824,3 +824,184 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("o_custkey").alias("n_active"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Lateral view / explode (UDTF-shaped: one row in, many rows out)
+# ---------------------------------------------------------------------------
+@query(
+    "explode_word_frequencies",
+    oracle="""
+    SELECT word, COUNT(*) AS n_occurrences
+    FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+    WHERE word <> ''
+    GROUP BY word
+    ORDER BY n_occurrences DESC, word
+    LIMIT 50
+    """,
+    doc="Lateral explode of split text into words, top-50 by frequency "
+    "(SURVEY §2B scalar/table functions; the reference admits any DuckDB "
+    "unnest). Generate→partial-agg→final-agg: the explode multiplies rows "
+    "inside the scan stage, the word count combines map-side before the "
+    "single shuffle, and top-50 is TakeOrderedAndProject (no global sort). "
+    "Ties are impossible in the keyspace (word is the group key), so the "
+    "(count DESC, word ASC) order makes the kept set deterministic.",
+)
+def explode_word_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    return (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("word"))
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# String aggregation (LISTAGG / STRING_AGG shape)
+# ---------------------------------------------------------------------------
+@query(
+    "string_agg_nations_per_region",
+    oracle="""
+    SELECT r.r_name,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nation_list,
+           COUNT(*) AS n_nations
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+    doc="Per-region sorted comma-joined nation names (STRING_AGG / LISTAGG "
+    "shape, SURVEY §2B aggregations). collect_list is order-nondeterministic "
+    "under shuffle, so the list is array_sort()ed before joining — the only "
+    "way a concatenation aggregate is reproducible on a cluster. Both sides "
+    "are broadcast-sized dims; the groupBy is on 5 keys.",
+)
+def string_agg_nations_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        nation.join(
+            F.broadcast(region),
+            nation.n_regionkey == region.r_regionkey,
+        )
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias(
+                "nation_list"
+            ),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Conditional aggregation (FILTER clause / CASE-guarded aggregates)
+# ---------------------------------------------------------------------------
+@query(
+    "conditional_agg_order_status",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_fulfilled,
+           CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                         FILTER (WHERE o_orderstatus = 'F'), 0)
+                AS DECIMAL(18,2)) AS fulfilled_revenue,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="Conditional aggregates (SQL FILTER clause / CASE-guarded SUM) in one "
+    "pass over orders — the idiomatic replacement for N filtered self-joins. "
+    "One scan, one shuffle on the 5-value priority key, map-side combine for "
+    "every branch. Money branch is exact-decimal (functions/deterministic).",
+)
+def conditional_agg_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    is_open = F.col("o_orderstatus") == "O"
+    is_fulfilled = F.col("o_orderstatus") == "F"
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.when(is_open, 1)).alias("n_open"),
+        F.count(F.when(is_fulfilled, 1)).alias("n_fulfilled"),
+        F.coalesce(
+            F.sum(F.when(is_fulfilled, dec("o_totalprice"))), F.lit(0)
+        )
+        .cast("decimal(18,2)")
+        .alias("fulfilled_revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window with RANGE frame (value-based moving aggregate)
+# ---------------------------------------------------------------------------
+@query(
+    "window_range_moving_revenue",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+                AS BIGINT) AS day_no,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                  PARTITION BY o_custkey
+                  ORDER BY date_diff('day', DATE '1992-01-01',
+                                     CAST(o_orderdate AS DATE))
+                  RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+                AS DECIMAL(18,2)) AS rev_30d
+    FROM orders
+    """,
+    doc="30-day moving revenue per customer via a RANGE window frame — "
+    "value-based, unlike the ROWS frames in window_running_revenue. RANGE "
+    "includes all peer rows of the current day regardless of intra-day order, "
+    "so the frame (and the exact-decimal sum) is deterministic even with "
+    "same-day orders. One shuffle on o_custkey; the in-partition sort is "
+    "day_no. The date is pre-folded to an integer day number so both engines "
+    "order by the identical key type.",
+)
+def window_range_moving_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    day_no = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
+    ).cast("bigint")
+    w = W.partitionBy("o_custkey").orderBy("day_no").rangeBetween(-29, 0)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        day_no.alias("day_no"),
+        F.col("o_totalprice"),
+    ).select(
+        "o_custkey",
+        "o_orderkey",
+        "day_no",
+        F.sum(dec("o_totalprice")).over(w).cast("decimal(18,2)").alias("rev_30d"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Correlated scalar subqueries (Catalyst decorrelation)
+# ---------------------------------------------------------------------------
+_SCALAR_SUBQUERY_SQL = """
+    SELECT n.n_name,
+           (SELECT COUNT(*) FROM customer c
+             WHERE c.c_nationkey = n.n_nationkey) AS n_customers,
+           (SELECT CAST(COALESCE(SUM(CAST(s.s_acctbal AS DECIMAL(18,2))), 0)
+                        AS DECIMAL(18,2))
+              FROM supplier s
+             WHERE s.s_nationkey = n.n_nationkey) AS supplier_acctbal
+    FROM nation n
+"""
+
+
+@query(
+    "scalar_subquery_nation_stats",
+    oracle=_SCALAR_SUBQUERY_SQL,
+    doc="Two correlated scalar subqueries per nation row (SURVEY §2B "
+    "CTEs/subqueries — 'correlated subqueries handled by Catalyst "
+    "decorrelation'). The same SQL text runs on both engines; Catalyst "
+    "rewrites each subquery into an aggregate + left outer join, so the "
+    "plan is two shuffled aggs on the correlation key joined to a "
+    "broadcast-sized nation — no per-row re-execution anywhere.",
+)
+def scalar_subquery_nation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir, ("nation", "customer", "supplier"))
+    return spark.sql(_SCALAR_SUBQUERY_SQL)

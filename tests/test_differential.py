@@ -27,3 +27,23 @@ def test_query_runs(spark, name):
     df = spec.builder(spark, SF_DIR)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+def test_approx_distinct_hll_within_bound(spark, oracle):
+    """HLL has no cross-engine oracle (sketches differ by implementation);
+    instead bound the estimate against the exact distinct count. rsd=2%
+    guarantees ~2% standard error; assert a generous 10% envelope."""
+    est = {
+        r["event_type"]: r["approx_users"]
+        for r in QUERIES["events_approx_distinct_hll"]
+        .builder(spark, SF_DIR)
+        .collect()
+    }
+    exact = dict(
+        oracle.execute(
+            "SELECT event_type, COUNT(DISTINCT user_id) FROM events GROUP BY 1"
+        ).fetchall()
+    )
+    assert set(est) == set(exact)
+    for k, v in exact.items():
+        assert abs(est[k] - v) <= max(1, 0.1 * v), (k, est[k], v)
