@@ -143,3 +143,43 @@ def test_bucketed_join_no_shuffle(spark):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {lo}")
         spark.sql("DROP TABLE IF EXISTS bucketed_lineitem")
+
+
+def test_explode_word_frequencies_combines_before_shuffle(spark):
+    """The explode multiplies rows ~100x; the partial count must collapse
+    them inside the scan stage so the shuffle carries (word, count) pairs,
+    and the top-50 must be a heap-merge, not a global sort."""
+    df = build(spark, "explode_word_frequencies")
+    assert pi.shuffle_count(df) == 1
+    assert pi.has_partial_aggregate(df)
+    assert "TakeOrderedAndProject" in pi.physical_plan(df)
+    assert pi.scan_columns(df, "documents.parquet") == {"text"}
+
+
+def test_conditional_agg_single_pass(spark):
+    """All FILTER-clause branches fold into one scan + one agg — never a
+    join of N filtered subqueries."""
+    df = build(spark, "conditional_agg_order_status")
+    assert pi.shuffle_count(df) == 1
+    assert pi.has_partial_aggregate(df)
+    assert pi.broadcast_join_count(df) == 0
+    assert pi.sort_merge_join_count(df) == 0
+
+
+def test_window_range_frame_one_shuffle(spark):
+    df = build(spark, "window_range_moving_revenue")
+    assert pi.shuffle_count(df) == 1  # the partitionBy(o_custkey) exchange
+    cols = pi.scan_columns(df, "orders.parquet")
+    assert cols == {"o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"}
+
+
+def test_scalar_subqueries_are_decorrelated(spark):
+    """Catalyst must rewrite both correlated scalar subqueries into
+    aggregate + join — the plan has a bounded shuffle budget instead of
+    per-row subquery re-execution (no Subquery nodes survive)."""
+    df = build(spark, "scalar_subquery_nation_stats")
+    plan = pi.physical_plan(df)
+    assert "Subquery" not in plan
+    # one agg shuffle per decorrelated subquery; nation stays broadcast
+    assert pi.shuffle_count(df) <= 2
+    assert pi.broadcast_join_count(df) >= 1
