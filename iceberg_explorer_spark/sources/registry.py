@@ -87,3 +87,24 @@ def read_json(spark: SparkSession, path: str, schema=None):
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)
+
+
+def read_orc(spark: SparkSession, path: str, schema=None):
+    """ORC connector — the other columnar format Spark ships natively.
+
+    Same scan properties as parquet: vectorized reader, predicate pushdown
+    (ORC stripe/row-group statistics), column pruning. Useful when ingesting
+    from Hive-era warehouses whose data is already ORC.
+    """
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, partition_by: tuple[str, ...] = ()) -> None:
+    """Distributed ORC write from executors (never through the driver)."""
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)

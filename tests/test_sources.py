@@ -66,3 +66,18 @@ def test_csv_roundtrip_preserves_nulls_and_specials(spark, tmp_path):
     assert sorted(map(tuple, back.collect()), key=str) == sorted(
         map(tuple, src.collect()), key=str
     )
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    from iceberg_explorer_spark.plans import inspect as pi
+    from iceberg_explorer_spark.sources.registry import read_orc, write_orc
+
+    src = _nation_projection(spark)
+    out = str(tmp_path / "nation_orc")
+    write_orc(src, out)
+    back = read_orc(spark, out)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+    assert dict(back.dtypes) == dict(src.dtypes)  # ORC keeps types exactly
+    # predicate pushdown reaches the ORC scan just like parquet
+    filtered = back.filter(back.n_regionkey == 2).select("n_name")
+    assert "n_regionkey" in " ".join(pi.pushed_filters(filtered))
