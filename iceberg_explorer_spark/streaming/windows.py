@@ -139,3 +139,43 @@ def run_to_memory(
     )
     q.awaitTermination(timeout_s)
     return df.sparkSession.table(name)
+
+
+def purchase_click_join(
+    events: DataFrame, watermark: str = "10 minutes", within: str = "5 minutes"
+) -> DataFrame:
+    """Watermarked stream-stream inner join: each purchase matched to the
+    same user's clicks in the preceding ``within`` interval (attribution
+    join — the streaming twin of operators/joins.asof_join_purchase_click's
+    candidate-pairing stage).
+
+    Both sides carry a watermark and the join condition bounds event time on
+    both sides, so Spark can evict join state once the watermark passes —
+    without the time bound a stream-stream join buffers both streams
+    forever. State is keyed by user_id (high-cardinality → even spread);
+    size is O(events within the watermark horizon), independent of total
+    stream length — the property that lets this run indefinitely at
+    100 TB/day. Works identically on static DataFrames (batch twin).
+    """
+    p = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    c = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    if events.isStreaming:
+        p = p.withWatermark("p_ts", watermark)
+        c = c.withWatermark("c_ts", watermark)
+    cond = (
+        (p.user_id == c.c_user_id)
+        & (c.c_ts <= p.p_ts)
+        & (c.c_ts >= F.expr(f"p_ts - INTERVAL {within}"))
+    )
+    return p.join(c, cond, "inner").select(
+        "user_id", "purchase_id", "click_id", "purchase_value", "p_ts", "c_ts"
+    )

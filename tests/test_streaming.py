@@ -173,3 +173,18 @@ def test_watermark_drops_late_data(spark, tmp_path):
         (us("10:55"), 1),
         (us("11:00"), 1),
     ]
+
+
+def test_stream_stream_join_equals_batch(spark, events_stream, events_batch):
+    """Watermarked stream-stream self-join (purchase←clicks attribution)
+    drains to the same row set as the identical plan over the static
+    DataFrame — append mode, state bounded by the watermark + time-range
+    condition."""
+    from iceberg_explorer_spark.streaming.windows import purchase_click_join
+
+    got = run_to_memory(
+        purchase_click_join(events_stream), "ss_join", output_mode="append"
+    )
+    want = purchase_click_join(events_batch)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert got.count() > 0
