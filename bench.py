@@ -52,6 +52,12 @@ HEADLINE = [
     "events_session_window",      # sessionization
     "events_json_extract",        # semi-structured
     "multimodal_metadata",        # binary metadata
+    "explode_word_frequencies",   # lateral explode + top-k
+    "conditional_agg_order_status",  # FILTER-clause branches, one pass
+    "window_range_moving_revenue",   # RANGE-frame moving sum
+    "scalar_subquery_nation_stats",  # decorrelated scalar subqueries
+    "events_approx_distinct_hll", # HLL sketch distinct (scale path)
+    "percentile_approx_order_price",  # GK-sketch percentiles (scale path)
 ]
 
 

@@ -1005,3 +1005,27 @@ _SCALAR_SUBQUERY_SQL = """
 def scalar_subquery_nation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_tables(spark, sf_dir, ("nation", "customer", "supplier"))
     return spark.sql(_SCALAR_SUBQUERY_SQL)
+
+
+@query(
+    "percentile_approx_order_price",
+    oracle=None,
+    doc="Mergeable approximate percentiles (Greenwald-Khanna sketch via "
+    "approx_percentile, accuracy 1/10000) — the 100 TB companion to "
+    "percentile_order_price: sketches combine associatively map-side, so "
+    "the shuffle carries one bounded sketch per group instead of sorting "
+    "every row, and the same job scales to millions of group keys. No "
+    "oracle: sketch estimates are implementation-specific; the test bounds "
+    "them against the exact interpolated percentiles.",
+)
+def percentile_approx_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    pcts = F.expr(
+        "approx_percentile(o_totalprice, array(0.5, 0.9, 0.99), 10000)"
+    )
+    return orders.groupBy("o_orderpriority").agg(
+        pcts[0].alias("p50_price"),
+        pcts[1].alias("p90_price"),
+        pcts[2].alias("p99_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )

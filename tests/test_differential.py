@@ -47,3 +47,29 @@ def test_approx_distinct_hll_within_bound(spark, oracle):
     assert set(est) == set(exact)
     for k, v in exact.items():
         assert abs(est[k] - v) <= max(1, 0.1 * v), (k, est[k], v)
+
+
+def test_approx_percentile_within_bound(spark, oracle):
+    """approx_percentile has no cross-engine oracle (sketch-specific);
+    bound each estimate against DuckDB's exact quantile instead. With
+    accuracy=10000 on ~1.5k rows/group the GK sketch is near-exact; allow
+    1% relative error to stay robust across SFs."""
+    got = {
+        r["o_orderpriority"]: (r["p50_price"], r["p90_price"], r["p99_price"])
+        for r in QUERIES["percentile_approx_order_price"]
+        .builder(spark, SF_DIR)
+        .collect()
+    }
+    want = {
+        k: (p50, p90, p99)
+        for k, p50, p90, p99 in oracle.execute(
+            """SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5),
+                      quantile_cont(o_totalprice, 0.9),
+                      quantile_cont(o_totalprice, 0.99)
+               FROM orders GROUP BY o_orderpriority"""
+        ).fetchall()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        for est, exact in zip(got[k], want[k]):
+            assert abs(est - exact) <= 0.01 * exact, (k, est, exact)
