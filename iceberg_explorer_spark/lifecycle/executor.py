@@ -92,6 +92,15 @@ class QueryExecutor:
                 if cap and table.num_rows > cap:
                     table = table.slice(0, cap)
                     result.metrics.truncated = True
+                try:
+                    from iceberg_explorer_spark.plans.inspect import (
+                        scan_output_rows,
+                    )
+
+                    result.metrics.rows_scanned = scan_output_rows(capped)
+                except Exception:
+                    # metrics are best-effort; never fail a query over them
+                    result.metrics.rows_scanned = None
                 result.set_result(table)
                 if result.status == QueryStatus.RUNNING:
                     result.status = QueryStatus.COMPLETED

@@ -98,3 +98,43 @@ def whole_stage_codegen_spans(df: DataFrame) -> int:
     """Count of WholeStageCodegen regions (``*(n)`` markers) in the plan."""
     ids = set(re.findall(r"\*\((\d+)\)", physical_plan(df)))
     return len(ids)
+
+
+def scan_output_rows(df: DataFrame) -> int | None:
+    """Rows actually produced by the executed plan's scans (post-pushdown).
+
+    Walks the executed physical plan over py4j, unwrapping AQE and query-
+    stage wrappers, and sums each scan node's ``numOutputRows`` SQLMetric.
+    Only meaningful AFTER an action has run the plan. Returns None when no
+    scan metric exists (e.g. metadata-only plans).
+
+    This is the ``rows_scanned`` the reference models but never populates
+    (reference: src/iceberg_explorer/query/models.py:37, SURVEY §2A gap
+    list) — and because the metric is post-pushdown, rows_scanned <<
+    table rows is direct evidence that predicate pushdown worked.
+    """
+    total = 0
+    found = False
+
+    def walk(node) -> None:
+        nonlocal total, found
+        name = node.nodeName()
+        if name == "AdaptiveSparkPlan":
+            walk(node.executedPlan())
+            return
+        if "QueryStage" in name:
+            walk(node.plan())
+            return
+        if name.startswith("Scan"):
+            it = node.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                if kv._1() == "numOutputRows":
+                    total += kv._2().value()
+                    found = True
+        children = node.children()
+        for i in range(children.size()):
+            walk(children.apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return total if found else None

@@ -74,3 +74,28 @@ def test_cancel_completed_is_noop(executor):
     res = executor.execute("SELECT 1 AS one")
     assert executor.cancel(res.query_id) is False
     assert executor.get_status(res.query_id).status == QueryStatus.COMPLETED
+
+
+def test_rows_scanned_populated_and_post_pruning(spark, executor, tmp_path):
+    """rows_scanned comes from the executed plan's scan metrics — the field
+    the reference declares but never sets. The metric is post-pruning: over
+    a partitioned layout, a partition-column predicate must show the scan
+    producing only the surviving partition's rows, not the table's."""
+    from iceberg_explorer_spark.sources.registry import load_table
+    from tests.conftest import SF_DIR
+
+    orders = load_table(spark, SF_DIR, "orders")
+    out = str(tmp_path / "orders_by_status")
+    orders.write.partitionBy("o_orderstatus").parquet(out)
+    part = spark.read.parquet(out)
+    part.createOrReplaceTempView("orders_part")
+    total = part.count()
+    in_f = part.filter("o_orderstatus = 'F'").count()
+    assert 0 < in_f < total
+
+    res = executor.execute(
+        "SELECT o_orderkey FROM orders_part WHERE o_orderstatus = 'F'",
+        max_rows=total,
+    )
+    assert res.metrics.rows_scanned == in_f  # pruned partitions never scanned
+    assert res.metrics.rows_returned == in_f
