@@ -161,3 +161,41 @@ def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("ts").alias("purchase_ts_us"),
         F.col("asof_click_ts_us").alias("last_click_ts_us"),
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    num_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Explicit salted join for skewed keys — the manual fallback when AQE's
+    skew-join split can't apply (the hot key lives in ONE shuffle partition
+    of a shuffled-hash/sort-merge join and the other side is too large to
+    broadcast).
+
+    The big (skewed, probe) side gets a deterministic-per-row salt in
+    [0, num_salts); the small (build) side is replicated num_salts times via
+    a broadcast cross join. Joining on (key…, _salt) spreads each hot key
+    over num_salts reducers while every original pair still meets exactly
+    once, so the result multiset is identical to the unsalted join. Cost:
+    the build side shuffles num_salts× its size — cheap exactly when salting
+    is needed (small build side, huge skewed probe side).
+
+    Only inner/left joins preserve semantics (the replicated side must not
+    produce null-extended rows per replica); other types raise.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    spark = big.sparkSession
+    # salt from the row's own join key + a physical tiebreaker: uniform
+    # enough to spread a hot key, computable without any extra shuffle
+    salt = F.pmod(
+        F.hash(*[F.col(c) for c in on], F.monotonically_increasing_id()),
+        F.lit(num_salts),
+    )
+    big_s = big.withColumn("_salt", salt)
+    replicas = spark.range(num_salts).select(F.col("id").cast("int").alias("_salt"))
+    small_s = small.crossJoin(F.broadcast(replicas))
+    return big_s.join(small_s, on=[*on, "_salt"], how=how).drop("_salt")

@@ -130,3 +130,30 @@ def test_gate_rejects_forbidden_keyword_everywhere(kw, casing, position):
 def test_gate_admits_plain_selects(cols, n):
     sql = f"SELECT {', '.join(cols)} FROM t WHERE a > {n}"
     assert validate_sql_lexical(sql) == sql.strip()
+
+
+def test_salted_join_equals_plain_join(spark):
+    """The salted join must be multiset-identical to the plain join for
+    inner and left — salting changes the partitioning, never the result."""
+    from iceberg_explorer_spark.operators.joins import salted_join
+    from iceberg_explorer_spark.sources.registry import load_table
+    from tests.conftest import SF_DIR_SMALL
+
+    li = load_table(spark, SF_DIR_SMALL, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    orders = load_table(spark, SF_DIR_SMALL, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    ).withColumnRenamed("o_orderkey", "l_orderkey")
+
+    for how in ("inner", "left"):
+        got = salted_join(li, orders, on=["l_orderkey"], num_salts=8, how=how)
+        want = li.join(orders, on=["l_orderkey"], how=how)
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        ), how
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        salted_join(li, orders, on=["l_orderkey"], how="full")
