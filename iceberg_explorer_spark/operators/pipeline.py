@@ -136,3 +136,64 @@ def pipeline_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(bucket < target, 1)).alias("n_sampled"),
         F.first(target).cast("int").alias("target_pct"),
     )
+
+
+#: target tokens per training shard (tiny for test data; production ~100M)
+SHARD_TOKENS = 4096
+
+
+@query(
+    "pipeline_token_shards",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, doc_id,
+             len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT source, doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+                 PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS prev_tokens
+      FROM t
+    )
+    SELECT source,
+           CAST(FLOOR(prev_tokens / {SHARD_TOKENS}) AS BIGINT) AS shard_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens
+    FROM c
+    GROUP BY source, shard_id
+    """,
+    doc="Token-budget shard packing: documents are laid out in a stable "
+    "order (doc_id) and assigned to ~fixed-token training shards by an "
+    "exclusive running token sum — floor(prefix/budget) — then summarized "
+    "per (source, shard). The deterministic layout step every pre-training "
+    "data build ends with. The prefix sum is windowed per source, so the "
+    "sequential dependency is bounded by one source's data; for a single "
+    "giant source the same math runs as the classic two-phase distributed "
+    "prefix sum (per-partition subtotals, broadcast offsets, "
+    "per-partition rescan) with identical output.",
+)
+def pipeline_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(
+        F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    ).alias("n_tokens")
+    t = docs.select("source", "doc_id", n_tokens)
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    prev = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (
+        t.withColumn("shard_id", F.floor(prev / F.lit(SHARD_TOKENS)))
+        .groupBy("source", "shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("shard_tokens"),
+        )
+    )
