@@ -157,3 +157,31 @@ def test_salted_join_equals_plain_join(spark):
 
     with pytest.raises(ValueError):
         salted_join(li, orders, on=["l_orderkey"], how="full")
+
+
+def test_token_shards_partition_invariants(spark):
+    """Shard packing is a partition of the corpus: token totals are
+    conserved, every document lands in exactly one shard, and shard ids are
+    contiguous from 0 within each source."""
+    from pyspark.sql import functions as F
+
+    from iceberg_explorer_spark.operators.pipeline import pipeline_token_shards
+    from iceberg_explorer_spark.sources.registry import load_table
+    from tests.conftest import SF_DIR_SMALL
+
+    shards = pipeline_token_shards(spark, SF_DIR_SMALL).collect()
+    docs = load_table(spark, SF_DIR_SMALL, "documents")
+    totals = docs.select(
+        F.sum(
+            F.size(F.filter(F.split(F.col("text"), " "), lambda w: w != ""))
+        ).alias("tokens"),
+        F.count(F.lit(1)).alias("docs"),
+    ).collect()[0]
+
+    assert sum(r["shard_tokens"] for r in shards) == totals["tokens"]
+    assert sum(r["n_docs"] for r in shards) == totals["docs"]
+    by_source = {}
+    for r in shards:
+        by_source.setdefault(r["source"], []).append(r["shard_id"])
+    for source, ids in by_source.items():
+        assert sorted(ids) == list(range(len(ids))), source
