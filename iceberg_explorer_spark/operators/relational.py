@@ -1029,3 +1029,71 @@ def percentile_approx_order_price(spark: SparkSession, sf_dir: str) -> DataFrame
         pcts[2].alias("p99_price"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+@query(
+    "scalar_regex_conditional",
+    oracle="""
+    SELECT p_partkey,
+           regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+           regexp_replace(p_name, '[aeiou]', '*', 'g') AS devoweled,
+           CASE WHEN p_size < 10 THEN 'S'
+                WHEN p_size < 30 THEN 'M'
+                ELSE 'L' END AS size_class,
+           p_name LIKE '%bolt%' AS is_bolt,
+           p_type IN ('ECONOMY', 'SMALL') AS is_cheap_tier,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_key
+    FROM part
+    WHERE p_partkey < 300
+    """,
+    doc="Regex extraction/replacement, CASE branches, LIKE, IN-list, and "
+    "padding (SURVEY §2B scalar functions). Patterns stay in the "
+    "RE2-compatible subset both engines execute identically; DuckDB needs "
+    "the explicit 'g' flag to match Spark's replace-all default. All "
+    "JVM-side codegen — no UDFs.",
+)
+def scalar_regex_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 300)
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", r"([a-z]+)$", 1).alias("last_word"),
+        F.regexp_replace("p_name", r"[aeiou]", "*").alias("devoweled"),
+        F.when(F.col("p_size") < 10, "S")
+        .when(F.col("p_size") < 30, "M")
+        .otherwise("L")
+        .alias("size_class"),
+        F.col("p_name").like("%bolt%").alias("is_bolt"),
+        F.col("p_type").isin("ECONOMY", "SMALL").alias("is_cheap_tier"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_key"),
+    )
+
+
+@query(
+    "null_semantics",
+    oracle="""
+    SELECT COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS status_label,
+           NULLIF(o_orderstatus, 'O') IS NOT DISTINCT FROM 'F'
+             AS nullsafe_is_f,
+           COUNT(*) AS n_rows,
+           COUNT(NULLIF(o_orderstatus, 'O')) AS n_nonnull,
+           COUNT(*) - COUNT(NULLIF(o_orderstatus, 'O')) AS n_null
+    FROM orders
+    GROUP BY 1, 2
+    """,
+    doc="NULL semantics end-to-end: NULLIF synthesis, COALESCE defaulting, "
+    "null-safe equality (Spark <=> / SQL IS NOT DISTINCT FROM), NULL as a "
+    "grouping key (both engines group NULLs together), and COUNT(col) vs "
+    "COUNT(*) under NULLs — the classic cross-engine divergence points, "
+    "pinned by the oracle.",
+)
+def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    nulled = F.nullif(F.col("o_orderstatus"), F.lit("O"))
+    return o.groupBy(
+        F.coalesce(nulled, F.lit("open")).alias("status_label"),
+        nulled.eqNullSafe(F.lit("F")).alias("nullsafe_is_f"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(nulled).alias("n_nonnull"),
+        (F.count(F.lit(1)) - F.count(nulled)).alias("n_null"),
+    )
