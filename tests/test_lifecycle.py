@@ -99,3 +99,25 @@ def test_rows_scanned_populated_and_post_pruning(spark, executor, tmp_path):
     )
     assert res.metrics.rows_scanned == in_f  # pruned partitions never scanned
     assert res.metrics.rows_returned == in_f
+
+
+def test_introspection_queries_execute(spark, executor):
+    """EXPLAIN/DESCRIBE/SHOW run end-to-end through the executor and return
+    rows (reference tests/test_executor.py:437-453 parity)."""
+    from iceberg_explorer_spark.sources.registry import load_table
+    from tests.conftest import SF_DIR
+
+    load_table(spark, SF_DIR, "nation").createOrReplaceTempView("nation_introspect")
+    for sql in (
+        "EXPLAIN SELECT n_name FROM nation_introspect WHERE n_nationkey > 3",
+        "DESCRIBE TABLE nation_introspect",
+        "SHOW TABLES",
+    ):
+        res = executor.execute(sql)
+        assert res.status.name == "COMPLETED", sql
+        assert res.metrics.rows_returned > 0, sql
+    plan_text = executor.execute(
+        "EXPLAIN SELECT n_name FROM nation_introspect WHERE n_nationkey > 3"
+    )
+    text = "\n".join(str(b.to_pydict()) for b in plan_text.batches)
+    assert "Physical Plan" in text
