@@ -179,3 +179,22 @@ def purchase_click_join(
     return p.join(c, cond, "inner").select(
         "user_id", "purchase_id", "click_id", "purchase_value", "p_ts", "c_ts"
     )
+
+
+def enrich_with_users(events: DataFrame, user_dim: DataFrame) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch of events joins a
+    static dimension (here a per-user profile built from batch data).
+
+    Spark broadcasts or rescans the static side per micro-batch without any
+    streaming state — the idiomatic way to attach slowly-changing reference
+    data to a stream. No watermark needed: the static side never grows, so
+    there is nothing to evict. At 100 TB/day the dim is broadcast (small) or
+    a Delta/Iceberg table AQE keeps as a shuffled join with pushdown.
+    """
+    return events.join(F.broadcast(user_dim), "user_id", "left").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.coalesce(F.col("user_tier"), F.lit("unknown")).alias("user_tier"),
+    )

@@ -188,3 +188,24 @@ def test_stream_stream_join_equals_batch(spark, events_stream, events_batch):
     want = purchase_click_join(events_batch)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
     assert got.count() > 0
+
+
+def test_stream_static_enrichment_equals_batch(spark, events_stream, events_batch):
+    from pyspark.sql import functions as F
+
+    from iceberg_explorer_spark.streaming.windows import enrich_with_users
+
+    # static dim derived from batch data: user tier by activity
+    user_dim = (
+        events_batch.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id",
+            F.when(F.col("n") >= 20, "heavy").otherwise("light").alias("user_tier"),
+        )
+    )
+    got = run_to_memory(
+        enrich_with_users(events_stream, user_dim), "enrich", output_mode="append"
+    )
+    want = enrich_with_users(events_batch, user_dim)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
