@@ -1097,3 +1097,47 @@ def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(nulled).alias("n_nonnull"),
         (F.count(F.lit(1)) - F.count(nulled)).alias("n_null"),
     )
+
+
+_CALENDAR_SPINE_SQL = """
+    WITH RECURSIVE bounds AS (
+      SELECT CAST(MIN(EXTRACT(YEAR FROM o_orderdate) * 12
+                   + EXTRACT(MONTH FROM o_orderdate)) AS BIGINT) AS mn,
+             CAST(MAX(EXTRACT(YEAR FROM o_orderdate) * 12
+                   + EXTRACT(MONTH FROM o_orderdate)) AS BIGINT) AS mx
+      FROM orders
+    ),
+    months(month_index) AS (
+      SELECT mn FROM bounds
+      UNION ALL
+      SELECT month_index + 1 FROM months, bounds WHERE month_index < mx
+    ),
+    rev AS (
+      SELECT CAST(EXTRACT(YEAR FROM o_orderdate) * 12
+                + EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS m,
+             COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DECIMAL(18,2)) AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT month_index,
+           CAST(COALESCE(rev.n_orders, 0) AS BIGINT) AS n_orders,
+           CAST(COALESCE(rev.revenue, 0) AS DECIMAL(18,2)) AS revenue
+    FROM months LEFT JOIN rev ON rev.m = months.month_index
+"""
+
+
+@query(
+    "recursive_calendar_spine",
+    oracle=_CALENDAR_SPINE_SQL,
+    doc="Recursive CTE (Spark 4 WITH RECURSIVE): a gap-free month spine "
+    "generated from the data's own date bounds, left-joined to monthly "
+    "revenue so empty months surface as zeros — the calendar-spine pattern "
+    "gap-sensitive reporting needs. The identical SQL text runs on both "
+    "engines. Recursion depth = month span (tiny, driver-side by nature); "
+    "the heavy side of the join is the normal partial-aggregated monthly "
+    "rollup, and the spine broadcasts into it.",
+)
+def recursive_calendar_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir, ("orders",))
+    return spark.sql(_CALENDAR_SPINE_SQL)
