@@ -276,3 +276,30 @@ def events_approx_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@query(
+    "events_variant_shred",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_value,
+           CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket
+    FROM events
+    WHERE event_id < 2000
+    """,
+    doc="VARIANT-typed semi-structured shredding (Spark 4): props is parsed "
+    "once into a binary VARIANT column, then typed paths are extracted with "
+    "variant_get — the open-format encoding that makes schema-on-read JSON "
+    "columnar-fast (parse once, extract many, no per-access string "
+    "re-parsing; at 100 TB parquet shreds frequently-read VARIANT paths "
+    "into real columns). Oracle uses DuckDB's native JSON extraction — "
+    "the semantics VARIANT must reproduce.",
+)
+def events_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    k = F.expr("variant_get(parse_json(props), '$.k', 'bigint')")
+    return ev.select(
+        "event_id",
+        k.alias("k_value"),
+        (k % 10).alias("k_bucket"),
+    )
