@@ -344,46 +344,48 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bit-identical jaccard doubles.",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # the shingle set feeds FOUR consumers (LSH signatures, both sides of
-    # the intersection join, the size table) — compute it once and persist.
-    # At 100 TB this is a checkpoint to parquet instead of a memory cache,
-    # but the plan principle is the same: never recompute the corpus scan.
+    # the shingle set feeds both the LSH signatures and the verify stage —
+    # compute it once and persist. At 100 TB this is a checkpoint to parquet
+    # instead of a memory cache, but the plan principle is the same: never
+    # recompute the corpus scan.
     sh = _shingles_df(spark, sf_dir).persist()
-    # candidate set is tiny relative to the corpus → broadcast it so the
-    # shingle table is filtered map-side instead of shuffled twice
+    # candidate set is tiny relative to the corpus → persist it (it feeds
+    # the pair join AND the candidate-doc semi-join filter; without the
+    # persist each branch re-runs the whole MinHash pipeline) and broadcast
     cands = F.broadcast(
-        lsh_candidates(spark, sf_dir, shingles=sh).select("doc_a", "doc_b")
+        lsh_candidates(spark, sf_dir, shingles=sh)
+        .select("doc_a", "doc_b")
+        .persist()
     )
-    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    # broadcast SEMI-joins shrink both shingle sides to candidate docs
-    # BEFORE the intersection join — the (doc, shingle) shuffle then carries
-    # only candidates' shingles, not the whole corpus. This is the step that
-    # keeps verify ∝ |candidates| in network terms, not just CPU terms.
-    a = sh.join(
-        F.broadcast(cands.select(F.col("doc_a").alias("doc_id"))),
-        "doc_id",
-        "left_semi",
-    ).alias("a")
-    b = sh.join(
-        F.broadcast(cands.select(F.col("doc_b").alias("doc_id"))),
-        "doc_id",
-        "left_semi",
-    ).alias("b")
-    inter = (
-        cands.join(a, F.col("doc_a") == F.col("a.doc_id"))
-        .join(
-            b,
-            (F.col("doc_b") == F.col("b.doc_id")) & (F.col("b.s") == F.col("a.s")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    # Verify stage is pairwise set intersection, and |candidate docs| ≪
+    # corpus. So: semi-join the shingle table down to candidate docs (the
+    # ONLY shuffle of shingle data), fold each doc's shingles into one array
+    # row, and compute |A∩B| with JVM-side array_intersect per pair. This
+    # replaces the previous shape (full-corpus size aggregation + a
+    # (doc,shingle)-row equality join + per-pair groupBy — three corpus- or
+    # candidate-row-scale shuffles) with one candidate-scale shuffle and a
+    # broadcast pair join. Verify cost is ∝ Σ|candidate shingle sets|,
+    # independent of corpus size.
+    cand_docs = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
     )
-    sa = sz.alias("sa")
-    sb = sz.alias("sb")
-    j = F.col("n_common") * 1.0 / (F.col("sa.n") + F.col("sb.n") - F.col("n_common"))
+    sets = (
+        sh.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_list("s").alias("sh_set"))  # rows are pre-distinct
+    )
+    a = sets.select(F.col("doc_id").alias("_da"), F.col("sh_set").alias("sh_a"))
+    b = sets.select(F.col("doc_id").alias("_db"), F.col("sh_set").alias("sh_b"))
+    n_common = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+    j = F.col("n_common") * 1.0 / (
+        F.size("sh_a") + F.size("sh_b") - F.col("n_common")
+    )
     return (
-        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        cands.join(a, F.col("doc_a") == F.col("_da"))
+        .join(b, F.col("doc_b") == F.col("_db"))
+        .withColumn("n_common", n_common)
         .select("doc_a", "doc_b", "n_common", j.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.8)
     )
@@ -419,7 +421,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "instead.",
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = lsh_candidates(spark, sf_dir).select("doc_a", "doc_b")
+    # persist the directed edge list BEFORE mirroring it: the union reads
+    # `edges` twice, and without the persist each read re-runs the whole
+    # MinHash-LSH candidate pipeline over the corpus
+    edges = lsh_candidates(spark, sf_dir).select("doc_a", "doc_b").persist()
     und = edges.unionByName(
         edges.select(
             F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
