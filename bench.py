@@ -58,6 +58,9 @@ HEADLINE = [
     "scalar_subquery_nation_stats",  # decorrelated scalar subqueries
     "events_approx_distinct_hll", # HLL sketch distinct (scale path)
     "percentile_approx_order_price",  # GK-sketch percentiles (scale path)
+    "recursive_calendar_spine",   # WITH RECURSIVE month spine
+    "events_variant_shred",       # VARIANT parse-once/extract-many
+    "pipeline_token_shards",      # prefix-sum shard packing
 ]
 
 

@@ -1107,10 +1107,16 @@ _CALENDAR_SPINE_SQL = """
                    + EXTRACT(MONTH FROM o_orderdate)) AS BIGINT) AS mx
       FROM orders
     ),
-    months(month_index) AS (
-      SELECT mn FROM bounds
+    years(y, ylast) AS (
+      SELECT CAST(FLOOR(mn / 12.0) AS BIGINT), CAST(FLOOR(mx / 12.0) AS BIGINT)
+      FROM bounds
       UNION ALL
-      SELECT month_index + 1 FROM months, bounds WHERE month_index < mx
+      SELECT y + 1, ylast FROM years WHERE y < ylast
+    ),
+    offsets(o) AS (VALUES (0),(1),(2),(3),(4),(5),(6),(7),(8),(9),(10),(11)),
+    months AS (
+      SELECT y * 12 + CAST(o AS BIGINT) AS month_index
+      FROM years CROSS JOIN offsets
     ),
     rev AS (
       SELECT CAST(EXTRACT(YEAR FROM o_orderdate) * 12
@@ -1120,10 +1126,12 @@ _CALENDAR_SPINE_SQL = """
                   AS DECIMAL(18,2)) AS revenue
       FROM orders GROUP BY 1
     )
-    SELECT month_index,
+    SELECT m.month_index,
            CAST(COALESCE(rev.n_orders, 0) AS BIGINT) AS n_orders,
            CAST(COALESCE(rev.revenue, 0) AS DECIMAL(18,2)) AS revenue
-    FROM months LEFT JOIN rev ON rev.m = months.month_index
+    FROM months m
+    JOIN bounds b ON m.month_index BETWEEN b.mn AND b.mx
+    LEFT JOIN rev ON rev.m = m.month_index
 """
 
 
@@ -1134,9 +1142,14 @@ _CALENDAR_SPINE_SQL = """
     "generated from the data's own date bounds, left-joined to monthly "
     "revenue so empty months surface as zeros — the calendar-spine pattern "
     "gap-sensitive reporting needs. The identical SQL text runs on both "
-    "engines. Recursion depth = month span (tiny, driver-side by nature); "
-    "the heavy side of the join is the normal partial-aggregated monthly "
-    "rollup, and the spine broadcasts into it.",
+    "engines. Recursion is DEPTH-BOUNDED by design: Spark executes one "
+    "synchronous mini-job per recursion step (~60 ms fixed cost), so the "
+    "recursion walks YEARS (depth ≈ span/12) carrying the stop bound as a "
+    "carried column — recursing per month re-aggregated the bounds every "
+    "step and cost 16 s at sf0.1 vs ~1 s for this shape — and each year "
+    "row expands to its 12 months with a constant VALUES cross join. The "
+    "heavy side stays the partial-aggregated monthly rollup; the spine "
+    "broadcasts into it.",
 )
 def recursive_calendar_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_tables(spark, sf_dir, ("orders",))
