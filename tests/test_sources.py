@@ -22,6 +22,10 @@ def _nation_projection(spark):
     )
 
 
+def _load_orders(spark):
+    return load_table(spark, SF_DIR_SMALL, "orders")
+
+
 def test_csv_roundtrip_distributed(spark, tmp_path):
     src = _nation_projection(spark)
     out = str(tmp_path / "nation_csv")
@@ -81,3 +85,67 @@ def test_orc_roundtrip_with_pushdown(spark, tmp_path):
     # predicate pushdown reaches the ORC scan just like parquet
     filtered = back.filter(back.n_regionkey == 2).select("n_name")
     assert "n_regionkey" in " ".join(pi.pushed_filters(filtered))
+
+
+def test_zorder_write_improves_both_dim_spans(spark, tmp_path):
+    """Z-ordering must shrink per-file min/max spans on BOTH dimensions —
+    the property that makes parquet/Iceberg stats-based file skipping work
+    for predicates on either column. Verified from the actual parquet
+    footers, i.e. exactly the stats a scan planner would prune with."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from iceberg_explorer_spark.sources.layout import zorder_write
+
+    orders = _load_orders(spark)
+    out = str(tmp_path / "orders_z")
+    zorder_write(orders, ("o_custkey", "o_orderkey"), out, num_files=8)
+
+    back = spark.read.parquet(out)
+    assert back.count() == orders.count()
+
+    def spans(path, col, lo, hi):
+        fr = []
+        for f in glob.glob(f"{path}/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    c = md.row_group(rg).column(ci)
+                    if c.path_in_schema == col:
+                        mins.append(c.statistics.min)
+                        maxs.append(c.statistics.max)
+            fr.append((max(maxs) - min(mins)) / (hi - lo))
+        return fr
+
+    import pyspark.sql.functions as F
+
+    stats = orders.select(
+        F.min("o_custkey"), F.max("o_custkey"),
+        F.min("o_orderkey"), F.max("o_orderkey"),
+    ).collect()[0]
+    cust_spans = spans(out, "o_custkey", stats[0], stats[1])
+    key_spans = spans(out, "o_orderkey", stats[2], stats[3])
+    # every file covers a bounded rectangle of the 2-D space: both
+    # dimensions must be well below full-range (an unsorted or 1-D-sorted
+    # layout leaves one dimension at ~1.0 span in every file)
+    assert sum(cust_spans) / len(cust_spans) < 0.6, cust_spans
+    assert sum(key_spans) / len(key_spans) < 0.6, key_spans
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    import glob
+
+    from iceberg_explorer_spark.sources.layout import compact_parquet
+
+    orders = _load_orders(spark)
+    src = str(tmp_path / "orders_fragmented")
+    orders.repartition(32).write.parquet(src)
+    assert len(glob.glob(f"{src}/part-*.parquet")) == 32
+
+    dst = str(tmp_path / "orders_compact")
+    n = compact_parquet(spark, src, dst, target_rows_per_file=10**6)
+    files = glob.glob(f"{dst}/part-*.parquet")
+    assert len(files) == n == 1  # 1.5k rows fit one target-sized file
+    assert spark.read.parquet(dst).count() == orders.count()
