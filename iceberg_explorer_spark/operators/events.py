@@ -303,3 +303,27 @@ def events_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
         k.alias("k_value"),
         (k % 10).alias("k_bucket"),
     )
+
+
+@query(
+    "events_hll_sketch_rollup",
+    oracle=None,
+    doc="Mergeable-sketch rollup (hll_sketch_agg / hll_union_agg): user_id "
+    "sketches are built per (day, event_type) — the shape of a materialized "
+    "daily pre-aggregate table — then re-merged per event_type and "
+    "estimated. Sketch algebra is what makes distinct-count dashboards "
+    "feasible at 100 TB: the expensive pass over raw events happens once a "
+    "day over new data only, and every later rollup merges kilobyte "
+    "sketches instead of re-scanning history. No oracle (DataSketches "
+    "binary format is Spark-specific); the test bounds estimates against "
+    "exact counts.",
+)
+def events_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date("ts").alias("day"), F.col("event_type")
+    ).agg(F.hll_sketch_agg("user_id", 14).alias("sk"))
+    return daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_daily_sketches"),
+    )

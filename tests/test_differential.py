@@ -73,3 +73,21 @@ def test_approx_percentile_within_bound(spark, oracle):
     for k in want:
         for est, exact in zip(got[k], want[k]):
             assert abs(est - exact) <= 0.01 * exact, (k, est, exact)
+
+
+def test_hll_sketch_rollup_merge_accuracy(spark, oracle):
+    """Merged daily sketches must estimate the same distinct-user counts as
+    a direct pass over raw events — the re-aggregability property that
+    justifies materializing sketch tables."""
+    got = {
+        r["event_type"]: r["approx_users"]
+        for r in QUERIES["events_hll_sketch_rollup"].builder(spark, SF_DIR).collect()
+    }
+    exact = dict(
+        oracle.execute(
+            "SELECT event_type, COUNT(DISTINCT user_id) FROM events GROUP BY 1"
+        ).fetchall()
+    )
+    assert set(got) == set(exact)
+    for k, v in exact.items():
+        assert abs(got[k] - v) <= max(2, 0.1 * v), (k, got[k], v)
