@@ -464,3 +464,68 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
     und.unpersist()
     return labels.select("doc_id", F.col("lbl").alias("cluster_id"))
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE cands AS ({_LSH_CANDIDATES_SQL}),
+    und AS (
+      SELECT doc_a AS s, doc_b AS d FROM cands
+      UNION ALL
+      SELECT doc_b, doc_a FROM cands
+    ),
+    reach(s, d) AS (
+      SELECT s, d FROM und
+      UNION
+      SELECT r.s, u.d FROM reach r JOIN und u ON r.d = u.s
+    ),
+    clusters AS (
+      SELECT s AS doc_id, LEAST(s, MIN(d)) AS cluster_id FROM reach GROUP BY s
+    ),
+    members AS (
+      SELECT c.cluster_id, d.doc_id, LENGTH(d.text) AS n_chars
+      FROM clusters c JOIN documents d ON d.doc_id = c.doc_id
+    ),
+    ranked AS (
+      SELECT cluster_id, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                ORDER BY n_chars DESC, doc_id ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+      FROM members
+    )
+    SELECT cluster_id, doc_id AS keep_doc_id, n_chars AS keep_chars,
+           n_members, n_members - 1 AS n_dropped
+    FROM ranked
+    WHERE rn = 1
+    """,
+    doc="Representative selection per near-dup cluster: keep the longest "
+    "member (tie-break lowest doc_id) — the final step of the standard "
+    "dedup pipeline (cluster → keep one, drop the rest). One window "
+    "shuffle on cluster_id, which is high-cardinality by construction "
+    "(clusters are small), so it spreads evenly at any corpus size; the "
+    "per-cluster sort is bounded by cluster size, not corpus size. "
+    "Deterministic: LENGTH + doc_id ordering is engine-exact.",
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    clusters = dedup_clusters(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").cast("bigint").alias("n_chars")
+    )
+    members = clusters.join(docs, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    ranked = members.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n_members", F.count(F.lit(1)).over(Window.partitionBy("cluster_id"))
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "cluster_id",
+        F.col("doc_id").alias("keep_doc_id"),
+        F.col("n_chars").alias("keep_chars"),
+        "n_members",
+        (F.col("n_members") - 1).alias("n_dropped"),
+    )
