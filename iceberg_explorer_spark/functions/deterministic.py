@@ -33,6 +33,30 @@ def sum_dec(col, scale: int = 2, out_scale: int | None = None) -> Column:
     return F.sum(dec(col, scale)).cast(f"decimal(18,{out})")
 
 
+def sum_money(col, scale: int = 2) -> Column:
+    """Exact decimal SUM surfaced as DOUBLE.
+
+    The aggregation itself is exact decimal (order-independent across any
+    partitioning — see module docstring); only the FINAL value is cast to
+    double. Both engines correctly round the identical exact decimal to the
+    nearest IEEE double, so the surfaced float64 is bit-identical — and,
+    unlike a decimal column, renders identically everywhere (``139345.0``,
+    never a trailing-zero ``Decimal('139345.00')`` vs float ``139345.0``
+    divergence between result-materialization paths).
+
+    Output-surface contract: query results never expose DECIMAL columns —
+    exact decimal is an internal aggregation representation only. Enforced by
+    tests/test_differential.py::test_no_decimal_output_columns.
+    """
+    return F.sum(dec(col, scale)).cast("double")
+
+
+def money(col) -> Column:
+    """Surface a raw money column as DOUBLE (no-op for double inputs)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("double")
+
+
 def avg_exact(col, scale: int = 2) -> Column:
     """Order-independent average: exact decimal sum → double division.
 

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from iceberg_explorer_spark.functions.deterministic import dec, sum_dec
+from iceberg_explorer_spark.functions.deterministic import sum_money
 from iceberg_explorer_spark.operators.registry import query
 from iceberg_explorer_spark.sources.registry import load_table
 
@@ -31,7 +31,7 @@ TEN_MIN_US = 600_000_000
     SELECT (EPOCH_US(ts) // {FIVE_MIN_US}) * {FIVE_MIN_US} AS window_start_us,
            event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -45,7 +45,7 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            sum_dec("value").alias("total_value"),
+            sum_money("value").alias("total_value"),
         )
         .select(
             F.unix_micros(F.col("w.start")).alias("window_start_us"),
@@ -104,7 +104,7 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
            CAST(MIN(EPOCH_US(ts)) AS BIGINT) AS session_start_us,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
     FROM sess GROUP BY user_id, session_no
     """,
     doc="Sessionization (10-minute inactivity gap) via lag + running sum of "
@@ -124,7 +124,7 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sess.groupBy("user_id", "session_no").agg(
         F.min(F.unix_micros("ts")).cast("bigint").alias("session_start_us"),
         F.count(F.lit(1)).alias("n_events"),
-        sum_dec("value").alias("total_value"),
+        sum_money("value").alias("total_value"),
     )
 
 
@@ -158,7 +158,7 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_rate_per_user_type",
     oracle="""
     SELECT user_id, event_type, COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
            CAST(MIN(EPOCH_US(ts)) AS BIGINT) AS first_seen_us,
            CAST(MAX(EPOCH_US(ts)) AS BIGINT) AS last_seen_us
     FROM events GROUP BY user_id, event_type
@@ -170,7 +170,7 @@ def events_rate_per_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("user_id", "event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        sum_dec("value").alias("total_value"),
+        sum_money("value").alias("total_value"),
         F.min(F.unix_micros("ts")).cast("bigint").alias("first_seen_us"),
         F.max(F.unix_micros("ts")).cast("bigint").alias("last_seen_us"),
     )

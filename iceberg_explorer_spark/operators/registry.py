@@ -8,11 +8,18 @@ Every operator the engine claims is registered here with
     which get a weaker rows-only check).
 
 Determinism contract (so order-insensitive value hashes match across engines):
-  * money/double aggregates go through exact DECIMAL arithmetic — float sums
-    are order-dependent across partitions, decimals are exact;
+  * money/double aggregates go through exact DECIMAL arithmetic internally —
+    float sums are order-dependent across partitions, decimals are exact;
+  * the FINAL value of every money column is surfaced as DOUBLE, never
+    DECIMAL: result-materialization paths disagree on decimal rendering
+    (``Decimal('139345.00')`` object vs float64 ``139345.0``), while both
+    engines correctly round the identical exact decimal to the bit-identical
+    IEEE double (functions/deterministic.sum_money). No query output column
+    may have DecimalType — enforced by
+    tests/test_differential.py::test_no_decimal_output_columns;
   * every aggregate/computed column is aliased identically on both sides;
-  * DuckDB's SUM(INTEGER)→HUGEINT / SUM(DECIMAL(p,s))→DECIMAL(38,s) widenings
-    are cast back to BIGINT / DECIMAL(18,s) to match Spark's arrow schema;
+  * DuckDB's SUM(INTEGER)→HUGEINT widening is cast back to BIGINT to match
+    Spark's arrow schema;
   * timestamps are surfaced as DATE or epoch integers, never raw timestamps;
   * rank() (never row_number) over non-unique orderings, or a total-order
     tie-break column, so result membership is deterministic.

@@ -20,7 +20,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from iceberg_explorer_spark.functions.deterministic import avg_exact, dec, sum_dec
+from iceberg_explorer_spark.functions.deterministic import (
+    avg_exact,
+    dec,
+    money,
+    sum_money,
+)
 from iceberg_explorer_spark.operators.registry import query
 from iceberg_explorer_spark.sources.registry import load_table, register_tables
 
@@ -34,15 +39,15 @@ from iceberg_explorer_spark.sources.registry import load_table, register_tables
     SELECT
       l_returnflag,
       l_linestatus,
-      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
                     * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)))
-           AS DECIMAL(18,4)) AS sum_disc_price,
+           AS DOUBLE) AS sum_disc_price,
       CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
                          * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))
                     * (1 + CAST(l_tax AS DECIMAL(18,2))) AS DECIMAL(18,6)))
-           AS DECIMAL(18,6)) AS sum_charge,
+           AS DOUBLE) AS sum_charge,
       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
       COUNT(*) AS count_order
@@ -51,8 +56,8 @@ from iceberg_explorer_spark.sources.registry import load_table, register_tables
     GROUP BY l_returnflag, l_linestatus
     """,
     doc="Grouped aggregate over the fact table with exact decimal money math "
-    "(SURVEY §2B aggregations; reference golden-value tests "
-    "tests/test_executor.py:414-422).",
+    "internally, surfaced as double (SURVEY §2B aggregations; reference "
+    "golden-value tests tests/test_executor.py:414-422).",
 )
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
@@ -63,10 +68,10 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     charge = (disc_price * (F.lit(1) + dec("l_tax"))).cast("decimal(18,6)")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        sum_dec("l_quantity").alias("sum_qty"),
-        sum_dec("l_extendedprice").alias("sum_base_price"),
-        F.sum(disc_price).cast("decimal(18,4)").alias("sum_disc_price"),
-        F.sum(charge).cast("decimal(18,6)").alias("sum_charge"),
+        sum_money("l_quantity").alias("sum_qty"),
+        sum_money("l_extendedprice").alias("sum_base_price"),
+        F.sum(disc_price).cast("double").alias("sum_disc_price"),
+        F.sum(charge).cast("double").alias("sum_charge"),
         avg_exact("l_quantity").alias("avg_qty"),
         avg_exact("l_extendedprice").alias("avg_price"),
         F.count(F.lit(1)).alias("count_order"),
@@ -80,7 +85,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "filter_projection",
     oracle="""
     SELECT o_orderkey, o_custkey,
-           CAST(o_totalprice AS DECIMAL(18,2)) AS total_price,
+           CAST(o_totalprice AS DOUBLE) AS total_price,
            CAST(o_orderdate AS DATE) AS order_date
     FROM orders
     WHERE o_orderstatus = 'O'
@@ -101,7 +106,7 @@ def filter_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "o_orderkey",
             "o_custkey",
-            dec("o_totalprice").alias("total_price"),
+            money("o_totalprice").alias("total_price"),
             F.col("o_orderdate").cast("date").alias("order_date"),
         )
     )
@@ -116,7 +121,7 @@ def filter_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n.n_name,
            CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
                          * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)))
-                AS DECIMAL(18,4)) AS revenue,
+                AS DOUBLE) AS revenue,
            COUNT(*) AS n_lines
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
@@ -151,7 +156,7 @@ def join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.sum(revenue).cast("decimal(18,4)").alias("revenue"),
+            F.sum(revenue).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
@@ -324,7 +329,7 @@ def distinct_customers_per_priority(spark: SparkSession, sf_dir: str) -> DataFra
     "rollup_quantity",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
            COUNT(*) AS n_lines
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -336,7 +341,7 @@ def rollup_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
         .agg(
-            sum_dec("l_quantity").alias("sum_qty"),
+            sum_money("l_quantity").alias("sum_qty"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
@@ -347,7 +352,7 @@ def rollup_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
            COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
@@ -359,7 +364,7 @@ def cube_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cube("o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            sum_dec("o_totalprice").alias("total"),
+            sum_money("o_totalprice").alias("total"),
         )
     )
 
@@ -369,7 +374,7 @@ def cube_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag, l_linestatus,
            COUNT(*) AS n_lines,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
     """,
@@ -382,7 +387,7 @@ def grouping_sets_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT l_returnflag, l_linestatus,
                COUNT(*) AS n_lines,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
         """
@@ -394,9 +399,9 @@ def grouping_sets_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag,
            CAST(SUM(CASE WHEN l_linestatus = 'O'
-                         THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS qty_open,
+                         THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_open,
            CAST(SUM(CASE WHEN l_linestatus = 'F'
-                         THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS qty_filled
+                         THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_filled
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -407,7 +412,7 @@ def pivot_status_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .pivot("l_linestatus", ["O", "F"])
-        .agg(sum_dec("l_quantity"))
+        .agg(sum_money("l_quantity"))
         .withColumnRenamed("O", "qty_open")
         .withColumnRenamed("F", "qty_filled")
     )
@@ -420,7 +425,7 @@ def pivot_status_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_top_orders_per_customer",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           CAST(o_totalprice AS DECIMAL(18,2)) AS total_price,
+           CAST(o_totalprice AS DOUBLE) AS total_price,
            CAST(rnk AS INTEGER) AS rnk
     FROM (
       SELECT o_custkey, o_orderkey, o_totalprice,
@@ -441,7 +446,7 @@ def window_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFram
         .select(
             "o_custkey",
             "o_orderkey",
-            dec("o_totalprice").alias("total_price"),
+            money("o_totalprice").alias("total_price"),
             "rnk",
         )
     )
@@ -485,7 +490,7 @@ def window_ship_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
                   OVER (PARTITION BY o_custkey
                         ORDER BY o_orderdate, o_orderkey
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                AS DECIMAL(18,2)) AS running_total
+                AS DOUBLE) AS running_total
     FROM orders
     WHERE o_custkey < 100
     """,
@@ -504,7 +509,7 @@ def window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "o_custkey",
             "o_orderkey",
-            F.sum(dec("o_totalprice")).over(w).cast("decimal(18,2)").alias(
+            F.sum(dec("o_totalprice")).over(w).cast("double").alias(
                 "running_total"
             ),
         )
@@ -518,7 +523,7 @@ def window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "topk_orders",
     oracle="""
     SELECT o_orderkey, o_custkey,
-           CAST(o_totalprice AS DECIMAL(18,2)) AS total_price,
+           CAST(o_totalprice AS DOUBLE) AS total_price,
            CAST(o_orderdate AS DATE) AS order_date
     FROM orders
     ORDER BY o_totalprice DESC, o_orderkey
@@ -536,7 +541,7 @@ def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "o_orderkey",
             "o_custkey",
-            dec("o_totalprice").alias("total_price"),
+            money("o_totalprice").alias("total_price"),
             F.col("o_orderdate").cast("date").alias("order_date"),
         )
     )
@@ -756,7 +761,7 @@ def percentile_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_custkey, o_orderkey,
            CAST(NTILE(4) OVER w AS INTEGER) AS price_quartile,
-           CAST(LEAD(o_totalprice) OVER w AS DECIMAL(18,2)) AS next_lower_price,
+           CAST(LEAD(o_totalprice) OVER w AS DOUBLE) AS next_lower_price,
            CAST(FIRST_VALUE(o_orderkey) OVER w AS BIGINT) AS top_order_key
     FROM orders
     WHERE o_custkey < 100
@@ -779,7 +784,7 @@ def window_ntile_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_custkey",
             "o_orderkey",
             F.ntile(4).over(w).alias("price_quartile"),
-            F.lead("o_totalprice").over(w).cast("decimal(18,2)")
+            F.lead("o_totalprice").over(w).cast("double")
             .alias("next_lower_price"),
             F.first("o_orderkey").over(w).cast("bigint").alias("top_order_key"),
         )
@@ -907,7 +912,7 @@ def string_agg_nations_per_region(spark: SparkSession, sf_dir: str) -> DataFrame
            COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_fulfilled,
            CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
                          FILTER (WHERE o_orderstatus = 'F'), 0)
-                AS DECIMAL(18,2)) AS fulfilled_revenue,
+                AS DOUBLE) AS fulfilled_revenue,
            COUNT(*) AS n_orders
     FROM orders
     GROUP BY o_orderpriority
@@ -927,7 +932,7 @@ def conditional_agg_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(
             F.sum(F.when(is_fulfilled, dec("o_totalprice"))), F.lit(0)
         )
-        .cast("decimal(18,2)")
+        .cast("double")
         .alias("fulfilled_revenue"),
         F.count(F.lit(1)).alias("n_orders"),
     )
@@ -947,7 +952,7 @@ def conditional_agg_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
                   ORDER BY date_diff('day', DATE '1992-01-01',
                                      CAST(o_orderdate AS DATE))
                   RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
-                AS DECIMAL(18,2)) AS rev_30d
+                AS DOUBLE) AS rev_30d
     FROM orders
     """,
     doc="30-day moving revenue per customer via a RANGE window frame — "
@@ -973,7 +978,7 @@ def window_range_moving_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         "day_no",
-        F.sum(dec("o_totalprice")).over(w).cast("decimal(18,2)").alias("rev_30d"),
+        F.sum(dec("o_totalprice")).over(w).cast("double").alias("rev_30d"),
     )
 
 
@@ -985,7 +990,7 @@ _SCALAR_SUBQUERY_SQL = """
            (SELECT COUNT(*) FROM customer c
              WHERE c.c_nationkey = n.n_nationkey) AS n_customers,
            (SELECT CAST(COALESCE(SUM(CAST(s.s_acctbal AS DECIMAL(18,2))), 0)
-                        AS DECIMAL(18,2))
+                        AS DOUBLE)
               FROM supplier s
              WHERE s.s_nationkey = n.n_nationkey) AS supplier_acctbal
     FROM nation n
@@ -1128,7 +1133,7 @@ _CALENDAR_SPINE_SQL = """
     )
     SELECT m.month_index,
            CAST(COALESCE(rev.n_orders, 0) AS BIGINT) AS n_orders,
-           CAST(COALESCE(rev.revenue, 0) AS DECIMAL(18,2)) AS revenue
+           CAST(COALESCE(rev.revenue, 0) AS DOUBLE) AS revenue
     FROM months m
     JOIN bounds b ON m.month_index BETWEEN b.mn AND b.mx
     LEFT JOIN rev ON rev.m = m.month_index

@@ -35,12 +35,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one test table. Plain parquet scan → vectorized reader,
     filter pushdown and column pruning apply automatically.
 
-    ``events.ts`` is physically TIMESTAMP(NANOS); with
-    ``spark.sql.legacy.parquet.nanosAsLong`` it scans as epoch-nanos long and
-    is converted here to a microsecond timestamp (integer division — a double
-    division would lose precision on 1e18-scale nanos) to match what other
-    engines (e.g. the DuckDB oracle) surface for the same file.
+    Session-independent by contract: callers may pass ANY SparkSession (the
+    correctness harness uses its own default-conf session), so every conf
+    this loader depends on is set here at runtime, never assumed from
+    ``session.build_session``.
+
+    ``events.ts`` is physically TIMESTAMP(NANOS), which Spark rejects by
+    default; ``spark.sql.legacy.parquet.nanosAsLong`` (runtime-settable) scans
+    it as epoch-nanos long and it is converted here to a microsecond timestamp
+    (integer division — a double division would lose precision on 1e18-scale
+    nanos) to match what other engines (e.g. the DuckDB oracle) surface for
+    the same file.
     """
+    if name == "events":
+        # Required for the nanos timestamp; harmless when already set.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F

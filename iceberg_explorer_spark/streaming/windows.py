@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from iceberg_explorer_spark.functions.deterministic import sum_dec
+from iceberg_explorer_spark.functions.deterministic import sum_money
 
 #: fixed schema — required by streaming file sources (no inference). ts is
 #: epoch-nanos long in the raw parquet (TIMESTAMP(NANOS) + nanosAsLong conf).
@@ -71,7 +71,7 @@ def tumbling_counts(events: DataFrame, watermark: str = "10 minutes") -> DataFra
         src.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            sum_dec("value").alias("total_value"),
+            sum_money("value").alias("total_value"),
         )
         .select(
             F.unix_micros(F.col("w.start")).alias("window_start_us"),
@@ -104,7 +104,7 @@ def session_aggregates(events: DataFrame, gap: str = "10 minutes") -> DataFrame:
         src.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            sum_dec("value").alias("total_value"),
+            sum_money("value").alias("total_value"),
         )
         .select(
             "user_id",

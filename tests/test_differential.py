@@ -13,6 +13,60 @@ ORACLE_QUERIES = [name for name, spec in QUERIES.items() if spec.oracle]
 NO_ORACLE = [name for name, spec in QUERIES.items() if not spec.oracle]
 
 
+def _has_decimal(dt) -> bool:
+    from pyspark.sql.types import ArrayType, DecimalType, MapType, StructType
+
+    if isinstance(dt, DecimalType):
+        return True
+    if isinstance(dt, StructType):
+        return any(_has_decimal(f.dataType) for f in dt.fields)
+    if isinstance(dt, ArrayType):
+        return _has_decimal(dt.elementType)
+    if isinstance(dt, MapType):
+        return _has_decimal(dt.keyType) or _has_decimal(dt.valueType)
+    return False
+
+
+@pytest.mark.parametrize("name", list(QUERIES))
+def test_no_decimal_output_columns(spark, name):
+    """Output-surface contract: exact DECIMAL is an internal aggregation
+    representation only; every surfaced money column is DOUBLE. Decimal
+    outputs render differently across result-materialization paths
+    (``Decimal('139345.00')`` object vs float64 ``139345.0``), which breaks
+    representation-sensitive value hashing even when values are identical —
+    the round-1 root cause of 11 hash-fail queries. Schema-only check: no
+    execution."""
+    schema = QUERIES[name].builder(spark, SF_DIR).schema
+    offending = [f.name for f in schema.fields if _has_decimal(f.dataType)]
+    assert not offending, (
+        f"{name}: decimal-typed output columns {offending} — surface as "
+        "double via functions.deterministic.sum_money/money"
+    )
+
+
+def test_builders_run_on_default_conf_session(spark):
+    """Builders must be correct under the harness's own SparkSession, not
+    just the repo's build_session conf (round-1 asof hard-fail: nanosAsLong
+    lived only in session conf). Simulate a default-conf session by unsetting
+    the confs load_table historically leaned on, then run the events-reading
+    builders end-to-end."""
+    s = spark.newSession()
+    for k in ("spark.sql.legacy.parquet.nanosAsLong",):
+        try:
+            s.conf.unset(k)
+        except Exception:
+            pass
+    from tests.conftest import SF_DIR_SMALL
+
+    for name in (
+        "asof_join_purchase_click",
+        "events_tumbling_window",
+        "events_funnel",
+    ):
+        df = QUERIES[name].builder(s, SF_DIR_SMALL)
+        assert df.count() >= 0, name
+
+
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
 def test_query_matches_oracle(spark, oracle, name):
     spec = QUERIES[name]
