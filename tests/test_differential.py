@@ -13,6 +13,21 @@ ORACLE_QUERIES = [name for name, spec in QUERIES.items() if spec.oracle]
 NO_ORACLE = [name for name, spec in QUERIES.items() if not spec.oracle]
 
 
+def test_check_window_ordering():
+    """The driver's correctness gate checks the FIRST 50 registry entries.
+    Pin the window: flagship first, every in-window query oracle-bearing, and
+    the registry iteration order exactly matches _CHECK_WINDOW."""
+    from iceberg_explorer_spark.operators import _CHECK_WINDOW
+
+    names = list(QUERIES)
+    assert len(_CHECK_WINDOW) == 50
+    assert len(set(_CHECK_WINDOW)) == 50
+    assert names[: len(_CHECK_WINDOW)] == _CHECK_WINDOW
+    assert names[0] == "pipeline_clean_corpus"
+    no_oracle_in_window = [n for n in _CHECK_WINDOW if not QUERIES[n].oracle]
+    assert not no_oracle_in_window, no_oracle_in_window
+
+
 def _has_decimal(dt) -> bool:
     from pyspark.sql.types import ArrayType, DecimalType, MapType, StructType
 
