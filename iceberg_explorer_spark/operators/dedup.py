@@ -32,6 +32,25 @@ N_HASHES = 12
 N_BANDS = 4  # 3 rows per band
 SIMHASH_BITS = 60  # from 15 hex chars of md5 → fits a signed BIGINT
 
+#: Pathological-bucket frequency cap for LSH pair expansion. A bucket with B
+#: members emits B(B-1)/2 pairs, so one boilerplate-flooded bucket (every
+#: page sharing a cookie banner, a log-line template, ...) turns the
+#: candidate stage quadratic and OOMs/straggles a single reducer at 100 TB.
+#: Buckets above the cap are dropped: their members are (a) mutually
+#: near-identical boilerplate better handled by exact dedup upstream and
+#: (b) still pair-able through their other N_BANDS-1 band buckets.
+#: 256 members ⇒ ≤ 32,640 pairs per bucket — bounded reducer work.
+LSH_MAX_BUCKET = 256
+
+#: Truncate the label-propagation lineage every k rounds: each round's plan
+#: references the previous round's, so without a checkpoint the DAG (and
+#: task re-computation on failure) grows linearly with rounds.
+CC_CHECKPOINT_EVERY = 5
+
+#: Convergence safety bound — propagation needs O(component diameter)
+#: rounds; near-dup components are small/dense so real diameters are tiny.
+CC_MAX_ROUNDS = 50
+
 
 def _words(col: str = "text"):
     """Lowercased whitespace tokens (same regex both engines)."""
@@ -176,7 +195,10 @@ _LSH_CANDIDATES_SQL = f"""
 
 
 def lsh_candidates(
-    spark: SparkSession, sf_dir: str, shingles: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    shingles: DataFrame | None = None,
+    max_bucket: int | None = LSH_MAX_BUCKET,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs (doc_a, doc_b, n_shared_bands).
 
@@ -191,6 +213,11 @@ def lsh_candidates(
     persisted copy so the pipeline is computed once. min(hash) over a
     multiset equals min over its set, so distinct and non-distinct shingle
     inputs give identical signatures.
+
+    ``max_bucket``: buckets with more members are dropped before pair
+    expansion (see LSH_MAX_BUCKET) — the guard that keeps one hot bucket
+    from going quadratic. ``None`` disables the cap (oracle-equivalent
+    semantics at any size; only safe on bounded inputs).
     """
     # non-distinct shingles by default: the dedup shuffle the Jaccard path
     # needs is dead weight here
@@ -234,8 +261,9 @@ def lsh_candidates(
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
         .filter(F.size("ids") > 1)
     )
-    # all unordered pairs within a bucket (ids sorted → doc_a < doc_b). At
-    # 100 TB a frequency cap on pathological buckets goes here.
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket)
+    # all unordered pairs within a bucket (ids sorted → doc_a < doc_b)
     pairs = buckets.select(
         F.explode(
             F.expr(
@@ -412,19 +440,47 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Near-dup clusters: connected components over the LSH candidate "
     "graph via iterative min-label propagation — each iteration is one "
-    "distributed join+groupBy, converging in O(log n) rounds (label hops "
-    "double per round). The driver only checks a convergence COUNT; all "
-    "data work is executor-side, labels cached per round (checkpointed at "
-    "100 TB to cut lineage). The oracle is the recursive-CTE transitive "
-    "closure — fine for the oracle's candidate-graph size, quadratic "
-    "blowup at scale, which is exactly why the Spark side iterates labels "
-    "instead.",
+    "distributed join+groupBy, converging in O(component diameter) rounds "
+    "(near-dup components are small and dense, so diameters are tiny). The "
+    "driver only checks a convergence COUNT; all data work is executor-side, "
+    "labels cached per round and localCheckpoint'ed every "
+    "CC_CHECKPOINT_EVERY rounds so lineage stays bounded however many "
+    "rounds a deep component needs. The oracle is the recursive-CTE "
+    "transitive closure — fine for the oracle's candidate-graph size, "
+    "quadratic blowup at scale, which is exactly why the Spark side "
+    "iterates labels instead.",
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist the directed edge list BEFORE mirroring it: the union reads
     # `edges` twice, and without the persist each read re-runs the whole
     # MinHash-LSH candidate pipeline over the corpus
     edges = lsh_candidates(spark, sf_dir).select("doc_a", "doc_b").persist()
+    out = connected_components(edges).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+    return out
+
+
+def connected_components(
+    edges: DataFrame,
+    checkpoint_every: int = CC_CHECKPOINT_EVERY,
+    max_rounds: int = CC_MAX_ROUNDS,
+) -> DataFrame:
+    """Connected components of an undirected graph given as directed
+    (doc_a, doc_b) edge rows — min-label propagation.
+
+    Each round: every node adopts the minimum label among itself and its
+    neighbors (one join + one groupBy, all executor-side; the driver sees
+    only the convergence count). Converges after O(component diameter)
+    rounds. Two scale guards:
+
+    - every ``checkpoint_every`` rounds the label table is
+      ``localCheckpoint(eager=True)``'d, truncating the per-round lineage
+      chain — without it the logical plan, scheduler re-plan cost, and
+      failure-recovery recomputation all grow linearly with rounds;
+    - ``max_rounds`` bounds the loop; hitting it raises rather than
+      silently returning half-merged components.
+    """
     und = edges.unionByName(
         edges.select(
             F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
@@ -436,22 +492,24 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("lbl", F.col("doc_id"))
         .persist()
     )
-    while True:
+    for rnd in range(1, max_rounds + 1):
         neighbor_min = (
             und.join(labels, und.doc_a == labels.doc_id)
             .groupBy(F.col("doc_b").alias("nid"))
             .agg(F.min("lbl").alias("nlbl"))
         )
-        new_labels = (
-            labels.join(neighbor_min, labels.doc_id == F.col("nid"), "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))
-                ).alias("lbl"),
-            )
-            .persist()
+        new_labels = labels.join(
+            neighbor_min, labels.doc_id == F.col("nid"), "left"
+        ).select(
+            "doc_id",
+            F.least(
+                F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))
+            ).alias("lbl"),
         )
+        if rnd % checkpoint_every == 0:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        else:
+            new_labels = new_labels.persist()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc_id")
@@ -461,9 +519,13 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels.unpersist()
         labels = new_labels
         if changed == 0:
-            break
-    und.unpersist()
-    return labels.select("doc_id", F.col("lbl").alias("cluster_id"))
+            und.unpersist()
+            return labels.select(
+                F.col("doc_id").alias("node"), F.col("lbl").alias("component")
+            )
+    raise RuntimeError(
+        f"connected_components did not converge in {max_rounds} rounds"
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -143,13 +143,18 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # FLOOR on both engines: a bare double→bigint cast truncates in Spark
     # but ROUNDS in DuckDB, silently changing the frame count
     n_frames = F.floor(F.octet_length(payload) / FRAME_BYTES).cast("bigint")
+    # Guard the sub-frame payload: Spark's sequence(0, -1) yields a
+    # DESCENDING [0, -1] (frame 0 would survive the stride filter and emit a
+    # spurious short-frame digest) while DuckDB's generate_series(0, -1) is
+    # empty — emit an empty frame list explicitly when n_frames == 0.
+    frame_idxs = F.when(
+        n_frames > 0, F.sequence(F.lit(0).cast("bigint"), n_frames - 1)
+    ).otherwise(F.array().cast("array<bigint>"))
     return (
         docs.select(
             "doc_id",
             payload.alias("payload"),
-            F.explode(F.sequence(F.lit(0).cast("bigint"), n_frames - 1)).alias(
-                "frame_idx"
-            ),
+            F.explode(frame_idxs).alias("frame_idx"),
         )
         .filter(F.col("frame_idx") % FRAME_STRIDE == 0)
         .select(

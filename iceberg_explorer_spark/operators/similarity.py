@@ -356,13 +356,49 @@ def _gemm_schema() -> str:
     return "vec_a long, vec_b long, cos_sim double"
 
 
+#: Row-block edge for the per-bucket GEMM. A bucket of B vectors needs a
+#: B×B similarity matrix (8·B² bytes of f64) if multiplied in one shot —
+#: 80 GB at B = 100k, an executor OOM. Tiling caps the live intermediate at
+#: 8·GEMM_TILE² bytes (32 MB) per block pair while doing the identical
+#: flops through the same BLAS kernel.
+GEMM_TILE = 2048
+
+
+def gemm_upper_pairs(ids, m, tile: int = GEMM_TILE):
+    """All (id_a < id_b) cosine pairs of normalized row matrix ``m`` via a
+    BLOCKED M @ M.T — yields (vec_a, vec_b, cos_sim) numpy column triples.
+
+    ``ids`` must be sorted ascending; upper-triangular blocking then
+    guarantees id_a < id_b without any per-pair comparison: diagonal blocks
+    take their own upper triangle, off-diagonal blocks (j0 > i0) take every
+    cell.
+    """
+    import numpy as np
+
+    n = len(ids)
+    for i0 in range(0, n, tile):
+        a = m[i0 : i0 + tile]
+        for j0 in range(i0, n, tile):
+            b = m[j0 : j0 + tile]
+            sims = a @ b.T
+            if i0 == j0:
+                rows, cols = np.triu_indices(len(a), k=1)
+            else:
+                rows = np.repeat(np.arange(len(a)), len(b))
+                cols = np.tile(np.arange(len(b)), len(a))
+            if len(rows):
+                yield ids[i0 + rows], ids[j0 + cols], sims[rows, cols]
+
+
 def _bucket_pairs_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All within-bucket pairs with raw cosine, via per-bucket numpy GEMM.
 
     Shared engine for the GEMM-flavored all-pairs operators: SRP-code the
-    corpus, normalize once, groupBy(bucket) → applyInPandas → M @ M.T.
-    Rounding is left to callers (JVM-side F.round, HALF_UP) so numpy's
-    banker's rounding never touches the cross-engine contract.
+    corpus, normalize once, groupBy(bucket) → applyInPandas → blocked
+    M @ M.T (gemm_upper_pairs — dense buckets are tiled, never materialized
+    as one B×B matrix). Rounding is left to callers (JVM-side F.round,
+    HALF_UP) so numpy's banker's rounding never touches the cross-engine
+    contract.
     """
     import numpy as np
     import pandas as pd
@@ -373,20 +409,21 @@ def _bucket_pairs_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", "ne", "bucket")
 
     def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"vec_a": pd.Series(dtype="int64"),
+             "vec_b": pd.Series(dtype="int64"),
+             "cos_sim": pd.Series(dtype="float64")}
+        )
         if len(pdf) < 2:
-            return pd.DataFrame(
-                {"vec_a": pd.Series(dtype="int64"),
-                 "vec_b": pd.Series(dtype="int64"),
-                 "cos_sim": pd.Series(dtype="float64")}
-            )
+            return empty
         order = pdf["vec_id"].to_numpy().argsort()
         ids = pdf["vec_id"].to_numpy()[order]
         m = np.stack(pdf["ne"].to_numpy()[order])
-        sims = m @ m.T
-        iu = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame(
-            {"vec_a": ids[iu[0]], "vec_b": ids[iu[1]], "cos_sim": sims[iu]}
-        )
+        blocks = [
+            pd.DataFrame({"vec_a": va, "vec_b": vb, "cos_sim": cs})
+            for va, vb, cs in gemm_upper_pairs(ids, m)
+        ]
+        return pd.concat(blocks, ignore_index=True) if blocks else empty
 
     return coded.groupBy("bucket").applyInPandas(per_bucket, _gemm_schema())
 

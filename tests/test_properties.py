@@ -14,6 +14,8 @@ import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+from pyspark.sql import functions as F
+
 from iceberg_explorer_spark.gate import validate_sql_lexical
 from iceberg_explorer_spark.errors import InvalidSQLError
 from iceberg_explorer_spark.operators.dedup import N_BANDS, lsh_candidates
@@ -185,3 +187,109 @@ def test_token_shards_partition_invariants(spark):
         by_source.setdefault(r["source"], []).append(r["shard_id"])
     for source, ids in by_source.items():
         assert sorted(ids) == list(range(len(ids))), source
+
+
+# ---------------------------------------------------------------------------
+# scale guards: LSH hot-bucket cap, component checkpointing, GEMM tiling
+# ---------------------------------------------------------------------------
+def test_lsh_hot_bucket_cap_drops_pathological_bucket(spark):
+    """300 identical docs share one bucket per band; the frequency cap must
+    drop those buckets (0 candidate pairs) instead of emitting C(300,2)
+    pairs ×4 bands — the guard that keeps one boilerplate bucket from going
+    quadratic at scale. Uncapped, the same input must yield every pair."""
+    n = 300
+    shingles = spark.createDataFrame(
+        [(d, s) for d in range(n) for s in ("a b c", "b c d")],
+        "doc_id long, s string",
+    )
+    capped = lsh_candidates(spark, SF_DIR_SMALL, shingles=shingles)
+    assert capped.count() == 0
+    uncapped = lsh_candidates(
+        spark, SF_DIR_SMALL, shingles=shingles, max_bucket=None
+    )
+    row = uncapped.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.min("n_shared_bands").alias("min_bands"),
+    ).collect()[0]
+    assert row["n_pairs"] == n * (n - 1) // 2
+    assert row["min_bands"] == N_BANDS
+
+
+def test_connected_components_deep_chain_checkpoints(spark):
+    """A path graph needs O(diameter) label-propagation rounds — deep enough
+    here to cross CC_CHECKPOINT_EVERY twice, exercising the lineage
+    truncation. Components and min-labels must still be exact."""
+    from iceberg_explorer_spark.operators.dedup import (
+        CC_CHECKPOINT_EVERY,
+        connected_components,
+    )
+
+    chain_a = [(i, i + 1) for i in range(100, 112)]  # diameter 12
+    chain_b = [(i, i + 1) for i in range(200, 203)]
+    edges = spark.createDataFrame(chain_a + chain_b, "doc_a long, doc_b long")
+    assert 12 > 2 * CC_CHECKPOINT_EVERY  # the test must cross checkpoints
+    got = {
+        r["node"]: r["component"] for r in connected_components(edges).collect()
+    }
+    assert got == {**{i: 100 for i in range(100, 113)},
+                   **{i: 200 for i in range(200, 204)}}
+
+
+def test_connected_components_round_bound_raises(spark):
+    from iceberg_explorer_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_rounds=3)
+
+
+def test_gemm_tiling_matches_untiled():
+    """Blocked upper-triangular GEMM must produce the exact pair SET of the
+    one-shot M @ M.T, with cosines equal to ~1e-12 (BLAS picks different
+    kernels per matrix shape, so last-bit equality across blockings is not
+    guaranteed; downstream rounds to 6 decimals)."""
+    import numpy as np
+
+    from iceberg_explorer_spark.operators.similarity import gemm_upper_pairs
+
+    rng = np.random.default_rng(7)
+    n, dim = 23, 8
+    m = rng.normal(size=(n, dim))
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    ids = np.arange(10, 10 + n)
+
+    tiled = {}
+    for va, vb, cs in gemm_upper_pairs(ids, m, tile=6):
+        for x, y, c in zip(va, vb, cs):
+            tiled[(int(x), int(y))] = float(c)
+
+    full = m @ m.T
+    iu = np.triu_indices(n, k=1)
+    want = {
+        (int(ids[i]), int(ids[j])): float(full[i, j])
+        for i, j in zip(iu[0], iu[1])
+    }
+    assert set(tiled) == set(want)
+    for k in want:
+        assert abs(tiled[k] - want[k]) < 1e-12, (k, tiled[k], want[k])
+
+
+def test_frame_sample_short_payload_emits_no_frames(spark, tmp_path):
+    """Payloads shorter than FRAME_BYTES must emit ZERO frames (Spark's
+    sequence(0,-1) is a descending two-element array — ungated it emits a
+    spurious frame 0 that DuckDB's empty generate_series never produces)."""
+    from iceberg_explorer_spark.operators.multimodal import (
+        FRAME_BYTES,
+        multimodal_frame_sample,
+    )
+
+    d = str(tmp_path / "frames_sf")
+    spark.createDataFrame(
+        [(1, "short"), (2, "x" * (FRAME_BYTES * 2 + 3))],
+        "doc_id long, text string",
+    ).write.parquet(f"{d}/documents.parquet")
+    rows = multimodal_frame_sample(spark, d).collect()
+    assert all(r["doc_id"] != 1 for r in rows)  # len("short") < FRAME_BYTES
+    assert sorted(r["frame_idx"] for r in rows if r["doc_id"] == 2) == [0]
