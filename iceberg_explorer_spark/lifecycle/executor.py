@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from iceberg_explorer_spark.errors import QueryNotFoundError, QueryTimeoutError
 from iceberg_explorer_spark.gate import validate_sql
 from iceberg_explorer_spark.lifecycle.models import QueryResult, QueryStatus
+from iceberg_explorer_spark.observability import QueryObserver, get_observer
 
 DEFAULT_TIMEOUT = 300.0
 MIN_TIMEOUT = 10.0
@@ -47,12 +48,14 @@ class QueryExecutor:
         min_timeout: float = MIN_TIMEOUT,
         max_timeout: float = MAX_TIMEOUT,
         max_rows: int = DEFAULT_MAX_ROWS,
+        observer: Optional[QueryObserver] = None,
     ) -> None:
         self.spark = spark
         self.default_timeout = default_timeout
         self.min_timeout = min_timeout
         self.max_timeout = max_timeout
         self.max_rows = max_rows
+        self.observer = observer or get_observer()
         self._registry: dict[uuid.UUID, QueryResult] = {}
         self._lock = threading.Lock()
 
@@ -68,7 +71,10 @@ class QueryExecutor:
         timeout: Optional[float] = None,
         max_rows: Optional[int] = None,
     ) -> QueryResult:
-        """Validate, run under a job group, enforce timeout and row cap."""
+        """Validate, run under a job group, enforce timeout and row cap.
+        Instrumented per A21: span + duration histogram + row counter +
+        active-queries gauge around the whole lifecycle (reference
+        query/executor.py:181-226)."""
         body = validate_sql(self.spark, sql)
         timeout_s = self.clamp_timeout(timeout)
         cap = max_rows if max_rows is not None else self.max_rows
@@ -77,6 +83,14 @@ class QueryExecutor:
         with self._lock:
             self._registry[result.query_id] = result
         result.status = QueryStatus.RUNNING
+        with self.observer.observe_query(result.query_id, body) as span:
+            out = self._execute_inner(result, body, timeout_s, cap)
+            span.rows_returned = result.metrics.rows_returned
+            return out
+
+    def _execute_inner(
+        self, result: QueryResult, body: str, timeout_s: float, cap: int
+    ) -> QueryResult:
 
         done = threading.Event()
         group = str(result.query_id)
