@@ -60,6 +60,7 @@ HEADLINE = [
     "percentile_approx_order_price",  # GK-sketch percentiles (scale path)
     "recursive_calendar_spine",   # WITH RECURSIVE month spine
     "events_variant_shred",       # VARIANT parse-once/extract-many
+    "multimodal_decode_features", # Arrow-batched real PPM decode
     "pipeline_token_shards",      # prefix-sum shard packing
 ]
 

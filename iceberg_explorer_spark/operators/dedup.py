@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from iceberg_explorer_spark.operators.registry import query
-from iceberg_explorer_spark.sources.registry import load_table
+from iceberg_explorer_spark.sources.registry import load_table, repartition_for_compute
 
 N_HASHES = 12
 N_BANDS = 4  # 3 rows per band
@@ -73,7 +73,7 @@ def _shingles_df(
     multiset equals min over its set), the distinct is a pure cost. The
     Jaccard intersection counts DO need set semantics and keep the default.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = repartition_for_compute(load_table(spark, sf_dir, "documents"))
     dw = docs.select("doc_id", _words().alias("w"))
     shingles = F.when(
         F.size("w") >= 3,
@@ -194,11 +194,31 @@ _LSH_CANDIDATES_SQL = f"""
 """
 
 
+#: 60-bit shingle identity (15 md5 hex chars) — the shuffle-friendly stand-in
+#: for the shingle string: 8 bytes instead of a ~30-byte string on every
+#: distinct/join, with collision probability ~n²/2^61 (≈4e-7 for a million
+#: distinct shingles). All shingle-set math (minhash, Jaccard) runs on it.
+_SHINGLE_HASH = "CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT)"
+
+
+def hashed_shingles(
+    spark: SparkSession, sf_dir: str, distinct: bool = True
+) -> DataFrame:
+    """(doc_id, hb) rows: the 60-bit hash of each (optionally distinct)
+    shingle. Distinct over the hash, never the string — the shuffle carries
+    16 bytes/row however long the shingles are."""
+    sh = _shingles_df(spark, sf_dir, distinct=False).select(
+        "doc_id", F.expr(_SHINGLE_HASH).alias("hb")
+    )
+    return sh.distinct() if distinct else sh
+
+
 def lsh_candidates(
     spark: SparkSession,
     sf_dir: str,
     shingles: DataFrame | None = None,
     max_bucket: int | None = LSH_MAX_BUCKET,
+    hashed: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs (doc_a, doc_b, n_shared_bands).
 
@@ -218,21 +238,22 @@ def lsh_candidates(
     expansion (see LSH_MAX_BUCKET) — the guard that keeps one hot bucket
     from going quadratic. ``None`` disables the cap (oracle-equivalent
     semantics at any size; only safe on bounded inputs).
+
+    ``hashed``: optional precomputed (doc_id, hb) 60-bit shingle hashes
+    (``hashed_shingles``) — the Jaccard verifier persists these once and
+    shares them here, so the corpus is tokenized and hashed exactly once.
     """
-    # non-distinct shingles by default: the dedup shuffle the Jaccard path
-    # needs is dead weight here
-    sh = (
-        shingles
-        if shingles is not None
-        else _shingles_df(spark, sf_dir, distinct=False)
-    )
-    hashed = sh.select(
-        "doc_id",
-        (
-            F.expr("CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT)")
-            % MINHASH_P
-        ).alias("hb"),
-    )
+    if hashed is None:
+        # non-distinct shingles by default: the dedup shuffle the Jaccard
+        # path needs is dead weight here (min over a multiset == min over
+        # its set)
+        sh = (
+            shingles
+            if shingles is not None
+            else _shingles_df(spark, sf_dir, distinct=False)
+        )
+        hashed = sh.select("doc_id", F.expr(_SHINGLE_HASH).alias("hb"))
+    hashed = hashed.select("doc_id", (F.col("hb") % MINHASH_P).alias("hb"))
     mins = []
     for i in range(N_HASHES):
         a, b = _lcg_params(i)
@@ -328,7 +349,7 @@ def _simhash_combine_sql() -> str:
     "aggregation — map-side partial sums make this cheap at any scale.",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = repartition_for_compute(load_table(spark, sf_dir, "documents"))
     toks = docs.select(
         "doc_id", F.explode(_words()).alias("word")
     ).withColumn("h", F.expr("CAST(conv(substr(md5(word), 1, 15), 16, 10) AS BIGINT)"))
@@ -372,28 +393,28 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bit-identical jaccard doubles.",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # the shingle set feeds both the LSH signatures and the verify stage —
-    # compute it once and persist. At 100 TB this is a checkpoint to parquet
-    # instead of a memory cache, but the plan principle is the same: never
-    # recompute the corpus scan.
-    sh = _shingles_df(spark, sf_dir).persist()
+    # the shingle-hash set feeds both the LSH signatures and the verify
+    # stage — compute it once and persist. The persisted identity is the
+    # 60-bit hash, not the string: the distinct shuffle and every downstream
+    # join/intersect carry 8-byte ints however long the shingles are. At
+    # 100 TB this is a checkpoint to parquet instead of a memory cache, but
+    # the plan principle is the same: never recompute the corpus scan.
+    sh = hashed_shingles(spark, sf_dir).persist()
     # candidate set is tiny relative to the corpus → persist it (it feeds
     # the pair join AND the candidate-doc semi-join filter; without the
     # persist each branch re-runs the whole MinHash pipeline) and broadcast
     cands = F.broadcast(
-        lsh_candidates(spark, sf_dir, shingles=sh)
+        lsh_candidates(spark, sf_dir, hashed=sh)
         .select("doc_a", "doc_b")
         .persist()
     )
     # Verify stage is pairwise set intersection, and |candidate docs| ≪
-    # corpus. So: semi-join the shingle table down to candidate docs (the
-    # ONLY shuffle of shingle data), fold each doc's shingles into one array
-    # row, and compute |A∩B| with JVM-side array_intersect per pair. This
-    # replaces the previous shape (full-corpus size aggregation + a
-    # (doc,shingle)-row equality join + per-pair groupBy — three corpus- or
-    # candidate-row-scale shuffles) with one candidate-scale shuffle and a
-    # broadcast pair join. Verify cost is ∝ Σ|candidate shingle sets|,
-    # independent of corpus size.
+    # corpus. So: semi-join the shingle-hash table down to candidate docs
+    # (the ONLY shuffle of shingle data), fold each doc's hashes into one
+    # array row, and compute |A∩B| with JVM-side array_intersect per pair.
+    # Verify cost is ∝ Σ|candidate shingle sets|, independent of corpus
+    # size. Hash sets stand in for string sets exactly (counts are over
+    # distinct identities; collision odds ~4e-7 per million shingles).
     cand_docs = (
         cands.select(F.col("doc_a").alias("doc_id"))
         .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
@@ -402,7 +423,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sets = (
         sh.join(F.broadcast(cand_docs), "doc_id", "left_semi")
         .groupBy("doc_id")
-        .agg(F.collect_list("s").alias("sh_set"))  # rows are pre-distinct
+        .agg(F.collect_list("hb").alias("sh_set"))  # rows are pre-distinct
     )
     a = sets.select(F.col("doc_id").alias("_da"), F.col("sh_set").alias("sh_a"))
     b = sets.select(F.col("doc_id").alias("_db"), F.col("sh_set").alias("sh_b"))

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from iceberg_explorer_spark.operators.registry import query
-from iceberg_explorer_spark.sources.registry import load_table
+from iceberg_explorer_spark.sources.registry import load_table, repartition_for_compute
 
 _DECODE_SCHEMA = (
     "doc_id bigint, decode_status string, format string, width int, "
@@ -181,7 +181,7 @@ def decode_features(binary_df: DataFrame) -> DataFrame:
     "decode needed. (documents.text stands in for the payload bytes.)",
 )
 def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = repartition_for_compute(load_table(spark, sf_dir, "documents"))
     payload = F.col("text").cast("binary")
     blen = F.octet_length(payload).cast("bigint")
     return docs.select(
@@ -235,7 +235,7 @@ def _ppm_mean_sql(channel: int) -> str:
     "bit-identical across engines.",
 )
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = repartition_for_compute(load_table(spark, sf_dir, "documents"))
     payload = F.concat(
         F.lit(_PPM_HEADER), F.substring(F.col("text").cast("binary"), 1, _PPM_PIX)
     )
@@ -271,7 +271,7 @@ FRAME_STRIDE = 4
     "stage (decode_features) AFTER sampling has cut the data volume.",
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = repartition_for_compute(load_table(spark, sf_dir, "documents"))
     payload = F.col("text").cast("binary")
     # FLOOR on both engines: a bare double→bigint cast truncates in Spark
     # but ROUNDS in DuckDB, silently changing the frame count

@@ -89,6 +89,23 @@ def shuffle_count(df: DataFrame) -> int:
     return total - broadcast
 
 
+def key_shuffle_count(df: DataFrame) -> int:
+    """Shuffles that move data BY KEY (hash/range partitioning).
+
+    Like ``shuffle_count`` but also excludes ``RoundRobinPartitioning``
+    exchanges — the small-file parallelism guard
+    (``sources.registry.repartition_for_compute``) inserts one before
+    CPU-heavy map stages at test scale, where it spreads a single-split scan
+    across cores and vanishes at real scale. Key shuffles are the semantic
+    data movement a plan's scale story is judged on; the round-robin spread
+    is deliberately not counted against the budget.
+    """
+    plan = physical_plan(df)
+    return shuffle_count(df) - len(
+        re.findall(r"Exchange RoundRobinPartitioning", plan)
+    )
+
+
 def has_partial_aggregate(df: DataFrame) -> bool:
     """True when the plan combines map-side (partial_*) before any exchange."""
     return bool(re.search(r"partial_\w+", physical_plan(df)))

@@ -58,6 +58,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def repartition_for_compute(df: DataFrame, min_factor: float = 0.5) -> DataFrame:
+    """Spread a narrow scan across the cluster before CPU-heavy map work.
+
+    Small-file skew guard: a table that fits one parquet split scans as ONE
+    partition, so everything before the first shuffle (tokenization, per-row
+    hashing, embedding math) runs on one core regardless of cluster size.
+    When the scan has fewer than ``min_factor ×`` defaultParallelism
+    partitions, round-robin repartition to defaultParallelism — a tiny
+    shuffle of the raw rows that unlocks full-width map stages. At real
+    scale (files ≥ maxPartitionBytes) the scan is already wide and this is
+    a no-op, so the guard never adds a shuffle where data size provides
+    parallelism naturally.
+
+    Only for operators whose per-row compute dominates the scan (shingling,
+    simhash, text scoring, decode); plain relational scans keep their
+    native partitioning.
+    """
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, int(target * min_factor)):
+        return df.repartition(target)
+    return df
+
+
 def register_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
 ) -> None:
