@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from iceberg_explorer_spark.operators.registry import query
-from iceberg_explorer_spark.sources.registry import load_table, repartition_for_compute
+from iceberg_explorer_spark.sources.registry import load_table
 
 N_HASHES = 12
 N_BANDS = 4  # 3 rows per band
@@ -73,7 +73,7 @@ def _shingles_df(
     multiset equals min over its set), the distinct is a pure cost. The
     Jaccard intersection counts DO need set semantics and keep the default.
     """
-    docs = repartition_for_compute(load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents")
     dw = docs.select("doc_id", _words().alias("w"))
     shingles = F.when(
         F.size("w") >= 3,
@@ -349,7 +349,7 @@ def _simhash_combine_sql() -> str:
     "aggregation — map-side partial sums make this cheap at any scale.",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = repartition_for_compute(load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(_words()).alias("word")
     ).withColumn("h", F.expr("CAST(conv(substr(md5(word), 1, 15), 16, 10) AS BIGINT)"))
@@ -528,7 +528,9 @@ def connected_components(
             ).alias("lbl"),
         )
         if rnd % checkpoint_every == 0:
-            new_labels = new_labels.localCheckpoint(eager=True)
+            # lazy: the convergence count below is the materializing action,
+            # so lineage truncation costs no extra job
+            new_labels = new_labels.localCheckpoint(eager=False)
         else:
             new_labels = new_labels.persist()
         changed = (

@@ -181,7 +181,7 @@ def decode_features(binary_df: DataFrame) -> DataFrame:
     "decode needed. (documents.text stands in for the payload bytes.)",
 )
 def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = repartition_for_compute(load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents")
     payload = F.col("text").cast("binary")
     blen = F.octet_length(payload).cast("bigint")
     return docs.select(
@@ -271,7 +271,7 @@ FRAME_STRIDE = 4
     "stage (decode_features) AFTER sampling has cut the data volume.",
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = repartition_for_compute(load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents")
     payload = F.col("text").cast("binary")
     # FLOOR on both engines: a bare double→bigint cast truncates in Spark
     # but ROUNDS in DuckDB, silently changing the frame count

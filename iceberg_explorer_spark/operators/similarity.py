@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from iceberg_explorer_spark.operators.registry import query
-from iceberg_explorer_spark.sources.registry import load_table, repartition_for_compute
+from iceberg_explorer_spark.sources.registry import load_table
 
 DIM = 64
 N_PLANES = 4  # 16 buckets; enough selectivity at test scale
@@ -197,7 +197,7 @@ def similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pairs. The bucketed self-join is the scalable all-pairs shape.",
 )
 def similarity_all_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = repartition_for_compute(load_table(spark, sf_dir, "embeddings"))
+    emb = load_table(spark, sf_dir, "embeddings")
     coded = _with_normalized(
         emb.withColumn("bucket", F.expr(_srp_code_sql("embedding")))
     ).select("vec_id", "ne", "bucket")
@@ -311,9 +311,7 @@ def _ivf_assign_sql_duckdb() -> str:
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    emb = _with_normalized(
-        repartition_for_compute(load_table(spark, sf_dir, "embeddings"))
-    )
+    emb = _with_normalized(load_table(spark, sf_dir, "embeddings"))
     cents = F.broadcast(
         emb.filter(F.col("vec_id") < IVF_K).select(
             F.col("vec_id").alias("cid"), F.col("ne").alias("ce")
@@ -405,7 +403,7 @@ def _bucket_pairs_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    emb = repartition_for_compute(load_table(spark, sf_dir, "embeddings"))
+    emb = load_table(spark, sf_dir, "embeddings")
     coded = _with_normalized(
         emb.withColumn("bucket", F.expr(_srp_code_sql("embedding")))
     ).select("vec_id", "ne", "bucket")

@@ -13,7 +13,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from iceberg_explorer_spark.operators.registry import query
-from iceberg_explorer_spark.sources.registry import load_table, repartition_for_compute
+from iceberg_explorer_spark.sources.registry import load_table
 
 PROFILE_TOP_N = 10
 PUNCT_CLASS = r"[.,!?;:]"
@@ -60,7 +60,7 @@ def _tokens(col: str = "text"):
     "aggregations — the profile is tiny and broadcasts.",
 )
 def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = repartition_for_compute(load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", "lang", F.explode(_tokens()).alias("word"))
     train = toks.filter(F.col("doc_id") % 5 == 0)
     wr = W.partitionBy("lang").orderBy(F.col("cnt").desc(), "word")
@@ -107,7 +107,7 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     "span — per-row JVM expressions, trivially parallel (no shuffle at all).",
 )
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = repartition_for_compute(load_table(spark, sf_dir, "documents")).filter(F.length("text") > 0)
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
     n_chars = F.length("text").cast("bigint")
     n_words = F.size(_tokens()).cast("bigint")
     n_punct = (
@@ -141,7 +141,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     "chars/4 estimate. One partial-aggregated shuffle on source.",
 )
 def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = repartition_for_compute(load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents")
     return docs.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(_tokens())).cast("bigint").alias("total_words"),
@@ -171,7 +171,7 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(sequence+transform, no Python); only (doc, digest) aggregates shuffle.",
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = repartition_for_compute(load_table(spark, sf_dir, "documents")).filter(F.length("text") >= 8)
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 8)
     grams = docs.select(
         "doc_id",
         F.explode(

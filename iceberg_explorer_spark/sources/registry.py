@@ -71,9 +71,11 @@ def repartition_for_compute(df: DataFrame, min_factor: float = 0.5) -> DataFrame
     a no-op, so the guard never adds a shuffle where data size provides
     parallelism naturally.
 
-    Only for operators whose per-row compute dominates the scan (shingling,
-    simhash, text scoring, decode); plain relational scans keep their
-    native partitioning.
+    Only for operators whose per-row PYTHON compute dominates the scan
+    (mapInPandas decode) — measured at sf0.1, JVM-expression map work
+    (shingling, text scoring, hashing) is cheap enough that the extra
+    exchange costs more than single-core execution of the pre-shuffle
+    stage, so those paths keep the native scan partitioning.
     """
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
