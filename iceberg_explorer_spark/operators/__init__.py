@@ -8,9 +8,11 @@ SURVEY §2B category, and the extension operators (dedup/similarity/events/
 text/multimodal/pipeline). Queries outside the window are redundant variants
 of in-window categories (e.g. the interpreted twin of the GEMM all-pairs
 engine, the SQL-API grouping-sets variant of rollup/cube, the
-get_json_object twin of the VARIANT shredder) or no-oracle sketch ops whose
-local tests bound them against exact answers — all remain fully covered by
-tests/test_differential.py.
+get_json_object twin of the VARIANT shredder), no-oracle sketch ops whose
+local tests bound them against exact answers, or queries the round-1 driver
+already verified green (distinct/full-outer/set-ops/scalar-string — displaced
+to make room for never-checked extension operators) — all remain fully
+covered by tests/test_differential.py.
 """
 
 from iceberg_explorer_spark.operators.registry import QUERIES, QuerySpec, query  # noqa: F401
@@ -33,7 +35,6 @@ _CHECK_WINDOW = [
     "filter_projection",
     # aggregations
     "pricing_summary",
-    "distinct_customers_per_priority",
     "rollup_quantity",
     "cube_order_status",
     "pivot_status_by_flag",
@@ -42,7 +43,6 @@ _CHECK_WINDOW = [
     # joins
     "join_revenue_by_nation",
     "left_join_order_lines",
-    "full_outer_nation_balance",
     "semi_join_active_customers",
     "range_join_ship_window",
     "asof_join_purchase_click",
@@ -58,8 +58,6 @@ _CHECK_WINDOW = [
     "window_range_moving_revenue",
     # sorts / set ops / scalar core / lateral
     "topk_orders",
-    "set_ops_nation_presence",
-    "scalar_string_math",
     "scalar_date_functions",
     "null_semantics",
     "explode_word_frequencies",
@@ -85,10 +83,14 @@ _CHECK_WINDOW = [
     # text
     "text_language_id",
     "text_token_count",
+    "text_decontaminate",
+    "text_pii_redact",
+    "text_repetition_filter",
     # multimodal + pipeline
     "multimodal_metadata",
     "multimodal_decode_features",
     "pipeline_token_shards",
+    "pipeline_domain_mix",
 ]
 
 

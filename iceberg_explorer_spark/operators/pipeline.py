@@ -138,6 +138,86 @@ def pipeline_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Domain-mix target: sample every source down toward 0.4 × the mean
+#: per-source count (production: a per-domain token-budget config). The
+#: keep decision hashes the row key against a 1/10000 rate grid.
+MIX_FRACTION = 0.4
+MIX_GRID = 10_000
+
+
+@query(
+    "pipeline_domain_mix",
+    oracle=f"""
+    WITH counts AS (
+      SELECT source, COUNT(*) AS n_total FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(CEIL({MIX_FRACTION} * SUM(n_total) / COUNT(*)) AS BIGINT)
+        AS target_n
+      FROM counts
+    ),
+    rates AS (
+      SELECT source, n_total,
+             CAST(FLOOR(LEAST(1.0, target_n * 1.0 / n_total) * {MIX_GRID})
+                  AS BIGINT) AS thr
+      FROM counts, tot
+    )
+    SELECT d.source,
+           r.n_total,
+           COUNT(*) FILTER (
+             WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+                   % {MIX_GRID} < r.thr
+           ) AS n_kept,
+           r.thr * 1.0 / {MIX_GRID} AS target_rate
+    FROM documents d JOIN rates r ON d.source = r.source
+    GROUP BY d.source, r.n_total, r.thr
+    """,
+    doc="Domain-mixture rebalancing: per-source keep rates are COMPUTED from "
+    "the data (rate = target/count, capped at 1) to pull every domain toward "
+    "a target mixture, then applied as a deterministic row-key-hash "
+    "predicate. Two-phase plan: per-source counts (one tiny aggregation) "
+    "broadcast back onto the corpus as a map-side join + filterless "
+    "conditional count — the full corpus is scanned once and never "
+    "shuffled; the rate table is O(#domains). Differs from "
+    "pipeline_stratified_sample, whose quotas are config constants: here "
+    "the rates react to the observed distribution, the shape used to "
+    "rebalance a crawl dump against a domain budget.",
+)
+def pipeline_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    target = counts.agg(
+        F.ceil(MIX_FRACTION * F.sum("n_total") / F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("target_n")
+    )
+    rates = counts.crossJoin(F.broadcast(target)).select(
+        "source",
+        "n_total",
+        F.floor(
+            F.least(F.lit(1.0), F.col("target_n") * 1.0 / F.col("n_total"))
+            * MIX_GRID
+        )
+        .cast("bigint")
+        .alias("thr"),
+    )
+    bucket = F.expr(
+        f"CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+        f" % {MIX_GRID}"
+    )
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .groupBy("source", "n_total", "thr")
+        .agg(F.count(F.when(bucket < F.col("thr"), 1)).alias("n_kept"))
+        .select(
+            "source",
+            "n_total",
+            "n_kept",
+            (F.col("thr") * 1.0 / MIX_GRID).alias("target_rate"),
+        )
+    )
+
+
 #: target tokens per training shard (tiny for test data; production ~100M)
 SHARD_TOKENS = 4096
 

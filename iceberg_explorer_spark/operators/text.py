@@ -153,6 +153,230 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+#: Decontamination benchmark membership: doc_id % BENCH_MOD == 0 stands in
+#: for "this document is in an eval benchmark" (production: a real benchmark
+#: corpus registered as its own table).
+BENCH_MOD = 50
+
+
+@query(
+    "text_decontaminate",
+    oracle=r"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+            FROM documents) words,
+           UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+      WHERE len(w) >= 3
+    ),
+    hashed AS (
+      SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS hb FROM sh
+    ),
+    bench AS (SELECT DISTINCT hb FROM hashed WHERE doc_id % 50 = 0)
+    SELECT h.doc_id,
+           COUNT(*) AS n_grams,
+           COUNT(b.hb) AS n_contaminated,
+           COUNT(b.hb) * 1.0 / COUNT(*) AS contamination_ratio
+    FROM hashed h LEFT JOIN bench b ON h.hb = b.hb
+    WHERE h.doc_id % 50 <> 0
+    GROUP BY h.doc_id
+    """,
+    doc="Benchmark decontamination: flag training documents sharing any "
+    "3-word shingle with the benchmark set (doc_id % 50 == 0 stands in for "
+    "eval membership). Scale shape: benchmark shingles reduce to DISTINCT "
+    "60-bit hashes — a few MB per benchmark suite however big the corpus — "
+    "and BROADCAST into a map-side left join with an is-bench indicator, so "
+    "contamination marking never shuffles corpus shingles; the only key "
+    "shuffle is the per-doc count aggregation (map-side partials). "
+    "reference: no analogue — training-pipeline extension.",
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_explorer_spark.operators.dedup import hashed_shingles
+
+    sh = hashed_shingles(spark, sf_dir)  # distinct (doc_id, hb)
+    bench = (
+        sh.filter(F.col("doc_id") % BENCH_MOD == 0)
+        .select("hb")
+        .distinct()
+        .withColumn("is_bench", F.lit(1))
+    )
+    ev = sh.filter(F.col("doc_id") % BENCH_MOD != 0)
+    marked = ev.join(F.broadcast(bench), "hb", "left")
+    n_grams = F.count(F.lit(1)).alias("n_grams")
+    n_cont = F.count("is_bench").alias("n_contaminated")
+    return (
+        marked.groupBy("doc_id")
+        .agg(n_grams, n_cont)
+        .withColumn(
+            "contamination_ratio",
+            F.col("n_contaminated") * 1.0 / F.col("n_grams"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+#: PII patterns — identical regex text for Java (Spark) and RE2 (DuckDB):
+#: ASCII classes, bounded quantifiers, \b word boundaries only.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+#: corpus-matching quasi-entity ("customer <word>") so the driver-checked
+#: run exercises nonzero matches on the synthetic corpus; the email/phone
+#: branches are exercised with crafted payloads in tests/test_text_ops.py
+ENTITY_RE = r"\bcustomer [a-z]+\b"
+
+
+@query(
+    "text_pii_redact",
+    oracle=f"""
+    WITH red AS (
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text, '{EMAIL_RE}', '[EMAIL]', 'g'),
+                 '{PHONE_RE}', '[PHONE]', 'g'),
+               '{ENTITY_RE}', '[ENTITY]', 'g') AS redacted,
+             len(regexp_extract_all(text, '{EMAIL_RE}')) AS n_emails,
+             len(regexp_extract_all(text, '{PHONE_RE}')) AS n_phones,
+             len(regexp_extract_all(text, '{ENTITY_RE}')) AS n_entities
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_emails AS BIGINT) AS n_emails,
+           CAST(n_phones AS BIGINT) AS n_phones,
+           CAST(n_entities AS BIGINT) AS n_entities,
+           md5(redacted) AS redacted_digest,
+           CAST(LENGTH(redacted) AS BIGINT) AS redacted_len
+    FROM red
+    """,
+    doc="PII detection + redaction: count and replace emails, phone numbers "
+    "and quasi-entity mentions per document; surface the redacted text's "
+    "digest and length so the rewrite itself is correctness-gated, not just "
+    "the counts. Pure per-row JVM regex (whole-stage codegen, no shuffle at "
+    "all) — the embarrassingly-parallel shape that scales linearly with "
+    "executors. Patterns restricted to the Java∩RE2 common subset so both "
+    "engines match identical spans.",
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("text", EMAIL_RE, "[EMAIL]"),
+            PHONE_RE,
+            "[PHONE]",
+        ),
+        ENTITY_RE,
+        "[ENTITY]",
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(EMAIL_RE)).cast("bigint").alias("n_emails"),
+        F.regexp_count("text", F.lit(PHONE_RE)).cast("bigint").alias("n_phones"),
+        F.regexp_count("text", F.lit(ENTITY_RE)).cast("bigint").alias("n_entities"),
+        F.md5(redacted.cast("binary")).alias("redacted_digest"),
+        F.length(redacted).cast("bigint").alias("redacted_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+#: Repetition-filter thresholds (Gopher-style repetitive-text signals)
+TOP_WORD_FRAC_MAX = 0.125
+DUP_2GRAM_FRAC_MAX = 0.4
+
+
+@query(
+    "text_repetition_filter",
+    oracle=rf"""
+    WITH words AS (
+      SELECT doc_id,
+             UNNEST(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
+      FROM documents
+    ),
+    wc AS (
+      SELECT doc_id, word, COUNT(*) AS cnt FROM words GROUP BY doc_id, word
+    ),
+    wstats AS (
+      SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_words,
+             CAST(MAX(cnt) AS BIGINT) AS max_word_cnt
+      FROM wc GROUP BY doc_id
+    ),
+    grams AS (
+      SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+      FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+            FROM documents) t,
+           UNNEST(generate_series(1, len(w) - 1)) AS u(i)
+      WHERE len(w) >= 2
+    ),
+    gstats AS (
+      SELECT doc_id, COUNT(*) AS n_2grams,
+             COUNT(DISTINCT g) AS n_distinct_2grams
+      FROM grams GROUP BY doc_id
+    )
+    SELECT w.doc_id,
+           w.n_words,
+           w.max_word_cnt * 1.0 / w.n_words AS top_word_frac,
+           (g.n_2grams - g.n_distinct_2grams) * 1.0 / g.n_2grams
+             AS dup_2gram_frac,
+           (w.max_word_cnt * 1.0 / w.n_words > {TOP_WORD_FRAC_MAX}
+            OR (g.n_2grams - g.n_distinct_2grams) * 1.0 / g.n_2grams
+               > {DUP_2GRAM_FRAC_MAX}) AS is_repetitive
+    FROM wstats w JOIN gstats g ON w.doc_id = g.doc_id
+    """,
+    doc="Repetition filtering (Gopher-style): per-document top-word "
+    "fraction and duplicate-2-gram fraction, flagged against fixed "
+    "thresholds — the standard removing-repetitive-text gate before "
+    "training. Two word-level aggregations keyed on doc_id (map-side "
+    "partials, counts only ever shuffle) joined on the high-cardinality "
+    "doc key; ratios are int/int divisions so the doubles and the boolean "
+    "flag are bit-identical across engines.",
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.explode(_tokens()).alias("word"))
+    wstats = (
+        words.groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_words"),
+            F.max("cnt").cast("bigint").alias("max_word_cnt"),
+        )
+    )
+    dw = docs.select("doc_id", _tokens().alias("w"))
+    grams2 = dw.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("w") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at("w", i), F.element_at("w", i + 1)
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("g"),
+    )
+    gstats = grams2.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_2grams"),
+        F.countDistinct("g").alias("n_distinct_2grams"),
+    )
+    top_word_frac = F.col("max_word_cnt") * 1.0 / F.col("n_words")
+    dup_2gram_frac = (
+        (F.col("n_2grams") - F.col("n_distinct_2grams")) * 1.0 / F.col("n_2grams")
+    )
+    return wstats.join(gstats, "doc_id").select(
+        "doc_id",
+        "n_words",
+        top_word_frac.alias("top_word_frac"),
+        dup_2gram_frac.alias("dup_2gram_frac"),
+        (
+            (top_word_frac > TOP_WORD_FRAC_MAX)
+            | (dup_2gram_frac > DUP_2GRAM_FRAC_MAX)
+        ).alias("is_repetitive"),
+    )
+
+
+# ---------------------------------------------------------------------------
 @query(
     "text_fingerprint",
     oracle="""
