@@ -43,7 +43,10 @@ HEADLINE = [
     "similarity_bruteforce_topk", # embedding top-k
     "similarity_ivf_topk",        # IVF probe ANN
     "similarity_knn_join",        # batch k-NN for every vector
-    "similarity_all_pairs_topk",  # bucketed all-pairs (JVM lambdas)
+    # similarity_all_pairs_topk is deliberately NOT a headline: it is the
+    # interpreted-lambda TWIN of similarity_bucket_gemm (identical output,
+    # kept as the GEMM engine's cross-check in tests/test_differential.py) —
+    # benchmarking both double-counts one operator.
     "similarity_bucket_gemm",     # bucketed all-pairs (Arrow + BLAS)
     "dedup_embedding_cosine",     # embedding near-dedup
     "text_language_id",           # profile classifier

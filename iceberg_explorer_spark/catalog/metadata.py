@@ -108,23 +108,29 @@ class CatalogService:
 
     # -- A10 (reference catalog/service.py:108-129)
     def list_namespaces(self, parent: Optional[list[str]] = None) -> list[list[str]]:
-        target = self._qualify(parent) if parent else (self.catalog or "")
-        sql = f"SHOW NAMESPACES IN {target}" if target else "SHOW NAMESPACES"
-        try:
-            rows = self.spark.sql(sql).collect()
-        except Exception:
-            return []
-        out = []
-        for r in rows:
-            ns = r[0]
-            out.append((parent or []) + [ns.split(".")[-1]])
-        return sorted(out)
+        from iceberg_explorer_spark.observability import observe_call
+
+        with observe_call("catalog.list_namespaces"):
+            target = self._qualify(parent) if parent else (self.catalog or "")
+            sql = f"SHOW NAMESPACES IN {target}" if target else "SHOW NAMESPACES"
+            try:
+                rows = self.spark.sql(sql).collect()
+            except Exception:
+                return []
+            out = []
+            for r in rows:
+                ns = r[0]
+                out.append((parent or []) + [ns.split(".")[-1]])
+            return sorted(out)
 
     # -- A11 (reference catalog/service.py:131-146)
     def list_tables(self, namespace: list[str]) -> list[str]:
-        sql = f"SHOW TABLES IN {self._qualify(namespace)}" if namespace else "SHOW TABLES"
-        rows = self.spark.sql(sql).collect()
-        return sorted(r["tableName"] for r in rows if not r["isTemporary"] or not namespace)
+        from iceberg_explorer_spark.observability import observe_call
+
+        with observe_call("catalog.list_tables"):
+            sql = f"SHOW TABLES IN {self._qualify(namespace)}" if namespace else "SHOW TABLES"
+            rows = self.spark.sql(sql).collect()
+            return sorted(r["tableName"] for r in rows if not r["isTemporary"] or not namespace)
 
     # -- A13 (reference api/routes/catalog.py:184-288)
     def table_schema(self, namespace: list[str], table: str) -> list[SchemaField]:
@@ -161,6 +167,12 @@ class CatalogService:
 
     # -- A12 (reference catalog/service.py:148-202)
     def table_details(self, namespace: list[str], table: str) -> TableDetails:
+        from iceberg_explorer_spark.observability import observe_call
+
+        with observe_call("catalog.table_details", table=table):
+            return self._table_details(namespace, table)
+
+    def _table_details(self, namespace: list[str], table: str) -> TableDetails:
         ident = self._qualify(namespace, table)
         details = TableDetails(name=table, namespace=list(namespace))
         try:

@@ -29,10 +29,70 @@ import threading
 import time
 import uuid
 from contextlib import contextmanager
+from contextvars import ContextVar
 from dataclasses import dataclass, field
 from typing import Iterator, Optional
 
 logger = logging.getLogger("iceberg_explorer_spark")
+
+#: Request-scoped correlation id (reference observability.py:104-150 injects
+#: trace/span ids into every structured log line). ContextVar so one id
+#: follows a request across catalog/query/export/health calls — including
+#: through asyncio — without any framework dependency.
+_REQUEST_ID: ContextVar[Optional[str]] = ContextVar(
+    "iceberg_explorer_spark_request_id", default=None
+)
+
+
+@contextmanager
+def request_context(request_id: Optional[str] = None) -> Iterator[str]:
+    """Bind a correlation id for the duration of one service request.
+
+    Every span and log line emitted inside the block carries the same id, so
+    a query + its catalog lookups + its export read as ONE request in the
+    logs — the reference's trace-context behavior without requiring OTel.
+    """
+    rid = request_id or uuid.uuid4().hex[:16]
+    token = _REQUEST_ID.set(rid)
+    try:
+        yield rid
+    finally:
+        _REQUEST_ID.reset(token)
+
+
+def current_request_id() -> Optional[str]:
+    return _REQUEST_ID.get()
+
+
+@contextmanager
+def observe_call(name: str, **attributes) -> Iterator["SpanRecord"]:
+    """Correlated span around a non-query service call (catalog list/detail,
+    export, health probe). Records into the same Recorder as query spans and
+    logs one line tagged with the bound request id."""
+    span = SpanRecord(
+        name=name,
+        query_id="",
+        request_id=current_request_id(),
+        attributes=dict(attributes),
+    )
+    start = time.perf_counter()
+    try:
+        yield span
+        span.status = "ok"
+    except Exception as exc:
+        span.status = "error"
+        span.error = str(exc)
+        raise
+    finally:
+        span.duration_s = time.perf_counter() - start
+        get_observer().recorder.add_span(span)
+        logger.info(
+            "call %s %s request=%s duration=%.3fs",
+            name,
+            span.status,
+            span.request_id or "-",
+            span.duration_s,
+        )
 
 try:  # pragma: no cover - exercised only when OTel is installed
     from opentelemetry import metrics as _otel_metrics
@@ -51,6 +111,7 @@ class SpanRecord:
     duration_s: float = 0.0
     rows_returned: int = 0
     error: Optional[str] = None
+    request_id: Optional[str] = None
     attributes: dict = field(default_factory=dict)
 
 
@@ -124,6 +185,7 @@ class QueryObserver:
         span = SpanRecord(
             name="spark.query",
             query_id=str(query_id),
+            request_id=current_request_id(),
             attributes={"sql.length": len(sql)},
         )
         start = time.perf_counter()
@@ -162,9 +224,10 @@ class QueryObserver:
                     self._active.add(-1)
                 otel_cm.__exit__(None, None, None)
             logger.info(
-                "query %s %s duration=%.3fs rows=%d",
+                "query %s %s request=%s duration=%.3fs rows=%d",
                 span.query_id,
                 span.status,
+                span.request_id or "-",
                 span.duration_s,
                 span.rows_returned,
             )

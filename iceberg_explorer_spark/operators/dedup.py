@@ -176,6 +176,9 @@ def _bands_sql(rows_per_band: int = 3) -> str:
     return " UNION ALL ".join(selects)
 
 
+#: The oracle mirrors LSH_MAX_BUCKET: buckets above the cap are dropped
+#: before pair expansion on BOTH engines, so the declared semantics (and the
+#: differential gate) agree on any corpus, not just ones without hot buckets.
 _LSH_CANDIDATES_SQL = f"""
     WITH sh AS ({_SHINGLE_SQL}),
     hashed AS (
@@ -184,9 +187,17 @@ _LSH_CANDIDATES_SQL = f"""
     ),
     sig AS (SELECT doc_id, {_minhash_agg_sql()} FROM hashed GROUP BY doc_id),
     bands AS ({_bands_sql()}),
+    ok_buckets AS (
+      SELECT band, bkey FROM bands GROUP BY band, bkey
+      HAVING COUNT(*) BETWEEN 2 AND {LSH_MAX_BUCKET}
+    ),
+    capped AS (
+      SELECT b.* FROM bands b
+      JOIN ok_buckets k ON b.band = k.band AND b.bkey = k.bkey
+    ),
     cand AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.band
-      FROM bands a JOIN bands b
+      FROM capped a JOIN capped b
         ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
     )
     SELECT doc_a, doc_b, COUNT(*) AS n_shared_bands
@@ -365,17 +376,93 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+#: Per-doc shingle-set bound for the Jaccard verify stage. collect_list
+#: materializes one array per doc; without a bound, a pathological document
+#: (a 1 M-word concatenation, a log dump) makes that array — and the
+#: array_intersect over it — arbitrarily large. Docs above the cap keep
+#: their ``max_doc_shingles`` SMALLEST shingle hashes: a deterministic
+#: bottom-k (KMV) sketch, mirrored exactly in the oracle SQL, under which
+#: the verify becomes the standard bottom-k Jaccard estimate for oversized
+#: docs and stays EXACT for every doc under the cap (any real corpus after
+#: an upstream length filter).
+JACCARD_MAX_DOC_SHINGLES = 1 << 16
+
+
+def jaccard_verify(
+    cands: DataFrame,
+    sh: DataFrame,
+    threshold: float = 0.8,
+    max_doc_shingles: int = JACCARD_MAX_DOC_SHINGLES,
+) -> DataFrame:
+    """Pairwise shingle-set Jaccard for candidate pairs.
+
+    ``cands``: (doc_a, doc_b) pairs — tiny by construction, broadcast.
+    ``sh``: (doc_id, hb) DISTINCT 60-bit shingle hashes for the corpus.
+
+    Verify cost is ∝ Σ|candidate shingle sets|, independent of corpus size:
+    the shingle table is semi-joined down to candidate docs (the ONLY
+    shuffle of shingle data), capped per doc (bottom-k window — the sort is
+    per-doc, spillable, and the materialized array is ≤ max_doc_shingles
+    longs), folded to one array row per doc, and |A∩B| is JVM-side
+    array_intersect per pair. Hash sets stand in for string sets exactly
+    (counts are over distinct identities; collision odds ~4e-7 per million
+    shingles).
+    """
+    from pyspark.sql.window import Window
+
+    cands = F.broadcast(cands)
+    cand_docs = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    capped = (
+        sh.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("doc_id").orderBy("hb")),
+        )
+        .filter(F.col("rn") <= max_doc_shingles)
+    )
+    sets = capped.groupBy("doc_id").agg(
+        F.collect_list("hb").alias("sh_set")  # rows are pre-distinct
+    )
+    a = sets.select(F.col("doc_id").alias("_da"), F.col("sh_set").alias("sh_a"))
+    b = sets.select(F.col("doc_id").alias("_db"), F.col("sh_set").alias("sh_b"))
+    n_common = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+    j = F.col("n_common") * 1.0 / (
+        F.size("sh_a") + F.size("sh_b") - F.col("n_common")
+    )
+    return (
+        cands.join(a, F.col("doc_a") == F.col("_da"))
+        .join(b, F.col("doc_b") == F.col("_db"))
+        .withColumn("n_common", n_common)
+        .select("doc_a", "doc_b", "n_common", j.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 @query(
     "dedup_ngram_jaccard",
     oracle=f"""
     WITH cands AS ({_LSH_CANDIDATES_SQL}),
     sh AS ({_SHINGLE_SQL}),
-    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    shh AS (
+      SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS hb FROM sh
+    ),
+    capped AS (
+      SELECT doc_id, hb FROM (
+        SELECT doc_id, hb,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hb) AS rn
+        FROM shh
+      ) WHERE rn <= {JACCARD_MAX_DOC_SHINGLES}
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM capped GROUP BY doc_id),
     inter AS (
       SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
       FROM cands c
-      JOIN sh a ON a.doc_id = c.doc_a
-      JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+      JOIN capped a ON a.doc_id = c.doc_a
+      JOIN capped b ON b.doc_id = c.doc_b AND b.hb = a.hb
       GROUP BY c.doc_a, c.doc_b
     )
     SELECT i.doc_a, i.doc_b, i.n_common,
@@ -389,8 +476,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "0.8) — the standard two-stage near-dup pipeline. A raw shingle "
     "self-join would be O(Σ shingle-freq²) and blows up when shingles are "
     "common; restricting the intersection join to candidate pairs keeps the "
-    "verify stage proportional to |candidates|. Integer counts → "
-    "bit-identical jaccard doubles.",
+    "verify stage proportional to |candidates|. Per-doc sets are bounded by "
+    "the bottom-k cap (JACCARD_MAX_DOC_SHINGLES), mirrored in the oracle. "
+    "Integer counts → bit-identical jaccard doubles.",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the shingle-hash set feeds both the LSH signatures and the verify
@@ -402,42 +490,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = hashed_shingles(spark, sf_dir).persist()
     # candidate set is tiny relative to the corpus → persist it (it feeds
     # the pair join AND the candidate-doc semi-join filter; without the
-    # persist each branch re-runs the whole MinHash pipeline) and broadcast
-    cands = F.broadcast(
+    # persist each branch re-runs the whole MinHash pipeline)
+    cands = (
         lsh_candidates(spark, sf_dir, hashed=sh)
         .select("doc_a", "doc_b")
         .persist()
     )
-    # Verify stage is pairwise set intersection, and |candidate docs| ≪
-    # corpus. So: semi-join the shingle-hash table down to candidate docs
-    # (the ONLY shuffle of shingle data), fold each doc's hashes into one
-    # array row, and compute |A∩B| with JVM-side array_intersect per pair.
-    # Verify cost is ∝ Σ|candidate shingle sets|, independent of corpus
-    # size. Hash sets stand in for string sets exactly (counts are over
-    # distinct identities; collision odds ~4e-7 per million shingles).
-    cand_docs = (
-        cands.select(F.col("doc_a").alias("doc_id"))
-        .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
-    )
-    sets = (
-        sh.join(F.broadcast(cand_docs), "doc_id", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.collect_list("hb").alias("sh_set"))  # rows are pre-distinct
-    )
-    a = sets.select(F.col("doc_id").alias("_da"), F.col("sh_set").alias("sh_a"))
-    b = sets.select(F.col("doc_id").alias("_db"), F.col("sh_set").alias("sh_b"))
-    n_common = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
-    j = F.col("n_common") * 1.0 / (
-        F.size("sh_a") + F.size("sh_b") - F.col("n_common")
-    )
-    return (
-        cands.join(a, F.col("doc_a") == F.col("_da"))
-        .join(b, F.col("doc_b") == F.col("_db"))
-        .withColumn("n_common", n_common)
-        .select("doc_a", "doc_b", "n_common", j.alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.8)
-    )
+    return jaccard_verify(cands, sh)
 
 
 # ---------------------------------------------------------------------------
@@ -496,11 +555,15 @@ def connected_components(
     rounds. Two scale guards:
 
     - every ``checkpoint_every`` rounds the label table is
-      ``localCheckpoint(eager=True)``'d, truncating the per-round lineage
-      chain — without it the logical plan, scheduler re-plan cost, and
-      failure-recovery recomputation all grow linearly with rounds;
+      ``localCheckpoint(eager=False)``'d — LAZY, because the convergence
+      count in the same round is the materializing action, so lineage
+      truncation costs no extra job. Without it the logical plan, scheduler
+      re-plan cost, and failure-recovery recomputation all grow linearly
+      with rounds;
     - ``max_rounds`` bounds the loop; hitting it raises rather than
-      silently returning half-merged components.
+      silently returning half-merged components (with ``und`` and the last
+      label table unpersisted first — no cache leak in a long-lived
+      session).
     """
     und = edges.unionByName(
         edges.select(
@@ -513,42 +576,46 @@ def connected_components(
         .withColumn("lbl", F.col("doc_id"))
         .persist()
     )
-    for rnd in range(1, max_rounds + 1):
-        neighbor_min = (
-            und.join(labels, und.doc_a == labels.doc_id)
-            .groupBy(F.col("doc_b").alias("nid"))
-            .agg(F.min("lbl").alias("nlbl"))
-        )
-        new_labels = labels.join(
-            neighbor_min, labels.doc_id == F.col("nid"), "left"
-        ).select(
-            "doc_id",
-            F.least(
-                F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))
-            ).alias("lbl"),
-        )
-        if rnd % checkpoint_every == 0:
-            # lazy: the convergence count below is the materializing action,
-            # so lineage truncation costs no extra job
-            new_labels = new_labels.localCheckpoint(eager=False)
-        else:
-            new_labels = new_labels.persist()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            und.unpersist()
-            return labels.select(
-                F.col("doc_id").alias("node"), F.col("lbl").alias("component")
+    try:
+        for rnd in range(1, max_rounds + 1):
+            neighbor_min = (
+                und.join(labels, und.doc_a == labels.doc_id)
+                .groupBy(F.col("doc_b").alias("nid"))
+                .agg(F.min("lbl").alias("nlbl"))
             )
-    raise RuntimeError(
-        f"connected_components did not converge in {max_rounds} rounds"
-    )
+            new_labels = labels.join(
+                neighbor_min, labels.doc_id == F.col("nid"), "left"
+            ).select(
+                "doc_id",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+            if rnd % checkpoint_every == 0:
+                # lazy: the convergence count below is the materializing
+                # action, so lineage truncation costs no extra job
+                new_labels = new_labels.localCheckpoint(eager=False)
+            else:
+                new_labels = new_labels.persist()
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "doc_id")
+                .filter(F.col("n.lbl") != F.col("o.lbl"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                return labels.select(
+                    F.col("doc_id").alias("node"),
+                    F.col("lbl").alias("component"),
+                )
+        labels.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds"
+        )
+    finally:
+        und.unpersist()
 
 
 # ---------------------------------------------------------------------------

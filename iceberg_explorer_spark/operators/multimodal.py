@@ -201,11 +201,19 @@ _PPM_HEADER = b"P6\n2 2\n255\n"
 _PPM_PIX = _PPM_W * _PPM_H * 3
 
 
+#: Both engines frame the SAME ascii-sanitized projection of the text (strip
+#: every non-ASCII char before byte-framing). DuckDB cannot slice BLOBs, so
+#: its side of the oracle is necessarily character-based — sanitizing first
+#: makes chars == bytes BY CONSTRUCTION instead of by corpus accident, so a
+#: future non-ASCII document cannot diverge the gate.
+_ASCII_ONLY_RE = r"[^\x01-\x7F]"
+
+
 def _ppm_mean_sql(channel: int) -> str:
-    """DuckDB per-channel mean over the text bytes the payload embeds
-    (ASCII corpus: ord(char) == byte, as with the frame digests)."""
+    """DuckDB per-channel mean over the ascii-sanitized text bytes the
+    payload embeds (``t``: chars == bytes by construction)."""
     terms = " + ".join(
-        f"ord(substr(text, {channel + 1 + 3 * p}, 1))" for p in range(_PPM_W * _PPM_H)
+        f"ord(substr(t, {channel + 1 + 3 * p}, 1))" for p in range(_PPM_W * _PPM_H)
     )
     return f"({terms}) / {float(_PPM_W * _PPM_H)}"
 
@@ -213,17 +221,21 @@ def _ppm_mean_sql(channel: int) -> str:
 @query(
     "multimodal_decode_features",
     oracle=f"""
+    WITH a AS (
+      SELECT doc_id, regexp_replace(text, '{_ASCII_ONLY_RE}', '', 'g') AS t
+      FROM documents
+    )
     SELECT doc_id,
-           CASE WHEN length(text) >= {_PPM_PIX} THEN 'ok' ELSE 'truncated' END
+           CASE WHEN length(t) >= {_PPM_PIX} THEN 'ok' ELSE 'truncated' END
              AS decode_status,
            'ppm' AS format,
            CAST({_PPM_W} AS INTEGER) AS width,
            CAST({_PPM_H} AS INTEGER) AS height,
            CAST(3 AS INTEGER) AS n_channels,
-           CASE WHEN length(text) >= {_PPM_PIX} THEN {_ppm_mean_sql(0)} END AS mean_c0,
-           CASE WHEN length(text) >= {_PPM_PIX} THEN {_ppm_mean_sql(1)} END AS mean_c1,
-           CASE WHEN length(text) >= {_PPM_PIX} THEN {_ppm_mean_sql(2)} END AS mean_c2
-    FROM documents
+           CASE WHEN length(t) >= {_PPM_PIX} THEN {_ppm_mean_sql(0)} END AS mean_c0,
+           CASE WHEN length(t) >= {_PPM_PIX} THEN {_ppm_mean_sql(1)} END AS mean_c1,
+           CASE WHEN length(t) >= {_PPM_PIX} THEN {_ppm_mean_sql(2)} END AS mean_c2
+    FROM a
     """,
     doc="Arrow-batched decode pipeline with a REAL decoder: each document's "
     "first 12 bytes are framed as a 2×2 binary PPM (header built JVM-side), "
@@ -236,8 +248,9 @@ def _ppm_mean_sql(channel: int) -> str:
 )
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = repartition_for_compute(load_table(spark, sf_dir, "documents"))
+    ascii_text = F.regexp_replace(F.col("text"), _ASCII_ONLY_RE, "")
     payload = F.concat(
-        F.lit(_PPM_HEADER), F.substring(F.col("text").cast("binary"), 1, _PPM_PIX)
+        F.lit(_PPM_HEADER), F.substring(ascii_text.cast("binary"), 1, _PPM_PIX)
     )
     binary_df = docs.select("doc_id", payload.alias("payload"))
     return decode_features(binary_df)

@@ -249,31 +249,86 @@ SHARD_TOKENS = 4096
     "order (doc_id) and assigned to ~fixed-token training shards by an "
     "exclusive running token sum — floor(prefix/budget) — then summarized "
     "per (source, shard). The deterministic layout step every pre-training "
-    "data build ends with. The prefix sum is windowed per source, so the "
-    "sequential dependency is bounded by one source's data; for a single "
-    "giant source the same math runs as the classic two-phase distributed "
-    "prefix sum (per-partition subtotals, broadcast offsets, "
-    "per-partition rescan) with identical output.",
+    "data build ends with. The prefix sum is the classic TWO-PHASE "
+    "distributed shape (see token_shard_prefix): per-(source, doc_id-block) "
+    "subtotals, running offsets over the tiny subtotal table, per-row "
+    "rescan windowed on the high-cardinality (source, block) key — no "
+    "window ever partitions the full corpus by the ~8-value source column, "
+    "so one giant source cannot serialize the sort onto one reducer.",
 )
 def pipeline_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
     docs = load_table(spark, sf_dir, "documents")
     n_tokens = F.size(
         F.filter(F.split(F.col("text"), " "), lambda w: w != "")
     ).alias("n_tokens")
     t = docs.select("source", "doc_id", n_tokens)
-    w = (
-        W.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(W.unboundedPreceding, -1)
-    )
-    prev = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    prefixed = token_shard_prefix(t)
     return (
-        t.withColumn("shard_id", F.floor(prev / F.lit(SHARD_TOKENS)))
+        prefixed.withColumn(
+            "shard_id", F.floor(F.col("prev_tokens") / F.lit(SHARD_TOKENS))
+        )
         .groupBy("source", "shard_id")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").cast("bigint").alias("shard_tokens"),
         )
+    )
+
+
+#: doc_ids per prefix-sum block. A block holds AT MOST this many consecutive
+#: doc_ids of one source, bounding every per-row window group; the subtotal
+#: table is ~(max_doc_id / BLOCK) rows per source.
+PREFIX_BLOCK = 1 << 16
+
+
+def token_shard_prefix(t: DataFrame, block: int = PREFIX_BLOCK) -> DataFrame:
+    """Exclusive per-source running token sum ordered by doc_id, as a
+    two-phase distributed prefix sum. Input: (source, doc_id, n_tokens);
+    output adds ``prev_tokens``.
+
+    The naive shape — one window partitioned by ``source`` — serializes each
+    source's ENTIRE data through one reducer (source cardinality is ~8;
+    one hot source = the whole corpus sorted on one partition). Instead:
+
+    1. block the doc_id axis (``blk = doc_id div block`` — deterministic,
+       data-independent split points, unlike spark_partition_id() whose
+       meaning depends on the range-sampler);
+    2. phase 1: per-(source, blk) token subtotals — a partial-aggregated
+       shuffle whose OUTPUT is tiny (#sources × #blocks rows);
+    3. running offsets across blocks: a window per source over the subtotal
+       table only — thousands of rows, never corpus rows. (For corpora
+       whose doc_id range exceeds ~1e10 the same two-phase step recurses on
+       the subtotal table; one level covers every realistic shard build.)
+    4. phase 2: rescan — join the offsets back (Catalyst/AQE broadcasts the
+       tiny side) and window the within-block exclusive running sum on
+       (source, blk), a high-cardinality key whose groups are bounded by
+       ``block`` consecutive doc_ids, so the sort spreads over the cluster
+       however skewed the sources are.
+
+    Output is exactly the single-window result (exact integer sums).
+    """
+    from pyspark.sql import Window as W
+
+    tb = t.withColumn("blk", F.floor(F.col("doc_id") / F.lit(block)))
+    sub = tb.groupBy("source", "blk").agg(F.sum("n_tokens").alias("blk_tokens"))
+    w_blocks = (
+        W.partitionBy("source").orderBy("blk").rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = sub.select(
+        "source",
+        "blk",
+        F.coalesce(F.sum("blk_tokens").over(w_blocks), F.lit(0)).alias(
+            "blk_offset"
+        ),
+    )
+    w_rows = (
+        W.partitionBy("source", "blk")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    in_block_prev = F.coalesce(F.sum("n_tokens").over(w_rows), F.lit(0))
+    return (
+        tb.join(offsets, ["source", "blk"])
+        .withColumn("prev_tokens", F.col("blk_offset") + in_block_prev)
+        .drop("blk", "blk_offset")
     )

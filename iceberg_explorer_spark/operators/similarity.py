@@ -394,19 +394,24 @@ def _bucket_pairs_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All within-bucket pairs with raw cosine, via per-bucket numpy GEMM.
 
     Shared engine for the GEMM-flavored all-pairs operators: SRP-code the
-    corpus, normalize once, groupBy(bucket) → applyInPandas → blocked
+    corpus, groupBy(bucket) → applyInPandas → L2-normalize + blocked
     M @ M.T (gemm_upper_pairs — dense buckets are tiled, never materialized
-    as one B×B matrix). Rounding is left to callers (JVM-side F.round,
-    HALF_UP) so numpy's banker's rounding never touches the cross-engine
-    contract.
+    as one B×B matrix). Normalization happens INSIDE the bucket kernel with
+    vectorized numpy, not via _with_normalized: each vector lives in exactly
+    one bucket so the work is identical, but interpreted Catalyst
+    higher-order lambdas cost ~40% of the whole query at sf0.1 (A/B in
+    scripts/perf_ab.py: 0.99 s JVM-norm vs 0.60 s numpy-norm) and the
+    raw-embedding Arrow transfer is no wider than the normalized one.
+    Rounding is left to callers (JVM-side F.round, HALF_UP) so numpy's
+    banker's rounding never touches the cross-engine contract.
     """
     import numpy as np
     import pandas as pd
 
     emb = load_table(spark, sf_dir, "embeddings")
-    coded = _with_normalized(
-        emb.withColumn("bucket", F.expr(_srp_code_sql("embedding")))
-    ).select("vec_id", "ne", "bucket")
+    coded = emb.withColumn("bucket", F.expr(_srp_code_sql("embedding"))).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e"), "bucket"
+    )
 
     def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
@@ -418,7 +423,8 @@ def _bucket_pairs_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
             return empty
         order = pdf["vec_id"].to_numpy().argsort()
         ids = pdf["vec_id"].to_numpy()[order]
-        m = np.stack(pdf["ne"].to_numpy()[order])
+        m = np.stack(pdf["e"].to_numpy()[order])
+        m = m / np.sqrt((m * m).sum(axis=1, keepdims=True))
         blocks = [
             pd.DataFrame({"vec_a": va, "vec_b": vb, "cos_sim": cs})
             for va, vb, cs in gemm_upper_pairs(ids, m)

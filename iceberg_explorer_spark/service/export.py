@@ -58,14 +58,22 @@ def stream_csv(
             if data:
                 yield data
 
-    for batch in result.batches:
-        for row in arrow_rows(batch):
-            writer.writerow([csv_cell(v) for v in row])
-            yield from flush()
-    yield from flush(force=True)
+    from iceberg_explorer_spark.observability import observe_call
+
+    # the span covers the full drain of the stream, not just generator
+    # construction — correlated with the query that produced the result
+    with observe_call("export.stream_csv"):
+        for batch in result.batches:
+            for row in arrow_rows(batch):
+                writer.writerow([csv_cell(v) for v in row])
+                yield from flush()
+        yield from flush(force=True)
 
 
 def write_csv_distributed(df: DataFrame, path: str, header: bool = True) -> None:
     """Cluster-scale export: executors write partitioned CSV directly to
     storage — no driver bottleneck, no size cap needed."""
-    df.write.option("header", str(header).lower()).mode("overwrite").csv(path)
+    from iceberg_explorer_spark.observability import observe_call
+
+    with observe_call("export.write_csv_distributed"):
+        df.write.option("header", str(header).lower()).mode("overwrite").csv(path)

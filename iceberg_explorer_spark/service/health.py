@@ -79,6 +79,12 @@ class HealthService:
         self.spark.catalog.listDatabases()
 
     def health(self) -> HealthReport:
+        from iceberg_explorer_spark.observability import observe_call
+
+        with observe_call("health.check"):
+            return self._health()
+
+    def _health(self) -> HealthReport:
         components: dict[str, ComponentHealth] = {}
         for name, check in self.checks.items():
             try:

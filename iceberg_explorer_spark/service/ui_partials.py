@@ -60,8 +60,13 @@ def _ns_item(parts: list[str]) -> str:
 
 def _table_item(namespace: list[str], table: str) -> str:
     eid = generate_id([*namespace, table])
+    # The namespace half is already URL-encoded by encode_namespace — a
+    # second quote() would double-encode '%' (a\x1fb -> a%251Fb) and break
+    # table-details links for every nested namespace after the framework's
+    # single decode. The reference (ui.py:148) interpolates the once-encoded
+    # path directly; we only HTML-escape it for the attribute.
     table_path = f"{encode_namespace(namespace)}.{table}"
-    enc = escape(quote(table_path, safe="."), quote=True)
+    enc = escape(table_path, quote=True)
     return (
         f'<div class="table-item" data-table-id="{eid}">'
         f'<button hx-get="/ui/partials/table-details?table_path={enc}" '

@@ -76,12 +76,42 @@ def repartition_for_compute(df: DataFrame, min_factor: float = 0.5) -> DataFrame
     (shingling, text scoring, hashing) is cheap enough that the extra
     exchange costs more than single-core execution of the pre-shuffle
     stage, so those paths keep the native scan partitioning.
+
+    The scan width is estimated from ``df.inputFiles()`` + the
+    ``files.maxPartitionBytes`` split math — never ``df.rdd`` (touching
+    ``.rdd`` forces full plan analysis through a deprecated conversion path
+    on every query build).
     """
+    import os
+
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, int(target * min_factor)):
+    try:
+        files = df.inputFiles()
+        if not files:  # non-file-based plan: no basis to estimate width
+            return df
+        max_split = _parse_bytes(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "128m")
+        )
+        n_splits = sum(
+            -(-os.path.getsize(f.removeprefix("file:")) // max_split)
+            for f in files
+        )
+    except Exception:  # non-file-based plan (e.g. in-memory relation)
+        return df
+    if n_splits < max(2, int(target * min_factor)):
         return df.repartition(target)
     return df
+
+
+_SIZE_SUFFIX = {"": 1, "b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+
+
+def _parse_bytes(s: str) -> int:
+    """Spark size-conf string → bytes ('134217728', '128m', '128MB', ...)."""
+    s = s.strip().lower().removesuffix("b")
+    suffix = s[-1] if s and s[-1] in _SIZE_SUFFIX else ""
+    return int(s.removesuffix(suffix)) * _SIZE_SUFFIX[suffix]
 
 
 def register_tables(

@@ -100,3 +100,30 @@ def test_active_gauge_increments_during_execution(spark):
 
 def test_get_observer_is_singleton():
     assert get_observer() is get_observer()
+
+
+def test_request_context_correlates_service_calls(spark):
+    """One request id threads through catalog + health calls made inside the
+    same request_context (reference observability.py:104-150 trace-context
+    log correlation) — and a second request gets a different id."""
+    from iceberg_explorer_spark.catalog.metadata import CatalogService
+    from iceberg_explorer_spark.observability import get_observer, request_context
+    from iceberg_explorer_spark.service.health import HealthService
+
+    rec = get_observer().recorder
+    rec.reset()
+    svc = CatalogService(spark)
+    hs = HealthService(spark=spark)
+    with request_context() as rid1:
+        svc.list_namespaces()
+        hs.health()
+    with request_context() as rid2:
+        svc.list_tables([])
+    assert rid1 != rid2
+    by_name = {s.name: s for s in rec.spans}
+    assert by_name["catalog.list_namespaces"].request_id == rid1
+    assert by_name["health.check"].request_id == rid1
+    assert by_name["catalog.list_tables"].request_id == rid2
+    # outside any request_context the id is simply absent, never stale
+    svc.list_namespaces()
+    assert rec.spans[-1].request_id is None

@@ -184,3 +184,20 @@ def test_scalar_subqueries_are_decorrelated(spark):
     # one agg shuffle per decorrelated subquery; nation stays broadcast
     assert pi.shuffle_count(df) <= 2
     assert pi.broadcast_join_count(df) >= 1
+
+
+def test_token_shards_prefix_is_two_phase(spark):
+    """The corpus-wide prefix-sum window must partition on (source, blk),
+    never on the ~8-value source alone — one hot source must not serialize
+    the sort onto a single reducer. The per-row rescan window is the one
+    ordered by doc_id; the offsets window (ordered by blk) runs over the
+    tiny subtotal table only."""
+    import re
+
+    df = build(spark, "pipeline_token_shards")
+    plan = pi.physical_plan(df)
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    row_specs = [s for s in specs if "doc_id" in s]
+    assert row_specs, f"expected a per-row rescan window in:\n{plan}"
+    for s in row_specs:
+        assert "blk" in s, f"corpus window partitions by source alone: {s}"

@@ -293,3 +293,74 @@ def test_frame_sample_short_payload_emits_no_frames(spark, tmp_path):
     rows = multimodal_frame_sample(spark, d).collect()
     assert all(r["doc_id"] != 1 for r in rows)  # len("short") < FRAME_BYTES
     assert sorted(r["frame_idx"] for r in rows if r["doc_id"] == 2) == [0]
+
+
+def test_token_shard_prefix_matches_single_window_under_skew(spark):
+    """Two-phase distributed prefix sum == the naive one-window answer,
+    on a corpus where one source holds 90% of the rows (the shape that
+    serializes the naive window onto one reducer). Tiny block size forces
+    the multi-block path: in-block sums, cross-block offsets, and the
+    block-boundary handoff are all exercised."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from iceberg_explorer_spark.operators.pipeline import token_shard_prefix
+
+    rows = []
+    for i in range(1000):
+        src = "web" if i % 10 != 0 else f"src{i % 3}"
+        rows.append((src, i * 7 % 997 + i, (i * 31 + 7) % 50 + 1))
+    t = spark.createDataFrame(rows, "source string, doc_id long, n_tokens int")
+
+    got = {
+        (r.source, r.doc_id): r.prev_tokens
+        for r in token_shard_prefix(t, block=8).collect()
+    }
+    w = W.partitionBy("source").orderBy("doc_id").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    expected = {
+        (r.source, r.doc_id): r.prev_tokens
+        for r in t.withColumn(
+            "prev_tokens", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_jaccard_verify_bounds_pathological_doc(spark):
+    """A 1M-shingle document (log dump, concatenated crawl page) must not
+    materialize a 1M-element array in the verify stage: the bottom-k cap
+    keeps each per-doc set at max_doc_shingles. Pairs of docs under the cap
+    stay EXACT; the oversized doc degrades to the bottom-k Jaccard estimate
+    instead of an OOM."""
+    from pyspark.sql import functions as F
+
+    from iceberg_explorer_spark.operators.dedup import jaccard_verify
+
+    cap = 1024
+    # doc 1: 1M distinct shingle hashes; docs 2 and 3: 600 hashes, 400 shared
+    big = spark.range(1_000_000).select(
+        F.lit(1).alias("doc_id"), (F.col("id") * 7 + 3).alias("hb")
+    )
+    d2 = spark.range(600).select(
+        F.lit(2).alias("doc_id"), (F.col("id") * 11).alias("hb")
+    )
+    d3 = spark.range(600).select(
+        F.lit(3).alias("doc_id"),
+        F.when(F.col("id") < 400, F.col("id") * 11)  # 400 shared with d2
+        .otherwise(F.col("id") * 13 + 1_000_000_007)
+        .alias("hb"),
+    )
+    sh = big.unionByName(d2).unionByName(d3)
+    cands = spark.createDataFrame(
+        [(1, 2), (2, 3)], "doc_a long, doc_b long"
+    )
+    out = jaccard_verify(cands, sh, threshold=0.0, max_doc_shingles=cap)
+    rows = {(r.doc_a, r.doc_b): r for r in out.collect()}
+    # the under-cap pair is exact: |A∩B|=400, |A∪B|=800
+    exact = rows[(2, 3)]
+    assert exact.n_common == 400 and abs(exact.jaccard - 0.5) < 1e-12
+    # the oversized doc was capped: its set can contribute at most `cap`
+    # elements, so n_common is bounded by the cap, not by 1M
+    assert rows[(1, 2)].n_common <= cap

@@ -149,3 +149,35 @@ def test_compact_parquet_reduces_file_count(spark, tmp_path):
     files = glob.glob(f"{dst}/part-*.parquet")
     assert len(files) == n == 1  # 1.5k rows fit one target-sized file
     assert spark.read.parquet(dst).count() == orders.count()
+
+
+def test_no_rdd_access_in_package():
+    """.rdd forces full plan analysis through the deprecated RDD conversion
+    path; the package derives scan width from inputFiles() + split math
+    instead. Pin it so the access pattern cannot creep back in."""
+    import pathlib
+
+    pkg = pathlib.Path(__file__).resolve().parents[1] / "iceberg_explorer_spark"
+    hits = [
+        f"{p}:{i}"
+        for p in pkg.rglob("*.py")
+        for i, line in enumerate(p.read_text().splitlines(), 1)
+        if ".rdd" in line and not line.lstrip().startswith(("#", "``", '"', "'"))
+        and "``.rdd``" not in line and "df.rdd`` (" not in line
+    ]
+    assert hits == [], f".rdd accessed in: {hits}"
+
+
+def test_repartition_for_compute_spreads_single_split_scan(spark):
+    """A table that fits one parquet split must be spread to cluster width
+    before Python-heavy map work; a wide scan must pass through untouched."""
+    from iceberg_explorer_spark.sources.registry import repartition_for_compute
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    spread = repartition_for_compute(docs)
+    n = spread.toDF(*spread.columns).withColumn("p", F.spark_partition_id())
+    assert n.select("p").distinct().count() >= 2
+    # non-file-based plans (in-memory ranges) pass through unchanged
+    rng = spark.range(10)
+    assert repartition_for_compute(rng) is rng

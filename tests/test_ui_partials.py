@@ -83,3 +83,23 @@ def test_identifiers_are_escaped():
     item = ui._table_item(["db"], "evil<script>")
     assert "<script>" not in item
     assert "evil&lt;script&gt;" in item
+
+
+def test_nested_namespace_table_path_round_trips():
+    """The table-details link for a nested namespace must survive ONE URL
+    decode (the framework's) and parse back to the original namespace. A
+    second quote() over the already-encoded namespace half used to
+    double-encode '%' (a\\x1fb -> a%251Fb) and break every nested link."""
+    from urllib.parse import unquote
+
+    from iceberg_explorer_spark.catalog.metadata import parse_namespace
+
+    item = ui._table_item(["warehouse", "raw"], "orders")
+    # the hx-get param carries the once-encoded path, not a double-encoded one
+    assert "table_path=warehouse%1Fraw.orders" in item
+    assert "%25" not in item
+    # simulate the framework's single decode, then the last-dot split
+    decoded = unquote("warehouse%1Fraw.orders")
+    last_dot = decoded.rfind(".")
+    assert parse_namespace(decoded[:last_dot]) == ["warehouse", "raw"]
+    assert decoded[last_dot + 1 :] == "orders"
