@@ -174,3 +174,50 @@ def test_ui_partial_routes(app):
 def test_unknown_route_and_method(app):
     assert app.handle("GET", "/nope").status == 404
     assert app.handle("PUT", "/api/v1/query/execute").status == 405
+
+
+def test_served_over_real_http(app):
+    """The stdlib adapter serves the same contract over a real socket:
+    execute → NDJSON stream → status → health, plus 404 mapping — the
+    full served-application parity the reference gets from uvicorn."""
+    import json as _json
+    import urllib.error
+    import urllib.request
+
+    from iceberg_explorer_spark.service.httpd import serve
+
+    server = serve(app, port=0)
+    port = server.server_address[1]
+    base = f"http://127.0.0.1:{port}"
+    try:
+        req = urllib.request.Request(
+            f"{base}/api/v1/query/execute",
+            data=_json.dumps({"sql": "SELECT n_nationkey FROM nation"}).encode(),
+            headers={"Content-Type": "application/json"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req) as r:
+            assert r.status == 200
+            qid = _json.loads(r.read())["query_id"]
+
+        with urllib.request.urlopen(
+            f"{base}/api/v1/query/{qid}/results?page_size=100"
+        ) as r:
+            assert r.headers["Content-Type"] == "application/x-ndjson"
+            msgs = [_json.loads(line) for line in r.read().splitlines() if line]
+        assert msgs[0]["type"] == "metadata" and msgs[-1]["type"] == "complete"
+        assert msgs[0]["total_rows"] == 25
+
+        with urllib.request.urlopen(f"{base}/api/v1/query/{qid}/status") as r:
+            assert _json.loads(r.read())["status"] == "completed"
+
+        with urllib.request.urlopen(f"{base}/health") as r:
+            assert _json.loads(r.read())["status"] == "healthy"
+
+        try:
+            urllib.request.urlopen(f"{base}/nope")
+            raise AssertionError("expected 404")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        server.shutdown()
