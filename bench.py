@@ -72,7 +72,10 @@ HEADLINE = [
     "recursive_calendar_spine",   # WITH RECURSIVE month spine
     "events_variant_shred",       # VARIANT parse-once/extract-many
     "multimodal_decode_features", # Arrow-batched real PPM decode
+    "multimodal_image_resize",    # numpy nearest-neighbor resize kernel
     "pipeline_token_shards",      # prefix-sum shard packing
+    "pipeline_sequence_pack",     # fixed-budget training-sequence packing
+    "pipeline_global_shuffle",    # two-phase global rank → balanced shards
 ]
 
 

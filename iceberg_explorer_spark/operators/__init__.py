@@ -23,6 +23,15 @@ evidence from at least one round; out-of-window queries remain covered every
 round by tests/test_differential.py, and the 3 sketch ops
 (percentile_approx, HLL ×2) are no-oracle by design (local tests bound them
 against exact answers).
+
+- round 4: the round-3 driver pass never ran (no CORRECTNESS_r03 was
+  recorded), so the 8 rotated-in queries KEEP their slots for the r04 pass;
+  the 4 NEW round-4 operators (pipeline_sequence_pack,
+  pipeline_train_val_split, pipeline_global_shuffle,
+  multimodal_image_resize) rotate in by displacing 4 queries green in BOTH
+  r1 and r2 (null_semantics, conditional_agg_order_status,
+  left_join_order_lines, similarity_bruteforce_topk) whose operator
+  families stay represented in the window.
 """
 
 from iceberg_explorer_spark.operators.registry import QUERIES, QuerySpec, query  # noqa: F401
@@ -48,10 +57,8 @@ _CHECK_WINDOW = [
     "rollup_quantity",
     "cube_order_status",
     "pivot_status_by_flag",
-    "conditional_agg_order_status",
     # joins
     "join_revenue_by_nation",
-    "left_join_order_lines",
     "semi_join_active_customers",
     "range_join_ship_window",
     "asof_join_purchase_click",
@@ -64,8 +71,6 @@ _CHECK_WINDOW = [
     "window_running_revenue",
     "window_ntile_navigation",
     "window_range_moving_revenue",
-    # scalar core
-    "null_semantics",
     # dedup family
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -73,7 +78,6 @@ _CHECK_WINDOW = [
     "dedup_clusters",
     "dedup_embedding_cosine",
     # similarity family
-    "similarity_bruteforce_topk",
     "similarity_ivf_topk",
     "similarity_bucket_gemm",
     "similarity_knn_join",
@@ -98,9 +102,14 @@ _CHECK_WINDOW = [
     "multimodal_metadata",
     "multimodal_decode_features",
     "multimodal_frame_sample",
+    "multimodal_image_resize",
     "pipeline_token_shards",
     "pipeline_domain_mix",
     "pipeline_stratified_sample",
+    # round-4 layout operators (rotated IN — never checked)
+    "pipeline_sequence_pack",
+    "pipeline_train_val_split",
+    "pipeline_global_shuffle",
 ]
 
 

@@ -256,6 +256,138 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_features(binary_df)
 
 
+#: 4×4 P6 header for the synthetic resize corpus (11 bytes + 48 RGB bytes)
+_RZ_W = _RZ_H = 4
+_RZ_HEADER = b"P6\n4 4\n255\n"
+_RZ_PIX = _RZ_W * _RZ_H * 3
+#: resize target
+_RZ_OUT_W = _RZ_OUT_H = 2
+
+_RESIZE_SCHEMA = (
+    "doc_id bigint, decode_status string, out_width int, out_height int, "
+    "resized_digest string, mean_c0 double, mean_c1 double, mean_c2 double"
+)
+
+
+def resize_ppm(payload: bytes, out_w: int, out_h: int) -> tuple:
+    """Nearest-neighbor resize of a binary PPM (P6): parse the header, pick
+    source pixels at ``src = floor(dst * src_dim / dst_dim)`` with numpy
+    fancy indexing, return (status, resized_bytes, per-channel means).
+
+    Real numpy kernel — the same array shape a JPEG decode would feed; the
+    vectorized indexing is the per-image hot loop and stays in C."""
+    import numpy as np
+
+    d = decode_ppm(payload)
+    if d.status != "ok":
+        return d.status, None, [None, None, None]
+    # re-locate the pixel offset the same way decode_ppm did
+    hdr_end = len(payload) - d.width * d.height * 3
+    arr = np.frombuffer(
+        payload[hdr_end : hdr_end + d.width * d.height * 3], dtype=np.uint8
+    ).reshape(d.height, d.width, 3)
+    iy = (np.arange(out_h) * d.height) // out_h
+    ix = (np.arange(out_w) * d.width) // out_w
+    res = arr[np.ix_(iy, ix)]
+    means = [float(res[:, :, c].sum()) / (out_w * out_h) for c in range(3)]
+    import hashlib
+
+    return "ok", hashlib.md5(res.tobytes()).hexdigest(), means
+
+
+def resize_features(binary_df: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """mapInPandas resize operator: (doc_id, payload binary) → resized-image
+    digest + per-channel means. Same Arrow iterator-batching contract as
+    decode_features."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [resize_ppm(p, out_w, out_h) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "decode_status": [o[0] for o in out],
+                    "out_width": pd.array(
+                        [out_w if o[0] == "ok" else None for o in out],
+                        dtype="Int32",
+                    ),
+                    "out_height": pd.array(
+                        [out_h if o[0] == "ok" else None for o in out],
+                        dtype="Int32",
+                    ),
+                    "resized_digest": [o[1] for o in out],
+                    "mean_c0": [o[2][0] for o in out],
+                    "mean_c1": [o[2][1] for o in out],
+                    "mean_c2": [o[2][2] for o in out],
+                }
+            )
+
+    return binary_df.mapInPandas(op, schema=_RESIZE_SCHEMA)
+
+
+def _rz_picked_offsets() -> list[int]:
+    """1-based character offsets (into the ascii-sanitized text) of the 2×2
+    nearest-neighbor picks from the 4×4 source: pixel (y, x) for
+    y, x ∈ floor(dst * 4 / 2) = {0, 2} → byte 3 * (y * 4 + x)."""
+    ys = [(dy * _RZ_H) // _RZ_OUT_H for dy in range(_RZ_OUT_H)]
+    xs = [(dx * _RZ_W) // _RZ_OUT_W for dx in range(_RZ_OUT_W)]
+    return [3 * (y * _RZ_W + x) + 1 for y in ys for x in xs]
+
+
+def _rz_digest_sql() -> str:
+    parts = " || ".join(f"substr(t, {o}, 3)" for o in _rz_picked_offsets())
+    return f"md5({parts})"
+
+
+def _rz_mean_sql(channel: int) -> str:
+    terms = " + ".join(
+        f"ord(substr(t, {o + channel}, 1))" for o in _rz_picked_offsets()
+    )
+    return f"({terms}) / {float(_RZ_OUT_W * _RZ_OUT_H)}"
+
+
+@query(
+    "multimodal_image_resize",
+    oracle=f"""
+    WITH a AS (
+      SELECT doc_id, regexp_replace(text, '{_ASCII_ONLY_RE}', '', 'g') AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN length(t) >= {_RZ_PIX} THEN 'ok' ELSE 'truncated' END
+             AS decode_status,
+           CASE WHEN length(t) >= {_RZ_PIX} THEN CAST({_RZ_OUT_W} AS INTEGER) END
+             AS out_width,
+           CASE WHEN length(t) >= {_RZ_PIX} THEN CAST({_RZ_OUT_H} AS INTEGER) END
+             AS out_height,
+           CASE WHEN length(t) >= {_RZ_PIX} THEN {_rz_digest_sql()} END
+             AS resized_digest,
+           CASE WHEN length(t) >= {_RZ_PIX} THEN {_rz_mean_sql(0)} END AS mean_c0,
+           CASE WHEN length(t) >= {_RZ_PIX} THEN {_rz_mean_sql(1)} END AS mean_c1,
+           CASE WHEN length(t) >= {_RZ_PIX} THEN {_rz_mean_sql(2)} END AS mean_c2
+    FROM a
+    """,
+    doc="Image resize pipeline with a REAL numpy kernel: each document's "
+    f"first {_RZ_PIX} bytes are framed as a 4×4 binary PPM, then mapInPandas "
+    "runs nearest-neighbor downsampling to 2×2 via vectorized fancy "
+    "indexing (resize_ppm) and emits the resized-pixel digest + per-channel "
+    "means. The oracle recomputes the identical picked pixels from the raw "
+    "text bytes (src = floor(dst·src_dim/dst_dim) offsets baked into the "
+    "SQL), so header parsing, the index math, the resized bytes AND the "
+    "stats are all correctness-gated. Zero shuffle: decode/resize is "
+    "map-side; at 100 TB this stage is CPU-bound Python, so it rides "
+    "repartition_for_compute to spread single-split scans.",
+)
+def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = repartition_for_compute(load_table(spark, sf_dir, "documents"))
+    ascii_text = F.regexp_replace(F.col("text"), _ASCII_ONLY_RE, "")
+    payload = F.concat(
+        F.lit(_RZ_HEADER), F.substring(ascii_text.cast("binary"), 1, _RZ_PIX)
+    )
+    binary_df = docs.select("doc_id", payload.alias("payload"))
+    return resize_features(binary_df, _RZ_OUT_W, _RZ_OUT_H)
+
+
 FRAME_BYTES = 16
 FRAME_STRIDE = 4
 

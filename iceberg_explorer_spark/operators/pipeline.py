@@ -275,6 +275,236 @@ def pipeline_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: training-sequence token budget (tiny for test data; production 2k-8k)
+SEQ_TOKENS = 512
+
+def _n_tokens():
+    """Whitespace-token count used by the packing/layout operators, matching
+    the DuckDB oracle's len(list_filter(string_split(text, ' '), w -> w <> ''))
+    (built lazily: Column construction needs an active session)."""
+    return F.size(F.filter(F.split(F.col("text"), " "), lambda w: w != ""))
+
+
+@query(
+    "pipeline_sequence_pack",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, doc_id,
+             len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_tokens
+      FROM documents
+    ),
+    tt AS (SELECT * FROM t WHERE n_tokens > 0),
+    c AS (
+      SELECT source, doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+                 PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS prev_tokens
+      FROM tt
+    ),
+    s AS (
+      SELECT source, doc_id, n_tokens, prev_tokens,
+             CAST(FLOOR(prev_tokens / {SEQ_TOKENS}) AS BIGINT) AS first_seq,
+             CAST(FLOOR((prev_tokens + n_tokens - 1) / {SEQ_TOKENS}) AS BIGINT)
+               AS last_seq
+      FROM c
+    ),
+    e AS (
+      SELECT source, doc_id, n_tokens, prev_tokens, first_seq, i AS seq_id
+      FROM s, UNNEST(generate_series(first_seq, last_seq)) AS u(i)
+    )
+    SELECT source, seq_id,
+           COUNT(*) AS n_docs,
+           COUNT(*) FILTER (WHERE first_seq = seq_id) AS n_starting,
+           CAST(SUM(LEAST(prev_tokens + n_tokens, (seq_id + 1) * {SEQ_TOKENS})
+                    - GREATEST(prev_tokens, seq_id * {SEQ_TOKENS})) AS BIGINT)
+             AS seq_tokens
+    FROM e
+    GROUP BY source, seq_id
+    """,
+    doc="Training-sequence packing: documents are concatenated in a stable "
+    f"per-source order (doc_id) and cut into fixed {SEQ_TOKENS}-token "
+    "sequences, documents spanning a cut carry over into the next sequence — "
+    "the exact layout step that turns a curated corpus into fixed-length "
+    "training examples. Built on the same two-phase distributed prefix sum "
+    "as pipeline_token_shards (no corpus-wide window on the tiny source "
+    "key); each doc then expands to only the sequences it overlaps "
+    "(doc_tokens/budget + 1 rows, never a cross product) and per-sequence "
+    "stats are one partial-aggregated shuffle on the high-cardinality "
+    "(source, seq_id) key. Every full sequence must show seq_tokens == "
+    f"{SEQ_TOKENS} — the packing invariant the gate checks.",
+)
+def pipeline_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("source", "doc_id", _n_tokens().alias("n_tokens")).filter(
+        F.col("n_tokens") > 0
+    )
+    prefixed = token_shard_prefix(t)
+    end = F.col("prev_tokens") + F.col("n_tokens")
+    s = prefixed.select(
+        "source",
+        "doc_id",
+        "n_tokens",
+        "prev_tokens",
+        F.floor(F.col("prev_tokens") / SEQ_TOKENS).alias("first_seq"),
+        F.floor((end - 1) / SEQ_TOKENS).alias("last_seq"),
+    )
+    e = s.select(
+        "source",
+        "n_tokens",
+        "prev_tokens",
+        "first_seq",
+        F.explode(F.sequence("first_seq", "last_seq")).alias("seq_id"),
+    )
+    seq_start = F.col("seq_id") * SEQ_TOKENS
+    overlap = F.least(end, seq_start + SEQ_TOKENS) - F.greatest(
+        F.col("prev_tokens"), seq_start
+    )
+    return e.groupBy("source", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.col("first_seq") == F.col("seq_id"), 1)).alias(
+            "n_starting"
+        ),
+        F.sum(overlap).cast("bigint").alias("seq_tokens"),
+    )
+
+
+#: train/val/test percentage boundaries on the 100-bucket hash grid
+SPLIT_TRAIN_PCT = 90
+SPLIT_VAL_PCT = 95
+
+
+@query(
+    "pipeline_train_val_split",
+    oracle=f"""
+    WITH t AS (
+      SELECT source,
+             len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_tokens,
+             ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               % 100 AS bucket
+      FROM documents
+    )
+    SELECT source,
+           CASE WHEN bucket < {SPLIT_TRAIN_PCT} THEN 'train'
+                WHEN bucket < {SPLIT_VAL_PCT} THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM t
+    GROUP BY source, split
+    """,
+    doc="Deterministic train/val/test split: each document lands in a split "
+    "by hashing a SALTED row key ('split:' || doc_id) onto a 100-bucket "
+    f"grid ({SPLIT_TRAIN_PCT}/{SPLIT_VAL_PCT - SPLIT_TRAIN_PCT}/"
+    f"{100 - SPLIT_VAL_PCT}). The salt makes the split independent of every "
+    "other hash-derived decision (sampling, shuffling) that keys the same "
+    "doc_id — unsalted reuse would correlate the val set with the sample "
+    "kept by pipeline_stratified_sample. Reproducible across runs, engines "
+    "and cluster sizes; pure map-side predicate + one partial-aggregated "
+    "shuffle on (source, split) — at 100 TB the split decision never moves "
+    "data.",
+)
+def pipeline_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(
+        "CAST(conv(substr(md5(concat('split:', CAST(doc_id AS STRING))), 1, 15),"
+        " 16, 10) AS BIGINT) % 100"
+    )
+    split = (
+        F.when(bucket < SPLIT_TRAIN_PCT, "train")
+        .when(bucket < SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+    )
+    return (
+        docs.select("source", split.alias("split"), _n_tokens().alias("n_tokens"))
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+    )
+
+
+#: output shard count for the global shuffle (production: thousands)
+SHUFFLE_SHARDS = 16
+
+
+@query(
+    "pipeline_global_shuffle",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, doc_id,
+             md5(CAST(doc_id AS VARCHAR)) AS k,
+             len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_tokens
+      FROM documents
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY k) - 1 AS rnk FROM t
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM t)
+    SELECT CAST(FLOOR(rnk / CEIL(n * 1.0 / {SHUFFLE_SHARDS})) AS BIGINT)
+             AS shard_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           COUNT(DISTINCT source) AS n_sources,
+           arg_min(doc_id, k) AS first_doc
+    FROM r, tot
+    GROUP BY shard_id
+    """,
+    doc="Deterministic global shuffle into equal-size training shards: the "
+    "corpus is permuted by an md5 row key and cut into "
+    f"{SHUFFLE_SHARDS} contiguous-rank shards, so every shard is a "
+    "uniform random sample of the corpus (n_sources per shard shows the "
+    "mixing) with sizes balanced to ±1 — the layout a dataloader reads "
+    "sequentially. The global rank is the two-phase distributed shape: "
+    "rows block on the first hash byte (256 deterministic blocks), "
+    "per-block counts make a tiny offset table (one window over 256 rows), "
+    "and each row's rank = block offset + within-block row_number — no "
+    "corpus-wide single-partition ORDER BY, however large the corpus. "
+    "first_doc (min-by-key) pins the permutation itself, not just the "
+    "partition sizes, to the oracle.",
+)
+def pipeline_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "source",
+        "doc_id",
+        F.md5(F.col("doc_id").cast("string")).alias("k"),
+        _n_tokens().alias("n_tokens"),
+    )
+    tb = t.withColumn(
+        "blk", F.conv(F.substring("k", 1, 2), 16, 10).cast("int")
+    )
+    counts = tb.groupBy("blk").agg(F.count(F.lit(1)).alias("blk_n"))
+    # the offset window runs over <= 256 subtotal rows — single partition is
+    # the POINT (tiny table), corpus rows never see this window
+    w_blocks = W.orderBy("blk").rowsBetween(W.unboundedPreceding, -1)
+    offsets = counts.select(
+        "blk",
+        F.coalesce(F.sum("blk_n").over(w_blocks), F.lit(0)).alias("blk_offset"),
+    )
+    total = counts.agg(F.sum("blk_n").alias("n"))
+    w_rows = W.partitionBy("blk").orderBy("k")
+    ranked = (
+        tb.join(offsets, "blk")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "rnk", F.col("blk_offset") + F.row_number().over(w_rows) - 1
+        )
+    )
+    shard_id = F.floor(
+        F.col("rnk") / F.ceil(F.col("n") * 1.0 / SHUFFLE_SHARDS)
+    ).alias("shard_id")
+    return ranked.groupBy(shard_id).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.countDistinct("source").alias("n_sources"),
+        F.min_by("doc_id", "k").alias("first_doc"),
+    )
+
+
 #: doc_ids per prefix-sum block. A block holds AT MOST this many consecutive
 #: doc_ids of one source, bounding every per-row window group; the subtotal
 #: table is ~(max_doc_id / BLOCK) rows per source.

@@ -86,3 +86,40 @@ def test_decode_features_mixed_formats_through_spark(spark):
     assert got[2]["format"] == "wav"
     assert got[2]["mean_c0"] == 2000.0 and got[2]["mean_c1"] is None
     assert got[3]["decode_status"] == "bad_magic"
+
+
+def test_resize_ppm_nearest_neighbor_picks_expected_pixels():
+    """4×4 → 2×2 nearest-neighbor must pick source pixels (0,0) (0,2)
+    (2,0) (2,2); means are exact integer sums over the picked pixels."""
+    import hashlib
+
+    from iceberg_explorer_spark.operators.multimodal import resize_ppm
+
+    # pixel (y, x) = (R=16y+x, G=100+16y+x, B=200+16y+x)
+    pix = bytes(
+        b
+        for y in range(4)
+        for x in range(4)
+        for b in (16 * y + x, 100 + 16 * y + x, 200 + 16 * y + x)
+    )
+    payload = b"P6\n4 4\n255\n" + pix
+    status, digest, means = resize_ppm(payload, 2, 2)
+    assert status == "ok"
+    picked = [(0, 0), (0, 2), (2, 0), (2, 2)]
+    expect = bytes(
+        b
+        for (y, x) in picked
+        for b in (16 * y + x, 100 + 16 * y + x, 200 + 16 * y + x)
+    )
+    assert digest == hashlib.md5(expect).hexdigest()
+    base = sum(16 * y + x for y, x in picked) / 4.0
+    assert means == [base, 100 + base, 200 + base]
+
+
+def test_resize_ppm_propagates_decode_failures():
+    from iceberg_explorer_spark.operators.multimodal import resize_ppm
+
+    status, digest, means = resize_ppm(b"P6\n4 4\n255\n" + b"\x00" * 10, 2, 2)
+    assert status == "truncated" and digest is None
+    status, _, _ = resize_ppm(b"JUNK", 2, 2)
+    assert status == "bad_magic"

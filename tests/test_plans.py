@@ -201,3 +201,53 @@ def test_token_shards_prefix_is_two_phase(spark):
     assert row_specs, f"expected a per-row rescan window in:\n{plan}"
     for s in row_specs:
         assert "blk" in s, f"corpus window partitions by source alone: {s}"
+
+
+def test_sequence_pack_prefix_is_two_phase(spark):
+    """pipeline_sequence_pack rides the same two-phase prefix sum as
+    token_shards: the per-row rescan window must partition on (source, blk),
+    never on source alone."""
+    import re
+
+    df = build(spark, "pipeline_sequence_pack")
+    plan = pi.physical_plan(df)
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    row_specs = [s for s in specs if "doc_id" in s]
+    assert row_specs, f"expected a per-row rescan window in:\n{plan}"
+    for s in row_specs:
+        assert "blk" in s, f"corpus window partitions by source alone: {s}"
+
+
+def test_global_shuffle_rank_is_two_phase(spark):
+    """The global rank in pipeline_global_shuffle must come from
+    block-partitioned row_numbers plus a tiny offset table — any window that
+    orders corpus rows by the hash key must be partitioned by blk; only the
+    offsets window (over <=256 subtotal rows) may be unpartitioned."""
+    import re
+
+    df = build(spark, "pipeline_global_shuffle")
+    plan = pi.physical_plan(df)
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    key_specs = [s for s in specs if re.search(r"\bk#", s)]
+    assert key_specs, f"expected a hash-key rank window in:\n{plan}"
+    for s in key_specs:
+        assert "blk" in s, f"corpus rank window lacks blk partitioning: {s}"
+    # the total-count side joins in as a broadcast, never a shuffle
+    assert pi.broadcast_join_count(df) >= 1
+
+
+def test_train_val_split_is_one_pass(spark):
+    """Split assignment is a pure map-side predicate: exactly the one
+    (source, split) aggregation exchange, combined map-side."""
+    df = build(spark, "pipeline_train_val_split")
+    assert pi.shuffle_count(df) == 1
+    assert pi.has_partial_aggregate(df)
+
+
+def test_image_resize_is_map_side(spark):
+    """Resize never shuffles: at most the compute-spread repartition ahead
+    of the Python stage, no join/agg exchanges."""
+    df = build(spark, "multimodal_image_resize")
+    assert pi.shuffle_count(df) <= 1
+    assert pi.broadcast_join_count(df) == 0
+    assert pi.sort_merge_join_count(df) == 0

@@ -364,3 +364,69 @@ def test_jaccard_verify_bounds_pathological_doc(spark):
     # the oversized doc was capped: its set can contribute at most `cap`
     # elements, so n_common is bounded by the cap, not by 1M
     assert rows[(1, 2)].n_common <= cap
+
+
+def test_sequence_pack_packing_invariants(spark):
+    """Sequence packing is a token-interval partition: every sequence except
+    each source's last carries exactly SEQ_TOKENS tokens, token totals are
+    conserved, seq ids are contiguous from 0, and carried-over docs
+    (n_docs - n_starting) never exceed 1 per boundary."""
+    from pyspark.sql import functions as F
+
+    from iceberg_explorer_spark.operators.pipeline import (
+        SEQ_TOKENS,
+        pipeline_sequence_pack,
+    )
+    from iceberg_explorer_spark.sources.registry import load_table
+    from tests.conftest import SF_DIR_SMALL
+
+    rows = pipeline_sequence_pack(spark, SF_DIR_SMALL).collect()
+    docs = load_table(spark, SF_DIR_SMALL, "documents")
+    total_tokens = docs.select(
+        F.sum(
+            F.size(F.filter(F.split(F.col("text"), " "), lambda w: w != ""))
+        ).alias("t")
+    ).collect()[0]["t"]
+
+    assert sum(r["seq_tokens"] for r in rows) == total_tokens
+    by_source = {}
+    for r in rows:
+        by_source.setdefault(r["source"], []).append(r)
+    for source, seqs in by_source.items():
+        seqs.sort(key=lambda r: r["seq_id"])
+        assert [r["seq_id"] for r in seqs] == list(range(len(seqs))), source
+        for r in seqs[:-1]:
+            assert r["seq_tokens"] == SEQ_TOKENS, (source, r)
+        assert 0 < seqs[-1]["seq_tokens"] <= SEQ_TOKENS, source
+        for r in seqs:
+            # at most one doc can straddle into a sequence from the left
+            assert r["n_docs"] - r["n_starting"] <= 1, (source, r)
+
+
+def test_global_shuffle_shards_are_balanced_and_exhaustive(spark):
+    """The hash permutation must cut into SHUFFLE_SHARDS contiguous-rank
+    shards whose sizes differ by at most the ceil/floor rounding, cover
+    every document exactly once, and mix sources (every shard sees more
+    than one source on this corpus)."""
+    import math
+
+    from iceberg_explorer_spark.operators.pipeline import (
+        SHUFFLE_SHARDS,
+        pipeline_global_shuffle,
+    )
+    from iceberg_explorer_spark.sources.registry import load_table
+    from tests.conftest import SF_DIR_SMALL
+
+    rows = pipeline_global_shuffle(spark, SF_DIR_SMALL).collect()
+    n_docs = load_table(spark, SF_DIR_SMALL, "documents").count()
+    size = math.ceil(n_docs / SHUFFLE_SHARDS)
+    n_full = n_docs // size
+
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    assert sorted(r["shard_id"] for r in rows) == list(range(len(rows)))
+    for r in rows:
+        if r["shard_id"] < n_full:
+            assert r["n_docs"] == size, r
+        else:
+            assert 0 < r["n_docs"] <= size, r
+        assert r["n_sources"] > 1, r
