@@ -31,7 +31,11 @@ against exact answers).
   multimodal_image_resize) rotate in by displacing 4 queries green in BOTH
   r1 and r2 (null_semantics, conditional_agg_order_status,
   left_join_order_lines, similarity_bruteforce_topk) whose operator
-  families stay represented in the window.
+  families stay represented in the window; the 3 operators built IN round 4
+  (text_unigram_logfreq, pipeline_temperature_mix, events_value_outliers_mad)
+  displace 3 more twice-green queries (range_join_ship_window,
+  cte_above_avg_orders, dedup_exact) under the same family-representation
+  rule.
 """
 
 from iceberg_explorer_spark.operators.registry import QUERIES, QuerySpec, query  # noqa: F401
@@ -60,10 +64,8 @@ _CHECK_WINDOW = [
     # joins
     "join_revenue_by_nation",
     "semi_join_active_customers",
-    "range_join_ship_window",
     "asof_join_purchase_click",
     # CTEs / subqueries / recursion
-    "cte_above_avg_orders",
     "scalar_subquery_nation_stats",
     "recursive_calendar_spine",
     # window functions
@@ -72,7 +74,6 @@ _CHECK_WINDOW = [
     "window_ntile_navigation",
     "window_range_moving_revenue",
     # dedup family
-    "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_clusters",
@@ -110,6 +111,10 @@ _CHECK_WINDOW = [
     "pipeline_sequence_pack",
     "pipeline_train_val_split",
     "pipeline_global_shuffle",
+    # round-4 built operators (rotated IN — never checked)
+    "text_unigram_logfreq",
+    "pipeline_temperature_mix",
+    "events_value_outliers_mad",
 ]
 
 

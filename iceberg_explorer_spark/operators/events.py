@@ -327,3 +327,76 @@ def events_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
         F.count(F.lit(1)).alias("n_daily_sketches"),
     )
+
+
+#: MAD multiplier for the robust outlier fence
+MAD_K = 3
+
+
+@query(
+    "events_value_outliers_mad",
+    oracle=f"""
+    WITH v AS (
+      SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS v_c
+      FROM events
+    ),
+    med AS (
+      SELECT event_type, quantile_cont(v_c, 0.5) AS med_c
+      FROM v GROUP BY event_type
+    ),
+    dev AS (
+      SELECT v.event_type, v.v_c, m.med_c, ABS(v.v_c - m.med_c) AS adev
+      FROM v JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, quantile_cont(adev, 0.5) AS mad_c
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           COUNT(*) AS n_events,
+           ANY_VALUE(d.med_c) AS median_cents,
+           ANY_VALUE(m.mad_c) AS mad_cents,
+           COUNT(*) FILTER (WHERE d.adev > {MAD_K} * m.mad_c) AS n_outliers,
+           COUNT(*) FILTER (WHERE d.adev > {MAD_K} * m.mad_c) * 1.0 / COUNT(*)
+             AS outlier_rate
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type
+    """,
+    doc="Robust outlier detection per event type: median / median-absolute-"
+    "deviation fence (|v - median| > 3·MAD) — the rank-based filter that "
+    "survives the heavy-tailed value distributions where mean/stddev fences "
+    "drown. Values are quantized to integer cents FIRST, so every exact "
+    "median is a dyadic rational that both engines represent exactly — the "
+    "flag comparison is deterministic where raw-double percentiles are "
+    "ulp-fragile. Plan: two grouped exact percentiles with the tiny "
+    "per-type tables broadcast back onto the corpus. Exact percentile "
+    "buffers each group's values, so at 100 TB swap both quantiles for "
+    "approx_percentile (mergeable t-digest sketches, same plan shape) — "
+    "here groups are few and exactness is what the oracle checks.",
+)
+def events_value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    v = events.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("v_c"),
+    )
+    med = v.groupBy("event_type").agg(
+        F.expr("percentile(v_c, 0.5)").alias("med_c")
+    )
+    dev = v.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("v_c") - F.col("med_c"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad_c")
+    )
+    flagged = dev.join(F.broadcast(mad), "event_type")
+    is_out = F.col("adev") > MAD_K * F.col("mad_c")
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.first("med_c").alias("median_cents"),
+        F.first("mad_c").alias("mad_cents"),
+        F.count(F.when(is_out, 1)).alias("n_outliers"),
+        (F.count(F.when(is_out, 1)) * 1.0 / F.count(F.lit(1))).alias(
+            "outlier_rate"
+        ),
+    )

@@ -562,3 +562,78 @@ def token_shard_prefix(t: DataFrame, block: int = PREFIX_BLOCK) -> DataFrame:
         .withColumn("prev_tokens", F.col("blk_offset") + in_block_prev)
         .drop("blk", "blk_offset")
     )
+
+
+#: fixed-point scale for the temperature weights. sqrt() is the one power
+#: IEEE 754 requires to be EXACTLY rounded, so sqrt(T) is bit-identical on
+#: the JVM and in DuckDB's libm; rounding it onto this grid once per source
+#: makes every downstream sum/ratio exact-integer math.
+TEMP_SCALE = 1_000_000
+
+
+@query(
+    "pipeline_temperature_mix",
+    oracle=f"""
+    WITH t AS (
+      SELECT source,
+             CAST(SUM(len(list_filter(string_split(text, ' '), w -> w <> '')))
+                  AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT source, n_tokens,
+             CAST(ROUND(sqrt(n_tokens) * {TEMP_SCALE}) AS BIGINT) AS w_q
+      FROM t
+    ),
+    tot AS (
+      SELECT CAST(SUM(w_q) AS BIGINT) AS tot_q,
+             CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens
+      FROM w
+    )
+    SELECT source, n_tokens,
+           w_q * 1.0 / tot_q AS mix_weight,
+           CAST(ROUND((w_q * 1.0 / tot_q) * tot_tokens) AS BIGINT)
+             AS target_tokens,
+           CAST(ROUND((w_q * 1.0 / tot_q) * tot_tokens) AS BIGINT) * 1.0
+             / n_tokens AS oversample_ratio
+    FROM w, tot
+    """,
+    doc="Temperature-scaled source mixing (alpha = 0.5): each source's "
+    "sampling weight is sqrt(tokens_s) / sum_s sqrt(tokens_s) — the "
+    "multilingual-LM upsampling rule that keeps big sources from drowning "
+    "small ones while still favoring them. target_tokens redistributes the "
+    "corpus token budget under those weights; oversample_ratio > 1 means "
+    "the source repeats (epochs), < 1 means it is subsampled. sqrt is the "
+    "one power IEEE requires exactly rounded, so quantizing sqrt(T) to the "
+    "micro-grid once per source makes every sum and ratio exact integer "
+    "math — bit-identical across engines and shuffle orders. Plan: one "
+    "partial-aggregated shuffle on source; the weight table is O(sources) "
+    "and never touches the corpus again.",
+)
+def pipeline_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = (
+        docs.select("source", F.size(F.filter(F.split(F.col("text"), " "), lambda w: w != "")).alias("d"))
+        .groupBy("source")
+        .agg(F.sum("d").cast("bigint").alias("n_tokens"))
+    )
+    w = t.select(
+        "source",
+        "n_tokens",
+        F.round(F.sqrt(F.col("n_tokens")) * TEMP_SCALE)
+        .cast("bigint")
+        .alias("w_q"),
+    )
+    tot = w.agg(
+        F.sum("w_q").cast("bigint").alias("tot_q"),
+        F.sum("n_tokens").cast("bigint").alias("tot_tokens"),
+    )
+    mix_weight = F.col("w_q") * 1.0 / F.col("tot_q")
+    target = F.round(mix_weight * F.col("tot_tokens")).cast("bigint")
+    return w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        mix_weight.alias("mix_weight"),
+        target.alias("target_tokens"),
+        (target * 1.0 / F.col("n_tokens")).alias("oversample_ratio"),
+    )

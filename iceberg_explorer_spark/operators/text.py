@@ -406,3 +406,71 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("g").alias("fingerprint"),
         F.countDistinct("g").alias("n_distinct_grams"),
     )
+
+
+# ---------------------------------------------------------------------------
+#: fixed-point scale for per-word ln(count) — quantizing each word's log
+#: frequency to integer micro-units ONCE (in the tiny vocab table) makes the
+#: per-doc aggregation an exact BIGINT sum, so the result is bit-identical
+#: under any shuffle order and across engines (a raw SUM(double) is neither).
+LOGFREQ_SCALE = 1_000_000
+
+
+@query(
+    "text_unigram_logfreq",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             UNNEST(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                w -> w <> '')) AS word
+      FROM documents
+    ),
+    vocab AS (
+      SELECT word, CAST(ROUND(ln(COUNT(*)) * {LOGFREQ_SCALE}) AS BIGINT) AS q
+      FROM toks GROUP BY word
+    ),
+    tf AS (
+      SELECT doc_id, word, COUNT(*) AS tf FROM toks GROUP BY doc_id, word
+    )
+    SELECT t.doc_id,
+           CAST(SUM(t.tf) AS BIGINT) AS n_tokens,
+           CAST(SUM(t.tf * v.q) AS BIGINT) AS sum_logfreq_micro,
+           CAST(SUM(t.tf * v.q) AS DOUBLE) / ({LOGFREQ_SCALE} * SUM(t.tf))
+             AS avg_token_logfreq
+    FROM tf t JOIN vocab v USING (word)
+    GROUP BY t.doc_id
+    """,
+    doc="Unigram language-model familiarity score — the classic "
+    "perplexity-style quality signal (docs full of corpus-rare tokens score "
+    "low, boilerplate scores high; CCNet/Gopher filter on exactly this). "
+    "Two-pass: (1) corpus vocabulary with per-word ln(count) quantized to "
+    "integer micro-units in the tiny vocab table, (2) per-doc term "
+    "frequencies joined to the vocab and reduced as an EXACT bigint sum, "
+    "divided once at the end — bit-identical across engines and shuffle "
+    "orders where a float sum is not. Both groupBys partial-aggregate "
+    "map-side; the tf→vocab join keys on the high-cardinality word column "
+    "(and AQE converts it to broadcast when the vocab fits). At 100 TB the "
+    "vocab is the only corpus-wide state and it is O(distinct words), not "
+    "O(rows).",
+)
+def text_unigram_logfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.filter(_tokens(), lambda w: w != "")).alias("word"),
+    )
+    vocab = toks.groupBy("word").agg(
+        F.round(F.log(F.count(F.lit(1))) * LOGFREQ_SCALE)
+        .cast("bigint")
+        .alias("q")
+    )
+    tf = toks.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    joined = tf.join(vocab, "word")
+    return joined.groupBy("doc_id").agg(
+        F.sum("tf").cast("bigint").alias("n_tokens"),
+        F.sum(F.col("tf") * F.col("q")).cast("bigint").alias("sum_logfreq_micro"),
+        (
+            F.sum(F.col("tf") * F.col("q")).cast("double")
+            / (F.lit(LOGFREQ_SCALE) * F.sum("tf"))
+        ).alias("avg_token_logfreq"),
+    )

@@ -101,3 +101,35 @@ def compact_parquet(
     n_files = max(1, -(-n_rows // target_rows_per_file))
     df.repartition(n_files).write.mode("overwrite").parquet(dst_path)
     return n_files
+
+
+def bucketed_write(
+    spark,
+    df: DataFrame,
+    table: str,
+    key: str,
+    n_buckets: int = 8,
+) -> None:
+    """Persist ``df`` hash-bucketed (and sorted) on ``key`` so repeat-
+    workload joins on that key run WITHOUT a shuffle on either side.
+
+    The fact⋈fact join (orders⋈lineitem on orderkey) is the one join
+    broadcast can't save: both sides shuffle on the key every single run.
+    Bucketing moves that shuffle to WRITE time, once — both tables land
+    pre-hash-partitioned into the same ``n_buckets`` by the same key, and
+    every later equi-join on ``key`` reads co-located buckets: Catalyst
+    plans a SortMergeJoin with ZERO Exchange (pinned in
+    tests/test_plans.py::test_bucketed_join_has_no_exchange). At 100 TB
+    this converts the dominant per-query shuffle of a repeat workload into
+    a one-time layout cost; choose n_buckets ≈ cluster cores so every core
+    owns a bucket. The Iceberg-native equivalent is a ``bucket(N, key)``
+    partition transform; this is the Spark-catalog tool (reference is
+    read-only over existing layouts — src/iceberg_explorer/query/engine.py:86-110).
+    """
+    (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .saveAsTable(table)
+    )

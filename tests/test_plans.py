@@ -251,3 +251,82 @@ def test_image_resize_is_map_side(spark):
     assert pi.shuffle_count(df) <= 1
     assert pi.broadcast_join_count(df) == 0
     assert pi.sort_merge_join_count(df) == 0
+
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def _no_broadcast(spark):
+    """Temporarily disable broadcast joins so a plan assertion can't be
+    satisfied by a small-scale broadcast that wouldn't exist at 100 TB."""
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Co-located layout: after bucketed_write of orders and lineitem on
+    orderkey, the fact⋈fact equi-join plans with ZERO shuffle Exchange on
+    either side — the repeat-workload win the SCALE.md fact⋈fact row
+    promises. (Broadcast is disabled for the assertion so the plan can't
+    cheat: it must be an exchange-free SortMergeJoin.)"""
+    from iceberg_explorer_spark.sources.layout import bucketed_write
+    from iceberg_explorer_spark.sources.registry import load_table
+
+    orders = load_table(spark, SF_DIR_SMALL, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    lineitem = load_table(spark, SF_DIR_SMALL, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    bucketed_write(spark, orders, "bkt_orders", "o_orderkey", n_buckets=4)
+    bucketed_write(spark, lineitem, "bkt_lineitem", "l_orderkey", n_buckets=4)
+    try:
+        with _no_broadcast(spark):
+            joined = spark.table("bkt_orders").join(
+                spark.table("bkt_lineitem"),
+                spark.table("bkt_orders").o_orderkey
+                == spark.table("bkt_lineitem").l_orderkey,
+            )
+            assert pi.shuffle_count(joined) == 0, pi.physical_plan(joined)
+            assert pi.sort_merge_join_count(joined) == 1
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_orders")
+        spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+
+
+def test_unigram_logfreq_partial_aggs_and_word_key(spark):
+    """Both corpus groupBys (vocab, tf) partial-aggregate map-side, and no
+    low-cardinality key ever owns the corpus: every shuffle keys on word /
+    (doc_id, word) / doc_id."""
+    df = build(spark, "text_unigram_logfreq")
+    assert pi.has_partial_aggregate(df)
+    plan = pi.physical_plan(df)
+    assert "hashpartitioning" in plan
+    import re
+    for part in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
+        assert ("word" in part) or ("doc_id" in part), part
+
+
+def test_temperature_mix_single_corpus_pass(spark):
+    """The corpus is read once: one partial-aggregated shuffle on source;
+    the totals side comes back as a broadcast, never a second scan
+    shuffle."""
+    df = build(spark, "pipeline_temperature_mix")
+    assert pi.shuffle_count(df) <= 1
+    assert pi.has_partial_aggregate(df)
+    assert pi.broadcast_join_count(df) >= 1
+
+
+def test_mad_outliers_broadcasts_tiny_stats(spark):
+    """Both per-type stats tables broadcast back onto the events corpus —
+    the corpus shuffles only for the two grouped percentiles + final agg,
+    never for the stat joins."""
+    df = build(spark, "events_value_outliers_mad")
+    assert pi.broadcast_join_count(df) >= 2
+    assert pi.sort_merge_join_count(df) == 0
