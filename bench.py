@@ -94,10 +94,18 @@ def main() -> None:
         warm_dir = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.001")
         if not os.path.isdir(warm_dir):
             warm_dir = SF_DIR
+        # Fault isolation: one broken builder must cost ONE entry, never the
+        # whole run (round 3 shipped zero perf data because a loader bug in a
+        # single query aborted the bench before printing). Errors are recorded
+        # per-query and excluded from the wall-time sum.
+        errors: dict[str, str] = {}
         for name in HEADLINE:
-            QUERIES[name].builder(spark, warm_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
+            try:
+                QUERIES[name].builder(spark, warm_dir).write.format(
+                    "noop"
+                ).mode("overwrite").save()
+            except Exception as exc:  # noqa: BLE001 — record and continue
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
         # touch the target-SF parquet footers too
         QUERIES["topk_orders"].builder(spark, SF_DIR).write.format("noop").mode(
             "overwrite"
@@ -106,27 +114,33 @@ def main() -> None:
         timings: dict[str, float] = {}
         for _ in range(ITERS):
             for name in HEADLINE:
+                if name in errors:
+                    continue
                 builder = QUERIES[name].builder
                 t0 = time.perf_counter()
-                df = builder(spark, SF_DIR)
-                df.write.format("noop").mode("overwrite").save()
+                try:
+                    df = builder(spark, SF_DIR)
+                    df.write.format("noop").mode("overwrite").save()
+                except Exception as exc:  # noqa: BLE001
+                    errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                    timings.pop(name, None)
+                    continue
                 t = round(time.perf_counter() - t0, 3)
                 timings[name] = min(timings.get(name, t), t)
 
         m = re.search(r"sf([0-9.]+)", SF_DIR)
         sf = float(m.group(1).rstrip(".")) if m else None
-        print(
-            json.dumps(
-                {
-                    "metric": "headline_queries_wall_sec",
-                    "value": round(sum(timings.values()), 3),
-                    "unit": "sec",
-                    "queries": timings,
-                    "sf": sf,
-                    "iters": ITERS,
-                }
-            )
-        )
+        out = {
+            "metric": "headline_queries_wall_sec",
+            "value": round(sum(timings.values()), 3),
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+            "iters": ITERS,
+        }
+        if errors:
+            out["errors"] = errors
+        print(json.dumps(out))
     finally:
         spark.stop()
 

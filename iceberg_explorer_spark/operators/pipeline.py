@@ -606,11 +606,17 @@ TEMP_SCALE = 1_000_000
     "the source repeats (epochs), < 1 means it is subsampled. sqrt is the "
     "one power IEEE requires exactly rounded, so quantizing sqrt(T) to the "
     "micro-grid once per source makes every sum and ratio exact integer "
-    "math — bit-identical across engines and shuffle orders. Plan: one "
-    "partial-aggregated shuffle on source; the weight table is O(sources) "
-    "and never touches the corpus again.",
+    "math — bit-identical across engines and shuffle orders. Plan: ONE "
+    "corpus scan and ONE partial-aggregated shuffle on source; the weight "
+    "table is O(sources), so it is coalesced (narrow — no exchange) to a "
+    "single partition where the corpus-wide totals are window aggregates. "
+    "A separate global-aggregate side (the round-3 shape) re-ran the corpus "
+    "subtree: lambda variables in the token-count expression get fresh IDs "
+    "per plan copy, which defeats exchange-reuse canonicalization.",
 )
 def pipeline_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
     docs = load_table(spark, sf_dir, "documents")
     t = (
         docs.select("source", F.size(F.filter(F.split(F.col("text"), " "), lambda w: w != "")).alias("d"))
@@ -624,13 +630,20 @@ def pipeline_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("w_q"),
     )
-    tot = w.agg(
-        F.sum("w_q").cast("bigint").alias("tot_q"),
-        F.sum("n_tokens").cast("bigint").alias("tot_tokens"),
+    # O(sources) rows: a narrow coalesce to one partition satisfies the
+    # window's all-tuples requirement, so Spark inserts NO second exchange
+    # and the corpus aggregation subtree is planned exactly once.
+    w_all = W.partitionBy()
+    ww = w.coalesce(1).select(
+        "source",
+        "n_tokens",
+        "w_q",
+        F.sum("w_q").over(w_all).cast("bigint").alias("tot_q"),
+        F.sum("n_tokens").over(w_all).cast("bigint").alias("tot_tokens"),
     )
     mix_weight = F.col("w_q") * 1.0 / F.col("tot_q")
     target = F.round(mix_weight * F.col("tot_tokens")).cast("bigint")
-    return w.crossJoin(F.broadcast(tot)).select(
+    return ww.select(
         "source",
         "n_tokens",
         mix_weight.alias("mix_weight"),

@@ -40,22 +40,64 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     this loader depends on is set here at runtime, never assumed from
     ``session.build_session``.
 
-    ``events.ts`` is physically TIMESTAMP(NANOS), which Spark rejects by
-    default; ``spark.sql.legacy.parquet.nanosAsLong`` (runtime-settable) scans
-    it as epoch-nanos long and it is converted here to a microsecond timestamp
-    (integer division — a double division would lose precision on 1e18-scale
-    nanos) to match what other engines (e.g. the DuckDB oracle) surface for
-    the same file.
+    ``events.ts`` has shipped in two physical flavours across testdata
+    generations, and this loader normalizes BOTH to a plain ``timestamp``
+    column whose instant equals the file's raw value read as UTC — the same
+    reading the DuckDB oracle (and any naive-timestamp engine) gives:
+
+    * ``TIMESTAMP(NANOS)`` — Spark rejects it by default;
+      ``spark.sql.legacy.parquet.nanosAsLong`` (runtime-settable) scans it as
+      epoch-nanos long, converted here with integer division (a double
+      division would lose precision on 1e18-scale nanos).
+    * ``TIMESTAMP(MICROS, isAdjustedToUTC=false)`` — Spark ≥3.4 infers
+      ``TIMESTAMP_NTZ``, which ``unix_micros``/``window`` reject. The fix is
+      a RE-READ with an explicit user schema whose ``ts`` is ``TIMESTAMP``:
+      the parquet reader then loads the raw micros directly as the instant
+      with NO session-timezone shift — verified equal to DuckDB's
+      ``epoch_us`` under a non-UTC session tz (tests/test_differential.py
+      pins this). An explicit schema beats the session-wide
+      ``inferTimestampNTZ.enabled=false`` conf, which would also flip every
+      OTHER table's naive timestamps (e.g. ``lineitem.l_shipdate``) and leak
+      across the shared session.
+
+    Both paths are session-independent: no branch consults
+    ``spark.sql.session.timeZone``, so ANY caller session gets identical
+    instants.
     """
     if name == "events":
-        # Required for the nanos timestamp; harmless when already set.
+        # Required for the legacy NANOS flavour; harmless when already set.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
+    if name == "events":
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = spark.read.schema(_with_ts_as_timestamp(df.schema)).parquet(
+                path
+            )
     return df
+
+
+def _with_ts_as_timestamp(schema):
+    """Copy of a schema with the ``ts`` field retyped to ``TIMESTAMP`` —
+    the explicit-schema override that makes the parquet reader surface an
+    NTZ-annotated micros column as the same micros instant."""
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        [
+            T.StructField(
+                f.name,
+                T.TimestampType() if f.name == "ts" else f.dataType,
+                f.nullable,
+            )
+            for f in schema.fields
+        ]
+    )
 
 
 def repartition_for_compute(df: DataFrame, min_factor: float = 0.5) -> DataFrame:

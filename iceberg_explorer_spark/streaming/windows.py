@@ -20,18 +20,11 @@ from pyspark.sql import types as T
 
 from iceberg_explorer_spark.functions.deterministic import sum_money
 
-#: fixed schema — required by streaming file sources (no inference). ts is
-#: epoch-nanos long in the raw parquet (TIMESTAMP(NANOS) + nanosAsLong conf).
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+#: column layout of the events table (TESTDATA.md). The physical type of
+#: ``ts`` varies by testdata generation (epoch-nanos long vs MICROS-NTZ), so
+#: ``read_events_stream`` derives the actual read schema from a batch footer
+#: probe instead of pinning it here.
+EVENTS_COLUMNS = ("event_id", "ts", "user_id", "event_type", "value", "props")
 
 
 def _stage_stream_dir(sf_dir: str) -> str:
@@ -53,13 +46,32 @@ def _stage_stream_dir(sf_dir: str) -> str:
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (one input batch per file;
     a production deployment points this at a landing directory or swaps in
-    Kafka — the downstream plan is unchanged)."""
+    Kafka — the downstream plan is unchanged).
+
+    Streaming file sources need an explicit schema (no inference), and the
+    physical flavour of ``ts`` varies by testdata generation. A one-time
+    batch footer probe via ``load_table`` — the authority on ts
+    normalization — decides the read schema: the NANOS flavour streams as
+    epoch-nanos long + DIV-1000 conversion, the MICROS-NTZ flavour streams
+    with a TIMESTAMP-typed user schema, which surfaces the raw micros as
+    the instant exactly like the batch path (batch/stream duality starts at
+    the source)."""
+    from iceberg_explorer_spark.sources.registry import _with_ts_as_timestamp
+
+    # Same conf the batch loader needs to even footer-probe the NANOS flavour.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    ts_is_long = isinstance(batch_schema["ts"].dataType, T.LongType)
+    if not ts_is_long:
+        batch_schema = _with_ts_as_timestamp(batch_schema)
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(batch_schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(_stage_stream_dir(sf_dir))
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if ts_is_long:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return raw
 
 
 def tumbling_counts(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:

@@ -66,7 +66,10 @@ def test_builders_run_on_default_conf_session(spark):
     the confs load_table historically leaned on, then run the events-reading
     builders end-to-end."""
     s = spark.newSession()
-    for k in ("spark.sql.legacy.parquet.nanosAsLong",):
+    for k in (
+        "spark.sql.legacy.parquet.nanosAsLong",
+        "spark.sql.parquet.inferTimestampNTZ.enabled",
+    ):
         try:
             s.conf.unset(k)
         except Exception:
@@ -80,6 +83,40 @@ def test_builders_run_on_default_conf_session(spark):
     ):
         df = QUERIES[name].builder(s, SF_DIR_SMALL)
         assert df.count() >= 0, name
+
+
+def test_events_ts_dtype_contract(spark):
+    """Pin the loader's events.ts normalization: whatever the physical
+    flavour (NANOS-as-bigint in older testdata, MICROS-NTZ in current),
+    load_table must surface a plain ``timestamp`` column whose instant is
+    the file's raw value read as UTC — equal to DuckDB's ``epoch_us`` —
+    and must do so under a NON-UTC session timezone (session independence;
+    round-3 regression: the NTZ flavour leaked through and 13
+    ``unix_micros`` call sites threw)."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from iceberg_explorer_spark.sources.registry import load_table
+    from tests.conftest import SF_DIR_SMALL
+
+    s = spark.newSession()
+    s.conf.set("spark.sql.session.timeZone", "America/New_York")
+    df = load_table(s, SF_DIR_SMALL, "events")
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    got = {
+        r["event_id"]: r["us"]
+        for r in df.select(
+            "event_id", F.unix_micros("ts").alias("us")
+        ).limit(50).collect()
+    }
+    want = dict(
+        duckdb.sql(
+            "select event_id, epoch_us(ts) from "
+            f"read_parquet('{SF_DIR_SMALL}/events.parquet') "
+            f"where event_id in ({','.join(map(str, got))})"
+        ).fetchall()
+    )
+    assert got == want
 
 
 @pytest.mark.parametrize("name", ORACLE_QUERIES)

@@ -314,13 +314,16 @@ def test_unigram_logfreq_partial_aggs_and_word_key(spark):
 
 
 def test_temperature_mix_single_corpus_pass(spark):
-    """The corpus is read once: one partial-aggregated shuffle on source;
-    the totals side comes back as a broadcast, never a second scan
-    shuffle."""
+    """The corpus is read once: one partial-aggregated shuffle on source,
+    then the O(sources) weight frame coalesces (narrow) to one partition
+    where the corpus-wide totals are window aggregates — no second scan,
+    no second exchange. Pinned by FileScan count, the strongest form of
+    'single corpus pass' (the round-3 broadcast-totals shape passed a
+    broadcast assertion while scanning the corpus twice)."""
     df = build(spark, "pipeline_temperature_mix")
     assert pi.shuffle_count(df) <= 1
     assert pi.has_partial_aggregate(df)
-    assert pi.broadcast_join_count(df) >= 1
+    assert pi.physical_plan(df).count("FileScan parquet") == 1
 
 
 def test_mad_outliers_broadcasts_tiny_stats(spark):

@@ -118,7 +118,20 @@ def test_watermark_drops_late_data(spark, tmp_path):
 
     from pyspark.sql import functions as F
 
-    from iceberg_explorer_spark.streaming.windows import EVENTS_SCHEMA
+    from pyspark.sql import types as T
+
+    # this test writes its OWN int64-nanos fixture files, so the long-ts
+    # schema is pinned here (the real source probes the footer flavour)
+    events_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
     def ns(hhmm: str) -> int:  # epoch nanos on 2024-01-01
         h, m = map(int, hhmm.split(":"))
@@ -156,7 +169,7 @@ def test_watermark_drops_late_data(spark, tmp_path):
     os.utime(f3, (now, now))
 
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(events_schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(str(stage))
     )
