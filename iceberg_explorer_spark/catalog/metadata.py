@@ -43,6 +43,41 @@ def build_namespace_path(parts: list[str]) -> str:
     return NS_SEPARATOR.join(parts)
 
 
+def _parse_sort_order(raw: Optional[str]) -> Optional[list["SortFieldInfo"]]:
+    """Parse DESCRIBE EXTENDED's sort-order rendering into SortFieldInfo.
+
+    Two provider formats appear in the wild:
+    * Iceberg ``WRITE ORDERED BY``: ``col ASC NULLS FIRST, other DESC``
+    * Spark bucketed tables (``sortBy``): ``[`col1`, `col2`]``
+
+    Returns None for empty/unparseable values — the reference's constant
+    answer (api/routes/catalog.py:370) — so callers never see a half-parsed
+    order.
+    """
+    if not raw:
+        return None
+    text = raw.strip()
+    if not text or text == "[]":
+        return None
+    text = text.strip("[]")
+    out: list[SortFieldInfo] = []
+    for part in text.split(","):
+        tokens = part.replace("`", "").strip().split()
+        if not tokens:
+            continue
+        f = SortFieldInfo(column=tokens[0])
+        rest = [t.upper() for t in tokens[1:]]
+        if "DESC" in rest:
+            f.direction = "desc"
+            f.null_order = "nulls_last"  # engine default flips with DESC
+        if "NULLS" in rest:
+            i = rest.index("NULLS")
+            if i + 1 < len(rest):
+                f.null_order = f"nulls_{rest[i + 1].lower()}"
+        out.append(f)
+    return out or None
+
+
 def quote_identifier(name: str) -> str:
     """Backtick quoting for Spark SQL (the reference doubles ``\"`` for
     DuckDB — api/routes/utils.py:27-38; Spark uses backticks)."""
@@ -82,6 +117,18 @@ class ColumnStats:
 
 
 @dataclass
+class SortFieldInfo:
+    """One field of a table's declared sort order (reference:
+    models/catalog.py:124-142 SortField — source column, transform,
+    direction, null ordering)."""
+
+    column: str
+    transform: str = "identity"
+    direction: str = "asc"
+    null_order: str = "nulls_first"
+
+
+@dataclass
 class TableDetails:
     name: str
     namespace: list[str]
@@ -90,6 +137,11 @@ class TableDetails:
     partition_columns: list[str] = field(default_factory=list)
     snapshots: list[SnapshotInfo] = field(default_factory=list)
     current_snapshot_id: Optional[int] = None
+    #: declared sort order, or None when the table has none — the reference
+    #: models SortOrder (models/catalog.py:144-156) but always surfaces None
+    #: (api/routes/catalog.py:370); here it is parsed from DESCRIBE EXTENDED
+    #: when the provider (e.g. Iceberg WRITE ORDERED BY) reports one.
+    sort_order: Optional[list[SortFieldInfo]] = None
 
 
 class CatalogService:
@@ -182,6 +234,8 @@ class CatalogService:
                     details.location = r["data_type"]
                 elif key == "Provider":
                     details.format = (r["data_type"] or "").upper() or details.format
+                elif key in ("Sort Order", "Sort Columns"):
+                    details.sort_order = _parse_sort_order(r["data_type"])
         except Exception:
             pass
         details.partition_columns = sorted(self._partition_columns(ident))

@@ -255,9 +255,25 @@ class ExplorerApp:
 
     # -- catalog (reference api/routes/catalog.py) -------------------------
     def _namespaces(self, params, body) -> Response:
+        """List namespaces. Accepts the reference's pagination request shape
+        (api/routes/catalog.py:50-65): ``page-token`` is accepted and ignored
+        (reference marks it "not yet implemented", noqa ARG001) and
+        ``page-size`` is range-validated 1..1000 exactly as the reference's
+        Query(ge=1, le=1000) does, then honored as a result cap — a strict
+        superset of the reference, which validates but ignores it."""
         parent = params.get("parent")
         parent_parts = parse_namespace(parent) if parent else None
-        namespaces = self.catalog.list_namespaces(parent_parts)
+        params.get("page-token")  # accepted; pagination tokens not issued yet
+        page_size_raw = params.get("page-size")
+        page_size = 100
+        if page_size_raw is not None:
+            try:
+                page_size = int(page_size_raw)
+            except ValueError:
+                return _error(400, "Invalid page-size: must be an integer")
+            if not 1 <= page_size <= 1000:
+                return _error(400, "Invalid page-size: must be in [1, 1000]")
+        namespaces = self.catalog.list_namespaces(parent_parts)[:page_size]
         return Response(
             status=200, body={"namespaces": namespaces, "next_page_token": None}
         )

@@ -107,6 +107,24 @@ def test_status_cancel_cleanup_roundtrip(app):
 def test_catalog_routes(app):
     ns = app.handle("GET", "/api/v1/catalog/namespaces")
     assert ns.status == 200 and ["default"] in ns.body["namespaces"]
+    # pagination request shape (reference api/routes/catalog.py:50-65):
+    # page-token accepted-and-ignored, page-size range-validated 1..1000
+    paged = app.handle(
+        "GET",
+        "/api/v1/catalog/namespaces",
+        params={"page-token": "tok", "page-size": "1"},
+    )
+    assert paged.status == 200 and len(paged.body["namespaces"]) <= 1
+    assert paged.body["next_page_token"] is None
+    for bad in ("0", "1001", "abc"):
+        assert (
+            app.handle(
+                "GET",
+                "/api/v1/catalog/namespaces",
+                params={"page-size": bad},
+            ).status
+            == 400
+        ), bad
     no_ns = app.handle("GET", "/api/v1/catalog/namespaces//tables")
     assert no_ns.status in (400, 404)
     bad_path = app.handle("GET", "/api/v1/catalog/tables/nodots")

@@ -42,6 +42,59 @@ def test_list_tables_contains_views(service):
         assert t in tables
 
 
+def test_table_details_sort_order_field(spark, tmp_path):
+    """TableDetails carries sort_order — the reference's declared API shape
+    (models/catalog.py:144-156), None when the table has none
+    (api/routes/catalog.py:370 always answers None), populated when the
+    provider reports sorted buckets."""
+    from dataclasses import asdict
+
+    svc = CatalogService(spark)
+    plain = svc.table_details([], "lineitem")
+    assert "sort_order" in asdict(plain)
+    assert plain.sort_order is None
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS ies_sorttest")
+    spark.sql("DROP TABLE IF EXISTS ies_sorttest.sorted_tbl")
+    try:
+        (
+            spark.range(10)
+            .selectExpr("id AS k", "id * 2 AS v")
+            .write.bucketBy(4, "k")
+            .sortBy("k")
+            .mode("overwrite")
+            .option("path", str(tmp_path / "sorted_tbl"))
+            .saveAsTable("ies_sorttest.sorted_tbl")
+        )
+        details = svc.table_details(["ies_sorttest"], "sorted_tbl")
+        assert details.sort_order is not None
+        assert details.sort_order[0].column == "k"
+        assert details.sort_order[0].direction == "asc"
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ies_sorttest.sorted_tbl")
+        spark.sql("DROP DATABASE IF EXISTS ies_sorttest")
+
+
+def test_parse_sort_order_formats():
+    from iceberg_explorer_spark.catalog.metadata import _parse_sort_order
+
+    assert _parse_sort_order(None) is None
+    assert _parse_sort_order("") is None
+    assert _parse_sort_order("[]") is None
+    # Spark bucketed-table rendering
+    got = _parse_sort_order("[`k`, `v`]")
+    assert [f.column for f in got] == ["k", "v"]
+    assert all(f.direction == "asc" for f in got)
+    # Iceberg WRITE ORDERED BY rendering
+    got = _parse_sort_order("ts ASC NULLS FIRST, value DESC NULLS LAST")
+    assert got[0].column == "ts" and got[0].direction == "asc"
+    assert got[0].null_order == "nulls_first"
+    assert got[1].column == "value" and got[1].direction == "desc"
+    assert got[1].null_order == "nulls_last"
+    # DESC without explicit nulls: engine default flips to nulls_last
+    assert _parse_sort_order("x DESC")[0].null_order == "nulls_last"
+
+
 def test_table_schema_types(service):
     schema = {f.name: f for f in service.table_schema([], "lineitem")}
     assert schema["l_orderkey"].type == "bigint"

@@ -59,6 +59,23 @@ def test_iceberg_write_read_roundtrip(iceberg_spark):
     assert s.table("lake.smoke.numbers").count() == 150
 
 
+def test_iceberg_time_travel(iceberg_spark):
+    """VERSION AS OF / TIMESTAMP AS OF — the reference surfaces snapshot
+    history precisely so users can time-travel to it (reference:
+    api/routes/ui.py:249-271 lists snapshots in the UI). Read the FIRST
+    snapshot back and assert it predates the append."""
+    s = iceberg_spark
+    snaps = s.sql(
+        "SELECT snapshot_id FROM lake.smoke.numbers.snapshots "
+        "ORDER BY committed_at"
+    ).collect()
+    assert len(snaps) >= 2
+    first = snaps[0]["snapshot_id"]
+    old = s.sql(f"SELECT count(*) AS n FROM lake.smoke.numbers VERSION AS OF {first}")
+    assert old.collect()[0]["n"] == 100  # pre-append row count
+    assert s.table("lake.smoke.numbers").count() == 150  # current unchanged
+
+
 def test_iceberg_snapshots_and_files_metadata(iceberg_spark):
     from iceberg_explorer_spark.catalog.metadata import CatalogService
 
