@@ -709,3 +709,90 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_members",
         (F.col("n_members") - 1).alias("n_dropped"),
     )
+
+
+#: boilerplate detection: non-overlapping span width (words). Small enough
+#: to catch repeated headers/footers/licenses, big enough that natural
+#: language rarely collides by chance.
+SPAN_WORDS = 8
+
+
+@query(
+    "dedup_span_boilerplate",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS words
+      FROM documents
+    ),
+    e AS (
+      SELECT doc_id, words, UNNEST(range(len(words) // {SPAN_WORDS})) AS i
+      FROM w WHERE len(words) >= {SPAN_WORDS}
+    ),
+    sd AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(
+               words[i * {SPAN_WORDS} + 1 : i * {SPAN_WORDS} + {SPAN_WORDS}],
+               ' ') AS span
+      FROM e
+    ),
+    f AS (
+      SELECT doc_id, COUNT(*) OVER (PARTITION BY span) AS df FROM sd
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_spans,
+           COUNT(*) FILTER (WHERE df >= 2) AS n_common_spans,
+           COUNT(*) FILTER (WHERE df >= 2) * 1.0 / COUNT(*)
+             AS boilerplate_ratio
+    FROM f GROUP BY doc_id
+    """,
+    doc="Span-level boilerplate detection: each document's non-overlapping "
+    "8-word spans are scored by cross-document frequency; the per-doc ratio "
+    "of spans shared with ANY other document flags boilerplate-heavy pages "
+    "(headers, licenses, templated text) that document-level dedup keeps "
+    "because the documents differ overall. Three partial-aggregated "
+    "shuffles — (doc, span) distinct, doc-frequency window on span, per-doc "
+    "rollup — and the span identity is the join/shuffle key, so nothing "
+    "quadratic: at 100 TB the span would be xxhash64-ed to 8 bytes before "
+    "the shuffle exactly as dedup_exact hashes text (string spans kept here "
+    "so the DuckDB oracle computes the identical thing).",
+)
+def dedup_span_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    span = F.array_join(
+        F.slice(
+            F.col("words"), F.col("i") * SPAN_WORDS + 1, SPAN_WORDS
+        ),
+        " ",
+    )
+    sd = (
+        docs.select("doc_id", words.alias("words"))
+        .filter(F.size("words") >= SPAN_WORDS)
+        .select(
+            "doc_id",
+            "words",
+            F.explode(
+                F.sequence(
+                    F.lit(0), (F.size("words") / SPAN_WORDS).cast("int") - 1
+                )
+            ).alias("i"),
+        )
+        .select("doc_id", span.alias("span"))
+        .distinct()
+    )
+    doc_freq = F.count(F.lit(1)).over(W.partitionBy("span"))
+    common = F.col("df") >= 2
+    return (
+        sd.select("doc_id", doc_freq.alias("df"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.count(F.when(common, 1)).alias("n_common_spans"),
+            (F.count(F.when(common, 1)) * 1.0 / F.count(F.lit(1))).alias(
+                "boilerplate_ratio"
+            ),
+        )
+    )

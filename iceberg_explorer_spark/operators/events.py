@@ -400,3 +400,59 @@ def events_value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             "outlier_rate"
         ),
     )
+
+
+DAY_US = 86_400_000_000
+
+
+@query(
+    "events_user_retention",
+    oracle=f"""
+    WITH ud AS (
+      SELECT DISTINCT user_id, EPOCH_US(ts) // {DAY_US} AS day_num
+      FROM events
+    ),
+    cohort AS (
+      SELECT user_id, MIN(day_num) AS cohort_day FROM ud GROUP BY user_id
+    )
+    SELECT c.cohort_day AS cohort_day,
+           ud.day_num - c.cohort_day AS day_offset,
+           COUNT(*) AS n_users
+    FROM ud JOIN cohort c ON ud.user_id = c.user_id
+    GROUP BY 1, 2
+    """,
+    doc="Cohort retention matrix: users grouped by first-active day, counted "
+    "on each later active day (the classic growth-analytics triangle; at "
+    "training-pipeline scale the same shape tracks crawl-source freshness). "
+    "Days are tz-free integer day numbers (epoch_us DIV 86400e6) so every "
+    "engine buckets identically. Plan: per-(user, day) distinct partially "
+    "aggregates map-side, the cohort day comes back as a WINDOW MIN over "
+    "user_id on the already-(user,day)-clustered frame — no self-join, no "
+    "broadcast of an O(users) table (users is the BIG dimension at scale) — "
+    "then one final (cohort, offset) aggregation. Each (user, day) row is "
+    "unique, so COUNT(*) per (cohort, offset) IS the distinct-user count.",
+)
+def events_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ud = (
+        ev.select(
+            "user_id",
+            # integer DIV, not double / + cast: double rounding at a day
+            # boundary could bucket an event into the next day
+            F.expr(f"unix_micros(ts) DIV {DAY_US}").alias("day_num"),
+        )
+        .distinct()
+    )
+    cohort_day = F.min("day_num").over(W.partitionBy("user_id"))
+    return (
+        ud.select(
+            "user_id",
+            "day_num",
+            cohort_day.alias("cohort_day"),
+        )
+        .groupBy(
+            "cohort_day",
+            (F.col("day_num") - F.col("cohort_day")).alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

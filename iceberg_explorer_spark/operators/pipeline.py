@@ -650,3 +650,75 @@ def pipeline_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         target.alias("target_tokens"),
         (target * 1.0 / F.col("n_tokens")).alias("oversample_ratio"),
     )
+
+
+#: context-window chunking geometry: 64-word chunks, stride 48 (16-word
+#: overlap keeps boundary context in both neighbors — the standard RAG /
+#: pretraining chunker shape, scaled down to the test corpus).
+CHUNK_WORDS = 64
+CHUNK_STRIDE = 48
+
+
+@query(
+    "pipeline_chunk_documents",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS words
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, words,
+             CASE WHEN len(words) <= {CHUNK_WORDS} THEN 1
+                  ELSE ((len(words) - {CHUNK_WORDS} + {CHUNK_STRIDE} - 1)
+                        // {CHUNK_STRIDE}) + 1 END AS n_chunks
+      FROM w
+    ),
+    e AS (
+      SELECT doc_id, words, UNNEST(range(n_chunks)) AS i FROM c
+    )
+    SELECT doc_id,
+           i AS chunk_id,
+           array_to_string(
+             words[i * {CHUNK_STRIDE} + 1 :
+                   i * {CHUNK_STRIDE} + {CHUNK_WORDS}], ' ') AS chunk_text,
+           len(words[i * {CHUNK_STRIDE} + 1 :
+                     i * {CHUNK_STRIDE} + {CHUNK_WORDS}]) AS n_chunk_tokens
+    FROM e
+    """,
+    doc="Overlapping context-window chunking: each document becomes "
+    "ceil((n-64)/48)+1 chunks of <=64 words with a 16-word overlap — the "
+    "preprocessing step that turns raw documents into training/RAG windows. "
+    "Entirely narrow JVM work (split -> slice -> posexplode): NO shuffle, no "
+    "Python, so at 100 TB it runs embarrassingly parallel at scan width and "
+    "chains straight into sequence packing (pipeline_sequence_pack) without "
+    "a repartition.",
+)
+def pipeline_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    n = F.size(F.col("words"))
+    n_chunks = F.when(n <= CHUNK_WORDS, F.lit(1)).otherwise(
+        (
+            (n - CHUNK_WORDS + CHUNK_STRIDE - 1)
+            / F.lit(CHUNK_STRIDE)
+        ).cast("int")
+        + 1
+    )
+    chunk = F.slice(
+        F.col("words"), F.col("chunk_id") * CHUNK_STRIDE + 1, CHUNK_WORDS
+    )
+    return (
+        docs.select("doc_id", words.alias("words"))
+        .select(
+            "doc_id",
+            "words",
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("bigint").alias("chunk_id"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+            F.size(chunk).cast("bigint").alias("n_chunk_tokens"),
+        )
+    )

@@ -333,3 +333,34 @@ def test_mad_outliers_broadcasts_tiny_stats(spark):
     df = build(spark, "events_value_outliers_mad")
     assert pi.broadcast_join_count(df) >= 2
     assert pi.sort_merge_join_count(df) == 0
+
+
+def test_chunk_documents_is_pure_map(spark):
+    """Chunking is narrow work: split → sequence-explode → slice, NO
+    shuffle and no join — at 100 TB it runs at scan width and chains into
+    sequence packing without a repartition."""
+    df = build(spark, "pipeline_chunk_documents")
+    assert pi.shuffle_count(df) == 0
+    assert pi.broadcast_join_count(df) == 0
+    assert pi.sort_merge_join_count(df) == 0
+
+
+def test_user_retention_no_self_join(spark):
+    """The cohort day is a window MIN over user_id on the already-distinct
+    (user, day) frame — no self-join and no broadcast of the O(users) cohort
+    table (users is the big dimension at scale)."""
+    df = build(spark, "events_user_retention")
+    plan = pi.physical_plan(df)
+    assert "Join" not in plan
+    assert pi.has_partial_aggregate(df)
+    assert pi.shuffle_count(df) <= 3
+
+
+def test_span_boilerplate_bounded_shuffles(spark):
+    """(doc, span) distinct → doc-frequency window on span → per-doc rollup:
+    three partial-aggregated shuffles, no join, nothing quadratic."""
+    df = build(spark, "dedup_span_boilerplate")
+    plan = pi.physical_plan(df)
+    assert "Join" not in plan
+    assert pi.has_partial_aggregate(df)
+    assert pi.shuffle_count(df) <= 3
