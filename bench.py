@@ -76,6 +76,10 @@ HEADLINE = [
     "pipeline_token_shards",      # prefix-sum shard packing
     "pipeline_sequence_pack",     # fixed-budget training-sequence packing
     "pipeline_global_shuffle",    # two-phase global rank → balanced shards
+    "pipeline_chunk_documents",   # overlapping context-window chunking
+    "dedup_span_boilerplate",     # cross-doc span-frequency boilerplate
+    "events_user_retention",      # cohort retention triangle
+    "similarity_pq_adc_topk",     # product-quantization ADC ANN
 ]
 
 

@@ -523,3 +523,132 @@ def similarity_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         sym.withColumn("rn", F.row_number().over(w).cast("int"))
         .filter(F.col("rn") <= KNN_K)
     )
+
+
+#: product-quantization geometry: DIM=64 split into PQ_M=4 subspaces of
+#: PQ_SUB=16 dims; PQ_K=16 codes per subspace → 4-byte codes (16× smaller
+#: than the f32 vector). Codebooks are the sub-chunks of the first PQ_K
+#: vectors — the same deterministic seed-pick the IVF coarse quantizer uses
+#: (production would run Lloyd's per subspace on a sample).
+PQ_M = 4
+PQ_SUB = 16
+PQ_K = 16
+
+
+@query(
+    "similarity_pq_adc_topk",
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> x / sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                                CAST(embedding AS DOUBLE[]))))
+               AS ne
+      FROM embeddings
+    ),
+    sub AS (
+      SELECT vec_id, mm.i AS m,
+             ne[mm.i * {PQ_SUB} + 1 : mm.i * {PQ_SUB} + {PQ_SUB}] AS chunk
+      FROM n, (SELECT UNNEST(range({PQ_M})) AS i) mm
+    ),
+    cb AS (
+      SELECT vec_id AS code, m, chunk AS ce FROM sub WHERE vec_id < {PQ_K}
+    ),
+    assign AS (
+      SELECT s.vec_id, s.m, c.code,
+             ROW_NUMBER() OVER (
+               PARTITION BY s.vec_id, s.m
+               ORDER BY ROUND(list_inner_product(s.chunk, c.ce), 6) DESC,
+                        c.code
+             ) AS rn
+      FROM sub s JOIN cb c USING (m)
+    ),
+    codes AS (SELECT vec_id, m, code FROM assign WHERE rn = 1),
+    lut AS (
+      SELECT c.m, c.code,
+             CAST(ROUND(list_inner_product(q.chunk, c.ce) * 1000000)
+                  AS BIGINT) AS contrib_micro
+      FROM cb c
+      JOIN (SELECT m, chunk FROM sub WHERE vec_id = {QUERY_VEC_ID}) q
+        USING (m)
+    )
+    SELECT codes.vec_id,
+           CAST(SUM(l.contrib_micro) AS BIGINT) * 1.0 / 1000000.0
+             AS approx_cos_sim
+    FROM codes JOIN lut l USING (m, code)
+    WHERE codes.vec_id <> {QUERY_VEC_ID}
+    GROUP BY codes.vec_id
+    ORDER BY approx_cos_sim DESC, codes.vec_id
+    LIMIT 10
+    """,
+    doc=f"Product-quantization ANN with asymmetric distance computation: "
+    f"vectors compress to {PQ_M} one-byte codes (argmax inner product per "
+    f"subspace against a {PQ_K}-entry codebook, deterministic seed-pick "
+    "codebooks shared with the oracle), the query builds a tiny "
+    "(subspace, code) → contribution lookup table, and the approximate "
+    "cosine is the SUM of table hits — the memory-bound trick behind "
+    "FAISS-style billion-vector search. Per-subspace contributions are "
+    "micro-unit BIGINTs so the 4-term sum is exact integer math (no "
+    "float-order nondeterminism). Plan: codebook and LUT both broadcast; "
+    "the corpus shuffles only for the per-(vec, subspace) argmax partial "
+    "agg and the final per-vec sum. At 100 TB the encode runs ONCE and "
+    "persists 4-byte codes; every query after that scans codes + a "
+    "broadcast LUT — 16× less IO than the raw vectors, no re-encode.",
+)
+def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _with_normalized(load_table(spark, sf_dir, "embeddings"))
+    sub_structs = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("m"),
+                F.expr(f"slice(ne, {m * PQ_SUB + 1}, {PQ_SUB})").alias(
+                    "chunk"
+                ),
+            )
+            for m in range(PQ_M)
+        ]
+    )
+    sub = (
+        emb.select("vec_id", F.explode(sub_structs).alias("s"))
+        .select("vec_id", F.col("s.m").alias("m"), F.col("s.chunk").alias("chunk"))
+    )
+    cb = F.broadcast(
+        sub.filter(F.col("vec_id") < PQ_K).select(
+            F.col("vec_id").alias("code"), "m", F.col("chunk").alias("ce")
+        )
+    )
+    dot_r = F.round(F.expr(_DOT_SPARK.format(a="chunk", b="ce")), 6)
+    codes = (
+        sub.join(cb, "m")
+        .withColumn("dot_r", dot_r)
+        .groupBy("vec_id", "m")
+        .agg(
+            F.expr(
+                "max_by(code, struct(dot_r, -code))"
+            ).alias("code")
+        )
+    )
+    lut = F.broadcast(
+        sub.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select("m", F.col("chunk").alias("qchunk"))
+        .join(cb, "m")
+        .select(
+            "m",
+            "code",
+            F.round(F.expr(_DOT_SPARK.format(a="qchunk", b="ce")) * 1_000_000)
+            .cast("bigint")
+            .alias("contrib_micro"),
+        )
+    )
+    return (
+        codes.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(lut, ["m", "code"])
+        .groupBy("vec_id")
+        .agg(
+            (F.sum("contrib_micro").cast("bigint") * 1.0 / 1_000_000.0).alias(
+                "approx_cos_sim"
+            )
+        )
+        .orderBy(F.col("approx_cos_sim").desc(), "vec_id")
+        .limit(10)
+    )

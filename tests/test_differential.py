@@ -197,3 +197,22 @@ def test_hll_sketch_rollup_merge_accuracy(spark, oracle):
     assert set(got) == set(exact)
     for k, v in exact.items():
         assert abs(got[k] - v) <= max(2, 0.1 * v), (k, got[k], v)
+
+
+def test_pq_adc_recall_vs_bruteforce(spark):
+    """PQ is lossy by design; what must hold is USEFUL recall against the
+    exact baseline. With 16 seed-pick codes per subspace the sf0.01 corpus
+    recovers ≥5 of the true top-10 — pinned as a floor so a quantization
+    regression (wrong argmax, wrong LUT join) reads as a recall collapse,
+    not a silent wrong-but-plausible list."""
+    pq = {
+        r["vec_id"]
+        for r in QUERIES["similarity_pq_adc_topk"].builder(spark, SF_DIR).collect()
+    }
+    exact = {
+        r["vec_id"]
+        for r in QUERIES["similarity_bruteforce_topk"]
+        .builder(spark, SF_DIR)
+        .collect()
+    }
+    assert len(pq & exact) >= 5

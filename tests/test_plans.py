@@ -364,3 +364,14 @@ def test_span_boilerplate_bounded_shuffles(spark):
     assert "Join" not in plan
     assert pi.has_partial_aggregate(df)
     assert pi.shuffle_count(df) <= 3
+
+
+def test_pq_adc_broadcasts_codebook_and_lut(spark):
+    """PQ-ADC: the codebook and the query LUT broadcast (both tiny); the
+    corpus shuffles only for the per-(vec, subspace) argmax and the final
+    per-vec sum — never a sort-merge join, and the top-k is a heap merge."""
+    df = build(spark, "similarity_pq_adc_topk")
+    assert pi.shuffle_count(df) <= 2
+    assert pi.broadcast_join_count(df) >= 2
+    assert pi.sort_merge_join_count(df) == 0
+    assert "TakeOrderedAndProject" in pi.physical_plan(df)
