@@ -80,6 +80,7 @@ HEADLINE = [
     "dedup_span_boilerplate",     # cross-doc span-frequency boilerplate
     "events_user_retention",      # cohort retention triangle
     "similarity_pq_adc_topk",     # product-quantization ADC ANN
+    "text_bpe_pair_freq",         # BPE merge-candidate counting
 ]
 
 

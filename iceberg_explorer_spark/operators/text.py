@@ -474,3 +474,66 @@ def text_unigram_logfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.lit(LOGFREQ_SCALE) * F.sum("tf"))
         ).alias("avg_token_logfreq"),
     )
+
+
+#: BPE merge-candidate report size
+BPE_TOP_PAIRS = 50
+
+
+@query(
+    "text_bpe_pair_freq",
+    oracle=f"""
+    WITH toks AS (
+      SELECT UNNEST(list_filter(
+               regexp_split_to_array(lower(trim(text)), '\\s+'),
+               w -> w <> '')) AS word
+      FROM documents
+    ),
+    vocab AS (
+      SELECT word, COUNT(*) AS freq FROM toks GROUP BY word
+    ),
+    p AS (
+      SELECT UNNEST(list_transform(range(1, length(word)),
+                                   i -> word[i : i + 1])) AS pair,
+             freq
+      FROM vocab WHERE length(word) >= 2
+    )
+    SELECT pair, CAST(SUM(freq) AS BIGINT) AS pair_count
+    FROM p GROUP BY pair
+    ORDER BY pair_count DESC, pair
+    LIMIT {BPE_TOP_PAIRS}
+    """,
+    doc="BPE merge-candidate counting — iteration one of byte-pair-encoding "
+    "tokenizer training: adjacent character-pair frequencies over the "
+    "corpus, ranked. Counted the way fast BPE trainers do it: the corpus "
+    "collapses to a (word, freq) vocabulary FIRST, then pairs are counted "
+    "once per distinct word and weighted by freq — pair work scales with "
+    "O(vocab), not O(corpus tokens), which is the difference between "
+    "re-scanning 100 TB per merge and re-scanning a few-GB vocab table. "
+    "Two partial-aggregated shuffles (word vocab, pair counts), no join, "
+    "top-k as a heap merge.",
+)
+def text_bpe_pair_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.filter(_tokens(), lambda w: w != "")).alias("word")
+    )
+    vocab = toks.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    pairs = (
+        vocab.filter(F.length("word") >= 2)
+        .select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(word) - 1),"
+                    " i -> substr(word, i, 2))"
+                )
+            ).alias("pair"),
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").cast("bigint").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), "pair")
+        .limit(BPE_TOP_PAIRS)
+    )

@@ -375,3 +375,14 @@ def test_pq_adc_broadcasts_codebook_and_lut(spark):
     assert pi.broadcast_join_count(df) >= 2
     assert pi.sort_merge_join_count(df) == 0
     assert "TakeOrderedAndProject" in pi.physical_plan(df)
+
+
+def test_bpe_pair_freq_counts_over_vocab_not_corpus(spark):
+    """Pair counting runs over the aggregated (word, freq) vocabulary, not
+    the raw token stream: two partial-aggregated shuffles, no join, and the
+    top-k is a heap merge — so per-merge cost scales with O(vocab)."""
+    df = build(spark, "text_bpe_pair_freq")
+    assert pi.shuffle_count(df) == 2
+    assert pi.has_partial_aggregate(df)
+    assert "Join" not in pi.physical_plan(df)
+    assert "TakeOrderedAndProject" in pi.physical_plan(df)
