@@ -430,3 +430,75 @@ def test_global_shuffle_shards_are_balanced_and_exhaustive(spark):
         else:
             assert 0 < r["n_docs"] <= size, r
         assert r["n_sources"] > 1, r
+
+
+def test_chunk_documents_reconstruction_invariants(spark):
+    """Every document must be exactly reconstructible from its chunks:
+    chunk i covers words [i*48, i*48+64), so doc = concat of each chunk's
+    first 48 words + the final chunk's tail. Also pins: per-doc chunk ids
+    are dense from 0, all chunks but the last are full when the doc is
+    longer than one window, and overlap between consecutive chunks is
+    16 words."""
+    from iceberg_explorer_spark.operators import QUERIES
+    from iceberg_explorer_spark.operators.pipeline import (
+        CHUNK_STRIDE,
+        CHUNK_WORDS,
+    )
+    from iceberg_explorer_spark.sources.registry import load_table
+
+    docs = {
+        r["doc_id"]: [w for w in r["text"].split(" ") if w != ""]
+        for r in load_table(spark, SF_DIR_SMALL, "documents").collect()
+    }
+    out: dict[int, dict[int, list[str]]] = {}
+    for r in QUERIES["pipeline_chunk_documents"].builder(
+        spark, SF_DIR_SMALL
+    ).collect():
+        out.setdefault(r["doc_id"], {})[r["chunk_id"]] = (
+            [w for w in r["chunk_text"].split(" ") if w != ""]
+        )
+        assert r["n_chunk_tokens"] == len(out[r["doc_id"]][r["chunk_id"]])
+    assert set(out) == {d for d in docs}
+    for doc_id, chunks in out.items():
+        words = docs[doc_id]
+        ids = sorted(chunks)
+        assert ids == list(range(len(ids)))  # dense from 0
+        rebuilt: list[str] = []
+        for i in ids[:-1]:
+            assert len(chunks[i]) == CHUNK_WORDS  # only the tail is short
+            rebuilt.extend(chunks[i][:CHUNK_STRIDE])
+            # 16-word overlap with the next chunk
+            assert chunks[i][CHUNK_STRIDE:] == chunks[i + 1][
+                : CHUNK_WORDS - CHUNK_STRIDE
+            ]
+        rebuilt.extend(chunks[ids[-1]])
+        assert rebuilt == words, doc_id
+
+
+def test_span_boilerplate_crafted_duplicates(spark):
+    """Two documents sharing one exact 8-word span (and nothing else) must
+    each report exactly that span as common; an unrelated doc reports
+    zero."""
+    from iceberg_explorer_spark.operators.dedup import (
+        SPAN_WORDS,
+        dedup_span_boilerplate,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(SPAN_WORDS))
+    rows = [
+        (1, shared + " " + " ".join(f"a{i}" for i in range(SPAN_WORDS))),
+        (2, shared + " " + " ".join(f"b{i}" for i in range(SPAN_WORDS))),
+        (3, " ".join(f"c{i}" for i in range(2 * SPAN_WORDS))),
+    ]
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, "doc_id long, text string"
+        ).write.parquet(os.path.join(d, "documents.parquet"))
+        got = {
+            r["doc_id"]: (r["n_spans"], r["n_common_spans"])
+            for r in dedup_span_boilerplate(spark, d).collect()
+        }
+    assert got == {1: (2, 1), 2: (2, 1), 3: (2, 0)}
