@@ -81,6 +81,7 @@ HEADLINE = [
     "events_user_retention",      # cohort retention triangle
     "similarity_pq_adc_topk",     # product-quantization ADC ANN
     "text_bpe_pair_freq",         # BPE merge-candidate counting
+    "dedup_incremental_ingest",   # daily-batch dedup vs corpus digests
 ]
 
 

@@ -796,3 +796,71 @@ def dedup_span_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+#: incremental-ingest batch selector: docs with doc_id % INCR_MOD == 0 play
+#: "today's batch"; the rest play the already-ingested corpus. Production
+#: replaces the selector with the actual ingest partition.
+INCR_MOD = 10
+
+
+@query(
+    "dedup_incremental_ingest",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT DISTINCT md5(text) AS h FROM documents
+      WHERE doc_id % {INCR_MOD} <> 0
+    ),
+    batch AS (
+      SELECT doc_id, source, md5(text) AS h FROM documents
+      WHERE doc_id % {INCR_MOD} = 0
+    ),
+    canon AS (
+      SELECT MIN(doc_id) AS doc_id FROM batch GROUP BY h
+    )
+    SELECT b.source,
+           COUNT(*) AS n_batch,
+           COUNT(*) FILTER (WHERE c.h IS NOT NULL) AS n_already_ingested,
+           COUNT(*) FILTER (WHERE c.h IS NULL
+                            AND b.doc_id IN (SELECT doc_id FROM canon))
+             AS n_new_kept
+    FROM batch b LEFT JOIN corpus c ON b.h = c.h
+    GROUP BY b.source
+    """,
+    doc="Incremental-ingest dedup — the shape a DAILY pipeline actually "
+    "runs: the new batch is checked against the EXISTING corpus's digest "
+    "set (left join on content hash) and within itself (min-doc_id "
+    "canonicalization), and only never-seen canonical docs survive. The "
+    "full corpus contributes nothing but its digest column: at 100 TB the "
+    "historical digests live as a compact (hash) table — bucketed by hash "
+    "so tomorrow's batch joins it with NO shuffle of history — and the "
+    "whole corpus is never re-read, which is the entire point versus "
+    "re-running dedup_exact over corpus+batch. Per-batch work is "
+    "O(batch + digest-table probe).",
+)
+def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    corpus_digests = (
+        docs.filter(F.col("doc_id") % INCR_MOD != 0)
+        .select(F.md5("text").alias("h"))
+        .distinct()
+        .withColumn("seen", F.lit(1))
+    )
+    batch = docs.filter(F.col("doc_id") % INCR_MOD == 0).select(
+        "doc_id", "source", F.md5("text").alias("h")
+    )
+    canon = batch.groupBy("h").agg(F.min("doc_id").alias("doc_id")).select(
+        "doc_id"
+    ).withColumn("is_canon", F.lit(1))
+    joined = (
+        batch.join(corpus_digests, "h", "left")
+        .join(canon, "doc_id", "left")
+    )
+    new_kept = F.col("seen").isNull() & F.col("is_canon").isNotNull()
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_batch"),
+        F.count(F.when(F.col("seen").isNotNull(), 1)).alias(
+            "n_already_ingested"
+        ),
+        F.count(F.when(new_kept, 1)).alias("n_new_kept"),
+    )

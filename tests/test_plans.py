@@ -386,3 +386,18 @@ def test_bpe_pair_freq_counts_over_vocab_not_corpus(spark):
     assert pi.has_partial_aggregate(df)
     assert "Join" not in pi.physical_plan(df)
     assert "TakeOrderedAndProject" in pi.physical_plan(df)
+
+
+def test_incremental_ingest_probes_history_without_rescanning(spark):
+    """The historical corpus contributes ONLY its digest column (scan
+    pruning pins that) and the batch joins it once — three
+    partial-aggregated shuffles total, no cartesian anywhere. At 100 TB the
+    digest table is bucketed by hash so the probe join needs no shuffle of
+    history at all."""
+    df = build(spark, "dedup_incremental_ingest")
+    assert pi.shuffle_count(df) <= 3
+    assert pi.has_partial_aggregate(df)
+    assert "CartesianProduct" not in pi.physical_plan(df)
+    assert pi.scan_columns(df, "documents.parquet") <= {
+        "doc_id", "source", "text"
+    }
