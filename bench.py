@@ -82,6 +82,7 @@ HEADLINE = [
     "similarity_pq_adc_topk",     # product-quantization ADC ANN
     "text_bpe_pair_freq",         # BPE merge-candidate counting
     "dedup_incremental_ingest",   # daily-batch dedup vs corpus digests
+    "similarity_kmeans_step",     # distributed Lloyd refinement step
 ]
 
 

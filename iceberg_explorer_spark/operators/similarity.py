@@ -652,3 +652,98 @@ def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("approx_cos_sim").desc(), "vec_id")
         .limit(10)
     )
+
+
+#: one Lloyd refinement step over the IVF seed centroids. Micro-unit
+#: fixed-point per-dimension sums make the new centroids exact integer math
+#: (a float mean would differ in final ulps across shuffle orders/engines).
+KMEANS_K = IVF_K
+KMEANS_SCALE = 1_000_000
+
+
+@query(
+    "similarity_kmeans_step",
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> x / sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                                CAST(embedding AS DOUBLE[]))))
+               AS ne
+      FROM embeddings
+    ),
+    cents AS (SELECT vec_id AS cid, ne AS ce FROM n WHERE vec_id < {KMEANS_K}),
+    assign AS (
+      SELECT vec_id, cid, ne,
+             ROW_NUMBER() OVER (
+               PARTITION BY vec_id
+               ORDER BY ROUND(list_inner_product(ne, ce), 6) DESC, cid
+             ) AS rn
+      FROM n CROSS JOIN cents
+    ),
+    member AS (SELECT vec_id, cid, ne FROM assign WHERE rn = 1),
+    dims AS (
+      SELECT cid, d.i AS dim,
+             CAST(ROUND(ne[d.i + 1] * {KMEANS_SCALE}) AS BIGINT) AS v_micro
+      FROM member, (SELECT UNNEST(range({DIM})) AS i) d
+    )
+    SELECT cid, dim,
+           COUNT(*) AS n_members,
+           CAST(SUM(v_micro) AS BIGINT) AS sum_micro,
+           CAST(SUM(v_micro) AS DOUBLE) / ({KMEANS_SCALE} * COUNT(*))
+             AS centroid_val
+    FROM dims GROUP BY cid, dim
+    """,
+    doc="One Lloyd refinement step of k-means over the embedding corpus — "
+    "the training loop behind the IVF coarse quantizer and PQ codebooks "
+    "(similarity_ivf_topk / similarity_pq_adc_topk consume exactly such "
+    f"centroids). Assignment is map-side against {KMEANS_K} broadcast "
+    "centroids (max-inner-product on normalized vectors, deterministic "
+    "tie-break); the update sums per-dimension micro-unit BIGINTs so the "
+    "new centroid is exact integer math divided once — bit-identical "
+    "across engines and shuffle orders, where a naive float mean is not. "
+    "Plan: broadcast-join + one partial-aggregated shuffle on (cid, dim); "
+    "iterating = re-broadcasting the O(K×DIM) result, so per-iteration "
+    "cost at 100 TB is one corpus scan, the CC-operator pattern "
+    "(dedup_clusters) applied to centroids.",
+)
+def similarity_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = _with_normalized(load_table(spark, sf_dir, "embeddings"))
+    cents = F.broadcast(
+        emb.filter(F.col("vec_id") < KMEANS_K).select(
+            F.col("vec_id").alias("cid"), F.col("ne").alias("ce")
+        )
+    )
+    sim = F.round(F.expr(_DOT_SPARK.format(a="ne", b="ce")), 6)
+    member = (
+        emb.crossJoin(cents)
+        .withColumn("csim", sim)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(
+                    F.col("csim").desc(), F.col("cid")
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid", "ne")
+    )
+    dims = member.select(
+        "cid",
+        F.posexplode(
+            F.expr(f"transform(ne, x -> CAST(ROUND(x * {KMEANS_SCALE}) AS BIGINT))")
+        ).alias("dim", "v_micro"),
+    )
+    return dims.withColumn("dim", F.col("dim").cast("bigint")).groupBy(
+        "cid", "dim"
+    ).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("v_micro").cast("bigint").alias("sum_micro"),
+        (
+            F.sum("v_micro").cast("double")
+            / (F.lit(KMEANS_SCALE) * F.count(F.lit(1)))
+        ).alias("centroid_val"),
+    )

@@ -401,3 +401,14 @@ def test_incremental_ingest_probes_history_without_rescanning(spark):
     assert pi.scan_columns(df, "documents.parquet") <= {
         "doc_id", "source", "text"
     }
+
+
+def test_kmeans_step_broadcast_assign_one_update_shuffle(spark):
+    """Lloyd assignment is map-side against broadcast centroids; the
+    centroid update is partial-aggregated on (cid, dim). Per-iteration cost
+    at scale = one corpus scan + one bounded shuffle."""
+    df = build(spark, "similarity_kmeans_step")
+    assert pi.broadcast_join_count(df) >= 1
+    assert pi.sort_merge_join_count(df) == 0
+    assert pi.shuffle_count(df) <= 2
+    assert pi.has_partial_aggregate(df)
