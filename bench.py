@@ -83,6 +83,7 @@ HEADLINE = [
     "text_bpe_pair_freq",         # BPE merge-candidate counting
     "dedup_incremental_ingest",   # daily-batch dedup vs corpus digests
     "similarity_kmeans_step",     # distributed Lloyd refinement step
+    "multimodal_patch_tokens",    # ViT-style patchify (mapInPandas)
 ]
 
 

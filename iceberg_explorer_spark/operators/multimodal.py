@@ -443,3 +443,126 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("frame_digest"),
         )
     )
+
+
+#: ViT-style patchify over the 4×4 synthetic corpus: 2×2 patch grid → 4
+#: patches of 2×2 pixels each; a patch's "visual token" is its per-channel
+#: mean vector (a real ViT would project the flattened patch instead —
+#: same array slicing, different final matmul).
+_PT_GRID = 2
+_PT_SIDE = _RZ_W // _PT_GRID
+
+_PATCH_SCHEMA = (
+    "doc_id bigint, patch_id bigint, tok_c0 double, tok_c1 double, "
+    "tok_c2 double"
+)
+
+
+def patch_tokens_ppm(payload: bytes) -> list:
+    """Parse a binary PPM and patchify: reshape to (grid, side, grid, side,
+    3) and mean over the in-patch axes — the canonical ViT patch-embedding
+    input, computed with one vectorized numpy reduction. Truncated payloads
+    emit NO patches (short media yields no tokens, mirroring frame
+    sampling)."""
+    import numpy as np
+
+    d = decode_ppm(payload)
+    if d.status != "ok" or d.width != _RZ_W or d.height != _RZ_H:
+        return []
+    hdr_end = len(payload) - d.width * d.height * 3
+    arr = np.frombuffer(
+        payload[hdr_end : hdr_end + d.width * d.height * 3], dtype=np.uint8
+    ).reshape(d.height, d.width, 3)
+    # (gy, sy, gx, sx, c) → mean over (sy, sx); exact: int sums / 4.0
+    sums = (
+        arr.reshape(_PT_GRID, _PT_SIDE, _PT_GRID, _PT_SIDE, 3)
+        .astype(np.int64)
+        .sum(axis=(1, 3))
+    )
+    n = _PT_SIDE * _PT_SIDE
+    return [
+        (gy * _PT_GRID + gx, [float(sums[gy, gx, c]) / n for c in range(3)])
+        for gy in range(_PT_GRID)
+        for gx in range(_PT_GRID)
+    ]
+
+
+def patch_features(binary_df: DataFrame) -> DataFrame:
+    """mapInPandas patchify: (doc_id, payload) → one row per patch. Output
+    cardinality varies per input row (0 for truncated payloads) — the
+    Arrow iterator contract handles the expansion without materializing a
+    partition."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                for pid, toks in patch_tokens_ppm(p):
+                    rows.append((doc_id, pid, toks[0], toks[1], toks[2]))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "patch_id", "tok_c0", "tok_c1", "tok_c2"],
+            )
+
+    return binary_df.mapInPandas(op, schema=_PATCH_SCHEMA)
+
+
+def _pt_offsets(patch_id: int) -> list[int]:
+    """1-based char offsets of patch ``patch_id``'s pixels in the sanitized
+    text: patch (gy, gx) covers rows 2gy..2gy+1 × cols 2gx..2gx+1 of the
+    4×4 image; pixel (y, x) starts at byte 3(4y + x)."""
+    gy, gx = divmod(patch_id, _PT_GRID)
+    return [
+        3 * (y * _RZ_W + x) + 1
+        for y in range(gy * _PT_SIDE, (gy + 1) * _PT_SIDE)
+        for x in range(gx * _PT_SIDE, (gx + 1) * _PT_SIDE)
+    ]
+
+
+def _pt_tok_sql(patch_id: int, channel: int) -> str:
+    terms = " + ".join(
+        f"ord(substr(t, {o + channel}, 1))" for o in _pt_offsets(patch_id)
+    )
+    return f"({terms}) / {float(_PT_SIDE * _PT_SIDE)}"
+
+
+def _pt_union_sql() -> str:
+    selects = []
+    for pid in range(_PT_GRID * _PT_GRID):
+        selects.append(
+            f"SELECT doc_id, CAST({pid} AS BIGINT) AS patch_id, "
+            f"{_pt_tok_sql(pid, 0)} AS tok_c0, "
+            f"{_pt_tok_sql(pid, 1)} AS tok_c1, "
+            f"{_pt_tok_sql(pid, 2)} AS tok_c2 "
+            f"FROM a WHERE length(t) >= {_RZ_PIX}"
+        )
+    return " UNION ALL ".join(selects)
+
+
+@query(
+    "multimodal_patch_tokens",
+    oracle=f"""
+    WITH a AS (
+      SELECT doc_id, regexp_replace(text, '{_ASCII_ONLY_RE}', '', 'g') AS t
+      FROM documents
+    )
+    {{}}
+    """.format(_pt_union_sql()),
+    doc="ViT-style patch tokenization: each 4×4 synthetic image splits into "
+    "a 2×2 grid of 2×2-pixel patches and every patch becomes a per-channel "
+    "mean 'visual token' row — the patch-embedding input layout of a "
+    "vision transformer, produced by one vectorized numpy reshape+reduce "
+    "inside mapInPandas (Arrow batches, variable output cardinality: "
+    "truncated payloads emit no tokens). The oracle recomputes every "
+    "patch mean from the raw text bytes, so the patch geometry and the "
+    "reduction are both correctness-gated, like the decode and resize "
+    "stages. At 100 TB this is the same narrow scan-width Python tier as "
+    "decode: no shuffle, work ∝ images × patches.",
+)
+def multimodal_patch_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = repartition_for_compute(load_table(spark, sf_dir, "documents"))
+    ascii_text = F.regexp_replace(F.col("text"), _ASCII_ONLY_RE, "")
+    payload = F.concat(
+        F.lit(_RZ_HEADER), F.substring(ascii_text.cast("binary"), 1, _RZ_PIX)
+    )
+    return patch_features(docs.select("doc_id", payload.alias("payload")))
