@@ -84,6 +84,7 @@ HEADLINE = [
     "dedup_incremental_ingest",   # daily-batch dedup vs corpus digests
     "similarity_kmeans_step",     # distributed Lloyd refinement step
     "multimodal_patch_tokens",    # ViT-style patchify (mapInPandas)
+    "events_resample_gapfill",    # dense spine + locf forward fill
 ]
 
 

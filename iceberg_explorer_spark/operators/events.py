@@ -456,3 +456,81 @@ def events_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@query(
+    "events_resample_gapfill",
+    oracle=f"""
+    WITH b AS (
+      SELECT event_type,
+             EPOCH_US(ts) // {FIVE_MIN_US} AS bucket,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    obs AS (
+      SELECT event_type, bucket,
+             COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS total_cents
+      FROM b GROUP BY event_type, bucket
+    ),
+    bounds AS (
+      SELECT event_type, MIN(bucket) AS lo, MAX(bucket) AS hi
+      FROM b GROUP BY event_type
+    ),
+    spine AS (
+      SELECT event_type, lo + UNNEST(range(hi - lo + 1)) AS bucket
+      FROM bounds
+    )
+    SELECT s.event_type,
+           s.bucket * {FIVE_MIN_US} AS bucket_start_us,
+           COALESCE(o.n, 0) AS n_events,
+           last_value(o.total_cents IGNORE NULLS) OVER (
+             PARTITION BY s.event_type ORDER BY s.bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled_total_cents
+    FROM spine s LEFT JOIN obs o
+      ON s.event_type = o.event_type AND s.bucket = o.bucket
+    """,
+    doc="Time-series resample with gap fill — the TimescaleDB/QuestDB "
+    "time_bucket_gapfill + locf shape, via the LEAD idiom instead of a "
+    "spine join: each observed bucket emits itself plus every empty bucket "
+    "up to (not including) the NEXT observation, carrying its running "
+    "total — so the forward fill is free by construction and the dense "
+    "grid never exists as a join table. The oracle states the equivalent "
+    "declarative spine + last_value(IGNORE NULLS) formulation. Money stays "
+    "integer cents so fill values are exact. Plan: ONE corpus scan, one "
+    "partial-aggregated shuffle to O(types × buckets), one tiny window "
+    "shuffle on that frame, ZERO joins — at 100 TB the cost is the corpus "
+    "aggregation; spine density costs only output rows.",
+)
+def events_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        "event_type",
+        F.expr(f"unix_micros(ts) DIV {FIVE_MIN_US}").alias("bucket"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    obs = b.groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+    )
+    wl = W.partitionBy("event_type").orderBy("bucket")
+    filled = obs.withColumn("nxt", F.lead("bucket").over(wl)).select(
+        "event_type",
+        "n",
+        "total_cents",
+        F.col("bucket").alias("obs_bucket"),
+        F.explode(
+            F.sequence(
+                "bucket",
+                F.coalesce(F.col("nxt") - 1, F.col("bucket")),
+            )
+        ).alias("bucket"),
+    )
+    return filled.select(
+        "event_type",
+        (F.col("bucket") * FIVE_MIN_US).alias("bucket_start_us"),
+        F.when(F.col("bucket") == F.col("obs_bucket"), F.col("n"))
+        .otherwise(0)
+        .alias("n_events"),
+        F.col("total_cents").alias("filled_total_cents"),
+    )

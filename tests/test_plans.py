@@ -412,3 +412,17 @@ def test_kmeans_step_broadcast_assign_one_update_shuffle(spark):
     assert pi.sort_merge_join_count(df) == 0
     assert pi.shuffle_count(df) <= 2
     assert pi.has_partial_aggregate(df)
+
+
+def test_resample_gapfill_one_scan_no_join(spark):
+    """LEAD-idiom gap fill: the corpus scans ONCE and aggregates to
+    O(types × buckets); the lead window + range explode run on that tiny
+    frame — two shuffles, no join, and no dense spine ever materializes
+    (a spine-join formulation costs a second pruned corpus scan because
+    column pruning defeats exchange reuse)."""
+    df = build(spark, "events_resample_gapfill")
+    plan = pi.physical_plan(df)
+    assert pi.shuffle_count(df) <= 2
+    assert pi.has_partial_aggregate(df)
+    assert plan.count("FileScan parquet") == 1
+    assert "Join" not in plan
