@@ -85,6 +85,7 @@ HEADLINE = [
     "similarity_kmeans_step",     # distributed Lloyd refinement step
     "multimodal_patch_tokens",    # ViT-style patchify (mapInPandas)
     "events_resample_gapfill",    # dense spine + locf forward fill
+    "dedup_semantic_keep_best",   # quality-aware near-dup drop decisions
 ]
 
 

@@ -747,3 +747,97 @@ def similarity_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.lit(KMEANS_SCALE) * F.count(F.lit(1)))
         ).alias("centroid_val"),
     )
+
+
+@query(
+    "dedup_semantic_keep_best",
+    oracle=f"""
+    WITH coded AS (
+      SELECT vec_id, embedding, {_srp_code_duckdb('embedding')} AS bucket
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])), 6)
+               AS cos_sim
+      FROM coded a JOIN coded b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ),
+    judged AS (
+      SELECT p.id_a, p.id_b, da.n_chars AS qa, db.n_chars AS qb,
+             CASE WHEN da.n_chars > db.n_chars
+                       OR (da.n_chars = db.n_chars AND p.id_a < p.id_b)
+                  THEN p.id_a ELSE p.id_b END AS winner,
+             CASE WHEN da.n_chars > db.n_chars
+                       OR (da.n_chars = db.n_chars AND p.id_a < p.id_b)
+                  THEN p.id_b ELSE p.id_a END AS loser,
+             CASE WHEN da.n_chars > db.n_chars
+                       OR (da.n_chars = db.n_chars AND p.id_a < p.id_b)
+                  THEN da.n_chars ELSE db.n_chars END AS winner_q
+      FROM pairs p
+      JOIN documents da ON p.id_a = da.doc_id
+      JOIN documents db ON p.id_b = db.doc_id
+      WHERE p.cos_sim >= {NEAR_DUP_TAU}
+    ),
+    ranked AS (
+      SELECT loser, winner, winner_q,
+             ROW_NUMBER() OVER (PARTITION BY loser
+                                ORDER BY winner_q DESC, winner) AS rn,
+             COUNT(*) OVER (PARTITION BY loser) AS n_better_dups
+      FROM judged
+    )
+    SELECT loser AS doc_id,
+           CAST(n_better_dups AS BIGINT) AS n_better_dups,
+           winner AS keep_doc_id
+    FROM ranked WHERE rn = 1
+    """,
+    doc="Semantic keep-best dedup — the decision stage a curation pipeline "
+    "runs AFTER candidate generation: embedding near-dup pairs (SRP-"
+    "bucketed GEMM engine, cosine >= tau) join the 1:1 document metadata "
+    "and the LOWER-quality side of each pair (fewer chars; id tie-break) "
+    "is marked dropped, pointing at its best surviving duplicate. Differs "
+    "from dedup_embedding_cosine, which canonicalizes by smallest id "
+    "regardless of quality — keep-best is what production corpora actually "
+    "do (keep the longest/cleanest copy). Plan: the pair table is tiny "
+    "(bucketed candidates, never n²); it joins the slim (doc_id, n_chars) "
+    "projection twice — column pruning keeps the corpus text out of both "
+    "joins — then one window on loser. At 100 TB the quality join is "
+    "broadcast-from-pairs or bucketed on doc_id; the corpus never "
+    "shuffles.",
+)
+def dedup_semantic_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    pairs = _bucket_pairs_gemm(spark, sf_dir).select(
+        F.col("vec_a").alias("id_a"),
+        F.col("vec_b").alias("id_b"),
+        F.round("cos_sim", 6).alias("cos_sim"),
+    ).filter(F.col("cos_sim") >= NEAR_DUP_TAU)
+    q = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    qa = q.select(F.col("doc_id").alias("id_a"), F.col("n_chars").alias("qa"))
+    qb = q.select(F.col("doc_id").alias("id_b"), F.col("n_chars").alias("qb"))
+    a_wins = (F.col("qa") > F.col("qb")) | (
+        (F.col("qa") == F.col("qb")) & (F.col("id_a") < F.col("id_b"))
+    )
+    judged = (
+        pairs.join(qa, "id_a")
+        .join(qb, "id_b")
+        .select(
+            F.when(a_wins, F.col("id_a")).otherwise(F.col("id_b")).alias("winner"),
+            F.when(a_wins, F.col("id_b")).otherwise(F.col("id_a")).alias("loser"),
+            F.when(a_wins, F.col("qa")).otherwise(F.col("qb")).alias("winner_q"),
+        )
+    )
+    wl = Window.partitionBy("loser")
+    wr = wl.orderBy(F.col("winner_q").desc(), "winner")
+    return (
+        judged.withColumn("rn", F.row_number().over(wr))
+        .withColumn("n_better_dups", F.count(F.lit(1)).over(wl))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("loser").alias("doc_id"),
+            F.col("n_better_dups").cast("bigint").alias("n_better_dups"),
+            F.col("winner").alias("keep_doc_id"),
+        )
+    )
