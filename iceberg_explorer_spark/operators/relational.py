@@ -1159,3 +1159,76 @@ _CALENDAR_SPINE_SQL = """
 def recursive_calendar_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_tables(spark, sf_dir, ("orders",))
     return spark.sql(_CALENDAR_SPINE_SQL)
+
+
+_LATERAL_TOPN_SQL = """
+    SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+             WHERE o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+"""
+
+
+@query(
+    "lateral_top_orders",
+    oracle=_LATERAL_TOPN_SQL,
+    doc="LATERAL correlated subquery (Spark 4 / DuckDB common surface, "
+    "identical SQL text both engines): each customer's top-2 orders by "
+    "price. Catalyst decorrelates the LATERAL into a ranked window join — "
+    "the same physical shape as window_top_orders_per_customer — so the "
+    "per-customer LIMIT never executes row-at-a-time. The gate admits "
+    "LATERAL as part of the delegated SELECT grammar; this pins that the "
+    "admitted surface actually runs and matches.",
+)
+def lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(_LATERAL_TOPN_SQL)
+
+
+_GROUP_BY_ALL_SQL = """
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM orders GROUP BY ALL
+"""
+
+
+@query(
+    "group_by_all_status_priority",
+    oracle=_GROUP_BY_ALL_SQL,
+    doc="GROUP BY ALL (Spark ≥3.4 / DuckDB common surface, identical SQL "
+    "text both engines): the resolver derives the grouping keys from the "
+    "non-aggregate select items. Plans exactly like the explicit GROUP BY "
+    "— partial-aggregated single shuffle — so the convenience syntax "
+    "carries no plan cost.",
+)
+def group_by_all_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir, ("orders",))
+    return spark.sql(_GROUP_BY_ALL_SQL)
+
+
+_UNPIVOT_SQL = """
+    SELECT c_custkey, metric, val
+    FROM (SELECT c_custkey,
+                 CAST(c_acctbal AS DOUBLE) AS acctbal,
+                 CAST(length(c_name) AS DOUBLE) AS name_len,
+                 CAST(c_nationkey AS DOUBLE) AS nationkey
+          FROM customer)
+    UNPIVOT (val FOR metric IN (acctbal, name_len, nationkey))
+"""
+
+
+@query(
+    "unpivot_customer_metrics",
+    oracle=_UNPIVOT_SQL,
+    doc="UNPIVOT / melt (Spark ≥3.4 SQL, identical text on DuckDB): wide "
+    "per-customer metrics to long (customer, metric, value) triples — the "
+    "wide→long reshape feature stores and plotting layers need. Pure "
+    "narrow map work (Expand node): each input row emits k metric rows "
+    "with NO shuffle, so at 100 TB it runs at scan width like explode.",
+)
+def unpivot_customer_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir, ("customer",))
+    return spark.sql(_UNPIVOT_SQL)
