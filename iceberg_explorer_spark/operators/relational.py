@@ -1232,3 +1232,37 @@ _UNPIVOT_SQL = """
 def unpivot_customer_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_tables(spark, sf_dir, ("customer",))
     return spark.sql(_UNPIVOT_SQL)
+
+
+_WINDOW_DIST_SQL = """
+    SELECT o_orderpriority,
+           o_orderkey,
+           ROUND(percent_rank() OVER w, 6) AS pct_rank,
+           ROUND(cume_dist() OVER w, 6) AS cume,
+           first_value(o_orderkey) OVER wf AS cheapest_key,
+           nth_value(o_orderkey, 2) OVER wf AS second_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey),
+           wf AS (PARTITION BY o_orderpriority
+                  ORDER BY o_totalprice, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+@query(
+    "window_distribution_functions",
+    oracle=_WINDOW_DIST_SQL,
+    doc="Distribution-family window functions (identical SQL text both "
+    "engines): percent_rank / cume_dist over the default running frame "
+    "(Spark REQUIRES it for rank-family functions) and first_value / "
+    "nth_value over an explicit unbounded frame (nth_value is "
+    "frame-sensitive: the running frame would return NULL before row 2) — "
+    "two named WINDOW clauses sharing one partition+sort, so the plan "
+    "still sorts once. Ranks divide exact integer row numbers, so the "
+    "rounded doubles are engine-identical. One shuffle on the partition "
+    "key, like every window operator.",
+)
+def window_distribution_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir, ("orders",))
+    return spark.sql(_WINDOW_DIST_SQL)
