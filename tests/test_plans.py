@@ -426,3 +426,30 @@ def test_resample_gapfill_one_scan_no_join(spark):
     assert pi.has_partial_aggregate(df)
     assert plan.count("FileScan parquet") == 1
     assert "Join" not in plan
+
+
+def test_lateral_is_decorrelated_to_ranked_join(spark):
+    """Catalyst must rewrite the LATERAL per-customer LIMIT into a window/
+    join shape — no per-row subquery execution survives in the plan."""
+    df = build(spark, "lateral_top_orders")
+    plan = pi.physical_plan(df)
+    assert "Subquery" not in plan
+    assert pi.shuffle_count(df) <= 2
+
+
+def test_group_by_all_plans_like_explicit(spark):
+    """GROUP BY ALL is resolver sugar: same single partial-aggregated
+    shuffle as the explicit GROUP BY."""
+    df = build(spark, "group_by_all_status_priority")
+    assert pi.shuffle_count(df) == 1
+    assert pi.has_partial_aggregate(df)
+
+
+def test_unpivot_is_zero_shuffle_expand(spark):
+    """UNPIVOT lowers to Expand (each row emits k metric rows map-side):
+    no shuffle, no join — scan-width work like explode."""
+    df = build(spark, "unpivot_customer_metrics")
+    plan = pi.physical_plan(df)
+    assert pi.shuffle_count(df) == 0
+    assert "Expand" in plan
+    assert "Join" not in plan
