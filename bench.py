@@ -86,6 +86,7 @@ HEADLINE = [
     "multimodal_patch_tokens",    # ViT-style patchify (mapInPandas)
     "events_resample_gapfill",    # dense spine + locf forward fill
     "dedup_semantic_keep_best",   # quality-aware near-dup drop decisions
+    "pipeline_chunk_pack",        # composed chunk -> sequence packing
 ]
 
 

@@ -722,3 +722,98 @@ def pipeline_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(chunk).cast("bigint").alias("n_chunk_tokens"),
         )
     )
+
+
+@query(
+    "pipeline_chunk_pack",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, source,
+             list_filter(string_split(text, ' '), x -> x <> '') AS words
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, words,
+             CASE WHEN len(words) <= {CHUNK_WORDS} THEN 1
+                  ELSE ((len(words) - {CHUNK_WORDS} + {CHUNK_STRIDE} - 1)
+                        // {CHUNK_STRIDE}) + 1 END AS n_chunks
+      FROM w
+    ),
+    e AS (
+      SELECT doc_id, source, words, UNNEST(range(n_chunks)) AS i FROM c
+    ),
+    ch AS (
+      SELECT source,
+             doc_id * 1024 + i AS chunk_key,
+             len(words[i * {CHUNK_STRIDE} + 1 :
+                       i * {CHUNK_STRIDE} + {CHUNK_WORDS}]) AS n_tokens
+      FROM e
+    ),
+    chh AS (SELECT * FROM ch WHERE n_tokens > 0),
+    p AS (
+      SELECT source, chunk_key, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+                 PARTITION BY source ORDER BY chunk_key
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS prev_tokens
+      FROM chh
+    )
+    SELECT source,
+           CAST(FLOOR(prev_tokens / {SEQ_TOKENS}) AS BIGINT) AS seq_id,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens
+    FROM p
+    GROUP BY source, seq_id
+    """,
+    doc="Composed context-window prep: documents chunk into overlapping "
+    "64-word windows (pipeline_chunk_documents's geometry) and the chunks "
+    "greedy-pack into 512-token training sequences per source by exclusive "
+    "prefix sum — the chunk→pack chain an LLM pretraining data build runs "
+    "end-to-end. One Catalyst plan: the chunk explode is narrow (zero "
+    "shuffle) and feeds the SAME two-phase distributed prefix sum the "
+    "shard/sequence packers use (token_shard_prefix on a composite "
+    "(doc, chunk) key — no window ever partitions the corpus by the "
+    "~8-value source column), then one (source, seq) rollup. Demonstrates "
+    "that the layout operators COMPOSE without materialization "
+    "boundaries.",
+)
+def pipeline_chunk_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    n = F.size(F.col("words"))
+    n_chunks = F.when(n <= CHUNK_WORDS, F.lit(1)).otherwise(
+        ((n - CHUNK_WORDS + CHUNK_STRIDE - 1) / F.lit(CHUNK_STRIDE)).cast(
+            "int"
+        )
+        + 1
+    )
+    chunk = F.slice(
+        F.col("words"), F.col("i") * CHUNK_STRIDE + 1, CHUNK_WORDS
+    )
+    ch = (
+        docs.select("doc_id", "source", words.alias("words"))
+        .select(
+            "doc_id",
+            "source",
+            "words",
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("i"),
+        )
+        .select(
+            "source",
+            (F.col("doc_id") * 1024 + F.col("i")).alias("doc_id"),
+            F.size(chunk).alias("n_tokens"),
+        )
+        .filter(F.col("n_tokens") > 0)
+    )
+    prefixed = token_shard_prefix(ch)
+    return (
+        prefixed.withColumn(
+            "seq_id",
+            F.floor(F.col("prev_tokens") / F.lit(SEQ_TOKENS)).cast("bigint"),
+        )
+        .groupBy("source", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_tokens").cast("bigint").alias("seq_tokens"),
+        )
+    )
