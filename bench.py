@@ -87,6 +87,7 @@ HEADLINE = [
     "events_resample_gapfill",    # dense spine + locf forward fill
     "dedup_semantic_keep_best",   # quality-aware near-dup drop decisions
     "pipeline_chunk_pack",        # composed chunk -> sequence packing
+    "events_markov_transitions",  # user-journey transition matrix
 ]
 
 

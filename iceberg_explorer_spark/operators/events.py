@@ -534,3 +534,51 @@ def events_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_events"),
         F.col("total_cents").alias("filled_total_cents"),
     )
+
+
+@query(
+    "events_markov_transitions",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    c AS (
+      SELECT event_type, next_type, COUNT(*) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY event_type, next_type
+    )
+    SELECT event_type, next_type, n,
+           CAST(n AS DOUBLE)
+             / SUM(n) OVER (PARTITION BY event_type) AS p_transition
+    FROM c
+    """,
+    doc="First-order Markov transition matrix over per-user event "
+    "sequences: P(next_type | type) from consecutive event pairs — the "
+    "user-journey / session-model statistic (and the event-stream "
+    "analogue of BPE pair counting). One shuffle partitions each user's "
+    "history for the LEAD, then the bigram counts collapse to an "
+    "O(types²) matrix — 25 rows at ANY corpus size, so the probability "
+    "normalization window is free. The division is exact-integer n over "
+    "exact-integer row sums, bit-identical across engines.",
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    wl = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(wl).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    c = seq.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wt = W.partitionBy("event_type")
+    return c.select(
+        "event_type",
+        "next_type",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(wt)).alias(
+            "p_transition"
+        ),
+    )
