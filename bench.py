@@ -88,6 +88,7 @@ HEADLINE = [
     "dedup_semantic_keep_best",   # quality-aware near-dup drop decisions
     "pipeline_chunk_pack",        # composed chunk -> sequence packing
     "events_markov_transitions",  # user-journey transition matrix
+    "text_tfidf_source_terms",    # quantized-IDF distinctive terms
 ]
 
 

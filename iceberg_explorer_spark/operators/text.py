@@ -537,3 +537,90 @@ def text_bpe_pair_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pair_count").desc(), "pair")
         .limit(BPE_TOP_PAIRS)
     )
+
+
+#: fixed-point grid for IDF quantization (same trick as LOGFREQ_SCALE:
+#: ln() quantized ONCE per word in the tiny vocab table, every downstream
+#: product/compare is exact integer math)
+IDF_SCALE = 1_000_000
+TFIDF_TOP_K = 10
+
+
+@query(
+    "text_tfidf_source_terms",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             UNNEST(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                w -> w <> '')) AS word
+      FROM documents
+    ),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM toks),
+    df AS (
+      SELECT word, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY word
+    ),
+    idf AS (
+      SELECT word, df,
+             CAST(ROUND(ln(n_docs * 1.0 / df) * {IDF_SCALE}) AS BIGINT)
+               AS idf_q
+      FROM df, n
+    ),
+    tf AS (
+      SELECT source, word, COUNT(*) AS tf FROM toks GROUP BY source, word
+    ),
+    scored AS (
+      SELECT t.source, t.word, t.tf, i.df,
+             t.tf * i.idf_q AS score_q,
+             ROW_NUMBER() OVER (PARTITION BY t.source
+                                ORDER BY t.tf * i.idf_q DESC, t.word) AS rnk
+      FROM tf t JOIN idf i USING (word)
+    )
+    SELECT source, word, tf, df, CAST(rnk AS BIGINT) AS rnk
+    FROM scored WHERE rnk <= {TFIDF_TOP_K}
+    """,
+    doc="TF-IDF distinctive terms per source: corpus-wide document "
+    "frequencies build a quantized-IDF vocabulary (ln(N/df) rounded onto "
+    "an integer micro-grid ONCE per word — the unigram-logfreq trick, so "
+    "tf×idf products and the rank order are exact integer math, "
+    "bit-identical across engines), then per-source term frequencies join "
+    "it and a per-source window takes the top 10. The corpus-level "
+    "signature every dataset card / domain-drift report computes. Plan: "
+    "two partial-aggregated shuffles build the O(vocab) tables, the "
+    "tf→idf join keys on the high-cardinality word (AQE broadcasts the "
+    "vocab when it fits), and the rank window partitions by source over "
+    "an already-tiny scored frame.",
+)
+def text_tfidf_source_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.filter(_tokens(), lambda w: w != "")).alias("word"),
+    )
+    # corpus doc count as a broadcast 1-row frame, NOT a driver .count():
+    # the whole query stays one lazy plan with no driver-side action
+    n = toks.agg(F.countDistinct("doc_id").alias("n_docs"))
+    idf = (
+        toks.groupBy("word")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "word",
+            "df",
+            F.round(
+                F.log(F.col("n_docs") * 1.0 / F.col("df")) * IDF_SCALE
+            )
+            .cast("bigint")
+            .alias("idf_q"),
+        )
+    )
+    tf = toks.groupBy("source", "word").agg(F.count(F.lit(1)).alias("tf"))
+    scored = tf.join(idf, "word").withColumn(
+        "score_q", F.col("tf") * F.col("idf_q")
+    )
+    wr = W.partitionBy("source").orderBy(F.col("score_q").desc(), "word")
+    return (
+        scored.withColumn("rnk", F.row_number().over(wr).cast("bigint"))
+        .filter(F.col("rnk") <= TFIDF_TOP_K)
+        .select("source", "word", "tf", "df", "rnk")
+    )
