@@ -89,6 +89,7 @@ HEADLINE = [
     "pipeline_chunk_pack",        # composed chunk -> sequence packing
     "events_markov_transitions",  # user-journey transition matrix
     "text_tfidf_source_terms",    # quantized-IDF distinctive terms
+    "rfm_customer_segments",      # NTILE quartile segmentation grid
 ]
 
 

@@ -1266,3 +1266,48 @@ _WINDOW_DIST_SQL = """
 def window_distribution_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_tables(spark, sf_dir, ("orders",))
     return spark.sql(_WINDOW_DIST_SQL)
+
+
+_RFM_SQL = """
+    WITH per_cust AS (
+      SELECT o_custkey,
+             MAX(o_orderdate) AS last_order,
+             COUNT(*) AS n_orders,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS spend_cents
+      FROM orders GROUP BY o_custkey
+    ),
+    tiled AS (
+      SELECT o_custkey, n_orders, spend_cents,
+             CAST(NTILE(4) OVER (ORDER BY last_order, o_custkey) AS BIGINT)
+               AS r_tile,
+             CAST(NTILE(4) OVER (ORDER BY n_orders, o_custkey) AS BIGINT)
+               AS f_tile,
+             CAST(NTILE(4) OVER (ORDER BY spend_cents, o_custkey) AS BIGINT)
+               AS m_tile
+      FROM per_cust
+    )
+    SELECT r_tile, f_tile, m_tile,
+           COUNT(*) AS n_customers,
+           CAST(SUM(spend_cents) AS BIGINT) AS segment_spend_cents
+    FROM tiled GROUP BY r_tile, f_tile, m_tile
+"""
+
+
+@query(
+    "rfm_customer_segments",
+    oracle=_RFM_SQL,
+    doc="RFM segmentation (identical SQL text both engines): per-customer "
+    "recency/frequency/monetary metrics, each quartiled with NTILE over a "
+    "custkey-tie-broken order (ties are the classic nondeterminism trap — "
+    "the explicit tie-break makes tile assignment engine- and "
+    "partitioning-independent), rolled up to the 4×4×4 segment grid. "
+    "Money quantizes to cents before summing so segment spend is exact. "
+    "Plan note: the three global NTILEs are single-partition windows over "
+    "the per-customer frame — O(customers) rows, fine at test scale; at "
+    "100 TB swap NTILE for approx_percentile cut points computed "
+    "distributed and a map-side bucket join (same output contract).",
+)
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir, ("orders",))
+    return spark.sql(_RFM_SQL)
