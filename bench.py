@@ -90,6 +90,7 @@ HEADLINE = [
     "events_markov_transitions",  # user-journey transition matrix
     "text_tfidf_source_terms",    # quantized-IDF distinctive terms
     "rfm_customer_segments",      # NTILE quartile segmentation grid
+    "market_basket_part_pairs",   # capped within-order co-occurrence
 ]
 
 

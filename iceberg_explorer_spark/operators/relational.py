@@ -1311,3 +1311,70 @@ _RFM_SQL = """
 def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_tables(spark, sf_dir, ("orders",))
     return spark.sql(_RFM_SQL)
+
+
+#: basket-size guard for pair expansion: an order with B distinct parts
+#: emits B(B-1)/2 pairs, so one pathological mega-order would dominate the
+#: pair stage quadratically. Orders above the cap are excluded ON BOTH
+#: ENGINES (mirrored in the oracle) — same principle as LSH_MAX_BUCKET.
+MAX_BASKET = 50
+BASKET_TOP_PAIRS = 20
+
+
+@query(
+    "market_basket_part_pairs",
+    oracle=f"""
+    WITH lines AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    sized AS (
+      SELECT l_orderkey FROM lines GROUP BY l_orderkey
+      HAVING COUNT(*) BETWEEN 2 AND {MAX_BASKET}
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+      FROM lines a
+      JOIN lines b ON a.l_orderkey = b.l_orderkey
+                  AND a.l_partkey < b.l_partkey
+      JOIN sized s ON a.l_orderkey = s.l_orderkey
+    )
+    SELECT part_a, part_b, COUNT(*) AS n_orders
+    FROM pairs GROUP BY part_a, part_b
+    ORDER BY n_orders DESC, part_a, part_b
+    LIMIT {BASKET_TOP_PAIRS}
+    """,
+    doc="Market-basket co-occurrence: top part pairs by the number of "
+    "orders containing both — the association-mining support count. The "
+    "self-join keys on l_orderkey so pairs form only WITHIN an order "
+    "(never cross-order quadratic), and baskets above "
+    f"{MAX_BASKET} distinct parts are excluded on both engines — the "
+    "LSH_MAX_BUCKET principle: one pathological mega-basket would emit "
+    "B²/2 pairs into a single reducer at 100 TB. Exact integer support "
+    "counts, heap-merge top-k.",
+)
+def market_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    lines = li.select("l_orderkey", "l_partkey").distinct()
+    sized = (
+        lines.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("b"))
+        .filter((F.col("b") >= 2) & (F.col("b") <= MAX_BASKET))
+        .select("l_orderkey")
+    )
+    a = lines.select(
+        "l_orderkey", F.col("l_partkey").alias("part_a")
+    )
+    b = lines.select(
+        "l_orderkey", F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .join(sized, "l_orderkey")
+    )
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+        .limit(BASKET_TOP_PAIRS)
+    )
