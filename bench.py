@@ -91,6 +91,7 @@ HEADLINE = [
     "text_tfidf_source_terms",    # quantized-IDF distinctive terms
     "rfm_customer_segments",      # NTILE quartile segmentation grid
     "market_basket_part_pairs",   # capped within-order co-occurrence
+    "pipeline_epoch_plan",        # integer epoch/sample-rate allocation
 ]
 
 

@@ -817,3 +817,88 @@ def pipeline_chunk_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("bigint").alias("seq_tokens"),
         )
     )
+
+
+#: repeat-budget grid for partial epochs (1/10000 of an epoch)
+EPOCH_GRID = 10_000
+
+
+@query(
+    "pipeline_epoch_plan",
+    oracle=f"""
+    WITH t AS (
+      SELECT source,
+             CAST(SUM(len(list_filter(string_split(text, ' '), w -> w <> '')))
+                  AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT source, n_tokens,
+             CAST(ROUND(sqrt(n_tokens) * {TEMP_SCALE}) AS BIGINT) AS w_q
+      FROM t
+    ),
+    tot AS (
+      SELECT CAST(SUM(w_q) AS BIGINT) AS tot_q,
+             CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens
+      FROM w
+    ),
+    alloc AS (
+      SELECT source, n_tokens,
+             CAST(w_q * tot_tokens // tot_q AS BIGINT) AS target_tokens
+      FROM w, tot
+    )
+    SELECT source, n_tokens, target_tokens,
+           CAST(target_tokens // n_tokens AS BIGINT) AS full_epochs,
+           CAST(((target_tokens % n_tokens) * {EPOCH_GRID})
+                // n_tokens AS BIGINT) AS partial_epoch_bp
+    FROM alloc
+    """,
+    doc="Epoch allocation plan from the temperature mixture: each source's "
+    "token budget (w_q·total/Σw_q, computed in EXACT integer arithmetic — "
+    "the floor of the true rational, identically on both engines) splits "
+    "into whole-corpus repeats (full_epochs) plus a partial-epoch fraction "
+    "quantized to 1/10000 — the (repeats, sample-rate) pair a training "
+    "dataloader actually consumes, derived entirely from data. All "
+    "divisions are integer ops on BIGINTs: no float enters the plan, so "
+    "the allocation is bit-stable across engines, partitionings, and "
+    "reruns — what you need when the epoch plan is the REPRODUCIBILITY "
+    "CONTRACT of a training run. Plan: one partial-aggregated corpus "
+    "shuffle; everything after runs on the O(sources) frame with the "
+    "totals broadcast.",
+)
+def pipeline_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = (
+        docs.select(
+            "source",
+            F.size(
+                F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+            ).alias("d"),
+        )
+        .groupBy("source")
+        .agg(F.sum("d").cast("bigint").alias("n_tokens"))
+    )
+    w = t.select(
+        "source",
+        "n_tokens",
+        F.round(F.sqrt(F.col("n_tokens")) * TEMP_SCALE)
+        .cast("bigint")
+        .alias("w_q"),
+    )
+    tot = w.agg(
+        F.sum("w_q").cast("bigint").alias("tot_q"),
+        F.sum("n_tokens").cast("bigint").alias("tot_tokens"),
+    )
+    target = F.expr("CAST(w_q * tot_tokens AS BIGINT) DIV tot_q")
+    alloc = w.crossJoin(F.broadcast(tot)).select(
+        "source", "n_tokens", target.alias("target_tokens")
+    )
+    return alloc.select(
+        "source",
+        "n_tokens",
+        "target_tokens",
+        F.expr("target_tokens DIV n_tokens").alias("full_epochs"),
+        F.expr(
+            f"((target_tokens % n_tokens) * {EPOCH_GRID}) DIV n_tokens"
+        ).alias("partial_epoch_bp"),
+    )
