@@ -92,6 +92,7 @@ HEADLINE = [
     "rfm_customer_segments",      # NTILE quartile segmentation grid
     "market_basket_part_pairs",   # capped within-order co-occurrence
     "pipeline_epoch_plan",        # integer epoch/sample-rate allocation
+    "dedup_candidate_triangles",  # near-dup graph density diagnostic
 ]
 
 

@@ -864,3 +864,57 @@ def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.when(new_kept, 1)).alias("n_new_kept"),
     )
+
+
+@query(
+    "dedup_candidate_triangles",
+    oracle=f"""
+    WITH pairs AS ({_LSH_CANDIDATES_SQL}),
+    e AS (SELECT DISTINCT doc_a AS a, doc_b AS b FROM pairs),
+    tri AS (
+      SELECT e1.a, e1.b, e2.b AS c
+      FROM e e1
+      JOIN e e2 ON e1.b = e2.a
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT COUNT(*) AS n_triangles,
+           (SELECT COUNT(*) FROM e) AS n_edges,
+           COUNT(DISTINCT a) AS n_apex_docs
+    FROM tri
+    """,
+    doc="Triangle count over the near-dup candidate graph — the cluster-"
+    "DENSITY diagnostic: many triangles per edge means the LSH candidates "
+    "form tight cliques (true duplicate groups), few means chains/noise "
+    "(threshold too loose). The classic distributed-graph statistic beyond "
+    "connected components. Edges are canonically ordered (a < b), so each "
+    "triangle is counted exactly once as a < b < c; the two-hop join keys "
+    "on node ids over the TINY candidate edge set — at 100 TB this runs "
+    "after LSH banding, so the graph is Σ bucket-collisions, never "
+    "corpus-sized, and the standard mitigation for a hot node (split "
+    "high-degree vertices) is the same cap dedup already applies at the "
+    "bucket stage.",
+)
+def dedup_candidate_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        lsh_candidates(spark, sf_dir)
+        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .distinct()
+        .persist()
+    )
+    e1 = e.select(F.col("a"), F.col("b"))
+    e2 = e.select(F.col("a").alias("b2a"), F.col("b").alias("c"))
+    e3 = e.select(F.col("a").alias("t_a"), F.col("b").alias("t_c"))
+    tri = (
+        e1.join(e2, e1.b == e2.b2a)
+        .join(e3, (F.col("a") == F.col("t_a")) & (F.col("c") == F.col("t_c")))
+        .select("a", "b", "c")
+    )
+    n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        tri.agg(
+            F.count(F.lit(1)).alias("n_triangles"),
+            F.countDistinct("a").alias("n_apex_docs"),
+        )
+        .crossJoin(F.broadcast(n_edges))
+        .select("n_triangles", "n_edges", "n_apex_docs")
+    )
