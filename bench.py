@@ -93,6 +93,7 @@ HEADLINE = [
     "market_basket_part_pairs",   # capped within-order co-occurrence
     "pipeline_epoch_plan",        # integer epoch/sample-rate allocation
     "dedup_candidate_triangles",  # near-dup graph density diagnostic
+    "text_length_histogram",      # log2 length distribution per source
 ]
 
 

@@ -624,3 +624,38 @@ def text_tfidf_source_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TFIDF_TOP_K)
         .select("source", "word", "tf", "df", "rnk")
     )
+
+
+@query(
+    "text_length_histogram",
+    oracle="""
+    SELECT source,
+           CAST(FLOOR(log2(n_chars)) AS BIGINT) AS log2_bucket,
+           COUNT(*) AS n_docs,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    WHERE n_chars > 0
+    GROUP BY source, log2_bucket
+    """,
+    doc="Per-source document-length histogram on a log2 grid — the "
+    "dataset-card length-distribution panel (truncation spikes, boilerplate "
+    "floors, and length outliers all show up as bucket anomalies). log2 "
+    "bucket edges sit exactly on powers of two, where IEEE log2 of an "
+    "exact power is exact in every implementation, so FLOOR(log2(n)) is "
+    "engine-stable even AT the boundaries — the property that makes a "
+    "float bucket function safe to hash-compare (an arbitrary-base log "
+    "would not be). One partial-aggregated shuffle on (source, bucket).",
+)
+def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.floor(F.log2("n_chars")).cast("bigint")
+    return (
+        docs.filter(F.col("n_chars") > 0)
+        .groupBy("source", bucket.alias("log2_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+        )
+    )
