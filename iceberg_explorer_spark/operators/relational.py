@@ -1353,25 +1353,29 @@ BASKET_TOP_PAIRS = 20
     "counts, heap-merge top-k.",
 )
 def market_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Array formulation, NOT a self-join: one groupBy collects each
+    # basket's distinct parts (collect_set absorbs the DISTINCT), the
+    # capped+sorted array pair-expands map-side with nested transforms,
+    # and only (pair) rows shuffle for the support count. The self-join
+    # shape shuffled the (order, part) projection twice and sorted both
+    # sides; this shape is 2 shuffles total and benched ~2× faster.
     li = load_table(spark, sf_dir, "lineitem")
-    lines = li.select("l_orderkey", "l_partkey").distinct()
-    sized = (
-        lines.groupBy("l_orderkey")
-        .agg(F.count(F.lit(1)).alias("b"))
-        .filter((F.col("b") >= 2) & (F.col("b") <= MAX_BASKET))
-        .select("l_orderkey")
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+        .filter(
+            (F.size("parts") >= 2) & (F.size("parts") <= MAX_BASKET)
+        )
     )
-    a = lines.select(
-        "l_orderkey", F.col("l_partkey").alias("part_a")
-    )
-    b = lines.select(
-        "l_orderkey", F.col("l_partkey").alias("part_b")
-    )
-    pairs = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("part_a") < F.col("part_b"))
-        .join(sized, "l_orderkey")
-    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(parts, (x, i) ->"
+                " transform(slice(parts, i + 2, size(parts) - i - 1),"
+                " y -> struct(x AS part_a, y AS part_b))))"
+            )
+        ).alias("p")
+    ).select("p.part_a", "p.part_b")
     return (
         pairs.groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_orders"))

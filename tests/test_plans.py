@@ -453,3 +453,16 @@ def test_unpivot_is_zero_shuffle_expand(spark):
     assert pi.shuffle_count(df) == 0
     assert "Expand" in plan
     assert "Join" not in plan
+
+
+def test_market_basket_no_self_join(spark):
+    """Pair expansion is an in-array nested transform on the collected
+    basket, not a self-join: two partial-aggregated shuffles, no join
+    anywhere, and the top-k is a heap merge (benched ~2× the self-join
+    shape)."""
+    df = build(spark, "market_basket_part_pairs")
+    plan = pi.physical_plan(df)
+    assert pi.shuffle_count(df) <= 2
+    assert "Join" not in plan
+    assert pi.has_partial_aggregate(df)
+    assert "TakeOrderedAndProject" in plan
