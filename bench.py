@@ -94,6 +94,8 @@ HEADLINE = [
     "pipeline_epoch_plan",        # integer epoch/sample-rate allocation
     "dedup_candidate_triangles",  # near-dup graph density diagnostic
     "text_length_histogram",      # log2 length distribution per source
+    "events_dau_wau_stickiness",  # trailing-7-day active-user ratio
+    "orders_yoy_growth",          # year-over-year time intelligence
 ]
 
 

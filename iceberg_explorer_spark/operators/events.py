@@ -582,3 +582,68 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_transition"
         ),
     )
+
+
+@query(
+    "events_dau_wau_stickiness",
+    oracle=f"""
+    WITH ud AS (
+      SELECT DISTINCT EPOCH_US(ts) // {DAY_US} AS day_num, user_id
+      FROM events
+    ),
+    dau AS (
+      SELECT day_num, COUNT(*) AS dau FROM ud GROUP BY day_num
+    ),
+    wau AS (
+      SELECT a.day_num,
+             COUNT(DISTINCT b.user_id) AS wau
+      FROM dau a JOIN ud b
+        ON b.day_num BETWEEN a.day_num - 6 AND a.day_num
+      GROUP BY a.day_num
+    )
+    SELECT d.day_num, d.dau, w.wau,
+           d.dau * 1.0 / w.wau AS stickiness
+    FROM dau d JOIN wau w ON d.day_num = w.day_num
+    """,
+    doc="DAU / trailing-7-day WAU / stickiness per day — the growth-"
+    "analytics staple. The Spark side avoids the oracle's range self-join "
+    "entirely: per-(day, user) distinct rows expand to the ≤7 trailing "
+    "days each user-day CONTRIBUTES to (a constant ≤7× map-side sequence "
+    "explode — same trick as the sliding window), then one exact distinct "
+    "per day. All counts are exact integers; stickiness is their ratio. "
+    "Plan: (day, user) distinct shuffle, then the contribution explode is "
+    "narrow and the per-day distinct partial-aggregates — no join, no "
+    "range condition, scale-independent of the day-span.",
+)
+def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ud = (
+        ev.select(
+            F.expr(f"unix_micros(ts) DIV {DAY_US}").alias("day_num"),
+            "user_id",
+        )
+        .distinct()
+    )
+    dau = ud.groupBy("day_num").agg(F.count(F.lit(1)).alias("dau"))
+    # each (day, user) contributes to windows ending on day..day+6; clamp
+    # to observed days via the semi join against dau's day list (tiny)
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day_num"), F.col("day_num") + 6)
+        ).alias("day_num"),
+    )
+    wau = (
+        contrib.join(F.broadcast(dau.select("day_num")), "day_num", "left_semi")
+        .groupBy("day_num")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return (
+        dau.join(wau, "day_num")
+        .select(
+            "day_num",
+            "dau",
+            "wau",
+            (F.col("dau") * 1.0 / F.col("wau")).alias("stickiness"),
+        )
+    )

@@ -1382,3 +1382,40 @@ def market_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
         .limit(BASKET_TOP_PAIRS)
     )
+
+
+_YOY_SQL = """
+    WITH yearly AS (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents,
+             COUNT(*) AS n_orders
+      FROM orders GROUP BY order_year
+    )
+    SELECT order_year, revenue_cents, n_orders,
+           LAG(revenue_cents) OVER (ORDER BY order_year) AS prev_cents,
+           CASE WHEN LAG(revenue_cents) OVER (ORDER BY order_year) IS NULL
+                THEN NULL
+                ELSE CAST(revenue_cents
+                          - LAG(revenue_cents) OVER (ORDER BY order_year)
+                          AS DOUBLE)
+                     * 100e0 / LAG(revenue_cents) OVER (ORDER BY order_year)
+           END AS yoy_pct
+    FROM yearly
+"""
+
+
+@query(
+    "orders_yoy_growth",
+    oracle=_YOY_SQL,
+    doc="Year-over-year revenue growth (identical SQL text both engines) — "
+    "the time-intelligence staple: yearly rollup in exact integer cents, "
+    "LAG for the prior year, growth as a ratio of exact integers. The lag "
+    "window runs over the O(years) frame, so the single-partition window "
+    "is free; the only real shuffle is the partial-aggregated yearly "
+    "rollup. year() on the naive order timestamp is timezone-free on both "
+    "engines.",
+)
+def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir, ("orders",))
+    return spark.sql(_YOY_SQL)
