@@ -96,6 +96,7 @@ HEADLINE = [
     "text_length_histogram",      # log2 length distribution per source
     "events_dau_wau_stickiness",  # trailing-7-day active-user ratio
     "orders_yoy_growth",          # year-over-year time intelligence
+    "pipeline_dataset_card",      # bit-stable per-source release summary
 ]
 
 

@@ -902,3 +902,61 @@ def pipeline_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"((target_tokens % n_tokens) * {EPOCH_GRID}) DIV n_tokens"
         ).alias("partial_epoch_bp"),
     )
+
+
+@query(
+    "pipeline_dataset_card",
+    oracle="""
+    WITH d AS (
+      SELECT source, lang, doc_id, n_chars, md5(text) AS h,
+             len(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS n_words
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS total_words,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           COUNT(DISTINCT lang) AS n_langs,
+           COUNT(*) - COUNT(DISTINCT h) AS n_exact_dups,
+           (COUNT(*) - COUNT(DISTINCT h)) * 1.0 / COUNT(*) AS dup_rate,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS mean_chars,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM d GROUP BY source
+    """,
+    doc="Per-source dataset card: the one-row-per-source summary a corpus "
+    "release ships — volume (docs/words/chars), language spread, EXACT "
+    "duplicate rate (docs minus distinct content digests), and length "
+    "stats. Every metric is exact integer math or a ratio of exact "
+    "integers, so the card is bit-identical across engines and reruns — a "
+    "dataset card that changes between runs is worse than none. Plan: one "
+    "corpus scan, digests computed map-side, one partial-aggregated "
+    "shuffle on source (the two COUNT(DISTINCT)s expand to the standard "
+    "two-phase distinct-aggregate plan Spark generates — still a single "
+    "scan).",
+)
+def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "source",
+        "lang",
+        "n_chars",
+        F.md5("text").alias("h"),
+        F.size(
+            F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+        ).alias("n_words"),
+    )
+    n_docs = F.count(F.lit(1))
+    n_dups = n_docs - F.countDistinct("h")
+    return d.groupBy("source").agg(
+        n_docs.alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("total_words"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        n_dups.alias("n_exact_dups"),
+        (n_dups * 1.0 / n_docs).alias("dup_rate"),
+        (F.sum("n_chars").cast("double") / n_docs).alias("mean_chars"),
+        F.min("n_chars").cast("bigint").alias("min_chars"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+    )
