@@ -97,6 +97,7 @@ HEADLINE = [
     "events_dau_wau_stickiness",  # trailing-7-day active-user ratio
     "orders_yoy_growth",          # year-over-year time intelligence
     "pipeline_dataset_card",      # bit-stable per-source release summary
+    "multimodal_audio_energy",    # WAV windowed frame energy (VAD shape)
 ]
 
 

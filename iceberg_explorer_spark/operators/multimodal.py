@@ -566,3 +566,133 @@ def multimodal_patch_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(_RZ_HEADER), F.substring(ascii_text.cast("binary"), 1, _RZ_PIX)
     )
     return patch_features(docs.select("doc_id", payload.alias("payload")))
+
+
+#: synthetic audio corpus geometry: 32 mono 16-bit samples (64 data bytes)
+#: framed from the ascii-sanitized text, analyzed in 4 windows of 8 samples.
+_AU_SAMPLES = 32
+_AU_WIN = 8
+_AU_DATA_BYTES = _AU_SAMPLES * 2
+_AU_HEADER = (
+    b"RIFF"
+    + struct.pack("<I", 4 + 8 + 16 + 8 + _AU_DATA_BYTES)
+    + b"WAVE"
+    + b"fmt "
+    + struct.pack("<I", 16)
+    + struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    + b"data"
+    + struct.pack("<I", _AU_DATA_BYTES)
+)
+
+_AUDIO_ENERGY_SCHEMA = (
+    "doc_id bigint, window_id bigint, n_samples bigint, energy_sum bigint"
+)
+
+
+def wav_window_energy(payload: bytes, win: int = _AU_WIN) -> list:
+    """Parse RIFF/WAVE PCM via the same chunk walk as decode_wav, then
+    per-window sum of squared samples — the frame-energy feature a VAD /
+    silence-trimming stage computes. Exact integer arithmetic end to end.
+    Truncated/invalid payloads emit no windows."""
+    d = decode_wav(payload)
+    if d.status != "ok" or d.n_channels != 1:
+        return []
+    # re-locate the data chunk exactly as decode_wav did
+    pos, data = 12, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        if cid == b"data":
+            data = payload[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size % 2)
+    n = len(data) // 2
+    samples = struct.unpack(f"<{n}h", data[: n * 2])
+    return [
+        (
+            w,
+            len(samples[w * win : (w + 1) * win]),
+            sum(int(s) * int(s) for s in samples[w * win : (w + 1) * win]),
+        )
+        for w in range(n // win)
+    ]
+
+
+def audio_energy_features(binary_df: DataFrame) -> DataFrame:
+    """mapInPandas windowed-energy operator: one row per (payload, window),
+    variable cardinality like patch/frame extraction."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                for wid, ns, e in wav_window_energy(p):
+                    rows.append((doc_id, wid, ns, e))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "window_id", "n_samples", "energy_sum"],
+            )
+
+    return binary_df.mapInPandas(op, schema=_AUDIO_ENERGY_SCHEMA)
+
+
+def _au_sample_sql(i: int) -> str:
+    """1-based sample i from the sanitized text: little-endian int16 from
+    chars (2i-1, 2i). Sanitized chars are 0x01..0x7F, so the high byte is
+    ≤ 0x7F and the sample is always non-negative — no sign branch."""
+    return (
+        f"CAST(ord(substr(t, {2 * i - 1}, 1))"
+        f" + 256 * ord(substr(t, {2 * i}, 1)) AS BIGINT)"
+    )
+
+
+def _au_energy_sql(window: int) -> str:
+    terms = " + ".join(
+        f"({_au_sample_sql(window * _AU_WIN + k + 1)}"
+        f" * {_au_sample_sql(window * _AU_WIN + k + 1)})"
+        for k in range(_AU_WIN)
+    )
+    return f"({terms})"
+
+
+def _au_union_sql() -> str:
+    # window w exists whenever ITS 16 bytes are present — partial payloads
+    # yield their complete windows (a VAD consumes what arrived), matching
+    # the parser side's n_samples // win emission
+    selects = []
+    for w in range(_AU_SAMPLES // _AU_WIN):
+        selects.append(
+            f"SELECT doc_id, CAST({w} AS BIGINT) AS window_id, "
+            f"CAST({_AU_WIN} AS BIGINT) AS n_samples, "
+            f"CAST({_au_energy_sql(w)} AS BIGINT) AS energy_sum "
+            f"FROM a WHERE length(t) >= {(w + 1) * _AU_WIN * 2}"
+        )
+    return " UNION ALL ".join(selects)
+
+
+@query(
+    "multimodal_audio_energy",
+    oracle=f"""
+    WITH a AS (
+      SELECT doc_id, regexp_replace(text, '{_ASCII_ONLY_RE}', '', 'g') AS t
+      FROM documents
+    )
+    {{}}
+    """.format(_au_union_sql()),
+    doc="Windowed audio frame energy through the REAL RIFF/WAVE PCM parser: "
+    "each document's first 64 sanitized bytes are framed as 32 mono 16-bit "
+    "samples and mapInPandas computes per-8-sample-window sums of squares "
+    "— the voice-activity-detection / silence-trimming feature, exact "
+    "integer arithmetic end to end (sanitized high bytes are ≤ 0x7F so "
+    "samples are provably non-negative — the oracle needs no sign "
+    "branch). Audio twin of multimodal_patch_tokens: same Arrow-batched "
+    "variable-cardinality contract, different codec path "
+    "(chunk-walk header parse instead of pixel reshape).",
+)
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = repartition_for_compute(load_table(spark, sf_dir, "documents"))
+    ascii_text = F.regexp_replace(F.col("text"), _ASCII_ONLY_RE, "")
+    payload = F.concat(
+        F.lit(_AU_HEADER),
+        F.substring(ascii_text.cast("binary"), 1, _AU_DATA_BYTES),
+    )
+    return audio_energy_features(docs.select("doc_id", payload.alias("payload")))
