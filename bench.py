@@ -98,6 +98,7 @@ HEADLINE = [
     "orders_yoy_growth",          # year-over-year time intelligence
     "pipeline_dataset_card",      # bit-stable per-source release summary
     "multimodal_audio_energy",    # WAV windowed frame energy (VAD shape)
+    "similarity_ann_recall_report", # all ANN variants vs exact top-k
 ]
 
 

@@ -841,3 +841,83 @@ def dedup_semantic_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("winner").alias("keep_doc_id"),
         )
     )
+
+
+def _recall_report_oracle() -> str:
+    """Compose the recall-report oracle from the ALREADY-REGISTERED variant
+    oracles (module executes top-to-bottom, so every spec exists here) —
+    single source of truth: a change to any variant's oracle flows into
+    the report automatically."""
+    from iceberg_explorer_spark.operators.registry import QUERIES as _Q
+
+    bf = _Q["similarity_bruteforce_topk"].oracle
+    variants = {
+        "lsh": _Q["similarity_lsh_ann"].oracle,
+        "ivf": _Q["similarity_ivf_topk"].oracle,
+        "pq_adc": _Q["similarity_pq_adc_topk"].oracle,
+    }
+    arms = " UNION ALL ".join(
+        f"""
+        SELECT '{name}' AS variant,
+               (SELECT COUNT(*) FROM {name}_r) AS n_returned,
+               (SELECT COUNT(*) FROM {name}_r v
+                 JOIN bf_r b ON v.vec_id = b.vec_id) AS n_hits,
+               (SELECT COUNT(*) FROM {name}_r v
+                 JOIN bf_r b ON v.vec_id = b.vec_id) * 1.0
+                 / (SELECT COUNT(*) FROM {name}_r) AS recall
+        """
+        for name in variants
+    )
+    ctes = ", ".join(
+        [f"bf_r AS ({bf})"]
+        + [f"{name}_r AS ({sql})" for name, sql in variants.items()]
+    )
+    return f"WITH {ctes} {arms}"
+
+
+@query(
+    "similarity_ann_recall_report",
+    oracle=_recall_report_oracle(),
+    doc="ANN recall report: every approximate variant (SRP-LSH, IVF, "
+    "PQ-ADC) scored against the brute-force exact top-10 in ONE query — "
+    "the evaluation harness that belongs NEXT TO the index, not in a "
+    "notebook, because recall is what justifies running an ANN at all. "
+    "Both sides compose from the registered per-variant definitions "
+    "(builders on Spark, oracle texts on DuckDB), so the report always "
+    "measures the code that actually serves queries. Counts are exact "
+    "integers over top-k sets; all candidate frames are top-k-sized, so "
+    "every join broadcasts.",
+)
+def similarity_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_explorer_spark.operators.registry import QUERIES as _Q
+
+    bf = (
+        _Q["similarity_bruteforce_topk"]
+        .builder(spark, sf_dir)
+        .select("vec_id")
+    )
+    out = None
+    for name, qname in (
+        ("lsh", "similarity_lsh_ann"),
+        ("ivf", "similarity_ivf_topk"),
+        ("pq_adc", "similarity_pq_adc_topk"),
+    ):
+        v = _Q[qname].builder(spark, sf_dir).select("vec_id")
+        row = (
+            v.agg(F.count(F.lit(1)).alias("n_returned"))
+            .crossJoin(
+                F.broadcast(
+                    v.join(F.broadcast(bf), "vec_id").agg(
+                        F.count(F.lit(1)).alias("n_hits")
+                    )
+                )
+            )
+            .select(
+                F.lit(name).alias("variant"),
+                "n_returned",
+                "n_hits",
+                (F.col("n_hits") * 1.0 / F.col("n_returned")).alias("recall"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
