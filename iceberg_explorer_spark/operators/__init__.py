@@ -36,15 +36,21 @@ against exact answers).
   value_outliers_mad, and the 8 r3 rotations) all came back green and stay
   in-window; displaced twice-green queries remain covered by
   tests/test_differential.py every round.
-- round 5 (plan): the 15 operators BUILT in round 4 (chunk_documents,
+- round 5 (plan): the 27 operators BUILT in round 4 (chunk_documents,
   span_boilerplate, user_retention, pq_adc_topk, bpe_pair_freq,
   incremental_ingest, kmeans_step, patch_tokens, resample_gapfill,
   semantic_keep_best, chunk_pack, lateral_top_orders,
   group_by_all_status_priority, unpivot_customer_metrics,
-  window_distribution_functions) registered after the window and have
-  local-differential evidence only — rotate them IN next round by
-  displacing 15 queries green in 2+ driver rounds, keeping each operator
-  family represented.
+  window_distribution_functions, events_markov_transitions,
+  text_tfidf_source_terms, rfm_customer_segments,
+  market_basket_part_pairs, pipeline_epoch_plan,
+  dedup_candidate_triangles, text_length_histogram,
+  events_dau_wau_stickiness, orders_yoy_growth, pipeline_dataset_card,
+  multimodal_audio_energy, similarity_ann_recall_report) registered after
+  the window and have local-differential evidence only — rotate them IN
+  across rounds 5-6 by displacing queries green in 2+ driver rounds,
+  keeping each operator family represented (27 don't fit one 50-slot
+  rotation alongside the never-displaced flagship + repaired events set).
 """
 
 from iceberg_explorer_spark.operators.registry import QUERIES, QuerySpec, query  # noqa: F401
