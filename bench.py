@@ -1,8 +1,23 @@
 #!/usr/bin/env python
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
-on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
-{"metric": ..., "value": total_sec, "unit": "sec", "queries": {name: sec},
- "sf": ..., "iters": N}
+on local[$SPARK_GRAFT_CPUS].
+
+Output protocol (two lines, the FINAL line is the driver-parseable one):
+
+1. a detail line ``{"detail": "per_query_sec", "queries": {name: sec, ...},
+   "errors": {name: msg, ...}}`` — the full per-query map (also committed as
+   ``BENCH_LOCAL_r*.json`` each round), and
+2. a COMPACT final line (< 500 bytes) ``{"metric": ..., "value": total_sec,
+   "unit": "sec", "queries": {5 slowest only}, "sf": ..., "iters": N,
+   "n_queries": N, "errors": n_errors}``.
+
+Rounds 3-4 recorded ``parsed: null`` driver-side: the single all-queries JSON
+line grew past 2 kB (65 queries) and the driver's tail parse stopped
+swallowing it (a 1.6 kB line parsed fine in round 2). The final line is now
+size-bounded — every key the driver's contract names is present, but the
+per-query map on it is truncated to the 5 slowest; the full map is the
+preceding detail line. Console progress bars are disabled in the bench
+session so no ``\\r`` frames land between the final line and EOF.
 
 Each query is forced end-to-end with the noop sink (full computation, no
 driver collect — the number measures the engine, not result transfer).
@@ -106,7 +121,13 @@ def main() -> None:
     from iceberg_explorer_spark.operators import QUERIES
     from iceberg_explorer_spark.session import build_session
 
-    spark = build_session(app_name="iceberg_explorer_spark_bench", cpus=CPUS)
+    spark = build_session(
+        app_name="iceberg_explorer_spark_bench",
+        cpus=CPUS,
+        # keep stdout clean for the driver's tail parse — progress-bar \r
+        # frames must never interleave with the final JSON line
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
     try:
         # Warm up: run every headline query once at the SMALLEST scale factor
         # (sf0.001, ~1k rows) so whole-stage codegen is compiled and JIT'd
@@ -153,17 +174,32 @@ def main() -> None:
 
         m = re.search(r"sf([0-9.]+)", SF_DIR)
         sf = float(m.group(1).rstrip(".")) if m else None
+        # Detail line: the complete per-query map, own line, parse-optional.
+        print(
+            json.dumps(
+                {"detail": "per_query_sec", "queries": timings, "errors": errors}
+            )
+        )
+        sys.stdout.flush()
+        # Final line: compact and driver-parseable. All contract keys present;
+        # the per-query map is bounded to the 5 slowest so the line stays
+        # well under 500 bytes regardless of headline-set size.
+        slowest = dict(
+            sorted(timings.items(), key=lambda kv: -kv[1])[:5]
+        )
         out = {
             "metric": "headline_queries_wall_sec",
             "value": round(sum(timings.values()), 3),
             "unit": "sec",
-            "queries": timings,
+            "queries": slowest,
             "sf": sf,
             "iters": ITERS,
+            "n_queries": len(timings),
+            "errors": len(errors),
         }
-        if errors:
-            out["errors"] = errors
-        print(json.dumps(out))
+        line = json.dumps(out)
+        assert len(line) < 500, f"final bench line grew to {len(line)} bytes"
+        print(line)
     finally:
         spark.stop()
 
