@@ -1297,20 +1297,108 @@ _RFM_SQL = """
 @query(
     "rfm_customer_segments",
     oracle=_RFM_SQL,
-    doc="RFM segmentation (identical SQL text both engines): per-customer "
-    "recency/frequency/monetary metrics, each quartiled with NTILE over a "
-    "custkey-tie-broken order (ties are the classic nondeterminism trap — "
-    "the explicit tie-break makes tile assignment engine- and "
-    "partitioning-independent), rolled up to the 4×4×4 segment grid. "
-    "Money quantizes to cents before summing so segment spend is exact. "
-    "Plan note: the three global NTILEs are single-partition windows over "
-    "the per-customer frame — O(customers) rows, fine at test scale; at "
-    "100 TB swap NTILE for approx_percentile cut points computed "
-    "distributed and a map-side bucket join (same output contract).",
+    doc="RFM segmentation: per-customer recency/frequency/monetary metrics, "
+    "each quartiled over a custkey-tie-broken order (ties are the classic "
+    "nondeterminism trap — the explicit tie-break makes tile assignment "
+    "engine- and partitioning-independent), rolled up to the 4×4×4 segment "
+    "grid. Money quantizes to cents before summing so segment spend is "
+    "exact. The oracle keeps the natural NTILE formulation; the Spark plan "
+    "computes the SAME tiles distributed (round 4 shipped three global "
+    "NTILE windows — single-partition sorts of O(customers) rows, a "
+    "scale-killer at 100 TB): the three metrics are stacked into one "
+    "(metric, value) frame, every row gets a coarse ORDER-PRESERVING block "
+    "key, and its exact global rank is block offset (a tiny subtotal "
+    "table, window partitioned by metric) plus the row_number within "
+    "(metric, block) — the pipeline_global_shuffle two-phase pattern. "
+    "Tiles then come from the rank via the exact SQL NTILE rule (the "
+    "first n%4 buckets take one extra row; floor(rank*4/n) is NOT "
+    "NTILE), so the output stays hash-identical to the oracle. No window "
+    "in the plan touches more than one (metric, block) group of the "
+    "per-customer frame.",
 )
 def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_tables(spark, sf_dir, ("orders",))
-    return spark.sql(_RFM_SQL)
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("spend_cents"),
+    )
+    # One stacked frame instead of three windowed passes: metric in
+    # {r, f, m}, val monotone AND injective in the oracle's ORDER BY key
+    # for that metric (epoch-micros is a bijection on the NTZ timestamp,
+    # so ties and order both carry over exactly).
+    stacked = per_cust.selectExpr(
+        "o_custkey",
+        "spend_cents",
+        "stack(3, 'r', unix_micros(to_utc_timestamp(last_order, 'UTC')),"
+        "         'f', cast(n_orders as bigint),"
+        "         'm', spend_cents) as (metric, val)",
+    )
+    # Order-preserving coarse blocks bound every window group: ~monthly
+    # date blocks for recency, the (naturally tiny) order count for
+    # frequency — capped so the cap collapses the tail into ONE ordered
+    # block rather than unbounded cardinality — and ~$1000 buckets for
+    # spend. least(x, cap) and x div k are both monotone, so cross-block
+    # order equals value order and within-block sorting finishes the rank.
+    # At 100 TB the block width is the only tuning knob (or swap for
+    # sampled range boundaries, which is exactly repartitionByRange).
+    blk = (
+        F.when(F.col("metric") == "r", F.expr("val div 2764800000000"))
+        .when(F.col("metric") == "f", F.least("val", F.lit(4096)))
+        .otherwise(F.least(F.expr("val div 100000"), F.lit(9999)))
+        .alias("blk")
+    )
+    stacked = stacked.select("*", blk)
+    counts = stacked.groupBy("metric", "blk").agg(
+        F.count(F.lit(1)).alias("blk_n")
+    )
+    # subtotal table: O(metrics x blocks) rows; its window partitions by
+    # metric, so even this tiny frame never runs single-partition
+    w_blocks = (
+        W.partitionBy("metric").orderBy("blk").rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "metric",
+        "blk",
+        F.coalesce(F.sum("blk_n").over(w_blocks), F.lit(0)).alias("blk_offset"),
+    )
+    totals = counts.groupBy("metric").agg(F.sum("blk_n").alias("n"))
+    w_rows = W.partitionBy("metric", "blk").orderBy("val", "o_custkey")
+    ranked = (
+        stacked.join(F.broadcast(offsets), ["metric", "blk"])
+        .join(F.broadcast(totals), "metric")
+        .withColumn(
+            "rnk", F.col("blk_offset") + F.row_number().over(w_rows) - 1
+        )
+    )
+    # exact NTILE(4) from the 0-based global rank: with q = n div 4 and
+    # rem = n % 4, the first rem buckets hold q+1 rows, the rest q
+    tile = (
+        F.expr(
+            "case when rnk < (n % 4) * ((n div 4) + 1) "
+            "     then rnk div ((n div 4) + 1) "
+            "     else (n % 4) + (rnk - (n % 4) * ((n div 4) + 1)) div (n div 4) "
+            "end + 1"
+        )
+        .cast("bigint")
+        .alias("tile")
+    )
+    tiles = (
+        ranked.select("o_custkey", "metric", "spend_cents", tile)
+        .groupBy("o_custkey")
+        .agg(
+            F.max(F.when(F.col("metric") == "r", F.col("tile"))).alias("r_tile"),
+            F.max(F.when(F.col("metric") == "f", F.col("tile"))).alias("f_tile"),
+            F.max(F.when(F.col("metric") == "m", F.col("tile"))).alias("m_tile"),
+            F.max("spend_cents").alias("spend_cents"),
+        )
+    )
+    return tiles.groupBy("r_tile", "f_tile", "m_tile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("spend_cents").cast("bigint").alias("segment_spend_cents"),
+    )
 
 
 #: basket-size guard for pair expansion: an order with B distinct parts

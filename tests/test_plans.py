@@ -466,3 +466,27 @@ def test_market_basket_no_self_join(spark):
     assert "Join" not in plan
     assert pi.has_partial_aggregate(df)
     assert "TakeOrderedAndProject" in plan
+
+
+def test_rfm_tiles_are_two_phase_not_global_ntile(spark):
+    """rfm_customer_segments must never run a single-partition window over
+    the per-customer frame (round 4 shipped three global NTILEs — a
+    scale-killer). The rank window must partition by (metric, blk); the
+    offsets window over the tiny subtotal table partitions by metric; the
+    offset and total tables join in as broadcasts."""
+    import re
+
+    df = build(spark, "rfm_customer_segments")
+    plan = pi.physical_plan(df)
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, f"expected rank windows in:\n{plan}"
+    rank_specs = [s for s in specs if "o_custkey" in s]
+    assert rank_specs, f"expected a custkey-tie-broken rank window in:\n{plan}"
+    for s in rank_specs:
+        assert "metric" in s and "blk" in s, (
+            f"per-customer rank window is not block-partitioned: {s}"
+        )
+    for s in specs:  # NO window at all may be unpartitioned
+        assert "metric" in s, f"unpartitioned window spec: {s}"
+    assert "ntile" not in plan.lower()
+    assert pi.broadcast_join_count(df) >= 2
