@@ -22,6 +22,7 @@ Multi-level namespaces use the reference's ``\\x1f`` codec
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 from typing import Optional
 
@@ -60,13 +61,53 @@ def _parse_sort_order(raw: Optional[str]) -> Optional[list["SortFieldInfo"]]:
     if not text or text == "[]":
         return None
     text = text.strip("[]")
+    # Split on TOP-LEVEL commas only: a transform like ``bucket(4, col)``
+    # carries a comma of its own, and a naive split would shear it into
+    # bogus fields ('bucket(4' / 'col)').
+    parts: list[str] = []
+    depth, cur = 0, []
+    for ch in text:
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth = max(0, depth - 1)
+        cur.append(ch)
+    parts.append("".join(cur))
     out: list[SortFieldInfo] = []
-    for part in text.split(","):
-        tokens = part.replace("`", "").strip().split()
+    for part in parts:
+        tokens = part.replace("`", "").strip().split(None)
         if not tokens:
             continue
-        f = SortFieldInfo(column=tokens[0])
-        rest = [t.upper() for t in tokens[1:]]
+        # Re-join a spaced transform head (``bucket(4, col) ASC`` splits
+        # into ['bucket(4,', 'col)', 'ASC'] on whitespace).
+        expr = tokens[0]
+        rest_start = 1
+        while "(" in expr and ")" not in expr and rest_start < len(tokens):
+            expr += " " + tokens[rest_start]
+            rest_start += 1
+        f = SortFieldInfo(column=expr)
+        if "(" in expr:
+            m = re.fullmatch(r"(\w+)\s*\(([^()]*)\)", expr)
+            if m is None:
+                # unrecognized expression — the docstring's promise is that
+                # callers never see a half-parsed order
+                return None
+            args = [a.strip() for a in m.group(2).split(",") if a.strip()]
+            if not args:
+                return None
+            # Iceberg convention: source column last, parameters first
+            # (bucket(4, col), truncate(3, col)); bare days(col)/years(col)
+            f.column = args[-1]
+            f.transform = (
+                f"{m.group(1)}[{', '.join(args[:-1])}]"
+                if len(args) > 1
+                else m.group(1)
+            )
+        rest = [t.upper() for t in tokens[rest_start:]]
         if "DESC" in rest:
             f.direction = "desc"
             f.null_order = "nulls_last"  # engine default flips with DESC

@@ -895,11 +895,18 @@ def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bucket stage.",
 )
 def dedup_candidate_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # localCheckpoint, not persist(): the edge set feeds three join branches
+    # plus the edge count, so it must materialize exactly once — but a
+    # CacheManager entry from .persist() is held forever in a long-lived
+    # session (the bench session runs every builder 3x). Local-checkpoint
+    # blocks are RDD-level and the ContextCleaner frees them when the
+    # returned DataFrame is garbage collected, so repeated runs don't
+    # accumulate storage.
     e = (
         lsh_candidates(spark, sf_dir)
         .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
     e1 = e.select(F.col("a"), F.col("b"))
     e2 = e.select(F.col("a").alias("b2a"), F.col("b").alias("c"))

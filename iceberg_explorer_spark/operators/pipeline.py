@@ -790,13 +790,31 @@ def pipeline_chunk_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk = F.slice(
         F.col("words"), F.col("i") * CHUNK_STRIDE + 1, CHUNK_WORDS
     )
+    # chunk_key = doc_id * 1024 + i is mirrored in the oracle; it is only
+    # injective while every document stays under 1024 chunks (~49k words at
+    # the 48-word stride). A longer document would silently interleave its
+    # keys into the next doc_id's range and corrupt the prefix-sum packing
+    # order, so the bound FAILS LOUDLY instead: the explode bound raises
+    # when n_chunks > 1024 (a >49k-word doc is upstream-filter territory,
+    # not a packing input).
+    guarded_last = F.when(n_chunks <= 1024, n_chunks - 1).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("pipeline_chunk_pack: doc_id "),
+                F.col("doc_id").cast("string"),
+                F.lit(" has "),
+                n_chunks.cast("string"),
+                F.lit(" chunks > 1024; chunk_key would collide"),
+            )
+        )
+    )
     ch = (
         docs.select("doc_id", "source", words.alias("words"))
         .select(
             "doc_id",
             "source",
             "words",
-            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("i"),
+            F.explode(F.sequence(F.lit(0), guarded_last)).alias("i"),
         )
         .select(
             "source",

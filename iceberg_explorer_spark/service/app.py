@@ -255,15 +255,21 @@ class ExplorerApp:
 
     # -- catalog (reference api/routes/catalog.py) -------------------------
     def _namespaces(self, params, body) -> Response:
-        """List namespaces. Accepts the reference's pagination request shape
-        (api/routes/catalog.py:50-65): ``page-token`` is accepted and ignored
-        (reference marks it "not yet implemented", noqa ARG001) and
-        ``page-size`` is range-validated 1..1000 exactly as the reference's
-        Query(ge=1, le=1000) does, then honored as a result cap — a strict
-        superset of the reference, which validates but ignores it."""
+        """List namespaces with REAL pagination. The reference accepts the
+        page params but ignores both and returns the full list
+        (api/routes/catalog.py:50-65 — page-token marked "not yet
+        implemented"); round 4 here capped the result at page-size while
+        still returning ``next_page_token: None``, which silently dropped
+        every namespace past the cap (truncation with no continuation reads
+        as "no more data"). Now the cap is only honored together with a
+        token: ``list_namespaces`` returns a deterministic sorted list, so
+        an opaque base64 offset cursor is a sound token; the final page
+        carries ``next_page_token: None``. ``page-size`` keeps the
+        reference's Query(ge=1, le=1000) validation."""
+        import base64
+
         parent = params.get("parent")
         parent_parts = parse_namespace(parent) if parent else None
-        params.get("page-token")  # accepted; pagination tokens not issued yet
         page_size_raw = params.get("page-size")
         page_size = 100
         if page_size_raw is not None:
@@ -273,9 +279,29 @@ class ExplorerApp:
                 return _error(400, "Invalid page-size: must be an integer")
             if not 1 <= page_size <= 1000:
                 return _error(400, "Invalid page-size: must be in [1, 1000]")
-        namespaces = self.catalog.list_namespaces(parent_parts)[:page_size]
+        offset = 0
+        token_raw = params.get("page-token")
+        if token_raw:
+            try:
+                decoded = base64.urlsafe_b64decode(token_raw.encode()).decode()
+                kind, _, off = decoded.partition(":")
+                if kind != "ns-offset":
+                    raise ValueError(decoded)
+                offset = int(off)
+                if offset < 0:
+                    raise ValueError(off)
+            except Exception:
+                return _error(400, "Invalid page-token")
+        namespaces = self.catalog.list_namespaces(parent_parts)
+        page = namespaces[offset : offset + page_size]
+        next_token = None
+        if offset + page_size < len(namespaces):
+            next_token = base64.urlsafe_b64encode(
+                f"ns-offset:{offset + page_size}".encode()
+            ).decode()
         return Response(
-            status=200, body={"namespaces": namespaces, "next_page_token": None}
+            status=200,
+            body={"namespaces": page, "next_page_token": next_token},
         )
 
     def _tables(self, params, body, namespace: str) -> Response:

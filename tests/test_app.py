@@ -107,15 +107,36 @@ def test_status_cancel_cleanup_roundtrip(app):
 def test_catalog_routes(app):
     ns = app.handle("GET", "/api/v1/catalog/namespaces")
     assert ns.status == 200 and ["default"] in ns.body["namespaces"]
-    # pagination request shape (reference api/routes/catalog.py:50-65):
-    # page-token accepted-and-ignored, page-size range-validated 1..1000
-    paged = app.handle(
-        "GET",
-        "/api/v1/catalog/namespaces",
-        params={"page-token": "tok", "page-size": "1"},
+    all_ns = ns.body["namespaces"]
+    # REAL pagination (reference api/routes/catalog.py:50-65 validates the
+    # params but ignores them; here a capped page must carry a continuation
+    # token, and walking the cursor must reconstruct the full list)
+    walked, token, pages = [], None, 0
+    while True:
+        params = {"page-size": "1"}
+        if token:
+            params["page-token"] = token
+        paged = app.handle(
+            "GET", "/api/v1/catalog/namespaces", params=params
+        )
+        assert paged.status == 200 and len(paged.body["namespaces"]) <= 1
+        walked.extend(paged.body["namespaces"])
+        token = paged.body["next_page_token"]
+        pages += 1
+        if token is None or pages > 50:
+            break
+    assert walked == all_ns  # no namespace silently dropped
+    # final page of an un-tokened full fetch has no continuation
+    assert ns.body["next_page_token"] is None
+    # garbage tokens are a 400, not silent first-page
+    assert (
+        app.handle(
+            "GET",
+            "/api/v1/catalog/namespaces",
+            params={"page-token": "not-a-cursor"},
+        ).status
+        == 400
     )
-    assert paged.status == 200 and len(paged.body["namespaces"]) <= 1
-    assert paged.body["next_page_token"] is None
     for bad in ("0", "1001", "abc"):
         assert (
             app.handle(

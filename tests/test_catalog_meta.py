@@ -93,6 +93,22 @@ def test_parse_sort_order_formats():
     assert got[1].null_order == "nulls_last"
     # DESC without explicit nulls: engine default flips to nulls_last
     assert _parse_sort_order("x DESC")[0].null_order == "nulls_last"
+    # Iceberg transforms: the comma inside bucket(4, col) is not a field
+    # separator, the source column is the last argument, and the transform
+    # is populated (parameters in brackets, Iceberg-style)
+    got = _parse_sort_order("bucket(4, col) ASC NULLS LAST, other DESC")
+    assert [f.column for f in got] == ["col", "other"]
+    assert got[0].transform == "bucket[4]"
+    assert got[0].direction == "asc" and got[0].null_order == "nulls_last"
+    assert got[1].transform == "identity"
+    got = _parse_sort_order("days(ts) DESC")
+    assert got[0].column == "ts" and got[0].transform == "days"
+    assert got[0].direction == "desc"
+    got = _parse_sort_order("truncate(3, name) ASC")
+    assert got[0].column == "name" and got[0].transform == "truncate[3]"
+    # an unrecognizable expression poisons the WHOLE order — callers must
+    # never see a half-parsed result
+    assert _parse_sort_order("bucket(4, col) ASC, ???(x)") is None
 
 
 def test_table_schema_types(service):

@@ -502,3 +502,22 @@ def test_span_boilerplate_crafted_duplicates(spark):
             for r in dedup_span_boilerplate(spark, d).collect()
         }
     assert got == {1: (2, 1), 2: (2, 1), 3: (2, 0)}
+
+
+def test_chunk_pack_key_guard_raises_on_monster_doc(spark, monkeypatch):
+    """chunk_key = doc_id * 1024 + i is only injective below 1024 chunks per
+    document; past that the keys would interleave across documents and
+    silently corrupt the packing order, so the plan must FAIL LOUDLY
+    instead (ADVICE r4). A ~49k-word document is the smallest violator."""
+    import pytest as _pytest
+
+    from iceberg_explorer_spark.operators import pipeline as P
+
+    text = " ".join(["w"] * (48 * 1025 + 64))  # 1026 chunks > 1024
+    fake = spark.createDataFrame(
+        [(1, "web", text)], ["doc_id", "source", "text"]
+    )
+    monkeypatch.setattr(P, "load_table", lambda spark, sf_dir, name: fake)
+    df = P.pipeline_chunk_pack(spark, "unused")
+    with _pytest.raises(Exception, match="chunk_key would collide"):
+        df.count()
