@@ -490,3 +490,69 @@ def test_rfm_tiles_are_two_phase_not_global_ntile(spark):
         assert "metric" in s, f"unpartitioned window spec: {s}"
     assert "ntile" not in plan.lower()
     assert pi.broadcast_join_count(df) >= 2
+
+
+def test_ann_recall_report_shared_scan_all_broadcast(spark):
+    """The recall report composes four index builds over ONE persisted
+    embeddings scan (the CacheManager substitutes the in-memory relation
+    into every variant's plan), and every join it adds is broadcast —
+    top-k-sized frames only; a shuffled join here would mean a corpus-sized
+    frame leaked into the evaluation harness."""
+    df = build(spark, "similarity_ann_recall_report")
+    plan = pi.physical_plan(df)
+    assert "InMemoryTableScan" in plan, "shared embeddings scan not cached"
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert pi.broadcast_join_count(df) >= 4
+
+
+def test_markov_transitions_windows_are_partitioned(spark):
+    """Markov transitions: the LEAD window must partition by user_id (one
+    shuffle of per-user history), the probability normalization window by
+    event_type (over the O(types^2) matrix) — no window may run
+    unpartitioned, and the bigram count partial-aggregates before its
+    shuffle."""
+    import re
+
+    df = build(spark, "events_markov_transitions")
+    plan = pi.physical_plan(df)
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, f"expected windows in:\n{plan}"
+    lead_specs = [s for s in specs if "user_id" in s]
+    assert lead_specs, "LEAD window lost its user_id partitioning"
+    for s in specs:
+        assert "user_id" in s or "event_type" in s, (
+            f"unpartitioned window spec: {s}"
+        )
+    assert pi.has_partial_aggregate(df)
+
+
+def test_tfidf_rank_window_partitioned_and_partial_aggs(spark):
+    """TF-IDF terms: tf and df aggregations partial-aggregate before their
+    shuffles, the 1-row corpus count joins in as a broadcast, and the
+    top-k rank window partitions by source — never a global sort."""
+    import re
+
+    df = build(spark, "text_tfidf_source_terms")
+    plan = pi.physical_plan(df)
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, f"expected a rank window in:\n{plan}"
+    for s in specs:
+        assert "source" in s, f"rank window lost source partitioning: {s}"
+    assert pi.has_partial_aggregate(df)
+    assert pi.broadcast_join_count(df) >= 1
+
+
+def test_dau_wau_no_range_self_join(spark):
+    """DAU/WAU stickiness must keep the constant <=7x contribution-explode
+    shape: a Generate (sequence explode) instead of the oracle's range
+    self-join, the day-list semi join broadcast, and no nested-loop or
+    cartesian join anywhere — the range-join formulation explodes
+    quadratically in users at 100 TB."""
+    df = build(spark, "events_dau_wau_stickiness")
+    plan = pi.physical_plan(df)
+    assert "Generate explode" in plan, "contribution explode missing"
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert pi.broadcast_join_count(df) >= 1
+    assert pi.has_partial_aggregate(df)
