@@ -117,6 +117,40 @@ HEADLINE = [
 ]
 
 
+def format_output(
+    timings: dict[str, float],
+    errors: dict[str, str],
+    sf: float | None,
+    iters: int,
+) -> tuple[str, str]:
+    """Build the two output lines. The FINAL line is the driver-parseable
+    one and must stay compact (< 500 bytes — enforced here, because rounds
+    3-4 lost their official perf record to an over-long line): all contract
+    keys present, per-query map bounded to the 5 slowest. The detail line
+    carries the complete map."""
+    detail_line = json.dumps(
+        {"detail": "per_query_sec", "queries": timings, "errors": errors}
+    )
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
+    final_line = json.dumps(
+        {
+            "metric": "headline_queries_wall_sec",
+            "value": round(sum(timings.values()), 3),
+            "unit": "sec",
+            "queries": slowest,
+            "sf": sf,
+            "iters": iters,
+            "n_queries": len(timings),
+            "errors": len(errors),
+        }
+    )
+    if len(final_line) >= 500:  # never ship an unparseable final line
+        raise AssertionError(
+            f"final bench line grew to {len(final_line)} bytes"
+        )
+    return detail_line, final_line
+
+
 def main() -> None:
     from iceberg_explorer_spark.operators import QUERIES
     from iceberg_explorer_spark.session import build_session
@@ -174,32 +208,11 @@ def main() -> None:
 
         m = re.search(r"sf([0-9.]+)", SF_DIR)
         sf = float(m.group(1).rstrip(".")) if m else None
+        detail_line, final_line = format_output(timings, errors, sf, ITERS)
         # Detail line: the complete per-query map, own line, parse-optional.
-        print(
-            json.dumps(
-                {"detail": "per_query_sec", "queries": timings, "errors": errors}
-            )
-        )
+        print(detail_line)
         sys.stdout.flush()
-        # Final line: compact and driver-parseable. All contract keys present;
-        # the per-query map is bounded to the 5 slowest so the line stays
-        # well under 500 bytes regardless of headline-set size.
-        slowest = dict(
-            sorted(timings.items(), key=lambda kv: -kv[1])[:5]
-        )
-        out = {
-            "metric": "headline_queries_wall_sec",
-            "value": round(sum(timings.values()), 3),
-            "unit": "sec",
-            "queries": slowest,
-            "sf": sf,
-            "iters": ITERS,
-            "n_queries": len(timings),
-            "errors": len(errors),
-        }
-        line = json.dumps(out)
-        assert len(line) < 500, f"final bench line grew to {len(line)} bytes"
-        print(line)
+        print(final_line)
     finally:
         spark.stop()
 

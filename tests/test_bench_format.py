@@ -1,0 +1,61 @@
+"""Bench output-protocol tests (no Spark needed).
+
+The round driver parses bench.py's LAST stdout line; rounds 3-4 recorded
+``parsed: null`` because that line grew past ~2 kB with 65 queries. These
+tests pin the two-line protocol: a complete detail line plus a final line
+that stays under 500 bytes at any realistic headline-set size.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from bench import HEADLINE, format_output  # noqa: E402
+
+
+def _fake_timings(n):
+    # worst-case realistic widths: long names, 4-digit-second timings
+    return {
+        f"pipeline_extremely_long_operator_name_{i:03d}": 123.456 + i
+        for i in range(n)
+    }
+
+
+def test_final_line_compact_at_current_headline_size():
+    timings = {name: 1.234 for name in HEADLINE}
+    detail, final = format_output(timings, {}, 0.1, 2)
+    assert len(final) < 500, len(final)
+    parsed = json.loads(final)
+    assert parsed["metric"] == "headline_queries_wall_sec"
+    assert parsed["unit"] == "sec"
+    assert parsed["n_queries"] == len(HEADLINE)
+    assert parsed["errors"] == 0
+    assert len(parsed["queries"]) <= 5
+    assert parsed["value"] == round(sum(timings.values()), 3)
+    # detail line carries the FULL map
+    assert json.loads(detail)["queries"] == timings
+
+
+def test_final_line_compact_even_at_200_queries_with_errors():
+    timings = _fake_timings(200)
+    errors = {f"broken_query_{i}": "SomeError: " + "x" * 400 for i in range(30)}
+    detail, final = format_output(timings, errors, 0.1, 2)
+    assert len(final) < 500, len(final)
+    parsed = json.loads(final)
+    assert parsed["n_queries"] == 200 and parsed["errors"] == 30
+    # the 5 slowest really are the slowest
+    slowest = set(parsed["queries"])
+    top5 = sorted(timings, key=lambda k: -timings[k])[:5]
+    assert slowest == set(top5)
+    assert json.loads(detail)["errors"] == errors
+
+
+def test_final_line_survives_empty_run():
+    detail, final = format_output({}, {"only_query": "boom"}, None, 1)
+    parsed = json.loads(final)
+    assert parsed["value"] == 0 and parsed["n_queries"] == 0
+    assert parsed["errors"] == 1
