@@ -925,3 +925,145 @@ def dedup_candidate_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_edges))
         .select("n_triangles", "n_edges", "n_apex_docs")
     )
+
+
+#: fixed-point scale for PageRank mass — integer rank units make the
+#: power-iteration step exact BIGINT math (identical truncating division in
+#: both engines), where float ranks would drift with shuffle order.
+PR_SCALE = 1_000_000_000_000
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  # damping 0.85 as an exact fraction
+
+
+@query(
+    "dedup_pagerank_step",
+    oracle=f"""
+    WITH pairs AS ({_LSH_CANDIDATES_SQL}),
+    e AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+    n AS (SELECT COUNT(*) AS n_nodes FROM deg),
+    contrib AS (
+      SELECT e.dst,
+             ({PR_DAMP_NUM} * ({PR_SCALE} // n.n_nodes))
+               // ({PR_DAMP_DEN} * d.deg) AS c
+      FROM e JOIN deg d ON e.src = d.src CROSS JOIN n
+    ),
+    r1 AS (SELECT dst AS doc_id, SUM(c) AS in_mass FROM contrib GROUP BY dst)
+    SELECT r.doc_id,
+           CAST(d.deg AS BIGINT) AS degree,
+           CAST(({PR_DAMP_DEN} - {PR_DAMP_NUM}) * {PR_SCALE}
+                  // ({PR_DAMP_DEN} * n.n_nodes) + r.in_mass AS BIGINT)
+             AS rank_scaled
+    FROM r1 r JOIN deg d ON r.doc_id = d.src CROSS JOIN n
+    """,
+    doc="One damped PageRank power-iteration step over the near-dup "
+    "candidate graph, from the uniform start vector — centrality for the "
+    "duplicate-cluster graph (hub documents that near-duplicate MANY "
+    "others are crawl templates / mirrors; rank separates them from leaf "
+    "copies, which pure degree cannot do once clusters chain). The "
+    "ITERATIVE-GRAPH shape at scale, paired with similarity_kmeans_step: "
+    "one step = one Spark job (join edges to degrees, one aggregation "
+    "shuffle of in-flowing mass), the driver loop re-runs it to a fixed "
+    "point checkpointing between rounds exactly like dedup_clusters' "
+    "label propagation. Rank mass is integer-scaled (PR_SCALE units) with "
+    "truncating division written identically in both engines, so the "
+    "step is bit-exact under any shuffle order — a float rank vector is "
+    "not. Edges are the post-LSH candidate set: Σ bucket-collisions "
+    "(bucket-capped), never corpus-sized.",
+)
+def dedup_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = lsh_candidates(spark, sf_dir).select("doc_a", "doc_b")
+    e = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    n = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    contrib = (
+        e.join(deg, "src")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "dst",
+            F.expr(
+                f"({PR_DAMP_NUM} * ({PR_SCALE} div n_nodes))"
+                f" div ({PR_DAMP_DEN} * deg)"
+            ).alias("c"),
+        )
+    )
+    r1 = contrib.groupBy("dst").agg(F.sum("c").alias("in_mass"))
+    return (
+        r1.join(deg, r1.dst == deg.src)
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("dst").alias("doc_id"),
+            F.col("deg").cast("bigint").alias("degree"),
+            F.expr(
+                f"({PR_DAMP_DEN} - {PR_DAMP_NUM}) * cast({PR_SCALE} as bigint)"
+                f" div ({PR_DAMP_DEN} * n_nodes) + in_mass"
+            )
+            .cast("bigint")
+            .alias("rank_scaled"),
+        )
+    )
+
+
+@query(
+    "dedup_source_overlap_matrix",
+    oracle=f"""
+    WITH pairs AS ({_LSH_CANDIDATES_SQL}),
+    lab AS (
+      SELECT LEAST(da.source, db.source) AS source_x,
+             GREATEST(da.source, db.source) AS source_y
+      FROM pairs p
+      JOIN documents da ON p.doc_a = da.doc_id
+      JOIN documents db ON p.doc_b = db.doc_id
+    ),
+    m AS (
+      SELECT source_x, source_y, COUNT(*) AS n_pairs
+      FROM lab GROUP BY source_x, source_y
+    ),
+    tot AS (SELECT SUM(n_pairs) AS total FROM m)
+    SELECT source_x, source_y, n_pairs,
+           CAST(n_pairs AS DOUBLE) / tot.total AS pair_share
+    FROM m CROSS JOIN tot
+    """,
+    doc="Cross-source near-duplicate overlap matrix: every LSH candidate "
+    "pair labeled with its two documents' sources, rolled up to a "
+    "canonically-ordered (source_x <= source_y) grid — the contamination-"
+    "lineage diagnostic a training-data build runs before mixing corpora "
+    "(off-diagonal mass = sources duplicating EACH OTHER: mirrors, "
+    "cross-posts, benchmark leakage between a train and an eval crawl; "
+    "diagonal mass = within-source boilerplate). Plan: the candidate set "
+    "is Σ bucket-collisions, so the two doc→source lookups broadcast the "
+    "PAIR side against the corpus scan (never the reverse), and the grid "
+    "aggregation is O(sources²). pair_share divides exact counts once at "
+    "the end.",
+)
+def dedup_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    pairs = lsh_candidates(spark, sf_dir).select("doc_a", "doc_b")
+    lab = (
+        docs.join(
+            F.broadcast(pairs), docs.doc_id == pairs.doc_a
+        )
+        .select(F.col("source").alias("sa"), "doc_b")
+        .join(F.broadcast(docs).alias("d2"), F.col("doc_b") == F.col("d2.doc_id"))
+        .select(
+            F.least("sa", F.col("d2.source")).alias("source_x"),
+            F.greatest("sa", F.col("d2.source")).alias("source_y"),
+        )
+    )
+    m = lab.groupBy("source_x", "source_y").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    tot = m.agg(F.sum("n_pairs").alias("total"))
+    return m.crossJoin(F.broadcast(tot)).select(
+        "source_x",
+        "source_y",
+        "n_pairs",
+        (F.col("n_pairs").cast("double") / F.col("total")).alias("pair_share"),
+    )

@@ -659,3 +659,143 @@ def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_chars").cast("bigint").alias("max_chars"),
         )
     )
+
+
+#: fixed BM25 retrieval query — mid-frequency terms from the synthetic
+#: vocabulary; constants so the oracle SQL is static text
+BM25_TERMS = ("vector", "merge", "scan")
+BM25_TOP_K = 10
+#: k1 = 1.2 and b = 0.75 enter the score as exact fractions: multiplying the
+#: classic formula through by 10·L (L = corpus token count) gives
+#:   score = idf_q · 22·L·tf / (10·L·tf + 3·L + 9·dl·N)
+#: — one division of exact BIGINT products, so both engines produce the
+#: identical double, rounded ONCE per (doc, term) onto the integer micro
+#: grid before the per-doc sum (a float sum across terms would be
+#: order-sensitive).
+
+
+def _bm25_terms_sql() -> str:
+    return ", ".join(f"'{t}'" for t in BM25_TERMS)
+
+
+@query(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH dw AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         w -> w <> '') AS words
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, len(words) AS dl, words FROM dw),
+    corpus AS (
+      SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS corpus_len
+      FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, dl, word, COUNT(*) AS tf
+      FROM (SELECT doc_id, dl, UNNEST(words) AS word FROM dl)
+      WHERE word IN ({_bm25_terms_sql()})
+      GROUP BY doc_id, dl, word
+    ),
+    idf AS (
+      SELECT word,
+             CAST(ROUND(ln(1 + (c.n_docs - COUNT(*) + 0.5) / (COUNT(*) + 0.5))
+                        * {IDF_SCALE}) AS BIGINT) AS idf_q
+      FROM tf CROSS JOIN corpus c
+      GROUP BY word, c.n_docs
+    ),
+    scored AS (
+      SELECT t.doc_id,
+             CAST(ROUND(
+               CAST(i.idf_q * 22 * c.corpus_len * t.tf AS DOUBLE)
+               / (10 * c.corpus_len * t.tf + 3 * c.corpus_len
+                  + 9 * t.dl * c.n_docs)
+             ) AS BIGINT) AS term_score_q
+      FROM tf t JOIN idf i USING (word) CROSS JOIN corpus c
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_terms_hit,
+           CAST(SUM(term_score_q) AS BIGINT) AS score_q
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY score_q DESC, doc_id
+    LIMIT {BM25_TOP_K}
+    """,
+    doc="BM25 top-k retrieval for a fixed term query (k1=1.2, b=0.75, "
+    "Lucene-style non-negative idf) — the scoring function behind "
+    "quality-targeted corpus search: find the documents most relevant to "
+    "a probe query at curation time (seed expansion, topic targeting, "
+    "leakage hunts). Exactness: multiplying the classic formula through "
+    "by 10·L turns each per-(doc, term) score into ONE division of exact "
+    "BIGINT products — identical doubles on both engines — rounded once "
+    "onto the idf micro-grid, then summed as BIGINTs per doc, so rank "
+    "order is bit-stable under any shuffle order. Plan: the term filter "
+    "collapses the exploded token stream to query-term rows BEFORE any "
+    "shuffle (map-side), the 3-row idf table and 1-row corpus aggregates "
+    "broadcast, and the top-k is TakeOrderedAndProject, never a global "
+    "sort. At 100 TB the per-term integer products need the avgdl "
+    "pre-quantized to stay in 63 bits (one extra ROUND on the tiny corpus "
+    "frame); the join/broadcast shape is unchanged.",
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    dl = docs.select(
+        "doc_id",
+        F.filter(_tokens(), lambda w: w != "").alias("words"),
+    ).select("doc_id", F.size("words").alias("dl"), "words")
+    corpus = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("corpus_len"),
+    )
+    tf = (
+        dl.select("doc_id", "dl", F.explode("words").alias("word"))
+        .filter(F.col("word").isin(*BM25_TERMS))
+        .groupBy("doc_id", "dl", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    idf = (
+        tf.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "word",
+            F.round(
+                F.log(
+                    1
+                    + (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                )
+                * IDF_SCALE
+            )
+            .cast("bigint")
+            .alias("idf_q"),
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "word")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "doc_id",
+            F.round(
+                (F.col("idf_q") * 22 * F.col("corpus_len") * F.col("tf"))
+                .cast("double")
+                / (
+                    10 * F.col("corpus_len") * F.col("tf")
+                    + 3 * F.col("corpus_len")
+                    + 9 * F.col("dl") * F.col("n_docs")
+                )
+            )
+            .cast("bigint")
+            .alias("term_score_q"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_hit"),
+            F.sum("term_score_q").cast("bigint").alias("score_q"),
+        )
+        .orderBy(F.col("score_q").desc(), "doc_id")
+        .limit(BM25_TOP_K)
+    )

@@ -556,3 +556,54 @@ def test_dau_wau_no_range_self_join(spark):
     assert "CartesianProduct" not in plan
     assert pi.broadcast_join_count(df) >= 1
     assert pi.has_partial_aggregate(df)
+
+
+def test_pagerank_step_broadcasts_node_count_partial_aggs(spark):
+    """One PageRank step = join edges to degrees + ONE aggregation shuffle
+    of in-flowing mass; the 1-row node count joins in as a broadcast and
+    degree/mass aggregations partial-aggregate. No nested-loop join over
+    anything bigger than the 1-row count frame (its crossJoin IS the
+    broadcast), no window, no sort."""
+    df = build(spark, "dedup_pagerank_step")
+    plan = pi.physical_plan(df)
+    assert pi.has_partial_aggregate(df)
+    assert pi.broadcast_join_count(df) >= 2
+    assert "windowspecdefinition" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_source_overlap_broadcasts_pairs_not_corpus(spark):
+    """The doc→source labeling must broadcast the post-LSH PAIR side
+    against the corpus scan, never shuffle or broadcast the corpus for it:
+    both labeling joins are broadcast joins, and no sort-merge join
+    appears anywhere in the plan."""
+    df = build(spark, "dedup_source_overlap_matrix")
+    plan = pi.physical_plan(df)
+    assert "SortMergeJoin" not in plan
+    assert pi.broadcast_join_count(df) >= 3
+    assert pi.has_partial_aggregate(df)
+
+
+def test_bm25_filters_terms_mapside_topk_not_sort(spark):
+    """BM25: the query-term IN-filter must run against the exploded token
+    stream BEFORE any shuffle (map-side collapse to query-term rows), the
+    idf and corpus frames join as broadcasts, and the final top-k is
+    TakeOrderedAndProject — a global sort of per-doc scores would be the
+    scale bug."""
+    df = build(spark, "text_bm25_topk")
+    plan = pi.physical_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert pi.has_partial_aggregate(df)
+    assert pi.broadcast_join_count(df) >= 2
+    # the IN-filter must sit in the same codegen stage as the explode —
+    # i.e. appear as a Filter over the generated word column, not after
+    # an exchange
+    import re
+
+    gen_idx = plan.find("Generate explode")
+    assert gen_idx != -1
+    first_exchange_after = plan.find("Exchange", gen_idx)
+    filter_after = plan.find("word", gen_idx)
+    assert filter_after != -1 and (
+        first_exchange_after == -1 or filter_after < first_exchange_after
+    ), "term filter did not stay map-side with the explode"
