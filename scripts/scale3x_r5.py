@@ -1,0 +1,134 @@
+#!/usr/bin/env python
+"""3× scaling points for the round-4/5 operators without measured entries in
+SCALE.md's scaling tables.
+
+Builds id-shifted 3× replications of sf0.1's documents / events / lineitem
+(fresh id populations per copy, light text perturbation so near-dup ops
+still do work), then times each operator at 1× and 3× in one warmed
+session, min over N iters. Prints a JSON table {op: {"1x": s, "3x": s}}.
+
+Usage: python scripts/scale3x_r5.py   (env: SCALE3X_OPS=comma-list)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+ITERS = int(os.environ.get("SCALE3X_ITERS", "2"))
+FACTOR = 3
+SHIFT = 100_000_000
+
+DEFAULT_OPS = [
+    "dedup_pagerank_step",
+    "dedup_source_overlap_matrix",
+    "text_bm25_topk",
+    "text_tfidf_source_terms",
+    "events_markov_transitions",
+    "events_dau_wau_stickiness",
+    "market_basket_part_pairs",
+    "rfm_customer_segments",
+]
+
+#: which table each op scans (only that table is replicated; the rest
+#: symlink to the 1x files)
+OP_TABLE = {
+    "dedup_pagerank_step": "documents",
+    "dedup_source_overlap_matrix": "documents",
+    "text_bm25_topk": "documents",
+    "text_tfidf_source_terms": "documents",
+    "events_markov_transitions": "events",
+    "events_dau_wau_stickiness": "events",
+    "market_basket_part_pairs": "lineitem",
+    "rfm_customer_segments": "orders",
+}
+
+
+def _replicate(spark, table: str, out_dir: str) -> None:
+    import pyspark.sql.functions as F
+
+    from iceberg_explorer_spark.sources.registry import load_table
+
+    base = load_table(spark, SF_DIR, table)
+    copies = []
+    for i in range(FACTOR):
+        c = base
+        if table == "documents":
+            c = c.withColumn("doc_id", F.col("doc_id") + F.lit(i * SHIFT))
+            # perturb the tail so copies are NEAR-dups (LSH work), not
+            # exact dups collapsed upstream
+            c = c.withColumn(
+                "text", F.concat(F.col("text"), F.lit(f" copyline {i}"))
+            )
+        elif table == "events":
+            c = c.withColumn(
+                "event_id", F.col("event_id") + F.lit(i * SHIFT)
+            ).withColumn("user_id", F.col("user_id") + F.lit(i * SHIFT))
+        elif table == "lineitem":
+            c = c.withColumn(
+                "l_orderkey", F.col("l_orderkey") + F.lit(i * SHIFT)
+            )
+        elif table == "orders":
+            c = c.withColumn(
+                "o_orderkey", F.col("o_orderkey") + F.lit(i * SHIFT)
+            ).withColumn("o_custkey", F.col("o_custkey") + F.lit(i * SHIFT))
+        copies.append(c)
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    out.write.mode("overwrite").parquet(
+        os.path.join(out_dir, f"{table}.parquet")
+    )
+
+
+def main() -> None:
+    from iceberg_explorer_spark.operators import QUERIES
+    from iceberg_explorer_spark.session import build_session
+
+    ops = os.environ.get("SCALE3X_OPS")
+    ops = ops.split(",") if ops else DEFAULT_OPS
+    spark = build_session(
+        app_name="scale3x_r5",
+        cpus=os.environ.get("SPARK_GRAFT_CPUS", "32"),
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    results: dict[str, dict[str, float]] = {}
+    try:
+        tables_needed = sorted({OP_TABLE[o] for o in ops})
+        scaled_dir = "/tmp/scale3x_r5"
+        os.makedirs(scaled_dir, exist_ok=True)
+        for t in tables_needed:
+            if not os.path.exists(os.path.join(scaled_dir, f"{t}.parquet")):
+                _replicate(spark, t, scaled_dir)
+        # any table an op does NOT scan still resolves at 1x via symlink
+        for f in os.listdir(SF_DIR):
+            dst = os.path.join(scaled_dir, f)
+            if not os.path.exists(dst):
+                os.symlink(os.path.join(SF_DIR, f), dst)
+
+        for name in ops:
+            point: dict[str, float] = {}
+            for label, d in (("1x", SF_DIR), ("3x", scaled_dir)):
+                best = None
+                for _ in range(ITERS):
+                    t0 = time.perf_counter()
+                    QUERIES[name].builder(spark, d).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    dt = time.perf_counter() - t0
+                    best = dt if best is None else min(best, dt)
+                point[label] = round(best, 3)
+            results[name] = point
+            print(json.dumps({name: point}))
+    finally:
+        spark.stop()
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
