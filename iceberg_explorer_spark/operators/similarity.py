@@ -898,33 +898,45 @@ def similarity_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (the cache is a single bounded entry for the session, keyed by the
     # logical plan, so repeated report runs reuse rather than accumulate).
     load_table(spark, sf_dir, "embeddings").persist()
+    # Shape matters here: the naive formulation references the brute-force
+    # top-k in every recall join (3 builds) and each variant twice
+    # (n_returned count + hit join), so the report runs EIGHT index builds
+    # for four indexes. Instead each arm is built ONCE, tagged, and unioned,
+    # and recall falls out of a single left join against the exact set with
+    # a conditional count — one build per index, one broadcast join, one
+    # O(variants x k)-row aggregation. (No result-frame persist: caching
+    # the top-k outputs would memoize the report across runs and hide the
+    # index cost the harness exists to measure.)
     bf = (
         _Q["similarity_bruteforce_topk"]
         .builder(spark, sf_dir)
         .select("vec_id")
+        .withColumn("hit", F.lit(1))
     )
-    out = None
+    arms = None
     for name, qname in (
         ("lsh", "similarity_lsh_ann"),
         ("ivf", "similarity_ivf_topk"),
         ("pq_adc", "similarity_pq_adc_topk"),
     ):
-        v = _Q[qname].builder(spark, sf_dir).select("vec_id")
-        row = (
-            v.agg(F.count(F.lit(1)).alias("n_returned"))
-            .crossJoin(
-                F.broadcast(
-                    v.join(F.broadcast(bf), "vec_id").agg(
-                        F.count(F.lit(1)).alias("n_hits")
-                    )
-                )
-            )
-            .select(
-                F.lit(name).alias("variant"),
-                "n_returned",
-                "n_hits",
-                (F.col("n_hits") * 1.0 / F.col("n_returned")).alias("recall"),
-            )
+        v = (
+            _Q[qname]
+            .builder(spark, sf_dir)
+            .select("vec_id")
+            .withColumn("variant", F.lit(name))
         )
-        out = row if out is None else out.unionByName(row)
-    return out
+        arms = v if arms is None else arms.unionByName(v)
+    return (
+        arms.join(F.broadcast(bf), "vec_id", "left")
+        .groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).alias("n_returned"),
+            F.count("hit").alias("n_hits"),
+        )
+        .select(
+            "variant",
+            "n_returned",
+            "n_hits",
+            (F.col("n_hits") * 1.0 / F.col("n_returned")).alias("recall"),
+        )
+    )
