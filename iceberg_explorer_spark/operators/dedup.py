@@ -1067,3 +1067,87 @@ def dedup_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pairs",
         (F.col("n_pairs").cast("double") / F.col("total")).alias("pair_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+#: dedup-threshold sweep grid, in percent (exact ints shared with the oracle)
+JACCARD_SWEEP_PCTS = (50, 80, 90, 95, 98)
+
+
+@query(
+    "dedup_jaccard_threshold_sweep",
+    oracle=f"""
+    WITH cands AS ({_LSH_CANDIDATES_SQL}),
+    sh AS ({_SHINGLE_SQL}),
+    shh AS (
+      SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS hb FROM sh
+    ),
+    capped AS (
+      SELECT doc_id, hb FROM (
+        SELECT doc_id, hb,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hb) AS rn
+        FROM shh
+      ) WHERE rn <= {JACCARD_MAX_DOC_SHINGLES}
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM capped GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+      FROM cands c
+      JOIN capped a ON a.doc_id = c.doc_a
+      JOIN capped b ON b.doc_id = c.doc_b AND b.hb = a.hb
+      GROUP BY c.doc_a, c.doc_b
+    ),
+    pairs AS (
+      SELECT i.doc_a, i.doc_b,
+             i.n_common * 1.0 / (sa.n + sb.n - i.n_common) AS jaccard
+      FROM inter i
+      JOIN sz sa ON sa.doc_id = i.doc_a
+      JOIN sz sb ON sb.doc_id = i.doc_b
+    ),
+    grid AS (SELECT UNNEST([{", ".join(str(t) for t in JACCARD_SWEEP_PCTS)}])
+             AS threshold_pct)
+    SELECT g.threshold_pct,
+           COUNT(*) AS n_pairs,
+           COUNT(DISTINCT p.doc_b) AS n_docs_dropped
+    FROM grid g JOIN pairs p ON p.jaccard >= g.threshold_pct / 100.0
+    GROUP BY g.threshold_pct
+    """,
+    doc="Dedup-threshold tuning sweep: the exact Jaccard of every LSH "
+    "candidate pair is computed ONCE, then swept across the "
+    f"{JACCARD_SWEEP_PCTS} percent grid to report, per threshold, how many "
+    "near-dup pairs fire and how many documents a drop-the-higher-id "
+    "policy would remove. Choosing the dedup threshold is a real curation "
+    "decision (too low deletes legitimate boilerplate-sharing docs, too "
+    "high ships duplicates); this report is the evidence, produced at the "
+    "cost of ONE verify stage plus a grid-expansion of the candidate-sized "
+    "pair frame (|pairs| x 5 rows — never corpus-shaped). Same two-stage "
+    "shape as dedup_ngram_jaccard: shingle scan persisted once, candidates "
+    "broadcast, all per-pair math JVM-side; the sweep adds one partial-"
+    "aggregated shuffle on the 5-value threshold key over the tiny pair "
+    "frame. At 100 TB the verify stage dominates and is unchanged; the "
+    "sweep itself is free.",
+)
+def dedup_jaccard_threshold_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    sh = hashed_shingles(spark, sf_dir).persist()
+    cands = (
+        lsh_candidates(spark, sf_dir, hashed=sh)
+        .select("doc_a", "doc_b")
+        .persist()
+    )
+    # threshold=0.0 keeps every candidate pair with its exact jaccard; the
+    # grid filter below is the only thresholding
+    pairs = jaccard_verify(cands, sh, threshold=0.0)
+    swept = pairs.select(
+        "doc_a",
+        "doc_b",
+        "jaccard",
+        F.explode(
+            F.array(*[F.lit(t) for t in JACCARD_SWEEP_PCTS])
+        ).alias("threshold_pct"),
+    ).filter(F.col("jaccard") >= F.col("threshold_pct") / 100.0)
+    return swept.groupBy("threshold_pct").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("doc_b").alias("n_docs_dropped"),
+    )

@@ -940,3 +940,80 @@ def similarity_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_hits") * 1.0 / F.col("n_returned")).alias("recall"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "similarity_int8_quantize",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+      FROM v
+      WHERE list_max(list_transform(v, x -> abs(x))) > 0
+    ),
+    q AS (
+      SELECT vec_id, v, scale,
+             list_transform(v, x -> floor(x / scale + 0.5)) AS codes
+      FROM s
+    ),
+    e AS (
+      SELECT vec_id, scale, codes,
+             list_transform(generate_series(1, len(v)),
+                            i -> codes[i] * scale - v[i]) AS errs
+      FROM q
+    )
+    SELECT vec_id,
+           scale,
+           CAST(len(list_filter(codes, c -> c = 0)) AS BIGINT) AS n_zero,
+           list_max(list_transform(errs, x -> abs(x))) AS max_abs_err,
+           list_reduce(list_transform(errs, x -> x * x),
+                       (a, b) -> a + b) AS sq_err
+    FROM e
+    """,
+    doc="Symmetric per-vector int8 quantization audit: each embedding gets "
+    "scale = max|v|/127 and codes floor(v/scale + 0.5), and the report "
+    "surfaces the quantities a serving/index build signs off on — code "
+    "sparsity (n_zero), worst per-element reconstruction error, and total "
+    "squared error. Entirely map-side (zero shuffles, pinned): the per-row "
+    "array folds are JVM higher-order functions, so at 100 TB this runs at "
+    "scan speed with perfect partition parallelism — the preprocessing "
+    "shape for PQ/int8 index builds (similarity_pq_adc_topk consumes "
+    "vectors prepared exactly like this). Determinism: both engines cast "
+    "float32 -> double then run the SAME left-to-right fold, so every "
+    "output double is bit-identical (floor(x+0.5) instead of round() "
+    "because the engines disagree on round-half semantics).",
+)
+def similarity_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    dv = F.transform("embedding", lambda x: x.cast("double"))
+    maxabs = F.array_max(F.transform("v", F.abs))
+    base = (
+        emb.select("vec_id", dv.alias("v"))
+        .filter(maxabs > 0)
+        .withColumn("scale", maxabs / F.lit(127.0))
+    )
+    codes = F.transform(
+        "v", lambda x: F.floor(x / F.col("scale") + F.lit(0.5))
+    )
+    q = base.withColumn("codes", codes)
+    errs = F.zip_with(
+        "codes", "v", lambda c, x: c * F.col("scale") - x
+    )
+    e = q.withColumn("errs", errs)
+    return e.select(
+        "vec_id",
+        "scale",
+        F.size(F.filter("codes", lambda c: c == 0))
+        .cast("bigint")
+        .alias("n_zero"),
+        F.array_max(F.transform("errs", F.abs)).alias("max_abs_err"),
+        F.aggregate(
+            F.transform("errs", lambda x: x * x),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        ).alias("sq_err"),
+    )

@@ -607,3 +607,49 @@ def test_bm25_filters_terms_mapside_topk_not_sort(spark):
     assert filter_after != -1 and (
         first_exchange_after == -1 or filter_after < first_exchange_after
     ), "term filter did not stay map-side with the explode"
+
+
+def test_int8_quantize_is_map_only(spark):
+    """Per-vector quantization must be a pure map: zero shuffles, zero
+    joins, zero windows — the plan is scan → project, so at 100 TB it runs
+    at scan speed with perfect partition parallelism. Any Exchange here
+    means someone turned a row-local computation into a distributed one."""
+    df = build(spark, "similarity_int8_quantize")
+    plan = pi.physical_plan(df)
+    assert pi.shuffle_count(df) == 0, plan
+    assert "Join" not in plan
+    assert "windowspecdefinition" not in plan
+    assert pi.pushed_filters(df) is not None  # scan-backed, not cached
+
+
+def test_jaccard_sweep_expands_pairs_not_corpus(spark):
+    """The threshold sweep must explode the GRID against the candidate-pair
+    frame (|pairs| x 5 rows), never against anything corpus-shaped, keep
+    the candidate joins broadcast exactly like dedup_ngram_jaccard, and
+    partial-aggregate the per-threshold counts. The corpus-side shingle
+    scan must appear once, not per threshold."""
+    df = build(spark, "dedup_jaccard_threshold_sweep")
+    plan = pi.physical_plan(df)
+    assert "Generate explode" in plan
+    assert pi.broadcast_join_count(df) >= 2
+    assert pi.has_partial_aggregate(df)
+    assert "CartesianProduct" not in plan
+    # grid expansion must sit above the pair join, not under it: the
+    # explode's Generate node must appear before (higher in the tree than)
+    # the first broadcast join in the plan text
+    assert plan.find("Generate explode") < plan.find("BroadcastHashJoin")
+
+
+def test_pack_efficiency_single_extra_shuffle(spark):
+    """The efficiency report rides the packer's pinned plan and may add
+    exactly ONE aggregation shuffle (O(sequences) frame onto the O(sources)
+    key) with partial aggregation — no window, no join, no sort on top of
+    what pipeline_chunk_pack already does."""
+    base = build(spark, "pipeline_chunk_pack")
+    df = build(spark, "pipeline_pack_efficiency")
+    assert pi.shuffle_count(df) == pi.shuffle_count(base) + 1
+    assert pi.has_partial_aggregate(df)
+    # no join/window added on top of the packer's own pinned plan (the
+    # packer's prefix-sum broadcast join is part of the base)
+    assert pi.broadcast_join_count(df) == pi.broadcast_join_count(base)
+    assert pi.sort_merge_join_count(df) == 0
