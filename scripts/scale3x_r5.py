@@ -46,6 +46,9 @@ OP_TABLE = {
     "events_dau_wau_stickiness": "events",
     "market_basket_part_pairs": "lineitem",
     "rfm_customer_segments": "orders",
+    "similarity_int8_quantize": "embeddings",
+    "dedup_jaccard_threshold_sweep": "documents",
+    "pipeline_pack_efficiency": "documents",
 }
 
 
@@ -77,6 +80,8 @@ def _replicate(spark, table: str, out_dir: str) -> None:
             c = c.withColumn(
                 "o_orderkey", F.col("o_orderkey") + F.lit(i * SHIFT)
             ).withColumn("o_custkey", F.col("o_custkey") + F.lit(i * SHIFT))
+        elif table == "embeddings":
+            c = c.withColumn("vec_id", F.col("vec_id") + F.lit(i * SHIFT))
         copies.append(c)
     out = copies[0]
     for c in copies[1:]:
