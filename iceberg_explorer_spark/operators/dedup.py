@@ -1151,3 +1151,127 @@ def dedup_jaccard_threshold_sweep(
         F.count(F.lit(1)).alias("n_pairs"),
         F.countDistinct("doc_b").alias("n_docs_dropped"),
     )
+
+
+# ---------------------------------------------------------------------------
+#: hash-family width for the per-source corpus sketch (est. granularity 1/48)
+N_SOURCE_HASHES = 48
+
+
+def _source_minhash_sig_sql() -> str:
+    terms = []
+    for i in range(N_SOURCE_HASHES):
+        a, b = _lcg_params(i)
+        terms.append(f"MIN(({a} * hb + {b}) % {MINHASH_P}) AS h{i}")
+    return ", ".join(terms)
+
+
+@query(
+    "dedup_source_minhash_similarity",
+    oracle=f"""
+    WITH ws AS (
+      SELECT source, regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT source, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      FROM ws, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+      WHERE len(w) >= 3
+    ),
+    hashed AS (
+      SELECT source,
+             ('0x' || substr(md5(s), 1, 15))::BIGINT % {MINHASH_P} AS hb
+      FROM sh
+    ),
+    sig AS (SELECT source, {{SIG}} FROM hashed GROUP BY source)
+    SELECT * FROM (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST({{AGREE}} AS BIGINT) AS n_agree,
+             CAST({{AGREE}} AS BIGINT) * 1.0 / {N_SOURCE_HASHES}
+               AS est_jaccard
+      FROM sig a JOIN sig b ON a.source < b.source
+    ) WHERE n_agree > 0
+    """.replace("{SIG}", _source_minhash_sig_sql()).replace(
+        "{AGREE}",
+        "("
+        + " + ".join(
+            f"CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END"
+            for i in range(N_SOURCE_HASHES)
+        )
+        + ")",
+    ),
+    doc="Per-source corpus MinHash sketch + pairwise similarity estimate: "
+    f"each source collapses to a {N_SOURCE_HASHES}-hash signature (min is "
+    "commutative/associative, so the sketch is map-side partial, shuffle-"
+    "order independent, AND mergeable — shard sketches min-merge into "
+    "corpus sketches, the property that lets a 100 TB build sketch every "
+    "shard independently and combine at O(sources) cost). Pairwise "
+    "agreement estimates shingle-set Jaccard between sources WITHOUT any "
+    "doc-level pair work — the cheap first look before the exact "
+    "dedup_source_overlap_matrix. The Spark side carries `source` through "
+    "the shingle explode (no corpus-keyed doc->source join), and pair "
+    "emission is the same group-by-bucket trick as lsh_candidates: the "
+    "melted (hash_i, value) frame is O(sources x hashes), so no self-join "
+    "ever recomputes the corpus scan. All math exact BIGINT.",
+)
+def dedup_source_minhash_similarity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    dw = docs.select("source", _words().alias("w"))
+    shingles = F.when(
+        F.size("w") >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size("w") - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at("w", i),
+                F.element_at("w", i + 1),
+                F.element_at("w", i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = dw.select("source", F.explode(shingles).alias("s"))
+    hashed = sh.select(
+        "source", (F.expr(_SHINGLE_HASH) % MINHASH_P).alias("hb")
+    )
+    mins = []
+    for i in range(N_SOURCE_HASHES):
+        a, b = _lcg_params(i)
+        mins.append(
+            F.min(
+                (F.lit(a) * F.col("hb") + F.lit(b)) % F.lit(MINHASH_P)
+            ).alias(f"h{i}")
+        )
+    sig = hashed.groupBy("source").agg(*mins)
+    melted = sig.select(
+        "source",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"), F.col(f"h{i}").alias("hv")
+                    )
+                    for i in range(N_SOURCE_HASHES)
+                ]
+            )
+        ).alias("x"),
+    ).select("source", "x.i", "x.hv")
+    buckets = (
+        melted.groupBy("i", "hv")
+        .agg(F.array_sort(F.collect_list("source")).alias("ss"))
+        .filter(F.size("ss") > 1)
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ss, (x, i) -> "
+                "transform(slice(ss, i + 2, size(ss)), y -> "
+                "struct(x AS source_a, y AS source_b))))"
+            )
+        ).alias("p")
+    ).select("p.source_a", "p.source_b")
+    return pairs.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("n_agree"),
+        (F.count(F.lit(1)) * 1.0 / N_SOURCE_HASHES).alias("est_jaccard"),
+    )

@@ -799,3 +799,78 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score_q").desc(), "doc_id")
         .limit(BM25_TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+#: ingest shards for the novelty-saturation curve (hash-split on doc_id)
+VOCAB_N_BATCHES = 8
+
+
+@query(
+    "text_vocab_growth",
+    oracle=f"""
+    WITH ws AS (
+      SELECT doc_id % {VOCAB_N_BATCHES} AS batch,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT batch, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      FROM ws, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+      WHERE len(w) >= 3
+    ),
+    fs AS (SELECT s, MIN(batch) AS first_batch FROM sh GROUP BY s),
+    nb AS (
+      SELECT first_batch AS batch, COUNT(*) AS n_new_ngrams
+      FROM fs GROUP BY first_batch
+    )
+    SELECT batch, n_new_ngrams,
+           CAST(SUM(n_new_ngrams) OVER (
+               ORDER BY batch
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cum_ngrams
+    FROM nb
+    """,
+    doc="N-gram novelty-saturation curve: documents are hash-split into "
+    f"{VOCAB_N_BATCHES} ingest shards (doc_id mod — the deterministic "
+    "stand-in for crawl batches) and each 3-word shingle is attributed to "
+    "the first shard it appears in; per-shard new-shingle counts and the "
+    "cumulative total show how fast the corpus stops contributing novel "
+    "content — the curve that tells a data buyer whether the NEXT 10 TB "
+    "of a source is worth ingesting (unigram vocabulary saturates almost "
+    "immediately; 3-gram novelty is the standard unit). Scale shape: the "
+    "only corpus-sized work is one shingle-keyed MIN aggregation "
+    "(map-side partial mins — first-seen is a commutative min, so "
+    "shuffle-order independent and shard-mergeable like the MinHash "
+    "sketch); everything after is an O(batches) frame, including the "
+    "running-total window.",
+)
+def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    dw = docs.select(
+        (F.col("doc_id") % VOCAB_N_BATCHES).alias("batch"),
+        _tokens().alias("w"),
+    )
+    shingles = F.when(
+        F.size("w") >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size("w") - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at("w", i),
+                F.element_at("w", i + 1),
+                F.element_at("w", i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = dw.select("batch", F.explode(shingles).alias("s"))
+    fs = sh.groupBy("s").agg(F.min("batch").alias("first_batch"))
+    nb = fs.groupBy(F.col("first_batch").alias("batch")).agg(
+        F.count(F.lit(1)).alias("n_new_ngrams")
+    )
+    win = W.orderBy("batch").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return nb.select(
+        "batch",
+        "n_new_ngrams",
+        F.sum("n_new_ngrams").over(win).cast("bigint").alias("cum_ngrams"),
+    )

@@ -653,3 +653,34 @@ def test_pack_efficiency_single_extra_shuffle(spark):
     # packer's prefix-sum broadcast join is part of the base)
     assert pi.broadcast_join_count(df) == pi.broadcast_join_count(base)
     assert pi.sort_merge_join_count(df) == 0
+
+
+def test_source_minhash_no_join_all_partial_aggs(spark):
+    """The per-source sketch must be pure aggregation: NO join anywhere
+    (pair emission is group-by-hash-bucket + in-bucket explode over the
+    O(sources x hashes) melted frame, never a signature self-join that
+    would recompute the corpus scan), mins partial-aggregate map-side, and
+    no window/sort touches anything corpus-sized."""
+    df = build(spark, "dedup_source_minhash_similarity")
+    plan = pi.physical_plan(df)
+    assert "Join" not in plan, "sketch pipeline grew a join"
+    assert pi.has_partial_aggregate(df)
+    assert "windowspecdefinition" not in plan
+
+
+def test_vocab_growth_corpus_agg_partial_window_tiny(spark):
+    """The only corpus-sized stage is the shingle-keyed MIN aggregation and
+    it must partial-aggregate (first-seen is a commutative min). The
+    running-total window is allowed ONLY above the batch-level aggregate —
+    its input is the O(batches) frame, so the window's child in the plan
+    must be an aggregate, not a scan/exchange of corpus rows."""
+    df = build(spark, "text_vocab_growth")
+    plan = pi.physical_plan(df)
+    assert pi.has_partial_aggregate(df)
+    assert "Join" not in plan
+    w = plan.find("Window")
+    assert w != -1
+    # everything corpus-shaped (the Generate explode of shingles) must sit
+    # BELOW both aggregations, i.e. appear after the window in the printed
+    # top-down plan and after the last HashAggregate
+    assert plan.find("Generate explode") > w
