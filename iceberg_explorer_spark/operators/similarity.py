@@ -1017,3 +1017,92 @@ def similarity_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda a, b: a + b,
         ).alias("sq_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+#: fixed-point grid for drift centroids: element sums are exact BIGINTs
+#: (|x| <= ~1, dim 64 — quantized units stay far inside 63 bits at any n)
+DRIFT_SCALE = 1_048_576  # 2^20
+
+
+@query(
+    "similarity_centroid_drift",
+    oracle=f"""
+    WITH ex AS (
+      SELECT label, vec_id % 2 AS batch, i,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * {DRIFT_SCALE} + 0.5)
+               AS BIGINT) AS q
+      FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+    ),
+    d AS (
+      SELECT label, batch, i, SUM(q) AS s, COUNT(*) AS cnt
+      FROM ex GROUP BY label, batch, i
+    ),
+    c AS (
+      SELECT label, batch, MAX(cnt) AS n,
+             list(s * 1.0 / (cnt * {DRIFT_SCALE}) ORDER BY i) AS centroid
+      FROM d GROUP BY label, batch
+    )
+    SELECT a.label, a.n AS n_a, b.n AS n_b,
+           ROUND(sqrt(list_reduce(
+             list_transform(generate_series(1, len(a.centroid)),
+               i -> (a.centroid[i] - b.centroid[i])
+                    * (a.centroid[i] - b.centroid[i])),
+             (x, y) -> x + y)), 6) AS drift
+    FROM c a JOIN c b ON a.label = b.label AND a.batch = 0 AND b.batch = 1
+    """,
+    doc="Embedding distribution-shift monitor: vectors hash-split into two "
+    "ingest batches, per-(label, batch) centroids compared by L2 distance "
+    "— the drift alarm a production embedding pipeline runs before mixing "
+    "a new crawl into an index (model regressions, upstream preprocessing "
+    "changes, and corpus composition shifts all show up here first). "
+    "Shuffle-order determinism is the design point: naive float centroid "
+    "sums differ run-to-run under Spark's nondeterministic partial-agg "
+    f"order, so elements are fixed-point quantized (x{DRIFT_SCALE}) and "
+    "summed as exact BIGINTs — commutative, bit-stable, and shard-"
+    "MERGEABLE (per-shard (sum, count) pairs add; same contract as the "
+    "MinHash sketch). Scale shape: the posexplode is a narrow map, the "
+    "only corpus-sized shuffle is the (label, batch, dim)-keyed partial "
+    "sum, and everything after operates on O(labels x dims) rows with a "
+    "broadcast-sized self-pair join on O(labels) rows.",
+)
+def similarity_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label",
+        (F.col("vec_id") % 2).alias("batch"),
+        F.posexplode(F.transform("embedding", lambda x: x.cast("double"))),
+    ).select(
+        "label",
+        "batch",
+        (F.col("pos") + 1).alias("i"),
+        F.floor(F.col("col") * DRIFT_SCALE + F.lit(0.5))
+        .cast("bigint")
+        .alias("q"),
+    )
+    d = ex.groupBy("label", "batch", "i").agg(
+        F.sum("q").alias("s"), F.count(F.lit(1)).alias("cnt")
+    )
+    c = d.groupBy("label", "batch").agg(
+        F.max("cnt").alias("n"),
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("i", "s", "cnt"))
+            ),
+            lambda t: t["s"] * 1.0 / (t["cnt"] * DRIFT_SCALE),
+        ).alias("centroid"),
+    )
+    a = c.filter(F.col("batch") == 0).select(
+        "label", F.col("n").alias("n_a"), F.col("centroid").alias("ca")
+    )
+    b = c.filter(F.col("batch") == 1).select(
+        "label", F.col("n").alias("n_b"), F.col("centroid").alias("cb")
+    )
+    sq = F.aggregate(
+        F.zip_with("ca", "cb", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return a.join(F.broadcast(b), "label").select(
+        "label", "n_a", "n_b", F.round(F.sqrt(sq), 6).alias("drift")
+    )

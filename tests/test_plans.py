@@ -684,3 +684,16 @@ def test_vocab_growth_corpus_agg_partial_window_tiny(spark):
     # BELOW both aggregations, i.e. appear after the window in the printed
     # top-down plan and after the last HashAggregate
     assert plan.find("Generate explode") > w
+
+
+def test_centroid_drift_partial_sums_broadcast_pair_join(spark):
+    """Drift centroids must partial-aggregate the fixed-point element sums
+    map-side (the only corpus-sized shuffle is on (label, batch, dim)),
+    the a/b pairing join on O(labels) rows must broadcast, and no
+    sort-merge join or corpus-sized window may appear."""
+    df = build(spark, "similarity_centroid_drift")
+    plan = pi.physical_plan(df)
+    assert pi.has_partial_aggregate(df)
+    assert pi.broadcast_join_count(df) >= 1
+    assert pi.sort_merge_join_count(df) == 0
+    assert "windowspecdefinition" not in plan
