@@ -521,3 +521,165 @@ def test_chunk_pack_key_guard_raises_on_monster_doc(spark, monkeypatch):
     df = P.pipeline_chunk_pack(spark, "unused")
     with _pytest.raises(Exception, match="chunk_key would collide"):
         df.count()
+
+
+# ---------------------------------------------------------------------------
+# round-5 operator invariants
+# ---------------------------------------------------------------------------
+def test_source_minhash_sketch_is_mergeable(spark):
+    """The 100 TB design claim for the source sketch is mergeability:
+    min-merging two sources' signatures must equal the signature of their
+    unioned shingle sets. Verified through the operator's own hash family
+    over the real corpus: relabel src0+src1 into one merged source and
+    assert its signature is the element-wise min of the originals."""
+    from iceberg_explorer_spark.operators.dedup import (
+        MINHASH_P,
+        N_SOURCE_HASHES,
+        _lcg_params,
+        _SHINGLE_HASH,
+        _words,
+    )
+    from iceberg_explorer_spark.sources.registry import load_table
+
+    docs = load_table(spark, SF_DIR_SMALL, "documents").filter(
+        F.col("source").isin("src0", "src1")
+    )
+    dw = docs.select("source", _words().alias("w")).filter(F.size("w") >= 3)
+    sh = dw.select(
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at("w", i),
+                    F.element_at("w", i + 1),
+                    F.element_at("w", i + 2),
+                ),
+            )
+        ).alias("s"),
+    )
+    hashed = sh.select(
+        "source", (F.expr(_SHINGLE_HASH) % MINHASH_P).alias("hb")
+    )
+    mins = []
+    for i in range(N_SOURCE_HASHES):
+        a, b = _lcg_params(i)
+        mins.append(
+            F.min((F.lit(a) * F.col("hb") + F.lit(b)) % F.lit(MINHASH_P)).alias(
+                f"h{i}"
+            )
+        )
+    per_source = {
+        r["source"]: r
+        for r in hashed.groupBy("source").agg(*mins).collect()
+    }
+    merged = (
+        hashed.withColumn("source", F.lit("merged"))
+        .groupBy("source")
+        .agg(*mins)
+        .collect()[0]
+    )
+    for i in range(N_SOURCE_HASHES):
+        assert merged[f"h{i}"] == min(
+            per_source["src0"][f"h{i}"], per_source["src1"][f"h{i}"]
+        )
+
+
+def test_int8_quantize_error_bounds(spark):
+    """Quantization semantics tie the audit columns together: every
+    element's reconstruction error is at most scale/2 (floor(x+0.5) is
+    nearest-integer), so max_abs_err <= scale * (0.5 + eps), sq_err <=
+    dim * max_abs_err^2, and scale > 0 for every surviving vector."""
+    from iceberg_explorer_spark.operators import QUERIES
+
+    rows = (
+        QUERIES["similarity_int8_quantize"]
+        .builder(spark, SF_DIR_SMALL)
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert r["scale"] > 0
+        assert r["max_abs_err"] <= r["scale"] * 0.5000001
+        assert 0 <= r["n_zero"]
+        assert r["sq_err"] <= 64 * r["max_abs_err"] ** 2 + 1e-12
+
+
+def test_pack_efficiency_conservation_identity(spark):
+    """Token conservation: capacity - packed == pad - overflow holds per
+    source by construction (packed = sum seq_tokens, both sides telescope
+    over the same sequences), and utilization is exactly the rounded
+    packed/capacity ratio."""
+    from iceberg_explorer_spark.operators import QUERIES
+
+    rows = (
+        QUERIES["pipeline_pack_efficiency"]
+        .builder(spark, SF_DIR_SMALL)
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert (
+            r["capacity_tokens"] - r["packed_tokens"]
+            == r["pad_tokens"] - r["overflow_tokens"]
+        )
+        # half-up reference (python round() is banker's; the engines agree
+        # with each other on half-up, which is the contract under test)
+        import math
+
+        ref = (
+            math.floor(r["packed_tokens"] / r["capacity_tokens"] * 1e6 + 0.5)
+            / 1e6
+        )
+        assert abs(r["utilization"] - ref) < 1e-9
+
+
+def test_vocab_growth_totals_match_distinct_shingles(spark):
+    """The saturation curve must account for every distinct shingle exactly
+    once: the final cumulative value equals an independently computed
+    distinct-shingle count, and per-batch novelty sums telescope into the
+    cumulative column."""
+    from iceberg_explorer_spark.operators import QUERIES
+    from iceberg_explorer_spark.operators.dedup import _shingles_df
+
+    rows = sorted(
+        QUERIES["text_vocab_growth"].builder(spark, SF_DIR_SMALL).collect(),
+        key=lambda r: r["batch"],
+    )
+    assert rows
+    total = 0
+    for r in rows:
+        total += r["n_new_ngrams"]
+        assert r["cum_ngrams"] == total
+    distinct = (
+        _shingles_df(spark, SF_DIR_SMALL, distinct=True)
+        .select("s")
+        .distinct()
+        .count()
+    )
+    assert total == distinct
+
+
+def test_centroid_drift_nonnegative_and_counts_partition(spark):
+    """Drift is an L2 distance (>= 0) and the two batch counts partition
+    each label's vectors exactly."""
+    from iceberg_explorer_spark.operators import QUERIES
+    from iceberg_explorer_spark.sources.registry import load_table
+
+    rows = (
+        QUERIES["similarity_centroid_drift"]
+        .builder(spark, SF_DIR_SMALL)
+        .collect()
+    )
+    assert rows
+    totals = {
+        r["label"]: r["cnt"]
+        for r in load_table(spark, SF_DIR_SMALL, "embeddings")
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    for r in rows:
+        assert r["drift"] >= 0
+        assert r["n_a"] + r["n_b"] == totals[r["label"]]
