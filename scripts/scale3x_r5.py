@@ -49,6 +49,9 @@ OP_TABLE = {
     "similarity_int8_quantize": "embeddings",
     "dedup_jaccard_threshold_sweep": "documents",
     "pipeline_pack_efficiency": "documents",
+    "dedup_source_minhash_similarity": "documents",
+    "text_vocab_growth": "documents",
+    "similarity_centroid_drift": "embeddings",
 }
 
 
