@@ -647,3 +647,86 @@ def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("dau") * 1.0 / F.col("wau")).alias("stickiness"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+def _funnel_latency_oracle() -> str:
+    """CTE-wrap the ALREADY-REGISTERED funnel oracle — one source of truth
+    for the stage gating semantics."""
+    from iceberg_explorer_spark.operators.registry import QUERIES as _Q
+
+    funnel = _Q["events_funnel"].oracle
+    return f"""
+    WITH funnel AS ({funnel}),
+    agg AS (
+      SELECT COUNT(*) AS n_view,
+             COUNT(t_click_us) AS n_click,
+             COUNT(t_purchase_us) AS n_purchase,
+             CAST(MIN(t_click_us - t_view_us) AS BIGINT) AS min1,
+             CAST(SUM(t_click_us - t_view_us) AS BIGINT) AS sum1,
+             CAST(MAX(t_click_us - t_view_us) AS BIGINT) AS max1,
+             CAST(MIN(t_purchase_us - t_click_us) AS BIGINT) AS min2,
+             CAST(SUM(t_purchase_us - t_click_us) AS BIGINT) AS sum2,
+             CAST(MAX(t_purchase_us - t_click_us) AS BIGINT) AS max2
+      FROM funnel
+    )
+    SELECT 'view->click' AS stage,
+           n_view AS n_entered, n_click AS n_converted,
+           CAST(n_click AS DOUBLE) / n_view AS conv_rate,
+           min1 AS min_us,
+           CAST(sum1 AS DOUBLE) / n_click AS avg_us,
+           max1 AS max_us
+    FROM agg
+    UNION ALL
+    SELECT 'click->purchase',
+           n_click, n_purchase,
+           CAST(n_purchase AS DOUBLE) / n_click,
+           min2, CAST(sum2 AS DOUBLE) / n_purchase, max2
+    FROM agg
+    """
+
+
+@query(
+    "events_funnel_latency",
+    oracle=_funnel_latency_oracle(),
+    doc="Funnel latency report: per stage transition, how many users "
+    "entered, how many converted, and the min/avg/max time-to-convert — "
+    "the numbers a growth team actually reads off a funnel (conversion "
+    "alone hides WHERE users stall). Composes events_funnel's exact "
+    "per-user stage times (builder and oracle text both), then collapses "
+    "them in ONE aggregation pass: all six stage statistics are computed "
+    "in a single global agg (partial map-side), and the two report rows "
+    "come from unpivoting that 1-row frame — the funnel is never "
+    "recomputed per stage. Determinism: time deltas are exact BIGINT "
+    "micros; averages divide an exact integer sum by an exact count.",
+)
+def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_explorer_spark.operators.registry import QUERIES as _Q
+
+    funnel = _Q["events_funnel"].builder(spark, sf_dir)
+    d1 = F.col("t_click_us") - F.col("t_view_us")
+    d2 = F.col("t_purchase_us") - F.col("t_click_us")
+    agg = funnel.agg(
+        F.count(F.lit(1)).alias("n_view"),
+        F.count("t_click_us").alias("n_click"),
+        F.count("t_purchase_us").alias("n_purchase"),
+        F.min(d1).alias("min1"),
+        F.sum(d1).alias("sum1"),
+        F.max(d1).alias("max1"),
+        F.min(d2).alias("min2"),
+        F.sum(d2).alias("sum2"),
+        F.max(d2).alias("max2"),
+    )
+    # CAST(... AS DOUBLE) — Spark SQL's bare 1.0 literal is DECIMAL, which
+    # would surface decimal ratio columns and break the double contract
+    return agg.selectExpr(
+        "stack(2,"
+        " 'view->click', n_view, n_click,"
+        "   CAST(n_click AS DOUBLE) / n_view,"
+        "   min1, CAST(sum1 AS DOUBLE) / n_click, max1,"
+        " 'click->purchase', n_click, n_purchase,"
+        "   CAST(n_purchase AS DOUBLE) / n_click,"
+        "   min2, CAST(sum2 AS DOUBLE) / n_purchase, max2"
+        ") AS (stage, n_entered, n_converted, conv_rate,"
+        "      min_us, avg_us, max_us)"
+    )

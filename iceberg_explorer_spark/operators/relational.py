@@ -1507,3 +1507,106 @@ _YOY_SQL = """
 def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_tables(spark, sf_dir, ("orders",))
     return spark.sql(_YOY_SQL)
+
+
+# ---------------------------------------------------------------------------
+# ABC / Pareto revenue classification (two-phase distributed prefix sum)
+# ---------------------------------------------------------------------------
+#: coarse revenue block width for the two-phase cumulative sum, in 1e-4
+#: currency units ($10k blocks). Monotone in the ORDER BY key, so
+#: cross-block order equals value order; within-block sorting finishes the
+#: prefix. The only tuning knob at 100 TB (or swap for sampled range
+#: boundaries = repartitionByRange).
+PARETO_BLOCK_E4 = 10_000 * 10_000
+
+
+@query(
+    "parts_abc_pareto",
+    oracle=f"""
+    WITH pp AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                           * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                      AS DECIMAL(18,4))) * 10000 AS BIGINT) AS rev_e4
+      FROM lineitem GROUP BY l_partkey
+    ),
+    t AS (SELECT CAST(SUM(rev_e4) AS BIGINT) AS total FROM pp),
+    c AS (
+      SELECT rev_e4,
+             CAST(SUM(rev_e4) OVER (
+                 ORDER BY rev_e4 DESC, l_partkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum
+      FROM pp
+    )
+    SELECT CASE WHEN cum * 100 <= 80 * t.total THEN 'A'
+                WHEN cum * 100 <= 95 * t.total THEN 'B'
+                ELSE 'C' END AS abc_class,
+           COUNT(*) AS n_parts,
+           CAST(SUM(rev_e4) AS BIGINT) * 1.0 / 10000 AS class_revenue,
+           CAST(SUM(rev_e4) AS BIGINT) * 1.0 / ANY_VALUE(t.total)
+             AS revenue_share
+    FROM c, t
+    GROUP BY abc_class
+    """,
+    doc="ABC/Pareto classification: parts ranked by revenue, class A = the "
+    "head covering 80% of cumulative revenue, B to 95%, C the tail — the "
+    "inventory-policy classic, and at corpus scale the same shape as "
+    "'which sources/domains cover 95% of tokens'. The global cumulative "
+    "sum NEVER runs as one ORDER BY window (single-partition sort of "
+    "O(parts) rows — the RFM lesson): revenue blocks on a monotone "
+    f"coarse key (rev div {PARETO_BLOCK_E4}), per-block subtotals give "
+    "cross-block offsets on an O(blocks) frame, and the within-block "
+    "running sum windows on the block key. Class cuts compare exact "
+    "BIGINT 1e-4-unit sums (cum*100 <= 80*total — no float thresholds), "
+    "so classification is bit-stable; the two output ratios divide exact "
+    "integers. (Exact decimal money discipline per "
+    "functions/deterministic.py; fits 63 bits to ~1e14 currency units.)",
+)
+def parts_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    revenue = (dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    pp = lineitem.groupBy("l_partkey").agg(
+        (F.sum(revenue) * 10000).cast("bigint").alias("rev_e4")
+    )
+    # ascending blk == descending revenue (x div B is monotone, negated)
+    pp = pp.withColumn("blk", F.expr(f"-(rev_e4 div {PARETO_BLOCK_E4})"))
+    sub = pp.groupBy("blk").agg(F.sum("rev_e4").alias("blk_rev"))
+    w_blocks = W.orderBy("blk").rowsBetween(W.unboundedPreceding, -1)
+    offsets = sub.select(
+        "blk",
+        F.coalesce(F.sum("blk_rev").over(w_blocks), F.lit(0)).alias(
+            "blk_offset"
+        ),
+    )
+    total = sub.agg(F.sum("blk_rev").alias("total"))
+    w_rows = (
+        W.partitionBy("blk")
+        .orderBy(F.col("rev_e4").desc(), "l_partkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    c = (
+        pp.join(F.broadcast(offsets), "blk")
+        .join(F.broadcast(total))
+        .withColumn(
+            "cum", F.col("blk_offset") + F.sum("rev_e4").over(w_rows)
+        )
+    )
+    abc = (
+        F.when(F.col("cum") * 100 <= F.col("total") * 80, "A")
+        .when(F.col("cum") * 100 <= F.col("total") * 95, "B")
+        .otherwise("C")
+    )
+    return (
+        c.withColumn("abc_class", abc)
+        .groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            (F.sum("rev_e4") * 1.0 / 10000).alias("class_revenue"),
+            (F.sum("rev_e4") * 1.0 / F.first("total")).alias("revenue_share"),
+        )
+    )

@@ -697,3 +697,34 @@ def test_centroid_drift_partial_sums_broadcast_pair_join(spark):
     assert pi.broadcast_join_count(df) >= 1
     assert pi.sort_merge_join_count(df) == 0
     assert "windowspecdefinition" not in plan
+
+
+def test_abc_pareto_cumsum_is_block_partitioned(spark):
+    """The global cumulative revenue sum must be two-phase: the per-part
+    running-sum window partitions by the coarse revenue block (never a
+    single-partition window over the O(parts) frame — the RFM lesson);
+    the only unpartitioned window is the offsets pass over the O(blocks)
+    subtotal frame; offsets and total join in as broadcasts."""
+    import re
+
+    df = build(spark, "parts_abc_pareto")
+    plan = pi.physical_plan(df)
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    part_specs = [s for s in specs if "l_partkey" in s]
+    assert part_specs, f"expected a partkey-tie-broken window in:\n{plan}"
+    for s in part_specs:
+        assert "blk" in s, f"per-part cumsum window not block-partitioned: {s}"
+    assert pi.broadcast_join_count(df) >= 2
+    assert pi.sort_merge_join_count(df) == 0
+    assert pi.has_partial_aggregate(df)
+
+
+def test_funnel_latency_single_pass_over_funnel(spark):
+    """The latency report must compute all six stage statistics in ONE
+    aggregation over the funnel frame and unpivot the 1-row result — the
+    events table is scanned exactly as many times as events_funnel itself
+    scans it (per-stage re-aggregation would double the funnel cost)."""
+    base_plan = pi.physical_plan(build(spark, "events_funnel"))
+    plan = pi.physical_plan(build(spark, "events_funnel_latency"))
+    assert plan.count("events.parquet") == base_plan.count("events.parquet")
+    assert pi.has_partial_aggregate(build(spark, "events_funnel_latency"))
