@@ -57,6 +57,43 @@ def _words(col: str = "text"):
     return F.split(F.lower(F.trim(F.col(col))), r"\s+")
 
 
+def _shingle_array(words_col: str = "w"):
+    """3-word shingle array over a pre-materialized word-array column.
+
+    Shared by every shingle consumer (_shingles_df, the per-source MinHash
+    sketch, text_vocab_growth) so the shingle geometry has ONE definition.
+    The words column must be projected first — see _shingles_df's docstring
+    for why inlining the split() here would be O(words²) per document.
+    """
+    return F.when(
+        F.size(words_col) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words_col) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(words_col, i),
+                F.element_at(words_col, i + 1),
+                F.element_at(words_col, i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _minhash_min_aggs(n_hashes: int):
+    """The universal-hash min-aggregate columns h0..h{n-1} over column
+    ``hb`` — the one definition of the signature family, shared by the
+    per-doc LSH pipeline and the per-source sketch."""
+    mins = []
+    for i in range(n_hashes):
+        a, b = _lcg_params(i)
+        mins.append(
+            F.min(
+                (F.lit(a) * F.col("hb") + F.lit(b)) % F.lit(MINHASH_P)
+            ).alias(f"h{i}")
+        )
+    return mins
+
+
 def _shingles_df(
     spark: SparkSession, sf_dir: str, distinct: bool = True
 ) -> DataFrame:
@@ -75,19 +112,7 @@ def _shingles_df(
     """
     docs = load_table(spark, sf_dir, "documents")
     dw = docs.select("doc_id", _words().alias("w"))
-    shingles = F.when(
-        F.size("w") >= 3,
-        F.transform(
-            F.sequence(F.lit(1), F.size("w") - 2),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at("w", i),
-                F.element_at("w", i + 1),
-                F.element_at("w", i + 2),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    out = dw.select("doc_id", F.explode(shingles).alias("s"))
+    out = dw.select("doc_id", F.explode(_shingle_array()).alias("s"))
     return out.distinct() if distinct else out
 
 
@@ -265,15 +290,7 @@ def lsh_candidates(
         )
         hashed = sh.select("doc_id", F.expr(_SHINGLE_HASH).alias("hb"))
     hashed = hashed.select("doc_id", (F.col("hb") % MINHASH_P).alias("hb"))
-    mins = []
-    for i in range(N_HASHES):
-        a, b = _lcg_params(i)
-        mins.append(
-            F.min(
-                (F.lit(a) * F.col("hb") + F.lit(b)) % F.lit(MINHASH_P)
-            ).alias(f"h{i}")
-        )
-    sig = hashed.groupBy("doc_id").agg(*mins)
+    sig = hashed.groupBy("doc_id").agg(*_minhash_min_aggs(N_HASHES))
     band_structs = F.array(
         *[
             F.struct(
@@ -1046,12 +1063,17 @@ def dedup_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     pairs = lsh_candidates(spark, sf_dir).select("doc_a", "doc_b")
-    lab = (
-        docs.join(
-            F.broadcast(pairs), docs.doc_id == pairs.doc_a
-        )
+    # BOTH labeling joins broadcast the pair-sized side against the corpus
+    # scan — the first broadcasts the raw candidate pairs, the second the
+    # half-labeled (sa, doc_b) frame (same cardinality). Broadcasting docs
+    # itself would ship the corpus to every executor.
+    sa_pairs = (
+        docs.join(F.broadcast(pairs), docs.doc_id == pairs.doc_a)
         .select(F.col("source").alias("sa"), "doc_b")
-        .join(F.broadcast(docs).alias("d2"), F.col("doc_b") == F.col("d2.doc_id"))
+    )
+    lab = (
+        docs.alias("d2")
+        .join(F.broadcast(sa_pairs), F.col("doc_b") == F.col("d2.doc_id"))
         .select(
             F.least("sa", F.col("d2.source")).alias("source_x"),
             F.greatest("sa", F.col("d2.source")).alias("source_y"),
@@ -1219,31 +1241,11 @@ def dedup_source_minhash_similarity(
 ) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     dw = docs.select("source", _words().alias("w"))
-    shingles = F.when(
-        F.size("w") >= 3,
-        F.transform(
-            F.sequence(F.lit(1), F.size("w") - 2),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at("w", i),
-                F.element_at("w", i + 1),
-                F.element_at("w", i + 2),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    sh = dw.select("source", F.explode(shingles).alias("s"))
+    sh = dw.select("source", F.explode(_shingle_array()).alias("s"))
     hashed = sh.select(
         "source", (F.expr(_SHINGLE_HASH) % MINHASH_P).alias("hb")
     )
-    mins = []
-    for i in range(N_SOURCE_HASHES):
-        a, b = _lcg_params(i)
-        mins.append(
-            F.min(
-                (F.lit(a) * F.col("hb") + F.lit(b)) % F.lit(MINHASH_P)
-            ).alias(f"h{i}")
-        )
-    sig = hashed.groupBy("source").agg(*mins)
+    sig = hashed.groupBy("source").agg(*_minhash_min_aggs(N_SOURCE_HASHES))
     melted = sig.select(
         "source",
         F.explode(

@@ -797,7 +797,12 @@ def pipeline_chunk_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     # order, so the bound FAILS LOUDLY instead: the explode bound raises
     # when n_chunks > 1024 (a >49k-word doc is upstream-filter territory,
     # not a packing input).
-    guarded_last = F.when(n_chunks <= 1024, n_chunks - 1).otherwise(
+    # NULL-tolerant guard: a NULL text gives NULL n_chunks, which must fall
+    # into the keep-branch (yielding NULL, so the explode drops the row —
+    # matching the oracle's UNNEST(range(NULL))), NOT into raise_error
+    guarded_last = F.when(
+        n_chunks.isNull() | (n_chunks <= 1024), n_chunks - 1
+    ).otherwise(
         F.raise_error(
             F.concat(
                 F.lit("pipeline_chunk_pack: doc_id "),

@@ -1564,8 +1564,6 @@ PARETO_BLOCK_E4 = 10_000 * 10_000
     "functions/deterministic.py; fits 63 bits to ~1e14 currency units.)",
 )
 def parts_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
     lineitem = load_table(spark, sf_dir, "lineitem")
     revenue = (dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).cast(
         "decimal(18,4)"

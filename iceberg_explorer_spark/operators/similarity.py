@@ -123,8 +123,13 @@ def _with_normalized(df: DataFrame, out: str = "ne") -> DataFrame:
     "pass (aggregate/zip_with — no Python), TakeOrderedAndProject top-k. "
     "The exact baseline ANN variants are checked against.",
 )
-def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+def similarity_bruteforce_topk(
+    spark: SparkSession, sf_dir: str, *, emb: DataFrame | None = None
+) -> DataFrame:
+    # ``emb``: optional pre-built embeddings frame — the recall report
+    # passes its session-scoped persisted scan so all variants share ONE
+    # in-memory corpus without caching the bare table plan session-wide
+    emb = emb if emb is not None else load_table(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("embedding").alias("qe")
     )
@@ -161,8 +166,10 @@ def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "is the shuffle key (join/groupBy on it) — candidate generation is "
     "linear, never pairwise.",
 )
-def similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+def similarity_lsh_ann(
+    spark: SparkSession, sf_dir: str, *, emb: DataFrame | None = None
+) -> DataFrame:
+    emb = emb if emb is not None else load_table(spark, sf_dir, "embeddings")
     coded = emb.withColumn("bucket", F.expr(_srp_code_sql("embedding")))
     qrow = coded.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("embedding").alias("qe"), F.col("bucket").alias("qbucket")
@@ -308,10 +315,14 @@ def _ivf_assign_sql_duckdb() -> str:
     "nprobe/K of the data — the classic IVF selectivity argument — and "
     "assignment never shuffles the corpus.",
 )
-def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def similarity_ivf_topk(
+    spark: SparkSession, sf_dir: str, *, emb: DataFrame | None = None
+) -> DataFrame:
     from pyspark.sql import Window
 
-    emb = _with_normalized(load_table(spark, sf_dir, "embeddings"))
+    emb = _with_normalized(
+        emb if emb is not None else load_table(spark, sf_dir, "embeddings")
+    )
     cents = F.broadcast(
         emb.filter(F.col("vec_id") < IVF_K).select(
             F.col("vec_id").alias("cid"), F.col("ne").alias("ce")
@@ -595,8 +606,12 @@ PQ_K = 16
     "persists 4-byte codes; every query after that scans codes + a "
     "broadcast LUT — 16× less IO than the raw vectors, no re-encode.",
 )
-def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _with_normalized(load_table(spark, sf_dir, "embeddings"))
+def similarity_pq_adc_topk(
+    spark: SparkSession, sf_dir: str, *, emb: DataFrame | None = None
+) -> DataFrame:
+    emb = _with_normalized(
+        emb if emb is not None else load_table(spark, sf_dir, "embeddings")
+    )
     sub_structs = F.array(
         *[
             F.struct(
@@ -707,10 +722,14 @@ KMEANS_SCALE = 1_000_000
     "cost at 100 TB is one corpus scan, the CC-operator pattern "
     "(dedup_clusters) applied to centroids.",
 )
-def similarity_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+def similarity_kmeans_step(
+    spark: SparkSession, sf_dir: str, *, emb: DataFrame | None = None
+) -> DataFrame:
     from pyspark.sql import Window
 
-    emb = _with_normalized(load_table(spark, sf_dir, "embeddings"))
+    emb = _with_normalized(
+        emb if emb is not None else load_table(spark, sf_dir, "embeddings")
+    )
     cents = F.broadcast(
         emb.filter(F.col("vec_id") < KMEANS_K).select(
             F.col("vec_id").alias("cid"), F.col("ne").alias("ce")
@@ -889,15 +908,24 @@ def _recall_report_oracle() -> str:
     "every join broadcasts.",
 )
 def similarity_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from iceberg_explorer_spark.operators.registry import QUERIES as _Q
-
-    # All four variants open with the same load_table(embeddings) subtree;
-    # persisting it here makes the CacheManager substitute ONE in-memory
-    # relation into every variant's plan, so the report scans the corpus
-    # once instead of four times — the shape a 100 TB evaluation run needs
-    # (the cache is a single bounded entry for the session, keyed by the
-    # logical plan, so repeated report runs reuse rather than accumulate).
-    load_table(spark, sf_dir, "embeddings").persist()
+    # All four variants run over ONE persisted embeddings frame, passed to
+    # each builder explicitly (their registered definitions accept it as a
+    # keyword) — the report scans the corpus once, the shape a 100 TB
+    # evaluation run needs. The persisted plan is a projected copy, NOT the
+    # bare load_table relation: caching the bare relation would make the
+    # CacheManager silently substitute an in-memory scan into EVERY other
+    # embeddings query for the rest of the session, contaminating their
+    # plans and bench timings. (One bounded cache entry per session, keyed
+    # by this projected plan, so repeated report runs reuse it.)
+    # column order is deliberately REARRANGED from the table's native
+    # (vec_id, embedding, label): a same-order full projection is
+    # sameResult-equal to the bare relation, so caching it would still
+    # substitute into every other embeddings query
+    emb_shared = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("embedding", "label", "vec_id")
+        .persist()
+    )
     # Shape matters here: the naive formulation references the brute-force
     # top-k in every recall join (3 builds) and each variant twice
     # (n_returned count + hit join), so the report runs EIGHT index builds
@@ -908,20 +936,18 @@ def similarity_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the top-k outputs would memoize the report across runs and hide the
     # index cost the harness exists to measure.)
     bf = (
-        _Q["similarity_bruteforce_topk"]
-        .builder(spark, sf_dir)
+        similarity_bruteforce_topk(spark, sf_dir, emb=emb_shared)
         .select("vec_id")
         .withColumn("hit", F.lit(1))
     )
     arms = None
-    for name, qname in (
-        ("lsh", "similarity_lsh_ann"),
-        ("ivf", "similarity_ivf_topk"),
-        ("pq_adc", "similarity_pq_adc_topk"),
+    for name, fn in (
+        ("lsh", similarity_lsh_ann),
+        ("ivf", similarity_ivf_topk),
+        ("pq_adc", similarity_pq_adc_topk),
     ):
         v = (
-            _Q[qname]
-            .builder(spark, sf_dir)
+            fn(spark, sf_dir, emb=emb_shared)
             .select("vec_id")
             .withColumn("variant", F.lit(name))
         )

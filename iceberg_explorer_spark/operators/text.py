@@ -846,24 +846,14 @@ VOCAB_N_BATCHES = 8
     "running-total window.",
 )
 def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_explorer_spark.operators.dedup import _shingle_array
+
     docs = load_table(spark, sf_dir, "documents")
     dw = docs.select(
         (F.col("doc_id") % VOCAB_N_BATCHES).alias("batch"),
         _tokens().alias("w"),
     )
-    shingles = F.when(
-        F.size("w") >= 3,
-        F.transform(
-            F.sequence(F.lit(1), F.size("w") - 2),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at("w", i),
-                F.element_at("w", i + 1),
-                F.element_at("w", i + 2),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    sh = dw.select("batch", F.explode(shingles).alias("s"))
+    sh = dw.select("batch", F.explode(_shingle_array()).alias("s"))
     fs = sh.groupBy("s").agg(F.min("batch").alias("first_batch"))
     nb = fs.groupBy(F.col("first_batch").alias("batch")).agg(
         F.count(F.lit(1)).alias("n_new_ngrams")

@@ -111,7 +111,13 @@ def main() -> None:
         scaled_dir = "/tmp/scale3x_r5"
         os.makedirs(scaled_dir, exist_ok=True)
         for t in tables_needed:
-            if not os.path.exists(os.path.join(scaled_dir, f"{t}.parquet")):
+            p = os.path.join(scaled_dir, f"{t}.parquet")
+            # a SYMLINK is the 1x fill-in from a previous invocation with a
+            # different op set — replicate over it, or the "3x" point would
+            # silently time 1x data
+            if os.path.islink(p):
+                os.unlink(p)
+            if not os.path.exists(p):
                 _replicate(spark, t, scaled_dir)
         # any table an op does NOT scan still resolves at 1x via symlink
         for f in os.listdir(SF_DIR):

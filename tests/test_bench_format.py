@@ -59,3 +59,15 @@ def test_final_line_survives_empty_run():
     parsed = json.loads(final)
     assert parsed["value"] == 0 and parsed["n_queries"] == 0
     assert parsed["errors"] == 1
+
+
+def test_final_line_degrades_instead_of_raising():
+    """Grotesquely long query names must shrink the slowest-queries map
+    (5 -> 3 -> 0 entries), never raise after a completed run."""
+    timings = {("q" * 200) + str(i): 1.0 + i for i in range(10)}
+    detail, final = format_output(timings, {}, 0.1, 2)
+    assert len(final) < 500
+    parsed = json.loads(final)
+    assert parsed["n_queries"] == 10
+    assert len(parsed["queries"]) < 5
+    assert json.loads(detail)["queries"] == timings

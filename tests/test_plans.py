@@ -582,6 +582,18 @@ def test_source_overlap_broadcasts_pairs_not_corpus(spark):
     assert "SortMergeJoin" not in plan
     assert pi.broadcast_join_count(df) >= 3
     assert pi.has_partial_aggregate(df)
+    # WHICH side broadcasts matters: a BroadcastExchange directly over the
+    # documents scan would ship the corpus to every executor. Every
+    # legitimate broadcast side here is a pair-sized frame whose subtree
+    # contains aggregation/join work, so a documents FileScan must never
+    # appear within the first two plan lines under a BroadcastExchange.
+    lines = plan.splitlines()
+    for idx, line in enumerate(lines):
+        if "BroadcastExchange" in line:
+            window = " ".join(lines[idx + 1 : idx + 3])
+            assert "documents" not in window or "Scan" not in window, (
+                f"corpus scan directly under a broadcast:\n{window}"
+            )
 
 
 def test_bm25_filters_terms_mapside_topk_not_sort(spark):
@@ -619,7 +631,10 @@ def test_int8_quantize_is_map_only(spark):
     assert pi.shuffle_count(df) == 0, plan
     assert "Join" not in plan
     assert "windowspecdefinition" not in plan
-    assert pi.pushed_filters(df) is not None  # scan-backed, not cached
+    # scan-backed, not cached: a session-wide embeddings cache (the bug the
+    # recall report once had) would substitute an InMemoryTableScan here
+    assert "Scan parquet" in plan or "FileScan" in plan, plan
+    assert "InMemoryTableScan" not in plan, plan
 
 
 def test_jaccard_sweep_expands_pairs_not_corpus(spark):
