@@ -730,3 +730,56 @@ def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         ") AS (stage, n_entered, n_converted, conv_rate,"
         "      min_us, avg_us, max_us)"
     )
+
+
+# ---------------------------------------------------------------------------
+#: how many top user-journey paths the report returns
+PATH_TOP_K = 20
+
+
+@query(
+    "events_path_topk",
+    oracle=f"""
+    WITH o AS (
+      SELECT event_type,
+             LEAD(event_type, 1) OVER w AS e2,
+             LEAD(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_type || '>' || e2 || '>' || e3 AS path,
+           COUNT(*) AS n_occurrences
+    FROM o WHERE e3 IS NOT NULL
+    GROUP BY path
+    ORDER BY n_occurrences DESC, path
+    LIMIT {PATH_TOP_K}
+    """,
+    doc="User-journey path mining: the corpus's most common length-3 "
+    "event-type sequences (sliding window per user, ordered by ts with "
+    "event_id tie-break) — the sequential-pattern sibling of the Markov "
+    "transition matrix (which only sees pairs). Scale shape: the LEAD "
+    "window partitions on high-cardinality user_id (bounded per-user "
+    "groups, spread over the cluster), path counts partial-aggregate "
+    "map-side onto the O(event_types^3) key space, and the final top-k "
+    "is TakeOrderedAndProject (per-partition heaps), never a global "
+    "sort. Counts exact; ordering tie-broken by path string.",
+)
+def events_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    return (
+        o.select(
+            F.concat_ws(">", "event_type", "e2", "e3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "path")
+        .limit(PATH_TOP_K)
+    )

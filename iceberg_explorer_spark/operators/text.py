@@ -864,3 +864,81 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_new_ngrams",
         F.sum("n_new_ngrams").over(win).cast("bigint").alias("cum_ngrams"),
     )
+
+
+# ---------------------------------------------------------------------------
+#: micro-grid for quantized log2 terms (same discipline as LOGFREQ_SCALE)
+ENTROPY_SCALE = 1_000_000
+
+
+@query(
+    "text_ngram_entropy",
+    oracle=f"""
+    WITH ws AS (
+      SELECT source, regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT source, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      FROM ws, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+      WHERE len(w) >= 3
+    ),
+    c AS (
+      SELECT source, s, COUNT(*) AS cnt,
+             CAST(ROUND(log2(COUNT(*)) * {ENTROPY_SCALE}) AS BIGINT) AS q
+      FROM sh GROUP BY source, s
+    ),
+    agg AS (
+      SELECT source,
+             CAST(SUM(cnt) AS BIGINT) AS n_ngrams,
+             COUNT(*) AS vocab_ngrams,
+             CAST(SUM(cnt * q) AS BIGINT) AS s_micro
+      FROM c GROUP BY source
+    )
+    SELECT source, n_ngrams, vocab_ngrams,
+           CAST(CAST(ROUND(log2(n_ngrams) * {ENTROPY_SCALE}) AS BIGINT)
+                  * n_ngrams - s_micro AS DOUBLE)
+             / (n_ngrams * {ENTROPY_SCALE}) AS entropy_bits
+    FROM agg
+    """,
+    doc="Per-source 3-gram Shannon entropy — the information-density "
+    "signal that separates templated/boilerplate sources (low entropy: "
+    "few n-grams dominate) from diverse prose (entropy near "
+    "log2(vocab)): a corpus-mixing input right next to quality scores "
+    "and the novelty curve. H = log2(N) - (1/N)*SUM(c*log2 c), computed "
+    "with every log2 term quantized onto the same integer micro-grid the "
+    "unigram-logfreq operator uses (ENTROPY_SCALE): per-(source, ngram) "
+    "counts are exact, each log2 is taken ONCE on an exact integer and "
+    "rounded to micro-units, and the cross-row reduction is an exact "
+    "BIGINT sum — bit-identical across engines and shuffle orders, where "
+    "a float Σ p·log p is neither. Scale shape: one (source, ngram) "
+    "partial-aggregated shuffle over the shingle stream, then an "
+    "O(vocab)-row rollup onto O(sources).",
+)
+def text_ngram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_explorer_spark.operators.dedup import _shingle_array
+
+    docs = load_table(spark, sf_dir, "documents")
+    dw = docs.select("source", _tokens().alias("w"))
+    sh = dw.select("source", F.explode(_shingle_array()).alias("s"))
+    c = sh.groupBy("source", "s").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.log2(F.count(F.lit(1))) * ENTROPY_SCALE)
+        .cast("bigint")
+        .alias("q"),
+    )
+    agg = c.groupBy("source").agg(
+        F.sum("cnt").cast("bigint").alias("n_ngrams"),
+        F.count(F.lit(1)).alias("vocab_ngrams"),
+        F.sum(F.col("cnt") * F.col("q")).cast("bigint").alias("s_micro"),
+    )
+    qn = F.round(F.log2("n_ngrams") * ENTROPY_SCALE).cast("bigint")
+    return agg.select(
+        "source",
+        "n_ngrams",
+        "vocab_ngrams",
+        (
+            (qn * F.col("n_ngrams") - F.col("s_micro")).cast("double")
+            / (F.col("n_ngrams") * ENTROPY_SCALE)
+        ).alias("entropy_bits"),
+    )

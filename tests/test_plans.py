@@ -743,3 +743,29 @@ def test_funnel_latency_single_pass_over_funnel(spark):
     plan = pi.physical_plan(build(spark, "events_funnel_latency"))
     assert plan.count("events.parquet") == base_plan.count("events.parquet")
     assert pi.has_partial_aggregate(build(spark, "events_funnel_latency"))
+
+
+def test_ngram_entropy_partial_aggs_no_join(spark):
+    """Entropy is two stacked aggregations (shingle counts, then the
+    per-source rollup) — both partial map-side, no join, no window, and
+    every log2 is taken on an already-aggregated exact count (never on a
+    per-row value)."""
+    df = build(spark, "text_ngram_entropy")
+    plan = pi.physical_plan(df)
+    assert pi.has_partial_aggregate(df)
+    assert "Join" not in plan
+    assert "windowspecdefinition" not in plan
+
+
+def test_path_topk_user_window_heap_topk(spark):
+    """Path mining must window on high-cardinality user_id (never an
+    unpartitioned sequence window) and take the top-k with per-partition
+    heaps (TakeOrderedAndProject), not a global sort."""
+    import re
+
+    df = build(spark, "events_path_topk")
+    plan = pi.physical_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert pi.has_partial_aggregate(df)
+    for s in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "user_id" in s, f"unpartitioned journey window: {s}"
