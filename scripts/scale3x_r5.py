@@ -52,6 +52,10 @@ OP_TABLE = {
     "dedup_source_minhash_similarity": "documents",
     "text_vocab_growth": "documents",
     "similarity_centroid_drift": "embeddings",
+    "events_funnel_latency": "events",
+    "parts_abc_pareto": "lineitem",
+    "text_ngram_entropy": "documents",
+    "events_path_topk": "events",
 }
 
 
