@@ -696,3 +696,109 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(ascii_text.cast("binary"), 1, _AU_DATA_BYTES),
     )
     return audio_energy_features(docs.select("doc_id", payload.alias("payload")))
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash (average-hash) near-duplicate grouping
+# ---------------------------------------------------------------------------
+_AH_PIXELS = _RZ_W * _RZ_H  # 16 pixels from the 4x4 corpus
+
+_AHASH_SCHEMA = "doc_id bigint, ahash bigint"
+
+
+def ahash_ppm(payload: bytes) -> Optional[int]:
+    """Average-hash of a binary PPM: per-pixel gray SUM (3 channels, exact
+    int), bit i set iff n_pixels * gray_i > total — the strict integer form
+    of 'pixel brighter than image mean', no division, no float, so Spark's
+    numpy path and the oracle's per-byte SQL agree bit-for-bit."""
+    import numpy as np
+
+    d = decode_ppm(payload)
+    if d.status != "ok":
+        return None
+    hdr_end = len(payload) - d.width * d.height * 3
+    arr = np.frombuffer(
+        payload[hdr_end : hdr_end + d.width * d.height * 3], dtype=np.uint8
+    ).reshape(d.height * d.width, 3)
+    gray = arr.astype(np.int64).sum(axis=1)  # per-pixel channel sum
+    total = int(gray.sum())
+    n = gray.shape[0]
+    bits = (n * gray > total).astype(np.int64)
+    return int((bits << np.arange(n)).sum())
+
+
+def ahash_features(binary_df: DataFrame) -> DataFrame:
+    """mapInPandas aHash operator: (doc_id, payload) -> (doc_id, ahash);
+    undecodable images are dropped (null hash)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = [ahash_ppm(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "ahash": pd.array(hashes, dtype="Int64")}
+            )
+
+    return binary_df.mapInPandas(op, schema=_AHASH_SCHEMA).filter(
+        F.col("ahash").isNotNull()
+    )
+
+
+def _ah_gray_sql(p: int) -> str:
+    """Per-pixel 3-channel sum over the sanitized text bytes (1-based)."""
+    return (
+        f"(ord(substr(t, {3 * p + 1}, 1)) + ord(substr(t, {3 * p + 2}, 1))"
+        f" + ord(substr(t, {3 * p + 3}, 1)))"
+    )
+
+
+def _ahash_sql() -> str:
+    total = " + ".join(_ah_gray_sql(p) for p in range(_AH_PIXELS))
+    bits = " + ".join(
+        f"(CASE WHEN {_AH_PIXELS} * {_ah_gray_sql(p)} > ({total})"
+        f" THEN {1 << p} ELSE 0 END)"
+        for p in range(_AH_PIXELS)
+    )
+    return f"CAST({bits} AS BIGINT)"
+
+
+@query(
+    "multimodal_ahash_dedup",
+    oracle=f"""
+    WITH a AS (
+      SELECT doc_id, regexp_replace(text, '{_ASCII_ONLY_RE}', '', 'g') AS t
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id, {_ahash_sql()} AS ahash
+      FROM a WHERE length(t) >= {_RZ_PIX}
+    )
+    SELECT ahash,
+           COUNT(*) AS n_images,
+           CAST(MIN(doc_id) AS BIGINT) AS canonical_doc_id
+    FROM h GROUP BY ahash
+    """,
+    doc="Perceptual near-duplicate grouping: each 4x4 PPM collapses to a "
+    "16-bit average-hash (bit i = pixel i brighter than the image mean, "
+    "in strict integer form: n_pixels * gray_i > total — no division, "
+    "no float) and images group by hash, keeping the smallest doc_id as "
+    "canonical — the image-side sibling of dedup_exact, robust to "
+    "brightness-preserving re-encodes where a byte digest is not. The "
+    "decode+hash runs in the same Arrow-batched mapInPandas tier as the "
+    "other multimodal kernels (numpy vectorized, map-side, zero shuffle "
+    "until the one hash-keyed groupBy); the oracle recomputes the "
+    "identical hash from the raw bytes per pixel, so the decoder, the "
+    "gray math, and the bit rule are all correctness-gated. At 100 TB "
+    "the hash is 8 bytes/image on the shuffle — the digest-only-shuffle "
+    "principle from dedup_exact, applied to pixels.",
+)
+def multimodal_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = repartition_for_compute(load_table(spark, sf_dir, "documents"))
+    ascii_text = F.regexp_replace(F.col("text"), _ASCII_ONLY_RE, "")
+    payload = F.concat(
+        F.lit(_RZ_HEADER), F.substring(ascii_text.cast("binary"), 1, _RZ_PIX)
+    )
+    binary_df = docs.select("doc_id", payload.alias("payload"))
+    return ahash_features(binary_df).groupBy("ahash").agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.min("doc_id").alias("canonical_doc_id"),
+    )

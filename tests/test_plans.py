@@ -769,3 +769,15 @@ def test_path_topk_user_window_heap_topk(spark):
     assert pi.has_partial_aggregate(df)
     for s in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
         assert "user_id" in s, f"unpartitioned journey window: {s}"
+
+
+def test_ahash_dedup_mapside_decode_one_shuffle(spark):
+    """The decode+hash must be map-side Python (MapInPandas) feeding ONE
+    hash-keyed aggregation shuffle with map-side partial counts — 8 bytes
+    per image on the wire, never pixels. No join anywhere."""
+    df = build(spark, "multimodal_ahash_dedup")
+    plan = pi.physical_plan(df)
+    assert "MapInPandas" in plan
+    assert pi.key_shuffle_count(df) == 1
+    assert pi.has_partial_aggregate(df)
+    assert "Join" not in plan
