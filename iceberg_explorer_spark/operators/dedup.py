@@ -1277,3 +1277,54 @@ def dedup_source_minhash_similarity(
         F.count(F.lit(1)).alias("n_agree"),
         (F.count(F.lit(1)) * 1.0 / N_SOURCE_HASHES).alias("est_jaccard"),
     )
+
+
+# ---------------------------------------------------------------------------
+def _cluster_stats_oracle() -> str:
+    """CTE-wrap the ALREADY-REGISTERED connected-components oracle — the
+    stats always describe the clusters the registered operator produces."""
+    from iceberg_explorer_spark.operators.registry import QUERIES as _Q
+
+    cc = _Q["dedup_clusters"].oracle
+    return f"""
+    WITH cc AS ({cc}),
+    sizes AS (
+      SELECT cluster_id, COUNT(*) AS cluster_size FROM cc GROUP BY cluster_id
+    )
+    SELECT cluster_size,
+           COUNT(*) AS n_clusters,
+           CAST(COUNT(*) * cluster_size AS BIGINT) AS n_docs,
+           CAST(COUNT(*) * (cluster_size - 1) AS BIGINT) AS n_removable
+    FROM sizes GROUP BY cluster_size
+    """
+
+
+@query(
+    "dedup_cluster_stats",
+    oracle=_cluster_stats_oracle(),
+    doc="Dedup-yield report: the size distribution of the near-dup "
+    "clusters and, per size, how many documents a keep-one-per-cluster "
+    "policy removes — the ONE number (sum of n_removable) a curation run "
+    "reports as its dedup rate, and the distribution that distinguishes "
+    "healthy pairwise duplication from a boilerplate blob (one giant "
+    "cluster). Composes dedup_clusters' exact output (builder and oracle "
+    "text both); on top of the CC pipeline it adds two tiny partial-"
+    "aggregated rollups: O(docs-in-clusters) -> O(clusters) -> O(distinct "
+    "sizes). Exact integer math throughout.",
+)
+def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_explorer_spark.operators.registry import QUERIES as _Q
+
+    cc = _Q["dedup_clusters"].builder(spark, sf_dir)
+    sizes = cc.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.count(F.lit(1)) * F.col("cluster_size"))
+        .cast("bigint")
+        .alias("n_docs"),
+        (F.count(F.lit(1)) * (F.col("cluster_size") - 1))
+        .cast("bigint")
+        .alias("n_removable"),
+    )

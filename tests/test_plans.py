@@ -781,3 +781,15 @@ def test_ahash_dedup_mapside_decode_one_shuffle(spark):
     assert pi.key_shuffle_count(df) == 1
     assert pi.has_partial_aggregate(df)
     assert "Join" not in plan
+
+
+def test_cluster_stats_rides_cc_two_rollups(spark):
+    """The yield report may add exactly two aggregation rollups on top of
+    the CC pipeline (cluster sizes, then the size histogram) — both with
+    map-side partials — and no join or window of its own."""
+    base = build(spark, "dedup_clusters")
+    df = build(spark, "dedup_cluster_stats")
+    assert pi.shuffle_count(df) == pi.shuffle_count(base) + 2
+    assert pi.has_partial_aggregate(df)
+    assert pi.broadcast_join_count(df) == pi.broadcast_join_count(base)
+    assert pi.sort_merge_join_count(df) == pi.sort_merge_join_count(base)
