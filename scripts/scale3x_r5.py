@@ -56,6 +56,8 @@ OP_TABLE = {
     "parts_abc_pareto": "lineitem",
     "text_ngram_entropy": "documents",
     "events_path_topk": "events",
+    "multimodal_ahash_dedup": "documents",
+    "dedup_cluster_stats": "documents",
 }
 
 
