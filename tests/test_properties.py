@@ -683,3 +683,89 @@ def test_centroid_drift_nonnegative_and_counts_partition(spark):
     for r in rows:
         assert r["drift"] >= 0
         assert r["n_a"] + r["n_b"] == totals[r["label"]]
+
+
+def test_abc_pareto_partitions_and_shares(spark):
+    """The three classes partition all parts; revenue shares sum to 1;
+    class A's cumulative share is within one part's revenue of the 80%
+    cut by construction."""
+    from iceberg_explorer_spark.operators import QUERIES
+    from iceberg_explorer_spark.sources.registry import load_table
+
+    rows = {
+        r["abc_class"]: r
+        for r in QUERIES["parts_abc_pareto"]
+        .builder(spark, SF_DIR_SMALL)
+        .collect()
+    }
+    n_parts = (
+        load_table(spark, SF_DIR_SMALL, "lineitem")
+        .select("l_partkey")
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_parts"] for r in rows.values()) == n_parts
+    assert abs(sum(r["revenue_share"] for r in rows.values()) - 1.0) < 1e-9
+    if "A" in rows:
+        assert rows["A"]["revenue_share"] <= 0.8 + 1e-9
+
+
+def test_funnel_latency_orderings(spark):
+    """Stage invariants: converted <= entered, 0 <= rate <= 1, and
+    min <= avg <= max for every stage with conversions."""
+    from iceberg_explorer_spark.operators import QUERIES
+
+    rows = (
+        QUERIES["events_funnel_latency"].builder(spark, SF_DIR_SMALL).collect()
+    )
+    assert len(rows) == 2
+    for r in rows:
+        assert 0 <= r["n_converted"] <= r["n_entered"]
+        assert 0.0 <= r["conv_rate"] <= 1.0
+        if r["n_converted"]:
+            assert r["min_us"] <= r["avg_us"] <= r["max_us"]
+
+
+def test_ngram_entropy_bounds(spark):
+    """Shannon bounds: 0 <= H <= log2(vocab) (+ micro-grid slack), and the
+    n-gram count dominates the vocabulary size."""
+    import math
+
+    from iceberg_explorer_spark.operators import QUERIES
+
+    rows = (
+        QUERIES["text_ngram_entropy"].builder(spark, SF_DIR_SMALL).collect()
+    )
+    assert rows
+    for r in rows:
+        assert r["n_ngrams"] >= r["vocab_ngrams"] >= 1
+        assert -1e-4 <= r["entropy_bits"] <= math.log2(r["vocab_ngrams"]) + 1e-4
+
+
+def test_ahash_dedup_hash_domain_and_totals(spark):
+    """Hashes live in the 16-bit domain and group counts sum to the number
+    of decodable images."""
+    from iceberg_explorer_spark.operators import QUERIES
+
+    rows = (
+        QUERIES["multimodal_ahash_dedup"].builder(spark, SF_DIR_SMALL).collect()
+    )
+    assert rows
+    for r in rows:
+        assert 0 <= r["ahash"] < (1 << 16)
+    assert sum(r["n_images"] for r in rows) <= 500  # decodable subset
+
+
+def test_cluster_stats_reconciles_with_cc(spark):
+    """The yield report's totals reconcile exactly with the CC output it
+    composes: sum(n_docs) equals the number of clustered docs and
+    n_removable is n_docs minus one per cluster."""
+    from iceberg_explorer_spark.operators import QUERIES
+
+    cc_rows = QUERIES["dedup_clusters"].builder(spark, SF_DIR_SMALL).count()
+    rows = (
+        QUERIES["dedup_cluster_stats"].builder(spark, SF_DIR_SMALL).collect()
+    )
+    assert sum(r["n_docs"] for r in rows) == cc_rows
+    for r in rows:
+        assert r["n_removable"] == r["n_docs"] - r["n_clusters"]
