@@ -783,3 +783,79 @@ def events_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_occurrences").desc(), "path")
         .limit(PATH_TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+#: per-mille-of-a-million grid for categorical share quantization
+DRIFT_SHARE_SCALE = 1_000_000
+
+
+@query(
+    "events_categorical_drift",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_type, event_id % 2 AS batch, COUNT(*) AS n
+      FROM events GROUP BY event_type, batch
+    ),
+    t AS (SELECT batch, CAST(SUM(n) AS BIGINT) AS total FROM c GROUP BY batch),
+    q AS (
+      SELECT c.event_type, c.batch,
+             c.n,
+             CAST(ROUND(c.n * {DRIFT_SHARE_SCALE} * 1.0 / t.total) AS BIGINT)
+               AS share_micro
+      FROM c JOIN t ON c.batch = t.batch
+    )
+    SELECT a.event_type,
+           a.n AS n_a, b.n AS n_b,
+           a.share_micro AS share_a_micro,
+           b.share_micro AS share_b_micro,
+           CAST(ABS(a.share_micro - b.share_micro) AS BIGINT)
+             AS abs_shift_micro
+    FROM q a JOIN q b ON a.event_type = b.event_type
+    WHERE a.batch = 0 AND b.batch = 1
+    """,
+    doc="Categorical distribution-shift monitor — the event-type sibling "
+    "of similarity_centroid_drift (numeric): per-type share of two "
+    "hash-split ingest batches and the absolute share shift, in integer "
+    "micro-units. Summing abs_shift_micro/2 gives total-variation "
+    "distance; keeping the per-type rows (rather than one TVD scalar) "
+    "both names WHICH categories moved and keeps every output an exact "
+    "integer — each share is ONE division of exact counts rounded onto "
+    "the micro-grid, so no cross-row float sum exists anywhere. Scale "
+    "shape: one (type, batch) partial-aggregated count shuffle over the "
+    "stream; every later frame is O(types).",
+)
+def events_categorical_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy(
+        "event_type", (F.col("event_id") % 2).alias("batch")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("batch").agg(F.sum("n").cast("bigint").alias("total"))
+    q = c.join(F.broadcast(t), "batch").select(
+        "event_type",
+        "batch",
+        "n",
+        F.round(F.col("n") * DRIFT_SHARE_SCALE * 1.0 / F.col("total"))
+        .cast("bigint")
+        .alias("share_micro"),
+    )
+    a = q.filter(F.col("batch") == 0).select(
+        "event_type",
+        F.col("n").alias("n_a"),
+        F.col("share_micro").alias("share_a_micro"),
+    )
+    b = q.filter(F.col("batch") == 1).select(
+        "event_type",
+        F.col("n").alias("n_b"),
+        F.col("share_micro").alias("share_b_micro"),
+    )
+    return a.join(F.broadcast(b), "event_type").select(
+        "event_type",
+        "n_a",
+        "n_b",
+        "share_a_micro",
+        "share_b_micro",
+        F.abs(F.col("share_a_micro") - F.col("share_b_micro"))
+        .cast("bigint")
+        .alias("abs_shift_micro"),
+    )

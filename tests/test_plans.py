@@ -793,3 +793,15 @@ def test_cluster_stats_rides_cc_two_rollups(spark):
     assert pi.has_partial_aggregate(df)
     assert pi.broadcast_join_count(df) == pi.broadcast_join_count(base)
     assert pi.sort_merge_join_count(df) == pi.sort_merge_join_count(base)
+
+
+def test_categorical_drift_one_stream_shuffle_broadcast_pairing(spark):
+    """The only corpus-sized shuffle is the (type, batch) count; batch
+    totals and the a/b pairing join in as broadcasts over O(types) rows;
+    no window, no sort-merge join."""
+    df = build(spark, "events_categorical_drift")
+    plan = pi.physical_plan(df)
+    assert pi.has_partial_aggregate(df)
+    assert pi.broadcast_join_count(df) >= 2
+    assert pi.sort_merge_join_count(df) == 0
+    assert "windowspecdefinition" not in plan
