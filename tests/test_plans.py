@@ -805,3 +805,14 @@ def test_categorical_drift_one_stream_shuffle_broadcast_pairing(spark):
     assert pi.broadcast_join_count(df) >= 2
     assert pi.sort_merge_join_count(df) == 0
     assert "windowspecdefinition" not in plan
+
+
+def test_incremental_rollup_merges_on_types_only(spark):
+    """Both sides aggregate independently with map-side partials and the
+    merge is a join on the O(types) key — at most one join, no window,
+    no corpus re-shuffle beyond the two rollup aggregations."""
+    df = build(spark, "events_incremental_rollup")
+    plan = pi.physical_plan(df)
+    assert pi.has_partial_aggregate(df)
+    assert "windowspecdefinition" not in plan
+    assert plan.count("Join") >= 1

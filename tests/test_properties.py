@@ -769,3 +769,32 @@ def test_cluster_stats_reconciles_with_cc(spark):
     assert sum(r["n_docs"] for r in rows) == cc_rows
     for r in rows:
         assert r["n_removable"] == r["n_docs"] - r["n_clusters"]
+
+
+def test_incremental_rollup_equals_full_recompute(spark):
+    """The IVM contract: merging the history aggregate with the delta
+    aggregate must be bit-identical to aggregating the full stream —
+    every state component (count, exact-decimal sum, max) is
+    commutative-associative, so the split point cannot matter."""
+    from iceberg_explorer_spark.functions.deterministic import dec
+    from iceberg_explorer_spark.operators import QUERIES
+    from iceberg_explorer_spark.sources.registry import load_table
+
+    merged = {
+        r["event_type"]: (r["n_events"], r["total_value"], r["last_seen_us"])
+        for r in QUERIES["events_incremental_rollup"]
+        .builder(spark, SF_DIR_SMALL)
+        .collect()
+    }
+    full = {
+        r["event_type"]: (r["n"], r["v"], r["last_us"])
+        for r in load_table(spark, SF_DIR_SMALL, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("value")).cast("double").alias("v"),
+            F.max(F.unix_micros("ts")).cast("bigint").alias("last_us"),
+        )
+        .collect()
+    }
+    assert merged == full
