@@ -745,6 +745,7 @@ PATH_TOP_K = 20
              LEAD(event_type, 1) OVER w AS e2,
              LEAD(event_type, 2) OVER w AS e3
       FROM events
+      WHERE event_type IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     )
     SELECT event_type || '>' || e2 || '>' || e3 AS path,
@@ -765,8 +766,14 @@ PATH_TOP_K = 20
     "sort. Counts exact; ordering tie-broken by path string.",
 )
 def events_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_type", "ts", "event_id"
+    # NULL event types are dropped BEFORE the window in both engines:
+    # Spark's concat_ws would silently skip a NULL segment (phantom
+    # 2-step paths) while the oracle's || null-propagates — filtering is
+    # the one semantics both express identically
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type", "ts", "event_id")
+        .filter(F.col("event_type").isNotNull())
     )
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     o = ev.select(
@@ -794,25 +801,26 @@ DRIFT_SHARE_SCALE = 1_000_000
     "events_categorical_drift",
     oracle=f"""
     WITH c AS (
-      SELECT event_type, event_id % 2 AS batch, COUNT(*) AS n
-      FROM events GROUP BY event_type, batch
+      SELECT event_type,
+             COUNT(*) FILTER (WHERE event_id % 2 = 0) AS n_a,
+             COUNT(*) FILTER (WHERE event_id % 2 = 1) AS n_b
+      FROM events GROUP BY event_type
     ),
-    t AS (SELECT batch, CAST(SUM(n) AS BIGINT) AS total FROM c GROUP BY batch),
-    q AS (
-      SELECT c.event_type, c.batch,
-             c.n,
-             CAST(ROUND(c.n * {DRIFT_SHARE_SCALE} * 1.0 / t.total) AS BIGINT)
-               AS share_micro
-      FROM c JOIN t ON c.batch = t.batch
+    w AS (
+      SELECT event_type, n_a, n_b,
+             CAST(SUM(n_a) OVER () AS BIGINT) AS total_a,
+             CAST(SUM(n_b) OVER () AS BIGINT) AS total_b
+      FROM c
     )
-    SELECT a.event_type,
-           a.n AS n_a, b.n AS n_b,
-           a.share_micro AS share_a_micro,
-           b.share_micro AS share_b_micro,
-           CAST(ABS(a.share_micro - b.share_micro) AS BIGINT)
-             AS abs_shift_micro
-    FROM q a JOIN q b ON a.event_type = b.event_type
-    WHERE a.batch = 0 AND b.batch = 1
+    SELECT event_type, n_a, n_b,
+           CAST(ROUND(n_a * {DRIFT_SHARE_SCALE} * 1.0 / total_a)
+             AS BIGINT) AS share_a_micro,
+           CAST(ROUND(n_b * {DRIFT_SHARE_SCALE} * 1.0 / total_b)
+             AS BIGINT) AS share_b_micro,
+           CAST(ABS(ROUND(n_a * {DRIFT_SHARE_SCALE} * 1.0 / total_a)
+                    - ROUND(n_b * {DRIFT_SHARE_SCALE} * 1.0 / total_b))
+             AS BIGINT) AS abs_shift_micro
+    FROM w
     """,
     doc="Categorical distribution-shift monitor — the event-type sibling "
     "of similarity_centroid_drift (numeric): per-type share of two "
@@ -821,43 +829,44 @@ DRIFT_SHARE_SCALE = 1_000_000
     "distance; keeping the per-type rows (rather than one TVD scalar) "
     "both names WHICH categories moved and keeps every output an exact "
     "integer — each share is ONE division of exact counts rounded onto "
-    "the micro-grid, so no cross-row float sum exists anywhere. Scale "
-    "shape: one (type, batch) partial-aggregated count shuffle over the "
-    "stream; every later frame is O(types).",
+    "the micro-grid, so no cross-row float sum exists anywhere. A type "
+    "present in only ONE batch still gets a row (count 0, share 0 on "
+    "the missing side) — appearing/vanishing categories are the "
+    "strongest shift signal and the earlier inner-join formulation was "
+    "blind to them. Plan shape: ONE scan and ONE (event_type) partial-"
+    "aggregated shuffle with conditional counts (no per-batch self-"
+    "join), then batch totals via an unpartitioned window over the O(types) frame (the tiny-frame window idiom).",
 )
 def events_categorical_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    c = ev.groupBy(
-        "event_type", (F.col("event_id") % 2).alias("batch")
-    ).agg(F.count(F.lit(1)).alias("n"))
-    t = c.groupBy("batch").agg(F.sum("n").cast("bigint").alias("total"))
-    q = c.join(F.broadcast(t), "batch").select(
-        "event_type",
-        "batch",
-        "n",
-        F.round(F.col("n") * DRIFT_SHARE_SCALE * 1.0 / F.col("total"))
-        .cast("bigint")
-        .alias("share_micro"),
+    c = ev.groupBy("event_type").agg(
+        F.count(F.when(F.col("event_id") % 2 == 0, 1)).alias("n_a"),
+        F.count(F.when(F.col("event_id") % 2 == 1, 1)).alias("n_b"),
     )
-    a = q.filter(F.col("batch") == 0).select(
-        "event_type",
-        F.col("n").alias("n_a"),
-        F.col("share_micro").alias("share_a_micro"),
-    )
-    b = q.filter(F.col("batch") == 1).select(
-        "event_type",
-        F.col("n").alias("n_b"),
-        F.col("share_micro").alias("share_b_micro"),
-    )
-    return a.join(F.broadcast(b), "event_type").select(
+    # batch totals via an unpartitioned window over the O(types) aggregate
+    # (the tiny-frame window idiom, like the novelty curve) — a second
+    # aggregate subtree would re-plan the corpus scan
+    wt = W.partitionBy()
+    withtot = c.select(
         "event_type",
         "n_a",
         "n_b",
-        "share_a_micro",
-        "share_b_micro",
-        F.abs(F.col("share_a_micro") - F.col("share_b_micro"))
-        .cast("bigint")
-        .alias("abs_shift_micro"),
+        F.sum("n_a").over(wt).cast("bigint").alias("total_a"),
+        F.sum("n_b").over(wt).cast("bigint").alias("total_b"),
+    )
+    share_a = F.round(
+        F.col("n_a") * DRIFT_SHARE_SCALE * 1.0 / F.col("total_a")
+    ).cast("bigint")
+    share_b = F.round(
+        F.col("n_b") * DRIFT_SHARE_SCALE * 1.0 / F.col("total_b")
+    ).cast("bigint")
+    return withtot.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        share_a.alias("share_a_micro"),
+        share_b.alias("share_b_micro"),
+        F.abs(share_a - share_b).cast("bigint").alias("abs_shift_micro"),
     )
 
 
@@ -882,7 +891,8 @@ def events_categorical_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COALESCE(h.v, 0) + COALESCE(d.v, 0) AS DOUBLE) AS total_value,
            GREATEST(COALESCE(h.last_us, 0), COALESCE(d.last_us, 0))
              AS last_seen_us
-    FROM hist h FULL OUTER JOIN delta d ON h.event_type = d.event_type
+    FROM hist h FULL OUTER JOIN delta d
+      ON h.event_type IS NOT DISTINCT FROM d.event_type
     """,
     doc="Incremental materialized-view maintenance: the per-type rollup is "
     "kept as a mergeable state (count, exact-decimal sum, max) and a new "
@@ -913,8 +923,12 @@ def events_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = rollup(ev.filter(F.col("event_id") % 8 != 7))
     delta = rollup(ev.filter(F.col("event_id") % 8 == 7))
     h, d = hist.alias("h"), delta.alias("d")
+    # eqNullSafe: a NULL event_type must merge into ONE row like the full
+    # recompute's groupBy does — a plain equi-join would emit two
     return h.join(
-        d, F.col("h.event_type") == F.col("d.event_type"), "full_outer"
+        d,
+        F.col("h.event_type").eqNullSafe(F.col("d.event_type")),
+        "full_outer",
     ).select(
         F.coalesce(F.col("h.event_type"), F.col("d.event_type")).alias(
             "event_type"

@@ -32,7 +32,10 @@ _DECODE_SCHEMA = (
 
 
 class _Decoded:
-    __slots__ = ("status", "format", "width", "height", "n_channels", "means")
+    __slots__ = (
+        "status", "format", "width", "height", "n_channels", "means",
+        "data_offset",
+    )
 
     def __init__(
         self,
@@ -42,6 +45,7 @@ class _Decoded:
         height: Optional[int] = None,
         n_channels: Optional[int] = None,
         means: Optional[list[float]] = None,
+        data_offset: Optional[int] = None,
     ) -> None:
         self.status = status
         self.format = format
@@ -49,6 +53,10 @@ class _Decoded:
         self.height = height
         self.n_channels = n_channels
         self.means = (means or []) + [None] * (3 - len(means or []))
+        #: byte offset of the pixel/sample data within the payload — the
+        #: parser's own answer, so consumers never re-derive it from
+        #: len(payload) arithmetic (wrong for payloads with trailing bytes)
+        self.data_offset = data_offset
 
 
 def decode_ppm(payload: bytes) -> _Decoded:
@@ -90,7 +98,7 @@ def decode_ppm(payload: bytes) -> _Decoded:
         return _Decoded("truncated", "ppm", width, height, 3)
     n = width * height
     means = [sum(pixels[c::3]) / float(n) for c in range(3)]
-    return _Decoded("ok", "ppm", width, height, 3, means)
+    return _Decoded("ok", "ppm", width, height, 3, means, data_offset=i)
 
 
 def decode_wav(payload: bytes) -> _Decoded:
@@ -716,13 +724,15 @@ def ahash_ppm(payload: bytes) -> Optional[int]:
     d = decode_ppm(payload)
     if d.status != "ok":
         return None
-    hdr_end = len(payload) - d.width * d.height * 3
+    n = d.width * d.height
+    if n > 64:  # the hash is a <=64-bit pattern (aHash standard is 8x8);
+        return None  # resize upstream rather than shift past the domain
+    start = d.data_offset  # the parser's own offset — never re-derived
     arr = np.frombuffer(
-        payload[hdr_end : hdr_end + d.width * d.height * 3], dtype=np.uint8
-    ).reshape(d.height * d.width, 3)
+        payload[start : start + n * 3], dtype=np.uint8
+    ).reshape(n, 3)
     gray = arr.astype(np.int64).sum(axis=1)  # per-pixel channel sum
     total = int(gray.sum())
-    n = gray.shape[0]
     bits = (n * gray > total).astype(np.int64)
     return int((bits << np.arange(n)).sum())
 

@@ -892,13 +892,14 @@ ENTROPY_SCALE = 1_000_000
       SELECT source,
              CAST(SUM(cnt) AS BIGINT) AS n_ngrams,
              COUNT(*) AS vocab_ngrams,
-             CAST(SUM(cnt * q) AS BIGINT) AS s_micro
+             CAST(SUM(CAST(cnt AS DECIMAL(38,0)) * q) AS DECIMAL(38,0))
+               AS s_micro
       FROM c GROUP BY source
     )
     SELECT source, n_ngrams, vocab_ngrams,
-           CAST(CAST(ROUND(log2(n_ngrams) * {ENTROPY_SCALE}) AS BIGINT)
+           CAST(CAST(ROUND(log2(n_ngrams) * {ENTROPY_SCALE}) AS DECIMAL(38,0))
                   * n_ngrams - s_micro AS DOUBLE)
-             / (n_ngrams * {ENTROPY_SCALE}) AS entropy_bits
+             / (CAST(n_ngrams AS DOUBLE) * {ENTROPY_SCALE}) AS entropy_bits
     FROM agg
     """,
     doc="Per-source 3-gram Shannon entropy — the information-density "
@@ -927,18 +928,24 @@ def text_ngram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("q"),
     )
+    # DECIMAL(38,0) intermediates: at 100 TB a source can hold >2e11
+    # 3-grams, where cnt*q and qn*N overflow int64 — exact decimals keep
+    # the integer-grid arithmetic exact to 1e38 (DuckDB's HUGEINT sums
+    # mirror this for free); only the final value drops to double
     agg = c.groupBy("source").agg(
         F.sum("cnt").cast("bigint").alias("n_ngrams"),
         F.count(F.lit(1)).alias("vocab_ngrams"),
-        F.sum(F.col("cnt") * F.col("q")).cast("bigint").alias("s_micro"),
+        F.sum(F.col("cnt").cast("decimal(38,0)") * F.col("q"))
+        .cast("decimal(38,0)")
+        .alias("s_micro"),
     )
-    qn = F.round(F.log2("n_ngrams") * ENTROPY_SCALE).cast("bigint")
+    qn = F.round(F.log2("n_ngrams") * ENTROPY_SCALE).cast("decimal(38,0)")
     return agg.select(
         "source",
         "n_ngrams",
         "vocab_ngrams",
         (
             (qn * F.col("n_ngrams") - F.col("s_micro")).cast("double")
-            / (F.col("n_ngrams") * ENTROPY_SCALE)
+            / (F.col("n_ngrams").cast("double") * ENTROPY_SCALE)
         ).alias("entropy_bits"),
     )

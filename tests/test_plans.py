@@ -795,16 +795,18 @@ def test_cluster_stats_rides_cc_two_rollups(spark):
     assert pi.sort_merge_join_count(df) == pi.sort_merge_join_count(base)
 
 
-def test_categorical_drift_one_stream_shuffle_broadcast_pairing(spark):
-    """The only corpus-sized shuffle is the (type, batch) count; batch
-    totals and the a/b pairing join in as broadcasts over O(types) rows;
-    no window, no sort-merge join."""
+def test_categorical_drift_single_scan_single_agg(spark):
+    """ONE scan of events and ONE partial-aggregated (event_type) shuffle
+    with conditional per-batch counts — no per-batch self-join (the
+    inner-join formulation was also blind to appearing/vanishing types).
+    Batch totals ride an unpartitioned window over the O(types) frame,
+    so total shuffles are exactly 2 and there is no join at all."""
     df = build(spark, "events_categorical_drift")
     plan = pi.physical_plan(df)
+    assert plan.count("events.parquet") == 1, "corpus scanned more than once"
+    assert pi.shuffle_count(df) == 2
     assert pi.has_partial_aggregate(df)
-    assert pi.broadcast_join_count(df) >= 2
-    assert pi.sort_merge_join_count(df) == 0
-    assert "windowspecdefinition" not in plan
+    assert "Join" not in plan
 
 
 def test_incremental_rollup_merges_on_types_only(spark):
@@ -815,4 +817,9 @@ def test_incremental_rollup_merges_on_types_only(spark):
     plan = pi.physical_plan(df)
     assert pi.has_partial_aggregate(df)
     assert "windowspecdefinition" not in plan
-    assert plan.count("Join") >= 1
+    # EXACTLY one join (the O(types) merge) — an upper bound, so a
+    # regression that adds joins or corpus re-shuffles fails
+    assert (
+        pi.broadcast_join_count(df) + pi.sort_merge_join_count(df) == 1
+    ), plan
+    assert pi.shuffle_count(df) <= 4  # 2 rollup aggs + merge exchanges

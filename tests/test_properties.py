@@ -706,8 +706,23 @@ def test_abc_pareto_partitions_and_shares(spark):
     )
     assert sum(r["n_parts"] for r in rows.values()) == n_parts
     assert abs(sum(r["revenue_share"] for r in rows.values()) - 1.0) < 1e-9
-    if "A" in rows:
-        assert rows["A"]["revenue_share"] <= 0.8 + 1e-9
+    # two-sided: A stops at the 80% cut AND reaches within one part's
+    # revenue of it (the by-construction greedy-prefix property)
+    from iceberg_explorer_spark.functions.deterministic import dec
+
+    li = load_table(spark, SF_DIR_SMALL, "lineitem")
+    rev = (dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    per_part = li.groupBy("l_partkey").agg(F.sum(rev).alias("r"))
+    top = per_part.agg(
+        F.max("r").cast("double").alias("mx"),
+        F.sum("r").cast("double").alias("tot"),
+    ).collect()[0]
+    max_share = top["mx"] / top["tot"]
+    assert "A" in rows
+    assert rows["A"]["revenue_share"] <= 0.8 + 1e-9
+    assert rows["A"]["revenue_share"] + max_share >= 0.8 - 1e-9
 
 
 def test_funnel_latency_orderings(spark):
@@ -798,3 +813,57 @@ def test_incremental_rollup_equals_full_recompute(spark):
         .collect()
     }
     assert merged == full
+
+
+def test_event_ops_null_type_semantics(spark, tmp_path):
+    """NULL event_type rows must not corrupt the round-5 event operators:
+    the IVM merge keeps ONE null-key row (null-safe join), path mining
+    drops null segments entirely (no phantom 2-step paths), and the
+    drift monitor carries the null type as its own category. Run against
+    a crafted corpus with NULLs split across both hash batches — the
+    exact case the synthetic fixture never exercises."""
+    import duckdb
+
+    from iceberg_explorer_spark.operators import QUERIES
+
+    rows = []
+    types = ["view", "click", None]
+    for i in range(60):
+        # ts spread over minutes; event_id drives both hash splits
+        rows.append((i, f"2024-01-01 00:{i:02d}:00", i % 7, types[i % 3], 1.5))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts_s string, user_id long, event_type string, value double"
+    ).select(
+        "event_id",
+        F.col("ts_s").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        F.lit("{}").alias("props"),
+    )
+    d = str(tmp_path / "nulls")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet/*.parquet')"
+    )
+    from tests.conftest import assert_matches_oracle
+
+    for name in (
+        "events_incremental_rollup",
+        "events_path_topk",
+        "events_categorical_drift",
+    ):
+        spec = QUERIES[name]
+        assert_matches_oracle(spec.builder(spark, d), con, spec.oracle, name)
+
+    # and the specific shapes: exactly one NULL-key row in the IVM merge
+    ivm = QUERIES["events_incremental_rollup"].builder(spark, d).collect()
+    assert sum(1 for r in ivm if r["event_type"] is None) == 1
+    # no path contains a null-skipped 2-step form
+    paths = QUERIES["events_path_topk"].builder(spark, d).collect()
+    assert all(p["path"].count(">") == 2 for p in paths)
+    # drift output still covers the NULL category
+    drift = QUERIES["events_categorical_drift"].builder(spark, d).collect()
+    assert any(r["event_type"] is None for r in drift)
