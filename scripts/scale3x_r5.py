@@ -58,6 +58,8 @@ OP_TABLE = {
     "events_path_topk": "events",
     "multimodal_ahash_dedup": "documents",
     "dedup_cluster_stats": "documents",
+    "events_categorical_drift": "events",
+    "events_incremental_rollup": "events",
 }
 
 
