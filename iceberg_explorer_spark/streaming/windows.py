@@ -210,3 +210,21 @@ def enrich_with_users(events: DataFrame, user_dim: DataFrame) -> DataFrame:
         "value",
         F.coalesce(F.col("user_tier"), F.lit("unknown")).alias("user_tier"),
     )
+
+
+def running_type_rollup(events: DataFrame) -> DataFrame:
+    """Per-event-type running rollup — the streaming form of
+    ``events_incremental_rollup``'s merge state: count, exact-decimal value
+    sum (surfaced as double), max event time. Every component is
+    commutative-associative, which is precisely what lets Structured
+    Streaming maintain it incrementally in state storage: each micro-batch
+    merges its delta exactly like the batch operator merges a daily delta
+    into history. Works identically on a static frame (batch twin for the
+    duality test)."""
+    from iceberg_explorer_spark.functions.deterministic import dec
+
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(dec("value")).cast("double").alias("total_value"),
+        F.max(F.unix_micros("ts")).cast("bigint").alias("last_seen_us"),
+    )

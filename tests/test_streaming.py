@@ -8,6 +8,7 @@ from iceberg_explorer_spark.streaming.stateful import user_activity_state
 from iceberg_explorer_spark.streaming.windows import (
     read_events_stream,
     run_to_memory,
+    running_type_rollup,
     session_aggregates,
     sliding_user_counts,
     stream_dedupe,
@@ -68,6 +69,20 @@ def test_stream_dedupe(spark, events_stream, events_batch):
     )
     assert got.count() == events_batch.count()  # event_ids are unique
     assert got.select("event_id").distinct().count() == events_batch.count()
+
+
+def test_running_rollup_stream_equals_batch(spark, events_stream, events_batch):
+    """The IVM merge state (count, exact-decimal sum, max) maintained by
+    Structured Streaming must land exactly on the batch rollup — the
+    streaming form of events_incremental_rollup's contract: every state
+    component is commutative-associative, so micro-batch merge order
+    cannot matter."""
+    got = run_to_memory(
+        running_type_rollup(events_stream), "t_rollup", output_mode="complete"
+    )
+    want = running_type_rollup(events_batch)
+    cols = ["event_type", "n_events", "total_value", "last_seen_us"]
+    assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
 
 
 def test_stateful_user_activity(spark, events_stream, events_batch):
