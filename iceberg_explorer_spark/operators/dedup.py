@@ -592,12 +592,19 @@ def connected_components(
       label table unpersisted first — no cache leak in a long-lived
       session);
     - convergence is checked after the FIRST round (trivial graphs exit
-      with one action), then every 2 propagation rounds: each check is a
-      full Spark action (join + count), and on small candidate graphs the
-      action launch — not the data — is the entire cost, so halving the
-      checks nearly halves wall time. Labels only ever decrease, so "no
-      change across a 2-round span" still implies convergence; the price
-      is at most ONE overshoot propagation round, which at any scale costs
+      with one action), then every 2 propagation rounds. The check itself
+      is a SUM of the label column, not a self-join diff: labels only
+      ever DECREASE per node, so the total is strictly monotone and
+      "sum unchanged" is exactly "no label changed" — one partial-
+      aggregated scan of the new label table replaces a join of old and
+      new labels (the join shuffled BOTH label tables every check; the
+      sum shuffles 1 row per partition). Exact BIGINT arithmetic, no
+      overflow: labels are doc ids, so the sum is bounded by
+      n·max_doc_id ≪ 2^63 for any corpus this graph stage can hold —
+      and the loop still compares successive values, never magnitudes.
+      Checks stay every 2 rounds: "no change across a 2-round span"
+      still implies convergence; the price is at most ONE overshoot
+      propagation round, which at any scale costs
       less than the count action it replaces.
     """
     und = edges.unionByName(
@@ -629,6 +636,7 @@ def connected_components(
 
     try:
         rounds_done = 0
+        prev_sum = None  # sum of the identity labeling, lazily skipped
         while rounds_done < max_rounds:
             steps = 1 if rounds_done == 0 else 2
             steps = min(steps, max_rounds - rounds_done)
@@ -642,19 +650,18 @@ def connected_components(
                 new_labels = new_labels.localCheckpoint(eager=False)
             else:
                 new_labels = new_labels.persist()
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "doc_id")
-                .filter(F.col("n.lbl") != F.col("o.lbl"))
-                .count()
-            )
+            # monotone-sum convergence: labels only decrease, so the sum
+            # is unchanged iff NO label changed (see docstring) — one
+            # cheap aggregate action instead of an old⋈new label join
+            new_sum = new_labels.agg(F.sum("lbl")).collect()[0][0]
             labels.unpersist()
             labels = new_labels
-            if changed == 0:
+            if new_sum == prev_sum:
                 return labels.select(
                     F.col("doc_id").alias("node"),
                     F.col("lbl").alias("component"),
                 )
+            prev_sum = new_sum
         labels.unpersist()
         raise RuntimeError(
             f"connected_components did not converge in {max_rounds} rounds"
