@@ -549,7 +549,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "graph via iterative min-label propagation — each iteration is one "
     "distributed join+groupBy, converging in O(component diameter) rounds "
     "(near-dup components are small and dense, so diameters are tiny). The "
-    "driver only checks a convergence COUNT; all data work is executor-side, "
+    "driver only reads a monotone convergence SUM; all data work is executor-side, "
     "labels cached per round and localCheckpoint'ed every "
     "CC_CHECKPOINT_EVERY rounds so lineage stays bounded however many "
     "rounds a deep component needs. The oracle is the recursive-CTE "
@@ -602,10 +602,12 @@ def connected_components(
       overflow: labels are doc ids, so the sum is bounded by
       n·max_doc_id ≪ 2^63 for any corpus this graph stage can hold —
       and the loop still compares successive values, never magnitudes.
-      Checks stay every 2 rounds: "no change across a 2-round span"
-      still implies convergence; the price is at most ONE overshoot
+      Checks fire after the FIRST round (seeded with the identity-
+      labeling sum, so trivial graphs exit with one propagation) and
+      every 2 rounds after: "no change across a 2-round span" still
+      implies convergence; the price is at most ONE overshoot
       propagation round, which at any scale costs
-      less than the count action it replaces.
+      less than the check it replaces.
     """
     und = edges.unionByName(
         edges.select(
@@ -636,7 +638,11 @@ def connected_components(
 
     try:
         rounds_done = 0
-        prev_sum = None  # sum of the identity labeling, lazily skipped
+        # seed with the identity-labeling sum so the FIRST check can fire
+        # (an already-converged graph exits after one propagation round,
+        # as documented) — one cheap aggregate that doubles as the action
+        # materializing the persisted label table
+        prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
         while rounds_done < max_rounds:
             steps = 1 if rounds_done == 0 else 2
             steps = min(steps, max_rounds - rounds_done)

@@ -221,10 +221,8 @@ def running_type_rollup(events: DataFrame) -> DataFrame:
     merges its delta exactly like the batch operator merges a daily delta
     into history. Works identically on a static frame (batch twin for the
     duality test)."""
-    from iceberg_explorer_spark.functions.deterministic import dec
-
     return events.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.sum(dec("value")).cast("double").alias("total_value"),
+        sum_money("value").alias("total_value"),
         F.max(F.unix_micros("ts")).cast("bigint").alias("last_seen_us"),
     )

@@ -867,3 +867,19 @@ def test_event_ops_null_type_semantics(spark, tmp_path):
     # drift output still covers the NULL category
     drift = QUERIES["events_categorical_drift"].builder(spark, d).collect()
     assert any(r["event_type"] is None for r in drift)
+
+
+def test_connected_components_first_round_exit(spark):
+    """An already-converged graph (self-loops only) must exit after ONE
+    propagation round — the seeded identity-sum check, not a spurious
+    non-convergence raise at small max_rounds."""
+    from iceberg_explorer_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(5, 5), (9, 9)], "doc_a long, doc_b long"
+    )
+    out = {
+        (r["node"], r["component"])
+        for r in connected_components(edges, max_rounds=1).collect()
+    }
+    assert out == {(5, 5), (9, 9)}
