@@ -50,14 +50,15 @@ against exact answers).
   tests/test_differential.py. The 3 sketch ops (percentile_approx, HLL x2)
   stay out of the window by design — the driver's rows-only check is weaker
   than their local exact-answer bounds.
-- round 6 (plan): seventeen operators built in round 5 (dedup_pagerank_step,
+- round 6 (plan): eighteen operators built in round 5 (dedup_pagerank_step,
   dedup_source_overlap_matrix, text_bm25_topk, similarity_int8_quantize,
   dedup_jaccard_threshold_sweep, pipeline_pack_efficiency,
   dedup_source_minhash_similarity, text_vocab_growth,
   similarity_centroid_drift, events_funnel_latency, parts_abc_pareto,
   text_ngram_entropy, events_path_topk, multimodal_ahash_dedup,
   dedup_cluster_stats, events_categorical_drift,
-  events_incremental_rollup — each with oracle,
+  events_incremental_rollup, orders_seasonality_index — each with
+  oracle,
   plan pin, and SCALE.md row) registered after the window with local
   differential evidence; rotate them in next round by displacing
   twice-green queries, keeping the flagship and family representation.

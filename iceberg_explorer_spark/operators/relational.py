@@ -1608,3 +1608,48 @@ def parts_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("rev_e4") * 1.0 / F.first("total")).alias("revenue_share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+_SEASONALITY_SQL = """
+    WITH monthly AS (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+             CAST(month(o_orderdate) AS BIGINT) AS order_month,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents,
+             COUNT(*) AS n_orders
+      FROM orders GROUP BY order_year, order_month
+    ),
+    with_year AS (
+      SELECT order_year, order_month, revenue_cents, n_orders,
+             CAST(SUM(revenue_cents) OVER (PARTITION BY order_year)
+               AS BIGINT) AS year_cents,
+             CAST(COUNT(*) OVER (PARTITION BY order_year) AS BIGINT)
+               AS months_in_year
+      FROM monthly
+    )
+    SELECT order_year, order_month, revenue_cents, n_orders,
+           CAST(revenue_cents AS DOUBLE) * months_in_year / year_cents
+             AS seasonality_index
+    FROM with_year
+"""
+
+
+@query(
+    "orders_seasonality_index",
+    oracle=_SEASONALITY_SQL,
+    doc="Monthly seasonality index (identical SQL text both engines): each "
+    "month's revenue relative to its year's monthly average — index 1.0 "
+    "is an average month, 1.3 a 30%-over peak. The staple behind "
+    "capacity planning and the de-seasonalized trend charts every "
+    "revenue dashboard carries; the months_in_year multiplier (not a "
+    "hardcoded 12) keeps partial first/last years honest. Exact integer "
+    "cents into ONE double division; the year window runs over the "
+    "O(months) frame partitioned by year, so nothing corpus-sized ever "
+    "sorts — the only real shuffle is the partial-aggregated monthly "
+    "rollup. year()/month() on the naive timestamp are timezone-free on "
+    "both engines.",
+)
+def orders_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir, ("orders",))
+    return spark.sql(_SEASONALITY_SQL)

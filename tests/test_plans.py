@@ -823,3 +823,17 @@ def test_incremental_rollup_merges_on_types_only(spark):
         pi.broadcast_join_count(df) + pi.sort_merge_join_count(df) == 1
     ), plan
     assert pi.shuffle_count(df) <= 4  # 2 rollup aggs + merge exchanges
+
+
+def test_seasonality_index_months_frame_only(spark):
+    """The year-total window must partition by order_year over the
+    O(months) aggregate — never a corpus-sized or unpartitioned sort —
+    and the monthly rollup partial-aggregates."""
+    import re
+
+    df = build(spark, "orders_seasonality_index")
+    plan = pi.physical_plan(df)
+    assert pi.has_partial_aggregate(df)
+    assert "Join" not in plan
+    for s in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "order_year" in s, f"unpartitioned seasonality window: {s}"
