@@ -60,6 +60,7 @@ OP_TABLE = {
     "dedup_cluster_stats": "documents",
     "events_categorical_drift": "events",
     "events_incremental_rollup": "events",
+    "orders_seasonality_index": "orders",
 }
 
 
