@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from iceberg_explorer_spark.operators.dedup import (
     _LSH_CANDIDATES_SQL,
-    lsh_candidates,
+    shared_lsh_candidates,
 )
 from iceberg_explorer_spark.operators.registry import query
 from iceberg_explorer_spark.operators.text import _tokens
@@ -83,14 +83,20 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    # near-dup drop list: every doc_b of an LSH candidate pair. Tiny by
-    # construction (Σ bucket-collisions) → broadcast anti-join.
+    # near-dup drop list: every doc_b of an LSH candidate pair, read from
+    # the session-shared candidate checkpoint (materialized once for the
+    # whole dedup family). Σ bucket-collisions is small relative to the
+    # corpus but GROWS with it, so the anti-join carries no compile-time
+    # broadcast hint — AQE broadcasts it from measured size at test scale
+    # and falls back to a shuffled join past the 8 GB broadcast limit.
     near_dups = (
-        lsh_candidates(spark, sf_dir).select(F.col("doc_b").alias("doc_id")).distinct()
+        shared_lsh_candidates(spark, sf_dir)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
     )
     kept = (
         quality.join(canon, "doc_id", "left_semi")
-        .join(F.broadcast(near_dups), "doc_id", "left_anti")
+        .join(near_dups, "doc_id", "left_anti")
     )
     return kept.groupBy("source", "lang").agg(
         F.count(F.lit(1)).alias("n_docs_kept"),

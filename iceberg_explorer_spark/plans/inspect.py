@@ -73,6 +73,23 @@ def broadcast_join_count(df: DataFrame) -> int:
                           physical_plan(df)))
 
 
+def broadcast_hint_count(df: DataFrame) -> int:
+    """Compile-time ``broadcast()`` hints surviving into the optimized plan.
+
+    An unconditional hint FORCES a broadcast however large the frame grows —
+    the 100 TB failure mode VERDICT r5 flagged on the candidate-pair joins
+    (past Spark's 8 GB broadcast hard limit the job dies). Zero hints means
+    the broadcast-vs-shuffle choice is size-gated: the planner/AQE picks
+    broadcast from measured stats when the side is genuinely small and falls
+    back to a shuffled join when it isn't. Hints are legitimate only on
+    frames with a scale-independent bound (1-row aggregates, O(k) centroid
+    or O(sources) grids) — pins assert an exact expected count, not zero,
+    where such frames exist.
+    """
+    return len(re.findall(r"strategy=broadcast",
+                          df._jdf.queryExecution().optimizedPlan().toString()))
+
+
 def sort_merge_join_count(df: DataFrame) -> int:
     return len(re.findall(r"SortMergeJoin", physical_plan(df)))
 
