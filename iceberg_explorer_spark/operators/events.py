@@ -672,16 +672,22 @@ def _funnel_latency_oracle() -> str:
     )
     SELECT 'view->click' AS stage,
            n_view AS n_entered, n_click AS n_converted,
-           CAST(n_click AS DOUBLE) / n_view AS conv_rate,
+           CASE WHEN n_view = 0 THEN NULL
+                ELSE CAST(n_click AS DOUBLE) / n_view END AS conv_rate,
            min1 AS min_us,
-           CAST(sum1 AS DOUBLE) / n_click AS avg_us,
+           CASE WHEN n_click = 0 THEN NULL
+                ELSE CAST(sum1 AS DOUBLE) / n_click END AS avg_us,
            max1 AS max_us
     FROM agg
     UNION ALL
     SELECT 'click->purchase',
            n_click, n_purchase,
-           CAST(n_purchase AS DOUBLE) / n_click,
-           min2, CAST(sum2 AS DOUBLE) / n_purchase, max2
+           CASE WHEN n_click = 0 THEN NULL
+                ELSE CAST(n_purchase AS DOUBLE) / n_click END,
+           min2,
+           CASE WHEN n_purchase = 0 THEN NULL
+                ELSE CAST(sum2 AS DOUBLE) / n_purchase END,
+           max2
     FROM agg
     """
 
@@ -703,7 +709,13 @@ def _funnel_latency_oracle() -> str:
 def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iceberg_explorer_spark.operators.registry import QUERIES as _Q
 
-    funnel = _Q["events_funnel"].builder(spark, sf_dir)
+    return _funnel_latency_report(_Q["events_funnel"].builder(spark, sf_dir))
+
+
+def _funnel_latency_report(funnel: DataFrame) -> DataFrame:
+    """The one-pass agg + unpivot behind events_funnel_latency, split out so
+    the empty-funnel edge (all denominators 0 → NULL rates, never NaN) is
+    directly testable (tests/test_properties.py)."""
     d1 = F.col("t_click_us") - F.col("t_view_us")
     d2 = F.col("t_purchase_us") - F.col("t_click_us")
     agg = funnel.agg(
@@ -718,15 +730,27 @@ def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(d2).alias("max2"),
     )
     # CAST(... AS DOUBLE) — Spark SQL's bare 1.0 literal is DECIMAL, which
-    # would surface decimal ratio columns and break the double contract
+    # would surface decimal ratio columns and break the double contract.
+    # Every division is zero-guarded to NULL in BOTH engines: on an empty
+    # funnel Spark's integer division yields NULL but DuckDB's IEEE double
+    # division yields NaN — a latent oracle divergence without the guard
+    # (ADVICE r5).
     return agg.selectExpr(
         "stack(2,"
         " 'view->click', n_view, n_click,"
-        "   CAST(n_click AS DOUBLE) / n_view,"
-        "   min1, CAST(sum1 AS DOUBLE) / n_click, max1,"
+        "   CASE WHEN n_view = 0 THEN NULL"
+        "        ELSE CAST(n_click AS DOUBLE) / n_view END,"
+        "   min1,"
+        "   CASE WHEN n_click = 0 THEN NULL"
+        "        ELSE CAST(sum1 AS DOUBLE) / n_click END,"
+        "   max1,"
         " 'click->purchase', n_click, n_purchase,"
-        "   CAST(n_purchase AS DOUBLE) / n_click,"
-        "   min2, CAST(sum2 AS DOUBLE) / n_purchase, max2"
+        "   CASE WHEN n_click = 0 THEN NULL"
+        "        ELSE CAST(n_purchase AS DOUBLE) / n_click END,"
+        "   min2,"
+        "   CASE WHEN n_purchase = 0 THEN NULL"
+        "        ELSE CAST(sum2 AS DOUBLE) / n_purchase END,"
+        "   max2"
         ") AS (stage, n_entered, n_converted, conv_rate,"
         "      min_us, avg_us, max_us)"
     )

@@ -1520,6 +1520,25 @@ def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 PARETO_BLOCK_E4 = 10_000 * 10_000
 
 
+def _abc_class_expr(cum, total):
+    """The A/B/C cut on exact 1e-4-unit BIGINT sums, WIDENED to
+    DECIMAL(38,0) before the x100/x80/x95 products. A BIGINT cut would
+    wrap silently in Spark's non-ANSI mode ~100x below the sums' own
+    headroom (at ~9e12 currency units of total revenue, where DuckDB
+    errors instead — a correctness divergence, ADVICE r5); the widened
+    cut is exact to the BIGINT bound of the sums themselves. The oracle
+    mirrors this with HUGEINT. Split out so the overflow bound is
+    directly testable at adversarial magnitudes
+    (tests/test_properties.py)."""
+    cum_w = cum.cast("decimal(38,0)")
+    tot_w = total.cast("decimal(38,0)")
+    return (
+        F.when(cum_w * 100 <= tot_w * 80, "A")
+        .when(cum_w * 100 <= tot_w * 95, "B")
+        .otherwise("C")
+    )
+
+
 @query(
     "parts_abc_pareto",
     oracle=f"""
@@ -1539,8 +1558,10 @@ PARETO_BLOCK_E4 = 10_000 * 10_000
                AS BIGINT) AS cum
       FROM pp
     )
-    SELECT CASE WHEN cum * 100 <= 80 * t.total THEN 'A'
-                WHEN cum * 100 <= 95 * t.total THEN 'B'
+    SELECT CASE WHEN CAST(cum AS HUGEINT) * 100
+                       <= 80 * CAST(t.total AS HUGEINT) THEN 'A'
+                WHEN CAST(cum AS HUGEINT) * 100
+                       <= 95 * CAST(t.total AS HUGEINT) THEN 'B'
                 ELSE 'C' END AS abc_class,
            COUNT(*) AS n_parts,
            CAST(SUM(rev_e4) AS BIGINT) * 1.0 / 10000 AS class_revenue,
@@ -1558,10 +1579,14 @@ PARETO_BLOCK_E4 = 10_000 * 10_000
     f"coarse key (rev div {PARETO_BLOCK_E4}), per-block subtotals give "
     "cross-block offsets on an O(blocks) frame, and the within-block "
     "running sum windows on the block key. Class cuts compare exact "
-    "BIGINT 1e-4-unit sums (cum*100 <= 80*total — no float thresholds), "
-    "so classification is bit-stable; the two output ratios divide exact "
-    "integers. (Exact decimal money discipline per "
-    "functions/deterministic.py; fits 63 bits to ~1e14 currency units.)",
+    "1e-4-unit sums WIDENED first (DECIMAL(38,0) in Spark, HUGEINT in "
+    "DuckDB — no float thresholds, and no silent wraparound from the x100: "
+    "a BIGINT cut would lose 100x of the sums' own headroom, overflowing "
+    "silently in Spark's non-ANSI mode at ~9e12 currency units of total "
+    "revenue), so classification is bit-stable up to the BIGINT bound of "
+    "the sums themselves (~9e14 currency units); the two output ratios "
+    "divide exact integers. (Exact decimal money discipline per "
+    "functions/deterministic.py.)",
 )
 def parts_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = load_table(spark, sf_dir, "lineitem")
@@ -1594,11 +1619,7 @@ def parts_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cum", F.col("blk_offset") + F.sum("rev_e4").over(w_rows)
         )
     )
-    abc = (
-        F.when(F.col("cum") * 100 <= F.col("total") * 80, "A")
-        .when(F.col("cum") * 100 <= F.col("total") * 95, "B")
-        .otherwise("C")
-    )
+    abc = _abc_class_expr(F.col("cum"), F.col("total"))
     return (
         c.withColumn("abc_class", abc)
         .groupBy("abc_class")

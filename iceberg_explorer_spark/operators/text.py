@@ -678,6 +678,32 @@ def _bm25_terms_sql() -> str:
     return ", ".join(f"'{t}'" for t in BM25_TERMS)
 
 
+def _bm25_term_score_q():
+    """Per-(doc, term) quantized BM25 score over columns
+    (idf_q, corpus_len, tf, dl, n_docs).
+
+    The numerator ``idf_q * 22 * corpus_len * tf`` is an exact BIGINT
+    product whose 63-bit bound is the operator's documented envelope:
+    idf_q ≤ ~2.4e7 micro-units (ln of any feasible doc count), so the
+    product stays exact up to corpus_len*tf ≈ 1.7e10 tokens — beyond that
+    (the 100 TB regime) the avgdl must be pre-quantized instead (see the
+    operator doc). The bound is exercised at its edge by
+    tests/test_properties.py.
+    """
+    return (
+        F.round(
+            (F.col("idf_q") * 22 * F.col("corpus_len") * F.col("tf"))
+            .cast("double")
+            / (
+                10 * F.col("corpus_len") * F.col("tf")
+                + 3 * F.col("corpus_len")
+                + 9 * F.col("dl") * F.col("n_docs")
+            )
+        )
+        .cast("bigint")
+    )
+
+
 @query(
     "text_bm25_topk",
     oracle=f"""
@@ -775,20 +801,7 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         tf.join(F.broadcast(idf), "word")
         .crossJoin(F.broadcast(corpus))
-        .select(
-            "doc_id",
-            F.round(
-                (F.col("idf_q") * 22 * F.col("corpus_len") * F.col("tf"))
-                .cast("double")
-                / (
-                    10 * F.col("corpus_len") * F.col("tf")
-                    + 3 * F.col("corpus_len")
-                    + 9 * F.col("dl") * F.col("n_docs")
-                )
-            )
-            .cast("bigint")
-            .alias("term_score_q"),
-        )
+        .select("doc_id", _bm25_term_score_q().alias("term_score_q"))
     )
     return (
         scored.groupBy("doc_id")
@@ -928,10 +941,19 @@ def text_ngram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("q"),
     )
-    # DECIMAL(38,0) intermediates: at 100 TB a source can hold >2e11
-    # 3-grams, where cnt*q and qn*N overflow int64 — exact decimals keep
-    # the integer-grid arithmetic exact to 1e38 (DuckDB's HUGEINT sums
-    # mirror this for free); only the final value drops to double
+    return _entropy_from_counts(c)
+
+
+def _entropy_from_counts(c: DataFrame) -> DataFrame:
+    """Entropy rollup over a (source, cnt, q) per-ngram count frame.
+
+    DECIMAL(38,0) intermediates: at 100 TB a source can hold >2e11
+    3-grams, where cnt*q and qn*N overflow int64 — exact decimals keep
+    the integer-grid arithmetic exact to 1e38 (DuckDB's HUGEINT sums
+    mirror this for free); only the final value drops to double. Split out
+    so the overflow path is exercised at adversarial magnitudes by
+    tests/test_properties.py, not just asserted here.
+    """
     agg = c.groupBy("source").agg(
         F.sum("cnt").cast("bigint").alias("n_ngrams"),
         F.count(F.lit(1)).alias("vocab_ngrams"),

@@ -883,3 +883,141 @@ def test_connected_components_first_round_exit(spark):
         for r in connected_components(edges, max_rounds=1).collect()
     }
     assert out == {(5, 5), (9, 9)}
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r5 / VERDICT r5 #7: overflow bounds and zero-division edges,
+# exercised at adversarial magnitudes instead of asserted in comments
+# ---------------------------------------------------------------------------
+def test_funnel_latency_empty_funnel_yields_nulls(spark):
+    """On an EMPTY funnel every denominator is 0: both engines must report
+    NULL rates — unguarded, Spark's integer path yields NULL while DuckDB's
+    IEEE double division yields NaN, a latent oracle divergence (ADVICE
+    r5). Pin the Spark side on a zero-row funnel and DuckDB's CASE-guard
+    semantics directly."""
+    import duckdb
+    import math
+
+    from iceberg_explorer_spark.operators import QUERIES
+    from iceberg_explorer_spark.operators.events import _funnel_latency_report
+
+    empty = QUERIES["events_funnel"].builder(spark, SF_DIR_SMALL).limit(0)
+    rows = _funnel_latency_report(empty).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r["n_entered"] == 0 and r["n_converted"] == 0
+        # NULL, not NaN — and not a crash
+        assert r["conv_rate"] is None
+        assert r["avg_us"] is None
+    # the oracle's guard produces the same NULL regardless of how the
+    # engine's bare x/0 behaves (NULL in this DuckDB build, NaN in IEEE
+    # mode — the guard makes the edge engine-independent either way)
+    con = duckdb.connect()
+    guarded, unguarded = con.execute(
+        "SELECT CASE WHEN n = 0 THEN NULL ELSE CAST(c AS DOUBLE) / n END,"
+        "       CAST(c AS DOUBLE) / n FROM (SELECT 0 AS n, 0 AS c)"
+    ).fetchone()
+    assert guarded is None
+    assert unguarded is None or math.isnan(unguarded)
+
+
+def test_abc_cut_exact_at_adversarial_magnitudes(spark):
+    """The A/B/C class cut must stay exact when cum*100 overflows BIGINT
+    (any total revenue past ~9e12 currency units = 9.2e16 1e-4-units).
+    The widened DECIMAL(38,0) cut classifies correctly at the int64 edge;
+    the DuckDB oracle's HUGEINT cut agrees (ADVICE r5: the old BIGINT cut
+    wrapped silently in Spark ~100x below the sums' own headroom)."""
+    import duckdb
+
+    from iceberg_explorer_spark.operators.relational import _abc_class_expr
+
+    total = 9_000_000_000_000_000_000  # 9e18: near the int64 max
+    cases = [
+        (total * 80 // 100 - 1, "A"),
+        (total * 80 // 100, "A"),        # boundary: cum*100 == 80*total*...
+        (total * 80 // 100 + 1, "B"),
+        (total * 95 // 100, "B"),
+        (total * 95 // 100 + 1, "C"),
+        (total, "C"),
+    ]
+    df = spark.createDataFrame(
+        [(c, total, want) for c, want in cases],
+        "cum long, total long, want string",
+    ).select(_abc_class_expr(F.col("cum"), F.col("total")).alias("got"), "want")
+    for r in df.collect():
+        assert r["got"] == r["want"], r
+    # exact-Python ground truth + the oracle's HUGEINT arithmetic
+    con = duckdb.connect()
+    for cum, want in cases:
+        py = "A" if cum * 100 <= 80 * total else (
+            "B" if cum * 100 <= 95 * total else "C")
+        assert py == want
+        (duck,) = con.execute(
+            f"SELECT CASE WHEN CAST({cum} AS HUGEINT) * 100"
+            f"              <= 80 * CAST({total} AS HUGEINT) THEN 'A'"
+            f"            WHEN CAST({cum} AS HUGEINT) * 100"
+            f"              <= 95 * CAST({total} AS HUGEINT) THEN 'B'"
+            f"            ELSE 'C' END"
+        ).fetchone()
+        assert duck == want
+
+
+def test_ngram_entropy_decimal_path_exact_past_int64(spark):
+    """The entropy rollup's cnt*q products must survive counts where they
+    exceed int64 (the >2e11-ngrams-per-source regime the operator doc
+    claims): DECIMAL(38,0) intermediates in Spark and HUGEINT sums in
+    DuckDB must both match exact-Python integer-grid arithmetic."""
+    import duckdb
+    import math
+
+    from iceberg_explorer_spark.operators.text import (
+        ENTROPY_SCALE,
+        _entropy_from_counts,
+    )
+
+    # counts big enough that cnt*q > 2^63 (q ~ 39e6 at these magnitudes)
+    cnts = [600_000_000_000, 300_000_000_000, 7]
+    rows = [
+        ("s", c, int(round(math.log2(c) * ENTROPY_SCALE))) for c in cnts
+    ]
+    for _, c, q in rows:
+        if c > 1e11:
+            assert c * q > 2**63  # the test is actually adversarial
+    got = _entropy_from_counts(
+        spark.createDataFrame(rows, "source string, cnt long, q long")
+    ).collect()[0]
+    n = sum(cnts)
+    s_micro = sum(c * q for _, c, q in rows)  # exact (Python bigint)
+    qn = int(round(math.log2(n) * ENTROPY_SCALE))
+    want = float(qn * n - s_micro) / (float(n) * ENTROPY_SCALE)
+    assert got["n_ngrams"] == n
+    assert got["entropy_bits"] == pytest.approx(want, rel=1e-12)
+    # DuckDB's side of the same arithmetic (HUGEINT via DECIMAL(38,0))
+    vals = ", ".join(f"({c}, {q})" for _, c, q in rows)
+    con_row = duckdb.connect().execute(
+        f"SELECT CAST(SUM(CAST(cnt AS DECIMAL(38,0)) * q) AS DECIMAL(38,0))"
+        f" FROM (VALUES {vals}) t(cnt, q)"
+    ).fetchone()
+    assert int(con_row[0]) == s_micro
+
+
+def test_bm25_integer_product_exact_at_63bit_edge(spark):
+    """The BM25 numerator idf_q*22*corpus_len*tf is exact BIGINT math up to
+    its documented 63-bit envelope. Drive it AT the edge (product within a
+    factor ~1.02 of 2^63) and check the quantized score against exact
+    Python — if Spark widened to double early or wrapped, the rounded
+    score would differ."""
+    from iceberg_explorer_spark.operators.text import _bm25_term_score_q
+
+    idf_q = 24_000_000          # ln-grid ceiling from the helper's doc
+    corpus_len = 17_000_000_000  # 1.7e10 tokens: the stated envelope edge
+    tf, dl, n_docs = 1, 2_000, 8_000_000
+    num = idf_q * 22 * corpus_len * tf
+    assert 2**62 < num < 2**63  # adversarial but within the envelope
+    den = 10 * corpus_len * tf + 3 * corpus_len + 9 * dl * n_docs
+    want = int(round(num / den))
+    df = spark.createDataFrame(
+        [(idf_q, corpus_len, tf, dl, n_docs)],
+        "idf_q long, corpus_len long, tf long, dl long, n_docs long",
+    ).select(_bm25_term_score_q().alias("score_q"))
+    assert df.collect()[0]["score_q"] == want
