@@ -571,8 +571,39 @@ def test_pagerank_step_broadcasts_node_count_partial_aggs(spark):
     plan = pi.physical_plan(df)
     assert pi.has_partial_aggregate(df)
     assert pi.broadcast_join_count(df) >= 2
+    # the ONLY compile-time hints are the two 1-row node-count crossJoins —
+    # scale-independent frames; the edge-side joins stay size-gated
+    assert pi.broadcast_hint_count(df) == 2
     assert "windowspecdefinition" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_graph_family_reads_candidate_checkpoint_not_corpus(spark):
+    """The graph-family reports consume the session-shared LSH candidate
+    materialization (shared_lsh_candidates), the in-session mirror of the
+    materialize-candidates-once step a production dedup run performs: the
+    pure-graph ops (PageRank, triangles) must read the checkpointed edge
+    blocks and NEVER re-scan corpus parquet, and repeated calls must
+    return the SAME materialization, not rebuild the minhash pipeline."""
+    from iceberg_explorer_spark.operators.dedup import shared_lsh_candidates
+
+    a = shared_lsh_candidates(spark, SF_DIR_SMALL)
+    b = shared_lsh_candidates(spark, SF_DIR_SMALL)
+    assert a is b
+    for name in ("dedup_pagerank_step", "dedup_candidate_triangles"):
+        plan = pi.physical_plan(build(spark, name))
+        assert "ExistingRDD" in plan, name      # the checkpoint scan
+        assert "FileScan parquet" not in plan, name  # no corpus re-scan
+    # the overlap matrix legitimately scans documents for source labels
+    # (its grand-total branch repeats the subtree in the pre-AQE plan
+    # text, so no exact scan count) — but its PAIR side must come from
+    # the checkpoint, and no scan may read the text column: the minhash
+    # pipeline is never rebuilt, only the 2-column doc→source projection
+    # is touched
+    df = build(spark, "dedup_source_overlap_matrix")
+    plan = pi.physical_plan(df)
+    assert "ExistingRDD" in plan
+    assert "text" not in pi.scan_columns(df, "documents.parquet")
 
 
 def test_source_overlap_candidate_broadcast_is_gated(spark):
