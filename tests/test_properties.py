@@ -1021,3 +1021,45 @@ def test_bm25_integer_product_exact_at_63bit_edge(spark):
         "idf_q long, corpus_len long, tf long, dl long, n_docs long",
     ).select(_bm25_term_score_q().alias("score_q"))
     assert df.collect()[0]["score_q"] == want
+
+
+# ---------------------------------------------------------------------------
+# Shuffle-order invariance: the determinism-grid operators claim BIT-exact
+# results under any partitioning (fixed-point PageRank mass, quantized-log2
+# entropy, 2^20 fixed-point centroid sums, integer BM25 scores, merge-state
+# rollup, two-phase block ranks). Claim it by running each under two very
+# different partitionings — split sizes and shuffle widths — and requiring
+# the exact canonical form (floats compared by repr, not approx).
+# ---------------------------------------------------------------------------
+DETERMINISM_GRID_OPS = [
+    "dedup_pagerank_step",
+    "similarity_centroid_drift",
+    "text_ngram_entropy",
+    "text_bm25_topk",
+    "events_incremental_rollup",
+    "rfm_customer_segments",
+]
+
+
+@pytest.mark.parametrize("name", DETERMINISM_GRID_OPS)
+def test_shuffle_order_invariance(spark, name):
+    from iceberg_explorer_spark.operators import QUERIES
+    from tests.conftest import _canonical
+
+    spec = QUERIES[name]
+
+    def run():
+        return _canonical(spec.builder(spark, SF_DIR_SMALL).toArrow())
+
+    keys = ("spark.sql.shuffle.partitions", "spark.sql.files.maxPartitionBytes")
+    try:
+        for k, v in zip(keys, ("3", "65536")):
+            spark.conf.set(k, v)
+        narrow = run()
+        for k, v in zip(keys, ("29", "134217728")):
+            spark.conf.set(k, v)
+        wide = run()
+    finally:
+        for k in keys:
+            spark.conf.unset(k)
+    assert narrow == wide
