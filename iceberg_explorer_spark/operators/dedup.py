@@ -350,14 +350,17 @@ def shared_lsh_candidates(
     ``hashed``: optional precomputed (doc_id, hb) shingle hashes, used only
     on a cache miss (callers that persist the shingle scan for their own
     verify stage pass it so a miss doesn't tokenize the corpus twice).
+
+    The checkpoint keeps the full (doc_a, doc_b, n_shared_bands) rows —
+    exactly what the parquet artifact would hold — so the candidate-list
+    query itself (``dedup_minhash_lsh``) serves from it too; graph
+    consumers project the two id columns.
     """
     key = (spark.sparkContext.applicationId, sf_dir)
     df = _SHARED_CANDIDATES.get(key)
     if df is None:
-        df = (
-            lsh_candidates(spark, sf_dir, hashed=hashed)
-            .select("doc_a", "doc_b")
-            .localCheckpoint(eager=True)
+        df = lsh_candidates(spark, sf_dir, hashed=hashed).localCheckpoint(
+            eager=True
         )
         _SHARED_CANDIDATES[key] = df
     return df
@@ -369,10 +372,12 @@ def shared_lsh_candidates(
     doc="MinHash-LSH near-dup candidates: 3-word shingles → one md5 per "
     "shingle → 12 universal-hash mins in one grouped pass (map-side partial "
     "mins) → 4 bands × 3 rows → bucket grouping. Work = Σ bucket², never "
-    "n²; shuffles on (band, bkey).",
+    "n²; shuffles on (band, bkey). Served from the session-shared "
+    "candidate materialization (the pipeline's shuffle shape stays pinned "
+    "on the raw builder in tests/test_plans.py).",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return lsh_candidates(spark, sf_dir)
+    return shared_lsh_candidates(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -561,7 +566,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the candidate set feeds the pair join AND the candidate-doc semi-join
     # filter; the session-shared checkpoint materializes it exactly once
     # for the whole graph family (triangles/PageRank/overlap/sweep included)
-    cands = shared_lsh_candidates(spark, sf_dir, hashed=sh)
+    cands = shared_lsh_candidates(spark, sf_dir, hashed=sh).select(
+        "doc_a", "doc_b"
+    )
     return jaccard_verify(cands, sh)
 
 
@@ -600,7 +607,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the union reads the edge list twice and the propagation loop reads it
     # every round — the session-shared checkpoint materializes the LSH
     # candidate pipeline exactly once for the whole graph family
-    edges = shared_lsh_candidates(spark, sf_dir)
+    edges = shared_lsh_candidates(spark, sf_dir).select("doc_a", "doc_b")
     out = connected_components(edges).select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
     )
@@ -1046,7 +1053,7 @@ def dedup_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     # read twice (both directions) and the driver loop re-runs the step to
     # a fixed point — the checkpoint makes every read O(|edges|), never a
     # pipeline rebuild.
-    pairs = shared_lsh_candidates(spark, sf_dir)
+    pairs = shared_lsh_candidates(spark, sf_dir).select("doc_a", "doc_b")
     e = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionByName(
@@ -1119,7 +1126,7 @@ def dedup_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    pairs = shared_lsh_candidates(spark, sf_dir)
+    pairs = shared_lsh_candidates(spark, sf_dir).select("doc_a", "doc_b")
     # No broadcast hints on the pair-sized sides: candidates grow with the
     # corpus, so the broadcast-vs-shuffle choice is left to AQE's runtime
     # size gate (the join-side LSH_MAX_BUCKET discipline). Broadcasting
@@ -1213,7 +1220,9 @@ def dedup_jaccard_threshold_sweep(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     sh = hashed_shingles(spark, sf_dir).persist()
-    cands = shared_lsh_candidates(spark, sf_dir, hashed=sh)
+    cands = shared_lsh_candidates(spark, sf_dir, hashed=sh).select(
+        "doc_a", "doc_b"
+    )
     # threshold=0.0 keeps every candidate pair with its exact jaccard; the
     # grid filter below is the only thresholding
     pairs = jaccard_verify(cands, sh, threshold=0.0)

@@ -75,7 +75,11 @@ def test_minhash_lsh_shuffle_budget(spark):
     # pipeline needs ≤3 KEY shuffles and no join at all (bucket grouping,
     # not a bands⋈bands self-join). The round-robin compute spread on the
     # single-split scan is excluded — it's parallelism, not data movement.
-    df = build(spark, "dedup_minhash_lsh")
+    # Pin the RAW pipeline (the registered query serves from the shared
+    # checkpoint, whose plan is just the materialized scan).
+    from iceberg_explorer_spark.operators.dedup import lsh_candidates
+
+    df = lsh_candidates(spark, SF_DIR_SMALL)
     assert pi.key_shuffle_count(df) <= 3
     assert pi.sort_merge_join_count(df) == 0
     assert pi.broadcast_join_count(df) == 0
