@@ -66,6 +66,8 @@ def decode_ppm(payload: bytes) -> _Decoded:
     Real parser, real stats — no stub. Deterministic: channel mean is an
     exact integer sum divided once in double.
     """
+    if payload is None:  # a NULL payload must not kill a 100 TB job
+        return _Decoded("null_payload")
     if payload[:2] != b"P6":
         return _Decoded("bad_magic")
     # tokenize header: magic, width, height, maxval separated by whitespace,
@@ -104,6 +106,8 @@ def decode_ppm(payload: bytes) -> _Decoded:
 def decode_wav(payload: bytes) -> _Decoded:
     """Parse RIFF/WAVE with 16-bit PCM: walk the chunk list to ``fmt `` and
     ``data``, then per-channel mean amplitude (exact integer sum / count)."""
+    if payload is None:
+        return _Decoded("null_payload")
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         return _Decoded("bad_magic")
     pos, fmt, data = 12, None, None
@@ -135,6 +139,8 @@ def decode_payload(payload: bytes) -> _Decoded:
     """Dispatch on magic bytes — the shape a real multi-codec decode stage
     has. Unknown formats are reported, never raised: one corrupt payload
     must not kill a 100 TB job."""
+    if payload is None:
+        return _Decoded("null_payload")
     if payload[:2] == b"P6":
         return decode_ppm(payload)
     if payload[:4] == b"RIFF":
@@ -256,7 +262,9 @@ def _ppm_mean_sql(channel: int) -> str:
 )
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = repartition_for_compute(load_table(spark, sf_dir, "documents"))
-    ascii_text = F.regexp_replace(F.col("text"), _ASCII_ONLY_RE, "")
+    ascii_text = F.coalesce(
+        F.regexp_replace(F.col("text"), _ASCII_ONLY_RE, ""), F.lit("")
+    )
     payload = F.concat(
         F.lit(_PPM_HEADER), F.substring(ascii_text.cast("binary"), 1, _PPM_PIX)
     )
@@ -388,7 +396,9 @@ def _rz_mean_sql(channel: int) -> str:
 )
 def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = repartition_for_compute(load_table(spark, sf_dir, "documents"))
-    ascii_text = F.regexp_replace(F.col("text"), _ASCII_ONLY_RE, "")
+    ascii_text = F.coalesce(
+        F.regexp_replace(F.col("text"), _ASCII_ONLY_RE, ""), F.lit("")
+    )
     payload = F.concat(
         F.lit(_RZ_HEADER), F.substring(ascii_text.cast("binary"), 1, _RZ_PIX)
     )
@@ -403,12 +413,16 @@ FRAME_STRIDE = 4
 @query(
     "multimodal_frame_sample",
     oracle=f"""
-    -- DuckDB substring() is VARCHAR/character-based (no BLOB overload); the
-    -- synthetic corpus is pure ASCII so characters == bytes and the digests
-    -- agree with Spark's byte-based substring over the binary payload.
+    -- The frame fingerprint is md5 over the frame's HEX encoding: DuckDB
+    -- can neither slice a BLOB nor md5 one, but hex() is byte-exact on
+    -- both engines and character-slicing the hex string (2 chars/byte)
+    -- selects exactly the frame's bytes — so the digests agree for ANY
+    -- payload, unicode included (the old text-substring oracle was only
+    -- correct for pure-ASCII corpora).
     SELECT doc_id, i AS frame_idx,
-           md5(substring(text, CAST(i * {FRAME_BYTES} + 1 AS BIGINT),
-                         {FRAME_BYTES})) AS frame_digest
+           md5(substring(hex(encode(text)),
+                         CAST(i * {2 * FRAME_BYTES} + 1 AS BIGINT),
+                         {2 * FRAME_BYTES})) AS frame_digest
     FROM documents,
          UNNEST(generate_series(0,
              CAST(FLOOR(octet_length(encode(text)) / {FRAME_BYTES}) AS BIGINT)
@@ -446,8 +460,16 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "frame_idx",
+            # fingerprint = md5 over the frame's HEX encoding (not the raw
+            # bytes): equally opaque, but expressible byte-exactly in the
+            # DuckDB oracle, which cannot slice or md5 a BLOB
             F.md5(
-                F.expr(f"substring(payload, frame_idx * {FRAME_BYTES} + 1, {FRAME_BYTES})")
+                F.hex(
+                    F.expr(
+                        f"substring(payload, frame_idx * {FRAME_BYTES} + 1,"
+                        f" {FRAME_BYTES})"
+                    )
+                )
             ).alias("frame_digest"),
         )
     )
@@ -569,7 +591,9 @@ def _pt_union_sql() -> str:
 )
 def multimodal_patch_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = repartition_for_compute(load_table(spark, sf_dir, "documents"))
-    ascii_text = F.regexp_replace(F.col("text"), _ASCII_ONLY_RE, "")
+    ascii_text = F.coalesce(
+        F.regexp_replace(F.col("text"), _ASCII_ONLY_RE, ""), F.lit("")
+    )
     payload = F.concat(
         F.lit(_RZ_HEADER), F.substring(ascii_text.cast("binary"), 1, _RZ_PIX)
     )
@@ -698,7 +722,9 @@ def _au_union_sql() -> str:
 )
 def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = repartition_for_compute(load_table(spark, sf_dir, "documents"))
-    ascii_text = F.regexp_replace(F.col("text"), _ASCII_ONLY_RE, "")
+    ascii_text = F.coalesce(
+        F.regexp_replace(F.col("text"), _ASCII_ONLY_RE, ""), F.lit("")
+    )
     payload = F.concat(
         F.lit(_AU_HEADER),
         F.substring(ascii_text.cast("binary"), 1, _AU_DATA_BYTES),
@@ -803,7 +829,9 @@ def _ahash_sql() -> str:
 )
 def multimodal_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = repartition_for_compute(load_table(spark, sf_dir, "documents"))
-    ascii_text = F.regexp_replace(F.col("text"), _ASCII_ONLY_RE, "")
+    ascii_text = F.coalesce(
+        F.regexp_replace(F.col("text"), _ASCII_ONLY_RE, ""), F.lit("")
+    )
     payload = F.concat(
         F.lit(_RZ_HEADER), F.substring(ascii_text.cast("binary"), 1, _RZ_PIX)
     )

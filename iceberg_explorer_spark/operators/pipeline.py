@@ -114,10 +114,11 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_total,
            COUNT(*) FILTER (
              WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
-                   % 100 < 20 + (CAST(substr(source, 4) AS INTEGER) % 8) * 10
+                   % 100 < 20 + (COALESCE(TRY_CAST(substr(source, 4)
+                                          AS INTEGER), 0) % 8) * 10
            ) AS n_sampled,
-           CAST(20 + (CAST(substr(source, 4) AS INTEGER) % 8) * 10
-                AS INTEGER) AS target_pct
+           CAST(20 + (COALESCE(TRY_CAST(substr(source, 4) AS INTEGER), 0)
+                      % 8) * 10 AS INTEGER) AS target_pct
     FROM documents
     GROUP BY source
     """,
@@ -133,9 +134,19 @@ def pipeline_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = F.expr(
         "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % 100"
     )
+    # COALESCE(try-cast, 0): a source without the numeric suffix (the demo
+    # quota derivation) gets the base 20% quota on BOTH engines — Spark's
+    # cast of a non-numeric string is already NULL, while DuckDB's CAST
+    # hard-errors, so the oracle uses TRY_CAST to match
     target = (
         F.lit(20)
-        + (F.substring("source", 4, 10).cast("int") % 8) * F.lit(10)
+        + (
+            F.coalesce(
+                F.substring("source", 4, 10).cast("int"), F.lit(0)
+            )
+            % 8
+        )
+        * F.lit(10)
     )
     return docs.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_total"),
@@ -264,9 +275,7 @@ SHARD_TOKENS = 4096
 )
 def pipeline_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    n_tokens = F.size(
-        F.filter(F.split(F.col("text"), " "), lambda w: w != "")
-    ).alias("n_tokens")
+    n_tokens = _n_tokens().alias("n_tokens")
     t = docs.select("source", "doc_id", n_tokens)
     prefixed = token_shard_prefix(t)
     return (
@@ -287,8 +296,17 @@ SEQ_TOKENS = 512
 def _n_tokens():
     """Whitespace-token count used by the packing/layout operators, matching
     the DuckDB oracle's len(list_filter(string_split(text, ' '), w -> w <> ''))
-    (built lazily: Column construction needs an active session)."""
-    return F.size(F.filter(F.split(F.col("text"), " "), lambda w: w != ""))
+    (built lazily: Column construction needs an active session).
+
+    NULL-safe: NULL text → NULL count. Spark's size(NULL) is -1, which
+    would silently SUBTRACT from token totals; DuckDB's len(NULL) is NULL
+    and every aggregate skips it — mirror NULL-in/NULL-out so both engines
+    agree on corpora with missing text (exercised by the adversarial-corpus
+    sweep in tests/test_properties.py)."""
+    return F.when(
+        F.col("text").isNotNull(),
+        F.size(F.filter(F.split(F.col("text"), " "), lambda w: w != "")),
+    )
 
 
 @query(
@@ -625,7 +643,7 @@ def pipeline_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     t = (
-        docs.select("source", F.size(F.filter(F.split(F.col("text"), " "), lambda w: w != "")).alias("d"))
+        docs.select("source", _n_tokens().alias("d"))
         .groupBy("source")
         .agg(F.sum("d").cast("bigint").alias("n_tokens"))
     )
@@ -685,9 +703,13 @@ CHUNK_STRIDE = 48
     )
     SELECT doc_id,
            i AS chunk_id,
-           array_to_string(
+           -- COALESCE: DuckDB joins an empty list to NULL, Spark to '' —
+           -- the declared contract is '' (an existing chunk row never has
+           -- NULL text; NULL documents produce no rows at all)
+           COALESCE(array_to_string(
              words[i * {CHUNK_STRIDE} + 1 :
-                   i * {CHUNK_STRIDE} + {CHUNK_WORDS}], ' ') AS chunk_text,
+                   i * {CHUNK_STRIDE} + {CHUNK_WORDS}], ' '), '')
+             AS chunk_text,
            len(words[i * {CHUNK_STRIDE} + 1 :
                      i * {CHUNK_STRIDE} + {CHUNK_WORDS}]) AS n_chunk_tokens
     FROM e
@@ -714,8 +736,12 @@ def pipeline_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk = F.slice(
         F.col("words"), F.col("chunk_id") * CHUNK_STRIDE + 1, CHUNK_WORDS
     )
+    # NULL text contributes NO chunks. The oracle gets this implicitly
+    # (range(NULL) unnests to zero rows); Spark's size(NULL) = -1 would
+    # instead fabricate one garbage chunk — filter explicitly.
     return (
-        docs.select("doc_id", words.alias("words"))
+        docs.filter(F.col("text").isNotNull())
+        .select("doc_id", words.alias("words"))
         .select(
             "doc_id",
             "words",
@@ -784,7 +810,13 @@ def pipeline_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     "boundaries.",
 )
 def pipeline_chunk_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # NULL text contributes no chunks (explicit filter: Spark's
+    # size(NULL) = -1 would otherwise count a NULL doc as a 1-chunk doc;
+    # its empty chunk is dropped by the n_tokens > 0 gate anyway, but the
+    # semantics should not hang on that coincidence)
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
     words = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
     n = F.size(F.col("words"))
     n_chunks = F.when(n <= CHUNK_WORDS, F.lit(1)).otherwise(
@@ -898,12 +930,7 @@ EPOCH_GRID = 10_000
 def pipeline_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     t = (
-        docs.select(
-            "source",
-            F.size(
-                F.filter(F.split(F.col("text"), " "), lambda w: w != "")
-            ).alias("d"),
-        )
+        docs.select("source", _n_tokens().alias("d"))
         .groupBy("source")
         .agg(F.sum("d").cast("bigint").alias("n_tokens"))
     )
@@ -972,9 +999,7 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "n_chars",
         F.md5("text").alias("h"),
-        F.size(
-            F.filter(F.split(F.col("text"), " "), lambda x: x != "")
-        ).alias("n_words"),
+        _n_tokens().alias("n_words"),  # NULL-safe (see _n_tokens)
     )
     n_docs = F.count(F.lit(1))
     n_dups = n_docs - F.countDistinct("h")

@@ -142,9 +142,13 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # NULL text → NULL word count: Spark's size(NULL) is -1 and would
+    # subtract from the total, while the oracle's LEN(NULL) is NULL and
+    # SUM skips it — mirror NULL-in/NULL-out
+    n_words = F.when(F.col("text").isNotNull(), F.size(_tokens()))
     return docs.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size(_tokens())).cast("bigint").alias("total_words"),
+        F.sum(n_words).cast("bigint").alias("total_words"),
         F.sum(F.ceil(F.length("text") / 4.0).cast("bigint"))
         .cast("bigint")
         .alias("est_bpe_tokens"),

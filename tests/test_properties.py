@@ -1063,3 +1063,77 @@ def test_shuffle_order_invariance(spark, name):
         for k in keys:
             spark.conf.unset(k)
     assert narrow == wide
+
+
+# ---------------------------------------------------------------------------
+# Adversarial documents corpus: every documents-only oracle op, differentially
+# ---------------------------------------------------------------------------
+def test_document_ops_adversarial_corpus(spark, tmp_path):
+    """Run EVERY oracle-bearing operator whose SQL touches only the
+    documents table against a crafted corpus of the edges the synthetic
+    fixture never exercises — empty text, whitespace-only, sub-shingle
+    lengths, exact duplicates, repeated shingles, unicode (diacritics +
+    CJK), punctuation mass, long repetition, and NULL text — and require
+    the DuckDB oracle to match exactly. This is the same engine-divergence
+    net as the events NULL fixture, pointed at the text/dedup/pipeline
+    families."""
+    import re as _re
+
+    import duckdb
+
+    from iceberg_explorer_spark.operators import QUERIES
+
+    texts = [
+        "",
+        "   ",
+        "one",
+        "two words",
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy dog",   # exact duplicate
+        "foo bar baz foo bar baz foo bar baz",           # repeated shingles
+        "Füßgänger überqueren die Straße heute",
+        "漢字 かな カナ 漢字 かな",
+        "a.b,c;d:e!f?g(h)i[j]k{l}m",                     # punctuation mass
+        ("word " * 50).strip(),                          # long repetition
+        None,                                            # NULL text
+    ]
+    rows = [
+        (
+            i,
+            t,
+            ["en", "de", "ja"][i % 3],
+            ["web", "books"][i % 2],
+            len(t) if t is not None else 0,
+        )
+        for i, t in enumerate(texts)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = str(tmp_path / "adv")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    other_tables = (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "embeddings",
+    )
+    doc_ops = [
+        name
+        for name, spec in QUERIES.items()
+        if spec.oracle
+        and _re.search(r"\bdocuments\b", spec.oracle)
+        and not any(
+            _re.search(rf"\b{t}\b", spec.oracle) for t in other_tables
+        )
+    ]
+    assert len(doc_ops) >= 25, doc_ops  # the sweep must stay broad
+    from tests.conftest import assert_matches_oracle
+
+    for name in doc_ops:
+        spec = QUERIES[name]
+        assert_matches_oracle(spec.builder(spark, d), con, spec.oracle, name)
