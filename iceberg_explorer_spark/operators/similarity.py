@@ -37,6 +37,31 @@ IVF_K = 8  # coarse-quantizer lists
 IVF_NPROBE = 2
 
 
+def _load_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embeddings table with the similarity input contract applied:
+    the vector is NOT NULL and has at least one nonzero element.
+
+    A row without a vector does not participate in similarity: Spark's
+    array functions would propagate NULL quietly (surfacing NULL cosines
+    inside top-k results), while DuckDB's list_* functions hard-error the
+    whole query on one NULL. An all-zero vector is a degenerate embedding
+    (failed upstream job): its cosine is 0/0, which Spark's double
+    division turns into NULL and DuckDB's into NULL list elements that
+    then hard-error — so BOTH engines exclude both cases explicitly
+    (every oracle reads FROM (SELECT * FROM embeddings WHERE embedding IS
+    NOT NULL AND len(list_filter(embedding, x -> x <> 0)) > 0); the
+    nonzero test is exact — squares can't cancel). Exercised by the
+    adversarial-embeddings sweep in tests/test_properties.py.
+    """
+    return load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+        & (
+            F.size(F.filter(F.col("embedding"), lambda x: x != F.lit(0.0)))
+            > 0
+        )
+    )
+
+
 def _plane_signs(plane: int, dim: int = DIM) -> list[int]:
     """Deterministic ±1 hyperplane components from md5 (shared with oracle)."""
     return [
@@ -108,13 +133,13 @@ def _with_normalized(df: DataFrame, out: str = "ne") -> DataFrame:
 @query(
     "similarity_bruteforce_topk",
     oracle=f"""
-    WITH q AS (
-      SELECT embedding AS qe FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+    WITH q AS MATERIALIZED (
+      SELECT embedding AS qe FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x <> 0)) > 0) WHERE vec_id = {QUERY_VEC_ID}
     )
     SELECT e.vec_id, e.label,
            ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
                                         CAST(q.qe AS DOUBLE[])), 6) AS cos_sim
-    FROM embeddings e, q
+    FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x <> 0)) > 0) e, q
     WHERE e.vec_id <> {QUERY_VEC_ID}
     ORDER BY cos_sim DESC, e.vec_id
     LIMIT 10
@@ -129,7 +154,7 @@ def similarity_bruteforce_topk(
     # ``emb``: optional pre-built embeddings frame — the recall report
     # passes its session-scoped persisted scan so all variants share ONE
     # in-memory corpus without caching the bare table plan session-wide
-    emb = emb if emb is not None else load_table(spark, sf_dir, "embeddings")
+    emb = emb if emb is not None else _load_emb(spark, sf_dir)
     qvec = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("embedding").alias("qe")
     )
@@ -149,9 +174,9 @@ def similarity_bruteforce_topk(
     WITH coded AS (
       SELECT vec_id, embedding,
              {_srp_code_duckdb('embedding')} AS bucket
-      FROM embeddings
+      FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x <> 0)) > 0)
     ),
-    q AS (SELECT embedding AS qe, bucket AS qbucket FROM coded
+    q AS MATERIALIZED (SELECT embedding AS qe, bucket AS qbucket FROM coded
           WHERE vec_id = {QUERY_VEC_ID})
     SELECT c.vec_id, c.bucket,
            ROUND(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
@@ -169,7 +194,7 @@ def similarity_bruteforce_topk(
 def similarity_lsh_ann(
     spark: SparkSession, sf_dir: str, *, emb: DataFrame | None = None
 ) -> DataFrame:
-    emb = emb if emb is not None else load_table(spark, sf_dir, "embeddings")
+    emb = emb if emb is not None else _load_emb(spark, sf_dir)
     coded = emb.withColumn("bucket", F.expr(_srp_code_sql("embedding")))
     qrow = coded.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("embedding").alias("qe"), F.col("bucket").alias("qbucket")
@@ -189,7 +214,7 @@ def similarity_lsh_ann(
     oracle=f"""
     WITH coded AS (
       SELECT vec_id, embedding, {_srp_code_duckdb('embedding')} AS bucket
-      FROM embeddings
+      FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x <> 0)) > 0)
     )
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
@@ -204,7 +229,7 @@ def similarity_lsh_ann(
     "pairs. The bucketed self-join is the scalable all-pairs shape.",
 )
 def similarity_all_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _load_emb(spark, sf_dir)
     coded = _with_normalized(
         emb.withColumn("bucket", F.expr(_srp_code_sql("embedding")))
     ).select("vec_id", "ne", "bucket")
@@ -232,7 +257,7 @@ def similarity_all_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH coded AS (
       SELECT vec_id, embedding, {_srp_code_duckdb('embedding')} AS bucket
-      FROM embeddings
+      FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x <> 0)) > 0)
     ),
     pairs AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -276,7 +301,7 @@ def _ivf_assign_sql_duckdb() -> str:
     """Shared CTE text: rank every vector's centroids by rounded cosine."""
     return f"""
     cents AS (
-      SELECT vec_id AS cid, embedding AS ce FROM embeddings
+      SELECT vec_id AS cid, embedding AS ce FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x <> 0)) > 0)
       WHERE vec_id < {IVF_K}
     ),
     ranked AS (
@@ -287,7 +312,7 @@ def _ivf_assign_sql_duckdb() -> str:
                           CAST(e.embedding AS DOUBLE[]),
                           CAST(c.ce AS DOUBLE[])), 6) DESC, c.cid
              ) AS rn
-      FROM embeddings e CROSS JOIN cents c
+      FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x <> 0)) > 0) e CROSS JOIN cents c
     )"""
 
 
@@ -296,9 +321,9 @@ def _ivf_assign_sql_duckdb() -> str:
     oracle=f"""
     WITH {_ivf_assign_sql_duckdb()},
     lists AS (SELECT vec_id, embedding, cid FROM ranked WHERE rn = 1),
-    qprobe AS (SELECT cid FROM ranked
+    qprobe AS MATERIALIZED (SELECT cid FROM ranked
                WHERE vec_id = {QUERY_VEC_ID} AND rn <= {IVF_NPROBE}),
-    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
+    q AS MATERIALIZED (SELECT embedding AS qe FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x <> 0)) > 0) WHERE vec_id = {QUERY_VEC_ID})
     SELECT l.vec_id, l.cid AS probe_list,
            ROUND(list_cosine_similarity(CAST(l.embedding AS DOUBLE[]),
                                         CAST(q.qe AS DOUBLE[])), 6) AS cos_sim
@@ -321,7 +346,7 @@ def similarity_ivf_topk(
     from pyspark.sql import Window
 
     emb = _with_normalized(
-        emb if emb is not None else load_table(spark, sf_dir, "embeddings")
+        emb if emb is not None else _load_emb(spark, sf_dir)
     )
     cents = F.broadcast(
         emb.filter(F.col("vec_id") < IVF_K).select(
@@ -419,7 +444,7 @@ def _bucket_pairs_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _load_emb(spark, sf_dir)
     coded = emb.withColumn("bucket", F.expr(_srp_code_sql("embedding"))).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e"), "bucket"
     )
@@ -450,7 +475,7 @@ def _bucket_pairs_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH coded AS (
       SELECT vec_id, embedding, {_srp_code_duckdb('embedding')} AS bucket
-      FROM embeddings
+      FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x <> 0)) > 0)
     )
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
@@ -487,7 +512,7 @@ KNN_K = 3
     oracle=f"""
     WITH coded AS (
       SELECT vec_id, embedding, {_srp_code_duckdb('embedding')} AS bucket
-      FROM embeddings
+      FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x <> 0)) > 0)
     ),
     pairs AS (
       SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
@@ -555,7 +580,7 @@ PQ_K = 16
                x -> x / sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
                                                 CAST(embedding AS DOUBLE[]))))
                AS ne
-      FROM embeddings
+      FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x <> 0)) > 0)
     ),
     sub AS (
       SELECT vec_id, mm.i AS m,
@@ -610,7 +635,7 @@ def similarity_pq_adc_topk(
     spark: SparkSession, sf_dir: str, *, emb: DataFrame | None = None
 ) -> DataFrame:
     emb = _with_normalized(
-        emb if emb is not None else load_table(spark, sf_dir, "embeddings")
+        emb if emb is not None else _load_emb(spark, sf_dir)
     )
     sub_structs = F.array(
         *[
@@ -685,7 +710,7 @@ KMEANS_SCALE = 1_000_000
                x -> x / sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
                                                 CAST(embedding AS DOUBLE[]))))
                AS ne
-      FROM embeddings
+      FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x <> 0)) > 0)
     ),
     cents AS (SELECT vec_id AS cid, ne AS ce FROM n WHERE vec_id < {KMEANS_K}),
     assign AS (
@@ -728,7 +753,7 @@ def similarity_kmeans_step(
     from pyspark.sql import Window
 
     emb = _with_normalized(
-        emb if emb is not None else load_table(spark, sf_dir, "embeddings")
+        emb if emb is not None else _load_emb(spark, sf_dir)
     )
     cents = F.broadcast(
         emb.filter(F.col("vec_id") < KMEANS_K).select(
@@ -773,7 +798,7 @@ def similarity_kmeans_step(
     oracle=f"""
     WITH coded AS (
       SELECT vec_id, embedding, {_srp_code_duckdb('embedding')} AS bucket
-      FROM embeddings
+      FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x <> 0)) > 0)
     ),
     pairs AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -922,7 +947,7 @@ def similarity_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sameResult-equal to the bare relation, so caching it would still
     # substitute into every other embeddings query
     emb_shared = (
-        load_table(spark, sf_dir, "embeddings")
+        _load_emb(spark, sf_dir)
         .select("embedding", "label", "vec_id")
         .persist()
     )
@@ -973,7 +998,7 @@ def similarity_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     "similarity_int8_quantize",
     oracle="""
     WITH v AS (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x <> 0)) > 0)
     ),
     s AS (
       SELECT vec_id, v,
@@ -981,7 +1006,7 @@ def similarity_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM v
       WHERE list_max(list_transform(v, x -> abs(x))) > 0
     ),
-    q AS (
+    q AS MATERIALIZED (
       SELECT vec_id, v, scale,
              list_transform(v, x -> floor(x / scale + 0.5)) AS codes
       FROM s
@@ -1014,7 +1039,7 @@ def similarity_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     "because the engines disagree on round-half semantics).",
 )
 def similarity_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _load_emb(spark, sf_dir)
     dv = F.transform("embedding", lambda x: x.cast("double"))
     maxabs = F.array_max(F.transform("v", F.abs))
     base = (
@@ -1058,7 +1083,7 @@ DRIFT_SCALE = 1_048_576  # 2^20
       SELECT label, vec_id % 2 AS batch, i,
              CAST(floor(CAST(embedding[i] AS DOUBLE) * {DRIFT_SCALE} + 0.5)
                AS BIGINT) AS q
-      FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+      FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x <> 0)) > 0), UNNEST(generate_series(1, len(embedding))) AS t(i)
     ),
     d AS (
       SELECT label, batch, i, SUM(q) AS s, COUNT(*) AS cnt
@@ -1093,7 +1118,7 @@ DRIFT_SCALE = 1_048_576  # 2^20
     "broadcast-sized self-pair join on O(labels) rows.",
 )
 def similarity_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _load_emb(spark, sf_dir)
     ex = emb.select(
         "label",
         (F.col("vec_id") % 2).alias("batch"),

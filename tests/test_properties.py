@@ -1137,3 +1137,65 @@ def test_document_ops_adversarial_corpus(spark, tmp_path):
     for name in doc_ops:
         spec = QUERIES[name]
         assert_matches_oracle(spec.builder(spark, d), con, spec.oracle, name)
+
+
+def test_embedding_ops_adversarial_corpus(spark, tmp_path):
+    """The similarity twin of the documents sweep: every oracle-bearing
+    operator whose SQL touches only the embeddings table, run against a
+    crafted table with the edges the synthetic fixture never has — an
+    all-zero vector (zero norm: cosine denominators), exact duplicate
+    vectors, near-zero magnitudes, sign flips, and a NULL embedding —
+    differentially against DuckDB."""
+    import re as _re
+
+    import duckdb
+
+    from iceberg_explorer_spark.operators import QUERIES
+
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    dim = 64
+    vecs = []
+    base = rng.randn(dim).astype("float32")
+    vecs.append(base)                                    # the query vector
+    vecs.append(np.zeros(dim, dtype="float32"))          # zero norm
+    vecs.append(base.copy())                             # exact duplicate
+    vecs.append(-base)                                   # antipodal
+    vecs.append((base * 1e-6).astype("float32"))         # near-zero norm
+    for _ in range(7):
+        vecs.append(rng.randn(dim).astype("float32"))
+    rows = [
+        (i, [float(x) for x in v], i % 3) for i, v in enumerate(vecs)
+    ]
+    rows.append((len(rows), None, 0))                    # NULL embedding
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    d = str(tmp_path / "advemb")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{d}/embeddings.parquet/*.parquet')"
+    )
+    other_tables = (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents",
+    )
+    emb_ops = [
+        name
+        for name, spec in QUERIES.items()
+        if spec.oracle
+        and _re.search(r"\bembeddings\b", spec.oracle)
+        and not any(
+            _re.search(rf"\b{t}\b", spec.oracle) for t in other_tables
+        )
+    ]
+    assert len(emb_ops) >= 8, emb_ops
+    from tests.conftest import assert_matches_oracle
+
+    for name in emb_ops:
+        spec = QUERIES[name]
+        assert_matches_oracle(spec.builder(spark, d), con, spec.oracle, name)
