@@ -133,9 +133,11 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT)
-             AS sum_k,
-           COUNT(CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
+           CAST(SUM(CASE WHEN json_valid(props) THEN
+                 CAST(json_extract_string(props, '$.k') AS INTEGER) END)
+               AS BIGINT) AS sum_k,
+           COUNT(CASE WHEN json_valid(props) AND
+                      CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
                       THEN 1 END) AS n_high
     FROM events
     GROUP BY event_type
@@ -281,9 +283,15 @@ def events_approx_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "events_variant_shred",
     oracle="""
+    -- json_valid guard: DuckDB's json_extract hard-errors on malformed
+    -- JSON while Spark's try_parse_json/get_json_object yield NULL — both
+    -- engines must treat an unparseable props as "no value"
     SELECT event_id,
-           CAST(json_extract(props, '$.k') AS BIGINT) AS k_value,
-           CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket
+           CASE WHEN json_valid(props)
+                THEN CAST(json_extract(props, '$.k') AS BIGINT) END AS k_value,
+           CASE WHEN json_valid(props)
+                THEN CAST(json_extract(props, '$.k') AS BIGINT) END % 10
+             AS k_bucket
     FROM events
     WHERE event_id < 2000
     """,
@@ -297,7 +305,8 @@ def events_approx_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
-    k = F.expr("variant_get(parse_json(props), '$.k', 'bigint')")
+    # try_parse_json: malformed props must yield NULL, not kill the job
+    k = F.expr("variant_get(try_parse_json(props), '$.k', 'bigint')")
     return ev.select(
         "event_id",
         k.alias("k_value"),
@@ -488,7 +497,8 @@ def events_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
            ) AS filled_total_cents
     FROM spine s LEFT JOIN obs o
-      ON s.event_type = o.event_type AND s.bucket = o.bucket
+      ON s.event_type IS NOT DISTINCT FROM o.event_type
+     AND s.bucket = o.bucket
     """,
     doc="Time-series resample with gap fill — the TimescaleDB/QuestDB "
     "time_bucket_gapfill + locf shape, via the LEAD idiom instead of a "
@@ -514,17 +524,30 @@ def events_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").cast("bigint").alias("total_cents"),
     )
     wl = W.partitionBy("event_type").orderBy("bucket")
-    filled = obs.withColumn("nxt", F.lead("bucket").over(wl)).select(
-        "event_type",
-        "n",
-        "total_cents",
-        F.col("bucket").alias("obs_bucket"),
-        F.explode(
-            F.sequence(
-                "bucket",
-                F.coalesce(F.col("nxt") - 1, F.col("bucket")),
-            )
-        ).alias("bucket"),
+    # locf carries the last NON-NULL total: a bucket observed with only
+    # NULL-value events is "no observation of value" and inherits the
+    # previous fill, exactly the oracle's last_value(IGNORE NULLS). The
+    # NULL event_type is a real series of its own on both sides (the
+    # oracle's spine join is IS NOT DISTINCT FROM; Spark's window
+    # partitioning groups NULLs natively).
+    carry = F.last("total_cents", ignorenulls=True).over(
+        wl.rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    filled = (
+        obs.withColumn("nxt", F.lead("bucket").over(wl))
+        .withColumn("carry_cents", carry)
+        .select(
+            "event_type",
+            "n",
+            "carry_cents",
+            F.col("bucket").alias("obs_bucket"),
+            F.explode(
+                F.sequence(
+                    "bucket",
+                    F.coalesce(F.col("nxt") - 1, F.col("bucket")),
+                )
+            ).alias("bucket"),
+        )
     )
     return filled.select(
         "event_type",
@@ -532,7 +555,7 @@ def events_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("bucket") == F.col("obs_bucket"), F.col("n"))
         .otherwise(0)
         .alias("n_events"),
-        F.col("total_cents").alias("filled_total_cents"),
+        F.col("carry_cents").alias("filled_total_cents"),
     )
 
 

@@ -1199,3 +1199,85 @@ def test_embedding_ops_adversarial_corpus(spark, tmp_path):
     for name in emb_ops:
         spec = QUERIES[name]
         assert_matches_oracle(spec.builder(spark, d), con, spec.oracle, name)
+
+
+def test_event_ops_adversarial_corpus(spark, tmp_path):
+    """The events twin of the documents/embeddings sweeps: every
+    oracle-bearing operator whose SQL touches only the events table, run
+    against a crafted log with NULL event types, NULL and extreme values,
+    malformed / empty / NULL JSON props, duplicate event ids, same-
+    timestamp ties, and a single-event user — differentially against
+    DuckDB. (ts and user_id stay NOT NULL: an event without identity or
+    time is malformed at ingest, the contract the synthetic corpus
+    declares.)"""
+    import re as _re
+
+    import duckdb
+
+    from iceberg_explorer_spark.operators import QUERIES
+
+    types = ["view", "click", "purchase", None]
+    props = [
+        '{"k": 1, "device": "ios"}',
+        '{"device": "android", "nested": {"a": [1, 2]}}',
+        "not json at all",
+        "",
+        None,
+        "{}",
+        '{"device": null}',
+    ]
+    values = [0.0, -1.5, 1e12, None, 0.25]
+    rows = []
+    for i in range(80):
+        rows.append(
+            (
+                i if i != 41 else 40,                     # one duplicate id
+                f"2024-03-0{1 + i % 7} 0{i % 10}:{(i * 7) % 60:02d}:11",
+                (i % 9) + 1 if i < 79 else 99,            # user 99: 1 event
+                types[i % len(types)],
+                values[i % len(values)],
+                props[i % len(props)],
+            )
+        )
+    # same-timestamp tie pair for one user (order must come from event_id)
+    rows.append((200, "2024-03-01 00:00:11", 1, "view", 1.0, "{}"))
+    rows.append((201, "2024-03-01 00:00:11", 1, "click", 2.0, "{}"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts_s string, user_id long, event_type string,"
+        " value double, props string",
+    ).select(
+        "event_id",
+        F.col("ts_s").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    d = str(tmp_path / "advev")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{d}/events.parquet/*.parquet')"
+    )
+    other_tables = (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "documents", "embeddings",
+    )
+    ev_ops = [
+        name
+        for name, spec in QUERIES.items()
+        if spec.oracle
+        and _re.search(r"\bevents\b", spec.oracle)
+        and not any(
+            _re.search(rf"\b{t}\b", spec.oracle) for t in other_tables
+        )
+    ]
+    assert len(ev_ops) >= 12, ev_ops
+    from tests.conftest import assert_matches_oracle
+
+    for name in ev_ops:
+        spec = QUERIES[name]
+        assert_matches_oracle(spec.builder(spark, d), con, spec.oracle, name)
