@@ -68,6 +68,19 @@ against exact answers).
   round-5 first-timer has two. Displaced multi-green queries remain
   covered every round by tests/test_differential.py; the 3 sketch ops
   stay out by design.
+- round 7 (plan): with coverage closed, the priority flips from
+  never-checked to RECENTLY-CHANGED: round 6's hardening materially
+  changed several operators whose only driver-green rows predate the
+  change and which sit OUTSIDE the r6 window (events_json_extract,
+  events_variant_shred, multimodal_frame_sample,
+  multimodal_decode_features, pipeline_token_shards,
+  pipeline_stratified_sample, text_token_count,
+  similarity_bruteforce_topk, similarity_lsh_ann, similarity_ivf_topk,
+  similarity_knn_join, dedup_embedding_cosine, dedup_ngram_jaccard,
+  dedup_clusters — all driver-contract-driven green at sf0.01 in-session
+  and differential-green, but without a post-change driver row). Rotate
+  those in, give the 18 round-6 first-timers their second row with the
+  remaining slots, keep the flagship + family representatives.
 """
 
 from iceberg_explorer_spark.operators.registry import QUERIES, QuerySpec, query  # noqa: F401
