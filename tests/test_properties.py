@@ -1281,3 +1281,116 @@ def test_event_ops_adversarial_corpus(spark, tmp_path):
     for name in ev_ops:
         spec = QUERIES[name]
         assert_matches_oracle(spec.builder(spark, d), con, spec.oracle, name)
+
+
+def test_relational_ops_adversarial_corpus(spark, tmp_path):
+    """The TPC-H twin of the corpus sweeps: every oracle-bearing operator
+    whose SQL touches only the relational tables, run against crafted
+    tables with schema-valid extremes — zero/negative/huge account
+    balances and prices, 100% discounts, 3-decimal money values (rounding
+    ties), year-boundary and leap-day dates, end-of-day timestamps, a
+    customer with no orders, an order with no lineitems, heavy key skew,
+    empty-string segments, and unicode names — differentially against
+    DuckDB."""
+    import re as _re
+    from datetime import datetime
+
+    import duckdb
+
+    from iceberg_explorer_spark.operators import QUERIES
+
+    region = [(i, n) for i, n in enumerate(
+        ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"])]
+    nation = [(i, f"NATION{i}" if i != 7 else "CÔTE D'IVOIRE", i % 5)
+              for i in range(10)]
+    segs = ["BUILDING", "AUTOMOBILE", "MACHINERY", "HOUSEHOLD", ""]
+    customer = [
+        (1, "Customer#1", 0, -999.99, "BUILDING"),     # negative balance
+        (2, "Customer#2", 1, 0.0, "AUTOMOBILE"),       # zero balance
+        (3, "Customer#3", 2, 9_999_999.99, "BUILDING"),
+        (4, "Customer#4", 3, 2.675, "MACHINERY"),      # repr-hostile double
+        (5, "Customer#5", 4, 0.125, ""),               # empty segment
+        (6, "Cüstomer#6", 7, 42.0, "HOUSEHOLD"),       # unicode name
+        (7, "Customer#7", 5, 1.0, "BUILDING"),         # NO orders
+        (8, "Customer#8", 6, -0.01, "AUTOMOBILE"),
+    ]
+    supplier = [(i, f"Supplier#{i}", i % 10, [-5.0, 0.0, 123.456][i % 3])
+                for i in range(1, 5)]
+    part = [
+        (i, f"part {i}", f"Brand#{i % 3}", ["SMALL BRASS", "LARGE COPPER",
+         "PROMO STEEL"][i % 3], [0, 1, 50][i % 3], [0.01, 900.009, 1.0][i % 3])
+        for i in range(1, 7)
+    ]
+    statuses = ["F", "O", "P"]
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    orders, lineitem = [], []
+    ok = 1
+    for year in (1992, 1996, 1996, 1997, 1998):
+        for month in (1, 2, 6, 12):
+            cust = (ok % 6) + 1              # skew onto customers 1..6
+            day = 29 if (month == 2 and year == 1996) else 1  # leap day
+            ts = datetime(year, month, day,
+                          23 if ok % 3 == 0 else 0, 59, 59,
+                          999999 if ok % 3 == 0 else 0)
+            orders.append((
+                ok, cust, statuses[ok % 3],
+                [0.0, 0.015, 123456.789, 1e9][ok % 4],
+                ts, prios[ok % 5],
+            ))
+            if ok % 7 != 0:                  # every 7th order: NO lineitems
+                for ln in range(1, (ok % 4) + 2):
+                    lineitem.append((
+                        ok, (ok + ln) % 6 + 1, (ok + ln) % 4 + 1, ln,
+                        [0.0, 1.0, 50.0][ln % 3],          # zero quantity
+                        [0.01, 2.675, 90000.45][ln % 3],   # rounding tie
+                        [0.0, 1.0, 0.05][ln % 3],          # 100% discount
+                        [0.0, 0.08, 0.125][ln % 3],
+                        ["A", "N", "R"][(ok + ln) % 3],
+                        ["F", "O"][(ok + ln) % 2],
+                        datetime(year, month, day, 12, 0, 0),
+                    ))
+            ok += 1
+    d = str(tmp_path / "advrel")
+    specs = {
+        "region": (region, "r_regionkey int, r_name string"),
+        "nation": (nation, "n_nationkey int, n_name string, n_regionkey int"),
+        "customer": (customer, "c_custkey long, c_name string,"
+                     " c_nationkey int, c_acctbal double, c_mktsegment string"),
+        "supplier": (supplier, "s_suppkey long, s_name string,"
+                     " s_nationkey int, s_acctbal double"),
+        "part": (part, "p_partkey long, p_name string, p_brand string,"
+                 " p_type string, p_size int, p_retailprice double"),
+        "orders": (orders, "o_orderkey long, o_custkey long,"
+                   " o_orderstatus string, o_totalprice double,"
+                   " o_orderdate timestamp, o_orderpriority string"),
+        "lineitem": (lineitem, "l_orderkey long, l_partkey long,"
+                     " l_suppkey long, l_linenumber int, l_quantity double,"
+                     " l_extendedprice double, l_discount double,"
+                     " l_tax double, l_returnflag string,"
+                     " l_linestatus string, l_shipdate timestamp"),
+    }
+    con = duckdb.connect()
+    for t, (rows, schema) in specs.items():
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{d}/{t}.parquet")
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{d}/{t}.parquet/*.parquet')"
+        )
+    other_tables = ("events", "documents", "embeddings")
+    rel = ("region", "nation", "customer", "supplier", "part", "orders",
+           "lineitem")
+    rel_ops = [
+        name
+        for name, spec in QUERIES.items()
+        if spec.oracle
+        and any(_re.search(rf"\b{t}\b", spec.oracle) for t in rel)
+        and not any(_re.search(rf"\b{t}\b", spec.oracle) for t in other_tables)
+    ]
+    assert len(rel_ops) >= 35, rel_ops
+    from tests.conftest import assert_matches_oracle
+
+    for name in rel_ops:
+        spec = QUERIES[name]
+        assert_matches_oracle(spec.builder(spark, d), con, spec.oracle, name)
