@@ -1394,3 +1394,50 @@ def test_relational_ops_adversarial_corpus(spark, tmp_path):
     for name in rel_ops:
         spec = QUERIES[name]
         assert_matches_oracle(spec.builder(spark, d), con, spec.oracle, name)
+
+
+def test_cross_table_ops_adversarial_corpus(spark, tmp_path):
+    """Completes sweep coverage: the one oracle-bearing operator that
+    joins documents AND embeddings (dedup_semantic_keep_best) runs on the
+    combined adversarial fixtures — NULL/zero vectors meeting NULL/empty
+    texts on shared ids — differentially against DuckDB. Together with
+    the four single-family sweeps this exercises all 122 oracle-bearing
+    operators on adversarial data."""
+    import duckdb
+    import numpy as np
+
+    from iceberg_explorer_spark.operators import QUERIES
+
+    texts = ["", "the quick brown fox", "the quick brown fox",
+             "Füßgänger überqueren", None, "boilerplate text " * 10]
+    docs = [
+        (i, t, "en", ["web", "books"][i % 2], len(t) if t else 0)
+        for i, t in enumerate(texts * 2)
+    ]
+    rng = np.random.RandomState(11)
+    base = rng.randn(64).astype("float32")
+    vecs = [base, np.zeros(64, dtype="float32"), base.copy(), -base]
+    for _ in range(7):
+        vecs.append(rng.randn(64).astype("float32"))
+    emb = [(i, [float(x) for x in v], i % 3) for i, v in enumerate(vecs)]
+    emb.append((len(emb), None, 0))
+    d = str(tmp_path / "advx")
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    spark.createDataFrame(
+        emb, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{d}/{t}.parquet/*.parquet')"
+        )
+    from tests.conftest import assert_matches_oracle
+
+    spec = QUERIES["dedup_semantic_keep_best"]
+    assert_matches_oracle(spec.builder(spark, d), con, spec.oracle,
+                          "dedup_semantic_keep_best")
