@@ -63,7 +63,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Both paths are session-independent: no branch consults
     ``spark.sql.session.timeZone``, so ANY caller session gets identical
     instants.
+
+    The loader additionally PINS the session timezone to UTC (runtime
+    conf, idempotent) as defense-in-depth: Spark captures the session tz
+    into calendar expressions (``year``, ``date_trunc``, ``F.window``
+    alignment over TIMESTAMP columns) at ANALYSIS time, so a plan built
+    under a non-UTC caller session (the correctness harness passes its
+    own default-conf session, which inherits the machine timezone) could
+    shift calendar rollups relative to the naive-timestamp oracle. Most
+    tables dodge this today — their micros columns infer as tz-free
+    ``TIMESTAMP_NTZ`` — but ``events.ts`` is deliberately surfaced as a
+    TIMESTAMP instant (the window functions reject NTZ), so any calendar
+    function over it is exposed. Pinning here, at the single choke point
+    every builder goes through BEFORE its expressions are analyzed, makes
+    the declared naive-calendar semantics hold for ANY caller
+    (tests/test_properties.py::test_timezone_invariance flips the session
+    tz and asserts results unchanged).
     """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # Required for the legacy NANOS flavour; harmless when already set.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

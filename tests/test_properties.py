@@ -1441,3 +1441,32 @@ def test_cross_table_ops_adversarial_corpus(spark, tmp_path):
     spec = QUERIES["dedup_semantic_keep_best"]
     assert_matches_oracle(spec.builder(spark, d), con, spec.oracle,
                           "dedup_semantic_keep_best")
+
+
+def test_timezone_invariance(spark):
+    """The engine declares naive-calendar semantics: results must not
+    depend on the caller session's timezone (the correctness harness
+    passes its own default-conf session, which inherits the machine tz).
+    load_table pins spark.sql.session.timeZone to UTC at the single choke
+    point every builder uses — flip the session to a -05:00/-04:00 zone
+    before building and the calendar rollups must come out identical."""
+    from iceberg_explorer_spark.operators import QUERIES
+
+    ops = ["orders_yoy_growth", "orders_seasonality_index",
+           "events_tumbling_window", "cohort_retention"]
+    baseline = {}
+    for name in ops:
+        baseline[name] = sorted(
+            map(tuple, QUERIES[name].builder(spark, SF_DIR_SMALL).collect())
+        )
+    try:
+        for name in ops:
+            spark.conf.set(
+                "spark.sql.session.timeZone", "America/New_York"
+            )
+            got = sorted(
+                map(tuple, QUERIES[name].builder(spark, SF_DIR_SMALL).collect())
+            )
+            assert got == baseline[name], name
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
