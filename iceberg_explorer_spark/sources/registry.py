@@ -79,8 +79,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     the declared naive-calendar semantics hold for ANY caller
     (tests/test_properties.py::test_timezone_invariance flips the session
     tz and asserts results unchanged).
+
+    ``spark.sql.ansi.enabled`` is pinned FALSE the same way: the engine's
+    declared semantics are permissive SQL (NULL on division-by-zero and
+    bad casts — the behaviors the oracles encode), but PySpark 4 ships
+    with ANSI ON by default, so a default-conf caller session would
+    hard-error operators on edge data instead of NULLing. Both pins are
+    runtime-settable session confs, idempotent under our own
+    ``build_session`` (which already sets them).
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
     if name == "events":
         # Required for the legacy NANOS flavour; harmless when already set.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -1470,3 +1470,30 @@ def test_timezone_invariance(spark):
             assert got == baseline[name], name
     finally:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def test_ansi_mode_invariance(spark):
+    """PySpark 4 defaults spark.sql.ansi.enabled=true, but the engine's
+    declared semantics are permissive SQL (the oracles encode
+    NULL-on-div-0 / NULL-on-bad-cast). load_table pins ANSI off at the
+    choke point, so a default-conf caller session (the correctness
+    harness's own) gets identical results — flip ANSI on before building
+    and nothing may change or raise."""
+    from iceberg_explorer_spark.operators import QUERIES
+
+    ops = ["parts_abc_pareto", "pipeline_stratified_sample",
+           "events_funnel_latency", "text_token_count"]
+    baseline = {}
+    for name in ops:
+        baseline[name] = sorted(
+            map(tuple, QUERIES[name].builder(spark, SF_DIR_SMALL).collect())
+        )
+    try:
+        for name in ops:
+            spark.conf.set("spark.sql.ansi.enabled", "true")
+            got = sorted(
+                map(tuple, QUERIES[name].builder(spark, SF_DIR_SMALL).collect())
+            )
+            assert got == baseline[name], name
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
