@@ -43,11 +43,26 @@ def main() -> int:
     import __spark_entry__ as entry_mod
 
     oracles = entry_mod.oracle_sql()
-    spark = build_session(
-        app_name="gate_sim",
-        cpus=os.environ.get("SPARK_GRAFT_CPUS", "16"),
-        extra_conf={"spark.ui.showConsoleProgress": "false"},
-    )
+    if "--default-session" in sys.argv:
+        # Simulate the worst-case driver session: bare default conf (ANSI
+        # ON in PySpark 4, machine timezone). The load_table choke-point
+        # pins must make results identical to the tuned session — this
+        # mode proves it for the whole window.
+        from pyspark.sql import SparkSession
+
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "16")
+        spark = (
+            SparkSession.builder.master(f"local[{cpus}]")
+            .appName("gate_sim_default")
+            .config("spark.ui.showConsoleProgress", "false")
+            .getOrCreate()
+        )
+    else:
+        spark = build_session(
+            app_name="gate_sim",
+            cpus=os.environ.get("SPARK_GRAFT_CPUS", "16"),
+            extra_conf={"spark.ui.showConsoleProgress": "false"},
+        )
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
