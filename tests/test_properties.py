@@ -1497,3 +1497,31 @@ def test_ansi_mode_invariance(spark):
             assert got == baseline[name], name
     finally:
         spark.conf.set("spark.sql.ansi.enabled", "false")
+
+
+def test_shared_candidates_cache_isolated_by_corpus(spark, tmp_path):
+    """The session-shared candidate materialization is keyed by
+    (application id, sf_dir): two different corpora in one session must
+    get DIFFERENT materializations — a keying bug here would silently
+    serve one corpus's near-dup pairs to another's dedup run."""
+    from iceberg_explorer_spark.operators.dedup import shared_lsh_candidates
+
+    base = "dup dup dup words words words shared shingle text here"
+    def write(dirname, texts):
+        d = str(tmp_path / dirname)
+        rows = [(i, t, "en", "web", len(t)) for i, t in enumerate(texts)]
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string,"
+            " n_chars long"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        return d
+
+    d1 = write("corpus1", [base, base, "totally different text one two"])
+    d2 = write("corpus2", ["nothing alike here at all", "unrelated words"])
+    c1 = shared_lsh_candidates(spark, d1)
+    c2 = shared_lsh_candidates(spark, d2)
+    assert c1 is not c2
+    assert c1.count() >= 1        # the duplicated doc pair
+    assert c2.count() == 0        # no near-dups in corpus2
+    # and the cache HIT path returns the same materialization per corpus
+    assert shared_lsh_candidates(spark, d1) is c1
