@@ -47,14 +47,26 @@ def _load_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole query on one NULL. An all-zero vector is a degenerate embedding
     (failed upstream job): its cosine is 0/0, which Spark's double
     division turns into NULL and DuckDB's into NULL list elements that
-    then hard-error — so BOTH engines exclude both cases explicitly
-    (every oracle reads FROM (SELECT * FROM embeddings WHERE embedding IS
-    NOT NULL AND len(list_filter(embedding, x -> x <> 0)) > 0); the
-    nonzero test is exact — squares can't cancel). Exercised by the
-    adversarial-embeddings sweep in tests/test_properties.py.
+    then hard-error — so BOTH engines exclude both cases explicitly; the
+    nonzero test is exact (squares can't cancel). The vector must also be
+    EXACTLY ``DIM`` long: DuckDB's list_* functions hard-error on length
+    mismatches while Spark's fold would silently dot the common prefix —
+    a ragged vector is a malformed embedding either way. Every oracle
+    reads FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND
+    len(embedding) = 64 AND len(list_filter(embedding, x -> x <> 0)) >
+    0). Exercised by the adversarial-embeddings sweep in
+    tests/test_properties.py.
+
+    (Perf note, measured at sf0.1: replacing the interpreted
+    aggregate/zip_with fold with a 64-term unrolled element_at expression
+    REGRESSED every consumer — e.g. similarity_ivf_topk 0.92 s → 1.78 s —
+    the giant generated expression blows past codegen's method limits and
+    evaluates element-by-element with per-access bounds checks. The fold
+    stays.)
     """
     return load_table(spark, sf_dir, "embeddings").filter(
         F.col("embedding").isNotNull()
+        & (F.size("embedding") == DIM)
         & (
             F.size(F.filter(F.col("embedding"), lambda x: x != F.lit(0.0)))
             > 0
@@ -134,12 +146,12 @@ def _with_normalized(df: DataFrame, out: str = "ne") -> DataFrame:
     "similarity_bruteforce_topk",
     oracle=f"""
     WITH q AS MATERIALIZED (
-      SELECT embedding AS qe FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x <> 0)) > 0) WHERE vec_id = {QUERY_VEC_ID}
+      SELECT embedding AS qe FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x <> 0)) > 0) WHERE vec_id = {QUERY_VEC_ID}
     )
     SELECT e.vec_id, e.label,
            ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
                                         CAST(q.qe AS DOUBLE[])), 6) AS cos_sim
-    FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x <> 0)) > 0) e, q
+    FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x <> 0)) > 0) e, q
     WHERE e.vec_id <> {QUERY_VEC_ID}
     ORDER BY cos_sim DESC, e.vec_id
     LIMIT 10
@@ -174,7 +186,7 @@ def similarity_bruteforce_topk(
     WITH coded AS (
       SELECT vec_id, embedding,
              {_srp_code_duckdb('embedding')} AS bucket
-      FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x <> 0)) > 0)
+      FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x <> 0)) > 0)
     ),
     q AS MATERIALIZED (SELECT embedding AS qe, bucket AS qbucket FROM coded
           WHERE vec_id = {QUERY_VEC_ID})
@@ -214,7 +226,7 @@ def similarity_lsh_ann(
     oracle=f"""
     WITH coded AS (
       SELECT vec_id, embedding, {_srp_code_duckdb('embedding')} AS bucket
-      FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x <> 0)) > 0)
+      FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x <> 0)) > 0)
     )
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
@@ -257,7 +269,7 @@ def similarity_all_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH coded AS (
       SELECT vec_id, embedding, {_srp_code_duckdb('embedding')} AS bucket
-      FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x <> 0)) > 0)
+      FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x <> 0)) > 0)
     ),
     pairs AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -301,7 +313,7 @@ def _ivf_assign_sql_duckdb() -> str:
     """Shared CTE text: rank every vector's centroids by rounded cosine."""
     return f"""
     cents AS (
-      SELECT vec_id AS cid, embedding AS ce FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x <> 0)) > 0)
+      SELECT vec_id AS cid, embedding AS ce FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x <> 0)) > 0)
       WHERE vec_id < {IVF_K}
     ),
     ranked AS (
@@ -312,7 +324,7 @@ def _ivf_assign_sql_duckdb() -> str:
                           CAST(e.embedding AS DOUBLE[]),
                           CAST(c.ce AS DOUBLE[])), 6) DESC, c.cid
              ) AS rn
-      FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x <> 0)) > 0) e CROSS JOIN cents c
+      FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x <> 0)) > 0) e CROSS JOIN cents c
     )"""
 
 
@@ -323,7 +335,7 @@ def _ivf_assign_sql_duckdb() -> str:
     lists AS (SELECT vec_id, embedding, cid FROM ranked WHERE rn = 1),
     qprobe AS MATERIALIZED (SELECT cid FROM ranked
                WHERE vec_id = {QUERY_VEC_ID} AND rn <= {IVF_NPROBE}),
-    q AS MATERIALIZED (SELECT embedding AS qe FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x <> 0)) > 0) WHERE vec_id = {QUERY_VEC_ID})
+    q AS MATERIALIZED (SELECT embedding AS qe FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x <> 0)) > 0) WHERE vec_id = {QUERY_VEC_ID})
     SELECT l.vec_id, l.cid AS probe_list,
            ROUND(list_cosine_similarity(CAST(l.embedding AS DOUBLE[]),
                                         CAST(q.qe AS DOUBLE[])), 6) AS cos_sim
@@ -475,7 +487,7 @@ def _bucket_pairs_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH coded AS (
       SELECT vec_id, embedding, {_srp_code_duckdb('embedding')} AS bucket
-      FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x <> 0)) > 0)
+      FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x <> 0)) > 0)
     )
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
@@ -512,7 +524,7 @@ KNN_K = 3
     oracle=f"""
     WITH coded AS (
       SELECT vec_id, embedding, {_srp_code_duckdb('embedding')} AS bucket
-      FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x <> 0)) > 0)
+      FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x <> 0)) > 0)
     ),
     pairs AS (
       SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
@@ -580,7 +592,7 @@ PQ_K = 16
                x -> x / sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
                                                 CAST(embedding AS DOUBLE[]))))
                AS ne
-      FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x <> 0)) > 0)
+      FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x <> 0)) > 0)
     ),
     sub AS (
       SELECT vec_id, mm.i AS m,
@@ -710,7 +722,7 @@ KMEANS_SCALE = 1_000_000
                x -> x / sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
                                                 CAST(embedding AS DOUBLE[]))))
                AS ne
-      FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x <> 0)) > 0)
+      FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x <> 0)) > 0)
     ),
     cents AS (SELECT vec_id AS cid, ne AS ce FROM n WHERE vec_id < {KMEANS_K}),
     assign AS (
@@ -798,7 +810,7 @@ def similarity_kmeans_step(
     oracle=f"""
     WITH coded AS (
       SELECT vec_id, embedding, {_srp_code_duckdb('embedding')} AS bucket
-      FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x <> 0)) > 0)
+      FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x <> 0)) > 0)
     ),
     pairs AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -998,7 +1010,7 @@ def similarity_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     "similarity_int8_quantize",
     oracle="""
     WITH v AS (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x <> 0)) > 0)
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x <> 0)) > 0)
     ),
     s AS (
       SELECT vec_id, v,
@@ -1083,7 +1095,7 @@ DRIFT_SCALE = 1_048_576  # 2^20
       SELECT label, vec_id % 2 AS batch, i,
              CAST(floor(CAST(embedding[i] AS DOUBLE) * {DRIFT_SCALE} + 0.5)
                AS BIGINT) AS q
-      FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x <> 0)) > 0), UNNEST(generate_series(1, len(embedding))) AS t(i)
+      FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x <> 0)) > 0), UNNEST(generate_series(1, len(embedding))) AS t(i)
     ),
     d AS (
       SELECT label, batch, i, SUM(q) AS s, COUNT(*) AS cnt

@@ -1169,6 +1169,7 @@ def test_embedding_ops_adversarial_corpus(spark, tmp_path):
         (i, [float(x) for x in v], i % 3) for i, v in enumerate(vecs)
     ]
     rows.append((len(rows), None, 0))                    # NULL embedding
+    rows.append((len(rows), [1.0, 2.0, 3.0], 1))         # ragged (dim 3)
     df = spark.createDataFrame(
         rows, "vec_id long, embedding array<float>, label int"
     )
