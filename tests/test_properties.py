@@ -1038,6 +1038,10 @@ DETERMINISM_GRID_OPS = [
     "text_bm25_topk",
     "events_incremental_rollup",
     "rfm_customer_segments",
+    # decimal-money / integer-plan reproducibility contracts
+    "pricing_summary",
+    "pipeline_epoch_plan",
+    "dedup_simhash",
 ]
 
 
