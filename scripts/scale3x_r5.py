@@ -61,6 +61,12 @@ OP_TABLE = {
     "events_categorical_drift": "events",
     "events_incremental_rollup": "events",
     "orders_seasonality_index": "orders",
+    # round-6 semantic changes (NULL guards, locf, hex digests)
+    "events_resample_gapfill": "events",
+    "events_json_extract": "events",
+    "multimodal_frame_sample": "documents",
+    "pipeline_chunk_documents": "documents",
+    "text_token_count": "documents",
 }
 
 
