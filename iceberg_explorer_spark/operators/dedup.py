@@ -22,6 +22,8 @@ bit-identical doubles.
 
 from __future__ import annotations
 
+from collections import OrderedDict
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -328,9 +330,16 @@ def lsh_candidates(
 
 
 #: session-scoped materializations of the LSH candidate set, keyed by
-#: (spark application id, sf_dir). Bounded: one entry per corpus a session
-#: touches (≤3 test scale factors locally).
-_SHARED_CANDIDATES: dict[tuple[str, str], DataFrame] = {}
+#: (spark application id, sf_dir), LRU-bounded: holding a strong reference
+#: pins the checkpointed RDD blocks (ContextCleaner frees them only after
+#: the DataFrame is garbage collected), so an unbounded dict would grow
+#: block-manager memory monotonically in a long-lived session that touches
+#: many corpora (the adversarial sweeps build a fresh tmp corpus per run).
+#: Four slots cover every steady-state workload (the bench and driver use
+#: one sf_dir each; tests use three) while evicted entries become
+#: collectable again.
+_SHARED_CANDIDATES: OrderedDict[tuple[str, str], DataFrame] = OrderedDict()
+_SHARED_CANDIDATES_MAX = 4
 
 
 def shared_lsh_candidates(
@@ -344,8 +353,10 @@ def shared_lsh_candidates(
     shingle→minhash→band pipeline per report. This mirrors that with a
     session-scoped ``localCheckpoint``: the first caller pays the pipeline,
     every later graph-family operator reads the checkpointed blocks. The
-    blocks are RDD-level (ContextCleaner-managed), and the registry is
-    keyed by application id so a new session re-materializes.
+    registry is keyed by application id (a new session re-materializes)
+    and LRU-bounded: while an entry is cached its strong reference pins
+    the checkpoint blocks; once evicted, ContextCleaner frees them when
+    the DataFrame is garbage collected.
 
     ``hashed``: optional precomputed (doc_id, hb) shingle hashes, used only
     on a cache miss (callers that persist the shingle scan for their own
@@ -363,6 +374,10 @@ def shared_lsh_candidates(
             eager=True
         )
         _SHARED_CANDIDATES[key] = df
+        while len(_SHARED_CANDIDATES) > _SHARED_CANDIDATES_MAX:
+            _SHARED_CANDIDATES.popitem(last=False)
+    else:
+        _SHARED_CANDIDATES.move_to_end(key)
     return df
 
 

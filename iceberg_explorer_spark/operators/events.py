@@ -131,24 +131,36 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "events_json_extract",
     oracle="""
+    WITH x AS (
+      -- k counts ONLY as an integral JSON number (quoted or bare):
+      -- anything else is "no value" on BOTH engines. Without the regexp
+      -- gate the engines genuinely disagree on valid JSON: Spark's
+      -- string->int cast truncates '1.5' to 1 where DuckDB's rounds to 2,
+      -- and DuckDB hard-errors on 'abc' where Spark yields NULL.
+      SELECT event_type,
+             CASE WHEN json_valid(props) AND regexp_matches(
+                    json_extract_string(props, '$.k'), '^-?[0-9]+$')
+                  THEN CAST(json_extract_string(props, '$.k') AS INTEGER)
+             END AS k
+      FROM events
+    )
     SELECT event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(CASE WHEN json_valid(props) THEN
-                 CAST(json_extract_string(props, '$.k') AS INTEGER) END)
-               AS BIGINT) AS sum_k,
-           COUNT(CASE WHEN json_valid(props) AND
-                      CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
-                      THEN 1 END) AS n_high
-    FROM events
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           COUNT(CASE WHEN k > 50 THEN 1 END) AS n_high
+    FROM x
     GROUP BY event_type
     """,
     doc="Semi-structured extraction: JSON property pulled JVM-side "
     "(get_json_object) then aggregated — schema-on-read over a string "
-    "column, no Python.",
+    "column, no Python. The k contract is integral-JSON-number-or-NULL, "
+    "enforced by the same regexp gate in both engines (engine casts "
+    "disagree on fractional and non-numeric values).",
 )
 def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("int")
+    ks = F.get_json_object("props", "$.k")
+    k = F.when(ks.rlike("^-?[0-9]+$"), ks.cast("int"))
     return ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(k).cast("bigint").alias("sum_k"),
@@ -283,17 +295,20 @@ def events_approx_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "events_variant_shred",
     oracle="""
-    -- json_valid guard: DuckDB's json_extract hard-errors on malformed
-    -- JSON while Spark's try_parse_json/get_json_object yield NULL — both
-    -- engines must treat an unparseable props as "no value"
-    SELECT event_id,
-           CASE WHEN json_valid(props)
-                THEN CAST(json_extract(props, '$.k') AS BIGINT) END AS k_value,
-           CASE WHEN json_valid(props)
-                THEN CAST(json_extract(props, '$.k') AS BIGINT) END % 10
-             AS k_bucket
-    FROM events
-    WHERE event_id < 2000
+    -- json_valid + integral-number gate: DuckDB's json casts hard-error
+    -- on malformed JSON and non-numeric k (and round fractional k) where
+    -- Spark's variant path NULLs (and coerces booleans) — the contract
+    -- is integral-JSON-number-or-NULL, identical on both engines
+    WITH x AS (
+      SELECT event_id,
+             CASE WHEN json_valid(props) AND regexp_matches(
+                    json_extract_string(props, '$.k'), '^-?[0-9]+$')
+                  THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+             END AS k
+      FROM events
+      WHERE event_id < 2000
+    )
+    SELECT event_id, k AS k_value, k % 10 AS k_bucket FROM x
     """,
     doc="VARIANT-typed semi-structured shredding (Spark 4): props is parsed "
     "once into a binary VARIANT column, then typed paths are extracted with "
@@ -305,8 +320,18 @@ def events_approx_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
-    # try_parse_json: malformed props must yield NULL, not kill the job
-    k = F.expr("variant_get(try_parse_json(props), '$.k', 'bigint')")
+    # try_parse_json: malformed props must yield NULL, not kill the job.
+    # Parse ONCE into the variant, extract twice (string form for the
+    # integral gate, bigint form for the value) — try_variant_get, since
+    # plain variant_get throws on type-mismatched values, and the gate,
+    # since the variant cast coerces booleans to 1 where the contract
+    # (and DuckDB) say "no value".
+    v = "try_parse_json(props)"
+    k = F.expr(
+        f"CASE WHEN try_variant_get({v}, '$.k', 'string')"
+        f"          RLIKE '^-?[0-9]+$'"
+        f"     THEN try_variant_get({v}, '$.k', 'bigint') END"
+    )
     return ev.select(
         "event_id",
         k.alias("k_value"),

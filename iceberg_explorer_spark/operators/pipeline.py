@@ -134,15 +134,19 @@ def pipeline_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = F.expr(
         "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % 100"
     )
-    # COALESCE(try-cast, 0): a source without the numeric suffix (the demo
+    # COALESCE(try-cast, 0): a source without a numeric suffix (the demo
     # quota derivation) gets the base 20% quota on BOTH engines — Spark's
-    # cast of a non-numeric string is already NULL, while DuckDB's CAST
-    # hard-errors, so the oracle uses TRY_CAST to match
+    # cast of a non-numeric OR int-overflowing string is already NULL,
+    # while DuckDB's CAST hard-errors, so the oracle uses TRY_CAST to
+    # match. substr(source, 4) with NO length cap, exactly like the
+    # oracle: a capped substring would silently read a PREFIX of a long
+    # numeric suffix (fitting int32 where the full suffix overflows to
+    # NULL→0) and derive a different quota than the oracle.
     target = (
         F.lit(20)
         + (
             F.coalesce(
-                F.substring("source", 4, 10).cast("int"), F.lit(0)
+                F.expr("substr(source, 4)").cast("int"), F.lit(0)
             )
             % 8
         )

@@ -36,6 +36,18 @@ NEAR_DUP_TAU = 0.4
 IVF_K = 8  # coarse-quantizer lists
 IVF_NPROBE = 2
 
+#: The similarity input contract, as DuckDB SQL — the single source every
+#: oracle interpolates (15 sites; a copy-pasted literal would let one
+#: missed site silently run an older contract). Mirrored exactly by
+#: ``_load_emb`` on the Spark side; see its docstring for the rationale
+#: of each clause.
+_EMB_SQL = (
+    "(SELECT * FROM embeddings WHERE embedding IS NOT NULL"
+    " AND len(embedding) = 64"
+    " AND len(list_filter(embedding, x -> x IS NULL)) = 0"
+    " AND len(list_filter(embedding, x -> x <> 0)) > 0)"
+)
+
 
 def _load_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The embeddings table with the similarity input contract applied:
@@ -51,10 +63,11 @@ def _load_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     nonzero test is exact (squares can't cancel). The vector must also be
     EXACTLY ``DIM`` long: DuckDB's list_* functions hard-error on length
     mismatches while Spark's fold would silently dot the common prefix —
-    a ragged vector is a malformed embedding either way. Every oracle
-    reads FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND
-    len(embedding) = 64 AND len(list_filter(embedding, x -> x <> 0)) >
-    0). Exercised by the adversarial-embeddings sweep in
+    a ragged vector is a malformed embedding either way. A vector with a
+    NULL ELEMENT is excluded for the same reason as a NULL vector
+    (DuckDB hard-errors, Spark NULL-propagates). Every oracle reads FROM
+    the ``_EMB_SQL`` subquery, the DuckDB mirror of exactly these four
+    clauses. Exercised by the adversarial-embeddings sweep in
     tests/test_properties.py.
 
     (Perf note, measured at sf0.1: replacing the interpreted
@@ -67,6 +80,11 @@ def _load_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "embeddings").filter(
         F.col("embedding").isNotNull()
         & (F.size("embedding") == DIM)
+        # no NULL elements: DuckDB's list functions hard-error on them
+        # while Spark's fold NULL-propagates — same class as a NULL vector
+        & (
+            F.size(F.filter(F.col("embedding"), lambda x: x.isNull())) == 0
+        )
         & (
             F.size(F.filter(F.col("embedding"), lambda x: x != F.lit(0.0)))
             > 0
@@ -146,12 +164,12 @@ def _with_normalized(df: DataFrame, out: str = "ne") -> DataFrame:
     "similarity_bruteforce_topk",
     oracle=f"""
     WITH q AS MATERIALIZED (
-      SELECT embedding AS qe FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x <> 0)) > 0) WHERE vec_id = {QUERY_VEC_ID}
+      SELECT embedding AS qe FROM {_EMB_SQL} WHERE vec_id = {QUERY_VEC_ID}
     )
     SELECT e.vec_id, e.label,
            ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
                                         CAST(q.qe AS DOUBLE[])), 6) AS cos_sim
-    FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x <> 0)) > 0) e, q
+    FROM {_EMB_SQL} e, q
     WHERE e.vec_id <> {QUERY_VEC_ID}
     ORDER BY cos_sim DESC, e.vec_id
     LIMIT 10
@@ -186,7 +204,7 @@ def similarity_bruteforce_topk(
     WITH coded AS (
       SELECT vec_id, embedding,
              {_srp_code_duckdb('embedding')} AS bucket
-      FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x <> 0)) > 0)
+      FROM {_EMB_SQL}
     ),
     q AS MATERIALIZED (SELECT embedding AS qe, bucket AS qbucket FROM coded
           WHERE vec_id = {QUERY_VEC_ID})
@@ -226,7 +244,7 @@ def similarity_lsh_ann(
     oracle=f"""
     WITH coded AS (
       SELECT vec_id, embedding, {_srp_code_duckdb('embedding')} AS bucket
-      FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x <> 0)) > 0)
+      FROM {_EMB_SQL}
     )
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
@@ -269,7 +287,7 @@ def similarity_all_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH coded AS (
       SELECT vec_id, embedding, {_srp_code_duckdb('embedding')} AS bucket
-      FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x <> 0)) > 0)
+      FROM {_EMB_SQL}
     ),
     pairs AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -313,7 +331,7 @@ def _ivf_assign_sql_duckdb() -> str:
     """Shared CTE text: rank every vector's centroids by rounded cosine."""
     return f"""
     cents AS (
-      SELECT vec_id AS cid, embedding AS ce FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x <> 0)) > 0)
+      SELECT vec_id AS cid, embedding AS ce FROM {_EMB_SQL}
       WHERE vec_id < {IVF_K}
     ),
     ranked AS (
@@ -324,7 +342,7 @@ def _ivf_assign_sql_duckdb() -> str:
                           CAST(e.embedding AS DOUBLE[]),
                           CAST(c.ce AS DOUBLE[])), 6) DESC, c.cid
              ) AS rn
-      FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x <> 0)) > 0) e CROSS JOIN cents c
+      FROM {_EMB_SQL} e CROSS JOIN cents c
     )"""
 
 
@@ -335,7 +353,7 @@ def _ivf_assign_sql_duckdb() -> str:
     lists AS (SELECT vec_id, embedding, cid FROM ranked WHERE rn = 1),
     qprobe AS MATERIALIZED (SELECT cid FROM ranked
                WHERE vec_id = {QUERY_VEC_ID} AND rn <= {IVF_NPROBE}),
-    q AS MATERIALIZED (SELECT embedding AS qe FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x <> 0)) > 0) WHERE vec_id = {QUERY_VEC_ID})
+    q AS MATERIALIZED (SELECT embedding AS qe FROM {_EMB_SQL} WHERE vec_id = {QUERY_VEC_ID})
     SELECT l.vec_id, l.cid AS probe_list,
            ROUND(list_cosine_similarity(CAST(l.embedding AS DOUBLE[]),
                                         CAST(q.qe AS DOUBLE[])), 6) AS cos_sim
@@ -487,7 +505,7 @@ def _bucket_pairs_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH coded AS (
       SELECT vec_id, embedding, {_srp_code_duckdb('embedding')} AS bucket
-      FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x <> 0)) > 0)
+      FROM {_EMB_SQL}
     )
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
@@ -524,7 +542,7 @@ KNN_K = 3
     oracle=f"""
     WITH coded AS (
       SELECT vec_id, embedding, {_srp_code_duckdb('embedding')} AS bucket
-      FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x <> 0)) > 0)
+      FROM {_EMB_SQL}
     ),
     pairs AS (
       SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
@@ -592,7 +610,7 @@ PQ_K = 16
                x -> x / sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
                                                 CAST(embedding AS DOUBLE[]))))
                AS ne
-      FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x <> 0)) > 0)
+      FROM {_EMB_SQL}
     ),
     sub AS (
       SELECT vec_id, mm.i AS m,
@@ -722,7 +740,7 @@ KMEANS_SCALE = 1_000_000
                x -> x / sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
                                                 CAST(embedding AS DOUBLE[]))))
                AS ne
-      FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x <> 0)) > 0)
+      FROM {_EMB_SQL}
     ),
     cents AS (SELECT vec_id AS cid, ne AS ce FROM n WHERE vec_id < {KMEANS_K}),
     assign AS (
@@ -810,7 +828,7 @@ def similarity_kmeans_step(
     oracle=f"""
     WITH coded AS (
       SELECT vec_id, embedding, {_srp_code_duckdb('embedding')} AS bucket
-      FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x <> 0)) > 0)
+      FROM {_EMB_SQL}
     ),
     pairs AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -1008,9 +1026,9 @@ def similarity_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "similarity_int8_quantize",
-    oracle="""
+    oracle=f"""
     WITH v AS (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x <> 0)) > 0)
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {_EMB_SQL}
     ),
     s AS (
       SELECT vec_id, v,
@@ -1095,7 +1113,7 @@ DRIFT_SCALE = 1_048_576  # 2^20
       SELECT label, vec_id % 2 AS batch, i,
              CAST(floor(CAST(embedding[i] AS DOUBLE) * {DRIFT_SCALE} + 0.5)
                AS BIGINT) AS q
-      FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x <> 0)) > 0), UNNEST(generate_series(1, len(embedding))) AS t(i)
+      FROM {_EMB_SQL}, UNNEST(generate_series(1, len(embedding))) AS t(i)
     ),
     d AS (
       SELECT label, batch, i, SUM(q) AS s, COUNT(*) AS cnt

@@ -1048,11 +1048,17 @@ DETERMINISM_GRID_OPS = [
 @pytest.mark.parametrize("name", DETERMINISM_GRID_OPS)
 def test_shuffle_order_invariance(spark, name):
     from iceberg_explorer_spark.operators import QUERIES
+    from iceberg_explorer_spark.operators.dedup import _SHARED_CANDIDATES
     from tests.conftest import _canonical
 
     spec = QUERIES[name]
 
     def run():
+        # drop the session-shared candidate materialization so graph-family
+        # ops (PageRank) re-run the minhash/banding pipeline under the new
+        # partitioning — otherwise the second run would read the first
+        # run's checkpoint and only test the downstream math
+        _SHARED_CANDIDATES.clear()
         return _canonical(spec.builder(spark, SF_DIR_SMALL).toArrow())
 
     keys = ("spark.sql.shuffle.partitions", "spark.sql.files.maxPartitionBytes")
@@ -1106,7 +1112,9 @@ def test_document_ops_adversarial_corpus(spark, tmp_path):
             i,
             t,
             ["en", "de", "ja"][i % 3],
-            ["web", "books"][i % 2],
+            # third source: int32-overflowing numeric suffix (the quota
+            # derivation must agree on it — no silent prefix reads)
+            ["web", "books", "src21474836470"][i % 3],
             len(t) if t is not None else 0,
         )
         for i, t in enumerate(texts)
@@ -1174,6 +1182,9 @@ def test_embedding_ops_adversarial_corpus(spark, tmp_path):
     ]
     rows.append((len(rows), None, 0))                    # NULL embedding
     rows.append((len(rows), [1.0, 2.0, 3.0], 1))         # ragged (dim 3)
+    holed = [float(x) for x in rng.randn(dim)]
+    holed[7] = None
+    rows.append((len(rows), holed, 2))                   # NULL element
     df = spark.createDataFrame(
         rows, "vec_id long, embedding array<float>, label int"
     )
@@ -1230,6 +1241,11 @@ def test_event_ops_adversarial_corpus(spark, tmp_path):
         None,
         "{}",
         '{"device": null}',
+        '{"k": "abc"}',     # valid JSON, non-numeric k
+        '{"k": 1.5}',       # fractional k (engine casts disagree)
+        '{"k": "-70"}',     # quoted integral k (counts)
+        '{"k": true}',      # boolean k (variant cast would coerce)
+        '{"k": null}',
     ]
     values = [0.0, -1.5, 1e12, None, 0.25]
     rows = []
