@@ -22,6 +22,9 @@ bit-identical doubles.
 
 from __future__ import annotations
 
+import hashlib
+import os
+import threading
 from collections import OrderedDict
 
 from pyspark.sql import DataFrame, SparkSession
@@ -330,16 +333,70 @@ def lsh_candidates(
 
 
 #: session-scoped materializations of the LSH candidate set, keyed by
-#: (spark application id, sf_dir), LRU-bounded: holding a strong reference
-#: pins the checkpointed RDD blocks (ContextCleaner frees them only after
-#: the DataFrame is garbage collected), so an unbounded dict would grow
-#: block-manager memory monotonically in a long-lived session that touches
-#: many corpora (the adversarial sweeps build a fresh tmp corpus per run).
-#: Four slots cover every steady-state workload (the bench and driver use
-#: one sf_dir each; tests use three) while evicted entries become
-#: collectable again.
-_SHARED_CANDIDATES: OrderedDict[tuple[str, str], DataFrame] = OrderedDict()
+#: (spark application id, sf_dir, corpus fingerprint), LRU-bounded: holding
+#: a strong reference pins the checkpointed RDD blocks (ContextCleaner
+#: frees them only after the DataFrame is garbage collected), so an
+#: unbounded dict would grow block-manager memory monotonically in a
+#: long-lived session that touches many corpora (the adversarial sweeps
+#: build a fresh tmp corpus per run). Four slots cover every steady-state
+#: workload (the bench and driver use one sf_dir each; tests use three)
+#: while evicted entries become collectable again.
+_SHARED_CANDIDATES: OrderedDict[tuple[str, str, str], DataFrame] = OrderedDict()
 _SHARED_CANDIDATES_MAX = 4
+#: Guards the check-then-set: the service layer runs each query on its own
+#: daemon thread (lifecycle/executor.py), so without the lock two
+#: concurrent graph-family queries hitting a cold cache would BOTH run the
+#: shingle→minhash→band pipeline and double-materialize the checkpoint
+#: (wasted cluster work + transient double block-manager memory). The lock
+#: is held across the miss-path materialization: a second thread blocks
+#: until the first finishes, then reads its checkpoint. One global lock
+#: (not per-key) is deliberate — cross-corpus concurrent misses are a
+#: test-only shape, and per-key locks would add an in-progress registry
+#: for no production win.
+_SHARED_CANDIDATES_LOCK = threading.Lock()
+
+
+def _corpus_fingerprint(sf_dir: str) -> str:
+    """Cheap content fingerprint of the documents table: the sorted
+    (relative path, size, mtime_ns) listing under ``documents.parquet``,
+    md5-hashed. Folded into the cache key so a corpus REWRITTEN at the
+    same path within one Spark application (``mode('overwrite')``
+    fixtures, a reused sweep path, incremental-ingest style updates)
+    re-materializes instead of silently serving the OLD corpus's
+    candidate pairs. Metadata-only — O(#files) stat calls, no contents
+    read; at production file counts this is the same cost Spark's own
+    file-listing pays per query. A missing path fingerprints as empty
+    (the query itself will then raise the real error)."""
+    root = os.path.join(sf_dir, "documents.parquet")
+    entries = []
+    if os.path.isfile(root):
+        st = os.stat(root)
+        entries.append(("", st.st_size, st.st_mtime_ns))
+    else:
+        for dirpath, _dirs, files in os.walk(root):
+            for name in files:
+                p = os.path.join(dirpath, name)
+                st = os.stat(p)
+                entries.append(
+                    (os.path.relpath(p, root), st.st_size, st.st_mtime_ns)
+                )
+    entries.sort()
+    return hashlib.md5(repr(entries).encode()).hexdigest()
+
+
+def invalidate_shared_candidates(sf_dir: str | None = None) -> None:
+    """Drop cached candidate materializations — all of them, or only the
+    entries for one corpus directory. In-place rewrites are ALSO detected
+    automatically (the content fingerprint is part of the cache key);
+    this helper is for explicit lifecycle control: tests, and long-lived
+    sessions that want the checkpoint blocks collectable NOW rather than
+    at LRU eviction."""
+    with _SHARED_CANDIDATES_LOCK:
+        if sf_dir is None:
+            _SHARED_CANDIDATES.clear()
+        else:
+            for k in [k for k in _SHARED_CANDIDATES if k[1] == sf_dir]:
+                del _SHARED_CANDIDATES[k]
 
 
 def shared_lsh_candidates(
@@ -353,10 +410,13 @@ def shared_lsh_candidates(
     shingle→minhash→band pipeline per report. This mirrors that with a
     session-scoped ``localCheckpoint``: the first caller pays the pipeline,
     every later graph-family operator reads the checkpointed blocks. The
-    registry is keyed by application id (a new session re-materializes)
+    registry is keyed by (application id, corpus dir, corpus content
+    fingerprint) — a new session or a rewritten corpus re-materializes —
     and LRU-bounded: while an entry is cached its strong reference pins
     the checkpoint blocks; once evicted, ContextCleaner frees them when
-    the DataFrame is garbage collected.
+    the DataFrame is garbage collected. Thread-safe: the service layer
+    runs queries on concurrent daemon threads, and the module lock makes
+    a cold-cache race materialize exactly once.
 
     ``hashed``: optional precomputed (doc_id, hb) shingle hashes, used only
     on a cache miss (callers that persist the shingle scan for their own
@@ -367,18 +427,23 @@ def shared_lsh_candidates(
     query itself (``dedup_minhash_lsh``) serves from it too; graph
     consumers project the two id columns.
     """
-    key = (spark.sparkContext.applicationId, sf_dir)
-    df = _SHARED_CANDIDATES.get(key)
-    if df is None:
-        df = lsh_candidates(spark, sf_dir, hashed=hashed).localCheckpoint(
-            eager=True
-        )
-        _SHARED_CANDIDATES[key] = df
-        while len(_SHARED_CANDIDATES) > _SHARED_CANDIDATES_MAX:
-            _SHARED_CANDIDATES.popitem(last=False)
-    else:
-        _SHARED_CANDIDATES.move_to_end(key)
-    return df
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        _corpus_fingerprint(sf_dir),
+    )
+    with _SHARED_CANDIDATES_LOCK:
+        df = _SHARED_CANDIDATES.get(key)
+        if df is None:
+            df = lsh_candidates(spark, sf_dir, hashed=hashed).localCheckpoint(
+                eager=True
+            )
+            _SHARED_CANDIDATES[key] = df
+            while len(_SHARED_CANDIDATES) > _SHARED_CANDIDATES_MAX:
+                _SHARED_CANDIDATES.popitem(last=False)
+        else:
+            _SHARED_CANDIDATES.move_to_end(key)
+        return df
 
 
 @query(

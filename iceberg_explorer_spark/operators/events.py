@@ -136,11 +136,14 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
       -- anything else is "no value" on BOTH engines. Without the regexp
       -- gate the engines genuinely disagree on valid JSON: Spark's
       -- string->int cast truncates '1.5' to 1 where DuckDB's rounds to 2,
-      -- and DuckDB hard-errors on 'abc' where Spark yields NULL.
+      -- and DuckDB hard-errors on 'abc' where Spark yields NULL. TRY_CAST,
+      -- not CAST: an INT32-overflowing integral (e.g. 9999999999) passes
+      -- the regexp gate, and DuckDB CAST would hard-error the whole query
+      -- where Spark's non-ANSI cast yields NULL.
       SELECT event_type,
              CASE WHEN json_valid(props) AND regexp_matches(
                     json_extract_string(props, '$.k'), '^-?[0-9]+$')
-                  THEN CAST(json_extract_string(props, '$.k') AS INTEGER)
+                  THEN TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)
              END AS k
       FROM events
     )
@@ -298,12 +301,14 @@ def events_approx_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- json_valid + integral-number gate: DuckDB's json casts hard-error
     -- on malformed JSON and non-numeric k (and round fractional k) where
     -- Spark's variant path NULLs (and coerces booleans) — the contract
-    -- is integral-JSON-number-or-NULL, identical on both engines
+    -- is integral-JSON-number-or-NULL, identical on both engines.
+    -- TRY_CAST: an int64-overflowing integral (>19 digits) passes the
+    -- regexp gate; DuckDB CAST would error, Spark try_variant_get NULLs.
     WITH x AS (
       SELECT event_id,
              CASE WHEN json_valid(props) AND regexp_matches(
                     json_extract_string(props, '$.k'), '^-?[0-9]+$')
-                  THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+                  THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
              END AS k
       FROM events
       WHERE event_id < 2000

@@ -110,17 +110,28 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "pipeline_stratified_sample",
     oracle="""
+    WITH q AS (
+      -- integral-suffix gate, same contract as the JSON ops: a fractional
+      -- suffix ('src5.9') must fall back to the base quota on BOTH engines
+      -- (Spark CAST truncates 5.9->5 where DuckDB TRY_CAST rounds to 6),
+      -- and TRY_CAST still guards int32 overflow of a gated integral.
+      SELECT source,
+             doc_id,
+             20 + (COALESCE(CASE WHEN regexp_matches(substr(source, 4),
+                                                     '^-?[0-9]+$')
+                                 THEN TRY_CAST(substr(source, 4) AS INTEGER)
+                            END, 0) % 8) * 10 AS target_pct
+      FROM documents
+    )
     SELECT source,
            COUNT(*) AS n_total,
            COUNT(*) FILTER (
              WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
-                   % 100 < 20 + (COALESCE(TRY_CAST(substr(source, 4)
-                                          AS INTEGER), 0) % 8) * 10
+                   % 100 < target_pct
            ) AS n_sampled,
-           CAST(20 + (COALESCE(TRY_CAST(substr(source, 4) AS INTEGER), 0)
-                      % 8) * 10 AS INTEGER) AS target_pct
-    FROM documents
-    GROUP BY source
+           CAST(target_pct AS INTEGER) AS target_pct
+    FROM q
+    GROUP BY source, target_pct
     """,
     doc="Deterministic stratified sampling: per-source quota (derived here "
     "from the source id; a config map in production) applied by hashing the "
@@ -134,19 +145,24 @@ def pipeline_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = F.expr(
         "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % 100"
     )
-    # COALESCE(try-cast, 0): a source without a numeric suffix (the demo
-    # quota derivation) gets the base 20% quota on BOTH engines — Spark's
-    # cast of a non-numeric OR int-overflowing string is already NULL,
-    # while DuckDB's CAST hard-errors, so the oracle uses TRY_CAST to
-    # match. substr(source, 4) with NO length cap, exactly like the
-    # oracle: a capped substring would silently read a PREFIX of a long
-    # numeric suffix (fitting int32 where the full suffix overflows to
-    # NULL→0) and derive a different quota than the oracle.
+    # Integral-suffix gate + COALESCE(try-cast, 0): a source without an
+    # INTEGRAL numeric suffix (the demo quota derivation) gets the base
+    # 20% quota on BOTH engines. The rlike gate is load-bearing for
+    # fractional suffixes ('src5.9'): Spark CAST('5.9' AS INT) truncates
+    # to 5 while DuckDB TRY_CAST rounds to 6 — gated, both fall back to
+    # the base quota. TRY_CAST-equivalent NULL still covers int32
+    # overflow of a gated integral. substr(source, 4) with NO length
+    # cap, exactly like the oracle: a capped substring would silently
+    # read a PREFIX of a long numeric suffix (fitting int32 where the
+    # full suffix overflows to NULL→0) and derive a different quota
+    # than the oracle.
+    suffix = F.expr("substr(source, 4)")
     target = (
         F.lit(20)
         + (
             F.coalesce(
-                F.expr("substr(source, 4)").cast("int"), F.lit(0)
+                F.when(suffix.rlike("^-?[0-9]+$"), suffix.cast("int")),
+                F.lit(0),
             )
             % 8
         )

@@ -43,7 +43,7 @@ IVF_NPROBE = 2
 #: of each clause.
 _EMB_SQL = (
     "(SELECT * FROM embeddings WHERE embedding IS NOT NULL"
-    " AND len(embedding) = 64"
+    f" AND len(embedding) = {DIM}"  # from DIM, same constant as _load_emb
     " AND len(list_filter(embedding, x -> x IS NULL)) = 0"
     " AND len(list_filter(embedding, x -> x <> 0)) > 0)"
 )

@@ -1,0 +1,237 @@
+"""Concurrency behavior: the service layer runs every query on its own
+daemon thread (lifecycle/executor.py), so the shared-candidate cache and
+the executor registry must hold up under concurrent access.
+
+Covers the round-7 items: (1) a cold-cache race on shared_lsh_candidates
+materializes the checkpoint exactly once (a module lock guards the
+check-then-set); (2) an in-place corpus rewrite invalidates the cache via
+the content fingerprint in the key; (3) parallel execute / cancel /
+stream against ONE session keep per-query state isolated.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+
+import pyarrow as pa
+
+from iceberg_explorer_spark.lifecycle.executor import QueryExecutor
+from iceberg_explorer_spark.lifecycle.models import QueryStatus
+from tests.conftest import SF_DIR_SMALL
+
+
+# ---------------------------------------------------------------------------
+# shared_lsh_candidates under a concurrent cold cache
+# ---------------------------------------------------------------------------
+
+
+def test_shared_candidates_materialize_once_under_race(spark, monkeypatch):
+    """Two (here: four) concurrent graph-family queries on a cache miss
+    must run the shingle→minhash→band pipeline ONCE — the pre-lock code
+    double-materialized the checkpoint (wasted cluster work + transient
+    double block-manager memory)."""
+    from iceberg_explorer_spark.operators import dedup
+
+    dedup.invalidate_shared_candidates()
+    calls = []
+    real = dedup.lsh_candidates
+
+    def counting(*args, **kwargs):
+        calls.append(threading.current_thread().name)
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(dedup, "lsh_candidates", counting)
+
+    n = 4
+    barrier = threading.Barrier(n)
+    results: list = [None] * n
+    errors: list = []
+
+    def worker(i: int) -> None:
+        try:
+            barrier.wait(timeout=30)
+            results[i] = dedup.shared_lsh_candidates(spark, SF_DIR_SMALL)
+        except Exception as exc:  # surface into the test thread
+            errors.append(exc)
+
+    threads = [
+        threading.Thread(target=worker, args=(i,), name=f"cand-{i}")
+        for i in range(n)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errors, errors
+    assert len(calls) == 1, f"pipeline ran {len(calls)}×: {calls}"
+    # every thread got the SAME checkpointed frame, and it is usable
+    assert all(r is results[0] for r in results)
+    assert results[0].count() >= 0
+    dedup.invalidate_shared_candidates()
+
+
+def test_shared_candidates_rewrite_invalidates(spark, tmp_path):
+    """Rewriting documents.parquet at the SAME path within one application
+    must re-materialize: the content fingerprint is part of the cache key,
+    so the old corpus's candidate pairs are never served for the new one."""
+    from iceberg_explorer_spark.operators import dedup
+
+    d = str(tmp_path / "rw")
+    dup = "the quick brown fox jumps over the lazy dog again and again"
+    spark.createDataFrame(
+        [(1, dup, "en", "web", len(dup)), (2, dup, "en", "web", len(dup))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    first = dedup.shared_lsh_candidates(spark, d)
+    assert first.count() == 1  # the duplicate pair is a candidate
+
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "one two three four five six seven eight nine",
+    ]
+    spark.createDataFrame(
+        [(i, t, "en", "web", len(t)) for i, t in enumerate(texts, 10)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    second = dedup.shared_lsh_candidates(spark, d)
+    assert second is not first
+    assert second.count() == 0  # no near-dups in the rewritten corpus
+    dedup.invalidate_shared_candidates(d)
+
+
+def test_invalidate_is_scoped_by_dir(spark, tmp_path):
+    from iceberg_explorer_spark.operators import dedup
+
+    dirs = []
+    for name in ("a", "b"):
+        d = str(tmp_path / name)
+        text = f"corpus {name} shares no shingles with the other corpus {name}"
+        spark.createDataFrame(
+            [(1, text, "en", "web", len(text))],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        dirs.append(d)
+    fa = dedup.shared_lsh_candidates(spark, dirs[0])
+    fb = dedup.shared_lsh_candidates(spark, dirs[1])
+    dedup.invalidate_shared_candidates(dirs[0])
+    assert dedup.shared_lsh_candidates(spark, dirs[1]) is fb  # b survives
+    assert dedup.shared_lsh_candidates(spark, dirs[0]) is not fa  # a rebuilt
+    dedup.invalidate_shared_candidates()
+
+
+# ---------------------------------------------------------------------------
+# service executor under parallel queries on ONE session
+# ---------------------------------------------------------------------------
+
+
+def test_parallel_execute_isolated_results(spark):
+    """Six queries racing through one executor: each must land COMPLETED
+    with ITS OWN rows (job-group and registry state are per-query, not
+    per-session)."""
+    ex = QueryExecutor(spark)
+    n = 6
+    out: list = [None] * n
+    errors: list = []
+    barrier = threading.Barrier(n)
+
+    def worker(i: int) -> None:
+        try:
+            barrier.wait(timeout=30)
+            res = ex.execute(
+                f"SELECT COUNT(*) AS c, SUM(id) AS s FROM range({(i + 1) * 1000})"
+            )
+            out[i] = res
+        except Exception as exc:
+            errors.append((i, exc))
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(n)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errors, errors
+    for i, res in enumerate(out):
+        n_i = (i + 1) * 1000
+        assert res.status == QueryStatus.COMPLETED
+        row = pa.Table.from_batches(res.batches).to_pylist()[0]
+        assert row["c"] == n_i and row["s"] == n_i * (n_i - 1) // 2, (i, row)
+
+
+def test_cancel_one_while_others_complete(spark):
+    """Cancel a long-running query mid-flight while short queries race on
+    the same session: only the cancelled query's state flips, the rest
+    complete with correct results (cancelJobGroup is scoped to the query's
+    job group)."""
+    ex = QueryExecutor(spark)
+    slow_done = threading.Event()
+    slow_res: list = []
+
+    def run_slow() -> None:
+        try:
+            # ~2e11 rows to count: minutes of work if not cancelled
+            slow_res.append(ex.execute("SELECT COUNT(*) AS c FROM range(200000000000)"))
+        except Exception as exc:
+            slow_res.append(exc)
+        finally:
+            slow_done.set()
+
+    slow = threading.Thread(target=run_slow, daemon=True)
+    slow.start()
+    # wait for it to register as active
+    for _ in range(200):
+        active = ex.active_queries()
+        if active:
+            break
+        threading.Event().wait(0.05)
+    assert active, "slow query never became active"
+    qid = active[0]
+
+    fast = ex.execute("SELECT 41 + 1 AS answer")
+    assert fast.status == QueryStatus.COMPLETED
+    assert pa.Table.from_batches(fast.batches).to_pylist() == [{"answer": 42}]
+
+    assert ex.cancel(qid) is True
+    assert slow_done.wait(timeout=60), "cancelled query did not unwind"
+    assert ex.get_status(qid).status == QueryStatus.CANCELLED
+    # the fast query's terminal state is untouched by the cancellation
+    assert fast.status == QueryStatus.COMPLETED
+    ex.cleanup(qid)
+
+
+def test_parallel_execute_and_stream(spark):
+    """Execute-and-stream on competing threads: the NDJSON protocol for
+    each query sees only that query's rows (registry lookups race-free)."""
+    from iceberg_explorer_spark.service.streaming_results import stream_results
+
+    ex = QueryExecutor(spark)
+    n = 4
+    payloads: list = [None] * n
+    errors: list = []
+    barrier = threading.Barrier(n)
+
+    def worker(i: int) -> None:
+        try:
+            barrier.wait(timeout=30)
+            res = ex.execute(
+                f"SELECT id, id * {i + 1} AS x FROM range(250) ORDER BY id"
+            )
+            msgs = [json.loads(line) for line in stream_results(res, page_size=250)]
+            payloads[i] = msgs
+        except Exception as exc:
+            errors.append((i, exc))
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(n)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errors, errors
+    for i, msgs in enumerate(payloads):
+        assert msgs[0]["type"] == "metadata" and msgs[0]["total_rows"] == 250
+        rows = [r for m in msgs if m["type"] == "data" for r in m["rows"]]
+        assert len(rows) == 250
+        assert all(r[1] == r[0] * (i + 1) for r in rows), i
+        assert msgs[-1]["type"] == "complete"

@@ -1048,7 +1048,9 @@ DETERMINISM_GRID_OPS = [
 @pytest.mark.parametrize("name", DETERMINISM_GRID_OPS)
 def test_shuffle_order_invariance(spark, name):
     from iceberg_explorer_spark.operators import QUERIES
-    from iceberg_explorer_spark.operators.dedup import _SHARED_CANDIDATES
+    from iceberg_explorer_spark.operators.dedup import (
+        invalidate_shared_candidates,
+    )
     from tests.conftest import _canonical
 
     spec = QUERIES[name]
@@ -1058,7 +1060,7 @@ def test_shuffle_order_invariance(spark, name):
         # ops (PageRank) re-run the minhash/banding pipeline under the new
         # partitioning — otherwise the second run would read the first
         # run's checkpoint and only test the downstream math
-        _SHARED_CANDIDATES.clear()
+        invalidate_shared_candidates()
         return _canonical(spec.builder(spark, SF_DIR_SMALL).toArrow())
 
     keys = ("spark.sql.shuffle.partitions", "spark.sql.files.maxPartitionBytes")
@@ -1113,8 +1115,11 @@ def test_document_ops_adversarial_corpus(spark, tmp_path):
             t,
             ["en", "de", "ja"][i % 3],
             # third source: int32-overflowing numeric suffix (the quota
-            # derivation must agree on it — no silent prefix reads)
-            ["web", "books", "src21474836470"][i % 3],
+            # derivation must agree on it — no silent prefix reads);
+            # fourth: FRACTIONAL suffix (Spark CAST truncates 5.9->5,
+            # DuckDB TRY_CAST rounds to 6 — the integral gate must make
+            # both fall back to the base quota)
+            ["web", "books", "src21474836470", "src5.9"][i % 4],
             len(t) if t is not None else 0,
         )
         for i, t in enumerate(texts)
@@ -1246,6 +1251,9 @@ def test_event_ops_adversarial_corpus(spark, tmp_path):
         '{"k": "-70"}',     # quoted integral k (counts)
         '{"k": true}',      # boolean k (variant cast would coerce)
         '{"k": null}',
+        '{"k": 9999999999}',  # integral, overflows INT32 (CAST vs TRY_CAST)
+        '{"k": 99999999999999999999}',  # >19 digits, overflows INT64 too
+        '{"k": "9999999999"}',  # quoted int32-overflowing integral
     ]
     values = [0.0, -1.5, 1e12, None, 0.25]
     rows = []
