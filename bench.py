@@ -122,14 +122,27 @@ def format_output(
     errors: dict[str, str],
     sf: float | None,
     iters: int,
+    candidate_build: float | None = None,
 ) -> tuple[str, str]:
     """Build the two output lines. The FINAL line is the driver-parseable
     one and must stay compact (< 500 bytes — enforced here, because rounds
     3-4 lost their official perf record to an over-long line): all contract
     keys present, per-query map bounded to the 5 slowest. The detail line
-    carries the complete map."""
+    carries the complete map.
+
+    ``candidate_build`` is the ONE-TIME shared LSH-candidate
+    materialization cost at the target SF, surfaced as its own line item:
+    the min-of-iters protocol reports steady-state (cache-served)
+    graph-family timings, so without this key the build cost would be
+    invisible in the driver artifact (SCALE.md discloses the
+    amortization; this records it)."""
     detail_line = json.dumps(
-        {"detail": "per_query_sec", "queries": timings, "errors": errors}
+        {
+            "detail": "per_query_sec",
+            "queries": timings,
+            "errors": errors,
+            "candidate_build": candidate_build,
+        }
     )
     # Degrade, never die: an oversized final line must shrink (fewer
     # slowest-queries entries), not raise — raising here after a full
@@ -147,6 +160,7 @@ def format_output(
                 "iters": iters,
                 "n_queries": len(timings),
                 "errors": len(errors),
+                "candidate_build": candidate_build,
             }
         )
         if len(final_line) < 500:
@@ -194,6 +208,25 @@ def main() -> None:
             "overwrite"
         ).save()
 
+        # One-time shared LSH-candidate materialization at the TARGET SF,
+        # timed as its own line item (the timed loop below then reports
+        # steady-state cache-served graph-family numbers — the production
+        # amortization model — while this key keeps the build cost
+        # visible in the artifact).
+        candidate_build: float | None = None
+        try:
+            from iceberg_explorer_spark.operators.dedup import (
+                invalidate_shared_candidates,
+                shared_lsh_candidates,
+            )
+
+            invalidate_shared_candidates(SF_DIR)
+            t0 = time.perf_counter()
+            shared_lsh_candidates(spark, SF_DIR)  # eager localCheckpoint
+            candidate_build = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # noqa: BLE001 — never abort the bench
+            errors["candidate_build"] = f"{type(exc).__name__}: {exc}"[:500]
+
         timings: dict[str, float] = {}
         for _ in range(ITERS):
             for name in HEADLINE:
@@ -213,7 +246,9 @@ def main() -> None:
 
         m = re.search(r"sf([0-9.]+)", SF_DIR)
         sf = float(m.group(1).rstrip(".")) if m else None
-        detail_line, final_line = format_output(timings, errors, sf, ITERS)
+        detail_line, final_line = format_output(
+            timings, errors, sf, ITERS, candidate_build
+        )
         # Detail line: the complete per-query map, own line, parse-optional.
         print(detail_line)
         sys.stdout.flush()

@@ -107,6 +107,24 @@ def build_session(
     extra_conf: Mapping[str, str] | None = None,
     cpus: str | int | None = None,
 ) -> SparkSession:
+    """Build the engine's SparkSession (tuned conf; see ``default_conf``).
+
+    Embedder warning — session conf side effect: the engine's table loader
+    (``sources/registry.load_table``, the choke point every operator passes
+    through) PINS two runtime confs on whatever session it is given:
+    ``spark.sql.session.timeZone=UTC`` and ``spark.sql.ansi.enabled=false``.
+    That is the engine's declared semantics contract (naive-UTC calendar
+    math, permissive NULL-on-bad-cast SQL — what the differential oracles
+    encode), and it is idempotent: this builder already sets both, so
+    sessions created here never observe a change. But an embedder passing
+    its OWN session should know the pin is global to that session: queries
+    it runs OUTSIDE this engine will also see UTC + non-ANSI afterwards.
+    Escape hatch: run the engine on a dedicated session (this factory),
+    or read ``spark.conf.get(...)`` before invoking the engine and restore
+    the two keys after — both are plain runtime-settable confs, and the
+    engine re-pins them on every ``load_table`` call, so restoring between
+    engine calls is always safe. (tests/test_config.py pins idempotence.)
+    """
     builder = SparkSession.builder.appName(app_name)
     if master:
         builder = builder.master(master)

@@ -7,8 +7,15 @@ the same parquet tables, then compare row count, column-name set, and a
 value hash (columns sorted by name, every cell stringified, rows sorted).
 This predicted round 4's 50/50 green before the driver ran.
 
-Usage: python scripts/gate_sim.py  [--sf-dir /root/testdata/sf0.01]
+Usage: python scripts/gate_sim.py [--default-session] [--all]
 Prints one line per query and a final summary; exit code 1 on any mismatch.
+
+``--default-session`` replays the worst-case driver session (bare conf:
+ANSI on, machine timezone) to prove the load_table choke-point pins.
+``--all`` widens the sweep from the driver's 50-slot window to EVERY
+registered query — the regression net for operators the rotating window
+won't reach this round (a changed out-of-window operator is otherwise
+only caught one round later, when its slot comes up).
 """
 
 from __future__ import annotations
@@ -70,7 +77,7 @@ def main() -> int:
             f"read_parquet('{SF_DIR}/{t}.parquet')"
         )
 
-    window = list(QUERIES)[:50]
+    window = list(QUERIES) if "--all" in sys.argv else list(QUERIES)[:50]
     bad: list[str] = []
     t_start = time.perf_counter()
     for name in window:

@@ -27,7 +27,7 @@ def _fake_timings(n):
 
 def test_final_line_compact_at_current_headline_size():
     timings = {name: 1.234 for name in HEADLINE}
-    detail, final = format_output(timings, {}, 0.1, 2)
+    detail, final = format_output(timings, {}, 0.1, 2, candidate_build=1.337)
     assert len(final) < 500, len(final)
     parsed = json.loads(final)
     assert parsed["metric"] == "headline_queries_wall_sec"
@@ -36,8 +36,11 @@ def test_final_line_compact_at_current_headline_size():
     assert parsed["errors"] == 0
     assert len(parsed["queries"]) <= 5
     assert parsed["value"] == round(sum(timings.values()), 3)
+    # the one-time candidate build cost is its own line item on BOTH lines
+    assert parsed["candidate_build"] == 1.337
     # detail line carries the FULL map
     assert json.loads(detail)["queries"] == timings
+    assert json.loads(detail)["candidate_build"] == 1.337
 
 
 def test_final_line_compact_even_at_200_queries_with_errors():
