@@ -68,19 +68,35 @@ against exact answers).
   round-5 first-timer has two. Displaced multi-green queries remain
   covered every round by tests/test_differential.py; the 3 sketch ops
   stay out by design.
-- round 7 (plan): with coverage closed, the priority flips from
-  never-checked to RECENTLY-CHANGED: round 6's hardening materially
-  changed several operators whose only driver-green rows predate the
-  change and which sit OUTSIDE the r6 window (events_json_extract,
-  events_variant_shred, multimodal_frame_sample,
+- round 7 (current): CORRECTNESS_r06 came back 50/50 green (third
+  consecutive perfect round), so the planned rotation executes exactly
+  as written, with the priority flipped from never-checked to
+  RECENTLY-CHANGED: the 14 operators round 6's hardening materially
+  changed whose driver rows predate the change rotate IN
+  (events_json_extract, events_variant_shred, multimodal_frame_sample,
   multimodal_decode_features, pipeline_token_shards,
   pipeline_stratified_sample, text_token_count,
   similarity_bruteforce_topk, similarity_lsh_ann, similarity_ivf_topk,
   similarity_knn_join, dedup_embedding_cosine, dedup_ngram_jaccard,
-  dedup_clusters — all driver-contract-driven green at sf0.01 in-session
-  and differential-green, but without a post-change driver row). Rotate
-  those in, give the 18 round-6 first-timers their second row with the
-  remaining slots, keep the flagship + family representatives.
+  dedup_clusters) — round 7's own fixes (TRY_CAST overflow contract in
+  the JSON-k oracles, the stratified-sample integral-suffix gate, the
+  DIM-derived similarity length gate) also land inside this group, so
+  their rows are post-change twice over. The remaining slots: flagship
+  (never displaced) + the 18 round-6 first-timers (second row) + the
+  4 multi-green family representatives + the 13 queries with the
+  STALEST driver evidence (last green r2: dedup_simhash,
+  left_join_order_lines, window_ship_gaps, topk_orders,
+  scalar_date_functions, cte_above_avg_orders, percentile_order_price,
+  explode_word_frequencies, conditional_agg_order_status,
+  null_semantics, range_join_ship_window, dedup_exact,
+  dedup_keep_best) — 1 + 14 + 18 + 4 + 13 = 50 exactly.
+  percentile_approx_order_price (r1, stalest of all) stays out by
+  design: it is a no-oracle sketch op, and the window pin requires
+  every slot to be oracle-bearing (its exact-answer bound runs in the
+  local suite every round).
+- round 8 (plan): rotate in the remaining r4-stale queries (the ~37
+  whose last driver row is r4) a cohort at a time, keeping flagship +
+  family representatives; prioritize any operator rounds 7-8 modify.
 """
 
 from iceberg_explorer_spark.operators.registry import QUERIES, QuerySpec, query  # noqa: F401
@@ -99,7 +115,25 @@ from iceberg_explorer_spark.operators import pipeline  # noqa: E402,F401
 _CHECK_WINDOW = [
     # flagship first (never displaced)
     "pipeline_clean_corpus",
-    # --- the 18 round-5 operators, first driver check (r6 rotation) ---
+    # --- the 14 operators round 6's hardening modified whose driver rows
+    # predate the change (r7 priority: RECENTLY-CHANGED; r6/r7 fixes to
+    # the JSON-k TRY_CAST contract, the stratified-sample integral gate,
+    # and the similarity input contract land fresh post-change rows) ---
+    "events_json_extract",
+    "events_variant_shred",
+    "multimodal_frame_sample",
+    "multimodal_decode_features",
+    "pipeline_token_shards",
+    "pipeline_stratified_sample",
+    "text_token_count",
+    "similarity_bruteforce_topk",
+    "similarity_lsh_ann",
+    "similarity_ivf_topk",
+    "similarity_knn_join",
+    "dedup_embedding_cosine",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    # --- the 18 round-6 first-timers: second driver row ---
     "dedup_pagerank_step",
     "dedup_source_overlap_matrix",
     "dedup_jaccard_threshold_sweep",
@@ -118,39 +152,25 @@ _CHECK_WINDOW = [
     "pipeline_pack_efficiency",
     "parts_abc_pareto",
     "orders_seasonality_index",
-    # --- the 27 queries whose only green row is r5: second driver row ---
-    "dedup_candidate_triangles",
-    "dedup_incremental_ingest",
-    "dedup_semantic_keep_best",
-    "dedup_span_boilerplate",
-    "events_dau_wau_stickiness",
-    "events_markov_transitions",
-    "events_resample_gapfill",
-    "events_user_retention",
-    "group_by_all_status_priority",
-    "lateral_top_orders",
-    "market_basket_part_pairs",
-    "multimodal_audio_energy",
-    "multimodal_patch_tokens",
-    "orders_yoy_growth",
-    "pipeline_chunk_documents",
-    "pipeline_chunk_pack",
-    "pipeline_dataset_card",
-    "pipeline_epoch_plan",
-    "rfm_customer_segments",
-    "similarity_ann_recall_report",
-    "similarity_kmeans_step",
-    "similarity_pq_adc_topk",
-    "text_bpe_pair_freq",
-    "text_length_histogram",
-    "text_tfidf_source_terms",
-    "unpivot_customer_metrics",
-    "window_distribution_functions",
     # --- one multi-green representative per core family ---
     "pricing_summary",
     "join_revenue_by_nation",
     "dedup_minhash_lsh",
     "events_tumbling_window",
+    # --- the 13 stalest evidence rows (last driver-green r2) ---
+    "dedup_simhash",
+    "left_join_order_lines",
+    "window_ship_gaps",
+    "topk_orders",
+    "scalar_date_functions",
+    "cte_above_avg_orders",
+    "percentile_order_price",
+    "explode_word_frequencies",
+    "conditional_agg_order_status",
+    "null_semantics",
+    "range_join_ship_window",
+    "dedup_exact",
+    "dedup_keep_best",
 ]
 
 
