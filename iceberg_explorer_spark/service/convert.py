@@ -22,7 +22,14 @@ def arrow_rows(batch: pa.RecordBatch) -> list[list[Any]]:
 
 
 def json_value(value: Any) -> Any:
-    """JSON-safe scalar (reference _convert_value, api/routes/query.py:74-80)."""
+    """JSON-safe scalar (reference _convert_value, api/routes/query.py:74-80).
+
+    Recurses into list/dict values: Arrow surfaces struct columns as dicts
+    and array columns as lists, and a nested datetime/bytes/Decimal would
+    otherwise kill ``json.dumps`` for the whole NDJSON stream. The
+    reference never crashes here — its pydantic ``model_dump_json`` edge
+    serializes nested datetimes/bytes the same way — so recursion is the
+    behavior-parity fix, not an extension."""
     if value is None:
         return None
     if isinstance(value, (dt.datetime, dt.date, dt.time)):
@@ -31,13 +38,14 @@ def json_value(value: Any) -> Any:
         return value.hex()
     if isinstance(value, dt.timedelta):
         return value.total_seconds()
-    try:
-        import decimal
+    if isinstance(value, list):
+        return [json_value(v) for v in value]
+    if isinstance(value, dict):
+        return {k: json_value(v) for k, v in value.items()}
+    import decimal
 
-        if isinstance(value, decimal.Decimal):
-            return str(value)
-    except ImportError:  # pragma: no cover
-        pass
+    if isinstance(value, decimal.Decimal):
+        return str(value)
     return value
 
 

@@ -313,3 +313,55 @@ def test_ndjson_value_round_trip_full_type_matrix():
                         assert decimal.Decimal(rt) == orig  # exact, stringified
                     else:
                         assert rt == orig
+
+
+def test_ndjson_nested_temporal_and_binary_values():
+    """Struct and array columns carrying datetimes/bytes/decimals must
+    stream: pre-fix, json_value returned nested dicts/lists untouched and
+    json.dumps raised TypeError, killing the whole NDJSON response for any
+    query with a nested temporal column (the reference's pydantic edge
+    serializes these, so crashing was a parity break)."""
+    import decimal
+
+    from iceberg_explorer_spark.service.convert import json_value
+
+    nested = {
+        "when": dt.datetime(2024, 6, 1, 12, 30),
+        "blob": b"\x01\x02",
+        "amt": decimal.Decimal("9.99"),
+        "tags": [dt.date(2024, 1, 1), None],
+    }
+    out = json.dumps(json_value([nested, None]))  # must not raise
+    decoded = json.loads(out)
+    assert decoded[0]["when"] == "2024-06-01T12:30:00"
+    assert decoded[0]["blob"] == "0102"
+    assert decoded[0]["amt"] == "9.99"
+    assert decoded[0]["tags"] == ["2024-01-01", None]
+    assert decoded[1] is None
+
+
+def test_ndjson_stream_with_nested_timestamp_column():
+    """End-to-end: a result table with array<timestamp> and
+    struct<ts timestamp> columns streams complete NDJSON."""
+    table = pa.table(
+        {
+            "id": [1, 2],
+            "times": pa.array(
+                [[dt.datetime(2024, 1, 1)], None],
+                pa.list_(pa.timestamp("us")),
+            ),
+            "meta": pa.array(
+                [{"ts": dt.datetime(2024, 5, 5, 5)}, None],
+                pa.struct([("ts", pa.timestamp("us"))]),
+            ),
+        }
+    )
+    res = QueryResult(sql="SELECT ...")
+    res.set_result(table)
+    res.status = QueryStatus.COMPLETED
+    msgs = parse(stream_results(res, page_size=100))
+    assert msgs[-1]["type"] == "complete"
+    rows = [r for m in msgs if m["type"] == "data" for r in m["rows"]]
+    assert rows[0][1] == ["2024-01-01T00:00:00"]
+    assert rows[0][2] == {"ts": "2024-05-05T05:00:00"}
+    assert rows[1][1] is None and rows[1][2] is None
