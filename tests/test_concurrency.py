@@ -235,3 +235,51 @@ def test_parallel_execute_and_stream(spark):
         assert len(rows) == 250
         assert all(r[1] == r[0] * (i + 1) for r in rows), i
         assert msgs[-1]["type"] == "complete"
+
+
+def test_concurrent_csv_exports_are_isolated():
+    """Two CSV exports draining on competing threads must each emit a
+    complete, self-consistent byte stream (stream_csv keeps per-call
+    buffer state; a shared/global buffer would interleave rows across
+    downloads)."""
+    import csv as _csv
+    import io
+
+    from iceberg_explorer_spark.lifecycle.models import QueryResult
+    from iceberg_explorer_spark.service.export import stream_csv
+
+    def make(n, tag):
+        res = QueryResult(sql="SELECT ...")
+        res.set_result(
+            pa.table({"id": list(range(n)), "tag": [tag] * n})
+        )
+        res.status = QueryStatus.COMPLETED
+        return res
+
+    specs = [(3000, "alpha"), (2000, "beta"), (2500, "gamma")]
+    outputs: list = [None] * len(specs)
+    errors: list = []
+    barrier = threading.Barrier(len(specs))
+
+    def worker(i: int, n: int, tag: str) -> None:
+        try:
+            barrier.wait(timeout=30)
+            outputs[i] = b"".join(stream_csv(make(n, tag))).decode("utf-8")
+        except Exception as exc:
+            errors.append((i, exc))
+
+    threads = [
+        threading.Thread(target=worker, args=(i, n, tag))
+        for i, (n, tag) in enumerate(specs)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    assert not errors, errors
+    for (n, tag), raw in zip(specs, outputs):
+        rows = list(_csv.reader(io.StringIO(raw)))
+        assert rows[0] == ["id", "tag"]
+        assert len(rows) == n + 1
+        assert all(r[1] == tag for r in rows[1:])  # no cross-export bleed
+        assert [int(r[0]) for r in rows[1:]] == list(range(n))
