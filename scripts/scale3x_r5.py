@@ -67,6 +67,8 @@ OP_TABLE = {
     "multimodal_frame_sample": "documents",
     "pipeline_chunk_documents": "documents",
     "text_token_count": "documents",
+    # round-7 semantic change (integral-suffix rlike gate on the quota)
+    "pipeline_stratified_sample": "documents",
 }
 
 
