@@ -365,3 +365,57 @@ def test_ndjson_stream_with_nested_timestamp_column():
     assert rows[0][1] == ["2024-01-01T00:00:00"]
     assert rows[0][2] == {"ts": "2024-05-05T05:00:00"}
     assert rows[1][1] is None and rows[1][2] is None
+
+
+# ---------------------------------------------------------------------------
+# Generative property: ARBITRARY nested values (hypothesis) through the
+# serialization edge — beyond the hand-built matrix, shrinks any failure.
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_scalars = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-(2**63), max_value=2**63 - 1),
+    st.floats(allow_nan=False, allow_infinity=False, width=64),
+    st.text(max_size=40),
+    st.binary(max_size=20),
+    st.datetimes(
+        min_value=dt.datetime(1, 1, 1), max_value=dt.datetime(9999, 12, 31)
+    ),
+    st.dates(),
+    st.decimals(allow_nan=False, allow_infinity=False, places=4),
+)
+_nested = st.recursive(
+    _scalars,
+    lambda inner: st.one_of(
+        st.lists(inner, max_size=4),
+        st.dictionaries(st.text(max_size=8), inner, max_size=4),
+    ),
+    max_leaves=12,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(value=_nested)
+def test_json_value_always_json_serializable(value):
+    """json.dumps(json_value(v)) must never raise, for any nesting of the
+    type matrix; NULLs survive at any depth; decimals stay exact strings."""
+    from iceberg_explorer_spark.service.convert import json_value
+
+    encoded = json.dumps(json_value(value))  # the property: no TypeError
+    json.loads(encoded)
+
+
+@settings(max_examples=200, deadline=None)
+@given(value=_scalars)
+def test_csv_cell_total_and_reference_identical(value):
+    """csv_cell is total over the scalar matrix and byte-identical to the
+    reference rule for every generated value."""
+    from iceberg_explorer_spark.service.convert import csv_cell
+
+    out = csv_cell(value)
+    assert isinstance(out, str)
+    assert out == _reference_format_value(value)
