@@ -38,7 +38,9 @@ def json_value(value: Any) -> Any:
         return value.hex()
     if isinstance(value, dt.timedelta):
         return value.total_seconds()
-    if isinstance(value, list):
+    if isinstance(value, (list, tuple)):
+        # tuple: Arrow surfaces map<k,v> cells as lists of (key, value)
+        # tuples — serialized as 2-element arrays, values recursed
         return [json_value(v) for v in value]
     if isinstance(value, dict):
         return {k: json_value(v) for k, v in value.items()}

@@ -419,3 +419,23 @@ def test_csv_cell_total_and_reference_identical(value):
     out = csv_cell(value)
     assert isinstance(out, str)
     assert out == _reference_format_value(value)
+
+
+def test_ndjson_map_typed_column_with_timestamps():
+    """Arrow surfaces map<k,v> cells as lists of (key, value) TUPLES —
+    the recursion must descend into them (a map<string,timestamp> cell
+    otherwise still crashed json.dumps after the list/dict fix)."""
+    from iceberg_explorer_spark.service.convert import json_value
+
+    table = pa.table(
+        {
+            "m": pa.array(
+                [[("born", dt.datetime(2024, 3, 1))], None],
+                pa.map_(pa.string(), pa.timestamp("us")),
+            )
+        }
+    )
+    cells = table.column("m").to_pylist()
+    out = json.loads(json.dumps([json_value(c) for c in cells]))
+    assert out[0] == [["born", "2024-03-01T00:00:00"]]
+    assert out[1] is None
