@@ -260,3 +260,78 @@ def test_served_over_real_http(app):
             assert e.code == 404
     finally:
         server.shutdown()
+
+
+def test_served_http_concurrent_execute_stream_export(app):
+    """The ThreadingHTTPServer handles overlapping requests against ONE
+    session: N clients concurrently execute + stream + CSV-export distinct
+    queries and each gets only its own rows back — the served-app level of
+    the executor-level isolation pinned in tests/test_concurrency.py."""
+    import json as _json
+    import threading
+    import urllib.request
+
+    from iceberg_explorer_spark.service.httpd import serve
+
+    server = serve(app, port=0)
+    port = server.server_address[1]
+    base = f"http://127.0.0.1:{port}"
+    n = 4
+    results: list = [None] * n
+    errors: list = []
+    barrier = threading.Barrier(n)
+
+    def worker(i: int) -> None:
+        try:
+            barrier.wait(timeout=30)
+            limit = (i + 1) * 5
+            req = urllib.request.Request(
+                f"{base}/api/v1/query/execute",
+                data=_json.dumps(
+                    {
+                        "sql": "SELECT n_nationkey FROM nation "
+                        f"ORDER BY n_nationkey LIMIT {limit}"
+                    }
+                ).encode(),
+                headers={"Content-Type": "application/json"},
+                method="POST",
+            )
+            with urllib.request.urlopen(req) as r:
+                qid = _json.loads(r.read())["query_id"]
+            with urllib.request.urlopen(
+                f"{base}/api/v1/query/{qid}/results?page_size=100"
+            ) as r:
+                msgs = [
+                    _json.loads(line) for line in r.read().splitlines() if line
+                ]
+            rows = [
+                row
+                for m in msgs
+                if m["type"] == "data"
+                for row in m["rows"]
+            ]
+            req = urllib.request.Request(
+                f"{base}/api/v1/export/csv",
+                data=_json.dumps({"query_id": qid}).encode(),
+                headers={"Content-Type": "application/json"},
+                method="POST",
+            )
+            with urllib.request.urlopen(req) as r:
+                csv_lines = r.read().decode().strip().splitlines()
+            results[i] = (limit, rows, csv_lines)
+        except Exception as exc:  # surface into the main thread
+            errors.append((i, exc))
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(n)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    try:
+        assert not errors, errors
+        for limit, rows, csv_lines in results:
+            assert [r[0] for r in rows] == list(range(limit))  # own rows only
+            assert csv_lines[0] == "n_nationkey"
+            assert [int(x) for x in csv_lines[1:]] == list(range(limit))
+    finally:
+        server.shutdown()
