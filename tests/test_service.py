@@ -439,3 +439,41 @@ def test_ndjson_map_typed_column_with_timestamps():
     out = json.loads(json.dumps([json_value(c) for c in cells]))
     assert out[0] == [["born", "2024-03-01T00:00:00"]]
     assert out[1] is None
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    n_rows=st.integers(min_value=0, max_value=1200),
+    offset=st.integers(min_value=0, max_value=1500),
+    page_size=st.sampled_from([100, 250, 500, 1000]),
+    batch_split=st.integers(min_value=1, max_value=7),
+)
+def test_pagination_slice_equivalence(n_rows, offset, page_size, batch_split):
+    """Generative pagination contract: for ANY result size, Arrow batch
+    segmentation, offset, and page size, the streamed data rows equal the
+    plain Python slice rows[offset : offset + page_size] — no off-by-one
+    at batch seams, no dependence on how Arrow happened to chunk."""
+    table = pa.table(
+        {"id": list(range(n_rows)), "v": [i * 3 for i in range(n_rows)]}
+    )
+    res = QueryResult(sql="SELECT ...")
+    # re-chunk the table so batch boundaries land at arbitrary places
+    if n_rows:
+        size = max(1, n_rows // batch_split)
+        batches = [
+            b
+            for chunk_start in range(0, n_rows, size)
+            for b in table.slice(chunk_start, size).to_batches()
+        ]
+        res.set_result(pa.Table.from_batches(batches, table.schema))
+    else:
+        res.set_result(table)
+    res.status = QueryStatus.COMPLETED
+
+    msgs = parse(stream_results(res, page_size=page_size, offset=offset))
+    rows = [r for m in msgs if m["type"] == "data" for r in m["rows"]]
+    want = [[i, i * 3] for i in range(n_rows)][offset : offset + page_size]
+    assert rows == want
+    assert msgs[0]["type"] == "metadata" and msgs[0]["total_rows"] == n_rows
+    assert msgs[-1]["type"] == "complete"
+    assert msgs[-1]["rows_returned"] == len(want)
