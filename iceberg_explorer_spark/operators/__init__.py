@@ -96,7 +96,10 @@ against exact answers).
   local suite every round).
 - round 8 (plan): rotate in the remaining r4-stale queries (the ~37
   whose last driver row is r4) a cohort at a time, keeping flagship +
-  family representatives; prioritize any operator rounds 7-8 modify.
+  family representatives; prioritize any operator rounds 7-8 modify,
+  and give round 7's new operator (dedup_containment — registered
+  out-of-window, full-registry gate-sim green + differential + sweep
+  + plan-pin covered) its FIRST driver row.
 """
 
 from iceberg_explorer_spark.operators.registry import QUERIES, QuerySpec, query  # noqa: F401

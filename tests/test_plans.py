@@ -95,6 +95,14 @@ def test_ngram_jaccard_candidate_broadcast_is_gated(spark):
     assert pi.broadcast_join_count(df) >= 1
 
 
+def test_containment_candidate_broadcast_is_gated(spark):
+    df = build(spark, "dedup_containment")
+    # same discipline as the Jaccard verifier it shares its set build
+    # with: size-gated, never hint-forced — candidate pairs grow with
+    # the corpus
+    assert pi.broadcast_hint_count(df) == 0
+    assert pi.broadcast_join_count(df) >= 1
+
 def test_similarity_bruteforce_broadcasts_query_vector(spark):
     df = build(spark, "similarity_bruteforce_topk")
     assert pi.broadcast_join_count(df) >= 1

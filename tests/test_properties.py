@@ -1554,3 +1554,50 @@ def test_shared_candidates_cache_isolated_by_corpus(spark, tmp_path):
     assert c2.count() == 0        # no near-dups in corpus2
     # and the cache HIT path returns the same materialization per corpus
     assert shared_lsh_candidates(spark, d1) is c1
+
+
+def test_containment_flags_asymmetric_inclusion(spark):
+    """The containment verifier's reason to exist: a short document whose
+    text is fully embedded in a longer one must score containment 1.0
+    while its union-diluted Jaccard stays under the near-dup bar — so the
+    pair is labeled 'containment', the class symmetric Jaccard dedup
+    under-reports. Driven directly through containment_verify with an
+    explicit candidate pair (LSH recall of low-Jaccard pairs is
+    probabilistic and out of scope here — documented in the operator)."""
+    from pyspark.sql import functions as F
+
+    from iceberg_explorer_spark.operators.dedup import (
+        _SHINGLE_HASH,
+        _shingle_array,
+        _words,
+        containment_verify,
+    )
+
+    short = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    longer = (
+        short
+        + " lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi "
+        "omega one two three four five six seven eight nine ten eleven "
+        "twelve thirteen fourteen fifteen sixteen"
+    )
+    docs = spark.createDataFrame(
+        [(1, short), (2, longer), (3, "unrelated words entirely different")],
+        ["doc_id", "text"],
+    )
+    words = docs.select("doc_id", _words().alias("w"))
+    sh = (
+        words.select("doc_id", F.explode(_shingle_array()).alias("s"))
+        .select("doc_id", F.expr(_SHINGLE_HASH).alias("hb"))
+        .distinct()
+    )
+    cands = spark.createDataFrame([(1, 2), (1, 3)], ["doc_a", "doc_b"])
+    out = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in containment_verify(cands, sh).collect()
+    }
+    assert (1, 2) in out, out
+    r = out[(1, 2)]
+    assert r["containment"] == 1.0  # short's shingles all inside longer
+    assert r["relation"] == "containment"  # jaccard is diluted: n_a/n_b
+    assert r["n_common"] == r["n_a"] and r["n_b"] > r["n_a"]
+    assert (1, 3) not in out  # unrelated pair does not survive the bar
