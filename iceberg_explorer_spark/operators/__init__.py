@@ -97,9 +97,10 @@ against exact answers).
 - round 8 (plan): rotate in the remaining r4-stale queries (the ~37
   whose last driver row is r4) a cohort at a time, keeping flagship +
   family representatives; prioritize any operator rounds 7-8 modify,
-  and give round 7's new operator (dedup_containment — registered
-  out-of-window, full-registry gate-sim green + differential + sweep
-  + plan-pin covered) its FIRST driver row.
+  and give round 7's new operators (dedup_containment and
+  dedup_containment_probe — registered out-of-window, full-registry
+  gate-sim green + differential + sweep + plan-pin covered) their
+  FIRST driver rows.
 """
 
 from iceberg_explorer_spark.operators.registry import QUERIES, QuerySpec, query  # noqa: F401

@@ -775,6 +775,116 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+#: Rare-shingle probe index (the containment CANDIDATE generator LSH can't
+#: be): a probe shingle must appear in at most DF_CAP documents, each doc
+#: probes with its PROBE_K rarest, and a pair must share at least
+#: PROBE_MIN_SHARED probed shingles. Fanout per probe row is bounded by
+#: DF_CAP, so candidate volume is ≤ corpus_docs × PROBE_K × DF_CAP however
+#: skewed the shingle distribution — boilerplate shingles (df > cap) never
+#: enter the index at all.
+PROBE_DF_CAP = 64
+PROBE_K = 8
+PROBE_MIN_SHARED = 2
+
+
+@query(
+    "dedup_containment_probe",
+    oracle=f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    shh AS (
+      SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS hb FROM sh
+    ),
+    freq AS (SELECT hb, COUNT(*) AS df FROM shh GROUP BY hb),
+    probes AS (
+      SELECT doc_id, hb FROM (
+        SELECT s.doc_id, s.hb,
+               ROW_NUMBER() OVER (PARTITION BY s.doc_id
+                                  ORDER BY f.df, s.hb) AS rn
+        FROM shh s JOIN freq f ON s.hb = f.hb
+        WHERE f.df <= {PROBE_DF_CAP}
+      ) WHERE rn <= {PROBE_K}
+    ),
+    cands AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT LEAST(p.doc_id, s.doc_id) AS doc_a,
+               GREATEST(p.doc_id, s.doc_id) AS doc_b,
+               COUNT(DISTINCT p.hb) AS n_shared_rare
+        FROM probes p JOIN shh s ON p.hb = s.hb AND p.doc_id <> s.doc_id
+        GROUP BY 1, 2
+      ) WHERE n_shared_rare >= {PROBE_MIN_SHARED}
+    ),
+    capped AS (
+      SELECT doc_id, hb FROM (
+        SELECT doc_id, hb,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hb) AS rn
+        FROM shh
+      ) WHERE rn <= {JACCARD_MAX_DOC_SHINGLES}
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM capped GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+      FROM cands c
+      JOIN capped a ON a.doc_id = c.doc_a
+      JOIN capped b ON b.doc_id = c.doc_b AND b.hb = a.hb
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT i.doc_a, i.doc_b, sa.n AS n_a, sb.n AS n_b, i.n_common,
+           i.n_common * 1.0 / LEAST(sa.n, sb.n) AS containment,
+           CASE WHEN i.n_common * 1.0 / (sa.n + sb.n - i.n_common)
+                     >= {CONTAINMENT_NEAR_DUP_J}
+                THEN 'near_duplicate' ELSE 'containment' END AS relation
+    FROM inter i
+    JOIN sz sa ON sa.doc_id = i.doc_a
+    JOIN sz sb ON sb.doc_id = i.doc_b
+    WHERE i.n_common * 1.0 / LEAST(sa.n, sb.n) >= {CONTAINMENT_TAU}
+    """,
+    doc="Containment dedup with a RARE-SHINGLE probe index as the candidate "
+    "generator — the recall path Jaccard-tuned MinHash bands cannot be: a "
+    "tiny document fully embedded in a huge one has near-zero Jaccard (so "
+    "LSH bands never collide) but shares the small doc's rare shingles, "
+    "which the probe join finds directly. Bounded by construction at any "
+    "scale: only shingles with document frequency ≤ PROBE_DF_CAP enter the "
+    "index (boilerplate never does), each doc probes its PROBE_K rarest, "
+    "so per-probe fanout ≤ DF_CAP and candidate volume ≤ docs × K × cap — "
+    "no bucket can go quadratic. Plan: one df aggregation, one bounded "
+    "probe join, then the shared containment verify (candidate-only "
+    "joins, bottom-k cap). The standard pairing: LSH for symmetric "
+    "near-dups (dedup_containment), the inverted probe index for "
+    "asymmetric inclusion — together they cover the overlap spectrum. "
+    "reference: no analogue — training-pipeline extension.",
+)
+def dedup_containment_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    sh = hashed_shingles(spark, sf_dir).persist()
+    freq = sh.groupBy("hb").agg(F.count(F.lit(1)).alias("df"))
+    rare = sh.join(freq, "hb").filter(F.col("df") <= PROBE_DF_CAP)
+    w = W.partitionBy("doc_id").orderBy("df", "hb")
+    probes = (
+        rare.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= PROBE_K)
+        .select("doc_id", "hb")
+    )
+    hits = (
+        probes.alias("p")
+        .join(sh.alias("s"), "hb")
+        .filter(F.col("p.doc_id") != F.col("s.doc_id"))
+        .select(
+            F.least("p.doc_id", "s.doc_id").alias("doc_a"),
+            F.greatest("p.doc_id", "s.doc_id").alias("doc_b"),
+            "hb",
+        )
+    )
+    cands = (
+        hits.groupBy("doc_a", "doc_b")
+        .agg(F.countDistinct("hb").alias("n_shared_rare"))
+        .filter(F.col("n_shared_rare") >= PROBE_MIN_SHARED)
+        .select("doc_a", "doc_b")
+    )
+    return containment_verify(cands, sh)
+
+
+# ---------------------------------------------------------------------------
 @query(
     "dedup_clusters",
     oracle=f"""

@@ -103,6 +103,12 @@ def test_containment_candidate_broadcast_is_gated(spark):
     assert pi.broadcast_hint_count(df) == 0
     assert pi.broadcast_join_count(df) >= 1
 
+def test_containment_probe_is_hint_free_and_bounded(spark):
+    df = build(spark, "dedup_containment_probe")
+    # the df table and probe hits are corpus-proportional: nothing may be
+    # hint-forced to broadcast; fanout is bounded by PROBE_DF_CAP instead
+    assert pi.broadcast_hint_count(df) == 0
+
 def test_similarity_bruteforce_broadcasts_query_vector(spark):
     df = build(spark, "similarity_bruteforce_topk")
     assert pi.broadcast_join_count(df) >= 1

@@ -1601,3 +1601,62 @@ def test_containment_flags_asymmetric_inclusion(spark):
     assert r["relation"] == "containment"  # jaccard is diluted: n_a/n_b
     assert r["n_common"] == r["n_a"] and r["n_b"] > r["n_a"]
     assert (1, 3) not in out  # unrelated pair does not survive the bar
+
+
+def test_containment_probe_recalls_tiny_doc_in_huge_doc(spark, tmp_path):
+    """The probe index's reason to exist: a 12-word document embedded
+    verbatim in a ~200-word one has Jaccard ≈ 0.05 — MinHash bands
+    essentially never collide, so the LSH route (dedup_containment)
+    misses the pair — but they share the tiny doc's rare shingles, so
+    the rare-shingle probe join finds it and the verify scores
+    containment 1.0 / relation 'containment'. Checked end-to-end through
+    the registered builder AND its DuckDB oracle on the same crafted
+    corpus."""
+    import duckdb
+
+    from iceberg_explorer_spark.operators import QUERIES
+    from tests.conftest import assert_matches_oracle
+
+    tiny = "quantum flux harmonics destabilize the auxiliary dampener " \
+           "array beyond rated tolerance today"
+    filler = " ".join(f"word{i} common{i % 7} text{i % 13}" for i in range(70))
+    huge = filler + " " + tiny + " " + filler.replace("word", "other")
+    rows = [
+        (1, tiny, "en", "web", len(tiny)),
+        (2, huge, "en", "web", len(huge)),
+        (3, "completely unrelated content about gardening and weather "
+            "patterns in coastal regions", "en", "books", 80),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = str(tmp_path / "probe")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    spec = QUERIES["dedup_containment_probe"]
+    out = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in spec.builder(spark, d).collect()
+    }
+    assert (1, 2) in out, out
+    r = out[(1, 2)]
+    assert r["containment"] == 1.0
+    assert r["relation"] == "containment"
+    assert r["n_b"] > 10 * r["n_a"]  # genuinely asymmetric sizes
+
+    # the LSH route does NOT claim this pair (recall scope is real):
+    lsh_spec = QUERIES["dedup_containment"]
+    lsh_pairs = {
+        (r["doc_a"], r["doc_b"]) for r in lsh_spec.builder(spark, d).collect()
+    }
+    assert (1, 2) not in lsh_pairs
+
+    # and the oracle agrees exactly on this corpus too
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    assert_matches_oracle(
+        spec.builder(spark, d), con, spec.oracle, "dedup_containment_probe"
+    )
