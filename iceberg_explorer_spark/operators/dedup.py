@@ -880,6 +880,15 @@ def dedup_containment_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("hb").alias("n_shared_rare"))
         .filter(F.col("n_shared_rare") >= PROBE_MIN_SHARED)
         .select("doc_a", "doc_b")
+        # Materialize the candidate set before the verify — the same
+        # discipline shared_lsh_candidates gives the LSH family: the
+        # verify references the pair frame from THREE plan branches
+        # (cand_docs union ×2 + the pair join), and without truncation
+        # each branch re-executes the probe pipeline concurrently
+        # (measured: heap thrash and a blown 3× point at sf0.1; with the
+        # checkpoint, flat). Production shape: candidates to parquet,
+        # verify reads the artifact.
+        .localCheckpoint(eager=True)
     )
     return containment_verify(cands, sh)
 

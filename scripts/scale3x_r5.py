@@ -69,6 +69,9 @@ OP_TABLE = {
     "text_token_count": "documents",
     # round-7 semantic change (integral-suffix rlike gate on the quota)
     "pipeline_stratified_sample": "documents",
+    # round-7 additions (containment verify + rare-shingle probe index)
+    "dedup_containment": "documents",
+    "dedup_containment_probe": "documents",
 }
 
 

@@ -1042,6 +1042,8 @@ DETERMINISM_GRID_OPS = [
     "pricing_summary",
     "pipeline_epoch_plan",
     "dedup_simhash",
+    # round-7 additions: integer count ratios must be partition-invariant
+    "dedup_containment_probe",
 ]
 
 
