@@ -100,7 +100,10 @@ against exact answers).
   and give round 7's new operators (dedup_containment and
   dedup_containment_probe — registered out-of-window, full-registry
   gate-sim green + differential + sweep + plan-pin covered) their
-  FIRST driver rows.
+  FIRST driver rows. Bench note for r8: consider adding the two
+  containment ops to bench.py HEADLINE — deliberately NOT done in r7
+  to keep the third consecutive driver-parsed bench point comparable
+  (same 65-query sum).
 """
 
 from iceberg_explorer_spark.operators.registry import QUERIES, QuerySpec, query  # noqa: F401
