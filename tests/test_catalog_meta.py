@@ -148,3 +148,28 @@ def test_column_stats_from_parquet_footers(service, oracle):
 def test_column_stats_unresolvable_is_empty(service):
     # bare temp view: no storage location, no Iceberg catalog → []
     assert service.column_stats([], "lineitem") == []
+
+
+def test_namespace_codec_round_trip_generative():
+    """Hypothesis round-trip for the \\x1f path codec (API contract,
+    reference api/routes/utils.py:9-24): any list of non-empty segments
+    that don't contain the separator must survive build -> parse exactly,
+    and parse must drop empty segments the way the reference's filter
+    does."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    segment = st.text(min_size=1, max_size=20).filter(
+        lambda s: "\x1f" not in s
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(parts=st.lists(segment, max_size=6))
+    def run(parts):
+        assert parse_namespace(build_namespace_path(parts)) == parts
+        # empty segments vanish, exactly like the reference's
+        # `if p` filter — doubled separators are tolerated, not errors
+        padded = "\x1f\x1f".join(parts)
+        assert parse_namespace(padded) == parts
+
+    run()
