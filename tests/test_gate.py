@@ -65,3 +65,75 @@ def test_comments_stripped():
     assert validate_sql_lexical("-- lead\nSELECT 1 /* block */") == "SELECT 1"
     with pytest.raises(InvalidSQLError):
         validate_sql_lexical("/* only a comment */")
+
+
+# ---------------------------------------------------------------------------
+# Generative gate fuzz: read-only enforcement as a PROPERTY, not a matrix.
+# ---------------------------------------------------------------------------
+
+
+def test_gate_fuzz_admitted_statements_are_read_only(spark):
+    """Hypothesis assembles SQL from write-shaped and query-shaped
+    fragments; the property is the gate's actual guarantee: anything
+    ADMITTED parses to a read-only plan (query, or Explain/Describe/Show
+    command) — no generated statement may slip a write/DDL class through,
+    no matter how fragments compose. Rejections just need to be the typed
+    error (never a crash)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from iceberg_explorer_spark.errors import InvalidSQLError
+    from iceberg_explorer_spark.gate import validate_sql
+
+    frags = st.sampled_from(
+        [
+            "SELECT 1",
+            "SELECT * FROM range(3)",
+            "WITH t AS (SELECT 1 AS x) SELECT x FROM t",
+            "EXPLAIN SELECT 1",
+            "SHOW TABLES",
+            "DESCRIBE range(3)",
+            "INSERT INTO t VALUES (1)",
+            "DROP TABLE t",
+            "CREATE TABLE t (x INT)",
+            "DELETE FROM t",
+            "UPDATE t SET x = 1",
+            "MERGE INTO t USING s ON 1=1 WHEN MATCHED THEN DELETE",
+            "TRUNCATE TABLE t",
+            "VACUUM t",
+            "SELECT 1; DROP TABLE t",
+            "-- comment\nSELECT 2",
+            "/* block */ SELECT 3",
+            "",
+            "   ",
+            "garbage ( not sql",
+        ]
+    )
+    glue = st.sampled_from(["", " ", "; ", " UNION ALL ", "\n"])
+
+    @settings(max_examples=150, deadline=None)
+    @given(a=frags, g=glue, b=frags)
+    def run(a, g, b):
+        sql = a + g + b
+        try:
+            body = validate_sql(spark, sql)
+        except InvalidSQLError:
+            return  # rejected with the typed error — fine
+        # ADMITTED: must parse to a read-only plan class
+        cls = (
+            spark._jsparkSession.sessionState()
+            .sqlParser()
+            .parsePlan(body)
+            .getClass()
+            .getSimpleName()
+        )
+        is_command = (
+            cls.endswith(("Command", "Statement"))
+            or "Insert" in cls
+            or "Write" in cls
+        )
+        assert (not is_command) or cls.startswith(
+            ("Explain", "Describe", "Show")
+        ), (sql, cls)
+
+    run()
