@@ -120,3 +120,121 @@ def test_postprocess_filters_then_sorts(df):
         ).collect()
     ]
     assert got == [4, 1, 5] or got == [4, 5, 1]  # 1 and 5 tie at 10.5
+
+
+# ---------------------------------------------------------------------------
+# Generative parity: apply_filters/apply_sort vs an independent Python
+# transcription of the reference UI semantics (query.html:629-715).
+# ---------------------------------------------------------------------------
+
+
+def _ref_filter_match(cell, text, numeric):
+    """Reference applyFilters semantics, transcribed directly."""
+    text = text.strip()
+    if cell is None:
+        return text.lower() == "null"
+    if numeric:
+        import re as _re
+
+        m = _re.match(r"^([<>]=?)\s*(-?\d+\.?\d*)$", text)
+        if m:
+            op, num = m.group(1), float(m.group(2))
+            return {
+                ">": cell > num,
+                "<": cell < num,
+                ">=": cell >= num,
+                "<=": cell <= num,
+            }[op]
+    return text.lower() in str(cell).lower()
+
+
+def test_filter_parity_generative(spark):
+    """Any combination of numeric/text filters over a table with NULLs,
+    negatives, and 'null'-containing strings must keep exactly the rows
+    the reference's client-side filter keeps."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    rows = [
+        (0, None, None),
+        (1, -5, "Null and void"),
+        (2, 0, "plain"),
+        (3, 7, None),
+        (4, 100, "NULL"),
+        (5, 3, "contains null inside"),
+        (6, -1, ""),
+        (7, 42, "UPPER lower"),
+    ]
+    df = spark.createDataFrame(rows, "id long, n int, s string").cache()
+    py = {r[0]: r for r in rows}
+
+    num_filters = st.sampled_from(
+        ["", "null", "> 2", "<0", ">= 7", "<= -1", "4", ">abc", "  "]
+    )
+    txt_filters = st.sampled_from(
+        ["", "null", "NULL", "plain", "lower", "VOID", "inside", "x"]
+    )
+
+    @settings(max_examples=80, deadline=None)
+    @given(fn=num_filters, fs=txt_filters)
+    def run(fn, fs):
+        got = sorted(
+            r["id"]
+            for r in apply_filters(df, {"n": fn, "s": fs}).select("id").collect()
+        )
+        want = sorted(
+            i
+            for i, (_, n, s) in py.items()
+            if (not fn.strip() or _ref_filter_match(n, fn, True))
+            and (not fs.strip() or _ref_filter_match(s, fs, False))
+        )
+        assert got == want, (fn, fs, got, want)
+
+    run()
+
+
+def test_sort_parity_generative(spark):
+    """Sort on any column/direction must equal the reference comparator:
+    NULLs largest, numerics native, strings lowercased."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    rows = [
+        (0, None, "b"),
+        (1, -5, None),
+        (2, 0, "A"),
+        (3, 7, "a"),
+        (4, 7, "Z"),
+        (5, None, "0digit"),
+    ]
+    df = spark.createDataFrame(rows, "id long, n int, s string").cache()
+    py = {r[0]: r for r in rows}
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        column=st.sampled_from(["n", "s"]),
+        direction=st.sampled_from(["asc", "desc"]),
+    )
+    def run(column, direction):
+        got = [
+            r["id"]
+            for r in apply_sort(df, SortState(column, direction)).select(
+                "id", column
+            ).collect()
+        ]
+        idx = 1 if column == "n" else 2
+
+        def key(i):
+            v = py[i][idx]
+            if v is None:
+                return (1, 0)  # NULL largest
+            return (0, v if column == "n" else str(v).lower())
+
+        want = sorted(py, key=key, reverse=(direction == "desc"))
+        # compare as grouped sequences: ties may order arbitrarily
+        def grouped(ids):
+            return [key(i) for i in ids]
+
+        assert grouped(got) == grouped(want), (column, direction, got, want)
+
+    run()
