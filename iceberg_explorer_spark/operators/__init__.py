@@ -97,13 +97,14 @@ against exact answers).
 - round 8 (plan): rotate in the remaining r4-stale queries (the ~37
   whose last driver row is r4) a cohort at a time, keeping flagship +
   family representatives; prioritize any operator rounds 7-8 modify,
-  and give round 7's new operators (dedup_containment and
-  dedup_containment_probe — registered out-of-window, full-registry
-  gate-sim green + differential + sweep + plan-pin covered) their
-  FIRST driver rows. Bench note for r8: consider adding the two
-  containment ops to bench.py HEADLINE — deliberately NOT done in r7
-  to keep the third consecutive driver-parsed bench point comparable
-  (same 65-query sum).
+  and give round 7's three new operators (dedup_containment,
+  dedup_containment_probe, events_rate_spike_zscore — registered
+  out-of-window; full-registry gate-sim green + differential + sweep
+  covered, plan pins on the containment pair) their FIRST driver
+  rows. Bench note for r8: consider adding the new ops to bench.py
+  HEADLINE — deliberately NOT done in r7 to keep the third
+  consecutive driver-parsed bench point comparable (same 65-query
+  sum).
 """
 
 from iceberg_explorer_spark.operators.registry import QUERIES, QuerySpec, query  # noqa: F401

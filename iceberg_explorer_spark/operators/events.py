@@ -1027,3 +1027,91 @@ def events_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("d.last_us"), F.lit(0)),
         ).alias("last_seen_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+#: Rate-spike detection grid: hourly buckets, |z| >= Z_SPIKE flags a spike.
+HOUR_US = 3_600_000_000
+Z_SPIKE = 2.0
+
+
+@query(
+    "events_rate_spike_zscore",
+    oracle=f"""
+    WITH b AS (
+      SELECT event_type,
+             (EPOCH_US(ts) // {HOUR_US}) * {HOUR_US} AS bucket_us,
+             COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT event_type,
+             COUNT(*) AS n_buckets,
+             CAST(SUM(n_events) AS BIGINT) AS sum_c,
+             CAST(SUM(n_events * n_events) AS BIGINT) AS sum_c2
+      FROM b GROUP BY event_type
+    ),
+    z AS (
+      SELECT b.event_type, b.bucket_us, b.n_events,
+             s.sum_c * 1.0 / s.n_buckets AS mean_rate,
+             CASE WHEN s.sum_c2 * 1.0 / s.n_buckets
+                       - (s.sum_c * 1.0 / s.n_buckets)
+                         * (s.sum_c * 1.0 / s.n_buckets) > 0
+                  THEN (b.n_events - s.sum_c * 1.0 / s.n_buckets)
+                       / sqrt(s.sum_c2 * 1.0 / s.n_buckets
+                              - (s.sum_c * 1.0 / s.n_buckets)
+                                * (s.sum_c * 1.0 / s.n_buckets))
+             END AS z
+      FROM b JOIN s ON b.event_type IS NOT DISTINCT FROM s.event_type
+    )
+    SELECT event_type, bucket_us, n_events, mean_rate, z,
+           CASE WHEN z >= {Z_SPIKE} OR z <= -{Z_SPIKE}
+                THEN TRUE ELSE FALSE END AS is_spike
+    FROM z
+    """,
+    doc="Volume-anomaly monitoring: hourly event counts per type, z-scored "
+    "against that type's own bucket distribution — the ops-monitoring twin "
+    "of events_value_outliers_mad (which scores VALUES; this scores RATES: "
+    "traffic spikes, outages, bot bursts). Determinism discipline: the "
+    "per-type moments are EXACT BIGINT sums (Σc, Σc², bucket count) — "
+    "order-independent however the buckets shuffle — and mean/variance/z "
+    "are derived from those three integers with the same literal "
+    "double-arithmetic expression on both engines, so z is bit-identical. "
+    "Variance guarded > 0 (all-equal buckets → z NULL, not NaN/÷0). NULL "
+    "event types join with IS NOT DISTINCT FROM (a NULL type is a real "
+    "series). Scale: two partial-aggregated shuffles (type×hour, then "
+    "type) + an O(types) stats join — the stats side is broadcast-size at "
+    "any corpus scale but NOT hinted (AQE decides from measured size). "
+    "reference: no analogue — training-pipeline extension.",
+)
+def events_rate_spike_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.groupBy(
+        "event_type",
+        ((F.unix_micros("ts") / HOUR_US).cast("bigint") * HOUR_US).alias(
+            "bucket_us"
+        ),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    s = b.groupBy(F.col("event_type").alias("et")).agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum("n_events").cast("bigint").alias("sum_c"),
+        F.sum(F.col("n_events") * F.col("n_events"))
+        .cast("bigint")
+        .alias("sum_c2"),
+    )
+    mean = F.col("sum_c") * 1.0 / F.col("n_buckets")
+    var = F.col("sum_c2") * 1.0 / F.col("n_buckets") - mean * mean
+    z = F.when(var > 0, (F.col("n_events") - mean) / F.sqrt(var))
+    joined = b.join(s, b["event_type"].eqNullSafe(s["et"])).select(
+        b["event_type"],
+        "bucket_us",
+        "n_events",
+        mean.alias("mean_rate"),
+        z.alias("z"),
+    )
+    return joined.withColumn(
+        "is_spike",
+        F.when(
+            (F.col("z") >= Z_SPIKE) | (F.col("z") <= -Z_SPIKE), F.lit(True)
+        ).otherwise(F.lit(False)),
+    )

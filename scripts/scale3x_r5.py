@@ -72,6 +72,7 @@ OP_TABLE = {
     # round-7 additions (containment verify + rare-shingle probe index)
     "dedup_containment": "documents",
     "dedup_containment_probe": "documents",
+    "events_rate_spike_zscore": "events",
 }
 
 
