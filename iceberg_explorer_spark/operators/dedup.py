@@ -356,30 +356,46 @@ _SHARED_CANDIDATES_MAX = 4
 _SHARED_CANDIDATES_LOCK = threading.Lock()
 
 
+#: Bytes of file tail folded into the corpus fingerprint. A parquet file's
+#: last bytes are the thrift-compact footer (row-group offsets, column
+#: stats, metadata length, magic) — any data rewrite perturbs them, so the
+#: tail is a strong content signal at a fixed tiny read cost.
+_FINGERPRINT_TAIL_BYTES = 64
+
+
 def _corpus_fingerprint(sf_dir: str) -> str:
-    """Cheap content fingerprint of the documents table: the sorted
-    (relative path, size, mtime_ns) listing under ``documents.parquet``,
-    md5-hashed. Folded into the cache key so a corpus REWRITTEN at the
-    same path within one Spark application (``mode('overwrite')``
-    fixtures, a reused sweep path, incremental-ingest style updates)
-    re-materializes instead of silently serving the OLD corpus's
-    candidate pairs. Metadata-only — O(#files) stat calls, no contents
-    read; at production file counts this is the same cost Spark's own
-    file-listing pays per query. A missing path fingerprints as empty
-    (the query itself will then raise the real error)."""
+    """Content fingerprint of the documents table: the sorted
+    (relative path, size, mtime_ns, last-64-bytes) listing under
+    ``documents.parquet``, md5-hashed. Folded into the cache key so a
+    corpus REWRITTEN at the same path within one Spark application
+    (``mode('overwrite')`` fixtures, a reused sweep path,
+    incremental-ingest style updates) re-materializes instead of silently
+    serving the OLD corpus's candidate pairs. The footer tail catches
+    even metadata-preserving rewrites (``cp -p`` / ``touch -r`` /
+    timestamp-preserving object-store sync) because a parquet footer
+    encodes row-group offsets and column stats — identical tail bytes with
+    different data would need a deliberate byte-level forgery, which is
+    outside this cache's threat model; ``invalidate_shared_candidates``
+    remains the explicit escape hatch for that case. Cost: O(#files) stat
+    calls plus one 64-byte tail read per file — same cost class as
+    Spark's own per-query file listing. A missing path fingerprints as
+    empty (the query itself will then raise the real error)."""
     root = os.path.join(sf_dir, "documents.parquet")
-    entries = []
+    paths = []
     if os.path.isfile(root):
-        st = os.stat(root)
-        entries.append(("", st.st_size, st.st_mtime_ns))
+        paths.append(("", root))
     else:
         for dirpath, _dirs, files in os.walk(root):
             for name in files:
                 p = os.path.join(dirpath, name)
-                st = os.stat(p)
-                entries.append(
-                    (os.path.relpath(p, root), st.st_size, st.st_mtime_ns)
-                )
+                paths.append((os.path.relpath(p, root), p))
+    entries = []
+    for rel, p in paths:
+        st = os.stat(p)
+        with open(p, "rb") as fh:
+            fh.seek(max(0, st.st_size - _FINGERPRINT_TAIL_BYTES))
+            tail = fh.read(_FINGERPRINT_TAIL_BYTES)
+        entries.append((rel, st.st_size, st.st_mtime_ns, tail))
     entries.sort()
     return hashlib.md5(repr(entries).encode()).hexdigest()
 
@@ -435,6 +451,17 @@ def shared_lsh_candidates(
     with _SHARED_CANDIDATES_LOCK:
         df = _SHARED_CANDIDATES.get(key)
         if df is None:
+            # A superseded fingerprint for the same (app, corpus dir) can
+            # never be served again — evict it NOW rather than letting it
+            # pin dead checkpoint blocks until LRU age-out (repeated
+            # in-place rewrites of a few corpora would otherwise keep the
+            # cache full of unreachable checkpoints).
+            for k in [
+                k
+                for k in _SHARED_CANDIDATES
+                if k[:2] == key[:2] and k[2] != key[2]
+            ]:
+                del _SHARED_CANDIDATES[k]
             df = lsh_candidates(spark, sf_dir, hashed=hashed).localCheckpoint(
                 eager=True
             )

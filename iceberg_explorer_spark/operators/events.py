@@ -1072,7 +1072,11 @@ Z_SPIKE = 2.0
     doc="Volume-anomaly monitoring: hourly event counts per type, z-scored "
     "against that type's own bucket distribution — the ops-monitoring twin "
     "of events_value_outliers_mad (which scores VALUES; this scores RATES: "
-    "traffic spikes, outages, bot bursts). Determinism discipline: the "
+    "traffic spikes, outages, bot bursts). Bucketing is exact-integer on "
+    "both engines — Spark `unix_micros(ts) DIV hour` vs DuckDB "
+    "`EPOCH_US(ts) // hour`, both truncate toward zero (verified on "
+    "negative operands), so pre-epoch timestamps bucket identically and "
+    "no FP division appears anywhere in the key. Determinism discipline: the "
     "per-type moments are EXACT BIGINT sums (Σc, Σc², bucket count) — "
     "order-independent however the buckets shuffle — and mean/variance/z "
     "are derived from those three integers with the same literal "
@@ -1088,7 +1092,7 @@ def events_rate_spike_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     b = ev.groupBy(
         "event_type",
-        ((F.unix_micros("ts") / HOUR_US).cast("bigint") * HOUR_US).alias(
+        (F.expr(f"unix_micros(ts) DIV {HOUR_US}") * HOUR_US).alias(
             "bucket_us"
         ),
     ).agg(F.count(F.lit(1)).alias("n_events"))

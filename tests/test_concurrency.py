@@ -102,6 +102,55 @@ def test_shared_candidates_rewrite_invalidates(spark, tmp_path):
     dedup.invalidate_shared_candidates(d)
 
 
+def test_fingerprint_detects_metadata_preserving_rewrite(tmp_path):
+    """A rewrite that preserves size AND mtime (cp -p / touch -r /
+    timestamp-preserving object-store sync) must still change the corpus
+    fingerprint: the footer-tail bytes are part of it, so metadata-only
+    forgery is not enough to get a stale cache hit."""
+    from iceberg_explorer_spark.operators.dedup import _corpus_fingerprint
+
+    d = tmp_path / "meta"
+    d.mkdir()
+    p = d / "documents.parquet"
+    p.write_bytes(b"A" * 200)
+    st = p.stat()
+    fp1 = _corpus_fingerprint(str(d))
+    # same length, different trailing bytes, mtime restored exactly
+    p.write_bytes(b"A" * 199 + b"B")
+    import os as _os
+
+    _os.utime(p, ns=(st.st_atime_ns, st.st_mtime_ns))
+    assert p.stat().st_size == st.st_size
+    assert p.stat().st_mtime_ns == st.st_mtime_ns
+    fp2 = _corpus_fingerprint(str(d))
+    assert fp2 != fp1
+    # tiny files (shorter than the tail window) fingerprint fine too
+    p.write_bytes(b"xy")
+    assert _corpus_fingerprint(str(d)) not in (fp1, fp2)
+
+
+def test_rewrite_evicts_stale_fingerprint_entry(spark, tmp_path):
+    """After an in-place rewrite re-materializes, the OLD fingerprint's
+    entry for the same (application, corpus dir) must be evicted from the
+    LRU immediately — it can never be served again, and leaving it would
+    pin dead checkpoint blocks until age-out."""
+    from iceberg_explorer_spark.operators import dedup
+
+    dedup.invalidate_shared_candidates()
+    d = str(tmp_path / "evict")
+    for ver, word in enumerate(("original", "rewritten")):
+        text = f"{word} corpus text body shared by nobody else at all {ver}"
+        spark.createDataFrame(
+            [(1, text, "en", "web", len(text))],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        dedup.shared_lsh_candidates(spark, d)
+        with dedup._SHARED_CANDIDATES_LOCK:
+            mine = [k for k in dedup._SHARED_CANDIDATES if k[1] == d]
+        assert len(mine) == 1, mine  # never two fingerprints for one dir
+    dedup.invalidate_shared_candidates(d)
+
+
 def test_invalidate_is_scoped_by_dir(spark, tmp_path):
     from iceberg_explorer_spark.operators import dedup
 
