@@ -94,17 +94,36 @@ against exact answers).
   design: it is a no-oracle sketch op, and the window pin requires
   every slot to be oracle-bearing (its exact-answer bound runs in the
   local suite every round).
-- round 8 (plan): rotate in the remaining r4-stale queries (the ~37
-  whose last driver row is r4) a cohort at a time, keeping flagship +
-  family representatives; prioritize any operator rounds 7-8 modify,
-  and give round 7's three new operators (dedup_containment,
-  dedup_containment_probe, events_rate_spike_zscore — registered
-  out-of-window; full-registry gate-sim green + differential + sweep
-  covered, plan pins on the containment pair) their FIRST driver
-  rows. Bench note for r8: consider adding the new ops to bench.py
-  HEADLINE — deliberately NOT done in r7 to keep the third
-  consecutive driver-parsed bench point comparable (same 65-query
-  sum).
+- round 8 (current): CORRECTNESS_r07 came back 50/50 green (fourth
+  consecutive perfect round), so the planned rotation executes as
+  written. Counting from the actual artifacts, the r4-stale cohort is
+  29 queries (not the estimated ~37): the window is flagship (never
+  displaced) + the THREE round-7 operators getting their FIRST driver
+  rows (dedup_containment, dedup_containment_probe,
+  events_rate_spike_zscore — the last also modified in r8 by the
+  DIV-bucketing fix, so its first row is post-change) + ALL 29
+  r4-stale queries (asof_join_purchase_click, cube_order_status,
+  events_distinct_users_salted, events_funnel, events_session_window,
+  events_value_outliers_mad, filter_projection,
+  multimodal_image_resize, multimodal_metadata, pipeline_domain_mix,
+  pipeline_global_shuffle, pipeline_sequence_pack,
+  pipeline_temperature_mix, pipeline_train_val_split,
+  pivot_status_by_flag, recursive_calendar_spine, rollup_quantity,
+  scalar_subquery_nation_stats, semi_join_active_customers,
+  text_decontaminate, text_fingerprint, text_language_id,
+  text_pii_redact, text_quality_score, text_repetition_filter,
+  text_unigram_logfreq, window_ntile_navigation,
+  window_range_moving_revenue, window_running_revenue) + the 4
+  multi-green family representatives + 13 of the 16 r5-stale queries
+  (second rows; the three left for r9 are the ones with the MOST /
+  freshest prior evidence: similarity_bucket_gemm green r1-r5,
+  window_top_orders_per_customer green r2-r5, events_sliding_window
+  green r4+r5) — 1 + 3 + 29 + 4 + 13 = 50 exactly. If r8 comes back
+  green, every oracle-bearing query in the registry has driver
+  evidence no older than r5. Bench: the three r7 operators (plus r8's
+  dedup_overlap_spectrum, if registered in time) enter the per-query
+  detail map additively; the comparable 65-query sum stays the
+  headline trend line per the r7 deferral note.
 """
 
 from iceberg_explorer_spark.operators.registry import QUERIES, QuerySpec, query  # noqa: F401
@@ -123,62 +142,63 @@ from iceberg_explorer_spark.operators import pipeline  # noqa: E402,F401
 _CHECK_WINDOW = [
     # flagship first (never displaced)
     "pipeline_clean_corpus",
-    # --- the 14 operators round 6's hardening modified whose driver rows
-    # predate the change (r7 priority: RECENTLY-CHANGED; r6/r7 fixes to
-    # the JSON-k TRY_CAST contract, the stratified-sample integral gate,
-    # and the similarity input contract land fresh post-change rows) ---
-    "events_json_extract",
-    "events_variant_shred",
-    "multimodal_frame_sample",
-    "multimodal_decode_features",
-    "pipeline_token_shards",
-    "pipeline_stratified_sample",
-    "text_token_count",
-    "similarity_bruteforce_topk",
-    "similarity_lsh_ann",
-    "similarity_ivf_topk",
-    "similarity_knn_join",
-    "dedup_embedding_cosine",
-    "dedup_ngram_jaccard",
-    "dedup_clusters",
-    # --- the 18 round-6 first-timers: second driver row ---
-    "dedup_pagerank_step",
-    "dedup_source_overlap_matrix",
-    "dedup_jaccard_threshold_sweep",
-    "dedup_source_minhash_similarity",
-    "dedup_cluster_stats",
-    "similarity_int8_quantize",
-    "similarity_centroid_drift",
-    "text_bm25_topk",
-    "text_vocab_growth",
-    "text_ngram_entropy",
-    "events_funnel_latency",
-    "events_path_topk",
-    "events_categorical_drift",
-    "events_incremental_rollup",
-    "multimodal_ahash_dedup",
-    "pipeline_pack_efficiency",
-    "parts_abc_pareto",
-    "orders_seasonality_index",
+    # --- round 7's three new operators: FIRST driver rows (the z-score
+    # op also carries round 8's DIV-bucketing fix, so its row is
+    # post-change) ---
+    "dedup_containment",
+    "dedup_containment_probe",
+    "events_rate_spike_zscore",
+    # --- the full r4-stale cohort (29): last driver row is r4 ---
+    "asof_join_purchase_click",
+    "cube_order_status",
+    "events_distinct_users_salted",
+    "events_funnel",
+    "events_session_window",
+    "events_value_outliers_mad",
+    "filter_projection",
+    "multimodal_image_resize",
+    "multimodal_metadata",
+    "pipeline_domain_mix",
+    "pipeline_global_shuffle",
+    "pipeline_sequence_pack",
+    "pipeline_temperature_mix",
+    "pipeline_train_val_split",
+    "pivot_status_by_flag",
+    "recursive_calendar_spine",
+    "rollup_quantity",
+    "scalar_subquery_nation_stats",
+    "semi_join_active_customers",
+    "text_decontaminate",
+    "text_fingerprint",
+    "text_language_id",
+    "text_pii_redact",
+    "text_quality_score",
+    "text_repetition_filter",
+    "text_unigram_logfreq",
+    "window_ntile_navigation",
+    "window_range_moving_revenue",
+    "window_running_revenue",
     # --- one multi-green representative per core family ---
     "pricing_summary",
     "join_revenue_by_nation",
     "dedup_minhash_lsh",
     "events_tumbling_window",
-    # --- the 13 stalest evidence rows (last driver-green r2) ---
-    "dedup_simhash",
-    "left_join_order_lines",
-    "window_ship_gaps",
-    "topk_orders",
-    "scalar_date_functions",
-    "cte_above_avg_orders",
-    "percentile_order_price",
-    "explode_word_frequencies",
-    "conditional_agg_order_status",
-    "null_semantics",
-    "range_join_ship_window",
-    "dedup_exact",
-    "dedup_keep_best",
+    # --- 13 of the 16 r5-stale queries (second rows; bucket_gemm,
+    # top_orders_per_customer and sliding_window wait for r9 — they have
+    # the most / freshest prior evidence of the cohort) ---
+    "anti_join_idle_customers",
+    "cohort_retention",
+    "cross_join_region_status",
+    "distinct_customers_per_priority",
+    "events_rate_per_user_type",
+    "full_outer_nation_balance",
+    "grouping_sets_mix",
+    "scalar_regex_conditional",
+    "scalar_string_math",
+    "set_ops_nation_presence",
+    "similarity_all_pairs_topk",
+    "string_agg_nations_per_region",
+    "subquery_in_having",
 ]
 
 
