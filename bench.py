@@ -9,7 +9,10 @@ Output protocol (two lines, the FINAL line is the driver-parseable one):
    ``BENCH_LOCAL_r*.json`` each round), and
 2. a COMPACT final line (< 500 bytes) ``{"metric": ..., "value": total_sec,
    "unit": "sec", "queries": {5 slowest only}, "sf": ..., "iters": N,
-   "n_queries": N, "errors": n_errors}``.
+   "n_queries": N, "errors": n_errors, "candidate_build": sec,
+   "extended_sec": sec, "n_extended": N}`` — ``value``/``n_queries`` cover
+   the comparable HEADLINE set only; EXTENDED operators are timed
+   identically but summed separately so the trend line stays comparable.
 
 Rounds 3-4 recorded ``parsed: null`` driver-side: the single all-queries JSON
 line grew past 2 kB (65 queries) and the driver's tail parse stopped
@@ -116,6 +119,19 @@ HEADLINE = [
     "similarity_ann_recall_report", # all ANN variants vs exact top-k
 ]
 
+#: Queries benchmarked and reported in the per-query detail map but NOT
+#: summed into the headline ``value``: the 65-query HEADLINE sum is the
+#: driver's round-over-round trend line (42.5 → 35.3 → 35.6 s), and adding
+#: new operators to it mid-trend would read as a regression that is really
+#: a measurement-set change. New operators enter here first (per the r7
+#: deferral note, operators/__init__.py round-8 log); promoting one into
+#: HEADLINE is a deliberate, logged trend reset.
+EXTENDED = [
+    "dedup_containment",          # asymmetric containment over LSH candidates
+    "dedup_containment_probe",    # rare-shingle probe index recall path
+    "events_rate_spike_zscore",   # hourly per-type rate anomaly z-scores
+]
+
 
 def format_output(
     timings: dict[str, float],
@@ -123,6 +139,7 @@ def format_output(
     sf: float | None,
     iters: int,
     candidate_build: float | None = None,
+    extended: tuple[str, ...] | list[str] = (),
 ) -> tuple[str, str]:
     """Build the two output lines. The FINAL line is the driver-parseable
     one and must stay compact (< 500 bytes — enforced here, because rounds
@@ -135,7 +152,15 @@ def format_output(
     the min-of-iters protocol reports steady-state (cache-served)
     graph-family timings, so without this key the build cost would be
     invisible in the driver artifact (SCALE.md discloses the
-    amortization; this records it)."""
+    amortization; this records it).
+
+    ``extended`` names timings that are EXCLUDED from ``value`` and
+    ``n_queries`` (the comparable trend line) and reported via the
+    additive ``extended_sec`` / ``n_extended`` keys instead; their
+    per-query numbers sit in the same detail map as everything else."""
+    ext = set(extended)
+    headline_timings = {k: v for k, v in timings.items() if k not in ext}
+    extended_timings = {k: v for k, v in timings.items() if k in ext}
     detail_line = json.dumps(
         {
             "detail": "per_query_sec",
@@ -153,14 +178,18 @@ def format_output(
         final_line = json.dumps(
             {
                 "metric": "headline_queries_wall_sec",
-                "value": round(sum(timings.values()), 3),
+                "value": round(sum(headline_timings.values()), 3),
                 "unit": "sec",
                 "queries": slowest,
                 "sf": sf,
                 "iters": iters,
-                "n_queries": len(timings),
+                "n_queries": len(headline_timings),
                 "errors": len(errors),
                 "candidate_build": candidate_build,
+                "extended_sec": round(sum(extended_timings.values()), 3)
+                if extended_timings
+                else None,
+                "n_extended": len(extended_timings),
             }
         )
         if len(final_line) < 500:
@@ -196,7 +225,7 @@ def main() -> None:
         # single query aborted the bench before printing). Errors are recorded
         # per-query and excluded from the wall-time sum.
         errors: dict[str, str] = {}
-        for name in HEADLINE:
+        for name in [*HEADLINE, *EXTENDED]:
             try:
                 QUERIES[name].builder(spark, warm_dir).write.format(
                     "noop"
@@ -229,7 +258,7 @@ def main() -> None:
 
         timings: dict[str, float] = {}
         for _ in range(ITERS):
-            for name in HEADLINE:
+            for name in [*HEADLINE, *EXTENDED]:
                 if name in errors:
                     continue
                 builder = QUERIES[name].builder
@@ -247,7 +276,7 @@ def main() -> None:
         m = re.search(r"sf([0-9.]+)", SF_DIR)
         sf = float(m.group(1).rstrip(".")) if m else None
         detail_line, final_line = format_output(
-            timings, errors, sf, ITERS, candidate_build
+            timings, errors, sf, ITERS, candidate_build, extended=EXTENDED
         )
         # Detail line: the complete per-query map, own line, parse-optional.
         print(detail_line)

@@ -14,7 +14,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from bench import HEADLINE, format_output  # noqa: E402
+from bench import EXTENDED, HEADLINE, format_output  # noqa: E402
 
 
 def _fake_timings(n):
@@ -41,6 +41,35 @@ def test_final_line_compact_at_current_headline_size():
     # detail line carries the FULL map
     assert json.loads(detail)["queries"] == timings
     assert json.loads(detail)["candidate_build"] == 1.337
+
+
+def test_extended_queries_excluded_from_trend_value():
+    """EXTENDED operators are timed and land in the detail map, but the
+    final line's value/n_queries stay the comparable HEADLINE-only sum —
+    their cost surfaces via the additive extended_sec/n_extended keys."""
+    timings = {name: 1.0 for name in HEADLINE}
+    timings.update({name: 10.0 for name in EXTENDED})
+    detail, final = format_output(
+        timings, {}, 0.1, 2, candidate_build=1.0, extended=EXTENDED
+    )
+    assert len(final) < 500, len(final)
+    parsed = json.loads(final)
+    assert parsed["value"] == round(1.0 * len(HEADLINE), 3)
+    assert parsed["n_queries"] == len(HEADLINE)
+    assert parsed["extended_sec"] == round(10.0 * len(EXTENDED), 3)
+    assert parsed["n_extended"] == len(EXTENDED)
+    # full map (headline + extended) on the detail line
+    assert json.loads(detail)["queries"] == timings
+
+
+def test_extended_registry_membership():
+    """Every EXTENDED name must be a registered query and must NOT also be
+    in HEADLINE (double membership would double-count its time)."""
+    from iceberg_explorer_spark.operators import QUERIES
+
+    assert not set(EXTENDED) & set(HEADLINE)
+    missing = [n for n in [*HEADLINE, *EXTENDED] if n not in QUERIES]
+    assert not missing, missing
 
 
 def test_final_line_compact_even_at_200_queries_with_errors():
