@@ -332,17 +332,21 @@ def lsh_candidates(
     )
 
 
-#: session-scoped materializations of the LSH candidate set, keyed by
-#: (spark application id, sf_dir, corpus fingerprint), LRU-bounded: holding
-#: a strong reference pins the checkpointed RDD blocks (ContextCleaner
-#: frees them only after the DataFrame is garbage collected), so an
-#: unbounded dict would grow block-manager memory monotonically in a
-#: long-lived session that touches many corpora (the adversarial sweeps
-#: build a fresh tmp corpus per run). Four slots cover every steady-state
-#: workload (the bench and driver use one sf_dir each; tests use three)
-#: while evicted entries become collectable again.
-_SHARED_CANDIDATES: OrderedDict[tuple[str, str, str], DataFrame] = OrderedDict()
-_SHARED_CANDIDATES_MAX = 4
+#: session-scoped materializations of candidate sets, keyed by
+#: (spark application id, sf_dir, corpus fingerprint, kind) where kind is
+#: the candidate GENERATOR ("lsh" = MinHash bands, "probe" = rare-shingle
+#: inverted index), LRU-bounded: holding a strong reference pins the
+#: checkpointed RDD blocks (ContextCleaner frees them only after the
+#: DataFrame is garbage collected), so an unbounded dict would grow
+#: block-manager memory monotonically in a long-lived session that touches
+#: many corpora (the adversarial sweeps build a fresh tmp corpus per run).
+#: Six slots cover every steady-state workload (the bench and driver use
+#: one sf_dir each × two kinds; tests use three corpora) while evicted
+#: entries become collectable again.
+_SHARED_CANDIDATES: OrderedDict[
+    tuple[str, str, str, str], DataFrame
+] = OrderedDict()
+_SHARED_CANDIDATES_MAX = 6
 #: Guards the check-then-set: the service layer runs each query on its own
 #: daemon thread (lifecycle/executor.py), so without the lock two
 #: concurrent graph-family queries hitting a cold cache would BOTH run the
@@ -415,24 +419,60 @@ def invalidate_shared_candidates(sf_dir: str | None = None) -> None:
                 del _SHARED_CANDIDATES[k]
 
 
+def _shared_candidates(
+    spark: SparkSession, sf_dir: str, kind: str, build
+) -> DataFrame:
+    """Keyed check-then-build for session-shared candidate checkpoints.
+
+    A production 100 TB dedup run materializes each candidate set to
+    parquet once and feeds every downstream consumer (verify, clusters,
+    triangles, PageRank, overlap lineage, the overlap spectrum) from that
+    artifact — it never re-runs the generator pipeline per report. This
+    mirrors that with a session-scoped ``localCheckpoint``: the first
+    caller pays the pipeline, every later consumer reads the checkpointed
+    blocks. The registry is keyed by (application id, corpus dir, corpus
+    content fingerprint, generator kind) — a new session or a rewritten
+    corpus re-materializes — and LRU-bounded: while an entry is cached its
+    strong reference pins the checkpoint blocks; once evicted,
+    ContextCleaner frees them when the DataFrame is garbage collected.
+    Thread-safe: the service layer runs queries on concurrent daemon
+    threads, and the module lock makes a cold-cache race materialize
+    exactly once. ``build`` is only invoked on a miss, under the lock.
+    """
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        _corpus_fingerprint(sf_dir),
+        kind,
+    )
+    with _SHARED_CANDIDATES_LOCK:
+        df = _SHARED_CANDIDATES.get(key)
+        if df is None:
+            # A superseded fingerprint for the same (app, corpus dir) can
+            # never be served again — evict it NOW (any kind) rather than
+            # letting it pin dead checkpoint blocks until LRU age-out
+            # (repeated in-place rewrites of a few corpora would otherwise
+            # keep the cache full of unreachable checkpoints).
+            for k in [
+                k
+                for k in _SHARED_CANDIDATES
+                if k[:2] == key[:2] and k[2] != key[2]
+            ]:
+                del _SHARED_CANDIDATES[k]
+            df = build().localCheckpoint(eager=True)
+            _SHARED_CANDIDATES[key] = df
+            while len(_SHARED_CANDIDATES) > _SHARED_CANDIDATES_MAX:
+                _SHARED_CANDIDATES.popitem(last=False)
+        else:
+            _SHARED_CANDIDATES.move_to_end(key)
+        return df
+
+
 def shared_lsh_candidates(
     spark: SparkSession, sf_dir: str, hashed: DataFrame | None = None
 ) -> DataFrame:
-    """The (doc_a, doc_b) LSH candidate set, materialized ONCE per session.
-
-    A production 100 TB dedup run materializes the candidate set to parquet
-    once and feeds every downstream consumer (verify, clusters, triangles,
-    PageRank, overlap lineage) from that artifact — it never re-runs the
-    shingle→minhash→band pipeline per report. This mirrors that with a
-    session-scoped ``localCheckpoint``: the first caller pays the pipeline,
-    every later graph-family operator reads the checkpointed blocks. The
-    registry is keyed by (application id, corpus dir, corpus content
-    fingerprint) — a new session or a rewritten corpus re-materializes —
-    and LRU-bounded: while an entry is cached its strong reference pins
-    the checkpoint blocks; once evicted, ContextCleaner frees them when
-    the DataFrame is garbage collected. Thread-safe: the service layer
-    runs queries on concurrent daemon threads, and the module lock makes
-    a cold-cache race materialize exactly once.
+    """The (doc_a, doc_b) LSH candidate set, materialized ONCE per session
+    (see ``_shared_candidates`` for the caching/consistency contract).
 
     ``hashed``: optional precomputed (doc_id, hb) shingle hashes, used only
     on a cache miss (callers that persist the shingle scan for their own
@@ -443,34 +483,12 @@ def shared_lsh_candidates(
     query itself (``dedup_minhash_lsh``) serves from it too; graph
     consumers project the two id columns.
     """
-    key = (
-        spark.sparkContext.applicationId,
+    return _shared_candidates(
+        spark,
         sf_dir,
-        _corpus_fingerprint(sf_dir),
+        "lsh",
+        lambda: lsh_candidates(spark, sf_dir, hashed=hashed),
     )
-    with _SHARED_CANDIDATES_LOCK:
-        df = _SHARED_CANDIDATES.get(key)
-        if df is None:
-            # A superseded fingerprint for the same (app, corpus dir) can
-            # never be served again — evict it NOW rather than letting it
-            # pin dead checkpoint blocks until LRU age-out (repeated
-            # in-place rewrites of a few corpora would otherwise keep the
-            # cache full of unreachable checkpoints).
-            for k in [
-                k
-                for k in _SHARED_CANDIDATES
-                if k[:2] == key[:2] and k[2] != key[2]
-            ]:
-                del _SHARED_CANDIDATES[k]
-            df = lsh_candidates(spark, sf_dir, hashed=hashed).localCheckpoint(
-                eager=True
-            )
-            _SHARED_CANDIDATES[key] = df
-            while len(_SHARED_CANDIDATES) > _SHARED_CANDIDATES_MAX:
-                _SHARED_CANDIDATES.popitem(last=False)
-        else:
-            _SHARED_CANDIDATES.move_to_end(key)
-        return df
 
 
 @query(
@@ -814,6 +832,68 @@ PROBE_K = 8
 PROBE_MIN_SHARED = 2
 
 
+def probe_candidates(
+    spark: SparkSession, sf_dir: str, hashed: DataFrame | None = None
+) -> DataFrame:
+    """RAW rare-shingle probe candidate pairs (doc_a, doc_b), unmaterialized.
+
+    One df aggregation over the distinct shingle hashes, a per-doc
+    rarest-K window, then the bounded probe join (fanout ≤ PROBE_DF_CAP per
+    probe row by construction — boilerplate shingles never enter the
+    index). Consumers that reference the pair frame from multiple plan
+    branches must go through ``shared_probe_candidates`` — the verify
+    stage references candidates from THREE branches, and without a
+    checkpoint each branch re-executes this pipeline concurrently
+    (measured: heap thrash and a blown 3× point at sf0.1).
+
+    ``hashed``: optional precomputed DISTINCT (doc_id, hb) shingle hashes
+    (``hashed_shingles``) — callers that persist the shingle scan for
+    their own verify stage pass it so the corpus is tokenized once.
+    """
+    from pyspark.sql.window import Window as W
+
+    sh = hashed if hashed is not None else hashed_shingles(spark, sf_dir)
+    freq = sh.groupBy("hb").agg(F.count(F.lit(1)).alias("df"))
+    rare = sh.join(freq, "hb").filter(F.col("df") <= PROBE_DF_CAP)
+    w = W.partitionBy("doc_id").orderBy("df", "hb")
+    probes = (
+        rare.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= PROBE_K)
+        .select("doc_id", "hb")
+    )
+    hits = (
+        probes.alias("p")
+        .join(sh.alias("s"), "hb")
+        .filter(F.col("p.doc_id") != F.col("s.doc_id"))
+        .select(
+            F.least("p.doc_id", "s.doc_id").alias("doc_a"),
+            F.greatest("p.doc_id", "s.doc_id").alias("doc_b"),
+            "hb",
+        )
+    )
+    return (
+        hits.groupBy("doc_a", "doc_b")
+        .agg(F.countDistinct("hb").alias("n_shared_rare"))
+        .filter(F.col("n_shared_rare") >= PROBE_MIN_SHARED)
+        .select("doc_a", "doc_b")
+    )
+
+
+def shared_probe_candidates(
+    spark: SparkSession, sf_dir: str, hashed: DataFrame | None = None
+) -> DataFrame:
+    """The rare-shingle probe candidate set, materialized ONCE per session —
+    the probe-index twin of ``shared_lsh_candidates`` (same keyed cache,
+    consistency contract in ``_shared_candidates``). Production shape:
+    candidates to parquet, every verify/report reads the artifact."""
+    return _shared_candidates(
+        spark,
+        sf_dir,
+        "probe",
+        lambda: probe_candidates(spark, sf_dir, hashed=hashed),
+    )
+
+
 @query(
     "dedup_containment_probe",
     oracle=f"""
@@ -881,42 +961,14 @@ PROBE_MIN_SHARED = 2
     "reference: no analogue — training-pipeline extension.",
 )
 def dedup_containment_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window as W
-
     sh = hashed_shingles(spark, sf_dir).persist()
-    freq = sh.groupBy("hb").agg(F.count(F.lit(1)).alias("df"))
-    rare = sh.join(freq, "hb").filter(F.col("df") <= PROBE_DF_CAP)
-    w = W.partitionBy("doc_id").orderBy("df", "hb")
-    probes = (
-        rare.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= PROBE_K)
-        .select("doc_id", "hb")
-    )
-    hits = (
-        probes.alias("p")
-        .join(sh.alias("s"), "hb")
-        .filter(F.col("p.doc_id") != F.col("s.doc_id"))
-        .select(
-            F.least("p.doc_id", "s.doc_id").alias("doc_a"),
-            F.greatest("p.doc_id", "s.doc_id").alias("doc_b"),
-            "hb",
-        )
-    )
-    cands = (
-        hits.groupBy("doc_a", "doc_b")
-        .agg(F.countDistinct("hb").alias("n_shared_rare"))
-        .filter(F.col("n_shared_rare") >= PROBE_MIN_SHARED)
-        .select("doc_a", "doc_b")
-        # Materialize the candidate set before the verify — the same
-        # discipline shared_lsh_candidates gives the LSH family: the
-        # verify references the pair frame from THREE plan branches
-        # (cand_docs union ×2 + the pair join), and without truncation
-        # each branch re-executes the probe pipeline concurrently
-        # (measured: heap thrash and a blown 3× point at sf0.1; with the
-        # checkpoint, flat). Production shape: candidates to parquet,
-        # verify reads the artifact.
-        .localCheckpoint(eager=True)
-    )
+    # Session-shared checkpoint, same discipline as the LSH family: the
+    # verify references the pair frame from THREE plan branches (cand_docs
+    # union ×2 + the pair join), and without a checkpoint each branch
+    # re-executes the probe pipeline concurrently (measured: heap thrash
+    # and a blown 3× point at sf0.1). The shared cache additionally makes
+    # repeat invocations steady-state (build once per corpus per session).
+    cands = shared_probe_candidates(spark, sf_dir, hashed=sh)
     return containment_verify(cands, sh)
 
 
