@@ -10,7 +10,9 @@ Output protocol (two lines, the FINAL line is the driver-parseable one):
 2. a COMPACT final line (< 500 bytes) ``{"metric": ..., "value": total_sec,
    "unit": "sec", "queries": {5 slowest only}, "sf": ..., "iters": N,
    "n_queries": N, "errors": n_errors, "candidate_build": sec,
-   "extended_sec": sec, "n_extended": N}`` — ``value``/``n_queries`` cover
+   "probe_build": sec, "extended_sec": sec, "n_extended": N}`` —
+   ``candidate_build``/``probe_build`` are the one-time LSH / probe-index
+   candidate materializations at the target SF; ``value``/``n_queries`` cover
    the comparable HEADLINE set only; EXTENDED operators are timed
    identically but summed separately so the trend line stays comparable.
 
@@ -130,6 +132,7 @@ EXTENDED = [
     "dedup_containment",          # asymmetric containment over LSH candidates
     "dedup_containment_probe",    # rare-shingle probe index recall path
     "events_rate_spike_zscore",   # hourly per-type rate anomaly z-scores
+    "dedup_overlap_spectrum",     # both generators -> one verify + lineage
 ]
 
 
@@ -140,6 +143,7 @@ def format_output(
     iters: int,
     candidate_build: float | None = None,
     extended: tuple[str, ...] | list[str] = (),
+    probe_build: float | None = None,
 ) -> tuple[str, str]:
     """Build the two output lines. The FINAL line is the driver-parseable
     one and must stay compact (< 500 bytes — enforced here, because rounds
@@ -167,6 +171,7 @@ def format_output(
             "queries": timings,
             "errors": errors,
             "candidate_build": candidate_build,
+            "probe_build": probe_build,
         }
     )
     # Degrade, never die: an oversized final line must shrink (fewer
@@ -186,6 +191,7 @@ def format_output(
                 "n_queries": len(headline_timings),
                 "errors": len(errors),
                 "candidate_build": candidate_build,
+                "probe_build": probe_build,
                 "extended_sec": round(sum(extended_timings.values()), 3)
                 if extended_timings
                 else None,
@@ -243,16 +249,21 @@ def main() -> None:
         # amortization model — while this key keeps the build cost
         # visible in the artifact).
         candidate_build: float | None = None
+        probe_build: float | None = None
         try:
             from iceberg_explorer_spark.operators.dedup import (
                 invalidate_shared_candidates,
                 shared_lsh_candidates,
+                shared_probe_candidates,
             )
 
-            invalidate_shared_candidates(SF_DIR)
+            invalidate_shared_candidates(SF_DIR)  # clears BOTH kinds
             t0 = time.perf_counter()
             shared_lsh_candidates(spark, SF_DIR)  # eager localCheckpoint
             candidate_build = round(time.perf_counter() - t0, 3)
+            t0 = time.perf_counter()
+            shared_probe_candidates(spark, SF_DIR)
+            probe_build = round(time.perf_counter() - t0, 3)
         except Exception as exc:  # noqa: BLE001 — never abort the bench
             errors["candidate_build"] = f"{type(exc).__name__}: {exc}"[:500]
 
@@ -276,7 +287,13 @@ def main() -> None:
         m = re.search(r"sf([0-9.]+)", SF_DIR)
         sf = float(m.group(1).rstrip(".")) if m else None
         detail_line, final_line = format_output(
-            timings, errors, sf, ITERS, candidate_build, extended=EXTENDED
+            timings,
+            errors,
+            sf,
+            ITERS,
+            candidate_build,
+            extended=EXTENDED,
+            probe_build=probe_build,
         )
         # Detail line: the complete per-query map, own line, parse-optional.
         print(detail_line)

@@ -717,6 +717,47 @@ CONTAINMENT_TAU = 0.9
 #: boilerplate) — the class symmetric Jaccard dedup under-reports.
 CONTAINMENT_NEAR_DUP_J = 0.8
 
+#: Shared oracle fragments for the containment family (containment over
+#: LSH candidates, the probe index, and the composed overlap spectrum):
+#: ONE definition of the 60-bit shingle-hash projection and of the verify
+#: tail, so the three oracles differ only in their candidate CTEs.
+_SHH_SQL = "SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS hb FROM sh"
+
+#: Verify CTEs (reference ``cands``/``shh`` from the enclosing WITH).
+_CONTAINMENT_VERIFY_CTES_SQL = """
+    capped AS (
+      SELECT doc_id, hb FROM (
+        SELECT doc_id, hb,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hb) AS rn
+        FROM shh
+      ) WHERE rn <= {cap}
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM capped GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+      FROM cands c
+      JOIN capped a ON a.doc_id = c.doc_a
+      JOIN capped b ON b.doc_id = c.doc_b AND b.hb = a.hb
+      GROUP BY c.doc_a, c.doc_b
+    )
+"""
+
+#: Final verify projection; ``{extra_cols}``/``{extra_joins}`` let the
+#: spectrum oracle add its lineage column without forking the tail.
+_CONTAINMENT_SELECT_SQL = """
+    SELECT i.doc_a, i.doc_b, sa.n AS n_a, sb.n AS n_b, i.n_common,
+           i.n_common * 1.0 / LEAST(sa.n, sb.n) AS containment,
+           CASE WHEN i.n_common * 1.0 / (sa.n + sb.n - i.n_common)
+                     >= {near_dup_j}
+                THEN 'near_duplicate' ELSE 'containment' END AS relation
+           {extra_cols}
+    FROM inter i
+    JOIN sz sa ON sa.doc_id = i.doc_a
+    JOIN sz sb ON sb.doc_id = i.doc_b
+    {extra_joins}
+    WHERE i.n_common * 1.0 / LEAST(sa.n, sb.n) >= {tau}
+"""
+
 
 def containment_verify(
     cands: DataFrame,
@@ -769,33 +810,11 @@ def containment_verify(
     oracle=f"""
     WITH cands AS ({_LSH_CANDIDATES_SQL}),
     sh AS ({_SHINGLE_SQL}),
-    shh AS (
-      SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS hb FROM sh
-    ),
-    capped AS (
-      SELECT doc_id, hb FROM (
-        SELECT doc_id, hb,
-               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hb) AS rn
-        FROM shh
-      ) WHERE rn <= {JACCARD_MAX_DOC_SHINGLES}
-    ),
-    sz AS (SELECT doc_id, COUNT(*) AS n FROM capped GROUP BY doc_id),
-    inter AS (
-      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
-      FROM cands c
-      JOIN capped a ON a.doc_id = c.doc_a
-      JOIN capped b ON b.doc_id = c.doc_b AND b.hb = a.hb
-      GROUP BY c.doc_a, c.doc_b
-    )
-    SELECT i.doc_a, i.doc_b, sa.n AS n_a, sb.n AS n_b, i.n_common,
-           i.n_common * 1.0 / LEAST(sa.n, sb.n) AS containment,
-           CASE WHEN i.n_common * 1.0 / (sa.n + sb.n - i.n_common)
-                     >= {CONTAINMENT_NEAR_DUP_J}
-                THEN 'near_duplicate' ELSE 'containment' END AS relation
-    FROM inter i
-    JOIN sz sa ON sa.doc_id = i.doc_a
-    JOIN sz sb ON sb.doc_id = i.doc_b
-    WHERE i.n_common * 1.0 / LEAST(sa.n, sb.n) >= {CONTAINMENT_TAU}
+    shh AS ({_SHH_SQL}),
+    {_CONTAINMENT_VERIFY_CTES_SQL.format(cap=JACCARD_MAX_DOC_SHINGLES)}
+    {_CONTAINMENT_SELECT_SQL.format(near_dup_j=CONTAINMENT_NEAR_DUP_J,
+                                    tau=CONTAINMENT_TAU,
+                                    extra_cols="", extra_joins="")}
     """,
     doc="Asymmetric containment verification of the LSH candidates: "
     "c = |A∩B| / min(|A|,|B|) flags quote-inclusion and doc+boilerplate "
@@ -894,13 +913,9 @@ def shared_probe_candidates(
     )
 
 
-@query(
-    "dedup_containment_probe",
-    oracle=f"""
-    WITH sh AS ({_SHINGLE_SQL}),
-    shh AS (
-      SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS hb FROM sh
-    ),
+#: Probe-candidate CTEs (reference ``shh``; yield ``probe_c``) — shared by
+#: the probe oracle and the overlap-spectrum oracle.
+_PROBE_CANDS_CTES_SQL = f"""
     freq AS (SELECT hb, COUNT(*) AS df FROM shh GROUP BY hb),
     probes AS (
       SELECT doc_id, hb FROM (
@@ -911,7 +926,7 @@ def shared_probe_candidates(
         WHERE f.df <= {PROBE_DF_CAP}
       ) WHERE rn <= {PROBE_K}
     ),
-    cands AS (
+    probe_c AS (
       SELECT doc_a, doc_b FROM (
         SELECT LEAST(p.doc_id, s.doc_id) AS doc_a,
                GREATEST(p.doc_id, s.doc_id) AS doc_b,
@@ -919,31 +934,21 @@ def shared_probe_candidates(
         FROM probes p JOIN shh s ON p.hb = s.hb AND p.doc_id <> s.doc_id
         GROUP BY 1, 2
       ) WHERE n_shared_rare >= {PROBE_MIN_SHARED}
-    ),
-    capped AS (
-      SELECT doc_id, hb FROM (
-        SELECT doc_id, hb,
-               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hb) AS rn
-        FROM shh
-      ) WHERE rn <= {JACCARD_MAX_DOC_SHINGLES}
-    ),
-    sz AS (SELECT doc_id, COUNT(*) AS n FROM capped GROUP BY doc_id),
-    inter AS (
-      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
-      FROM cands c
-      JOIN capped a ON a.doc_id = c.doc_a
-      JOIN capped b ON b.doc_id = c.doc_b AND b.hb = a.hb
-      GROUP BY c.doc_a, c.doc_b
     )
-    SELECT i.doc_a, i.doc_b, sa.n AS n_a, sb.n AS n_b, i.n_common,
-           i.n_common * 1.0 / LEAST(sa.n, sb.n) AS containment,
-           CASE WHEN i.n_common * 1.0 / (sa.n + sb.n - i.n_common)
-                     >= {CONTAINMENT_NEAR_DUP_J}
-                THEN 'near_duplicate' ELSE 'containment' END AS relation
-    FROM inter i
-    JOIN sz sa ON sa.doc_id = i.doc_a
-    JOIN sz sb ON sb.doc_id = i.doc_b
-    WHERE i.n_common * 1.0 / LEAST(sa.n, sb.n) >= {CONTAINMENT_TAU}
+"""
+
+
+@query(
+    "dedup_containment_probe",
+    oracle=f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    shh AS ({_SHH_SQL}),
+    {_PROBE_CANDS_CTES_SQL},
+    cands AS (SELECT doc_a, doc_b FROM probe_c),
+    {_CONTAINMENT_VERIFY_CTES_SQL.format(cap=JACCARD_MAX_DOC_SHINGLES)}
+    {_CONTAINMENT_SELECT_SQL.format(near_dup_j=CONTAINMENT_NEAR_DUP_J,
+                                    tau=CONTAINMENT_TAU,
+                                    extra_cols="", extra_joins="")}
     """,
     doc="Containment dedup with a RARE-SHINGLE probe index as the candidate "
     "generator — the recall path Jaccard-tuned MinHash bands cannot be: a "
@@ -970,6 +975,100 @@ def dedup_containment_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # repeat invocations steady-state (build once per corpus per session).
     cands = shared_probe_candidates(spark, sf_dir, hashed=sh)
     return containment_verify(cands, sh)
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_overlap_spectrum",
+    oracle=f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    shh AS ({_SHH_SQL}),
+    {_PROBE_CANDS_CTES_SQL},
+    lsh_c AS (SELECT doc_a, doc_b FROM ({_LSH_CANDIDATES_SQL})),
+    u AS (
+      SELECT doc_a, doc_b, 'lsh' AS src FROM lsh_c
+      UNION ALL
+      SELECT doc_a, doc_b, 'probe' AS src FROM probe_c
+    ),
+    srcs AS (
+      SELECT doc_a, doc_b,
+             CASE WHEN MAX(CASE WHEN src = 'lsh' THEN 1 ELSE 0 END) = 1
+                       AND MAX(CASE WHEN src = 'probe' THEN 1 ELSE 0 END) = 1
+                  THEN 'both'
+                  WHEN MAX(CASE WHEN src = 'lsh' THEN 1 ELSE 0 END) = 1
+                  THEN 'lsh' ELSE 'probe' END AS sources
+      FROM u GROUP BY doc_a, doc_b
+    ),
+    cands AS (SELECT doc_a, doc_b FROM srcs),
+    {_CONTAINMENT_VERIFY_CTES_SQL.format(cap=JACCARD_MAX_DOC_SHINGLES)}
+    {_CONTAINMENT_SELECT_SQL.format(
+        near_dup_j=CONTAINMENT_NEAR_DUP_J,
+        tau=CONTAINMENT_TAU,
+        extra_cols=", u2.sources",
+        extra_joins="JOIN srcs u2 ON u2.doc_a = i.doc_a "
+        "AND u2.doc_b = i.doc_b",
+    )}
+    """,
+    doc="The composed overlap-spectrum report: union of BOTH candidate "
+    "generators — Jaccard-tuned MinHash bands (symmetric near-dups) and "
+    "the rare-shingle probe index (asymmetric tiny-in-huge inclusion) — "
+    "deduplicated and pushed through ONE containment verify pass, with a "
+    "candidate-source lineage column (lsh / probe / both) recording which "
+    "generator found each surviving pair. This is the production shape "
+    "the two single-generator reports each gesture at: one verify over "
+    "the union costs one shingle semi-join + one pair join instead of "
+    "two of each, and the lineage column is the recall diagnostic (pairs "
+    "only LSH finds = moderate-Jaccard near-dups; only the probe finds = "
+    "low-Jaccard containment; both = high-overlap copies). Scale: both "
+    "candidate sets come from their session-shared checkpoints (built "
+    "once per corpus), the union/dedup shuffle is candidate-volume "
+    "bounded (Σ bucket² + docs × K × DF_CAP), and the verify keeps the "
+    "candidate-only join + bottom-k cap discipline; the tiny lineage "
+    "groupBy is checkpointed because the verify references the pair "
+    "frame from multiple branches. reference: no analogue — "
+    "training-pipeline extension.",
+)
+def dedup_overlap_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = hashed_shingles(spark, sf_dir).persist()
+    lsh = (
+        shared_lsh_candidates(spark, sf_dir, hashed=sh)
+        .select("doc_a", "doc_b")
+        .withColumn("src", F.lit("lsh"))
+    )
+    probe = shared_probe_candidates(spark, sf_dir, hashed=sh).withColumn(
+        "src", F.lit("probe")
+    )
+    srcs = (
+        lsh.unionByName(probe)
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.max(F.when(F.col("src") == "lsh", 1).otherwise(0)).alias(
+                "has_lsh"
+            ),
+            F.max(F.when(F.col("src") == "probe", 1).otherwise(0)).alias(
+                "has_probe"
+            ),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.when(
+                (F.col("has_lsh") == 1) & (F.col("has_probe") == 1),
+                F.lit("both"),
+            )
+            .when(F.col("has_lsh") == 1, F.lit("lsh"))
+            .otherwise(F.lit("probe"))
+            .alias("sources"),
+        )
+        # Referenced from FOUR plan branches (the verify's three + the
+        # lineage join below). Unlike the corpus pipelines this only
+        # re-aggregates already-checkpointed candidate blocks, but the
+        # multi-branch discipline stands: checkpoint once, every branch
+        # reads the materialized pairs.
+        .localCheckpoint(eager=True)
+    )
+    verified = containment_verify(srcs.select("doc_a", "doc_b"), sh)
+    return verified.join(srcs, ["doc_a", "doc_b"])
 
 
 # ---------------------------------------------------------------------------

@@ -73,6 +73,8 @@ OP_TABLE = {
     "dedup_containment": "documents",
     "dedup_containment_probe": "documents",
     "events_rate_spike_zscore": "events",
+    # round-8 addition (composed overlap spectrum, one verify pass)
+    "dedup_overlap_spectrum": "documents",
 }
 
 

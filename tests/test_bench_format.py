@@ -50,7 +50,13 @@ def test_extended_queries_excluded_from_trend_value():
     timings = {name: 1.0 for name in HEADLINE}
     timings.update({name: 10.0 for name in EXTENDED})
     detail, final = format_output(
-        timings, {}, 0.1, 2, candidate_build=1.0, extended=EXTENDED
+        timings,
+        {},
+        0.1,
+        2,
+        candidate_build=1.0,
+        extended=EXTENDED,
+        probe_build=0.5,
     )
     assert len(final) < 500, len(final)
     parsed = json.loads(final)
@@ -58,6 +64,8 @@ def test_extended_queries_excluded_from_trend_value():
     assert parsed["n_queries"] == len(HEADLINE)
     assert parsed["extended_sec"] == round(10.0 * len(EXTENDED), 3)
     assert parsed["n_extended"] == len(EXTENDED)
+    assert parsed["probe_build"] == 0.5
+    assert json.loads(detail)["probe_build"] == 0.5
     # full map (headline + extended) on the detail line
     assert json.loads(detail)["queries"] == timings
 

@@ -109,6 +109,24 @@ def test_containment_probe_is_hint_free_and_bounded(spark):
     # hint-forced to broadcast; fanout is bounded by PROBE_DF_CAP instead
     assert pi.broadcast_hint_count(df) == 0
 
+
+def test_overlap_spectrum_composes_checkpoints_one_verify(spark):
+    df = build(spark, "dedup_overlap_spectrum")
+    plan = pi.physical_plan(df)
+    # same gating discipline as the verify it composes: candidate pairs
+    # grow with the corpus, so nothing is hint-forced to broadcast
+    assert pi.broadcast_hint_count(df) == 0
+    # ONE verify pass over the unioned candidates: the spectrum plan
+    # carries exactly as many array_intersect expression sites as a
+    # SINGLE-generator verify (the plan text prints the expression at its
+    # Project and pushed-Filter nodes) — re-verifying per generator
+    # would double it
+    single = pi.physical_plan(build(spark, "dedup_containment"))
+    assert plan.count("array_intersect") == single.count("array_intersect")
+    # both generator pipelines are consumed as materialized checkpoints —
+    # no minhash band or probe-window rebuild inside the spectrum plan
+    assert "Scan ExistingRDD" in plan
+
 def test_similarity_bruteforce_broadcasts_query_vector(spark):
     df = build(spark, "similarity_bruteforce_topk")
     assert pi.broadcast_join_count(df) >= 1

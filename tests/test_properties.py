@@ -1662,3 +1662,74 @@ def test_containment_probe_recalls_tiny_doc_in_huge_doc(spark, tmp_path):
     assert_matches_oracle(
         spec.builder(spark, d), con, spec.oracle, "dedup_containment_probe"
     )
+
+
+def test_overlap_spectrum_lineage_and_union_semantics(spark, tmp_path):
+    """The spectrum's distinguishing claims: (1) its pair set is EXACTLY
+    the union of the two single-generator reports (one verify pass loses
+    nothing), with identical metric values for every shared pair; (2) the
+    lineage column attributes each pair to the generator(s) that found it
+    — the tiny-in-huge pair only the probe index recalls is labeled
+    'probe', a symmetric near-dup pair the bands catch is 'lsh' or
+    'both'. Checked end-to-end through the registered builder AND its
+    DuckDB oracle on the same crafted corpus."""
+    import duckdb
+
+    from iceberg_explorer_spark.operators import QUERIES
+    from tests.conftest import assert_matches_oracle
+
+    tiny = (
+        "quantum flux harmonics destabilize the auxiliary dampener "
+        "array beyond rated tolerance today"
+    )
+    filler = " ".join(f"word{i} common{i % 7} text{i % 13}" for i in range(70))
+    huge = filler + " " + tiny + " " + filler.replace("word", "other")
+    neardup_a = " ".join(f"alpha{i} beta{i % 5} gamma{i % 11}" for i in range(60))
+    neardup_b = neardup_a + " trailing edit"
+    rows = [
+        (1, tiny, "en", "web", len(tiny)),
+        (2, huge, "en", "web", len(huge)),
+        (3, neardup_a, "en", "books", len(neardup_a)),
+        (4, neardup_b, "en", "books", len(neardup_b)),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "spectrum")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    spec = QUERIES["dedup_overlap_spectrum"]
+    out = {
+        (r["doc_a"], r["doc_b"]): r for r in spec.builder(spark, d).collect()
+    }
+
+    # lineage: the low-Jaccard inclusion pair is probe-only; the
+    # symmetric near-dup pair was found by the bands (probe may or may
+    # not also claim it, depending on its rare shingles)
+    assert (1, 2) in out and out[(1, 2)]["sources"] == "probe", out
+    assert (3, 4) in out and out[(3, 4)]["sources"] in ("lsh", "both"), out
+    assert out[(1, 2)]["relation"] == "containment"
+    assert out[(3, 4)]["relation"] == "near_duplicate"
+
+    # union semantics: spectrum rows = containment rows ∪ probe rows,
+    # metrics identical wherever a pair appears in a single-generator run
+    metric_cols = ("n_a", "n_b", "n_common", "containment", "relation")
+    single = {}
+    for qname in ("dedup_containment", "dedup_containment_probe"):
+        for r in QUERIES[qname].builder(spark, d).collect():
+            single[(r["doc_a"], r["doc_b"])] = tuple(
+                r[c] for c in metric_cols
+            )
+    assert set(out) == set(single)
+    for pair, metrics in single.items():
+        assert tuple(out[pair][c] for c in metric_cols) == metrics, pair
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    assert_matches_oracle(
+        spec.builder(spark, d), con, spec.oracle, "dedup_overlap_spectrum"
+    )
