@@ -28,13 +28,26 @@ from pyspark.sql import DataFrame, SparkSession
 
 from iceberg_explorer_spark.errors import QueryNotFoundError, QueryTimeoutError
 from iceberg_explorer_spark.gate import validate_sql
-from iceberg_explorer_spark.lifecycle.models import QueryResult, QueryStatus
+from iceberg_explorer_spark.lifecycle.models import (
+    TERMINAL_STATES,
+    QueryResult,
+    QueryStatus,
+)
 from iceberg_explorer_spark.observability import QueryObserver, get_observer
 
 DEFAULT_TIMEOUT = 300.0
 MIN_TIMEOUT = 10.0
 MAX_TIMEOUT = 3600.0
 DEFAULT_MAX_ROWS = 10_000
+#: Retention bounds for TERMINAL results held for slow-streaming clients.
+#: The reference (and this rebuild) materializes each result fully on the
+#: driver, so without a bound N completed results held while N clients
+#: stream slowly grow driver memory without limit. Both bounds apply;
+#: in-flight queries are never counted or evicted. At the default
+#: max_rows=10k a result is ~1 MB, so 64 results ≈ 64 MB worst case and
+#: the byte bound only bites with raised row caps.
+DEFAULT_MAX_RETAINED_RESULTS = 64
+DEFAULT_MAX_RETAINED_BYTES = 256 * 1024 * 1024
 
 
 class QueryExecutor:
@@ -49,6 +62,8 @@ class QueryExecutor:
         max_timeout: float = MAX_TIMEOUT,
         max_rows: int = DEFAULT_MAX_ROWS,
         observer: Optional[QueryObserver] = None,
+        max_retained_results: int = DEFAULT_MAX_RETAINED_RESULTS,
+        max_retained_bytes: int = DEFAULT_MAX_RETAINED_BYTES,
     ) -> None:
         self.spark = spark
         self.default_timeout = default_timeout
@@ -56,6 +71,8 @@ class QueryExecutor:
         self.max_timeout = max_timeout
         self.max_rows = max_rows
         self.observer = observer or get_observer()
+        self.max_retained_results = max_retained_results
+        self.max_retained_bytes = max_retained_bytes
         self._registry: dict[uuid.UUID, QueryResult] = {}
         self._lock = threading.Lock()
 
@@ -83,10 +100,63 @@ class QueryExecutor:
         with self._lock:
             self._registry[result.query_id] = result
         result.status = QueryStatus.RUNNING
-        with self.observer.observe_query(result.query_id, body) as span:
-            out = self._execute_inner(result, body, timeout_s, cap)
-            span.rows_returned = result.metrics.rows_returned
-            return out
+        try:
+            with self.observer.observe_query(result.query_id, body) as span:
+                out = self._execute_inner(result, body, timeout_s, cap)
+                span.rows_returned = result.metrics.rows_returned
+                return out
+        finally:
+            # timeout/failure raise paths also leave a terminal result in
+            # the registry — enforce the retention bound on every outcome
+            self._enforce_retention(protect=result.query_id)
+
+    def _enforce_retention(self, protect: uuid.UUID) -> None:
+        """Bound the registry's TERMINAL results (count + Arrow bytes).
+
+        Eviction order: fully-streamed results first (their client already
+        has every row — see ``QueryResult.streamed_complete``), then the
+        oldest remaining terminal results. In-flight queries and the
+        just-finished ``protect`` result are never evicted, so a single
+        over-sized result is admitted rather than rejected (the bound
+        recovers as soon as the next query completes). An evicted
+        query_id answers ``get_status`` with QueryNotFoundError — the
+        client's cue to re-run rather than the driver's cue to OOM.
+        """
+        with self._lock:
+            def terminal() -> list[QueryResult]:
+                return [
+                    r
+                    for r in self._registry.values()
+                    if r.status in TERMINAL_STATES
+                ]
+
+            def over_budget() -> bool:
+                t = terminal()
+                return (
+                    len(t) > self.max_retained_results
+                    or sum(r.result_nbytes for r in t)
+                    > self.max_retained_bytes
+                )
+
+            # dict preserves insertion order → oldest first within a tier
+            tiers = (
+                [
+                    qid
+                    for qid, r in self._registry.items()
+                    if r.status in TERMINAL_STATES and r.streamed_complete
+                ],
+                [
+                    qid
+                    for qid, r in self._registry.items()
+                    if r.status in TERMINAL_STATES and not r.streamed_complete
+                ],
+            )
+            for tier in tiers:
+                for qid in tier:
+                    if not over_budget():
+                        return
+                    if qid != protect:
+                        self._registry.pop(qid)
 
     def _execute_inner(
         self, result: QueryResult, body: str, timeout_s: float, cap: int

@@ -46,6 +46,14 @@ class ExecutionMetrics:
         self.rows_returned = rows_returned
 
 
+#: Terminal states — the only ones the retention policy may evict.
+TERMINAL_STATES = (
+    QueryStatus.COMPLETED,
+    QueryStatus.FAILED,
+    QueryStatus.CANCELLED,
+)
+
+
 @dataclass
 class QueryResult:
     """In-flight/terminal query state + columnar result."""
@@ -57,6 +65,15 @@ class QueryResult:
     error: Optional[str] = None
     _schema: Optional[pa.Schema] = None
     _batches: list[pa.RecordBatch] = field(default_factory=list)
+    #: Highest result row index delivered to any client + 1, maintained by
+    #: the NDJSON streaming layer — the executor's retention policy evicts
+    #: fully-streamed results first (their client already has the rows).
+    rows_streamed_hwm: int = 0
+    #: Set by the streaming layer when it delivers the page containing the
+    #: stream's final row (or the error message for failed/cancelled
+    #: queries) — distinct from the hwm so a 0-row result does not count
+    #: as streamed before any client ever asked for it.
+    stream_delivered_final: bool = False
 
     def set_result(self, table: pa.Table) -> None:
         self._schema = table.schema
@@ -77,3 +94,15 @@ class QueryResult:
 
     def column_names(self) -> list[str]:
         return list(self._schema.names) if self._schema is not None else []
+
+    @property
+    def result_nbytes(self) -> int:
+        """Retained Arrow buffer bytes — the retention policy's unit."""
+        return sum(b.nbytes for b in self._batches)
+
+    @property
+    def streamed_complete(self) -> bool:
+        """True once a client has been delivered the stream's final row
+        (or the error/cancelled message for failed queries) — such
+        results are the retention policy's first eviction candidates."""
+        return self.status in TERMINAL_STATES and self.stream_delivered_final

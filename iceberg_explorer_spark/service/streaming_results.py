@@ -43,9 +43,11 @@ def stream_results(
         raise ValueError("offset must be >= 0")
 
     if result.status == QueryStatus.FAILED:
+        result.stream_delivered_final = True  # error message IS the stream
         yield json.dumps({"type": "error", "error": result.error or "query failed"})
         return
     if result.status == QueryStatus.CANCELLED:
+        result.stream_delivered_final = True
         yield json.dumps({"type": "error", "error": "query was cancelled"})
         return
     if result.status != QueryStatus.COMPLETED:
@@ -85,6 +87,17 @@ def stream_results(
             )
         remaining -= window.num_rows
 
+    # Retention bookkeeping for the executor's eviction policy: record how
+    # far into the result any client has been served, and whether this
+    # page reached the final row (marked BEFORE the complete yield so a
+    # consumer that stops at the complete message still counts).
+    # conservative: a page that delivered nothing (offset past the end)
+    # does not prove the client ever fetched the earlier pages, and must
+    # not advance the delivered-rows high-water mark
+    if sent > 0:
+        result.rows_streamed_hwm = max(result.rows_streamed_hwm, offset + sent)
+    if offset + sent >= total and (sent > 0 or (offset == 0 and total == 0)):
+        result.stream_delivered_final = True
     yield json.dumps(
         {
             "type": "complete",

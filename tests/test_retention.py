@@ -1,0 +1,112 @@
+"""Result-registry retention policy (VERDICT r7 item 5).
+
+The executor materializes every result fully on the driver (matching the
+reference's behavior) and holds it for slow-streaming clients — so the
+registry needs a bound: N large completed results held while N clients
+stream slowly must not grow driver memory without limit. The policy:
+terminal results are bounded by count AND total Arrow bytes, evicting
+fully-streamed results first, then the oldest terminal; in-flight queries
+and the just-finished result are never evicted.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from iceberg_explorer_spark.errors import QueryNotFoundError
+from iceberg_explorer_spark.lifecycle.executor import QueryExecutor
+from iceberg_explorer_spark.lifecycle.models import QueryStatus
+
+
+def _run_n(ex, n, rows=100):
+    return [
+        ex.execute(f"SELECT id, id * {i + 1} AS x FROM range({rows})")
+        for i in range(n)
+    ]
+
+
+def test_count_bound_evicts_oldest_terminal(spark):
+    ex = QueryExecutor(spark, max_retained_results=3)
+    results = _run_n(ex, 6)
+    retained = [r for r in results if r.query_id in ex._registry]
+    assert len(retained) == 3
+    # the three NEWEST survive; the three oldest answered with not-found
+    assert retained == results[3:]
+    for r in results[:3]:
+        with pytest.raises(QueryNotFoundError):
+            ex.get_status(r.query_id)
+    ex.get_status(results[-1].query_id)  # newest still addressable
+
+
+def test_streamed_complete_evicted_before_unstreamed(spark):
+    from iceberg_explorer_spark.service.streaming_results import stream_results
+
+    ex = QueryExecutor(spark, max_retained_results=2)
+    a, b, c = _run_n(ex, 3)  # bound already exceeded by c's arrival: a gone
+    assert a.query_id not in ex._registry
+    # fully stream b — it becomes the preferred eviction candidate even
+    # though c is OLDER-retained than the next arrival
+    assert b.streamed_complete is False
+    list(stream_results(b, page_size=100))
+    assert b.streamed_complete is True
+    d = ex.execute("SELECT 1 AS one")
+    # b (streamed) was evicted in preference to c (unstreamed, older tier 2)
+    assert b.query_id not in ex._registry
+    assert c.query_id in ex._registry and d.query_id in ex._registry
+
+
+def test_byte_bound_and_protection_of_newest(spark):
+    # a 1-byte budget is over-run by ANY non-empty result: every older
+    # terminal result is evicted, but the just-finished one is admitted
+    # (protected) rather than rejected
+    ex = QueryExecutor(spark, max_retained_bytes=1)
+    results = _run_n(ex, 3)
+    assert [r for r in results if r.query_id in ex._registry] == [results[-1]]
+    assert results[-1].result_nbytes > 1  # genuinely over budget, admitted
+
+
+def test_partial_stream_does_not_mark_complete(spark):
+    from iceberg_explorer_spark.service.streaming_results import stream_results
+
+    ex = QueryExecutor(spark)
+    r = ex.execute("SELECT id FROM range(250) ORDER BY id")
+    list(stream_results(r, page_size=100, offset=0))
+    assert r.rows_streamed_hwm == 100 and not r.streamed_complete
+    list(stream_results(r, page_size=100, offset=100))
+    assert r.rows_streamed_hwm == 200 and not r.streamed_complete
+    # a page past the end without delivering rows is NOT proof of delivery
+    list(stream_results(r, page_size=100, offset=400))
+    assert not r.streamed_complete
+    list(stream_results(r, page_size=100, offset=200))  # the real final page
+    assert r.rows_streamed_hwm == 250 and r.streamed_complete
+
+
+def test_zero_row_result_marks_complete_only_after_stream(spark):
+    from iceberg_explorer_spark.service.streaming_results import stream_results
+
+    ex = QueryExecutor(spark)
+    r = ex.execute("SELECT id FROM range(10) WHERE id < 0")
+    assert r.status == QueryStatus.COMPLETED and r.total_rows == 0
+    assert not r.streamed_complete  # nobody has asked yet
+    list(stream_results(r, page_size=100))
+    assert r.streamed_complete
+
+
+def test_failed_result_counts_streamed_after_error_message(spark):
+    from iceberg_explorer_spark.service.streaming_results import stream_results
+
+    ex = QueryExecutor(spark)
+    with pytest.raises(Exception):
+        ex.execute("SELECT raise_error('boom') AS boom FROM range(1)")
+    failed = [
+        r
+        for r in ex._registry.values()
+        if r.status in (QueryStatus.FAILED,)
+    ]
+    if not failed:  # gate may reject before execution on some builds
+        pytest.skip("statement failed before reaching the executor")
+    r = failed[0]
+    assert not r.streamed_complete
+    msgs = list(stream_results(r, page_size=100))
+    assert '"error"' in msgs[0]
+    assert r.streamed_complete
