@@ -151,12 +151,18 @@ class QueryExecutor:
                     if r.status in TERMINAL_STATES and not r.streamed_complete
                 ],
             )
+            evicted = 0
             for tier in tiers:
                 for qid in tier:
                     if not over_budget():
-                        return
+                        break
                     if qid != protect:
                         self._registry.pop(qid)
+                        evicted += 1
+            t = terminal()
+            self.observer.record_retention(
+                len(t), sum(r.result_nbytes for r in t), evicted
+            )
 
     def _execute_inner(
         self, result: QueryResult, body: str, timeout_s: float, cap: int

@@ -124,6 +124,12 @@ class Recorder:
         self.query_rows_returned: int = 0
         self.active_queries: int = 0
         self.spans: list[SpanRecord] = []
+        # retention-policy gauges/counter (lifecycle/executor.py
+        # _enforce_retention): current terminal results held + their Arrow
+        # bytes, and cumulative evictions since process start
+        self.retained_results: int = 0
+        self.retained_result_bytes: int = 0
+        self.results_evicted: int = 0
 
     def record_duration(self, seconds: float) -> None:
         with self._lock:
@@ -141,12 +147,21 @@ class Recorder:
         with self._lock:
             self.spans.append(span)
 
+    def set_retention(self, count: int, nbytes: int, evicted: int = 0) -> None:
+        with self._lock:
+            self.retained_results = count
+            self.retained_result_bytes = nbytes
+            self.results_evicted += evicted
+
     def reset(self) -> None:
         with self._lock:
             self.query_duration_seconds.clear()
             self.query_rows_returned = 0
             self.active_queries = 0
             self.spans.clear()
+            self.retained_results = 0
+            self.retained_result_bytes = 0
+            self.results_evicted = 0
 
 
 class QueryObserver:
@@ -174,6 +189,15 @@ class QueryObserver:
             )
         else:
             self._tracer = self._hist = self._rows = self._active = None
+
+    def record_retention(
+        self, count: int, nbytes: int, evicted: int = 0
+    ) -> None:
+        """Retention-policy gauges (terminal results held + Arrow bytes)
+        and the cumulative eviction counter — recorder-backed like the
+        reference's three instruments (the OTel mirror of a gauge would
+        be an observable callback; the recorder is the contract here)."""
+        self.recorder.set_retention(count, nbytes, evicted)
 
     @contextmanager
     def observe_query(

@@ -120,10 +120,21 @@ against exact answers).
   window_top_orders_per_customer green r2-r5, events_sliding_window
   green r4+r5) — 1 + 3 + 29 + 4 + 13 = 50 exactly. If r8 comes back
   green, every oracle-bearing query in the registry has driver
-  evidence no older than r5. Bench: the three r7 operators (plus r8's
-  dedup_overlap_spectrum, if registered in time) enter the per-query
-  detail map additively; the comparable 65-query sum stays the
-  headline trend line per the r7 deferral note.
+  evidence no older than r5. Bench: the three r7 operators plus r8's
+  dedup_overlap_spectrum run as the bench EXTENDED set — timed
+  identically, reported in the per-query detail map and the additive
+  extended_sec/n_extended final-line keys — while the comparable
+  65-query HEADLINE sum stays the trend line per the r7 deferral
+  note; the one-time probe-index build joins candidate_build as its
+  own probe_build line item.
+- round 9 (plan): give dedup_overlap_spectrum (registered
+  out-of-window this round with oracle + plan pin + 3× point + unit
+  evidence) its FIRST driver row; rotate back the three r5-stale
+  queries deferred this round (similarity_bucket_gemm,
+  window_top_orders_per_customer, events_sliding_window) and start
+  on the r6 cohort (27 queries whose last row is r6), prioritizing
+  anything r9 modifies; fill the remainder with r7-cohort second
+  rows as slots allow.
 """
 
 from iceberg_explorer_spark.operators.registry import QUERIES, QuerySpec, query  # noqa: F401

@@ -65,6 +65,23 @@ def test_byte_bound_and_protection_of_newest(spark):
     assert results[-1].result_nbytes > 1  # genuinely over budget, admitted
 
 
+def test_retention_gauges_track_registry(spark):
+    """A21 tie-in: the retention policy publishes its state — terminal
+    results held, their Arrow bytes, and cumulative evictions — through
+    the same recorder as the reference's three instruments."""
+    from iceberg_explorer_spark.observability import QueryObserver
+
+    obs = QueryObserver()
+    ex = QueryExecutor(spark, max_retained_results=2, observer=obs)
+    results = _run_n(ex, 4)
+    rec = obs.recorder
+    retained = [r for r in results if r.query_id in ex._registry]
+    assert rec.retained_results == len(retained) == 2
+    assert rec.retained_result_bytes == sum(r.result_nbytes for r in retained)
+    assert rec.results_evicted == 2  # four ran, two survive
+    assert rec.retained_result_bytes > 0
+
+
 def test_partial_stream_does_not_mark_complete(spark):
     from iceberg_explorer_spark.service.streaming_results import stream_results
 
