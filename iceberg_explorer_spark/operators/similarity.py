@@ -346,6 +346,36 @@ def _ivf_assign_sql_duckdb() -> str:
     )"""
 
 
+def _ivf_ranked(emb: DataFrame) -> DataFrame:
+    """Every vector's centroids ranked by rounded cosine (the shared IVF
+    assignment): broadcast the K centroid rows, one map-side dot product
+    per (vector, centroid), rank within each vector. rn = 1 is the
+    vector's list; rn ≤ nprobe are a query's probe lists. Shared by the
+    top-k query and the balance report so the assignment has ONE
+    definition (mirror of the oracle-side ``_ivf_assign_sql_duckdb``)."""
+    from pyspark.sql import Window
+
+    cents = F.broadcast(
+        emb.filter(F.col("vec_id") < IVF_K).select(
+            F.col("vec_id").alias("cid"), F.col("ne").alias("ce")
+        )
+    )
+    sim = F.round(F.expr(_DOT_SPARK.format(a="ne", b="ce")), 6)
+    return (
+        emb.crossJoin(cents)
+        .withColumn("csim", sim)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(
+                    F.col("csim").desc(), F.col("cid")
+                )
+            ),
+        )
+    )
+
+
+
 @query(
     "similarity_ivf_topk",
     oracle=f"""
@@ -373,29 +403,10 @@ def _ivf_assign_sql_duckdb() -> str:
 def similarity_ivf_topk(
     spark: SparkSession, sf_dir: str, *, emb: DataFrame | None = None
 ) -> DataFrame:
-    from pyspark.sql import Window
-
     emb = _with_normalized(
         emb if emb is not None else _load_emb(spark, sf_dir)
     )
-    cents = F.broadcast(
-        emb.filter(F.col("vec_id") < IVF_K).select(
-            F.col("vec_id").alias("cid"), F.col("ne").alias("ce")
-        )
-    )
-    sim = F.round(F.expr(_DOT_SPARK.format(a="ne", b="ce")), 6)
-    ranked = (
-        emb.crossJoin(cents)
-        .withColumn("csim", sim)
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("vec_id").orderBy(
-                    F.col("csim").desc(), F.col("cid")
-                )
-            ),
-        )
-    )
+    ranked = _ivf_ranked(emb)
     lists = ranked.filter(F.col("rn") == 1).select("vec_id", "ne", "cid")
     qprobe = F.broadcast(
         ranked.filter(
@@ -415,6 +426,90 @@ def similarity_ivf_topk(
         .select("vec_id", F.col("cid").alias("probe_list"), cos.alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
         .limit(10)
+    )
+
+
+#: micro-units for the exact-integer mean trick (1e-6 of a cosine)
+_SIM_MICRO = 1_000_000
+
+
+@query(
+    "similarity_ivf_balance",
+    oracle=f"""
+    WITH {_ivf_assign_sql_duckdb()},
+    lists AS (
+      SELECT r.vec_id, r.cid,
+             ROUND(list_cosine_similarity(CAST(r.embedding AS DOUBLE[]),
+                                          CAST(c.ce AS DOUBLE[])), 6) AS csim
+      FROM ranked r JOIN cents c ON r.cid = c.cid
+      WHERE r.rn = 1
+    ),
+    t AS (SELECT COUNT(*) AS n_total FROM {_EMB_SQL}),
+    per AS (
+      SELECT cid, COUNT(*) AS n_vectors,
+             SUM(CAST(ROUND(csim * {_SIM_MICRO}, 0) AS BIGINT)) AS sum_micro,
+             MIN(csim) AS min_centroid_sim,
+             MAX(csim) AS max_centroid_sim
+      FROM lists GROUP BY cid
+    )
+    SELECT p.cid, p.n_vectors,
+           p.n_vectors * {IVF_K} * 1.0 / t.n_total AS load_factor,
+           p.sum_micro * 1.0 / (p.n_vectors * {_SIM_MICRO}.0)
+             AS mean_centroid_sim,
+           p.min_centroid_sim, p.max_centroid_sim
+    FROM per p CROSS JOIN t
+    """,
+    doc=f"IVF index-health report: per coarse list, its population, load "
+    f"factor (n_vectors × {IVF_K} / corpus — 1.0 = perfectly balanced), "
+    "and centroid-coherence stats (mean/min/max cosine of members to "
+    "their centroid). Cell-size skew is THE operational risk of an IVF "
+    "index at scale: a hot list makes every probe touching it pay its "
+    "size (probe cost is the sum of probed-list lengths, so one 10× list "
+    "sets tail latency), and a low-coherence list recalls poorly — this "
+    "is the report you read before re-training centroids or splitting "
+    "lists. Determinism: the mean is derived from an EXACT BIGINT sum of "
+    "6-dp-quantized cosines in micro-units (order-independent under any "
+    "shuffle; same literal double expression both engines); min/max are "
+    "over already-rounded values; load_factor is a ratio of exact "
+    "integers. Scale: assignment is the same broadcast-centroids "
+    "map-side pass the top-k query uses (the corpus never shuffles for "
+    "assignment), then ONE partial-aggregated groupBy(cid) whose shuffle "
+    "carries K×partitions tiny rows, and an O(K)-row join with the "
+    "1-row total — output is K rows regardless of corpus size. "
+    "reference: no analogue — training-pipeline extension.",
+)
+def similarity_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _with_normalized(_load_emb(spark, sf_dir))
+    lists = (
+        _ivf_ranked(emb)
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid", "csim")
+    )
+    per = lists.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum(F.round(F.col("csim") * _SIM_MICRO, 0).cast("long")).alias(
+            "_sum_micro"
+        ),
+        F.min("csim").alias("min_centroid_sim"),
+        F.max("csim").alias("max_centroid_sim"),
+    )
+    # every contract-passing vector lands in exactly one list, so the
+    # total comes straight off the scan — counting `lists` instead would
+    # re-execute the rank-window shuffle for a number already known
+    total = emb.agg(F.count(F.lit(1)).alias("_n_total"))
+    return per.crossJoin(F.broadcast(total)).select(
+        "cid",
+        "n_vectors",
+        (F.col("n_vectors") * IVF_K * 1.0 / F.col("_n_total")).alias(
+            "load_factor"
+        ),
+        (
+            F.col("_sum_micro")
+            * 1.0
+            / (F.col("n_vectors") * float(_SIM_MICRO))
+        ).alias("mean_centroid_sim"),
+        "min_centroid_sim",
+        "max_centroid_sim",
     )
 
 

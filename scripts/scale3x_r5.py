@@ -73,8 +73,9 @@ OP_TABLE = {
     "dedup_containment": "documents",
     "dedup_containment_probe": "documents",
     "events_rate_spike_zscore": "events",
-    # round-8 addition (composed overlap spectrum, one verify pass)
+    # round-8 additions (composed overlap spectrum; IVF balance report)
     "dedup_overlap_spectrum": "documents",
+    "similarity_ivf_balance": "embeddings",
 }
 
 

@@ -142,6 +142,21 @@ def test_ivf_assignment_broadcasts_centroids(spark):
     assert pi.sort_merge_join_count(df) == 0
 
 
+def test_ivf_balance_one_agg_shuffle_broadcast_total(spark):
+    df = build(spark, "similarity_ivf_balance")
+    # same broadcast assignment as the top-k query (centroids + the 1-row
+    # total); the data-bearing KEY shuffles are the per-vector rank window
+    # and the partial-aggregated groupBy(cid) — the third counted exchange
+    # is the global corpus-count's SinglePartition merge of one partial
+    # row per partition (O(partitions), not O(rows); the total reads the
+    # scan, NOT the rank window). The corpus never shuffles for
+    # assignment and the output is O(K) rows.
+    assert pi.broadcast_join_count(df) >= 2
+    assert pi.sort_merge_join_count(df) == 0
+    assert pi.key_shuffle_count(df) <= 3
+    assert pi.has_partial_aggregate(df)
+
+
 def test_semi_and_anti_joins_stay_joins(spark):
     for name in ("semi_join_active_customers", "anti_join_idle_customers"):
         plan = pi.physical_plan(build(spark, name))

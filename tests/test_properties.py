@@ -1664,6 +1664,67 @@ def test_containment_probe_recalls_tiny_doc_in_huge_doc(spark, tmp_path):
     )
 
 
+def test_ivf_balance_flags_hot_cell(spark, tmp_path):
+    """The balance report's reason to exist: a skewed corpus — most
+    vectors clustered around one centroid's direction — must surface as
+    that cell's load_factor ≫ 1 (the probe-latency hot spot an IVF
+    operator re-trains centroids over), while the report's integer
+    invariants hold: populations sum to the corpus, load factors sum to
+    K, and per-cell coherence stats are ordered. Oracle-checked on the
+    same crafted corpus."""
+    import duckdb
+    import numpy as np
+
+    from iceberg_explorer_spark.operators import QUERIES
+    from iceberg_explorer_spark.operators.similarity import IVF_K
+    from tests.conftest import assert_matches_oracle
+
+    rng = np.random.RandomState(11)
+    dim = 64
+    cents = [rng.randn(dim).astype("float32") for _ in range(IVF_K)]
+    vecs = list(cents)  # vec_id < IVF_K are the centroid seeds
+    for _ in range(24):  # hot: tight cloud around centroid 0
+        vecs.append((cents[0] + 0.05 * rng.randn(dim)).astype("float32"))
+    for i in range(1, 4):  # a few sparse members elsewhere
+        vecs.append((cents[i] + 0.05 * rng.randn(dim)).astype("float32"))
+    rows = [(i, [float(x) for x in v], i % 3) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    d = str(tmp_path / "ivfbal")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+
+    spec = QUERIES["similarity_ivf_balance"]
+    out = {r["cid"]: r for r in spec.builder(spark, d).collect()}
+    n_corpus = len(vecs)
+    assert sum(r["n_vectors"] for r in out.values()) == n_corpus
+    assert abs(sum(r["load_factor"] for r in out.values()) - IVF_K) < 1e-9
+    # the hot cell: 24 members + its own seed vs a balanced share of ~4
+    hot = out[0]
+    assert hot["n_vectors"] >= 25
+    assert hot["load_factor"] > 4.0
+    assert hot["load_factor"] == max(r["load_factor"] for r in out.values())
+    for r in out.values():
+        assert (
+            -1.0 - 1e-9
+            <= r["min_centroid_sim"]
+            <= r["mean_centroid_sim"]
+            <= r["max_centroid_sim"]
+            <= 1.0 + 1e-9
+        )
+    # the tight cloud is coherent: members sit close to their centroid
+    assert hot["mean_centroid_sim"] > 0.95
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{d}/embeddings.parquet/*.parquet')"
+    )
+    assert_matches_oracle(
+        spec.builder(spark, d), con, spec.oracle, "similarity_ivf_balance"
+    )
+
+
 def test_overlap_spectrum_lineage_and_union_semantics(spark, tmp_path):
     """The spectrum's distinguishing claims: (1) its pair set is EXACTLY
     the union of the two single-generator reports (one verify pass loses
