@@ -133,6 +133,7 @@ EXTENDED = [
     "dedup_containment_probe",    # rare-shingle probe index recall path
     "events_rate_spike_zscore",   # hourly per-type rate anomaly z-scores
     "dedup_overlap_spectrum",     # both generators -> one verify + lineage
+    "similarity_ivf_balance",     # per-list IVF index-health report
 ]
 
 

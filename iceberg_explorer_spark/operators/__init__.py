@@ -127,14 +127,15 @@ against exact answers).
   65-query HEADLINE sum stays the trend line per the r7 deferral
   note; the one-time probe-index build joins candidate_build as its
   own probe_build line item.
-- round 9 (plan): give dedup_overlap_spectrum (registered
+- round 9 (plan): give the two round-8 operators
+  (dedup_overlap_spectrum, similarity_ivf_balance — both registered
   out-of-window this round with oracle + plan pin + 3× point + unit
-  evidence) its FIRST driver row; rotate back the three r5-stale
-  queries deferred this round (similarity_bucket_gemm,
-  window_top_orders_per_customer, events_sliding_window) and start
-  on the r6 cohort (27 queries whose last row is r6), prioritizing
-  anything r9 modifies; fill the remainder with r7-cohort second
-  rows as slots allow.
+  evidence, both in bench EXTENDED) their FIRST driver rows; rotate
+  back the three r5-stale queries deferred this round
+  (similarity_bucket_gemm, window_top_orders_per_customer,
+  events_sliding_window) and start on the r6 cohort (27 queries
+  whose last row is r6), prioritizing anything r9 modifies; fill the
+  remainder with r7-cohort second rows as slots allow.
 """
 
 from iceberg_explorer_spark.operators.registry import QUERIES, QuerySpec, query  # noqa: F401

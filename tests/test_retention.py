@@ -65,6 +65,37 @@ def test_byte_bound_and_protection_of_newest(spark):
     assert results[-1].result_nbytes > 1  # genuinely over budget, admitted
 
 
+def test_evicted_query_returns_404_on_app_routes(spark):
+    """End-to-end contract of eviction: after the bound pushes a result
+    out, its id answers 404 on the results AND status routes (the same
+    shape as the reference's unknown-id path) — the client's cue to
+    re-run, never a crash or a stale body."""
+    from iceberg_explorer_spark.service.app import ExplorerApp
+
+    ex = QueryExecutor(spark, max_retained_results=1)
+    app = ExplorerApp(spark, executor=ex)
+    first = app.handle(
+        "POST", "/api/v1/query/execute", body={"sql": "SELECT 1 AS a"}
+    )
+    second = app.handle(
+        "POST", "/api/v1/query/execute", body={"sql": "SELECT 2 AS b"}
+    )
+    assert first.status == 200 and second.status == 200
+    evicted_id = first.body["query_id"]
+    for route in (f"/api/v1/query/{evicted_id}/results",
+                  f"/api/v1/query/{evicted_id}/status"):
+        resp = app.handle("GET", route, params={"page_size": 100})
+        assert resp.status == 404, route
+        assert "not found" in resp.body["detail"].lower()
+    # the retained (newest) result still streams fine
+    ok = app.handle(
+        "GET",
+        f"/api/v1/query/{second.body['query_id']}/results",
+        params={"page_size": 100},
+    )
+    assert ok.status == 200
+
+
 def test_retention_gauges_track_registry(spark):
     """A21 tie-in: the retention policy publishes its state — terminal
     results held, their Arrow bytes, and cumulative evictions — through
