@@ -102,6 +102,67 @@ def test_shared_candidates_rewrite_invalidates(spark, tmp_path):
     dedup.invalidate_shared_candidates(d)
 
 
+def test_build_cleanup_runs_after_materialization_and_on_failure(spark):
+    """The cache's ``cleanup`` hook (used by the probe builder to release
+    its interim persisted shingle scan) must run exactly once after the
+    miss-path checkpoint materializes — and ALSO when the build raises,
+    so a failed build never leaks a pinned frame."""
+    from iceberg_explorer_spark.operators import dedup
+
+    dedup.invalidate_shared_candidates()
+    ran = []
+    df = spark.range(3).toDF("doc_a")
+    out = dedup._shared_candidates(
+        spark, SF_DIR_SMALL, "lsh", lambda: df, cleanup=lambda: ran.append(1)
+    )
+    assert out.count() == 3 and ran == [1]
+    # cache hit: build and cleanup both skipped
+    again = dedup._shared_candidates(
+        spark, SF_DIR_SMALL, "lsh", lambda: df, cleanup=lambda: ran.append(2)
+    )
+    assert again is out and ran == [1]
+    dedup.invalidate_shared_candidates()
+
+    def boom():
+        raise RuntimeError("build failed")
+
+    try:
+        dedup._shared_candidates(
+            spark, SF_DIR_SMALL, "lsh", boom, cleanup=lambda: ran.append(3)
+        )
+    except RuntimeError:
+        pass
+    assert ran == [1, 3]
+    dedup.invalidate_shared_candidates()
+
+
+def test_cold_probe_build_releases_interim_shingle_persist(spark):
+    """A cold ``shared_probe_candidates`` call with no caller-provided
+    ``hashed`` persists the shingle scan for the build (its plan references
+    it from three branches) and must UNPERSIST it once the candidate
+    checkpoint holds the result — the persist is build-scoped, not
+    session-scoped."""
+    from iceberg_explorer_spark.operators import dedup
+
+    dedup.invalidate_shared_candidates()
+    captured = []
+    real = dedup.hashed_shingles
+
+    def capturing(*args, **kwargs):
+        df = real(*args, **kwargs)
+        captured.append(df)
+        return df
+
+    dedup.hashed_shingles = capturing
+    try:
+        dedup.shared_probe_candidates(spark, SF_DIR_SMALL)
+    finally:
+        dedup.hashed_shingles = real
+    assert len(captured) == 1
+    assert not captured[0].storageLevel.useMemory  # released after build
+    dedup.invalidate_shared_candidates()
+
+
 def test_fingerprint_detects_metadata_preserving_rewrite(tmp_path):
     """A rewrite that preserves size AND mtime (cp -p / touch -r /
     timestamp-preserving object-store sync) must still change the corpus
