@@ -333,20 +333,22 @@ def lsh_candidates(
 
 
 #: session-scoped materializations of candidate sets, keyed by
-#: (spark application id, sf_dir, corpus fingerprint, kind) where kind is
-#: the candidate GENERATOR ("lsh" = MinHash bands, "probe" = rare-shingle
-#: inverted index), LRU-bounded: holding a strong reference pins the
+#: (spark application id, sf_dir, input-table fingerprint, kind) where kind
+#: is the candidate GENERATOR ("lsh" = MinHash bands, "probe" = rare-shingle
+#: inverted index, "semantic" = embedding-cosine edges over embeddings,
+#: "semantic_cc" = the cluster labels over those edges),
+#: LRU-bounded: holding a strong reference pins the
 #: checkpointed RDD blocks (ContextCleaner frees them only after the
 #: DataFrame is garbage collected), so an unbounded dict would grow
 #: block-manager memory monotonically in a long-lived session that touches
 #: many corpora (the adversarial sweeps build a fresh tmp corpus per run).
-#: Six slots cover every steady-state workload (the bench and driver use
-#: one sf_dir each × two kinds; tests use three corpora) while evicted
-#: entries become collectable again.
+#: Twelve slots cover every steady-state workload (the bench and driver
+#: use one sf_dir each × four kinds; tests use three corpora) while
+#: evicted entries become collectable again.
 _SHARED_CANDIDATES: OrderedDict[
     tuple[str, str, str, str], DataFrame
 ] = OrderedDict()
-_SHARED_CANDIDATES_MAX = 6
+_SHARED_CANDIDATES_MAX = 12
 #: Guards the check-then-set: the service layer runs each query on its own
 #: daemon thread (lifecycle/executor.py), so without the lock two
 #: concurrent graph-family queries hitting a cold cache would BOTH run the
@@ -367,8 +369,8 @@ _SHARED_CANDIDATES_LOCK = threading.Lock()
 _FINGERPRINT_TAIL_BYTES = 64
 
 
-def _corpus_fingerprint(sf_dir: str) -> str:
-    """Content fingerprint of the documents table: the sorted
+def _corpus_fingerprint(sf_dir: str, table: str = "documents") -> str:
+    """Content fingerprint of the candidate generator's input table: the sorted
     (relative path, size, mtime_ns, last-64-bytes) listing under
     ``documents.parquet``, md5-hashed. Folded into the cache key so a
     corpus REWRITTEN at the same path within one Spark application
@@ -384,7 +386,7 @@ def _corpus_fingerprint(sf_dir: str) -> str:
     calls plus one 64-byte tail read per file — same cost class as
     Spark's own per-query file listing. A missing path fingerprints as
     empty (the query itself will then raise the real error)."""
-    root = os.path.join(sf_dir, "documents.parquet")
+    root = os.path.join(sf_dir, f"{table}.parquet")
     paths = []
     if os.path.isfile(root):
         paths.append(("", root))
@@ -420,7 +422,12 @@ def invalidate_shared_candidates(sf_dir: str | None = None) -> None:
 
 
 def _shared_candidates(
-    spark: SparkSession, sf_dir: str, kind: str, build, cleanup=None
+    spark: SparkSession,
+    sf_dir: str,
+    kind: str,
+    build,
+    cleanup=None,
+    table: str = "documents",
 ) -> DataFrame:
     """Keyed check-then-build for session-shared candidate checkpoints.
 
@@ -447,7 +454,7 @@ def _shared_candidates(
     key = (
         spark.sparkContext.applicationId,
         sf_dir,
-        _corpus_fingerprint(sf_dir),
+        _corpus_fingerprint(sf_dir, table=table),
         kind,
     )
     with _SHARED_CANDIDATES_LOCK:

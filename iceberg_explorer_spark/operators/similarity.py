@@ -1282,3 +1282,172 @@ def similarity_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.join(F.broadcast(b), "label").select(
         "label", "n_a", "n_b", F.round(F.sqrt(sq), 6).alias("drift")
     )
+
+
+#: fixed-point grain for intra-cluster edge-cosine means: cos_sim is
+#: already rounded to 6 decimals, so ×1e6 is EXACT integer micro-units —
+#: the per-cluster mean becomes a ratio of exact BIGINTs divided once,
+#: bit-identical across engines and shuffle orders (a double SUM of the
+#: raw cosines would drift in final ulps with aggregation order).
+_EDGE_COS_MICRO = 1_000_000
+
+
+def shared_semantic_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embedding-cosine near-dup edge set (id_a, id_b, micro),
+    materialized ONCE per session through the same keyed candidate cache
+    as the LSH and probe generators (kind="semantic", fingerprinting
+    ``embeddings.parquet``). Production shape: edges to parquet once,
+    every cluster/report reads the artifact — and in-session the eager
+    checkpoint doubles as the multi-branch materialization (the CC loop
+    and the intra-cluster stats join both consume this frame)."""
+    from iceberg_explorer_spark.operators.dedup import _shared_candidates
+
+    def _build() -> DataFrame:
+        return (
+            _bucket_pairs_gemm(spark, sf_dir)
+            .select(
+                F.col("vec_a").alias("id_a"),
+                F.col("vec_b").alias("id_b"),
+                F.round("cos_sim", 6).alias("cos_sim"),
+            )
+            .filter(F.col("cos_sim") >= NEAR_DUP_TAU)
+            .withColumn(
+                "micro",
+                F.round(F.col("cos_sim") * _EDGE_COS_MICRO).cast("bigint"),
+            )
+            .select("id_a", "id_b", "micro")
+        )
+
+    return _shared_candidates(
+        spark, sf_dir, "semantic", _build, table="embeddings"
+    )
+
+
+
+def shared_semantic_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster labels (id_a, cluster_id) over the semantic edge graph,
+    materialized ONCE per corpus per session (kind="semantic_cc" in the
+    keyed cache). SemDeDup's production shape is exactly this: cluster
+    the corpus once, then every dedup decision and report reads the
+    stored assignment — re-running the O(diameter)-round label
+    propagation per report would dominate its cost (measured at sf0.1:
+    the 5-round propagation is ~3 s/call; the materialized labels read
+    in ~0.1 s). The checkpoint also IS the multi-branch materialization:
+    the size rollup and the intra-cluster stats join both consume it."""
+    from iceberg_explorer_spark.operators.dedup import (
+        _shared_candidates,
+        connected_components,
+    )
+
+    edges = shared_semantic_edges(spark, sf_dir)
+    return _shared_candidates(
+        spark,
+        sf_dir,
+        "semantic_cc",
+        lambda: connected_components(
+            edges.select(
+                F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+            )
+        ).select(
+            F.col("node").alias("id_a"),
+            F.col("component").alias("cluster_id"),
+        ),
+        table="embeddings",
+    )
+
+
+@query(
+    "dedup_semantic_clusters",
+    oracle=f"""
+    WITH RECURSIVE coded AS (
+      SELECT vec_id, embedding, {_srp_code_duckdb('embedding')} AS bucket
+      FROM {_EMB_SQL}
+    ),
+    prs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])), 6)
+               AS cos_sim
+      FROM coded a JOIN coded b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ),
+    edges AS (
+      SELECT id_a, id_b,
+             CAST(ROUND(cos_sim * {_EDGE_COS_MICRO}) AS BIGINT) AS micro
+      FROM prs WHERE cos_sim >= {NEAR_DUP_TAU}
+    ),
+    und AS (
+      SELECT id_a AS s, id_b AS d FROM edges
+      UNION ALL
+      SELECT id_b, id_a FROM edges
+    ),
+    reach(s, d) AS (
+      SELECT s, d FROM und
+      UNION
+      SELECT r.s, u.d FROM reach r JOIN und u ON r.d = u.s
+    ),
+    cc AS (
+      SELECT s AS node, LEAST(s, MIN(d)) AS cluster_id FROM reach GROUP BY s
+    ),
+    sizes AS (
+      SELECT cluster_id, COUNT(*) AS n_members FROM cc GROUP BY cluster_id
+    ),
+    intra AS (
+      SELECT c.cluster_id, COUNT(*) AS n_edges, SUM(e.micro) AS sum_micro
+      FROM edges e JOIN cc c ON e.id_a = c.node
+      GROUP BY c.cluster_id
+    )
+    SELECT s.cluster_id,
+           CAST(s.n_members AS BIGINT) AS n_members,
+           CAST(s.n_members - 1 AS BIGINT) AS n_removable,
+           CAST(i.n_edges AS BIGINT) AS n_edges,
+           CAST(i.sum_micro AS DOUBLE) / ({_EDGE_COS_MICRO}.0 * i.n_edges)
+             AS mean_edge_cos
+    FROM sizes s JOIN intra i USING (cluster_id)
+    """,
+    doc="SemDeDup-style semantic clusters: connected components over the "
+    "embedding-cosine near-dup graph (SRP-bucketed GEMM pairs, cosine >= "
+    "tau), one row per multi-member cluster with its size, removable "
+    "count, and mean intra-cluster edge cosine (exact micro-unit integer "
+    "mean). The TRANSITIVE closure is the point: a chain a~b~c where "
+    "cos(a,c) < tau is ONE duplicate group — pairwise canonicalization "
+    "(dedup_embedding_cosine) or pairwise keep-best "
+    "(dedup_semantic_keep_best) can mark a doc's designated keeper as "
+    "itself dropped on such chains; cluster-level dedup cannot. Pinned by "
+    "tests/test_properties.py::test_semantic_clusters_merge_chain_"
+    "transitively. Plan: GEMM candidate pairs (bucketed, never n²) -> "
+    "session-shared checkpoint (kind='semantic' in the keyed candidate "
+    "cache: built once per corpus per session, and the materialized frame "
+    "feeds the CC loop AND the intra-cluster stats join — multi-branch "
+    "discipline) -> executor-side min-label "
+    "propagation (O(component diameter) rounds, O(1) driver scalars) -> "
+    "two partial-aggregated rollups + one O(clusters) join. The oracle's "
+    "recursive-CTE closure is fine at oracle scale and quadratic at "
+    "corpus scale — exactly why the Spark side iterates labels instead "
+    "(same trade recorded on dedup_clusters). reference: no analogue — "
+    "training-pipeline extension (SemDeDup, Abbas et al. 2023).",
+)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = shared_semantic_edges(spark, sf_dir)
+    cc = shared_semantic_labels(spark, sf_dir)
+    sizes = cc.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members")
+    )
+    intra = (
+        edges.join(cc, "id_a")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+            F.sum("micro").alias("sum_micro"),
+        )
+    )
+    return sizes.join(intra, "cluster_id").select(
+        "cluster_id",
+        "n_members",
+        (F.col("n_members") - 1).cast("bigint").alias("n_removable"),
+        "n_edges",
+        (
+            F.col("sum_micro").cast("double")
+            / (F.lit(float(_EDGE_COS_MICRO)) * F.col("n_edges"))
+        ).alias("mean_edge_cos"),
+    )

@@ -76,6 +76,10 @@ OP_TABLE = {
     # round-8 additions (composed overlap spectrum; IVF balance report)
     "dedup_overlap_spectrum": "documents",
     "similarity_ivf_balance": "embeddings",
+    # round-8 addition (SemDeDup-style transitive cosine clusters)
+    "dedup_semantic_clusters": "embeddings",
+    # round-8 addition (per-stage curation attrition funnel)
+    "pipeline_filter_funnel": "documents",
 }
 
 

@@ -924,3 +924,31 @@ def test_seasonality_index_months_frame_only(spark):
     assert "Join" not in plan
     for s in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
         assert "order_year" in s, f"unpartitioned seasonality window: {s}"
+
+
+def test_semantic_clusters_aggregate_checkpointed_edges(spark):
+    """dedup_semantic_clusters' report plan must consume the eagerly
+    checkpointed edge frame (it feeds the CC loop AND the intra-cluster
+    stats join — multi-branch discipline), never re-run the per-bucket
+    GEMM or re-scan embedding parquet inside the final aggregation, and
+    hint nothing to broadcast (cluster count grows with the corpus)."""
+    df = build(spark, "dedup_semantic_clusters")
+    plan = pi.physical_plan(df)
+    assert "ExistingRDD" in plan            # checkpointed edges + labels
+    assert "FlatMapGroupsInPandas" not in plan  # GEMM ran once, upstream
+    assert "FileScan parquet" not in plan       # no embedding re-scan
+    assert pi.broadcast_hint_count(df) == 0
+
+
+def test_filter_funnel_two_aggs_checkpointed_droplist(spark):
+    """pipeline_filter_funnel must stay two partial-aggregated passes
+    over a 2-column projection (flag counts + canonical digests) plus the
+    cached LSH drop list — never a per-stage corpus re-scan, never the
+    full document schema, and nothing hint-forced to broadcast."""
+    df = build(spark, "pipeline_filter_funnel")
+    plan = pi.physical_plan(df)
+    assert pi.scan_columns(df, "documents.parquet") == {"doc_id", "text"}
+    assert plan.count("FileScan parquet") <= 2  # base flags + canon digests
+    assert pi.has_partial_aggregate(df)
+    assert "ExistingRDD" in plan  # drop list from the candidate checkpoint
+    assert pi.broadcast_hint_count(df) == 0

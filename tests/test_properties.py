@@ -1794,3 +1794,132 @@ def test_overlap_spectrum_lineage_and_union_semantics(spark, tmp_path):
     assert_matches_oracle(
         spec.builder(spark, d), con, spec.oracle, "dedup_overlap_spectrum"
     )
+
+
+def test_semantic_clusters_merge_chain_transitively(spark, tmp_path):
+    """The cluster operator's reason to exist: a chain a~b~c where
+    cos(a,b) and cos(b,c) clear tau but cos(a,c) does NOT is ONE
+    duplicate group under the transitive closure — while the pairwise
+    one-hop canonicalization (dedup_embedding_cosine) marks c's keeper
+    as b, a document that is ITSELF a duplicate of a (the artifact
+    cluster-level dedup removes). Vectors are crafted so all three share
+    one SRP bucket (both candidate pairs exist) with cosines 0.707 /
+    0.707 / 0.0; a fourth anti-aligned vector lands in another bucket
+    with no qualifying edge. Oracle-checked on the same corpus."""
+    import duckdb
+    import numpy as np
+
+    from iceberg_explorer_spark.operators import QUERIES
+    from iceberg_explorer_spark.operators.similarity import (
+        DIM,
+        N_PLANES,
+        NEAR_DUP_TAU,
+        _plane_signs,
+    )
+    from tests.conftest import assert_matches_oracle
+
+    planes = np.array(
+        [_plane_signs(p) for p in range(N_PLANES)], dtype="float64"
+    )
+    rng = np.random.RandomState(7)
+    while True:
+        u = rng.randn(DIM)
+        u /= np.linalg.norm(u)
+        w = rng.randn(DIM)
+        w -= (w @ u) * u
+        w /= np.linalg.norm(w)
+        if (planes @ u > 0.5).all() and (planes @ w > 0.5).all():
+            break
+    b = (u + w) / np.sqrt(2.0)
+    assert 0.70 < u @ b < 0.72 < NEAR_DUP_TAU * 2  # chain edges clear tau
+    assert abs(u @ w) < 1e-9  # chain ends do NOT
+    vecs = [(1, u), (2, b), (3, w), (4, -u)]
+    emb = [(i, [float(x) for x in v.astype("float32")], 0) for i, v in vecs]
+    d = str(tmp_path / "chain")
+    spark.createDataFrame(
+        emb, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+
+    spec = QUERIES["dedup_semantic_clusters"]
+    rows = {r["cluster_id"]: r for r in spec.builder(spark, d).collect()}
+    assert set(rows) == {1}, rows  # ONE cluster, labeled by its min id
+    r = rows[1]
+    assert r["n_members"] == 3 and r["n_removable"] == 2
+    assert r["n_edges"] == 2  # a-b and b-c; a-c never qualified
+    assert abs(r["mean_edge_cos"] - (u @ b + b @ w) / 2) < 1e-4
+
+    # the pairwise route's artifact on the same corpus: c's designated
+    # canonical is b — which the same report marks as a duplicate itself
+    canon = {
+        r["duplicate_vec_id"]: r["canonical_vec_id"]
+        for r in QUERIES["dedup_embedding_cosine"].builder(spark, d).collect()
+    }
+    assert canon == {2: 1, 3: 2}
+    assert canon[3] in canon  # keeper-is-itself-dropped chain artifact
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{d}/embeddings.parquet/*.parquet')"
+    )
+    assert_matches_oracle(
+        spec.builder(spark, d), con, spec.oracle, "dedup_semantic_clusters"
+    )
+
+
+def test_filter_funnel_reconciles_with_clean_corpus(spark, tmp_path):
+    """The funnel's claim: its stages are the SAME predicates
+    pipeline_clean_corpus applies, in order — so on a corpus crafted to
+    lose exactly one known document per stage, each stage's n_dropped is
+    1, and the final near_dedup row equals the summed clean-corpus
+    output. A funnel that drifts from the pipeline it describes is worse
+    than none. Oracle-checked on the same corpus."""
+    import duckdb
+
+    from iceberg_explorer_spark.operators import QUERIES
+    from iceberg_explorer_spark.operators.pipeline import MIN_WORDS
+    from tests.conftest import assert_matches_oracle
+
+    good = " ".join(f"tok{i} unique{i * 7 % 13}" for i in range(MIN_WORDS))
+    near_a = good + " trailing shared shingle run one two three four five"
+    rows = [
+        (1, "", "en", "web", 0),                     # dropped: nonempty
+        (2, "too short", "en", "web", 9),            # dropped: min_words
+        (3, near_a, "en", "web", len(near_a)),       # survives everything
+        (4, near_a, "en", "web", len(near_a)),       # dropped: exact dup of 3
+        (5, near_a + " six", "en", "books",
+         len(near_a) + 4),                           # dropped: near-dup (LSH)
+    ]
+    d = str(tmp_path / "funnel")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    spec = QUERIES["pipeline_filter_funnel"]
+    stages = {r["stage"]: r for r in spec.builder(spark, d).collect()}
+    assert [stages[s]["n_docs"] for s in
+            ("raw", "nonempty", "min_words", "exact_dedup", "near_dedup")] \
+        == [5, 4, 3, 2, 1]
+    assert all(
+        stages[s]["n_dropped"] == 1
+        for s in ("nonempty", "min_words", "exact_dedup", "near_dedup")
+    )
+    assert stages["near_dedup"]["survival_rate"] == 1 / 5
+
+    # reconciliation: final funnel count == summed clean-corpus output
+    kept = (
+        QUERIES["pipeline_clean_corpus"].builder(spark, d)
+        .agg({"n_docs_kept": "sum"})
+        .collect()[0][0]
+    )
+    assert kept == stages["near_dedup"]["n_docs"] == 1
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    assert_matches_oracle(
+        spec.builder(spark, d), con, spec.oracle, "pipeline_filter_funnel"
+    )
