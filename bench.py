@@ -10,9 +10,10 @@ Output protocol (two lines, the FINAL line is the driver-parseable one):
 2. a COMPACT final line (< 500 bytes) ``{"metric": ..., "value": total_sec,
    "unit": "sec", "queries": {5 slowest only}, "sf": ..., "iters": N,
    "n_queries": N, "errors": n_errors, "candidate_build": sec,
-   "probe_build": sec, "extended_sec": sec, "n_extended": N}`` —
-   ``candidate_build``/``probe_build`` are the one-time LSH / probe-index
-   candidate materializations at the target SF; ``value``/``n_queries`` cover
+   "probe_build": sec, "semantic_build": sec, "extended_sec": sec,
+   "n_extended": N}`` — ``candidate_build``/``probe_build``/
+   ``semantic_build`` are the one-time LSH / probe-index / semantic-edge+
+   cluster-label materializations at the target SF; ``value``/``n_queries`` cover
    the comparable HEADLINE set only; EXTENDED operators are timed
    identically but summed separately so the trend line stays comparable.
 
@@ -134,6 +135,8 @@ EXTENDED = [
     "events_rate_spike_zscore",   # hourly per-type rate anomaly z-scores
     "dedup_overlap_spectrum",     # both generators -> one verify + lineage
     "similarity_ivf_balance",     # per-list IVF index-health report
+    "dedup_semantic_clusters",    # SemDeDup transitive cosine clusters
+    "pipeline_filter_funnel",     # per-stage curation attrition report
 ]
 
 
@@ -145,6 +148,7 @@ def format_output(
     candidate_build: float | None = None,
     extended: tuple[str, ...] | list[str] = (),
     probe_build: float | None = None,
+    semantic_build: float | None = None,
 ) -> tuple[str, str]:
     """Build the two output lines. The FINAL line is the driver-parseable
     one and must stay compact (< 500 bytes — enforced here, because rounds
@@ -173,6 +177,7 @@ def format_output(
             "errors": errors,
             "candidate_build": candidate_build,
             "probe_build": probe_build,
+            "semantic_build": semantic_build,
         }
     )
     # Degrade, never die: an oversized final line must shrink (fewer
@@ -193,6 +198,7 @@ def format_output(
                 "errors": len(errors),
                 "candidate_build": candidate_build,
                 "probe_build": probe_build,
+                "semantic_build": semantic_build,
                 "extended_sec": round(sum(extended_timings.values()), 3)
                 if extended_timings
                 else None,
@@ -251,20 +257,28 @@ def main() -> None:
         # visible in the artifact).
         candidate_build: float | None = None
         probe_build: float | None = None
+        semantic_build: float | None = None
         try:
             from iceberg_explorer_spark.operators.dedup import (
                 invalidate_shared_candidates,
                 shared_lsh_candidates,
                 shared_probe_candidates,
             )
+            from iceberg_explorer_spark.operators.similarity import (
+                shared_semantic_labels,
+            )
 
-            invalidate_shared_candidates(SF_DIR)  # clears BOTH kinds
+            invalidate_shared_candidates(SF_DIR)  # clears ALL kinds
             t0 = time.perf_counter()
             shared_lsh_candidates(spark, SF_DIR)  # eager localCheckpoint
             candidate_build = round(time.perf_counter() - t0, 3)
             t0 = time.perf_counter()
             shared_probe_candidates(spark, SF_DIR)
             probe_build = round(time.perf_counter() - t0, 3)
+            t0 = time.perf_counter()
+            # edges + the O(diameter)-round cluster labels, both cached
+            shared_semantic_labels(spark, SF_DIR)
+            semantic_build = round(time.perf_counter() - t0, 3)
         except Exception as exc:  # noqa: BLE001 — never abort the bench
             errors["candidate_build"] = f"{type(exc).__name__}: {exc}"[:500]
 
@@ -295,6 +309,7 @@ def main() -> None:
             candidate_build,
             extended=EXTENDED,
             probe_build=probe_build,
+            semantic_build=semantic_build,
         )
         # Detail line: the complete per-query map, own line, parse-optional.
         print(detail_line)

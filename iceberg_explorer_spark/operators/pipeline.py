@@ -1097,3 +1097,129 @@ def pipeline_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("seq_tokens") * 1.0 / (n_seq * SEQ_TOKENS), 6
         ).alias("utilization"),
     )
+
+
+@query(
+    "pipeline_filter_funnel",
+    oracle=f"""
+    WITH nd AS (
+      SELECT DISTINCT doc_b AS doc_id FROM ({_LSH_CANDIDATES_SQL})
+    ),
+    d AS (
+      SELECT doc_id, text,
+             (LENGTH(text) > 0) AS s1,
+             (LENGTH(text) > 0 AND
+              LEN(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                >= {MIN_WORDS}) AS s2
+      FROM documents
+    ),
+    base AS (
+      SELECT COUNT(*) AS n0,
+             COUNT(CASE WHEN s1 THEN 1 END) AS n1,
+             COUNT(CASE WHEN s2 THEN 1 END) AS n2,
+             COUNT(DISTINCT CASE WHEN s2 THEN md5(text) END) AS n3
+      FROM d
+    ),
+    canon AS (
+      SELECT MIN(doc_id) AS doc_id FROM d WHERE s2 GROUP BY md5(text)
+    ),
+    kept AS (
+      SELECT COUNT(*) AS n4 FROM canon
+      WHERE doc_id NOT IN (SELECT doc_id FROM nd)
+    ),
+    onerow AS (SELECT * FROM base, kept),
+    funnel AS (
+      SELECT 0 AS stage_order, 'raw' AS stage,
+             n0 AS n_docs, CAST(0 AS BIGINT) AS n_dropped, n0 FROM onerow
+      UNION ALL
+      SELECT 1, 'nonempty', n1, n0 - n1, n0 FROM onerow
+      UNION ALL
+      SELECT 2, 'min_words', n2, n1 - n2, n0 FROM onerow
+      UNION ALL
+      SELECT 3, 'exact_dedup', n3, n2 - n3, n0 FROM onerow
+      UNION ALL
+      SELECT 4, 'near_dedup', n4, n3 - n4, n0 FROM onerow
+    )
+    SELECT stage_order, stage,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_dropped AS BIGINT) AS n_dropped,
+           CASE WHEN n0 = 0 THEN NULL
+                ELSE CAST(n_docs AS DOUBLE) / n0 END AS survival_rate
+    FROM funnel
+    """,
+    doc="Per-stage attrition funnel for the curation pipeline: how many "
+    "documents survive each ordered stage of pipeline_clean_corpus "
+    "(raw -> nonempty -> min-words quality gate -> exact dedup -> "
+    "near-dup removal), with per-stage drop counts and cumulative "
+    "survival rate — the observability report a production curation run "
+    "publishes next to its output (a stage that silently drops 40% of a "
+    "source is a bug report, not a statistic). Mirrors clean_corpus's "
+    "stage predicates EXACTLY (same word tokenizer, same keep-min-per-"
+    "digest rule, same LSH doc_b drop list read from the session-shared "
+    "candidate checkpoint) so the funnel's final row reconciles with the "
+    "summed clean-corpus output — pinned by tests/test_properties.py::"
+    "test_filter_funnel_reconciles_with_clean_corpus. Plan: ONE corpus "
+    "scan for the flag counts (conditional counts + one distinct-digest "
+    "count, all partial-aggregated), a second digest groupBy for the "
+    "canonical set, the anti-join against the cached drop list, then a "
+    "5-row static explode — the funnel costs two aggregations over what "
+    "clean_corpus already scans, and every count is exact integer math. "
+    "reference: no analogue — training-pipeline extension.",
+)
+def pipeline_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    s1 = F.length("text") > 0
+    s2 = s1 & (F.size(_tokens()) >= MIN_WORDS)
+    base = docs.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.count(F.when(s1, 1)).alias("n1"),
+        F.count(F.when(s2, 1)).alias("n2"),
+        F.countDistinct(F.when(s2, F.md5("text"))).alias("n3"),
+    )
+    canon = (
+        docs.filter(s2)
+        .groupBy(F.md5("text"))
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    near_dups = (
+        shared_lsh_candidates(spark, sf_dir)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    kept = canon.join(near_dups, "doc_id", "left_anti").agg(
+        F.count(F.lit(1)).alias("n4")
+    )
+    onerow = base.crossJoin(kept)
+
+    def _stage(order: int, name: str, n, dropped):
+        return F.struct(
+            F.lit(order).alias("stage_order"),
+            F.lit(name).alias("stage"),
+            n.cast("bigint").alias("n_docs"),
+            dropped.cast("bigint").alias("n_dropped"),
+        )
+
+    n0, n1, n2, n3, n4 = (F.col(c) for c in ("n0", "n1", "n2", "n3", "n4"))
+    return (
+        onerow.select(
+            "n0",
+            F.explode(
+                F.array(
+                    _stage(0, "raw", n0, F.lit(0)),
+                    _stage(1, "nonempty", n1, n0 - n1),
+                    _stage(2, "min_words", n2, n1 - n2),
+                    _stage(3, "exact_dedup", n3, n2 - n3),
+                    _stage(4, "near_dedup", n4, n3 - n4),
+                )
+            ).alias("s"),
+        )
+        .select(
+            "s.stage_order",
+            "s.stage",
+            "s.n_docs",
+            "s.n_dropped",
+            F.when(F.col("n0") == 0, F.lit(None).cast("double"))
+            .otherwise(F.col("s.n_docs").cast("double") / F.col("n0"))
+            .alias("survival_rate"),
+        )
+    )

@@ -87,10 +87,13 @@ def test_final_line_compact_even_at_200_queries_with_errors():
     assert len(final) < 500, len(final)
     parsed = json.loads(final)
     assert parsed["n_queries"] == 200 and parsed["errors"] == 30
-    # the 5 slowest really are the slowest
+    # whatever slowest-map size fits the 500-byte budget (5 normally,
+    # degrading to 3 with these 40-char synthetic names), the entries
+    # reported really are the slowest, in rank order
     slowest = set(parsed["queries"])
-    top5 = sorted(timings, key=lambda k: -timings[k])[:5]
-    assert slowest == set(top5)
+    assert len(slowest) in (3, 5)
+    ranked = sorted(timings, key=lambda k: -timings[k])
+    assert slowest == set(ranked[: len(slowest)])
     assert json.loads(detail)["errors"] == errors
 
 
