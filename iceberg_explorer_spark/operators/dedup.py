@@ -346,7 +346,7 @@ def lsh_candidates(
 #: use one sf_dir each × four kinds; tests use three corpora) while
 #: evicted entries become collectable again.
 _SHARED_CANDIDATES: OrderedDict[
-    tuple[str, str, str, str], DataFrame
+    tuple[str, str, str, str, str], DataFrame
 ] = OrderedDict()
 _SHARED_CANDIDATES_MAX = 12
 #: Guards the check-then-set: the service layer runs each query on its own
@@ -437,9 +437,9 @@ def _shared_candidates(
     artifact — it never re-runs the generator pipeline per report. This
     mirrors that with a session-scoped ``localCheckpoint``: the first
     caller pays the pipeline, every later consumer reads the checkpointed
-    blocks. The registry is keyed by (application id, corpus dir, corpus
-    content fingerprint, generator kind) — a new session or a rewritten
-    corpus re-materializes — and LRU-bounded: while an entry is cached its
+    blocks. The registry is keyed by (application id, corpus dir, input
+    table, content fingerprint, generator kind) — a new session or a
+    rewritten input re-materializes — and LRU-bounded: while an entry is cached its
     strong reference pins the checkpoint blocks; once evicted,
     ContextCleaner frees them when the DataFrame is garbage collected.
     Thread-safe: the service layer runs queries on concurrent daemon
@@ -454,21 +454,30 @@ def _shared_candidates(
     key = (
         spark.sparkContext.applicationId,
         sf_dir,
+        table,
         _corpus_fingerprint(sf_dir, table=table),
         kind,
     )
     with _SHARED_CANDIDATES_LOCK:
         df = _SHARED_CANDIDATES.get(key)
         if df is None:
-            # A superseded fingerprint for the same (app, corpus dir) can
-            # never be served again — evict it NOW (any kind) rather than
-            # letting it pin dead checkpoint blocks until LRU age-out
-            # (repeated in-place rewrites of a few corpora would otherwise
-            # keep the cache full of unreachable checkpoints).
+            # A superseded fingerprint for the same (app, corpus dir,
+            # INPUT TABLE) can never be served again — evict it NOW (any
+            # kind over that table) rather than letting it pin dead
+            # checkpoint blocks until LRU age-out (repeated in-place
+            # rewrites of a few corpora would otherwise keep the cache
+            # full of unreachable checkpoints). Scoping by table matters:
+            # the semantic kinds fingerprint embeddings.parquet while the
+            # lsh/probe kinds fingerprint documents.parquet — comparing
+            # fingerprints ACROSS tables read "different input" as
+            # "stale" and made each family's cold build evict the other's
+            # live entries (measured as a rebuild ping-pong in the r8
+            # bench: dedup_semantic_clusters timed its full 3.7 s build
+            # on every call instead of the 0.27 s cache-served read).
             for k in [
                 k
                 for k in _SHARED_CANDIDATES
-                if k[:2] == key[:2] and k[2] != key[2]
+                if k[:3] == key[:3] and k[3] != key[3]
             ]:
                 del _SHARED_CANDIDATES[k]
             try:

@@ -163,6 +163,32 @@ def test_cold_probe_build_releases_interim_shingle_persist(spark):
     dedup.invalidate_shared_candidates()
 
 
+def test_candidate_families_over_different_tables_coexist(spark):
+    """The staleness eviction is scoped by INPUT TABLE: the semantic
+    kinds fingerprint embeddings.parquet while lsh/probe fingerprint
+    documents.parquet, and the two fingerprints always differ — the
+    unscoped r8 comparison read that as 'superseded' and made each
+    family's cold build evict the other's live entries (a rebuild
+    ping-pong the bench measured as dedup_semantic_clusters timing its
+    full build on every call). Both families must stay cached side by
+    side, and a repeat call must return the SAME materialization."""
+    from iceberg_explorer_spark.operators import dedup
+    from iceberg_explorer_spark.operators.similarity import (
+        shared_semantic_edges,
+    )
+
+    dedup.invalidate_shared_candidates()
+    lsh = dedup.shared_lsh_candidates(spark, SF_DIR_SMALL)
+    sem = shared_semantic_edges(spark, SF_DIR_SMALL)
+    assert dedup.shared_lsh_candidates(spark, SF_DIR_SMALL) is lsh
+    assert shared_semantic_edges(spark, SF_DIR_SMALL) is sem
+    with dedup._SHARED_CANDIDATES_LOCK:
+        kinds = {k[-1] for k in dedup._SHARED_CANDIDATES
+                 if k[1] == SF_DIR_SMALL}
+    assert {"lsh", "semantic"} <= kinds
+    dedup.invalidate_shared_candidates()
+
+
 def test_fingerprint_detects_metadata_preserving_rewrite(tmp_path):
     """A rewrite that preserves size AND mtime (cp -p / touch -r /
     timestamp-preserving object-store sync) must still change the corpus
