@@ -137,6 +137,7 @@ EXTENDED = [
     "similarity_ivf_balance",     # per-list IVF index-health report
     "dedup_semantic_clusters",    # SemDeDup transitive cosine clusters
     "pipeline_filter_funnel",     # per-stage curation attrition report
+    "similarity_semantic_decontaminate",  # cross-split contamination report
 ]
 
 

@@ -1451,3 +1451,105 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.lit(float(_EDGE_COS_MICRO)) * F.col("n_edges"))
         ).alias("mean_edge_cos"),
     )
+
+
+#: cross-split contamination threshold — the corpus-calibrated near-dup
+#: tau (production eval-decontamination runs ~0.9+; same calibration note
+#: as NEAR_DUP_TAU).
+DECON_TAU = NEAR_DUP_TAU
+
+
+@query(
+    "similarity_semantic_decontaminate",
+    oracle=f"""
+    WITH coded AS (
+      SELECT vec_id, label, embedding,
+             {_srp_code_duckdb('embedding')} AS bucket
+      FROM {_EMB_SQL}
+    ),
+    ev AS (SELECT * FROM coded WHERE label = 0),
+    tr AS (SELECT * FROM coded WHERE label IS NOT NULL AND label <> 0),
+    hits AS (
+      SELECT e.vec_id AS eval_vec_id, t.vec_id AS train_vec_id,
+             ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(t.embedding AS DOUBLE[])), 6)
+               AS cos_sim
+      FROM ev e JOIN tr t ON e.bucket = t.bucket
+    ),
+    qual AS (SELECT * FROM hits WHERE cos_sim >= {DECON_TAU}),
+    ranked AS (
+      SELECT eval_vec_id, train_vec_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY eval_vec_id
+                                ORDER BY cos_sim DESC, train_vec_id) AS rn,
+             COUNT(*) OVER (PARTITION BY eval_vec_id) AS n_contaminating,
+             MAX(cos_sim) OVER (PARTITION BY eval_vec_id) AS max_cos
+      FROM qual
+    )
+    SELECT eval_vec_id,
+           CAST(n_contaminating AS BIGINT) AS n_contaminating,
+           max_cos,
+           train_vec_id AS nearest_train_vec_id
+    FROM ranked WHERE rn = 1
+    """,
+    doc="Semantic train/eval decontamination report: for every held-out "
+    "vector (label = 0, the synthetic proxy for a benchmark split) that "
+    "has a training vector (label <> 0, NULL excluded from both splits by "
+    "contract) within cosine >= tau in its SRP bucket, report how many "
+    "training vectors contaminate it, the max cosine, and the nearest "
+    "offender (cos desc, id tie-break) — the report a model card's "
+    "contamination appendix is built from, and the SEMANTIC complement of "
+    "text_decontaminate's exact n-gram matching (a paraphrased benchmark "
+    "item shares no 8-gram but sits at cosine ~0.9). Asymmetric split "
+    "join, not a self-join: the train side is one corpus scan, the eval "
+    "side a second scan with the label predicate pushed down (an eval "
+    "split is ~1e-4 of the corpus in production, so that scan is "
+    "partition-prunable to nothing). Per-bucket join keyed on the SRP "
+    "code — never n² — with the same recall scoping as every SRP "
+    "operator here: cross-bucket contamination is missed by a single "
+    "code; production raises recall with multi-probe or multiple code "
+    "tables, trading candidate volume linearly. No broadcast hints "
+    "(both sides grow with the corpus; AQE decides). "
+    "reference: no analogue — training-pipeline extension.",
+)
+def similarity_semantic_decontaminate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    coded = _load_emb(spark, sf_dir).withColumn(
+        "bucket", F.expr(_srp_code_sql("embedding"))
+    )
+    ev = coded.filter(F.col("label") == 0).select(
+        F.col("vec_id").alias("eval_vec_id"),
+        F.col("embedding").alias("ee"),
+        "bucket",
+    )
+    tr = coded.filter(
+        F.col("label").isNotNull() & (F.col("label") != 0)
+    ).select(
+        F.col("vec_id").alias("train_vec_id"),
+        F.col("embedding").alias("te"),
+        "bucket",
+    )
+    cos = F.round(F.expr(_COS_SPARK.format(a="ee", b="te")), 6)
+    qual = (
+        ev.join(tr, "bucket")
+        .select("eval_vec_id", "train_vec_id", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= DECON_TAU)
+    )
+    wp = Window.partitionBy("eval_vec_id")
+    wr = wp.orderBy(F.col("cos_sim").desc(), "train_vec_id")
+    return (
+        qual.withColumn("rn", F.row_number().over(wr))
+        .withColumn(
+            "n_contaminating", F.count(F.lit(1)).over(wp).cast("bigint")
+        )
+        .withColumn("max_cos", F.max("cos_sim").over(wp))
+        .filter(F.col("rn") == 1)
+        .select(
+            "eval_vec_id",
+            "n_contaminating",
+            "max_cos",
+            F.col("train_vec_id").alias("nearest_train_vec_id"),
+        )
+    )

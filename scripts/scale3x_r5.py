@@ -80,6 +80,8 @@ OP_TABLE = {
     "dedup_semantic_clusters": "embeddings",
     # round-8 addition (per-stage curation attrition funnel)
     "pipeline_filter_funnel": "documents",
+    # round-8 addition (cross-split semantic contamination report)
+    "similarity_semantic_decontaminate": "embeddings",
 }
 
 

@@ -952,3 +952,14 @@ def test_filter_funnel_two_aggs_checkpointed_droplist(spark):
     assert pi.has_partial_aggregate(df)
     assert "ExistingRDD" in plan  # drop list from the candidate checkpoint
     assert pi.broadcast_hint_count(df) == 0
+
+
+def test_semantic_decontaminate_pushes_split_predicates(spark):
+    """The split predicates must reach both embedding scans (an eval
+    split is ~1e-4 of a production corpus — that scan prunes to almost
+    nothing) and nothing may be hint-forced to broadcast (both sides
+    grow with the corpus; AQE decides from measured sizes)."""
+    df = build(spark, "similarity_semantic_decontaminate")
+    pushed = " ".join(pi.pushed_filters(df))
+    assert "label" in pushed
+    assert pi.broadcast_hint_count(df) == 0

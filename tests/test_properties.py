@@ -1923,3 +1923,68 @@ def test_filter_funnel_reconciles_with_clean_corpus(spark, tmp_path):
     assert_matches_oracle(
         spec.builder(spark, d), con, spec.oracle, "pipeline_filter_funnel"
     )
+
+
+def test_semantic_decontaminate_flags_paraphrase_class_neighbor(spark, tmp_path):
+    """The decontamination report's distinguishing claims, on a crafted
+    split: (1) an eval vector with an in-bucket training neighbor above
+    tau is flagged with the right count/nearest; (2) an in-bucket
+    training vector BELOW tau does not count; (3) an eval vector alone in
+    its bucket is absent (clean); (4) a NULL-label row joins NEITHER
+    split — an exact duplicate of the eval vector with NULL label must
+    not contaminate it (max_cos stays at the 0.707 neighbor, not 1.0).
+    Oracle-checked on the same corpus."""
+    import duckdb
+    import numpy as np
+
+    from iceberg_explorer_spark.operators import QUERIES
+    from iceberg_explorer_spark.operators.similarity import (
+        DIM,
+        N_PLANES,
+        _plane_signs,
+    )
+    from tests.conftest import assert_matches_oracle
+
+    planes = np.array(
+        [_plane_signs(p) for p in range(N_PLANES)], dtype="float64"
+    )
+    rng = np.random.RandomState(7)
+    while True:
+        u = rng.randn(DIM)
+        u /= np.linalg.norm(u)
+        w = rng.randn(DIM)
+        w -= (w @ u) * u
+        w /= np.linalg.norm(w)
+        if (planes @ u > 0.5).all() and (planes @ w > 0.5).all():
+            break
+    b = (u + w) / np.sqrt(2.0)
+    rows = [
+        (1, u, 0),      # eval: contaminated by 2 (cos .707), not by 3 (cos 0)
+        (2, b, 1),      # train neighbor above tau, same bucket
+        (3, w, 2),      # train in-bucket but below tau
+        (4, -u, 0),     # eval alone in its bucket: clean, absent
+        (5, u, None),   # NULL label: in NEITHER split (else max_cos were 1.0)
+    ]
+    emb = [(i, [float(x) for x in v.astype("float32")], lb) for i, v, lb in rows]
+    d = str(tmp_path / "decon")
+    spark.createDataFrame(
+        emb, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+
+    spec = QUERIES["similarity_semantic_decontaminate"]
+    out = {r["eval_vec_id"]: r for r in spec.builder(spark, d).collect()}
+    assert set(out) == {1}, out
+    r = out[1]
+    assert r["n_contaminating"] == 1
+    assert r["nearest_train_vec_id"] == 2
+    assert abs(r["max_cos"] - 1 / np.sqrt(2)) < 1e-4  # NOT the NULL-label 1.0
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{d}/embeddings.parquet/*.parquet')"
+    )
+    assert_matches_oracle(
+        spec.builder(spark, d), con, spec.oracle,
+        "similarity_semantic_decontaminate",
+    )
