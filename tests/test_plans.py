@@ -963,3 +963,20 @@ def test_semantic_decontaminate_pushes_split_predicates(spark):
     pushed = " ".join(pi.pushed_filters(df))
     assert "label" in pushed
     assert pi.broadcast_hint_count(df) == 0
+
+
+def test_no_operator_plans_row_at_a_time_python(spark):
+    """Registry-wide UDF-tier guardrail: NO operator's physical plan may
+    contain a row-at-a-time Python eval node (BatchEvalPython — each row
+    pickled through the worker one at a time, the 10-100x slow path).
+    The only Python allowed in any plan is Arrow-batched
+    (ArrowEvalPython / FlatMapGroupsInPandas / MapInPandas, the decode
+    and GEMM tiers). A future operator that slips a plain @udf into a
+    hot path fails here by name rather than surfacing as a silent
+    100 TB regression."""
+    offenders = []
+    for name, spec in QUERIES.items():
+        plan = pi.physical_plan(spec.builder(spark, SF_DIR_SMALL))
+        if "BatchEvalPython" in plan:
+            offenders.append(name)
+    assert offenders == [], offenders
