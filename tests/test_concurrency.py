@@ -71,6 +71,64 @@ def test_shared_candidates_materialize_once_under_race(spark, monkeypatch):
     dedup.invalidate_shared_candidates()
 
 
+def test_semantic_two_step_cold_path_materializes_once_under_race(spark):
+    """The semantic family's cold path acquires the cache lock TWICE in
+    sequence (edges, then the CC labels built from them) — a concurrent
+    cold race must run the GEMM pair pipeline once AND the label
+    propagation once, with every thread reading the same checkpoints
+    (the lock is released between the two steps, so a second thread can
+    interleave; the cache, not the caller, must dedupe the work)."""
+    from iceberg_explorer_spark.operators import dedup, similarity
+
+    dedup.invalidate_shared_candidates()
+    gemm_calls, cc_calls = [], []
+    real_gemm = similarity._bucket_pairs_gemm
+    real_cc = dedup.connected_components
+
+    def counting_gemm(*a, **kw):
+        gemm_calls.append(threading.current_thread().name)
+        return real_gemm(*a, **kw)
+
+    def counting_cc(*a, **kw):
+        cc_calls.append(threading.current_thread().name)
+        return real_cc(*a, **kw)
+
+    similarity._bucket_pairs_gemm = counting_gemm
+    dedup.connected_components = counting_cc
+    try:
+        n = 3
+        barrier = threading.Barrier(n)
+        results: list = [None] * n
+        errors: list = []
+
+        def worker(i: int) -> None:
+            try:
+                barrier.wait(timeout=30)
+                results[i] = similarity.shared_semantic_labels(
+                    spark, SF_DIR_SMALL
+                )
+            except Exception as exc:
+                errors.append(exc)
+
+        threads = [
+            threading.Thread(target=worker, args=(i,), name=f"sem-{i}")
+            for i in range(n)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=180)
+    finally:
+        similarity._bucket_pairs_gemm = real_gemm
+        dedup.connected_components = real_cc
+    assert not errors, errors
+    assert len(gemm_calls) == 1, gemm_calls
+    assert len(cc_calls) == 1, cc_calls
+    assert all(r is results[0] for r in results)
+    assert results[0].count() >= 0
+    dedup.invalidate_shared_candidates()
+
+
 def test_shared_candidates_rewrite_invalidates(spark, tmp_path):
     """Rewriting documents.parquet at the SAME path within one application
     must re-materialize: the content fingerprint is part of the cache key,
