@@ -247,6 +247,29 @@ def test_candidate_families_over_different_tables_coexist(spark):
     dedup.invalidate_shared_candidates()
 
 
+def test_inflight_frame_survives_cache_invalidation(spark):
+    """Invalidation drops the registry's strong reference, but an
+    in-flight consumer holding the checkpointed DataFrame must keep
+    working: ContextCleaner frees the blocks only after the LAST Python
+    reference is garbage collected, so a long-running streaming export
+    that started before an invalidate (or an LRU eviction) never reads
+    freed blocks. Pins the lifetime contract the service layer relies
+    on."""
+    from iceberg_explorer_spark.operators import dedup
+
+    dedup.invalidate_shared_candidates()
+    df = dedup.shared_lsh_candidates(spark, SF_DIR_SMALL)
+    before = df.count()
+    dedup.invalidate_shared_candidates(SF_DIR_SMALL)
+    import gc
+
+    gc.collect()  # our `df` reference keeps the checkpoint alive anyway
+    assert df.count() == before  # still fully readable post-invalidate
+    # and the next cache call is a fresh materialization, not our frame
+    assert dedup.shared_lsh_candidates(spark, SF_DIR_SMALL) is not df
+    dedup.invalidate_shared_candidates()
+
+
 def test_fingerprint_detects_metadata_preserving_rewrite(tmp_path):
     """A rewrite that preserves size AND mtime (cp -p / touch -r /
     timestamp-preserving object-store sync) must still change the corpus
