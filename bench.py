@@ -138,6 +138,7 @@ EXTENDED = [
     "dedup_semantic_clusters",    # SemDeDup transitive cosine clusters
     "pipeline_filter_funnel",     # per-stage curation attrition report
     "similarity_semantic_decontaminate",  # cross-split contamination report
+    "multimodal_clean_manifest",  # composed image-curation manifest
 ]
 
 

@@ -127,12 +127,13 @@ against exact answers).
   65-query HEADLINE sum stays the trend line per the r7 deferral
   note; the one-time probe-index build joins candidate_build as its
   own probe_build line item.
-- round 9 (plan): give the FIVE round-8 operators
+- round 9 (plan): give the SIX round-8 operators
   (dedup_overlap_spectrum, similarity_ivf_balance,
   dedup_semantic_clusters, pipeline_filter_funnel,
-  similarity_semantic_decontaminate — all registered out-of-window
-  this round with oracle + plan pin + 3× point + unit evidence, all
-  in bench EXTENDED) their FIRST driver rows; rotate
+  similarity_semantic_decontaminate, multimodal_clean_manifest — all
+  registered out-of-window this round with oracle + plan pin + 3×
+  point + unit evidence, all in bench EXTENDED) their FIRST driver
+  rows; rotate
   back the three r5-stale queries deferred this round
   (similarity_bucket_gemm, window_top_orders_per_customer,
   events_sliding_window) and start on the r6 cohort (27 queries

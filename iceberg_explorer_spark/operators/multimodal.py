@@ -840,3 +840,74 @@ def multimodal_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_images"),
         F.min("doc_id").alias("canonical_doc_id"),
     )
+
+
+@query(
+    "multimodal_clean_manifest",
+    oracle=f"""
+    WITH a AS (
+      SELECT doc_id, source,
+             regexp_replace(text, '{_ASCII_ONLY_RE}', '', 'g') AS t
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id, source, {_ahash_sql()} AS ahash
+      FROM a WHERE length(t) >= {_RZ_PIX}
+    ),
+    flagged AS (
+      SELECT source, doc_id,
+             MIN(doc_id) OVER (PARTITION BY ahash) AS canonical
+      FROM h
+    )
+    SELECT source,
+           COUNT(*) AS n_valid_images,
+           COUNT(CASE WHEN doc_id = canonical THEN 1 END) AS n_kept,
+           COUNT(*) - COUNT(CASE WHEN doc_id = canonical THEN 1 END)
+             AS n_dup_dropped,
+           CAST(COUNT(*) - COUNT(CASE WHEN doc_id = canonical THEN 1 END)
+                AS DOUBLE) / COUNT(*) AS dup_rate
+    FROM flagged GROUP BY source
+    """,
+    doc="Composed image-curation manifest — the binary-modality twin of "
+    "pipeline_clean_corpus, in ONE Catalyst plan: frame -> decode-validity "
+    "gate (undecodable images drop inside the same Arrow-batched "
+    "mapInPandas kernel the other multimodal ops share) -> perceptual "
+    "aHash dedup (keep min doc_id per hash) -> per-source release "
+    "accounting (valid / kept / dropped / dup-rate). The keep decision "
+    "is a MIN window over the hash partition, not a canon self-join: the "
+    "decode tier is the expensive stage and a self-join shape would run "
+    "it twice (the plan pin counts exactly one Python kernel). At 100 TB "
+    "the shuffle carries 8 bytes/image (the hash) plus the slim "
+    "(doc_id, source) projection for attribution — the corpus payload "
+    "bytes never shuffle. Per-group division is safe by construction "
+    "(every reported source has >= 1 valid image). "
+    "reference: no analogue — training-pipeline extension.",
+)
+def multimodal_clean_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = repartition_for_compute(load_table(spark, sf_dir, "documents"))
+    ascii_text = F.coalesce(
+        F.regexp_replace(F.col("text"), _ASCII_ONLY_RE, ""), F.lit("")
+    )
+    payload = F.concat(
+        F.lit(_RZ_HEADER), F.substring(ascii_text.cast("binary"), 1, _RZ_PIX)
+    )
+    hashed = ahash_features(
+        docs.select("doc_id", payload.alias("payload"))
+    )
+    src = docs.select("doc_id", "source")
+    flagged = (
+        hashed.join(src, "doc_id")
+        .withColumn(
+            "canonical", F.min("doc_id").over(Window.partitionBy("ahash"))
+        )
+    )
+    kept = F.count(F.when(F.col("doc_id") == F.col("canonical"), 1))
+    n_valid = F.count(F.lit(1))
+    return flagged.groupBy("source").agg(
+        n_valid.alias("n_valid_images"),
+        kept.alias("n_kept"),
+        (n_valid - kept).cast("bigint").alias("n_dup_dropped"),
+        ((n_valid - kept).cast("double") / n_valid).alias("dup_rate"),
+    )

@@ -82,6 +82,8 @@ OP_TABLE = {
     "pipeline_filter_funnel": "documents",
     # round-8 addition (cross-split semantic contamination report)
     "similarity_semantic_decontaminate": "embeddings",
+    # round-8 addition (composed image-curation manifest)
+    "multimodal_clean_manifest": "documents",
 }
 
 

@@ -980,3 +980,16 @@ def test_no_operator_plans_row_at_a_time_python(spark):
         if "BatchEvalPython" in plan:
             offenders.append(name)
     assert offenders == [], offenders
+
+
+def test_clean_manifest_one_python_kernel_window_keep(spark):
+    """multimodal_clean_manifest's keep decision must be a MIN window
+    over the hash partition, never a canonical self-join — the decode
+    kernel is the expensive stage and a self-join shape runs it twice.
+    Exactly ONE Arrow-batched Python kernel in the plan, a window, and
+    nothing hint-forced to broadcast."""
+    df = build(spark, "multimodal_clean_manifest")
+    plan = pi.physical_plan(df)
+    assert plan.count("MapInPandas") == 1
+    assert "Window" in plan
+    assert pi.broadcast_hint_count(df) == 0

@@ -1988,3 +1988,52 @@ def test_semantic_decontaminate_flags_paraphrase_class_neighbor(spark, tmp_path)
         spec.builder(spark, d), con, spec.oracle,
         "similarity_semantic_decontaminate",
     )
+
+
+def test_clean_manifest_attributes_perceptual_dups_per_source(spark, tmp_path):
+    """The manifest's claims on a crafted corpus: (1) a pixel-identical
+    image in a SECOND source is dropped there (canonical lives in the
+    first source) — dup_rate 1.0 for the losing source; (2) an
+    undecodable (too-short) document never enters the report; (3) the
+    summed drop count reconciles with multimodal_ahash_dedup's group
+    sizes (sum of n_images - 1). Oracle-checked on the same corpus."""
+    import duckdb
+
+    from iceberg_explorer_spark.operators import QUERIES
+    from tests.conftest import assert_matches_oracle
+
+    uniform = "A" * 100          # every pixel equal -> one aHash bucket
+    textured = ("Az" * 50)       # alternating bytes -> different hash
+    rows = [
+        (1, uniform, "en", "web", 100),
+        (2, uniform, "en", "books", 100),   # perceptual dup, other source
+        (3, textured, "en", "web", 100),    # distinct image, kept
+        (4, "hi", "en", "tiny", 2),         # undecodable: absent entirely
+    ]
+    d = str(tmp_path / "manifest")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    spec = QUERIES["multimodal_clean_manifest"]
+    out = {r["source"]: r for r in spec.builder(spark, d).collect()}
+    assert set(out) == {"web", "books"}  # 'tiny' never decodes
+    assert out["web"]["n_valid_images"] == 2
+    assert out["web"]["n_kept"] == 2     # canonical uniform + textured
+    assert out["books"]["n_dup_dropped"] == 1
+    assert out["books"]["dup_rate"] == 1.0
+
+    groups = QUERIES["multimodal_ahash_dedup"].builder(spark, d).collect()
+    assert sum(g["n_images"] - 1 for g in groups) == sum(
+        r["n_dup_dropped"] for r in out.values()
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    assert_matches_oracle(
+        spec.builder(spark, d), con, spec.oracle, "multimodal_clean_manifest"
+    )
