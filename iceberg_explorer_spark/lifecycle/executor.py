@@ -123,20 +123,17 @@ class QueryExecutor:
         client's cue to re-run rather than the driver's cue to OOM.
         """
         with self._lock:
-            def terminal() -> list[QueryResult]:
-                return [
-                    r
-                    for r in self._registry.values()
-                    if r.status in TERMINAL_STATES
-                ]
-
-            def over_budget() -> bool:
-                t = terminal()
-                return (
-                    len(t) > self.max_retained_results
-                    or sum(r.result_nbytes for r in t)
-                    > self.max_retained_bytes
-                )
+            # one pass over the registry: terminal count + byte total are
+            # maintained incrementally as evictions pop entries (a
+            # re-scan per candidate made this O(n²) in registry size —
+            # stalling concurrent get_status/cancel under the lock once
+            # max_retained_results is raised into the thousands)
+            n_terminal = 0
+            total_bytes = 0
+            for r in self._registry.values():
+                if r.status in TERMINAL_STATES:
+                    n_terminal += 1
+                    total_bytes += r.result_nbytes
 
             # dict preserves insertion order → oldest first within a tier
             tiers = (
@@ -154,15 +151,17 @@ class QueryExecutor:
             evicted = 0
             for tier in tiers:
                 for qid in tier:
-                    if not over_budget():
+                    if (
+                        n_terminal <= self.max_retained_results
+                        and total_bytes <= self.max_retained_bytes
+                    ):
                         break
                     if qid != protect:
-                        self._registry.pop(qid)
+                        r = self._registry.pop(qid)
+                        n_terminal -= 1
+                        total_bytes -= r.result_nbytes
                         evicted += 1
-            t = terminal()
-            self.observer.record_retention(
-                len(t), sum(r.result_nbytes for r in t), evicted
-            )
+            self.observer.record_retention(n_terminal, total_bytes, evicted)
 
     def _execute_inner(
         self, result: QueryResult, body: str, timeout_s: float, cap: int
@@ -191,8 +190,17 @@ class QueryExecutor:
                 except Exception:
                     # metrics are best-effort; never fail a query over them
                     result.metrics.rows_scanned = None
-                result.set_result(table)
+                # Attach the result ONLY if the query is still live: after
+                # a timeout/cancel the executor has already marked the
+                # result FAILED/CANCELLED and enforced retention — but
+                # cancelJobGroup is cooperative, so this worker's toArrow
+                # often completes anyway. Attaching rows to a terminal
+                # result would hold Arrow buffers the retention gauges
+                # never saw and no client can ever stream (FAILED streams
+                # only the error line) — unbounded invisible driver
+                # memory, the exact class the retention bound exists for.
                 if result.status == QueryStatus.RUNNING:
+                    result.set_result(table)
                     result.status = QueryStatus.COMPLETED
             except Exception as exc:  # cancelled jobs also land here
                 if result.status not in (QueryStatus.CANCELLED,):

@@ -65,14 +65,16 @@ class QueryResult:
     error: Optional[str] = None
     _schema: Optional[pa.Schema] = None
     _batches: list[pa.RecordBatch] = field(default_factory=list)
-    #: Highest result row index delivered to any client + 1, maintained by
-    #: the NDJSON streaming layer — the executor's retention policy evicts
-    #: fully-streamed results first (their client already has the rows).
+    #: CONTIGUOUS-prefix delivery high-water mark: rows [0, hwm) have been
+    #: delivered to a client as an unbroken prefix (a page only advances
+    #: it when it starts at or before the mark). Maintained by the NDJSON
+    #: streaming layer; the executor's retention policy evicts
+    #: fully-streamed results first, and "fully" means this mark reached
+    #: the end — a jump-to-last-page fetch does not qualify.
     rows_streamed_hwm: int = 0
-    #: Set by the streaming layer when it delivers the page containing the
-    #: stream's final row (or the error message for failed/cancelled
-    #: queries) — distinct from the hwm so a 0-row result does not count
-    #: as streamed before any client ever asked for it.
+    #: Set by the streaming layer once the contiguous mark covers every
+    #: row (or the error message was delivered for failed/cancelled
+    #: queries, or a 0-row result was fetched at all).
     stream_delivered_final: bool = False
 
     def set_result(self, table: pa.Table) -> None:

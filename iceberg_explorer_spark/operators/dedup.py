@@ -349,17 +349,22 @@ _SHARED_CANDIDATES: OrderedDict[
     tuple[str, str, str, str, str], DataFrame
 ] = OrderedDict()
 _SHARED_CANDIDATES_MAX = 12
-#: Guards the check-then-set: the service layer runs each query on its own
-#: daemon thread (lifecycle/executor.py), so without the lock two
-#: concurrent graph-family queries hitting a cold cache would BOTH run the
-#: shingle→minhash→band pipeline and double-materialize the checkpoint
-#: (wasted cluster work + transient double block-manager memory). The lock
-#: is held across the miss-path materialization: a second thread blocks
-#: until the first finishes, then reads its checkpoint. One global lock
-#: (not per-key) is deliberate — cross-corpus concurrent misses are a
-#: test-only shape, and per-key locks would add an in-progress registry
-#: for no production win.
+#: Guards the registry dict itself — held only for reads/inserts, NEVER
+#: across a build. The service layer runs each query on its own daemon
+#: thread (lifecycle/executor.py), so without dedup two concurrent
+#: graph-family queries hitting a cold cache would BOTH run the
+#: shingle→minhash→band pipeline and double-materialize the checkpoint;
+#: that dedup lives in ``_SHARED_CANDIDATES_BUILDS``: the first thread to
+#: miss a key registers an in-progress Event and builds OUTSIDE the lock,
+#: same-key threads wait on the Event, and — the part a single
+#: build-spanning global lock got wrong once the multi-second semantic
+#: family joined the cache — threads after OTHER keys (a warm hit of a
+#: different kind, a different corpus) proceed without ever blocking
+#: behind the cold build.
 _SHARED_CANDIDATES_LOCK = threading.Lock()
+#: key -> Event for builds in flight; a failed build removes its entry
+#: and sets the Event, so one of the waiters retakes the build on re-check
+_SHARED_CANDIDATES_BUILDS: dict[tuple[str, str, str, str, str], threading.Event] = {}
 
 
 #: Bytes of file tail folded into the corpus fingerprint. A parquet file's
@@ -397,11 +402,21 @@ def _corpus_fingerprint(sf_dir: str, table: str = "documents") -> str:
                 paths.append((os.path.relpath(p, root), p))
     entries = []
     for rel, p in paths:
-        st = os.stat(p)
-        with open(p, "rb") as fh:
-            fh.seek(max(0, st.st_size - _FINGERPRINT_TAIL_BYTES))
-            tail = fh.read(_FINGERPRINT_TAIL_BYTES)
-        entries.append((rel, st.st_size, st.st_mtime_ns, tail))
+        # A file can vanish between the walk and the stat/read — that is
+        # precisely an in-place rewrite in progress (mode('overwrite')
+        # deletes old part files first), the very event the fingerprint
+        # exists to detect. Record the vanishing itself instead of
+        # crashing the query with a raw FileNotFoundError: the entry
+        # differs from any stable listing, so the in-progress state never
+        # collides with the pre- or post-rewrite fingerprint.
+        try:
+            st = os.stat(p)
+            with open(p, "rb") as fh:
+                fh.seek(max(0, st.st_size - _FINGERPRINT_TAIL_BYTES))
+                tail = fh.read(_FINGERPRINT_TAIL_BYTES)
+            entries.append((rel, st.st_size, st.st_mtime_ns, tail))
+        except OSError:
+            entries.append((rel, -1, -1, b"<vanished-during-fingerprint>"))
     entries.sort()
     return hashlib.md5(repr(entries).encode()).hexdigest()
 
@@ -442,14 +457,19 @@ def _shared_candidates(
     rewritten input re-materializes — and LRU-bounded: while an entry is cached its
     strong reference pins the checkpoint blocks; once evicted,
     ContextCleaner frees them when the DataFrame is garbage collected.
-    Thread-safe: the service layer runs queries on concurrent daemon
-    threads, and the module lock makes a cold-cache race materialize
-    exactly once. ``build`` is only invoked on a miss, under the lock.
+    Thread-safe with PER-KEY build dedup: the service layer runs queries
+    on concurrent daemon threads; a cold-cache race on one key
+    materializes exactly once (same-key threads wait on the in-progress
+    Event), while every other key — a warm hit of a different kind, a
+    different corpus — proceeds without blocking behind the build (the
+    registry lock is held only for dict reads/inserts, never across the
+    multi-second builds the semantic family added). A failed build
+    releases its waiters, and the first to re-check retakes the build.
     ``cleanup``, if given, runs after the miss-path materialization
     completes (success or failure) — the hook for builders that persist
-    an intermediate frame for the build's duration (the probe builder
-    persists the shingle scan its plan references from three branches)
-    and must release it once the checkpoint holds the result.
+    an intermediate frame for the build's duration (the probe builder's
+    shingle scan, the semantic builder's CC label table) and must
+    release it once the checkpoint holds the result.
     """
     key = (
         spark.sparkContext.applicationId,
@@ -458,39 +478,59 @@ def _shared_candidates(
         _corpus_fingerprint(sf_dir, table=table),
         kind,
     )
-    with _SHARED_CANDIDATES_LOCK:
-        df = _SHARED_CANDIDATES.get(key)
-        if df is None:
-            # A superseded fingerprint for the same (app, corpus dir,
-            # INPUT TABLE) can never be served again — evict it NOW (any
-            # kind over that table) rather than letting it pin dead
-            # checkpoint blocks until LRU age-out (repeated in-place
-            # rewrites of a few corpora would otherwise keep the cache
-            # full of unreachable checkpoints). Scoping by table matters:
-            # the semantic kinds fingerprint embeddings.parquet while the
-            # lsh/probe kinds fingerprint documents.parquet — comparing
-            # fingerprints ACROSS tables read "different input" as
-            # "stale" and made each family's cold build evict the other's
-            # live entries (measured as a rebuild ping-pong in the r8
-            # bench: dedup_semantic_clusters timed its full 3.7 s build
-            # on every call instead of the 0.27 s cache-served read).
-            for k in [
-                k
-                for k in _SHARED_CANDIDATES
-                if k[:3] == key[:3] and k[3] != key[3]
-            ]:
-                del _SHARED_CANDIDATES[k]
+    while True:
+        with _SHARED_CANDIDATES_LOCK:
+            df = _SHARED_CANDIDATES.get(key)
+            if df is not None:
+                _SHARED_CANDIDATES.move_to_end(key)
+                return df
+            in_flight = _SHARED_CANDIDATES_BUILDS.get(key)
+            if in_flight is None:
+                in_flight = threading.Event()
+                _SHARED_CANDIDATES_BUILDS[key] = in_flight
+                i_build = True
+            else:
+                i_build = False
+        if not i_build:
+            # same-key build in progress: wait, then re-check (the
+            # builder may have failed — the loop lets a waiter retake it)
+            in_flight.wait()
+            continue
+        try:
             try:
                 df = build().localCheckpoint(eager=True)
             finally:
                 if cleanup is not None:
                     cleanup()
-            _SHARED_CANDIDATES[key] = df
-            while len(_SHARED_CANDIDATES) > _SHARED_CANDIDATES_MAX:
-                _SHARED_CANDIDATES.popitem(last=False)
-        else:
-            _SHARED_CANDIDATES.move_to_end(key)
-        return df
+            with _SHARED_CANDIDATES_LOCK:
+                # A superseded fingerprint for the same (app, corpus dir,
+                # INPUT TABLE) can never be served again — evict it NOW
+                # (any kind over that table) rather than letting it pin
+                # dead checkpoint blocks until LRU age-out (repeated
+                # in-place rewrites of a few corpora would otherwise keep
+                # the cache full of unreachable checkpoints). Scoping by
+                # table matters: the semantic kinds fingerprint
+                # embeddings.parquet while the lsh/probe kinds fingerprint
+                # documents.parquet — comparing fingerprints ACROSS tables
+                # read "different input" as "stale" and made each family's
+                # cold build evict the other's live entries (measured as a
+                # rebuild ping-pong in the r8 bench:
+                # dedup_semantic_clusters timed its full 3.7 s build on
+                # every call instead of the 0.27 s cache-served read).
+                for k in [
+                    k
+                    for k in _SHARED_CANDIDATES
+                    if k[:3] == key[:3] and k[3] != key[3]
+                ]:
+                    del _SHARED_CANDIDATES[k]
+                _SHARED_CANDIDATES[key] = df
+                while len(_SHARED_CANDIDATES) > _SHARED_CANDIDATES_MAX:
+                    _SHARED_CANDIDATES.popitem(last=False)
+            return df
+        finally:
+            with _SHARED_CANDIDATES_LOCK:
+                _SHARED_CANDIDATES_BUILDS.pop(key, None)
+            in_flight.set()
 
 
 def shared_lsh_candidates(

@@ -1333,25 +1333,41 @@ def shared_semantic_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     propagation per report would dominate its cost (measured at sf0.1:
     the 5-round propagation is ~3 s/call; the materialized labels read
     in ~0.1 s). The checkpoint also IS the multi-branch materialization:
-    the size rollup and the intra-cluster stats join both consume it."""
+    the size rollup and the intra-cluster stats join both consume it.
+    connected_components returns its final label table persisted (the
+    loop's own caching); once the cache's eager checkpoint holds a copy,
+    that interim persist is dead weight — released via the cleanup hook,
+    same discipline as the probe builder's shingle scan."""
     from iceberg_explorer_spark.operators.dedup import (
         _shared_candidates,
         connected_components,
     )
 
     edges = shared_semantic_edges(spark, sf_dir)
+    temp: list[DataFrame] = []
+
+    def _build() -> DataFrame:
+        cc = connected_components(
+            edges.select(
+                F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+            )
+        )
+        temp.append(cc)
+        return cc.select(
+            F.col("node").alias("id_a"),
+            F.col("component").alias("cluster_id"),
+        )
+
+    def _cleanup() -> None:
+        for df in temp:
+            df.unpersist()
+
     return _shared_candidates(
         spark,
         sf_dir,
         "semantic_cc",
-        lambda: connected_components(
-            edges.select(
-                F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
-            )
-        ).select(
-            F.col("node").alias("id_a"),
-            F.col("component").alias("cluster_id"),
-        ),
+        _build,
+        cleanup=_cleanup,
         table="embeddings",
     )
 

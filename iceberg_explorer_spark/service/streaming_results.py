@@ -87,16 +87,23 @@ def stream_results(
             )
         remaining -= window.num_rows
 
-    # Retention bookkeeping for the executor's eviction policy: record how
-    # far into the result any client has been served, and whether this
-    # page reached the final row (marked BEFORE the complete yield so a
-    # consumer that stops at the complete message still counts).
-    # conservative: a page that delivered nothing (offset past the end)
-    # does not prove the client ever fetched the earlier pages, and must
-    # not advance the delivered-rows high-water mark
-    if sent > 0:
+    # Retention bookkeeping for the executor's eviction policy (marked
+    # BEFORE the complete yield so a consumer that stops at the complete
+    # message still counts). rows_streamed_hwm is a CONTIGUOUS-prefix
+    # high-water mark: a page only advances it when it starts at or
+    # before the rows already delivered (offset <= hwm) — a
+    # jump-to-last-page fetch (offset=200 of 250 with nothing before it)
+    # proves nothing about rows 0-199, and promoting such a result into
+    # the evict-first tier would 404 the client when it comes back for
+    # the pages it never received. Empty pages (offset past the end)
+    # advance nothing for the same reason. `stream_delivered_final` then
+    # means exactly "some client has been delivered EVERY row as a
+    # contiguous prefix" (or the 0-row result was fetched at all).
+    if sent > 0 and offset <= result.rows_streamed_hwm:
         result.rows_streamed_hwm = max(result.rows_streamed_hwm, offset + sent)
-    if offset + sent >= total and (sent > 0 or (offset == 0 and total == 0)):
+    if result.rows_streamed_hwm >= total and (
+        total > 0 or (offset == 0 and total == 0)
+    ):
         result.stream_delivered_final = True
     yield json.dumps(
         {

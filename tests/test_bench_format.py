@@ -114,3 +114,20 @@ def test_final_line_degrades_instead_of_raising():
     assert parsed["n_queries"] == 10
     assert len(parsed["queries"]) < 5
     assert json.loads(detail)["queries"] == timings
+
+
+def test_slowest_map_excludes_extended_entries():
+    """The compact line's slowest map sits next to the HEADLINE-only
+    `value` — a multi-second EXTENDED entry must never fill it, or the
+    named slowest stop explaining the trend number they accompany."""
+    timings = {f"h{i}": 0.1 * (i + 1) for i in range(10)}
+    timings["ext_monster"] = 99.0
+    detail, final = format_output(
+        timings, {}, 0.1, 2, extended=["ext_monster"]
+    )
+    parsed = json.loads(final)
+    assert "ext_monster" not in parsed["queries"]
+    assert parsed["extended_sec"] == 99.0 and parsed["n_extended"] == 1
+    assert abs(parsed["value"] - sum(v for k, v in timings.items()
+                                     if k != "ext_monster")) < 1e-9
+    assert json.loads(detail)["queries"]["ext_monster"] == 99.0

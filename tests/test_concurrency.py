@@ -247,6 +247,45 @@ def test_candidate_families_over_different_tables_coexist(spark):
     dedup.invalidate_shared_candidates()
 
 
+def test_warm_hit_never_blocks_behind_other_key_cold_build(spark):
+    """The registry lock is held only for dict reads/inserts — a warm
+    cache hit must return promptly while ANOTHER key's multi-second cold
+    build is in flight (the semantic family's ~4 s builds made the old
+    build-spanning global lock a real stall for unrelated queries)."""
+    import time
+
+    from iceberg_explorer_spark.operators import dedup
+
+    dedup.invalidate_shared_candidates()
+    warm = spark.range(1).toDF("doc_a")
+    dedup._shared_candidates(spark, SF_DIR_SMALL, "lsh", lambda: warm)
+
+    gate = threading.Event()
+    started = threading.Event()
+
+    def slow_build():
+        started.set()
+        assert gate.wait(timeout=60)
+        return spark.range(2).toDF("doc_a")
+
+    t = threading.Thread(
+        target=lambda: dedup._shared_candidates(
+            spark, SF_DIR_SMALL, "probe", slow_build
+        ),
+        name="cold-build",
+    )
+    t.start()
+    assert started.wait(timeout=10)
+    t0 = time.monotonic()
+    hit = dedup._shared_candidates(spark, SF_DIR_SMALL, "lsh", lambda: warm)
+    dt = time.monotonic() - t0
+    gate.set()
+    t.join(timeout=60)
+    assert hit.count() == 1
+    assert dt < 2.0, f"warm hit stalled {dt:.1f}s behind a cold build"
+    dedup.invalidate_shared_candidates()
+
+
 def test_inflight_frame_survives_cache_invalidation(spark):
     """Invalidation drops the registry's strong reference, but an
     in-flight consumer holding the checkpointed DataFrame must keep

@@ -158,3 +158,60 @@ def test_failed_result_counts_streamed_after_error_message(spark):
     msgs = list(stream_results(r, page_size=100))
     assert '"error"' in msgs[0]
     assert r.streamed_complete
+
+
+def test_jump_to_last_page_does_not_mark_complete(spark):
+    """A client fetching ONLY the tail page (jump-to-last-page UI, or a
+    resumed client that never read the earlier pages) must not promote
+    the result into the evict-first tier: delivery is complete only when
+    the CONTIGUOUS prefix covers every row — evicting on a tail fetch
+    404s the client when it comes back for rows it never received."""
+    from iceberg_explorer_spark.service.streaming_results import stream_results
+
+    ex = QueryExecutor(spark)
+    r = ex.execute("SELECT id FROM range(250) ORDER BY id")
+    list(stream_results(r, page_size=100, offset=200))  # tail only
+    assert r.rows_streamed_hwm == 0 and not r.streamed_complete
+    # backfilling the prefix still doesn't count rows 200-249 as part of
+    # the contiguous run (they were delivered before the prefix existed)
+    list(stream_results(r, page_size=100, offset=0))
+    list(stream_results(r, page_size=100, offset=100))
+    assert r.rows_streamed_hwm == 200 and not r.streamed_complete
+    # re-fetching the tail ON TOP of the contiguous prefix completes it
+    list(stream_results(r, page_size=100, offset=200))
+    assert r.rows_streamed_hwm == 250 and r.streamed_complete
+
+
+def test_timed_out_query_never_attaches_result_bytes(spark):
+    """cancelJobGroup is cooperative: a timed-out query's worker thread
+    often finishes its toArrow anyway. It must NOT attach the table to
+    the already-FAILED result — retention ran at timeout with
+    result_nbytes == 0, no client can ever stream a FAILED result's
+    rows, so attached bytes would be invisible, unreachable driver
+    memory."""
+    import time as _time
+
+    class _SlowSql:
+        """Delegate everything to the real session, but stall sql() past
+        the timeout so the worker completes AFTER the executor gave up."""
+
+        def __init__(self, inner, delay):
+            self._inner, self._delay = inner, delay
+
+        def __getattr__(self, name):
+            return getattr(self._inner, name)
+
+        def sql(self, body):
+            _time.sleep(self._delay)
+            return self._inner.sql(body)
+
+    ex = QueryExecutor(_SlowSql(spark, 1.0), min_timeout=0.1)
+    with pytest.raises(Exception):
+        ex.execute("SELECT id FROM range(100)", timeout=0.1)
+    r = [q for q in ex._registry.values()][-1]
+    assert r.status == QueryStatus.FAILED
+    # let the detached worker finish its (successful) toArrow: it
+    # stalls 1 s in sql(), then SELECT 1-scale work — 3 s is plenty
+    _time.sleep(3.0)
+    assert r.result_nbytes == 0 and r.total_rows == 0
+    assert r.status == QueryStatus.FAILED
