@@ -199,14 +199,30 @@ class QueryExecutor:
                 # never saw and no client can ever stream (FAILED streams
                 # only the error line) — unbounded invisible driver
                 # memory, the exact class the retention bound exists for.
-                if result.status == QueryStatus.RUNNING:
-                    result.set_result(table)
-                    result.status = QueryStatus.COMPLETED
+                # Check-and-attach runs under the executor lock, the same
+                # mutex every status TRANSITION (timeout, cancel, this
+                # worker's failure path) takes: without it the worker
+                # could pass the RUNNING check, lose the race to the
+                # timeout marker, and still attach + flip the status back
+                # to COMPLETED after the client was told the query failed.
+                with self._lock:
+                    if result.status == QueryStatus.RUNNING:
+                        result.set_result(table)
+                        result.status = QueryStatus.COMPLETED
+                    else:
+                        # terminal already (timeout/cancel won the race):
+                        # drop the table, but still finalize the metrics
+                        # clock if nobody else did — a query that
+                        # definitively ended must not report duration None
+                        if result.metrics.end_time is None:
+                            result.metrics.complete(0)
             except Exception as exc:  # cancelled jobs also land here
-                if result.status not in (QueryStatus.CANCELLED,):
-                    result.error = str(exc)
-                    result.status = QueryStatus.FAILED
-                result.metrics.complete(0)
+                with self._lock:
+                    if result.status == QueryStatus.RUNNING:
+                        result.error = str(exc)
+                        result.status = QueryStatus.FAILED
+                    if result.metrics.end_time is None:
+                        result.metrics.complete(0)
             finally:
                 try:
                     self.spark.sparkContext.clearJobGroup()
@@ -217,11 +233,23 @@ class QueryExecutor:
         worker = threading.Thread(target=run, daemon=True, name=f"query-{group}")
         worker.start()
         if not done.wait(timeout_s):
-            # reference executor.py:274-283 — interrupt, FAILED, raise
-            result.status = QueryStatus.FAILED
-            result.error = f"query exceeded timeout of {timeout_s}s"
-            self.spark.sparkContext.cancelJobGroup(group)
-            raise QueryTimeoutError(result.error)
+            # reference executor.py:274-283 — interrupt, FAILED, raise.
+            # The FAILED mark is taken under the same lock as the
+            # worker's check-and-attach: if the worker completed in the
+            # gap between wait() expiring and this lock, honor the
+            # completed result instead of failing a query whose rows are
+            # already attached and accounted.
+            with self._lock:
+                if result.status == QueryStatus.RUNNING:
+                    result.status = QueryStatus.FAILED
+                    result.error = f"query exceeded timeout of {timeout_s}s"
+                    result.metrics.complete(0)
+                    timed_out = True
+                else:
+                    timed_out = False
+            if timed_out:
+                self.spark.sparkContext.cancelJobGroup(group)
+                raise QueryTimeoutError(result.error)
         if result.status == QueryStatus.FAILED and result.error:
             raise RuntimeError(result.error)
         return result
@@ -230,14 +258,20 @@ class QueryExecutor:
     def cancel(self, query_id: uuid.UUID) -> bool:
         with self._lock:
             result = self._registry.get(query_id)
-        if result is None:
-            return False
-        if result.status in (QueryStatus.PENDING, QueryStatus.RUNNING):
-            result.status = QueryStatus.CANCELLED
+            if result is None:
+                return False
+            # the transition shares the executor lock with the worker's
+            # check-and-attach, so a cancel can never race a completing
+            # worker into a CANCELLED result that carries attached rows
+            if result.status in (QueryStatus.PENDING, QueryStatus.RUNNING):
+                result.status = QueryStatus.CANCELLED
+                result.metrics.complete(0)
+                cancelled = True
+            else:
+                cancelled = False
+        if cancelled:
             self.spark.sparkContext.cancelJobGroup(str(query_id))
-            result.metrics.complete(0)
-            return True
-        return False
+        return cancelled
 
     # -- reference executor.py:326-347
     def get_status(self, query_id: uuid.UUID) -> QueryResult:

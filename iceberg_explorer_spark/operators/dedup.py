@@ -365,6 +365,12 @@ _SHARED_CANDIDATES_LOCK = threading.Lock()
 #: key -> Event for builds in flight; a failed build removes its entry
 #: and sets the Event, so one of the waiters retakes the build on re-check
 _SHARED_CANDIDATES_BUILDS: dict[tuple[str, str, str, str, str], threading.Event] = {}
+#: invalidation generation: bumped by invalidate_shared_candidates. A
+#: build snapshots it before running and declines to INSERT (still
+#: returns its frame) if an invalidation happened meanwhile — otherwise
+#: an in-flight build would resurrect an entry the caller explicitly
+#: cleared (builds run outside the lock since the per-key dedup rework).
+_SHARED_CANDIDATES_GEN = 0
 
 
 #: Bytes of file tail folded into the corpus fingerprint. A parquet file's
@@ -427,8 +433,12 @@ def invalidate_shared_candidates(sf_dir: str | None = None) -> None:
     automatically (the content fingerprint is part of the cache key);
     this helper is for explicit lifecycle control: tests, and long-lived
     sessions that want the checkpoint blocks collectable NOW rather than
-    at LRU eviction."""
+    at LRU eviction. Builds in flight at the moment of invalidation
+    complete but do NOT re-enter the cache (generation check) — an
+    invalidated entry stays invalidated."""
+    global _SHARED_CANDIDATES_GEN
     with _SHARED_CANDIDATES_LOCK:
+        _SHARED_CANDIDATES_GEN += 1
         if sf_dir is None:
             _SHARED_CANDIDATES.clear()
         else:
@@ -497,12 +507,26 @@ def _shared_candidates(
             in_flight.wait()
             continue
         try:
+            with _SHARED_CANDIDATES_LOCK:
+                gen_at_start = _SHARED_CANDIDATES_GEN
             try:
                 df = build().localCheckpoint(eager=True)
             finally:
                 if cleanup is not None:
                     cleanup()
+            # Builds run OUTSIDE the lock, so two things can supersede
+            # this result before it is inserted: an explicit
+            # invalidation (generation bump) or an in-place rewrite of
+            # the input (fingerprint change). In either case the frame
+            # is still returned to THIS caller — it is correct for the
+            # corpus state at build time — but it must not enter the
+            # cache: a stale-fingerprint insert would be unreachable
+            # dead weight AND its staleness eviction would evict the
+            # live post-rewrite entry another thread just built.
+            fresh = _corpus_fingerprint(sf_dir, table=table) == key[3]
             with _SHARED_CANDIDATES_LOCK:
+                if _SHARED_CANDIDATES_GEN != gen_at_start or not fresh:
+                    return df
                 # A superseded fingerprint for the same (app, corpus dir,
                 # INPUT TABLE) can never be served again — evict it NOW
                 # (any kind over that table) rather than letting it pin
@@ -1292,10 +1316,19 @@ def connected_components(
             labels.unpersist()
             labels = new_labels
             if new_sum == prev_sum:
-                return labels.select(
+                out = labels.select(
                     F.col("doc_id").alias("node"),
                     F.col("lbl").alias("component"),
                 )
+                # Dataset.unpersist matches the EXACT cached plan — the
+                # projection returned here never matches the persisted
+                # label table, so a caller calling out.unpersist() gets a
+                # silent no-op. Expose the actually-persisted frame for
+                # callers (shared_semantic_labels' cleanup hook) that
+                # checkpoint a copy and then want these blocks released
+                # rather than pinned until session end.
+                out.cc_persisted_labels = labels
+                return out
             prev_sum = new_sum
         labels.unpersist()
         raise RuntimeError(

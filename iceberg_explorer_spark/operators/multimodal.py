@@ -223,6 +223,21 @@ _PPM_PIX = _PPM_W * _PPM_H * 3
 _ASCII_ONLY_RE = r"[^\x01-\x7F]"
 
 
+def framed_payload(header: bytes, n_bytes: int):
+    """Column expression for the synthetic binary payload: the
+    ascii-sanitized text bytes framed under a fixed format header.
+    Single definition shared by every multimodal operator — the framing
+    (sanitization regex, header, byte budget) is the hash/feature domain
+    every oracle mirrors character-by-character, so a divergent copy in
+    one operator would silently split that domain."""
+    ascii_text = F.coalesce(
+        F.regexp_replace(F.col("text"), _ASCII_ONLY_RE, ""), F.lit("")
+    )
+    return F.concat(
+        F.lit(header), F.substring(ascii_text.cast("binary"), 1, n_bytes)
+    )
+
+
 def _ppm_mean_sql(channel: int) -> str:
     """DuckDB per-channel mean over the ascii-sanitized text bytes the
     payload embeds (``t``: chars == bytes by construction)."""
@@ -262,12 +277,7 @@ def _ppm_mean_sql(channel: int) -> str:
 )
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = repartition_for_compute(load_table(spark, sf_dir, "documents"))
-    ascii_text = F.coalesce(
-        F.regexp_replace(F.col("text"), _ASCII_ONLY_RE, ""), F.lit("")
-    )
-    payload = F.concat(
-        F.lit(_PPM_HEADER), F.substring(ascii_text.cast("binary"), 1, _PPM_PIX)
-    )
+    payload = framed_payload(_PPM_HEADER, _PPM_PIX)
     binary_df = docs.select("doc_id", payload.alias("payload"))
     return decode_features(binary_df)
 
@@ -396,12 +406,7 @@ def _rz_mean_sql(channel: int) -> str:
 )
 def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = repartition_for_compute(load_table(spark, sf_dir, "documents"))
-    ascii_text = F.coalesce(
-        F.regexp_replace(F.col("text"), _ASCII_ONLY_RE, ""), F.lit("")
-    )
-    payload = F.concat(
-        F.lit(_RZ_HEADER), F.substring(ascii_text.cast("binary"), 1, _RZ_PIX)
-    )
+    payload = framed_payload(_RZ_HEADER, _RZ_PIX)
     binary_df = docs.select("doc_id", payload.alias("payload"))
     return resize_features(binary_df, _RZ_OUT_W, _RZ_OUT_H)
 
@@ -591,12 +596,7 @@ def _pt_union_sql() -> str:
 )
 def multimodal_patch_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = repartition_for_compute(load_table(spark, sf_dir, "documents"))
-    ascii_text = F.coalesce(
-        F.regexp_replace(F.col("text"), _ASCII_ONLY_RE, ""), F.lit("")
-    )
-    payload = F.concat(
-        F.lit(_RZ_HEADER), F.substring(ascii_text.cast("binary"), 1, _RZ_PIX)
-    )
+    payload = framed_payload(_RZ_HEADER, _RZ_PIX)
     return patch_features(docs.select("doc_id", payload.alias("payload")))
 
 
@@ -722,13 +722,7 @@ def _au_union_sql() -> str:
 )
 def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = repartition_for_compute(load_table(spark, sf_dir, "documents"))
-    ascii_text = F.coalesce(
-        F.regexp_replace(F.col("text"), _ASCII_ONLY_RE, ""), F.lit("")
-    )
-    payload = F.concat(
-        F.lit(_AU_HEADER),
-        F.substring(ascii_text.cast("binary"), 1, _AU_DATA_BYTES),
-    )
+    payload = framed_payload(_AU_HEADER, _AU_DATA_BYTES)
     return audio_energy_features(docs.select("doc_id", payload.alias("payload")))
 
 
@@ -829,12 +823,7 @@ def _ahash_sql() -> str:
 )
 def multimodal_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = repartition_for_compute(load_table(spark, sf_dir, "documents"))
-    ascii_text = F.coalesce(
-        F.regexp_replace(F.col("text"), _ASCII_ONLY_RE, ""), F.lit("")
-    )
-    payload = F.concat(
-        F.lit(_RZ_HEADER), F.substring(ascii_text.cast("binary"), 1, _RZ_PIX)
-    )
+    payload = framed_payload(_RZ_HEADER, _RZ_PIX)
     binary_df = docs.select("doc_id", payload.alias("payload"))
     return ahash_features(binary_df).groupBy("ahash").agg(
         F.count(F.lit(1)).alias("n_images"),
@@ -887,12 +876,7 @@ def multimodal_clean_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = repartition_for_compute(load_table(spark, sf_dir, "documents"))
-    ascii_text = F.coalesce(
-        F.regexp_replace(F.col("text"), _ASCII_ONLY_RE, ""), F.lit("")
-    )
-    payload = F.concat(
-        F.lit(_RZ_HEADER), F.substring(ascii_text.cast("binary"), 1, _RZ_PIX)
-    )
+    payload = framed_payload(_RZ_HEADER, _RZ_PIX)
     hashed = ahash_features(
         docs.select("doc_id", payload.alias("payload"))
     )

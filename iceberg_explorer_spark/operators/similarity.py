@@ -1352,7 +1352,12 @@ def shared_semantic_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
             )
         )
-        temp.append(cc)
+        # unpersist must target the frame that was actually persisted:
+        # Spark's CacheManager matches the exact cached plan, so calling
+        # unpersist on the returned projection is a silent no-op —
+        # connected_components exposes its persisted label table for
+        # exactly this release
+        temp.append(cc.cc_persisted_labels)
         return cc.select(
             F.col("node").alias("id_a"),
             F.col("component").alias("cluster_id"),

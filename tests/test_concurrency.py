@@ -286,6 +286,50 @@ def test_warm_hit_never_blocks_behind_other_key_cold_build(spark):
     dedup.invalidate_shared_candidates()
 
 
+def test_build_in_flight_during_invalidation_does_not_reenter_cache(spark):
+    """Builds run outside the registry lock, so a build that straddles an
+    invalidate_shared_candidates call must NOT insert its result
+    afterwards — that would resurrect an entry the caller explicitly
+    cleared. The caller still receives the built frame (correct for the
+    corpus state at build time); only the cache entry is declined."""
+    import time
+
+    from iceberg_explorer_spark.operators import dedup
+
+    dedup.invalidate_shared_candidates()
+    started = threading.Event()
+    gate = threading.Event()
+    out: list = []
+
+    def slow_build():
+        started.set()
+        assert gate.wait(timeout=60)
+        return spark.range(3).toDF("doc_a")
+
+    t = threading.Thread(
+        target=lambda: out.append(
+            dedup._shared_candidates(spark, SF_DIR_SMALL, "lsh", slow_build)
+        ),
+        name="straddling-build",
+    )
+    t.start()
+    assert started.wait(timeout=10)
+    dedup.invalidate_shared_candidates()  # while the build is in flight
+    gate.set()
+    t.join(timeout=60)
+    assert out and out[0].count() == 3  # the builder still got its frame
+    with dedup._SHARED_CANDIDATES_LOCK:
+        assert not [
+            k for k in dedup._SHARED_CANDIDATES if k[1] == SF_DIR_SMALL
+        ], "invalidated-mid-build entry resurrected in the cache"
+    # and the NEXT call is a fresh materialization
+    fresh = dedup._shared_candidates(
+        spark, SF_DIR_SMALL, "lsh", lambda: spark.range(5).toDF("doc_a")
+    )
+    assert fresh.count() == 5 and fresh is not out[0]
+    dedup.invalidate_shared_candidates()
+
+
 def test_inflight_frame_survives_cache_invalidation(spark):
     """Invalidation drops the registry's strong reference, but an
     in-flight consumer holding the checkpointed DataFrame must keep
