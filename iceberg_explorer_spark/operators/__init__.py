@@ -127,18 +127,51 @@ against exact answers).
   65-query HEADLINE sum stays the trend line per the r7 deferral
   note; the one-time probe-index build joins candidate_build as its
   own probe_build line item.
-- round 9 (plan): give the SIX round-8 operators
-  (dedup_overlap_spectrum, similarity_ivf_balance,
-  dedup_semantic_clusters, pipeline_filter_funnel,
-  similarity_semantic_decontaminate, multimodal_clean_manifest — all
-  registered out-of-window this round with oracle + plan pin + 3×
-  point + unit evidence, all in bench EXTENDED) their FIRST driver
-  rows; rotate
-  back the three r5-stale queries deferred this round
+- round 9 (current): CORRECTNESS_r08 came back 50/50 green (fifth
+  consecutive perfect round), so the planned rotation executes exactly
+  as written: the SIX round-8 operators (dedup_overlap_spectrum,
+  similarity_ivf_balance, dedup_semantic_clusters,
+  pipeline_filter_funnel, similarity_semantic_decontaminate,
+  multimodal_clean_manifest) get their FIRST driver rows; the three
+  r5-stale queries deferred from r8 rotate back
   (similarity_bucket_gemm, window_top_orders_per_customer,
-  events_sliding_window) and start on the r6 cohort (27 queries
-  whose last row is r6), prioritizing anything r9 modifies; fill the
-  remainder with r7-cohort second rows as slots allow.
+  events_sliding_window); the FULL r6 cohort — verified against the
+  artifacts to be exactly 27 queries whose latest driver row is r6 —
+  rotates in (dedup_candidate_triangles, dedup_incremental_ingest,
+  dedup_semantic_keep_best, dedup_span_boilerplate,
+  events_dau_wau_stickiness, events_markov_transitions,
+  events_resample_gapfill, events_user_retention,
+  group_by_all_status_priority, lateral_top_orders,
+  market_basket_part_pairs, multimodal_audio_energy,
+  multimodal_patch_tokens, orders_yoy_growth, pipeline_chunk_documents,
+  pipeline_chunk_pack, pipeline_dataset_card, pipeline_epoch_plan,
+  rfm_customer_segments, similarity_ann_recall_report,
+  similarity_kmeans_step, similarity_pq_adc_topk, text_bpe_pair_freq,
+  text_length_histogram, text_tfidf_source_terms,
+  unpivot_customer_metrics, window_distribution_functions). The
+  remaining 13 slots, RECENTLY-CHANGED first per the r7 precedent:
+  round 9 modifies the shared-candidate fingerprint fast path and
+  audits the probe build, so dedup_containment_probe (r8-green but its
+  build is being touched — post-change row), dedup_minhash_lsh (cache
+  consumer + standing family rep), dedup_ngram_jaccard and
+  dedup_clusters (r7-cohort cache/CC consumers; dedup_clusters also
+  carries the deep-diameter CC stress) rotate in, then the other three
+  standing family reps (pricing_summary, join_revenue_by_nation,
+  events_tumbling_window) and six r7-cohort second rows spanning the
+  remaining families (dedup_exact, similarity_bruteforce_topk,
+  text_token_count, multimodal_frame_sample, events_json_extract,
+  pipeline_token_shards) — 1 + 6 + 3 + 27 + 4 + 9 = 50 exactly. If r9
+  comes back green, no oracle-bearing query's latest driver evidence
+  predates r7 except the 18 r7-first-timer/representative queries
+  whose latest row is r7 (36 of the 45 r7-cohort queries remain; they
+  are the r10 rotation's priority). Displaced multi-green queries stay
+  covered every round by tests/test_differential.py; the 3 sketch ops
+  stay out by design.
+- round 10 (plan): rotate in the remaining 36 r7-cohort queries (last
+  row r7) plus the cross-modal paired-dedup operator registered
+  out-of-window in r9 (multimodal_paired_dedup — needs its FIRST
+  driver row), prioritizing anything r10 modifies; fill remaining
+  slots with r8-cohort second rows.
 """
 
 from iceberg_explorer_spark.operators.registry import QUERIES, QuerySpec, query  # noqa: F401
@@ -157,63 +190,64 @@ from iceberg_explorer_spark.operators import pipeline  # noqa: E402,F401
 _CHECK_WINDOW = [
     # flagship first (never displaced)
     "pipeline_clean_corpus",
-    # --- round 7's three new operators: FIRST driver rows (the z-score
-    # op also carries round 8's DIV-bucketing fix, so its row is
-    # post-change) ---
-    "dedup_containment",
+    # --- round 8's six new operators: FIRST driver rows ---
+    "dedup_overlap_spectrum",
+    "similarity_ivf_balance",
+    "dedup_semantic_clusters",
+    "pipeline_filter_funnel",
+    "similarity_semantic_decontaminate",
+    "multimodal_clean_manifest",
+    # --- the three r5-stale queries deferred from r8 (second rows) ---
+    "similarity_bucket_gemm",
+    "window_top_orders_per_customer",
+    "events_sliding_window",
+    # --- the full r6 cohort (27): last driver row is r6 ---
+    "dedup_candidate_triangles",
+    "dedup_incremental_ingest",
+    "dedup_semantic_keep_best",
+    "dedup_span_boilerplate",
+    "events_dau_wau_stickiness",
+    "events_markov_transitions",
+    "events_resample_gapfill",
+    "events_user_retention",
+    "group_by_all_status_priority",
+    "lateral_top_orders",
+    "market_basket_part_pairs",
+    "multimodal_audio_energy",
+    "multimodal_patch_tokens",
+    "orders_yoy_growth",
+    "pipeline_chunk_documents",
+    "pipeline_chunk_pack",
+    "pipeline_dataset_card",
+    "pipeline_epoch_plan",
+    "rfm_customer_segments",
+    "similarity_ann_recall_report",
+    "similarity_kmeans_step",
+    "similarity_pq_adc_topk",
+    "text_bpe_pair_freq",
+    "text_length_histogram",
+    "text_tfidf_source_terms",
+    "unpivot_customer_metrics",
+    "window_distribution_functions",
+    # --- recently-changed-by-r9: fingerprint fast path touches the
+    # shared candidate cache every one of these reads through; the
+    # probe build is being audited; dedup_clusters carries the
+    # deep-diameter CC stress ---
     "dedup_containment_probe",
-    "events_rate_spike_zscore",
-    # --- the full r4-stale cohort (29): last driver row is r4 ---
-    "asof_join_purchase_click",
-    "cube_order_status",
-    "events_distinct_users_salted",
-    "events_funnel",
-    "events_session_window",
-    "events_value_outliers_mad",
-    "filter_projection",
-    "multimodal_image_resize",
-    "multimodal_metadata",
-    "pipeline_domain_mix",
-    "pipeline_global_shuffle",
-    "pipeline_sequence_pack",
-    "pipeline_temperature_mix",
-    "pipeline_train_val_split",
-    "pivot_status_by_flag",
-    "recursive_calendar_spine",
-    "rollup_quantity",
-    "scalar_subquery_nation_stats",
-    "semi_join_active_customers",
-    "text_decontaminate",
-    "text_fingerprint",
-    "text_language_id",
-    "text_pii_redact",
-    "text_quality_score",
-    "text_repetition_filter",
-    "text_unigram_logfreq",
-    "window_ntile_navigation",
-    "window_range_moving_revenue",
-    "window_running_revenue",
-    # --- one multi-green representative per core family ---
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    # --- the other three standing family representatives ---
     "pricing_summary",
     "join_revenue_by_nation",
-    "dedup_minhash_lsh",
     "events_tumbling_window",
-    # --- 13 of the 16 r5-stale queries (second rows; bucket_gemm,
-    # top_orders_per_customer and sliding_window wait for r9 — they have
-    # the most / freshest prior evidence of the cohort) ---
-    "anti_join_idle_customers",
-    "cohort_retention",
-    "cross_join_region_status",
-    "distinct_customers_per_priority",
-    "events_rate_per_user_type",
-    "full_outer_nation_balance",
-    "grouping_sets_mix",
-    "scalar_regex_conditional",
-    "scalar_string_math",
-    "set_ops_nation_presence",
-    "similarity_all_pairs_topk",
-    "string_agg_nations_per_region",
-    "subquery_in_having",
+    # --- six r7-cohort second rows spanning the remaining families ---
+    "dedup_exact",
+    "similarity_bruteforce_topk",
+    "text_token_count",
+    "multimodal_frame_sample",
+    "events_json_extract",
+    "pipeline_token_shards",
 ]
 
 

@@ -379,6 +379,21 @@ _SHARED_CANDIDATES_GEN = 0
 #: tail is a strong content signal at a fixed tiny read cost.
 _FINGERPRINT_TAIL_BYTES = 64
 
+#: Stat-gated fingerprint memo: (sf_dir, table) -> (stat listing, digest).
+#: The listing holds (rel, size, mtime_ns, ctime_ns) per file; if every
+#: field matches the previous computation the memoized digest is reused
+#: WITHOUT reopening any file, turning the warm-lookup cost from
+#: O(#files) stat+open+seek+read into O(#files) stat only — the same
+#: syscalls Spark's own file listing already pays. ctime is the safety
+#: latch: userspace cannot set it (``utime``/``touch -r`` restore mtime
+#: but the kernel bumps ctime on every write AND every metadata change),
+#: so a metadata-preserving rewrite can never satisfy the gate and always
+#: falls through to the full footer-tail read that catches it. Bounded
+#: LRU; entries are tiny (one tuple per file, no tail bytes retained).
+_FINGERPRINT_MEMO: "OrderedDict[tuple[str, str], tuple[tuple, str]]" = OrderedDict()
+_FINGERPRINT_MEMO_MAX = 64
+_FINGERPRINT_MEMO_LOCK = threading.Lock()
+
 
 def _corpus_fingerprint(sf_dir: str, table: str = "documents") -> str:
     """Content fingerprint of the candidate generator's input table: the sorted
@@ -393,10 +408,17 @@ def _corpus_fingerprint(sf_dir: str, table: str = "documents") -> str:
     encodes row-group offsets and column stats — identical tail bytes with
     different data would need a deliberate byte-level forgery, which is
     outside this cache's threat model; ``invalidate_shared_candidates``
-    remains the explicit escape hatch for that case. Cost: O(#files) stat
-    calls plus one 64-byte tail read per file — same cost class as
-    Spark's own per-query file listing. A missing path fingerprints as
-    empty (the query itself will then raise the real error)."""
+    remains the explicit escape hatch for that case.
+
+    Cost: O(#files) stat calls per lookup; the 64-byte tail reads are paid
+    only when the (size, mtime_ns, ctime_ns) listing differs from the
+    memoized computation (see ``_FINGERPRINT_MEMO``) — warm cache hits at
+    million-file corpus scale stat but never reopen. The digest itself is
+    computed from (rel, size, mtime_ns, tail) exactly as before — ctime
+    guards the memo, it does not enter the fingerprint, so ctime-only
+    churn (chmod, chown) triggers one recompute but never a cache-key
+    change. A missing path fingerprints as empty (the query itself will
+    then raise the real error)."""
     root = os.path.join(sf_dir, f"{table}.parquet")
     paths = []
     if os.path.isfile(root):
@@ -406,8 +428,31 @@ def _corpus_fingerprint(sf_dir: str, table: str = "documents") -> str:
             for name in files:
                 p = os.path.join(dirpath, name)
                 paths.append((os.path.relpath(p, root), p))
-    entries = []
+    # Stat-only gate pass. Any stat failure marks the listing unstable
+    # (a rewrite is in progress) — unstable listings never match or
+    # populate the memo, so mid-rewrite states can't serve or pin a
+    # digest.
+    stats: list[tuple[str, str, object]] = []
+    listing_parts = []
+    stable = True
     for rel, p in paths:
+        try:
+            st = os.stat(p)
+            stats.append((rel, p, st))
+            listing_parts.append((rel, st.st_size, st.st_mtime_ns, st.st_ctime_ns))
+        except OSError:
+            stats.append((rel, p, None))
+            stable = False
+    listing = tuple(sorted(listing_parts))
+    memo_key = (sf_dir, table)
+    if stable:
+        with _FINGERPRINT_MEMO_LOCK:
+            memo = _FINGERPRINT_MEMO.get(memo_key)
+            if memo is not None and memo[0] == listing:
+                _FINGERPRINT_MEMO.move_to_end(memo_key)
+                return memo[1]
+    entries = []
+    for rel, p, st in stats:
         # A file can vanish between the walk and the stat/read — that is
         # precisely an in-place rewrite in progress (mode('overwrite')
         # deletes old part files first), the very event the fingerprint
@@ -416,15 +461,24 @@ def _corpus_fingerprint(sf_dir: str, table: str = "documents") -> str:
         # differs from any stable listing, so the in-progress state never
         # collides with the pre- or post-rewrite fingerprint.
         try:
-            st = os.stat(p)
+            if st is None:
+                raise OSError(f"stat failed during fingerprint: {p}")
             with open(p, "rb") as fh:
                 fh.seek(max(0, st.st_size - _FINGERPRINT_TAIL_BYTES))
                 tail = fh.read(_FINGERPRINT_TAIL_BYTES)
             entries.append((rel, st.st_size, st.st_mtime_ns, tail))
         except OSError:
             entries.append((rel, -1, -1, b"<vanished-during-fingerprint>"))
+            stable = False
     entries.sort()
-    return hashlib.md5(repr(entries).encode()).hexdigest()
+    digest = hashlib.md5(repr(entries).encode()).hexdigest()
+    if stable:
+        with _FINGERPRINT_MEMO_LOCK:
+            _FINGERPRINT_MEMO[memo_key] = (listing, digest)
+            _FINGERPRINT_MEMO.move_to_end(memo_key)
+            while len(_FINGERPRINT_MEMO) > _FINGERPRINT_MEMO_MAX:
+                _FINGERPRINT_MEMO.popitem(last=False)
+    return digest
 
 
 def invalidate_shared_candidates(sf_dir: str | None = None) -> None:

@@ -583,3 +583,71 @@ def test_concurrent_csv_exports_are_isolated():
         assert len(rows) == n + 1
         assert all(r[1] == tag for r in rows[1:])  # no cross-export bleed
         assert [int(r[0]) for r in rows[1:]] == list(range(n))
+
+
+def test_fingerprint_warm_lookup_is_stat_only(tmp_path):
+    """The stat-gated memo (dedup._FINGERPRINT_MEMO): a repeat lookup over
+    an unchanged corpus must reuse the memoized digest WITHOUT reopening
+    any file — at a million-file corpus the warm path pays stat calls
+    only, the same syscalls Spark's own file listing already makes. Any
+    content rewrite still falls through to the full footer-tail read:
+    userspace cannot restore ctime, so the gate can't be satisfied by
+    mtime forgery (test_fingerprint_detects_metadata_preserving_rewrite
+    pins that exact case end-to-end against this same memo)."""
+    import builtins
+    from unittest import mock
+
+    from iceberg_explorer_spark.operators import dedup
+
+    d = tmp_path / "memo"
+    root = d / "documents.parquet"
+    root.mkdir(parents=True)
+    for i in range(50):
+        (root / f"part-{i:05d}.parquet").write_bytes(b"x" * 100 + bytes([i]))
+
+    fp_cold = dedup._corpus_fingerprint(str(d))
+
+    real_open = builtins.open
+    opened: list[str] = []
+
+    def counting_open(file, *a, **kw):
+        opened.append(str(file))
+        return real_open(file, *a, **kw)
+
+    with mock.patch.object(builtins, "open", counting_open):
+        fp_warm = dedup._corpus_fingerprint(str(d))
+    assert fp_warm == fp_cold
+    assert opened == []  # zero file opens on the warm path
+
+    # a one-byte content rewrite reopens (ctime bump defeats the gate)
+    # and changes the digest
+    (root / "part-00000.parquet").write_bytes(b"y" * 100 + b"\x00")
+    with mock.patch.object(builtins, "open", counting_open):
+        fp_new = dedup._corpus_fingerprint(str(d))
+    assert fp_new != fp_cold
+    assert opened  # full tail-read pass ran
+
+    # and the memo re-arms on the new state
+    opened.clear()
+    with mock.patch.object(builtins, "open", counting_open):
+        assert dedup._corpus_fingerprint(str(d)) == fp_new
+    assert opened == []
+
+
+def test_fingerprint_memo_is_bounded(tmp_path):
+    """The memo is LRU-bounded: fingerprinting more distinct corpora than
+    _FINGERPRINT_MEMO_MAX never grows the dict past the cap, and evicted
+    entries simply recompute (same digest) on their next lookup."""
+    from iceberg_explorer_spark.operators import dedup
+
+    digests = {}
+    n = dedup._FINGERPRINT_MEMO_MAX + 5
+    for i in range(n):
+        d = tmp_path / f"c{i}"
+        (d / "documents.parquet").parent.mkdir(parents=True)
+        (d / "documents.parquet").write_bytes(b"corpus-%d" % i * 20)
+        digests[str(d)] = dedup._corpus_fingerprint(str(d))
+    assert len(dedup._FINGERPRINT_MEMO) <= dedup._FINGERPRINT_MEMO_MAX
+    # an evicted (oldest) corpus still fingerprints identically
+    first = str(tmp_path / "c0")
+    assert dedup._corpus_fingerprint(first) == digests[first]
