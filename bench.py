@@ -141,6 +141,27 @@ EXTENDED = [
     "multimodal_clean_manifest",  # composed image-curation manifest
 ]
 
+#: HEADLINE GRADUATION POLICY (a logged trend reset, never a silent one).
+#: EXTENDED keeps growing — the 65-query v1 sum cannot stay the only trend
+#: line forever. The declared schedule:
+#:   * round 10: the EXTENDED set as frozen at the END of round 9 (the 9
+#:     operators above) graduates into HEADLINE_V2 = HEADLINE + that set,
+#:     both sorted as listed. For that ONE overlap round the final line
+#:     reports BOTH sums — ``value``/``n_queries`` stay the v1 trend line
+#:     (headline_version still 1) and additive ``value_v2``/``n_queries_v2``
+#:     keys carry the v2 sum — so the two series share a round and the
+#:     reset is cross-checkable, not inferred.
+#:   * round 11 on: ``value``/``n_queries`` BECOME the v2 sum,
+#:     ``headline_version`` flips to 2, and the v1 sum is dropped. EXTENDED
+#:     empties at graduation and refills with post-r9 operators, which
+#:     graduate on the same two-round cadence when the next reset is due.
+#: ``headline_version`` is emitted starting round 9 so every bench artifact
+#: names the measurement set its ``value`` covers; the driver's
+#: round-over-round comparison must only ever compare equal versions.
+#: Mechanics are pinned by tests/test_bench_format.py
+#: (test_headline_version_and_graduation_policy).
+HEADLINE_VERSION = 1
+
 
 def format_output(
     timings: dict[str, float],
@@ -212,6 +233,9 @@ def format_output(
                 if extended_timings
                 else None,
                 "n_extended": len(extended_timings),
+                # names the measurement set `value` covers — see the
+                # HEADLINE GRADUATION POLICY note at HEADLINE_VERSION
+                "headline_version": HEADLINE_VERSION,
             }
         )
         if len(final_line) < 500:

@@ -56,6 +56,19 @@ CC_CHECKPOINT_EVERY = 5
 #: rounds; near-dup components are small/dense so real diameters are tiny.
 CC_MAX_ROUNDS = 50
 
+#: Rounds of PLAIN min-label propagation before pointer-doubling label
+#: compression activates. Real dedup graphs are shallow (measured
+#: diameters ≈ 5 — SCALE.md r8), and for them the doubling join is pure
+#: overhead (the r8 audit measured and rejected always-on pointer
+#: jumping on exactly that ground). Deep components are where O(diameter)
+#: rounds blow up — the r9 deep-chain stress measured a diameter-32 chain
+#: at 19 s and extrapolated minutes at 128 — so past this threshold each
+#: propagation round is followed by one lbl := lbl[lbl] compression join,
+#: which doubles the compressed path length per round and converges the
+#: whole loop in CC_DOUBLE_AFTER + O(log diameter) rounds. Shallow graphs
+#: never pay; deep graphs never stall.
+CC_DOUBLE_AFTER = 4
+
 
 def _words(col: str = "text"):
     """Lowercased whitespace tokens (same regex both engines)."""
@@ -611,6 +624,32 @@ def _shared_candidates(
             in_flight.set()
 
 
+def shared_hashed_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DISTINCT (doc_id, hb) shingle-hash table, materialized ONCE per
+    corpus per session (kind="shingles" in the keyed candidate cache).
+
+    This is the tokenize-once artifact of a production dedup pipeline: at
+    100 TB the corpus is tokenized+hashed exactly once, the 16-byte
+    (doc_id, hb) table is written to parquet, and EVERY downstream stage —
+    the MinHash-LSH signature build, the rare-shingle probe index, and all
+    the containment/Jaccard verify joins — reads that artifact instead of
+    re-running the corpus scan. In-session the checkpoint mirrors that:
+    before round 9 each verify operator called
+    ``hashed_shingles(...).persist()`` per invocation and the builds each
+    re-tokenized on cold paths (bench r8 measured the probe build paying a
+    full scan the LSH build had just paid); the shared checkpoint removes
+    both, and the fingerprint key + table-scoped staleness eviction give
+    it the same rewrite-detection contract as every other cached kind.
+    min over a multiset equals min over its set, so the LSH signature
+    build is unchanged by reading the distinct table."""
+    return _shared_candidates(
+        spark,
+        sf_dir,
+        "shingles",
+        lambda: hashed_shingles(spark, sf_dir),
+    )
+
+
 def shared_lsh_candidates(
     spark: SparkSession, sf_dir: str, hashed: DataFrame | None = None
 ) -> DataFrame:
@@ -618,8 +657,9 @@ def shared_lsh_candidates(
     (see ``_shared_candidates`` for the caching/consistency contract).
 
     ``hashed``: optional precomputed (doc_id, hb) shingle hashes, used only
-    on a cache miss (callers that persist the shingle scan for their own
-    verify stage pass it so a miss doesn't tokenize the corpus twice).
+    on a cache miss; when omitted, a miss reads the session-shared shingle
+    checkpoint (``shared_hashed_shingles``) so the corpus is tokenized at
+    most once per session however the builds interleave.
 
     The checkpoint keeps the full (doc_a, doc_b, n_shared_bands) rows —
     exactly what the parquet artifact would hold — so the candidate-list
@@ -630,7 +670,15 @@ def shared_lsh_candidates(
         spark,
         sf_dir,
         "lsh",
-        lambda: lsh_candidates(spark, sf_dir, hashed=hashed),
+        lambda: lsh_candidates(
+            spark,
+            sf_dir,
+            hashed=(
+                hashed
+                if hashed is not None
+                else shared_hashed_shingles(spark, sf_dir)
+            ),
+        ),
     )
 
 
@@ -836,12 +884,13 @@ def jaccard_verify(
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the shingle-hash set feeds both the LSH signatures and the verify
-    # stage — compute it once and persist. The persisted identity is the
-    # 60-bit hash, not the string: the distinct shuffle and every downstream
-    # join/intersect carry 8-byte ints however long the shingles are. At
-    # 100 TB this is a checkpoint to parquet instead of a memory cache, but
-    # the plan principle is the same: never recompute the corpus scan.
-    sh = hashed_shingles(spark, sf_dir).persist()
+    # stage — the session-shared checkpoint computes it once per corpus.
+    # The checkpointed identity is the 60-bit hash, not the string: every
+    # downstream join/intersect carries 8-byte ints however long the
+    # shingles are. At 100 TB this is a checkpoint to parquet instead of a
+    # memory cache, but the plan principle is the same: never recompute
+    # the corpus scan.
+    sh = shared_hashed_shingles(spark, sf_dir)
     # the candidate set feeds the pair join AND the candidate-doc semi-join
     # filter; the session-shared checkpoint materializes it exactly once
     # for the whole graph family (triangles/PageRank/overlap/sweep included)
@@ -974,7 +1023,7 @@ def containment_verify(
     "extension.",
 )
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = hashed_shingles(spark, sf_dir).persist()
+    sh = shared_hashed_shingles(spark, sf_dir)
     cands = shared_lsh_candidates(spark, sf_dir, hashed=sh).select(
         "doc_a", "doc_b"
     )
@@ -1049,30 +1098,22 @@ def shared_probe_candidates(
     consistency contract in ``_shared_candidates``). Production shape:
     candidates to parquet, every verify/report reads the artifact.
 
-    Cold builds with no caller-provided ``hashed`` persist the shingle
-    scan for the build's duration: the probe plan references it from
-    THREE branches (df aggregation, rare filter join, probe hits join),
-    and unpersisted each branch re-runs tokenize+hash+distinct
-    (measured min-of-3 cold builds at sf0.1: 2.17 → 1.86 s; the win is
-    bounded because the probe join stages, not the scan, dominate).
-    Released by the cache's cleanup hook once the candidate checkpoint
-    holds the result — callers that pass their own persisted ``hashed``
-    manage its lifetime themselves.
+    Cold builds with no caller-provided ``hashed`` read the session-shared
+    shingle checkpoint (``shared_hashed_shingles``): the probe plan
+    references the shingle table from THREE branches (df aggregation,
+    rare filter join, probe hits join), and the checkpoint means no
+    branch — and no sibling build — ever re-runs tokenize+hash+distinct
+    (r8 persisted a build-scoped copy instead, measured 2.17 → 1.86 s
+    cold; r9's shared checkpoint removes the scan from this build
+    entirely whenever any shingle consumer ran first, the normal case —
+    see SCALE.md round-9 probe_build audit for the stage numbers).
     """
-    temp: list[DataFrame] = []
 
     def _build() -> DataFrame:
-        sh = hashed
-        if sh is None:
-            sh = hashed_shingles(spark, sf_dir).persist()
-            temp.append(sh)
+        sh = hashed if hashed is not None else shared_hashed_shingles(spark, sf_dir)
         return probe_candidates(spark, sf_dir, hashed=sh)
 
-    def _cleanup() -> None:
-        for df in temp:
-            df.unpersist()
-
-    return _shared_candidates(spark, sf_dir, "probe", _build, cleanup=_cleanup)
+    return _shared_candidates(spark, sf_dir, "probe", _build)
 
 
 #: Probe-candidate CTEs (reference ``shh``; yield ``probe_c``) — shared by
@@ -1128,7 +1169,7 @@ _PROBE_CANDS_CTES_SQL = f"""
     "reference: no analogue — training-pipeline extension.",
 )
 def dedup_containment_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = hashed_shingles(spark, sf_dir).persist()
+    sh = shared_hashed_shingles(spark, sf_dir)
     # Session-shared checkpoint, same discipline as the LSH family: the
     # verify references the pair frame from THREE plan branches (cand_docs
     # union ×2 + the pair join), and without a checkpoint each branch
@@ -1191,7 +1232,7 @@ def dedup_containment_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "training-pipeline extension.",
 )
 def dedup_overlap_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = hashed_shingles(spark, sf_dir).persist()
+    sh = shared_hashed_shingles(spark, sf_dir)
     lsh = (
         shared_lsh_candidates(spark, sf_dir, hashed=sh)
         .select("doc_a", "doc_b")
@@ -1285,8 +1326,14 @@ def connected_components(
 
     Each round: every node adopts the minimum label among itself and its
     neighbors (one join + one groupBy, all executor-side; the driver sees
-    only the convergence count). Converges after O(component diameter)
-    rounds. Two scale guards:
+    only the convergence count). Plain propagation converges after
+    O(component diameter) rounds — optimal for the shallow components real
+    dedup graphs have (measured d ≈ 5) — and after CC_DOUBLE_AFTER rounds
+    each propagation is followed by a pointer-doubling compression join
+    (lbl := lbl[lbl]), so deep components converge in
+    CC_DOUBLE_AFTER + O(log diameter) rounds instead of O(diameter)
+    (r9 deep-chain stress: diameter 32 took 19 s / 33 rounds before, see
+    SCALE.md round-9 for the after numbers). Two scale guards:
 
     - every ``checkpoint_every`` rounds the label table is
       ``localCheckpoint(eager=False)``'d — LAZY, because the convergence
@@ -1343,6 +1390,25 @@ def connected_components(
             ).alias("lbl"),
         )
 
+    def compress(lbls: DataFrame) -> DataFrame:
+        # pointer doubling: lbl := lbl[lbl]. Every label IS a node id in
+        # the label table (initially self; propagation only adopts other
+        # nodes' labels), so the self-join matches every row — the
+        # coalesce covers it anyway. Labels stay within the component and
+        # monotone non-increasing, so both the convergence sum and the
+        # component-min fixed point are untouched; the only effect is that
+        # the distance-to-min shrinks geometrically instead of by one hop
+        # per round.
+        l2 = lbls.select(
+            F.col("doc_id").alias("p_id"), F.col("lbl").alias("p_lbl")
+        )
+        return lbls.join(l2, lbls.lbl == F.col("p_id"), "left").select(
+            "doc_id",
+            F.least(
+                F.col("lbl"), F.coalesce(F.col("p_lbl"), F.col("lbl"))
+            ).alias("lbl"),
+        )
+
     try:
         rounds_done = 0
         # seed with the identity-labeling sum so the FIRST check can fire
@@ -1354,12 +1420,25 @@ def connected_components(
             steps = 1 if rounds_done == 0 else 2
             steps = min(steps, max_rounds - rounds_done)
             new_labels = labels
-            for _ in range(steps):
+            doubling = False
+            for s in range(steps):
                 new_labels = propagate(new_labels)
+                if rounds_done + s + 1 > CC_DOUBLE_AFTER:
+                    # deep-graph insurance: see CC_DOUBLE_AFTER
+                    new_labels = compress(new_labels)
+                    doubling = True
             rounds_done += steps
-            if rounds_done % checkpoint_every < steps:
+            if doubling or rounds_done % checkpoint_every < steps:
                 # lazy: the convergence count below is the materializing
-                # action, so lineage truncation costs no extra job
+                # action, so lineage truncation costs no extra job. In the
+                # doubling regime truncation happens EVERY span, not every
+                # checkpoint_every rounds: compress() is a label-table
+                # self-join, so each compressed round references the prior
+                # plan TWICE and the logical plan grows 4× per span —
+                # exponential by the second checkpoint window (measured:
+                # plan-stringification OOM at chain diameter 128). With a
+                # per-span truncation the live plan never exceeds one
+                # span's 4 checkpoint-scan references.
                 new_labels = new_labels.localCheckpoint(eager=False)
             else:
                 new_labels = new_labels.persist()
@@ -1382,6 +1461,9 @@ def connected_components(
                 # checkpoint a copy and then want these blocks released
                 # rather than pinned until session end.
                 out.cc_persisted_labels = labels
+                # measured-convergence telemetry for tests and the
+                # SCALE.md deep-diameter stress (not part of the schema)
+                out.cc_rounds = rounds_done
                 return out
             prev_sum = new_sum
         labels.unpersist()
@@ -1889,7 +1971,7 @@ JACCARD_SWEEP_PCTS = (50, 80, 90, 95, 98)
 def dedup_jaccard_threshold_sweep(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    sh = hashed_shingles(spark, sf_dir).persist()
+    sh = shared_hashed_shingles(spark, sf_dir)
     cands = shared_lsh_candidates(spark, sf_dir, hashed=sh).select(
         "doc_a", "doc_b"
     )

@@ -131,3 +131,35 @@ def test_slowest_map_excludes_extended_entries():
     assert abs(parsed["value"] - sum(v for k, v in timings.items()
                                      if k != "ext_monster")) < 1e-9
     assert json.loads(detail)["queries"]["ext_monster"] == 99.0
+
+
+def test_headline_version_and_graduation_policy():
+    """Pins the HEADLINE graduation mechanics declared at
+    bench.HEADLINE_VERSION: (1) every final line names the measurement
+    set its `value` covers via an integer `headline_version` key; (2)
+    this round the version is 1 and `value` sums exactly the v1 HEADLINE
+    set (EXTENDED excluded); (3) the line stays compact with the key
+    present even at the post-graduation set size (v1+v2 overlap round
+    adds two keys and ~74 more queries — simulate that width)."""
+    import bench
+
+    timings = {name: 1.234 for name in [*HEADLINE, *EXTENDED]}
+    _, final = format_output(
+        timings, {}, 0.1, 2, candidate_build=1.337, extended=EXTENDED
+    )
+    parsed = json.loads(final)
+    assert isinstance(parsed["headline_version"], int)
+    assert parsed["headline_version"] == bench.HEADLINE_VERSION == 1
+    assert parsed["n_queries"] == len(HEADLINE)
+    assert parsed["value"] == round(1.234 * len(HEADLINE), 3)
+    # graduation-round width: v2 = HEADLINE + the frozen r9 EXTENDED set
+    wide = _fake_timings(len(HEADLINE) + len(EXTENDED))
+    _, final_wide = format_output(wide, {}, 0.1, 2, candidate_build=1.337)
+    assert len(final_wide) < 500
+    assert "headline_version" in json.loads(final_wide)
+    # the policy text itself must stay in the source next to the constant
+    import inspect
+
+    src = inspect.getsource(bench)
+    assert "HEADLINE GRADUATION POLICY" in src
+    assert "round 10" in src and "value_v2" in src

@@ -194,12 +194,14 @@ def test_build_cleanup_runs_after_materialization_and_on_failure(spark):
     dedup.invalidate_shared_candidates()
 
 
-def test_cold_probe_build_releases_interim_shingle_persist(spark):
-    """A cold ``shared_probe_candidates`` call with no caller-provided
-    ``hashed`` persists the shingle scan for the build (its plan references
-    it from three branches) and must UNPERSIST it once the candidate
-    checkpoint holds the result — the persist is build-scoped, not
-    session-scoped."""
+def test_corpus_is_tokenized_at_most_once_per_session(spark):
+    """The r9 tokenize-once contract: the shingle table is a shared keyed
+    checkpoint (kind="shingles"), so a cold probe build followed by a cold
+    LSH build — and any number of verify operators after them — runs the
+    tokenize+hash+distinct pipeline exactly ONCE for the corpus. Before
+    r9 each build persisted a private build-scoped copy (the r8 bench
+    measured the probe build re-paying the scan the LSH build had just
+    paid)."""
     from iceberg_explorer_spark.operators import dedup
 
     dedup.invalidate_shared_candidates()
@@ -214,10 +216,15 @@ def test_cold_probe_build_releases_interim_shingle_persist(spark):
     dedup.hashed_shingles = capturing
     try:
         dedup.shared_probe_candidates(spark, SF_DIR_SMALL)
+        dedup.shared_lsh_candidates(spark, SF_DIR_SMALL)
+        # a verify operator reads the same checkpoint, no new tokenize
+        dedup.dedup_containment(spark, SF_DIR_SMALL).collect()
     finally:
         dedup.hashed_shingles = real
-    assert len(captured) == 1
-    assert not captured[0].storageLevel.useMemory  # released after build
+    assert len(captured) == 1  # one tokenize for probe + lsh + verify
+    # and nothing left pinned in Spark's block-manager cache: the shared
+    # value is a checkpoint in the LRU, not an unbounded session persist
+    assert not captured[0].storageLevel.useMemory
     dedup.invalidate_shared_candidates()
 
 
@@ -398,7 +405,10 @@ def test_rewrite_evicts_stale_fingerprint_entry(spark, tmp_path):
         dedup.shared_lsh_candidates(spark, d)
         with dedup._SHARED_CANDIDATES_LOCK:
             mine = [k for k in dedup._SHARED_CANDIDATES if k[1] == d]
-        assert len(mine) == 1, mine  # never two fingerprints for one dir
+        # multiple KINDS per dir are fine (the lsh build reads the shared
+        # shingle checkpoint since r9) — but never two FINGERPRINTS: the
+        # pre-rewrite generation must be evicted, not shadowed
+        assert len({k[3] for k in mine}) == 1, mine
     dedup.invalidate_shared_candidates(d)
 
 

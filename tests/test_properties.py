@@ -235,6 +235,46 @@ def test_connected_components_deep_chain_checkpoints(spark):
                    **{i: 200 for i in range(200, 204)}}
 
 
+def test_connected_components_log_diameter_convergence(spark):
+    """The r9 hybrid: past CC_DOUBLE_AFTER plain rounds, each propagation
+    is followed by a pointer-doubling compression (lbl := lbl[lbl]), so a
+    deep chain converges in CC_DOUBLE_AFTER + O(log d) rounds instead of
+    O(d) — diameter 128 measured 11 rounds vs 129+ plain (SCALE.md r9).
+    Labels must still be the exact component minimum, and the lineage must
+    stay bounded (the compress self-join doubles the plan per round;
+    without the per-span truncation this exact case OOM'd the JVM on
+    plan stringification). Also pins that compression never fires before
+    CC_DOUBLE_AFTER: the telemetry on a trivially shallow graph shows
+    plain-propagation round counts."""
+    from iceberg_explorer_spark.operators.dedup import (
+        CC_DOUBLE_AFTER,
+        connected_components,
+    )
+
+    d = 128
+    chain = [(i, i + 1) for i in range(d)]
+    out = connected_components(
+        spark.createDataFrame(chain, "doc_a long, doc_b long")
+    )
+    got = {r["node"]: r["component"] for r in out.collect()}
+    assert got == {i: 0 for i in range(d + 1)}
+    # log-diameter bound with slack: 4 plain + 2*ceil(log2(128))=14 + span
+    # overshoot — far below the 129 plain propagation would need
+    assert out.cc_rounds <= CC_DOUBLE_AFTER + 20, out.cc_rounds
+    out.cc_persisted_labels.unpersist()
+
+    # shallow graph: the loop exits within one bi-round span of the
+    # doubling threshold — at most ONE compression join ever fires (and
+    # only post-convergence), so the r8 audit's rejection of always-on
+    # jumping stays honored for the graphs real dedup produces (sf0.1's
+    # LSH graph measures cc_rounds == 3: compression never activates)
+    shallow = connected_components(
+        spark.createDataFrame([(1, 2), (2, 3)], "doc_a long, doc_b long")
+    )
+    assert shallow.cc_rounds <= CC_DOUBLE_AFTER + 1
+    shallow.cc_persisted_labels.unpersist()
+
+
 def test_connected_components_round_bound_raises(spark):
     from iceberg_explorer_spark.operators.dedup import connected_components
 
