@@ -895,3 +895,78 @@ def multimodal_clean_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         (n_valid - kept).cast("bigint").alias("n_dup_dropped"),
         ((n_valid - kept).cast("double") / n_valid).alias("dup_rate"),
     )
+
+
+@query(
+    "multimodal_paired_dedup",
+    oracle=f"""
+    WITH a AS (
+      SELECT doc_id, source,
+             regexp_replace(text, '{_ASCII_ONLY_RE}', '', 'g') AS t
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id, source, {_ahash_sql()} AS ahash
+      FROM a WHERE length(t) >= {_RZ_PIX}
+    ),
+    fp AS (
+      SELECT doc_id, MIN(md5(substr(text, i, 8))) AS caption_fp
+      FROM documents, UNNEST(generate_series(1, LENGTH(text) - 7)) AS tt(i)
+      WHERE LENGTH(text) >= 8
+      GROUP BY doc_id
+    )
+    SELECT h.ahash, fp.caption_fp,
+           COUNT(*) AS n_pairs,
+           COUNT(DISTINCT h.source) AS n_sources,
+           CAST(MIN(h.doc_id) AS BIGINT) AS canonical_doc_id,
+           COUNT(DISTINCT h.source) > 1 AS cross_source
+    FROM h JOIN fp ON h.doc_id = fp.doc_id
+    GROUP BY h.ahash, fp.caption_fp
+    HAVING COUNT(*) > 1
+    """,
+    doc="Cross-modal caption-image PAIR dedup — the LAION-style curation "
+    "shape: a (image, caption) sample is a duplicate only when BOTH its "
+    "perceptual image hash AND its caption fingerprint already occur "
+    "together, so re-encoded images with new captions and re-captioned "
+    "images both survive while true pair-level scrapes collapse. Composes "
+    "the two modality silos' existing keys with zero new kernel code: the "
+    "image side is the shared Arrow-batched aHash kernel "
+    "(multimodal_ahash_dedup), the caption side is the winnowing min-gram "
+    "fingerprint (text_fingerprint) computed fully map-side "
+    "(array_min over the gram transform — no per-doc gram shuffle, unlike "
+    "the explode+groupBy the standalone fingerprint REPORT needs). Each "
+    "duplicated pair group reports its size, distinct-source count, "
+    "canonical (min) doc, and whether the duplication crosses sources — "
+    "the split that tells scrape-level duplication (drop) from "
+    "within-source reposts (dedup policy decision). At 100 TB the join "
+    "and the pair groupBy shuffle digests only (8 B ahash + 32 B md5 + "
+    "ids); image payload bytes never leave the decode stage, captions "
+    "never leave the map side. reference: no analogue — training-pipeline "
+    "extension.",
+)
+def multimodal_paired_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = repartition_for_compute(load_table(spark, sf_dir, "documents"))
+    payload = framed_payload(_RZ_HEADER, _RZ_PIX)
+    hashed = ahash_features(docs.select("doc_id", payload.alias("payload")))
+    captions = docs.filter(F.length("text") >= 8).select(
+        "doc_id",
+        "source",
+        F.array_min(
+            F.expr(
+                "transform(sequence(1, length(text) - 7),"
+                " i -> md5(substr(text, i, 8)))"
+            )
+        ).alias("caption_fp"),
+    )
+    n_sources = F.countDistinct("source")
+    return (
+        hashed.join(captions, "doc_id")
+        .groupBy("ahash", "caption_fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            n_sources.alias("n_sources"),
+            F.min("doc_id").alias("canonical_doc_id"),
+            (n_sources > F.lit(1)).alias("cross_source"),
+        )
+        .filter(F.col("n_pairs") > 1)
+    )

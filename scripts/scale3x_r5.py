@@ -84,6 +84,8 @@ OP_TABLE = {
     "similarity_semantic_decontaminate": "embeddings",
     # round-8 addition (composed image-curation manifest)
     "multimodal_clean_manifest": "documents",
+    # round-9 addition (cross-modal caption-image pair dedup)
+    "multimodal_paired_dedup": "documents",
 }
 
 

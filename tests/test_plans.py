@@ -993,3 +993,16 @@ def test_clean_manifest_one_python_kernel_window_keep(spark):
     assert plan.count("MapInPandas") == 1
     assert "Window" in plan
     assert pi.broadcast_hint_count(df) == 0
+
+
+def test_paired_dedup_one_python_kernel_digest_shuffle(spark):
+    """multimodal_paired_dedup composes the aHash kernel with the
+    caption fingerprint: exactly ONE Arrow-batched Python kernel (the
+    image decode runs once; the caption side is pure JVM expressions),
+    no window/self-join on the kernel output, and nothing hint-forced
+    to broadcast (AQE picks the join strategy at runtime)."""
+    df = build(spark, "multimodal_paired_dedup")
+    plan = pi.physical_plan(df)
+    assert plan.count("MapInPandas") == 1
+    assert "BatchEvalPython" not in plan
+    assert pi.broadcast_hint_count(df) == 0

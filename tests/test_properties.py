@@ -2077,3 +2077,73 @@ def test_clean_manifest_attributes_perceptual_dups_per_source(spark, tmp_path):
     assert_matches_oracle(
         spec.builder(spark, d), con, spec.oracle, "multimodal_clean_manifest"
     )
+
+
+def test_paired_dedup_pair_key_semantics(spark, tmp_path):
+    """multimodal_paired_dedup's distinguishing claims on a crafted
+    corpus: (1) the SAME caption+image pair scraped into two sources
+    collapses into one cross_source group with the min doc as canonical;
+    (2) a within-source repost groups with cross_source = false; (3) a
+    RE-CAPTIONED image (same 48-byte pixel prefix, different caption
+    fingerprint) is NOT a pair duplicate — the pair key needs both sides;
+    (4) a unique pair never appears. Oracle-checked on the same corpus."""
+    import hashlib
+
+    import duckdb
+
+    from iceberg_explorer_spark.operators import QUERIES
+    from tests.conftest import assert_matches_oracle
+
+    def winnow_fp(text: str) -> str:
+        return min(
+            hashlib.md5(text[i : i + 8].encode()).hexdigest()
+            for i in range(len(text) - 7)
+        )
+
+    pair_a = "A" * 48 + " the shared caption of the scraped pair"
+    repost = "B" * 48 + " reposted inside one source twice over"
+    image_c = "C" * 48
+    cap1, cap2 = " first caption here", None
+    # search a second caption whose winnowing fingerprint provably
+    # differs from the first (md5 is opaque; pick deterministically)
+    for i in range(100):
+        cand = f" alt caption number {i}"
+        if winnow_fp(image_c + cand) != winnow_fp(image_c + cap1):
+            cap2 = cand
+            break
+    assert cap2 is not None
+    rows = [
+        (1, pair_a, "en", "web", len(pair_a)),
+        (2, pair_a, "en", "books", len(pair_a)),  # cross-source pair dup
+        (3, repost, "en", "web", len(repost)),
+        (4, repost, "en", "web", len(repost)),    # same-source pair dup
+        (5, image_c + cap1, "en", "web", 67),     # same image...
+        (6, image_c + cap2, "en", "books", 67),   # ...re-captioned: no dup
+        (7, "unique document body with its own image bytes here", "en",
+         "web", 49),
+    ]
+    d = str(tmp_path / "paired")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    spec = QUERIES["multimodal_paired_dedup"]
+    got = spec.builder(spark, d).collect()
+    by_canon = {r["canonical_doc_id"]: r for r in got}
+    assert set(by_canon) == {1, 3}, got  # docs 5/6/7 never form a group
+    assert by_canon[1]["n_pairs"] == 2
+    assert by_canon[1]["n_sources"] == 2
+    assert by_canon[1]["cross_source"] is True
+    assert by_canon[3]["n_pairs"] == 2
+    assert by_canon[3]["n_sources"] == 1
+    assert by_canon[3]["cross_source"] is False
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    assert_matches_oracle(
+        spec.builder(spark, d), con, spec.oracle, "multimodal_paired_dedup"
+    )
