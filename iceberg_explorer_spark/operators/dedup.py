@@ -57,17 +57,21 @@ CC_CHECKPOINT_EVERY = 5
 CC_MAX_ROUNDS = 50
 
 #: Rounds of PLAIN min-label propagation before pointer-doubling label
-#: compression activates. Real dedup graphs are shallow (measured
-#: diameters ≈ 5 — SCALE.md r8), and for them the doubling join is pure
-#: overhead (the r8 audit measured and rejected always-on pointer
-#: jumping on exactly that ground). Deep components are where O(diameter)
-#: rounds blow up — the r9 deep-chain stress measured a diameter-32 chain
-#: at 19 s and extrapolated minutes at 128 — so past this threshold each
-#: propagation round is followed by one lbl := lbl[lbl] compression join,
-#: which doubles the compressed path length per round and converges the
-#: whole loop in CC_DOUBLE_AFTER + O(log diameter) rounds. Shallow graphs
-#: never pay; deep graphs never stall.
-CC_DOUBLE_AFTER = 4
+#: compression activates. Real dedup graphs are shallow, and for them the
+#: doubling join is pure overhead (the r8 audit measured and rejected
+#: always-on pointer jumping on exactly that ground). Deep components are
+#: where O(diameter) rounds blow up — the r9 deep-chain stress measured a
+#: diameter-32 chain at 19 s and extrapolated minutes at 128 — so past
+#: this threshold each propagation round is followed by one
+#: lbl := lbl[lbl] compression join, which doubles the compressed path
+#: length per round and converges the whole loop in
+#: CC_DOUBLE_AFTER + O(log diameter) rounds. The threshold is set one
+#: past the DEEPEST measured real workload (sf0.1 LSH graph: 3 rounds;
+#: sf0.1 semantic graph: 7 rounds — a threshold of 4 made the semantic
+#: build pay compress joins in rounds 5-7 for zero round savings,
+#: measured 2.9 → 4.2 s), so production-shaped graphs never pay and the
+#: pathological deep corpus still converges logarithmically.
+CC_DOUBLE_AFTER = 8
 
 
 def _words(col: str = "text"):

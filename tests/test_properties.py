@@ -258,8 +258,9 @@ def test_connected_components_log_diameter_convergence(spark):
     )
     got = {r["node"]: r["component"] for r in out.collect()}
     assert got == {i: 0 for i in range(d + 1)}
-    # log-diameter bound with slack: 4 plain + 2*ceil(log2(128))=14 + span
-    # overshoot — far below the 129 plain propagation would need
+    # log-diameter bound with slack: CC_DOUBLE_AFTER plain rounds +
+    # ~2*log2(128) compressed + span overshoot (measured: 15 rounds) —
+    # far below the 129 plain propagation would need
     assert out.cc_rounds <= CC_DOUBLE_AFTER + 20, out.cc_rounds
     out.cc_persisted_labels.unpersist()
 
