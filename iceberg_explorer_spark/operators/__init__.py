@@ -150,17 +150,25 @@ against exact answers).
   text_length_histogram, text_tfidf_source_terms,
   unpivot_customer_metrics, window_distribution_functions). The
   remaining 13 slots, RECENTLY-CHANGED first per the r7 precedent:
-  round 9 modifies the shared-candidate fingerprint fast path and
-  audits the probe build, so dedup_containment_probe (r8-green but its
-  build is being touched — post-change row), dedup_minhash_lsh (cache
-  consumer + standing family rep), dedup_ngram_jaccard and
-  dedup_clusters (r7-cohort cache/CC consumers; dedup_clusters also
-  carries the deep-diameter CC stress) rotate in, then the other three
-  standing family reps (pricing_summary, join_revenue_by_nation,
-  events_tumbling_window) and six r7-cohort second rows spanning the
-  remaining families (dedup_exact, similarity_bruteforce_topk,
-  text_token_count, multimodal_frame_sample, events_json_extract,
-  pipeline_token_shards) — 1 + 6 + 3 + 27 + 4 + 9 = 50 exactly. If r9
+  round 9 modifies the shared-candidate fingerprint fast path, audits
+  the probe build, and moves every shingle consumer onto the shared
+  tokenize-once checkpoint, so EVERY operator whose build path changed
+  gets a post-change row: dedup_containment_probe (r8-green but its
+  build is being touched), dedup_minhash_lsh (cache consumer +
+  standing family rep), dedup_ngram_jaccard and dedup_clusters
+  (r7-cohort cache/CC consumers; dedup_clusters also carries the
+  deep-diameter CC stress), dedup_containment,
+  dedup_jaccard_threshold_sweep, and text_decontaminate (their builds
+  switched from per-call hashed_shingles persists to
+  shared_hashed_shingles this round — same one-line change that
+  justified dedup_containment_probe). Then the other three standing
+  family reps (pricing_summary, join_revenue_by_nation,
+  events_tumbling_window) and three r7-cohort second rows spanning
+  remaining families (multimodal_frame_sample, events_json_extract,
+  pipeline_token_shards) — dedup_exact, similarity_bruteforce_topk,
+  and text_token_count were displaced by the post-change trio (their
+  families stay covered in-window; all three keep multi-green history
+  + differential coverage). 1 + 6 + 3 + 27 + 7 + 3 + 3 = 50 exactly. If r9
   comes back green, no oracle-bearing query's latest driver evidence
   predates r7 except the 18 r7-first-timer/representative queries
   whose latest row is r7 (36 of the 45 r7-cohort queries remain; they
@@ -232,19 +240,21 @@ _CHECK_WINDOW = [
     # --- recently-changed-by-r9: fingerprint fast path touches the
     # shared candidate cache every one of these reads through; the
     # probe build is being audited; dedup_clusters carries the
-    # deep-diameter CC stress ---
+    # deep-diameter CC stress; containment / threshold-sweep /
+    # decontaminate switched onto the shared tokenize-once shingle
+    # checkpoint this round ---
     "dedup_containment_probe",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_clusters",
+    "dedup_containment",
+    "dedup_jaccard_threshold_sweep",
+    "text_decontaminate",
     # --- the other three standing family representatives ---
     "pricing_summary",
     "join_revenue_by_nation",
     "events_tumbling_window",
-    # --- six r7-cohort second rows spanning the remaining families ---
-    "dedup_exact",
-    "similarity_bruteforce_topk",
-    "text_token_count",
+    # --- three r7-cohort second rows spanning remaining families ---
     "multimodal_frame_sample",
     "events_json_extract",
     "pipeline_token_shards",

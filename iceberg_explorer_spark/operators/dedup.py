@@ -25,6 +25,7 @@ from __future__ import annotations
 import hashlib
 import os
 import threading
+import time
 from collections import OrderedDict
 
 from pyspark.sql import DataFrame, SparkSession
@@ -396,20 +397,34 @@ _SHARED_CANDIDATES_GEN = 0
 #: tail is a strong content signal at a fixed tiny read cost.
 _FINGERPRINT_TAIL_BYTES = 64
 
-#: Stat-gated fingerprint memo: (sf_dir, table) -> (stat listing, digest).
-#: The listing holds (rel, size, mtime_ns, ctime_ns) per file; if every
-#: field matches the previous computation the memoized digest is reused
-#: WITHOUT reopening any file, turning the warm-lookup cost from
-#: O(#files) stat+open+seek+read into O(#files) stat only — the same
-#: syscalls Spark's own file listing already pays. ctime is the safety
-#: latch: userspace cannot set it (``utime``/``touch -r`` restore mtime
-#: but the kernel bumps ctime on every write AND every metadata change),
-#: so a metadata-preserving rewrite can never satisfy the gate and always
-#: falls through to the full footer-tail read that catches it. Bounded
-#: LRU; entries are tiny (one tuple per file, no tail bytes retained).
-_FINGERPRINT_MEMO: "OrderedDict[tuple[str, str], tuple[tuple, str]]" = OrderedDict()
+#: Stat-gated fingerprint memo: (sf_dir, table) ->
+#: (listing_digest, fingerprint_digest, racy). The listing digest hashes
+#: the sorted (rel, size, mtime_ns, ctime_ns) tuples; if it matches the
+#: previous computation the memoized fingerprint is reused WITHOUT
+#: reopening any file, turning the warm-lookup cost from O(#files)
+#: stat+open+seek+read into O(#files) stat only — the same syscalls
+#: Spark's own file listing already pays. Hashing the listing (rather
+#: than retaining it) keeps each entry O(1) bytes regardless of file
+#: count — a million-file corpus memoizes as two 32-char digests, not a
+#: ~200 MB tuple list. ctime is the safety latch: userspace cannot set
+#: it (``utime``/``touch -r`` restore mtime but the kernel bumps ctime
+#: on every write AND every metadata change), so a metadata-preserving
+#: rewrite can never satisfy the gate — EXCEPT within one timestamp tick
+#: on filesystems with coarse granularity, which the ``racy`` flag
+#: covers (git's "racily clean" rule): an entry whose newest file stamp
+#: is within _FINGERPRINT_RACY_WINDOW_NS of the memo's own computation
+#: time never serves the fast path, because a rewrite landing in the
+#: same coarse tick as the recorded stamp would produce an identical
+#: listing. Racy entries fall through to the full tail read (correct by
+#: construction) and re-memoize; once the stamps age past the window the
+#: entry self-upgrades to trusted. Bounded LRU.
+_FINGERPRINT_MEMO: "OrderedDict[tuple[str, str], tuple[str, str, bool]]" = OrderedDict()
 _FINGERPRINT_MEMO_MAX = 64
 _FINGERPRINT_MEMO_LOCK = threading.Lock()
+#: Stamps newer than this (relative to the memo computation) mark the
+#: entry racy. 2 s covers second-granularity filesystems (NFSv3, FAT,
+#: object-store FUSE gateways) with one tick of slack for clock skew.
+_FINGERPRINT_RACY_WINDOW_NS = 2_000_000_000
 
 
 def _corpus_fingerprint(sf_dir: str, table: str = "documents") -> str:
@@ -429,7 +444,11 @@ def _corpus_fingerprint(sf_dir: str, table: str = "documents") -> str:
 
     Cost: O(#files) stat calls per lookup; the 64-byte tail reads are paid
     only when the (size, mtime_ns, ctime_ns) listing differs from the
-    memoized computation (see ``_FINGERPRINT_MEMO``) — warm cache hits at
+    memoized computation, or when the memo entry is RACY — its newest
+    file stamp fell within ``_FINGERPRINT_RACY_WINDOW_NS`` of the memo's
+    own computation, the one window where a coarse-timestamp filesystem
+    (second-granularity NFS/FAT/FUSE) could absorb a rewrite into an
+    identical listing (see ``_FINGERPRINT_MEMO``). Warm cache hits at
     million-file corpus scale stat but never reopen. The digest itself is
     computed from (rel, size, mtime_ns, tail) exactly as before — ctime
     guards the memo, it does not enter the fingerprint, so ctime-only
@@ -451,21 +470,26 @@ def _corpus_fingerprint(sf_dir: str, table: str = "documents") -> str:
     # digest.
     stats: list[tuple[str, str, object]] = []
     listing_parts = []
+    max_stamp_ns = 0
     stable = True
     for rel, p in paths:
         try:
             st = os.stat(p)
             stats.append((rel, p, st))
             listing_parts.append((rel, st.st_size, st.st_mtime_ns, st.st_ctime_ns))
+            if st.st_mtime_ns > max_stamp_ns:
+                max_stamp_ns = st.st_mtime_ns
+            if st.st_ctime_ns > max_stamp_ns:
+                max_stamp_ns = st.st_ctime_ns
         except OSError:
             stats.append((rel, p, None))
             stable = False
-    listing = tuple(sorted(listing_parts))
+    listing_digest = hashlib.md5(repr(tuple(sorted(listing_parts))).encode()).hexdigest()
     memo_key = (sf_dir, table)
     if stable:
         with _FINGERPRINT_MEMO_LOCK:
             memo = _FINGERPRINT_MEMO.get(memo_key)
-            if memo is not None and memo[0] == listing:
+            if memo is not None and memo[0] == listing_digest and not memo[2]:
                 _FINGERPRINT_MEMO.move_to_end(memo_key)
                 return memo[1]
     entries = []
@@ -490,8 +514,9 @@ def _corpus_fingerprint(sf_dir: str, table: str = "documents") -> str:
     entries.sort()
     digest = hashlib.md5(repr(entries).encode()).hexdigest()
     if stable:
+        racy = (time.time_ns() - max_stamp_ns) < _FINGERPRINT_RACY_WINDOW_NS
         with _FINGERPRINT_MEMO_LOCK:
-            _FINGERPRINT_MEMO[memo_key] = (listing, digest)
+            _FINGERPRINT_MEMO[memo_key] = (listing_digest, digest, racy)
             _FINGERPRINT_MEMO.move_to_end(memo_key)
             while len(_FINGERPRINT_MEMO) > _FINGERPRINT_MEMO_MAX:
                 _FINGERPRINT_MEMO.popitem(last=False)
@@ -548,8 +573,11 @@ def _shared_candidates(
     releases its waiters, and the first to re-check retakes the build.
     ``cleanup``, if given, runs after the miss-path materialization
     completes (success or failure) — the hook for builders that persist
-    an intermediate frame for the build's duration (the probe builder's
-    shingle scan, the semantic builder's CC label table) and must
+    an intermediate frame for the build's duration (currently the
+    semantic builder's CC label table; the probe builder used it for a
+    private shingle persist until round 9 replaced that with the
+    session-shared ``shared_hashed_shingles`` checkpoint — do NOT
+    re-introduce a build-scoped shingle persist on that path) and must
     release it once the checkpoint holds the result.
     """
     key = (

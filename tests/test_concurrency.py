@@ -595,7 +595,7 @@ def test_concurrent_csv_exports_are_isolated():
         assert [int(r[0]) for r in rows[1:]] == list(range(n))
 
 
-def test_fingerprint_warm_lookup_is_stat_only(tmp_path):
+def test_fingerprint_warm_lookup_is_stat_only(tmp_path, monkeypatch):
     """The stat-gated memo (dedup._FINGERPRINT_MEMO): a repeat lookup over
     an unchanged corpus must reuse the memoized digest WITHOUT reopening
     any file — at a million-file corpus the warm path pays stat calls
@@ -603,12 +603,16 @@ def test_fingerprint_warm_lookup_is_stat_only(tmp_path):
     content rewrite still falls through to the full footer-tail read:
     userspace cannot restore ctime, so the gate can't be satisfied by
     mtime forgery (test_fingerprint_detects_metadata_preserving_rewrite
-    pins that exact case end-to-end against this same memo)."""
+    pins that exact case end-to-end against this same memo). The racy
+    window is patched to 0 here because tmp_path files are necessarily
+    fresh; test_fingerprint_racy_entries_never_serve_fast_path pins the
+    window's own behavior."""
     import builtins
     from unittest import mock
 
     from iceberg_explorer_spark.operators import dedup
 
+    monkeypatch.setattr(dedup, "_FINGERPRINT_RACY_WINDOW_NS", 0)
     d = tmp_path / "memo"
     root = d / "documents.parquet"
     root.mkdir(parents=True)
@@ -642,6 +646,83 @@ def test_fingerprint_warm_lookup_is_stat_only(tmp_path):
     with mock.patch.object(builtins, "open", counting_open):
         assert dedup._corpus_fingerprint(str(d)) == fp_new
     assert opened == []
+
+
+def test_fingerprint_racy_entries_never_serve_fast_path(tmp_path, monkeypatch):
+    """Git's "racily clean" rule: a memo entry whose newest file stamp is
+    within _FINGERPRINT_RACY_WINDOW_NS of the memo computation never
+    serves the stat-only fast path — on coarse-timestamp filesystems
+    (second-granularity NFS/FAT/FUSE gateways) a rewrite landing in the
+    same tick as the recorded stamp yields an IDENTICAL
+    (size, mtime, ctime) listing, and only the fall-through tail read
+    catches it. Coarse stamps are simulated by pinning mtime/ctime; the
+    racy clock is driven with a fake time_ns so the self-upgrade to
+    trusted is pinned too."""
+    import builtins
+    import os as _os
+    import types
+    from unittest import mock
+
+    from iceberg_explorer_spark.operators import dedup
+
+    d = tmp_path / "racy"
+    root = d / "documents.parquet"
+    root.mkdir(parents=True)
+    f = root / "part-00000.parquet"
+    f.write_bytes(b"x" * 100)
+
+    # one coarse filesystem tick: every stat under root reports the same
+    # stamps however often the file is rewritten
+    TICK_NS = 1_000_000_000_000
+    real_stat = _os.stat
+
+    import stat as _statmod
+
+    def coarse_stat(path, *a, **kw):
+        st = real_stat(path, *a, **kw)
+        if _statmod.S_ISREG(st.st_mode) and str(path).startswith(str(root)):
+            return types.SimpleNamespace(
+                st_mode=st.st_mode,
+                st_size=st.st_size,
+                st_mtime_ns=TICK_NS,
+                st_ctime_ns=TICK_NS,
+            )
+        return st
+
+    # fake clock: starts just after the tick (inside the racy window)
+    clock = {"now": TICK_NS + 100}
+    monkeypatch.setattr(
+        dedup, "time", types.SimpleNamespace(time_ns=lambda: clock["now"])
+    )
+
+    real_open = builtins.open
+    opened: list[str] = []
+
+    def counting_open(file, *a, **kw):
+        opened.append(str(file))
+        return real_open(file, *a, **kw)
+
+    with mock.patch.object(dedup.os, "stat", coarse_stat):
+        fp1 = dedup._corpus_fingerprint(str(d))
+        assert dedup._FINGERPRINT_MEMO[(str(d), "documents")][2] is True
+
+        # same-tick rewrite: size, mtime, ctime all identical — ONLY the
+        # tail read can see it, and the racy gate forces that read
+        f.write_bytes(b"y" * 100)
+        with mock.patch.object(builtins, "open", counting_open):
+            fp2 = dedup._corpus_fingerprint(str(d))
+        assert opened  # fell through to the tail read
+        assert fp2 != fp1  # the rewrite was caught
+
+        # clock advances past the window: the next fall-through
+        # re-memoizes as trusted, and the lookup after THAT is stat-only
+        clock["now"] = TICK_NS + dedup._FINGERPRINT_RACY_WINDOW_NS + 1
+        dedup._corpus_fingerprint(str(d))
+        assert dedup._FINGERPRINT_MEMO[(str(d), "documents")][2] is False
+        opened.clear()
+        with mock.patch.object(builtins, "open", counting_open):
+            assert dedup._corpus_fingerprint(str(d)) == fp2
+        assert opened == []  # trusted entry serves stat-only
 
 
 def test_fingerprint_memo_is_bounded(tmp_path):
