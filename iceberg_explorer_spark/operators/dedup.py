@@ -421,10 +421,18 @@ _FINGERPRINT_TAIL_BYTES = 64
 _FINGERPRINT_MEMO: "OrderedDict[tuple[str, str], tuple[str, str, bool]]" = OrderedDict()
 _FINGERPRINT_MEMO_MAX = 64
 _FINGERPRINT_MEMO_LOCK = threading.Lock()
-#: Stamps newer than this (relative to the memo computation) mark the
-#: entry racy. 2 s covers second-granularity filesystems (NFSv3, FAT,
-#: object-store FUSE gateways) with one tick of slack for clock skew.
-_FINGERPRINT_RACY_WINDOW_NS = 2_000_000_000
+#: Stamps newer than this (relative to the moment the stat scan STARTED,
+#: not when it finished — anchoring at scan start keeps the full window
+#: even when the tail-read pass over a large corpus takes seconds, the
+#: same reason git anchors racily-clean at index-READ time) mark the
+#: entry racy. 4 s = two FAT ticks: FAT's mtime granularity is itself
+#: 2 s, so a 2 s window would give zero slack on the coarsest filesystem
+#: it claims to cover; 4 s leaves one full tick of slack on FAT and
+#: three on second-granularity NFSv3/FUSE gateways. Stamps in the
+#: FUTURE of the local clock (skewed NFS server) yield a negative delta
+#: and stay racy — the safe direction: the fast path is merely disabled,
+#: and the entry self-upgrades once the local clock passes stamp+window.
+_FINGERPRINT_RACY_WINDOW_NS = 4_000_000_000
 
 
 def _corpus_fingerprint(sf_dir: str, table: str = "documents") -> str:
@@ -467,7 +475,11 @@ def _corpus_fingerprint(sf_dir: str, table: str = "documents") -> str:
     # Stat-only gate pass. Any stat failure marks the listing unstable
     # (a rewrite is in progress) — unstable listings never match or
     # populate the memo, so mid-rewrite states can't serve or pin a
-    # digest.
+    # digest. The racy clock is anchored HERE, before the scan: a
+    # same-tick rewrite landing anywhere during the scan (including the
+    # tail-read pass below, which can take seconds on a large corpus)
+    # then makes its stamp >= scan_start, keeping the entry racy.
+    scan_start_ns = time.time_ns()
     stats: list[tuple[str, str, object]] = []
     listing_parts = []
     max_stamp_ns = 0
@@ -484,9 +496,18 @@ def _corpus_fingerprint(sf_dir: str, table: str = "documents") -> str:
         except OSError:
             stats.append((rel, p, None))
             stable = False
-    listing_digest = hashlib.md5(repr(tuple(sorted(listing_parts))).encode()).hexdigest()
     memo_key = (sf_dir, table)
+    listing_digest = None
     if stable:
+        # Stream the listing into the hash entry-by-entry: a single
+        # repr() of the whole sorted tuple would materialize a transient
+        # string proportional to file count on EVERY lookup — the very
+        # hot path the memo exists to keep cheap. Unstable listings
+        # never match or populate the memo, so skip the digest entirely.
+        h = hashlib.md5()
+        for part in sorted(listing_parts):
+            h.update(repr(part).encode())
+        listing_digest = h.hexdigest()
         with _FINGERPRINT_MEMO_LOCK:
             memo = _FINGERPRINT_MEMO.get(memo_key)
             if memo is not None and memo[0] == listing_digest and not memo[2]:
@@ -514,7 +535,9 @@ def _corpus_fingerprint(sf_dir: str, table: str = "documents") -> str:
     entries.sort()
     digest = hashlib.md5(repr(entries).encode()).hexdigest()
     if stable:
-        racy = (time.time_ns() - max_stamp_ns) < _FINGERPRINT_RACY_WINDOW_NS
+        # Negative delta (stamp in the future of the local clock) stays
+        # racy — see _FINGERPRINT_RACY_WINDOW_NS.
+        racy = (scan_start_ns - max_stamp_ns) < _FINGERPRINT_RACY_WINDOW_NS
         with _FINGERPRINT_MEMO_LOCK:
             _FINGERPRINT_MEMO[memo_key] = (listing_digest, digest, racy)
             _FINGERPRINT_MEMO.move_to_end(memo_key)

@@ -12,6 +12,7 @@ stream against ONE session keep per-query state isolated.
 from __future__ import annotations
 
 import json
+import os
 import threading
 
 import pyarrow as pa
@@ -723,6 +724,40 @@ def test_fingerprint_racy_entries_never_serve_fast_path(tmp_path, monkeypatch):
         with mock.patch.object(builtins, "open", counting_open):
             assert dedup._corpus_fingerprint(str(d)) == fp2
         assert opened == []  # trusted entry serves stat-only
+
+
+def test_fingerprint_racy_window_anchored_at_scan_start(tmp_path, monkeypatch):
+    """The racy window is measured from the moment the stat scan STARTED,
+    not from when the computation finished: a slow tail-read pass over a
+    large corpus must not eat the window. Simulated by a fake clock that
+    jumps past the window between the first time_ns() call (scan start)
+    and any later call — an end-anchored implementation would memoize
+    trusted; the start anchor keeps the entry racy."""
+    import types
+
+    from iceberg_explorer_spark.operators import dedup
+
+    d = tmp_path / "slow-scan"
+    root = d / "documents.parquet"
+    root.mkdir(parents=True)
+    f = root / "part-00000.parquet"
+    f.write_bytes(b"x" * 100)
+    stamp = os.stat(f).st_mtime_ns
+
+    # First call returns a now just after the file's stamp (inside the
+    # window); every later call pretends the scan took longer than the
+    # whole window.
+    calls = {"n": 0}
+
+    def fake_time_ns():
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return stamp + 100
+        return stamp + dedup._FINGERPRINT_RACY_WINDOW_NS + 1_000_000_000
+
+    monkeypatch.setattr(dedup, "time", types.SimpleNamespace(time_ns=fake_time_ns))
+    dedup._corpus_fingerprint(str(d))
+    assert dedup._FINGERPRINT_MEMO[(str(d), "documents")][2] is True
 
 
 def test_fingerprint_memo_is_bounded(tmp_path):
