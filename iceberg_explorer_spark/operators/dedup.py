@@ -2200,3 +2200,198 @@ def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_removable"),
     )
+
+
+# ---------------------------------------------------------------------------
+#: Band layouts for the LSH tuning report: every (bands, rows_per_band)
+#: factorization that partitions a prefix of the SAME N_HASHES=12-value
+#: signature in seed order. One signature pass serves all five layouts —
+#: re-hashing the corpus per config is the naive tuning loop this
+#: operator exists to replace.
+_TUNING_CONFIGS = [(12, 1), (6, 2), (4, 3), (3, 4), (2, 6)]
+
+
+def _tuning_bands_sql() -> str:
+    """Band keys for every tuning layout (UNION ALL unpivot over ``sig``),
+    mirroring the Spark explode band-for-band: layout (b, r)'s band i
+    hashes signature values h[i*r] .. h[i*r + r - 1]."""
+    selects = []
+    for b_cfg, r_cfg in _TUNING_CONFIGS:
+        for band in range(b_cfg):
+            # explicit ::VARCHAR: DuckDB's md5 takes only VARCHAR, and the
+            # r=1 layouts have no concatenation to coerce the BIGINT
+            cols = " || '|' || ".join(
+                f"h{band * r_cfg + r}::VARCHAR" for r in range(r_cfg)
+            )
+            selects.append(
+                f"SELECT doc_id, {b_cfg} AS bands, {r_cfg} AS rows_per_band,"
+                f" {band} AS band, md5({cols}) AS bkey FROM sig"
+            )
+    return " UNION ALL ".join(selects)
+
+
+def _tuning_s_star_sql() -> str:
+    """The S-curve threshold s* = (1/b)^(1/r) per layout, as ONE shared
+    CASE text: the double literals are formatted once in Python and parsed
+    identically by both engines (IEEE round-trip), so the column is
+    bit-identical by construction."""
+    whens = " ".join(
+        f"WHEN bands = {b} AND rows_per_band = {r} "
+        f"THEN CAST({(1.0 / b) ** (1.0 / r)!r} AS DOUBLE)"
+        for b, r in _TUNING_CONFIGS
+    )
+    return f"CASE {whens} END"
+
+
+@query(
+    "dedup_lsh_band_tuning",
+    oracle=f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    shh AS ({_SHH_SQL}),
+    hashed AS (SELECT doc_id, hb % {MINHASH_P} AS hb FROM shh),
+    sig AS (SELECT doc_id, {_minhash_agg_sql()} FROM hashed GROUP BY doc_id),
+    bands_all AS ({_tuning_bands_sql()}),
+    ok AS (
+      SELECT bands, rows_per_band, band, bkey FROM bands_all
+      GROUP BY bands, rows_per_band, band, bkey
+      HAVING COUNT(*) BETWEEN 2 AND {LSH_MAX_BUCKET}
+    ),
+    capped AS (
+      SELECT b.* FROM bands_all b
+      JOIN ok k ON b.bands = k.bands AND b.rows_per_band = k.rows_per_band
+               AND b.band = k.band AND b.bkey = k.bkey
+    ),
+    pairs AS (
+      SELECT DISTINCT a.bands, a.rows_per_band,
+             a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM capped a
+      JOIN capped b
+        ON a.bands = b.bands AND a.rows_per_band = b.rows_per_band
+       AND a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ),
+    upairs AS (SELECT DISTINCT doc_a, doc_b FROM pairs),
+    cappedsh AS (
+      SELECT doc_id, hb FROM (
+        SELECT doc_id, hb,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hb) AS rn
+        FROM shh
+      ) WHERE rn <= {JACCARD_MAX_DOC_SHINGLES}
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM cappedsh GROUP BY doc_id),
+    inter AS (
+      SELECT u.doc_a, u.doc_b, COUNT(*) AS n_common
+      FROM upairs u
+      JOIN cappedsh a ON a.doc_id = u.doc_a
+      JOIN cappedsh b ON b.doc_id = u.doc_b AND b.hb = a.hb
+      GROUP BY u.doc_a, u.doc_b
+    ),
+    dups AS (
+      SELECT i.doc_a, i.doc_b
+      FROM inter i
+      JOIN sz sa ON sa.doc_id = i.doc_a
+      JOIN sz sb ON sb.doc_id = i.doc_b
+      WHERE i.n_common * 1.0 / (sa.n + sb.n - i.n_common) >= 0.8
+    ),
+    agg AS (
+      SELECT p.bands, p.rows_per_band,
+             COUNT(*) AS n_candidates,
+             CAST(COALESCE(SUM(CASE WHEN d.doc_a IS NOT NULL THEN 1 ELSE 0
+                                    END), 0) AS BIGINT) AS n_true_dups
+      FROM pairs p
+      LEFT JOIN dups d ON d.doc_a = p.doc_a AND d.doc_b = p.doc_b
+      GROUP BY p.bands, p.rows_per_band
+    )
+    SELECT bands, rows_per_band, {_tuning_s_star_sql()} AS s_star,
+           n_candidates, n_true_dups,
+           n_true_dups * 1.0 / n_candidates AS dup_precision
+    FROM agg
+    """,
+    doc="LSH band-layout tuning report: candidate volume and verified "
+    "precision for five (bands, rows-per-band) layouts of the SAME 12-min "
+    "signature — the parameter sweep every production dedup pipeline runs "
+    "before committing a (b, r) choice, as one query instead of five "
+    "pipeline reruns. The corpus is tokenized+hashed once (session-shared "
+    "shingle checkpoint), the signature is computed once (one grouped "
+    "pass, map-side partial mins), and ONE explode emits all 27 band rows "
+    "per doc; per-layout buckets stay under the LSH_MAX_BUCKET quadratic "
+    "guard. Because a pair matching a band of r rows shares each row-hash "
+    "individually, the (12,1) layout's candidates form a superset of "
+    "every other layout's (modulo per-layout bucket capping) — so exact "
+    "Jaccard is verified ONCE over the distinct union of all layouts' "
+    "pairs (candidate-only joins, bottom-k cap) and each layout's "
+    "precision is a join against that single verdict set, not a verify "
+    "per config. s* = (1/b)^(1/r) is the layout's S-curve threshold — "
+    "the knob the report exists to calibrate against measured precision. "
+    "reference: no analogue — training-pipeline extension.",
+)
+def dedup_lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = shared_hashed_shingles(spark, sf_dir)
+    hashed = sh.select("doc_id", (F.col("hb") % MINHASH_P).alias("hb"))
+    sig = hashed.groupBy("doc_id").agg(*_minhash_min_aggs(N_HASHES))
+    layouts = []
+    for b_cfg, r_cfg in _TUNING_CONFIGS:
+        for band in range(b_cfg):
+            cols = [F.col(f"h{band * r_cfg + r}") for r in range(r_cfg)]
+            layouts.append(
+                F.struct(
+                    F.lit(b_cfg).alias("bands"),
+                    F.lit(r_cfg).alias("rows_per_band"),
+                    F.lit(band).alias("band"),
+                    F.md5(F.concat_ws("|", *cols)).alias("bkey"),
+                )
+            )
+    bands = sig.select(
+        "doc_id", F.explode(F.array(*layouts)).alias("bb")
+    ).select("doc_id", "bb.bands", "bb.rows_per_band", "bb.band", "bb.bkey")
+    buckets = (
+        bands.groupBy("bands", "rows_per_band", "band", "bkey")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= LSH_MAX_BUCKET))
+    )
+    pairs = (
+        buckets.select(
+            "bands",
+            "rows_per_band",
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids)), y -> "
+                    "struct(x AS doc_a, y AS doc_b))))"
+                )
+            ).alias("p"),
+        )
+        .select("bands", "rows_per_band", "p.doc_a", "p.doc_b")
+        .distinct()
+        # Referenced from FIVE plan branches (the verify's three via the
+        # distinct-union pairs, plus the per-layout aggregation's pair
+        # side and its dup join): checkpoint once, every branch reads the
+        # materialized candidate rows — the same multi-branch discipline
+        # as the overlap spectrum.
+        .localCheckpoint(eager=True)
+    )
+    upairs = pairs.select("doc_a", "doc_b").distinct()
+    dups = (
+        jaccard_verify(upairs, sh)
+        .select("doc_a", "doc_b")
+        .withColumn("is_dup", F.lit(1))
+    )
+    agg = (
+        pairs.join(dups, ["doc_a", "doc_b"], "left")
+        .groupBy("bands", "rows_per_band")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.coalesce(F.sum("is_dup"), F.lit(0))
+            .cast("bigint")
+            .alias("n_true_dups"),
+        )
+    )
+    return agg.select(
+        "bands",
+        "rows_per_band",
+        F.expr(_tuning_s_star_sql()).alias("s_star"),
+        "n_candidates",
+        "n_true_dups",
+        (F.col("n_true_dups") * 1.0 / F.col("n_candidates")).alias(
+            "dup_precision"
+        ),
+    )

@@ -86,6 +86,8 @@ OP_TABLE = {
     "multimodal_clean_manifest": "documents",
     # round-9 addition (cross-modal caption-image pair dedup)
     "multimodal_paired_dedup": "documents",
+    # round-9 addition (five-layout LSH tuning sweep from one signature)
+    "dedup_lsh_band_tuning": "documents",
 }
 
 

@@ -1006,3 +1006,23 @@ def test_paired_dedup_one_python_kernel_digest_shuffle(spark):
     assert plan.count("MapInPandas") == 1
     assert "BatchEvalPython" not in plan
     assert pi.broadcast_hint_count(df) == 0
+
+
+def test_lsh_band_tuning_one_signature_one_verify(spark):
+    """dedup_lsh_band_tuning sweeps five band layouts from ONE signature
+    pass and verifies the distinct union ONCE: the plan carries exactly
+    as many array_intersect sites as the single-generator Jaccard verify
+    (re-verifying per layout would multiply it), consumes the shingle
+    scan and the multi-branch pair frame as materialized checkpoints,
+    and hint-forces nothing to broadcast (candidate pairs grow with the
+    corpus; AQE converts from measured sizes)."""
+    df = build(spark, "dedup_lsh_band_tuning")
+    plan = pi.physical_plan(df)
+    assert pi.broadcast_hint_count(df) == 0
+    single = pi.physical_plan(build(spark, "dedup_ngram_jaccard"))
+    # <= not ==: the tuning report drops the jaccard value right after the
+    # dup filter, so it prints FEWER expression sites than the verify that
+    # also outputs the score; more sites than the single verify would mean
+    # a per-layout re-verify
+    assert 1 <= plan.count("array_intersect") <= single.count("array_intersect")
+    assert "Scan ExistingRDD" in plan

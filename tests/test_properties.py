@@ -2148,3 +2148,64 @@ def test_paired_dedup_pair_key_semantics(spark, tmp_path):
     assert_matches_oracle(
         spec.builder(spark, d), con, spec.oracle, "multimodal_paired_dedup"
     )
+
+
+def test_lsh_band_tuning_layout_semantics(spark, tmp_path):
+    """dedup_lsh_band_tuning's distinguishing claims on a crafted corpus:
+    (1) the (12,1) single-hash layout's candidates form the per-layout
+    MAXIMUM (a pair matching an r-row band shares each row hash
+    individually, so every layout's pairs are a subset of (12,1)'s);
+    (2) an identical-text pair shares ALL 12 signature values, so it is a
+    candidate AND a verified duplicate under EVERY layout — all five
+    report rows exist with n_true_dups >= 1; (3) s_star is the layout's
+    S-curve threshold (1/b)^(1/r), strictly increasing with
+    rows-per-band; (4) dup_precision is exactly n_true_dups /
+    n_candidates. Oracle-checked on the same corpus."""
+    import duckdb
+
+    from iceberg_explorer_spark.operators import QUERIES
+    from tests.conftest import assert_matches_oracle
+
+    dup = " ".join(f"alpha{i} beta{i % 5} gamma{i % 11}" for i in range(40))
+    base = " ".join(f"delta{i} epsilon{i % 7} zeta{i % 13}" for i in range(40))
+    near = base.replace("delta1", "CHANGED").replace("delta2", "ALTERED")
+    rows = [
+        (1, dup, "en", "web", len(dup)),
+        (2, dup, "en", "cc", len(dup)),
+        (3, base, "en", "web", len(base)),
+        (4, near, "en", "books", len(near)),
+        (5, "entirely different words about tides and migratory birds "
+            "across hemispheres", "en", "books", 70),
+    ]
+    d = str(tmp_path / "tuning")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    spec = QUERIES["dedup_lsh_band_tuning"]
+    got = {r["bands"]: r for r in spec.builder(spark, d).collect()}
+    # every layout reports: the identical pair collides in every band of
+    # every layout (all 12 mins equal), and its bucket has exactly 2 docs
+    assert set(got) == {12, 6, 4, 3, 2}, got
+    for r in got.values():
+        assert r["n_true_dups"] >= 1, r
+        assert r["n_candidates"] >= r["n_true_dups"], r
+        assert r["dup_precision"] == r["n_true_dups"] / r["n_candidates"], r
+    # (12,1) is the superset layout
+    assert all(
+        got[12]["n_candidates"] >= got[b]["n_candidates"] for b in (6, 4, 3, 2)
+    ), {b: r["n_candidates"] for b, r in got.items()}
+    # s* rises with rows-per-band (stricter bands need higher Jaccard)
+    by_r = sorted(got.values(), key=lambda r: r["rows_per_band"])
+    stars = [r["s_star"] for r in by_r]
+    assert stars == sorted(stars) and len(set(stars)) == 5, stars
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    assert_matches_oracle(
+        spec.builder(spark, d), con, spec.oracle, "dedup_lsh_band_tuning"
+    )
