@@ -102,6 +102,20 @@ def _shingle_array(words_col: str = "w"):
     ).otherwise(F.array().cast("array<string>"))
 
 
+def _bucket_pairs_expr(ids_col: str, a: str, b: str) -> str:
+    """All unordered pairs within one bucket's SORTED id array (sorted
+    input ⇒ emitted ``a`` < ``b``) — the ONE definition of the
+    pair-emission lambda. The LSH bucket expansion, the per-source
+    sketch agreement and the band-tuning sweep all emit pairs through
+    this exact expression; a fix to the emission discipline lands in
+    every candidate generator at once."""
+    return (
+        f"flatten(transform({ids_col}, (x, i) -> "
+        f"transform(slice({ids_col}, i + 2, size({ids_col})), y -> "
+        f"struct(x AS {a}, y AS {b}))))"
+    )
+
+
 def _minhash_min_aggs(n_hashes: int):
     """The universal-hash min-aggregate columns h0..h{n-1} over column
     ``hb`` — the one definition of the signature family, shared by the
@@ -338,11 +352,7 @@ def lsh_candidates(
     # all unordered pairs within a bucket (ids sorted → doc_a < doc_b)
     pairs = buckets.select(
         F.explode(
-            F.expr(
-                "flatten(transform(ids, (x, i) -> "
-                "transform(slice(ids, i + 2, size(ids)), y -> "
-                "struct(x AS doc_a, y AS doc_b))))"
-            )
+            F.expr(_bucket_pairs_expr("ids", "doc_a", "doc_b"))
         ).alias("p")
     ).select("p.doc_a", "p.doc_b")
     return pairs.groupBy("doc_a", "doc_b").agg(
@@ -2138,11 +2148,7 @@ def dedup_source_minhash_similarity(
     )
     pairs = buckets.select(
         F.explode(
-            F.expr(
-                "flatten(transform(ss, (x, i) -> "
-                "transform(slice(ss, i + 2, size(ss)), y -> "
-                "struct(x AS source_a, y AS source_b))))"
-            )
+            F.expr(_bucket_pairs_expr("ss", "source_a", "source_b"))
         ).alias("p")
     ).select("p.source_a", "p.source_b")
     return pairs.groupBy("source_a", "source_b").agg(
@@ -2203,12 +2209,23 @@ def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-#: Band layouts for the LSH tuning report: every (bands, rows_per_band)
-#: factorization that partitions a prefix of the SAME N_HASHES=12-value
-#: signature in seed order. One signature pass serves all five layouts —
-#: re-hashing the corpus per config is the naive tuning loop this
-#: operator exists to replace.
+#: Band layouts for the LSH tuning report: the five MULTI-BAND (b >= 2)
+#: factorizations of the SAME N_HASHES=12-value signature, each
+#: partitioning a prefix in seed order. (1, 12) — the sixth divisor
+#: layout — is deliberately excluded: s* = 1.0 means it only pairs docs
+#: whose entire signatures are equal, which is exact dedup's job, not a
+#: near-dup recall setting anyone tunes toward. One signature pass
+#: serves all five layouts — re-hashing the corpus per config is the
+#: naive tuning loop this operator exists to replace.
 _TUNING_CONFIGS = [(12, 1), (6, 2), (4, 3), (3, 4), (2, 6)]
+
+#: (bands, rows_per_band, s_star) — s* = (1/b)^(1/r), the layout's
+#: S-curve threshold. Formatted ONCE in Python and embedded as literals
+#: in both the Spark config frame and the oracle VALUES list, so the
+#: doubles are bit-identical by IEEE round-trip.
+_TUNING_ROWS = [
+    (b, r, (1.0 / b) ** (1.0 / r)) for b, r in _TUNING_CONFIGS
+]
 
 
 def _tuning_bands_sql() -> str:
@@ -2230,17 +2247,19 @@ def _tuning_bands_sql() -> str:
     return " UNION ALL ".join(selects)
 
 
-def _tuning_s_star_sql() -> str:
-    """The S-curve threshold s* = (1/b)^(1/r) per layout, as ONE shared
-    CASE text: the double literals are formatted once in Python and parsed
-    identically by both engines (IEEE round-trip), so the column is
-    bit-identical by construction."""
-    whens = " ".join(
-        f"WHEN bands = {b} AND rows_per_band = {r} "
-        f"THEN CAST({(1.0 / b) ** (1.0 / r)!r} AS DOUBLE)"
-        for b, r in _TUNING_CONFIGS
+def _tuning_cfgs_sql() -> str:
+    """The static layout table as a VALUES list (see ``_TUNING_ROWS``):
+    the report LEFT-JOINs the per-layout aggregate against it so a layout
+    that pruned EVERY candidate still appears with zero counts — the
+    over-strict layout is the most decision-relevant row of a tuning
+    sweep, and an inner-join shape would silently drop it."""
+    vals = ", ".join(
+        f"({b}, {r}, CAST({s!r} AS DOUBLE))" for b, r, s in _TUNING_ROWS
     )
-    return f"CASE {whens} END"
+    return (
+        f"SELECT * FROM (VALUES {vals})"
+        " AS t(bands, rows_per_band, s_star)"
+    )
 
 
 @query(
@@ -2300,11 +2319,17 @@ def _tuning_s_star_sql() -> str:
       FROM pairs p
       LEFT JOIN dups d ON d.doc_a = p.doc_a AND d.doc_b = p.doc_b
       GROUP BY p.bands, p.rows_per_band
-    )
-    SELECT bands, rows_per_band, {_tuning_s_star_sql()} AS s_star,
-           n_candidates, n_true_dups,
-           n_true_dups * 1.0 / n_candidates AS dup_precision
-    FROM agg
+    ),
+    cfgs AS ({_tuning_cfgs_sql()})
+    SELECT c.bands, c.rows_per_band, c.s_star,
+           CAST(COALESCE(a.n_candidates, 0) AS BIGINT) AS n_candidates,
+           CAST(COALESCE(a.n_true_dups, 0) AS BIGINT) AS n_true_dups,
+           CASE WHEN COALESCE(a.n_candidates, 0) > 0
+                THEN a.n_true_dups * 1.0 / a.n_candidates
+           END AS dup_precision
+    FROM cfgs c
+    LEFT JOIN agg a
+      ON a.bands = c.bands AND a.rows_per_band = c.rows_per_band
     """,
     doc="LSH band-layout tuning report: candidate volume and verified "
     "precision for five (bands, rows-per-band) layouts of the SAME 12-min "
@@ -2353,11 +2378,7 @@ def dedup_lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bands",
             "rows_per_band",
             F.explode(
-                F.expr(
-                    "flatten(transform(ids, (x, i) -> "
-                    "transform(slice(ids, i + 2, size(ids)), y -> "
-                    "struct(x AS doc_a, y AS doc_b))))"
-                )
+                F.expr(_bucket_pairs_expr("ids", "doc_a", "doc_b"))
             ).alias("p"),
         )
         .select("bands", "rows_per_band", "p.doc_a", "p.doc_b")
@@ -2385,13 +2406,23 @@ def dedup_lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_true_dups"),
         )
     )
-    return agg.select(
+    # LEFT JOIN from the static layout table: a layout whose candidates
+    # were all pruned (or that never collided) still reports a zero row —
+    # see _tuning_cfgs_sql. Five local rows; AQE broadcasts unhinted.
+    cfgs = spark.createDataFrame(
+        _TUNING_ROWS, "bands int, rows_per_band int, s_star double"
+    )
+    joined = cfgs.join(agg, ["bands", "rows_per_band"], "left")
+    n_cands = F.coalesce(F.col("n_candidates"), F.lit(0)).cast("bigint")
+    n_dups = F.coalesce(F.col("n_true_dups"), F.lit(0)).cast("bigint")
+    return joined.select(
         "bands",
         "rows_per_band",
-        F.expr(_tuning_s_star_sql()).alias("s_star"),
-        "n_candidates",
-        "n_true_dups",
-        (F.col("n_true_dups") * 1.0 / F.col("n_candidates")).alias(
-            "dup_precision"
-        ),
+        "s_star",
+        n_cands.alias("n_candidates"),
+        n_dups.alias("n_true_dups"),
+        F.when(
+            n_cands > 0,
+            F.col("n_true_dups") * 1.0 / F.col("n_candidates"),
+        ).alias("dup_precision"),
     )

@@ -1085,6 +1085,8 @@ DETERMINISM_GRID_OPS = [
     "dedup_simhash",
     # round-7 additions: integer count ratios must be partition-invariant
     "dedup_containment_probe",
+    # round-9 addition: per-layout precision doubles from integer counts
+    "dedup_lsh_band_tuning",
 ]
 
 
@@ -2160,7 +2162,13 @@ def test_lsh_band_tuning_layout_semantics(spark, tmp_path):
     report rows exist with n_true_dups >= 1; (3) s_star is the layout's
     S-curve threshold (1/b)^(1/r), strictly increasing with
     rows-per-band; (4) dup_precision is exactly n_true_dups /
-    n_candidates. Oracle-checked on the same corpus."""
+    n_candidates, and the loose (12,1) layout reports a FALSE POSITIVE
+    (the far pair collides in single-hash bands but fails the 0.8
+    Jaccard verify) — the S-curve discrimination the sweep exists to
+    surface; (5) on a corpus with NO collisions at all, every layout
+    still reports a zero row with NULL precision (the over-strict
+    layout that pruned everything is the most decision-relevant row).
+    Oracle-checked on both corpora."""
     import duckdb
 
     from iceberg_explorer_spark.operators import QUERIES
@@ -2168,6 +2176,10 @@ def test_lsh_band_tuning_layout_semantics(spark, tmp_path):
 
     dup = " ".join(f"alpha{i} beta{i % 5} gamma{i % 11}" for i in range(40))
     base = " ".join(f"delta{i} epsilon{i % 7} zeta{i % 13}" for i in range(40))
+    # replace ~22 of 120 words (the bare "delta1"/"delta2" prefixes also
+    # match delta10..delta29 — intentional): Jaccard ≈ 0.28, far below
+    # the 0.8 verify bar but plenty of shared shingles for single-hash
+    # bands to collide on — the false-positive class for loose layouts
     near = base.replace("delta1", "CHANGED").replace("delta2", "ALTERED")
     rows = [
         (1, dup, "en", "web", len(dup)),
@@ -2196,6 +2208,11 @@ def test_lsh_band_tuning_layout_semantics(spark, tmp_path):
     assert all(
         got[12]["n_candidates"] >= got[b]["n_candidates"] for b in (6, 4, 3, 2)
     ), {b: r["n_candidates"] for b, r in got.items()}
+    # the loose layout pays for its recall: the far pair (J ≈ 0.28)
+    # collides in at least one single-hash band but fails the verify, so
+    # (12,1) reports a candidate that is NOT a true dup
+    assert got[12]["n_candidates"] > got[12]["n_true_dups"], got[12]
+    assert got[12]["dup_precision"] < 1.0, got[12]
     # s* rises with rows-per-band (stricter bands need higher Jaccard)
     by_r = sorted(got.values(), key=lambda r: r["rows_per_band"])
     stars = [r["s_star"] for r in by_r]
@@ -2208,4 +2225,30 @@ def test_lsh_band_tuning_layout_semantics(spark, tmp_path):
     )
     assert_matches_oracle(
         spec.builder(spark, d), con, spec.oracle, "dedup_lsh_band_tuning"
+    )
+
+    # no-collision corpus: the report must still have all five layout
+    # rows — zero counts, NULL precision — on BOTH engines
+    lone = [
+        (i, " ".join(f"u{i}w{j} v{i}x{j % 7} y{i}z{j % 13}"
+                     for j in range(30)), "en", "web", 100)
+        for i in range(1, 5)
+    ]
+    d2 = str(tmp_path / "tuning_empty")
+    spark.createDataFrame(
+        lone, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d2}/documents.parquet")
+    empty = {r["bands"]: r for r in spec.builder(spark, d2).collect()}
+    assert set(empty) == {12, 6, 4, 3, 2}, empty
+    for r in empty.values():
+        assert r["n_candidates"] == 0 and r["n_true_dups"] == 0, r
+        assert r["dup_precision"] is None, r
+    con2 = duckdb.connect()
+    con2.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d2}/documents.parquet/*.parquet')"
+    )
+    assert_matches_oracle(
+        spec.builder(spark, d2), con2, spec.oracle, "dedup_lsh_band_tuning"
     )
