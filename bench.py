@@ -141,12 +141,13 @@ EXTENDED = [
     "multimodal_clean_manifest",  # composed image-curation manifest
     "multimodal_paired_dedup",    # cross-modal caption-image pair dedup
     "dedup_lsh_band_tuning",      # five-layout LSH sweep, one signature pass
+    "similarity_semantic_tau_sweep",  # cosine-threshold calibration grid
 ]
 
 #: HEADLINE GRADUATION POLICY (a logged trend reset, never a silent one).
 #: EXTENDED keeps growing — the 65-query v1 sum cannot stay the only trend
 #: line forever. The declared schedule:
-#:   * round 10: the EXTENDED set as frozen at the END of round 9 (the 11
+#:   * round 10: the EXTENDED set as frozen at the END of round 9 (the 12
 #:     operators above) graduates into HEADLINE_V2 = HEADLINE + that set,
 #:     both sorted as listed. For that ONE overlap round the final line
 #:     reports BOTH sums — ``value``/``n_queries`` stay the v1 trend line

@@ -176,11 +176,12 @@ against exact answers).
   covered every round by tests/test_differential.py; the 3 sketch ops
   stay out by design.
 - round 10 (plan): rotate in the remaining 36 r7-cohort queries (last
-  row r7) plus the TWO operators registered out-of-window in r9
-  (multimodal_paired_dedup — cross-modal pair dedup — and
-  dedup_lsh_band_tuning — the five-layout LSH tuning sweep; both need
-  their FIRST driver rows), prioritizing anything r10 modifies; fill
-  remaining slots with r8-cohort second rows.
+  row r7) plus the THREE operators registered out-of-window in r9
+  (multimodal_paired_dedup — cross-modal pair dedup,
+  dedup_lsh_band_tuning — the five-layout LSH tuning sweep, and
+  similarity_semantic_tau_sweep — the cosine-threshold calibration
+  grid; all need their FIRST driver rows), prioritizing anything r10
+  modifies; fill remaining slots with r8-cohort second rows.
 """
 
 from iceberg_explorer_spark.operators.registry import QUERIES, QuerySpec, query  # noqa: F401

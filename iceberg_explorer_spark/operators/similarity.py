@@ -1578,3 +1578,130 @@ def similarity_semantic_decontaminate(
             F.col("train_vec_id").alias("nearest_train_vec_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+#: Tau grid for the semantic-threshold calibration sweep, in exact cosine
+#: micro-units (see _EDGE_COS_MICRO): 0.30 .. 0.90 step 0.05 — wide
+#: enough to bracket every tau this repo ships (NEAR_DUP_TAU 0.4,
+#: DECON_TAU 0.35) AND the ~0.9 a production SemDeDup run would use, so
+#: the same report calibrates both regimes. Integer thresholds compare
+#: exactly on both engines; the tau doubles are formatted once in Python
+#: and embedded as literals in both texts (IEEE round-trip).
+_TAU_SWEEP_MIN_MICRO = 300_000
+_TAU_SWEEP_STEP_MICRO = 50_000
+_TAU_SWEEP_CELLS = 13
+_TAU_SWEEP_GRID = [
+    (k, (_TAU_SWEEP_MIN_MICRO + _TAU_SWEEP_STEP_MICRO * k) / 1e6)
+    for k in range(_TAU_SWEEP_CELLS)
+]
+
+
+def _tau_cell_case(div: str) -> str:
+    """Grid-cell assignment for one pair's micro cosine, shared by both
+    engines (``div`` is the integer-division spelling: Spark ``DIV``,
+    DuckDB ``//`` — both truncate toward zero; micro - min is
+    non-negative on the only path that divides). Below-grid pairs land
+    in cell -1: counted in the total, never in an n_edges sum."""
+    top = _TAU_SWEEP_CELLS - 1
+    return (
+        f"CASE WHEN micro >= {_TAU_SWEEP_MIN_MICRO} THEN "
+        f"LEAST((micro - {_TAU_SWEEP_MIN_MICRO}) {div} "
+        f"{_TAU_SWEEP_STEP_MICRO}, {top}) ELSE -1 END"
+    )
+
+
+def _tau_grid_sql() -> str:
+    vals = ", ".join(
+        f"({k}, CAST({t!r} AS DOUBLE))" for k, t in _TAU_SWEEP_GRID
+    )
+    return f"SELECT * FROM (VALUES {vals}) AS t(cell, tau)"
+
+
+@query(
+    "similarity_semantic_tau_sweep",
+    oracle=f"""
+    WITH coded AS (
+      SELECT vec_id, embedding, {_srp_code_duckdb('embedding')} AS bucket
+      FROM {_EMB_SQL}
+    ),
+    pairs AS (
+      SELECT ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])),
+                   6) AS cos_sim
+      FROM coded a JOIN coded b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ),
+    pm AS (
+      SELECT CAST(ROUND(cos_sim * {_EDGE_COS_MICRO}) AS BIGINT) AS micro
+      FROM pairs
+    ),
+    cells AS (SELECT {_tau_cell_case('//')} AS cell FROM pm),
+    cell_counts AS (SELECT cell, COUNT(*) AS c FROM cells GROUP BY cell),
+    tot AS (
+      SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS t FROM cell_counts
+    ),
+    grid AS ({_tau_grid_sql()}),
+    cum AS (
+      SELECT g.cell, g.tau,
+             CAST(COALESCE(SUM(cc.c), 0) AS BIGINT) AS n_edges
+      FROM grid g
+      LEFT JOIN cell_counts cc ON cc.cell >= g.cell
+      GROUP BY g.cell, g.tau
+    )
+    SELECT c.tau, c.n_edges,
+           CASE WHEN t.t > 0 THEN c.n_edges * 1.0 / t.t
+           END AS share_of_pairs
+    FROM cum c CROSS JOIN tot t
+    """,
+    doc="Semantic-threshold calibration sweep: for a 13-point tau grid "
+    "(0.30..0.90 step 0.05), how many SRP-bucket pairs have cosine >= "
+    "tau, and what share of all bucket pairs that is — the edge-weight "
+    "distribution every cosine threshold in this repo (NEAR_DUP_TAU, "
+    "DECON_TAU, a production SemDeDup ~0.9) should be read off instead "
+    "of guessed. One GEMM pass over the SRP buckets (UNFILTERED — the "
+    "cached semantic edge artifact is already cut at NEAR_DUP_TAU, so a "
+    "below-tau sweep cannot be served from it), each pair assigned to "
+    "ONE grid cell by exact integer micro-cosine, a <=14-row cell "
+    "rollup checkpointed (multi-branch: the cumulative join and the "
+    "total read it), then the per-tau cumulative is a 13x14 non-equi "
+    "join on O(1) rows. Cost is one bucketed GEMM regardless of grid "
+    "size; the corpus never shuffles except on the bucket code. "
+    "reference: no analogue — training-pipeline extension.",
+)
+def similarity_semantic_tau_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    pairs = _bucket_pairs_gemm(spark, sf_dir)
+    micro = (
+        F.round(F.round("cos_sim", 6) * _EDGE_COS_MICRO)
+        .cast("bigint")
+        .alias("micro")
+    )
+    cells = pairs.select(micro).select(
+        F.expr(_tau_cell_case("DIV")).alias("cell")
+    )
+    # <=14 rows; eager-checkpointed because BOTH the cumulative join and
+    # the total-count branch read it — without the checkpoint each branch
+    # would re-run the whole bucketed GEMM
+    cell_counts = (
+        cells.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    tot = cell_counts.agg(
+        F.coalesce(F.sum("c"), F.lit(0)).cast("bigint").alias("t")
+    )
+    grid = spark.createDataFrame(_TAU_SWEEP_GRID, "cell int, tau double")
+    cum = (
+        grid.join(cell_counts, cell_counts["cell"] >= grid["cell"], "left")
+        .groupBy(grid["cell"], "tau")
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("bigint").alias("n_edges"))
+    )
+    return cum.crossJoin(tot).select(
+        "tau",
+        "n_edges",
+        F.when(
+            F.col("t") > 0, F.col("n_edges") * 1.0 / F.col("t")
+        ).alias("share_of_pairs"),
+    )

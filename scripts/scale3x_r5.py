@@ -88,6 +88,8 @@ OP_TABLE = {
     "multimodal_paired_dedup": "documents",
     # round-9 addition (five-layout LSH tuning sweep from one signature)
     "dedup_lsh_band_tuning": "documents",
+    # round-9 addition (cosine-threshold calibration grid)
+    "similarity_semantic_tau_sweep": "embeddings",
 }
 
 

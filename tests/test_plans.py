@@ -1026,3 +1026,18 @@ def test_lsh_band_tuning_one_signature_one_verify(spark):
     # a per-layout re-verify
     assert 1 <= plan.count("array_intersect") <= single.count("array_intersect")
     assert "Scan ExistingRDD" in plan
+
+
+def test_semantic_tau_sweep_one_gemm_tiny_tail(spark):
+    """similarity_semantic_tau_sweep pays ONE bucketed GEMM however many
+    grid points it scores: the pair histogram is checkpointed (the
+    cumulative join and the total both read it — ExistingRDD in the
+    plan), the tail operates on O(grid) rows, and nothing is
+    hint-forced to broadcast."""
+    df = build(spark, "similarity_semantic_tau_sweep")
+    plan = pi.physical_plan(df)
+    assert pi.broadcast_hint_count(df) == 0
+    # the GEMM ran once inside the eager checkpoint; the visible plan is
+    # the O(1)-row tail reading the materialized cell counts
+    assert "Scan ExistingRDD" in plan
+    assert "FlatMapGroupsInPandas" not in plan

@@ -1087,6 +1087,8 @@ DETERMINISM_GRID_OPS = [
     "dedup_containment_probe",
     # round-9 addition: per-layout precision doubles from integer counts
     "dedup_lsh_band_tuning",
+    # round-9 addition: micro-int grid counts and share ratios
+    "similarity_semantic_tau_sweep",
 ]
 
 
@@ -2251,4 +2253,87 @@ def test_lsh_band_tuning_layout_semantics(spark, tmp_path):
     )
     assert_matches_oracle(
         spec.builder(spark, d2), con2, spec.oracle, "dedup_lsh_band_tuning"
+    )
+
+
+def test_semantic_tau_sweep_exact_grid_counts(spark, tmp_path):
+    """The tau sweep's distinguishing claims on a crafted one-bucket
+    corpus with KNOWN pairwise cosines — u, (u+w)/sqrt(2), w, and an
+    exact duplicate of u give six pairs at cosines {1.0, 0.707 x3,
+    0.0 x2}: (1) the full 13-row grid always comes back; (2) counts are
+    the exact cumulative — taus <= 0.70 see 4 edges (the dup + the three
+    0.707 pairs), taus 0.75..0.90 see only the exact-duplicate pair;
+    (3) share_of_pairs is exactly
+    n_edges/6 (the below-grid zero-cos pairs count in the denominator);
+    (4) a no-pair corpus still reports all 13 rows with zero counts and
+    NULL share. Oracle-checked on both corpora."""
+    import duckdb
+    import numpy as np
+
+    from iceberg_explorer_spark.operators import QUERIES
+    from iceberg_explorer_spark.operators.similarity import (
+        DIM,
+        N_PLANES,
+        _plane_signs,
+    )
+    from tests.conftest import assert_matches_oracle
+
+    planes = np.array(
+        [_plane_signs(p) for p in range(N_PLANES)], dtype="float64"
+    )
+    rng = np.random.RandomState(7)
+    while True:
+        u = rng.randn(DIM)
+        u /= np.linalg.norm(u)
+        w = rng.randn(DIM)
+        w -= (w @ u) * u
+        w /= np.linalg.norm(w)
+        if (planes @ u > 0.5).all() and (planes @ w > 0.5).all():
+            break
+    b = (u + w) / np.sqrt(2.0)
+    vecs = [(1, u), (2, b), (3, w), (4, u)]  # 4 is an exact dup of 1
+    emb = [(i, [float(x) for x in v.astype("float32")], 0) for i, v in vecs]
+    d = str(tmp_path / "tau")
+    spark.createDataFrame(
+        emb, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+
+    spec = QUERIES["similarity_semantic_tau_sweep"]
+    got = {
+        int(round(r["tau"] * 100)): r for r in spec.builder(spark, d).collect()
+    }
+    assert set(got) == set(range(30, 95, 5)), sorted(got)
+    for t, r in got.items():
+        expect = 1 if t >= 75 else 4
+        assert r["n_edges"] == expect, (t, r)
+        assert r["share_of_pairs"] == expect / 6, (t, r)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{d}/embeddings.parquet/*.parquet')"
+    )
+    assert_matches_oracle(
+        spec.builder(spark, d), con, spec.oracle,
+        "similarity_semantic_tau_sweep",
+    )
+
+    # single-vector corpus: no pairs at all — the grid still reports,
+    # with NULL share (0/0 is not 0) on BOTH engines
+    d2 = str(tmp_path / "tau_empty")
+    spark.createDataFrame(
+        emb[:1], "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d2}/embeddings.parquet")
+    empty = {r["tau"]: r for r in spec.builder(spark, d2).collect()}
+    assert len(empty) == 13
+    for r in empty.values():
+        assert r["n_edges"] == 0 and r["share_of_pairs"] is None, r
+    con2 = duckdb.connect()
+    con2.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{d2}/embeddings.parquet/*.parquet')"
+    )
+    assert_matches_oracle(
+        spec.builder(spark, d2), con2, spec.oracle,
+        "similarity_semantic_tau_sweep",
     )
