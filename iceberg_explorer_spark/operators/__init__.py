@@ -175,13 +175,48 @@ against exact answers).
   are the r10 rotation's priority). Displaced multi-green queries stay
   covered every round by tests/test_differential.py; the 3 sketch ops
   stay out by design.
-- round 10 (plan): rotate in the remaining 36 r7-cohort queries (last
-  row r7) plus the THREE operators registered out-of-window in r9
-  (multimodal_paired_dedup — cross-modal pair dedup,
-  dedup_lsh_band_tuning — the five-layout LSH tuning sweep, and
-  similarity_semantic_tau_sweep — the cosine-threshold calibration
-  grid; all need their FIRST driver rows), prioritizing anything r10
-  modifies; fill remaining slots with r8-cohort second rows.
+- round 10 (current): CORRECTNESS_r09 came back 50/50 green (sixth
+  consecutive perfect round), so the planned rotation executes as
+  written. Counting from the artifacts, the r7 cohort — queries whose
+  LATEST driver row is r7 — is exactly 39 (the r9 plan estimated 36):
+  the window is flagship (never displaced) + the THREE operators
+  registered out-of-window in r9 getting their FIRST driver rows
+  (multimodal_paired_dedup — also modified by r10's
+  FINGERPRINT_MAX_CHARS caption-gram cap, so its first row is
+  post-change; dedup_lsh_band_tuning — r10 adds the deterministic
+  doc-sample parameter with sampling OFF by default, so its first row
+  pins the unsampled oracle contract; similarity_semantic_tau_sweep)
+  + ALL 39 r7-cohort queries (conditional_agg_order_status,
+  cte_above_avg_orders, dedup_cluster_stats, dedup_embedding_cosine,
+  dedup_exact, dedup_keep_best, dedup_pagerank_step, dedup_simhash,
+  dedup_source_minhash_similarity, dedup_source_overlap_matrix,
+  events_categorical_drift, events_funnel_latency,
+  events_incremental_rollup, events_path_topk, events_variant_shred,
+  explode_word_frequencies, left_join_order_lines,
+  multimodal_ahash_dedup, multimodal_decode_features, null_semantics,
+  orders_seasonality_index, parts_abc_pareto, percentile_order_price,
+  pipeline_pack_efficiency, pipeline_stratified_sample,
+  range_join_ship_window, scalar_date_functions,
+  similarity_bruteforce_topk, similarity_centroid_drift,
+  similarity_int8_quantize, similarity_ivf_topk, similarity_knn_join,
+  similarity_lsh_ann, text_bm25_topk, text_ngram_entropy,
+  text_token_count, text_vocab_growth, topk_orders, window_ship_gaps)
+  + 7 r8-cohort fillers chosen least-evidenced-first, recently-changed
+  prioritized: events_rate_spike_zscore (the ONLY oracle-bearing query
+  with a single driver row ever, r8), text_fingerprint (modified by
+  r10 — the same FINGERPRINT_MAX_CHARS gram cap, oracle-mirrored, so
+  its row is post-change; previously 3 rows r3/r4/r8), then five
+  three-row queries spanning the remaining families
+  (anti_join_idle_customers, asof_join_purchase_click, events_funnel,
+  multimodal_image_resize, pipeline_global_shuffle).
+  1 + 3 + 39 + 7 = 50 exactly. If r10 comes back green, every
+  oracle-bearing query has driver evidence no older than r8 and the
+  registry's newest operators all have post-change first rows. The
+  round-10 capstone pipeline_clean_corpus_v2 (composes all four dedup
+  families into one attributed keep-list) registers OUT-of-window with
+  oracle + plan pin + 3x point per the standing checklist and is the
+  r11 rotation's first priority, together with the 42-query r8 cohort
+  (second rows, 35 remaining after the fillers above).
 """
 
 from iceberg_explorer_spark.operators.registry import QUERIES, QuerySpec, query  # noqa: F401
@@ -200,66 +235,60 @@ from iceberg_explorer_spark.operators import pipeline  # noqa: E402,F401
 _CHECK_WINDOW = [
     # flagship first (never displaced)
     "pipeline_clean_corpus",
-    # --- round 8's six new operators: FIRST driver rows ---
-    "dedup_overlap_spectrum",
-    "similarity_ivf_balance",
-    "dedup_semantic_clusters",
-    "pipeline_filter_funnel",
-    "similarity_semantic_decontaminate",
-    "multimodal_clean_manifest",
-    # --- the three r5-stale queries deferred from r8 (second rows) ---
-    "similarity_bucket_gemm",
-    "window_top_orders_per_customer",
-    "events_sliding_window",
-    # --- the full r6 cohort (27): last driver row is r6 ---
-    "dedup_candidate_triangles",
-    "dedup_incremental_ingest",
-    "dedup_semantic_keep_best",
-    "dedup_span_boilerplate",
-    "events_dau_wau_stickiness",
-    "events_markov_transitions",
-    "events_resample_gapfill",
-    "events_user_retention",
-    "group_by_all_status_priority",
-    "lateral_top_orders",
-    "market_basket_part_pairs",
-    "multimodal_audio_energy",
-    "multimodal_patch_tokens",
-    "orders_yoy_growth",
-    "pipeline_chunk_documents",
-    "pipeline_chunk_pack",
-    "pipeline_dataset_card",
-    "pipeline_epoch_plan",
-    "rfm_customer_segments",
-    "similarity_ann_recall_report",
-    "similarity_kmeans_step",
-    "similarity_pq_adc_topk",
-    "text_bpe_pair_freq",
-    "text_length_histogram",
-    "text_tfidf_source_terms",
-    "unpivot_customer_metrics",
-    "window_distribution_functions",
-    # --- recently-changed-by-r9: fingerprint fast path touches the
-    # shared candidate cache every one of these reads through; the
-    # probe build is being audited; dedup_clusters carries the
-    # deep-diameter CC stress; containment / threshold-sweep /
-    # decontaminate switched onto the shared tokenize-once shingle
-    # checkpoint this round ---
-    "dedup_containment_probe",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_clusters",
-    "dedup_containment",
-    "dedup_jaccard_threshold_sweep",
-    "text_decontaminate",
-    # --- the other three standing family representatives ---
-    "pricing_summary",
-    "join_revenue_by_nation",
-    "events_tumbling_window",
-    # --- three r7-cohort second rows spanning remaining families ---
-    "multimodal_frame_sample",
-    "events_json_extract",
-    "pipeline_token_shards",
+    # --- round 9's three new operators: FIRST driver rows (the first
+    # two also carry round-10 changes — post-change rows) ---
+    "multimodal_paired_dedup",
+    "dedup_lsh_band_tuning",
+    "similarity_semantic_tau_sweep",
+    # --- the full r7 cohort (39): last driver row is r7 ---
+    "conditional_agg_order_status",
+    "cte_above_avg_orders",
+    "dedup_cluster_stats",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_keep_best",
+    "dedup_pagerank_step",
+    "dedup_simhash",
+    "dedup_source_minhash_similarity",
+    "dedup_source_overlap_matrix",
+    "events_categorical_drift",
+    "events_funnel_latency",
+    "events_incremental_rollup",
+    "events_path_topk",
+    "events_variant_shred",
+    "explode_word_frequencies",
+    "left_join_order_lines",
+    "multimodal_ahash_dedup",
+    "multimodal_decode_features",
+    "null_semantics",
+    "orders_seasonality_index",
+    "parts_abc_pareto",
+    "percentile_order_price",
+    "pipeline_pack_efficiency",
+    "pipeline_stratified_sample",
+    "range_join_ship_window",
+    "scalar_date_functions",
+    "similarity_bruteforce_topk",
+    "similarity_centroid_drift",
+    "similarity_int8_quantize",
+    "similarity_ivf_topk",
+    "similarity_knn_join",
+    "similarity_lsh_ann",
+    "text_bm25_topk",
+    "text_ngram_entropy",
+    "text_token_count",
+    "text_vocab_growth",
+    "topk_orders",
+    "window_ship_gaps",
+    # --- r8-cohort fillers: least-evidenced first, recently-changed
+    # prioritized (text_fingerprint carries r10's gram cap) ---
+    "events_rate_spike_zscore",
+    "text_fingerprint",
+    "anti_join_idle_customers",
+    "asof_join_purchase_click",
+    "events_funnel",
+    "multimodal_image_resize",
+    "pipeline_global_shuffle",
 ]
 
 

@@ -485,10 +485,19 @@ def _corpus_fingerprint(sf_dir: str, table: str = "documents") -> str:
     # Stat-only gate pass. Any stat failure marks the listing unstable
     # (a rewrite is in progress) — unstable listings never match or
     # populate the memo, so mid-rewrite states can't serve or pin a
-    # digest. The racy clock is anchored HERE, before the scan: a
-    # same-tick rewrite landing anywhere during the scan (including the
-    # tail-read pass below, which can take seconds on a large corpus)
-    # then makes its stamp >= scan_start, keeping the entry racy.
+    # digest. Two mechanisms cover rewrites that land DURING the scan
+    # (the tail-read pass below can take seconds on a large corpus):
+    # a RE-STAT pass after the tail reads marks the entry unstable if
+    # any (size, mtime_ns, ctime_ns) moved while tails were being read —
+    # the stamps captured here predate the tail reads, so without the
+    # re-stat a mid-pass rewrite would be invisible to them and a mixed
+    # pre/post-rewrite digest could be memoized as trusted under the
+    # pre-rewrite listing digest. The racy window (anchored HERE, before
+    # the scan, at scan_start) covers the one case the re-stat cannot:
+    # a rewrite on a coarse-timestamp filesystem whose post-rewrite
+    # stamps are bit-identical to the captured ones — such stamps are
+    # necessarily within one tick of now, hence inside the window, so
+    # the entry is memoized racy and never serves the fast path.
     scan_start_ns = time.time_ns()
     stats: list[tuple[str, str, object]] = []
     listing_parts = []
@@ -544,6 +553,30 @@ def _corpus_fingerprint(sf_dir: str, table: str = "documents") -> str:
             stable = False
     entries.sort()
     digest = hashlib.md5(repr(entries).encode()).hexdigest()
+    if stable:
+        # Re-stat gate: the stamps above were captured BEFORE the tail
+        # reads, so a rewrite landing during the tail-read pass is
+        # invisible to them — its digest would mix pre- and post-rewrite
+        # bytes. If any file's (size, mtime_ns, ctime_ns) moved (or a
+        # stat now fails), skip memoization: the mixed digest is still a
+        # valid one-shot answer (it differs from both the pre- and
+        # post-rewrite fingerprints, so it cannot collide with either
+        # corpus state's cache key), but it must not be pinned under the
+        # pre-rewrite listing digest. Cost: one extra stat pass, paid
+        # only on the cold path that already opened every file.
+        for rel, p, st in stats:
+            try:
+                st2 = os.stat(p)
+                if (st2.st_size, st2.st_mtime_ns, st2.st_ctime_ns) != (
+                    st.st_size,
+                    st.st_mtime_ns,
+                    st.st_ctime_ns,
+                ):
+                    stable = False
+                    break
+            except OSError:
+                stable = False
+                break
     if stable:
         # Negative delta (stamp in the future of the local clock) stays
         # racy — see _FINGERPRINT_RACY_WINDOW_NS.
@@ -1476,6 +1509,7 @@ def connected_components(
 
     try:
         rounds_done = 0
+        compressions = 0
         # seed with the identity-labeling sum so the FIRST check can fire
         # (an already-converged graph exits after one propagation round,
         # as documented) — one cheap aggregate that doubles as the action
@@ -1492,6 +1526,7 @@ def connected_components(
                     # deep-graph insurance: see CC_DOUBLE_AFTER
                     new_labels = compress(new_labels)
                     doubling = True
+                    compressions += 1
             rounds_done += steps
             if doubling or rounds_done % checkpoint_every < steps:
                 # lazy: the convergence count below is the materializing
@@ -1529,6 +1564,7 @@ def connected_components(
                 # measured-convergence telemetry for tests and the
                 # SCALE.md deep-diameter stress (not part of the schema)
                 out.cc_rounds = rounds_done
+                out.cc_compressions = compressions
                 return out
             prev_sum = new_sum
         labels.unpersist()
@@ -2347,10 +2383,31 @@ def _tuning_cfgs_sql() -> str:
     "precision is a join against that single verdict set, not a verify "
     "per config. s* = (1/b)^(1/r) is the layout's S-curve threshold — "
     "the knob the report exists to calibrate against measured precision. "
-    "reference: no analogue — training-pipeline extension.",
+    "At 100 TB the sweep runs on a deterministic doc sample (sample_mod: "
+    "keep a doc when xxhash64(doc_id) % mod == 0 — the verify bill "
+    "scales with the sample, and tuning curves are stable under uniform "
+    "sampling); the registered query runs UNSAMPLED (sample_mod=1, the "
+    "oracle contract). reference: no analogue — training-pipeline "
+    "extension.",
 )
-def dedup_lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_lsh_band_tuning(
+    spark: SparkSession, sf_dir: str, sample_mod: int = 1
+) -> DataFrame:
     sh = shared_hashed_shingles(spark, sf_dir)
+    if sample_mod > 1:
+        # Deterministic 1/mod doc sample: hash-mod on doc_id, applied to
+        # the shingle checkpoint BEFORE the signature pass, so every
+        # downstream stage (bands, buckets, candidate pairs, the union
+        # verify — the sweep's dominant cost) runs on the sample. The
+        # same docs are selected on every run and for every layout, so
+        # per-layout numbers stay comparable within a sweep, and the
+        # sampled report is EXACTLY the unsampled report over the
+        # restricted corpus (pinned by
+        # test_band_tuning_sample_agrees_with_subcorpus). Default OFF:
+        # the driver row and the DuckDB oracle pin the unsampled report.
+        sh = sh.filter(
+            F.pmod(F.xxhash64(F.col("doc_id")), F.lit(sample_mod)) == 0
+        )
     hashed = sh.select("doc_id", (F.col("hb") % MINHASH_P).alias("hb"))
     sig = hashed.groupBy("doc_id").agg(*_minhash_min_aggs(N_HASHES))
     layouts = []

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from iceberg_explorer_spark.operators.registry import query
+from iceberg_explorer_spark.operators.text import FINGERPRINT_MAX_CHARS
 from iceberg_explorer_spark.sources.registry import load_table, repartition_for_compute
 
 _DECODE_SCHEMA = (
@@ -909,10 +910,13 @@ def multimodal_clean_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, source, {_ahash_sql()} AS ahash
       FROM a WHERE length(t) >= {_RZ_PIX}
     ),
+    cap AS (
+      SELECT doc_id, substr(text, 1, {FINGERPRINT_MAX_CHARS}) AS ct
+      FROM documents WHERE LENGTH(text) >= 8
+    ),
     fp AS (
-      SELECT doc_id, MIN(md5(substr(text, i, 8))) AS caption_fp
-      FROM documents, UNNEST(generate_series(1, LENGTH(text) - 7)) AS tt(i)
-      WHERE LENGTH(text) >= 8
+      SELECT doc_id, MIN(md5(substr(ct, i, 8))) AS caption_fp
+      FROM cap, UNNEST(generate_series(1, LENGTH(ct) - 7)) AS tt(i)
       GROUP BY doc_id
     )
     SELECT h.ahash, fp.caption_fp,
@@ -932,7 +936,8 @@ def multimodal_clean_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the two modality silos' existing keys with zero new kernel code: the "
     "image side is the shared Arrow-batched aHash kernel "
     "(multimodal_ahash_dedup), the caption side is the winnowing min-gram "
-    "fingerprint (text_fingerprint) computed fully map-side "
+    "fingerprint (text_fingerprint) computed fully map-side over the "
+    "shared FINGERPRINT_MAX_CHARS prefix cap "
     "(array_min over the gram transform — no per-doc gram shuffle, unlike "
     "the explode+groupBy the standalone fingerprint REPORT needs). Each "
     "duplicated pair group reports its size, distinct-source count, "
@@ -948,15 +953,27 @@ def multimodal_paired_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = repartition_for_compute(load_table(spark, sf_dir, "documents"))
     payload = framed_payload(_RZ_HEADER, _RZ_PIX)
     hashed = ahash_features(docs.select("doc_id", payload.alias("payload")))
-    captions = docs.filter(F.length("text") >= 8).select(
-        "doc_id",
-        "source",
-        F.array_min(
-            F.expr(
-                "transform(sequence(1, length(text) - 7),"
-                " i -> md5(substr(text, i, 8)))"
-            )
-        ).alias("caption_fp"),
+    # The gram transform materializes its full md5 array inside one row
+    # before array_min reduces it — capped at the shared winnowing prefix
+    # (FINGERPRINT_MAX_CHARS, ~130 KB transient per row) so a multi-MB
+    # caption can't OOM an executor; mirrored in the oracle's `cap` CTE.
+    captions = (
+        docs.filter(F.length("text") >= 8)
+        .select(
+            "doc_id",
+            "source",
+            F.substring("text", 1, FINGERPRINT_MAX_CHARS).alias("ct"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.array_min(
+                F.expr(
+                    "transform(sequence(1, length(ct) - 7),"
+                    " i -> md5(substr(ct, i, 8)))"
+                )
+            ).alias("caption_fp"),
+        )
     )
     n_sources = F.countDistinct("source")
     return (

@@ -385,13 +385,29 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+#: Per-doc cap on the fingerprint gram window: the transform expression
+#: materializes one 32-char md5 string per sliding gram IN A SINGLE ROW
+#: before it is exploded (or array_min'd), so an uncapped multi-MB document
+#: would transiently allocate tens-to-hundreds of MB inside one task — an
+#: executor OOM hazard at corpus scale (the shingle family bounds the same
+#: hazard with JACCARD_MAX_DOC_SHINGLES). Fingerprinting the first 4 KiB is
+#: the standard winnowing economy: the prefix is as identifying as the whole
+#: document for dedup keys, and the per-row transient is bounded at ~130 KB
+#: (4089 grams x 32 chars). Mirrored in every consumer's oracle; a no-op on
+#: the test corpora (max doc length 577 chars) — pure scale guard.
+FINGERPRINT_MAX_CHARS = 4096
+
+
 @query(
     "text_fingerprint",
-    oracle="""
-    WITH grams AS (
-      SELECT doc_id, md5(substr(text, i, 8)) AS g
-      FROM documents, UNNEST(generate_series(1, LENGTH(text) - 7)) AS t(i)
-      WHERE LENGTH(text) >= 8
+    oracle=f"""
+    WITH pre AS (
+      SELECT doc_id, substr(text, 1, {FINGERPRINT_MAX_CHARS}) AS t
+      FROM documents WHERE LENGTH(text) >= 8
+    ),
+    grams AS (
+      SELECT doc_id, md5(substr(t, i, 8)) AS g
+      FROM pre, UNNEST(generate_series(1, LENGTH(t) - 7)) AS tt(i)
     )
     SELECT doc_id,
            MIN(g) AS fingerprint,
@@ -399,15 +415,24 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM grams GROUP BY doc_id
     """,
     doc="Winnowing-style fingerprint: min-of-md5 over sliding 8-char grams "
-    "plus distinct-gram cardinality. The gram expansion is map-side "
-    "(sequence+transform, no Python); only (doc, digest) aggregates shuffle.",
+    "of the first FINGERPRINT_MAX_CHARS chars, plus distinct-gram "
+    "cardinality. The gram expansion is map-side (sequence+transform, no "
+    "Python) and per-row bounded by the prefix cap; only (doc, digest) "
+    "aggregates shuffle.",
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 8)
-    grams = docs.select(
+    pre = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length("text") >= 8)
+        .select(
+            "doc_id",
+            F.substring("text", 1, FINGERPRINT_MAX_CHARS).alias("t"),
+        )
+    )
+    grams = pre.select(
         "doc_id",
         F.explode(
-            F.expr("transform(sequence(1, length(text) - 7), i -> md5(substr(text, i, 8)))")
+            F.expr("transform(sequence(1, length(t) - 7), i -> md5(substr(t, i, 8)))")
         ).alias("g"),
     )
     return grams.groupBy("doc_id").agg(

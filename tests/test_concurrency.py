@@ -760,6 +760,56 @@ def test_fingerprint_racy_window_anchored_at_scan_start(tmp_path, monkeypatch):
     assert dedup._FINGERPRINT_MEMO[(str(d), "documents")][2] is True
 
 
+def test_fingerprint_rewrite_during_tail_read_not_memoized(tmp_path):
+    """A rewrite landing DURING the tail-read pass produces a digest that
+    mixes pre- and post-rewrite bytes; the stamps captured in the stat
+    pass predate the rewrite, so without the post-read re-stat gate that
+    mixed digest would be memoized as trusted under the PRE-rewrite
+    listing digest — and a later lookup over the (never again occurring,
+    but on this test deliberately restored) pre-rewrite listing would be
+    poisoned. Pins that the entry is NOT memoized: simulated by a
+    concurrent writer hooked into the first tail-read ``open``."""
+    import builtins
+    import os as _os
+    from unittest import mock
+
+    from iceberg_explorer_spark.operators import dedup
+
+    d = tmp_path / "midpass"
+    root = d / "documents.parquet"
+    root.mkdir(parents=True)
+    for i in range(3):
+        (root / f"part-{i:05d}.parquet").write_bytes(b"x" * 100 + bytes([i]))
+
+    dedup._FINGERPRINT_MEMO.pop((str(d), "documents"), None)
+    real_open = builtins.open
+    fired = {"done": False}
+
+    def racing_open(file, *a, **kw):
+        # first tail-read open: a "concurrent writer" rewrites a SIBLING
+        # file (its tail may already have been read, or not — either way
+        # the resulting digest is a pre/post mix) before the open runs
+        if not fired["done"] and str(file).startswith(str(root)):
+            fired["done"] = True
+            victim = root / "part-00002.parquet"
+            fd = _os.open(victim, _os.O_WRONLY | _os.O_APPEND)
+            try:
+                _os.write(fd, b"rewritten-mid-pass")
+            finally:
+                _os.close(fd)
+        return real_open(file, *a, **kw)
+
+    with mock.patch.object(builtins, "open", racing_open):
+        dedup._corpus_fingerprint(str(d))
+    # the re-stat gate saw the moved (size, mtime, ctime) and refused to
+    # pin the mixed digest
+    assert (str(d), "documents") not in dedup._FINGERPRINT_MEMO
+    # the next (quiet) lookup computes and memoizes the settled state
+    settled = dedup._corpus_fingerprint(str(d))
+    assert (str(d), "documents") in dedup._FINGERPRINT_MEMO
+    assert dedup._corpus_fingerprint(str(d)) == settled
+
+
 def test_fingerprint_memo_is_bounded(tmp_path):
     """The memo is LRU-bounded: fingerprinting more distinct corpora than
     _FINGERPRINT_MEMO_MAX never grows the dict past the cap, and evicted

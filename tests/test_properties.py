@@ -262,17 +262,19 @@ def test_connected_components_log_diameter_convergence(spark):
     # ~2*log2(128) compressed + span overshoot (measured: 15 rounds) —
     # far below the 129 plain propagation would need
     assert out.cc_rounds <= CC_DOUBLE_AFTER + 20, out.cc_rounds
+    assert out.cc_compressions > 0  # the deep path really engaged
     out.cc_persisted_labels.unpersist()
 
-    # shallow graph: the loop exits within one bi-round span of the
-    # doubling threshold — at most ONE compression join ever fires (and
-    # only post-convergence), so the r8 audit's rejection of always-on
-    # jumping stays honored for the graphs real dedup produces (sf0.1's
-    # LSH graph measures cc_rounds == 3: compression never activates)
+    # shallow graph: converges well inside the threshold, so the
+    # compress join NEVER fires — zero, not "at most one": the r8
+    # audit's rejection of always-on jumping is honored exactly for the
+    # graphs real dedup produces (sf0.1's LSH graph measures
+    # cc_rounds == 3, semantic graph 7: compression never activates)
     shallow = connected_components(
         spark.createDataFrame([(1, 2), (2, 3)], "doc_a long, doc_b long")
     )
-    assert shallow.cc_rounds <= CC_DOUBLE_AFTER + 1
+    assert shallow.cc_rounds <= CC_DOUBLE_AFTER
+    assert shallow.cc_compressions == 0
     shallow.cc_persisted_labels.unpersist()
 
 
@@ -2151,6 +2153,105 @@ def test_paired_dedup_pair_key_semantics(spark, tmp_path):
     )
     assert_matches_oracle(
         spec.builder(spark, d), con, spec.oracle, "multimodal_paired_dedup"
+    )
+
+
+def test_fingerprint_gram_cap_bounds_work_and_mirrors_oracle(spark, tmp_path):
+    """FINGERPRINT_MAX_CHARS pins the per-row gram-transform transient:
+    (1) two documents sharing their first FINGERPRINT_MAX_CHARS chars but
+    diverging after the cap fingerprint IDENTICALLY (the suffix is never
+    tokenized — bounded work per row, the OOM guard's observable
+    behavior); (2) a doc differing INSIDE the cap still separates; (3)
+    the cap is mirrored engine-for-engine in the oracle at a document
+    length the test corpora never reach (their max is ~577 chars). Covers
+    text_fingerprint directly and multimodal_paired_dedup's caption side
+    by the shared constant."""
+    import duckdb
+
+    from iceberg_explorer_spark.operators import QUERIES
+    from iceberg_explorer_spark.operators.text import FINGERPRINT_MAX_CHARS
+    from tests.conftest import assert_matches_oracle
+
+    base = ("lorem ipsum dolor sit amet " * 400)[:FINGERPRINT_MAX_CHARS]
+    assert len(base) == FINGERPRINT_MAX_CHARS
+    rows = [
+        (1, base + " tail-one past the cap", "en", "web", 1),
+        (2, base + " a COMPLETELY different suffix", "en", "web", 2),
+        (3, "x" + base[1:] + " tail-one past the cap", "en", "web", 3),
+        (4, "short doc under the cap", "en", "web", 4),
+    ]
+    d = str(tmp_path / "capfp")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    spec = QUERIES["text_fingerprint"]
+    got = {r["doc_id"]: r for r in spec.builder(spark, d).collect()}
+    # (1) same prefix, different post-cap suffix: identical fingerprint
+    # AND identical distinct-gram count — the suffix was never tokenized
+    assert got[1]["fingerprint"] == got[2]["fingerprint"]
+    assert got[1]["n_distinct_grams"] == got[2]["n_distinct_grams"]
+    # (2) an in-cap difference still separates
+    assert got[3]["fingerprint"] != got[1]["fingerprint"] or (
+        got[3]["n_distinct_grams"] != got[1]["n_distinct_grams"]
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    assert_matches_oracle(spec.builder(spark, d), con, spec.oracle,
+                          "text_fingerprint")
+    paired = QUERIES["multimodal_paired_dedup"]
+    assert_matches_oracle(paired.builder(spark, d), con, paired.oracle,
+                          "multimodal_paired_dedup")
+
+
+def test_band_tuning_sample_agrees_with_subcorpus(spark, tmp_path):
+    """The deterministic doc-sample parameter (sample_mod) is EXACTLY
+    corpus restriction: the sampled sweep over the full corpus equals the
+    unsampled sweep over the corpus physically restricted to the same
+    hash-mod selection — so a production tuning run on a 1/16 sample
+    measures precisely what the same layouts would report on that
+    sub-corpus, not an approximation of it. Also pins that the DEFAULT
+    call (the registered oracle-bearing query) takes the sample_mod=1
+    path with an unchanged plan."""
+    from iceberg_explorer_spark.operators import QUERIES
+    from iceberg_explorer_spark.operators.dedup import dedup_lsh_band_tuning
+    from iceberg_explorer_spark.sources.registry import load_table
+    from tests.conftest import SF_DIR
+
+    sampled = dedup_lsh_band_tuning(spark, SF_DIR, sample_mod=4)
+    sub = load_table(spark, SF_DIR, "documents").filter(
+        F.pmod(F.xxhash64(F.col("doc_id")), F.lit(4)) == 0
+    )
+    d = str(tmp_path / "subcorpus")
+    sub.coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    unsampled = dedup_lsh_band_tuning(spark, d)
+
+    def rows(df):
+        return sorted(
+            (r.asDict() for r in df.collect()),
+            key=lambda r: (r["bands"], r["rows_per_band"]),
+        )
+
+    assert rows(sampled) == rows(unsampled)
+    # the registered query is the unsampled report: identical plan to an
+    # explicit sample_mod=1 call (the sample filter is absent, not a
+    # pass-through predicate)
+    import re
+
+    def norm(df):
+        # expression IDs (#123) differ per instantiation; the shape is
+        # what must match
+        return re.sub(
+            r"#\d+", "#", df._jdf.queryExecution().analyzed().toString()
+        )
+
+    spec = QUERIES["dedup_lsh_band_tuning"]
+    assert norm(spec.builder(spark, SF_DIR)) == norm(
+        dedup_lsh_band_tuning(spark, SF_DIR, sample_mod=1)
     )
 
 
