@@ -16,6 +16,9 @@ Output protocol (two lines, the FINAL line is the driver-parseable one):
    cluster-label materializations at the target SF; ``value``/``n_queries`` cover
    the comparable HEADLINE set only; EXTENDED operators are timed
    identically but summed separately so the trend line stays comparable.
+   In the r10 graduation overlap round the final line also carries
+   additive ``value_v2``/``n_queries_v2`` (HEADLINE + GRADUATING_R9) —
+   see the HEADLINE GRADUATION POLICY at HEADLINE_VERSION.
 
 Rounds 3-4 recorded ``parsed: null`` driver-side: the single all-queries JSON
 line grew past 2 kB (65 queries) and the driver's tail parse stopped
@@ -122,14 +125,12 @@ HEADLINE = [
     "similarity_ann_recall_report", # all ANN variants vs exact top-k
 ]
 
-#: Queries benchmarked and reported in the per-query detail map but NOT
-#: summed into the headline ``value``: the 65-query HEADLINE sum is the
-#: driver's round-over-round trend line (42.5 → 35.3 → 35.6 s), and adding
-#: new operators to it mid-trend would read as a regression that is really
-#: a measurement-set change. New operators enter here first (per the r7
-#: deferral note, operators/__init__.py round-8 log); promoting one into
-#: HEADLINE is a deliberate, logged trend reset.
-EXTENDED = [
+#: The EXTENDED set as frozen at the END of round 9 — graduating into the
+#: v2 headline this round per the HEADLINE GRADUATION POLICY below. These
+#: 12 are timed identically to HEADLINE, excluded from the v1 ``value``
+#: (so the v1 trend line stays comparable through its final round) and
+#: INCLUDED in the overlap round's additive ``value_v2`` sum.
+GRADUATING_R9 = [
     "dedup_containment",          # asymmetric containment over LSH candidates
     "dedup_containment_probe",    # rare-shingle probe index recall path
     "events_rate_spike_zscore",   # hourly per-type rate anomaly z-scores
@@ -144,20 +145,36 @@ EXTENDED = [
     "similarity_semantic_tau_sweep",  # cosine-threshold calibration grid
 ]
 
+#: Queries benchmarked and reported in the per-query detail map but NOT
+#: summed into the headline ``value`` (v1 OR v2): adding new operators to
+#: a trend line mid-trend would read as a regression that is really a
+#: measurement-set change. New operators enter here first (per the r7
+#: deferral note, operators/__init__.py round-8 log); promoting a cohort
+#: into HEADLINE is a deliberate, logged trend reset. Emptied at the r10
+#: graduation (the r9 cohort moved to GRADUATING_R9 above) and refilling
+#: with post-r9 operators only.
+EXTENDED = [
+    "pipeline_clean_corpus_v2",   # capstone: all four dedup families composed
+]
+
 #: HEADLINE GRADUATION POLICY (a logged trend reset, never a silent one).
 #: EXTENDED keeps growing — the 65-query v1 sum cannot stay the only trend
 #: line forever. The declared schedule:
-#:   * round 10: the EXTENDED set as frozen at the END of round 9 (the 12
-#:     operators above) graduates into HEADLINE_V2 = HEADLINE + that set,
-#:     both sorted as listed. For that ONE overlap round the final line
-#:     reports BOTH sums — ``value``/``n_queries`` stay the v1 trend line
-#:     (headline_version still 1) and additive ``value_v2``/``n_queries_v2``
-#:     keys carry the v2 sum — so the two series share a round and the
-#:     reset is cross-checkable, not inferred.
-#:   * round 11 on: ``value``/``n_queries`` BECOME the v2 sum,
-#:     ``headline_version`` flips to 2, and the v1 sum is dropped. EXTENDED
-#:     empties at graduation and refills with post-r9 operators, which
-#:     graduate on the same two-round cadence when the next reset is due.
+#:   * round 10 (THIS round — the overlap round, executing the schedule as
+#:     declared in r9): the EXTENDED set as frozen at the END of round 9
+#:     (the 12 operators in GRADUATING_R9) graduates into HEADLINE_V2 =
+#:     HEADLINE + GRADUATING_R9, both sorted as listed. For this ONE
+#:     overlap round the final line reports BOTH sums —
+#:     ``value``/``n_queries`` stay the v1 trend line (headline_version
+#:     still 1) and additive ``value_v2``/``n_queries_v2`` keys carry the
+#:     v2 sum — so the two series share a round and the reset is
+#:     cross-checkable, not inferred.
+#:   * round 11 on: ``value``/``n_queries`` BECOME the v2 sum (fold
+#:     GRADUATING_R9 into HEADLINE, drop the v2 keys),
+#:     ``headline_version`` flips to 2, and the v1 sum is dropped.
+#:     EXTENDED emptied at graduation and refills with post-r9 operators
+#:     only, which graduate on the same two-round cadence when the next
+#:     reset is due.
 #: ``headline_version`` is emitted starting round 9 so every bench artifact
 #: names the measurement set its ``value`` covers; the driver's
 #: round-over-round comparison must only ever compare equal versions.
@@ -175,6 +192,7 @@ def format_output(
     extended: tuple[str, ...] | list[str] = (),
     probe_build: float | None = None,
     semantic_build: float | None = None,
+    graduating: tuple[str, ...] | list[str] = (),
 ) -> tuple[str, str]:
     """Build the two output lines. The FINAL line is the driver-parseable
     one and must stay compact (< 500 bytes — enforced here, because rounds
@@ -192,10 +210,22 @@ def format_output(
     ``extended`` names timings that are EXCLUDED from ``value`` and
     ``n_queries`` (the comparable trend line) and reported via the
     additive ``extended_sec`` / ``n_extended`` keys instead; their
-    per-query numbers sit in the same detail map as everything else."""
+    per-query numbers sit in the same detail map as everything else.
+
+    ``graduating`` names the cohort graduating into the v2 headline this
+    overlap round (the HEADLINE GRADUATION POLICY above): those timings
+    are excluded from the v1 ``value``/``n_queries`` AND from
+    ``extended_sec``, and surface via the additive ``value_v2`` /
+    ``n_queries_v2`` keys, which sum HEADLINE + graduating. The v2 keys
+    are emitted only when ``graduating`` is non-empty — the one overlap
+    round."""
     ext = set(extended)
-    headline_timings = {k: v for k, v in timings.items() if k not in ext}
+    grad = set(graduating)
+    headline_timings = {
+        k: v for k, v in timings.items() if k not in ext and k not in grad
+    }
     extended_timings = {k: v for k, v in timings.items() if k in ext}
+    graduating_timings = {k: v for k, v in timings.items() if k in grad}
     detail_line = json.dumps(
         {
             "detail": "per_query_sec",
@@ -239,6 +269,20 @@ def format_output(
                 # names the measurement set `value` covers — see the
                 # HEADLINE GRADUATION POLICY note at HEADLINE_VERSION
                 "headline_version": HEADLINE_VERSION,
+                # overlap-round v2 sum: HEADLINE + the graduating cohort
+                **(
+                    {
+                        "value_v2": round(
+                            sum(headline_timings.values())
+                            + sum(graduating_timings.values()),
+                            3,
+                        ),
+                        "n_queries_v2": len(headline_timings)
+                        + len(graduating_timings),
+                    }
+                    if graduating_timings
+                    else {}
+                ),
             }
         )
         if len(final_line) < 500:
@@ -274,7 +318,7 @@ def main() -> None:
         # single query aborted the bench before printing). Errors are recorded
         # per-query and excluded from the wall-time sum.
         errors: dict[str, str] = {}
-        for name in [*HEADLINE, *EXTENDED]:
+        for name in [*HEADLINE, *GRADUATING_R9, *EXTENDED]:
             try:
                 QUERIES[name].builder(spark, warm_dir).write.format(
                     "noop"
@@ -320,7 +364,7 @@ def main() -> None:
 
         timings: dict[str, float] = {}
         for _ in range(ITERS):
-            for name in [*HEADLINE, *EXTENDED]:
+            for name in [*HEADLINE, *GRADUATING_R9, *EXTENDED]:
                 if name in errors:
                     continue
                 builder = QUERIES[name].builder
@@ -346,6 +390,7 @@ def main() -> None:
             extended=EXTENDED,
             probe_build=probe_build,
             semantic_build=semantic_build,
+            graduating=GRADUATING_R9,
         )
         # Detail line: the complete per-query map, own line, parse-optional.
         print(detail_line)

@@ -898,6 +898,39 @@ def multimodal_clean_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def paired_pair_keys(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, ahash, caption_fp) cross-modal pair keys — the
+    LAION-shape dedup key shared by multimodal_paired_dedup (the group
+    report) and pipeline_clean_corpus_v2 (the drop-list attribution
+    stage). The image side is the shared Arrow-batched aHash kernel; the
+    caption side is the winnowing min-gram fingerprint computed fully
+    map-side over the FINGERPRINT_MAX_CHARS prefix cap (array_min over
+    the gram transform — bounded per-row transient, no per-doc gram
+    shuffle). Only docs with BOTH a decodable payload and a >= 8-char
+    caption emit a key (inner join)."""
+    payload = framed_payload(_RZ_HEADER, _RZ_PIX)
+    hashed = ahash_features(docs.select("doc_id", payload.alias("payload")))
+    captions = (
+        docs.filter(F.length("text") >= 8)
+        .select(
+            "doc_id",
+            "source",
+            F.substring("text", 1, FINGERPRINT_MAX_CHARS).alias("ct"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.array_min(
+                F.expr(
+                    "transform(sequence(1, length(ct) - 7),"
+                    " i -> md5(substr(ct, i, 8)))"
+                )
+            ).alias("caption_fp"),
+        )
+    )
+    return hashed.join(captions, "doc_id")
+
+
 @query(
     "multimodal_paired_dedup",
     oracle=f"""
@@ -951,33 +984,9 @@ def multimodal_clean_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def multimodal_paired_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = repartition_for_compute(load_table(spark, sf_dir, "documents"))
-    payload = framed_payload(_RZ_HEADER, _RZ_PIX)
-    hashed = ahash_features(docs.select("doc_id", payload.alias("payload")))
-    # The gram transform materializes its full md5 array inside one row
-    # before array_min reduces it — capped at the shared winnowing prefix
-    # (FINGERPRINT_MAX_CHARS, ~130 KB transient per row) so a multi-MB
-    # caption can't OOM an executor; mirrored in the oracle's `cap` CTE.
-    captions = (
-        docs.filter(F.length("text") >= 8)
-        .select(
-            "doc_id",
-            "source",
-            F.substring("text", 1, FINGERPRINT_MAX_CHARS).alias("ct"),
-        )
-        .select(
-            "doc_id",
-            "source",
-            F.array_min(
-                F.expr(
-                    "transform(sequence(1, length(ct) - 7),"
-                    " i -> md5(substr(ct, i, 8)))"
-                )
-            ).alias("caption_fp"),
-        )
-    )
     n_sources = F.countDistinct("source")
     return (
-        hashed.join(captions, "doc_id")
+        paired_pair_keys(docs)
         .groupBy("ahash", "caption_fp")
         .agg(
             F.count(F.lit(1)).alias("n_pairs"),

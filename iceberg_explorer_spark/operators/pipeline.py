@@ -1223,3 +1223,266 @@ def pipeline_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("survival_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+def _clean_corpus_v2_oracle() -> str:
+    """Oracle for the v2 flagship, composed lazily from the other
+    families' fragments (imported at call time to keep module import
+    order free of cycles): LSH candidates (dedup), SRP-bucketed cosine
+    closure (similarity), aHash + capped caption fingerprint
+    (multimodal/text)."""
+    from iceberg_explorer_spark.operators.multimodal import (
+        _ahash_sql,
+        _ASCII_ONLY_RE,
+        _RZ_PIX,
+    )
+    from iceberg_explorer_spark.operators.similarity import (
+        _EMB_SQL,
+        _srp_code_duckdb,
+        NEAR_DUP_TAU,
+    )
+    from iceberg_explorer_spark.operators.text import FINGERPRINT_MAX_CHARS
+
+    return f"""
+    WITH RECURSIVE base AS (
+      SELECT doc_id, text, lang, source,
+             LEN(regexp_split_to_array(lower(trim(text)), '\\s+')) AS n_words,
+             COALESCE(LENGTH(text) > 0
+               AND LEN(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                   >= {MIN_WORDS}, FALSE) AS quality_ok
+      FROM documents
+    ),
+    exact_canon AS (
+      SELECT MIN(doc_id) AS doc_id FROM base WHERE quality_ok
+      GROUP BY md5(text)
+    ),
+    near_dups AS (
+      SELECT DISTINCT doc_b AS doc_id FROM ({_LSH_CANDIDATES_SQL})
+    ),
+    coded AS (
+      SELECT vec_id, embedding, {_srp_code_duckdb('embedding')} AS bucket
+      FROM {_EMB_SQL}
+    ),
+    prs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])), 6)
+               AS cos_sim
+      FROM coded a JOIN coded b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ),
+    sedges AS (SELECT id_a, id_b FROM prs WHERE cos_sim >= {NEAR_DUP_TAU}),
+    und AS (
+      SELECT id_a AS s, id_b AS d FROM sedges
+      UNION ALL
+      SELECT id_b, id_a FROM sedges
+    ),
+    reach(s, d) AS (
+      SELECT s, d FROM und
+      UNION
+      SELECT r.s, u.d FROM reach r JOIN und u ON r.d = u.s
+    ),
+    scc AS (SELECT s AS node, LEAST(s, MIN(d)) AS cluster_id
+            FROM reach GROUP BY s),
+    sem_drop AS (SELECT node AS doc_id FROM scc WHERE node <> cluster_id),
+    pa AS (
+      SELECT doc_id, regexp_replace(text, '{_ASCII_ONLY_RE}', '', 'g') AS t
+      FROM documents
+    ),
+    ph AS (
+      SELECT doc_id, {_ahash_sql()} AS ahash
+      FROM pa WHERE length(t) >= {_RZ_PIX}
+    ),
+    pcap AS (
+      SELECT doc_id, substr(text, 1, {FINGERPRINT_MAX_CHARS}) AS ct
+      FROM documents WHERE LENGTH(text) >= 8
+    ),
+    pfp AS (
+      SELECT doc_id, MIN(md5(substr(ct, i, 8))) AS caption_fp
+      FROM pcap, UNNEST(generate_series(1, LENGTH(ct) - 7)) AS tt(i)
+      GROUP BY doc_id
+    ),
+    pk AS (
+      SELECT ph.doc_id, ph.ahash, pfp.caption_fp
+      FROM ph JOIN pfp USING (doc_id)
+    ),
+    pg AS (
+      SELECT ahash, caption_fp, MIN(doc_id) AS keep_id
+      FROM pk GROUP BY ahash, caption_fp HAVING COUNT(*) > 1
+    ),
+    paired_drop AS (
+      SELECT pk.doc_id FROM pk
+      JOIN pg ON pk.ahash = pg.ahash AND pk.caption_fp = pg.caption_fp
+      WHERE pk.doc_id <> pg.keep_id
+    ),
+    status AS (
+      SELECT b.source, b.lang, b.n_words, b.text,
+             CASE
+               WHEN NOT b.quality_ok THEN 'quality'
+               WHEN ec.doc_id IS NULL THEN 'exact'
+               WHEN nd.doc_id IS NOT NULL THEN 'near'
+               WHEN sd.doc_id IS NOT NULL THEN 'semantic'
+               WHEN pd.doc_id IS NOT NULL THEN 'paired'
+               ELSE 'kept'
+             END AS drop_stage
+      FROM base b
+      LEFT JOIN exact_canon ec ON b.doc_id = ec.doc_id
+      LEFT JOIN near_dups nd ON b.doc_id = nd.doc_id
+      LEFT JOIN sem_drop sd ON b.doc_id = sd.doc_id
+      LEFT JOIN paired_drop pd ON b.doc_id = pd.doc_id
+    )
+    SELECT source, lang,
+           COUNT(*) AS n_docs,
+           COUNT(*) FILTER (WHERE drop_stage = 'quality') AS n_drop_quality,
+           COUNT(*) FILTER (WHERE drop_stage = 'exact') AS n_drop_exact,
+           COUNT(*) FILTER (WHERE drop_stage = 'near') AS n_drop_near,
+           COUNT(*) FILTER (WHERE drop_stage = 'semantic') AS n_drop_semantic,
+           COUNT(*) FILTER (WHERE drop_stage = 'paired') AS n_drop_paired,
+           COUNT(*) FILTER (WHERE drop_stage = 'kept') AS n_kept,
+           CAST(COALESCE(SUM(n_words) FILTER (WHERE drop_stage = 'kept'), 0)
+                AS BIGINT) AS total_words_kept,
+           CAST(COALESCE(SUM(CAST(CEIL(LENGTH(text) / 4.0) AS BIGINT))
+                           FILTER (WHERE drop_stage = 'kept'), 0)
+                AS BIGINT) AS est_bpe_tokens_kept
+    FROM status
+    GROUP BY source, lang
+    """
+
+
+@query(
+    "pipeline_clean_corpus_v2",
+    oracle=_clean_corpus_v2_oracle(),
+    doc="The v2 curation flagship: ALL FOUR dedup families composed into "
+    "one keep-list with per-family drop attribution. Waterfall order — "
+    "quality gate, exact (min doc per content digest), near (LSH "
+    "candidate drop list), semantic (non-canonical members of SemDeDup "
+    "cosine clusters), cross-modal paired (non-canonical members of "
+    "duplicated aHash+caption-fingerprint pair groups) — each doc is "
+    "claimed by its FIRST failing stage, so the per-(source, lang) "
+    "report's n_drop_* columns partition n_docs exactly and n_kept is "
+    "the v2 keep-list size (a strict subset of v1's: v1 stops at the "
+    "near stage). Zero new kernels: the near list reads the session- "
+    "shared LSH candidate checkpoint, the semantic list reads the "
+    "shared cluster-label checkpoint (embeddings vec_id == doc_id, the "
+    "same identity dedup_semantic_keep_best uses), and the pair keys "
+    "reuse the shared aHash kernel + capped caption fingerprint "
+    "(multimodal.paired_pair_keys). One wide left-join spine over four "
+    "TINY drop/keep lists (each a digest/id projection — AQE broadcasts "
+    "them from measured size; at 100 TB each list is a parquet artifact "
+    "and the spine is the only full-corpus pass), then ONE "
+    "partial-aggregated shuffle on (source, lang). reference: no "
+    "analogue — training-pipeline extension.",
+)
+def pipeline_clean_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_explorer_spark.operators.multimodal import paired_pair_keys
+    from iceberg_explorer_spark.operators.similarity import (
+        shared_semantic_labels,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    # n_words first, quality_ok derived from the column: the regex split
+    # is the expensive expression and must evaluate once per row, not
+    # once per reference
+    base = docs.select(
+        "doc_id",
+        "text",
+        "lang",
+        "source",
+        F.size(_tokens()).alias("n_words"),
+    ).withColumn(
+        "quality_ok",
+        F.coalesce(
+            (F.length("text") > 0)
+            & (F.col("n_words") >= F.lit(MIN_WORDS)),
+            F.lit(False),
+        ),
+    )
+    # exact: survivors are the min doc_id per digest among quality docs;
+    # only (digest, id) shuffles
+    exact_canon = (
+        base.filter("quality_ok")
+        .select(F.md5("text").alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", F.lit(True).alias("is_canon"))
+    )
+    near_dups = (
+        shared_lsh_candidates(spark, sf_dir)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.lit(True).alias("near_drop"))
+    )
+    # semantic: labels converge to the component MIN, so a doc is a
+    # non-canonical cluster member exactly when its label differs from
+    # its own id (cluster singletons never enter the label table)
+    sem_drops = (
+        shared_semantic_labels(spark, sf_dir)
+        .filter(F.col("cluster_id") != F.col("id_a"))
+        .select(
+            F.col("id_a").alias("doc_id"), F.lit(True).alias("sem_drop")
+        )
+    )
+    # paired: non-canonical members of duplicated pair-key groups, as a
+    # MIN/COUNT window over the pair-key partition — the groupBy+rejoin
+    # shape would reference the kernel-produced pair-key frame from TWO
+    # plan branches and run the aHash decode twice (the clean-manifest
+    # lesson, pinned by test_clean_corpus_v2_one_kernel_checkpointed_
+    # lists); the window pays the same pair-key shuffle once and group
+    # sizes are bounded by the corpus duplication factor
+    from pyspark.sql import Window as W
+
+    pk = paired_pair_keys(docs).select("doc_id", "ahash", "caption_fp")
+    pw = W.partitionBy("ahash", "caption_fp")
+    paired_drops = (
+        pk.withColumn("keep_id", F.min("doc_id").over(pw))
+        .withColumn("n", F.count(F.lit(1)).over(pw))
+        .filter((F.col("n") > 1) & (F.col("doc_id") != F.col("keep_id")))
+        .select("doc_id", F.lit(True).alias("paired_drop"))
+    )
+    status = (
+        base.join(exact_canon, "doc_id", "left")
+        .join(near_dups, "doc_id", "left")
+        .join(sem_drops, "doc_id", "left")
+        .join(paired_drops, "doc_id", "left")
+        .select(
+            "source",
+            "lang",
+            "n_words",
+            "text",
+            F.when(~F.col("quality_ok"), F.lit("quality"))
+            .when(F.col("is_canon").isNull(), F.lit("exact"))
+            .when(F.col("near_drop").isNotNull(), F.lit("near"))
+            .when(F.col("sem_drop").isNotNull(), F.lit("semantic"))
+            .when(F.col("paired_drop").isNotNull(), F.lit("paired"))
+            .otherwise(F.lit("kept"))
+            .alias("drop_stage"),
+        )
+    )
+    kept = F.col("drop_stage") == "kept"
+
+    def _n(stage: str):
+        return F.count(F.when(F.col("drop_stage") == stage, 1)).alias(
+            f"n_drop_{stage}" if stage != "kept" else "n_kept"
+        )
+
+    return status.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        _n("quality"),
+        _n("exact"),
+        _n("near"),
+        _n("semantic"),
+        _n("paired"),
+        _n("kept"),
+        F.coalesce(F.sum(F.when(kept, F.col("n_words"))), F.lit(0))
+        .cast("bigint")
+        .alias("total_words_kept"),
+        F.coalesce(
+            F.sum(
+                F.when(kept, F.ceil(F.length("text") / 4.0).cast("bigint"))
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("est_bpe_tokens_kept"),
+    )

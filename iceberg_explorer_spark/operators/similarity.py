@@ -30,8 +30,15 @@ DIM = 64
 N_PLANES = 4  # 16 buckets; enough selectivity at test scale
 QUERY_VEC_ID = 0
 #: near-dup cosine threshold. Production pipelines run ~0.95; the synthetic
-#: corpus has no true duplicates (max pairwise cos ≈ 0.51), so the threshold
-#: sits where the distribution has mass to keep the operator exercised.
+#: corpus has no true duplicates, so the threshold sits where the
+#: distribution has mass to keep the operator exercised. MEASURED, not
+#: asserted: the similarity_semantic_tau_sweep grid at sf0.1 (SCALE.md
+#: "tau-sweep calibration record") shows 0.40 is the knee — 179 edges
+#: (0.14% of bucketed pairs) vs 40 at 0.45 (too sparse for differential
+#: evidence) and 649 at 0.35 (noise edges triple the graph); the corpus
+#: has ZERO pairs >= 0.65, so a production ~0.9 setting would leave
+#: nothing to cluster. Re-read this constant off the same sweep on any
+#: real corpus.
 NEAR_DUP_TAU = 0.4
 IVF_K = 8  # coarse-quantizer lists
 IVF_NPROBE = 2
@@ -1475,12 +1482,16 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: cross-split contamination threshold. Production eval-decontamination
-#: runs ~0.9+; on the synthetic corpus (max pairwise cos ≈ 0.51, no true
-#: duplicates) the threshold sits slightly BELOW the near-dup tau —
-#: decontamination is deliberately higher-recall than dedup (a missed
-#: near-dup wastes tokens; a missed contamination corrupts an eval), and
-#: 0.35 keeps a populated report at every test scale (10 flagged evals
-#: at sf0.01 vs 1 at 0.40) so the differential evidence is non-trivial.
+#: runs ~0.9+; on the synthetic corpus (no true duplicates) the threshold
+#: sits slightly BELOW the near-dup tau — decontamination is deliberately
+#: higher-recall than dedup (a missed near-dup wastes tokens; a missed
+#: contamination corrupts an eval), and 0.35 keeps a populated report at
+#: every test scale (10 flagged evals at sf0.01 vs 1 at 0.40) so the
+#: differential evidence is non-trivial. MEASURED on the
+#: similarity_semantic_tau_sweep grid at sf0.1 (SCALE.md "tau-sweep
+#: calibration record"): 649 edges at 0.35 vs 179 at 0.40 — one notch
+#: more permissive than NEAR_DUP_TAU by design, per the recall argument
+#: above. Re-read off the same sweep on any real corpus.
 DECON_TAU = 0.35
 
 

@@ -90,6 +90,13 @@ OP_TABLE = {
     "dedup_lsh_band_tuning": "documents",
     # round-9 addition (cosine-threshold calibration grid)
     "similarity_semantic_tau_sweep": "embeddings",
+    # round-10 addition (v2 flagship: four dedup families, attributed).
+    # documents is the corpus-proportional input (quality/exact/near/
+    # paired all scale with it); the 1x embeddings stay attached, so the
+    # semantic drop list covers only base-id docs — the replicated ids
+    # carry no embeddings, exactly like a production corpus slice whose
+    # embedding run hasn't caught up
+    "pipeline_clean_corpus_v2": "documents",
 }
 
 

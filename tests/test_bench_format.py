@@ -14,7 +14,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from bench import EXTENDED, HEADLINE, format_output  # noqa: E402
+from bench import EXTENDED, GRADUATING_R9, HEADLINE, format_output  # noqa: E402
 
 
 def _fake_timings(n):
@@ -46,24 +46,27 @@ def test_final_line_compact_at_current_headline_size():
 def test_extended_queries_excluded_from_trend_value():
     """EXTENDED operators are timed and land in the detail map, but the
     final line's value/n_queries stay the comparable HEADLINE-only sum —
-    their cost surfaces via the additive extended_sec/n_extended keys."""
+    their cost surfaces via the additive extended_sec/n_extended keys.
+    (Synthetic extended list: the real EXTENDED refilled at the r10
+    graduation and its size floats; the mechanics are list-agnostic.)"""
+    ext = ["ext_op_a", "ext_op_b"]
     timings = {name: 1.0 for name in HEADLINE}
-    timings.update({name: 10.0 for name in EXTENDED})
+    timings.update({name: 10.0 for name in ext})
     detail, final = format_output(
         timings,
         {},
         0.1,
         2,
         candidate_build=1.0,
-        extended=EXTENDED,
+        extended=ext,
         probe_build=0.5,
     )
     assert len(final) < 500, len(final)
     parsed = json.loads(final)
     assert parsed["value"] == round(1.0 * len(HEADLINE), 3)
     assert parsed["n_queries"] == len(HEADLINE)
-    assert parsed["extended_sec"] == round(10.0 * len(EXTENDED), 3)
-    assert parsed["n_extended"] == len(EXTENDED)
+    assert parsed["extended_sec"] == round(10.0 * len(ext), 3)
+    assert parsed["n_extended"] == len(ext)
     assert parsed["probe_build"] == 0.5
     assert json.loads(detail)["probe_build"] == 0.5
     # full map (headline + extended) on the detail line
@@ -71,12 +74,17 @@ def test_extended_queries_excluded_from_trend_value():
 
 
 def test_extended_registry_membership():
-    """Every EXTENDED name must be a registered query and must NOT also be
-    in HEADLINE (double membership would double-count its time)."""
+    """Every EXTENDED / GRADUATING_R9 name must be a registered query and
+    the three benchmark sets must be pairwise disjoint (overlap would
+    double-count an operator's time in one of the sums)."""
     from iceberg_explorer_spark.operators import QUERIES
 
     assert not set(EXTENDED) & set(HEADLINE)
-    missing = [n for n in [*HEADLINE, *EXTENDED] if n not in QUERIES]
+    assert not set(GRADUATING_R9) & set(HEADLINE)
+    assert not set(GRADUATING_R9) & set(EXTENDED)
+    missing = [
+        n for n in [*HEADLINE, *GRADUATING_R9, *EXTENDED] if n not in QUERIES
+    ]
     assert not missing, missing
 
 
@@ -135,28 +143,47 @@ def test_slowest_map_excludes_extended_entries():
 
 def test_headline_version_and_graduation_policy():
     """Pins the HEADLINE graduation mechanics declared at
-    bench.HEADLINE_VERSION: (1) every final line names the measurement
-    set its `value` covers via an integer `headline_version` key; (2)
-    this round the version is 1 and `value` sums exactly the v1 HEADLINE
-    set (EXTENDED excluded); (3) the line stays compact with the key
-    present even at the post-graduation set size (v1+v2 overlap round
-    adds two keys and ~74 more queries — simulate that width)."""
+    bench.HEADLINE_VERSION, now EXECUTING the r10 overlap round: (1)
+    every final line names the measurement set its `value` covers via an
+    integer `headline_version` key; (2) this round the version is STILL
+    1 and `value` sums exactly the v1 HEADLINE set (GRADUATING_R9 and
+    EXTENDED both excluded); (3) the additive `value_v2`/`n_queries_v2`
+    keys carry HEADLINE + GRADUATING_R9 — the v2 sum the r11 trend line
+    resets to — and the line stays compact with all keys present."""
     import bench
 
-    timings = {name: 1.234 for name in [*HEADLINE, *EXTENDED]}
+    timings = {name: 1.234 for name in HEADLINE}
+    timings.update({name: 2.0 for name in GRADUATING_R9})
+    timings.update({name: 10.0 for name in EXTENDED})
     _, final = format_output(
-        timings, {}, 0.1, 2, candidate_build=1.337, extended=EXTENDED
+        timings,
+        {},
+        0.1,
+        2,
+        candidate_build=1.337,
+        extended=EXTENDED,
+        graduating=GRADUATING_R9,
     )
+    assert len(final) < 500, len(final)
     parsed = json.loads(final)
     assert isinstance(parsed["headline_version"], int)
     assert parsed["headline_version"] == bench.HEADLINE_VERSION == 1
     assert parsed["n_queries"] == len(HEADLINE)
     assert parsed["value"] == round(1.234 * len(HEADLINE), 3)
-    # graduation-round width: v2 = HEADLINE + the frozen r9 EXTENDED set
-    wide = _fake_timings(len(HEADLINE) + len(EXTENDED))
-    _, final_wide = format_output(wide, {}, 0.1, 2, candidate_build=1.337)
-    assert len(final_wide) < 500
-    assert "headline_version" in json.loads(final_wide)
+    # the overlap round's v2 sum: HEADLINE + the graduating cohort,
+    # EXTENDED still outside both sums
+    assert parsed["n_queries_v2"] == len(HEADLINE) + len(GRADUATING_R9)
+    assert parsed["value_v2"] == round(
+        1.234 * len(HEADLINE) + 2.0 * len(GRADUATING_R9), 3
+    )
+    assert parsed["extended_sec"] == round(10.0 * len(EXTENDED), 3)
+    # graduating entries never fill the slowest map (it explains `value`)
+    assert not set(parsed["queries"]) & set(GRADUATING_R9)
+    # without a graduating cohort (r11 on) the v2 keys are absent
+    _, final_plain = format_output(
+        {name: 1.0 for name in HEADLINE}, {}, 0.1, 2
+    )
+    assert "value_v2" not in json.loads(final_plain)
     # the policy text itself must stay in the source next to the constant
     import inspect
 

@@ -1041,3 +1041,21 @@ def test_semantic_tau_sweep_one_gemm_tiny_tail(spark):
     # the O(1)-row tail reading the materialized cell counts
     assert "Scan ExistingRDD" in plan
     assert "FlatMapGroupsInPandas" not in plan
+
+
+def test_clean_corpus_v2_one_kernel_checkpointed_lists(spark):
+    """pipeline_clean_corpus_v2 composes all four dedup families into one
+    attribution spine: exactly ONE Arrow-batched Python kernel (the
+    shared aHash decode — the caption fingerprint, the digest dedup and
+    the quality gate are pure JVM expressions), the near and semantic
+    drop lists are consumed as materialized session checkpoints (Scan
+    ExistingRDD — the LSH candidate and cluster-label artifacts are
+    built once per corpus, never re-derived per report), and nothing is
+    hint-forced to broadcast (every drop list grows with the corpus;
+    AQE converts from measured sizes)."""
+    df = build(spark, "pipeline_clean_corpus_v2")
+    plan = pi.physical_plan(df)
+    assert plan.count("MapInPandas") == 1
+    assert "BatchEvalPython" not in plan
+    assert "Scan ExistingRDD" in plan
+    assert pi.broadcast_hint_count(df) == 0

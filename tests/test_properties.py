@@ -2438,3 +2438,83 @@ def test_semantic_tau_sweep_exact_grid_counts(spark, tmp_path):
         spec.builder(spark, d2), con2, spec.oracle,
         "similarity_semantic_tau_sweep",
     )
+
+
+def test_clean_corpus_v2_waterfall_attribution(spark, tmp_path):
+    """pipeline_clean_corpus_v2's distinguishing claims on a crafted
+    corpus: (1) attribution is a WATERFALL — an identical-text pair is
+    in the exact, near (LSH candidate) AND paired (same aHash + caption
+    fingerprint) drop lists, but is claimed by 'exact' alone; (2) a
+    high-Jaccard rewrite is claimed by 'near'; (3) an embedding
+    duplicate with distinct text is claimed by 'semantic' (and docs
+    without embeddings are never semantic-dropped); (4) the n_drop_*
+    columns + n_kept partition n_docs exactly; (5) the v2 keep-list is
+    a strict subset of v1's on the same corpus (v1 stops at the near
+    stage). Oracle-checked on the same corpus."""
+    import duckdb
+
+    from iceberg_explorer_spark.operators import QUERIES
+    from tests.conftest import assert_matches_oracle
+
+    words = [f"token{i} " for i in range(25)]
+    t_dup = "".join(words).strip()
+    t_near = t_dup.replace("token3 ", "swapped ")
+    t5 = " ".join(f"alpha{i} beta{i % 7}" for i in range(15))
+    t6 = " ".join(f"gamma{i} delta{i % 5}" for i in range(15))
+    t7 = " ".join(f"omega{i} sigma{i % 3}" for i in range(15))
+    rows = [
+        (1, t_dup, "en", "web", len(t_dup)),
+        (2, t_dup, "en", "web", len(t_dup)),   # exact dup (also near+paired)
+        (3, t_near, "en", "web", len(t_near)),  # near-dup candidate
+        (4, "too short", "en", "web", 9),       # quality fail
+        (5, t5, "en", "cc", len(t5)),
+        (6, t6, "en", "cc", len(t6)),           # semantic dup of 5 (embedding)
+        (7, t7, "en", "cc", len(t7)),           # kept, no embedding
+    ]
+    d = str(tmp_path / "v2corpus")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    vec = [1.0] + [0.0] * 63
+    emb = [(5, vec, 0), (6, vec, 0)]
+    spark.createDataFrame(
+        emb, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+
+    spec = QUERIES["pipeline_clean_corpus_v2"]
+    got = {(r["source"], r["lang"]): r for r in spec.builder(spark, d).collect()}
+    web = got[("web", "en")]
+    assert web["n_docs"] == 4
+    assert web["n_drop_quality"] == 1   # doc 4
+    assert web["n_drop_exact"] == 1     # doc 2, NOT double-claimed
+    assert web["n_drop_near"] == 1      # doc 3
+    assert web["n_drop_semantic"] == 0 and web["n_drop_paired"] == 0
+    assert web["n_kept"] == 1           # doc 1
+    cc = got[("cc", "en")]
+    assert cc["n_docs"] == 3
+    assert cc["n_drop_semantic"] == 1   # doc 6 (5 is the cluster min)
+    assert cc["n_drop_quality"] == 0 and cc["n_drop_exact"] == 0
+    assert cc["n_drop_near"] == 0 and cc["n_drop_paired"] == 0
+    assert cc["n_kept"] == 2            # docs 5 and 7
+    # (4) partition property on every row
+    for r in got.values():
+        assert (
+            r["n_drop_quality"] + r["n_drop_exact"] + r["n_drop_near"]
+            + r["n_drop_semantic"] + r["n_drop_paired"] + r["n_kept"]
+            == r["n_docs"]
+        ), r
+    # (5) v2 kept strictly below v1 kept (v1 keeps the semantic dup)
+    v1 = QUERIES["pipeline_clean_corpus"].builder(spark, d).collect()
+    assert sum(r["n_docs_kept"] for r in v1) == 4  # 1, 5, 6, 7
+    assert sum(r["n_kept"] for r in got.values()) == 3
+
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{d}/{t}.parquet/*.parquet')"
+        )
+    assert_matches_oracle(
+        spec.builder(spark, d), con, spec.oracle, "pipeline_clean_corpus_v2"
+    )
