@@ -2393,6 +2393,11 @@ def _tuning_cfgs_sql() -> str:
 def dedup_lsh_band_tuning(
     spark: SparkSession, sf_dir: str, sample_mod: int = 1
 ) -> DataFrame:
+    if sample_mod < 1:
+        # loud, not silent: a sign/zero bug upstream would otherwise run
+        # the full-corpus sweep (the exact verify bill the parameter
+        # exists to avoid) while reporting numbers labeled as sampled
+        raise ValueError(f"sample_mod must be >= 1, got {sample_mod}")
     sh = shared_hashed_shingles(spark, sf_dir)
     if sample_mod > 1:
         # Deterministic 1/mod doc sample: hash-mod on doc_id, applied to

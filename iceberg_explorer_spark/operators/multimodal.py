@@ -898,6 +898,21 @@ def multimodal_clean_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _caption_fp_sql() -> str:
+    """The capped caption-fingerprint oracle fragment — one (doc_id,
+    caption_fp) row per >= 8-char caption, MIN md5 8-gram over the
+    FINGERPRINT_MAX_CHARS prefix. The single SQL source for every pair-key
+    oracle (multimodal_paired_dedup, pipeline_clean_corpus_v2); a
+    divergent copy in one oracle would silently split the pair-key domain
+    the two operators must share (same discipline as _ahash_sql)."""
+    return f"""
+      SELECT doc_id, MIN(md5(substr(ct, i, 8))) AS caption_fp
+      FROM (SELECT doc_id, substr(text, 1, {FINGERPRINT_MAX_CHARS}) AS ct
+            FROM documents WHERE LENGTH(text) >= 8) caps,
+           UNNEST(generate_series(1, LENGTH(ct) - 7)) AS tt(i)
+      GROUP BY doc_id"""
+
+
 def paired_pair_keys(docs: DataFrame) -> DataFrame:
     """(doc_id, source, ahash, caption_fp) cross-modal pair keys — the
     LAION-shape dedup key shared by multimodal_paired_dedup (the group
@@ -943,15 +958,7 @@ def paired_pair_keys(docs: DataFrame) -> DataFrame:
       SELECT doc_id, source, {_ahash_sql()} AS ahash
       FROM a WHERE length(t) >= {_RZ_PIX}
     ),
-    cap AS (
-      SELECT doc_id, substr(text, 1, {FINGERPRINT_MAX_CHARS}) AS ct
-      FROM documents WHERE LENGTH(text) >= 8
-    ),
-    fp AS (
-      SELECT doc_id, MIN(md5(substr(ct, i, 8))) AS caption_fp
-      FROM cap, UNNEST(generate_series(1, LENGTH(ct) - 7)) AS tt(i)
-      GROUP BY doc_id
-    )
+    fp AS ({_caption_fp_sql()})
     SELECT h.ahash, fp.caption_fp,
            COUNT(*) AS n_pairs,
            COUNT(DISTINCT h.source) AS n_sources,

@@ -25,7 +25,10 @@ from iceberg_explorer_spark.operators.dedup import (
 )
 from iceberg_explorer_spark.operators.registry import query
 from iceberg_explorer_spark.operators.text import _tokens
-from iceberg_explorer_spark.sources.registry import load_table
+from iceberg_explorer_spark.sources.registry import (
+    load_table,
+    repartition_for_compute,
+)
 
 #: quality gate: minimum whitespace words per document
 MIN_WORDS = 20
@@ -1235,6 +1238,7 @@ def _clean_corpus_v2_oracle() -> str:
     from iceberg_explorer_spark.operators.multimodal import (
         _ahash_sql,
         _ASCII_ONLY_RE,
+        _caption_fp_sql,
         _RZ_PIX,
     )
     from iceberg_explorer_spark.operators.similarity import (
@@ -1242,7 +1246,6 @@ def _clean_corpus_v2_oracle() -> str:
         _srp_code_duckdb,
         NEAR_DUP_TAU,
     )
-    from iceberg_explorer_spark.operators.text import FINGERPRINT_MAX_CHARS
 
     return f"""
     WITH RECURSIVE base AS (
@@ -1285,7 +1288,23 @@ def _clean_corpus_v2_oracle() -> str:
     ),
     scc AS (SELECT s AS node, LEAST(s, MIN(d)) AS cluster_id
             FROM reach GROUP BY s),
-    sem_drop AS (SELECT node AS doc_id FROM scc WHERE node <> cluster_id),
+    surv3 AS (
+      SELECT b.doc_id FROM base b
+      JOIN exact_canon ec ON b.doc_id = ec.doc_id
+      LEFT JOIN near_dups nd ON b.doc_id = nd.doc_id
+      WHERE b.quality_ok AND nd.doc_id IS NULL
+    ),
+    sem_drop AS (
+      SELECT doc_id FROM (
+        SELECT c.node AS doc_id,
+               MIN(c.node) OVER (PARTITION BY c.cluster_id) AS keep_id
+        FROM scc c JOIN surv3 s ON s.doc_id = c.node
+      ) WHERE doc_id <> keep_id
+    ),
+    surv4 AS (
+      SELECT doc_id FROM surv3
+      WHERE doc_id NOT IN (SELECT doc_id FROM sem_drop)
+    ),
     pa AS (
       SELECT doc_id, regexp_replace(text, '{_ASCII_ONLY_RE}', '', 'g') AS t
       FROM documents
@@ -1294,27 +1313,18 @@ def _clean_corpus_v2_oracle() -> str:
       SELECT doc_id, {_ahash_sql()} AS ahash
       FROM pa WHERE length(t) >= {_RZ_PIX}
     ),
-    pcap AS (
-      SELECT doc_id, substr(text, 1, {FINGERPRINT_MAX_CHARS}) AS ct
-      FROM documents WHERE LENGTH(text) >= 8
-    ),
-    pfp AS (
-      SELECT doc_id, MIN(md5(substr(ct, i, 8))) AS caption_fp
-      FROM pcap, UNNEST(generate_series(1, LENGTH(ct) - 7)) AS tt(i)
-      GROUP BY doc_id
-    ),
+    pfp AS ({_caption_fp_sql()}),
     pk AS (
       SELECT ph.doc_id, ph.ahash, pfp.caption_fp
       FROM ph JOIN pfp USING (doc_id)
     ),
-    pg AS (
-      SELECT ahash, caption_fp, MIN(doc_id) AS keep_id
-      FROM pk GROUP BY ahash, caption_fp HAVING COUNT(*) > 1
-    ),
     paired_drop AS (
-      SELECT pk.doc_id FROM pk
-      JOIN pg ON pk.ahash = pg.ahash AND pk.caption_fp = pg.caption_fp
-      WHERE pk.doc_id <> pg.keep_id
+      SELECT doc_id FROM (
+        SELECT pk.doc_id,
+               MIN(pk.doc_id) OVER (PARTITION BY pk.ahash, pk.caption_fp)
+                 AS keep_id
+        FROM pk JOIN surv4 s ON s.doc_id = pk.doc_id
+      ) WHERE doc_id <> keep_id
     ),
     status AS (
       SELECT b.source, b.lang, b.n_words, b.text,
@@ -1356,13 +1366,18 @@ def _clean_corpus_v2_oracle() -> str:
     doc="The v2 curation flagship: ALL FOUR dedup families composed into "
     "one keep-list with per-family drop attribution. Waterfall order — "
     "quality gate, exact (min doc per content digest), near (LSH "
-    "candidate drop list), semantic (non-canonical members of SemDeDup "
-    "cosine clusters), cross-modal paired (non-canonical members of "
-    "duplicated aHash+caption-fingerprint pair groups) — each doc is "
-    "claimed by its FIRST failing stage, so the per-(source, lang) "
-    "report's n_drop_* columns partition n_docs exactly and n_kept is "
-    "the v2 keep-list size (a strict subset of v1's: v1 stops at the "
-    "near stage). Zero new kernels: the near list reads the session- "
+    "candidate drop list), semantic (SemDeDup cosine clusters), "
+    "cross-modal paired (aHash+caption-fingerprint pair groups) — each "
+    "doc is claimed by its FIRST failing stage, so the per-(source, "
+    "lang) report's n_drop_* columns partition n_docs exactly and "
+    "n_kept is the v2 keep-list size (a strict subset of v1's: v1 stops "
+    "at the near stage). Canonical selection in the semantic and paired "
+    "stages is SURVIVOR-AWARE: each group keeps the min doc_id among "
+    "members that passed every earlier stage, so a group whose global "
+    "min already fell to quality/exact/near still keeps one "
+    "representative instead of losing every copy (the same property "
+    "the exact stage gets from restricting its canon to quality "
+    "survivors). Zero new kernels: the near list reads the session- "
     "shared LSH candidate checkpoint, the semantic list reads the "
     "shared cluster-label checkpoint (embeddings vec_id == doc_id, the "
     "same identity dedup_semantic_keep_best uses), and the pair keys "
@@ -1413,31 +1428,60 @@ def pipeline_clean_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .select("doc_id", F.lit(True).alias("near_drop"))
     )
-    # semantic: labels converge to the component MIN, so a doc is a
-    # non-canonical cluster member exactly when its label differs from
-    # its own id (cluster singletons never enter the label table)
-    sem_drops = (
-        shared_semantic_labels(spark, sf_dir)
-        .filter(F.col("cluster_id") != F.col("id_a"))
-        .select(
-            F.col("id_a").alias("doc_id"), F.lit(True).alias("sem_drop")
-        )
-    )
-    # paired: non-canonical members of duplicated pair-key groups, as a
-    # MIN/COUNT window over the pair-key partition — the groupBy+rejoin
-    # shape would reference the kernel-produced pair-key frame from TWO
-    # plan branches and run the aHash decode twice (the clean-manifest
-    # lesson, pinned by test_clean_corpus_v2_one_kernel_checkpointed_
-    # lists); the window pays the same pair-key shuffle once and group
-    # sizes are bounded by the corpus duplication factor
+    # Canonical selection for the LAST TWO stages is SURVIVOR-AWARE: a
+    # group's representative is the min doc_id among members that
+    # survived every EARLIER stage, not the global group min — otherwise
+    # a pair/cluster whose min-id member already fell to quality/exact/
+    # near would lose every copy from the keep-list instead of keeping
+    # one (the exact stage has always had this property: exact_canon
+    # above restricts to quality survivors). The survivor id-list is the
+    # per-stage keep-list artifact a production run materializes anyway;
+    # it feeds TWO branches (semantic members, paired survivors), so one
+    # narrow localCheckpoint per the standing multi-branch discipline.
     from pyspark.sql import Window as W
 
-    pk = paired_pair_keys(docs).select("doc_id", "ahash", "caption_fp")
+    surv3_ids = (
+        base.filter("quality_ok")
+        .join(exact_canon.select("doc_id"), "doc_id", "left_semi")
+        .join(near_dups.select("doc_id"), "doc_id", "left_anti")
+        .select("doc_id")
+        .localCheckpoint(eager=True)
+    )
+    # semantic: among SURVIVING members of each cluster, keep the min —
+    # the member frame is tiny (only docs in multi-member clusters), so
+    # the window partitions by cluster over a bounded frame
+    sem_members = (
+        shared_semantic_labels(spark, sf_dir)
+        .join(surv3_ids, F.col("id_a") == F.col("doc_id"))
+        .select("doc_id", "cluster_id")
+    )
+    cw = W.partitionBy("cluster_id")
+    sem_drops = (
+        sem_members.withColumn("keep_id", F.min("doc_id").over(cw))
+        .filter(F.col("doc_id") != F.col("keep_id"))
+        .select("doc_id", F.lit(True).alias("sem_drop"))
+    )
+    surv4_ids = surv3_ids.join(
+        sem_drops.select("doc_id"), "doc_id", "left_anti"
+    )
+    # paired: min SURVIVING member per pair-key group, as a MIN window
+    # over the pair-key partition — the groupBy+rejoin shape would
+    # reference the kernel-produced pair-key frame from TWO plan
+    # branches and run the aHash decode twice (the clean-manifest
+    # lesson, pinned by test_clean_corpus_v2_one_kernel_checkpointed_
+    # lists); the window pays one pair-key shuffle of the surviving
+    # digests and group sizes are bounded by the duplication factor.
+    # repartition_for_compute before the kernel: the per-row Python
+    # decode must fan out even on a single-split corpus, same as every
+    # other consumer of the aHash kernel.
+    pk = paired_pair_keys(repartition_for_compute(docs)).select(
+        "doc_id", "ahash", "caption_fp"
+    )
+    pk_surv = pk.join(surv4_ids, "doc_id")
     pw = W.partitionBy("ahash", "caption_fp")
     paired_drops = (
-        pk.withColumn("keep_id", F.min("doc_id").over(pw))
-        .withColumn("n", F.count(F.lit(1)).over(pw))
-        .filter((F.col("n") > 1) & (F.col("doc_id") != F.col("keep_id")))
+        pk_surv.withColumn("keep_id", F.min("doc_id").over(pw))
+        .filter(F.col("doc_id") != F.col("keep_id"))
         .select("doc_id", F.lit(True).alias("paired_drop"))
     )
     status = (

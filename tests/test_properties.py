@@ -2450,7 +2450,10 @@ def test_clean_corpus_v2_waterfall_attribution(spark, tmp_path):
     without embeddings are never semantic-dropped); (4) the n_drop_*
     columns + n_kept partition n_docs exactly; (5) the v2 keep-list is
     a strict subset of v1's on the same corpus (v1 stops at the near
-    stage). Oracle-checked on the same corpus."""
+    stage); (6) canonical selection is SURVIVOR-AWARE — a semantic
+    cluster whose min-id member fails the quality gate keeps its
+    surviving member instead of losing every copy. Oracle-checked on
+    the same corpus."""
     import duckdb
 
     from iceberg_explorer_spark.operators import QUERIES
@@ -2470,6 +2473,9 @@ def test_clean_corpus_v2_waterfall_attribution(spark, tmp_path):
         (5, t5, "en", "cc", len(t5)),
         (6, t6, "en", "cc", len(t6)),           # semantic dup of 5 (embedding)
         (7, t7, "en", "cc", len(t7)),           # kept, no embedding
+        (8, "tiny", "en", "books", 4),          # quality fail, cluster MIN...
+        (9, " ".join(f"kappa{i} rho{i % 4}" for i in range(15)),
+         "en", "books", 60),                    # ...so 9 must survive
     ]
     d = str(tmp_path / "v2corpus")
     spark.createDataFrame(
@@ -2477,7 +2483,8 @@ def test_clean_corpus_v2_waterfall_attribution(spark, tmp_path):
         " n_chars long"
     ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
     vec = [1.0] + [0.0] * 63
-    emb = [(5, vec, 0), (6, vec, 0)]
+    vec2 = [0.0, 1.0] + [0.0] * 62
+    emb = [(5, vec, 0), (6, vec, 0), (8, vec2, 0), (9, vec2, 0)]
     spark.createDataFrame(
         emb, "vec_id long, embedding array<float>, label int"
     ).coalesce(1).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
@@ -2497,6 +2504,14 @@ def test_clean_corpus_v2_waterfall_attribution(spark, tmp_path):
     assert cc["n_drop_quality"] == 0 and cc["n_drop_exact"] == 0
     assert cc["n_drop_near"] == 0 and cc["n_drop_paired"] == 0
     assert cc["n_kept"] == 2            # docs 5 and 7
+    # (6) survivor-aware canonicals: cluster {8, 9} has min member 8,
+    # which fails the quality gate — doc 9 must be KEPT, not
+    # semantic-dropped against an already-dead canonical
+    books = got[("books", "en")]
+    assert books["n_docs"] == 2
+    assert books["n_drop_quality"] == 1  # doc 8
+    assert books["n_drop_semantic"] == 0
+    assert books["n_kept"] == 1          # doc 9 survives
     # (4) partition property on every row
     for r in got.values():
         assert (
@@ -2506,8 +2521,8 @@ def test_clean_corpus_v2_waterfall_attribution(spark, tmp_path):
         ), r
     # (5) v2 kept strictly below v1 kept (v1 keeps the semantic dup)
     v1 = QUERIES["pipeline_clean_corpus"].builder(spark, d).collect()
-    assert sum(r["n_docs_kept"] for r in v1) == 4  # 1, 5, 6, 7
-    assert sum(r["n_kept"] for r in got.values()) == 3
+    assert sum(r["n_docs_kept"] for r in v1) == 5  # 1, 5, 6, 7, 9
+    assert sum(r["n_kept"] for r in got.values()) == 4
 
     con = duckdb.connect()
     for t in ("documents", "embeddings"):
