@@ -155,6 +155,7 @@ GRADUATING_R9 = [
 #: with post-r9 operators only.
 EXTENDED = [
     "pipeline_clean_corpus_v2",   # capstone: all four dedup families composed
+    "dedup_incremental_near",     # daily-batch near-dup vs corpus artifacts
 ]
 
 #: HEADLINE GRADUATION POLICY (a logged trend reset, never a silent one).

@@ -38,6 +38,7 @@ DEFAULT_OPS = [
 #: which table each op scans (only that table is replicated; the rest
 #: symlink to the 1x files)
 OP_TABLE = {
+    "dedup_incremental_near": "documents",
     "dedup_pagerank_step": "documents",
     "dedup_source_overlap_matrix": "documents",
     "text_bm25_topk": "documents",

@@ -1059,3 +1059,27 @@ def test_clean_corpus_v2_one_kernel_checkpointed_lists(spark):
     assert "BatchEvalPython" not in plan
     assert "Scan ExistingRDD" in plan
     assert pi.broadcast_hint_count(df) == 0
+
+
+def test_incremental_near_reuses_artifacts_single_verify(spark):
+    """dedup_incremental_near answers the daily-batch near-dup question
+    from the artifacts a production pipeline already maintains: the
+    candidate pairs and the shingle table are consumed as materialized
+    session checkpoints (Scan ExistingRDD — history is never re-derived
+    per batch), the batch-touching pairs are verified ONCE
+    (array_intersect sites bounded by the single-generator verify; the
+    both-directions edge emission is one explode over the verify output,
+    not a two-branch union that re-executes it), the documents scan
+    contributes only the batch's (doc_id, source), the classification is
+    partial-aggregated, and nothing is hint-forced to broadcast
+    (candidates grow with the corpus; AQE converts from measured sizes)."""
+    df = build(spark, "dedup_incremental_near")
+    plan = pi.physical_plan(df)
+    assert pi.broadcast_hint_count(df) == 0
+    assert "BatchEvalPython" not in plan
+    assert "Scan ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+    single = pi.physical_plan(build(spark, "dedup_ngram_jaccard"))
+    assert 1 <= plan.count("array_intersect") <= single.count("array_intersect")
+    assert pi.has_partial_aggregate(df)
+    assert pi.scan_columns(df, "documents.parquet") <= {"doc_id", "source"}

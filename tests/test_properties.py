@@ -2533,3 +2533,71 @@ def test_clean_corpus_v2_waterfall_attribution(spark, tmp_path):
     assert_matches_oracle(
         spec.builder(spark, d), con, spec.oracle, "pipeline_clean_corpus_v2"
     )
+
+
+def test_incremental_near_classification(spark, tmp_path):
+    """dedup_incremental_near's distinguishing claims on a crafted corpus
+    (doc_id % 10 == 0 plays today's batch): (1) a batch doc whose
+    near-duplicate already lives in the corpus is n_neardup_vs_corpus —
+    dropped, the content is already represented; (2) within a batch-only
+    duplicate group the SMALLEST id is kept (novel) and every later
+    member is n_neardup_in_batch — the greedy first-wins rule a
+    streaming ingest applies; (3) a batch doc matching BOTH the corpus
+    and an earlier batch doc is claimed by vs_corpus (the corpus copy,
+    not the batch sibling, is the reason it drops); (4) a batch doc with
+    no verified neighbor is n_novel_kept; (5) the three columns
+    partition n_batch. Oracle-checked on the same corpus."""
+    import duckdb
+
+    from iceberg_explorer_spark.operators import QUERIES
+    from tests.conftest import assert_matches_oracle
+
+    t_a = " ".join(f"alpha{i} beta{i % 5} gamma{i % 11}" for i in range(40))
+    t_c = " ".join(f"delta{i} epsilon{i % 7} zeta{i % 13}" for i in range(40))
+    t_d = " ".join(f"eta{i} theta{i % 3} iota{i % 17}" for i in range(40))
+    t_h = " ".join(f"kappa{i} lambda{i % 9} mu{i % 4}" for i in range(40))
+    rows = [
+        # history (doc_id % 10 != 0)
+        (3, t_a, "en", "web", len(t_a)),
+        (5, t_h, "en", "web", len(t_h)),
+        # batch
+        (10, t_a, "en", "s1", len(t_a)),   # near-dup of corpus doc 3
+        (20, t_c, "en", "s2", len(t_c)),   # batch-group min: kept
+        (30, t_c, "en", "s2", len(t_c)),   # later member: in-batch dup
+        (40, t_d, "en", "s3", len(t_d)),   # novel
+        (50, t_a, "en", "s4", len(t_a)),   # matches corpus 3 AND batch 10
+    ]
+    d = str(tmp_path / "incr")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    spec = QUERIES["dedup_incremental_near"]
+    got = {r["source"]: r for r in spec.builder(spark, d).collect()}
+    assert set(got) == {"s1", "s2", "s3", "s4"}, got
+    assert got["s1"]["n_neardup_vs_corpus"] == 1 and got["s1"]["n_batch"] == 1
+    assert got["s2"]["n_batch"] == 2
+    assert got["s2"]["n_neardup_in_batch"] == 1    # doc 30
+    assert got["s2"]["n_novel_kept"] == 1          # doc 20 (group min)
+    assert got["s3"]["n_novel_kept"] == 1 and got["s3"]["n_batch"] == 1
+    # (3) vs_corpus wins over in-batch when both apply
+    assert got["s4"]["n_neardup_vs_corpus"] == 1
+    assert got["s4"]["n_neardup_in_batch"] == 0
+    # (5) partition property on every row
+    for r in got.values():
+        assert (
+            r["n_neardup_vs_corpus"]
+            + r["n_neardup_in_batch"]
+            + r["n_novel_kept"]
+            == r["n_batch"]
+        ), r
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    assert_matches_oracle(
+        spec.builder(spark, d), con, spec.oracle, "dedup_incremental_near"
+    )
