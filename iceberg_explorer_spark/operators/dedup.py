@@ -2500,15 +2500,13 @@ INCR_NEAR_TAU = 0.8
 @query(
     "dedup_incremental_near",
     oracle=f"""
-    WITH cands AS ({_LSH_CANDIDATES_SQL}),
+    WITH RECURSIVE cands AS ({_LSH_CANDIDATES_SQL}),
     bc AS (
       SELECT doc_a, doc_b FROM cands
       WHERE doc_a % {INCR_MOD} = 0 OR doc_b % {INCR_MOD} = 0
     ),
     sh AS ({_SHINGLE_SQL}),
-    shh AS (
-      SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS hb FROM sh
-    ),
+    shh AS ({_SHH_SQL}),
     cdocs AS (SELECT doc_a AS doc_id FROM bc UNION SELECT doc_b FROM bc),
     capped AS (
       SELECT doc_id, hb FROM (
@@ -2525,126 +2523,146 @@ INCR_NEAR_TAU = 0.8
       JOIN capped b ON b.doc_id = c.doc_b AND b.hb = a.hb
       GROUP BY c.doc_a, c.doc_b
     ),
-    ver AS (
+    ver AS MATERIALIZED (
       SELECT i.doc_a, i.doc_b FROM inter i
       JOIN sz sa ON sa.doc_id = i.doc_a
       JOIN sz sb ON sb.doc_id = i.doc_b
       WHERE i.n_common * 1.0 / (sa.n + sb.n - i.n_common) >= {INCR_NEAR_TAU}
     ),
-    nb AS (
-      SELECT doc_a AS doc_id, doc_b AS nbr FROM ver
-      UNION ALL
-      SELECT doc_b AS doc_id, doc_a AS nbr FROM ver
+    und AS MATERIALIZED (
+      SELECT doc_a AS a, doc_b AS b FROM ver
+      WHERE doc_a % {INCR_MOD} = 0 AND doc_b % {INCR_MOD} = 0
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM ver
+      WHERE doc_a % {INCR_MOD} = 0 AND doc_b % {INCR_MOD} = 0
+    ),
+    reach AS (
+      SELECT a AS s, b AS d FROM und
+      UNION
+      SELECT r.s, e.b AS d FROM reach r JOIN und e ON r.d = e.a
+    ),
+    comp AS MATERIALIZED (SELECT s AS node, LEAST(s, MIN(d)) AS cluster_id
+             FROM reach GROUP BY s),
+    contact AS MATERIALIZED (
+      SELECT DISTINCT
+             CASE WHEN doc_a % {INCR_MOD} = 0 THEN doc_a ELSE doc_b END
+               AS doc_id
+      FROM ver WHERE (doc_a % {INCR_MOD} = 0) <> (doc_b % {INCR_MOD} = 0)
+    ),
+    tainted AS (
+      SELECT DISTINCT c.cluster_id
+      FROM comp c JOIN contact k ON k.doc_id = c.node
     ),
     batch AS (
       SELECT doc_id, source FROM documents WHERE doc_id % {INCR_MOD} = 0
     ),
     cls AS (
       SELECT b.doc_id, b.source,
-             MAX(CASE WHEN n.nbr % {INCR_MOD} <> 0 THEN 1 ELSE 0 END)
-               AS vs_corpus,
-             MAX(CASE WHEN n.nbr % {INCR_MOD} = 0 AND n.nbr < b.doc_id
-                 THEN 1 ELSE 0 END) AS earlier_in_batch
-      FROM batch b LEFT JOIN nb n ON n.doc_id = b.doc_id
-      GROUP BY b.doc_id, b.source
+             CASE WHEN k.doc_id IS NOT NULL OR t.cluster_id IS NOT NULL
+                  THEN 1 ELSE 0 END AS vs_corpus,
+             CASE WHEN k.doc_id IS NULL AND t.cluster_id IS NULL
+                  AND c.cluster_id IS NOT NULL AND c.cluster_id <> b.doc_id
+                  THEN 1 ELSE 0 END AS in_batch
+      FROM batch b
+      LEFT JOIN contact k ON k.doc_id = b.doc_id
+      LEFT JOIN comp c ON c.node = b.doc_id
+      LEFT JOIN tainted t ON t.cluster_id = c.cluster_id
     )
     SELECT source,
            COUNT(*) AS n_batch,
            COUNT(*) FILTER (WHERE vs_corpus = 1) AS n_neardup_vs_corpus,
-           COUNT(*) FILTER (WHERE vs_corpus = 0 AND earlier_in_batch = 1)
-             AS n_neardup_in_batch,
-           COUNT(*) FILTER (WHERE COALESCE(vs_corpus, 0) = 0
-                            AND COALESCE(earlier_in_batch, 0) = 0)
+           COUNT(*) FILTER (WHERE in_batch = 1) AS n_neardup_in_batch,
+           COUNT(*) FILTER (WHERE vs_corpus = 0 AND in_batch = 0)
              AS n_novel_kept
     FROM cls GROUP BY source
     """,
     doc="Incremental NEAR-dup ingest — the companion to "
     "dedup_incremental_ingest (exact digests) for the same daily-batch "
     "shape: today's batch (doc_id % INCR_MOD = 0 plays the increment) is "
-    "checked for NEAR-duplicates against the already-ingested corpus and "
-    "within itself, and each batch doc is classified near-dup-vs-corpus "
-    "(drop: content already represented), near-dup-in-batch (a verified "
-    "neighbor with a smaller batch id survives instead — the greedy "
-    "first-wins rule a streaming ingest actually applies), or novel-kept. "
-    "Candidates are the session-shared LSH pairs FILTERED to pairs "
-    "touching the batch, verified at the batch pipeline's own "
-    "INCR_NEAR_TAU=0.8 Jaccard bar over the shared shingle checkpoint — "
-    "zero new kernels, and 'near-dup' means exactly what the backfill "
-    "meant. At 100 TB the history side is the PERSISTED artifact pair a "
-    "production pipeline already maintains: the band→bucket table "
-    "(bucketed by bkey, so batch signatures probe it with NO shuffle of "
-    "history) and the (doc_id, hb) shingle table (point-fetched by "
-    "candidate id for verify). Per-batch cost is O(batch signatures + "
-    "touched-bucket collisions + candidate verify) — the historical "
-    "corpus is never re-scanned, which is the entire point versus "
-    "re-running the full near-dup build over corpus+batch.",
+    "checked for near-duplicates against the already-ingested corpus and "
+    "within itself. Classification is COMPONENT-based, the same "
+    "transitive semantics as dedup_clusters: connected components over "
+    "the batch-batch VERIFIED edges (INCR_NEAR_TAU=0.8 Jaccard, the "
+    "batch pipeline's own bar), and a component is corpus-tainted when "
+    "ANY member has a verified corpus neighbor. A doc in a tainted "
+    "component (or with a direct corpus match) is n_neardup_vs_corpus — "
+    "its content family is already represented in history; a batch-only "
+    "component keeps its min-id member (n_novel_kept) and drops the rest "
+    "(n_neardup_in_batch) — so every drop has a LIVE representative: the "
+    "corpus itself or the kept component min, never an already-dropped "
+    "neighbor (a pairwise smaller-id rule has exactly the dead-canonical "
+    "hole pipeline_clean_corpus_v2's survivor-aware fix closed: in a "
+    "chain a-b-c the middle drop orphans c). Candidates are the "
+    "session-shared LSH pairs FILTERED to batch-touching pairs, verified "
+    "over the shared shingle checkpoint — zero new kernels. At 100 TB "
+    "the history side is the persisted artifact pair a production "
+    "pipeline already maintains: the band→bucket table (bucketed by "
+    "bkey, so batch signatures probe it with NO shuffle of history) and "
+    "the (doc_id, hb) shingle table (point-fetched by candidate id for "
+    "verify). Per-batch cost is O(batch signatures + touched-bucket "
+    "collisions + candidate verify + CC over the tiny batch-batch "
+    "verified graph) — the historical corpus is never re-scanned, which "
+    "is the entire point versus re-running the full near-dup build over "
+    "corpus+batch. The oracle's transitive closure is the recursive-CTE "
+    "reach (fine at candidate-graph size); the Spark side iterates "
+    "min-label propagation like every other CC consumer.",
 )
 def dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = shared_hashed_shingles(spark, sf_dir)
     cands = shared_lsh_candidates(spark, sf_dir, hashed=sh).select(
         "doc_a", "doc_b"
     )
-    bc = cands.filter(
-        (F.col("doc_a") % INCR_MOD == 0) | (F.col("doc_b") % INCR_MOD == 0)
+    a_is_batch = F.col("doc_a") % INCR_MOD == 0
+    b_is_batch = F.col("doc_b") % INCR_MOD == 0
+    bc = cands.filter(a_is_batch | b_is_batch)
+    # the verified pairs feed THREE consumers (batch-batch edges — which
+    # the CC loop re-reads every round — the corpus-contact list, and
+    # nothing else reads the verify pipeline): checkpoint once per the
+    # standing multi-branch discipline
+    ver = (
+        jaccard_verify(bc, sh, threshold=INCR_NEAR_TAU)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
     )
-    ver = jaccard_verify(bc, sh, threshold=INCR_NEAR_TAU).select(
-        "doc_a", "doc_b"
+    bb = ver.filter(a_is_batch & b_is_batch)
+    contact = (
+        ver.filter(a_is_batch != b_is_batch)
+        .select(
+            F.when(a_is_batch, F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("doc_id")
+        )
+        .distinct()
+        .withColumn("direct", F.lit(1))
     )
-    # both edge directions from ONE pass over the verify output (explode of
-    # a 2-struct array), not a union of two projections — the union shape
-    # references the verify pipeline from two plan branches and re-executes
-    # it per branch (the standing multi-branch discipline, solved here
-    # without a checkpoint because one explode needs no second read)
-    nb = ver.select(
-        F.explode(
-            F.array(
-                F.struct(
-                    F.col("doc_a").alias("doc_id"),
-                    F.col("doc_b").alias("nbr"),
-                ),
-                F.struct(
-                    F.col("doc_b").alias("doc_id"),
-                    F.col("doc_a").alias("nbr"),
-                ),
-            )
-        ).alias("e")
-    ).select("e.doc_id", "e.nbr")
+    comp = connected_components(bb).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+    tainted = (
+        comp.join(contact.select("doc_id"), "doc_id")
+        .select("cluster_id")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
     batch = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % INCR_MOD == 0)
         .select("doc_id", "source")
     )
     cls = (
-        batch.join(nb, "doc_id", "left")
-        .groupBy("doc_id", "source")
-        .agg(
-            F.max(
-                F.when(F.col("nbr") % INCR_MOD != 0, 1).otherwise(0)
-            ).alias("vs_corpus"),
-            F.max(
-                F.when(
-                    (F.col("nbr") % INCR_MOD == 0)
-                    & (F.col("nbr") < F.col("doc_id")),
-                    1,
-                ).otherwise(0)
-            ).alias("earlier_in_batch"),
-        )
+        batch.join(contact, "doc_id", "left")
+        .join(comp, "doc_id", "left")
+        .join(tainted, "cluster_id", "left")
+    )
+    vs_corpus = F.col("direct").isNotNull() | F.col("hit").isNotNull()
+    in_batch = (
+        (~vs_corpus)
+        & F.col("cluster_id").isNotNull()
+        & (F.col("doc_id") != F.col("cluster_id"))
     )
     return cls.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_batch"),
-        F.count(F.when(F.col("vs_corpus") == 1, 1)).alias(
-            "n_neardup_vs_corpus"
-        ),
-        F.count(
-            F.when(
-                (F.col("vs_corpus") == 0) & (F.col("earlier_in_batch") == 1),
-                1,
-            )
-        ).alias("n_neardup_in_batch"),
-        F.count(
-            F.when(
-                (F.col("vs_corpus") == 0) & (F.col("earlier_in_batch") == 0),
-                1,
-            )
-        ).alias("n_novel_kept"),
+        F.count(F.when(vs_corpus, 1)).alias("n_neardup_vs_corpus"),
+        F.count(F.when(in_batch, 1)).alias("n_neardup_in_batch"),
+        F.count(F.when(~vs_corpus & ~in_batch, 1)).alias("n_novel_kept"),
     )

@@ -1377,7 +1377,14 @@ def _clean_corpus_v2_oracle() -> str:
     "min already fell to quality/exact/near still keeps one "
     "representative instead of losing every copy (the same property "
     "the exact stage gets from restricting its canon to quality "
-    "survivors). Zero new kernels: the near list reads the session- "
+    "survivors). SCOPE: the survivor-aware property covers the two "
+    "stages v2 ADDS; the near stage deliberately keeps v1's "
+    "unconditional doc_b drop — near_dups IS v1's list, pinned by both "
+    "v1 parity and the v2-subset-of-v1 invariant, so a near pair whose "
+    "doc_a fell at quality/exact loses its last copy in v2 exactly as "
+    "it does in v1 (disclosed, not fixed: changing it would fork the "
+    "two flagships' near semantics). Zero new kernels: the near list "
+    "reads the session- "
     "shared LSH candidate checkpoint, the semantic list reads the "
     "shared cluster-label checkpoint (embeddings vec_id == doc_id, the "
     "same identity dedup_semantic_keep_best uses), and the pair keys "
@@ -1421,6 +1428,16 @@ def pipeline_clean_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("content_hash")
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id", F.lit(True).alias("is_canon"))
+        # referenced from TWO plan branches (the survivor id-list build
+        # below and the status spine): checkpoint, so the full-corpus
+        # digest shuffle runs once — this is the exact-stage keep-list
+        # artifact a production run materializes anyway. The quality
+        # gate itself is NOT shared this way on purpose: it is a
+        # map-side regex over the scan both consumers already pay,
+        # and replacing the recompute with a (doc_id, quality_ok) join
+        # would shuffle the text-carrying corpus against the flag table
+        # — strictly worse at any scale than evaluating the regex twice.
+        .localCheckpoint(eager=True)
     )
     near_dups = (
         shared_lsh_candidates(spark, sf_dir)
@@ -1460,6 +1477,10 @@ def pipeline_clean_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         sem_members.withColumn("keep_id", F.min("doc_id").over(cw))
         .filter(F.col("doc_id") != F.col("keep_id"))
         .select("doc_id", F.lit(True).alias("sem_drop"))
+        # TWO consumers (the paired stage's survivor anti-join and the
+        # status spine) — checkpoint the tiny drop list instead of
+        # re-running the cluster-min window per branch
+        .localCheckpoint(eager=True)
     )
     surv4_ids = surv3_ids.join(
         sem_drops.select("doc_id"), "doc_id", "left_anti"

@@ -1064,22 +1064,24 @@ def test_clean_corpus_v2_one_kernel_checkpointed_lists(spark):
 def test_incremental_near_reuses_artifacts_single_verify(spark):
     """dedup_incremental_near answers the daily-batch near-dup question
     from the artifacts a production pipeline already maintains: the
-    candidate pairs and the shingle table are consumed as materialized
-    session checkpoints (Scan ExistingRDD — history is never re-derived
-    per batch), the batch-touching pairs are verified ONCE
-    (array_intersect sites bounded by the single-generator verify; the
-    both-directions edge emission is one explode over the verify output,
-    not a two-branch union that re-executes it), the documents scan
-    contributes only the batch's (doc_id, source), the classification is
-    partial-aggregated, and nothing is hint-forced to broadcast
-    (candidates grow with the corpus; AQE converts from measured sizes)."""
+    candidate pairs and the shingle table arrive as materialized session
+    checkpoints, the batch-touching pairs are verified ONCE into an
+    eager checkpoint (three consumers — batch-batch edges the CC loop
+    re-reads every round, the corpus-contact list — all read the
+    materialized rows: Scan ExistingRDD, zero array_intersect sites left
+    in the visible plan because the verify already ran), the documents
+    scan contributes only the batch's (doc_id, source), the
+    classification is partial-aggregated, and nothing is hint-forced to
+    broadcast (candidates grow with the corpus; AQE converts from
+    measured sizes)."""
     df = build(spark, "dedup_incremental_near")
     plan = pi.physical_plan(df)
     assert pi.broadcast_hint_count(df) == 0
     assert "BatchEvalPython" not in plan
     assert "Scan ExistingRDD" in plan
     assert "CartesianProduct" not in plan
-    single = pi.physical_plan(build(spark, "dedup_ngram_jaccard"))
-    assert 1 <= plan.count("array_intersect") <= single.count("array_intersect")
+    # the verify pipeline is consumed as a checkpoint — a re-verify per
+    # consumer would resurface intersect sites in the visible plan
+    assert plan.count("array_intersect") == 0
     assert pi.has_partial_aggregate(df)
     assert pi.scan_columns(df, "documents.parquet") <= {"doc_id", "source"}

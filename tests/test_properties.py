@@ -2538,15 +2538,19 @@ def test_clean_corpus_v2_waterfall_attribution(spark, tmp_path):
 def test_incremental_near_classification(spark, tmp_path):
     """dedup_incremental_near's distinguishing claims on a crafted corpus
     (doc_id % 10 == 0 plays today's batch): (1) a batch doc whose
-    near-duplicate already lives in the corpus is n_neardup_vs_corpus —
-    dropped, the content is already represented; (2) within a batch-only
-    duplicate group the SMALLEST id is kept (novel) and every later
-    member is n_neardup_in_batch — the greedy first-wins rule a
-    streaming ingest applies; (3) a batch doc matching BOTH the corpus
-    and an earlier batch doc is claimed by vs_corpus (the corpus copy,
-    not the batch sibling, is the reason it drops); (4) a batch doc with
-    no verified neighbor is n_novel_kept; (5) the three columns
-    partition n_batch. Oracle-checked on the same corpus."""
+    verified component touches the corpus is n_neardup_vs_corpus — the
+    content family is already represented in history — whether the
+    corpus contact is its own edge or ANOTHER member's (taint is
+    transitive: doc 100 never matches corpus doc 9 directly); (2) a
+    batch-only component keeps exactly its min-id member (novel) and
+    drops the rest as n_neardup_in_batch, TRANSITIVELY — in the verified
+    chain 60-70-80 (J(60,80) < 0.8, no direct edge) doc 80 still drops
+    against kept 60's component, so every drop has a LIVE representative
+    (a pairwise smaller-id rule would drop 80 against 70, which itself
+    dropped — the dead-canonical hole); (3) a batch doc with no verified
+    neighbor is n_novel_kept; (4) the three columns partition n_batch.
+    Oracle-checked on the same corpus (recursive-CTE closure vs the
+    Spark CC loop)."""
     import duckdb
 
     from iceberg_explorer_spark.operators import QUERIES
@@ -2556,16 +2560,45 @@ def test_incremental_near_classification(spark, tmp_path):
     t_c = " ".join(f"delta{i} epsilon{i % 7} zeta{i % 13}" for i in range(40))
     t_d = " ".join(f"eta{i} theta{i % 3} iota{i % 17}" for i in range(40))
     t_h = " ".join(f"kappa{i} lambda{i % 9} mu{i % 4}" for i in range(40))
+
+    # verified chain: 60-70 and 70-80 at J = 0.8125 (2 of 60 words
+    # swapped per hop), 60-80 at J ≈ 0.66 (4 words apart — an LSH
+    # candidate that FAILS the verify, so the only 60-80 connection is
+    # transitive through 70)
+    w = " ".join(f"nu{i} xi{i % 6} omicron{i % 13}" for i in range(20)).split(" ")
+
+    def rep(ws, idxs, tag):
+        w2 = list(ws)
+        for j, i in enumerate(idxs):
+            w2[i] = f"CHANGED{tag}{j}"
+        return " ".join(w2)
+
+    t60 = " ".join(w)
+    t70 = rep(w, [10, 34], "a")
+    t80 = rep(t70.split(" "), [22, 46], "b")
+    # corpus taint: 9 (history) - 90 verified; 90 - 100 verified;
+    # 9 - 100 candidate but J ≈ 0.66 fails verify
+    wf = " ".join(f"pi{i} sigma{i % 5} tau{i % 11}" for i in range(20)).split(" ")
+    t9 = " ".join(wf)
+    t90 = rep(wf, [8, 32], "c")
+    t100 = rep(t90.split(" "), [20, 44], "d")
+
     rows = [
         # history (doc_id % 10 != 0)
         (3, t_a, "en", "web", len(t_a)),
         (5, t_h, "en", "web", len(t_h)),
+        (9, t9, "en", "web", len(t9)),
         # batch
-        (10, t_a, "en", "s1", len(t_a)),   # near-dup of corpus doc 3
-        (20, t_c, "en", "s2", len(t_c)),   # batch-group min: kept
-        (30, t_c, "en", "s2", len(t_c)),   # later member: in-batch dup
+        (10, t_a, "en", "s1", len(t_a)),   # direct corpus match (doc 3)
+        (20, t_c, "en", "s2", len(t_c)),   # batch-only component min: kept
+        (30, t_c, "en", "s2", len(t_c)),   # non-min member: in-batch dup
         (40, t_d, "en", "s3", len(t_d)),   # novel
         (50, t_a, "en", "s4", len(t_a)),   # matches corpus 3 AND batch 10
+        (60, t60, "en", "s5", len(t60)),   # chain min: kept
+        (70, t70, "en", "s5", len(t70)),   # chain middle: in-batch dup
+        (80, t80, "en", "s5", len(t80)),   # chain end: TRANSITIVE in-batch
+        (90, t90, "en", "s6", len(t90)),   # direct corpus match (doc 9)
+        (100, t100, "en", "s6", len(t100)),  # TRANSITIVELY tainted via 90
     ]
     d = str(tmp_path / "incr")
     spark.createDataFrame(
@@ -2575,16 +2608,23 @@ def test_incremental_near_classification(spark, tmp_path):
 
     spec = QUERIES["dedup_incremental_near"]
     got = {r["source"]: r for r in spec.builder(spark, d).collect()}
-    assert set(got) == {"s1", "s2", "s3", "s4"}, got
+    assert set(got) == {"s1", "s2", "s3", "s4", "s5", "s6"}, got
     assert got["s1"]["n_neardup_vs_corpus"] == 1 and got["s1"]["n_batch"] == 1
     assert got["s2"]["n_batch"] == 2
     assert got["s2"]["n_neardup_in_batch"] == 1    # doc 30
-    assert got["s2"]["n_novel_kept"] == 1          # doc 20 (group min)
+    assert got["s2"]["n_novel_kept"] == 1          # doc 20 (component min)
     assert got["s3"]["n_novel_kept"] == 1 and got["s3"]["n_batch"] == 1
-    # (3) vs_corpus wins over in-batch when both apply
-    assert got["s4"]["n_neardup_vs_corpus"] == 1
+    assert got["s4"]["n_neardup_vs_corpus"] == 1   # corpus wins over in-batch
     assert got["s4"]["n_neardup_in_batch"] == 0
-    # (5) partition property on every row
+    # (2) transitive in-batch drop: 80 has no verified edge to kept 60,
+    # but shares its component through 70
+    assert got["s5"]["n_batch"] == 3
+    assert got["s5"]["n_novel_kept"] == 1          # doc 60
+    assert got["s5"]["n_neardup_in_batch"] == 2    # docs 70 AND 80
+    # (1) transitive corpus taint: 100 never matches doc 9 directly
+    assert got["s6"]["n_batch"] == 2
+    assert got["s6"]["n_neardup_vs_corpus"] == 2   # docs 90 AND 100
+    # (4) partition property on every row
     for r in got.values():
         assert (
             r["n_neardup_vs_corpus"]
