@@ -1013,6 +1013,33 @@ CONTAINMENT_NEAR_DUP_J = 0.8
 #: tail, so the three oracles differ only in their candidate CTEs.
 _SHH_SQL = "SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS hb FROM sh"
 
+
+def _cc_closure_sql(edges: str, a: str, b: str, out: str) -> str:
+    """The recursive transitive-closure trio every CC oracle shares:
+    bidirectional edge list → recursive ``reach`` → min-label component
+    table ``{out}(node, cluster_id)``. ONE definition (the ``_SHH_SQL``
+    / ``_caption_fp_sql`` discipline): a divergent copy in one oracle
+    would silently fork the component semantics the five CC consumers
+    are documented to share, and closure-level fixes must land
+    everywhere at once — the round-10 lesson: DuckDB inlines
+    non-MATERIALIZED CTEs into EVERY reference, so the recursion
+    re-evaluated its whole feeder chain per step (212 s on a 13-doc
+    corpus, 2 s with ``AS MATERIALIZED`` on the feeder and the output).
+    Claims the ``und``/``reach`` CTE names."""
+    return f"""und AS MATERIALIZED (
+      SELECT {a} AS s, {b} AS d FROM {edges}
+      UNION
+      SELECT {b}, {a} FROM {edges}
+    ),
+    reach(s, d) AS (
+      SELECT s, d FROM und
+      UNION
+      SELECT r.s, u.d FROM reach r JOIN und u ON r.d = u.s
+    ),
+    {out} AS MATERIALIZED (
+      SELECT s AS node, LEAST(s, MIN(d)) AS cluster_id FROM reach GROUP BY s
+    )"""
+
 #: Verify CTEs (reference ``cands``/``shh`` from the enclosing WITH).
 _CONTAINMENT_VERIFY_CTES_SQL = """
     capped AS (
@@ -1377,19 +1404,8 @@ def dedup_overlap_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_clusters",
     oracle=f"""
     WITH RECURSIVE cands AS ({_LSH_CANDIDATES_SQL}),
-    und AS (
-      SELECT doc_a AS s, doc_b AS d FROM cands
-      UNION ALL
-      SELECT doc_b, doc_a FROM cands
-    ),
-    reach(s, d) AS (
-      SELECT s, d FROM und
-      UNION
-      SELECT r.s, u.d FROM reach r JOIN und u ON r.d = u.s
-    )
-    SELECT s AS doc_id,
-           LEAST(s, MIN(d)) AS cluster_id
-    FROM reach GROUP BY s
+    {_cc_closure_sql("cands", "doc_a", "doc_b", "cc")}
+    SELECT node AS doc_id, cluster_id FROM cc
     """,
     doc="Near-dup clusters: connected components over the LSH candidate "
     "graph via iterative min-label propagation — each iteration is one "
@@ -1580,22 +1596,10 @@ def connected_components(
     "dedup_keep_best",
     oracle=f"""
     WITH RECURSIVE cands AS ({_LSH_CANDIDATES_SQL}),
-    und AS (
-      SELECT doc_a AS s, doc_b AS d FROM cands
-      UNION ALL
-      SELECT doc_b, doc_a FROM cands
-    ),
-    reach(s, d) AS (
-      SELECT s, d FROM und
-      UNION
-      SELECT r.s, u.d FROM reach r JOIN und u ON r.d = u.s
-    ),
-    clusters AS (
-      SELECT s AS doc_id, LEAST(s, MIN(d)) AS cluster_id FROM reach GROUP BY s
-    ),
+    {_cc_closure_sql("cands", "doc_a", "doc_b", "clusters")},
     members AS (
       SELECT c.cluster_id, d.doc_id, LENGTH(d.text) AS n_chars
-      FROM clusters c JOIN documents d ON d.doc_id = c.doc_id
+      FROM clusters c JOIN documents d ON d.doc_id = c.node
     ),
     ranked AS (
       SELECT cluster_id, doc_id, n_chars,
@@ -2529,20 +2533,11 @@ INCR_NEAR_TAU = 0.8
       JOIN sz sb ON sb.doc_id = i.doc_b
       WHERE i.n_common * 1.0 / (sa.n + sb.n - i.n_common) >= {INCR_NEAR_TAU}
     ),
-    und AS MATERIALIZED (
-      SELECT doc_a AS a, doc_b AS b FROM ver
-      WHERE doc_a % {INCR_MOD} = 0 AND doc_b % {INCR_MOD} = 0
-      UNION
-      SELECT doc_b AS a, doc_a AS b FROM ver
+    bb AS (
+      SELECT doc_a, doc_b FROM ver
       WHERE doc_a % {INCR_MOD} = 0 AND doc_b % {INCR_MOD} = 0
     ),
-    reach AS (
-      SELECT a AS s, b AS d FROM und
-      UNION
-      SELECT r.s, e.b AS d FROM reach r JOIN und e ON r.d = e.a
-    ),
-    comp AS MATERIALIZED (SELECT s AS node, LEAST(s, MIN(d)) AS cluster_id
-             FROM reach GROUP BY s),
+    {_cc_closure_sql("bb", "doc_a", "doc_b", "comp")},
     contact AS MATERIALIZED (
       SELECT DISTINCT
              CASE WHEN doc_a % {INCR_MOD} = 0 THEN doc_a ELSE doc_b END
@@ -2634,6 +2629,10 @@ def dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
         .withColumn("direct", F.lit(1))
+        # TWO consumers (the tainted-component build and the cls spine) —
+        # checkpoint the tiny contact list instead of re-running its
+        # distinct per branch (the oracle marks the same CTE MATERIALIZED)
+        .localCheckpoint(eager=True)
     )
     comp = connected_components(bb).select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")

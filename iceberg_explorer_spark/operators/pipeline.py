@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from iceberg_explorer_spark.operators.dedup import (
+    _cc_closure_sql,
     _LSH_CANDIDATES_SQL,
     shared_lsh_candidates,
 )
@@ -1276,18 +1277,7 @@ def _clean_corpus_v2_oracle() -> str:
         ON a.bucket = b.bucket AND a.vec_id < b.vec_id
     ),
     sedges AS (SELECT id_a, id_b FROM prs WHERE cos_sim >= {NEAR_DUP_TAU}),
-    und AS (
-      SELECT id_a AS s, id_b AS d FROM sedges
-      UNION ALL
-      SELECT id_b, id_a FROM sedges
-    ),
-    reach(s, d) AS (
-      SELECT s, d FROM und
-      UNION
-      SELECT r.s, u.d FROM reach r JOIN und u ON r.d = u.s
-    ),
-    scc AS (SELECT s AS node, LEAST(s, MIN(d)) AS cluster_id
-            FROM reach GROUP BY s),
+    {_cc_closure_sql("sedges", "id_a", "id_b", "scc")},
     surv3 AS (
       SELECT b.doc_id FROM base b
       JOIN exact_canon ec ON b.doc_id = ec.doc_id

@@ -23,6 +23,7 @@ import hashlib
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from iceberg_explorer_spark.operators.dedup import _cc_closure_sql
 from iceberg_explorer_spark.operators.registry import query
 from iceberg_explorer_spark.sources.registry import load_table
 
@@ -1404,19 +1405,7 @@ def shared_semantic_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(ROUND(cos_sim * {_EDGE_COS_MICRO}) AS BIGINT) AS micro
       FROM prs WHERE cos_sim >= {NEAR_DUP_TAU}
     ),
-    und AS (
-      SELECT id_a AS s, id_b AS d FROM edges
-      UNION ALL
-      SELECT id_b, id_a FROM edges
-    ),
-    reach(s, d) AS (
-      SELECT s, d FROM und
-      UNION
-      SELECT r.s, u.d FROM reach r JOIN und u ON r.d = u.s
-    ),
-    cc AS (
-      SELECT s AS node, LEAST(s, MIN(d)) AS cluster_id FROM reach GROUP BY s
-    ),
+    {_cc_closure_sql("edges", "id_a", "id_b", "cc")},
     sizes AS (
       SELECT cluster_id, COUNT(*) AS n_members FROM cc GROUP BY cluster_id
     ),
