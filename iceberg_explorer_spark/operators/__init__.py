@@ -213,9 +213,12 @@ against exact answers).
   oracle-bearing query has driver evidence no older than r8 and the
   registry's newest operators all have post-change first rows. The
   round-10 capstone pipeline_clean_corpus_v2 (composes all four dedup
-  families into one attributed keep-list) and dedup_incremental_near
+  families into one attributed keep-list), dedup_incremental_near
   (daily-batch near-dup classification against the corpus's persisted
-  LSH artifacts — the near sibling of dedup_incremental_ingest) both
+  LSH artifacts — the near sibling of dedup_incremental_ingest) and
+  dedup_incremental_semantic (the third sibling: embedding-cosine
+  batch classification against the persisted SRP/GEMM edge artifact;
+  shares the component-classification tail with the near sibling) all
   register OUT-of-window with oracle + plan pin + 3x point per the
   standing checklist and are the r11 rotation's first priority,
   together with the 42-query r8 cohort (second rows, 35 remaining

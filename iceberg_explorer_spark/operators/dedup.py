@@ -2501,6 +2501,117 @@ def dedup_lsh_band_tuning(
 INCR_NEAR_TAU = 0.8
 
 
+def _incremental_report_sql(kind: str) -> str:
+    """Oracle tail shared by the incremental ingest family
+    (dedup_incremental_near, dedup_incremental_semantic): the
+    contact/tainted/cls/report CTE chain over three CTEs the caller
+    provides — ``be(id_a, id_b)`` (batch-touching verified edges),
+    ``comp(node, cluster_id)`` (from ``_cc_closure_sql`` over the
+    batch-batch edge subset), and ``batch(doc_id, source)``. ONE
+    definition (the ``_cc_closure_sql`` discipline): the classification
+    semantics — corpus taint, component-min keep, the three-way
+    partition of n_batch — must stay identical across the family, and a
+    divergent copy would silently fork them. ``kind`` is the report
+    column infix (n_{kind}_vs_corpus / n_{kind}_in_batch)."""
+    return f"""contact AS MATERIALIZED (
+      SELECT DISTINCT
+             CASE WHEN id_a % {INCR_MOD} = 0 THEN id_a ELSE id_b END
+               AS doc_id
+      FROM be WHERE (id_a % {INCR_MOD} = 0) <> (id_b % {INCR_MOD} = 0)
+    ),
+    tainted AS (
+      SELECT DISTINCT c.cluster_id
+      FROM comp c JOIN contact k ON k.doc_id = c.node
+    ),
+    cls AS (
+      SELECT b.doc_id, b.source,
+             CASE WHEN k.doc_id IS NOT NULL OR t.cluster_id IS NOT NULL
+                  THEN 1 ELSE 0 END AS vs_corpus,
+             CASE WHEN k.doc_id IS NULL AND t.cluster_id IS NULL
+                  AND c.cluster_id IS NOT NULL AND c.cluster_id <> b.doc_id
+                  THEN 1 ELSE 0 END AS in_batch
+      FROM batch b
+      LEFT JOIN contact k ON k.doc_id = b.doc_id
+      LEFT JOIN comp c ON c.node = b.doc_id
+      LEFT JOIN tainted t ON t.cluster_id = c.cluster_id
+    )
+    SELECT source,
+           COUNT(*) AS n_batch,
+           COUNT(*) FILTER (WHERE vs_corpus = 1) AS n_{kind}_vs_corpus,
+           COUNT(*) FILTER (WHERE in_batch = 1) AS n_{kind}_in_batch,
+           COUNT(*) FILTER (WHERE vs_corpus = 0 AND in_batch = 0)
+             AS n_novel_kept
+    FROM cls GROUP BY source"""
+
+
+def incremental_component_report(
+    be: DataFrame, batch: DataFrame, kind: str
+) -> DataFrame:
+    """Spark classification tail shared by the incremental ingest family
+    — the executable twin of ``_incremental_report_sql``.
+
+    ``be``: (id_a, id_b) batch-touching VERIFIED edges. The caller must
+    hand this in MATERIALIZED form (an eager checkpoint or a session
+    artifact): the tail reads it from two branches and the CC loop
+    re-reads the batch-batch subset every round. ``batch``: (doc_id,
+    source) — the increment's population (which also defines n_batch's
+    domain; the semantic variant restricts it to embedded docs).
+
+    Component semantics, same as dedup_clusters: CC over the batch-batch
+    edges; a component is corpus-tainted when ANY member has a direct
+    verified corpus neighbor (taint needs no corpus-corpus edges — a
+    component touches history iff some member touches it directly).
+    Tainted members drop vs_corpus; a batch-only component keeps its
+    min-id member and drops the rest — every drop has a LIVE
+    representative (the corpus or the kept min), never an
+    already-dropped neighbor."""
+    a_b = F.col("id_a") % INCR_MOD == 0
+    b_b = F.col("id_b") % INCR_MOD == 0
+    bb = be.filter(a_b & b_b).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    contact = (
+        be.filter(a_b != b_b)
+        .select(
+            F.when(a_b, F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias("doc_id")
+        )
+        .distinct()
+        .withColumn("direct", F.lit(1))
+        # TWO consumers (the tainted-component build and the cls spine) —
+        # checkpoint the tiny contact list instead of re-running its
+        # distinct per branch (the oracle marks the same CTE MATERIALIZED)
+        .localCheckpoint(eager=True)
+    )
+    comp = connected_components(bb).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+    tainted = (
+        comp.join(contact.select("doc_id"), "doc_id")
+        .select("cluster_id")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    cls = (
+        batch.join(contact, "doc_id", "left")
+        .join(comp, "doc_id", "left")
+        .join(tainted, "cluster_id", "left")
+    )
+    vs_corpus = F.col("direct").isNotNull() | F.col("hit").isNotNull()
+    in_batch = (
+        (~vs_corpus)
+        & F.col("cluster_id").isNotNull()
+        & (F.col("doc_id") != F.col("cluster_id"))
+    )
+    return cls.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_batch"),
+        F.count(F.when(vs_corpus, 1)).alias(f"n_{kind}_vs_corpus"),
+        F.count(F.when(in_batch, 1)).alias(f"n_{kind}_in_batch"),
+        F.count(F.when(~vs_corpus & ~in_batch, 1)).alias("n_novel_kept"),
+    )
+
+
 @query(
     "dedup_incremental_near",
     oracle=f"""
@@ -2527,141 +2638,69 @@ INCR_NEAR_TAU = 0.8
       JOIN capped b ON b.doc_id = c.doc_b AND b.hb = a.hb
       GROUP BY c.doc_a, c.doc_b
     ),
-    ver AS MATERIALIZED (
-      SELECT i.doc_a, i.doc_b FROM inter i
+    be AS MATERIALIZED (
+      SELECT i.doc_a AS id_a, i.doc_b AS id_b FROM inter i
       JOIN sz sa ON sa.doc_id = i.doc_a
       JOIN sz sb ON sb.doc_id = i.doc_b
       WHERE i.n_common * 1.0 / (sa.n + sb.n - i.n_common) >= {INCR_NEAR_TAU}
     ),
     bb AS (
-      SELECT doc_a, doc_b FROM ver
-      WHERE doc_a % {INCR_MOD} = 0 AND doc_b % {INCR_MOD} = 0
+      SELECT id_a, id_b FROM be
+      WHERE id_a % {INCR_MOD} = 0 AND id_b % {INCR_MOD} = 0
     ),
-    {_cc_closure_sql("bb", "doc_a", "doc_b", "comp")},
-    contact AS MATERIALIZED (
-      SELECT DISTINCT
-             CASE WHEN doc_a % {INCR_MOD} = 0 THEN doc_a ELSE doc_b END
-               AS doc_id
-      FROM ver WHERE (doc_a % {INCR_MOD} = 0) <> (doc_b % {INCR_MOD} = 0)
-    ),
-    tainted AS (
-      SELECT DISTINCT c.cluster_id
-      FROM comp c JOIN contact k ON k.doc_id = c.node
-    ),
+    {_cc_closure_sql("bb", "id_a", "id_b", "comp")},
     batch AS (
       SELECT doc_id, source FROM documents WHERE doc_id % {INCR_MOD} = 0
     ),
-    cls AS (
-      SELECT b.doc_id, b.source,
-             CASE WHEN k.doc_id IS NOT NULL OR t.cluster_id IS NOT NULL
-                  THEN 1 ELSE 0 END AS vs_corpus,
-             CASE WHEN k.doc_id IS NULL AND t.cluster_id IS NULL
-                  AND c.cluster_id IS NOT NULL AND c.cluster_id <> b.doc_id
-                  THEN 1 ELSE 0 END AS in_batch
-      FROM batch b
-      LEFT JOIN contact k ON k.doc_id = b.doc_id
-      LEFT JOIN comp c ON c.node = b.doc_id
-      LEFT JOIN tainted t ON t.cluster_id = c.cluster_id
-    )
-    SELECT source,
-           COUNT(*) AS n_batch,
-           COUNT(*) FILTER (WHERE vs_corpus = 1) AS n_neardup_vs_corpus,
-           COUNT(*) FILTER (WHERE in_batch = 1) AS n_neardup_in_batch,
-           COUNT(*) FILTER (WHERE vs_corpus = 0 AND in_batch = 0)
-             AS n_novel_kept
-    FROM cls GROUP BY source
+    {_incremental_report_sql("neardup")}
     """,
     doc="Incremental NEAR-dup ingest — the companion to "
     "dedup_incremental_ingest (exact digests) for the same daily-batch "
     "shape: today's batch (doc_id % INCR_MOD = 0 plays the increment) is "
     "checked for near-duplicates against the already-ingested corpus and "
     "within itself. Classification is COMPONENT-based, the same "
-    "transitive semantics as dedup_clusters: connected components over "
-    "the batch-batch VERIFIED edges (INCR_NEAR_TAU=0.8 Jaccard, the "
-    "batch pipeline's own bar), and a component is corpus-tainted when "
-    "ANY member has a verified corpus neighbor. A doc in a tainted "
-    "component (or with a direct corpus match) is n_neardup_vs_corpus — "
-    "its content family is already represented in history; a batch-only "
-    "component keeps its min-id member (n_novel_kept) and drops the rest "
-    "(n_neardup_in_batch) — so every drop has a LIVE representative: the "
-    "corpus itself or the kept component min, never an already-dropped "
-    "neighbor (a pairwise smaller-id rule has exactly the dead-canonical "
-    "hole pipeline_clean_corpus_v2's survivor-aware fix closed: in a "
-    "chain a-b-c the middle drop orphans c). Candidates are the "
-    "session-shared LSH pairs FILTERED to batch-touching pairs, verified "
-    "over the shared shingle checkpoint — zero new kernels. At 100 TB "
-    "the history side is the persisted artifact pair a production "
-    "pipeline already maintains: the band→bucket table (bucketed by "
-    "bkey, so batch signatures probe it with NO shuffle of history) and "
-    "the (doc_id, hb) shingle table (point-fetched by candidate id for "
-    "verify). Per-batch cost is O(batch signatures + touched-bucket "
-    "collisions + candidate verify + CC over the tiny batch-batch "
-    "verified graph) — the historical corpus is never re-scanned, which "
-    "is the entire point versus re-running the full near-dup build over "
-    "corpus+batch. The oracle's transitive closure is the recursive-CTE "
-    "reach (fine at candidate-graph size); the Spark side iterates "
-    "min-label propagation like every other CC consumer.",
+    "transitive semantics as dedup_clusters (see "
+    "incremental_component_report, the tail shared with the semantic "
+    "sibling): a doc in a corpus-tainted component (or with a direct "
+    "corpus match) is n_neardup_vs_corpus — its content family is "
+    "already represented in history; a batch-only component keeps its "
+    "min-id member (n_novel_kept) and drops the rest "
+    "(n_neardup_in_batch) — so every drop has a LIVE representative, "
+    "never an already-dropped neighbor (a pairwise smaller-id rule has "
+    "exactly the dead-canonical hole pipeline_clean_corpus_v2's "
+    "survivor-aware fix closed: in a chain a-b-c the middle drop "
+    "orphans c). Candidates are the session-shared LSH pairs FILTERED "
+    "to batch-touching pairs, verified at INCR_NEAR_TAU=0.8 (the batch "
+    "pipeline's own bar) over the shared shingle checkpoint — zero new "
+    "kernels. At 100 TB the history side is the persisted artifact pair "
+    "a production pipeline already maintains: the band→bucket table "
+    "(bucketed by bkey, so batch signatures probe it with NO shuffle of "
+    "history) and the (doc_id, hb) shingle table (point-fetched by "
+    "candidate id for verify). Per-batch cost is O(batch signatures + "
+    "touched-bucket collisions + candidate verify + CC over the tiny "
+    "batch-batch verified graph) — the historical corpus is never "
+    "re-scanned, which is the entire point versus re-running the full "
+    "near-dup build over corpus+batch.",
 )
 def dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = shared_hashed_shingles(spark, sf_dir)
     cands = shared_lsh_candidates(spark, sf_dir, hashed=sh).select(
         "doc_a", "doc_b"
     )
-    a_is_batch = F.col("doc_a") % INCR_MOD == 0
-    b_is_batch = F.col("doc_b") % INCR_MOD == 0
-    bc = cands.filter(a_is_batch | b_is_batch)
-    # the verified pairs feed THREE consumers (batch-batch edges — which
-    # the CC loop re-reads every round — the corpus-contact list, and
-    # nothing else reads the verify pipeline): checkpoint once per the
-    # standing multi-branch discipline
-    ver = (
+    bc = cands.filter(
+        (F.col("doc_a") % INCR_MOD == 0) | (F.col("doc_b") % INCR_MOD == 0)
+    )
+    # the verified pairs feed the shared tail's multiple consumers:
+    # checkpoint once per the standing multi-branch discipline (the
+    # semantic sibling hands in its session-shared edge artifact instead)
+    be = (
         jaccard_verify(bc, sh, threshold=INCR_NEAR_TAU)
-        .select("doc_a", "doc_b")
+        .select(F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"))
         .localCheckpoint(eager=True)
-    )
-    bb = ver.filter(a_is_batch & b_is_batch)
-    contact = (
-        ver.filter(a_is_batch != b_is_batch)
-        .select(
-            F.when(a_is_batch, F.col("doc_a"))
-            .otherwise(F.col("doc_b"))
-            .alias("doc_id")
-        )
-        .distinct()
-        .withColumn("direct", F.lit(1))
-        # TWO consumers (the tainted-component build and the cls spine) —
-        # checkpoint the tiny contact list instead of re-running its
-        # distinct per branch (the oracle marks the same CTE MATERIALIZED)
-        .localCheckpoint(eager=True)
-    )
-    comp = connected_components(bb).select(
-        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
-    )
-    tainted = (
-        comp.join(contact.select("doc_id"), "doc_id")
-        .select("cluster_id")
-        .distinct()
-        .withColumn("hit", F.lit(1))
     )
     batch = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % INCR_MOD == 0)
         .select("doc_id", "source")
     )
-    cls = (
-        batch.join(contact, "doc_id", "left")
-        .join(comp, "doc_id", "left")
-        .join(tainted, "cluster_id", "left")
-    )
-    vs_corpus = F.col("direct").isNotNull() | F.col("hit").isNotNull()
-    in_batch = (
-        (~vs_corpus)
-        & F.col("cluster_id").isNotNull()
-        & (F.col("doc_id") != F.col("cluster_id"))
-    )
-    return cls.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_batch"),
-        F.count(F.when(vs_corpus, 1)).alias("n_neardup_vs_corpus"),
-        F.count(F.when(in_batch, 1)).alias("n_neardup_in_batch"),
-        F.count(F.when(~vs_corpus & ~in_batch, 1)).alias("n_novel_kept"),
-    )
+    return incremental_component_report(be, batch, "neardup")

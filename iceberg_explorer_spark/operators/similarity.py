@@ -23,7 +23,12 @@ import hashlib
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from iceberg_explorer_spark.operators.dedup import _cc_closure_sql
+from iceberg_explorer_spark.operators.dedup import (
+    _cc_closure_sql,
+    _incremental_report_sql,
+    incremental_component_report,
+    INCR_MOD,
+)
 from iceberg_explorer_spark.operators.registry import query
 from iceberg_explorer_spark.sources.registry import load_table
 
@@ -1705,3 +1710,80 @@ def similarity_semantic_tau_sweep(
             F.col("t") > 0, F.col("n_edges") * 1.0 / F.col("t")
         ).alias("share_of_pairs"),
     )
+
+
+@query(
+    "dedup_incremental_semantic",
+    oracle=f"""
+    WITH RECURSIVE coded AS (
+      SELECT vec_id, embedding, {_srp_code_duckdb('embedding')} AS bucket
+      FROM {_EMB_SQL}
+    ),
+    prs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])), 6)
+               AS cos_sim
+      FROM coded a JOIN coded b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ),
+    be AS MATERIALIZED (
+      SELECT id_a, id_b FROM prs
+      WHERE cos_sim >= {NEAR_DUP_TAU}
+        AND (id_a % {INCR_MOD} = 0 OR id_b % {INCR_MOD} = 0)
+    ),
+    bb AS (
+      SELECT id_a, id_b FROM be
+      WHERE id_a % {INCR_MOD} = 0 AND id_b % {INCR_MOD} = 0
+    ),
+    {_cc_closure_sql("bb", "id_a", "id_b", "comp")},
+    batch AS (
+      SELECT e.vec_id AS doc_id, d.source
+      FROM {_EMB_SQL} e JOIN documents d ON d.doc_id = e.vec_id
+      WHERE e.vec_id % {INCR_MOD} = 0
+    ),
+    {_incremental_report_sql("semdup")}
+    """,
+    doc="Incremental SEMANTIC-dup ingest — the third sibling of the "
+    "daily-batch family (exact: dedup_incremental_ingest; lexical near: "
+    "dedup_incremental_near): today's batch of EMBEDDED documents "
+    "(vec_id % INCR_MOD = 0 plays the increment; vec_id == doc_id, the "
+    "same identity every semantic operator uses) is checked for "
+    "embedding-cosine near-duplicates (NEAR_DUP_TAU, SemDeDup's "
+    "threshold as shipped) against the already-ingested corpus and "
+    "within itself. Classification is the family's shared component "
+    "tail (incremental_component_report): corpus-tainted components "
+    "drop vs_corpus, batch-only components keep their min-id member — "
+    "every drop has a live representative. Edges are the session-shared "
+    "SRP-bucketed GEMM artifact FILTERED to batch-touching pairs — zero "
+    "new kernels, and 'semantic duplicate' means exactly what the "
+    "backfill's dedup_semantic_clusters means. n_batch counts EMBEDDED "
+    "batch docs only (a doc without a vector cannot be semantically "
+    "deduped — it belongs to the lexical siblings' domains). At 100 TB "
+    "the history side is the persisted (vec_id, srp_bucket, embedding) "
+    "assignment a production SemDeDup pipeline already maintains: batch "
+    "vectors are SRP-coded map-side against broadcast hyperplanes and "
+    "probe ONLY their own buckets' history rows — per-batch cost is "
+    "O(batch GEMM tiles + touched-bucket pairs + CC over the tiny "
+    "batch-batch verified graph), never a corpus re-scan.",
+)
+def dedup_incremental_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the session-shared edge artifact is already an eager checkpoint —
+    # the materialized form the shared tail requires; the filter to
+    # batch-touching pairs is a scan of the checkpointed rows, exactly
+    # what the persisted-edge-artifact plan does at scale
+    be = shared_semantic_edges(spark, sf_dir).filter(
+        (F.col("id_a") % INCR_MOD == 0) | (F.col("id_b") % INCR_MOD == 0)
+    ).select("id_a", "id_b")
+    batch = (
+        _load_emb(spark, sf_dir)
+        .filter(F.col("vec_id") % INCR_MOD == 0)
+        .select(F.col("vec_id").alias("doc_id"))
+        .join(
+            load_table(spark, sf_dir, "documents").select(
+                "doc_id", "source"
+            ),
+            "doc_id",
+        )
+    )
+    return incremental_component_report(be, batch, "semdup")

@@ -39,6 +39,7 @@ DEFAULT_OPS = [
 #: symlink to the 1x files)
 OP_TABLE = {
     "dedup_incremental_near": "documents",
+    "dedup_incremental_semantic": "embeddings",
     "dedup_pagerank_step": "documents",
     "dedup_source_overlap_matrix": "documents",
     "text_bm25_topk": "documents",

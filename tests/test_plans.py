@@ -1085,3 +1085,23 @@ def test_incremental_near_reuses_artifacts_single_verify(spark):
     assert plan.count("array_intersect") == 0
     assert pi.has_partial_aggregate(df)
     assert pi.scan_columns(df, "documents.parquet") <= {"doc_id", "source"}
+
+
+def test_incremental_semantic_reads_edge_artifact(spark):
+    """dedup_incremental_semantic consumes the session-shared SRP-GEMM
+    edge artifact (Scan ExistingRDD — the bucketed GEMM ran once inside
+    the checkpoint; no Python kernel and no cosine fold re-evaluation in
+    the visible plan), classifies through the family's shared component
+    tail, and hint-forces nothing to broadcast. The documents scan
+    contributes only (doc_id, source); the embeddings scan only the
+    batch's validity-filtered vectors."""
+    df = build(spark, "dedup_incremental_semantic")
+    plan = pi.physical_plan(df)
+    assert pi.broadcast_hint_count(df) == 0
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan
+    assert "Scan ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+    assert pi.has_partial_aggregate(df)
+    assert pi.scan_columns(df, "documents.parquet") <= {"doc_id", "source"}
+    assert pi.scan_columns(df, "embeddings.parquet") <= {"vec_id", "embedding"}

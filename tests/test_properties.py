@@ -2641,3 +2641,121 @@ def test_incremental_near_classification(spark, tmp_path):
     assert_matches_oracle(
         spec.builder(spark, d), con, spec.oracle, "dedup_incremental_near"
     )
+
+
+def _srp_chain_vectors(seed):
+    """Deterministic a-b-c chain sharing ONE SRP bucket with
+    cos(a,b) = cos(b,c) = 0.6 (>= NEAR_DUP_TAU) and cos(a,c) < 0.37
+    (< NEAR_DUP_TAU): the transitive shape for the semantic incremental
+    family, constructed against the real hyperplanes so bucket
+    co-location is by design, not luck."""
+    import numpy as np
+
+    from iceberg_explorer_spark.operators.similarity import DIM, _plane_signs
+
+    planes = np.array([_plane_signs(p) for p in range(4)])
+
+    def unit(v):
+        return v / np.linalg.norm(v)
+
+    rng = np.random.default_rng(seed)
+    for _ in range(500):
+        a = unit(rng.normal(size=DIM))
+        o1 = rng.normal(size=DIM)
+        o1 = unit(o1 - (o1 @ a) * a)
+        b = 0.6 * a + 0.8 * o1          # unit: a ⟂ o1, 0.36 + 0.64 = 1
+        o2 = rng.normal(size=DIM)
+        o2 = unit(o2 - (o2 @ b) * b)
+        c = 0.6 * b + 0.8 * o2
+        same_bucket = len({tuple((planes @ v) > 0) for v in (a, b, c)}) == 1
+        if same_bucket and abs(a @ c) < 0.37:
+            return a, b, c
+    raise AssertionError(f"no bucket-sharing chain for seed {seed}")
+
+
+def test_incremental_semantic_classification(spark, tmp_path):
+    """dedup_incremental_semantic's distinguishing claims on a crafted
+    corpus (vec_id % 10 == 0 plays today's batch; vec_id == doc_id):
+    (1) corpus taint is TRANSITIVE — in the chain 9-210-220 (each hop
+    cos 0.6 >= tau, skip cos 0.32 < tau) doc 220 never matches corpus
+    doc 9 directly but drops vs_corpus through 210's contact; (2) a
+    batch-only chain 310-320-330 keeps exactly its min member and drops
+    330 TRANSITIVELY (no direct 310-330 edge); (3) an identical-vector
+    batch/corpus pair is a direct contact; (4) a doc with no qualifying
+    neighbor is novel; (5) n_batch counts EMBEDDED batch docs only — a
+    batch doc with no embedding row contributes nothing (semantic dedup
+    has no opinion on it); (6) the three columns partition n_batch.
+    Chain vectors are constructed against the real SRP hyperplanes so
+    every claimed edge is a same-bucket pair by design. Oracle-checked
+    on the same corpus."""
+    import duckdb
+    import numpy as np
+
+    from iceberg_explorer_spark.operators import QUERIES
+    from tests.conftest import assert_matches_oracle
+    from iceberg_explorer_spark.operators.similarity import DIM
+
+    p, q, r = _srp_chain_vectors(11)    # 9 (corpus) - 210 - 220
+    a, b, c = _srp_chain_vectors(7)     # 310 - 320 - 330 (all batch)
+    rng = np.random.default_rng(3)
+    novel = rng.normal(size=DIM)
+    novel = novel / np.linalg.norm(novel)
+    u = rng.normal(size=DIM)
+    u = u / np.linalg.norm(u)
+    emb = [
+        (9, p), (210, q), (220, r),
+        (310, a), (320, b), (330, c),
+        (400, novel),
+        (7, u), (500, u),
+        # doc 600 is in documents but has NO embedding row
+    ]
+    d = str(tmp_path / "semincr")
+    spark.createDataFrame(
+        [(i, [float(x) for x in v], 0) for i, v in emb],
+        "vec_id long, embedding array<float>, label int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    docs = [
+        (9, "web"), (7, "web"),
+        (210, "s6"), (220, "s6"),
+        (310, "s5"), (320, "s5"), (330, "s5"),
+        (400, "s3"), (500, "s1"), (600, "s0"),
+    ]
+    spark.createDataFrame(
+        [(i, f"doc {i} text body", "en", s, 20) for i, s in docs],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    spec = QUERIES["dedup_incremental_semantic"]
+    got = {row["source"]: row for row in spec.builder(spark, d).collect()}
+    # (5) doc 600 has no vector: source s0 must be absent entirely
+    assert set(got) == {"s1", "s3", "s5", "s6"}, got
+    # (3) identical-vector contact
+    assert got["s1"]["n_semdup_vs_corpus"] == 1 and got["s1"]["n_batch"] == 1
+    # (4) novel
+    assert got["s3"]["n_novel_kept"] == 1 and got["s3"]["n_batch"] == 1
+    # (2) batch-only chain: min kept, BOTH others dropped in-batch
+    assert got["s5"]["n_batch"] == 3
+    assert got["s5"]["n_novel_kept"] == 1          # 310
+    assert got["s5"]["n_semdup_in_batch"] == 2     # 320 AND 330 (transitive)
+    # (1) transitive corpus taint: 220 has no direct edge to doc 9
+    assert got["s6"]["n_batch"] == 2
+    assert got["s6"]["n_semdup_vs_corpus"] == 2    # 210 AND 220
+    # (6) partition property
+    for row in got.values():
+        assert (
+            row["n_semdup_vs_corpus"]
+            + row["n_semdup_in_batch"]
+            + row["n_novel_kept"]
+            == row["n_batch"]
+        ), row
+
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{d}/{t}.parquet/*.parquet')"
+        )
+    assert_matches_oracle(
+        spec.builder(spark, d), con, spec.oracle, "dedup_incremental_semantic"
+    )
