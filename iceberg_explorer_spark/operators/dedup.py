@@ -2501,23 +2501,47 @@ def dedup_lsh_band_tuning(
 INCR_NEAR_TAU = 0.8
 
 
+def _incremental_edges_sql() -> str:
+    """Oracle fragment: the batch-batch edge subset RESTRICTED to the
+    batch spine — both endpoints must be rows of ``batch(doc_id,
+    source)``, not merely batch-parity ids, so the component min a drop
+    is attributed to is always a LIVE report row (a semantic edge can
+    reference an orphan embedding whose document is absent; an edge to
+    a ghost must not elect the ghost as the kept representative).
+    Expects ``be(id_a, id_b)`` and ``batch`` to be defined; emits
+    ``bb`` for ``_cc_closure_sql``."""
+    return f"""bb AS (
+      SELECT e.id_a, e.id_b FROM be e
+      JOIN batch p ON p.doc_id = e.id_a
+      JOIN batch q ON q.doc_id = e.id_b
+      WHERE e.id_a % {INCR_MOD} = 0 AND e.id_b % {INCR_MOD} = 0
+    )"""
+
+
 def _incremental_report_sql(kind: str) -> str:
     """Oracle tail shared by the incremental ingest family
     (dedup_incremental_near, dedup_incremental_semantic): the
-    contact/tainted/cls/report CTE chain over three CTEs the caller
+    contact/tainted/cls/report CTE chain over four CTEs the caller
     provides — ``be(id_a, id_b)`` (batch-touching verified edges),
-    ``comp(node, cluster_id)`` (from ``_cc_closure_sql`` over the
-    batch-batch edge subset), and ``batch(doc_id, source)``. ONE
-    definition (the ``_cc_closure_sql`` discipline): the classification
-    semantics — corpus taint, component-min keep, the three-way
-    partition of n_batch — must stay identical across the family, and a
-    divergent copy would silently fork them. ``kind`` is the report
-    column infix (n_{kind}_vs_corpus / n_{kind}_in_batch)."""
+    ``batch(doc_id, source)`` (the increment's population, which also
+    defines n_batch's domain), ``bb`` (from ``_incremental_edges_sql``)
+    and ``comp(node, cluster_id)`` (from ``_cc_closure_sql`` over
+    ``bb``). ONE definition (the ``_cc_closure_sql`` discipline): the
+    classification semantics — corpus taint, component-min keep, the
+    three-way partition of n_batch — must stay identical across the
+    family, and a divergent copy would silently fork them. The
+    batch-side contact endpoint is restricted to the spine (same ghost
+    rule as ``_incremental_edges_sql``); the CORPUS side deliberately is
+    not — for the semantic variant the historical embedding store is
+    authoritative for "content already represented" even when the
+    matching corpus document row is absent from this slice. ``kind`` is
+    the report column infix (n_{kind}_vs_corpus / n_{kind}_in_batch)."""
     return f"""contact AS MATERIALIZED (
-      SELECT DISTINCT
-             CASE WHEN id_a % {INCR_MOD} = 0 THEN id_a ELSE id_b END
-               AS doc_id
-      FROM be WHERE (id_a % {INCR_MOD} = 0) <> (id_b % {INCR_MOD} = 0)
+      SELECT DISTINCT doc_id FROM (
+        SELECT CASE WHEN id_a % {INCR_MOD} = 0 THEN id_a ELSE id_b END
+                 AS doc_id
+        FROM be WHERE (id_a % {INCR_MOD} = 0) <> (id_b % {INCR_MOD} = 0)
+      ) WHERE doc_id IN (SELECT doc_id FROM batch)
     ),
     tainted AS (
       SELECT DISTINCT c.cluster_id
@@ -2554,21 +2578,32 @@ def incremental_component_report(
     hand this in MATERIALIZED form (an eager checkpoint or a session
     artifact): the tail reads it from two branches and the CC loop
     re-reads the batch-batch subset every round. ``batch``: (doc_id,
-    source) — the increment's population (which also defines n_batch's
-    domain; the semantic variant restricts it to embedded docs).
+    source) — the increment's population, which also defines n_batch's
+    domain (the semantic variant restricts it to embedded docs with a
+    documents row); checkpointed here because it feeds FOUR branches
+    (two edge semi-joins, the contact restriction, the cls spine).
 
     Component semantics, same as dedup_clusters: CC over the batch-batch
-    edges; a component is corpus-tainted when ANY member has a direct
-    verified corpus neighbor (taint needs no corpus-corpus edges — a
-    component touches history iff some member touches it directly).
-    Tainted members drop vs_corpus; a batch-only component keeps its
-    min-id member and drops the rest — every drop has a LIVE
-    representative (the corpus or the kept min), never an
-    already-dropped neighbor."""
+    edges RESTRICTED to spine members on both endpoints (an edge to an
+    orphan — e.g. a semantic edge to an embedding whose document row is
+    absent — must not elect the ghost as the kept representative); a
+    component is corpus-tainted when ANY member has a direct verified
+    corpus neighbor (taint needs no corpus-corpus edges — a component
+    touches history iff some member touches it directly; the corpus
+    side is NOT spine-restricted: history's store is authoritative for
+    "already represented"). Tainted members drop vs_corpus; a
+    batch-only component keeps its min-id member and drops the rest —
+    every drop has a LIVE representative (the corpus or the kept min),
+    never an already-dropped neighbor or a ghost."""
+    batch = batch.localCheckpoint(eager=True)
+    ids = batch.select("doc_id")
     a_b = F.col("id_a") % INCR_MOD == 0
     b_b = F.col("id_b") % INCR_MOD == 0
-    bb = be.filter(a_b & b_b).select(
-        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    bb = (
+        be.filter(a_b & b_b)
+        .join(ids, F.col("id_a") == F.col("doc_id"), "left_semi")
+        .join(ids, F.col("id_b") == F.col("doc_id"), "left_semi")
+        .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
     )
     contact = (
         be.filter(a_b != b_b)
@@ -2578,15 +2613,24 @@ def incremental_component_report(
             .alias("doc_id")
         )
         .distinct()
+        .join(ids, "doc_id", "left_semi")
         .withColumn("direct", F.lit(1))
         # TWO consumers (the tainted-component build and the cls spine) —
         # checkpoint the tiny contact list instead of re-running its
         # distinct per branch (the oracle marks the same CTE MATERIALIZED)
         .localCheckpoint(eager=True)
     )
-    comp = connected_components(bb).select(
+    cc = connected_components(bb)
+    # comp feeds TWO branches (tainted + cls); the eager checkpoint is
+    # the multi-branch materialization AND lets the loop's interim label
+    # persist be released immediately — unpersist must target the frame
+    # that was actually persisted (CacheManager matches exact plans;
+    # releasing a projection is a silent no-op), which
+    # connected_components exposes for exactly this
+    comp = cc.select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
-    )
+    ).localCheckpoint(eager=True)
+    cc.cc_persisted_labels.unpersist()
     tainted = (
         comp.join(contact.select("doc_id"), "doc_id")
         .select("cluster_id")
@@ -2644,14 +2688,11 @@ def incremental_component_report(
       JOIN sz sb ON sb.doc_id = i.doc_b
       WHERE i.n_common * 1.0 / (sa.n + sb.n - i.n_common) >= {INCR_NEAR_TAU}
     ),
-    bb AS (
-      SELECT id_a, id_b FROM be
-      WHERE id_a % {INCR_MOD} = 0 AND id_b % {INCR_MOD} = 0
-    ),
-    {_cc_closure_sql("bb", "id_a", "id_b", "comp")},
     batch AS (
       SELECT doc_id, source FROM documents WHERE doc_id % {INCR_MOD} = 0
     ),
+    {_incremental_edges_sql()},
+    {_cc_closure_sql("bb", "id_a", "id_b", "comp")},
     {_incremental_report_sql("neardup")}
     """,
     doc="Incremental NEAR-dup ingest — the companion to "

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from iceberg_explorer_spark.operators.dedup import (
     _cc_closure_sql,
+    _incremental_edges_sql,
     _incremental_report_sql,
     incremental_component_report,
     INCR_MOD,
@@ -1732,16 +1733,13 @@ def similarity_semantic_tau_sweep(
       WHERE cos_sim >= {NEAR_DUP_TAU}
         AND (id_a % {INCR_MOD} = 0 OR id_b % {INCR_MOD} = 0)
     ),
-    bb AS (
-      SELECT id_a, id_b FROM be
-      WHERE id_a % {INCR_MOD} = 0 AND id_b % {INCR_MOD} = 0
-    ),
-    {_cc_closure_sql("bb", "id_a", "id_b", "comp")},
     batch AS (
       SELECT e.vec_id AS doc_id, d.source
       FROM {_EMB_SQL} e JOIN documents d ON d.doc_id = e.vec_id
       WHERE e.vec_id % {INCR_MOD} = 0
     ),
+    {_incremental_edges_sql()},
+    {_cc_closure_sql("bb", "id_a", "id_b", "comp")},
     {_incremental_report_sql("semdup")}
     """,
     doc="Incremental SEMANTIC-dup ingest — the third sibling of the "

@@ -2651,9 +2651,13 @@ def _srp_chain_vectors(seed):
     co-location is by design, not luck."""
     import numpy as np
 
-    from iceberg_explorer_spark.operators.similarity import DIM, _plane_signs
+    from iceberg_explorer_spark.operators.similarity import (
+        DIM,
+        N_PLANES,
+        _plane_signs,
+    )
 
-    planes = np.array([_plane_signs(p) for p in range(4)])
+    planes = np.array([_plane_signs(p) for p in range(N_PLANES)])
 
     def unit(v):
         return v / np.linalg.norm(v)
@@ -2698,16 +2702,20 @@ def test_incremental_semantic_classification(spark, tmp_path):
     p, q, r = _srp_chain_vectors(11)    # 9 (corpus) - 210 - 220
     a, b, c = _srp_chain_vectors(7)     # 310 - 320 - 330 (all batch)
     rng = np.random.default_rng(3)
-    novel = rng.normal(size=DIM)
-    novel = novel / np.linalg.norm(novel)
-    u = rng.normal(size=DIM)
-    u = u / np.linalg.norm(u)
+
+    def _unit():
+        v = rng.normal(size=DIM)
+        return v / np.linalg.norm(v)
+
+    novel, u, w1, w2 = _unit(), _unit(), _unit(), _unit()
     emb = [
         (9, p), (210, q), (220, r),
         (310, a), (320, b), (330, c),
         (400, novel),
         (7, u), (500, u),
         # doc 600 is in documents but has NO embedding row
+        (700, w1), (710, w1),   # 700 is an ORPHAN (no documents row)
+        (701, w2), (720, w2),   # 701 is an orphan CORPUS embedding
     ]
     d = str(tmp_path / "semincr")
     spark.createDataFrame(
@@ -2719,6 +2727,7 @@ def test_incremental_semantic_classification(spark, tmp_path):
         (210, "s6"), (220, "s6"),
         (310, "s5"), (320, "s5"), (330, "s5"),
         (400, "s3"), (500, "s1"), (600, "s0"),
+        (710, "s7"), (720, "s8"),
     ]
     spark.createDataFrame(
         [(i, f"doc {i} text body", "en", s, 20) for i, s in docs],
@@ -2729,7 +2738,15 @@ def test_incremental_semantic_classification(spark, tmp_path):
     spec = QUERIES["dedup_incremental_semantic"]
     got = {row["source"]: row for row in spec.builder(spark, d).collect()}
     # (5) doc 600 has no vector: source s0 must be absent entirely
-    assert set(got) == {"s1", "s3", "s5", "s6"}, got
+    assert set(got) == {"s1", "s3", "s5", "s6", "s7", "s8"}, got
+    # (7) a batch edge to an ORPHAN embedding (700 has no documents row)
+    # must not elect the ghost as kept representative: 710 is NOVEL,
+    # not in-batch-dropped against a doc that exists nowhere
+    assert got["s7"]["n_novel_kept"] == 1 and got["s7"]["n_batch"] == 1
+    # (8) the CORPUS side is deliberately NOT spine-restricted: the
+    # history embedding store is authoritative for "already
+    # represented", so 720 drops vs_corpus against orphan embedding 701
+    assert got["s8"]["n_semdup_vs_corpus"] == 1 and got["s8"]["n_batch"] == 1
     # (3) identical-vector contact
     assert got["s1"]["n_semdup_vs_corpus"] == 1 and got["s1"]["n_batch"] == 1
     # (4) novel
