@@ -157,6 +157,7 @@ EXTENDED = [
     "pipeline_clean_corpus_v2",   # capstone: all four dedup families composed
     "dedup_incremental_near",     # daily-batch near-dup vs corpus artifacts
     "dedup_incremental_semantic",  # daily-batch semantic dedup vs corpus artifacts
+    "pipeline_incremental_ingest",  # capstone: three-stage incremental waterfall
 ]
 
 #: HEADLINE GRADUATION POLICY (a logged trend reset, never a silent one).

@@ -218,7 +218,10 @@ against exact answers).
   LSH artifacts — the near sibling of dedup_incremental_ingest) and
   dedup_incremental_semantic (the third sibling: embedding-cosine
   batch classification against the persisted SRP/GEMM edge artifact;
-  shares the component-classification tail with the near sibling) all
+  shares the component-classification tail with the near sibling) and
+  pipeline_incremental_ingest (the incremental capstone: the
+  exact→near→semantic daily-batch waterfall with first-claim
+  attribution, survivor-aware by construction) all
   register OUT-of-window with oracle + plan pin + 3x point per the
   standing checklist and are the r11 rotation's first priority,
   together with the 42-query r8 cohort (second rows, 35 remaining

@@ -56,6 +56,16 @@ CC_CHECKPOINT_EVERY = 5
 #: Convergence safety bound — propagation needs O(component diameter)
 #: rounds; near-dup components are small/dense so real diameters are tiny.
 CC_MAX_ROUNDS = 50
+#: Edge-count gate for the local union-find fast path in
+#: connected_components: a graph at or under this many edge rows is
+#: collected (bounded: ~1 MB at the cap) and solved driver-side in
+#: microseconds instead of paying the distributed loop's ~1 s/round
+#: scheduling floor (measured sf0.1: a 6-edge batch graph cost 3.5 s for
+#: 3 rounds — pure job latency, zero data). The same size-gating
+#: discipline as broadcast thresholds and LSH_MAX_BUCKET: above the cap
+#: the executor-side loop runs unchanged, which is the only path that
+#: exists at 100 TB graph sizes.
+CC_LOCAL_MAX_EDGES = 1 << 16
 
 #: Rounds of PLAIN min-label propagation before pointer-doubling label
 #: compression activates. Real dedup graphs are shallow, and for them the
@@ -1014,7 +1024,7 @@ CONTAINMENT_NEAR_DUP_J = 0.8
 _SHH_SQL = "SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS hb FROM sh"
 
 
-def _cc_closure_sql(edges: str, a: str, b: str, out: str) -> str:
+def _cc_closure_sql(edges: str, a: str, b: str, out: str, tag: str = "") -> str:
     """The recursive transitive-closure trio every CC oracle shares:
     bidirectional edge list → recursive ``reach`` → min-label component
     table ``{out}(node, cluster_id)``. ONE definition (the ``_SHH_SQL``
@@ -1025,19 +1035,22 @@ def _cc_closure_sql(edges: str, a: str, b: str, out: str) -> str:
     non-MATERIALIZED CTEs into EVERY reference, so the recursion
     re-evaluated its whole feeder chain per step (212 s on a 13-doc
     corpus, 2 s with ``AS MATERIALIZED`` on the feeder and the output).
-    Claims the ``und``/``reach`` CTE names."""
-    return f"""und AS MATERIALIZED (
+    Claims the ``und{tag}``/``reach{tag}`` CTE names — pass a unique
+    ``tag`` when one statement needs TWO closures (the incremental
+    capstone runs the near and semantic stages in one oracle)."""
+    return f"""und{tag} AS MATERIALIZED (
       SELECT {a} AS s, {b} AS d FROM {edges}
       UNION
       SELECT {b}, {a} FROM {edges}
     ),
-    reach(s, d) AS (
-      SELECT s, d FROM und
+    reach{tag}(s, d) AS (
+      SELECT s, d FROM und{tag}
       UNION
-      SELECT r.s, u.d FROM reach r JOIN und u ON r.d = u.s
+      SELECT r.s, u.d FROM reach{tag} r JOIN und{tag} u ON r.d = u.s
     ),
     {out} AS MATERIALIZED (
-      SELECT s AS node, LEAST(s, MIN(d)) AS cluster_id FROM reach GROUP BY s
+      SELECT s AS node, LEAST(s, MIN(d)) AS cluster_id
+      FROM reach{tag} GROUP BY s
     )"""
 
 #: Verify CTEs (reference ``cands``/``shh`` from the enclosing WITH).
@@ -1434,6 +1447,7 @@ def connected_components(
     edges: DataFrame,
     checkpoint_every: int = CC_CHECKPOINT_EVERY,
     max_rounds: int = CC_MAX_ROUNDS,
+    local_max_edges: int = CC_LOCAL_MAX_EDGES,
 ) -> DataFrame:
     """Connected components of an undirected graph given as directed
     (doc_a, doc_b) edge rows — min-label propagation.
@@ -1476,7 +1490,55 @@ def connected_components(
       implies convergence; the price is at most ONE overshoot
       propagation round, which at any scale costs
       less than the check it replaces.
+
+    ``local_max_edges``: graphs at or under this many edge rows take a
+    LOCAL union-find fast path — one bounded ``limit(cap+1)`` collect
+    (~1 MB at the default cap), solved in microseconds driver-side,
+    returned as the same (node, component) frame with ``cc_rounds = 0``
+    and ``cc_local = True``. Measured motivation: the distributed loop
+    costs ~1.2 s/round in pure job-scheduling latency regardless of
+    size (a 6-edge increment graph paid 3.5 s for 3 rounds), which
+    dominates every tiny-graph consumer (the incremental family runs
+    TWO classifications per call). Size-gated exactly like a broadcast
+    threshold: pass 0 to force the distributed loop (the stress tests
+    do), and above the cap nothing changes — the executor-side loop is
+    the only path that exists at 100 TB graph sizes. Union-by-min +
+    path compression gives bit-identical labels (component minimum).
     """
+    if local_max_edges:
+        head = (
+            edges.select("doc_a", "doc_b").limit(local_max_edges + 1).collect()
+        )
+        if len(head) <= local_max_edges:
+            parent: dict = {}
+
+            def find(x):
+                r = x
+                while parent[r] != r:
+                    r = parent[r]
+                while parent[x] != r:
+                    parent[x], x = r, parent[x]
+                return r
+
+            for row in head:
+                a, b = row[0], row[1]
+                if a not in parent:
+                    parent[a] = a
+                if b not in parent:
+                    parent[b] = b
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    if rb < ra:
+                        ra, rb = rb, ra
+                    parent[rb] = ra
+            out = edges.sparkSession.createDataFrame(
+                [(n, find(n)) for n in parent], "node bigint, component bigint"
+            ).persist()
+            out.cc_persisted_labels = out
+            out.cc_rounds = 0
+            out.cc_compressions = 0
+            out.cc_local = True
+            return out
     und = edges.unionByName(
         edges.select(
             F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
@@ -1581,6 +1643,7 @@ def connected_components(
                 # SCALE.md deep-diameter stress (not part of the schema)
                 out.cc_rounds = rounds_done
                 out.cc_compressions = compressions
+                out.cc_local = False
                 return out
             prev_sum = new_sum
         labels.unpersist()
@@ -2501,64 +2564,73 @@ def dedup_lsh_band_tuning(
 INCR_NEAR_TAU = 0.8
 
 
-def _incremental_edges_sql() -> str:
+def _incremental_edges_sql(
+    tag: str = "", be: str = "be", batch: str = "batch"
+) -> str:
     """Oracle fragment: the batch-batch edge subset RESTRICTED to the
     batch spine — both endpoints must be rows of ``batch(doc_id,
     source)``, not merely batch-parity ids, so the component min a drop
     is attributed to is always a LIVE report row (a semantic edge can
     reference an orphan embedding whose document is absent; an edge to
     a ghost must not elect the ghost as the kept representative).
-    Expects ``be(id_a, id_b)`` and ``batch`` to be defined; emits
-    ``bb`` for ``_cc_closure_sql``."""
-    return f"""bb AS (
-      SELECT e.id_a, e.id_b FROM be e
-      JOIN batch p ON p.doc_id = e.id_a
-      JOIN batch q ON q.doc_id = e.id_b
+    Emits ``bb{tag}`` over the caller-named ``be``/``batch`` CTEs for
+    ``_cc_closure_sql`` — the names are parameters so the incremental
+    capstone can instantiate the fragment once per stage."""
+    return f"""bb{tag} AS (
+      SELECT e.id_a, e.id_b FROM {be} e
+      JOIN {batch} p ON p.doc_id = e.id_a
+      JOIN {batch} q ON q.doc_id = e.id_b
       WHERE e.id_a % {INCR_MOD} = 0 AND e.id_b % {INCR_MOD} = 0
     )"""
 
 
-def _incremental_report_sql(kind: str) -> str:
-    """Oracle tail shared by the incremental ingest family
-    (dedup_incremental_near, dedup_incremental_semantic): the
-    contact/tainted/cls/report CTE chain over four CTEs the caller
-    provides — ``be(id_a, id_b)`` (batch-touching verified edges),
-    ``batch(doc_id, source)`` (the increment's population, which also
-    defines n_batch's domain), ``bb`` (from ``_incremental_edges_sql``)
-    and ``comp(node, cluster_id)`` (from ``_cc_closure_sql`` over
-    ``bb``). ONE definition (the ``_cc_closure_sql`` discipline): the
-    classification semantics — corpus taint, component-min keep, the
-    three-way partition of n_batch — must stay identical across the
-    family, and a divergent copy would silently fork them. The
+def _incremental_cls_sql(
+    tag: str = "", be: str = "be", batch: str = "batch"
+) -> str:
+    """Oracle fragment: the per-doc classification CTE chain shared by
+    the incremental ingest family — ``contact{tag}``/``tainted{tag}``/
+    ``cls{tag}(doc_id, source, vs_corpus, in_batch)`` over the
+    caller-named ``be(id_a, id_b)``, ``batch(doc_id, source)`` and the
+    ``comp{tag}`` component table (from ``_cc_closure_sql`` over
+    ``bb{tag}``). ONE definition (the ``_cc_closure_sql`` discipline):
+    corpus taint, component-min keep and the three-way partition must
+    stay identical across the family and the capstone's two stages. The
     batch-side contact endpoint is restricted to the spine (same ghost
     rule as ``_incremental_edges_sql``); the CORPUS side deliberately is
     not — for the semantic variant the historical embedding store is
     authoritative for "content already represented" even when the
-    matching corpus document row is absent from this slice. ``kind`` is
-    the report column infix (n_{kind}_vs_corpus / n_{kind}_in_batch)."""
-    return f"""contact AS MATERIALIZED (
+    matching corpus document row is absent from this slice."""
+    return f"""contact{tag} AS MATERIALIZED (
       SELECT DISTINCT doc_id FROM (
         SELECT CASE WHEN id_a % {INCR_MOD} = 0 THEN id_a ELSE id_b END
                  AS doc_id
-        FROM be WHERE (id_a % {INCR_MOD} = 0) <> (id_b % {INCR_MOD} = 0)
-      ) WHERE doc_id IN (SELECT doc_id FROM batch)
+        FROM {be} WHERE (id_a % {INCR_MOD} = 0) <> (id_b % {INCR_MOD} = 0)
+      ) WHERE doc_id IN (SELECT doc_id FROM {batch})
     ),
-    tainted AS (
+    tainted{tag} AS (
       SELECT DISTINCT c.cluster_id
-      FROM comp c JOIN contact k ON k.doc_id = c.node
+      FROM comp{tag} c JOIN contact{tag} k ON k.doc_id = c.node
     ),
-    cls AS (
+    cls{tag} AS (
       SELECT b.doc_id, b.source,
              CASE WHEN k.doc_id IS NOT NULL OR t.cluster_id IS NOT NULL
                   THEN 1 ELSE 0 END AS vs_corpus,
              CASE WHEN k.doc_id IS NULL AND t.cluster_id IS NULL
                   AND c.cluster_id IS NOT NULL AND c.cluster_id <> b.doc_id
                   THEN 1 ELSE 0 END AS in_batch
-      FROM batch b
-      LEFT JOIN contact k ON k.doc_id = b.doc_id
-      LEFT JOIN comp c ON c.node = b.doc_id
-      LEFT JOIN tainted t ON t.cluster_id = c.cluster_id
-    )
+      FROM {batch} b
+      LEFT JOIN contact{tag} k ON k.doc_id = b.doc_id
+      LEFT JOIN comp{tag} c ON c.node = b.doc_id
+      LEFT JOIN tainted{tag} t ON t.cluster_id = c.cluster_id
+    )"""
+
+
+def _incremental_report_sql(kind: str) -> str:
+    """Oracle tail of the standalone incremental operators: the shared
+    classification chain (``_incremental_cls_sql``) plus the per-source
+    report. ``kind`` is the report column infix (n_{kind}_vs_corpus /
+    n_{kind}_in_batch)."""
+    return f"""{_incremental_cls_sql()}
     SELECT source,
            COUNT(*) AS n_batch,
            COUNT(*) FILTER (WHERE vs_corpus = 1) AS n_{kind}_vs_corpus,
@@ -2568,33 +2640,35 @@ def _incremental_report_sql(kind: str) -> str:
     FROM cls GROUP BY source"""
 
 
-def incremental_component_report(
-    be: DataFrame, batch: DataFrame, kind: str
-) -> DataFrame:
-    """Spark classification tail shared by the incremental ingest family
-    — the executable twin of ``_incremental_report_sql``.
+def incremental_component_cls(be: DataFrame, batch: DataFrame) -> DataFrame:
+    """Spark classification stage shared by the incremental ingest family
+    — the executable twin of ``_incremental_cls_sql``: returns one row
+    per spine doc (doc_id, source, vs_corpus, in_batch), both flags 0/1
+    ints, novel-kept being the all-zero row.
 
     ``be``: (id_a, id_b) batch-touching VERIFIED edges. The caller must
     hand this in MATERIALIZED form (an eager checkpoint or a session
-    artifact): the tail reads it from two branches and the CC loop
+    artifact): the stage reads it from two branches and the CC loop
     re-reads the batch-batch subset every round. ``batch``: (doc_id,
-    source) — the increment's population, which also defines n_batch's
-    domain (the semantic variant restricts it to embedded docs with a
-    documents row); checkpointed here because it feeds FOUR branches
-    (two edge semi-joins, the contact restriction, the cls spine).
+    source) — the increment's population, which also defines the
+    classification domain (the semantic variant restricts it to embedded
+    docs with a documents row; the capstone passes each stage's survivor
+    spine); checkpointed here because it feeds FOUR branches (two edge
+    semi-joins, the contact restriction, the cls spine).
 
     Component semantics, same as dedup_clusters: CC over the batch-batch
     edges RESTRICTED to spine members on both endpoints (an edge to an
     orphan — e.g. a semantic edge to an embedding whose document row is
-    absent — must not elect the ghost as the kept representative); a
-    component is corpus-tainted when ANY member has a direct verified
-    corpus neighbor (taint needs no corpus-corpus edges — a component
-    touches history iff some member touches it directly; the corpus
-    side is NOT spine-restricted: history's store is authoritative for
-    "already represented"). Tainted members drop vs_corpus; a
-    batch-only component keeps its min-id member and drops the rest —
-    every drop has a LIVE representative (the corpus or the kept min),
-    never an already-dropped neighbor or a ghost."""
+    absent, or the capstone's edge to an earlier-stage drop — must not
+    elect a ghost as the kept representative); a component is
+    corpus-tainted when ANY member has a direct verified corpus neighbor
+    (taint needs no corpus-corpus edges — a component touches history
+    iff some member touches it directly; the corpus side is NOT
+    spine-restricted: history's store is authoritative for "already
+    represented"). Tainted members drop vs_corpus; a batch-only
+    component keeps its min-id member and drops the rest — every drop
+    has a LIVE representative (the corpus or the kept min), never an
+    already-dropped neighbor or a ghost."""
     batch = batch.localCheckpoint(eager=True)
     ids = batch.select("doc_id")
     a_b = F.col("id_a") % INCR_MOD == 0
@@ -2648,11 +2722,28 @@ def incremental_component_report(
         & F.col("cluster_id").isNotNull()
         & (F.col("doc_id") != F.col("cluster_id"))
     )
+    return cls.select(
+        "doc_id",
+        "source",
+        F.when(vs_corpus, 1).otherwise(0).alias("vs_corpus"),
+        F.when(in_batch, 1).otherwise(0).alias("in_batch"),
+    )
+
+
+def incremental_component_report(
+    be: DataFrame, batch: DataFrame, kind: str
+) -> DataFrame:
+    """Per-source report over ``incremental_component_cls`` — the tail
+    of the standalone incremental operators (the capstone consumes the
+    cls rows directly instead)."""
+    cls = incremental_component_cls(be, batch)
+    vs = F.col("vs_corpus") == 1
+    ib = F.col("in_batch") == 1
     return cls.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_batch"),
-        F.count(F.when(vs_corpus, 1)).alias(f"n_{kind}_vs_corpus"),
-        F.count(F.when(in_batch, 1)).alias(f"n_{kind}_in_batch"),
-        F.count(F.when(~vs_corpus & ~in_batch, 1)).alias("n_novel_kept"),
+        F.count(F.when(vs, 1)).alias(f"n_{kind}_vs_corpus"),
+        F.count(F.when(ib, 1)).alias(f"n_{kind}_in_batch"),
+        F.count(F.when(~vs & ~ib, 1)).alias("n_novel_kept"),
     )
 
 

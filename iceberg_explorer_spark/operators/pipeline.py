@@ -1541,3 +1541,254 @@ def pipeline_clean_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("est_bpe_tokens_kept"),
     )
+
+
+def _incremental_ingest_oracle() -> str:
+    from iceberg_explorer_spark.operators.dedup import (
+        _cc_closure_sql,
+        _incremental_cls_sql,
+        _incremental_edges_sql,
+        _SHH_SQL,
+        _SHINGLE_SQL,
+        INCR_MOD,
+        INCR_NEAR_TAU,
+        JACCARD_MAX_DOC_SHINGLES,
+    )
+    from iceberg_explorer_spark.operators.similarity import (
+        _EMB_SQL,
+        _srp_code_duckdb,
+        NEAR_DUP_TAU,
+    )
+
+    return f"""
+    WITH RECURSIVE batch0 AS (
+      SELECT doc_id, source FROM documents WHERE doc_id % {INCR_MOD} = 0
+    ),
+    cdig AS (
+      SELECT DISTINCT md5(text) AS h FROM documents
+      WHERE doc_id % {INCR_MOD} <> 0
+    ),
+    bdig AS MATERIALIZED (
+      SELECT doc_id, md5(text) AS h FROM documents
+      WHERE doc_id % {INCR_MOD} = 0
+    ),
+    bmin AS (SELECT h, MIN(doc_id) AS k FROM bdig GROUP BY h),
+    exact_drop AS MATERIALIZED (
+      SELECT b.doc_id FROM bdig b
+      JOIN bmin m ON m.h = b.h
+      LEFT JOIN cdig c ON c.h = b.h
+      WHERE c.h IS NOT NULL OR b.doc_id <> m.k
+    ),
+    batch AS MATERIALIZED (
+      SELECT doc_id, source FROM batch0
+      WHERE doc_id NOT IN (SELECT doc_id FROM exact_drop)
+    ),
+    cands AS ({_LSH_CANDIDATES_SQL}),
+    bc AS (
+      SELECT doc_a, doc_b FROM cands
+      WHERE doc_a % {INCR_MOD} = 0 OR doc_b % {INCR_MOD} = 0
+    ),
+    sh AS ({_SHINGLE_SQL}),
+    shh AS ({_SHH_SQL}),
+    cdocs AS (SELECT doc_a AS doc_id FROM bc UNION SELECT doc_b FROM bc),
+    capped AS (
+      SELECT doc_id, hb FROM (
+        SELECT doc_id, hb,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hb) AS rn
+        FROM shh WHERE doc_id IN (SELECT doc_id FROM cdocs)
+      ) WHERE rn <= {JACCARD_MAX_DOC_SHINGLES}
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM capped GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+      FROM bc c
+      JOIN capped a ON a.doc_id = c.doc_a
+      JOIN capped b ON b.doc_id = c.doc_b AND b.hb = a.hb
+      GROUP BY c.doc_a, c.doc_b
+    ),
+    be AS MATERIALIZED (
+      SELECT i.doc_a AS id_a, i.doc_b AS id_b FROM inter i
+      JOIN sz sa ON sa.doc_id = i.doc_a
+      JOIN sz sb ON sb.doc_id = i.doc_b
+      WHERE i.n_common * 1.0 / (sa.n + sb.n - i.n_common) >= {INCR_NEAR_TAU}
+    ),
+    {_incremental_edges_sql()},
+    {_cc_closure_sql("bb", "id_a", "id_b", "comp")},
+    {_incremental_cls_sql()},
+    near_drop AS MATERIALIZED (
+      SELECT doc_id FROM cls WHERE vs_corpus = 1 OR in_batch = 1
+    ),
+    batch2 AS MATERIALIZED (
+      SELECT b.doc_id, b.source FROM batch b
+      JOIN {_EMB_SQL} e ON e.vec_id = b.doc_id
+      WHERE b.doc_id NOT IN (SELECT doc_id FROM near_drop)
+    ),
+    coded AS (
+      SELECT vec_id, embedding, {_srp_code_duckdb('embedding')} AS bucket
+      FROM {_EMB_SQL}
+    ),
+    prs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])), 6)
+               AS cos_sim
+      FROM coded a JOIN coded b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ),
+    be2 AS MATERIALIZED (
+      SELECT id_a, id_b FROM prs
+      WHERE cos_sim >= {NEAR_DUP_TAU}
+        AND (id_a % {INCR_MOD} = 0 OR id_b % {INCR_MOD} = 0)
+    ),
+    {_incremental_edges_sql(tag="2", be="be2", batch="batch2")},
+    {_cc_closure_sql("bb2", "id_a", "id_b", "comp2", tag="2")},
+    {_incremental_cls_sql(tag="2", be="be2", batch="batch2")},
+    sem_drop AS (
+      SELECT doc_id FROM cls2 WHERE vs_corpus = 1 OR in_batch = 1
+    ),
+    status AS (
+      SELECT b.source,
+             CASE WHEN ed.doc_id IS NOT NULL THEN 'exact'
+                  WHEN nd.doc_id IS NOT NULL THEN 'near'
+                  WHEN sd.doc_id IS NOT NULL THEN 'semantic'
+                  ELSE 'kept' END AS stage
+      FROM batch0 b
+      LEFT JOIN exact_drop ed ON ed.doc_id = b.doc_id
+      LEFT JOIN near_drop nd ON nd.doc_id = b.doc_id
+      LEFT JOIN sem_drop sd ON sd.doc_id = b.doc_id
+    )
+    SELECT source,
+           COUNT(*) AS n_batch,
+           COUNT(*) FILTER (WHERE stage = 'exact') AS n_drop_exact,
+           COUNT(*) FILTER (WHERE stage = 'near') AS n_drop_near,
+           COUNT(*) FILTER (WHERE stage = 'semantic') AS n_drop_semantic,
+           COUNT(*) FILTER (WHERE stage = 'kept') AS n_kept
+    FROM status GROUP BY source
+    """
+
+
+@query(
+    "pipeline_incremental_ingest",
+    oracle=_incremental_ingest_oracle(),
+    doc="The incremental capstone: the full three-stage daily-batch "
+    "waterfall a production ingest runs — exact (digest vs history + "
+    "min-doc canon within the batch), lexical near (LSH+Jaccard at "
+    "INCR_NEAR_TAU), semantic (embedding cosine at NEAR_DUP_TAU) — "
+    "with per-stage FIRST-claim attribution per source: n_drop_exact + "
+    "n_drop_near + n_drop_semantic + n_kept = n_batch exactly. "
+    "SURVIVOR-AWARE BY CONSTRUCTION: each stage classifies only the "
+    "previous stage's survivors (the shared incremental_component_cls "
+    "spine restriction — an edge to an earlier-stage drop cannot elect "
+    "a ghost representative), and an exact-dropped doc's content "
+    "remains reachable to later stages through the corpus side because "
+    "its canonical twin has IDENTICAL shingles/signature (an edge to "
+    "the dropped copy implies the same-weight edge to its kept twin). "
+    "Docs without embeddings pass the semantic stage untouched (it has "
+    "no opinion outside its domain — same rule as "
+    "dedup_incremental_semantic). Zero new kernels: digests are "
+    "map-side md5, the near stage reads the shared shingle/LSH "
+    "checkpoints, the semantic stage reads the shared SRP-GEMM edge "
+    "artifact, and both classification stages are the family's ONE "
+    "shared component tail. At 100 TB this is the nightly job shape: "
+    "history contributes only its persisted artifacts (digest table, "
+    "band→bucket table, shingle table, SRP bucket assignment), each "
+    "stage's drop list is an increment-sized parquet artifact, and the "
+    "only batch-proportional passes are the digest scan and the stage "
+    "classifications.",
+)
+def pipeline_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_explorer_spark.operators.dedup import (
+        INCR_MOD,
+        INCR_NEAR_TAU,
+        incremental_component_cls,
+        jaccard_verify,
+        shared_hashed_shingles,
+    )
+    from iceberg_explorer_spark.operators.similarity import (
+        _load_emb,
+        shared_semantic_edges,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_batch = F.col("doc_id") % INCR_MOD == 0
+    batch0 = docs.filter(is_batch).select("doc_id", "source")
+    # exact: a batch doc drops when its digest is already in history OR
+    # it is not the min-id holder of its digest within the batch; only
+    # (digest, id) ever shuffles
+    cdig = (
+        docs.filter(~is_batch)
+        .select(F.md5("text").alias("h"))
+        .distinct()
+        .withColumn("seen", F.lit(1))
+    )
+    bdig = docs.filter(is_batch).select("doc_id", F.md5("text").alias("h"))
+    bmin = bdig.groupBy("h").agg(F.min("doc_id").alias("k"))
+    exact_drops = (
+        bdig.join(bmin, "h")
+        .join(cdig, "h", "left")
+        .filter(F.col("seen").isNotNull() | (F.col("doc_id") != F.col("k")))
+        .select("doc_id", F.lit(True).alias("ex_drop"))
+        # feeds TWO branches (the survivor spine and the status join)
+        .localCheckpoint(eager=True)
+    )
+    # the survivor spine feeds the near classification AND the next
+    # stage's survivor chain — checkpoint per the standing discipline
+    surv1 = (
+        batch0.join(exact_drops.select("doc_id"), "doc_id", "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    sh = shared_hashed_shingles(spark, sf_dir)
+    cands = shared_lsh_candidates(spark, sf_dir, hashed=sh).select(
+        "doc_a", "doc_b"
+    )
+    bc = cands.filter(
+        (F.col("doc_a") % INCR_MOD == 0) | (F.col("doc_b") % INCR_MOD == 0)
+    )
+    be = (
+        jaccard_verify(bc, sh, threshold=INCR_NEAR_TAU)
+        .select(F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"))
+        .localCheckpoint(eager=True)
+    )
+    cls1 = incremental_component_cls(be, surv1)
+    near_drops = (
+        cls1.filter((F.col("vs_corpus") == 1) | (F.col("in_batch") == 1))
+        .select("doc_id", F.lit(True).alias("near_drop"))
+        # feeds TWO branches (survivor chain + status join)
+        .localCheckpoint(eager=True)
+    )
+    surv2 = surv1.join(near_drops.select("doc_id"), "doc_id", "left_anti")
+    be2 = shared_semantic_edges(spark, sf_dir).filter(
+        (F.col("id_a") % INCR_MOD == 0) | (F.col("id_b") % INCR_MOD == 0)
+    ).select("id_a", "id_b")
+    batch2 = surv2.join(
+        _load_emb(spark, sf_dir).select(F.col("vec_id").alias("doc_id")),
+        "doc_id",
+    )
+    cls2 = incremental_component_cls(be2, batch2)
+    sem_drops = cls2.filter(
+        (F.col("vs_corpus") == 1) | (F.col("in_batch") == 1)
+    ).select("doc_id", F.lit(True).alias("sem_drop"))
+    status = (
+        batch0.join(exact_drops, "doc_id", "left")
+        .join(near_drops, "doc_id", "left")
+        .join(sem_drops, "doc_id", "left")
+        .select(
+            "source",
+            F.when(F.col("ex_drop").isNotNull(), F.lit("exact"))
+            .when(F.col("near_drop").isNotNull(), F.lit("near"))
+            .when(F.col("sem_drop").isNotNull(), F.lit("semantic"))
+            .otherwise(F.lit("kept"))
+            .alias("stage"),
+        )
+    )
+
+    def _n(stage: str, alias: str):
+        return F.count(F.when(F.col("stage") == stage, 1)).alias(alias)
+
+    return status.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_batch"),
+        _n("exact", "n_drop_exact"),
+        _n("near", "n_drop_near"),
+        _n("semantic", "n_drop_semantic"),
+        _n("kept", "n_kept"),
+    )

@@ -40,6 +40,7 @@ DEFAULT_OPS = [
 OP_TABLE = {
     "dedup_incremental_near": "documents",
     "dedup_incremental_semantic": "embeddings",
+    "pipeline_incremental_ingest": "documents",
     "dedup_pagerank_step": "documents",
     "dedup_source_overlap_matrix": "documents",
     "text_bm25_topk": "documents",

@@ -1105,3 +1105,25 @@ def test_incremental_semantic_reads_edge_artifact(spark):
     assert pi.has_partial_aggregate(df)
     assert pi.scan_columns(df, "documents.parquet") <= {"doc_id", "source"}
     assert pi.scan_columns(df, "embeddings.parquet") <= {"vec_id", "embedding"}
+
+
+def test_incremental_capstone_artifacts_no_kernels(spark):
+    """pipeline_incremental_ingest composes the three incremental stages
+    from materialized artifacts only: the shingle/LSH checkpoints and
+    the SRP-GEMM edge artifact arrive as Scan ExistingRDD, no Python
+    kernel appears anywhere in the plan (digests are map-side md5; the
+    GEMM ran inside the session artifact), nothing is hint-forced to
+    broadcast, the final attribution is partial-aggregated, and the
+    documents scan carries only (doc_id, source, text) — text solely
+    for the map-side digest."""
+    df = build(spark, "pipeline_incremental_ingest")
+    plan = pi.physical_plan(df)
+    assert pi.broadcast_hint_count(df) == 0
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan
+    assert "Scan ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+    assert pi.has_partial_aggregate(df)
+    assert pi.scan_columns(df, "documents.parquet") <= {
+        "doc_id", "source", "text"
+    }

@@ -229,7 +229,8 @@ def test_connected_components_deep_chain_checkpoints(spark):
     edges = spark.createDataFrame(chain_a + chain_b, "doc_a long, doc_b long")
     assert 12 > 2 * CC_CHECKPOINT_EVERY  # the test must cross checkpoints
     got = {
-        r["node"]: r["component"] for r in connected_components(edges).collect()
+        r["node"]: r["component"]
+        for r in connected_components(edges, local_max_edges=0).collect()
     }
     assert got == {**{i: 100 for i in range(100, 113)},
                    **{i: 200 for i in range(200, 204)}}
@@ -254,7 +255,8 @@ def test_connected_components_log_diameter_convergence(spark):
     d = 128
     chain = [(i, i + 1) for i in range(d)]
     out = connected_components(
-        spark.createDataFrame(chain, "doc_a long, doc_b long")
+        spark.createDataFrame(chain, "doc_a long, doc_b long"),
+        local_max_edges=0,
     )
     got = {r["node"]: r["component"] for r in out.collect()}
     assert got == {i: 0 for i in range(d + 1)}
@@ -271,7 +273,8 @@ def test_connected_components_log_diameter_convergence(spark):
     # graphs real dedup produces (sf0.1's LSH graph measures
     # cc_rounds == 3, semantic graph 7: compression never activates)
     shallow = connected_components(
-        spark.createDataFrame([(1, 2), (2, 3)], "doc_a long, doc_b long")
+        spark.createDataFrame([(1, 2), (2, 3)], "doc_a long, doc_b long"),
+        local_max_edges=0,
     )
     assert shallow.cc_rounds <= CC_DOUBLE_AFTER
     assert shallow.cc_compressions == 0
@@ -285,7 +288,7 @@ def test_connected_components_round_bound_raises(spark):
         [(i, i + 1) for i in range(10)], "doc_a long, doc_b long"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(edges, max_rounds=3)
+        connected_components(edges, max_rounds=3, local_max_edges=0)
 
 
 def test_gemm_tiling_matches_untiled():
@@ -923,7 +926,9 @@ def test_connected_components_first_round_exit(spark):
     )
     out = {
         (r["node"], r["component"])
-        for r in connected_components(edges, max_rounds=1).collect()
+        for r in connected_components(
+            edges, max_rounds=1, local_max_edges=0
+        ).collect()
     }
     assert out == {(5, 5), (9, 9)}
 
@@ -2776,3 +2781,135 @@ def test_incremental_semantic_classification(spark, tmp_path):
     assert_matches_oracle(
         spec.builder(spark, d), con, spec.oracle, "dedup_incremental_semantic"
     )
+
+
+def test_pipeline_incremental_ingest_waterfall(spark, tmp_path):
+    """pipeline_incremental_ingest's distinguishing claims on a crafted
+    corpus (doc_id % 10 == 0 plays today's batch): (1) FIRST-claim
+    attribution — an identical-text batch doc is claimed by 'exact'
+    even though it is also a trivial near/semantic duplicate; (2) exact
+    covers both directions: digest already in history AND non-min
+    within the batch digest group; (3) near claims both a direct corpus
+    near-match and the non-min member of a batch-only verified pair;
+    (4) semantic claims the non-min member of an identical-embedding
+    pair whose TEXTS are not lexical near-dups; (5) SURVIVOR-AWARENESS
+    across stages — doc 110 shares its embedding with doc 100, but 100
+    fell at the exact stage, so 110 is KEPT (a global semantic grouping
+    would drop it against a ghost); (6) the four columns partition
+    n_batch. Oracle-checked on the same corpus."""
+    import duckdb
+    import numpy as np
+
+    from iceberg_explorer_spark.operators import QUERIES
+    from iceberg_explorer_spark.operators.similarity import DIM
+    from tests.conftest import assert_matches_oracle
+
+    t_a = " ".join(f"alpha{i} beta{i % 5} gamma{i % 11}" for i in range(40))
+    t_b = " ".join(f"delta{i} epsilon{i % 7} zeta{i % 13}" for i in range(40))
+    t_c = " ".join(f"eta{i} theta{i % 3} iota{i % 17}" for i in range(20))
+
+    def swap2(text, i, j, tag):
+        w = text.split(" ")
+        w[i], w[j] = f"CHANGED{tag}0", f"CHANGED{tag}1"
+        return " ".join(w)
+
+    t_c_near = swap2(t_c, 10, 34, "a")           # J = 0.8125 vs t_c
+    t_d = " ".join(f"kappa{i} lambda{i % 9} mu{i % 4}" for i in range(20))
+    t_d_near = swap2(t_d, 12, 40, "b")
+    t_e = " ".join(f"nu{i} xi{i % 6} omicron{i % 13}" for i in range(40))
+    t_f = " ".join(f"pi{i} rho{i % 5} sigma{i % 11}" for i in range(40))
+    t_g = " ".join(f"tau{i} upsilon{i % 7} phi{i % 13}" for i in range(40))
+    t_h = " ".join(f"chi{i} psi{i % 3} omega{i % 17}" for i in range(40))
+
+    docs = [
+        (3, t_a, "web"), (5, t_c, "web"),        # history
+        (10, t_a, "s1"),                          # exact vs corpus
+        (20, t_b, "s2"), (30, t_b, "s2"),        # exact in-batch: 30 drops
+        (40, t_c_near, "s3"),                     # near vs corpus (doc 5)
+        (50, t_d, "s4"), (60, t_d_near, "s4"),   # near in-batch: 60 drops
+        (70, t_e, "s5"), (80, t_f, "s5"),        # semantic pair: 80 drops
+        (90, t_g, "s6"),                          # novel
+        (100, t_a, "s7"), (110, t_h, "s7"),      # survivor-aware pin
+    ]
+    rng = np.random.default_rng(19)
+
+    def _unit():
+        v = rng.normal(size=DIM)
+        return [float(x) for x in v / np.linalg.norm(v)]
+
+    v1, v2, v3 = _unit(), _unit(), _unit()
+    emb = [(70, v1), (80, v1), (100, v2), (110, v2), (90, v3)]
+    d = str(tmp_path / "incrcap")
+    spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for i, t, s in docs],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    spark.createDataFrame(
+        [(i, v, 0) for i, v in emb],
+        "vec_id long, embedding array<float>, label int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+
+    spec = QUERIES["pipeline_incremental_ingest"]
+    got = {row["source"]: row for row in spec.builder(spark, d).collect()}
+    assert set(got) == {"s1", "s2", "s3", "s4", "s5", "s6", "s7"}, got
+    assert got["s1"]["n_drop_exact"] == 1 and got["s1"]["n_batch"] == 1
+    assert got["s2"]["n_drop_exact"] == 1 and got["s2"]["n_kept"] == 1
+    assert got["s3"]["n_drop_near"] == 1 and got["s3"]["n_batch"] == 1
+    assert got["s4"]["n_drop_near"] == 1 and got["s4"]["n_kept"] == 1
+    assert got["s5"]["n_drop_semantic"] == 1 and got["s5"]["n_kept"] == 1
+    assert got["s6"]["n_kept"] == 1 and got["s6"]["n_batch"] == 1
+    # (5) the survivor-aware pin: 100 fell at exact; 110 must be KEPT,
+    # not semantic-dropped against the ghost
+    assert got["s7"]["n_drop_exact"] == 1      # doc 100
+    assert got["s7"]["n_drop_semantic"] == 0
+    assert got["s7"]["n_kept"] == 1            # doc 110
+    # (6) partition property
+    for row in got.values():
+        assert (
+            row["n_drop_exact"]
+            + row["n_drop_near"]
+            + row["n_drop_semantic"]
+            + row["n_kept"]
+            == row["n_batch"]
+        ), row
+
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{d}/{t}.parquet/*.parquet')"
+        )
+    assert_matches_oracle(
+        spec.builder(spark, d), con, spec.oracle, "pipeline_incremental_ingest"
+    )
+
+
+def test_connected_components_local_fast_path_matches_distributed(spark):
+    """The size-gated local union-find path (CC_LOCAL_MAX_EDGES) must be
+    label-for-label identical to the distributed min-label loop —
+    including self-loops, multi-component graphs, chains longer than the
+    checkpoint span, and reversed-order edges — and must declare itself
+    in the telemetry (cc_local, zero rounds). One row above the cap the
+    distributed loop must engage."""
+    from iceberg_explorer_spark.operators.dedup import connected_components
+
+    edges_rows = (
+        [(i, i + 1) for i in range(100, 112)]   # 12-chain
+        + [(205, 203), (203, 204)]              # reversed-order edges
+        + [(300, 300)]                          # self-loop singleton
+        + [(400, 402), (401, 402)]              # star
+    )
+    edges = spark.createDataFrame(edges_rows, "doc_a long, doc_b long")
+    local = connected_components(edges)
+    dist = connected_components(edges, local_max_edges=0)
+    assert local.cc_local is True and local.cc_rounds == 0
+    assert dist.cc_local is False
+    l = {(r["node"], r["component"]) for r in local.collect()}
+    d = {(r["node"], r["component"]) for r in dist.collect()}
+    assert l == d, (l ^ d)
+    # the gate is exact: cap below the edge count -> distributed loop
+    forced = connected_components(edges, local_max_edges=len(edges_rows) - 1)
+    assert forced.cc_local is False
+    for out in (local, dist, forced):
+        out.cc_persisted_labels.unpersist()
