@@ -1506,6 +1506,13 @@ def connected_components(
     path compression gives bit-identical labels (component minimum).
     """
     if local_max_edges:
+        # persist BEFORE the probe: the limit cannot push through the
+        # joins that typically build the edge frame, so an above-cap
+        # graph would otherwise materialize the whole pipeline for the
+        # probe and then recompute it for the distributed loop —
+        # persisting makes the probe's partitions reusable by `und`
+        # (below-cap graphs release the cache before returning)
+        edges = edges.persist()
         head = (
             edges.select("doc_a", "doc_b").limit(local_max_edges + 1).collect()
         )
@@ -1531,9 +1538,14 @@ def connected_components(
                     if rb < ra:
                         ra, rb = rb, ra
                     parent[rb] = ra
+            # schema follows the input id type so the two paths stay
+            # type-identical, not just value-identical
+            id_t = edges.schema["doc_a"].dataType.simpleString()
             out = edges.sparkSession.createDataFrame(
-                [(n, find(n)) for n in parent], "node bigint, component bigint"
+                [(n, find(n)) for n in parent],
+                f"node {id_t}, component {id_t}",
             ).persist()
+            edges.unpersist()
             out.cc_persisted_labels = out
             out.cc_rounds = 0
             out.cc_compressions = 0
@@ -1652,6 +1664,8 @@ def connected_components(
         )
     finally:
         und.unpersist()
+        if local_max_edges:
+            edges.unpersist()
 
 
 # ---------------------------------------------------------------------------
@@ -1800,65 +1814,99 @@ def dedup_span_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
 INCR_MOD = 10
 
 
-@query(
-    "dedup_incremental_ingest",
-    oracle=f"""
-    WITH corpus AS (
+def _incremental_exact_sql() -> str:
+    """Oracle fragment: the exact-stage batch classification shared by
+    dedup_incremental_ingest and pipeline_incremental_ingest — ONE
+    definition of what "exact duplicate" means for an increment (the
+    ``_cc_closure_sql`` discipline). Emits ``bflags(doc_id, source,
+    seen, is_canon)``: ``seen`` = the digest already exists in history;
+    ``is_canon`` = the min-doc_id holder of its digest within the
+    batch. A batch doc survives the stage iff seen = 0 AND
+    is_canon = 1."""
+    return f"""cdig AS (
       SELECT DISTINCT md5(text) AS h FROM documents
       WHERE doc_id % {INCR_MOD} <> 0
     ),
-    batch AS (
+    bdig AS MATERIALIZED (
       SELECT doc_id, source, md5(text) AS h FROM documents
       WHERE doc_id % {INCR_MOD} = 0
     ),
-    canon AS (
-      SELECT MIN(doc_id) AS doc_id FROM batch GROUP BY h
+    bmin AS (SELECT h, MIN(doc_id) AS k FROM bdig GROUP BY h),
+    bflags AS MATERIALIZED (
+      SELECT b.doc_id, b.source,
+             CASE WHEN c.h IS NOT NULL THEN 1 ELSE 0 END AS seen,
+             CASE WHEN b.doc_id = m.k THEN 1 ELSE 0 END AS is_canon
+      FROM bdig b
+      JOIN bmin m ON m.h = b.h
+      LEFT JOIN cdig c ON c.h = b.h
+    )"""
+
+
+def incremental_exact_flags(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, seen, is_canon) for every batch doc — the Spark
+    twin of ``_incremental_exact_sql``, shared by
+    dedup_incremental_ingest and the capstone so the exact-stage rule
+    cannot fork between them. The historical corpus contributes nothing
+    but its digest column: only (hash, id) ever shuffles, and at 100 TB
+    the digest table is a bucketed parquet artifact the batch probes
+    with no shuffle of history."""
+    is_b = F.col("doc_id") % INCR_MOD == 0
+    cdig = (
+        docs.filter(~is_b)
+        .select(F.md5("text").alias("h"))
+        .distinct()
+        .withColumn("seen_f", F.lit(1))
     )
-    SELECT b.source,
+    bdig = docs.filter(is_b).select(
+        "doc_id", "source", F.md5("text").alias("h")
+    )
+    bmin = bdig.groupBy("h").agg(F.min("doc_id").alias("k"))
+    return (
+        bdig.join(bmin, "h")
+        .join(cdig, "h", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.when(F.col("seen_f").isNotNull(), 1).otherwise(0).alias("seen"),
+            F.when(F.col("doc_id") == F.col("k"), 1)
+            .otherwise(0)
+            .alias("is_canon"),
+        )
+    )
+
+
+@query(
+    "dedup_incremental_ingest",
+    oracle=f"""
+    WITH {_incremental_exact_sql()}
+    SELECT source,
            COUNT(*) AS n_batch,
-           COUNT(*) FILTER (WHERE c.h IS NOT NULL) AS n_already_ingested,
-           COUNT(*) FILTER (WHERE c.h IS NULL
-                            AND b.doc_id IN (SELECT doc_id FROM canon))
-             AS n_new_kept
-    FROM batch b LEFT JOIN corpus c ON b.h = c.h
-    GROUP BY b.source
+           COUNT(*) FILTER (WHERE seen = 1) AS n_already_ingested,
+           COUNT(*) FILTER (WHERE seen = 0 AND is_canon = 1) AS n_new_kept
+    FROM bflags GROUP BY source
     """,
     doc="Incremental-ingest dedup — the shape a DAILY pipeline actually "
     "runs: the new batch is checked against the EXISTING corpus's digest "
     "set (left join on content hash) and within itself (min-doc_id "
     "canonicalization), and only never-seen canonical docs survive. The "
-    "full corpus contributes nothing but its digest column: at 100 TB the "
-    "historical digests live as a compact (hash) table — bucketed by hash "
-    "so tomorrow's batch joins it with NO shuffle of history — and the "
-    "whole corpus is never re-read, which is the entire point versus "
-    "re-running dedup_exact over corpus+batch. Per-batch work is "
+    "stage definition is the shared incremental_exact_flags — ONE rule "
+    "for what 'exact duplicate' means, consumed verbatim by the "
+    "pipeline_incremental_ingest capstone. The full corpus contributes "
+    "nothing but its digest column: at 100 TB the historical digests "
+    "live as a compact (hash) table — bucketed by hash so tomorrow's "
+    "batch joins it with NO shuffle of history — and the whole corpus "
+    "is never re-read, which is the entire point versus re-running "
+    "dedup_exact over corpus+batch. Per-batch work is "
     "O(batch + digest-table probe).",
 )
 def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    corpus_digests = (
-        docs.filter(F.col("doc_id") % INCR_MOD != 0)
-        .select(F.md5("text").alias("h"))
-        .distinct()
-        .withColumn("seen", F.lit(1))
-    )
-    batch = docs.filter(F.col("doc_id") % INCR_MOD == 0).select(
-        "doc_id", "source", F.md5("text").alias("h")
-    )
-    canon = batch.groupBy("h").agg(F.min("doc_id").alias("doc_id")).select(
-        "doc_id"
-    ).withColumn("is_canon", F.lit(1))
-    joined = (
-        batch.join(corpus_digests, "h", "left")
-        .join(canon, "doc_id", "left")
-    )
-    new_kept = F.col("seen").isNull() & F.col("is_canon").isNotNull()
-    return joined.groupBy("source").agg(
+    flags = incremental_exact_flags(load_table(spark, sf_dir, "documents"))
+    return flags.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_batch"),
-        F.count(F.when(F.col("seen").isNotNull(), 1)).alias(
-            "n_already_ingested"
-        ),
-        F.count(F.when(new_kept, 1)).alias("n_new_kept"),
+        F.count(F.when(F.col("seen") == 1, 1)).alias("n_already_ingested"),
+        F.count(
+            F.when((F.col("seen") == 0) & (F.col("is_canon") == 1), 1)
+        ).alias("n_new_kept"),
     )
 
 

@@ -1548,6 +1548,7 @@ def _incremental_ingest_oracle() -> str:
         _cc_closure_sql,
         _incremental_cls_sql,
         _incremental_edges_sql,
+        _incremental_exact_sql,
         _SHH_SQL,
         _SHINGLE_SQL,
         INCR_MOD,
@@ -1561,27 +1562,9 @@ def _incremental_ingest_oracle() -> str:
     )
 
     return f"""
-    WITH RECURSIVE batch0 AS (
-      SELECT doc_id, source FROM documents WHERE doc_id % {INCR_MOD} = 0
-    ),
-    cdig AS (
-      SELECT DISTINCT md5(text) AS h FROM documents
-      WHERE doc_id % {INCR_MOD} <> 0
-    ),
-    bdig AS MATERIALIZED (
-      SELECT doc_id, md5(text) AS h FROM documents
-      WHERE doc_id % {INCR_MOD} = 0
-    ),
-    bmin AS (SELECT h, MIN(doc_id) AS k FROM bdig GROUP BY h),
-    exact_drop AS MATERIALIZED (
-      SELECT b.doc_id FROM bdig b
-      JOIN bmin m ON m.h = b.h
-      LEFT JOIN cdig c ON c.h = b.h
-      WHERE c.h IS NOT NULL OR b.doc_id <> m.k
-    ),
+    WITH RECURSIVE {_incremental_exact_sql()},
     batch AS MATERIALIZED (
-      SELECT doc_id, source FROM batch0
-      WHERE doc_id NOT IN (SELECT doc_id FROM exact_drop)
+      SELECT doc_id, source FROM bflags WHERE seen = 0 AND is_canon = 1
     ),
     cands AS ({_LSH_CANDIDATES_SQL}),
     bc AS (
@@ -1648,12 +1631,11 @@ def _incremental_ingest_oracle() -> str:
     ),
     status AS (
       SELECT b.source,
-             CASE WHEN ed.doc_id IS NOT NULL THEN 'exact'
+             CASE WHEN b.seen = 1 OR b.is_canon = 0 THEN 'exact'
                   WHEN nd.doc_id IS NOT NULL THEN 'near'
                   WHEN sd.doc_id IS NOT NULL THEN 'semantic'
                   ELSE 'kept' END AS stage
-      FROM batch0 b
-      LEFT JOIN exact_drop ed ON ed.doc_id = b.doc_id
+      FROM bflags b
       LEFT JOIN near_drop nd ON nd.doc_id = b.doc_id
       LEFT JOIN sem_drop sd ON sd.doc_id = b.doc_id
     )
@@ -1671,25 +1653,25 @@ def _incremental_ingest_oracle() -> str:
     "pipeline_incremental_ingest",
     oracle=_incremental_ingest_oracle(),
     doc="The incremental capstone: the full three-stage daily-batch "
-    "waterfall a production ingest runs — exact (digest vs history + "
-    "min-doc canon within the batch), lexical near (LSH+Jaccard at "
-    "INCR_NEAR_TAU), semantic (embedding cosine at NEAR_DUP_TAU) — "
-    "with per-stage FIRST-claim attribution per source: n_drop_exact + "
-    "n_drop_near + n_drop_semantic + n_kept = n_batch exactly. "
-    "SURVIVOR-AWARE BY CONSTRUCTION: each stage classifies only the "
-    "previous stage's survivors (the shared incremental_component_cls "
-    "spine restriction — an edge to an earlier-stage drop cannot elect "
-    "a ghost representative), and an exact-dropped doc's content "
-    "remains reachable to later stages through the corpus side because "
-    "its canonical twin has IDENTICAL shingles/signature (an edge to "
-    "the dropped copy implies the same-weight edge to its kept twin). "
-    "Docs without embeddings pass the semantic stage untouched (it has "
-    "no opinion outside its domain — same rule as "
-    "dedup_incremental_semantic). Zero new kernels: digests are "
-    "map-side md5, the near stage reads the shared shingle/LSH "
-    "checkpoints, the semantic stage reads the shared SRP-GEMM edge "
-    "artifact, and both classification stages are the family's ONE "
-    "shared component tail. At 100 TB this is the nightly job shape: "
+    "waterfall a production ingest runs — exact (the shared "
+    "incremental_exact_flags stage: digest vs history + min-doc canon "
+    "within the batch), lexical near (LSH+Jaccard at INCR_NEAR_TAU), "
+    "semantic (embedding cosine at NEAR_DUP_TAU) — with per-stage "
+    "FIRST-claim attribution per source: n_drop_exact + n_drop_near + "
+    "n_drop_semantic + n_kept = n_batch exactly. SURVIVOR-AWARE BY "
+    "CONSTRUCTION: each stage classifies only the previous stage's "
+    "survivors (the shared incremental_component_cls spine restriction "
+    "— an edge to an earlier-stage drop cannot elect a ghost "
+    "representative), and an exact-dropped doc's content remains "
+    "reachable to later stages through the corpus side because its "
+    "canonical twin has IDENTICAL shingles/signature (an edge to the "
+    "dropped copy implies the same-weight edge to its kept twin). Docs "
+    "without embeddings pass the semantic stage untouched (it has no "
+    "opinion outside its domain — same rule as "
+    "dedup_incremental_semantic). Zero new kernels and ZERO private "
+    "stage logic: the exact stage, the classification tail, and every "
+    "oracle fragment are the same single-source definitions the three "
+    "standalone siblings run. At 100 TB this is the nightly job shape: "
     "history contributes only its persisted artifacts (digest table, "
     "band→bucket table, shingle table, SRP bucket assignment), each "
     "stage's drop list is an increment-sized parquet artifact, and the "
@@ -1701,6 +1683,7 @@ def pipeline_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         INCR_MOD,
         INCR_NEAR_TAU,
         incremental_component_cls,
+        incremental_exact_flags,
         jaccard_verify,
         shared_hashed_shingles,
     )
@@ -1710,33 +1693,17 @@ def pipeline_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    is_batch = F.col("doc_id") % INCR_MOD == 0
-    batch0 = docs.filter(is_batch).select("doc_id", "source")
-    # exact: a batch doc drops when its digest is already in history OR
-    # it is not the min-id holder of its digest within the batch; only
-    # (digest, id) ever shuffles
-    cdig = (
-        docs.filter(~is_batch)
-        .select(F.md5("text").alias("h"))
-        .distinct()
-        .withColumn("seen", F.lit(1))
-    )
-    bdig = docs.filter(is_batch).select("doc_id", F.md5("text").alias("h"))
-    bmin = bdig.groupBy("h").agg(F.min("doc_id").alias("k"))
-    exact_drops = (
-        bdig.join(bmin, "h")
-        .join(cdig, "h", "left")
-        .filter(F.col("seen").isNotNull() | (F.col("doc_id") != F.col("k")))
-        .select("doc_id", F.lit(True).alias("ex_drop"))
-        # feeds TWO branches (the survivor spine and the status join)
-        .localCheckpoint(eager=True)
-    )
-    # the survivor spine feeds the near classification AND the next
-    # stage's survivor chain — checkpoint per the standing discipline
-    surv1 = (
-        batch0.join(exact_drops.select("doc_id"), "doc_id", "left_anti")
-        .localCheckpoint(eager=True)
-    )
+    # the per-batch-doc exact flags feed TWO branches (the survivor
+    # spine and the status attribution) — checkpoint the increment-sized
+    # flag table once; every later stage reads columns off it instead of
+    # re-running the digest shuffle
+    flags = incremental_exact_flags(docs).localCheckpoint(eager=True)
+    exact_keep = (F.col("seen") == 0) & (F.col("is_canon") == 1)
+    # the near spine is NOT separately checkpointed: it is a filter of
+    # the flags checkpoint, and incremental_component_cls materializes
+    # its own spine copy (the earlier double-checkpoint paid one
+    # redundant eager job per call)
+    surv1 = flags.filter(exact_keep).select("doc_id", "source")
     sh = shared_hashed_shingles(spark, sf_dir)
     cands = shared_lsh_candidates(spark, sf_dir, hashed=sh).select(
         "doc_a", "doc_b"
@@ -1750,13 +1717,20 @@ def pipeline_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     cls1 = incremental_component_cls(be, surv1)
+    dropped = (F.col("vs_corpus") == 1) | (F.col("in_batch") == 1)
     near_drops = (
-        cls1.filter((F.col("vs_corpus") == 1) | (F.col("in_batch") == 1))
+        cls1.filter(dropped)
         .select("doc_id", F.lit(True).alias("near_drop"))
-        # feeds TWO branches (survivor chain + status join)
+        # feeds TWO branches (survivor chain via cls1's complement is
+        # NOT reused — the status join and nothing else reads this list
+        # twice, but the status spine and the bench's repeated actions
+        # re-enter here): checkpoint the tiny drop list
         .localCheckpoint(eager=True)
     )
-    surv2 = surv1.join(near_drops.select("doc_id"), "doc_id", "left_anti")
+    # stage-2 survivors come straight off cls1 (all-zero flags) — no
+    # extra anti-join or checkpoint needed; cls1's inputs are all
+    # materialized
+    surv2 = cls1.filter(~dropped).select("doc_id", "source")
     be2 = shared_semantic_edges(spark, sf_dir).filter(
         (F.col("id_a") % INCR_MOD == 0) | (F.col("id_b") % INCR_MOD == 0)
     ).select("id_a", "id_b")
@@ -1765,16 +1739,15 @@ def pipeline_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
     )
     cls2 = incremental_component_cls(be2, batch2)
-    sem_drops = cls2.filter(
-        (F.col("vs_corpus") == 1) | (F.col("in_batch") == 1)
-    ).select("doc_id", F.lit(True).alias("sem_drop"))
+    sem_drops = cls2.filter(dropped).select(
+        "doc_id", F.lit(True).alias("sem_drop")
+    )
     status = (
-        batch0.join(exact_drops, "doc_id", "left")
-        .join(near_drops, "doc_id", "left")
+        flags.join(near_drops, "doc_id", "left")
         .join(sem_drops, "doc_id", "left")
         .select(
             "source",
-            F.when(F.col("ex_drop").isNotNull(), F.lit("exact"))
+            F.when(~exact_keep, F.lit("exact"))
             .when(F.col("near_drop").isNotNull(), F.lit("near"))
             .when(F.col("sem_drop").isNotNull(), F.lit("semantic"))
             .otherwise(F.lit("kept"))

@@ -2908,8 +2908,11 @@ def test_connected_components_local_fast_path_matches_distributed(spark):
     l = {(r["node"], r["component"]) for r in local.collect()}
     d = {(r["node"], r["component"]) for r in dist.collect()}
     assert l == d, (l ^ d)
-    # the gate is exact: cap below the edge count -> distributed loop
+    # the gate is exact at cap±1: exactly-at-cap -> local path,
+    # one-below -> distributed loop
+    at_cap = connected_components(edges, local_max_edges=len(edges_rows))
+    assert at_cap.cc_local is True
     forced = connected_components(edges, local_max_edges=len(edges_rows) - 1)
     assert forced.cc_local is False
-    for out in (local, dist, forced):
+    for out in (local, dist, at_cap, forced):
         out.cc_persisted_labels.unpersist()
