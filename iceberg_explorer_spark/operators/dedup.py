@@ -1505,17 +1505,32 @@ def connected_components(
     the only path that exists at 100 TB graph sizes. Union-by-min +
     path compression gives bit-identical labels (component minimum).
     """
+    if local_max_edges and (
+        edges.schema["doc_a"].dataType != edges.schema["doc_b"].dataType
+    ):
+        # mismatched endpoint types: the distributed path widens them via
+        # unionByName coercion, which the local path's single-type schema
+        # cannot reproduce — skip the gate so both sizes behave alike
+        local_max_edges = 0
     if local_max_edges:
         # persist BEFORE the probe: the limit cannot push through the
         # joins that typically build the edge frame, so an above-cap
         # graph would otherwise materialize the whole pipeline for the
         # probe and then recompute it for the distributed loop —
         # persisting makes the probe's partitions reusable by `und`
-        # (below-cap graphs release the cache before returning)
+        # (below-cap graphs release the cache before returning). The
+        # probe and the local solve run under a release-on-error guard:
+        # a raising collect must not leak the cache registration.
         edges = edges.persist()
-        head = (
-            edges.select("doc_a", "doc_b").limit(local_max_edges + 1).collect()
-        )
+        try:
+            head = (
+                edges.select("doc_a", "doc_b")
+                .limit(local_max_edges + 1)
+                .collect()
+            )
+        except Exception:
+            edges.unpersist()
+            raise
         if len(head) <= local_max_edges:
             parent: dict = {}
 
@@ -1541,11 +1556,14 @@ def connected_components(
             # schema follows the input id type so the two paths stay
             # type-identical, not just value-identical
             id_t = edges.schema["doc_a"].dataType.simpleString()
-            out = edges.sparkSession.createDataFrame(
-                [(n, find(n)) for n in parent],
-                f"node {id_t}, component {id_t}",
-            ).persist()
-            edges.unpersist()
+            try:
+                out = edges.sparkSession.createDataFrame(
+                    [(n, find(n)) for n in parent],
+                    f"node {id_t}, component {id_t}",
+                ).persist()
+            finally:
+                # release the probe persist on success AND failure
+                edges.unpersist()
             out.cc_persisted_labels = out
             out.cc_rounds = 0
             out.cc_compressions = 0
@@ -1605,6 +1623,12 @@ def connected_components(
         # as documented) — one cheap aggregate that doubles as the action
         # materializing the persisted label table
         prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+        if local_max_edges:
+            # the probe persist is dead weight once `und` (2x edges,
+            # itself persisted) has materialized through the seed
+            # aggregate — release it now instead of after convergence;
+            # the finally below stays as the error-path backstop
+            edges.unpersist()
         while rounds_done < max_rounds:
             steps = 1 if rounds_done == 0 else 2
             steps = min(steps, max_rounds - rounds_done)
@@ -1822,13 +1846,17 @@ def _incremental_exact_sql() -> str:
     seen, is_canon)``: ``seen`` = the digest already exists in history;
     ``is_canon`` = the min-doc_id holder of its digest within the
     batch. A batch doc survives the stage iff seen = 0 AND
-    is_canon = 1."""
+    is_canon = 1. NULL text is one content group (digest sentinel):
+    md5(NULL) is NULL in both engines and NULL equi-join keys never
+    match, so without the sentinel NULL-text batch docs would vanish
+    from n_batch and the capstone's attribution partition."""
     return f"""cdig AS (
-      SELECT DISTINCT md5(text) AS h FROM documents
+      SELECT DISTINCT COALESCE(md5(text), 'null-text') AS h FROM documents
       WHERE doc_id % {INCR_MOD} <> 0
     ),
     bdig AS MATERIALIZED (
-      SELECT doc_id, source, md5(text) AS h FROM documents
+      SELECT doc_id, source, COALESCE(md5(text), 'null-text') AS h
+      FROM documents
       WHERE doc_id % {INCR_MOD} = 0
     ),
     bmin AS (SELECT h, MIN(doc_id) AS k FROM bdig GROUP BY h),
@@ -1851,15 +1879,21 @@ def incremental_exact_flags(docs: DataFrame) -> DataFrame:
     the digest table is a bucketed parquet artifact the batch probes
     with no shuffle of history."""
     is_b = F.col("doc_id") % INCR_MOD == 0
+    # NULL text is ONE content group, same as any digest: md5(NULL) is
+    # NULL in both engines and NULL equi-join keys never match, so a
+    # bare md5 would silently drop NULL-text batch docs from n_batch
+    # entirely (caught by this round's review pass — the differential
+    # gate cannot see it because both engines encode the same hole).
+    # The sentinel makes NULL-content grouping explicit and consistent
+    # across batch AND history.
+    h = F.coalesce(F.md5("text"), F.lit("null-text"))
     cdig = (
         docs.filter(~is_b)
-        .select(F.md5("text").alias("h"))
+        .select(h.alias("h"))
         .distinct()
         .withColumn("seen_f", F.lit(1))
     )
-    bdig = docs.filter(is_b).select(
-        "doc_id", "source", F.md5("text").alias("h")
-    )
+    bdig = docs.filter(is_b).select("doc_id", "source", h.alias("h"))
     bmin = bdig.groupBy("h").agg(F.min("doc_id").alias("k"))
     return (
         bdig.join(bmin, "h")

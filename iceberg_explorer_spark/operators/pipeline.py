@@ -1716,20 +1716,14 @@ def pipeline_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"))
         .localCheckpoint(eager=True)
     )
-    cls1 = incremental_component_cls(be, surv1)
+    # cls1 feeds TWO branches (the near drop list for the status join
+    # and the stage-2 survivor spine) — one eager checkpoint of the
+    # increment-sized classification, both consumers filter it
+    cls1 = incremental_component_cls(be, surv1).localCheckpoint(eager=True)
     dropped = (F.col("vs_corpus") == 1) | (F.col("in_batch") == 1)
-    near_drops = (
-        cls1.filter(dropped)
-        .select("doc_id", F.lit(True).alias("near_drop"))
-        # feeds TWO branches (survivor chain via cls1's complement is
-        # NOT reused — the status join and nothing else reads this list
-        # twice, but the status spine and the bench's repeated actions
-        # re-enter here): checkpoint the tiny drop list
-        .localCheckpoint(eager=True)
+    near_drops = cls1.filter(dropped).select(
+        "doc_id", F.lit(True).alias("near_drop")
     )
-    # stage-2 survivors come straight off cls1 (all-zero flags) — no
-    # extra anti-join or checkpoint needed; cls1's inputs are all
-    # materialized
     surv2 = cls1.filter(~dropped).select("doc_id", "source")
     be2 = shared_semantic_edges(spark, sf_dir).filter(
         (F.col("id_a") % INCR_MOD == 0) | (F.col("id_b") % INCR_MOD == 0)

@@ -2796,7 +2796,10 @@ def test_pipeline_incremental_ingest_waterfall(spark, tmp_path):
     across stages — doc 110 shares its embedding with doc 100, but 100
     fell at the exact stage, so 110 is KEPT (a global semantic grouping
     would drop it against a ghost); (6) the four columns partition
-    n_batch. Oracle-checked on the same corpus."""
+    n_batch; (7) NULL-text batch docs stay in the accounting as ONE
+    content group (the digest sentinel — a bare md5 inner join would
+    silently drop them from n_batch in BOTH engines). Oracle-checked on
+    the same corpus."""
     import duckdb
     import numpy as np
 
@@ -2830,6 +2833,7 @@ def test_pipeline_incremental_ingest_waterfall(spark, tmp_path):
         (70, t_e, "s5"), (80, t_f, "s5"),        # semantic pair: 80 drops
         (90, t_g, "s6"),                          # novel
         (100, t_a, "s7"), (110, t_h, "s7"),      # survivor-aware pin
+        (120, None, "s9"), (130, None, "s9"),    # NULL-text digest group
     ]
     rng = np.random.default_rng(19)
 
@@ -2841,7 +2845,7 @@ def test_pipeline_incremental_ingest_waterfall(spark, tmp_path):
     emb = [(70, v1), (80, v1), (100, v2), (110, v2), (90, v3)]
     d = str(tmp_path / "incrcap")
     spark.createDataFrame(
-        [(i, t, "en", s, len(t)) for i, t, s in docs],
+        [(i, t, "en", s, len(t) if t else 0) for i, t, s in docs],
         "doc_id long, text string, lang string, source string,"
         " n_chars long",
     ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
@@ -2852,7 +2856,7 @@ def test_pipeline_incremental_ingest_waterfall(spark, tmp_path):
 
     spec = QUERIES["pipeline_incremental_ingest"]
     got = {row["source"]: row for row in spec.builder(spark, d).collect()}
-    assert set(got) == {"s1", "s2", "s3", "s4", "s5", "s6", "s7"}, got
+    assert set(got) == {"s1", "s2", "s3", "s4", "s5", "s6", "s7", "s9"}, got
     assert got["s1"]["n_drop_exact"] == 1 and got["s1"]["n_batch"] == 1
     assert got["s2"]["n_drop_exact"] == 1 and got["s2"]["n_kept"] == 1
     assert got["s3"]["n_drop_near"] == 1 and got["s3"]["n_batch"] == 1
@@ -2864,6 +2868,14 @@ def test_pipeline_incremental_ingest_waterfall(spark, tmp_path):
     assert got["s7"]["n_drop_exact"] == 1      # doc 100
     assert got["s7"]["n_drop_semantic"] == 0
     assert got["s7"]["n_kept"] == 1            # doc 110
+    # (7) NULL text is ONE content group and stays IN the accounting:
+    # md5(NULL) is NULL in both engines and NULL equi-join keys never
+    # match, so without the digest sentinel docs 120/130 would vanish
+    # from n_batch entirely; with it the group keeps its min (120) and
+    # drops 130 at the exact stage
+    assert got["s9"]["n_batch"] == 2
+    assert got["s9"]["n_drop_exact"] == 1      # doc 130
+    assert got["s9"]["n_kept"] == 1            # doc 120
     # (6) partition property
     for row in got.values():
         assert (
