@@ -1528,7 +1528,7 @@ def connected_components(
                 .limit(local_max_edges + 1)
                 .collect()
             )
-        except Exception:
+        except BaseException:
             edges.unpersist()
             raise
         if len(head) <= local_max_edges:
@@ -1615,6 +1615,8 @@ def connected_components(
             ).alias("lbl"),
         )
 
+    new_labels = labels
+    converged = False
     try:
         rounds_done = 0
         compressions = 0
@@ -1680,6 +1682,7 @@ def connected_components(
                 out.cc_rounds = rounds_done
                 out.cc_compressions = compressions
                 out.cc_local = False
+                converged = True
                 return out
             prev_sum = new_sum
         labels.unpersist()
@@ -1690,6 +1693,17 @@ def connected_components(
         und.unpersist()
         if local_max_edges:
             edges.unpersist()
+        if not converged:
+            # error-path backstop: a raising action mid-loop would leave
+            # the current (and possibly the in-flight) label table
+            # registered in the CacheManager for the session's lifetime;
+            # on success the live table is returned via
+            # cc_persisted_labels and must NOT be released here.
+            # unpersist is idempotent, so overlap with the
+            # non-convergence path's explicit release is harmless.
+            labels.unpersist()
+            if new_labels is not labels:
+                new_labels.unpersist()
 
 
 # ---------------------------------------------------------------------------

@@ -2928,3 +2928,21 @@ def test_connected_components_local_fast_path_matches_distributed(spark):
     assert forced.cc_local is False
     for out in (local, dist, at_cap, forced):
         out.cc_persisted_labels.unpersist()
+
+
+def test_connected_components_mixed_type_edges_skip_local_gate(spark):
+    """Endpoint columns of DIFFERENT types must bypass the local
+    union-find gate: the distributed path widens them through the
+    unionByName coercion, which the local path's single-type schema
+    cannot reproduce — so a mixed-type graph must take the distributed
+    loop even under the default cap, with correct widened labels."""
+    from iceberg_explorer_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "doc_a int, doc_b long"
+    )
+    out = connected_components(edges)
+    assert out.cc_local is False
+    got = {(r["node"], r["component"]) for r in out.collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (7, 7), (8, 7)}
+    out.cc_persisted_labels.unpersist()
