@@ -2946,3 +2946,32 @@ def test_connected_components_mixed_type_edges_skip_local_gate(spark):
     got = {(r["node"], r["component"]) for r in out.collect()}
     assert got == {(1, 1), (2, 1), (3, 1), (7, 7), (8, 7)}
     out.cc_persisted_labels.unpersist()
+
+
+def test_incremental_family_exact_stage_consistency(spark):
+    """The capstone's exact stage IS dedup_incremental_ingest — one
+    shared definition (incremental_exact_flags), so on the same corpus
+    the two must agree per source: identical n_batch, and the
+    capstone's n_drop_exact equals the sibling's n_batch - n_new_kept
+    (a doc fails the exact stage iff it is seen in history or
+    non-canonical within the batch — exactly the complement of the
+    sibling's kept count). A drift between them would mean the shared
+    definition forked."""
+    from iceberg_explorer_spark.operators import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    sib = {
+        r["source"]: r
+        for r in QUERIES["dedup_incremental_ingest"].builder(spark, sf).collect()
+    }
+    cap = {
+        r["source"]: r
+        for r in QUERIES["pipeline_incremental_ingest"].builder(spark, sf).collect()
+    }
+    assert set(sib) == set(cap)
+    for s in sib:
+        assert cap[s]["n_batch"] == sib[s]["n_batch"], s
+        assert (
+            cap[s]["n_drop_exact"]
+            == sib[s]["n_batch"] - sib[s]["n_new_kept"]
+        ), (s, cap[s], sib[s])
