@@ -158,6 +158,7 @@ EXTENDED = [
     "dedup_incremental_near",     # daily-batch near-dup vs corpus artifacts
     "dedup_incremental_semantic",  # daily-batch semantic dedup vs corpus artifacts
     "pipeline_incremental_ingest",  # capstone: three-stage incremental waterfall
+    "pipeline_incremental_artifact_delta",  # write side: artifact append bill
 ]
 
 #: HEADLINE GRADUATION POLICY (a logged trend reset, never a silent one).

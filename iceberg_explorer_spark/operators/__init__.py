@@ -221,7 +221,9 @@ against exact answers).
   shares the component-classification tail with the near sibling) and
   pipeline_incremental_ingest (the incremental capstone: the
   exact→near→semantic daily-batch waterfall with first-claim
-  attribution, survivor-aware by construction) all
+  attribution, survivor-aware by construction) and
+  pipeline_incremental_artifact_delta (the write side: per-source
+  artifact rows the nightly job appends for kept docs) all
   register OUT-of-window with oracle + plan pin + 3x point per the
   standing checklist and are the r11 rotation's first priority,
   together with the 42-query r8 cohort (second rows, 35 remaining

@@ -1543,7 +1543,12 @@ def pipeline_clean_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _incremental_ingest_oracle() -> str:
+def _incremental_status_sql() -> str:
+    """The capstone oracle's CTE chain through ``status(doc_id, source,
+    stage)`` — shared by pipeline_incremental_ingest (per-source stage
+    report) and pipeline_incremental_artifact_delta (the write side:
+    artifact rows appended for kept docs). Callers prepend
+    ``WITH RECURSIVE`` and append their report tail."""
     from iceberg_explorer_spark.operators.dedup import (
         _cc_closure_sql,
         _incremental_cls_sql,
@@ -1561,8 +1566,7 @@ def _incremental_ingest_oracle() -> str:
         NEAR_DUP_TAU,
     )
 
-    return f"""
-    WITH RECURSIVE {_incremental_exact_sql()},
+    return f"""{_incremental_exact_sql()},
     batch AS MATERIALIZED (
       SELECT doc_id, source FROM bflags WHERE seen = 0 AND is_canon = 1
     ),
@@ -1629,8 +1633,8 @@ def _incremental_ingest_oracle() -> str:
     sem_drop AS (
       SELECT doc_id FROM cls2 WHERE vs_corpus = 1 OR in_batch = 1
     ),
-    status AS (
-      SELECT b.source,
+    status AS MATERIALIZED (
+      SELECT b.doc_id, b.source,
              CASE WHEN b.seen = 1 OR b.is_canon = 0 THEN 'exact'
                   WHEN nd.doc_id IS NOT NULL THEN 'near'
                   WHEN sd.doc_id IS NOT NULL THEN 'semantic'
@@ -1638,7 +1642,13 @@ def _incremental_ingest_oracle() -> str:
       FROM bflags b
       LEFT JOIN near_drop nd ON nd.doc_id = b.doc_id
       LEFT JOIN sem_drop sd ON sd.doc_id = b.doc_id
-    )
+    )"""
+
+
+@query(
+    "pipeline_incremental_ingest",
+    oracle=f"""
+    WITH RECURSIVE {_incremental_status_sql()}
     SELECT source,
            COUNT(*) AS n_batch,
            COUNT(*) FILTER (WHERE stage = 'exact') AS n_drop_exact,
@@ -1646,12 +1656,7 @@ def _incremental_ingest_oracle() -> str:
            COUNT(*) FILTER (WHERE stage = 'semantic') AS n_drop_semantic,
            COUNT(*) FILTER (WHERE stage = 'kept') AS n_kept
     FROM status GROUP BY source
-    """
-
-
-@query(
-    "pipeline_incremental_ingest",
-    oracle=_incremental_ingest_oracle(),
+    """,
     doc="The incremental capstone: the full three-stage daily-batch "
     "waterfall a production ingest runs — exact (the shared "
     "incremental_exact_flags stage: digest vs history + min-doc canon "
@@ -1679,6 +1684,26 @@ def _incremental_ingest_oracle() -> str:
     "classifications.",
 )
 def pipeline_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    status = incremental_status(spark, sf_dir)
+
+    def _n(stage: str, alias: str):
+        return F.count(F.when(F.col("stage") == stage, 1)).alias(alias)
+
+    return status.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_batch"),
+        _n("exact", "n_drop_exact"),
+        _n("near", "n_drop_near"),
+        _n("semantic", "n_drop_semantic"),
+        _n("kept", "n_kept"),
+    )
+
+
+def incremental_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, stage) for every batch doc — the capstone's
+    waterfall through first-claim attribution, shared by
+    pipeline_incremental_ingest (stage report) and
+    pipeline_incremental_artifact_delta (the write side). The executable
+    twin of ``_incremental_status_sql``."""
     from iceberg_explorer_spark.operators.dedup import (
         INCR_MOD,
         INCR_NEAR_TAU,
@@ -1736,10 +1761,11 @@ def pipeline_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     sem_drops = cls2.filter(dropped).select(
         "doc_id", F.lit(True).alias("sem_drop")
     )
-    status = (
+    return (
         flags.join(near_drops, "doc_id", "left")
         .join(sem_drops, "doc_id", "left")
         .select(
+            "doc_id",
             "source",
             F.when(~exact_keep, F.lit("exact"))
             .when(F.col("near_drop").isNotNull(), F.lit("near"))
@@ -1749,13 +1775,103 @@ def pipeline_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    def _n(stage: str, alias: str):
-        return F.count(F.when(F.col("stage") == stage, 1)).alias(alias)
 
-    return status.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_batch"),
-        _n("exact", "n_drop_exact"),
-        _n("near", "n_drop_near"),
-        _n("semantic", "n_drop_semantic"),
-        _n("kept", "n_kept"),
+def _artifact_delta_oracle() -> str:
+    from iceberg_explorer_spark.operators.similarity import _EMB_SQL
+
+    from iceberg_explorer_spark.operators.dedup import N_BANDS
+
+    return f"""
+    WITH RECURSIVE {_incremental_status_sql()},
+    kept AS MATERIALIZED (
+      SELECT doc_id, source FROM status WHERE stage = 'kept'
+    ),
+    ksh AS (
+      SELECT s.doc_id, COUNT(*) AS n_sh
+      FROM (SELECT DISTINCT doc_id, hb FROM shh) s
+      JOIN kept k ON k.doc_id = s.doc_id
+      GROUP BY s.doc_id
+    ),
+    kemb AS (
+      SELECT e.vec_id AS doc_id FROM {_EMB_SQL} e
+      JOIN kept k ON k.doc_id = e.vec_id
+    ),
+    per AS (
+      SELECT k.doc_id, k.source, s.n_sh,
+             CASE WHEN m.doc_id IS NOT NULL THEN 1 ELSE 0 END AS has_emb
+      FROM kept k
+      LEFT JOIN ksh s ON s.doc_id = k.doc_id
+      LEFT JOIN kemb m ON m.doc_id = k.doc_id
+    )
+    SELECT source,
+           COUNT(*) AS n_docs_appended,
+           CAST(COALESCE(SUM(n_sh), 0) AS BIGINT) AS n_shingle_rows,
+           COUNT(*) FILTER (WHERE n_sh IS NOT NULL) AS n_signature_rows,
+           COUNT(*) FILTER (WHERE n_sh IS NOT NULL) * {N_BANDS}
+             AS n_band_rows,
+           COUNT(*) FILTER (WHERE has_emb = 1) AS n_embedding_rows
+    FROM per GROUP BY source
+    """
+
+
+@query(
+    "pipeline_incremental_artifact_delta",
+    oracle=_artifact_delta_oracle(),
+    doc="The WRITE side of the incremental ingest story: after the "
+    "capstone's waterfall decides what survives, the nightly job "
+    "APPENDS the kept docs to the corpus's persisted dedup artifacts — "
+    "this report quantifies exactly those appends per source: one "
+    "digest row per kept doc (n_docs_appended), the distinct "
+    "shingle-hash rows (n_shingle_rows — what the (doc_id, hb) table "
+    "grows by), one MinHash signature row per kept doc that HAS "
+    "shingles (n_signature_rows — a kept doc under 3 words, e.g. NULL "
+    "text, appends none), N_BANDS band→bucket rows per signature "
+    "(n_band_rows), and one SRP bucket-assignment row per kept doc "
+    "with a valid embedding (n_embedding_rows). Reuses the shared "
+    "status waterfall (incremental_status) and the session shingle "
+    "checkpoint — zero new kernels. At 100 TB these five counts ARE "
+    "the nightly artifact-maintenance bill: every append is "
+    "increment-sized, history is never rewritten, and the report is "
+    "what a capacity planner watches to see artifact growth per "
+    "source.",
+)
+def pipeline_incremental_artifact_delta(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from iceberg_explorer_spark.operators.dedup import (
+        N_BANDS,
+        shared_hashed_shingles,
+    )
+    from iceberg_explorer_spark.operators.similarity import _load_emb
+
+    # kept feeds THREE branches (shingle counts, embedding probe, the
+    # per-doc spine) — checkpoint the increment-sized keep-list once,
+    # exactly the artifact a production run materializes anyway
+    kept = (
+        incremental_status(spark, sf_dir)
+        .filter(F.col("stage") == "kept")
+        .select("doc_id", "source")
+        .localCheckpoint(eager=True)
+    )
+    shc = (
+        shared_hashed_shingles(spark, sf_dir)
+        .join(kept.select("doc_id"), "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_sh"))
+    )
+    emb = (
+        _load_emb(spark, sf_dir)
+        .select(F.col("vec_id").alias("doc_id"))
+        .withColumn("has_emb", F.lit(1))
+    )
+    per = kept.join(shc, "doc_id", "left").join(emb, "doc_id", "left")
+    n_sig = F.count(F.when(F.col("n_sh").isNotNull(), 1))
+    return per.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs_appended"),
+        F.coalesce(F.sum("n_sh"), F.lit(0))
+        .cast("bigint")
+        .alias("n_shingle_rows"),
+        n_sig.alias("n_signature_rows"),
+        (n_sig * N_BANDS).alias("n_band_rows"),
+        F.count(F.when(F.col("has_emb") == 1, 1)).alias("n_embedding_rows"),
     )

@@ -41,6 +41,7 @@ OP_TABLE = {
     "dedup_incremental_near": "documents",
     "dedup_incremental_semantic": "embeddings",
     "pipeline_incremental_ingest": "documents",
+    "pipeline_incremental_artifact_delta": "documents",
     "dedup_pagerank_step": "documents",
     "dedup_source_overlap_matrix": "documents",
     "text_bm25_topk": "documents",

@@ -1127,3 +1127,19 @@ def test_incremental_capstone_artifacts_no_kernels(spark):
     assert pi.scan_columns(df, "documents.parquet") <= {
         "doc_id", "source", "text"
     }
+
+
+def test_artifact_delta_reuses_status_and_checkpoints(spark):
+    """pipeline_incremental_artifact_delta reads the shared waterfall and
+    the shingle checkpoint as materialized artifacts (Scan ExistingRDD),
+    keeps everything JVM-side (no Python kernels), hint-forces nothing
+    to broadcast, and partial-aggregates the per-source append counts."""
+    df = build(spark, "pipeline_incremental_artifact_delta")
+    plan = pi.physical_plan(df)
+    assert pi.broadcast_hint_count(df) == 0
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan
+    assert "Scan ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+    assert pi.has_partial_aggregate(df)
+    assert pi.scan_columns(df, "embeddings.parquet") <= {"vec_id", "embedding"}

@@ -2975,3 +2975,65 @@ def test_incremental_family_exact_stage_consistency(spark):
             cap[s]["n_drop_exact"]
             == sib[s]["n_batch"] - sib[s]["n_new_kept"]
         ), (s, cap[s], sib[s])
+
+
+def test_artifact_delta_append_accounting(spark, tmp_path):
+    """pipeline_incremental_artifact_delta's distinguishing claims on a
+    crafted corpus: (1) a kept doc appends one digest row, its distinct
+    shingle-hash rows, ONE signature row and N_BANDS band rows, and one
+    embedding row when it has a valid vector; (2) a kept NULL-text doc
+    appends a digest row but ZERO shingle/signature/band rows (nothing
+    to tokenize) and zero embedding rows; (3) a source whose batch docs
+    were ALL dropped is absent — the report is about appends, not the
+    waterfall (that is the capstone's report). Oracle-checked on the
+    same corpus."""
+    import duckdb
+
+    from iceberg_explorer_spark.operators import QUERIES
+    from iceberg_explorer_spark.operators.dedup import N_BANDS
+    from tests.conftest import assert_matches_oracle
+
+    t_a = " ".join(f"alpha{i} beta{i % 5} gamma{i % 11}" for i in range(40))
+    t_b = " ".join(f"delta{i} epsilon{i % 7} zeta{i % 13}" for i in range(40))
+    docs = [
+        (3, t_a, "web"),                 # history
+        (10, t_a, "s3"),                 # exact drop -> s3 absent
+        (20, t_b, "s1"),                 # kept, embedded
+        (40, None, "s2"),                # kept, NULL text, no embedding
+    ]
+    d = str(tmp_path / "delta")
+    spark.createDataFrame(
+        [(i, t, "en", s, len(t) if t else 0) for i, t, s in docs],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    vec = [1.0] + [0.0] * 63
+    spark.createDataFrame(
+        [(20, vec, 0)], "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+
+    spec = QUERIES["pipeline_incremental_artifact_delta"]
+    got = {r["source"]: r for r in spec.builder(spark, d).collect()}
+    assert set(got) == {"s1", "s2"}, got          # (3) s3 absent
+    s1 = got["s1"]
+    assert s1["n_docs_appended"] == 1
+    assert s1["n_shingle_rows"] == 118            # 120 words -> 118 distinct 3-grams
+    assert s1["n_signature_rows"] == 1
+    assert s1["n_band_rows"] == N_BANDS
+    assert s1["n_embedding_rows"] == 1
+    s2 = got["s2"]
+    assert s2["n_docs_appended"] == 1             # the digest row still appends
+    assert s2["n_shingle_rows"] == 0
+    assert s2["n_signature_rows"] == 0 and s2["n_band_rows"] == 0
+    assert s2["n_embedding_rows"] == 0
+
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{d}/{t}.parquet/*.parquet')"
+        )
+    assert_matches_oracle(
+        spec.builder(spark, d), con, spec.oracle,
+        "pipeline_incremental_artifact_delta",
+    )
