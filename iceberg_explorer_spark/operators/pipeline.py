@@ -1859,9 +1859,14 @@ def pipeline_incremental_artifact_delta(
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_sh"))
     )
+    # probe the corpus-sized embeddings table WITH the increment-sized
+    # kept list (semi-join) before the left join — kept is the preserved
+    # side there, so without the reduction the full embeddings table
+    # would shuffle; this is the oracle's kemb shape
     emb = (
         _load_emb(spark, sf_dir)
         .select(F.col("vec_id").alias("doc_id"))
+        .join(kept.select("doc_id"), "doc_id", "left_semi")
         .withColumn("has_emb", F.lit(1))
     )
     per = kept.join(shc, "doc_id", "left").join(emb, "doc_id", "left")

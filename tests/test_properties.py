@@ -2983,10 +2983,11 @@ def test_artifact_delta_append_accounting(spark, tmp_path):
     shingle-hash rows, ONE signature row and N_BANDS band rows, and one
     embedding row when it has a valid vector; (2) a kept NULL-text doc
     appends a digest row but ZERO shingle/signature/band rows (nothing
-    to tokenize) and zero embedding rows; (3) a source whose batch docs
-    were ALL dropped is absent — the report is about appends, not the
-    waterfall (that is the capstone's report). Oracle-checked on the
-    same corpus."""
+    to tokenize) and zero embedding rows; (3) EVERY drop stage is
+    excluded from the append bill — exact, near (a verified pair with a
+    kept doc), and semantic (shares a kept doc's vector) dropped docs
+    all append nothing, so their sources are absent. Oracle-checked on
+    the same corpus."""
     import duckdb
 
     from iceberg_explorer_spark.operators import QUERIES
@@ -2995,11 +2996,17 @@ def test_artifact_delta_append_accounting(spark, tmp_path):
 
     t_a = " ".join(f"alpha{i} beta{i % 5} gamma{i % 11}" for i in range(40))
     t_b = " ".join(f"delta{i} epsilon{i % 7} zeta{i % 13}" for i in range(40))
+    w50 = t_b.split(" ")
+    w50[10], w50[34] = "CHANGEDd0", "CHANGEDd1"   # J = 0.875 vs t_b
+    t_50 = " ".join(w50)
+    t_60 = " ".join(f"eta{i} theta{i % 3} iota{i % 17}" for i in range(40))
     docs = [
         (3, t_a, "web"),                 # history
         (10, t_a, "s3"),                 # exact drop -> s3 absent
         (20, t_b, "s1"),                 # kept, embedded
         (40, None, "s2"),                # kept, NULL text, no embedding
+        (50, t_50, "s4"),                # near drop (vs kept 20) -> absent
+        (60, t_60, "s5"),                # semantic drop (shares 20's vec)
     ]
     d = str(tmp_path / "delta")
     spark.createDataFrame(
@@ -3009,12 +3016,16 @@ def test_artifact_delta_append_accounting(spark, tmp_path):
     ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
     vec = [1.0] + [0.0] * 63
     spark.createDataFrame(
-        [(20, vec, 0)], "vec_id long, embedding array<float>, label int"
+        [(20, vec, 0), (60, vec, 0)],
+        "vec_id long, embedding array<float>, label int",
     ).coalesce(1).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
 
     spec = QUERIES["pipeline_incremental_artifact_delta"]
     got = {r["source"]: r for r in spec.builder(spark, d).collect()}
-    assert set(got) == {"s1", "s2"}, got          # (3) s3 absent
+    # (3) EVERY drop stage is excluded from the append bill: exact (s3),
+    # near (s4, verified pair with kept 20), semantic (s5, shares 20's
+    # vector) — only genuinely kept docs append
+    assert set(got) == {"s1", "s2"}, got
     s1 = got["s1"]
     assert s1["n_docs_appended"] == 1
     assert s1["n_shingle_rows"] == 118            # 120 words -> 118 distinct 3-grams
