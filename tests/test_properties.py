@@ -3048,3 +3048,95 @@ def test_artifact_delta_append_accounting(spark, tmp_path):
         spec.builder(spark, d), con, spec.oracle,
         "pipeline_incremental_artifact_delta",
     )
+
+
+def test_multitable_ops_adversarial_corpus(spark, tmp_path):
+    """Run EVERY oracle-bearing operator whose SQL touches BOTH the
+    documents and embeddings tables (and nothing else) — the
+    semantic/incremental/curation compositions the single-table sweeps
+    exclude by construction — against the union of both adversarial
+    fixtures: pathological text (empty, whitespace, sub-shingle, exact
+    dups, unicode, NULL) × pathological vectors (NULL vector, ragged,
+    all-zero, NULL element, duplicate vectors, an ORPHAN vec_id with no
+    document row, an embedding on a NULL-text doc), with doc_ids
+    straddling the batch/corpus parity the incremental family splits
+    on. DuckDB must match exactly."""
+    import re as _re
+
+    import duckdb
+
+    from iceberg_explorer_spark.operators import QUERIES
+    from iceberg_explorer_spark.operators.similarity import DIM
+    from tests.conftest import assert_matches_oracle
+
+    texts = [
+        "",
+        "   ",
+        "one",
+        "two words",
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy dog",   # exact duplicate
+        "foo bar baz foo bar baz foo bar baz",
+        "Füßgänger überqueren die Straße heute",
+        "漢字 かな カナ 漢字 かな",
+        "a.b,c;d:e!f?g(h)i[j]k{l}m",
+        ("word " * 50).strip(),
+        None,                                            # NULL text
+    ]
+    rows = [
+        (
+            i,
+            t,
+            ["en", "de", "ja"][i % 3],
+            ["web", "books", "cc"][i % 3],
+            len(t) if t is not None else 0,
+        )
+        for i, t in enumerate(texts)
+    ]
+    d = str(tmp_path / "madv")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    v1 = [1.0] + [0.0] * (DIM - 1)
+    v2 = [0.0, 1.0] + [0.0] * (DIM - 2)
+    v3 = [0.0, 0.0, 1.0] + [0.0] * (DIM - 3)
+    emb = [
+        (0, v1, 0),                       # batch-parity doc, empty text
+        (4, v1, 0),                       # corpus doc sharing 0's vector
+        (5, None, 0),                     # NULL vector (contract-excluded)
+        (6, [1.0, 2.0, 3.0], 0),          # ragged
+        (7, [0.0] * DIM, 0),              # all-zero
+        (8, [None] + [1.0] * (DIM - 1), 0),  # NULL element
+        (10, v2, 1),                      # batch doc
+        (100, v2, 1),                     # ORPHAN vec_id (no doc row)
+        (11, v3, 2),                      # embedding on a NULL-text doc
+    ]
+    spark.createDataFrame(
+        emb, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{d}/{t}.parquet/*.parquet')"
+        )
+    other_tables = (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events",
+    )
+    ops = [
+        name
+        for name, spec in QUERIES.items()
+        if spec.oracle
+        and _re.search(r"\bdocuments\b", spec.oracle)
+        and _re.search(r"\bembeddings\b", spec.oracle)
+        and not any(
+            _re.search(rf"\b{t}\b", spec.oracle) for t in other_tables
+        )
+    ]
+    assert len(ops) >= 4, ops  # the sweep must stay broad
+    for name in ops:
+        spec = QUERIES[name]
+        assert_matches_oracle(spec.builder(spark, d), con, spec.oracle, name)
