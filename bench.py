@@ -14,11 +14,13 @@ Output protocol (two lines, the FINAL line is the driver-parseable one):
    "n_extended": N}`` — ``candidate_build``/``probe_build``/
    ``semantic_build`` are the one-time LSH / probe-index / semantic-edge+
    cluster-label materializations at the target SF; ``value``/``n_queries`` cover
-   the comparable HEADLINE set only; EXTENDED operators are timed
-   identically but summed separately so the trend line stays comparable.
-   In the r10 graduation overlap round the final line also carries
-   additive ``value_v2``/``n_queries_v2`` (HEADLINE + GRADUATING_R9) —
-   see the HEADLINE GRADUATION POLICY at HEADLINE_VERSION.
+   the comparable HEADLINE set only (``headline_version`` 2 since the r11
+   graduation flip — see the HEADLINE GRADUATION POLICY at
+   HEADLINE_VERSION); EXTENDED operators are timed identically but summed
+   separately so the trend line stays comparable.
+   ``cpu_probe_sec``/``cpu_probe_1t_sec`` are the load-calibration
+   scalars (see :func:`cpu_probe`) that make bench conditions
+   machine-readable in the artifact itself.
 
 Rounds 3-4 recorded ``parsed: null`` driver-side: the single all-queries JSON
 line grew past 2 kB (65 queries) and the driver's tail parse stopped
@@ -123,14 +125,10 @@ HEADLINE = [
     "pipeline_dataset_card",      # bit-stable per-source release summary
     "multimodal_audio_energy",    # WAV windowed frame energy (VAD shape)
     "similarity_ann_recall_report", # all ANN variants vs exact top-k
-]
-
-#: The EXTENDED set as frozen at the END of round 9 — graduating into the
-#: v2 headline this round per the HEADLINE GRADUATION POLICY below. These
-#: 12 are timed identically to HEADLINE, excluded from the v1 ``value``
-#: (so the v1 trend line stays comparable through its final round) and
-#: INCLUDED in the overlap round's additive ``value_v2`` sum.
-GRADUATING_R9 = [
+    # --- the r9 cohort, graduated at the r11 trend reset (the r10
+    # overlap round carried these as GRADUATING_R9 under the additive
+    # value_v2 key; headline_version 2 folds them in — see the HEADLINE
+    # GRADUATION POLICY below). Order preserved from the frozen list. ---
     "dedup_containment",          # asymmetric containment over LSH candidates
     "dedup_containment_probe",    # rare-shingle probe index recall path
     "events_rate_spike_zscore",   # hourly per-type rate anomaly z-scores
@@ -151,8 +149,8 @@ GRADUATING_R9 = [
 #: measurement-set change. New operators enter here first (per the r7
 #: deferral note, operators/__init__.py round-8 log); promoting a cohort
 #: into HEADLINE is a deliberate, logged trend reset. Emptied at the r10
-#: graduation (the r9 cohort moved to GRADUATING_R9 above) and refilling
-#: with post-r9 operators only.
+#: graduation (the r9 cohort now sits at the tail of HEADLINE above);
+#: currently the five round-10 operators — next to graduate.
 EXTENDED = [
     "pipeline_clean_corpus_v2",   # capstone: all four dedup families composed
     "dedup_incremental_near",     # daily-batch near-dup vs corpus artifacts
@@ -163,28 +161,75 @@ EXTENDED = [
 
 #: HEADLINE GRADUATION POLICY (a logged trend reset, never a silent one).
 #: EXTENDED keeps growing — the 65-query v1 sum cannot stay the only trend
-#: line forever. The declared schedule:
-#:   * round 10 (THIS round — the overlap round, executing the schedule as
-#:     declared in r9): the EXTENDED set as frozen at the END of round 9
-#:     (the 12 operators in GRADUATING_R9) graduates into HEADLINE_V2 =
-#:     HEADLINE + GRADUATING_R9, both sorted as listed. For this ONE
-#:     overlap round the final line reports BOTH sums —
-#:     ``value``/``n_queries`` stay the v1 trend line (headline_version
-#:     still 1) and additive ``value_v2``/``n_queries_v2`` keys carry the
-#:     v2 sum — so the two series share a round and the reset is
-#:     cross-checkable, not inferred.
-#:   * round 11 on: ``value``/``n_queries`` BECOME the v2 sum (fold
-#:     GRADUATING_R9 into HEADLINE, drop the v2 keys),
-#:     ``headline_version`` flips to 2, and the v1 sum is dropped.
-#:     EXTENDED emptied at graduation and refills with post-r9 operators
-#:     only, which graduate on the same two-round cadence when the next
-#:     reset is due.
+#: line forever. The declared schedule, now two rounds executed:
+#:   * round 10 (the overlap round, executed as declared in r9): the
+#:     EXTENDED set as frozen at the END of round 9 (12 operators)
+#:     graduated into HEADLINE_V2 = HEADLINE + that cohort. For that ONE
+#:     overlap round the final line reported BOTH sums —
+#:     ``value``/``n_queries`` stayed the v1 trend line (headline_version
+#:     still 1) and additive ``value_v2``/``n_queries_v2`` keys carried
+#:     the v2 sum (BENCH_r10: value 40.302/65, value_v2 55.313/77) — so
+#:     the two series share a round and the reset is cross-checkable,
+#:     not inferred.
+#:   * round 11 on (THIS round — the flip): ``value``/``n_queries`` ARE
+#:     the v2 sum (the r9 cohort folded into HEADLINE above, order
+#:     preserved), ``headline_version`` is 2, the v2 overlap keys are
+#:     dropped, and the v1 sum is dropped. EXTENDED was emptied at
+#:     graduation and refills with post-r9 operators only (the five r10
+#:     operators below), which graduate on the same overlap-round
+#:     protocol when the next reset is due — format_output's
+#:     ``graduating`` parameter stays as the generic mechanism.
 #: ``headline_version`` is emitted starting round 9 so every bench artifact
 #: names the measurement set its ``value`` covers; the driver's
-#: round-over-round comparison must only ever compare equal versions.
+#: round-over-round comparison must only ever compare equal versions
+#: (r11's value compares to r10's value_v2, never to r10's value).
 #: Mechanics are pinned by tests/test_bench_format.py
 #: (test_headline_version_and_graduation_policy).
-HEADLINE_VERSION = 1
+HEADLINE_VERSION = 2
+
+
+def cpu_probe() -> tuple[float, float]:
+    """Load-calibration probe (VERDICT r10 #2): returns
+    ``(cpu_probe_sec, cpu_probe_1t_sec)`` — wall seconds for a fixed,
+    deterministic sha256 workload run (a) on ``os.cpu_count()`` concurrent
+    threads, 64 MiB each, and (b) on one thread, 256 MiB. hashlib releases
+    the GIL on large updates, so the threaded variant genuinely occupies
+    every core. Together the two scalars make bench conditions
+    machine-readable in the artifact itself: on an idle host both sit at
+    their hardware floor (~0.2 s each here); EXTERNAL multi-core load
+    inflates the threaded probe while leaving the single-thread one flat —
+    exactly the signature observed in round 10, where the headline sum
+    moved 1.20x on untouched queries while a single-core probe stayed
+    constant at 0.109 s (SCALE.md 'Round-10 bench-conditions note').
+    Round-over-round ``value`` comparisons should be read against these:
+    a value move WITHOUT a probe move is real drift; a value move WITH a
+    proportional threaded-probe move is ambient contention."""
+    import hashlib
+    import os as _os
+    import threading
+
+    buf = (b"\x00\x01\x02\x03" * 262144)  # 1 MiB, deterministic
+
+    def _hash_mb(n_mb: int) -> None:
+        h = hashlib.sha256()
+        for _ in range(n_mb):
+            h.update(buf)
+        h.hexdigest()
+
+    n_threads = _os.cpu_count() or 8
+    threads = [
+        threading.Thread(target=_hash_mb, args=(64,)) for _ in range(n_threads)
+    ]
+    t0 = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    mt = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    _hash_mb(256)
+    st = round(time.perf_counter() - t0, 3)
+    return mt, st
 
 
 def format_output(
@@ -197,6 +242,8 @@ def format_output(
     probe_build: float | None = None,
     semantic_build: float | None = None,
     graduating: tuple[str, ...] | list[str] = (),
+    cpu_probe_sec: float | None = None,
+    cpu_probe_1t_sec: float | None = None,
 ) -> tuple[str, str]:
     """Build the two output lines. The FINAL line is the driver-parseable
     one and must stay compact (< 500 bytes — enforced here, because rounds
@@ -221,8 +268,14 @@ def format_output(
     are excluded from the v1 ``value``/``n_queries`` AND from
     ``extended_sec``, and surface via the additive ``value_v2`` /
     ``n_queries_v2`` keys, which sum HEADLINE + graduating. The v2 keys
-    are emitted only when ``graduating`` is non-empty — the one overlap
-    round."""
+    are emitted only when ``graduating`` is non-empty — an overlap round
+    (none since r10; the parameter stays as the mechanism for the next
+    graduation).
+
+    ``cpu_probe_sec`` / ``cpu_probe_1t_sec`` are the load-calibration
+    scalars from :func:`cpu_probe`, measured immediately before the timed
+    loop — they ride on BOTH lines so every artifact carries its own
+    bench-conditions context."""
     ext = set(extended)
     grad = set(graduating)
     headline_timings = {
@@ -238,6 +291,8 @@ def format_output(
             "candidate_build": candidate_build,
             "probe_build": probe_build,
             "semantic_build": semantic_build,
+            "cpu_probe_sec": cpu_probe_sec,
+            "cpu_probe_1t_sec": cpu_probe_1t_sec,
         }
     )
     # Degrade, never die: an oversized final line must shrink (fewer
@@ -270,6 +325,10 @@ def format_output(
                 if extended_timings
                 else None,
                 "n_extended": len(extended_timings),
+                # load-calibration context (VERDICT r10 #2): read `value`
+                # moves against these — see cpu_probe's docstring
+                "cpu_probe_sec": cpu_probe_sec,
+                "cpu_probe_1t_sec": cpu_probe_1t_sec,
                 # names the measurement set `value` covers — see the
                 # HEADLINE GRADUATION POLICY note at HEADLINE_VERSION
                 "headline_version": HEADLINE_VERSION,
@@ -322,7 +381,7 @@ def main() -> None:
         # single query aborted the bench before printing). Errors are recorded
         # per-query and excluded from the wall-time sum.
         errors: dict[str, str] = {}
-        for name in [*HEADLINE, *GRADUATING_R9, *EXTENDED]:
+        for name in [*HEADLINE, *EXTENDED]:
             try:
                 QUERIES[name].builder(spark, warm_dir).write.format(
                     "noop"
@@ -366,9 +425,13 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — never abort the bench
             errors["candidate_build"] = f"{type(exc).__name__}: {exc}"[:500]
 
+        # measure load context immediately before the timed loop, when it
+        # describes the conditions the timings are about to be taken under
+        cpu_probe_sec, cpu_probe_1t_sec = cpu_probe()
+
         timings: dict[str, float] = {}
         for _ in range(ITERS):
-            for name in [*HEADLINE, *GRADUATING_R9, *EXTENDED]:
+            for name in [*HEADLINE, *EXTENDED]:
                 if name in errors:
                     continue
                 builder = QUERIES[name].builder
@@ -394,7 +457,8 @@ def main() -> None:
             extended=EXTENDED,
             probe_build=probe_build,
             semantic_build=semantic_build,
-            graduating=GRADUATING_R9,
+            cpu_probe_sec=cpu_probe_sec,
+            cpu_probe_1t_sec=cpu_probe_1t_sec,
         )
         # Detail line: the complete per-query map, own line, parse-optional.
         print(detail_line)

@@ -228,6 +228,48 @@ against exact answers).
   standing checklist and are the r11 rotation's first priority,
   together with the 42-query r8 cohort (second rows, 35 remaining
   after the fillers above).
+- round 11 (current): CORRECTNESS_r10 came back 50/50 green (seventh
+  consecutive perfect round), so the planned rotation executes as
+  written: the FIVE round-10 operators registered out-of-window get
+  their FIRST driver rows (pipeline_clean_corpus_v2,
+  dedup_incremental_near, dedup_incremental_semantic,
+  pipeline_incremental_ingest, pipeline_incremental_artifact_delta —
+  the only oracle-bearing queries with zero driver evidence, per
+  VERDICT r10 #1); the FULL r8 cohort — verified against the
+  artifacts to be exactly 35 queries whose latest driver row is r8 —
+  rotates in for second-or-later rows (cohort_retention,
+  cross_join_region_status, cube_order_status,
+  distinct_customers_per_priority, events_distinct_users_salted,
+  events_rate_per_user_type, events_session_window,
+  events_value_outliers_mad, filter_projection,
+  full_outer_nation_balance, grouping_sets_mix, multimodal_metadata,
+  pipeline_domain_mix, pipeline_sequence_pack,
+  pipeline_temperature_mix, pipeline_train_val_split,
+  pivot_status_by_flag, recursive_calendar_spine, rollup_quantity,
+  scalar_regex_conditional, scalar_string_math,
+  scalar_subquery_nation_stats, semi_join_active_customers,
+  set_ops_nation_presence, similarity_all_pairs_topk,
+  string_agg_nations_per_region, subquery_in_having,
+  text_language_id, text_pii_redact, text_quality_score,
+  text_repetition_filter, text_unigram_logfreq,
+  window_ntile_navigation, window_range_moving_revenue,
+  window_running_revenue); and the remaining 9 slots go to the 9
+  queries with exactly ONE driver-green row ever — the three r10
+  first-timers (dedup_lsh_band_tuning — ALSO modified by r11's
+  verify-bill reduction, so its second row is post-change;
+  multimodal_paired_dedup, similarity_semantic_tau_sweep) and the six
+  r9 first-timers (dedup_overlap_spectrum, dedup_semantic_clusters,
+  multimodal_clean_manifest, pipeline_filter_funnel,
+  similarity_ivf_balance, similarity_semantic_decontaminate).
+  1 + 5 + 35 + 9 = 50 exactly. If r11 comes back green, every
+  oracle-bearing query has at least TWO driver-green rows, none older
+  than r9 except the r9-latest cohort itself. Bench r11 executes the
+  declared graduation flip: GRADUATING_R9 folds into HEADLINE,
+  headline_version becomes 2, the v2 overlap keys drop, EXTENDED
+  carries the five r10 operators (they are next to graduate). The
+  flagship keeps slot 1, never displaced. Displaced multi-green
+  queries remain covered every round by tests/test_differential.py;
+  the 3 sketch ops stay out by design.
 """
 
 from iceberg_explorer_spark.operators.registry import QUERIES, QuerySpec, query  # noqa: F401
@@ -246,60 +288,60 @@ from iceberg_explorer_spark.operators import pipeline  # noqa: E402,F401
 _CHECK_WINDOW = [
     # flagship first (never displaced)
     "pipeline_clean_corpus",
-    # --- round 9's three new operators: FIRST driver rows (the first
-    # two also carry round-10 changes — post-change rows) ---
-    "multimodal_paired_dedup",
+    # --- the five round-10 operators: FIRST driver rows (VERDICT r10 #1
+    # — the only oracle-bearing queries with zero driver evidence) ---
+    "pipeline_clean_corpus_v2",
+    "dedup_incremental_near",
+    "dedup_incremental_semantic",
+    "pipeline_incremental_ingest",
+    "pipeline_incremental_artifact_delta",
+    # --- the full r8 cohort (35): last driver row is r8 ---
+    "cohort_retention",
+    "cross_join_region_status",
+    "cube_order_status",
+    "distinct_customers_per_priority",
+    "events_distinct_users_salted",
+    "events_rate_per_user_type",
+    "events_session_window",
+    "events_value_outliers_mad",
+    "filter_projection",
+    "full_outer_nation_balance",
+    "grouping_sets_mix",
+    "multimodal_metadata",
+    "pipeline_domain_mix",
+    "pipeline_sequence_pack",
+    "pipeline_temperature_mix",
+    "pipeline_train_val_split",
+    "pivot_status_by_flag",
+    "recursive_calendar_spine",
+    "rollup_quantity",
+    "scalar_regex_conditional",
+    "scalar_string_math",
+    "scalar_subquery_nation_stats",
+    "semi_join_active_customers",
+    "set_ops_nation_presence",
+    "similarity_all_pairs_topk",
+    "string_agg_nations_per_region",
+    "subquery_in_having",
+    "text_language_id",
+    "text_pii_redact",
+    "text_quality_score",
+    "text_repetition_filter",
+    "text_unigram_logfreq",
+    "window_ntile_navigation",
+    "window_range_moving_revenue",
+    "window_running_revenue",
+    # --- the 9 queries with exactly ONE driver-green row: second rows
+    # (dedup_lsh_band_tuning's is post-change — r11 verify-bill cut) ---
     "dedup_lsh_band_tuning",
+    "multimodal_paired_dedup",
     "similarity_semantic_tau_sweep",
-    # --- the full r7 cohort (39): last driver row is r7 ---
-    "conditional_agg_order_status",
-    "cte_above_avg_orders",
-    "dedup_cluster_stats",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_keep_best",
-    "dedup_pagerank_step",
-    "dedup_simhash",
-    "dedup_source_minhash_similarity",
-    "dedup_source_overlap_matrix",
-    "events_categorical_drift",
-    "events_funnel_latency",
-    "events_incremental_rollup",
-    "events_path_topk",
-    "events_variant_shred",
-    "explode_word_frequencies",
-    "left_join_order_lines",
-    "multimodal_ahash_dedup",
-    "multimodal_decode_features",
-    "null_semantics",
-    "orders_seasonality_index",
-    "parts_abc_pareto",
-    "percentile_order_price",
-    "pipeline_pack_efficiency",
-    "pipeline_stratified_sample",
-    "range_join_ship_window",
-    "scalar_date_functions",
-    "similarity_bruteforce_topk",
-    "similarity_centroid_drift",
-    "similarity_int8_quantize",
-    "similarity_ivf_topk",
-    "similarity_knn_join",
-    "similarity_lsh_ann",
-    "text_bm25_topk",
-    "text_ngram_entropy",
-    "text_token_count",
-    "text_vocab_growth",
-    "topk_orders",
-    "window_ship_gaps",
-    # --- r8-cohort fillers: least-evidenced first, recently-changed
-    # prioritized (text_fingerprint carries r10's gram cap) ---
-    "events_rate_spike_zscore",
-    "text_fingerprint",
-    "anti_join_idle_customers",
-    "asof_join_purchase_click",
-    "events_funnel",
-    "multimodal_image_resize",
-    "pipeline_global_shuffle",
+    "dedup_overlap_spectrum",
+    "dedup_semantic_clusters",
+    "multimodal_clean_manifest",
+    "pipeline_filter_funnel",
+    "similarity_ivf_balance",
+    "similarity_semantic_decontaminate",
 ]
 
 

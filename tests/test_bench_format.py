@@ -14,7 +14,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from bench import EXTENDED, GRADUATING_R9, HEADLINE, format_output  # noqa: E402
+from bench import EXTENDED, HEADLINE, format_output  # noqa: E402
 
 
 def _fake_timings(n):
@@ -74,17 +74,17 @@ def test_extended_queries_excluded_from_trend_value():
 
 
 def test_extended_registry_membership():
-    """Every EXTENDED / GRADUATING_R9 name must be a registered query and
-    the three benchmark sets must be pairwise disjoint (overlap would
-    double-count an operator's time in one of the sums)."""
+    """Every HEADLINE / EXTENDED name must be a registered query and the
+    two benchmark sets must be disjoint (overlap would double-count an
+    operator's time in one of the sums). HEADLINE must also be
+    duplicate-free — the r11 graduation folded the r9 cohort in, and a
+    name appearing twice would double its time in `value`."""
     from iceberg_explorer_spark.operators import QUERIES
 
     assert not set(EXTENDED) & set(HEADLINE)
-    assert not set(GRADUATING_R9) & set(HEADLINE)
-    assert not set(GRADUATING_R9) & set(EXTENDED)
-    missing = [
-        n for n in [*HEADLINE, *GRADUATING_R9, *EXTENDED] if n not in QUERIES
-    ]
+    assert len(set(HEADLINE)) == len(HEADLINE)
+    assert len(set(EXTENDED)) == len(EXTENDED)
+    missing = [n for n in [*HEADLINE, *EXTENDED] if n not in QUERIES]
     assert not missing, missing
 
 
@@ -143,50 +143,93 @@ def test_slowest_map_excludes_extended_entries():
 
 def test_headline_version_and_graduation_policy():
     """Pins the HEADLINE graduation mechanics declared at
-    bench.HEADLINE_VERSION, now EXECUTING the r10 overlap round: (1)
-    every final line names the measurement set its `value` covers via an
-    integer `headline_version` key; (2) this round the version is STILL
-    1 and `value` sums exactly the v1 HEADLINE set (GRADUATING_R9 and
-    EXTENDED both excluded); (3) the additive `value_v2`/`n_queries_v2`
-    keys carry HEADLINE + GRADUATING_R9 — the v2 sum the r11 trend line
-    resets to — and the line stays compact with all keys present."""
+    bench.HEADLINE_VERSION, now POST the r11 flip: (1) every final line
+    names the measurement set its `value` covers via an integer
+    `headline_version` key, and the version is 2 — the r9 cohort is
+    folded into HEADLINE (all 12 present, exactly once) so `value`
+    compares to BENCH_r10's value_v2 (77 queries), never its v1 value;
+    (2) no graduating cohort is in flight, so the v2 overlap keys are
+    ABSENT from a plain run; (3) the `graduating` parameter remains the
+    generic overlap-round mechanism for the NEXT reset — additive
+    value_v2/n_queries_v2, graduating entries excluded from `value`,
+    `extended_sec` and the slowest map."""
     import bench
 
+    # (1) the flip: version 2, the r9 cohort folded in exactly once
+    r9_cohort = [
+        "dedup_containment", "dedup_containment_probe",
+        "events_rate_spike_zscore", "dedup_overlap_spectrum",
+        "similarity_ivf_balance", "dedup_semantic_clusters",
+        "pipeline_filter_funnel", "similarity_semantic_decontaminate",
+        "multimodal_clean_manifest", "multimodal_paired_dedup",
+        "dedup_lsh_band_tuning", "similarity_semantic_tau_sweep",
+    ]
+    assert bench.HEADLINE_VERSION == 2
+    assert len(HEADLINE) == 77  # 65 v1 + the 12 graduated
+    for name in r9_cohort:
+        assert HEADLINE.count(name) == 1, name
     timings = {name: 1.234 for name in HEADLINE}
-    timings.update({name: 2.0 for name in GRADUATING_R9})
     timings.update({name: 10.0 for name in EXTENDED})
     _, final = format_output(
-        timings,
-        {},
-        0.1,
-        2,
-        candidate_build=1.337,
-        extended=EXTENDED,
-        graduating=GRADUATING_R9,
+        timings, {}, 0.1, 2, candidate_build=1.337, extended=EXTENDED
     )
     assert len(final) < 500, len(final)
     parsed = json.loads(final)
     assert isinstance(parsed["headline_version"], int)
-    assert parsed["headline_version"] == bench.HEADLINE_VERSION == 1
-    assert parsed["n_queries"] == len(HEADLINE)
+    assert parsed["headline_version"] == 2
+    assert parsed["n_queries"] == len(HEADLINE) == 77
     assert parsed["value"] == round(1.234 * len(HEADLINE), 3)
-    # the overlap round's v2 sum: HEADLINE + the graduating cohort,
-    # EXTENDED still outside both sums
-    assert parsed["n_queries_v2"] == len(HEADLINE) + len(GRADUATING_R9)
-    assert parsed["value_v2"] == round(
-        1.234 * len(HEADLINE) + 2.0 * len(GRADUATING_R9), 3
+    # (2) no overlap in flight: the v2 keys are absent
+    assert "value_v2" not in parsed and "n_queries_v2" not in parsed
+    # (3) the generic overlap mechanism still works for the next reset
+    grad = ["next_grad_a", "next_grad_b"]
+    timings.update({name: 2.0 for name in grad})
+    _, final_next = format_output(
+        timings, {}, 0.1, 2, extended=EXTENDED, graduating=grad
     )
-    assert parsed["extended_sec"] == round(10.0 * len(EXTENDED), 3)
-    # graduating entries never fill the slowest map (it explains `value`)
-    assert not set(parsed["queries"]) & set(GRADUATING_R9)
-    # without a graduating cohort (r11 on) the v2 keys are absent
-    _, final_plain = format_output(
-        {name: 1.0 for name in HEADLINE}, {}, 0.1, 2
+    parsed_next = json.loads(final_next)
+    assert parsed_next["value"] == round(1.234 * len(HEADLINE), 3)
+    assert parsed_next["n_queries_v2"] == len(HEADLINE) + len(grad)
+    assert parsed_next["value_v2"] == round(
+        1.234 * len(HEADLINE) + 2.0 * len(grad), 3
     )
-    assert "value_v2" not in json.loads(final_plain)
+    assert parsed_next["extended_sec"] == round(10.0 * len(EXTENDED), 3)
+    assert not set(parsed_next["queries"]) & set(grad)
     # the policy text itself must stay in the source next to the constant
     import inspect
 
     src = inspect.getsource(bench)
     assert "HEADLINE GRADUATION POLICY" in src
-    assert "round 10" in src and "value_v2" in src
+    assert "round 11" in src and "value_v2" in src
+
+
+def test_cpu_probe_calibration_keys():
+    """Pins the load-calibration contract (VERDICT r10 #2): (1)
+    cpu_probe() returns two positive wall-second floats — the
+    multi-thread (contention-sensitive: hashlib releases the GIL, so the
+    threads genuinely occupy every core) and single-thread scalars; (2)
+    the workload is the fixed deterministic sha256 definition the
+    numbers are only comparable under (any change is a calibration
+    reset and must show up here); (3) both keys ride on BOTH output
+    lines so every BENCH artifact carries its own conditions context."""
+    import inspect
+
+    import bench
+
+    mt, st = bench.cpu_probe()
+    assert 0 < st < 60 and 0 < mt < 60, (mt, st)
+
+    src = inspect.getsource(bench.cpu_probe)
+    assert "sha256" in src  # the pinned workload
+    assert "262144" in src  # 1 MiB deterministic buffer
+    assert "64" in src and "256" in src  # per-thread / single-thread MiB
+
+    timings = {name: 1.0 for name in HEADLINE}
+    detail, final = format_output(
+        timings, {}, 0.1, 2, cpu_probe_sec=mt, cpu_probe_1t_sec=st
+    )
+    assert len(final) < 500, len(final)
+    for line in (detail, final):
+        parsed = json.loads(line)
+        assert parsed["cpu_probe_sec"] == mt
+        assert parsed["cpu_probe_1t_sec"] == st

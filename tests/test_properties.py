@@ -2958,8 +2958,9 @@ def test_incremental_family_exact_stage_consistency(spark):
     sibling's kept count). A drift between them would mean the shared
     definition forked."""
     from iceberg_explorer_spark.operators import QUERIES
+    from tests.conftest import SF_DIR_SMALL
 
-    sf = "/root/testdata/sf0.001"
+    sf = SF_DIR_SMALL
     sib = {
         r["source"]: r
         for r in QUERIES["dedup_incremental_ingest"].builder(spark, sf).collect()
