@@ -2408,31 +2408,45 @@ def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-#: Band layouts for the LSH tuning report: the five MULTI-BAND (b >= 2)
+#: Band layouts for the LSH tuning report: the MULTI-BAND (b >= 2)
 #: factorizations of the SAME N_HASHES=12-value signature, each
-#: partitioning a prefix in seed order. (1, 12) — the sixth divisor
-#: layout — is deliberately excluded: s* = 1.0 means it only pairs docs
-#: whose entire signatures are equal, which is exact dedup's job, not a
-#: near-dup recall setting anyone tunes toward. One signature pass
-#: serves all five layouts — re-hashing the corpus per config is the
-#: naive tuning loop this operator exists to replace.
-_TUNING_CONFIGS = [(12, 1), (6, 2), (4, 3), (3, 4), (2, 6)]
+#: partitioning a prefix in seed order. (1, 12) — the equal-signatures
+#: divisor layout — is excluded: s* = 1.0 means it only pairs docs whose
+#: entire signatures are equal, which is exact dedup's job, not a
+#: near-dup recall setting anyone tunes toward. (12, 1) — the other
+#: degenerate divisor — was dropped from the REGISTERED contract in
+#: round 11: its S-curve threshold s* = 1/12 ≈ 0.083 sits an order of
+#: magnitude below the 0.8 Jaccard verify bar, so it candidates nearly
+#: every pair with ANY single shared min-hash — at sf0.1 it contributed
+#: ~120k low-precision candidates that alone set the whole sweep's
+#: verify bill (SCALE.md round-11 note) while informing no (b, r)
+#: decision a 0.8-target pipeline would make. It remains available via
+#: the builder's ``configs`` parameter (``_TUNING_CONFIGS_FULL``) and is
+#: differential-tested locally. One signature pass serves however many
+#: layouts are requested — re-hashing the corpus per config is the naive
+#: tuning loop this operator exists to replace.
+_TUNING_CONFIGS = [(6, 2), (4, 3), (3, 4), (2, 6)]
 
-#: (bands, rows_per_band, s_star) — s* = (1/b)^(1/r), the layout's
-#: S-curve threshold. Formatted ONCE in Python and embedded as literals
-#: in both the Spark config frame and the oracle VALUES list, so the
-#: doubles are bit-identical by IEEE round-trip.
-_TUNING_ROWS = [
-    (b, r, (1.0 / b) ** (1.0 / r)) for b, r in _TUNING_CONFIGS
-]
+#: The registered four plus the loose (12, 1) recall-ceiling layout —
+#: the opt-in full sweep (local differential coverage:
+#: tests/test_properties.py::test_lsh_band_tuning_layout_semantics).
+_TUNING_CONFIGS_FULL = [(12, 1), *_TUNING_CONFIGS]
 
 
-def _tuning_bands_sql() -> str:
+def _tuning_rows(configs: list[tuple[int, int]]) -> list[tuple]:
+    """(bands, rows_per_band, s_star) — s* = (1/b)^(1/r), the layout's
+    S-curve threshold. Formatted ONCE in Python and embedded as literals
+    in both the Spark config frame and the oracle VALUES list, so the
+    doubles are bit-identical by IEEE round-trip."""
+    return [(b, r, (1.0 / b) ** (1.0 / r)) for b, r in configs]
+
+
+def _tuning_bands_sql(configs: list[tuple[int, int]]) -> str:
     """Band keys for every tuning layout (UNION ALL unpivot over ``sig``),
     mirroring the Spark explode band-for-band: layout (b, r)'s band i
     hashes signature values h[i*r] .. h[i*r + r - 1]."""
     selects = []
-    for b_cfg, r_cfg in _TUNING_CONFIGS:
+    for b_cfg, r_cfg in configs:
         for band in range(b_cfg):
             # explicit ::VARCHAR: DuckDB's md5 takes only VARCHAR, and the
             # r=1 layouts have no concatenation to coerce the BIGINT
@@ -2446,14 +2460,15 @@ def _tuning_bands_sql() -> str:
     return " UNION ALL ".join(selects)
 
 
-def _tuning_cfgs_sql() -> str:
-    """The static layout table as a VALUES list (see ``_TUNING_ROWS``):
+def _tuning_cfgs_sql(configs: list[tuple[int, int]]) -> str:
+    """The static layout table as a VALUES list (see ``_tuning_rows``):
     the report LEFT-JOINs the per-layout aggregate against it so a layout
     that pruned EVERY candidate still appears with zero counts — the
     over-strict layout is the most decision-relevant row of a tuning
     sweep, and an inner-join shape would silently drop it."""
     vals = ", ".join(
-        f"({b}, {r}, CAST({s!r} AS DOUBLE))" for b, r, s in _TUNING_ROWS
+        f"({b}, {r}, CAST({s!r} AS DOUBLE))"
+        for b, r, s in _tuning_rows(configs)
     )
     return (
         f"SELECT * FROM (VALUES {vals})"
@@ -2461,14 +2476,17 @@ def _tuning_cfgs_sql() -> str:
     )
 
 
-@query(
-    "dedup_lsh_band_tuning",
-    oracle=f"""
+def _band_tuning_oracle_sql(configs: list[tuple[int, int]]) -> str:
+    """The tuning-report oracle for an arbitrary layout set — the
+    registered query pins ``_TUNING_CONFIGS``; the local full-sweep test
+    instantiates it with ``_TUNING_CONFIGS_FULL`` so the opt-in (12, 1)
+    path keeps differential coverage after leaving the driver contract."""
+    return f"""
     WITH sh AS ({_SHINGLE_SQL}),
     shh AS ({_SHH_SQL}),
     hashed AS (SELECT doc_id, hb % {MINHASH_P} AS hb FROM shh),
     sig AS (SELECT doc_id, {_minhash_agg_sql()} FROM hashed GROUP BY doc_id),
-    bands_all AS ({_tuning_bands_sql()}),
+    bands_all AS ({_tuning_bands_sql(configs)}),
     ok AS (
       SELECT bands, rows_per_band, band, bkey FROM bands_all
       GROUP BY bands, rows_per_band, band, bkey
@@ -2519,7 +2537,7 @@ def _tuning_cfgs_sql() -> str:
       LEFT JOIN dups d ON d.doc_a = p.doc_a AND d.doc_b = p.doc_b
       GROUP BY p.bands, p.rows_per_band
     ),
-    cfgs AS ({_tuning_cfgs_sql()})
+    cfgs AS ({_tuning_cfgs_sql(configs)})
     SELECT c.bands, c.rows_per_band, c.s_star,
            CAST(COALESCE(a.n_candidates, 0) AS BIGINT) AS n_candidates,
            CAST(COALESCE(a.n_true_dups, 0) AS BIGINT) AS n_true_dups,
@@ -2529,38 +2547,52 @@ def _tuning_cfgs_sql() -> str:
     FROM cfgs c
     LEFT JOIN agg a
       ON a.bands = c.bands AND a.rows_per_band = c.rows_per_band
-    """,
+    """
+
+
+@query(
+    "dedup_lsh_band_tuning",
+    oracle=_band_tuning_oracle_sql(_TUNING_CONFIGS),
     doc="LSH band-layout tuning report: candidate volume and verified "
-    "precision for five (bands, rows-per-band) layouts of the SAME 12-min "
-    "signature — the parameter sweep every production dedup pipeline runs "
-    "before committing a (b, r) choice, as one query instead of five "
-    "pipeline reruns. The corpus is tokenized+hashed once (session-shared "
-    "shingle checkpoint), the signature is computed once (one grouped "
-    "pass, map-side partial mins), and ONE explode emits all 27 band rows "
-    "per doc; per-layout buckets stay under the LSH_MAX_BUCKET quadratic "
-    "guard. Because a pair matching a band of r rows shares each row-hash "
-    "individually, the (12,1) layout's candidates form a superset of "
-    "every other layout's (modulo per-layout bucket capping) — so exact "
+    "precision for four production (bands, rows-per-band) layouts of the "
+    "SAME 12-min signature — the parameter sweep every production dedup "
+    "pipeline runs before committing a (b, r) choice, as one query "
+    "instead of one pipeline rerun per layout. The corpus is "
+    "tokenized+hashed once (session-shared shingle checkpoint), the "
+    "signature is computed once (one grouped pass, map-side partial "
+    "mins), and ONE explode emits all 15 band rows per doc; per-layout "
+    "buckets stay under the LSH_MAX_BUCKET quadratic guard. Exact "
     "Jaccard is verified ONCE over the distinct union of all layouts' "
     "pairs (candidate-only joins, bottom-k cap) and each layout's "
     "precision is a join against that single verdict set, not a verify "
     "per config. s* = (1/b)^(1/r) is the layout's S-curve threshold — "
-    "the knob the report exists to calibrate against measured precision. "
-    "At 100 TB the sweep runs on a deterministic doc sample (sample_mod: "
-    "keep a doc when xxhash64(doc_id) % mod == 0 — the verify bill "
-    "scales with the sample, and tuning curves are stable under uniform "
-    "sampling); the registered query runs UNSAMPLED (sample_mod=1, the "
-    "oracle contract). reference: no analogue — training-pipeline "
-    "extension.",
+    "the knob the report exists to calibrate against measured precision; "
+    "the registered grid spans s* 0.41-0.89, bracketing the 0.8 Jaccard "
+    "verify bar from both sides. The degenerate (12,1) layout "
+    "(s* = 0.083 — it candidates nearly every pair sharing ANY single "
+    "min-hash, and at sf0.1 its ~120k low-precision candidates alone set "
+    "the sweep's verify bill) left the registered contract in r11; it "
+    "stays available via the configs parameter (_TUNING_CONFIGS_FULL) "
+    "with local differential coverage. At 100 TB the sweep runs on a "
+    "deterministic doc sample (sample_mod: keep a doc when "
+    "xxhash64(doc_id) % mod == 0 — the verify bill scales with the "
+    "sample, and tuning curves are stable under uniform sampling); the "
+    "registered query runs UNSAMPLED (sample_mod=1, the oracle "
+    "contract). reference: no analogue — training-pipeline extension.",
 )
 def dedup_lsh_band_tuning(
-    spark: SparkSession, sf_dir: str, sample_mod: int = 1
+    spark: SparkSession,
+    sf_dir: str,
+    sample_mod: int = 1,
+    configs: list[tuple[int, int]] | None = None,
 ) -> DataFrame:
     if sample_mod < 1:
         # loud, not silent: a sign/zero bug upstream would otherwise run
         # the full-corpus sweep (the exact verify bill the parameter
         # exists to avoid) while reporting numbers labeled as sampled
         raise ValueError(f"sample_mod must be >= 1, got {sample_mod}")
+    if configs is None:
+        configs = _TUNING_CONFIGS
     sh = shared_hashed_shingles(spark, sf_dir)
     if sample_mod > 1:
         # Deterministic 1/mod doc sample: hash-mod on doc_id, applied to
@@ -2579,7 +2611,7 @@ def dedup_lsh_band_tuning(
     hashed = sh.select("doc_id", (F.col("hb") % MINHASH_P).alias("hb"))
     sig = hashed.groupBy("doc_id").agg(*_minhash_min_aggs(N_HASHES))
     layouts = []
-    for b_cfg, r_cfg in _TUNING_CONFIGS:
+    for b_cfg, r_cfg in configs:
         for band in range(b_cfg):
             cols = [F.col(f"h{band * r_cfg + r}") for r in range(r_cfg)]
             layouts.append(
@@ -2633,9 +2665,9 @@ def dedup_lsh_band_tuning(
     )
     # LEFT JOIN from the static layout table: a layout whose candidates
     # were all pruned (or that never collided) still reports a zero row —
-    # see _tuning_cfgs_sql. Five local rows; AQE broadcasts unhinted.
+    # see _tuning_cfgs_sql. O(layouts) local rows; AQE broadcasts unhinted.
     cfgs = spark.createDataFrame(
-        _TUNING_ROWS, "bands int, rows_per_band int, s_star double"
+        _tuning_rows(configs), "bands int, rows_per_band int, s_star double"
     )
     joined = cfgs.join(agg, ["bands", "rows_per_band"], "left")
     n_cands = F.coalesce(F.col("n_candidates"), F.lit(0)).cast("bigint")

@@ -1009,8 +1009,8 @@ def test_paired_dedup_one_python_kernel_digest_shuffle(spark):
 
 
 def test_lsh_band_tuning_one_signature_one_verify(spark):
-    """dedup_lsh_band_tuning sweeps five band layouts from ONE signature
-    pass and verifies the distinct union ONCE: the plan carries exactly
+    """dedup_lsh_band_tuning sweeps the registered band layouts from ONE
+    signature pass and verifies the distinct union ONCE: the plan carries
     as many array_intersect sites as the single-generator Jaccard verify
     (re-verifying per layout would multiply it), consumes the shingle
     scan and the multi-branch pair frame as materialized checkpoints,

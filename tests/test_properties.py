@@ -2261,25 +2261,37 @@ def test_band_tuning_sample_agrees_with_subcorpus(spark, tmp_path):
 
 
 def test_lsh_band_tuning_layout_semantics(spark, tmp_path):
-    """dedup_lsh_band_tuning's distinguishing claims on a crafted corpus:
-    (1) the (12,1) single-hash layout's candidates form the per-layout
-    MAXIMUM (a pair matching an r-row band shares each row hash
-    individually, so every layout's pairs are a subset of (12,1)'s);
-    (2) an identical-text pair shares ALL 12 signature values, so it is a
-    candidate AND a verified duplicate under EVERY layout — all five
-    report rows exist with n_true_dups >= 1; (3) s_star is the layout's
+    """dedup_lsh_band_tuning's distinguishing claims on a crafted corpus.
+    Registered contract (the strict four layouts, r11): (1) an
+    identical-text pair shares ALL 12 signature values, so it is a
+    candidate AND a verified duplicate under EVERY layout — all four
+    report rows exist with n_true_dups >= 1; (2) s_star is the layout's
     S-curve threshold (1/b)^(1/r), strictly increasing with
-    rows-per-band; (4) dup_precision is exactly n_true_dups /
-    n_candidates, and the loose (12,1) layout reports a FALSE POSITIVE
-    (the far pair collides in single-hash bands but fails the 0.8
-    Jaccard verify) — the S-curve discrimination the sweep exists to
-    surface; (5) on a corpus with NO collisions at all, every layout
-    still reports a zero row with NULL precision (the over-strict
+    rows-per-band; (3) dup_precision is exactly n_true_dups /
+    n_candidates; (4) on a corpus with NO collisions at all, every
+    layout still reports a zero row with NULL precision (the over-strict
     layout that pruned everything is the most decision-relevant row).
-    Oracle-checked on both corpora."""
+    Opt-in full sweep (configs=_TUNING_CONFIGS_FULL — the path that left
+    the driver contract in r11 but must stay correct): (5) the (12,1)
+    single-hash layout's candidates form the per-layout MAXIMUM (a pair
+    matching an r-row band shares each row hash individually, so every
+    layout's pairs are a subset of (12,1)'s); (6) the loose (12,1)
+    layout reports a FALSE POSITIVE (the far pair collides in
+    single-hash bands but fails the 0.8 Jaccard verify) — the S-curve
+    discrimination the sweep exists to surface — while the strict four
+    rows are IDENTICAL to the registered report (adding a layout to the
+    sweep must not perturb the others' numbers: the shared verify is a
+    superset, but each layout's precision joins only its own pairs).
+    Oracle-checked on both corpora AND for the full-sweep variant via
+    _band_tuning_oracle_sql(_TUNING_CONFIGS_FULL)."""
     import duckdb
 
     from iceberg_explorer_spark.operators import QUERIES
+    from iceberg_explorer_spark.operators.dedup import (
+        _TUNING_CONFIGS_FULL,
+        _band_tuning_oracle_sql,
+        dedup_lsh_band_tuning,
+    )
     from tests.conftest import assert_matches_oracle
 
     dup = " ".join(f"alpha{i} beta{i % 5} gamma{i % 11}" for i in range(40))
@@ -2307,24 +2319,15 @@ def test_lsh_band_tuning_layout_semantics(spark, tmp_path):
     got = {r["bands"]: r for r in spec.builder(spark, d).collect()}
     # every layout reports: the identical pair collides in every band of
     # every layout (all 12 mins equal), and its bucket has exactly 2 docs
-    assert set(got) == {12, 6, 4, 3, 2}, got
+    assert set(got) == {6, 4, 3, 2}, got
     for r in got.values():
         assert r["n_true_dups"] >= 1, r
         assert r["n_candidates"] >= r["n_true_dups"], r
         assert r["dup_precision"] == r["n_true_dups"] / r["n_candidates"], r
-    # (12,1) is the superset layout
-    assert all(
-        got[12]["n_candidates"] >= got[b]["n_candidates"] for b in (6, 4, 3, 2)
-    ), {b: r["n_candidates"] for b, r in got.items()}
-    # the loose layout pays for its recall: the far pair (J ≈ 0.28)
-    # collides in at least one single-hash band but fails the verify, so
-    # (12,1) reports a candidate that is NOT a true dup
-    assert got[12]["n_candidates"] > got[12]["n_true_dups"], got[12]
-    assert got[12]["dup_precision"] < 1.0, got[12]
     # s* rises with rows-per-band (stricter bands need higher Jaccard)
     by_r = sorted(got.values(), key=lambda r: r["rows_per_band"])
     stars = [r["s_star"] for r in by_r]
-    assert stars == sorted(stars) and len(set(stars)) == 5, stars
+    assert stars == sorted(stars) and len(set(stars)) == 4, stars
 
     con = duckdb.connect()
     con.execute(
@@ -2335,7 +2338,39 @@ def test_lsh_band_tuning_layout_semantics(spark, tmp_path):
         spec.builder(spark, d), con, spec.oracle, "dedup_lsh_band_tuning"
     )
 
-    # no-collision corpus: the report must still have all five layout
+    # --- the opt-in full sweep: (12,1) stays correct off-contract ---
+    full = {
+        r["bands"]: r
+        for r in dedup_lsh_band_tuning(
+            spark, d, configs=_TUNING_CONFIGS_FULL
+        ).collect()
+    }
+    assert set(full) == {12, 6, 4, 3, 2}, full
+    # (12,1) is the superset layout
+    assert all(
+        full[12]["n_candidates"] >= full[b]["n_candidates"]
+        for b in (6, 4, 3, 2)
+    ), {b: r["n_candidates"] for b, r in full.items()}
+    # the loose layout pays for its recall: the far pair (J ≈ 0.28)
+    # collides in at least one single-hash band but fails the verify, so
+    # (12,1) reports a candidate that is NOT a true dup
+    assert full[12]["n_candidates"] > full[12]["n_true_dups"], full[12]
+    assert full[12]["dup_precision"] < 1.0, full[12]
+    # adding (12,1) to the sweep must not move the strict four's numbers
+    keys = ("rows_per_band", "s_star", "n_candidates", "n_true_dups",
+            "dup_precision")
+    for b in (6, 4, 3, 2):
+        assert {k: full[b][k] for k in keys} == {
+            k: got[b][k] for k in keys
+        }, (b, full[b], got[b])
+    assert_matches_oracle(
+        dedup_lsh_band_tuning(spark, d, configs=_TUNING_CONFIGS_FULL),
+        con,
+        _band_tuning_oracle_sql(_TUNING_CONFIGS_FULL),
+        "dedup_lsh_band_tuning_full",
+    )
+
+    # no-collision corpus: the report must still have all four layout
     # rows — zero counts, NULL precision — on BOTH engines
     lone = [
         (i, " ".join(f"u{i}w{j} v{i}x{j % 7} y{i}z{j % 13}"
@@ -2348,7 +2383,7 @@ def test_lsh_band_tuning_layout_semantics(spark, tmp_path):
         " n_chars long"
     ).coalesce(1).write.mode("overwrite").parquet(f"{d2}/documents.parquet")
     empty = {r["bands"]: r for r in spec.builder(spark, d2).collect()}
-    assert set(empty) == {12, 6, 4, 3, 2}, empty
+    assert set(empty) == {6, 4, 3, 2}, empty
     for r in empty.values():
         assert r["n_candidates"] == 0 and r["n_true_dups"] == 0, r
         assert r["dup_precision"] is None, r
