@@ -157,7 +157,14 @@ def _shingles_df(
     multiset equals min over its set), the distinct is a pure cost. The
     Jaccard intersection counts DO need set semantics and keep the default.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    return shingles_from_docs(load_table(spark, sf_dir, "documents"), distinct)
+
+
+def shingles_from_docs(docs: DataFrame, distinct: bool = True) -> DataFrame:
+    """(doc_id, 3-word shingle) rows from an arbitrary documents frame —
+    the transform half of ``_shingles_df``, exposed so the incremental
+    artifact path can tokenize ONLY a batch slice (history is read from
+    its persisted shingle artifact, never re-tokenized)."""
     dw = docs.select("doc_id", _words().alias("w"))
     out = dw.select("doc_id", F.explode(_shingle_array()).alias("s"))
     return out.distinct() if distinct else out
@@ -296,6 +303,19 @@ def hashed_shingles(
     return sh.distinct() if distinct else sh
 
 
+def hashed_shingles_from_docs(
+    docs: DataFrame, distinct: bool = True
+) -> DataFrame:
+    """(doc_id, hb) 60-bit shingle hashes from an arbitrary documents
+    frame — identical per-doc output to ``hashed_shingles`` (same
+    tokenizer, same hash), so a batch slice hashed here unions exactly
+    with a persisted history shingle artifact."""
+    sh = shingles_from_docs(docs, distinct=False).select(
+        "doc_id", F.expr(_SHINGLE_HASH).alias("hb")
+    )
+    return sh.distinct() if distinct else sh
+
+
 def lsh_candidates(
     spark: SparkSession,
     sf_dir: str,
@@ -336,6 +356,16 @@ def lsh_candidates(
             else _shingles_df(spark, sf_dir, distinct=False)
         )
         hashed = sh.select("doc_id", F.expr(_SHINGLE_HASH).alias("hb"))
+    return pairs_from_band_rows(minhash_band_rows(hashed), max_bucket)
+
+
+def minhash_band_rows(hashed: DataFrame) -> DataFrame:
+    """(doc_id, band, bkey) LSH band rows from raw (doc_id, hb) shingle
+    hashes — the signature + band-explode half of ``lsh_candidates``,
+    extracted so the SAME definition produces the persisted band→bucket
+    history artifact AND the fresh batch rows that probe it (a fork here
+    would silently desynchronize incremental candidates from the batch
+    pipeline's)."""
     hashed = hashed.select("doc_id", (F.col("hb") % MINHASH_P).alias("hb"))
     sig = hashed.groupBy("doc_id").agg(*_minhash_min_aggs(N_HASHES))
     band_structs = F.array(
@@ -349,9 +379,17 @@ def lsh_candidates(
             for b in range(N_BANDS)
         ]
     )
-    bands = sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
+    return sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
         "doc_id", "bb.band", "bb.bkey"
     )
+
+
+def pairs_from_band_rows(
+    bands: DataFrame, max_bucket: int | None = LSH_MAX_BUCKET
+) -> DataFrame:
+    """(doc_a, doc_b, n_shared_bands) from band rows — the bucket-group +
+    pair-emission half of ``lsh_candidates`` (same quadratic guard, same
+    sorted-ids ordering), shared with the incremental artifact path."""
     buckets = (
         bands.groupBy("band", "bkey")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
@@ -1884,14 +1922,19 @@ def _incremental_exact_sql() -> str:
     )"""
 
 
-def incremental_exact_flags(docs: DataFrame) -> DataFrame:
+def incremental_exact_flags(
+    docs: DataFrame, history_digests: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, source, seen, is_canon) for every batch doc — the Spark
     twin of ``_incremental_exact_sql``, shared by
     dedup_incremental_ingest and the capstone so the exact-stage rule
     cannot fork between them. The historical corpus contributes nothing
     but its digest column: only (hash, id) ever shuffles, and at 100 TB
     the digest table is a bucketed parquet artifact the batch probes
-    with no shuffle of history."""
+    with no shuffle of history — ``history_digests`` IS that path: a
+    (h) digest frame (the persisted artifact) that replaces the
+    in-session derivation from history document rows, so history text
+    is never re-read."""
     is_b = F.col("doc_id") % INCR_MOD == 0
     # NULL text is ONE content group, same as any digest: md5(NULL) is
     # NULL in both engines and NULL equi-join keys never match, so a
@@ -1902,8 +1945,11 @@ def incremental_exact_flags(docs: DataFrame) -> DataFrame:
     # across batch AND history.
     h = F.coalesce(F.md5("text"), F.lit("null-text"))
     cdig = (
-        docs.filter(~is_b)
-        .select(h.alias("h"))
+        (
+            history_digests.select("h")
+            if history_digests is not None
+            else docs.filter(~is_b).select(h.alias("h"))
+        )
         .distinct()
         .withColumn("seen_f", F.lit(1))
     )

@@ -1707,7 +1707,6 @@ def incremental_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iceberg_explorer_spark.operators.dedup import (
         INCR_MOD,
         INCR_NEAR_TAU,
-        incremental_component_cls,
         incremental_exact_flags,
         jaccard_verify,
         shared_hashed_shingles,
@@ -1723,12 +1722,6 @@ def incremental_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     # flag table once; every later stage reads columns off it instead of
     # re-running the digest shuffle
     flags = incremental_exact_flags(docs).localCheckpoint(eager=True)
-    exact_keep = (F.col("seen") == 0) & (F.col("is_canon") == 1)
-    # the near spine is NOT separately checkpointed: it is a filter of
-    # the flags checkpoint, and incremental_component_cls materializes
-    # its own spine copy (the earlier double-checkpoint paid one
-    # redundant eager job per call)
-    surv1 = flags.filter(exact_keep).select("doc_id", "source")
     sh = shared_hashed_shingles(spark, sf_dir)
     cands = shared_lsh_candidates(spark, sf_dir, hashed=sh).select(
         "doc_a", "doc_b"
@@ -1741,6 +1734,29 @@ def incremental_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"))
         .localCheckpoint(eager=True)
     )
+    be2 = shared_semantic_edges(spark, sf_dir).filter(
+        (F.col("id_a") % INCR_MOD == 0) | (F.col("id_b") % INCR_MOD == 0)
+    ).select("id_a", "id_b")
+    emb_ids = _load_emb(spark, sf_dir).select(F.col("vec_id").alias("doc_id"))
+    return assemble_incremental_status(flags, be, be2, emb_ids)
+
+
+def assemble_incremental_status(
+    flags: DataFrame, be: DataFrame, be2: DataFrame, emb_ids: DataFrame
+) -> DataFrame:
+    """The waterfall tail shared by the in-session and persisted-artifact
+    status paths: given the exact-stage ``flags``, the batch-touching
+    verified near edges ``be (id_a, id_b)``, the batch-touching semantic
+    edges ``be2`` and the embedded-doc id frame ``emb_ids``, produce
+    (doc_id, source, stage). ONE definition — the two paths must only
+    ever differ in WHERE history comes from (recomputation vs parquet
+    artifacts), never in how stages compose."""
+    from iceberg_explorer_spark.operators.dedup import (
+        incremental_component_cls,
+    )
+
+    exact_keep = (F.col("seen") == 0) & (F.col("is_canon") == 1)
+    surv1 = flags.filter(exact_keep).select("doc_id", "source")
     # cls1 feeds TWO branches (the near drop list for the status join
     # and the stage-2 survivor spine) — one eager checkpoint of the
     # increment-sized classification, both consumers filter it
@@ -1750,13 +1766,7 @@ def incremental_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.lit(True).alias("near_drop")
     )
     surv2 = cls1.filter(~dropped).select("doc_id", "source")
-    be2 = shared_semantic_edges(spark, sf_dir).filter(
-        (F.col("id_a") % INCR_MOD == 0) | (F.col("id_b") % INCR_MOD == 0)
-    ).select("id_a", "id_b")
-    batch2 = surv2.join(
-        _load_emb(spark, sf_dir).select(F.col("vec_id").alias("doc_id")),
-        "doc_id",
-    )
+    batch2 = surv2.join(emb_ids, "doc_id")
     cls2 = incremental_component_cls(be2, batch2)
     sem_drops = cls2.filter(dropped).select(
         "doc_id", F.lit(True).alias("sem_drop")

@@ -580,13 +580,29 @@ def _bucket_pairs_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rounding is left to callers (JVM-side F.round, HALF_UP) so numpy's
     banker's rounding never touches the cross-engine contract.
     """
-    import numpy as np
-    import pandas as pd
+    return _bucket_pairs_gemm_coded(_coded_vectors(_load_emb(spark, sf_dir)))
 
-    emb = _load_emb(spark, sf_dir)
-    coded = emb.withColumn("bucket", F.expr(_srp_code_sql("embedding"))).select(
+
+def _coded_vectors(emb: DataFrame) -> DataFrame:
+    """(vec_id, e, bucket): SRP-code a valid-embedding frame — the coding
+    half of ``_bucket_pairs_gemm``, shared with the incremental artifact
+    path (the persisted SRP assignment is exactly this frame for history;
+    batch vectors are coded fresh by the SAME expression)."""
+    return emb.withColumn(
+        "bucket", F.expr(_srp_code_sql("embedding"))
+    ).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e"), "bucket"
     )
+
+
+def _bucket_pairs_gemm_coded(coded: DataFrame) -> DataFrame:
+    """The per-bucket GEMM kernel over a (vec_id, e, bucket) frame — the
+    compute half of ``_bucket_pairs_gemm``. Restricting ``coded`` to a
+    subset of buckets leaves every emitted pair's cosine bit-identical
+    (the kernel sees whole buckets), which is what lets the incremental
+    path run it over only batch-touched buckets."""
+    import numpy as np
+    import pandas as pd
 
     def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(

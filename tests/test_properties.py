@@ -3176,3 +3176,138 @@ def test_multitable_ops_adversarial_corpus(spark, tmp_path):
     for name in ops:
         spec = QUERIES[name]
         assert_matches_oracle(spec.builder(spark, d), con, spec.oracle, name)
+
+
+def test_incremental_artifact_round_trip(spark, tmp_path):
+    """The persisted-artifact witness for the incremental family's 100 TB
+    claim (history contributes ONLY its persisted artifacts; the nightly
+    job appends, never rewrites): (1) the four history artifacts —
+    digests, (doc_id, hb) shingles, band rows, SRP assignment — are
+    written to parquet; (2) with the session caches for the corpus
+    CLEARED, the full exact→near→semantic waterfall rerun reading history
+    only from those files produces row-for-row the SAME (doc_id, source,
+    stage) table as the in-session path, on a crafted corpus where every
+    stage fires (exact vs corpus + in-batch, near vs corpus + in-batch,
+    semantic, NULL-text digest group, survivor-aware keep); (3) the rows
+    appended for kept docs equal pipeline_incremental_artifact_delta's
+    per-source bill exactly (digest/shingle/band/embedding rows, with
+    signature rows = band rows / N_BANDS); (4) after the append, every
+    day-1 kept doc is claimed by the EXACT stage on a rerun — the
+    append is what makes re-ingesting the same batch idempotent."""
+    import numpy as np
+
+    from iceberg_explorer_spark.operators import QUERIES
+    from iceberg_explorer_spark.operators.dedup import (
+        N_BANDS,
+        invalidate_shared_candidates,
+    )
+    from iceberg_explorer_spark.operators.incremental_artifacts import (
+        append_incremental_artifacts,
+        incremental_status_from_artifacts,
+        write_incremental_artifacts,
+    )
+    from iceberg_explorer_spark.operators.pipeline import incremental_status
+    from iceberg_explorer_spark.operators.similarity import DIM
+
+    t_a = " ".join(f"alpha{i} beta{i % 5} gamma{i % 11}" for i in range(40))
+    t_b = " ".join(f"delta{i} epsilon{i % 7} zeta{i % 13}" for i in range(40))
+    t_c = " ".join(f"eta{i} theta{i % 3} iota{i % 17}" for i in range(20))
+
+    def swap2(text, i, j, tag):
+        w = text.split(" ")
+        w[i], w[j] = f"CHANGED{tag}0", f"CHANGED{tag}1"
+        return " ".join(w)
+
+    t_c_near = swap2(t_c, 10, 34, "a")           # J = 0.8125 vs t_c
+    t_d = " ".join(f"kappa{i} lambda{i % 9} mu{i % 4}" for i in range(20))
+    t_d_near = swap2(t_d, 12, 40, "b")
+    t_e = " ".join(f"nu{i} xi{i % 6} omicron{i % 13}" for i in range(40))
+    t_f = " ".join(f"pi{i} rho{i % 5} sigma{i % 11}" for i in range(40))
+    t_g = " ".join(f"tau{i} upsilon{i % 7} phi{i % 13}" for i in range(40))
+    t_h = " ".join(f"chi{i} psi{i % 3} omega{i % 17}" for i in range(40))
+    docs = [
+        (3, t_a, "web"), (5, t_c, "web"),        # history
+        (10, t_a, "s1"),                          # exact vs corpus
+        (20, t_b, "s2"), (30, t_b, "s2"),        # exact in-batch
+        (40, t_c_near, "s3"),                     # near vs corpus (doc 5)
+        (50, t_d, "s4"), (60, t_d_near, "s4"),   # near in-batch
+        (70, t_e, "s5"), (80, t_f, "s5"),        # semantic pair
+        (90, t_g, "s6"),                          # novel
+        (100, t_a, "s7"), (110, t_h, "s7"),      # survivor-aware keep
+        (120, None, "s9"), (130, None, "s9"),    # NULL-text digest group
+    ]
+    rng = np.random.default_rng(23)
+
+    def _unit():
+        v = rng.normal(size=DIM)
+        return [float(x) for x in v / np.linalg.norm(v)]
+
+    v1, v2, v3 = _unit(), _unit(), _unit()
+    emb = [(70, v1), (80, v1), (100, v2), (110, v2), (90, v3)]
+    d = str(tmp_path / "roundtrip")
+    spark.createDataFrame(
+        [(i, t, "en", s, len(t) if t else 0) for i, t, s in docs],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    spark.createDataFrame(
+        [(i, v, 0) for i, v in emb],
+        "vec_id long, embedding array<float>, label int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+
+    # (1) backfill the history artifacts
+    art = str(tmp_path / "artifacts")
+    counts = write_incremental_artifacts(spark, d, art)
+    assert counts["digests"] == 2          # t_a, t_c
+    assert counts["bands"] == 2 * N_BANDS  # one signature per history doc
+    assert counts["srp"] == 0              # no history vectors here
+    assert counts["shingles"] > 0
+
+    # the in-session reference BEFORE clearing anything
+    in_session = sorted(
+        tuple(r) for r in incremental_status(spark, d).collect()
+    )
+    kept_day1 = {r[0] for r in in_session if r[2] == "kept"}
+    assert kept_day1  # the corpus is built so several docs survive
+    delta = {
+        r["source"]: r
+        for r in QUERIES["pipeline_incremental_artifact_delta"]
+        .builder(spark, d)
+        .collect()
+    }
+
+    # (2) fresh start: drop every session-shared materialization for the
+    # corpus, then rerun the waterfall with history read ONLY from files
+    invalidate_shared_candidates(d)
+    from_files = sorted(
+        tuple(r)
+        for r in incremental_status_from_artifacts(spark, d, art).collect()
+    )
+    assert from_files == in_session
+
+    # (3) the append bill equals the delta report, count for count
+    status = incremental_status_from_artifacts(spark, d, art)
+    appended = append_incremental_artifacts(spark, d, art, status)
+    assert appended["digests"] == sum(
+        r["n_docs_appended"] for r in delta.values()
+    )
+    assert appended["shingles"] == sum(
+        r["n_shingle_rows"] for r in delta.values()
+    )
+    assert appended["bands"] == sum(r["n_band_rows"] for r in delta.values())
+    assert appended["bands"] == N_BANDS * sum(
+        r["n_signature_rows"] for r in delta.values()
+    )
+    assert appended["srp"] == sum(
+        r["n_embedding_rows"] for r in delta.values()
+    )
+
+    # (4) idempotence for kept docs: with their rows appended, a rerun of
+    # the same batch claims every day-1 keeper at the EXACT stage
+    day2 = {
+        r["doc_id"]: r["stage"]
+        for r in incremental_status_from_artifacts(spark, d, art).collect()
+    }
+    assert all(day2[doc_id] == "exact" for doc_id in kept_day1), {
+        k: v for k, v in day2.items() if k in kept_day1
+    }
