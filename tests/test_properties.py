@@ -3311,3 +3311,81 @@ def test_incremental_artifact_round_trip(spark, tmp_path):
     assert all(day2[doc_id] == "exact" for doc_id in kept_day1), {
         k: v for k, v in day2.items() if k in kept_day1
     }
+
+
+def test_clean_corpus_v2_near_stage_lost_last_copy_contract(spark, tmp_path):
+    """Pins the v2 flagship's DISCLOSED near-stage semantics as contract
+    (pipeline_clean_corpus_v2 doc: the near stage keeps v1's
+    unconditional doc_b drop, so — unlike the survivor-aware semantic
+    and paired stages — a near pair whose doc_a fell at an earlier stage
+    loses its LAST copy). Crafted: doc 1 has 19 words (quality-fail,
+    MIN_WORDS = 20) and doc 2 is doc 1's text plus two filler words
+    (quality-ok, LSH candidate of doc 1, shingle Jaccard ≈ 0.89): doc 1
+    drops 'quality', doc 2 drops 'near' as the pair's doc_b, and the
+    group keeps ZERO copies — its content is absent from the keep list.
+    The CONTROL group is the same shape with a quality-OK min: exactly
+    one copy survives. Oracle-checked, so the behavior is the CONTRACT
+    of both engines, not a Spark accident. Measured at sf0.1 this mode
+    loses zero docs (every near component's min survives quality+exact
+    there — SCALE.md round-11); this pin is what the number refers to,
+    and the starting point for a survivor-aware near variant if a real
+    corpus measures the loss material."""
+    import duckdb
+
+    from iceberg_explorer_spark.operators import QUERIES
+    from tests.conftest import assert_matches_oracle
+
+    t19 = " ".join(f"lost{i} copy{i % 5}" for i in range(9)) + " endword"
+    assert len(t19.split()) == 19
+    t21 = t19 + " filler0 filler1"
+    u21 = " ".join(f"ctrl{i} word{i % 7}" for i in range(10)) + " tailword"
+    assert len(u21.split()) == 21
+    u23 = u21 + " filler2 filler3"
+    rows = [
+        (1, t19, "en", "lost", len(t19)),    # quality-fail group min
+        (2, t21, "en", "lost", len(t21)),    # near doc_b -> group loses all
+        (11, u21, "en", "ctrl", len(u21)),   # quality-OK group min: kept
+        (12, u23, "en", "ctrl", len(u23)),   # near doc_b
+    ]
+    d = str(tmp_path / "lostcopy")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+
+    # precondition: the crafted pairs really are LSH candidates (else the
+    # test would pass vacuously with doc 2/12 kept)
+    from iceberg_explorer_spark.operators.dedup import (
+        invalidate_shared_candidates,
+        shared_lsh_candidates,
+    )
+
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in shared_lsh_candidates(spark, d).collect()
+    }
+    assert (1, 2) in pairs and (11, 12) in pairs, pairs
+
+    spec = QUERIES["pipeline_clean_corpus_v2"]
+    got = {r["source"]: r for r in spec.builder(spark, d).collect()}
+    lost = got["lost"]
+    assert lost["n_docs"] == 2
+    assert lost["n_drop_quality"] == 1      # doc 1
+    assert lost["n_drop_near"] == 1         # doc 2 — unconditional doc_b
+    assert lost["n_kept"] == 0              # the group lost its LAST copy
+    ctrl = got["ctrl"]
+    assert ctrl["n_drop_near"] == 1         # doc 12
+    assert ctrl["n_kept"] == 1              # doc 11 — the boundary case
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{d}/{t}.parquet/*.parquet')"
+        )
+    assert_matches_oracle(
+        spec.builder(spark, d), con, spec.oracle, "pipeline_clean_corpus_v2"
+    )
+    invalidate_shared_candidates(d)
