@@ -662,7 +662,7 @@ def _shared_candidates(
     kind: str,
     build,
     cleanup=None,
-    table: str = "documents",
+    table: str | tuple[str, ...] = "documents",
 ) -> DataFrame:
     """Keyed check-then-build for session-shared candidate checkpoints.
 
@@ -693,12 +693,27 @@ def _shared_candidates(
     session-shared ``shared_hashed_shingles`` checkpoint — do NOT
     re-introduce a build-scoped shingle persist on that path) and must
     release it once the checkpoint holds the result.
+
+    ``table`` may be a TUPLE for kinds whose build reads more than one
+    input table (the incremental status waterfall fingerprints
+    documents AND embeddings): the key's table slot becomes the joined
+    name and the fingerprint the concatenation of per-table
+    fingerprints, so a rewrite of EITHER input re-materializes. The
+    staleness-eviction scoping below is unchanged — a multi-table kind's
+    composite table name never collides with a single-table kind's, so
+    neither can evict the other's live entries (the r8 cross-table
+    eviction lesson).
     """
+    tables = (table,) if isinstance(table, str) else tuple(table)
+
+    def _fp() -> str:
+        return "|".join(_corpus_fingerprint(sf_dir, table=t) for t in tables)
+
     key = (
         spark.sparkContext.applicationId,
         sf_dir,
-        table,
-        _corpus_fingerprint(sf_dir, table=table),
+        "+".join(tables),
+        _fp(),
         kind,
     )
     while True:
@@ -736,7 +751,7 @@ def _shared_candidates(
             # cache: a stale-fingerprint insert would be unreachable
             # dead weight AND its staleness eviction would evict the
             # live post-rewrite entry another thread just built.
-            fresh = _corpus_fingerprint(sf_dir, table=table) == key[3]
+            fresh = _fp() == key[3]
             with _SHARED_CANDIDATES_LOCK:
                 if _SHARED_CANDIDATES_GEN != gen_at_start or not fresh:
                     return df

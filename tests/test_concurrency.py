@@ -161,6 +161,78 @@ def test_shared_candidates_rewrite_invalidates(spark, tmp_path):
     dedup.invalidate_shared_candidates(d)
 
 
+def test_multi_table_kind_fingerprints_both_inputs(spark, tmp_path):
+    """shared_incremental_status is the first MULTI-TABLE cache kind: the
+    waterfall reads documents AND embeddings, so (1) a repeat call is a
+    cache hit (same frame object); (2) rewriting EMBEDDINGS alone
+    re-materializes, and the fresh frame reflects the new vectors (the
+    semantic stage flips); (3) rewriting DOCUMENTS alone re-materializes
+    too; (4) a multi-table rebuild never evicts a live single-table
+    entry (the composite table-name slot keeps the staleness-eviction
+    scoping disjoint — the r8 cross-table eviction lesson)."""
+    import numpy as np
+
+    from iceberg_explorer_spark.operators import dedup
+    from iceberg_explorer_spark.operators.pipeline import (
+        shared_incremental_status,
+    )
+    from iceberg_explorer_spark.operators.similarity import DIM
+
+    d = str(tmp_path / "mt")
+    t1 = " ".join(f"alpha{i} beta{i % 5}" for i in range(20))
+    t2 = " ".join(f"gamma{i} delta{i % 7}" for i in range(20))
+    docs = [(9, t1, "web"), (10, t2, "s1"), (20, t1, "s2")]
+    spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for i, t, s in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    rng = np.random.default_rng(7)
+
+    def _unit():
+        v = rng.normal(size=DIM)
+        return [float(x) for x in v / np.linalg.norm(v)]
+
+    va, vb = _unit(), _unit()
+
+    def _write_emb(vec10):
+        spark.createDataFrame(
+            [(9, va, 0), (10, vec10, 0)],
+            "vec_id long, embedding array<float>, label int",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{d}/embeddings.parquet"
+        )
+
+    _write_emb(vb)  # doc 10's vector is novel
+    first = shared_incremental_status(spark, d)
+    stages = {r["doc_id"]: r["stage"] for r in first.collect()}
+    assert stages == {10: "kept", 20: "exact"}, stages
+    assert shared_incremental_status(spark, d) is first  # (1) cache hit
+    lsh = dedup.shared_lsh_candidates(spark, d)
+
+    # (2) embeddings-only rewrite: doc 10 now shares history doc 9's
+    # vector -> the semantic stage claims it
+    _write_emb(va)
+    second = shared_incremental_status(spark, d)
+    assert second is not first
+    stages2 = {r["doc_id"]: r["stage"] for r in second.collect()}
+    assert stages2 == {10: "semantic", 20: "exact"}, stages2
+    # (4) the documents-keyed LSH entry survived the multi-table rebuild
+    assert dedup.shared_lsh_candidates(spark, d) is lsh
+
+    # (3) documents-only rewrite: doc 10's text becomes an exact copy of
+    # history doc 9's -> first-claim moves to the exact stage
+    spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for i, t, s in
+         [(9, t1, "web"), (10, t1, "s1"), (20, t1, "s2")]],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    third = shared_incremental_status(spark, d)
+    assert third is not second
+    stages3 = {r["doc_id"]: r["stage"] for r in third.collect()}
+    assert stages3 == {10: "exact", 20: "exact"}, stages3
+    dedup.invalidate_shared_candidates(d)
+
+
 def test_build_cleanup_runs_after_materialization_and_on_failure(spark):
     """The cache's ``cleanup`` hook (used by the probe builder to release
     its interim persisted shingle scan) must run exactly once after the
