@@ -423,23 +423,36 @@ def main() -> None:
             )
 
             invalidate_shared_candidates(SF_DIR)  # clears ALL kinds
-            t0 = time.perf_counter()
-            shared_lsh_candidates(spark, SF_DIR)  # eager localCheckpoint
-            candidate_build = round(time.perf_counter() - t0, 3)
-            t0 = time.perf_counter()
-            shared_probe_candidates(spark, SF_DIR)
-            probe_build = round(time.perf_counter() - t0, 3)
-            t0 = time.perf_counter()
-            # edges + the O(diameter)-round cluster labels, both cached
-            shared_semantic_labels(spark, SF_DIR)
-            semantic_build = round(time.perf_counter() - t0, 3)
-            t0 = time.perf_counter()
-            # the incremental-status waterfall (consumes the warm lsh +
-            # semantic artifacts above; its marginal cost is the exact
-            # flags + batch-touching verify + classification tail)
-            shared_incremental_status(spark, SF_DIR)
-            status_build = round(time.perf_counter() - t0, 3)
-        except Exception as exc:  # noqa: BLE001 — never abort the bench
+            builds = [
+                # (error/timing key, builder); later builds consume the
+                # earlier warm artifacts, so order matters
+                ("candidate_build", shared_lsh_candidates),
+                ("probe_build", shared_probe_candidates),
+                # edges + the O(diameter)-round cluster labels, cached
+                ("semantic_build", shared_semantic_labels),
+                # the incremental-status waterfall (warm lsh + semantic
+                # above; marginal cost = exact flags + batch-touching
+                # verify + classification tail)
+                ("status_build", shared_incremental_status),
+            ]
+            timings_by_key: dict[str, float] = {}
+            for err_key, builder_fn in builds:
+                # per-build error keys: a status-waterfall failure must
+                # never be recorded as a candidate-build failure (the
+                # driver-visible record steers round-over-round diagnosis)
+                try:
+                    t0 = time.perf_counter()
+                    builder_fn(spark, SF_DIR)
+                    timings_by_key[err_key] = round(
+                        time.perf_counter() - t0, 3
+                    )
+                except Exception as exc:  # noqa: BLE001 — never abort
+                    errors[err_key] = f"{type(exc).__name__}: {exc}"[:500]
+            candidate_build = timings_by_key.get("candidate_build")
+            probe_build = timings_by_key.get("probe_build")
+            semantic_build = timings_by_key.get("semantic_build")
+            status_build = timings_by_key.get("status_build")
+        except Exception as exc:  # noqa: BLE001 — the import guard
             errors["candidate_build"] = f"{type(exc).__name__}: {exc}"[:500]
 
         # measure load context immediately before the timed loop, when it

@@ -297,10 +297,9 @@ def hashed_shingles(
     """(doc_id, hb) rows: the 60-bit hash of each (optionally distinct)
     shingle. Distinct over the hash, never the string — the shuffle carries
     16 bytes/row however long the shingles are."""
-    sh = _shingles_df(spark, sf_dir, distinct=False).select(
-        "doc_id", F.expr(_SHINGLE_HASH).alias("hb")
+    return hashed_shingles_from_docs(
+        load_table(spark, sf_dir, "documents"), distinct
     )
-    return sh.distinct() if distinct else sh
 
 
 def hashed_shingles_from_docs(

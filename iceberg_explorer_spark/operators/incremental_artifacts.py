@@ -38,6 +38,20 @@ approximate):
   bit-identical, and every batch-touching pair lives in a batch-touched
   bucket.
 
+Post-append scope: re-ingesting the SAME batch after
+:func:`append_incremental_artifacts` is well-defined for the KEPT docs
+(their digests are now history, so the exact stage claims them —
+idempotence, pinned by the round-trip test) and the unions above stay
+one-row-per-fact via distinct (batch and artifact rows for an appended
+doc are bit-identical by the shared definitions). Day-2 classification
+of docs that were DROPPED on day 1 inherits the synthetic
+doc_id-parity batch convention's limits: the component classifier
+decides "corpus contact" by id parity, so an appended (batch-parity)
+doc never taints its neighbors as corpus content. Production replaces
+the parity selector with partition membership and decides corpus
+contact by artifact membership, which this fixture convention cannot
+express — same caveat the incremental operators themselves carry.
+
 reference: no analogue — training-pipeline extension surface; the
 discipline demand is this repo's own (SCALE.md round-11).
 """
@@ -162,12 +176,24 @@ def incremental_status_from_artifacts(
     # LSH_MAX_BUCKET cap and the emitted pairs match the full-corpus run
     # wherever a batch doc is involved (module docstring)
     bkeys = bands_batch.select("band", "bkey").distinct()
-    touched_bands = _read("bands").join(
-        bkeys, ["band", "bkey"], "left_semi"
-    ).unionByName(bands_batch)
+    # .distinct() on both unions: after append_incremental_artifacts has
+    # run, the artifact files CONTAIN the kept batch docs' rows, so a
+    # re-ingest of the same batch would otherwise see those rows TWICE —
+    # double-sized shingle sets dilute every verified Jaccard against an
+    # appended doc, duplicate band rows emit self-pairs and push buckets
+    # over the LSH_MAX_BUCKET cap (silently dropping real candidates).
+    # Batch and artifact rows for the same doc are bit-identical by the
+    # shared definitions, so distinct restores exactly the
+    # one-row-per-fact tables every downstream stage documents.
+    touched_bands = (
+        _read("bands")
+        .join(bkeys, ["band", "bkey"], "left_semi")
+        .unionByName(bands_batch)
+        .distinct()
+    )
     cands = pairs_from_band_rows(touched_bands).select("doc_a", "doc_b")
     bc = cands.filter(_batch_filter("doc_a") | _batch_filter("doc_b"))
-    sh_union = _read("shingles").unionByName(sh_batch)
+    sh_union = _read("shingles").unionByName(sh_batch).distinct()
     be = (
         jaccard_verify(bc, sh_union, threshold=INCR_NEAR_TAU)
         .select(F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"))
@@ -179,9 +205,16 @@ def incremental_status_from_artifacts(
     # buckets so every pair's cosine is bit-identical to the corpus run
     emb_batch = _load_emb(spark, sf_dir).filter(_batch_filter("vec_id"))
     coded_batch = _coded_vectors(emb_batch)
-    touched_srp = _read("srp").join(
-        coded_batch.select("bucket").distinct(), "bucket", "left_semi"
-    ).unionByName(coded_batch)
+    # dropDuplicates on vec_id for the same post-append reason as the
+    # near-stage unions (vec_id determines the vector and its bucket, so
+    # one row per id is the whole fact); a duplicated id inside a GEMM
+    # bucket would otherwise emit a cos=1.0 self-edge per re-ingest
+    touched_srp = (
+        _read("srp")
+        .join(coded_batch.select("bucket").distinct(), "bucket", "left_semi")
+        .unionByName(coded_batch)
+        .dropDuplicates(["vec_id"])
+    )
     be2 = (
         _bucket_pairs_gemm_coded(touched_srp)
         .select(
@@ -192,6 +225,11 @@ def incremental_status_from_artifacts(
         .filter(F.col("cos_sim") >= NEAR_DUP_TAU)
         .filter(_batch_filter("id_a") | _batch_filter("id_b"))
         .select("id_a", "id_b")
+        # the CC loop inside the classification tail consumes the edge
+        # frame once per propagation round — materialize it, or every
+        # round re-runs the per-bucket GEMM and the parquet reads (the
+        # in-session twin reads the session-checkpointed semantic edges)
+        .localCheckpoint(eager=True)
     )
     emb_ids = emb_batch.select(F.col("vec_id").alias("doc_id"))
     return assemble_incremental_status(flags, be, be2, emb_ids)
