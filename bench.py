@@ -157,6 +157,7 @@ EXTENDED = [
     "dedup_incremental_semantic",  # daily-batch semantic dedup vs corpus artifacts
     "pipeline_incremental_ingest",  # capstone: three-stage incremental waterfall
     "pipeline_incremental_artifact_delta",  # write side: artifact append bill
+    "dedup_incremental_paired",   # fourth sibling: cross-modal pair keys (r11)
 ]
 
 #: HEADLINE GRADUATION POLICY (a logged trend reset, never a silent one).

@@ -270,6 +270,15 @@ against exact answers).
   flagship keeps slot 1, never displaced. Displaced multi-green
   queries remain covered every round by tests/test_differential.py;
   the 3 sketch ops stay out by design.
+  Round 11 also adds dedup_incremental_paired (the FOURTH incremental
+  sibling: LAION-shape (ahash, caption_fp) pair keys classified
+  against the corpus's persisted pair-key history — completes the
+  family across the same four dedup modalities the v2 flagship
+  composes; exact-match rule shared with the digest sibling via
+  incremental_seen_canon_flags). It registers OUT-of-window with
+  oracle + plan pin (single decode kernel via checkpoint) + 3x point
+  + crafted classification test per the standing checklist, joins
+  bench EXTENDED, and is the r12 rotation's first priority.
 """
 
 from iceberg_explorer_spark.operators.registry import QUERIES, QuerySpec, query  # noqa: F401

@@ -1958,20 +1958,46 @@ def incremental_exact_flags(
     # The sentinel makes NULL-content grouping explicit and consistent
     # across batch AND history.
     h = F.coalesce(F.md5("text"), F.lit("null-text"))
-    cdig = (
+    return incremental_seen_canon_flags(
+        docs.select("doc_id", "source", h.alias("h")),
+        ["h"],
+        history_keys=(
+            history_digests.select("h") if history_digests is not None else None
+        ),
+    )
+
+
+def incremental_seen_canon_flags(
+    rows: DataFrame,
+    key_cols: list[str],
+    history_keys: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_id, source, seen, is_canon) for the batch rows of a keyed
+    (doc_id, source, *key_cols) frame — the exact-match incremental rule
+    abstracted over its key: ``seen`` = the key already exists in
+    history (derived from the frame's non-batch rows, or probed against
+    the ``history_keys`` artifact when given); ``is_canon`` = the
+    min-doc_id holder of its key within the batch. One definition serves
+    the content-digest instance (``incremental_exact_flags``) and the
+    cross-modal pair-key instance (``dedup_incremental_paired``) — key
+    columns must never be NULL (NULL equi-join keys silently drop rows;
+    the digest instance guarantees this with its sentinel, the pair-key
+    instance by construction of ahash/caption_fp)."""
+    is_b = F.col("doc_id") % INCR_MOD == 0
+    hist = (
         (
-            history_digests.select("h")
-            if history_digests is not None
-            else docs.filter(~is_b).select(h.alias("h"))
+            history_keys
+            if history_keys is not None
+            else rows.filter(~is_b).select(*key_cols)
         )
         .distinct()
         .withColumn("seen_f", F.lit(1))
     )
-    bdig = docs.filter(is_b).select("doc_id", "source", h.alias("h"))
-    bmin = bdig.groupBy("h").agg(F.min("doc_id").alias("k"))
+    b = rows.filter(is_b).select("doc_id", "source", *key_cols)
+    bmin = b.groupBy(*key_cols).agg(F.min("doc_id").alias("k"))
     return (
-        bdig.join(bmin, "h")
-        .join(cdig, "h", "left")
+        b.join(bmin, key_cols)
+        .join(hist, key_cols, "left")
         .select(
             "doc_id",
             "source",

@@ -1003,3 +1003,111 @@ def multimodal_paired_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_pairs") > 1)
     )
+
+
+def _incremental_paired_sql() -> str:
+    """Oracle CTE chain for the pair-key incremental classification —
+    ``pflags(doc_id, source, seen, is_canon)`` over the shared
+    ``_ahash_sql``/``_caption_fp_sql`` key fragments, the exact-match
+    rule of ``_incremental_exact_sql`` instantiated on the cross-modal
+    key (the single-source discipline: the batch/min/history structure
+    must stay identical across the family's exact-match members)."""
+    from iceberg_explorer_spark.operators.dedup import INCR_MOD
+
+    return f"""a AS (
+      SELECT doc_id, source,
+             regexp_replace(text, '{_ASCII_ONLY_RE}', '', 'g') AS t
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id, source, {_ahash_sql()} AS ahash
+      FROM a WHERE length(t) >= {_RZ_PIX}
+    ),
+    fp AS ({_caption_fp_sql()}),
+    pkeys AS MATERIALIZED (
+      SELECT h.doc_id, h.source, h.ahash, fp.caption_fp
+      FROM h JOIN fp ON h.doc_id = fp.doc_id
+    ),
+    phist AS (
+      SELECT DISTINCT ahash, caption_fp FROM pkeys
+      WHERE doc_id % {INCR_MOD} <> 0
+    ),
+    pb AS MATERIALIZED (
+      SELECT * FROM pkeys WHERE doc_id % {INCR_MOD} = 0
+    ),
+    pmin AS (
+      SELECT ahash, caption_fp, MIN(doc_id) AS k FROM pb
+      GROUP BY ahash, caption_fp
+    ),
+    pflags AS (
+      SELECT b.doc_id, b.source,
+             CASE WHEN c.ahash IS NOT NULL THEN 1 ELSE 0 END AS seen,
+             CASE WHEN b.doc_id = m.k THEN 1 ELSE 0 END AS is_canon
+      FROM pb b
+      JOIN pmin m ON m.ahash = b.ahash AND m.caption_fp = b.caption_fp
+      LEFT JOIN phist c
+        ON c.ahash = b.ahash AND c.caption_fp = b.caption_fp
+    )"""
+
+
+@query(
+    "dedup_incremental_paired",
+    oracle=f"""
+    WITH {_incremental_paired_sql()}
+    SELECT source,
+           COUNT(*) AS n_batch,
+           COUNT(*) FILTER (WHERE seen = 1) AS n_pairdup_vs_corpus,
+           COUNT(*) FILTER (WHERE seen = 0 AND is_canon = 0)
+             AS n_pairdup_in_batch,
+           COUNT(*) FILTER (WHERE seen = 0 AND is_canon = 1)
+             AS n_novel_kept
+    FROM pflags GROUP BY source
+    """,
+    doc="Incremental cross-modal pair dedup — the FOURTH sibling of the "
+    "incremental-ingest family (exact digests, lexical near, semantic "
+    "cosine, and now LAION-shape (image aHash, caption fingerprint) "
+    "pairs), completing the family across the same four dedup "
+    "modalities pipeline_clean_corpus_v2 composes for the backfill. "
+    "Today's batch (doc_id % INCR_MOD = 0 plays the increment) is "
+    "classified against the corpus's persisted pair-key artifact: "
+    "pairdup-vs-corpus (the (ahash, caption_fp) key already exists in "
+    "history), pairdup-in-batch (new key, not the min-doc_id holder "
+    "within the batch), novel-kept. The domain is docs that EMIT a pair "
+    "key (decodable payload + >= 8-char caption — the same inner-join "
+    "rule as multimodal_paired_dedup; a text-only doc is outside "
+    "n_batch, exactly as an unembedded doc is outside the semantic "
+    "sibling's). Pair-key equality is transitive, so the classification "
+    "is the shared exact-match rule (incremental_seen_canon_flags — ONE "
+    "definition with the digest instance), not the component machinery "
+    "the near/semantic siblings need. At 100 TB the history side is the "
+    "(ahash, caption_fp) table the nightly append already maintains "
+    "(pipeline_incremental_artifact_delta's multimodal analogue): batch "
+    "keys probe it bucketed by key with no shuffle of history, image "
+    "bytes never leave the batch's decode stage, and per-ingest work is "
+    "O(batch decode + key probe). reference: no analogue — "
+    "training-pipeline extension.",
+)
+def dedup_incremental_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_explorer_spark.operators.dedup import (
+        incremental_seen_canon_flags,
+    )
+
+    docs = repartition_for_compute(load_table(spark, sf_dir, "documents"))
+    # the key frame feeds THREE plan branches inside the flags helper
+    # (history keys, batch rows, batch key-min) — without this eager
+    # checkpoint the aHash decode kernel runs once PER BRANCH (measured:
+    # MapInPandas x3 in the plan; the clean-manifest lesson). The
+    # digest-sized (doc_id, source, ahash, caption_fp) table is exactly
+    # the pair-key artifact a production nightly maintains anyway.
+    keys = paired_pair_keys(docs).localCheckpoint(eager=True)
+    flags = incremental_seen_canon_flags(keys, ["ahash", "caption_fp"])
+    return flags.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_batch"),
+        F.count(F.when(F.col("seen") == 1, 1)).alias("n_pairdup_vs_corpus"),
+        F.count(
+            F.when((F.col("seen") == 0) & (F.col("is_canon") == 0), 1)
+        ).alias("n_pairdup_in_batch"),
+        F.count(
+            F.when((F.col("seen") == 0) & (F.col("is_canon") == 1), 1)
+        ).alias("n_novel_kept"),
+    )

@@ -101,6 +101,8 @@ OP_TABLE = {
     # carry no embeddings, exactly like a production corpus slice whose
     # embedding run hasn't caught up
     "pipeline_clean_corpus_v2": "documents",
+    # round-11 addition (fourth incremental sibling: cross-modal pair keys)
+    "dedup_incremental_paired": "documents",
 }
 
 

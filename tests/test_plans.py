@@ -1008,6 +1008,24 @@ def test_paired_dedup_one_python_kernel_digest_shuffle(spark):
     assert pi.broadcast_hint_count(df) == 0
 
 
+def test_incremental_paired_one_kernel_key_only_joins(spark):
+    """dedup_incremental_paired classifies the batch against the
+    history pair-key set with the aHash decode kernel run exactly ONCE:
+    the key frame feeds three plan branches (history keys, batch rows,
+    batch key-min), so it is consumed as a materialized checkpoint
+    (Scan ExistingRDD — zero MapInPandas in the visible plan; without
+    it the kernel ran once per branch), no row-at-a-time Python, and
+    nothing hint-forced to broadcast (the history key table grows with
+    the corpus; at 100 TB it is the persisted artifact the batch
+    probes — AQE picks the strategy from measured sizes)."""
+    df = build(spark, "dedup_incremental_paired")
+    plan = pi.physical_plan(df)
+    assert plan.count("MapInPandas") == 0
+    assert "Scan ExistingRDD" in plan
+    assert "BatchEvalPython" not in plan
+    assert pi.broadcast_hint_count(df) == 0
+
+
 def test_lsh_band_tuning_one_signature_one_verify(spark):
     """dedup_lsh_band_tuning sweeps the registered band layouts from ONE
     signature pass and verifies the distinct union ONCE: the plan carries

@@ -3389,3 +3389,86 @@ def test_clean_corpus_v2_near_stage_lost_last_copy_contract(spark, tmp_path):
         spec.builder(spark, d), con, spec.oracle, "pipeline_clean_corpus_v2"
     )
     invalidate_shared_candidates(d)
+
+
+def test_incremental_paired_classification(spark, tmp_path):
+    """dedup_incremental_paired's distinguishing claims on a crafted
+    corpus (doc_id % 10 == 0 plays the batch): (1) DOMAIN — a batch doc
+    without a pair key (payload under the decode minimum, or NULL text)
+    is outside n_batch entirely, same rule as the semantic sibling's
+    unembedded docs; (2) a batch doc whose (ahash, caption_fp) key
+    already exists in history is pairdup-vs-corpus; (3) two batch docs
+    sharing a new key keep only the min doc_id (pairdup-in-batch);
+    (4) the LAION distinguishing rule — SAME image, NEW caption
+    survives: interleaving a non-ASCII char every few characters leaves
+    the ascii-stripped image bytes (and so the aHash) IDENTICAL to a
+    history doc's while replacing every raw caption 8-gram, and the doc
+    classifies novel-kept (asserted against a precondition check of the
+    keys, so the claim cannot pass vacuously). Oracle-checked on the
+    same corpus."""
+    import duckdb
+
+    from iceberg_explorer_spark.operators import QUERIES
+    from iceberg_explorer_spark.operators.multimodal import paired_pair_keys
+    from iceberg_explorer_spark.sources.registry import load_table
+    from tests.conftest import assert_matches_oracle
+
+    t = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    u = "kilo lima mike november oscar papa quebec romeo sierra tango"
+    assert len(t) >= 48 and len(u) >= 48
+    # same ascii bytes as t (so same fake-image aHash), every raw 8-gram
+    # changed: a middle dot every 6 chars keeps no 8-char window clean
+    t_recap = "·".join(t[i: i + 6] for i in range(0, len(t), 6))
+    rows = [
+        (7, t, "web", len(t)),           # history pair key
+        (10, t, "s1", len(t)),           # batch: key seen -> vs_corpus
+        (20, u, "s2", len(u)),           # batch: new key, min -> novel
+        (30, u, "s2", len(u)),           # batch: same key -> in_batch
+        (40, t_recap, "s3", len(t_recap)),  # same image, new caption
+        (50, "tiny text", "s4", 9),      # no payload -> outside domain
+        (60, None, "s4", 0),             # NULL text -> outside domain
+    ]
+    d = str(tmp_path / "incrpaired")
+    spark.createDataFrame(
+        [(i, txt, "en", s, n) for i, txt, s, n in rows],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    # precondition: doc 40 really is the same-image/new-caption case
+    keys = {
+        r["doc_id"]: (r["ahash"], r["caption_fp"])
+        for r in paired_pair_keys(
+            load_table(spark, d, "documents")
+        ).collect()
+    }
+    assert set(keys) == {7, 10, 20, 30, 40}  # 50/60 emit no key
+    assert keys[40][0] == keys[7][0]         # same aHash
+    assert keys[40][1] != keys[7][1]         # every caption gram changed
+
+    spec = QUERIES["dedup_incremental_paired"]
+    got = {r["source"]: r for r in spec.builder(spark, d).collect()}
+    assert set(got) == {"s1", "s2", "s3"}, got  # s4 outside the domain
+    assert got["s1"]["n_batch"] == 1
+    assert got["s1"]["n_pairdup_vs_corpus"] == 1
+    assert got["s2"]["n_batch"] == 2
+    assert got["s2"]["n_novel_kept"] == 1       # doc 20 (key min)
+    assert got["s2"]["n_pairdup_in_batch"] == 1  # doc 30
+    assert got["s3"]["n_batch"] == 1
+    assert got["s3"]["n_novel_kept"] == 1       # re-captioned image lives
+    for r in got.values():
+        assert (
+            r["n_pairdup_vs_corpus"]
+            + r["n_pairdup_in_batch"]
+            + r["n_novel_kept"]
+            == r["n_batch"]
+        ), r
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    assert_matches_oracle(
+        spec.builder(spark, d), con, spec.oracle, "dedup_incremental_paired"
+    )
