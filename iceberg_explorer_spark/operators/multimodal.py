@@ -913,6 +913,34 @@ def _caption_fp_sql() -> str:
       GROUP BY doc_id"""
 
 
+def _pair_keys_sql() -> str:
+    """Oracle fragment: the cross-modal pair-key DOMAIN — ascii-strip,
+    decode-minimum gate, caption fingerprint, inner join — ending in
+    ``pkeys(doc_id, source, ahash, caption_fp)``. THE single SQL source
+    for the domain rule shared by multimodal_paired_dedup,
+    dedup_incremental_paired and pipeline_clean_corpus_v2's paired
+    stage: a divergent copy in one oracle would silently split the
+    pair-key domain the three operators must share (same discipline as
+    ``_ahash_sql``/``_caption_fp_sql``, which this composes).
+    MATERIALIZED: two of the three consumers reference pkeys from more
+    than one CTE, and DuckDB re-inlines non-materialized CTEs per
+    reference site."""
+    return f"""pa AS (
+      SELECT doc_id, source,
+             regexp_replace(text, '{_ASCII_ONLY_RE}', '', 'g') AS t
+      FROM documents
+    ),
+    ph AS (
+      SELECT doc_id, source, {_ahash_sql()} AS ahash
+      FROM pa WHERE length(t) >= {_RZ_PIX}
+    ),
+    pfp AS ({_caption_fp_sql()}),
+    pkeys AS MATERIALIZED (
+      SELECT h.doc_id, h.source, h.ahash, f.caption_fp
+      FROM ph h JOIN pfp f ON f.doc_id = h.doc_id
+    )"""
+
+
 def paired_pair_keys(docs: DataFrame) -> DataFrame:
     """(doc_id, source, ahash, caption_fp) cross-modal pair keys — the
     LAION-shape dedup key shared by multimodal_paired_dedup (the group
@@ -949,23 +977,14 @@ def paired_pair_keys(docs: DataFrame) -> DataFrame:
 @query(
     "multimodal_paired_dedup",
     oracle=f"""
-    WITH a AS (
-      SELECT doc_id, source,
-             regexp_replace(text, '{_ASCII_ONLY_RE}', '', 'g') AS t
-      FROM documents
-    ),
-    h AS (
-      SELECT doc_id, source, {_ahash_sql()} AS ahash
-      FROM a WHERE length(t) >= {_RZ_PIX}
-    ),
-    fp AS ({_caption_fp_sql()})
-    SELECT h.ahash, fp.caption_fp,
+    WITH {_pair_keys_sql()}
+    SELECT ahash, caption_fp,
            COUNT(*) AS n_pairs,
-           COUNT(DISTINCT h.source) AS n_sources,
-           CAST(MIN(h.doc_id) AS BIGINT) AS canonical_doc_id,
-           COUNT(DISTINCT h.source) > 1 AS cross_source
-    FROM h JOIN fp ON h.doc_id = fp.doc_id
-    GROUP BY h.ahash, fp.caption_fp
+           COUNT(DISTINCT source) AS n_sources,
+           CAST(MIN(doc_id) AS BIGINT) AS canonical_doc_id,
+           COUNT(DISTINCT source) > 1 AS cross_source
+    FROM pkeys
+    GROUP BY ahash, caption_fp
     HAVING COUNT(*) > 1
     """,
     doc="Cross-modal caption-image PAIR dedup — the LAION-style curation "
@@ -1014,20 +1033,7 @@ def _incremental_paired_sql() -> str:
     must stay identical across the family's exact-match members)."""
     from iceberg_explorer_spark.operators.dedup import INCR_MOD
 
-    return f"""a AS (
-      SELECT doc_id, source,
-             regexp_replace(text, '{_ASCII_ONLY_RE}', '', 'g') AS t
-      FROM documents
-    ),
-    h AS (
-      SELECT doc_id, source, {_ahash_sql()} AS ahash
-      FROM a WHERE length(t) >= {_RZ_PIX}
-    ),
-    fp AS ({_caption_fp_sql()}),
-    pkeys AS MATERIALIZED (
-      SELECT h.doc_id, h.source, h.ahash, fp.caption_fp
-      FROM h JOIN fp ON h.doc_id = fp.doc_id
-    ),
+    return f"""{_pair_keys_sql()},
     phist AS (
       SELECT DISTINCT ahash, caption_fp FROM pkeys
       WHERE doc_id % {INCR_MOD} <> 0

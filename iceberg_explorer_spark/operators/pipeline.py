@@ -1236,12 +1236,7 @@ def _clean_corpus_v2_oracle() -> str:
     order free of cycles): LSH candidates (dedup), SRP-bucketed cosine
     closure (similarity), aHash + capped caption fingerprint
     (multimodal/text)."""
-    from iceberg_explorer_spark.operators.multimodal import (
-        _ahash_sql,
-        _ASCII_ONLY_RE,
-        _caption_fp_sql,
-        _RZ_PIX,
-    )
+    from iceberg_explorer_spark.operators.multimodal import _pair_keys_sql
     from iceberg_explorer_spark.operators.similarity import (
         _EMB_SQL,
         _srp_code_duckdb,
@@ -1295,25 +1290,13 @@ def _clean_corpus_v2_oracle() -> str:
       SELECT doc_id FROM surv3
       WHERE doc_id NOT IN (SELECT doc_id FROM sem_drop)
     ),
-    pa AS (
-      SELECT doc_id, regexp_replace(text, '{_ASCII_ONLY_RE}', '', 'g') AS t
-      FROM documents
-    ),
-    ph AS (
-      SELECT doc_id, {_ahash_sql()} AS ahash
-      FROM pa WHERE length(t) >= {_RZ_PIX}
-    ),
-    pfp AS ({_caption_fp_sql()}),
-    pk AS (
-      SELECT ph.doc_id, ph.ahash, pfp.caption_fp
-      FROM ph JOIN pfp USING (doc_id)
-    ),
+    {_pair_keys_sql()},
     paired_drop AS (
       SELECT doc_id FROM (
         SELECT pk.doc_id,
                MIN(pk.doc_id) OVER (PARTITION BY pk.ahash, pk.caption_fp)
                  AS keep_id
-        FROM pk JOIN surv4 s ON s.doc_id = pk.doc_id
+        FROM pkeys pk JOIN surv4 s ON s.doc_id = pk.doc_id
       ) WHERE doc_id <> keep_id
     ),
     status AS (
