@@ -10,15 +10,20 @@ kept docs APPEND their artifact rows for tomorrow. In-session the
 this module is the executable witness for the parquet half of the claim
 (VERDICT r10 #4):
 
-- :func:`write_incremental_artifacts` derives the four history artifacts
-  from the corpus and writes them to parquet;
+- :func:`write_incremental_artifacts` derives the five history artifacts
+  from the corpus and writes them to parquet (the four the waterfall
+  reads, plus the cross-modal pair-key table for the fourth sibling);
 - :func:`incremental_status_from_artifacts` reruns the full
   exact→near→semantic waterfall reading history ONLY from those files
   (history document text and embedding vectors are never touched — the
   batch slice is the only table data read beyond the artifacts);
+- :func:`incremental_paired_from_artifacts` is the pair-modality twin:
+  ``dedup_incremental_paired`` with batch keys decoded from the
+  increment alone and history probed from the "pairs" artifact;
 - :func:`append_incremental_artifacts` computes the rows a nightly job
-  appends for kept docs — by construction the row counts
-  ``pipeline_incremental_artifact_delta`` reports.
+  appends for kept docs — for the first four artifacts by construction
+  the row counts ``pipeline_incremental_artifact_delta`` reports, plus
+  the kept docs' pair keys.
 
 Equality with the in-session path is pinned by
 ``tests/test_properties.py::test_incremental_artifact_round_trip``. The
@@ -65,8 +70,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 from iceberg_explorer_spark.sources.registry import load_table
 
-#: artifact name -> parquet subdirectory
-ARTIFACT_NAMES = ("digests", "shingles", "bands", "srp")
+#: artifact name -> parquet subdirectory. "pairs" is the cross-modal
+#: (ahash, caption_fp) key table — the fourth incremental sibling's
+#: history side (dedup_incremental_paired).
+ARTIFACT_NAMES = ("digests", "shingles", "bands", "srp", "pairs")
 
 
 def _history_filter(id_col: str):
@@ -99,9 +106,13 @@ def write_incremental_artifacts(
         hashed_shingles_from_docs,
         minhash_band_rows,
     )
+    from iceberg_explorer_spark.operators.multimodal import paired_pair_keys
     from iceberg_explorer_spark.operators.similarity import (
         _coded_vectors,
         _load_emb,
+    )
+    from iceberg_explorer_spark.sources.registry import (
+        repartition_for_compute,
     )
 
     hist_docs = load_table(spark, sf_dir, "documents").filter(
@@ -113,12 +124,14 @@ def write_incremental_artifacts(
     srp = _coded_vectors(
         _load_emb(spark, sf_dir).filter(_history_filter("vec_id"))
     )
+    pairs = paired_pair_keys(repartition_for_compute(hist_docs))
     counts: dict[str, int] = {}
     for name, df in (
         ("digests", digests),
         ("shingles", shingles),
         ("bands", bands),
         ("srp", srp),
+        ("pairs", pairs),
     ):
         path = os.path.join(out_dir, f"{name}.parquet")
         df.write.mode("overwrite").parquet(path)
@@ -235,6 +248,46 @@ def incremental_status_from_artifacts(
     return assemble_incremental_status(flags, be, be2, emb_ids)
 
 
+def incremental_paired_from_artifacts(
+    spark: SparkSession, sf_dir: str, art_dir: str
+) -> DataFrame:
+    """``dedup_incremental_paired``'s report with history read ONLY from
+    the persisted pair-key artifact — the fourth sibling's file-probed
+    twin: batch pair keys are decoded from the batch slice alone (the
+    ONE decode kernel runs over the increment, never history), the
+    history side is the (ahash, caption_fp) projection of the "pairs"
+    artifact, and the classification + report tails are the SAME shared
+    definitions (incremental_seen_canon_flags,
+    paired_incremental_report)."""
+    from iceberg_explorer_spark.operators.dedup import (
+        incremental_seen_canon_flags,
+    )
+    from iceberg_explorer_spark.operators.multimodal import (
+        paired_incremental_report,
+        paired_pair_keys,
+    )
+    from iceberg_explorer_spark.sources.registry import (
+        repartition_for_compute,
+    )
+
+    batch_docs = load_table(spark, sf_dir, "documents").filter(
+        _batch_filter("doc_id")
+    )
+    # increment-sized decode; checkpointed for the same three-branch
+    # reason as the in-session builder
+    batch_keys = paired_pair_keys(
+        repartition_for_compute(batch_docs)
+    ).localCheckpoint(eager=True)
+    hist_keys = (
+        spark.read.parquet(os.path.join(art_dir, "pairs.parquet"))
+        .select("ahash", "caption_fp")
+    )
+    flags = incremental_seen_canon_flags(
+        batch_keys, ["ahash", "caption_fp"], history_keys=hist_keys
+    )
+    return paired_incremental_report(flags)
+
+
 def append_incremental_artifacts(
     spark: SparkSession, sf_dir: str, art_dir: str, status: DataFrame
 ) -> dict[str, int]:
@@ -249,9 +302,13 @@ def append_incremental_artifacts(
         hashed_shingles_from_docs,
         minhash_band_rows,
     )
+    from iceberg_explorer_spark.operators.multimodal import paired_pair_keys
     from iceberg_explorer_spark.operators.similarity import (
         _coded_vectors,
         _load_emb,
+    )
+    from iceberg_explorer_spark.sources.registry import (
+        repartition_for_compute,
     )
 
     kept = status.filter(F.col("stage") == "kept").select("doc_id")
@@ -270,12 +327,14 @@ def append_incremental_artifacts(
         .filter(_batch_filter("vec_id"))
         .join(kept.select(F.col("doc_id").alias("vec_id")), "vec_id")
     )
+    pairs = paired_pair_keys(repartition_for_compute(kept_docs))
     appended: dict[str, int] = {}
     for name, df in (
         ("digests", digests),
         ("shingles", shingles),
         ("bands", bands),
         ("srp", srp),
+        ("pairs", pairs),
     ):
         path = os.path.join(art_dir, f"{name}.parquet")
         before = spark.read.parquet(path).count()

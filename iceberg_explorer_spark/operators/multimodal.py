@@ -1107,6 +1107,15 @@ def dedup_incremental_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the pair-key artifact a production nightly maintains anyway.
     keys = paired_pair_keys(docs).localCheckpoint(eager=True)
     flags = incremental_seen_canon_flags(keys, ["ahash", "caption_fp"])
+    return paired_incremental_report(flags)
+
+
+def paired_incremental_report(flags: DataFrame) -> DataFrame:
+    """The per-source report tail over (doc_id, source, seen, is_canon)
+    pair-key flags — shared by dedup_incremental_paired and the
+    persisted-artifact variant (incremental_artifacts.
+    incremental_paired_from_artifacts), so the two paths can only differ
+    in where history keys come from."""
     return flags.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_batch"),
         F.count(F.when(F.col("seen") == 1, 1)).alias("n_pairdup_vs_corpus"),

@@ -3472,3 +3472,77 @@ def test_incremental_paired_classification(spark, tmp_path):
     assert_matches_oracle(
         spec.builder(spark, d), con, spec.oracle, "dedup_incremental_paired"
     )
+
+
+def test_incremental_paired_artifact_round_trip(spark, tmp_path):
+    """The paired sibling's persisted-artifact witness, completing the
+    family's file-path coverage: (1) write_incremental_artifacts now
+    also persists the (doc_id, source, ahash, caption_fp) pair-key
+    table for history docs that emit a key; (2) the file-probed variant
+    (incremental_paired_from_artifacts — batch keys decoded from the
+    increment alone, history from the artifact, shared classification
+    and report tails) equals the in-session dedup_incremental_paired
+    row-for-row; (3) the nightly append writes kept docs' pair keys,
+    and a day-2 rerun classifies every batch doc whose key was kept (or
+    already present) as pairdup-vs-corpus — append idempotence on the
+    pair modality."""
+    from iceberg_explorer_spark.operators import QUERIES
+    from iceberg_explorer_spark.operators.dedup import (
+        invalidate_shared_candidates,
+    )
+    from iceberg_explorer_spark.operators.incremental_artifacts import (
+        append_incremental_artifacts,
+        incremental_paired_from_artifacts,
+        incremental_status_from_artifacts,
+        write_incremental_artifacts,
+    )
+
+    t = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    u = "kilo lima mike november oscar papa quebec romeo sierra tango"
+    t_recap = "·".join(t[i: i + 6] for i in range(0, len(t), 6))
+    rows = [
+        (7, t, "web", len(t)),           # history pair key
+        (10, t, "s1", len(t)),           # key seen -> vs_corpus
+        (20, u, "s2", len(u)),           # new key, min -> novel
+        (30, u, "s2", len(u)),           # same new key -> in_batch
+        (40, t_recap, "s3", len(t_recap)),  # same image, new caption
+        (50, "tiny text", "s4", 9),      # no pair key
+        (60, None, "s4", 0),             # no pair key
+    ]
+    d = str(tmp_path / "pairedrt")
+    spark.createDataFrame(
+        [(i, txt, "en", s, n) for i, txt, s, n in rows],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+
+    art = str(tmp_path / "artifacts")
+    counts = write_incremental_artifacts(spark, d, art)
+    assert counts["pairs"] == 1  # doc 7 is the only keyed history doc
+
+    def rows_of(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    in_session = rows_of(QUERIES["dedup_incremental_paired"].builder(spark, d))
+    invalidate_shared_candidates(d)
+    from_files = rows_of(incremental_paired_from_artifacts(spark, d, art))
+    assert from_files == in_session
+
+    # nightly append: the waterfall keeps 20 (u min), 40 (unique digest),
+    # 50 and 60 (no shingles/embedding to match) — kept docs 20 and 40
+    # carry pair keys, so the pairs artifact gains exactly those two
+    status = incremental_status_from_artifacts(spark, d, art)
+    appended = append_incremental_artifacts(spark, d, art, status)
+    assert appended["pairs"] == 2, appended
+    # day 2: every keyed batch doc's key is now history -> vs_corpus
+    day2 = {
+        r["source"]: r
+        for r in incremental_paired_from_artifacts(spark, d, art).collect()
+    }
+    assert day2["s1"]["n_pairdup_vs_corpus"] == 1 == day2["s1"]["n_batch"]
+    assert day2["s2"]["n_pairdup_vs_corpus"] == 2 == day2["s2"]["n_batch"]
+    assert day2["s3"]["n_pairdup_vs_corpus"] == 1 == day2["s3"]["n_batch"]
+    invalidate_shared_candidates(d)
