@@ -95,44 +95,59 @@ def _digest_expr():
     return F.coalesce(F.md5("text"), F.lit("null-text"))
 
 
-def write_incremental_artifacts(
-    spark: SparkSession, sf_dir: str, out_dir: str
-) -> dict[str, int]:
-    """Derive the four history artifacts from the corpus at ``sf_dir`` and
-    write them under ``out_dir``; returns row counts per artifact. This is
-    the one-time backfill a production pipeline runs ONCE — every nightly
-    ingest after it reads these files and appends to them."""
+def _artifact_frames(
+    spark: SparkSession, sf_dir: str, docs: DataFrame, emb: DataFrame
+) -> dict[str, DataFrame]:
+    """name -> artifact rows derived from a documents slice and its
+    matching embeddings slice — THE single definition of what each
+    artifact holds, consumed by both the backfill writer (history slice)
+    and the nightly appender (kept-docs slice). Keys are asserted equal
+    to ``ARTIFACT_NAMES`` so a sixth artifact cannot be added to one
+    consumer and silently missed by the other."""
     from iceberg_explorer_spark.operators.dedup import (
         hashed_shingles_from_docs,
         minhash_band_rows,
     )
     from iceberg_explorer_spark.operators.multimodal import paired_pair_keys
-    from iceberg_explorer_spark.operators.similarity import (
-        _coded_vectors,
-        _load_emb,
-    )
+    from iceberg_explorer_spark.operators.similarity import _coded_vectors
     from iceberg_explorer_spark.sources.registry import (
         repartition_for_compute,
     )
 
-    hist_docs = load_table(spark, sf_dir, "documents").filter(
-        _history_filter("doc_id")
+    # the shingle frame feeds two artifacts (its own file and the band
+    # rows) — checkpoint so the slice is tokenized once per call
+    shingles = hashed_shingles_from_docs(docs).localCheckpoint(eager=True)
+    frames = {
+        "digests": docs.select(_digest_expr().alias("h")).distinct(),
+        "shingles": shingles,
+        "bands": minhash_band_rows(shingles),
+        "srp": _coded_vectors(emb),
+        "pairs": paired_pair_keys(repartition_for_compute(docs)),
+    }
+    assert tuple(frames) == ARTIFACT_NAMES
+    return frames
+
+
+def write_incremental_artifacts(
+    spark: SparkSession, sf_dir: str, out_dir: str
+) -> dict[str, int]:
+    """Derive the five history artifacts (``ARTIFACT_NAMES``) from the
+    corpus at ``sf_dir`` and write them under ``out_dir``; returns row
+    counts per artifact. This is the one-time backfill a production
+    pipeline runs ONCE — every nightly ingest after it reads these files
+    and appends to them."""
+    from iceberg_explorer_spark.operators.similarity import _load_emb
+
+    frames = _artifact_frames(
+        spark,
+        sf_dir,
+        load_table(spark, sf_dir, "documents").filter(
+            _history_filter("doc_id")
+        ),
+        _load_emb(spark, sf_dir).filter(_history_filter("vec_id")),
     )
-    digests = hist_docs.select(_digest_expr().alias("h")).distinct()
-    shingles = hashed_shingles_from_docs(hist_docs)
-    bands = minhash_band_rows(shingles)
-    srp = _coded_vectors(
-        _load_emb(spark, sf_dir).filter(_history_filter("vec_id"))
-    )
-    pairs = paired_pair_keys(repartition_for_compute(hist_docs))
     counts: dict[str, int] = {}
-    for name, df in (
-        ("digests", digests),
-        ("shingles", shingles),
-        ("bands", bands),
-        ("srp", srp),
-        ("pairs", pairs),
-    ):
+    for name, df in frames.items():
         path = os.path.join(out_dir, f"{name}.parquet")
         df.write.mode("overwrite").parquet(path)
         counts[name] = spark.read.parquet(path).count()
@@ -273,8 +288,11 @@ def incremental_paired_from_artifacts(
     batch_docs = load_table(spark, sf_dir, "documents").filter(
         _batch_filter("doc_id")
     )
-    # increment-sized decode; checkpointed for the same three-branch
-    # reason as the in-session builder
+    # increment-sized decode; checkpointed because the flags helper
+    # reads the key frame from TWO branches here (batch rows and the
+    # batch key-min — history comes from the artifact, unlike the
+    # in-session builder's three-branch fan-out), and each un-
+    # materialized branch would re-run the decode kernel
     batch_keys = paired_pair_keys(
         repartition_for_compute(batch_docs)
     ).localCheckpoint(eager=True)
@@ -291,51 +309,32 @@ def incremental_paired_from_artifacts(
 def append_incremental_artifacts(
     spark: SparkSession, sf_dir: str, art_dir: str, status: DataFrame
 ) -> dict[str, int]:
-    """Append the kept batch docs' artifact rows under ``art_dir`` —
-    the write side ``pipeline_incremental_artifact_delta`` bills: one
-    digest row per kept doc, its distinct (doc_id, hb) shingle rows,
-    N_BANDS band rows per kept doc that has shingles, one SRP-assignment
-    row per kept doc with a valid embedding. Returns appended row counts
-    per artifact (history rows are never rewritten — parquet append
-    mode)."""
-    from iceberg_explorer_spark.operators.dedup import (
-        hashed_shingles_from_docs,
-        minhash_band_rows,
-    )
-    from iceberg_explorer_spark.operators.multimodal import paired_pair_keys
-    from iceberg_explorer_spark.operators.similarity import (
-        _coded_vectors,
-        _load_emb,
-    )
-    from iceberg_explorer_spark.sources.registry import (
-        repartition_for_compute,
-    )
+    """Append the kept batch docs' artifact rows under ``art_dir``.
+    The first four artifacts are exactly the write side
+    ``pipeline_incremental_artifact_delta`` bills: one digest row per
+    kept doc, its distinct (doc_id, hb) shingle rows, N_BANDS band rows
+    per kept doc that has shingles, one SRP-assignment row per kept doc
+    with a valid embedding. The fifth — "pairs", one (ahash, caption_fp)
+    key row per kept doc in the pair-key domain — is the paired
+    sibling's history side and is NOT billed by the delta operator
+    (its counts reconcile against the paired round-trip test instead).
+    Returns appended row counts per artifact (history rows are never
+    rewritten — parquet append mode)."""
+    from iceberg_explorer_spark.operators.similarity import _load_emb
 
     kept = status.filter(F.col("stage") == "kept").select("doc_id")
-    kept_docs = (
+    frames = _artifact_frames(
+        spark,
+        sf_dir,
         load_table(spark, sf_dir, "documents")
         .filter(_batch_filter("doc_id"))
-        .join(kept, "doc_id")
-    )
-    digests = kept_docs.select(_digest_expr().alias("h")).distinct()
-    shingles = hashed_shingles_from_docs(kept_docs).localCheckpoint(
-        eager=True
-    )
-    bands = minhash_band_rows(shingles)
-    srp = _coded_vectors(
+        .join(kept, "doc_id"),
         _load_emb(spark, sf_dir)
         .filter(_batch_filter("vec_id"))
-        .join(kept.select(F.col("doc_id").alias("vec_id")), "vec_id")
+        .join(kept.select(F.col("doc_id").alias("vec_id")), "vec_id"),
     )
-    pairs = paired_pair_keys(repartition_for_compute(kept_docs))
     appended: dict[str, int] = {}
-    for name, df in (
-        ("digests", digests),
-        ("shingles", shingles),
-        ("bands", bands),
-        ("srp", srp),
-        ("pairs", pairs),
-    ):
+    for name, df in frames.items():
         path = os.path.join(art_dir, f"{name}.parquet")
         before = spark.read.parquet(path).count()
         df.write.mode("append").parquet(path)

@@ -922,9 +922,10 @@ def _pair_keys_sql() -> str:
     stage: a divergent copy in one oracle would silently split the
     pair-key domain the three operators must share (same discipline as
     ``_ahash_sql``/``_caption_fp_sql``, which this composes).
-    MATERIALIZED: two of the three consumers reference pkeys from more
-    than one CTE, and DuckDB re-inlines non-materialized CTEs per
-    reference site."""
+    MATERIALIZED: the incremental consumer references pkeys from TWO
+    CTEs (phist and pb), and DuckDB re-inlines non-materialized CTEs
+    per reference site — the other two consumers read it once, where
+    the hint is harmless."""
     return f"""pa AS (
       SELECT doc_id, source,
              regexp_replace(text, '{_ASCII_ONLY_RE}', '', 'g') AS t
