@@ -158,6 +158,7 @@ EXTENDED = [
     "pipeline_incremental_ingest",  # capstone: three-stage incremental waterfall
     "pipeline_incremental_artifact_delta",  # write side: artifact append bill
     "dedup_incremental_paired",   # fourth sibling: cross-modal pair keys (r11)
+    "pipeline_incremental_ingest_v2",  # four-stage incremental capstone (r11)
 ]
 
 #: HEADLINE GRADUATION POLICY (a logged trend reset, never a silent one).

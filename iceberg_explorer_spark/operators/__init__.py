@@ -279,6 +279,17 @@ against exact answers).
   oracle + plan pin (single decode kernel via checkpoint) + 3x point
   + crafted classification test per the standing checklist, joins
   bench EXTENDED, and is the r12 rotation's first priority.
+  Round 11 further adds pipeline_incremental_ingest_v2 — the v2
+  incremental capstone: the four-stage exact→near→semantic→PAIRED
+  daily-batch waterfall, symmetric with pipeline_clean_corpus_v2's
+  four backfill families. Zero private stage logic (stages 1-3 are
+  the session-cached shared_incremental_status; the paired stage is
+  incremental_seen_canon_flags over the third stage's survivors with
+  the session-cached shared_pair_keys as history — survivor-aware by
+  construction). Registered OUT-of-window with oracle + plan pin
+  (zero kernels in the visible plan) + 3x point + crafted
+  survivor-aware test; bench EXTENDED; r12 rotation priority together
+  with dedup_incremental_paired.
 """
 
 from iceberg_explorer_spark.operators.registry import QUERIES, QuerySpec, query  # noqa: F401

@@ -942,6 +942,32 @@ def _pair_keys_sql() -> str:
     )"""
 
 
+def shared_pair_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus's (doc_id, source, ahash, caption_fp) pair-key table,
+    materialized ONCE per corpus per session through the keyed candidate
+    cache (kind="pairs", fingerprinting documents.parquet) — the
+    in-session mirror of the persisted "pairs" artifact
+    (incremental_artifacts.ARTIFACT_NAMES). The aHash decode is the
+    expensive half; consumers that need the whole-corpus key table
+    (dedup_incremental_paired, pipeline_incremental_ingest_v2) read the
+    checkpoint instead of re-running the kernel per call, and the eager
+    checkpoint doubles as the multi-branch materialization the flags
+    helper needs."""
+    from iceberg_explorer_spark.operators.dedup import _shared_candidates
+    from iceberg_explorer_spark.sources.registry import (
+        repartition_for_compute,
+    )
+
+    return _shared_candidates(
+        spark,
+        sf_dir,
+        "pairs",
+        lambda: paired_pair_keys(
+            repartition_for_compute(load_table(spark, sf_dir, "documents"))
+        ),
+    )
+
+
 def paired_pair_keys(docs: DataFrame) -> DataFrame:
     """(doc_id, source, ahash, caption_fp) cross-modal pair keys — the
     LAION-shape dedup key shared by multimodal_paired_dedup (the group
@@ -1099,14 +1125,14 @@ def dedup_incremental_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
         incremental_seen_canon_flags,
     )
 
-    docs = repartition_for_compute(load_table(spark, sf_dir, "documents"))
     # the key frame feeds THREE plan branches inside the flags helper
-    # (history keys, batch rows, batch key-min) — without this eager
-    # checkpoint the aHash decode kernel runs once PER BRANCH (measured:
-    # MapInPandas x3 in the plan; the clean-manifest lesson). The
+    # (history keys, batch rows, batch key-min) — without a
+    # materialization the aHash decode kernel runs once PER BRANCH
+    # (measured: MapInPandas x3 in the plan; the clean-manifest lesson).
+    # The session-shared checkpoint IS that materialization, and the
     # digest-sized (doc_id, source, ahash, caption_fp) table is exactly
     # the pair-key artifact a production nightly maintains anyway.
-    keys = paired_pair_keys(docs).localCheckpoint(eager=True)
+    keys = shared_pair_keys(spark, sf_dir)
     flags = incremental_seen_canon_flags(keys, ["ahash", "caption_fp"])
     return paired_incremental_report(flags)
 

@@ -1899,3 +1899,123 @@ def pipeline_incremental_artifact_delta(
         (n_sig * N_BANDS).alias("n_band_rows"),
         F.count(F.when(F.col("has_emb") == 1, 1)).alias("n_embedding_rows"),
     )
+
+
+def _incremental_v2_oracle() -> str:
+    from iceberg_explorer_spark.operators.dedup import INCR_MOD
+    from iceberg_explorer_spark.operators.multimodal import _pair_keys_sql
+
+    return f"""
+    WITH RECURSIVE {_incremental_status_sql()},
+    {_pair_keys_sql()},
+    vphist AS (
+      SELECT DISTINCT ahash, caption_fp FROM pkeys
+      WHERE doc_id % {INCR_MOD} <> 0
+    ),
+    vsk AS MATERIALIZED (
+      SELECT st.doc_id, st.source, k.ahash, k.caption_fp
+      FROM status st JOIN pkeys k ON k.doc_id = st.doc_id
+      WHERE st.stage = 'kept'
+    ),
+    vsmin AS (
+      SELECT ahash, caption_fp, MIN(doc_id) AS k FROM vsk
+      GROUP BY ahash, caption_fp
+    ),
+    vpdrop AS (
+      SELECT s.doc_id FROM vsk s
+      JOIN vsmin m ON m.ahash = s.ahash AND m.caption_fp = s.caption_fp
+      LEFT JOIN vphist hk
+        ON hk.ahash = s.ahash AND hk.caption_fp = s.caption_fp
+      WHERE hk.ahash IS NOT NULL OR s.doc_id <> m.k
+    ),
+    status4 AS (
+      SELECT st.doc_id, st.source,
+             CASE WHEN p.doc_id IS NOT NULL THEN 'paired'
+                  ELSE st.stage END AS stage
+      FROM status st LEFT JOIN vpdrop p ON p.doc_id = st.doc_id
+    )
+    SELECT source,
+           COUNT(*) AS n_batch,
+           COUNT(*) FILTER (WHERE stage = 'exact') AS n_drop_exact,
+           COUNT(*) FILTER (WHERE stage = 'near') AS n_drop_near,
+           COUNT(*) FILTER (WHERE stage = 'semantic') AS n_drop_semantic,
+           COUNT(*) FILTER (WHERE stage = 'paired') AS n_drop_paired,
+           COUNT(*) FILTER (WHERE stage = 'kept') AS n_kept
+    FROM status4 GROUP BY source
+    """
+
+
+@query(
+    "pipeline_incremental_ingest_v2",
+    oracle=_incremental_v2_oracle(),
+    doc="The v2 incremental capstone: the daily-batch waterfall across "
+    "ALL FOUR dedup families — exact, lexical near, semantic, and the "
+    "cross-modal PAIRED stage the three-stage capstone lacked — making "
+    "the incremental story symmetric with pipeline_clean_corpus_v2's "
+    "backfill (same four families, first-claim attribution, n_drop_* + "
+    "n_kept partitions n_batch exactly). The paired stage reuses the "
+    "shared exact-match rule (incremental_seen_canon_flags) over the "
+    "THIRD stage's survivors: a surviving batch doc drops when its "
+    "(ahash, caption_fp) key already exists in the corpus's pair-key "
+    "history, or when a SMALLER-id survivor holds the same key — "
+    "survivor-aware by construction, since the key-min is taken over "
+    "survivors only (a pair group whose min fell at exact/near/semantic "
+    "keeps its surviving member instead of losing every copy). Zero new "
+    "kernels and zero private stage logic: stages 1-3 ARE "
+    "shared_incremental_status (the session-cached waterfall both v1 "
+    "capstones read) and the pair keys ARE shared_pair_keys (the "
+    "session-cached mirror of the persisted 'pairs' artifact). At "
+    "100 TB the marginal cost over the v1 capstone is one probe of the "
+    "batch's survivor keys against the bucketed pair-key artifact — "
+    "O(survivors), no history shuffle, image bytes never decoded for "
+    "history (the artifact already holds its keys). reference: no "
+    "analogue — training-pipeline extension.",
+)
+def pipeline_incremental_ingest_v2(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from iceberg_explorer_spark.operators.dedup import (
+        INCR_MOD,
+        incremental_seen_canon_flags,
+    )
+    from iceberg_explorer_spark.operators.multimodal import shared_pair_keys
+
+    status = shared_incremental_status(spark, sf_dir)
+    keys = shared_pair_keys(spark, sf_dir)
+    is_b = F.col("doc_id") % INCR_MOD == 0
+    # the paired stage = the shared exact-match rule instantiated over
+    # the third stage's SURVIVORS (their keys are the rows; history is
+    # the corpus side of the shared key table) — canonical selection is
+    # therefore survivor-aware: the key-min is taken among survivors
+    surv_keys = (
+        status.filter(F.col("stage") == "kept")
+        .select("doc_id")
+        .join(keys.filter(is_b), "doc_id")
+        .select("doc_id", "source", "ahash", "caption_fp")
+    )
+    pflags = incremental_seen_canon_flags(
+        surv_keys,
+        ["ahash", "caption_fp"],
+        history_keys=keys.filter(~is_b).select("ahash", "caption_fp"),
+    )
+    pdrop = pflags.filter(
+        (F.col("seen") == 1) | (F.col("is_canon") == 0)
+    ).select("doc_id", F.lit(True).alias("paired_drop"))
+    status4 = status.join(pdrop, "doc_id", "left").select(
+        "source",
+        F.when(F.col("paired_drop").isNotNull(), F.lit("paired"))
+        .otherwise(F.col("stage"))
+        .alias("stage"),
+    )
+
+    def _n(stage: str, alias: str):
+        return F.count(F.when(F.col("stage") == stage, 1)).alias(alias)
+
+    return status4.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_batch"),
+        _n("exact", "n_drop_exact"),
+        _n("near", "n_drop_near"),
+        _n("semantic", "n_drop_semantic"),
+        _n("paired", "n_drop_paired"),
+        _n("kept", "n_kept"),
+    )

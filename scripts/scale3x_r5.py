@@ -103,6 +103,8 @@ OP_TABLE = {
     "pipeline_clean_corpus_v2": "documents",
     # round-11 addition (fourth incremental sibling: cross-modal pair keys)
     "dedup_incremental_paired": "documents",
+    # round-11 addition (v2 incremental capstone: four-stage waterfall)
+    "pipeline_incremental_ingest_v2": "documents",
 }
 
 

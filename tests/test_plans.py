@@ -1026,6 +1026,23 @@ def test_incremental_paired_one_kernel_key_only_joins(spark):
     assert pi.broadcast_hint_count(df) == 0
 
 
+def test_incremental_ingest_v2_artifacts_only(spark):
+    """pipeline_incremental_ingest_v2 adds the paired stage with ZERO
+    new kernels: the visible plan consumes the session-cached status
+    waterfall and pair-key table as materialized checkpoints (Scan
+    ExistingRDD), runs no Python at all (no MapInPandas — the aHash
+    decode happened once inside the shared pair-key build; no
+    BatchEvalPython), and hint-forces nothing to broadcast (the
+    pair-key history grows with the corpus; at 100 TB it is the
+    persisted 'pairs' artifact probed bucketed by key)."""
+    df = build(spark, "pipeline_incremental_ingest_v2")
+    plan = pi.physical_plan(df)
+    assert plan.count("MapInPandas") == 0
+    assert "BatchEvalPython" not in plan
+    assert "Scan ExistingRDD" in plan
+    assert pi.broadcast_hint_count(df) == 0
+
+
 def test_lsh_band_tuning_one_signature_one_verify(spark):
     """dedup_lsh_band_tuning sweeps the registered band layouts from ONE
     signature pass and verifies the distinct union ONCE: the plan carries

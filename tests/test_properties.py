@@ -3546,3 +3546,117 @@ def test_incremental_paired_artifact_round_trip(spark, tmp_path):
     assert day2["s2"]["n_pairdup_vs_corpus"] == 2 == day2["s2"]["n_batch"]
     assert day2["s3"]["n_pairdup_vs_corpus"] == 1 == day2["s3"]["n_batch"]
     invalidate_shared_candidates(d)
+
+
+def test_incremental_ingest_v2_paired_stage(spark, tmp_path):
+    """pipeline_incremental_ingest_v2's distinguishing claims on a
+    crafted corpus (batch = doc_id % 10 == 0; all fp-preserving tails
+    verified by precondition asserts on the real pair keys, so no claim
+    can pass vacuously): (1) PAIRED VS CORPUS — a batch doc that
+    survives exact (unique digest), near (J ≈ 0.44 vs everything) and
+    semantic (no embedding) but whose (ahash, caption_fp) key equals a
+    history doc's drops at the NEW fourth stage; (2) SURVIVOR-AWARE
+    in-batch canon — a pair-key group whose global min doc near-dropped
+    keeps its surviving member (a naive global key-min would drop the
+    group's last live copy against a ghost); (3) paired in-batch — two
+    surviving batch docs with one key keep only the min; (4) a batch doc
+    outside the pair-key domain is untouched by the stage; (5) the first
+    three stage columns equal pipeline_incremental_ingest's on the same
+    corpus, and v1's n_kept = v2's n_kept + n_drop_paired per source
+    (the fourth stage only ever splits 'kept'). Oracle-checked."""
+    import duckdb
+
+    from iceberg_explorer_spark.operators import QUERIES
+    from iceberg_explorer_spark.operators.multimodal import shared_pair_keys
+    from tests.conftest import assert_matches_oracle
+
+    t1 = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    b1 = t1 + " nectar osprey panther quartz ridge summit tundra umbra vertex wisp"
+    t2 = " ".join(f"veris{i} lumen{i % 7} orbis{i % 13}" for i in range(13)) + " finis"
+    c_w = t2.split(); c_w[0] = "ALTERED0"
+    c = " ".join(c_w)                     # J(t2, c) ≈ 0.949, different ahash
+    y = t2 + " brume cinder dorsal ember fjord glyph harrow inlet jasper knoll"
+    u = "kudzu lantern meadow nimbus ossify prairie quasar riddle saffron tulip"
+    u2 = u + " anvil bugle cobalt karma lagoon mosaic opal pivot quench ramble"
+    rows = [
+        (7, t1, "web"),    # history: holds b1's pair key
+        (9, c, "web"),     # history: t2's near-twin, DIFFERENT pair key
+        (10, b1, "s1"),    # survives 1-3, key seen -> paired vs corpus
+        (20, t2, "s2"),    # near-drops vs doc 9 (global key min of {20,30})
+        (30, y, "s2"),     # survivor-aware: sole surviving key holder, KEPT
+        (40, u, "s3"),     # in-batch pair: min survivor, kept
+        (50, u2, "s3"),    # same key, not min -> paired in-batch
+        (60, "short", "s4"),  # no pair key: stage 4 never touches it
+    ]
+    d = str(tmp_path / "v2incr")
+    spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for i, t, s in rows],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+
+    # preconditions: the crafted key relationships actually hold
+    keys = {
+        r["doc_id"]: (r["ahash"], r["caption_fp"])
+        for r in shared_pair_keys(spark, d).collect()
+    }
+    assert keys[10] == keys[7], "b1 must share history doc 7's pair key"
+    assert keys[30] == keys[20], "y must share t2's pair key"
+    assert keys[9] != keys[20], "history near-twin must have its own key"
+    assert keys[50] == keys[40], "u2 must share u's pair key"
+    assert 60 not in keys
+
+    v2 = {
+        r["source"]: r
+        for r in QUERIES["pipeline_incremental_ingest_v2"]
+        .builder(spark, d)
+        .collect()
+    }
+    # (1) paired vs corpus
+    assert v2["s1"]["n_drop_paired"] == 1 and v2["s1"]["n_kept"] == 0
+    # (2) survivor-aware: 20 claimed by near, 30 KEPT (not ghost-dropped)
+    assert v2["s2"]["n_drop_near"] == 1
+    assert v2["s2"]["n_drop_paired"] == 0
+    assert v2["s2"]["n_kept"] == 1
+    # (3) paired in-batch: min survivor kept, other dropped
+    assert v2["s3"]["n_drop_paired"] == 1 and v2["s3"]["n_kept"] == 1
+    # (4) outside the pair domain: untouched
+    assert v2["s4"]["n_kept"] == 1 and v2["s4"]["n_drop_paired"] == 0
+    for r in v2.values():  # the five columns partition n_batch
+        assert (
+            r["n_drop_exact"] + r["n_drop_near"] + r["n_drop_semantic"]
+            + r["n_drop_paired"] + r["n_kept"] == r["n_batch"]
+        ), r
+    # (5) stages 1-3 identical to the v1 capstone; paired only splits kept
+    v1 = {
+        r["source"]: r
+        for r in QUERIES["pipeline_incremental_ingest"]
+        .builder(spark, d)
+        .collect()
+    }
+    assert set(v1) == set(v2)
+    for s in v1:
+        for col in ("n_batch", "n_drop_exact", "n_drop_near",
+                    "n_drop_semantic"):
+            assert v1[s][col] == v2[s][col], (s, col)
+        assert v1[s]["n_kept"] == v2[s]["n_kept"] + v2[s]["n_drop_paired"], s
+
+    spec = QUERIES["pipeline_incremental_ingest_v2"]
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{d}/{t}.parquet/*.parquet')"
+        )
+    assert_matches_oracle(
+        spec.builder(spark, d), con, spec.oracle,
+        "pipeline_incremental_ingest_v2",
+    )
+    from iceberg_explorer_spark.operators.dedup import (
+        invalidate_shared_candidates,
+    )
+
+    invalidate_shared_candidates(d)
