@@ -96,7 +96,7 @@ def _digest_expr():
 
 
 def _artifact_frames(
-    spark: SparkSession, sf_dir: str, docs: DataFrame, emb: DataFrame
+    docs: DataFrame, emb: DataFrame
 ) -> dict[str, DataFrame]:
     """name -> artifact rows derived from a documents slice and its
     matching embeddings slice — THE single definition of what each
@@ -139,8 +139,6 @@ def write_incremental_artifacts(
     from iceberg_explorer_spark.operators.similarity import _load_emb
 
     frames = _artifact_frames(
-        spark,
-        sf_dir,
         load_table(spark, sf_dir, "documents").filter(
             _history_filter("doc_id")
         ),
@@ -324,8 +322,6 @@ def append_incremental_artifacts(
 
     kept = status.filter(F.col("stage") == "kept").select("doc_id")
     frames = _artifact_frames(
-        spark,
-        sf_dir,
         load_table(spark, sf_dir, "documents")
         .filter(_batch_filter("doc_id"))
         .join(kept, "doc_id"),

@@ -917,15 +917,17 @@ def _pair_keys_sql() -> str:
     """Oracle fragment: the cross-modal pair-key DOMAIN — ascii-strip,
     decode-minimum gate, caption fingerprint, inner join — ending in
     ``pkeys(doc_id, source, ahash, caption_fp)``. THE single SQL source
-    for the domain rule shared by multimodal_paired_dedup,
-    dedup_incremental_paired and pipeline_clean_corpus_v2's paired
-    stage: a divergent copy in one oracle would silently split the
-    pair-key domain the three operators must share (same discipline as
-    ``_ahash_sql``/``_caption_fp_sql``, which this composes).
-    MATERIALIZED: the incremental consumer references pkeys from TWO
-    CTEs (phist and pb), and DuckDB re-inlines non-materialized CTEs
-    per reference site — the other two consumers read it once, where
-    the hint is harmless."""
+    for the domain rule shared by its four consumers
+    (multimodal_paired_dedup, dedup_incremental_paired,
+    pipeline_clean_corpus_v2's paired stage,
+    pipeline_incremental_ingest_v2's paired stage): a divergent copy in
+    one oracle would silently split the pair-key domain they must share
+    (same discipline as ``_ahash_sql``/``_caption_fp_sql``, which this
+    composes). MATERIALIZED is load-bearing for TWO consumers —
+    dedup_incremental_paired (phist + pb) and the v2 incremental
+    capstone (vphist + vsk) each reference pkeys from two CTEs, and
+    DuckDB re-inlines non-materialized CTEs per reference site; the
+    other two read it once, where the hint is harmless."""
     return f"""pa AS (
       SELECT doc_id, source,
              regexp_replace(text, '{_ASCII_ONLY_RE}', '', 'g') AS t
