@@ -247,6 +247,7 @@ def format_output(
     cpu_probe_sec: float | None = None,
     cpu_probe_1t_sec: float | None = None,
     status_build: float | None = None,
+    pairs_build: float | None = None,
 ) -> tuple[str, str]:
     """Build the two output lines. The FINAL line is the driver-parseable
     one and must stay compact (< 500 bytes — enforced here, because rounds
@@ -295,6 +296,7 @@ def format_output(
             "probe_build": probe_build,
             "semantic_build": semantic_build,
             "status_build": status_build,
+            "pairs_build": pairs_build,
             "cpu_probe_sec": cpu_probe_sec,
             "cpu_probe_1t_sec": cpu_probe_1t_sec,
         }
@@ -325,11 +327,13 @@ def format_output(
                 "candidate_build": candidate_build,
                 "probe_build": probe_build,
                 "semantic_build": semantic_build,
-                # one-time incremental-status materialization at the
-                # target SF (r11: the capstone + artifact delta serve
-                # from the shared checkpoint; steady-state timings below
-                # are cache-served, this keeps the build cost visible)
+                # one-time incremental-status / pair-key
+                # materializations at the target SF (r11: the capstones
+                # and both pair-key consumers serve from the shared
+                # checkpoints; steady-state timings below are
+                # cache-served, these keep the build costs visible)
                 "status_build": status_build,
+                "pairs_build": pairs_build,
                 "extended_sec": round(sum(extended_timings.values()), 3)
                 if extended_timings
                 else None,
@@ -411,11 +415,15 @@ def main() -> None:
         probe_build: float | None = None
         semantic_build: float | None = None
         status_build: float | None = None
+        pairs_build: float | None = None
         try:
             from iceberg_explorer_spark.operators.dedup import (
                 invalidate_shared_candidates,
                 shared_lsh_candidates,
                 shared_probe_candidates,
+            )
+            from iceberg_explorer_spark.operators.multimodal import (
+                shared_pair_keys,
             )
             from iceberg_explorer_spark.operators.pipeline import (
                 shared_incremental_status,
@@ -436,6 +444,9 @@ def main() -> None:
                 # above; marginal cost = exact flags + batch-touching
                 # verify + classification tail)
                 ("status_build", shared_incremental_status),
+                # the corpus pair-key table (the one aHash decode both
+                # pair-key consumers then read)
+                ("pairs_build", shared_pair_keys),
             ]
             timings_by_key: dict[str, float] = {}
             for err_key, builder_fn in builds:
@@ -454,6 +465,7 @@ def main() -> None:
             probe_build = timings_by_key.get("probe_build")
             semantic_build = timings_by_key.get("semantic_build")
             status_build = timings_by_key.get("status_build")
+            pairs_build = timings_by_key.get("pairs_build")
         except Exception as exc:  # noqa: BLE001 — the import guard
             errors["candidate_build"] = f"{type(exc).__name__}: {exc}"[:500]
 
@@ -492,6 +504,7 @@ def main() -> None:
             cpu_probe_sec=cpu_probe_sec,
             cpu_probe_1t_sec=cpu_probe_1t_sec,
             status_build=status_build,
+            pairs_build=pairs_build,
         )
         # Detail line: the complete per-query map, own line, parse-optional.
         print(detail_line)

@@ -48,6 +48,7 @@ def test_final_line_compact_at_current_headline_size():
         {name: 123.456 for name in HEADLINE}, {}, 0.1, 2,
         candidate_build=12.345, probe_build=1.666, semantic_build=1.387,
         cpu_probe_sec=0.299, cpu_probe_1t_sec=0.189, status_build=2.5,
+        pairs_build=1.5,
     )
     assert len(full) < 500
     assert len(json.loads(full)["queries"]) >= 4
@@ -238,13 +239,15 @@ def test_cpu_probe_calibration_keys():
     timings = {name: 1.0 for name in HEADLINE}
     detail, final = format_output(
         timings, {}, 0.1, 2, cpu_probe_sec=mt, cpu_probe_1t_sec=st,
-        status_build=2.5,
+        status_build=2.5, pairs_build=1.5,
     )
     assert len(final) < 500, len(final)
     for line in (detail, final):
         parsed = json.loads(line)
         assert parsed["cpu_probe_sec"] == mt
         assert parsed["cpu_probe_1t_sec"] == st
-        # the one-time incremental-status materialization is its own
-        # line item, same contract as candidate/probe/semantic_build
+        # the one-time incremental-status / pair-key materializations
+        # are their own line items, same contract as
+        # candidate/probe/semantic_build
         assert parsed["status_build"] == 2.5
+        assert parsed["pairs_build"] == 1.5
