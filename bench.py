@@ -159,6 +159,7 @@ EXTENDED = [
     "pipeline_incremental_artifact_delta",  # write side: artifact append bill
     "dedup_incremental_paired",   # fourth sibling: cross-modal pair keys (r11)
     "pipeline_incremental_ingest_v2",  # four-stage incremental capstone (r11)
+    "pipeline_incremental_artifact_delta_v2",  # its append bill (r11)
 ]
 
 #: HEADLINE GRADUATION POLICY (a logged trend reset, never a silent one).

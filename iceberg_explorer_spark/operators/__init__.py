@@ -290,6 +290,17 @@ against exact answers).
   (zero kernels in the visible plan) + 3x point + crafted
   survivor-aware test; bench EXTENDED; r12 rotation priority together
   with dedup_incremental_paired.
+  And pipeline_incremental_artifact_delta_v2 — the four-stage
+  capstone's append bill (same five counts as the v1 delta via the
+  shared _artifact_delta_tail_sql, plus n_pair_rows; a paired-dropped
+  doc appends NOTHING, the exact divergence from the v1 delta pinned
+  by its crafted test). Registered OUT-of-window with the full
+  checklist; bench EXTENDED; r12 rotation priority. The r12 window
+  plan: flagship + the THREE r11 out-of-window operators
+  (dedup_incremental_paired, pipeline_incremental_ingest_v2,
+  pipeline_incremental_artifact_delta_v2 — first driver rows) + the
+  r9-latest cohort (second-or-later rows; count from the artifacts)
+  + fillers least-evidenced-first per the standing policy.
 """
 
 from iceberg_explorer_spark.operators.registry import QUERIES, QuerySpec, query  # noqa: F401

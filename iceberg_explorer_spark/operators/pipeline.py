@@ -1794,15 +1794,37 @@ def assemble_incremental_status(
     )
 
 
-def _artifact_delta_oracle() -> str:
+def _artifact_delta_tail_sql(
+    status_cte: str = "status", pairs: bool = False
+) -> str:
+    """The delta report's CTE tail + SELECT over a (doc_id, source,
+    stage) status CTE — ONE definition of the append bill, shared by the
+    v1 oracle (three-stage ``status``) and the v2 oracle (four-stage
+    ``status4``, which also bills the pair-key rows the v2 nightly
+    appends; ``pairs=True`` requires the ``pkeys`` CTE in scope)."""
+    from iceberg_explorer_spark.operators.dedup import N_BANDS
     from iceberg_explorer_spark.operators.similarity import _EMB_SQL
 
-    from iceberg_explorer_spark.operators.dedup import N_BANDS
-
-    return f"""
-    WITH RECURSIVE {_incremental_status_sql()},
-    kept AS MATERIALIZED (
-      SELECT doc_id, source FROM status WHERE stage = 'kept'
+    kpair_cte = """,
+    kpair AS (
+      SELECT p.doc_id FROM pkeys p
+      JOIN kept k ON k.doc_id = p.doc_id
+    )""" if pairs else ""
+    kpair_join = (
+        "LEFT JOIN kpair q ON q.doc_id = k.doc_id" if pairs else ""
+    )
+    kpair_col = (
+        ", CASE WHEN q.doc_id IS NOT NULL THEN 1 ELSE 0 END AS has_pair"
+        if pairs
+        else ""
+    )
+    pairs_out = (
+        ", COUNT(*) FILTER (WHERE has_pair = 1) AS n_pair_rows"
+        if pairs
+        else ""
+    )
+    return f"""kept AS MATERIALIZED (
+      SELECT doc_id, source FROM {status_cte} WHERE stage = 'kept'
     ),
     ksh AS (
       SELECT s.doc_id, COUNT(*) AS n_sh
@@ -1813,13 +1835,15 @@ def _artifact_delta_oracle() -> str:
     kemb AS (
       SELECT e.vec_id AS doc_id FROM {_EMB_SQL} e
       JOIN kept k ON k.doc_id = e.vec_id
-    ),
+    ){kpair_cte},
     per AS (
       SELECT k.doc_id, k.source, s.n_sh,
              CASE WHEN m.doc_id IS NOT NULL THEN 1 ELSE 0 END AS has_emb
+             {kpair_col}
       FROM kept k
       LEFT JOIN ksh s ON s.doc_id = k.doc_id
       LEFT JOIN kemb m ON m.doc_id = k.doc_id
+      {kpair_join}
     )
     SELECT source,
            COUNT(*) AS n_docs_appended,
@@ -1828,7 +1852,15 @@ def _artifact_delta_oracle() -> str:
            COUNT(*) FILTER (WHERE n_sh IS NOT NULL) * {N_BANDS}
              AS n_band_rows,
            COUNT(*) FILTER (WHERE has_emb = 1) AS n_embedding_rows
+           {pairs_out}
     FROM per GROUP BY source
+    """
+
+
+def _artifact_delta_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_incremental_status_sql()},
+    {_artifact_delta_tail_sql()}
     """
 
 
@@ -1901,13 +1933,18 @@ def pipeline_incremental_artifact_delta(
     )
 
 
-def _incremental_v2_oracle() -> str:
+def _incremental_status_v2_sql() -> str:
+    """CTE chain from the three-stage ``status`` through the four-stage
+    ``status4(doc_id, source, stage)`` — callers prepend
+    ``WITH RECURSIVE {_incremental_status_sql()},`` and append their
+    report tail. ONE definition shared by the v2 capstone and its
+    artifact delta (the same single-source discipline as
+    ``_incremental_status_sql``); requires the ``pkeys`` fragment,
+    which it includes."""
     from iceberg_explorer_spark.operators.dedup import INCR_MOD
     from iceberg_explorer_spark.operators.multimodal import _pair_keys_sql
 
-    return f"""
-    WITH RECURSIVE {_incremental_status_sql()},
-    {_pair_keys_sql()},
+    return f"""{_pair_keys_sql()},
     vphist AS (
       SELECT DISTINCT ahash, caption_fp FROM pkeys
       WHERE doc_id % {INCR_MOD} <> 0
@@ -1928,12 +1965,18 @@ def _incremental_v2_oracle() -> str:
         ON hk.ahash = s.ahash AND hk.caption_fp = s.caption_fp
       WHERE hk.ahash IS NOT NULL OR s.doc_id <> m.k
     ),
-    status4 AS (
+    status4 AS MATERIALIZED (
       SELECT st.doc_id, st.source,
              CASE WHEN p.doc_id IS NOT NULL THEN 'paired'
                   ELSE st.stage END AS stage
       FROM status st LEFT JOIN vpdrop p ON p.doc_id = st.doc_id
-    )
+    )"""
+
+
+def _incremental_v2_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_incremental_status_sql()},
+    {_incremental_status_v2_sql()}
     SELECT source,
            COUNT(*) AS n_batch,
            COUNT(*) FILTER (WHERE stage = 'exact') AS n_drop_exact,
@@ -1943,6 +1986,51 @@ def _incremental_v2_oracle() -> str:
            COUNT(*) FILTER (WHERE stage = 'kept') AS n_kept
     FROM status4 GROUP BY source
     """
+
+
+def incremental_status_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, stage) for every batch doc under the FOUR-stage
+    waterfall — stages 1-3 from the session-cached
+    ``shared_incremental_status``, the paired stage from the shared
+    exact-match rule over the third stage's survivors (see
+    pipeline_incremental_ingest_v2's doc). Shared by the v2 capstone
+    (stage report) and pipeline_incremental_artifact_delta_v2 (the
+    write side) — the executable twin of ``_incremental_status_v2_sql``
+    inside ``_incremental_v2_oracle``."""
+    from iceberg_explorer_spark.operators.dedup import (
+        INCR_MOD,
+        incremental_seen_canon_flags,
+    )
+    from iceberg_explorer_spark.operators.multimodal import shared_pair_keys
+
+    status = shared_incremental_status(spark, sf_dir)
+    keys = shared_pair_keys(spark, sf_dir)
+    is_b = F.col("doc_id") % INCR_MOD == 0
+    # the paired stage = the shared exact-match rule instantiated over
+    # the third stage's SURVIVORS (their keys are the rows; history is
+    # the corpus side of the shared key table) — canonical selection is
+    # therefore survivor-aware: the key-min is taken among survivors
+    surv_keys = (
+        status.filter(F.col("stage") == "kept")
+        .select("doc_id")
+        .join(keys.filter(is_b), "doc_id")
+        .select("doc_id", "source", "ahash", "caption_fp")
+    )
+    pflags = incremental_seen_canon_flags(
+        surv_keys,
+        ["ahash", "caption_fp"],
+        history_keys=keys.filter(~is_b).select("ahash", "caption_fp"),
+    )
+    pdrop = pflags.filter(
+        (F.col("seen") == 1) | (F.col("is_canon") == 0)
+    ).select("doc_id", F.lit(True).alias("paired_drop"))
+    return status.join(pdrop, "doc_id", "left").select(
+        "doc_id",
+        "source",
+        F.when(F.col("paired_drop").isNotNull(), F.lit("paired"))
+        .otherwise(F.col("stage"))
+        .alias("stage"),
+    )
 
 
 @query(
@@ -1974,39 +2062,7 @@ def _incremental_v2_oracle() -> str:
 def pipeline_incremental_ingest_v2(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from iceberg_explorer_spark.operators.dedup import (
-        INCR_MOD,
-        incremental_seen_canon_flags,
-    )
-    from iceberg_explorer_spark.operators.multimodal import shared_pair_keys
-
-    status = shared_incremental_status(spark, sf_dir)
-    keys = shared_pair_keys(spark, sf_dir)
-    is_b = F.col("doc_id") % INCR_MOD == 0
-    # the paired stage = the shared exact-match rule instantiated over
-    # the third stage's SURVIVORS (their keys are the rows; history is
-    # the corpus side of the shared key table) — canonical selection is
-    # therefore survivor-aware: the key-min is taken among survivors
-    surv_keys = (
-        status.filter(F.col("stage") == "kept")
-        .select("doc_id")
-        .join(keys.filter(is_b), "doc_id")
-        .select("doc_id", "source", "ahash", "caption_fp")
-    )
-    pflags = incremental_seen_canon_flags(
-        surv_keys,
-        ["ahash", "caption_fp"],
-        history_keys=keys.filter(~is_b).select("ahash", "caption_fp"),
-    )
-    pdrop = pflags.filter(
-        (F.col("seen") == 1) | (F.col("is_canon") == 0)
-    ).select("doc_id", F.lit(True).alias("paired_drop"))
-    status4 = status.join(pdrop, "doc_id", "left").select(
-        "source",
-        F.when(F.col("paired_drop").isNotNull(), F.lit("paired"))
-        .otherwise(F.col("stage"))
-        .alias("stage"),
-    )
+    status4 = incremental_status_v2(spark, sf_dir)
 
     def _n(stage: str, alias: str):
         return F.count(F.when(F.col("stage") == stage, 1)).alias(alias)
@@ -2018,4 +2074,86 @@ def pipeline_incremental_ingest_v2(
         _n("semantic", "n_drop_semantic"),
         _n("paired", "n_drop_paired"),
         _n("kept", "n_kept"),
+    )
+
+
+@query(
+    "pipeline_incremental_artifact_delta_v2",
+    oracle=f"""
+    WITH RECURSIVE {_incremental_status_sql()},
+    {_incremental_status_v2_sql()},
+    {_artifact_delta_tail_sql(status_cte="status4", pairs=True)}
+    """,
+    doc="The WRITE side of the FOUR-stage incremental story: the rows "
+    "the v2 nightly job appends per source for the docs that survive "
+    "all four stages. Same five counts as the v1 delta (digest, "
+    "distinct shingle, signature, band, SRP-assignment rows — shared "
+    "tail definition, _artifact_delta_tail_sql) plus n_pair_rows (one "
+    "(ahash, caption_fp) key row per kept doc in the pair-key domain — "
+    "the history the paired stage itself probes tomorrow). The bill "
+    "DIFFERS from v1's exactly where the fourth stage bites: a "
+    "paired-dropped doc appends NOTHING, so each of its would-be rows "
+    "leaves the bill — and closing this loop makes the append side "
+    "consistent with incremental_artifacts.append_incremental_artifacts"
+    "'s five files. Composition: kept list is a filter of the SHARED "
+    "incremental_status_v2 (zero private stage logic), the pair probe "
+    "reads the session-shared key table, and the corpus-sized shingle/"
+    "embedding tables are semi-join-reduced to the increment before "
+    "their left joins — the same scale-correct order as the v1 delta. "
+    "At 100 TB every count is increment-sized; history is never "
+    "rewritten. reference: no analogue — training-pipeline extension.",
+)
+def pipeline_incremental_artifact_delta_v2(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from iceberg_explorer_spark.operators.dedup import (
+        N_BANDS,
+        shared_hashed_shingles,
+    )
+    from iceberg_explorer_spark.operators.multimodal import shared_pair_keys
+    from iceberg_explorer_spark.operators.similarity import _load_emb
+
+    # kept is a filter of the cached four-stage status (three consumer
+    # branches below read the same materialized blocks)
+    kept = (
+        incremental_status_v2(spark, sf_dir)
+        .filter(F.col("stage") == "kept")
+        .select("doc_id", "source")
+        .localCheckpoint(eager=True)
+    )
+    shc = (
+        shared_hashed_shingles(spark, sf_dir)
+        .join(kept.select("doc_id"), "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_sh"))
+    )
+    # semi-join the corpus-sized tables down to the increment BEFORE the
+    # left joins (the v1 delta's scale-correct order)
+    emb = (
+        _load_emb(spark, sf_dir)
+        .select(F.col("vec_id").alias("doc_id"))
+        .join(kept.select("doc_id"), "doc_id", "left_semi")
+        .withColumn("has_emb", F.lit(1))
+    )
+    pair = (
+        shared_pair_keys(spark, sf_dir)
+        .select("doc_id")
+        .join(kept.select("doc_id"), "doc_id", "left_semi")
+        .withColumn("has_pair", F.lit(1))
+    )
+    per = (
+        kept.join(shc, "doc_id", "left")
+        .join(emb, "doc_id", "left")
+        .join(pair, "doc_id", "left")
+    )
+    n_sig = F.count(F.when(F.col("n_sh").isNotNull(), 1))
+    return per.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs_appended"),
+        F.coalesce(F.sum("n_sh"), F.lit(0))
+        .cast("bigint")
+        .alias("n_shingle_rows"),
+        n_sig.alias("n_signature_rows"),
+        (n_sig * N_BANDS).alias("n_band_rows"),
+        F.count(F.when(F.col("has_emb") == 1, 1)).alias("n_embedding_rows"),
+        F.count(F.when(F.col("has_pair") == 1, 1)).alias("n_pair_rows"),
     )

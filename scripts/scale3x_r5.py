@@ -105,6 +105,8 @@ OP_TABLE = {
     "dedup_incremental_paired": "documents",
     # round-11 addition (v2 incremental capstone: four-stage waterfall)
     "pipeline_incremental_ingest_v2": "documents",
+    # round-11 addition (the four-stage capstone's append bill)
+    "pipeline_incremental_artifact_delta_v2": "documents",
 }
 
 

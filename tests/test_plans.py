@@ -1043,6 +1043,21 @@ def test_incremental_ingest_v2_artifacts_only(spark):
     assert pi.broadcast_hint_count(df) == 0
 
 
+def test_incremental_artifact_delta_v2_artifacts_only(spark):
+    """pipeline_incremental_artifact_delta_v2 bills the four-stage
+    keep-list with the same discipline as the v1 delta: zero Python in
+    the visible plan (status waterfall, pair keys and the keep-list are
+    materialized checkpoints — Scan ExistingRDD), corpus-sized
+    shingle/embedding/pair tables semi-join-reduced to the increment
+    before their left joins, and nothing hint-forced to broadcast."""
+    df = build(spark, "pipeline_incremental_artifact_delta_v2")
+    plan = pi.physical_plan(df)
+    assert plan.count("MapInPandas") == 0
+    assert "BatchEvalPython" not in plan
+    assert "Scan ExistingRDD" in plan
+    assert pi.broadcast_hint_count(df) == 0
+
+
 def test_lsh_band_tuning_one_signature_one_verify(spark):
     """dedup_lsh_band_tuning sweeps the registered band layouts from ONE
     signature pass and verifies the distinct union ONCE: the plan carries

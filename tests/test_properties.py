@@ -3660,3 +3660,90 @@ def test_incremental_ingest_v2_paired_stage(spark, tmp_path):
     )
 
     invalidate_shared_candidates(d)
+
+
+def test_incremental_artifact_delta_v2_paired_billing(spark, tmp_path):
+    """The v2 delta's distinguishing claims on the v2 capstone's crafted
+    corpus: (1) a PAIRED-dropped doc appends NOTHING — its source is
+    absent from the v2 bill while the V1 delta (which cannot see the
+    fourth stage) bills it as kept, the exact divergence the v2 report
+    exists to close; (2) per-source counts are exact for kept docs —
+    digest/signature/band rows from the shingle table, n_pair_rows for
+    keyed docs, zero embedding rows on an embedding-less corpus; (3) a
+    kept doc with NO shingles and NO pair key (1-word text) bills one
+    digest row and nothing else. Oracle-checked on the same corpus."""
+    import duckdb
+
+    from iceberg_explorer_spark.operators import QUERIES
+    from iceberg_explorer_spark.operators.dedup import (
+        N_BANDS,
+        invalidate_shared_candidates,
+    )
+    from tests.conftest import assert_matches_oracle
+
+    t1 = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    b1 = t1 + " nectar osprey panther quartz ridge summit tundra umbra vertex wisp"
+    u = "kudzu lantern meadow nimbus ossify prairie quasar riddle saffron tulip"
+    rows = [
+        (7, t1, "web"),      # history: holds b1's pair key
+        (10, b1, "s1"),      # survives 1-3, paired-drops vs corpus
+        (40, u, "s3"),       # kept: shingles + pair key
+        (60, "short", "s4"),  # kept: no shingles, no pair key
+    ]
+    d = str(tmp_path / "v2delta")
+    spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for i, t, s in rows],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+
+    v2 = {
+        r["source"]: r
+        for r in QUERIES["pipeline_incremental_artifact_delta_v2"]
+        .builder(spark, d)
+        .collect()
+    }
+    v1 = {
+        r["source"]: r
+        for r in QUERIES["pipeline_incremental_artifact_delta"]
+        .builder(spark, d)
+        .collect()
+    }
+    # (1) the paired-dropped doc: billed by v1, ABSENT from v2
+    assert "s1" in v1 and v1["s1"]["n_docs_appended"] == 1
+    assert "s1" not in v2, v2
+    # (2) kept keyed doc: 1 digest, 8 shingles (10 words), 1 signature,
+    # N_BANDS band rows, 0 embeddings, 1 pair row
+    s3 = v2["s3"]
+    assert s3["n_docs_appended"] == 1
+    assert s3["n_shingle_rows"] == 8
+    assert s3["n_signature_rows"] == 1
+    assert s3["n_band_rows"] == N_BANDS
+    assert s3["n_embedding_rows"] == 0
+    assert s3["n_pair_rows"] == 1
+    # (3) shingle-less, key-less keeper: one digest row, nothing else
+    s4 = v2["s4"]
+    assert s4["n_docs_appended"] == 1
+    assert s4["n_shingle_rows"] == 0 and s4["n_signature_rows"] == 0
+    assert s4["n_band_rows"] == 0 and s4["n_pair_rows"] == 0
+    # v1 and v2 agree wherever the fourth stage did not bite
+    for s in ("s3", "s4"):
+        for col in ("n_docs_appended", "n_shingle_rows",
+                    "n_signature_rows", "n_band_rows", "n_embedding_rows"):
+            assert v1[s][col] == v2[s][col], (s, col)
+
+    spec = QUERIES["pipeline_incremental_artifact_delta_v2"]
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{d}/{t}.parquet/*.parquet')"
+        )
+    assert_matches_oracle(
+        spec.builder(spark, d), con, spec.oracle,
+        "pipeline_incremental_artifact_delta_v2",
+    )
+    invalidate_shared_candidates(d)
