@@ -150,7 +150,8 @@ HEADLINE = [
 #: deferral note, operators/__init__.py round-8 log); promoting a cohort
 #: into HEADLINE is a deliberate, logged trend reset. Emptied at the r10
 #: graduation (the r9 cohort now sits at the tail of HEADLINE above);
-#: currently the five round-10 operators — next to graduate.
+#: currently the eight post-r9 operators (five r10 + three r11) — the
+#: cohort the next logged reset graduates.
 EXTENDED = [
     "pipeline_clean_corpus_v2",   # capstone: all four dedup families composed
     "dedup_incremental_near",     # daily-batch near-dup vs corpus artifacts

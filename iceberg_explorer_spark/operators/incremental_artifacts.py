@@ -314,8 +314,11 @@ def append_incremental_artifacts(
     per kept doc that has shingles, one SRP-assignment row per kept doc
     with a valid embedding. The fifth — "pairs", one (ahash, caption_fp)
     key row per kept doc in the pair-key domain — is the paired
-    sibling's history side and is NOT billed by the delta operator
-    (its counts reconcile against the paired round-trip test instead).
+    sibling's history side, billed by the FOUR-stage delta
+    (pipeline_incremental_artifact_delta_v2's n_pair_rows; that
+    report's keep-list is the four-stage waterfall's, while this
+    function appends for whatever ``status`` it is given) and
+    reconciled by the paired round-trip test.
     Returns appended row counts per artifact (history rows are never
     rewritten — parquet append mode)."""
     from iceberg_explorer_spark.operators.similarity import _load_emb

@@ -1888,12 +1888,6 @@ def _artifact_delta_oracle() -> str:
 def pipeline_incremental_artifact_delta(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from iceberg_explorer_spark.operators.dedup import (
-        N_BANDS,
-        shared_hashed_shingles,
-    )
-    from iceberg_explorer_spark.operators.similarity import _load_emb
-
     # kept is a filter of the session-cached status checkpoint
     # (shared_incremental_status) — its three consumer branches (shingle
     # counts, embedding probe, the per-doc spine) all read the
@@ -1904,6 +1898,23 @@ def pipeline_incremental_artifact_delta(
         .filter(F.col("stage") == "kept")
         .select("doc_id", "source")
     )
+    return _artifact_delta_report(spark, sf_dir, kept)
+
+
+def _artifact_delta_report(
+    spark: SparkSession, sf_dir: str, kept: DataFrame, pairs: bool = False
+) -> DataFrame:
+    """The per-source append bill over a (doc_id, source) keep-list —
+    the Spark twin of ``_artifact_delta_tail_sql``, ONE definition
+    shared by the v1 (three-stage kept) and v2 (four-stage kept +
+    ``pairs=True`` for the pair-key column) deltas, so the five shared
+    counts cannot fork between them."""
+    from iceberg_explorer_spark.operators.dedup import (
+        N_BANDS,
+        shared_hashed_shingles,
+    )
+    from iceberg_explorer_spark.operators.similarity import _load_emb
+
     shc = (
         shared_hashed_shingles(spark, sf_dir)
         .join(kept.select("doc_id"), "doc_id", "left_semi")
@@ -1921,6 +1932,22 @@ def pipeline_incremental_artifact_delta(
         .withColumn("has_emb", F.lit(1))
     )
     per = kept.join(shc, "doc_id", "left").join(emb, "doc_id", "left")
+    extra_cols = []
+    if pairs:
+        from iceberg_explorer_spark.operators.multimodal import (
+            shared_pair_keys,
+        )
+
+        pair = (
+            shared_pair_keys(spark, sf_dir)
+            .select("doc_id")
+            .join(kept.select("doc_id"), "doc_id", "left_semi")
+            .withColumn("has_pair", F.lit(1))
+        )
+        per = per.join(pair, "doc_id", "left")
+        extra_cols = [
+            F.count(F.when(F.col("has_pair") == 1, 1)).alias("n_pair_rows")
+        ]
     n_sig = F.count(F.when(F.col("n_sh").isNotNull(), 1))
     return per.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs_appended"),
@@ -1930,6 +1957,7 @@ def pipeline_incremental_artifact_delta(
         n_sig.alias("n_signature_rows"),
         (n_sig * N_BANDS).alias("n_band_rows"),
         F.count(F.when(F.col("has_emb") == 1, 1)).alias("n_embedding_rows"),
+        *extra_cols,
     )
 
 
@@ -1988,6 +2016,27 @@ def _incremental_v2_oracle() -> str:
     """
 
 
+def shared_incremental_status_v2(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``incremental_status_v2`` materialized ONCE per corpus per session
+    (kind="incr_status_v2", fingerprinting documents AND embeddings —
+    the pair keys read documents, the inner status both): the v2
+    capstone and its artifact delta each consume the four-stage status;
+    without this they would re-run the paired-stage probe per call —
+    the same per-consumer recompute the three-stage
+    ``shared_incremental_status`` exists to prevent."""
+    from iceberg_explorer_spark.operators.dedup import _shared_candidates
+
+    return _shared_candidates(
+        spark,
+        sf_dir,
+        "incr_status_v2",
+        lambda: incremental_status_v2(spark, sf_dir),
+        table=("documents", "embeddings"),
+    )
+
+
 def incremental_status_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, source, stage) for every batch doc under the FOUR-stage
     waterfall — stages 1-3 from the session-cached
@@ -1995,8 +2044,9 @@ def incremental_status_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-match rule over the third stage's survivors (see
     pipeline_incremental_ingest_v2's doc). Shared by the v2 capstone
     (stage report) and pipeline_incremental_artifact_delta_v2 (the
-    write side) — the executable twin of ``_incremental_status_v2_sql``
-    inside ``_incremental_v2_oracle``."""
+    write side; both consume it through the session-cached
+    ``shared_incremental_status_v2``) — the executable twin of
+    ``_incremental_status_v2_sql`` inside ``_incremental_v2_oracle``."""
     from iceberg_explorer_spark.operators.dedup import (
         INCR_MOD,
         incremental_seen_canon_flags,
@@ -2062,7 +2112,7 @@ def incremental_status_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pipeline_incremental_ingest_v2(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    status4 = incremental_status_v2(spark, sf_dir)
+    status4 = shared_incremental_status_v2(spark, sf_dir)
 
     def _n(stage: str, alias: str):
         return F.count(F.when(F.col("stage") == stage, 1)).alias(alias)
@@ -2106,54 +2156,12 @@ def pipeline_incremental_ingest_v2(
 def pipeline_incremental_artifact_delta_v2(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from iceberg_explorer_spark.operators.dedup import (
-        N_BANDS,
-        shared_hashed_shingles,
-    )
-    from iceberg_explorer_spark.operators.multimodal import shared_pair_keys
-    from iceberg_explorer_spark.operators.similarity import _load_emb
-
-    # kept is a filter of the cached four-stage status (three consumer
-    # branches below read the same materialized blocks)
+    # kept is a filter of the session-cached four-stage status — the
+    # three consumer branches inside the shared report read the same
+    # materialized blocks (the v1 delta's pattern)
     kept = (
-        incremental_status_v2(spark, sf_dir)
+        shared_incremental_status_v2(spark, sf_dir)
         .filter(F.col("stage") == "kept")
         .select("doc_id", "source")
-        .localCheckpoint(eager=True)
     )
-    shc = (
-        shared_hashed_shingles(spark, sf_dir)
-        .join(kept.select("doc_id"), "doc_id", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_sh"))
-    )
-    # semi-join the corpus-sized tables down to the increment BEFORE the
-    # left joins (the v1 delta's scale-correct order)
-    emb = (
-        _load_emb(spark, sf_dir)
-        .select(F.col("vec_id").alias("doc_id"))
-        .join(kept.select("doc_id"), "doc_id", "left_semi")
-        .withColumn("has_emb", F.lit(1))
-    )
-    pair = (
-        shared_pair_keys(spark, sf_dir)
-        .select("doc_id")
-        .join(kept.select("doc_id"), "doc_id", "left_semi")
-        .withColumn("has_pair", F.lit(1))
-    )
-    per = (
-        kept.join(shc, "doc_id", "left")
-        .join(emb, "doc_id", "left")
-        .join(pair, "doc_id", "left")
-    )
-    n_sig = F.count(F.when(F.col("n_sh").isNotNull(), 1))
-    return per.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs_appended"),
-        F.coalesce(F.sum("n_sh"), F.lit(0))
-        .cast("bigint")
-        .alias("n_shingle_rows"),
-        n_sig.alias("n_signature_rows"),
-        (n_sig * N_BANDS).alias("n_band_rows"),
-        F.count(F.when(F.col("has_emb") == 1, 1)).alias("n_embedding_rows"),
-        F.count(F.when(F.col("has_pair") == 1, 1)).alias("n_pair_rows"),
-    )
+    return _artifact_delta_report(spark, sf_dir, kept, pairs=True)
