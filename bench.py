@@ -179,10 +179,11 @@ EXTENDED = [
 #:     the v2 sum (the r9 cohort folded into HEADLINE above, order
 #:     preserved), ``headline_version`` is 2, the v2 overlap keys are
 #:     dropped, and the v1 sum is dropped. EXTENDED was emptied at
-#:     graduation and refills with post-r9 operators only (the five r10
-#:     operators below), which graduate on the same overlap-round
-#:     protocol when the next reset is due — format_output's
-#:     ``graduating`` parameter stays as the generic mechanism.
+#:     graduation and refills with post-r9 operators only (currently
+#:     the eight below: five r10 + three r11), which graduate on the
+#:     same overlap-round protocol when the next reset is due —
+#:     format_output's ``graduating`` parameter stays as the generic
+#:     mechanism.
 #: ``headline_version`` is emitted starting round 9 so every bench artifact
 #: names the measurement set its ``value`` covers; the driver's
 #: round-over-round comparison must only ever compare equal versions

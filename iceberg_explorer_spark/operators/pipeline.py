@@ -2157,8 +2157,9 @@ def pipeline_incremental_artifact_delta_v2(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     # kept is a filter of the session-cached four-stage status — the
-    # three consumer branches inside the shared report read the same
-    # materialized blocks (the v1 delta's pattern)
+    # four consumer branches inside the shared report (shingle counts,
+    # embedding probe, pair probe, per-doc spine) read the same
+    # materialized blocks (the v1 delta's pattern, plus the pair branch)
     kept = (
         shared_incremental_status_v2(spark, sf_dir)
         .filter(F.col("stage") == "kept")
