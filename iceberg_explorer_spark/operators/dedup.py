@@ -1983,6 +1983,10 @@ def incremental_seen_canon_flags(
     columns must never be NULL (NULL equi-join keys silently drop rows;
     the digest instance guarantees this with its sentinel, the pair-key
     instance by construction of ahash/caption_fp)."""
+    # internal aliases are name-mangled: a caller's key column named
+    # "k" or "seen_f" would otherwise make the min/flag references
+    # ambiguous (found by the model-based property test, which sweeps
+    # arbitrary key-column names through the helper)
     is_b = F.col("doc_id") % INCR_MOD == 0
     hist = (
         (
@@ -1991,18 +1995,20 @@ def incremental_seen_canon_flags(
             else rows.filter(~is_b).select(*key_cols)
         )
         .distinct()
-        .withColumn("seen_f", F.lit(1))
+        .withColumn("__incr_seen", F.lit(1))
     )
     b = rows.filter(is_b).select("doc_id", "source", *key_cols)
-    bmin = b.groupBy(*key_cols).agg(F.min("doc_id").alias("k"))
+    bmin = b.groupBy(*key_cols).agg(F.min("doc_id").alias("__incr_min"))
     return (
         b.join(bmin, key_cols)
         .join(hist, key_cols, "left")
         .select(
             "doc_id",
             "source",
-            F.when(F.col("seen_f").isNotNull(), 1).otherwise(0).alias("seen"),
-            F.when(F.col("doc_id") == F.col("k"), 1)
+            F.when(F.col("__incr_seen").isNotNull(), 1)
+            .otherwise(0)
+            .alias("seen"),
+            F.when(F.col("doc_id") == F.col("__incr_min"), 1)
             .otherwise(0)
             .alias("is_canon"),
         )

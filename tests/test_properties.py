@@ -3747,3 +3747,70 @@ def test_incremental_artifact_delta_v2_paired_billing(spark, tmp_path):
         "pipeline_incremental_artifact_delta_v2",
     )
     invalidate_shared_candidates(d)
+
+
+def test_seen_canon_flags_model_based(spark):
+    """Model-based pin of incremental_seen_canon_flags — the ONE
+    exact-match incremental rule now backing three operators (the
+    digest instance, the pair-key sibling, the v2 capstone's paired
+    stage): for generated keyed row sets spanning duplicate keys within
+    the batch, across batch/history, and history-only keys, the Spark
+    flags must equal a direct Python evaluation of the written rule
+    (seen = key in history; is_canon = min batch doc_id of the key),
+    both with the history derived from the frame's non-batch rows AND
+    with the same history supplied via the history_keys artifact path —
+    the two paths must be indistinguishable."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from iceberg_explorer_spark.operators.dedup import (
+        INCR_MOD,
+        incremental_seen_canon_flags,
+    )
+
+    ids = st.lists(
+        st.integers(min_value=0, max_value=120),
+        min_size=1, max_size=14, unique=True,
+    )
+    keys = st.lists(
+        st.sampled_from(["k0", "k1", "k2", "k3"]),
+        min_size=14, max_size=14,
+    )
+
+    @settings(max_examples=12, deadline=None)
+    @given(ids=ids, keys=keys)
+    def run(ids, keys):
+        rows = [
+            (i, f"s{i % 3}", keys[n]) for n, i in enumerate(ids)
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, source string, k string"
+        )
+        batch = [(i, s, k) for i, s, k in rows if i % INCR_MOD == 0]
+        hist_keys = {k for i, _, k in rows if i % INCR_MOD != 0}
+        kmin = {}
+        for i, _, k in batch:
+            kmin[k] = min(kmin.get(k, i), i)
+        want = sorted(
+            (i, s, 1 if k in hist_keys else 0, 1 if kmin[k] == i else 0)
+            for i, s, k in batch
+        )
+        got = sorted(
+            (r["doc_id"], r["source"], r["seen"], r["is_canon"])
+            for r in incremental_seen_canon_flags(df, ["k"]).collect()
+        )
+        assert got == want, (got, want)
+        # the artifact path with the SAME history must be identical
+        hist_df = spark.createDataFrame(
+            [(k,) for k in sorted(hist_keys)] or [("never-a-key",)],
+            "k string",
+        )
+        got_art = sorted(
+            (r["doc_id"], r["source"], r["seen"], r["is_canon"])
+            for r in incremental_seen_canon_flags(
+                df, ["k"], history_keys=hist_df
+            ).collect()
+        )
+        assert got_art == want, (got_art, want)
+
+    run()
