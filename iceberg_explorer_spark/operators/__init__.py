@@ -301,6 +301,23 @@ against exact answers).
   pipeline_incremental_artifact_delta_v2 — first driver rows) + the
   r9-latest cohort (second-or-later rows; count from the artifacts)
   + fillers least-evidenced-first per the standing policy.
+Round 12 rotation (executes the r11 plan above verbatim): flagship +
+  the THREE r11 out-of-window operators (dedup_incremental_paired,
+  pipeline_incremental_ingest_v2, pipeline_incremental_artifact_delta_v2
+  — their FIRST driver rows; after r11 they were the only oracle-bearing
+  queries with zero driver evidence) + the full r9-latest cohort of 43
+  (every query whose most recent driver-green row is r9, counted from
+  CORRECTNESS_r01..r11) + 3 fillers. The filler pool is the five
+  count-1 queries (the r10 first-timers, each with exactly one green
+  row, from r11); the three chosen (dedup_incremental_near,
+  dedup_incremental_semantic, pipeline_incremental_ingest) are the ones
+  this round's pluggable batch-membership change touches most directly —
+  RECENTLY-CHANGED over stale per the standing policy — so their second
+  rows are POST-change. pipeline_clean_corpus_v2 and
+  pipeline_incremental_artifact_delta stay at one row (last r11,
+  untouched semantics this round) and lead the r13 filler pool.
+  1 + 3 + 43 + 3 = 50 exactly. Displaced multi-green queries remain
+  covered every round by tests/test_differential.py.
 """
 
 from iceberg_explorer_spark.operators.registry import QUERIES, QuerySpec, query  # noqa: F401
@@ -319,60 +336,61 @@ from iceberg_explorer_spark.operators import pipeline  # noqa: E402,F401
 _CHECK_WINDOW = [
     # flagship first (never displaced)
     "pipeline_clean_corpus",
-    # --- the five round-10 operators: FIRST driver rows (VERDICT r10 #1
+    # --- the three round-11 operators: FIRST driver rows (VERDICT r11 #1
     # — the only oracle-bearing queries with zero driver evidence) ---
-    "pipeline_clean_corpus_v2",
+    "dedup_incremental_paired",
+    "pipeline_incremental_ingest_v2",
+    "pipeline_incremental_artifact_delta_v2",
+    # --- the full r9-latest cohort (43): last driver row is r9 ---
+    "dedup_candidate_triangles",
+    "dedup_clusters",
+    "dedup_containment",
+    "dedup_containment_probe",
+    "dedup_incremental_ingest",
+    "dedup_jaccard_threshold_sweep",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_semantic_keep_best",
+    "dedup_span_boilerplate",
+    "events_dau_wau_stickiness",
+    "events_json_extract",
+    "events_markov_transitions",
+    "events_resample_gapfill",
+    "events_sliding_window",
+    "events_tumbling_window",
+    "events_user_retention",
+    "group_by_all_status_priority",
+    "join_revenue_by_nation",
+    "lateral_top_orders",
+    "market_basket_part_pairs",
+    "multimodal_audio_energy",
+    "multimodal_frame_sample",
+    "multimodal_patch_tokens",
+    "orders_yoy_growth",
+    "pipeline_chunk_documents",
+    "pipeline_chunk_pack",
+    "pipeline_dataset_card",
+    "pipeline_epoch_plan",
+    "pipeline_token_shards",
+    "pricing_summary",
+    "rfm_customer_segments",
+    "similarity_ann_recall_report",
+    "similarity_bucket_gemm",
+    "similarity_kmeans_step",
+    "similarity_pq_adc_topk",
+    "text_bpe_pair_freq",
+    "text_decontaminate",
+    "text_length_histogram",
+    "text_tfidf_source_terms",
+    "unpivot_customer_metrics",
+    "window_distribution_functions",
+    "window_top_orders_per_customer",
+    # --- 3 fillers from the count-1 r10 operators, recently-changed
+    # first: this round makes batch membership pluggable on the
+    # incremental family, so these get their second rows POST-change ---
     "dedup_incremental_near",
     "dedup_incremental_semantic",
     "pipeline_incremental_ingest",
-    "pipeline_incremental_artifact_delta",
-    # --- the full r8 cohort (35): last driver row is r8 ---
-    "cohort_retention",
-    "cross_join_region_status",
-    "cube_order_status",
-    "distinct_customers_per_priority",
-    "events_distinct_users_salted",
-    "events_rate_per_user_type",
-    "events_session_window",
-    "events_value_outliers_mad",
-    "filter_projection",
-    "full_outer_nation_balance",
-    "grouping_sets_mix",
-    "multimodal_metadata",
-    "pipeline_domain_mix",
-    "pipeline_sequence_pack",
-    "pipeline_temperature_mix",
-    "pipeline_train_val_split",
-    "pivot_status_by_flag",
-    "recursive_calendar_spine",
-    "rollup_quantity",
-    "scalar_regex_conditional",
-    "scalar_string_math",
-    "scalar_subquery_nation_stats",
-    "semi_join_active_customers",
-    "set_ops_nation_presence",
-    "similarity_all_pairs_topk",
-    "string_agg_nations_per_region",
-    "subquery_in_having",
-    "text_language_id",
-    "text_pii_redact",
-    "text_quality_score",
-    "text_repetition_filter",
-    "text_unigram_logfreq",
-    "window_ntile_navigation",
-    "window_range_moving_revenue",
-    "window_running_revenue",
-    # --- the 9 queries with exactly ONE driver-green row: second rows
-    # (dedup_lsh_band_tuning's is post-change — r11 verify-bill cut) ---
-    "dedup_lsh_band_tuning",
-    "multimodal_paired_dedup",
-    "similarity_semantic_tau_sweep",
-    "dedup_overlap_spectrum",
-    "dedup_semantic_clusters",
-    "multimodal_clean_manifest",
-    "pipeline_filter_funnel",
-    "similarity_ivf_balance",
-    "similarity_semantic_decontaminate",
 ]
 
 
