@@ -698,10 +698,11 @@ def _shared_candidates(
     documents AND embeddings): the key's table slot becomes the joined
     name and the fingerprint the concatenation of per-table
     fingerprints, so a rewrite of EITHER input re-materializes. The
-    staleness-eviction scoping below is unchanged — a multi-table kind's
-    composite table name never collides with a single-table kind's, so
-    neither can evict the other's live entries (the r8 cross-table
-    eviction lesson).
+    staleness eviction below compares PER table component, so a
+    single-table rebuild also evicts stale multi-table entries that
+    contain the rebuilt table — while an entry over a genuinely
+    different input can never be evicted by another family's cold build
+    (the r8 cross-table eviction lesson).
     """
     tables = (table,) if isinstance(table, str) else tuple(table)
 
@@ -768,10 +769,24 @@ def _shared_candidates(
                 # rebuild ping-pong in the r8 bench:
                 # dedup_semantic_clusters timed its full 3.7 s build on
                 # every call instead of the 0.27 s cache-served read).
+                # Comparison is PER-COMPONENT (table slot split on '+',
+                # fingerprint on '|'): a single-table rebuild must also
+                # evict multi-table entries whose slot CONTAINS the
+                # rebuilt table — before this, a documents-only rewrite
+                # left stale 'documents+embeddings' entries pinned until
+                # a multi-table build next completed or LRU age-out
+                # (correctness was never affected — the fingerprint is
+                # in the key — but the dead checkpoint blocks were).
+                fresh_by_table = dict(zip(tables, key[3].split("|")))
                 for k in [
                     k
                     for k in _SHARED_CANDIDATES
-                    if k[:3] == key[:3] and k[3] != key[3]
+                    if k[0] == key[0]
+                    and k[1] == key[1]
+                    and any(
+                        t in fresh_by_table and fp != fresh_by_table[t]
+                        for t, fp in zip(k[2].split("+"), k[3].split("|"))
+                    )
                 ]:
                     del _SHARED_CANDIDATES[k]
                 _SHARED_CANDIDATES[key] = df
@@ -1904,6 +1919,18 @@ def dedup_span_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
 INCR_MOD = 10
 
 
+def content_digest():
+    """The content-digest expression — THE single definition shared by
+    the exact-stage probe (``incremental_exact_flags``) and the persisted
+    digest artifact (``incremental_artifacts._artifact_frames``), so an
+    edit to one side cannot silently desync the artifact from the probe.
+    NULL text is one content group: md5(NULL) is NULL in both engines and
+    NULL equi-join keys never match, so without the sentinel a NULL-text
+    history doc would vanish from the digest artifact and its batch twin
+    would read as "never seen"."""
+    return F.coalesce(F.md5("text"), F.lit("null-text"))
+
+
 def _incremental_exact_sql() -> str:
     """Oracle fragment: the exact-stage batch classification shared by
     dedup_incremental_ingest and pipeline_incremental_ingest — ONE
@@ -1949,17 +1976,12 @@ def incremental_exact_flags(
     (h) digest frame (the persisted artifact) that replaces the
     in-session derivation from history document rows, so history text
     is never re-read."""
-    is_b = F.col("doc_id") % INCR_MOD == 0
-    # NULL text is ONE content group, same as any digest: md5(NULL) is
-    # NULL in both engines and NULL equi-join keys never match, so a
-    # bare md5 would silently drop NULL-text batch docs from n_batch
-    # entirely (caught by this round's review pass — the differential
-    # gate cannot see it because both engines encode the same hole).
-    # The sentinel makes NULL-content grouping explicit and consistent
-    # across batch AND history.
-    h = F.coalesce(F.md5("text"), F.lit("null-text"))
+    # content_digest() is the shared NULL-sentinel rule — a bare md5
+    # would silently drop NULL-text batch docs from n_batch entirely
+    # (caught by an earlier review pass — the differential gate cannot
+    # see it because both engines encode the same hole)
     return incremental_seen_canon_flags(
-        docs.select("doc_id", "source", h.alias("h")),
+        docs.select("doc_id", "source", content_digest().alias("h")),
         ["h"],
         history_keys=(
             history_digests.select("h") if history_digests is not None else None
@@ -1986,7 +2008,14 @@ def incremental_seen_canon_flags(
     # internal aliases are name-mangled: a caller's key column named
     # "k" or "seen_f" would otherwise make the min/flag references
     # ambiguous (found by the model-based property test, which sweeps
-    # arbitrary key-column names through the helper)
+    # arbitrary key-column names through the helper). The mangled
+    # prefix itself is the one remaining reserved name — reject it
+    # rather than risk a silently ambiguous flag reference.
+    bad = [c for c in key_cols if c.startswith("__incr_")]
+    if bad:
+        raise ValueError(
+            f"key_cols may not use the reserved '__incr_' prefix: {bad}"
+        )
     is_b = F.col("doc_id") % INCR_MOD == 0
     hist = (
         (

@@ -88,13 +88,6 @@ def _batch_filter(id_col: str):
     return F.col(id_col) % INCR_MOD == 0
 
 
-def _digest_expr():
-    # the NULL-text sentinel — same content-group rule as
-    # incremental_exact_flags, or a NULL-text history doc would vanish
-    # from the digest artifact and its batch twin would be "never seen"
-    return F.coalesce(F.md5("text"), F.lit("null-text"))
-
-
 def _artifact_frames(
     docs: DataFrame, emb: DataFrame
 ) -> dict[str, DataFrame]:
@@ -105,6 +98,7 @@ def _artifact_frames(
     to ``ARTIFACT_NAMES`` so a sixth artifact cannot be added to one
     consumer and silently missed by the other."""
     from iceberg_explorer_spark.operators.dedup import (
+        content_digest,
         hashed_shingles_from_docs,
         minhash_band_rows,
     )
@@ -118,13 +112,20 @@ def _artifact_frames(
     # rows) — checkpoint so the slice is tokenized once per call
     shingles = hashed_shingles_from_docs(docs).localCheckpoint(eager=True)
     frames = {
-        "digests": docs.select(_digest_expr().alias("h")).distinct(),
+        # content_digest is the SAME expression the exact-stage probe
+        # groups by (single-source rule in dedup.py) — the artifact and
+        # the probe cannot desync
+        "digests": docs.select(content_digest().alias("h")).distinct(),
         "shingles": shingles,
         "bands": minhash_band_rows(shingles),
         "srp": _coded_vectors(emb),
         "pairs": paired_pair_keys(repartition_for_compute(docs)),
     }
-    assert tuple(frames) == ARTIFACT_NAMES
+    if tuple(frames) != ARTIFACT_NAMES:  # not assert: survives python -O
+        raise RuntimeError(
+            f"artifact frames {tuple(frames)} out of lockstep with "
+            f"ARTIFACT_NAMES {ARTIFACT_NAMES}"
+        )
     return frames
 
 
@@ -319,10 +320,27 @@ def append_incremental_artifacts(
     report's keep-list is the four-stage waterfall's, while this
     function appends for whatever ``status`` it is given) and
     reconciled by the paired round-trip test.
-    Returns appended row counts per artifact (history rows are never
-    rewritten — parquet append mode)."""
+    Returns appended row counts per artifact, counted from the
+    increment frames THEMSELVES (batch-sized, checkpointed so count
+    and write share one execution) — never by re-scanning the grown
+    artifact files: per-ingest cost stays O(batch + artifact probes),
+    and a concurrent writer cannot corrupt the bill. The file-level
+    proof that the append physically landed lives where verification
+    belongs, in the round-trip test's before/after file counts.
+    History rows are never rewritten — parquet append mode."""
     from iceberg_explorer_spark.operators.similarity import _load_emb
 
+    missing = [
+        n
+        for n in ARTIFACT_NAMES
+        if not os.path.exists(os.path.join(art_dir, f"{n}.parquet"))
+    ]
+    if missing:
+        raise FileNotFoundError(
+            f"artifacts {missing} not found under {art_dir} — run "
+            "write_incremental_artifacts (the one-time backfill) before "
+            "appending an increment"
+        )
     kept = status.filter(F.col("stage") == "kept").select("doc_id")
     frames = _artifact_frames(
         load_table(spark, sf_dir, "documents")
@@ -334,8 +352,12 @@ def append_incremental_artifacts(
     )
     appended: dict[str, int] = {}
     for name, df in frames.items():
-        path = os.path.join(art_dir, f"{name}.parquet")
-        before = spark.read.parquet(path).count()
-        df.write.mode("append").parquet(path)
-        appended[name] = spark.read.parquet(path).count() - before
+        # count + write must not re-run the producing pipeline (the
+        # pairs frame's decode kernel in particular) — checkpoint the
+        # batch-sized increment once and serve both from the blocks
+        df = df.localCheckpoint(eager=True)
+        appended[name] = df.count()
+        df.write.mode("append").parquet(
+            os.path.join(art_dir, f"{name}.parquet")
+        )
     return appended

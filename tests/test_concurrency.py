@@ -230,6 +230,24 @@ def test_multi_table_kind_fingerprints_both_inputs(spark, tmp_path):
     assert third is not second
     stages3 = {r["doc_id"]: r["stage"] for r in third.collect()}
     assert stages3 == {10: "exact", 20: "exact"}, stages3
+
+    # (5) a documents-only rewrite followed by a SINGLE-TABLE documents
+    # build evicts the now-stale multi-table entry too (per-component
+    # staleness comparison): before this, only the next multi-table
+    # build would, so repeated rewrites pinned dead checkpoint blocks
+    # until LRU age-out (ADVICE r11).
+    spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for i, t, s in
+         [(9, t1, "web"), (10, t2, "s1"), (20, t1, "s2")]],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    dedup.shared_lsh_candidates(spark, d)  # single-table cold build
+    with dedup._SHARED_CANDIDATES_LOCK:
+        slots = {k[2] for k in dedup._SHARED_CANDIDATES if k[1] == d}
+    assert "documents+embeddings" not in slots, slots
+    # ...while the LIVE embeddings-only entries of other corpora are
+    # untouched by design (fingerprints compared per component only
+    # for tables the rebuild actually read)
     dedup.invalidate_shared_candidates(d)
 
 

@@ -3285,9 +3285,23 @@ def test_incremental_artifact_round_trip(spark, tmp_path):
     )
     assert from_files == in_session
 
-    # (3) the append bill equals the delta report, count for count
+    # (3) the append bill equals the delta report, count for count.
+    # The bill is counted from the increment frames (the production
+    # shape — O(batch), no artifact re-scan); the before/after FILE
+    # counts here are the witness that the append physically landed.
+    from iceberg_explorer_spark.operators.incremental_artifacts import (
+        ARTIFACT_NAMES,
+    )
+
+    before_files = {
+        n: spark.read.parquet(f"{art}/{n}.parquet").count()
+        for n in ARTIFACT_NAMES
+    }
     status = incremental_status_from_artifacts(spark, d, art)
     appended = append_incremental_artifacts(spark, d, art, status)
+    for n in ARTIFACT_NAMES:
+        grown = spark.read.parquet(f"{art}/{n}.parquet").count()
+        assert grown == before_files[n] + appended[n], n
     assert appended["digests"] == sum(
         r["n_docs_appended"] for r in delta.values()
     )
@@ -3814,3 +3828,36 @@ def test_seen_canon_flags_model_based(spark):
         assert got_art == want, (got_art, want)
 
     run()
+
+
+def test_seen_canon_flags_rejects_reserved_key_prefix(spark):
+    """The helper mangles its internal aliases to __incr_seen/__incr_min;
+    a caller key column in that namespace would make the flag references
+    ambiguous, so the reserved prefix is rejected loudly (ADVICE r11 —
+    the model-based sweep above only covers k0-k3 names)."""
+    from iceberg_explorer_spark.operators.dedup import (
+        incremental_seen_canon_flags,
+    )
+
+    df = spark.createDataFrame(
+        [(10, "s", "x")], "doc_id long, source string, __incr_seen string"
+    )
+    with pytest.raises(ValueError, match="__incr_"):
+        incremental_seen_canon_flags(df, ["__incr_seen"])
+
+
+def test_append_before_backfill_fails_clearly(spark, tmp_path):
+    """append_incremental_artifacts called before the one-time backfill
+    must fail with a message naming the missing artifacts — not an
+    opaque path-not-found from a parquet append (ADVICE r11)."""
+    from iceberg_explorer_spark.operators.incremental_artifacts import (
+        append_incremental_artifacts,
+    )
+
+    status = spark.createDataFrame(
+        [(10, "s", "kept")], "doc_id long, source string, stage string"
+    )
+    with pytest.raises(FileNotFoundError, match="write_incremental"):
+        append_incremental_artifacts(
+            spark, SF_DIR_SMALL, str(tmp_path / "noart"), status
+        )
