@@ -45,9 +45,23 @@ QUERIES: dict[str, QuerySpec] = {}
 
 
 def query(name: str, oracle: Optional[str] = None, doc: str = ""):
-    """Decorator registering a query builder with its oracle SQL."""
+    """Decorator registering a query builder with its oracle SQL.
+
+    The decorated function's ``__name__`` must equal the registration
+    name: a helper pasted between ``@query(...)`` and the operator's
+    ``def`` silently registers the HELPER as the builder (wrong schema /
+    row count, surfacing only at oracle-compare time — this paste trap
+    fired three times before this guard). The mismatch now raises at
+    import time instead."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        if getattr(fn, "__name__", name) != name:
+            raise ValueError(
+                f"@query({name!r}) decorates a function named "
+                f"{fn.__name__!r} — a helper pasted into the decorator "
+                "gap would register under the operator's name; name the "
+                "builder after its registration"
+            )
         QUERIES[name] = QuerySpec(name=name, builder=fn, oracle=oracle, doc=doc)
         return fn
 

@@ -28,6 +28,35 @@ def test_check_window_ordering():
     assert not no_oracle_in_window, no_oracle_in_window
 
 
+def test_registry_builder_names_match_registration():
+    """Every registered builder's __name__ equals its registration name —
+    the structural guard for the @query-decorator paste trap (a helper
+    pasted between the decorator and the operator's def registers the
+    helper under the operator's name; it fired three times before the
+    decorator itself started raising on mismatch, and this invariant
+    keeps the decorator's guard honest over the whole registry). The
+    decorator raise catches the trap at import time; this test pins
+    that the guard stays in force (a weakened decorator would surface
+    here at pytest time instead of at oracle-compare time)."""
+    import pytest
+
+    from iceberg_explorer_spark.operators.registry import query
+
+    bad = [
+        (n, s.builder.__name__)
+        for n, s in QUERIES.items()
+        if s.builder.__name__ != n
+    ]
+    assert not bad, bad
+
+    # and the decorator itself rejects the mismatch at decoration time
+    with pytest.raises(ValueError, match="paste"):
+        @query("some_operator_name")
+        def helper_pasted_into_the_gap(spark, sf_dir):  # pragma: no cover
+            return None
+    assert "some_operator_name" not in QUERIES
+
+
 def _has_decimal(dt) -> bool:
     from pyspark.sql.types import ArrayType, DecimalType, MapType, StructType
 
