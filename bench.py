@@ -184,6 +184,19 @@ EXTENDED = [
 #:     same overlap-round protocol when the next reset is due —
 #:     format_output's ``graduating`` parameter stays as the generic
 #:     mechanism.
+#:   * round 13 (the NEXT overlap round — declared here in r12, ahead of
+#:     the final-line byte cap rather than reacting to it): the EXTENDED
+#:     set as frozen at the END of round 12 graduates. For that one
+#:     round ``value``/``n_queries`` stay the v2 trend line
+#:     (headline_version still 2) and additive ``value_v3`` /
+#:     ``n_queries_v3`` keys carry HEADLINE + the graduating cohort via
+#:     ``graduating=EXTENDED`` — the two extra keys are what the
+#:     slowest-map degradation ladder (5→4→3→0 entries) exists to
+#:     absorb if the line nears 500 bytes.
+#:   * round 14 (the v3 flip): the cohort folds into HEADLINE in its
+#:     frozen order, ``headline_version`` becomes 3, the v3 overlap keys
+#:     and the v2 sum drop, EXTENDED empties and refills with post-r12
+#:     operators only.
 #: ``headline_version`` is emitted starting round 9 so every bench artifact
 #: names the measurement set its ``value`` covers; the driver's
 #: round-over-round comparison must only ever compare equal versions
@@ -270,14 +283,15 @@ def format_output(
     additive ``extended_sec`` / ``n_extended`` keys instead; their
     per-query numbers sit in the same detail map as everything else.
 
-    ``graduating`` names the cohort graduating into the v2 headline this
-    overlap round (the HEADLINE GRADUATION POLICY above): those timings
-    are excluded from the v1 ``value``/``n_queries`` AND from
-    ``extended_sec``, and surface via the additive ``value_v2`` /
-    ``n_queries_v2`` keys, which sum HEADLINE + graduating. The v2 keys
-    are emitted only when ``graduating`` is non-empty — an overlap round
-    (none since r10; the parameter stays as the mechanism for the next
-    graduation).
+    ``graduating`` names the cohort graduating into the NEXT headline
+    version this overlap round (the HEADLINE GRADUATION POLICY above):
+    those timings are excluded from the current ``value``/``n_queries``
+    AND from ``extended_sec``, and surface via the additive
+    ``value_v{N+1}`` / ``n_queries_v{N+1}`` keys (N = HEADLINE_VERSION:
+    the r10 overlap emitted value_v2 under version 1; the scheduled r13
+    overlap emits value_v3 under version 2), which sum HEADLINE +
+    graduating. The overlap keys are emitted only when ``graduating`` is
+    non-empty.
 
     ``cpu_probe_sec`` / ``cpu_probe_1t_sec`` are the load-calibration
     scalars from :func:`cpu_probe`, measured immediately before the timed
@@ -348,15 +362,18 @@ def format_output(
                 # names the measurement set `value` covers — see the
                 # HEADLINE GRADUATION POLICY note at HEADLINE_VERSION
                 "headline_version": HEADLINE_VERSION,
-                # overlap-round v2 sum: HEADLINE + the graduating cohort
+                # overlap-round next-version sum: HEADLINE + the
+                # graduating cohort, keyed by the version it becomes
                 **(
                     {
-                        "value_v2": round(
+                        f"value_v{HEADLINE_VERSION + 1}": round(
                             sum(headline_timings.values())
                             + sum(graduating_timings.values()),
                             3,
                         ),
-                        "n_queries_v2": len(headline_timings)
+                        f"n_queries_v{HEADLINE_VERSION + 1}": len(
+                            headline_timings
+                        )
                         + len(graduating_timings),
                     }
                     if graduating_timings

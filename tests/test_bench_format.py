@@ -160,11 +160,14 @@ def test_headline_version_and_graduation_policy():
     `headline_version` key, and the version is 2 — the r9 cohort is
     folded into HEADLINE (all 12 present, exactly once) so `value`
     compares to BENCH_r10's value_v2 (77 queries), never its v1 value;
-    (2) no graduating cohort is in flight, so the v2 overlap keys are
-    ABSENT from a plain run; (3) the `graduating` parameter remains the
-    generic overlap-round mechanism for the NEXT reset — additive
-    value_v2/n_queries_v2, graduating entries excluded from `value`,
-    `extended_sec` and the slowest map."""
+    (2) no graduating cohort is in flight, so NO overlap keys appear in
+    a plain run; (3) the `graduating` parameter remains the generic
+    overlap-round mechanism and now keys the additive sum by the version
+    the cohort BECOMES — under version 2 an overlap emits
+    value_v3/n_queries_v3 (the r13 schedule declared in the policy
+    block), with graduating entries excluded from `value`,
+    `extended_sec` and the slowest map; (4) the v3 schedule itself is
+    declared in the policy text (r13 overlap, r14 flip)."""
     import bench
 
     # (1) the flip: version 2, the r9 cohort folded in exactly once
@@ -191,9 +194,11 @@ def test_headline_version_and_graduation_policy():
     assert parsed["headline_version"] == 2
     assert parsed["n_queries"] == len(HEADLINE) == 77
     assert parsed["value"] == round(1.234 * len(HEADLINE), 3)
-    # (2) no overlap in flight: the v2 keys are absent
-    assert "value_v2" not in parsed and "n_queries_v2" not in parsed
-    # (3) the generic overlap mechanism still works for the next reset
+    # (2) no overlap in flight: no overlap keys of ANY version
+    assert not [k for k in parsed if k.startswith("value_v")]
+    assert not [k for k in parsed if k.startswith("n_queries_v")]
+    # (3) the generic overlap mechanism keys by the NEXT version: under
+    # version 2 the r13 overlap emits value_v3/n_queries_v3
     grad = ["next_grad_a", "next_grad_b"]
     timings.update({name: 2.0 for name in grad})
     _, final_next = format_output(
@@ -201,18 +206,34 @@ def test_headline_version_and_graduation_policy():
     )
     parsed_next = json.loads(final_next)
     assert parsed_next["value"] == round(1.234 * len(HEADLINE), 3)
-    assert parsed_next["n_queries_v2"] == len(HEADLINE) + len(grad)
-    assert parsed_next["value_v2"] == round(
+    assert parsed_next["n_queries_v3"] == len(HEADLINE) + len(grad)
+    assert parsed_next["value_v3"] == round(
         1.234 * len(HEADLINE) + 2.0 * len(grad), 3
     )
+    assert "value_v2" not in parsed_next  # the old suffix never reappears
     assert parsed_next["extended_sec"] == round(10.0 * len(EXTENDED), 3)
     assert not set(parsed_next["queries"]) & set(grad)
+    # the r13 overlap simulated at FULL width: HEADLINE + the real
+    # 8-operator EXTENDED cohort graduating, realistic multi-second
+    # timings — the final line must degrade under the byte cap, never die
+    _, final_r13 = format_output(
+        {**{n: 9.876 for n in HEADLINE}, **{n: 9.876 for n in EXTENDED}},
+        {}, 0.1, 2, candidate_build=1.337, probe_build=1.1,
+        semantic_build=4.4, status_build=2.2, pairs_build=3.3,
+        cpu_probe_sec=0.123, cpu_probe_1t_sec=0.456,
+        graduating=EXTENDED,
+    )
+    assert len(final_r13) < 500, len(final_r13)
+    parsed_r13 = json.loads(final_r13)
+    assert parsed_r13["n_queries_v3"] == len(HEADLINE) + len(EXTENDED)
     # the policy text itself must stay in the source next to the constant
     import inspect
 
     src = inspect.getsource(bench)
     assert "HEADLINE GRADUATION POLICY" in src
     assert "round 11" in src and "value_v2" in src
+    # (4) the v3 schedule is declared: r13 overlap, r14 flip
+    assert "round 13" in src and "value_v3" in src and "round 14" in src
 
 
 def test_cpu_probe_calibration_keys():
