@@ -1919,6 +1919,20 @@ def dedup_span_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
 INCR_MOD = 10
 
 
+def parity_batch_predicate(col):
+    """The synthetic batch-membership fixture: ``col % INCR_MOD == 0``
+    plays "today's batch", the rest plays the already-ingested corpus.
+    This is the DEFAULT everywhere a ``batch_pred`` parameter appears —
+    every oracle bakes the same convention in, so the defaults are
+    byte-identical to the pre-parameter behavior. Production hands in
+    its real ingest-partition predicate instead (the two-day artifact
+    test runs id-range predicates through the same parameter); the
+    persisted-artifact path additionally decides CORPUS contact by
+    artifact membership, not by any id rule — see
+    incremental_artifacts."""
+    return col % INCR_MOD == 0
+
+
 def content_digest():
     """The content-digest expression — THE single definition shared by
     the exact-stage probe (``incremental_exact_flags``) and the persisted
@@ -1964,7 +1978,9 @@ def _incremental_exact_sql() -> str:
 
 
 def incremental_exact_flags(
-    docs: DataFrame, history_digests: DataFrame | None = None
+    docs: DataFrame,
+    history_digests: DataFrame | None = None,
+    batch_pred=None,
 ) -> DataFrame:
     """(doc_id, source, seen, is_canon) for every batch doc — the Spark
     twin of ``_incremental_exact_sql``, shared by
@@ -1986,6 +2002,7 @@ def incremental_exact_flags(
         history_keys=(
             history_digests.select("h") if history_digests is not None else None
         ),
+        batch_pred=batch_pred,
     )
 
 
@@ -1993,6 +2010,7 @@ def incremental_seen_canon_flags(
     rows: DataFrame,
     key_cols: list[str],
     history_keys: DataFrame | None = None,
+    batch_pred=None,
 ) -> DataFrame:
     """(doc_id, source, seen, is_canon) for the batch rows of a keyed
     (doc_id, source, *key_cols) frame — the exact-match incremental rule
@@ -2004,7 +2022,11 @@ def incremental_seen_canon_flags(
     cross-modal pair-key instance (``dedup_incremental_paired``) — key
     columns must never be NULL (NULL equi-join keys silently drop rows;
     the digest instance guarantees this with its sentinel, the pair-key
-    instance by construction of ahash/caption_fp)."""
+    instance by construction of ahash/caption_fp). ``batch_pred`` is the
+    batch-membership predicate over the doc_id column (default: the
+    ``parity_batch_predicate`` fixture every oracle bakes in); the
+    persisted-artifact path hands in an all-true predicate because its
+    ``rows`` frame IS the batch by construction."""
     # internal aliases are name-mangled: a caller's key column named
     # "k" or "seen_f" would otherwise make the min/flag references
     # ambiguous (found by the model-based property test, which sweeps
@@ -2016,7 +2038,9 @@ def incremental_seen_canon_flags(
         raise ValueError(
             f"key_cols may not use the reserved '__incr_' prefix: {bad}"
         )
-    is_b = F.col("doc_id") % INCR_MOD == 0
+    if batch_pred is None:
+        batch_pred = parity_batch_predicate
+    is_b = batch_pred(F.col("doc_id"))
     hist = (
         (
             history_keys
@@ -2889,7 +2913,9 @@ def _incremental_report_sql(kind: str) -> str:
     FROM cls GROUP BY source"""
 
 
-def incremental_component_cls(be: DataFrame, batch: DataFrame) -> DataFrame:
+def incremental_component_cls(
+    be: DataFrame, batch: DataFrame, batch_members: DataFrame | None = None
+) -> DataFrame:
     """Spark classification stage shared by the incremental ingest family
     — the executable twin of ``_incremental_cls_sql``: returns one row
     per spine doc (doc_id, source, vs_corpus, in_batch), both flags 0/1
@@ -2917,11 +2943,43 @@ def incremental_component_cls(be: DataFrame, batch: DataFrame) -> DataFrame:
     represented"). Tainted members drop vs_corpus; a batch-only
     component keeps its min-id member and drops the rest — every drop
     has a LIVE representative (the corpus or the kept min), never an
-    already-dropped neighbor or a ghost."""
+    already-dropped neighbor or a ghost.
+
+    ``batch_members``: optional (doc_id) frame holding the FULL batch
+    population (a superset of the spine). When given, an edge
+    endpoint's batch-ness is decided by MEMBERSHIP in it — the
+    production rule the persisted-artifact path needs: on day 2 an
+    edge to a day-1 KEPT doc (now appended to the artifacts) must read
+    as corpus contact, which the default id-parity fixture cannot
+    express (a day-1 doc keeps its batch parity forever). When None,
+    the parity fixture applies — byte-identical to every oracle."""
     batch = batch.localCheckpoint(eager=True)
     ids = batch.select("doc_id")
-    a_b = F.col("id_a") % INCR_MOD == 0
-    b_b = F.col("id_b") % INCR_MOD == 0
+    if batch_members is None:
+        a_b = parity_batch_predicate(F.col("id_a"))
+        b_b = parity_batch_predicate(F.col("id_b"))
+    else:
+        # increment-sized membership frame joined to the edge endpoints
+        # (broadcast at scale); checkpointed because it feeds both the
+        # bb and contact branches below
+        m = batch_members.select("doc_id").distinct().localCheckpoint(
+            eager=True
+        )
+        be = be.join(
+            m.select(
+                F.col("doc_id").alias("id_a"), F.lit(1).alias("__incr_a")
+            ),
+            "id_a",
+            "left",
+        ).join(
+            m.select(
+                F.col("doc_id").alias("id_b"), F.lit(1).alias("__incr_b")
+            ),
+            "id_b",
+            "left",
+        )
+        a_b = F.col("__incr_a").isNotNull()
+        b_b = F.col("__incr_b").isNotNull()
     bb = (
         be.filter(a_b & b_b)
         .join(ids, F.col("id_a") == F.col("doc_id"), "left_semi")
@@ -2980,12 +3038,13 @@ def incremental_component_cls(be: DataFrame, batch: DataFrame) -> DataFrame:
 
 
 def incremental_component_report(
-    be: DataFrame, batch: DataFrame, kind: str
+    be: DataFrame, batch: DataFrame, kind: str,
+    batch_members: DataFrame | None = None,
 ) -> DataFrame:
     """Per-source report over ``incremental_component_cls`` — the tail
     of the standalone incremental operators (the capstone consumes the
     cls rows directly instead)."""
-    cls = incremental_component_cls(be, batch)
+    cls = incremental_component_cls(be, batch, batch_members=batch_members)
     vs = F.col("vs_corpus") == 1
     ib = F.col("in_batch") == 1
     return cls.groupBy("source").agg(

@@ -48,14 +48,22 @@ Post-append scope: re-ingesting the SAME batch after
 (their digests are now history, so the exact stage claims them —
 idempotence, pinned by the round-trip test) and the unions above stay
 one-row-per-fact via distinct (batch and artifact rows for an appended
-doc are bit-identical by the shared definitions). Day-2 classification
-of docs that were DROPPED on day 1 inherits the synthetic
-doc_id-parity batch convention's limits: the component classifier
-decides "corpus contact" by id parity, so an appended (batch-parity)
-doc never taints its neighbors as corpus content. Production replaces
-the parity selector with partition membership and decides corpus
-contact by artifact membership, which this fixture convention cannot
-express — same caveat the incremental operators themselves carry.
+doc are bit-identical by the shared definitions).
+
+Multi-day operation (round 12 — closes the r11 caveat): every entry
+point takes a ``batch_pred`` parameter selecting the day's batch
+(default: the id-parity fixture the oracles bake in; production hands
+in its ingest partition's predicate), and CLASSIFICATION is decoupled
+from the predicate entirely — an edge endpoint is batch iff it is a
+member of today's batch slice, corpus otherwise, and since every
+non-batch row in the probe unions came from an artifact file, "corpus"
+IS artifact membership. Day 2 therefore works: a day-1 KEPT doc lives
+in the artifacts, and a day-2 near/semantic/paired duplicate of it is
+claimed vs_corpus (and a day-2 exact duplicate by the digest probe) —
+under the old parity convention the day-1 doc kept batch parity
+forever, its edges read batch-batch, the spine restriction dropped
+them, and the day-2 doc would have scored novel. Pinned by
+``tests/test_properties.py::test_incremental_artifacts_two_day_operation``.
 
 reference: no analogue — training-pipeline extension surface; the
 discipline demand is this repo's own (SCALE.md round-11).
@@ -76,16 +84,25 @@ from iceberg_explorer_spark.sources.registry import load_table
 ARTIFACT_NAMES = ("digests", "shingles", "bands", "srp", "pairs")
 
 
-def _history_filter(id_col: str):
-    from iceberg_explorer_spark.operators.dedup import INCR_MOD
+def _resolve_pred(batch_pred):
+    """Default the batch-membership predicate to the id-parity fixture
+    (every oracle bakes it in); callers hand in their real ingest
+    partition's predicate instead — the two-day test runs id ranges
+    through here."""
+    if batch_pred is None:
+        from iceberg_explorer_spark.operators.dedup import (
+            parity_batch_predicate,
+        )
 
-    return F.col(id_col) % INCR_MOD != 0
+        return parity_batch_predicate
+    return batch_pred
 
 
-def _batch_filter(id_col: str):
-    from iceberg_explorer_spark.operators.dedup import INCR_MOD
-
-    return F.col(id_col) % INCR_MOD == 0
+def _all_batch(col):
+    """Predicate for frames that ARE the batch by construction (the
+    artifact path's slices are pre-filtered), so the shared flag helpers
+    must not re-filter them by any id rule."""
+    return F.lit(True)
 
 
 def _artifact_frames(
@@ -130,20 +147,22 @@ def _artifact_frames(
 
 
 def write_incremental_artifacts(
-    spark: SparkSession, sf_dir: str, out_dir: str
+    spark: SparkSession, sf_dir: str, out_dir: str, batch_pred=None
 ) -> dict[str, int]:
     """Derive the five history artifacts (``ARTIFACT_NAMES``) from the
     corpus at ``sf_dir`` and write them under ``out_dir``; returns row
     counts per artifact. This is the one-time backfill a production
     pipeline runs ONCE — every nightly ingest after it reads these files
-    and appends to them."""
+    and appends to them. History is everything ``batch_pred`` does NOT
+    select (default: the id-parity fixture)."""
     from iceberg_explorer_spark.operators.similarity import _load_emb
 
+    pred = _resolve_pred(batch_pred)
     frames = _artifact_frames(
         load_table(spark, sf_dir, "documents").filter(
-            _history_filter("doc_id")
+            ~pred(F.col("doc_id"))
         ),
-        _load_emb(spark, sf_dir).filter(_history_filter("vec_id")),
+        _load_emb(spark, sf_dir).filter(~pred(F.col("vec_id"))),
     )
     counts: dict[str, int] = {}
     for name, df in frames.items():
@@ -154,14 +173,27 @@ def write_incremental_artifacts(
 
 
 def incremental_status_from_artifacts(
-    spark: SparkSession, sf_dir: str, art_dir: str
+    spark: SparkSession, sf_dir: str, art_dir: str, batch_pred=None
 ) -> DataFrame:
     """(doc_id, source, stage) for every batch doc — the SAME waterfall as
     ``pipeline.incremental_status`` (shared assembly tail, shared stage
     definitions) with history read ONLY from the parquet artifacts under
     ``art_dir``. The only non-artifact reads are the batch slices of
     documents/embeddings; per-ingest cost is O(batch + artifact probes),
-    never a corpus re-scan."""
+    never a corpus re-scan.
+
+    ``batch_pred`` selects today's batch (default: the id-parity
+    fixture). Unlike the in-session operators, CLASSIFICATION here never
+    uses the predicate beyond slicing the batch: an edge endpoint is
+    batch iff it is a MEMBER of the batch slice, and corpus otherwise —
+    and every non-batch row in the unions comes from an artifact file,
+    so "corpus" IS artifact membership. That is the production rule the
+    old parity convention could not express: on day 2, a day-1 KEPT doc
+    lives in the artifacts and an edge to it must read as corpus
+    contact, but under parity it kept its batch parity forever (the
+    edge read batch-batch, the spine restriction dropped it, and a
+    day-2 near-dup of corpus content would have been scored novel).
+    Pinned by the two-day test."""
     from iceberg_explorer_spark.operators.dedup import (
         INCR_NEAR_TAU,
         hashed_shingles_from_docs,
@@ -183,12 +215,43 @@ def incremental_status_from_artifacts(
     def _read(name: str) -> DataFrame:
         return spark.read.parquet(os.path.join(art_dir, f"{name}.parquet"))
 
+    pred = _resolve_pred(batch_pred)
     batch_docs = load_table(spark, sf_dir, "documents").filter(
-        _batch_filter("doc_id")
+        pred(F.col("doc_id"))
     )
-    # exact: probe the digest artifact — history text never read
+    # the batch id frame drives every membership decision below (edge
+    # endpoints, candidate touching) — one checkpoint, many broadcasts
+    batch_ids = batch_docs.select("doc_id").localCheckpoint(eager=True)
+
+    def _touching(pairs: DataFrame, ca: str, cb: str) -> DataFrame:
+        """pairs with at least one endpoint IN the batch — membership,
+        never an id rule (broadcast-sized joins against batch_ids)."""
+        return (
+            pairs.join(
+                batch_ids.select(
+                    F.col("doc_id").alias(ca), F.lit(1).alias("__in_a")
+                ),
+                ca,
+                "left",
+            )
+            .join(
+                batch_ids.select(
+                    F.col("doc_id").alias(cb), F.lit(1).alias("__in_b")
+                ),
+                cb,
+                "left",
+            )
+            .filter(
+                F.col("__in_a").isNotNull() | F.col("__in_b").isNotNull()
+            )
+            .select(ca, cb)
+        )
+
+    # exact: probe the digest artifact — history text never read. The
+    # slice IS the batch, so the flag helper must not re-filter by any
+    # id rule (_all_batch)
     flags = incremental_exact_flags(
-        batch_docs, history_digests=_read("digests")
+        batch_docs, history_digests=_read("digests"), batch_pred=_all_batch
     ).localCheckpoint(eager=True)
 
     # near: tokenize ONLY the batch; history shingles/bands are files.
@@ -219,7 +282,7 @@ def incremental_status_from_artifacts(
         .distinct()
     )
     cands = pairs_from_band_rows(touched_bands).select("doc_a", "doc_b")
-    bc = cands.filter(_batch_filter("doc_a") | _batch_filter("doc_b"))
+    bc = _touching(cands, "doc_a", "doc_b")
     sh_union = _read("shingles").unionByName(sh_batch).distinct()
     be = (
         jaccard_verify(bc, sh_union, threshold=INCR_NEAR_TAU)
@@ -230,7 +293,7 @@ def incremental_status_from_artifacts(
     # semantic: batch vectors SRP-coded fresh by the SAME expression that
     # produced the artifact; the GEMM kernel runs over whole batch-touched
     # buckets so every pair's cosine is bit-identical to the corpus run
-    emb_batch = _load_emb(spark, sf_dir).filter(_batch_filter("vec_id"))
+    emb_batch = _load_emb(spark, sf_dir).filter(pred(F.col("vec_id")))
     coded_batch = _coded_vectors(emb_batch)
     # dropDuplicates on vec_id for the same post-append reason as the
     # near-stage unions (vec_id determines the vector and its bucket, so
@@ -243,15 +306,18 @@ def incremental_status_from_artifacts(
         .dropDuplicates(["vec_id"])
     )
     be2 = (
-        _bucket_pairs_gemm_coded(touched_srp)
-        .select(
-            F.col("vec_a").alias("id_a"),
-            F.col("vec_b").alias("id_b"),
-            F.round("cos_sim", 6).alias("cos_sim"),
+        _touching(
+            _bucket_pairs_gemm_coded(touched_srp)
+            .select(
+                F.col("vec_a").alias("id_a"),
+                F.col("vec_b").alias("id_b"),
+                F.round("cos_sim", 6).alias("cos_sim"),
+            )
+            .filter(F.col("cos_sim") >= NEAR_DUP_TAU)
+            .select("id_a", "id_b"),
+            "id_a",
+            "id_b",
         )
-        .filter(F.col("cos_sim") >= NEAR_DUP_TAU)
-        .filter(_batch_filter("id_a") | _batch_filter("id_b"))
-        .select("id_a", "id_b")
         # the CC loop inside the classification tail consumes the edge
         # frame once per propagation round — materialize it, or every
         # round re-runs the per-bucket GEMM and the parquet reads (the
@@ -259,11 +325,13 @@ def incremental_status_from_artifacts(
         .localCheckpoint(eager=True)
     )
     emb_ids = emb_batch.select(F.col("vec_id").alias("doc_id"))
-    return assemble_incremental_status(flags, be, be2, emb_ids)
+    return assemble_incremental_status(
+        flags, be, be2, emb_ids, batch_members=batch_ids
+    )
 
 
 def incremental_paired_from_artifacts(
-    spark: SparkSession, sf_dir: str, art_dir: str
+    spark: SparkSession, sf_dir: str, art_dir: str, batch_pred=None
 ) -> DataFrame:
     """``dedup_incremental_paired``'s report with history read ONLY from
     the persisted pair-key artifact — the fourth sibling's file-probed
@@ -285,7 +353,7 @@ def incremental_paired_from_artifacts(
     )
 
     batch_docs = load_table(spark, sf_dir, "documents").filter(
-        _batch_filter("doc_id")
+        _resolve_pred(batch_pred)(F.col("doc_id"))
     )
     # increment-sized decode; checkpointed because the flags helper
     # reads the key frame from TWO branches here (batch rows and the
@@ -299,14 +367,23 @@ def incremental_paired_from_artifacts(
         spark.read.parquet(os.path.join(art_dir, "pairs.parquet"))
         .select("ahash", "caption_fp")
     )
+    # the key frame IS the batch (sliced above) — no id rule in the
+    # shared flags helper
     flags = incremental_seen_canon_flags(
-        batch_keys, ["ahash", "caption_fp"], history_keys=hist_keys
+        batch_keys,
+        ["ahash", "caption_fp"],
+        history_keys=hist_keys,
+        batch_pred=_all_batch,
     )
     return paired_incremental_report(flags)
 
 
 def append_incremental_artifacts(
-    spark: SparkSession, sf_dir: str, art_dir: str, status: DataFrame
+    spark: SparkSession,
+    sf_dir: str,
+    art_dir: str,
+    status: DataFrame,
+    batch_pred=None,
 ) -> dict[str, int]:
     """Append the kept batch docs' artifact rows under ``art_dir``.
     The first four artifacts are exactly the write side
@@ -341,13 +418,14 @@ def append_incremental_artifacts(
             "write_incremental_artifacts (the one-time backfill) before "
             "appending an increment"
         )
+    pred = _resolve_pred(batch_pred)
     kept = status.filter(F.col("stage") == "kept").select("doc_id")
     frames = _artifact_frames(
         load_table(spark, sf_dir, "documents")
-        .filter(_batch_filter("doc_id"))
+        .filter(pred(F.col("doc_id")))
         .join(kept, "doc_id"),
         _load_emb(spark, sf_dir)
-        .filter(_batch_filter("vec_id"))
+        .filter(pred(F.col("vec_id")))
         .join(kept.select(F.col("doc_id").alias("vec_id")), "vec_id"),
     )
     appended: dict[str, int] = {}

@@ -1750,7 +1750,11 @@ def incremental_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def assemble_incremental_status(
-    flags: DataFrame, be: DataFrame, be2: DataFrame, emb_ids: DataFrame
+    flags: DataFrame,
+    be: DataFrame,
+    be2: DataFrame,
+    emb_ids: DataFrame,
+    batch_members: DataFrame | None = None,
 ) -> DataFrame:
     """The waterfall tail shared by the in-session and persisted-artifact
     status paths: given the exact-stage ``flags``, the batch-touching
@@ -1758,7 +1762,12 @@ def assemble_incremental_status(
     edges ``be2`` and the embedded-doc id frame ``emb_ids``, produce
     (doc_id, source, stage). ONE definition — the two paths must only
     ever differ in WHERE history comes from (recomputation vs parquet
-    artifacts), never in how stages compose."""
+    artifacts), never in how stages compose. ``batch_members`` (a
+    doc_id frame of the full batch population) switches edge-endpoint
+    classification from the id-parity fixture to membership — the
+    production rule the artifact path passes so day-2 edges to day-1
+    appended docs read as corpus contact (see
+    incremental_component_cls)."""
     from iceberg_explorer_spark.operators.dedup import (
         incremental_component_cls,
     )
@@ -1768,14 +1777,16 @@ def assemble_incremental_status(
     # cls1 feeds TWO branches (the near drop list for the status join
     # and the stage-2 survivor spine) — one eager checkpoint of the
     # increment-sized classification, both consumers filter it
-    cls1 = incremental_component_cls(be, surv1).localCheckpoint(eager=True)
+    cls1 = incremental_component_cls(
+        be, surv1, batch_members=batch_members
+    ).localCheckpoint(eager=True)
     dropped = (F.col("vs_corpus") == 1) | (F.col("in_batch") == 1)
     near_drops = cls1.filter(dropped).select(
         "doc_id", F.lit(True).alias("near_drop")
     )
     surv2 = cls1.filter(~dropped).select("doc_id", "source")
     batch2 = surv2.join(emb_ids, "doc_id")
-    cls2 = incremental_component_cls(be2, batch2)
+    cls2 = incremental_component_cls(be2, batch2, batch_members=batch_members)
     sem_drops = cls2.filter(dropped).select(
         "doc_id", F.lit(True).alias("sem_drop")
     )

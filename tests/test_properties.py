@@ -3562,6 +3562,167 @@ def test_incremental_paired_artifact_round_trip(spark, tmp_path):
     invalidate_shared_candidates(d)
 
 
+def test_incremental_artifacts_two_day_operation(spark, tmp_path):
+    """TRUE multi-day operation over the persisted artifacts (VERDICT
+    r11 #2): batch membership is a pluggable predicate (id ranges here,
+    not the parity fixture), corpus contact is decided by ARTIFACT
+    membership, and a second DISTINCT day-2 batch is ingested against
+    the artifacts GROWN by day-1's append. Pins, per stage:
+    (exact) a day-2 doc duplicating a day-1 KEPT doc is claimed by the
+    digest probe — the artifact, not the original corpus, is what makes
+    it a duplicate; (near) a day-2 near-dup of a day-1 kept doc is
+    n_near vs_corpus — under the old parity convention the day-1 doc
+    kept batch parity forever, the edge read batch-batch, the spine
+    restriction dropped it and the doc would have scored NOVEL;
+    (semantic) a day-2 vector twin of a day-1 kept doc's embedding
+    drops at the semantic stage; (paired) a day-2 pair-key twin of a
+    day-1 kept doc is pairdup-vs-corpus; (bill) day-2's append bill is
+    exactly its kept docs' artifact rows and the files grow by exactly
+    the bill; (idempotence) after day-2's append, re-ingesting day 2
+    claims every day-2 keeper at the exact stage."""
+    import numpy as np
+
+    from iceberg_explorer_spark.operators.dedup import N_BANDS
+    from iceberg_explorer_spark.operators.incremental_artifacts import (
+        ARTIFACT_NAMES,
+        append_incremental_artifacts,
+        incremental_paired_from_artifacts,
+        incremental_status_from_artifacts,
+        write_incremental_artifacts,
+    )
+    from iceberg_explorer_spark.operators.similarity import DIM
+
+    def swap2(text, i, j, tag):
+        w = text.split(" ")
+        w[i], w[j] = f"CHANGED{tag}0", f"CHANGED{tag}1"
+        return " ".join(w)
+
+    t_a = " ".join(f"alpha{i} beta{i % 5} gamma{i % 11}" for i in range(40))
+    t_b = " ".join(f"delta{i} epsilon{i % 7} zeta{i % 13}" for i in range(20))
+    t_b_near = swap2(t_b, 10, 34, "a")           # J ≈ 0.81 vs t_b
+    t_c = " ".join(f"eta{i} theta{i % 3} iota{i % 17}" for i in range(40))
+    t_d = " ".join(f"kappa{i} lambda{i % 9} mu{i % 4}" for i in range(40))
+    t_e = " ".join(f"nu{i} xi{i % 6} omicron{i % 13}" for i in range(40))
+    t_f = " ".join(f"pi{i} rho{i % 5} sigma{i % 11}" for i in range(40))
+    t_g = " ".join(f"tau{i} upsilon{i % 7} phi{i % 13}" for i in range(20))
+    t_g_near = swap2(t_g, 12, 40, "b")
+    docs = [
+        # history: ids < 100
+        (1, t_a, "h"), (2, t_c, "h"),
+        # day 1: 100 <= id < 200
+        (100, t_b, "d1"),      # novel -> kept, then APPENDED
+        (110, t_a, "d1"),      # exact vs original history
+        (120, t_d, "d1"),      # novel + embedding v2 -> kept, APPENDED
+        (130, t_e, "d1"),      # novel -> kept, pair key APPENDED
+        # day 2: id >= 200 (a DISTINCT batch against the grown artifacts)
+        (200, t_b, "s200"),        # exact dup of DAY-1 KEPT 100
+        (210, t_b_near, "s210"),   # near-dup of DAY-1 KEPT 100
+        (220, t_f, "s220"),        # vector twin of DAY-1 KEPT 120
+        (230, " ".join(f"fresh{i} novel{i % 6}" for i in range(40)), "s230"),
+        (240, t_c, "s240"),        # exact dup of original history
+        (250, t_g, "s250"),        # near in-batch pair, min -> kept
+        (260, t_g_near, "s260"),   # near in-batch pair -> dropped
+    ]
+    rng = np.random.default_rng(37)
+
+    def _unit():
+        v = rng.normal(size=DIM)
+        return [float(x) for x in v / np.linalg.norm(v)]
+
+    v2, v3 = _unit(), _unit()
+    emb = [(120, v2), (220, v2), (230, v3)]
+    d = str(tmp_path / "twoday")
+    spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for i, t, s in docs],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    spark.createDataFrame(
+        [(i, v, 0) for i, v in emb],
+        "vec_id long, embedding array<float>, label int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+
+    day1 = lambda c: (c >= 100) & (c < 200)      # noqa: E731
+    day2 = lambda c: c >= 200                     # noqa: E731
+    any_batch = lambda c: c >= 100                # noqa: E731
+
+    # backfill: history = NOT any_batch = ids < 100
+    art = str(tmp_path / "artifacts")
+    counts = write_incremental_artifacts(spark, d, art, batch_pred=any_batch)
+    assert counts["digests"] == 2  # t_a, t_c only
+
+    # day 1: ingest + append through the SAME predicate
+    st1 = {
+        r["doc_id"]: r["stage"]
+        for r in incremental_status_from_artifacts(
+            spark, d, art, batch_pred=day1
+        ).collect()
+    }
+    assert st1 == {100: "kept", 110: "exact", 120: "kept", 130: "kept"}, st1
+    a1 = append_incremental_artifacts(
+        spark,
+        d,
+        art,
+        incremental_status_from_artifacts(spark, d, art, batch_pred=day1),
+        batch_pred=day1,
+    )
+    assert a1["digests"] == 3 and a1["srp"] == 1 and a1["pairs"] == 3, a1
+
+    # day 2 against the GROWN artifacts
+    st2 = {
+        r["doc_id"]: r["stage"]
+        for r in incremental_status_from_artifacts(
+            spark, d, art, batch_pred=day2
+        ).collect()
+    }
+    assert st2[200] == "exact", st2      # dup of a day-1 KEPT doc
+    assert st2[210] == "near", st2       # near-dup of day-1 kept: corpus
+    assert st2[220] == "semantic", st2   # vector twin of day-1 kept
+    assert st2[240] == "exact", st2      # dup of original history
+    assert st2[230] == "kept" and st2[250] == "kept", st2
+    assert st2[260] == "near", st2       # in-batch near pair, min kept
+
+    # (paired) day-2 key twin of day-1 kept doc 100 -> vs_corpus
+    p2 = {
+        r["source"]: r
+        for r in incremental_paired_from_artifacts(
+            spark, d, art, batch_pred=day2
+        ).collect()
+    }
+    assert p2["s200"]["n_pairdup_vs_corpus"] == 1, p2
+
+    # (bill) day-2 append = exactly its keepers' artifact rows, and the
+    # files grow by exactly the bill
+    before = {
+        n: spark.read.parquet(f"{art}/{n}.parquet").count()
+        for n in ARTIFACT_NAMES
+    }
+    a2 = append_incremental_artifacts(
+        spark,
+        d,
+        art,
+        incremental_status_from_artifacts(spark, d, art, batch_pred=day2),
+        batch_pred=day2,
+    )
+    assert a2["digests"] == 2, a2        # keepers 230, 250
+    assert a2["bands"] == 2 * N_BANDS, a2
+    assert a2["srp"] == 1, a2            # only 230 has an embedding
+    assert a2["pairs"] == 2, a2
+    for n in ARTIFACT_NAMES:
+        grown = spark.read.parquet(f"{art}/{n}.parquet").count()
+        assert grown == before[n] + a2[n], n
+
+    # (idempotence) day-2 keepers are now history: a re-ingest claims
+    # them at the exact stage
+    st2b = {
+        r["doc_id"]: r["stage"]
+        for r in incremental_status_from_artifacts(
+            spark, d, art, batch_pred=day2
+        ).collect()
+    }
+    assert st2b[230] == "exact" and st2b[250] == "exact", st2b
+
+
 def test_incremental_ingest_v2_paired_stage(spark, tmp_path):
     """pipeline_incremental_ingest_v2's distinguishing claims on a
     crafted corpus (batch = doc_id % 10 == 0; all fp-preserving tails
