@@ -3405,6 +3405,88 @@ def test_clean_corpus_v2_near_stage_lost_last_copy_contract(spark, tmp_path):
     invalidate_shared_candidates(d)
 
 
+def test_clean_corpus_v2_lost_last_copy_skewed_sweep(spark, tmp_path):
+    """Quantifies the lost-last-copy trigger on a SKEWED corpus (VERDICT
+    r11 #6): the zero-loss measurement at sf0.1 rests on near-component
+    mins rarely failing quality — this sweep builds a corpus where
+    near-dup groups SYSTEMATICALLY pair a quality-failing min with
+    passing rewrites, and the loss rate is 100% OF THE ADVERSARIAL
+    GROUPS (8/8 here, including three-member groups — 18 of the
+    corpus's 26 docs lose their content entirely),
+    while every control group (passing min) keeps exactly one
+    copy. Conclusion written to SCALE.md: the zero at sf0.1 is
+    FIXTURE-SHAPED, not a property of the operator — the disclosed
+    trigger condition for the survivor-aware near variant (a real
+    corpus measuring material loss) stands, and this corpus is the
+    measuring instrument."""
+    from iceberg_explorer_spark.operators import QUERIES
+    from iceberg_explorer_spark.operators.dedup import (
+        invalidate_shared_candidates,
+        shared_lsh_candidates,
+    )
+
+    rows = []
+    n_adv, n_ctrl = 8, 4
+    for g in range(n_adv):
+        # 19-word min (quality-fail) + passing near rewrites; groups 0-1
+        # get a THIRD member to show loss is not a two-doc artifact
+        t19 = " ".join(f"adv{g}w{i} adv{g}x{i % 5}" for i in range(9))
+        t19 += f" adv{g}end"
+        assert len(t19.split()) == 19
+        rows.append((100 + 10 * g, t19, f"a{g}"))
+        rows.append((101 + 10 * g, t19 + " fillA fillB", f"a{g}"))
+        if g < 2:
+            rows.append((102 + 10 * g, t19 + " fillC fillD", f"a{g}"))
+    for g in range(n_ctrl):
+        u21 = " ".join(f"ctl{g}w{i} ctl{g}x{i % 7}" for i in range(10))
+        u21 += f" ctl{g}tail"
+        assert len(u21.split()) == 21
+        rows.append((300 + 10 * g, u21, f"c{g}"))
+        rows.append((301 + 10 * g, u21 + " fillE fillF", f"c{g}"))
+    d = str(tmp_path / "skewed")
+    spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for i, t, s in rows],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+
+    # precondition: every group's (min, rewrite) pair is an LSH candidate
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in shared_lsh_candidates(spark, d).collect()
+    }
+    for g in range(n_adv):
+        assert (100 + 10 * g, 101 + 10 * g) in pairs, g
+    for g in range(n_ctrl):
+        assert (300 + 10 * g, 301 + 10 * g) in pairs, g
+
+    got = {
+        r["source"]: r
+        for r in QUERIES["pipeline_clean_corpus_v2"]
+        .builder(spark, d)
+        .collect()
+    }
+    lost_docs = 0
+    for g in range(n_adv):
+        r = got[f"a{g}"]
+        n = 3 if g < 2 else 2
+        assert r["n_kept"] == 0, (g, r)            # last copy lost
+        assert r["n_drop_quality"] == 1, (g, r)    # the failing min
+        assert r["n_drop_near"] == n - 1, (g, r)   # every rewrite
+        lost_docs += r["n_docs"]
+    for g in range(n_ctrl):
+        r = got[f"c{g}"]
+        assert r["n_kept"] == 1, (g, r)            # min survives quality
+        assert r["n_drop_near"] == 1, (g, r)
+    # the headline number for SCALE.md: 8/8 adversarial groups lose ALL
+    # copies — 18 of the corpus's 26 docs (2 three-member + 6 two-member)
+    assert lost_docs == 18
+    invalidate_shared_candidates(d)
+
+
 def test_incremental_paired_classification(spark, tmp_path):
     """dedup_incremental_paired's distinguishing claims on a crafted
     corpus (doc_id % 10 == 0 plays the batch): (1) DOMAIN — a batch doc
