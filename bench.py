@@ -161,6 +161,8 @@ EXTENDED = [
     "dedup_incremental_paired",   # fourth sibling: cross-modal pair keys (r11)
     "pipeline_incremental_ingest_v2",  # four-stage incremental capstone (r11)
     "pipeline_incremental_artifact_delta_v2",  # its append bill (r11)
+    "dedup_simhash_hamming",      # banded-Hamming near-dup, exact recall (r12)
+    "dedup_incremental_two_day_exact",  # two-generation exact ingest (r12)
 ]
 
 #: HEADLINE GRADUATION POLICY (a logged trend reset, never a silent one).

@@ -318,6 +318,23 @@ Round 12 rotation (executes the r11 plan above verbatim): flagship +
   untouched semantics this round) and lead the r13 filler pool.
   1 + 3 + 43 + 3 = 50 exactly. Displaced multi-green queries remain
   covered every round by tests/test_differential.py.
+Round 12 also adds dedup_simhash_hamming (the SimHash modality's
+  candidate+verify path: 4×15-bit banded buckets through the SAME
+  pairs_from_band_rows as MinHash-LSH, popcount-XOR verify at
+  HAM_MAX=3 — EXACT recall at that bar by pigeonhole, pinned by a
+  model-based hypothesis test; signature definition single-sourced
+  with dedup_simhash) and dedup_incremental_two_day_exact (the
+  oracle-bearing witness of this round's multi-day semantics: day 2 =
+  doc_id % 10 == 5 classified against history GROWN by day 1's keeps;
+  both days are incremental_seen_canon_flags instantiated purely by
+  batch predicate — the new parameter in driver-visible form). Both
+  registered OUT-of-window with the full checklist (oracle +
+  differential + plan pin + crafted test + 3x point + SCALE.md row),
+  join bench EXTENDED (freezing into the cohort the declared r13
+  overlap graduates), and are the r13 rotation's first priority
+  together with second rows for pipeline_clean_corpus_v2 and
+  pipeline_incremental_artifact_delta (the two count-1 queries this
+  round's fillers skipped).
 """
 
 from iceberg_explorer_spark.operators.registry import QUERIES, QuerySpec, query  # noqa: F401

@@ -37,6 +37,17 @@ from iceberg_explorer_spark.sources.registry import load_table
 N_HASHES = 12
 N_BANDS = 4  # 3 rows per band
 SIMHASH_BITS = 60  # from 15 hex chars of md5 → fits a signed BIGINT
+#: Banded-Hamming near-dup parameters (dedup_simhash_hamming): 4 bands
+#: of 15 bits give EXACT recall at the HAM_MAX=3 bar by pigeonhole — 3
+#: differing bits can touch at most 3 of the 4 bands, so every pair
+#: within the bar shares at least one whole band and is emitted as a
+#: candidate (unlike MinHash-LSH, whose recall is probabilistic).
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
+SIMHASH_HAM_MAX = SIMHASH_BANDS - 1
+#: same quadratic guard as LSH_MAX_BUCKET: a degenerate band value
+#: shared by B docs would otherwise emit B² candidate pairs
+SIMHASH_MAX_BUCKET = 256
 
 #: Pathological-bucket frequency cap for LSH pair expansion. A bucket with B
 #: members emits B(B-1)/2 pairs, so one boilerplate-flooded bucket (every
@@ -889,10 +900,14 @@ def _simhash_combine_sql() -> str:
     )
 
 
-@query(
-    "dedup_simhash",
-    oracle=f"""
-    WITH toks AS (
+def _simhash_sig_sql() -> str:
+    """Oracle fragment: the per-doc SimHash signature CTE chain ending
+    in ``sigs(doc_id, simhash)`` — ONE definition shared by the
+    fingerprint report (dedup_simhash) and the banded Hamming near-dup
+    operator (dedup_simhash_hamming), so the signature rule cannot fork
+    between them. ``sigs`` is MATERIALIZED: DuckDB inlines plain CTEs
+    per reference site, and the Hamming operator reads it from six."""
+    return f"""toks AS (
       SELECT doc_id, UNNEST(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
       FROM documents
     ),
@@ -901,15 +916,17 @@ def _simhash_combine_sql() -> str:
     ),
     votes AS (
       SELECT doc_id, {_simhash_sql_terms()} FROM hashed GROUP BY doc_id
-    )
-    SELECT doc_id, {_simhash_combine_sql()} AS simhash FROM votes
-    """,
-    doc="SimHash document fingerprint: 60-bit signature from per-token md5 "
-    "bit votes (token multiplicity = vote weight). Pure two-level "
-    "aggregation — map-side partial sums make this cheap at any scale.",
-)
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    ),
+    sigs AS MATERIALIZED (
+      SELECT doc_id, {_simhash_combine_sql()} AS simhash FROM votes
+    )"""
+
+
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash) — the 60-bit per-doc SimHash signature, the
+    Spark twin of ``_simhash_sig_sql`` shared by dedup_simhash and
+    dedup_simhash_hamming. One explode + one 60-term aggregation with
+    map-side partial sums; everything stays in whole-stage codegen."""
     toks = docs.select(
         "doc_id", F.explode(_words()).alias("word")
     ).withColumn("h", F.expr("CAST(conv(substr(md5(word), 1, 15), 16, 10) AS BIGINT)"))
@@ -922,6 +939,117 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return votes.select("doc_id", F.expr(_simhash_combine_sql()).alias("simhash"))
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH {_simhash_sig_sql()}
+    SELECT doc_id, simhash FROM sigs
+    """,
+    doc="SimHash document fingerprint: 60-bit signature from per-token md5 "
+    "bit votes (token multiplicity = vote weight). Pure two-level "
+    "aggregation — map-side partial sums make this cheap at any scale. "
+    "The signature definition is the shared simhash_signatures /"
+    "_simhash_sig_sql pair, consumed verbatim by dedup_simhash_hamming.",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_signatures(load_table(spark, sf_dir, "documents"))
+
+
+def simhash_band_rows(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band, bkey) — each signature split into SIMHASH_BANDS
+    contiguous bit bands (literal shifts inside one stack(), fully
+    codegen'd; no column-amount shift, no explode of a helper array).
+    Column contract matches ``pairs_from_band_rows``, so the banded
+    Hamming operator reuses the SAME bucket-group + pair-emission +
+    quadratic-guard code as MinHash-LSH instead of a private copy."""
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    return sigs.selectExpr(
+        "doc_id",
+        f"stack({SIMHASH_BANDS}, "
+        + ", ".join(
+            f"{i}, (simhash >> {SIMHASH_BAND_BITS * i}) & {mask}"
+            for i in range(SIMHASH_BANDS)
+        )
+        + ") AS (band, bkey)",
+    )
+
+
+@query(
+    "dedup_simhash_hamming",
+    oracle=f"""
+    WITH {_simhash_sig_sql()},
+    bands AS MATERIALIZED (
+      {" UNION ALL ".join(
+        f"SELECT doc_id, {i} AS band,"
+        f" (simhash >> {SIMHASH_BAND_BITS * i}) & {(1 << SIMHASH_BAND_BITS) - 1}"
+        f" AS bkey FROM sigs"
+        for i in range(SIMHASH_BANDS)
+      )}
+    ),
+    buckets AS (
+      SELECT band, bkey FROM bands GROUP BY band, bkey
+      HAVING COUNT(*) BETWEEN 2 AND {SIMHASH_MAX_BUCKET}
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN buckets k ON k.band = a.band AND k.bkey = a.bkey
+      JOIN bands b ON b.band = a.band AND b.bkey = a.bkey
+           AND b.doc_id > a.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
+    FROM cands c
+    JOIN sigs sa ON sa.doc_id = c.doc_a
+    JOIN sigs sb ON sb.doc_id = c.doc_b
+    WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {SIMHASH_HAM_MAX}
+    """,
+    doc="SimHash banded-Hamming near-dup pairs — completes the SimHash "
+    "modality (the signature existed as a fingerprint report only; this "
+    "is its candidate+verify path, the third near-dup generator next to "
+    "MinHash-LSH and the rare-shingle probe index). Each 60-bit "
+    "signature splits into 4 contiguous 15-bit bands (literal shifts in "
+    "one stack(), fully codegen'd); docs sharing any (band, value) "
+    "bucket become candidates via the SAME bucket-group/pair-emission/"
+    "quadratic-guard code as MinHash-LSH (pairs_from_band_rows, "
+    "SIMHASH_MAX_BUCKET cap mirrored in the oracle); candidates verify "
+    "by popcount of the XOR'd signatures at HAM_MAX=3. The banding is "
+    "EXACT at that bar by pigeonhole — 3 differing bits touch at most 3 "
+    "of 4 bands, so every true pair shares a whole band and recall is "
+    "100%, a guarantee MinHash-LSH cannot make (model-based pin: "
+    "test_simhash_banding_exact_recall). At 100 TB: the signature build "
+    "is one map-side-partial aggregation over the token stream, the "
+    "candidate stage shuffles 16-byte (band, bkey, doc_id) rows "
+    "bucketed by band value (Σ bucket² bounded by the cap), and the "
+    "verify is two id-joins against the 16-byte signature table — "
+    "history text never re-read, nothing broadcast-forced. "
+    "reference: no analogue — training-pipeline extension.",
+)
+def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the signature frame feeds THREE branches (band rows + both verify
+    # sides) — checkpoint once per the standing multi-branch discipline
+    sigs = simhash_signatures(
+        load_table(spark, sf_dir, "documents")
+    ).localCheckpoint(eager=True)
+    cands = pairs_from_band_rows(
+        simhash_band_rows(sigs), max_bucket=SIMHASH_MAX_BUCKET
+    ).select("doc_a", "doc_b")
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"))
+    return (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("CAST(bit_count(sig_a ^ sig_b) AS BIGINT)").alias(
+                "hamming"
+            ),
+        )
+        .filter(F.col("hamming") <= SIMHASH_HAM_MAX)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2101,6 +2229,123 @@ def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when((F.col("seen") == 0) & (F.col("is_canon") == 1), 1)
         ).alias("n_new_kept"),
     )
+
+
+#: second-generation remainder for the two-day operator: doc_id % 10 == 5
+#: plays "tomorrow's batch" next to the standard == 0 "today" fixture.
+INCR_DAY2_REM = 5
+
+
+@query(
+    "dedup_incremental_two_day_exact",
+    oracle=f"""
+    WITH keyed AS MATERIALIZED (
+      SELECT doc_id, source, COALESCE(md5(text), 'null-text') AS h
+      FROM documents
+    ),
+    cdig AS MATERIALIZED (
+      SELECT DISTINCT h FROM keyed
+      WHERE doc_id % {INCR_MOD} <> 0 AND doc_id % {INCR_MOD} <> {INCR_DAY2_REM}
+    ),
+    b1 AS MATERIALIZED (
+      SELECT doc_id, source, h FROM keyed WHERE doc_id % {INCR_MOD} = 0
+    ),
+    m1 AS (SELECT h, MIN(doc_id) AS k FROM b1 GROUP BY h),
+    f1 AS MATERIALIZED (
+      SELECT b.doc_id, b.source,
+             CASE WHEN c.h IS NOT NULL THEN 1 ELSE 0 END AS seen,
+             CASE WHEN b.doc_id = m.k THEN 1 ELSE 0 END AS is_canon,
+             b.h
+      FROM b1 b JOIN m1 m ON m.h = b.h LEFT JOIN cdig c ON c.h = b.h
+    ),
+    grown AS MATERIALIZED (
+      SELECT h FROM cdig
+      UNION
+      SELECT h FROM f1 WHERE seen = 0 AND is_canon = 1
+    ),
+    b2 AS MATERIALIZED (
+      SELECT doc_id, source, h FROM keyed
+      WHERE doc_id % {INCR_MOD} = {INCR_DAY2_REM}
+    ),
+    m2 AS (SELECT h, MIN(doc_id) AS k FROM b2 GROUP BY h),
+    f2 AS (
+      SELECT b.doc_id, b.source,
+             CASE WHEN g.h IS NOT NULL THEN 1 ELSE 0 END AS seen,
+             CASE WHEN b.doc_id = m.k THEN 1 ELSE 0 END AS is_canon
+      FROM b2 b JOIN m2 m ON m.h = b.h LEFT JOIN grown g ON g.h = b.h
+    )
+    SELECT 1 AS ingest_day, source, COUNT(*) AS n_batch,
+           COUNT(*) FILTER (WHERE seen = 1) AS n_already_ingested,
+           COUNT(*) FILTER (WHERE seen = 0 AND is_canon = 1) AS n_new_kept
+    FROM f1 GROUP BY source
+    UNION ALL
+    SELECT 2 AS ingest_day, source, COUNT(*) AS n_batch,
+           COUNT(*) FILTER (WHERE seen = 1) AS n_already_ingested,
+           COUNT(*) FILTER (WHERE seen = 0 AND is_canon = 1) AS n_new_kept
+    FROM f2 GROUP BY source
+    """,
+    doc="TWO-generation exact ingest — the oracle-bearing witness of the "
+    "multi-day semantics round 12 made pluggable: day 1 "
+    "(doc_id % 10 = 0) classifies against the history digest set and "
+    "day 2 (doc_id % 10 = 5, a DISTINCT batch) against history GROWN by "
+    "day 1's keeps — exactly the digest-artifact append a nightly job "
+    "performs between the two ingests (the file-backed twin is "
+    "test_incremental_artifacts_two_day_operation). Both days are the "
+    "SAME shared rule (incremental_seen_canon_flags) instantiated "
+    "purely by batch predicate — zero day-specific logic; the day-2 "
+    "history is one distinct-union of digest columns. Invariant this "
+    "encodes: EVERY day-1 digest ends up in day-2's history (a seen "
+    "doc's digest was already there; an in-batch dup's canon holder "
+    "appended it), so any day-2 duplicate of any day-1 doc is "
+    "n_already_ingested — pinned by the crafted test. At 100 TB "
+    "nothing but (digest, id) ever shuffles; day 2 probes the grown "
+    "digest table exactly as day 1 probed the original — per-day cost "
+    "is O(batch + digest probe) with history text never re-read. "
+    "reference: no analogue — training-pipeline extension.",
+)
+def dedup_incremental_two_day_exact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    day1 = parity_batch_predicate
+    day2 = lambda c: c % INCR_MOD == INCR_DAY2_REM  # noqa: E731
+    # the keyed frame feeds FOUR branches (history digests, both days'
+    # flag builds, the day-1 kept-digest lookup) — one digest pass over
+    # the corpus, checkpointed
+    keyed = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", content_digest().alias("h"))
+        .localCheckpoint(eager=True)
+    )
+    hist_dig = (
+        keyed.filter(~day1(F.col("doc_id")) & ~day2(F.col("doc_id")))
+        .select("h")
+        .distinct()
+    )
+    f1 = incremental_seen_canon_flags(
+        keyed, ["h"], history_keys=hist_dig, batch_pred=day1
+    ).localCheckpoint(eager=True)  # two consumers: kept digests + report
+    kept1 = f1.filter(
+        (F.col("seen") == 0) & (F.col("is_canon") == 1)
+    ).select("doc_id")
+    grown = hist_dig.unionByName(
+        keyed.join(kept1, "doc_id").select("h")
+    ).distinct()
+    f2 = incremental_seen_canon_flags(
+        keyed, ["h"], history_keys=grown, batch_pred=day2
+    )
+
+    def _report(flags: DataFrame, day: int) -> DataFrame:
+        return flags.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_batch"),
+            F.count(F.when(F.col("seen") == 1, 1)).alias(
+                "n_already_ingested"
+            ),
+            F.count(
+                F.when((F.col("seen") == 0) & (F.col("is_canon") == 1), 1)
+            ).alias("n_new_kept"),
+        ).select(F.lit(day).alias("ingest_day"), "*")
+
+    return _report(f1, 1).unionByName(_report(f2, 2))
 
 
 @query(

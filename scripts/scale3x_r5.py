@@ -38,6 +38,8 @@ DEFAULT_OPS = [
 #: which table each op scans (only that table is replicated; the rest
 #: symlink to the 1x files)
 OP_TABLE = {
+    "dedup_simhash_hamming": "documents",
+    "dedup_incremental_two_day_exact": "documents",
     "dedup_incremental_near": "documents",
     "dedup_incremental_semantic": "embeddings",
     "pipeline_incremental_ingest": "documents",

@@ -1193,3 +1193,37 @@ def test_artifact_delta_reuses_status_and_checkpoints(spark):
     assert "CartesianProduct" not in plan
     assert pi.has_partial_aggregate(df)
     assert pi.scan_columns(df, "embeddings.parquet") <= {"vec_id", "embedding"}
+
+
+def test_simhash_hamming_codegen_bands_no_python(spark):
+    """dedup_simhash_hamming's plan: the signature build and the banded
+    candidate stage are pure JVM expressions (no MapInPandas, no
+    BatchEvalPython — the stack() of literal shifts stays inside
+    whole-stage codegen), the checkpointed signature frame is consumed
+    as Scan ExistingRDD by its three branches (band rows + both verify
+    sides — without the checkpoint the 60-term aggregation re-ran per
+    branch), and nothing is hint-forced to broadcast (the signature
+    table grows with the corpus; AQE picks the verify-join strategy
+    from measured sizes)."""
+    df = build(spark, "dedup_simhash_hamming")
+    plan = pi.physical_plan(df)
+    assert "MapInPandas" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "Scan ExistingRDD" in plan
+    assert pi.broadcast_hint_count(df) == 0
+
+
+def test_two_day_exact_digest_only_no_python(spark):
+    """dedup_incremental_two_day_exact's plan: one digest pass over the
+    corpus consumed as a checkpoint by its four branches (Scan
+    ExistingRDD — history digests, both days' flag builds, the day-1
+    kept-digest lookup), pure JVM expressions end to end (no
+    MapInPandas, no BatchEvalPython), and nothing hint-forced to
+    broadcast (the grown digest table is corpus-sized; at 100 TB it is
+    the bucketed digest artifact both days probe)."""
+    df = build(spark, "dedup_incremental_two_day_exact")
+    plan = pi.physical_plan(df)
+    assert "MapInPandas" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "Scan ExistingRDD" in plan
+    assert pi.broadcast_hint_count(df) == 0

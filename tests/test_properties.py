@@ -4073,6 +4073,191 @@ def test_seen_canon_flags_model_based(spark):
     run()
 
 
+def test_simhash_banding_exact_recall(spark):
+    """Model-based pin of dedup_simhash_hamming's distinguishing claim:
+    with 4 bands over 60 bits, banding has PERFECT recall at the
+    HAM_MAX=3 verify bar — 3 differing bits touch at most 3 of the 4
+    bands (pigeonhole), so every pair within the bar shares a whole
+    band and MUST be emitted as a candidate. Swept over generated
+    signature populations biased toward near-collisions (random bases
+    with 0-6 bit flips applied), with the quadratic bucket guard
+    disabled to isolate the banding math; also cross-checks the Spark
+    popcount against Python's."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from iceberg_explorer_spark.operators.dedup import (
+        SIMHASH_HAM_MAX,
+        pairs_from_band_rows,
+        simhash_band_rows,
+    )
+
+    bases = st.lists(
+        st.integers(min_value=0, max_value=(1 << 60) - 1),
+        min_size=1, max_size=4, unique=True,
+    )
+    flips = st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),   # which base
+            st.sets(st.integers(min_value=0, max_value=59), max_size=6),
+        ),
+        min_size=1, max_size=8,
+    )
+
+    @settings(max_examples=10, deadline=None)
+    @given(bases=bases, flips=flips)
+    def run(bases, flips):
+        sigs = list(bases)
+        for base_i, bits in flips:
+            v = bases[base_i % len(bases)]
+            for b in bits:
+                v ^= 1 << b
+            sigs.append(v)
+        rows = [(i, s) for i, s in enumerate(dict.fromkeys(sigs))]
+        df = spark.createDataFrame(rows, "doc_id long, simhash long")
+        got = {
+            (r["doc_a"], r["doc_b"])
+            for r in pairs_from_band_rows(
+                simhash_band_rows(df), max_bucket=None
+            ).collect()
+        }
+        for i, si in rows:
+            for j, sj in rows:
+                if i < j and bin(si ^ sj).count("1") <= SIMHASH_HAM_MAX:
+                    assert (i, j) in got, (i, j, bin(si ^ sj))
+
+    run()
+
+
+def test_simhash_hamming_end_to_end(spark, tmp_path):
+    """dedup_simhash_hamming end-to-end on a crafted corpus: identical
+    texts share a signature (hamming 0 pair emitted), token-multiset
+    permutations share a signature too (SimHash is order-blind — votes
+    sum per token), and unrelated texts emit nothing. Oracle-checked so
+    the pair set is the contract of both engines."""
+    import duckdb
+
+    from iceberg_explorer_spark.operators import QUERIES
+    from tests.conftest import assert_matches_oracle
+
+    t1 = " ".join(f"orange{i} plum{i % 7} pear{i % 3}" for i in range(30))
+    words = t1.split(" ")
+    t1_perm = " ".join(words[::-1])        # same multiset, same signature
+    t2 = " ".join(f"slate{i} basalt{i % 5} gneiss{i % 11}" for i in range(30))
+    rows = [
+        (1, t1, "a"), (2, t1, "a"),        # identical -> hamming 0
+        (3, t1_perm, "a"),                  # permutation -> hamming 0
+        (4, t2, "b"),                       # unrelated
+    ]
+    d = str(tmp_path / "simham")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).selectExpr(
+        "doc_id", "text", "'en' AS lang", "source",
+        "CAST(length(text) AS LONG) AS n_chars",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+
+    spec = QUERIES["dedup_simhash_hamming"]
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in spec.builder(spark, d).collect()
+    }
+    assert got == {(1, 2): 0, (1, 3): 0, (2, 3): 0}, got
+
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{d}/{t}.parquet/*.parquet')"
+        )
+    assert_matches_oracle(
+        spec.builder(spark, d), con, spec.oracle, "dedup_simhash_hamming"
+    )
+
+
+def test_incremental_two_day_exact_claims(spark, tmp_path):
+    """dedup_incremental_two_day_exact's distinguishing claims on a
+    crafted corpus (one doc per source so every row isolates one case):
+    (1) a day-2 dup of a day-1 KEPT doc is already-ingested — day-2's
+    history is GROWN by day-1's keeps; (2) a day-2 dup of a day-1
+    IN-BATCH-DROPPED doc is already-ingested too (its canon holder
+    appended the digest) — together with (3) dup-of-history these pin
+    the invariant that EVERY day-1 digest reaches day-2's history;
+    (4) the NULL-text sentinel flows through the grown union (a day-2
+    NULL-text doc is claimed by day-1's kept NULL-text doc); (5) day-2
+    in-batch dups keep only their min; (6) a day-2 novel doc is kept.
+    Oracle-checked."""
+    import duckdb
+
+    from iceberg_explorer_spark.operators import QUERIES
+    from tests.conftest import assert_matches_oracle
+
+    t_a = " ".join(f"ash{i} oak{i % 5}" for i in range(15))
+    t_c = " ".join(f"elm{i} fir{i % 7}" for i in range(15))
+    t_d = " ".join(f"yew{i} may{i % 3}" for i in range(15))
+    t_e = " ".join(f"ivy{i} fig{i % 4}" for i in range(15))
+    t_f = " ".join(f"lime{i} sloe{i % 6}" for i in range(15))
+    rows = [
+        (1, t_a, "h1"),                  # history
+        # day 1 (% 10 == 0)
+        (10, t_a, "p10"),                # dup of history -> already
+        (20, t_c, "p20"),                # kept (canon of t_c)
+        (30, t_c, "p30"),                # in-batch dup -> dropped
+        (40, t_d, "p40"),                # kept
+        (120, None, "p120"),             # NULL text -> kept (sentinel)
+        # day 2 (% 10 == 5)
+        (15, t_c, "q15"),                # dup of day-1 KEPT -> already
+        (25, t_c, "q25"),                # second copy -> already too
+        (35, t_a, "q35"),                # dup of history -> already
+        (45, t_d, "q45"),                # dup of day-1 kept -> already
+        (55, t_e, "q55"),                # in-batch min -> kept
+        (65, t_e, "q65"),                # in-batch dup -> dropped
+        (75, None, "q75"),               # NULL text: claimed via day-1 keep
+        (85, t_f, "q85"),                # novel -> kept
+    ]
+    d = str(tmp_path / "twodayexact")
+    spark.createDataFrame(
+        [(i, t, "en", s, len(t) if t else 0) for i, t, s in rows],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+
+    spec = QUERIES["dedup_incremental_two_day_exact"]
+    got = {
+        (r["ingest_day"], r["source"]): (
+            r["n_batch"], r["n_already_ingested"], r["n_new_kept"]
+        )
+        for r in spec.builder(spark, d).collect()
+    }
+    want = {
+        (1, "p10"): (1, 1, 0), (1, "p20"): (1, 0, 1),
+        (1, "p30"): (1, 0, 0), (1, "p40"): (1, 0, 1),
+        (1, "p120"): (1, 0, 1),
+        (2, "q15"): (1, 1, 0), (2, "q25"): (1, 1, 0),
+        (2, "q35"): (1, 1, 0), (2, "q45"): (1, 1, 0),
+        (2, "q55"): (1, 0, 1), (2, "q65"): (1, 0, 0),
+        (2, "q75"): (1, 1, 0), (2, "q85"): (1, 0, 1),
+    }
+    assert got == want, got
+
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{d}/{t}.parquet/*.parquet')"
+        )
+    assert_matches_oracle(
+        spec.builder(spark, d), con, spec.oracle,
+        "dedup_incremental_two_day_exact",
+    )
+
+
 def test_seen_canon_flags_rejects_reserved_key_prefix(spark):
     """The helper mangles its internal aliases to __incr_seen/__incr_min;
     a caller key column in that namespace would make the flag references
