@@ -1018,8 +1018,17 @@ def simhash_band_rows(sigs: DataFrame) -> DataFrame:
     "by popcount of the XOR'd signatures at HAM_MAX=3. The banding is "
     "EXACT at that bar by pigeonhole — 3 differing bits touch at most 3 "
     "of 4 bands, so every true pair shares a whole band and recall is "
-    "100%, a guarantee MinHash-LSH cannot make (model-based pin: "
-    "test_simhash_banding_exact_recall). At 100 TB: the signature build "
+    "100% among docs whose buckets are under the cap, a guarantee "
+    "MinHash-LSH cannot make (model-based pin: "
+    "test_simhash_banding_exact_recall). The cap is the disclosed "
+    "boundary of that guarantee: a duplicate group larger than "
+    "SIMHASH_MAX_BUCKET shares ALL four band values, overflows every "
+    "bucket simultaneously, and emits ZERO pairs (contract-pinned by "
+    "test_simhash_hamming_over_cap_contract) — its pair set is "
+    "inherently quadratic and the production pipeline removes such "
+    "groups at the EXACT stage before any near-dup generator runs "
+    "(pipeline_clean_corpus drops exact dups first). At 100 TB: the "
+    "signature build "
     "is one map-side-partial aggregation over the token stream, the "
     "candidate stage shuffles 16-byte (band, bkey, doc_id) rows "
     "bucketed by band value (Σ bucket² bounded by the cap), and the "
@@ -2221,7 +2230,17 @@ def incremental_seen_canon_flags(
     "O(batch + digest-table probe).",
 )
 def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    flags = incremental_exact_flags(load_table(spark, sf_dir, "documents"))
+    return exact_ingest_report(
+        incremental_exact_flags(load_table(spark, sf_dir, "documents"))
+    )
+
+
+def exact_ingest_report(flags: DataFrame) -> DataFrame:
+    """Per-source (n_batch, n_already_ingested, n_new_kept) over a
+    seen/canon flag frame — ONE report tail shared by
+    dedup_incremental_ingest and dedup_incremental_two_day_exact, so the
+    three driver-contract metrics cannot fork between the one-day and
+    two-day operators."""
     return flags.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_batch"),
         F.count(F.when(F.col("seen") == 1, 1)).alias("n_already_ingested"),
@@ -2335,15 +2354,10 @@ def dedup_incremental_two_day_exact(
     )
 
     def _report(flags: DataFrame, day: int) -> DataFrame:
-        return flags.groupBy("source").agg(
-            F.count(F.lit(1)).alias("n_batch"),
-            F.count(F.when(F.col("seen") == 1, 1)).alias(
-                "n_already_ingested"
-            ),
-            F.count(
-                F.when((F.col("seen") == 0) & (F.col("is_canon") == 1), 1)
-            ).alias("n_new_kept"),
-        ).select(F.lit(day).alias("ingest_day"), "*")
+        # the shared report tail, day-stamped
+        return exact_ingest_report(flags).select(
+            F.lit(day).alias("ingest_day"), "*"
+        )
 
     return _report(f1, 1).unionByName(_report(f2, 2))
 
@@ -3158,6 +3172,28 @@ def _incremental_report_sql(kind: str) -> str:
     FROM cls GROUP BY source"""
 
 
+def endpoint_member_flags(
+    pairs: DataFrame, members: DataFrame, ca: str, cb: str
+) -> DataFrame:
+    """``pairs`` with nullable 1-flags ``__incr_a``/``__incr_b`` marking
+    each endpoint's membership in the (doc_id) ``members`` frame — THE
+    single membership-join idiom shared by ``incremental_component_cls``
+    and the artifact path's batch-touching filters (one definition, so
+    null-handling/distinct/broadcast decisions cannot fork). ``members``
+    must be one-row-per-id and SHOULD be a materialized checkpoint when
+    it feeds multiple branches; increment-sized, so both joins broadcast
+    at scale."""
+    return pairs.join(
+        members.select(F.col("doc_id").alias(ca), F.lit(1).alias("__incr_a")),
+        ca,
+        "left",
+    ).join(
+        members.select(F.col("doc_id").alias(cb), F.lit(1).alias("__incr_b")),
+        cb,
+        "left",
+    )
+
+
 def incremental_component_cls(
     be: DataFrame, batch: DataFrame, batch_members: DataFrame | None = None
 ) -> DataFrame:
@@ -3210,19 +3246,7 @@ def incremental_component_cls(
         m = batch_members.select("doc_id").distinct().localCheckpoint(
             eager=True
         )
-        be = be.join(
-            m.select(
-                F.col("doc_id").alias("id_a"), F.lit(1).alias("__incr_a")
-            ),
-            "id_a",
-            "left",
-        ).join(
-            m.select(
-                F.col("doc_id").alias("id_b"), F.lit(1).alias("__incr_b")
-            ),
-            "id_b",
-            "left",
-        )
+        be = endpoint_member_flags(be, m, "id_a", "id_b")
         a_b = F.col("__incr_a").isNotNull()
         b_b = F.col("__incr_b").isNotNull()
     bb = (

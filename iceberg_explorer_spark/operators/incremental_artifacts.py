@@ -219,30 +219,34 @@ def incremental_status_from_artifacts(
     batch_docs = load_table(spark, sf_dir, "documents").filter(
         pred(F.col("doc_id"))
     )
-    # the batch id frame drives every membership decision below (edge
-    # endpoints, candidate touching) — one checkpoint, many broadcasts
-    batch_ids = batch_docs.select("doc_id").localCheckpoint(eager=True)
+    emb_batch = _load_emb(spark, sf_dir).filter(pred(F.col("vec_id")))
+    # the batch MEMBER frame drives every classification decision below
+    # (edge endpoints, candidate touching): document ids UNION batch
+    # embedding ids — an ORPHAN batch embedding (a vec in today's slice
+    # whose document row is absent) is still a batch member, exactly as
+    # the in-session parity rule treats it; classifying it as corpus
+    # would wrongly taint its neighbors as already-represented content
+    # (caught by this round's review pass; regression-pinned by the
+    # orphan vec in the round-trip corpus). One checkpoint, many
+    # broadcasts.
+    batch_members = (
+        batch_docs.select("doc_id")
+        .unionByName(emb_batch.select(F.col("vec_id").alias("doc_id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
 
     def _touching(pairs: DataFrame, ca: str, cb: str) -> DataFrame:
-        """pairs with at least one endpoint IN the batch — membership,
-        never an id rule (broadcast-sized joins against batch_ids)."""
+        """pairs with at least one endpoint IN the batch — membership
+        (the shared endpoint_member_flags idiom), never an id rule."""
+        from iceberg_explorer_spark.operators.dedup import (
+            endpoint_member_flags,
+        )
+
         return (
-            pairs.join(
-                batch_ids.select(
-                    F.col("doc_id").alias(ca), F.lit(1).alias("__in_a")
-                ),
-                ca,
-                "left",
-            )
-            .join(
-                batch_ids.select(
-                    F.col("doc_id").alias(cb), F.lit(1).alias("__in_b")
-                ),
-                cb,
-                "left",
-            )
+            endpoint_member_flags(pairs, batch_members, ca, cb)
             .filter(
-                F.col("__in_a").isNotNull() | F.col("__in_b").isNotNull()
+                F.col("__incr_a").isNotNull() | F.col("__incr_b").isNotNull()
             )
             .select(ca, cb)
         )
@@ -293,7 +297,6 @@ def incremental_status_from_artifacts(
     # semantic: batch vectors SRP-coded fresh by the SAME expression that
     # produced the artifact; the GEMM kernel runs over whole batch-touched
     # buckets so every pair's cosine is bit-identical to the corpus run
-    emb_batch = _load_emb(spark, sf_dir).filter(pred(F.col("vec_id")))
     coded_batch = _coded_vectors(emb_batch)
     # dropDuplicates on vec_id for the same post-append reason as the
     # near-stage unions (vec_id determines the vector and its bucket, so
@@ -326,7 +329,7 @@ def incremental_status_from_artifacts(
     )
     emb_ids = emb_batch.select(F.col("vec_id").alias("doc_id"))
     return assemble_incremental_status(
-        flags, be, be2, emb_ids, batch_members=batch_ids
+        flags, be, be2, emb_ids, batch_members=batch_members
     )
 
 
@@ -407,11 +410,15 @@ def append_incremental_artifacts(
     History rows are never rewritten — parquet append mode."""
     from iceberg_explorer_spark.operators.similarity import _load_emb
 
-    missing = [
-        n
-        for n in ARTIFACT_NAMES
-        if not os.path.exists(os.path.join(art_dir, f"{n}.parquet"))
-    ]
+    # probe through Spark's reader, not the driver's local filesystem —
+    # art_dir may be s3a://... / hdfs://... in the nightly job this
+    # module models (a metadata-only schema read, no data scan)
+    missing = []
+    for n in ARTIFACT_NAMES:
+        try:
+            spark.read.parquet(os.path.join(art_dir, f"{n}.parquet")).schema
+        except Exception:
+            missing.append(n)
     if missing:
         raise FileNotFoundError(
             f"artifacts {missing} not found under {art_dir} — run "

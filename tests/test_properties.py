@@ -3243,7 +3243,13 @@ def test_incremental_artifact_round_trip(spark, tmp_path):
         return [float(x) for x in v / np.linalg.norm(v)]
 
     v1, v2, v3 = _unit(), _unit(), _unit()
-    emb = [(70, v1), (80, v1), (100, v2), (110, v2), (90, v3)]
+    # 140 is an ORPHAN batch embedding (batch-parity vec, no documents
+    # row) sharing doc 70/80's vector: both paths must treat it as a
+    # BATCH member — the edges (70,140)/(80,140) are batch-batch and
+    # the spine restriction drops them — not as corpus content that
+    # would taint docs 70/80 vs_corpus (r12 review finding: the
+    # artifact path's membership frame must include batch vec ids)
+    emb = [(70, v1), (80, v1), (100, v2), (110, v2), (90, v3), (140, v1)]
     d = str(tmp_path / "roundtrip")
     spark.createDataFrame(
         [(i, t, "en", s, len(t) if t else 0) for i, t, s in docs],
@@ -4176,6 +4182,61 @@ def test_simhash_hamming_end_to_end(spark, tmp_path):
     assert_matches_oracle(
         spec.builder(spark, d), con, spec.oracle, "dedup_simhash_hamming"
     )
+
+
+def test_simhash_hamming_over_cap_contract(spark, tmp_path):
+    """Pins the DISCLOSED boundary of dedup_simhash_hamming's exact-
+    recall guarantee: a duplicate group larger than SIMHASH_MAX_BUCKET
+    shares ALL four band values, overflows every bucket simultaneously,
+    and emits ZERO pairs — while the same group at exactly the cap
+    emits its full pair set. Oracle-checked on the over-cap corpus so
+    the behavior is the contract of both engines (the quadratic guard
+    is mirrored as HAVING COUNT BETWEEN 2 AND cap); the production
+    answer for such groups is the EXACT dedup stage that runs before
+    any near-dup generator in the flagship pipelines."""
+    import duckdb
+
+    from iceberg_explorer_spark.operators import QUERIES
+    from iceberg_explorer_spark.operators.dedup import SIMHASH_MAX_BUCKET
+    from tests.conftest import assert_matches_oracle
+
+    t = " ".join(f"copy{i} paste{i % 7}" for i in range(20))
+
+    def _write(n_dups: int, d: str):
+        rows = [(i, t, "en", "mass", len(t)) for i in range(1, n_dups + 1)]
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{d}/documents.parquet"
+        )
+        spark.createDataFrame(
+            [], "vec_id long, embedding array<float>, label int"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{d}/embeddings.parquet"
+        )
+
+    spec = QUERIES["dedup_simhash_hamming"]
+
+    d_over = str(tmp_path / "overcap")
+    _write(SIMHASH_MAX_BUCKET + 1, d_over)
+    assert spec.builder(spark, d_over).count() == 0  # the whole group gone
+    con = duckdb.connect()
+    for tab in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {tab} AS SELECT * FROM "
+            f"read_parquet('{d_over}/{tab}.parquet/*.parquet')"
+        )
+    assert_matches_oracle(
+        spec.builder(spark, d_over), con, spec.oracle,
+        "dedup_simhash_hamming_over_cap",
+    )
+
+    d_at = str(tmp_path / "atcap")
+    _write(SIMHASH_MAX_BUCKET, d_at)
+    n = SIMHASH_MAX_BUCKET
+    assert spec.builder(spark, d_at).count() == n * (n - 1) // 2
 
 
 def test_incremental_two_day_exact_claims(spark, tmp_path):
