@@ -1025,10 +1025,14 @@ def simhash_band_rows(sigs: DataFrame) -> DataFrame:
     "SIMHASH_MAX_BUCKET shares ALL four band values, overflows every "
     "bucket simultaneously, and emits ZERO pairs (contract-pinned by "
     "test_simhash_hamming_over_cap_contract) — its pair set is "
-    "inherently quadratic and the production pipeline removes such "
-    "groups at the EXACT stage before any near-dup generator runs "
-    "(pipeline_clean_corpus drops exact dups first). At 100 TB: the "
-    "signature build "
+    "inherently quadratic. Exact dedup upstream removes the "
+    "byte-identical case (pipeline_clean_corpus drops exact dups before "
+    "any near-dup generator); a signature-identical group of "
+    "NON-identical texts past the cap (mass templated boilerplate with "
+    "distinct digests) stays outside the guarantee — the same disclosed "
+    "quadratic-guard trade-off LSH_MAX_BUCKET makes for MinHash, where "
+    "an over-cap boilerplate bucket likewise drops its candidates. At "
+    "100 TB: the signature build "
     "is one map-side-partial aggregation over the token stream, the "
     "candidate stage shuffles 16-byte (band, bkey, doc_id) rows "
     "bucketed by band value (Σ bucket² bounded by the cap), and the "

@@ -196,6 +196,7 @@ def incremental_status_from_artifacts(
     Pinned by the two-day test."""
     from iceberg_explorer_spark.operators.dedup import (
         INCR_NEAR_TAU,
+        endpoint_member_flags,
         hashed_shingles_from_docs,
         incremental_exact_flags,
         jaccard_verify,
@@ -219,7 +220,11 @@ def incremental_status_from_artifacts(
     batch_docs = load_table(spark, sf_dir, "documents").filter(
         pred(F.col("doc_id"))
     )
-    emb_batch = _load_emb(spark, sf_dir).filter(pred(F.col("vec_id")))
+    # the embeddings batch slice feeds THREE branches (the membership
+    # frame, the SRP coding, emb_ids) — one eager checkpoint
+    emb_batch = _load_emb(spark, sf_dir).filter(
+        pred(F.col("vec_id"))
+    ).localCheckpoint(eager=True)
     # the batch MEMBER frame drives every classification decision below
     # (edge endpoints, candidate touching): document ids UNION batch
     # embedding ids — an ORPHAN batch embedding (a vec in today's slice
@@ -239,10 +244,6 @@ def incremental_status_from_artifacts(
     def _touching(pairs: DataFrame, ca: str, cb: str) -> DataFrame:
         """pairs with at least one endpoint IN the batch — membership
         (the shared endpoint_member_flags idiom), never an id rule."""
-        from iceberg_explorer_spark.operators.dedup import (
-            endpoint_member_flags,
-        )
-
         return (
             endpoint_member_flags(pairs, batch_members, ca, cb)
             .filter(
@@ -412,12 +413,18 @@ def append_incremental_artifacts(
 
     # probe through Spark's reader, not the driver's local filesystem —
     # art_dir may be s3a://... / hdfs://... in the nightly job this
-    # module models (a metadata-only schema read, no data scan)
+    # module models (a metadata-only schema read, no data scan). Only
+    # the analysis-time path-not-found is "missing"; auth failures,
+    # corrupt footers and FS outages must surface as themselves, or the
+    # error message would instruct the operator to re-run the backfill
+    # OVERWRITE against data that exists.
+    from pyspark.errors import AnalysisException
+
     missing = []
     for n in ARTIFACT_NAMES:
         try:
             spark.read.parquet(os.path.join(art_dir, f"{n}.parquet")).schema
-        except Exception:
+        except AnalysisException:
             missing.append(n)
     if missing:
         raise FileNotFoundError(
