@@ -424,7 +424,14 @@ def append_incremental_artifacts(
     for n in ARTIFACT_NAMES:
         try:
             spark.read.parquet(os.path.join(art_dir, f"{n}.parquet")).schema
-        except AnalysisException:
+        except AnalysisException as exc:
+            # PATH_NOT_FOUND alone means "backfill never ran". Anything
+            # else — e.g. UNABLE_TO_INFER_SCHEMA from a directory a
+            # crashed append left empty — must propagate: advising a
+            # re-backfill there would mode('overwrite') the four intact
+            # artifacts' appended history.
+            if exc.getCondition() != "PATH_NOT_FOUND":
+                raise
             missing.append(n)
     if missing:
         raise FileNotFoundError(

@@ -4350,3 +4350,14 @@ def test_append_before_backfill_fails_clearly(spark, tmp_path):
         append_incremental_artifacts(
             spark, SF_DIR_SMALL, str(tmp_path / "noart"), status
         )
+
+    # only PATH_NOT_FOUND means "missing": a directory a crashed append
+    # left EMPTY must surface as its own AnalysisException, never as the
+    # re-run-the-backfill message (following that advice would
+    # mode('overwrite') the intact artifacts' appended history)
+    from pyspark.errors import AnalysisException
+
+    art = tmp_path / "partial"
+    (art / "digests.parquet").mkdir(parents=True)
+    with pytest.raises(AnalysisException):
+        append_incremental_artifacts(spark, SF_DIR_SMALL, str(art), status)
