@@ -4079,6 +4079,58 @@ def test_seen_canon_flags_model_based(spark):
     run()
 
 
+def test_batch_membership_generalizes_parity(spark):
+    """The round-12 pluggability contract: handing the named parity
+    fixture explicitly equals the default on the flag helper, and
+    membership-based classification (batch_members) equals the parity
+    default whenever the member frame holds exactly the parity ids —
+    membership strictly GENERALIZES the fixture, it never diverges from
+    it on the fixture's own domain (the reason every oracle stays
+    byte-identical)."""
+    from iceberg_explorer_spark.operators.dedup import (
+        incremental_component_cls,
+        incremental_exact_flags,
+        parity_batch_predicate,
+    )
+    from iceberg_explorer_spark.sources.registry import load_table
+
+    docs = load_table(spark, SF_DIR_SMALL, "documents")
+    a = sorted(tuple(r) for r in incremental_exact_flags(docs).collect())
+    b = sorted(
+        tuple(r)
+        for r in incremental_exact_flags(
+            docs, batch_pred=parity_batch_predicate
+        ).collect()
+    )
+    assert a == b and a  # identical, and non-vacuously so
+
+    # classification: members = the parity ids -> identical three-way
+    # partition (edges 10-20/30-40 batch-batch, 20-3/50-7 corpus contact)
+    be = spark.createDataFrame(
+        [(10, 20), (20, 3), (30, 40), (50, 7)], "id_a long, id_b long"
+    )
+    batch = spark.createDataFrame(
+        [(i, "s") for i in (10, 20, 30, 40, 50)],
+        "doc_id long, source string",
+    )
+    default = sorted(
+        tuple(r) for r in incremental_component_cls(be, batch).collect()
+    )
+    via_members = sorted(
+        tuple(r)
+        for r in incremental_component_cls(
+            be, batch, batch_members=batch.select("doc_id")
+        ).collect()
+    )
+    assert default == via_members, (default, via_members)
+    # and the crafted edges exercise all three outcomes
+    by_id = {r[0]: (r[2], r[3]) for r in default}
+    assert by_id[20] == (1, 0) and by_id[50] == (1, 0)  # direct contact
+    assert by_id[10] == (1, 0)   # tainted via 20's component
+    assert by_id[30] == (0, 0)   # batch-only component min: novel kept
+    assert by_id[40] == (0, 1)   # its in-batch drop
+
+
 def test_simhash_banding_exact_recall(spark):
     """Model-based pin of dedup_simhash_hamming's distinguishing claim:
     with 4 bands over 60 bits, banding has PERFECT recall at the
