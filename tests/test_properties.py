@@ -1096,6 +1096,10 @@ DETERMINISM_GRID_OPS = [
     "dedup_lsh_band_tuning",
     # round-9 addition: micro-int grid counts and share ratios
     "similarity_semantic_tau_sweep",
+    # round-12 additions: pure-integer signatures/popcounts and digest
+    # counts must be partition-invariant
+    "dedup_simhash_hamming",
+    "dedup_incremental_two_day_exact",
 ]
 
 
