@@ -335,6 +335,17 @@ Round 12 also adds dedup_simhash_hamming (the SimHash modality's
   together with second rows for pipeline_clean_corpus_v2 and
   pipeline_incremental_artifact_delta (the two count-1 queries this
   round's fillers skipped).
+Round 12 further adds dedup_incremental_two_day_near — multi-day
+  semantics for the HARD stage (transitive components): day 2
+  classified against history grown by day-1's near keeps, with a
+  day-1 DROP tainting nothing (its edges excluded from day 2's
+  universe). One signature pass + one verify cover both generations;
+  day 1 = shared cls under parity, day 2 = the SAME cls under
+  membership (batch_members=True sentinel); oracle instantiates the
+  shared edges/cls fragments per generation via the new rem parameter
+  and two tagged closures. Same full checklist, bench EXTENDED (the
+  frozen r13-graduating cohort is ELEVEN), r13 rotation priority with
+  the other two.
 """
 
 from iceberg_explorer_spark.operators.registry import QUERIES, QuerySpec, query  # noqa: F401

@@ -3101,7 +3101,7 @@ INCR_NEAR_TAU = 0.8
 
 
 def _incremental_edges_sql(
-    tag: str = "", be: str = "be", batch: str = "batch"
+    tag: str = "", be: str = "be", batch: str = "batch", rem: int = 0
 ) -> str:
     """Oracle fragment: the batch-batch edge subset RESTRICTED to the
     batch spine — both endpoints must be rows of ``batch(doc_id,
@@ -3111,17 +3111,20 @@ def _incremental_edges_sql(
     a ghost must not elect the ghost as the kept representative).
     Emits ``bb{tag}`` over the caller-named ``be``/``batch`` CTEs for
     ``_cc_closure_sql`` — the names are parameters so the incremental
-    capstone can instantiate the fragment once per stage."""
+    capstone can instantiate the fragment once per stage, and ``rem``
+    selects the batch generation (the default 0 renders byte-identical
+    text to the pre-parameter fragment; the two-day near operator
+    instantiates a second generation with rem=INCR_DAY2_REM)."""
     return f"""bb{tag} AS (
       SELECT e.id_a, e.id_b FROM {be} e
       JOIN {batch} p ON p.doc_id = e.id_a
       JOIN {batch} q ON q.doc_id = e.id_b
-      WHERE e.id_a % {INCR_MOD} = 0 AND e.id_b % {INCR_MOD} = 0
+      WHERE e.id_a % {INCR_MOD} = {rem} AND e.id_b % {INCR_MOD} = {rem}
     )"""
 
 
 def _incremental_cls_sql(
-    tag: str = "", be: str = "be", batch: str = "batch"
+    tag: str = "", be: str = "be", batch: str = "batch", rem: int = 0
 ) -> str:
     """Oracle fragment: the per-doc classification CTE chain shared by
     the incremental ingest family — ``contact{tag}``/``tainted{tag}``/
@@ -3138,9 +3141,10 @@ def _incremental_cls_sql(
     matching corpus document row is absent from this slice."""
     return f"""contact{tag} AS MATERIALIZED (
       SELECT DISTINCT doc_id FROM (
-        SELECT CASE WHEN id_a % {INCR_MOD} = 0 THEN id_a ELSE id_b END
+        SELECT CASE WHEN id_a % {INCR_MOD} = {rem} THEN id_a ELSE id_b END
                  AS doc_id
-        FROM {be} WHERE (id_a % {INCR_MOD} = 0) <> (id_b % {INCR_MOD} = 0)
+        FROM {be}
+        WHERE (id_a % {INCR_MOD} = {rem}) <> (id_b % {INCR_MOD} = {rem})
       ) WHERE doc_id IN (SELECT doc_id FROM {batch})
     ),
     tainted{tag} AS (
@@ -3199,7 +3203,9 @@ def endpoint_member_flags(
 
 
 def incremental_component_cls(
-    be: DataFrame, batch: DataFrame, batch_members: DataFrame | None = None
+    be: DataFrame,
+    batch: DataFrame,
+    batch_members: DataFrame | bool | None = None,
 ) -> DataFrame:
     """Spark classification stage shared by the incremental ingest family
     — the executable twin of ``_incremental_cls_sql``: returns one row
@@ -3236,8 +3242,14 @@ def incremental_component_cls(
     production rule the persisted-artifact path needs: on day 2 an
     edge to a day-1 KEPT doc (now appended to the artifacts) must read
     as corpus contact, which the default id-parity fixture cannot
-    express (a day-1 doc keeps its batch parity forever). When None,
-    the parity fixture applies — byte-identical to every oracle."""
+    express (a day-1 doc keeps its batch parity forever). Pass the
+    literal ``True`` when the spine IS the full population (the
+    two-day near operator's day-2 call): the internally checkpointed
+    ``batch`` frame is reused as the member table, saving a second
+    eager materialization — on tiny increments each extra
+    driver-synchronized job is a fixed ~0.3 s scheduling tax (the
+    round-10 CC lesson). When None, the parity fixture applies —
+    byte-identical to every oracle."""
     batch = batch.localCheckpoint(eager=True)
     ids = batch.select("doc_id")
     if batch_members is None:
@@ -3245,10 +3257,15 @@ def incremental_component_cls(
         b_b = parity_batch_predicate(F.col("id_b"))
     else:
         # increment-sized membership frame joined to the edge endpoints
-        # (broadcast at scale); checkpointed because it feeds both the
+        # (broadcast at scale); checkpointed (or reusing the batch
+        # checkpoint, for the True sentinel) because it feeds both the
         # bb and contact branches below
-        m = batch_members.select("doc_id").distinct().localCheckpoint(
-            eager=True
+        m = (
+            ids
+            if batch_members is True
+            else batch_members.select("doc_id")
+            .distinct()
+            .localCheckpoint(eager=True)
         )
         be = endpoint_member_flags(be, m, "id_a", "id_b")
         a_b = F.col("__incr_a").isNotNull()
@@ -3312,12 +3329,23 @@ def incremental_component_cls(
 
 def incremental_component_report(
     be: DataFrame, batch: DataFrame, kind: str,
-    batch_members: DataFrame | None = None,
+    batch_members: DataFrame | bool | None = None,
 ) -> DataFrame:
     """Per-source report over ``incremental_component_cls`` — the tail
     of the standalone incremental operators (the capstone consumes the
     cls rows directly instead)."""
-    cls = incremental_component_cls(be, batch, batch_members=batch_members)
+    return component_cls_report(
+        incremental_component_cls(be, batch, batch_members=batch_members),
+        kind,
+    )
+
+
+def component_cls_report(cls: DataFrame, kind: str) -> DataFrame:
+    """The per-source aggregation over a (doc_id, source, vs_corpus,
+    in_batch) classification frame — split out so callers that already
+    HOLD a cls frame (the two-day near operator reports each
+    generation's checkpointed cls without re-running the component
+    stage) consume the SAME report definition."""
     vs = F.col("vs_corpus") == 1
     ib = F.col("in_batch") == 1
     return cls.groupBy("source").agg(
@@ -3417,3 +3445,166 @@ def dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source")
     )
     return incremental_component_report(be, batch, "neardup")
+
+
+@query(
+    "dedup_incremental_two_day_near",
+    oracle=f"""
+    WITH RECURSIVE cands AS ({_LSH_CANDIDATES_SQL}),
+    bc AS (
+      SELECT doc_a, doc_b FROM cands
+      WHERE doc_a % {INCR_MOD} IN (0, {INCR_DAY2_REM})
+         OR doc_b % {INCR_MOD} IN (0, {INCR_DAY2_REM})
+    ),
+    sh AS ({_SHINGLE_SQL}),
+    shh AS ({_SHH_SQL}),
+    cdocs AS (SELECT doc_a AS doc_id FROM bc UNION SELECT doc_b FROM bc),
+    capped AS (
+      SELECT doc_id, hb FROM (
+        SELECT doc_id, hb,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hb) AS rn
+        FROM shh WHERE doc_id IN (SELECT doc_id FROM cdocs)
+      ) WHERE rn <= {JACCARD_MAX_DOC_SHINGLES}
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM capped GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+      FROM bc c
+      JOIN capped a ON a.doc_id = c.doc_a
+      JOIN capped b ON b.doc_id = c.doc_b AND b.hb = a.hb
+      GROUP BY c.doc_a, c.doc_b
+    ),
+    be AS MATERIALIZED (
+      SELECT i.doc_a AS id_a, i.doc_b AS id_b FROM inter i
+      JOIN sz sa ON sa.doc_id = i.doc_a
+      JOIN sz sb ON sb.doc_id = i.doc_b
+      WHERE i.n_common * 1.0 / (sa.n + sb.n - i.n_common) >= {INCR_NEAR_TAU}
+    ),
+    batch1 AS (
+      SELECT doc_id, source FROM documents WHERE doc_id % {INCR_MOD} = 0
+    ),
+    be1 AS MATERIALIZED (
+      SELECT id_a, id_b FROM be
+      WHERE id_a % {INCR_MOD} <> {INCR_DAY2_REM}
+        AND id_b % {INCR_MOD} <> {INCR_DAY2_REM}
+    ),
+    {_incremental_edges_sql("1", "be1", "batch1")},
+    {_cc_closure_sql("bb1", "id_a", "id_b", "comp1", tag="1")},
+    {_incremental_cls_sql("1", "be1", "batch1")},
+    drops1 AS MATERIALIZED (
+      SELECT doc_id FROM cls1 WHERE vs_corpus = 1 OR in_batch = 1
+    ),
+    batch2 AS (
+      SELECT doc_id, source FROM documents
+      WHERE doc_id % {INCR_MOD} = {INCR_DAY2_REM}
+    ),
+    be2 AS MATERIALIZED (
+      SELECT id_a, id_b FROM be
+      WHERE (id_a % {INCR_MOD} = {INCR_DAY2_REM}
+             OR id_b % {INCR_MOD} = {INCR_DAY2_REM})
+        AND id_a NOT IN (SELECT doc_id FROM drops1)
+        AND id_b NOT IN (SELECT doc_id FROM drops1)
+    ),
+    {_incremental_edges_sql("2", "be2", "batch2", rem=INCR_DAY2_REM)},
+    {_cc_closure_sql("bb2", "id_a", "id_b", "comp2", tag="2")},
+    {_incremental_cls_sql("2", "be2", "batch2", rem=INCR_DAY2_REM)}
+    SELECT 1 AS ingest_day, source,
+           COUNT(*) AS n_batch,
+           COUNT(*) FILTER (WHERE vs_corpus = 1) AS n_neardup_vs_corpus,
+           COUNT(*) FILTER (WHERE in_batch = 1) AS n_neardup_in_batch,
+           COUNT(*) FILTER (WHERE vs_corpus = 0 AND in_batch = 0)
+             AS n_novel_kept
+    FROM cls1 GROUP BY source
+    UNION ALL
+    SELECT 2 AS ingest_day, source,
+           COUNT(*) AS n_batch,
+           COUNT(*) FILTER (WHERE vs_corpus = 1) AS n_neardup_vs_corpus,
+           COUNT(*) FILTER (WHERE in_batch = 1) AS n_neardup_in_batch,
+           COUNT(*) FILTER (WHERE vs_corpus = 0 AND in_batch = 0)
+             AS n_novel_kept
+    FROM cls2 GROUP BY source
+    """,
+    doc="TWO-generation NEAR-dup ingest — the component-stage sibling of "
+    "dedup_incremental_two_day_exact, putting this round's multi-day "
+    "semantics in oracle-bearing form for the HARD stage (transitive "
+    "components, not digest equality). Day 1 (doc_id % 10 = 0) runs the "
+    "standard incremental near classification against history; day 2 "
+    "(doc_id % 10 = 5, a DISTINCT generation) classifies against "
+    "history GROWN by day 1's keeps: a day-2 near-dup of a day-1 KEPT "
+    "doc is n_neardup_vs_corpus (the kept doc's band/shingle rows were "
+    "appended — its content is corpus now), while a day-2 near-dup of a "
+    "day-1 DROPPED doc is NOT tainted by it (the drop appended nothing; "
+    "its edges are excluded from day 2's universe) — both directions "
+    "pinned by the crafted chain test. Day-1 classification is the "
+    "shared incremental_component_cls under the default parity rule; "
+    "day-2 is the SAME function under MEMBERSHIP (batch_members = the "
+    "day-2 ids), because on day 2 'corpus' = history PLUS day-1 keeps — "
+    "an id rule cannot express that, which is exactly what the round's "
+    "batch_members parameter is for. ONE signature pass and ONE "
+    "Jaccard verify cover both generations (candidates touching either "
+    "batch, verified once, split per generation by endpoint filters). "
+    "At 100 TB: per-day cost is O(batch signatures + touched-bucket "
+    "collisions + one candidate verify + CC over two tiny batch-batch "
+    "graphs); the day-2 probe reads the band/shingle artifacts exactly "
+    "as day 1 did, grown by the append. reference: no analogue — "
+    "training-pipeline extension.",
+)
+def dedup_incremental_two_day_near(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d1 = parity_batch_predicate
+    d2 = lambda c: c % INCR_MOD == INCR_DAY2_REM  # noqa: E731
+    sh = shared_hashed_shingles(spark, sf_dir)
+    cands = shared_lsh_candidates(spark, sf_dir, hashed=sh).select(
+        "doc_a", "doc_b"
+    )
+    # ONE verify over candidates touching EITHER generation; the
+    # verified edge table feeds both days' classifications — checkpoint
+    bc = cands.filter(
+        d1(F.col("doc_a")) | d1(F.col("doc_b"))
+        | d2(F.col("doc_a")) | d2(F.col("doc_b"))
+    )
+    be = (
+        jaccard_verify(bc, sh, threshold=INCR_NEAR_TAU)
+        .select(F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"))
+        .localCheckpoint(eager=True)
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    batch1 = docs.filter(d1(F.col("doc_id"))).select("doc_id", "source")
+    # day 1: day-2 docs do not exist yet — drop every edge that touches
+    # one, then classify under the default parity rule. cls1 feeds two
+    # consumers (the day-1 report and the day-2 edge exclusion list),
+    # but its expensive internals (contact, components) are already
+    # checkpointed inside incremental_component_cls — the recompute per
+    # consumer is a few joins over those checkpoints, cheaper than
+    # another eager materialization job on a tiny frame
+    be1 = be.filter(~d2(F.col("id_a")) & ~d2(F.col("id_b")))
+    cls1 = incremental_component_cls(be1, batch1)
+    dropped = (F.col("vs_corpus") == 1) | (F.col("in_batch") == 1)
+    drops1 = cls1.filter(dropped).select("doc_id")
+    # day 2: the edge universe is edges touching day 2 whose OTHER
+    # endpoint is day 2, history, or a day-1 KEEP — a day-1 drop
+    # appended nothing, so its edges are excluded (anti-joins against
+    # the increment-sized drop list; broadcast at scale)
+    be2 = (
+        be.filter(d2(F.col("id_a")) | d2(F.col("id_b")))
+        .join(
+            drops1.select(F.col("doc_id").alias("id_a")), "id_a", "left_anti"
+        )
+        .join(
+            drops1.select(F.col("doc_id").alias("id_b")), "id_b", "left_anti"
+        )
+    )
+    batch2 = docs.filter(d2(F.col("doc_id"))).select("doc_id", "source")
+    # membership, not parity: on day 2 "corpus" = history + day-1 keeps,
+    # which no id rule can express — the round's batch_members
+    # machinery, with the True sentinel since day-2's spine IS its
+    # population (one checkpoint serves both roles)
+    cls2 = incremental_component_cls(be2, batch2, batch_members=True)
+
+    def _day(cls: DataFrame, day: int) -> DataFrame:
+        return component_cls_report(cls, "neardup").select(
+            F.lit(day).alias("ingest_day"), "*"
+        )
+
+    return _day(cls1, 1).unionByName(_day(cls2, 2))

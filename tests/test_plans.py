@@ -1227,3 +1227,20 @@ def test_two_day_exact_digest_only_no_python(spark):
     assert "BatchEvalPython" not in plan
     assert "Scan ExistingRDD" in plan
     assert pi.broadcast_hint_count(df) == 0
+
+
+def test_two_day_near_one_verify_no_python(spark):
+    """dedup_incremental_two_day_near: one Jaccard verify serves both
+    generations (the verified edge table is a checkpoint consumed as
+    Scan ExistingRDD by day-1's parity classification and day-2's
+    membership classification), pure JVM end to end (no MapInPandas,
+    no BatchEvalPython), and nothing hint-forced to broadcast (the
+    shingle/band artifacts grow with the corpus; the day-2 drop-list
+    anti-joins and membership joins are increment-sized, AQE picks
+    their strategy)."""
+    df = build(spark, "dedup_incremental_two_day_near")
+    plan = pi.physical_plan(df)
+    assert "MapInPandas" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "Scan ExistingRDD" in plan
+    assert pi.broadcast_hint_count(df) == 0

@@ -4127,6 +4127,15 @@ def test_batch_membership_generalizes_parity(spark):
         ).collect()
     )
     assert default == via_members, (default, via_members)
+    # the True sentinel (spine IS the population, one checkpoint for
+    # both roles) must be indistinguishable from passing the frame
+    via_sentinel = sorted(
+        tuple(r)
+        for r in incremental_component_cls(
+            be, batch, batch_members=True
+        ).collect()
+    )
+    assert default == via_sentinel, (default, via_sentinel)
     # and the crafted edges exercise all three outcomes
     by_id = {r[0]: (r[2], r[3]) for r in default}
     assert by_id[20] == (1, 0) and by_id[50] == (1, 0)  # direct contact
@@ -4238,6 +4247,108 @@ def test_simhash_hamming_end_to_end(spark, tmp_path):
     assert_matches_oracle(
         spec.builder(spark, d), con, spec.oracle, "dedup_simhash_hamming"
     )
+
+
+def test_incremental_two_day_near_claims(spark, tmp_path):
+    """dedup_incremental_two_day_near's distinguishing claims on a
+    crafted chain corpus (one doc per source; LSH candidacy of every
+    load-bearing pair precondition-asserted so no claim passes
+    vacuously): (1) a day-2 near-dup of a day-1 KEPT doc is
+    neardup-vs-corpus — the keep's band/shingle rows are corpus content
+    on day 2; (2) a day-2 near-dup of a day-1 DROPPED doc is NOT
+    tainted by it (the drop appended nothing, its edges are excluded
+    from day 2's universe) and, being below the bar against the
+    ORIGINAL history doc two swaps away, is novel-kept; (3) day-2
+    in-batch pairs keep their min; (4) a day-2 near-dup of original
+    history is vs_corpus; (5) day-1 rows equal the standard one-day
+    classification (day-2 docs do not exist yet). Oracle-checked."""
+    import duckdb
+
+    from iceberg_explorer_spark.operators import QUERIES
+    from iceberg_explorer_spark.operators.dedup import (
+        invalidate_shared_candidates,
+        shared_lsh_candidates,
+    )
+    from tests.conftest import assert_matches_oracle
+
+    def swap2(text, i, j, tag):
+        w = text.split(" ")
+        w[i], w[j] = f"CHG{tag}0", f"CHG{tag}1"
+        return " ".join(w)
+
+    t_k = " ".join(f"keep{i} kbit{i % 5} kfur{i % 11}" for i in range(20))
+    t_d = " ".join(f"drop{i} dbit{i % 7} dfur{i % 13}" for i in range(20))
+    t_g = " ".join(f"pair{i} pbit{i % 3} pfur{i % 17}" for i in range(20))
+    t_h = " ".join(f"hist{i} hbit{i % 9} hfur{i % 4}" for i in range(20))
+    t_m = " ".join(f"mine{i} mbit{i % 6} mfur{i % 13}" for i in range(20))
+    d30 = swap2(t_d, 10, 34, "a")   # day-1 near-dup of history t_d
+    docs = [
+        (1, t_d, "h1"), (2, t_h, "h2"),                 # history
+        # day 1 (% 10 == 0)
+        (20, t_k, "b20"),                                # novel -> KEPT
+        (30, d30, "b30"),                                # vs_corpus drop
+        (40, " ".join(f"solo{i} sbit{i % 8}" for i in range(30)), "b40"),
+        (50, t_m, "b50"),                                # in-batch min
+        (60, swap2(t_m, 10, 34, "b"), "b60"),            # in-batch drop
+        # day 2 (% 10 == 5)
+        (15, swap2(t_k, 10, 34, "c"), "q15"),   # near-dup of day-1 KEEP
+        (25, swap2(d30, 5, 50, "d"), "q25"),    # near-dup of day-1 DROP
+        (35, t_g, "q35"),                        # day-2 in-batch min
+        (45, swap2(t_g, 10, 34, "e"), "q45"),    # day-2 in-batch drop
+        (55, swap2(t_h, 10, 34, "f"), "q55"),    # near-dup of history
+        (65, " ".join(f"new{i} nbit{i % 5}" for i in range(30)), "q65"),
+    ]
+    d = str(tmp_path / "twodaynear")
+    spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for i, t, s in docs],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+
+    # preconditions: every load-bearing pair is an LSH candidate
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in shared_lsh_candidates(spark, d).collect()
+    }
+    for need in [(15, 20), (25, 30), (35, 45), (1, 30), (2, 55), (50, 60)]:
+        assert need in pairs, (need, pairs)
+
+    spec = QUERIES["dedup_incremental_two_day_near"]
+    got = {
+        (r["ingest_day"], r["source"]): (
+            r["n_batch"], r["n_neardup_vs_corpus"],
+            r["n_neardup_in_batch"], r["n_novel_kept"],
+        )
+        for r in spec.builder(spark, d).collect()
+    }
+    want = {
+        # (5) day 1 = the standard one-day classification
+        (1, "b20"): (1, 0, 0, 1), (1, "b30"): (1, 1, 0, 0),
+        (1, "b40"): (1, 0, 0, 1), (1, "b50"): (1, 0, 0, 1),
+        (1, "b60"): (1, 0, 1, 0),
+        # (1) near-dup of a day-1 KEEP -> corpus; (2) near-dup of a
+        # day-1 DROP -> untainted, novel-kept; (3) in-batch min keep;
+        # (4) near-dup of original history -> corpus
+        (2, "q15"): (1, 1, 0, 0), (2, "q25"): (1, 0, 0, 1),
+        (2, "q35"): (1, 0, 0, 1), (2, "q45"): (1, 0, 1, 0),
+        (2, "q55"): (1, 1, 0, 0), (2, "q65"): (1, 0, 0, 1),
+    }
+    assert got == want, got
+
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{d}/{t}.parquet/*.parquet')"
+        )
+    assert_matches_oracle(
+        spec.builder(spark, d), con, spec.oracle,
+        "dedup_incremental_two_day_near",
+    )
+    invalidate_shared_candidates(d)
 
 
 def test_simhash_hamming_over_cap_contract(spark, tmp_path):
