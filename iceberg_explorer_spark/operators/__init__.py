@@ -343,7 +343,9 @@ Round 12 further adds dedup_incremental_two_day_near — multi-day
   day 1 = shared cls under parity, day 2 = the SAME cls under
   membership (batch_members=True sentinel); oracle instantiates the
   shared edges/cls fragments per generation via the new rem parameter
-  and two tagged closures. Same full checklist, bench EXTENDED (the
+  (edges default byte-identical; cls differs by a line break only,
+  all consumers gate_sim-reverified) and two tagged closures; the
+  verify chain is the single-source _incr_verify_be_sql fragment. Same full checklist, bench EXTENDED (the
   frozen r13-graduating cohort is ELEVEN), r13 rotation priority with
   the other two.
 """

@@ -3100,6 +3100,40 @@ def dedup_lsh_band_tuning(
 INCR_NEAR_TAU = 0.8
 
 
+def _incr_verify_be_sql() -> str:
+    """Oracle fragment: the INCR_NEAR_TAU Jaccard-verify CTE chain —
+    ``cdocs``/``capped``/``sz``/``inter`` over a caller-provided
+    ``bc(doc_a, doc_b)`` and the enclosing ``shh``, ending in the
+    MATERIALIZED ``be(id_a, id_b)`` verified-edge table. ONE definition
+    (the ``_cc_closure_sql`` discipline) shared by
+    dedup_incremental_near, dedup_incremental_two_day_near and the
+    incremental capstone's status oracle — a cap/threshold/ordering fix
+    applied to one copy must not silently fork verify semantics between
+    the one-day, two-day and capstone operators."""
+    return f"""cdocs AS (SELECT doc_a AS doc_id FROM bc UNION SELECT doc_b FROM bc),
+    capped AS (
+      SELECT doc_id, hb FROM (
+        SELECT doc_id, hb,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hb) AS rn
+        FROM shh WHERE doc_id IN (SELECT doc_id FROM cdocs)
+      ) WHERE rn <= {JACCARD_MAX_DOC_SHINGLES}
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM capped GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+      FROM bc c
+      JOIN capped a ON a.doc_id = c.doc_a
+      JOIN capped b ON b.doc_id = c.doc_b AND b.hb = a.hb
+      GROUP BY c.doc_a, c.doc_b
+    ),
+    be AS MATERIALIZED (
+      SELECT i.doc_a AS id_a, i.doc_b AS id_b FROM inter i
+      JOIN sz sa ON sa.doc_id = i.doc_a
+      JOIN sz sb ON sb.doc_id = i.doc_b
+      WHERE i.n_common * 1.0 / (sa.n + sb.n - i.n_common) >= {INCR_NEAR_TAU}
+    )"""
+
+
 def _incremental_edges_sql(
     tag: str = "", be: str = "be", batch: str = "batch", rem: int = 0
 ) -> str:
@@ -3252,7 +3286,8 @@ def incremental_component_cls(
     byte-identical to every oracle."""
     batch = batch.localCheckpoint(eager=True)
     ids = batch.select("doc_id")
-    if batch_members is None:
+    if batch_members is None or batch_members is False:
+        # False reads naturally as "no membership frame" — same as None
         a_b = parity_batch_predicate(F.col("id_a"))
         b_b = parity_batch_predicate(F.col("id_b"))
     else:
@@ -3366,28 +3401,7 @@ def component_cls_report(cls: DataFrame, kind: str) -> DataFrame:
     ),
     sh AS ({_SHINGLE_SQL}),
     shh AS ({_SHH_SQL}),
-    cdocs AS (SELECT doc_a AS doc_id FROM bc UNION SELECT doc_b FROM bc),
-    capped AS (
-      SELECT doc_id, hb FROM (
-        SELECT doc_id, hb,
-               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hb) AS rn
-        FROM shh WHERE doc_id IN (SELECT doc_id FROM cdocs)
-      ) WHERE rn <= {JACCARD_MAX_DOC_SHINGLES}
-    ),
-    sz AS (SELECT doc_id, COUNT(*) AS n FROM capped GROUP BY doc_id),
-    inter AS (
-      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
-      FROM bc c
-      JOIN capped a ON a.doc_id = c.doc_a
-      JOIN capped b ON b.doc_id = c.doc_b AND b.hb = a.hb
-      GROUP BY c.doc_a, c.doc_b
-    ),
-    be AS MATERIALIZED (
-      SELECT i.doc_a AS id_a, i.doc_b AS id_b FROM inter i
-      JOIN sz sa ON sa.doc_id = i.doc_a
-      JOIN sz sb ON sb.doc_id = i.doc_b
-      WHERE i.n_common * 1.0 / (sa.n + sb.n - i.n_common) >= {INCR_NEAR_TAU}
-    ),
+    {_incr_verify_be_sql()},
     batch AS (
       SELECT doc_id, source FROM documents WHERE doc_id % {INCR_MOD} = 0
     ),
@@ -3458,28 +3472,7 @@ def dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sh AS ({_SHINGLE_SQL}),
     shh AS ({_SHH_SQL}),
-    cdocs AS (SELECT doc_a AS doc_id FROM bc UNION SELECT doc_b FROM bc),
-    capped AS (
-      SELECT doc_id, hb FROM (
-        SELECT doc_id, hb,
-               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hb) AS rn
-        FROM shh WHERE doc_id IN (SELECT doc_id FROM cdocs)
-      ) WHERE rn <= {JACCARD_MAX_DOC_SHINGLES}
-    ),
-    sz AS (SELECT doc_id, COUNT(*) AS n FROM capped GROUP BY doc_id),
-    inter AS (
-      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
-      FROM bc c
-      JOIN capped a ON a.doc_id = c.doc_a
-      JOIN capped b ON b.doc_id = c.doc_b AND b.hb = a.hb
-      GROUP BY c.doc_a, c.doc_b
-    ),
-    be AS MATERIALIZED (
-      SELECT i.doc_a AS id_a, i.doc_b AS id_b FROM inter i
-      JOIN sz sa ON sa.doc_id = i.doc_a
-      JOIN sz sb ON sb.doc_id = i.doc_b
-      WHERE i.n_common * 1.0 / (sa.n + sb.n - i.n_common) >= {INCR_NEAR_TAU}
-    ),
+    {_incr_verify_be_sql()},
     batch1 AS (
       SELECT doc_id, source FROM documents WHERE doc_id % {INCR_MOD} = 0
     ),

@@ -1534,14 +1534,13 @@ def _incremental_status_sql() -> str:
     ``WITH RECURSIVE`` and append their report tail."""
     from iceberg_explorer_spark.operators.dedup import (
         _cc_closure_sql,
+        _incr_verify_be_sql,
         _incremental_cls_sql,
         _incremental_edges_sql,
         _incremental_exact_sql,
         _SHH_SQL,
         _SHINGLE_SQL,
         INCR_MOD,
-        INCR_NEAR_TAU,
-        JACCARD_MAX_DOC_SHINGLES,
     )
     from iceberg_explorer_spark.operators.similarity import (
         _EMB_SQL,
@@ -1560,28 +1559,7 @@ def _incremental_status_sql() -> str:
     ),
     sh AS ({_SHINGLE_SQL}),
     shh AS ({_SHH_SQL}),
-    cdocs AS (SELECT doc_a AS doc_id FROM bc UNION SELECT doc_b FROM bc),
-    capped AS (
-      SELECT doc_id, hb FROM (
-        SELECT doc_id, hb,
-               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hb) AS rn
-        FROM shh WHERE doc_id IN (SELECT doc_id FROM cdocs)
-      ) WHERE rn <= {JACCARD_MAX_DOC_SHINGLES}
-    ),
-    sz AS (SELECT doc_id, COUNT(*) AS n FROM capped GROUP BY doc_id),
-    inter AS (
-      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
-      FROM bc c
-      JOIN capped a ON a.doc_id = c.doc_a
-      JOIN capped b ON b.doc_id = c.doc_b AND b.hb = a.hb
-      GROUP BY c.doc_a, c.doc_b
-    ),
-    be AS MATERIALIZED (
-      SELECT i.doc_a AS id_a, i.doc_b AS id_b FROM inter i
-      JOIN sz sa ON sa.doc_id = i.doc_a
-      JOIN sz sb ON sb.doc_id = i.doc_b
-      WHERE i.n_common * 1.0 / (sa.n + sb.n - i.n_common) >= {INCR_NEAR_TAU}
-    ),
+    {_incr_verify_be_sql()},
     {_incremental_edges_sql()},
     {_cc_closure_sql("bb", "id_a", "id_b", "comp")},
     {_incremental_cls_sql()},

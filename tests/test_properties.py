@@ -4136,6 +4136,15 @@ def test_batch_membership_generalizes_parity(spark):
         ).collect()
     )
     assert default == via_sentinel, (default, via_sentinel)
+    # False reads as "no membership frame" — the parity default, not a
+    # crash on .select
+    via_false = sorted(
+        tuple(r)
+        for r in incremental_component_cls(
+            be, batch, batch_members=False
+        ).collect()
+    )
+    assert default == via_false, (default, via_false)
     # and the crafted edges exercise all three outcomes
     by_id = {r[0]: (r[2], r[3]) for r in default}
     assert by_id[20] == (1, 0) and by_id[50] == (1, 0)  # direct contact
