@@ -345,9 +345,22 @@ Round 12 further adds dedup_incremental_two_day_near — multi-day
   shared edges/cls fragments per generation via the new rem parameter
   (edges default byte-identical; cls differs by a line break only,
   all consumers gate_sim-reverified) and two tagged closures; the
-  verify chain is the single-source _incr_verify_be_sql fragment. Same full checklist, bench EXTENDED (the
-  frozen r13-graduating cohort is ELEVEN), r13 rotation priority with
-  the other two.
+  verify chain is the single-source _incr_verify_be_sql fragment.
+  Same full checklist, bench EXTENDED (the frozen r13-graduating
+  cohort is ELEVEN), r13 rotation priority with the other two.
+  The r13 window plan: flagship + the THREE r12 out-of-window
+  operators (dedup_simhash_hamming, dedup_incremental_two_day_exact,
+  dedup_incremental_two_day_near — first driver rows; after r12 they
+  are the only oracle-bearing queries with zero driver evidence) +
+  pipeline_clean_corpus_v2 and pipeline_incremental_artifact_delta
+  (the two count-1 queries, second rows) + the r10-latest cohort
+  (second-or-later rows; count it from CORRECTNESS_r01..r12 — if r12
+  comes back green it is the 46 queries whose latest row is r10, of
+  which 44 fit: leave out the two with the MOST prior green rows and
+  roll them into r14). 1 + 3 + 2 + 44 = 50 exactly. Bench r13
+  executes the declared v3 OVERLAP round: graduating=EXTENDED (the
+  eleven frozen ops) emits additive value_v3/n_queries_v3 next to the
+  unchanged v2 trend line; the r14 flip then folds them into HEADLINE.
 """
 
 from iceberg_explorer_spark.operators.registry import QUERIES, QuerySpec, query  # noqa: F401
