@@ -3282,8 +3282,10 @@ def incremental_component_cls(
     ``batch`` frame is reused as the member table, saving a second
     eager materialization — on tiny increments each extra
     driver-synchronized job is a fixed ~0.3 s scheduling tax (the
-    round-10 CC lesson). When None, the parity fixture applies —
-    byte-identical to every oracle."""
+    round-10 CC lesson). When None — or the literal ``False``, which
+    reads naturally as "no membership frame" and must not crash — the
+    parity fixture applies, byte-identical to every oracle (all four
+    spellings pinned by test_batch_membership_generalizes_parity)."""
     batch = batch.localCheckpoint(eager=True)
     ids = batch.select("doc_id")
     if batch_members is None or batch_members is False:
