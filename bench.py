@@ -150,7 +150,7 @@ HEADLINE = [
 #: deferral note, operators/__init__.py round-8 log); promoting a cohort
 #: into HEADLINE is a deliberate, logged trend reset. Emptied at the r10
 #: graduation (the r9 cohort now sits at the tail of HEADLINE above);
-#: currently the eleven post-r9 operators (five r10 + three r11 + three
+#: currently the twelve post-r9 operators (five r10 + three r11 + four
 #: r12) — the cohort the declared r13 overlap round graduates.
 EXTENDED = [
     "pipeline_clean_corpus_v2",   # capstone: all four dedup families composed
@@ -164,6 +164,7 @@ EXTENDED = [
     "dedup_simhash_hamming",      # banded-Hamming near-dup, exact recall (r12)
     "dedup_incremental_two_day_exact",  # two-generation exact ingest (r12)
     "dedup_incremental_two_day_near",   # two-generation component stage (r12)
+    "dedup_simhash_hamming_sweep",      # Hamming calibration histogram (r12)
 ]
 
 #: HEADLINE GRADUATION POLICY (a logged trend reset, never a silent one).
@@ -183,7 +184,7 @@ EXTENDED = [
 #:     preserved), ``headline_version`` is 2, the v2 overlap keys are
 #:     dropped, and the v1 sum is dropped. EXTENDED was emptied at
 #:     graduation and refills with post-r9 operators only (currently
-#:     the eleven below: five r10 + three r11 + three r12), which graduate on the
+#:     the twelve below: five r10 + three r11 + four r12), which graduate on the
 #:     same overlap-round protocol when the next reset is due —
 #:     format_output's ``graduating`` parameter stays as the generic
 #:     mechanism.

@@ -346,25 +346,34 @@ Round 12 further adds dedup_incremental_two_day_near — multi-day
   (edges default byte-identical; cls differs by a line break only,
   all consumers gate_sim-reverified) and two tagged closures; the
   verify chain is the single-source _incr_verify_be_sql fragment.
-  Same full checklist, bench EXTENDED (the frozen r13-graduating
-  cohort is ELEVEN), r13 rotation priority with the other two.
-  The r13 window plan: flagship + the THREE r12 out-of-window
-  operators (dedup_simhash_hamming, dedup_incremental_two_day_exact,
-  dedup_incremental_two_day_near — first driver rows; after r12 they
-  are the only oracle-bearing queries with zero driver evidence) +
-  pipeline_clean_corpus_v2 and pipeline_incremental_artifact_delta
-  (the two count-1 queries, second rows) + the r10-latest cohort
-  (second-or-later rows; count it from CORRECTNESS_r01..r12 — if r12
-  comes back green it is the 46 queries whose latest row is r10, of
-  which 44 fit: leave out the two with the MOST prior green rows and
-  roll them into r14). 1 + 3 + 2 + 44 = 50 exactly. Bench r13
+  Same full checklist, bench EXTENDED, r13 rotation priority with the
+  other two. And dedup_simhash_hamming_sweep — the Hamming calibration
+  histogram (un-thresholded candidate distances + cumulative verify
+  bill per cutoff, the HAM_MAX analogue of jaccard_threshold_sweep /
+  band_tuning / tau_sweep), sharing ONE candidate+distance chain with
+  the pair operator (simhash_candidate_hamming / _simhash_cand_ham_sql)
+  so the sweep can never disagree with what it calibrates; full
+  checklist, bench EXTENDED — the frozen r13-graduating cohort is
+  TWELVE — and the r13 rotation takes all FOUR r12 newcomers.
+  The r13 window plan: flagship + the FOUR r12 out-of-window
+  operators (dedup_simhash_hamming, dedup_simhash_hamming_sweep,
+  dedup_incremental_two_day_exact, dedup_incremental_two_day_near —
+  first driver rows; after r12 they are the only oracle-bearing
+  queries with zero driver evidence) + pipeline_clean_corpus_v2 and
+  pipeline_incremental_artifact_delta (the two count-1 queries, second
+  rows) + the r10-latest cohort (second-or-later rows; count it from
+  CORRECTNESS_r01..r12 — if r12 comes back green it is the 46 queries
+  whose latest row is r10, of which 43 fit: leave out the three with
+  the MOST prior green rows and roll them into r14).
+  1 + 4 + 2 + 43 = 50 exactly. Bench r13
   executes the declared v3 OVERLAP round: graduating=EXTENDED (the
   eleven frozen ops) emits additive value_v3/n_queries_v3 next to the
   unchanged v2 trend line; the r14 flip then folds them into HEADLINE.
   Byte note for r13 (measured r12: true final line 476/500 at THREE
   slowest entries): the ~45-byte v3 keys push the degradation ladder
   to its 0-entry step — fine by design (detail line keeps the full
-  map), or move status_build/pairs_build to the detail line only.
+  map), or move status_build/pairs_build to the detail line only;
+  dry-run numbers in SCALE.md's round-12 bench note.
 """
 
 from iceberg_explorer_spark.operators.registry import QUERIES, QuerySpec, query  # noqa: F401

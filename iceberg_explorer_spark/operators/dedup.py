@@ -976,17 +976,23 @@ def simhash_band_rows(sigs: DataFrame) -> DataFrame:
     )
 
 
-@query(
-    "dedup_simhash_hamming",
-    oracle=f"""
-    WITH {_simhash_sig_sql()},
-    bands AS MATERIALIZED (
-      {" UNION ALL ".join(
+def _simhash_cand_ham_sql() -> str:
+    """Oracle fragment: signatures → banded buckets → candidate pairs →
+    the MATERIALIZED ``hpairs(doc_a, doc_b, hamming)`` table of
+    UN-thresholded candidate Hamming distances — ONE chain shared by
+    dedup_simhash_hamming (filters at HAM_MAX) and
+    dedup_simhash_hamming_sweep (histograms every distance), so the
+    candidate generation and the distance rule cannot fork between the
+    operator and its calibration sweep."""
+    bands = " UNION ALL ".join(
         f"SELECT doc_id, {i} AS band,"
         f" (simhash >> {SIMHASH_BAND_BITS * i}) & {(1 << SIMHASH_BAND_BITS) - 1}"
         f" AS bkey FROM sigs"
         for i in range(SIMHASH_BANDS)
-      )}
+    )
+    return f"""{_simhash_sig_sql()},
+    bands AS MATERIALIZED (
+      {bands}
     ),
     buckets AS (
       SELECT band, bkey FROM bands GROUP BY band, bkey
@@ -998,13 +1004,23 @@ def simhash_band_rows(sigs: DataFrame) -> DataFrame:
       JOIN buckets k ON k.band = a.band AND k.bkey = a.bkey
       JOIN bands b ON b.band = a.band AND b.bkey = a.bkey
            AND b.doc_id > a.doc_id
-    )
-    SELECT c.doc_a, c.doc_b,
-           CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
-    FROM cands c
-    JOIN sigs sa ON sa.doc_id = c.doc_a
-    JOIN sigs sb ON sb.doc_id = c.doc_b
-    WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {SIMHASH_HAM_MAX}
+    ),
+    hpairs AS MATERIALIZED (
+      SELECT c.doc_a, c.doc_b,
+             CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT)
+               AS hamming
+      FROM cands c
+      JOIN sigs sa ON sa.doc_id = c.doc_a
+      JOIN sigs sb ON sb.doc_id = c.doc_b
+    )"""
+
+
+@query(
+    "dedup_simhash_hamming",
+    oracle=f"""
+    WITH {_simhash_cand_ham_sql()}
+    SELECT doc_a, doc_b, hamming FROM hpairs
+    WHERE hamming <= {SIMHASH_HAM_MAX}
     """,
     doc="SimHash banded-Hamming near-dup pairs — completes the SimHash "
     "modality (the signature existed as a fingerprint report only; this "
@@ -1041,6 +1057,18 @@ def simhash_band_rows(sigs: DataFrame) -> DataFrame:
     "reference: no analogue — training-pipeline extension.",
 )
 def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_candidate_hamming(spark, sf_dir).filter(
+        F.col("hamming") <= SIMHASH_HAM_MAX
+    )
+
+
+def simhash_candidate_hamming(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) for every banded candidate pair,
+    UN-thresholded — the Spark twin of ``_simhash_cand_ham_sql``'s
+    ``hpairs``, the single chain behind the pair operator and its
+    calibration sweep."""
     # the signature frame feeds THREE branches (band rows + both verify
     # sides) — checkpoint once per the standing multi-branch discipline
     sigs = simhash_signatures(
@@ -1061,7 +1089,60 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "hamming"
             ),
         )
-        .filter(F.col("hamming") <= SIMHASH_HAM_MAX)
+    )
+
+
+@query(
+    "dedup_simhash_hamming_sweep",
+    oracle=f"""
+    WITH {_simhash_cand_ham_sql()},
+    hist AS (
+      SELECT hamming, COUNT(*) AS n_pairs FROM hpairs GROUP BY hamming
+    )
+    SELECT hamming, n_pairs,
+           CAST(SUM(n_pairs) OVER (ORDER BY hamming) AS BIGINT)
+             AS n_pairs_cum
+    FROM hist
+    """,
+    doc="Hamming-threshold calibration sweep for the SimHash banded "
+    "near-dup operator — the same relation to HAM_MAX that "
+    "dedup_jaccard_threshold_sweep has to the 0.8 Jaccard bar and "
+    "dedup_lsh_band_tuning to the band layouts: the distance histogram "
+    "over ALL banded candidate pairs (un-thresholded), with a "
+    "cumulative pair count per cutoff — n_pairs_cum at distance h IS "
+    "the verify bill a HAM_MAX=h contract would pay, so the natural "
+    "valley between the near-dup mass at small distances and the "
+    "random-collision mass near 30 (the expected distance of unrelated "
+    "60-bit signatures) is read directly off the result. Shares ONE "
+    "candidate+distance chain with dedup_simhash_hamming "
+    "(simhash_candidate_hamming / _simhash_cand_ham_sql), so the sweep "
+    "can never disagree with the operator it calibrates. At 100 TB "
+    "this is the operator's marginal cost plus a <=61-row aggregation: "
+    "the histogram groupBy is map-side partial over the candidate "
+    "table, and the cumulative sum is a single-partition window over "
+    "at most 61 rows. reference: no analogue — training-pipeline "
+    "extension.",
+)
+def dedup_simhash_hamming_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    hist = (
+        simhash_candidate_hamming(spark, sf_dir)
+        .groupBy("hamming")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    # <= 61 distinct distances: the unpartitioned cumulative window is a
+    # deliberate single-partition op over a tiny frame, same pattern as
+    # the other calibration sweeps
+    w = Window.orderBy("hamming").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return hist.select(
+        "hamming",
+        "n_pairs",
+        F.sum("n_pairs").over(w).cast("bigint").alias("n_pairs_cum"),
     )
 
 

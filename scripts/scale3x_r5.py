@@ -39,6 +39,7 @@ DEFAULT_OPS = [
 #: symlink to the 1x files)
 OP_TABLE = {
     "dedup_simhash_hamming": "documents",
+    "dedup_simhash_hamming_sweep": "documents",
     "dedup_incremental_two_day_near": "documents",
     "dedup_incremental_two_day_exact": "documents",
     "dedup_incremental_near": "documents",

@@ -1244,3 +1244,19 @@ def test_two_day_near_one_verify_no_python(spark):
     assert "BatchEvalPython" not in plan
     assert "Scan ExistingRDD" in plan
     assert pi.broadcast_hint_count(df) == 0
+
+
+def test_simhash_hamming_sweep_tiny_window(spark):
+    """dedup_simhash_hamming_sweep adds only an aggregation + a
+    deliberate single-partition cumulative window over <= 61 histogram
+    rows on top of the shared candidate chain: no Python anywhere, the
+    checkpointed signature frame consumed as Scan ExistingRDD, exactly
+    ONE Window node (the tiny cumulative), nothing hint-forced to
+    broadcast."""
+    df = build(spark, "dedup_simhash_hamming_sweep")
+    plan = pi.physical_plan(df)
+    assert "MapInPandas" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "Scan ExistingRDD" in plan
+    assert plan.count("Window") == 1
+    assert pi.broadcast_hint_count(df) == 0

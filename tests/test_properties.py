@@ -1100,6 +1100,7 @@ DETERMINISM_GRID_OPS = [
     # counts must be partition-invariant
     "dedup_simhash_hamming",
     "dedup_incremental_two_day_exact",
+    "dedup_simhash_hamming_sweep",
 ]
 
 
@@ -4255,6 +4256,20 @@ def test_simhash_hamming_end_to_end(spark, tmp_path):
         )
     assert_matches_oracle(
         spec.builder(spark, d), con, spec.oracle, "dedup_simhash_hamming"
+    )
+
+    # the calibration sweep shares the chain: same corpus, the
+    # histogram must put exactly the three hamming-0 pairs in its
+    # first bucket with a correct cumulative bill, oracle-checked
+    sweep = QUERIES["dedup_simhash_hamming_sweep"]
+    rows_sweep = {
+        r["hamming"]: (r["n_pairs"], r["n_pairs_cum"])
+        for r in sweep.builder(spark, d).collect()
+    }
+    assert rows_sweep[0] == (3, 3), rows_sweep
+    assert_matches_oracle(
+        sweep.builder(spark, d), con, sweep.oracle,
+        "dedup_simhash_hamming_sweep",
     )
 
 
