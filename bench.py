@@ -268,6 +268,7 @@ def format_output(
     cpu_probe_1t_sec: float | None = None,
     status_build: float | None = None,
     pairs_build: float | None = None,
+    simhash_build: float | None = None,
 ) -> tuple[str, str]:
     """Build the two output lines. The FINAL line is the driver-parseable
     one and must stay compact (< 500 bytes — enforced here, because rounds
@@ -318,6 +319,11 @@ def format_output(
             "semantic_build": semantic_build,
             "status_build": status_build,
             "pairs_build": pairs_build,
+            # DETAIL-line only: the final line sits at 474 of its
+            # 500-byte cap (round-12 measurement) — the one-time
+            # simhash chain cost stays visible here without spending
+            # final-line budget the declared r13 overlap keys need
+            "simhash_build": simhash_build,
             "cpu_probe_sec": cpu_probe_sec,
             "cpu_probe_1t_sec": cpu_probe_1t_sec,
         }
@@ -440,11 +446,13 @@ def main() -> None:
         semantic_build: float | None = None
         status_build: float | None = None
         pairs_build: float | None = None
+        simhash_build: float | None = None
         try:
             from iceberg_explorer_spark.operators.dedup import (
                 invalidate_shared_candidates,
                 shared_lsh_candidates,
                 shared_probe_candidates,
+                shared_simhash_hamming,
             )
             from iceberg_explorer_spark.operators.multimodal import (
                 shared_pair_keys,
@@ -471,6 +479,10 @@ def main() -> None:
                 # the corpus pair-key table (the one aHash decode both
                 # pair-key consumers then read)
                 ("pairs_build", shared_pair_keys),
+                # the banded-Hamming candidate+distance table (one
+                # signature pass serving the pair operator AND its
+                # calibration sweep)
+                ("simhash_build", shared_simhash_hamming),
             ]
             timings_by_key: dict[str, float] = {}
             for err_key, builder_fn in builds:
@@ -490,6 +502,7 @@ def main() -> None:
             semantic_build = timings_by_key.get("semantic_build")
             status_build = timings_by_key.get("status_build")
             pairs_build = timings_by_key.get("pairs_build")
+            simhash_build = timings_by_key.get("simhash_build")
         except Exception as exc:  # noqa: BLE001 — the import guard
             errors["candidate_build"] = f"{type(exc).__name__}: {exc}"[:500]
 
@@ -529,6 +542,7 @@ def main() -> None:
             cpu_probe_1t_sec=cpu_probe_1t_sec,
             status_build=status_build,
             pairs_build=pairs_build,
+            simhash_build=simhash_build,
         )
         # Detail line: the complete per-query map, own line, parse-optional.
         print(detail_line)

@@ -367,9 +367,9 @@ Round 12 further adds dedup_incremental_two_day_near — multi-day
   the MOST prior green rows and roll them into r14).
   1 + 4 + 2 + 43 = 50 exactly. Bench r13
   executes the declared v3 OVERLAP round: graduating=EXTENDED (the
-  eleven frozen ops) emits additive value_v3/n_queries_v3 next to the
+  twelve frozen ops) emits additive value_v3/n_queries_v3 next to the
   unchanged v2 trend line; the r14 flip then folds them into HEADLINE.
-  Byte note for r13 (measured r12: true final line 476/500 at THREE
+  Byte note for r13 (measured r12: true final line 474/500 at THREE
   slowest entries): the ~45-byte v3 keys push the degradation ladder
   to its 0-entry step — fine by design (detail line keeps the full
   map), or move status_build/pairs_build to the detail line only;

@@ -1057,8 +1057,24 @@ def _simhash_cand_ham_sql() -> str:
     "reference: no analogue — training-pipeline extension.",
 )
 def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simhash_candidate_hamming(spark, sf_dir).filter(
+    return shared_simhash_hamming(spark, sf_dir).filter(
         F.col("hamming") <= SIMHASH_HAM_MAX
+    )
+
+
+def shared_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``simhash_candidate_hamming`` materialized ONCE per corpus per
+    session (kind="simhash" in the keyed candidate cache): the pair
+    operator and its calibration sweep consume the identical
+    candidate+distance frame, so the second consumer reads the
+    checkpoint instead of re-paying the signature build, the band
+    shuffle and both verify joins — the same two-operators-one-
+    candidate-set case the cache exists for (dedup_minhash_lsh)."""
+    return _shared_candidates(
+        spark,
+        sf_dir,
+        "simhash",
+        lambda: simhash_candidate_hamming(spark, sf_dir),
     )
 
 
@@ -1068,7 +1084,8 @@ def simhash_candidate_hamming(
     """(doc_a, doc_b, hamming) for every banded candidate pair,
     UN-thresholded — the Spark twin of ``_simhash_cand_ham_sql``'s
     ``hpairs``, the single chain behind the pair operator and its
-    calibration sweep."""
+    calibration sweep (both read it through the session-cached
+    ``shared_simhash_hamming``)."""
     # the signature frame feeds THREE branches (band rows + both verify
     # sides) — checkpoint once per the standing multi-branch discipline
     sigs = simhash_signatures(
@@ -1129,7 +1146,7 @@ def dedup_simhash_hamming_sweep(
     from pyspark.sql import Window
 
     hist = (
-        simhash_candidate_hamming(spark, sf_dir)
+        shared_simhash_hamming(spark, sf_dir)
         .groupBy("hamming")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
