@@ -374,6 +374,29 @@ Round 12 further adds dedup_incremental_two_day_near — multi-day
   to its 0-entry step — fine by design (detail line keeps the full
   map), or move status_build/pairs_build to the detail line only;
   dry-run numbers in SCALE.md's round-12 bench note.
+Round 13 rotation (executes the r12 plan above verbatim): flagship +
+  the FOUR r12 out-of-window operators (dedup_simhash_hamming,
+  dedup_simhash_hamming_sweep, dedup_incremental_two_day_exact,
+  dedup_incremental_two_day_near — their FIRST driver rows; after r12
+  they were the only oracle-bearing queries with zero driver evidence)
+  + pipeline_clean_corpus_v2 and pipeline_incremental_artifact_delta
+  (the two count-1 queries, last green r11 — second rows) + 43 of the
+  46 r10-latest queries (counted from CORRECTNESS_r01..r12 after r12
+  came back 50/50 green: exactly 46 queries have latest row r10). The
+  three left out, per the written plan ("the three with the MOST prior
+  green rows"), come from the five-way tie at 6 green rows; tie-break
+  alphabetical-first-out, so dedup_embedding_cosine,
+  multimodal_decode_features and similarity_ivf_topk roll into the r14
+  window with their tie survivors noted here. 1 + 4 + 2 + 43 = 50
+  exactly. Bench r13 executes the declared v3 OVERLAP round:
+  GRADUATING_R12 (the twelve EXTENDED ops frozen at the end of r12)
+  rides format_output's graduating= parameter, emitting additive
+  value_v3/n_queries_v3 beside the unchanged v2 trend line
+  (headline_version stays 2 this round; r14 flips). EXTENDED holds
+  only post-r12 operators registered this round, mirroring the r10
+  overlap precedent (BENCH_r10: n_extended=5 newcomers while the
+  frozen cohort graduated). Displaced multi-green queries remain
+  covered every round by tests/test_differential.py.
 """
 
 from iceberg_explorer_spark.operators.registry import QUERIES, QuerySpec, query  # noqa: F401
@@ -392,61 +415,65 @@ from iceberg_explorer_spark.operators import pipeline  # noqa: E402,F401
 _CHECK_WINDOW = [
     # flagship first (never displaced)
     "pipeline_clean_corpus",
-    # --- the three round-11 operators: FIRST driver rows (VERDICT r11 #1
+    # --- the four round-12 operators: FIRST driver rows (VERDICT r12 #1
     # — the only oracle-bearing queries with zero driver evidence) ---
-    "dedup_incremental_paired",
-    "pipeline_incremental_ingest_v2",
-    "pipeline_incremental_artifact_delta_v2",
-    # --- the full r9-latest cohort (43): last driver row is r9 ---
-    "dedup_candidate_triangles",
-    "dedup_clusters",
-    "dedup_containment",
-    "dedup_containment_probe",
-    "dedup_incremental_ingest",
-    "dedup_jaccard_threshold_sweep",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_semantic_keep_best",
-    "dedup_span_boilerplate",
-    "events_dau_wau_stickiness",
-    "events_json_extract",
-    "events_markov_transitions",
-    "events_resample_gapfill",
-    "events_sliding_window",
-    "events_tumbling_window",
-    "events_user_retention",
-    "group_by_all_status_priority",
-    "join_revenue_by_nation",
-    "lateral_top_orders",
-    "market_basket_part_pairs",
-    "multimodal_audio_energy",
-    "multimodal_frame_sample",
-    "multimodal_patch_tokens",
-    "orders_yoy_growth",
-    "pipeline_chunk_documents",
-    "pipeline_chunk_pack",
-    "pipeline_dataset_card",
-    "pipeline_epoch_plan",
-    "pipeline_token_shards",
-    "pricing_summary",
-    "rfm_customer_segments",
-    "similarity_ann_recall_report",
-    "similarity_bucket_gemm",
-    "similarity_kmeans_step",
-    "similarity_pq_adc_topk",
-    "text_bpe_pair_freq",
-    "text_decontaminate",
-    "text_length_histogram",
-    "text_tfidf_source_terms",
-    "unpivot_customer_metrics",
-    "window_distribution_functions",
-    "window_top_orders_per_customer",
-    # --- 3 fillers from the count-1 r10 operators, recently-changed
-    # first: this round makes batch membership pluggable on the
-    # incremental family, so these get their second rows POST-change ---
-    "dedup_incremental_near",
-    "dedup_incremental_semantic",
-    "pipeline_incremental_ingest",
+    "dedup_simhash_hamming",
+    "dedup_simhash_hamming_sweep",
+    "dedup_incremental_two_day_exact",
+    "dedup_incremental_two_day_near",
+    # --- the two count-1 queries (only green row is r11): second rows ---
+    "pipeline_clean_corpus_v2",
+    "pipeline_incremental_artifact_delta",
+    # --- 43 of the 46 r10-latest (last driver row is r10, counted from
+    # CORRECTNESS_r01..r12). Left out per the written plan: the three
+    # with the MOST prior green rows. Five tie at 6 greens
+    # (dedup_embedding_cosine, multimodal_decode_features,
+    # similarity_ivf_topk, similarity_knn_join, text_token_count);
+    # tie-break is alphabetical-first-out, so dedup_embedding_cosine,
+    # multimodal_decode_features and similarity_ivf_topk roll to r14. ---
+    "anti_join_idle_customers",
+    "asof_join_purchase_click",
+    "conditional_agg_order_status",
+    "cte_above_avg_orders",
+    "dedup_cluster_stats",
+    "dedup_exact",
+    "dedup_keep_best",
+    "dedup_pagerank_step",
+    "dedup_simhash",
+    "dedup_source_minhash_similarity",
+    "dedup_source_overlap_matrix",
+    "events_categorical_drift",
+    "events_funnel",
+    "events_funnel_latency",
+    "events_incremental_rollup",
+    "events_path_topk",
+    "events_rate_spike_zscore",
+    "events_variant_shred",
+    "explode_word_frequencies",
+    "left_join_order_lines",
+    "multimodal_ahash_dedup",
+    "multimodal_image_resize",
+    "null_semantics",
+    "orders_seasonality_index",
+    "parts_abc_pareto",
+    "percentile_order_price",
+    "pipeline_global_shuffle",
+    "pipeline_pack_efficiency",
+    "pipeline_stratified_sample",
+    "range_join_ship_window",
+    "scalar_date_functions",
+    "similarity_bruteforce_topk",
+    "similarity_centroid_drift",
+    "similarity_int8_quantize",
+    "similarity_knn_join",
+    "similarity_lsh_ann",
+    "text_bm25_topk",
+    "text_fingerprint",
+    "text_ngram_entropy",
+    "text_token_count",
+    "text_vocab_growth",
+    "topk_orders",
+    "window_ship_gaps",
 ]
 
 
