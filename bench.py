@@ -149,10 +149,22 @@ HEADLINE = [
 #: measurement-set change. New operators enter here first (per the r7
 #: deferral note, operators/__init__.py round-8 log); promoting a cohort
 #: into HEADLINE is a deliberate, logged trend reset. Emptied at the r10
-#: graduation (the r9 cohort now sits at the tail of HEADLINE above);
-#: currently the twelve post-r9 operators (five r10 + three r11 + four
-#: r12) — the cohort the declared r13 overlap round graduates.
-EXTENDED = [
+#: graduation; the twelve post-r9 operators that accumulated here through
+#: r12 are now the GRADUATING_R12 cohort below (the declared r13 overlap
+#: round in flight) — EXTENDED holds post-r12 newcomers only, mirroring
+#: the r10 precedent (BENCH_r10: n_extended=5 in-round newcomers rode
+#: EXTENDED while the frozen cohort rode ``graduating``).
+EXTENDED: list[str] = [
+    # (post-r12 operators registered this round join here as they land)
+]
+
+#: The EXTENDED set as frozen at the END of round 12 — the cohort the
+#: declared r13 overlap round graduates (order preserved; this exact
+#: order folds into HEADLINE at the r14 flip). Rides format_output's
+#: ``graduating`` parameter for the one overlap round: excluded from
+#: ``value``/``extended_sec``/the slowest map, summed into the additive
+#: ``value_v3``/``n_queries_v3`` keys.
+GRADUATING_R12 = [
     "pipeline_clean_corpus_v2",   # capstone: all four dedup families composed
     "dedup_incremental_near",     # daily-batch near-dup vs corpus artifacts
     "dedup_incremental_semantic",  # daily-batch semantic dedup vs corpus artifacts
@@ -188,19 +200,20 @@ EXTENDED = [
 #:     same overlap-round protocol when the next reset is due —
 #:     format_output's ``graduating`` parameter stays as the generic
 #:     mechanism.
-#:   * round 13 (the NEXT overlap round — declared here in r12, ahead of
-#:     the final-line byte cap rather than reacting to it): the EXTENDED
-#:     set as frozen at the END of round 12 graduates. For that one
-#:     round ``value``/``n_queries`` stay the v2 trend line
-#:     (headline_version still 2) and additive ``value_v3`` /
-#:     ``n_queries_v3`` keys carry HEADLINE + the graduating cohort via
-#:     ``graduating=EXTENDED`` — the two extra keys are what the
-#:     slowest-map degradation ladder (5→4→3→0 entries) exists to
-#:     absorb if the line nears 500 bytes.
-#:   * round 14 (the v3 flip): the cohort folds into HEADLINE in its
-#:     frozen order, ``headline_version`` becomes 3, the v3 overlap keys
-#:     and the v2 sum drop, EXTENDED empties and refills with post-r12
-#:     operators only.
+#:   * round 13 (THIS round — the overlap, declared in r12 ahead of the
+#:     final-line byte cap rather than reacting to it): the EXTENDED set
+#:     as frozen at the END of round 12 graduates, riding the
+#:     GRADUATING_R12 constant above. ``value``/``n_queries`` stay the
+#:     v2 trend line (headline_version still 2) and additive
+#:     ``value_v3`` / ``n_queries_v3`` keys carry HEADLINE + the
+#:     graduating cohort via ``graduating=GRADUATING_R12`` — the two
+#:     extra keys are what the slowest-map degradation ladder
+#:     (5→4→3→0 entries) exists to absorb if the line nears 500 bytes.
+#:   * round 14 (the v3 flip): the GRADUATING_R12 cohort folds into
+#:     HEADLINE in its frozen order, ``headline_version`` becomes 3, the
+#:     v3 overlap keys and the v2 sum drop, and EXTENDED (already
+#:     refilled with post-r12 operators only) carries on accumulating
+#:     toward the next declared overlap.
 #: ``headline_version`` is emitted starting round 9 so every bench artifact
 #: names the measurement set its ``value`` covers; the driver's
 #: round-over-round comparison must only ever compare equal versions
@@ -317,12 +330,15 @@ def format_output(
             "candidate_build": candidate_build,
             "probe_build": probe_build,
             "semantic_build": semantic_build,
+            # DETAIL-line only since r13 (status/pairs joined simhash
+            # here): the overlap round's value_v3/n_queries_v3 keys
+            # would otherwise push the final line's slowest map to its
+            # 0-entry ladder step (SCALE.md round-12 dry-run: 409 bytes
+            # at 0 entries) — the slowest map is the more informative
+            # driver-visible context, so these one-time build scalars
+            # ride the detail line only and the map keeps >= 3 entries
             "status_build": status_build,
             "pairs_build": pairs_build,
-            # DETAIL-line only: the final line sits at 474 of its
-            # 500-byte cap (round-12 measurement) — the one-time
-            # simhash chain cost stays visible here without spending
-            # final-line budget the declared r13 overlap keys need
             "simhash_build": simhash_build,
             "cpu_probe_sec": cpu_probe_sec,
             "cpu_probe_1t_sec": cpu_probe_1t_sec,
@@ -354,13 +370,8 @@ def format_output(
                 "candidate_build": candidate_build,
                 "probe_build": probe_build,
                 "semantic_build": semantic_build,
-                # one-time incremental-status / pair-key
-                # materializations at the target SF (r11: the capstones
-                # and both pair-key consumers serve from the shared
-                # checkpoints; steady-state timings below are
-                # cache-served, these keep the build costs visible)
-                "status_build": status_build,
-                "pairs_build": pairs_build,
+                # status_build / pairs_build / simhash_build are
+                # detail-line-only since r13 — see the detail dict above
                 "extended_sec": round(sum(extended_timings.values()), 3)
                 if extended_timings
                 else None,
@@ -424,7 +435,7 @@ def main() -> None:
         # single query aborted the bench before printing). Errors are recorded
         # per-query and excluded from the wall-time sum.
         errors: dict[str, str] = {}
-        for name in [*HEADLINE, *EXTENDED]:
+        for name in [*HEADLINE, *EXTENDED, *GRADUATING_R12]:
             try:
                 QUERIES[name].builder(spark, warm_dir).write.format(
                     "noop"
@@ -512,7 +523,7 @@ def main() -> None:
 
         timings: dict[str, float] = {}
         for _ in range(ITERS):
-            for name in [*HEADLINE, *EXTENDED]:
+            for name in [*HEADLINE, *EXTENDED, *GRADUATING_R12]:
                 if name in errors:
                     continue
                 builder = QUERIES[name].builder
@@ -536,6 +547,7 @@ def main() -> None:
             ITERS,
             candidate_build,
             extended=EXTENDED,
+            graduating=GRADUATING_R12,
             probe_build=probe_build,
             semantic_build=semantic_build,
             cpu_probe_sec=cpu_probe_sec,

@@ -14,7 +14,16 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from bench import EXTENDED, HEADLINE, format_output  # noqa: E402
+from bench import EXTENDED, GRADUATING_R12, HEADLINE, format_output  # noqa: E402
+
+
+def inspect_main_source() -> str:
+    """Source of bench.main — lets tests pin what the run loop wires."""
+    import inspect
+
+    import bench
+
+    return inspect.getsource(bench.main)
 
 
 def _fake_timings(n):
@@ -85,17 +94,24 @@ def test_extended_queries_excluded_from_trend_value():
 
 
 def test_extended_registry_membership():
-    """Every HEADLINE / EXTENDED name must be a registered query and the
-    two benchmark sets must be disjoint (overlap would double-count an
-    operator's time in one of the sums). HEADLINE must also be
-    duplicate-free — the r11 graduation folded the r9 cohort in, and a
-    name appearing twice would double its time in `value`."""
+    """Every HEADLINE / EXTENDED / GRADUATING_R12 name must be a
+    registered query and the three benchmark sets must be pairwise
+    disjoint (overlap would double-count an operator's time in one of
+    the sums). HEADLINE must also be duplicate-free — the r11 graduation
+    folded the r9 cohort in, and a name appearing twice would double its
+    time in `value`. GRADUATING_R12 is the EXTENDED set as frozen at the
+    end of round 12 — exactly twelve, the declared r13 overlap cohort."""
     from iceberg_explorer_spark.operators import QUERIES
 
     assert not set(EXTENDED) & set(HEADLINE)
+    assert not set(GRADUATING_R12) & set(HEADLINE)
+    assert not set(GRADUATING_R12) & set(EXTENDED)
     assert len(set(HEADLINE)) == len(HEADLINE)
     assert len(set(EXTENDED)) == len(EXTENDED)
-    missing = [n for n in [*HEADLINE, *EXTENDED] if n not in QUERIES]
+    assert len(set(GRADUATING_R12)) == len(GRADUATING_R12) == 12
+    missing = [
+        n for n in [*HEADLINE, *EXTENDED, *GRADUATING_R12] if n not in QUERIES
+    ]
     assert not missing, missing
 
 
@@ -184,25 +200,26 @@ def test_headline_version_and_graduation_policy():
     for name in r9_cohort:
         assert HEADLINE.count(name) == 1, name
     timings = {name: 1.234 for name in HEADLINE}
-    timings.update({name: 10.0 for name in EXTENDED})
-    _, final = format_output(
-        timings, {}, 0.1, 2, candidate_build=1.337, extended=EXTENDED
-    )
+    _, final = format_output(timings, {}, 0.1, 2, candidate_build=1.337)
     assert len(final) < 500, len(final)
     parsed = json.loads(final)
     assert isinstance(parsed["headline_version"], int)
     assert parsed["headline_version"] == 2
     assert parsed["n_queries"] == len(HEADLINE) == 77
     assert parsed["value"] == round(1.234 * len(HEADLINE), 3)
-    # (2) no overlap in flight: no overlap keys of ANY version
+    # (2) format_output emits overlap keys ONLY when a graduating cohort
+    # is passed: a plain run carries none, of ANY version
     assert not [k for k in parsed if k.startswith("value_v")]
     assert not [k for k in parsed if k.startswith("n_queries_v")]
     # (3) the generic overlap mechanism keys by the NEXT version: under
-    # version 2 the r13 overlap emits value_v3/n_queries_v3
+    # version 2 the r13 overlap emits value_v3/n_queries_v3; graduating
+    # entries leave `value`, `extended_sec` and the slowest map untouched
     grad = ["next_grad_a", "next_grad_b"]
+    ext = ["ext_newcomer_a"]
     timings.update({name: 2.0 for name in grad})
+    timings.update({name: 10.0 for name in ext})
     _, final_next = format_output(
-        timings, {}, 0.1, 2, extended=EXTENDED, graduating=grad
+        timings, {}, 0.1, 2, extended=ext, graduating=grad
     )
     parsed_next = json.loads(final_next)
     assert parsed_next["value"] == round(1.234 * len(HEADLINE), 3)
@@ -211,21 +228,26 @@ def test_headline_version_and_graduation_policy():
         1.234 * len(HEADLINE) + 2.0 * len(grad), 3
     )
     assert "value_v2" not in parsed_next  # the old suffix never reappears
-    assert parsed_next["extended_sec"] == round(10.0 * len(EXTENDED), 3)
+    assert parsed_next["extended_sec"] == round(10.0 * len(ext), 3)
     assert not set(parsed_next["queries"]) & set(grad)
-    # the r13 overlap simulated at FULL width: HEADLINE + the real
-    # 8-operator EXTENDED cohort graduating, realistic multi-second
-    # timings — the final line must degrade under the byte cap, never die
+    # the r13 overlap at FULL REAL width: HEADLINE + the frozen
+    # GRADUATING_R12 twelve, realistic multi-second timings — the final
+    # line must degrade under the byte cap, never die, and main() wires
+    # exactly this cohort through the graduating parameter
     _, final_r13 = format_output(
-        {**{n: 9.876 for n in HEADLINE}, **{n: 9.876 for n in EXTENDED}},
+        {
+            **{n: 9.876 for n in HEADLINE},
+            **{n: 9.876 for n in GRADUATING_R12},
+        },
         {}, 0.1, 2, candidate_build=1.337, probe_build=1.1,
         semantic_build=4.4, status_build=2.2, pairs_build=3.3,
         cpu_probe_sec=0.123, cpu_probe_1t_sec=0.456,
-        graduating=EXTENDED,
+        graduating=GRADUATING_R12,
     )
     assert len(final_r13) < 500, len(final_r13)
     parsed_r13 = json.loads(final_r13)
-    assert parsed_r13["n_queries_v3"] == len(HEADLINE) + len(EXTENDED)
+    assert parsed_r13["n_queries_v3"] == len(HEADLINE) + len(GRADUATING_R12)
+    assert "graduating=GRADUATING_R12" in inspect_main_source()
     # the policy text itself must stay in the source next to the constant
     import inspect
 
@@ -267,8 +289,13 @@ def test_cpu_probe_calibration_keys():
         parsed = json.loads(line)
         assert parsed["cpu_probe_sec"] == mt
         assert parsed["cpu_probe_1t_sec"] == st
-        # the one-time incremental-status / pair-key materializations
-        # are their own line items, same contract as
-        # candidate/probe/semantic_build
-        assert parsed["status_build"] == 2.5
-        assert parsed["pairs_build"] == 1.5
+    # the one-time incremental-status / pair-key materializations are
+    # DETAIL-line-only since r13 (they joined simhash_build there so the
+    # overlap round's v3 keys don't push the final line's slowest map to
+    # its 0-entry ladder step — SCALE.md round-12 dry-run arithmetic)
+    parsed_detail = json.loads(detail)
+    assert parsed_detail["status_build"] == 2.5
+    assert parsed_detail["pairs_build"] == 1.5
+    parsed_final = json.loads(final)
+    assert "status_build" not in parsed_final
+    assert "pairs_build" not in parsed_final
