@@ -3323,6 +3323,13 @@ def endpoint_member_flags(
     must be one-row-per-id and SHOULD be a materialized checkpoint when
     it feeds multiple branches; increment-sized, so both joins broadcast
     at scale."""
+    clash = {"__incr_a", "__incr_b"} & set(pairs.columns)
+    if clash:  # a frame passed through twice would otherwise fail later
+        # with an ambiguous-column AnalysisException far from the cause —
+        # same reserved-prefix guard as incremental_seen_canon_flags
+        raise ValueError(
+            f"pairs already carries reserved columns {sorted(clash)}"
+        )
     return pairs.join(
         members.select(F.col("doc_id").alias(ca), F.lit(1).alias("__incr_a")),
         ca,
@@ -3334,10 +3341,87 @@ def endpoint_member_flags(
     )
 
 
+def _spine_bb(be, ids: DataFrame | None, a_b, b_b) -> DataFrame:
+    """(doc_a, doc_b) batch-batch edges: both endpoints batch by the
+    ``a_b``/``b_b`` predicates AND present in the ``ids`` spine — the
+    component-edge rule of ``incremental_component_cls``, factored so
+    the two-day operator can fuse both generations' edges into ONE
+    connected-components pass (disjoint id sets, so components never
+    mix). ``ids=None`` skips the spine semi-joins — ONLY valid when the
+    spine IS the full predicate population (the two-day operator's
+    batches are unfiltered ``docs.filter(pred)``, and edge endpoints
+    are documents ids by construction, so the restriction is an
+    identity there; the semantic/capstone paths pass real sub-spines
+    and must keep the joins)."""
+    bb = be.filter(a_b & b_b)
+    if ids is not None:
+        bb = bb.join(
+            ids, F.col("id_a") == F.col("doc_id"), "left_semi"
+        ).join(ids, F.col("id_b") == F.col("doc_id"), "left_semi")
+    return bb.select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+
+
+def _spine_contact(be, ids: DataFrame | None, a_b, b_b) -> DataFrame:
+    """(doc_id, direct=1) spine docs with a DIRECT verified corpus
+    neighbor — the taint seeds of ``incremental_component_cls``,
+    factored for the same fused two-day consumer. No checkpoint here:
+    the single-generation path checkpoints it (two consumers over a
+    non-trivial producing pipeline), the fused path deliberately does
+    not (its inputs are already checkpoints, so per-consumer recompute
+    is a within-job filter+distinct — cheaper than another eager
+    driver-synchronized job, the round-10 scheduling-floor lesson).
+    ``ids=None`` skips the spine semi-join under the same
+    spine-equals-population condition as ``_spine_bb``."""
+    contact = be.filter(a_b != b_b).select(
+        F.when(a_b, F.col("id_a")).otherwise(F.col("id_b")).alias("doc_id")
+    ).distinct()
+    if ids is not None:
+        contact = contact.join(ids, "doc_id", "left_semi")
+    return contact.withColumn("direct", F.lit(1))
+
+
+def _cls_assemble(
+    batch: DataFrame, comp: DataFrame, contact: DataFrame
+) -> DataFrame:
+    """The classification tail of ``incremental_component_cls``: given
+    the (doc_id, source) spine, the (doc_id, cluster_id) component
+    labels and the (doc_id, direct) contact seeds, emit one row per
+    spine doc with the 0/1 ``vs_corpus``/``in_batch`` flags. ONE
+    definition — the single-generation path and the fused two-day path
+    must agree on taint propagation and min-id keep election by
+    construction."""
+    tainted = (
+        comp.join(contact.select("doc_id"), "doc_id")
+        .select("cluster_id")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    cls = (
+        batch.join(contact, "doc_id", "left")
+        .join(comp, "doc_id", "left")
+        .join(tainted, "cluster_id", "left")
+    )
+    vs_corpus = F.col("direct").isNotNull() | F.col("hit").isNotNull()
+    in_batch = (
+        (~vs_corpus)
+        & F.col("cluster_id").isNotNull()
+        & (F.col("doc_id") != F.col("cluster_id"))
+    )
+    return cls.select(
+        "doc_id",
+        "source",
+        F.when(vs_corpus, 1).otherwise(0).alias("vs_corpus"),
+        F.when(in_batch, 1).otherwise(0).alias("in_batch"),
+    )
+
+
 def incremental_component_cls(
     be: DataFrame,
     batch: DataFrame,
     batch_members: DataFrame | bool | None = None,
+    members_materialized: bool = False,
 ) -> DataFrame:
     """Spark classification stage shared by the incremental ingest family
     — the executable twin of ``_incremental_cls_sql``: returns one row
@@ -3383,7 +3467,14 @@ def incremental_component_cls(
     round-10 CC lesson). When None — or the literal ``False``, which
     reads naturally as "no membership frame" and must not crash — the
     parity fixture applies, byte-identical to every oracle (all four
-    spellings pinned by test_batch_membership_generalizes_parity)."""
+    spellings pinned by test_batch_membership_generalizes_parity).
+
+    ``members_materialized``: callers that already hold a materialized
+    one-row-per-id members frame (the artifact path checkpoints it once
+    and feeds TWO cls calls) pass True to use it AS-IS — skipping the
+    defensive distinct+checkpoint saves one eager driver-synchronized
+    job per call, the same ~0.3 s scheduling tax the True sentinel
+    avoids by reusing the batch checkpoint."""
     batch = batch.localCheckpoint(eager=True)
     ids = batch.select("doc_id")
     if batch_members is None or batch_members is False:
@@ -3393,39 +3484,27 @@ def incremental_component_cls(
     else:
         # increment-sized membership frame joined to the edge endpoints
         # (broadcast at scale); checkpointed (or reusing the batch
-        # checkpoint, for the True sentinel) because it feeds both the
-        # bb and contact branches below
-        m = (
-            ids
-            if batch_members is True
-            else batch_members.select("doc_id")
-            .distinct()
-            .localCheckpoint(eager=True)
-        )
+        # checkpoint, for the True sentinel, or the caller's own
+        # materialization under the members_materialized contract)
+        # because it feeds both the bb and contact branches below
+        if batch_members is True:
+            m = ids
+        elif members_materialized:
+            m = batch_members.select("doc_id")
+        else:
+            m = (
+                batch_members.select("doc_id")
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
         be = endpoint_member_flags(be, m, "id_a", "id_b")
         a_b = F.col("__incr_a").isNotNull()
         b_b = F.col("__incr_b").isNotNull()
-    bb = (
-        be.filter(a_b & b_b)
-        .join(ids, F.col("id_a") == F.col("doc_id"), "left_semi")
-        .join(ids, F.col("id_b") == F.col("doc_id"), "left_semi")
-        .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
-    )
-    contact = (
-        be.filter(a_b != b_b)
-        .select(
-            F.when(a_b, F.col("id_a"))
-            .otherwise(F.col("id_b"))
-            .alias("doc_id")
-        )
-        .distinct()
-        .join(ids, "doc_id", "left_semi")
-        .withColumn("direct", F.lit(1))
-        # TWO consumers (the tainted-component build and the cls spine) —
-        # checkpoint the tiny contact list instead of re-running its
-        # distinct per branch (the oracle marks the same CTE MATERIALIZED)
-        .localCheckpoint(eager=True)
-    )
+    bb = _spine_bb(be, ids, a_b, b_b)
+    # TWO consumers (the tainted-component build and the cls spine) —
+    # checkpoint the tiny contact list instead of re-running its
+    # distinct per branch (the oracle marks the same CTE MATERIALIZED)
+    contact = _spine_contact(be, ids, a_b, b_b).localCheckpoint(eager=True)
     cc = connected_components(bb)
     # comp feeds TWO branches (tainted + cls); the eager checkpoint is
     # the multi-branch materialization AND lets the loop's interim label
@@ -3437,29 +3516,7 @@ def incremental_component_cls(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
     ).localCheckpoint(eager=True)
     cc.cc_persisted_labels.unpersist()
-    tainted = (
-        comp.join(contact.select("doc_id"), "doc_id")
-        .select("cluster_id")
-        .distinct()
-        .withColumn("hit", F.lit(1))
-    )
-    cls = (
-        batch.join(contact, "doc_id", "left")
-        .join(comp, "doc_id", "left")
-        .join(tainted, "cluster_id", "left")
-    )
-    vs_corpus = F.col("direct").isNotNull() | F.col("hit").isNotNull()
-    in_batch = (
-        (~vs_corpus)
-        & F.col("cluster_id").isNotNull()
-        & (F.col("doc_id") != F.col("cluster_id"))
-    )
-    return cls.select(
-        "doc_id",
-        "source",
-        F.when(vs_corpus, 1).otherwise(0).alias("vs_corpus"),
-        F.when(in_batch, 1).otherwise(0).alias("in_batch"),
-    )
+    return _cls_assemble(batch, comp, contact)
 
 
 def incremental_component_report(
@@ -3663,24 +3720,59 @@ def dedup_incremental_two_day_near(
         .localCheckpoint(eager=True)
     )
     docs = load_table(spark, sf_dir, "documents")
-    batch1 = docs.filter(d1(F.col("doc_id"))).select("doc_id", "source")
-    # day 1: day-2 docs do not exist yet — drop every edge that touches
-    # one, then classify under the default parity rule. cls1 feeds two
-    # consumers (the day-1 report and the day-2 edge exclusion list),
-    # but its expensive internals (contact, components) are already
-    # checkpointed inside incremental_component_cls — the recompute per
-    # consumer is a few joins over those checkpoints, cheaper than
-    # another eager materialization job on a tiny frame
+    # ONE spine checkpoint serves both generations (filters over it are
+    # within-job); the two days' id sets are DISJOINT (%10==0 vs ==5)
+    batch = (
+        docs.filter(d1(F.col("doc_id")) | d2(F.col("doc_id")))
+        .select("doc_id", "source")
+        .localCheckpoint(eager=True)
+    )
+    batch1 = batch.filter(d1(F.col("doc_id")))
+    batch2 = batch.filter(d2(F.col("doc_id")))
+    a1, b1 = d1(F.col("id_a")), d1(F.col("id_b"))
+    a2, b2 = d2(F.col("id_a")), d2(F.col("id_b"))
+    # day 1: day-2 docs do not exist yet — drop every edge touching one
     be1 = be.filter(~d2(F.col("id_a")) & ~d2(F.col("id_b")))
-    cls1 = incremental_component_cls(be1, batch1)
+    # ONE connected-components pass for both generations: day-1's
+    # batch-batch edges (both endpoints %10==0) and day-2's (both
+    # ==5) live on disjoint node sets, so components never mix and the
+    # fused labels equal the two per-day runs exactly; day-2's
+    # batch-batch edges cannot touch a day-1 drop (no day-1 endpoint),
+    # so they are independent of day-1's outcome and need no exclusion.
+    # Fusing halves the eager-job bill — the previous two
+    # incremental_component_cls calls paid ~10 driver-synchronized
+    # checkpoint/CC jobs on increment-sized frames (the round-10
+    # scheduling floor, ~0.3 s each; measured 3.4-4.4 s steady); the
+    # fused shape pays 6 (be, batch, CC, comp, cls1, the sink),
+    # measured 2.2-2.5 s. ids=None: both spines are the FULL predicate
+    # populations here (see _spine_bb), so the semi-join restriction is
+    # an identity — skipped to keep the sink action's exchange count
+    # down (every join is an AQE stage with a fixed scheduling cost).
+    bb = _spine_bb(be1, None, a1, b1).unionByName(_spine_bb(be, None, a2, b2))
+    cc = connected_components(bb)
+    comp = cc.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    ).localCheckpoint(eager=True)
+    cc.cc_persisted_labels.unpersist()
+    # per-generation contact seeds + the shared classification tail
+    # (_cls_assemble — the same taint/min-keep rule the single-
+    # generation path runs). Contacts are NOT checkpointed here: both
+    # consumers re-derive them from the be/batch checkpoints within the
+    # consuming job, cheaper than two more eager jobs. cls1 IS
+    # checkpointed — it feeds the day-1 report AND the day-2 exclusion
+    # list, and letting the sink action re-derive its whole join tree
+    # twice measured ~0.4 s worse than the one eager job.
+    cls1 = _cls_assemble(
+        batch1, comp, _spine_contact(be1, None, a1, b1)
+    ).localCheckpoint(eager=True)
     dropped = (F.col("vs_corpus") == 1) | (F.col("in_batch") == 1)
     drops1 = cls1.filter(dropped).select("doc_id")
-    # day 2: the edge universe is edges touching day 2 whose OTHER
-    # endpoint is day 2, history, or a day-1 KEEP — a day-1 drop
-    # appended nothing, so its edges are excluded (anti-joins against
-    # the increment-sized drop list; broadcast at scale)
+    # day 2: corpus = history + day-1 KEEPS — membership no id rule can
+    # express. A day-1 drop appended nothing, so its edges are excluded
+    # from day-2's contact universe (anti-joins against the
+    # increment-sized drop list; broadcast at scale).
     be2 = (
-        be.filter(d2(F.col("id_a")) | d2(F.col("id_b")))
+        be.filter(a2 | b2)
         .join(
             drops1.select(F.col("doc_id").alias("id_a")), "id_a", "left_anti"
         )
@@ -3688,12 +3780,7 @@ def dedup_incremental_two_day_near(
             drops1.select(F.col("doc_id").alias("id_b")), "id_b", "left_anti"
         )
     )
-    batch2 = docs.filter(d2(F.col("doc_id"))).select("doc_id", "source")
-    # membership, not parity: on day 2 "corpus" = history + day-1 keeps,
-    # which no id rule can express — the round's batch_members
-    # machinery, with the True sentinel since day-2's spine IS its
-    # population (one checkpoint serves both roles)
-    cls2 = incremental_component_cls(be2, batch2, batch_members=True)
+    cls2 = _cls_assemble(batch2, comp, _spine_contact(be2, None, a2, b2))
 
     def _day(cls: DataFrame, day: int) -> DataFrame:
         return component_cls_report(cls, "neardup").select(

@@ -1752,11 +1752,22 @@ def assemble_incremental_status(
 
     exact_keep = (F.col("seen") == 0) & (F.col("is_canon") == 1)
     surv1 = flags.filter(exact_keep).select("doc_id", "source")
+    # the members frame feeds BOTH cls calls below: materialize the
+    # one-row-per-id form ONCE here and hand it down under the
+    # members_materialized contract — letting each call re-run its own
+    # defensive distinct+checkpoint costs two redundant eager
+    # driver-synchronized jobs per ingest (the ~0.3 s/job scheduling
+    # tax of the round-10 lesson)
+    members = (
+        batch_members.select("doc_id").distinct().localCheckpoint(eager=True)
+        if batch_members is not None
+        else None
+    )
     # cls1 feeds TWO branches (the near drop list for the status join
     # and the stage-2 survivor spine) — one eager checkpoint of the
     # increment-sized classification, both consumers filter it
     cls1 = incremental_component_cls(
-        be, surv1, batch_members=batch_members
+        be, surv1, batch_members=members, members_materialized=True
     ).localCheckpoint(eager=True)
     dropped = (F.col("vs_corpus") == 1) | (F.col("in_batch") == 1)
     near_drops = cls1.filter(dropped).select(
@@ -1764,7 +1775,9 @@ def assemble_incremental_status(
     )
     surv2 = cls1.filter(~dropped).select("doc_id", "source")
     batch2 = surv2.join(emb_ids, "doc_id")
-    cls2 = incremental_component_cls(be2, batch2, batch_members=batch_members)
+    cls2 = incremental_component_cls(
+        be2, batch2, batch_members=members, members_materialized=True
+    )
     sem_drops = cls2.filter(dropped).select(
         "doc_id", F.lit(True).alias("sem_drop")
     )
