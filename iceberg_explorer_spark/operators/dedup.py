@@ -716,9 +716,23 @@ def _shared_candidates(
     (the r8 cross-table eviction lesson).
     """
     tables = (table,) if isinstance(table, str) else tuple(table)
+    if any("+" in t for t in tables):
+        # the key's table slot re-splits on '+' during staleness
+        # eviction — a '+' inside a name would silently misalign the
+        # per-component zip and evict the wrong entries
+        raise ValueError(f"table names must not contain '+': {tables}")
 
     def _fp() -> str:
-        return "|".join(_corpus_fingerprint(sf_dir, table=t) for t in tables)
+        fp = "|".join(_corpus_fingerprint(sf_dir, table=t) for t in tables)
+        # same re-split invariant for the fingerprint side ('|' joined,
+        # true today: md5 hexdigest or empty-on-missing per table) — a
+        # future fingerprint format carrying '|' must fail loudly here,
+        # not misalign the eviction zip
+        if len(fp.split("|")) != len(tables):
+            raise ValueError(
+                f"fingerprint components misalign with tables: {fp!r}"
+            )
+        return fp
 
     key = (
         spark.sparkContext.applicationId,
@@ -789,6 +803,18 @@ def _shared_candidates(
                 # (correctness was never affected — the fingerprint is
                 # in the key — but the dead checkpoint blocks were).
                 fresh_by_table = dict(zip(tables, key[3].split("|")))
+
+                def _components(k) -> list[tuple[str, str]]:
+                    # every inserted key passed the '+'/'|' invariants
+                    # at construction; re-assert before zipping so a
+                    # format drift evicts nothing silently-wrong
+                    ts, fps = k[2].split("+"), k[3].split("|")
+                    if len(ts) != len(fps):
+                        raise AssertionError(
+                            f"cache key components misalign: {k[2]!r}/{k[3]!r}"
+                        )
+                    return list(zip(ts, fps))
+
                 for k in [
                     k
                     for k in _SHARED_CANDIDATES
@@ -796,7 +822,7 @@ def _shared_candidates(
                     and k[1] == key[1]
                     and any(
                         t in fresh_by_table and fp != fresh_by_table[t]
-                        for t, fp in zip(k[2].split("+"), k[3].split("|"))
+                        for t, fp in _components(k)
                     )
                 ]:
                     del _SHARED_CANDIDATES[k]
