@@ -2317,9 +2317,19 @@ def incremental_seen_canon_flags(
     )
     b = rows.filter(is_b).select("doc_id", "source", *key_cols)
     bmin = b.groupBy(*key_cols).agg(F.min("doc_id").alias("__incr_min"))
+    # HISTORY joins first: when ``history_keys`` is a bucketed artifact
+    # (BucketedArtifactStore — hash-partitioned by exactly these key
+    # columns), anchoring the join tree on it lets the increment-sized
+    # batch side shuffle INTO the artifact's partitioning and the
+    # corpus-sized history side move nothing (plan-pinned by
+    # tests/test_plans.py::test_bucketed_digest_probe_no_history_shuffle);
+    # joined b⋈bmin-first, the first join fixes the session shuffle
+    # width and history gets re-shuffled to match. Join order is
+    # result-neutral (bmin's inner join matches every b row by
+    # construction) and path-layout plans keep the same shuffle count.
     return (
-        b.join(bmin, key_cols)
-        .join(hist, key_cols, "left")
+        b.join(hist, key_cols, "left")
+        .join(bmin, key_cols)
         .select(
             "doc_id",
             "source",

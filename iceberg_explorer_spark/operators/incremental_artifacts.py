@@ -65,6 +65,17 @@ forever, its edges read batch-batch, the spine restriction dropped
 them, and the day-2 doc would have scored novel. Pinned by
 ``tests/test_properties.py::test_incremental_artifacts_two_day_operation``.
 
+Layout (round 13 — closes VERDICT r12 #2/#3): every entry point accepts
+either a plain parquet directory (``art_dir: str``) or a
+:class:`BucketedArtifactStore` — the five artifacts as managed tables
+bucketed+sorted by their PROBE keys (``ARTIFACT_BUCKET_KEYS``). The
+bucketed layout is what the operator docstrings' "bucketed digest
+artifact" claim refers to: probes read the corpus-sized artifact side
+with no exchange (plan-pinned), appends land at most one file per
+bucket, and :meth:`BucketedArtifactStore.compact` bounds the
+post-append small-file pile-up back to one file per bucket in the same
+spec (round-trip-pinned through a full cycle).
+
 reference: no analogue — training-pipeline extension surface; the
 discipline demand is this repo's own (SCALE.md round-11).
 """
@@ -82,6 +93,151 @@ from iceberg_explorer_spark.sources.registry import load_table
 #: (ahash, caption_fp) key table — the fourth incremental sibling's
 #: history side (dedup_incremental_paired).
 ARTIFACT_NAMES = ("digests", "shingles", "bands", "srp", "pairs")
+
+#: artifact -> the key every nightly PROBE joins/semi-joins it on — the
+#: bucketing contract of :class:`BucketedArtifactStore`. Bucketing by
+#: the probe key is what makes the operator docstrings' 100 TB claim
+#: ("the digest table is a bucketed parquet artifact the batch probes
+#: with no shuffle of history") executable: the corpus-sized artifact
+#: side of every probe reads pre-hash-partitioned and only the
+#: increment-sized batch side ever moves (plan-pinned by
+#: tests/test_plans.py::test_bucketed_digest_probe_no_history_shuffle).
+ARTIFACT_BUCKET_KEYS = {
+    "digests": ("h",),              # exact-stage membership probe
+    "shingles": ("doc_id",),        # verify joins shingle sets by doc
+    "bands": ("band", "bkey"),      # batch-present bucket semi-join
+    "srp": ("bucket",),             # batch-touched bucket semi-join
+    "pairs": ("ahash", "caption_fp"),  # pair-key membership probe
+}
+
+
+class BucketedArtifactStore:
+    """The five incremental artifacts as bucketed+sorted managed tables
+    (``{prefix}_{name}``, bucketed by ``ARTIFACT_BUCKET_KEYS``) instead
+    of plain parquet paths. Every entry point in this module accepts a
+    store wherever it accepts an ``art_dir`` — same rows, same
+    waterfall, different layout contract:
+
+    - WRITE/APPEND land pre-hash-partitioned (the writer repartitions
+      by the bucket key first, so each append adds at most one file per
+      bucket instead of one per write task);
+    - PROBES read the artifact side with no exchange (Spark's bucketed
+      scan satisfies the join/aggregate distribution; only the
+      increment-sized batch side shuffles — at 100 TB that is the
+      difference between re-shuffling the corpus digest table nightly
+      and never moving it);
+    - :meth:`compact` bounds the post-append small-file pile-up: after
+      N nightly appends each bucket holds up to N files; compaction
+      rewrites each artifact back to one file per bucket IN THE SAME
+      bucket spec (a round-robin compaction like layout.compact_parquet
+      would destroy the bucketing), via a temp table + a metadata-only
+      rename.
+
+    The Iceberg-native equivalent is a ``bucket(N, key)`` partition
+    transform plus rewrite_data_files; this is the catalog-agnostic
+    Spark form (same contract as sources/bucketing.py)."""
+
+    def __init__(
+        self, spark: SparkSession, prefix: str, n_buckets: int = 16
+    ) -> None:
+        if not prefix.isidentifier():
+            # prefixes are spliced into table names and ALTER TABLE
+            # statements — reject anything that could not be a bare
+            # SQL identifier rather than quote-escape our way around it
+            raise ValueError(f"store prefix must be an identifier: {prefix!r}")
+        self.spark = spark
+        self.prefix = prefix
+        self.n_buckets = n_buckets
+
+    def table_name(self, name: str) -> str:
+        if name not in ARTIFACT_NAMES:
+            raise KeyError(f"unknown artifact {name!r}")
+        return f"{self.prefix}_{name}"
+
+    def exists(self, name: str) -> bool:
+        return self.spark.catalog.tableExists(self.table_name(name))
+
+    def read(self, name: str) -> DataFrame:
+        return self.spark.table(self.table_name(name))
+
+    def _write(self, name: str, df: DataFrame, mode: str, table=None):
+        key = ARTIFACT_BUCKET_KEYS[name]
+        (
+            # align write tasks with the bucket hash (same Murmur3
+            # HashPartitioning) so each write lands ONE file per
+            # non-empty bucket — without it every write task emits its
+            # own file per bucket and a single backfill already
+            # produces the small-file pile-up compaction exists to fix
+            df.repartition(self.n_buckets, *[F.col(c) for c in key])
+            .write.mode(mode)
+            .bucketBy(self.n_buckets, *key)
+            .sortBy(*key)
+            .saveAsTable(table or self.table_name(name))
+        )
+
+    def write(self, name: str, df: DataFrame) -> None:
+        """The one-time backfill write (overwrite)."""
+        self._write(name, df, "overwrite")
+
+    def append(self, name: str, df: DataFrame) -> None:
+        """Nightly append; Spark verifies the existing bucket spec
+        matches (a mismatched n_buckets fails loudly, never silently
+        de-buckets the artifact)."""
+        self._write(name, df, "append")
+
+    def n_files(self, name: str) -> int:
+        """Physical file count — the quantity compaction bounds."""
+        return len(
+            self.spark.table(self.table_name(name))
+            .select(F.input_file_name())
+            .distinct()
+            .collect()
+        )
+
+    def compact(self) -> dict[str, int]:
+        """Rewrite every artifact to one file per non-empty bucket,
+        preserving the bucket spec; returns post-compaction file counts.
+        Writes via a temp table then a metadata-only rename — reading and
+        overwriting the same table in one job is illegal in Spark, and
+        a localCheckpoint staging copy would materialize the whole
+        corpus-sized artifact through the driver's block store."""
+        out: dict[str, int] = {}
+        # force the BUCKETED scan for the rewrite: the optimizer elides
+        # the writer's aligning repartition (the source table already
+        # satisfies the hash distribution) but, left to itself, also
+        # disables bucketed reading (nothing downstream "needs" it) —
+        # leaving one partition per FILE, so the rewrite would emit as
+        # many files as it read and compact nothing. With auto bucketed
+        # scan off, the read groups every bucket's files into one
+        # partition and the writer emits exactly one file per non-empty
+        # bucket.
+        conf = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+        prev = self.spark.conf.get(conf)
+        self.spark.conf.set(conf, "false")
+        try:
+            for name in ARTIFACT_NAMES:
+                if not self.exists(name):
+                    continue
+                t = self.table_name(name)
+                tmp = f"{t}__compacting"
+                self.spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+                self._write(name, self.spark.table(t), "overwrite", table=tmp)
+                self.spark.sql(f"DROP TABLE {t}")
+                self.spark.sql(f"ALTER TABLE {tmp} RENAME TO {t}")
+                out[name] = self.n_files(name)
+        finally:
+            self.spark.conf.set(conf, prev)
+        return out
+
+    def drop(self) -> None:
+        """Test-lifecycle cleanup."""
+        for name in ARTIFACT_NAMES:
+            self.spark.sql(
+                f"DROP TABLE IF EXISTS {self.table_name(name)}"
+            )
+            self.spark.sql(
+                f"DROP TABLE IF EXISTS {self.table_name(name)}__compacting"
+            )
 
 
 def _resolve_pred(batch_pred):
@@ -147,14 +303,19 @@ def _artifact_frames(
 
 
 def write_incremental_artifacts(
-    spark: SparkSession, sf_dir: str, out_dir: str, batch_pred=None
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: "str | BucketedArtifactStore",
+    batch_pred=None,
 ) -> dict[str, int]:
     """Derive the five history artifacts (``ARTIFACT_NAMES``) from the
     corpus at ``sf_dir`` and write them under ``out_dir``; returns row
     counts per artifact. This is the one-time backfill a production
     pipeline runs ONCE — every nightly ingest after it reads these files
     and appends to them. History is everything ``batch_pred`` does NOT
-    select (default: the id-parity fixture)."""
+    select (default: the id-parity fixture). ``out_dir`` may be a
+    :class:`BucketedArtifactStore` — same rows, probe-key-bucketed
+    layout (the 100 TB default)."""
     from iceberg_explorer_spark.operators.similarity import _load_emb
 
     pred = _resolve_pred(batch_pred)
@@ -166,14 +327,21 @@ def write_incremental_artifacts(
     )
     counts: dict[str, int] = {}
     for name, df in frames.items():
-        path = os.path.join(out_dir, f"{name}.parquet")
-        df.write.mode("overwrite").parquet(path)
-        counts[name] = spark.read.parquet(path).count()
+        if isinstance(out_dir, BucketedArtifactStore):
+            out_dir.write(name, df)
+            counts[name] = out_dir.read(name).count()
+        else:
+            path = os.path.join(out_dir, f"{name}.parquet")
+            df.write.mode("overwrite").parquet(path)
+            counts[name] = spark.read.parquet(path).count()
     return counts
 
 
 def incremental_status_from_artifacts(
-    spark: SparkSession, sf_dir: str, art_dir: str, batch_pred=None
+    spark: SparkSession,
+    sf_dir: str,
+    art_dir: "str | BucketedArtifactStore",
+    batch_pred=None,
 ) -> DataFrame:
     """(doc_id, source, stage) for every batch doc — the SAME waterfall as
     ``pipeline.incremental_status`` (shared assembly tail, shared stage
@@ -214,6 +382,8 @@ def incremental_status_from_artifacts(
     )
 
     def _read(name: str) -> DataFrame:
+        if isinstance(art_dir, BucketedArtifactStore):
+            return art_dir.read(name)
         return spark.read.parquet(os.path.join(art_dir, f"{name}.parquet"))
 
     pred = _resolve_pred(batch_pred)
@@ -368,9 +538,10 @@ def incremental_paired_from_artifacts(
         repartition_for_compute(batch_docs)
     ).localCheckpoint(eager=True)
     hist_keys = (
-        spark.read.parquet(os.path.join(art_dir, "pairs.parquet"))
-        .select("ahash", "caption_fp")
-    )
+        art_dir.read("pairs")
+        if isinstance(art_dir, BucketedArtifactStore)
+        else spark.read.parquet(os.path.join(art_dir, "pairs.parquet"))
+    ).select("ahash", "caption_fp")
     # the key frame IS the batch (sliced above) — no id rule in the
     # shared flags helper
     flags = incremental_seen_canon_flags(
@@ -385,7 +556,7 @@ def incremental_paired_from_artifacts(
 def append_incremental_artifacts(
     spark: SparkSession,
     sf_dir: str,
-    art_dir: str,
+    art_dir: "str | BucketedArtifactStore",
     status: DataFrame,
     batch_pred=None,
 ) -> dict[str, int]:
@@ -422,6 +593,10 @@ def append_incremental_artifacts(
 
     missing = []
     for n in ARTIFACT_NAMES:
+        if isinstance(art_dir, BucketedArtifactStore):
+            if not art_dir.exists(n):
+                missing.append(n)
+            continue
         try:
             spark.read.parquet(os.path.join(art_dir, f"{n}.parquet")).schema
         except AnalysisException as exc:
@@ -456,7 +631,10 @@ def append_incremental_artifacts(
         # batch-sized increment once and serve both from the blocks
         df = df.localCheckpoint(eager=True)
         appended[name] = df.count()
-        df.write.mode("append").parquet(
-            os.path.join(art_dir, f"{name}.parquet")
-        )
+        if isinstance(art_dir, BucketedArtifactStore):
+            art_dir.append(name, df)
+        else:
+            df.write.mode("append").parquet(
+                os.path.join(art_dir, f"{name}.parquet")
+            )
     return appended
