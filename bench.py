@@ -155,7 +155,8 @@ HEADLINE = [
 #: the r10 precedent (BENCH_r10: n_extended=5 in-round newcomers rode
 #: EXTENDED while the frozen cohort rode ``graduating``).
 EXTENDED: list[str] = [
-    # (post-r12 operators registered this round join here as they land)
+    # post-r12 operators registered this round
+    "dedup_incremental_simhash",  # fifth incremental sibling: SimHash keys (r13)
 ]
 
 #: The EXTENDED set as frozen at the END of round 12 — the cohort the

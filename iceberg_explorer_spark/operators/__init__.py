@@ -397,6 +397,21 @@ Round 13 rotation (executes the r12 plan above verbatim): flagship +
   overlap precedent (BENCH_r10: n_extended=5 newcomers while the
   frozen cohort graduated). Displaced multi-green queries remain
   covered every round by tests/test_differential.py.
+Round 13 adds dedup_incremental_simhash (the FIFTH incremental
+  sibling — VERDICT r12 #4 option (a), both halves: the SimHash
+  modality enters the incremental family as its own stage with the
+  SIXTH persisted artifact (the (doc_id, simhash) signature table,
+  doc_id-bucketed in the store layout), and the registry-visible
+  MinHash-stays-composed scope note lives in the operator doc,
+  justified against the two calibration sweeps' measured detection
+  bands). Zero new kernels: edges = the session-cached simhash chain
+  filtered to batch-touching pairs at HAM_MAX; classification = the
+  shared component tail; oracle composes the shared fragments.
+  Registered OUT-of-window with the full rigging checklist (oracle +
+  differential + plan pin + crafted two-day claims test + 3x point +
+  SCALE.md row), joins bench EXTENDED per the r10 overlap precedent,
+  and is the r14 rotation's first priority (its first driver row).
+  Registry: 150 queries / 147 oracle-bearing.
 """
 
 from iceberg_explorer_spark.operators.registry import QUERIES, QuerySpec, query  # noqa: F401

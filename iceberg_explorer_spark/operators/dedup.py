@@ -3655,6 +3655,80 @@ def dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_incremental_simhash",
+    oracle=f"""
+    WITH RECURSIVE {_simhash_cand_ham_sql()},
+    be AS MATERIALIZED (
+      SELECT doc_a AS id_a, doc_b AS id_b FROM hpairs
+      WHERE hamming <= {SIMHASH_HAM_MAX}
+        AND (doc_a % {INCR_MOD} = 0 OR doc_b % {INCR_MOD} = 0)
+    ),
+    batch AS (
+      SELECT doc_id, source FROM documents WHERE doc_id % {INCR_MOD} = 0
+    ),
+    {_incremental_edges_sql()},
+    {_cc_closure_sql("bb", "id_a", "id_b", "comp")},
+    {_incremental_report_sql("simdup")}
+    """,
+    doc="Incremental SimHash ingest — the FIFTH incremental sibling "
+    "(exact digests, MinHash-LSH near, SRP-semantic, cross-modal "
+    "paired, and now banded-Hamming SimHash), completing VERDICT r12 "
+    "#4's integration of the SimHash modality into the incremental "
+    "story: today's batch (doc_id % INCR_MOD = 0) is checked for "
+    "signature near-duplicates against the already-ingested corpus and "
+    "within itself. Edges are the session-shared simhash "
+    "candidate+distance chain (shared_simhash_hamming — the SAME frame "
+    "the pair operator and the calibration sweep read, so this stage "
+    "can never disagree with them) filtered to batch-touching pairs at "
+    "HAM_MAX; classification is the shared component tail "
+    "(incremental_component_report — corpus taint, component-min keep), "
+    "identical semantics to the near/semantic siblings. The banding's "
+    "pigeonhole guarantee carries over: recall of the HAM_MAX=3 "
+    "contract is EXACT among under-cap buckets, which neither the "
+    "MinHash nor the SRP incremental stage can promise. WHY MinHash "
+    "remains pipeline_clean_corpus_v2's composed near stage (the "
+    "registry-visible scope note VERDICT r12 #4 asks for): the "
+    "calibration sweeps measure DIFFERENT detection bands — the Hamming "
+    "histogram's near-dup mass sits at <=3 bits (13 pairs at sf0.01, "
+    "template-grade signature matches) while the Jaccard sweep's 0.8 "
+    "bar admits a strictly broader lexical-overlap family (the same "
+    "corpus verifies hundreds of pairs); composing SimHash INSTEAD of "
+    "MinHash would silently shrink the capstone's near stage to the "
+    "high-precision band, and composing BOTH would double-verify one "
+    "family for no marginal drop at the measured overlap. SimHash "
+    "therefore enters the incremental family as its own modality "
+    "(this operator + the persisted signature artifact), not as a "
+    "replacement inside the frozen v2 capstone. At 100 TB: history "
+    "contributes only its 8-byte-signature artifact (bucketed by "
+    "doc_id for the verify probe; band rows derive from it in one "
+    "map), per-batch cost is O(batch signatures + touched-bucket "
+    "collisions + popcount verify + CC over the batch-batch graph) — "
+    "history text is never re-read. reference: no analogue — "
+    "training-pipeline extension.",
+)
+def dedup_incremental_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the edge frame is filters over the session-cached simhash chain —
+    # already a materialized checkpoint, so the shared tail's CC loop
+    # re-reads cheap in-job filters, not a recomputed signature build
+    # (the multi-branch discipline's "session artifact" form)
+    be = (
+        shared_simhash_hamming(spark, sf_dir)
+        .filter(F.col("hamming") <= SIMHASH_HAM_MAX)
+        .filter(
+            (F.col("doc_a") % INCR_MOD == 0)
+            | (F.col("doc_b") % INCR_MOD == 0)
+        )
+        .select(F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"))
+    )
+    batch = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % INCR_MOD == 0)
+        .select("doc_id", "source")
+    )
+    return incremental_component_report(be, batch, "simdup")
+
+
+@query(
     "dedup_incremental_two_day_near",
     oracle=f"""
     WITH RECURSIVE cands AS ({_LSH_CANDIDATES_SQL}),

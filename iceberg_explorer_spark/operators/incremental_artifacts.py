@@ -91,8 +91,11 @@ from iceberg_explorer_spark.sources.registry import load_table
 
 #: artifact name -> parquet subdirectory. "pairs" is the cross-modal
 #: (ahash, caption_fp) key table — the fourth incremental sibling's
-#: history side (dedup_incremental_paired).
-ARTIFACT_NAMES = ("digests", "shingles", "bands", "srp", "pairs")
+#: history side (dedup_incremental_paired); "simhash" is the (doc_id,
+#: simhash) signature table — the fifth sibling's
+#: (dedup_incremental_simhash, round 13; band rows derive from it in
+#: one map, so the signature table is the whole history side).
+ARTIFACT_NAMES = ("digests", "shingles", "bands", "srp", "pairs", "simhash")
 
 #: artifact -> the key every nightly PROBE joins/semi-joins it on — the
 #: bucketing contract of :class:`BucketedArtifactStore`. Bucketing by
@@ -108,6 +111,7 @@ ARTIFACT_BUCKET_KEYS = {
     "bands": ("band", "bkey"),      # batch-present bucket semi-join
     "srp": ("bucket",),             # batch-touched bucket semi-join
     "pairs": ("ahash", "caption_fp"),  # pair-key membership probe
+    "simhash": ("doc_id",),         # popcount verify joins sigs by doc
 }
 
 
@@ -274,6 +278,7 @@ def _artifact_frames(
         content_digest,
         hashed_shingles_from_docs,
         minhash_band_rows,
+        simhash_signatures,
     )
     from iceberg_explorer_spark.operators.multimodal import paired_pair_keys
     from iceberg_explorer_spark.operators.similarity import _coded_vectors
@@ -293,6 +298,12 @@ def _artifact_frames(
         "bands": minhash_band_rows(shingles),
         "srp": _coded_vectors(emb),
         "pairs": paired_pair_keys(repartition_for_compute(docs)),
+        # the shared signature rule (simhash_signatures single-source
+        # with the pair operator and its sweep) — band rows are NOT
+        # persisted for this modality: they derive from the 8-byte
+        # signature in one literal-shift map, so the signature table is
+        # the whole history side of dedup_incremental_simhash
+        "simhash": simhash_signatures(docs),
     }
     if tuple(frames) != ARTIFACT_NAMES:  # not assert: survives python -O
         raise RuntimeError(
@@ -551,6 +562,98 @@ def incremental_paired_from_artifacts(
         batch_pred=_all_batch,
     )
     return paired_incremental_report(flags)
+
+
+def incremental_simhash_from_artifacts(
+    spark: SparkSession,
+    sf_dir: str,
+    art_dir: "str | BucketedArtifactStore",
+    batch_pred=None,
+) -> DataFrame:
+    """``dedup_incremental_simhash``'s report with history read ONLY
+    from the persisted signature artifact — the fifth sibling's
+    file-probed twin (round 13). Batch signatures are computed by the
+    SAME shared ``simhash_signatures`` that produced the artifact; the
+    history side is the (doc_id, simhash) artifact alone, whose band
+    rows derive in one literal-shift map (8-byte rows — the one
+    per-ingest O(|history signatures|) map this modality pays instead
+    of persisting a 4x-larger band table). The same exactness argument
+    as the MinHash stage applies verbatim: semi-joining history band
+    rows to batch-present (band, bkey) keys preserves FULL bucket
+    membership for every retained key, so the SIMHASH_MAX_BUCKET cap
+    and the emitted pairs match the full-corpus run wherever a batch
+    doc is involved — and every batch-touching pair lives in such a
+    bucket. Post-append idempotence: appended kept docs' signature rows
+    are bit-identical to their batch recomputation (shared definition),
+    so the unions' distinct restores one-row-per-fact. Classification
+    is by MEMBERSHIP (corpus = artifact membership), the same
+    production rule as the waterfall path."""
+    from iceberg_explorer_spark.operators.dedup import (
+        SIMHASH_HAM_MAX,
+        SIMHASH_MAX_BUCKET,
+        component_cls_report,
+        endpoint_member_flags,
+        incremental_component_cls,
+        pairs_from_band_rows,
+        simhash_band_rows,
+        simhash_signatures,
+    )
+
+    pred = _resolve_pred(batch_pred)
+    batch = (
+        load_table(spark, sf_dir, "documents")
+        .filter(pred(F.col("doc_id")))
+        .select("doc_id", "source")
+        .localCheckpoint(eager=True)
+    )
+    # the batch signature frame feeds THREE branches (band rows, the
+    # verify union, the post-append distinct) — one checkpoint
+    sig_batch = simhash_signatures(
+        load_table(spark, sf_dir, "documents").filter(pred(F.col("doc_id")))
+    ).localCheckpoint(eager=True)
+    hist = (
+        art_dir.read("simhash")
+        if isinstance(art_dir, BucketedArtifactStore)
+        else spark.read.parquet(os.path.join(art_dir, "simhash.parquet"))
+    )
+    bands_batch = simhash_band_rows(sig_batch)
+    bkeys = bands_batch.select("band", "bkey").distinct()
+    touched_bands = (
+        simhash_band_rows(hist)
+        .join(bkeys, ["band", "bkey"], "left_semi")
+        .unionByName(bands_batch)
+        .distinct()
+    )
+    cands = pairs_from_band_rows(
+        touched_bands, max_bucket=SIMHASH_MAX_BUCKET
+    ).select("doc_a", "doc_b")
+    members = batch.select("doc_id")
+    bc = (
+        endpoint_member_flags(cands, members, "doc_a", "doc_b")
+        .filter(
+            F.col("__incr_a").isNotNull() | F.col("__incr_b").isNotNull()
+        )
+        .select("doc_a", "doc_b")
+    )
+    sig_union = hist.unionByName(sig_batch).distinct()
+    sa = sig_union.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a")
+    )
+    sb = sig_union.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b")
+    )
+    be = (
+        bc.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.expr(f"bit_count(sig_a ^ sig_b) <= {SIMHASH_HAM_MAX}"))
+        .select(F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"))
+        # the shared tail's CC loop re-reads the edge frame per round
+        .localCheckpoint(eager=True)
+    )
+    cls = incremental_component_cls(
+        be, batch, batch_members=members, members_materialized=True
+    )
+    return component_cls_report(cls, "simdup")
 
 
 def append_incremental_artifacts(

@@ -1344,3 +1344,20 @@ def test_simhash_hamming_sweep_tiny_window(spark):
     assert "Scan ExistingRDD" in plan
     assert plan.count("Window") == 1
     assert pi.broadcast_hint_count(df) == 0
+
+
+def test_incremental_simhash_shared_chain_no_python(spark):
+    """dedup_incremental_simhash rides the SAME session-cached simhash
+    candidate+distance chain as the pair operator and its sweep (the
+    checkpoint consumed as Scan ExistingRDD — no second signature
+    build, no re-banding), classifies through the shared component
+    tail, and stays pure JVM end to end: no MapInPandas, no
+    BatchEvalPython, nothing hint-forced to broadcast (the signature
+    artifact grows with the corpus; the batch-side frames are
+    increment-sized and AQE picks their join strategy)."""
+    df = build(spark, "dedup_incremental_simhash")
+    plan = pi.physical_plan(df)
+    assert "MapInPandas" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "Scan ExistingRDD" in plan
+    assert pi.broadcast_hint_count(df) == 0

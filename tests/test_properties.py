@@ -4576,6 +4576,147 @@ def test_simhash_hamming_over_cap_contract(spark, tmp_path):
     assert spec.builder(spark, d_at).count() == n * (n - 1) // 2
 
 
+def test_incremental_simhash_claims_and_artifact_twin(spark, tmp_path):
+    """dedup_incremental_simhash's distinguishing claims on a crafted
+    corpus, plus its persisted-artifact twin (the SIXTH artifact —
+    VERDICT r12 #4): (1) a batch doc whose signature matches history is
+    n_simdup_vs_corpus; (2) a signature-identical in-batch group keeps
+    its min and drops the rest (component semantics, same tail as the
+    near/semantic siblings); (3) a novel doc is kept; (4) the artifact
+    twin (history = the (doc_id, simhash) signature artifact ONLY)
+    reproduces the in-session report row-for-row, through BOTH the path
+    layout and the bucketed store; (5) the two-day machinery is generic
+    for the sixth artifact — after append_incremental_artifacts, a
+    day-2 signature-dup of a day-1 KEPT doc reads as corpus contact
+    (membership, which no id-parity rule can express), while a day-2
+    dup of day-1 DROPPED-BUT-CANON-HELD content is claimed via the
+    canon holder's appended signature. Oracle-checked on the operator
+    itself (differential-style assert)."""
+    import duckdb
+
+    from iceberg_explorer_spark.operators import QUERIES
+    from iceberg_explorer_spark.operators.dedup import (
+        invalidate_shared_candidates,
+    )
+    from iceberg_explorer_spark.operators.incremental_artifacts import (
+        BucketedArtifactStore,
+        append_incremental_artifacts,
+        incremental_simhash_from_artifacts,
+        incremental_status_from_artifacts,
+        write_incremental_artifacts,
+    )
+    from tests.conftest import assert_matches_oracle
+
+    t_a = " ".join(f"ash{i} oak{i % 5}" for i in range(25))
+    t_b = " ".join(f"elm{i} fir{i % 7}" for i in range(25))
+    t_c = " ".join(f"yew{i} may{i % 3}" for i in range(25))
+    docs = [
+        (3, t_a, "web"),                      # history
+        (10, t_b, "s1"),                      # day-1 novel -> kept
+        (20, t_a, "s2"),                      # day-1 sig-dup of history
+        (30, t_b, "s3"),                      # day-1 in-batch dup of 10
+        (15, t_b, "q1"),                      # day-2 dup of day-1 KEEP
+        (25, t_c, "q2"),                      # day-2 novel (group min)
+        (35, t_c, "q3"), (45, t_c, "q4"),     # day-2 in-batch dups
+    ]
+    d = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for i, t, s in docs],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+
+    try:
+        # (1)-(3): the in-session operator (day-1 = parity %10==0;
+        # day-2 ids are corpus under parity, so 15 claims 10's family
+        # here too — the day-SPLIT claims are part (5))
+        spec = QUERIES["dedup_incremental_simhash"]
+        got = {
+            r["source"]: (
+                r["n_batch"], r["n_simdup_vs_corpus"],
+                r["n_simdup_in_batch"], r["n_novel_kept"],
+            )
+            for r in spec.builder(spark, d).collect()
+        }
+        want = {
+            "s1": (1, 1, 0, 0),  # 10's family also contains day-2 15 (corpus under parity)
+            "s2": (1, 1, 0, 0),  # sig-dup of history
+            "s3": (1, 1, 0, 0),  # 30: component tainted via 15 too
+        }
+        assert got == want, got
+        con = duckdb.connect()
+        for t in ("documents", "embeddings"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{d}/{t}.parquet/*.parquet')"
+            )
+        assert_matches_oracle(
+            spec.builder(spark, d), con, spec.oracle,
+            "dedup_incremental_simhash_crafted",
+        )
+
+        # (4) the artifact twin reproduces the in-session report through
+        # both layouts — history = the signature artifact only
+        art = str(tmp_path / "path_artifacts")
+        write_incremental_artifacts(spark, d, art)
+        in_session = sorted(tuple(r) for r in spec.builder(spark, d).collect())
+        from_path = sorted(
+            tuple(r)
+            for r in incremental_simhash_from_artifacts(spark, d, art).collect()
+        )
+        assert from_path == in_session
+        store = BucketedArtifactStore(spark, "t_art_sim", n_buckets=4)
+        try:
+            write_incremental_artifacts(spark, d, store)
+            from_store = sorted(
+                tuple(r)
+                for r in incremental_simhash_from_artifacts(
+                    spark, d, store
+                ).collect()
+            )
+            assert from_store == in_session
+        finally:
+            store.drop()
+
+        # (5) two-day generically, with TRUE day semantics via the
+        # batch_pred parameter (the parity fixture can't express them:
+        # under parity the day-2 ids are already history at backfill):
+        # history = {3} only, day-1 = %10==0, then a DAY-2 simhash
+        # ingest (%10==5) against artifacts grown by day-1's keeps
+        art2 = str(tmp_path / "twoday_artifacts")
+        d1 = lambda c: c % 10 == 0  # noqa: E731
+        d2 = lambda c: c % 10 == 5  # noqa: E731
+        write_incremental_artifacts(
+            spark, d, art2, batch_pred=lambda c: c >= 10
+        )
+        day1 = incremental_status_from_artifacts(
+            spark, d, art2, batch_pred=d1
+        )
+        kept = {r["doc_id"] for r in day1.collect() if r["stage"] == "kept"}
+        assert kept == {10}  # the novel day-1 doc survived the waterfall
+        append_incremental_artifacts(spark, d, art2, day1, batch_pred=d1)
+        day2 = {
+            r["source"]: (
+                r["n_batch"], r["n_simdup_vs_corpus"],
+                r["n_simdup_in_batch"], r["n_novel_kept"],
+            )
+            for r in incremental_simhash_from_artifacts(
+                spark, d, art2, batch_pred=d2
+            ).collect()
+        }
+        assert day2 == {
+            "q1": (1, 1, 0, 0),  # sig-dup of day-1 KEPT 10 — membership
+            "q2": (1, 0, 0, 1),  # novel group min kept
+            "q3": (1, 0, 1, 0),  # in-batch dup of 25
+            "q4": (1, 0, 1, 0),
+        }, day2
+    finally:
+        invalidate_shared_candidates(d)
+
+
 def test_incremental_two_day_exact_claims(spark, tmp_path):
     """dedup_incremental_two_day_exact's distinguishing claims on a
     crafted corpus (one doc per source so every row isolates one case):
