@@ -10,9 +10,10 @@ kept docs APPEND their artifact rows for tomorrow. In-session the
 this module is the executable witness for the parquet half of the claim
 (VERDICT r10 #4):
 
-- :func:`write_incremental_artifacts` derives the five history artifacts
-  from the corpus and writes them to parquet (the four the waterfall
-  reads, plus the cross-modal pair-key table for the fourth sibling);
+- :func:`write_incremental_artifacts` derives the six history artifacts
+  from the corpus and writes them out (the four the waterfall reads,
+  plus the cross-modal pair-key table for the fourth sibling and the
+  SimHash signature table for the fifth);
 - :func:`incremental_status_from_artifacts` reruns the full
   exact→near→semantic waterfall reading history ONLY from those files
   (history document text and embedding vectors are never touched — the
@@ -20,10 +21,13 @@ this module is the executable witness for the parquet half of the claim
 - :func:`incremental_paired_from_artifacts` is the pair-modality twin:
   ``dedup_incremental_paired`` with batch keys decoded from the
   increment alone and history probed from the "pairs" artifact;
+- :func:`incremental_simhash_from_artifacts` is the SimHash-modality
+  twin: ``dedup_incremental_simhash`` with history probed from the
+  "simhash" signature artifact alone;
 - :func:`append_incremental_artifacts` computes the rows a nightly job
   appends for kept docs — for the first four artifacts by construction
   the row counts ``pipeline_incremental_artifact_delta`` reports, plus
-  the kept docs' pair keys.
+  the kept docs' pair keys and signature rows.
 
 Equality with the in-session path is pinned by
 ``tests/test_properties.py::test_incremental_artifact_round_trip``. The
@@ -67,7 +71,7 @@ them, and the day-2 doc would have scored novel. Pinned by
 
 Layout (round 13 — closes VERDICT r12 #2/#3): every entry point accepts
 either a plain parquet directory (``art_dir: str``) or a
-:class:`BucketedArtifactStore` — the five artifacts as managed tables
+:class:`BucketedArtifactStore` — the six artifacts as managed tables
 bucketed+sorted by their PROBE keys (``ARTIFACT_BUCKET_KEYS``). The
 bucketed layout is what the operator docstrings' "bucketed digest
 artifact" claim refers to: probes read the corpus-sized artifact side
@@ -116,7 +120,7 @@ ARTIFACT_BUCKET_KEYS = {
 
 
 class BucketedArtifactStore:
-    """The five incremental artifacts as bucketed+sorted managed tables
+    """The six incremental artifacts as bucketed+sorted managed tables
     (``{prefix}_{name}``, bucketed by ``ARTIFACT_BUCKET_KEYS``) instead
     of plain parquet paths. Every entry point in this module accepts a
     store wherever it accepts an ``art_dir`` — same rows, same
@@ -158,10 +162,28 @@ class BucketedArtifactStore:
             raise KeyError(f"unknown artifact {name!r}")
         return f"{self.prefix}_{name}"
 
+    def _recover_interrupted_compaction(self, name: str) -> None:
+        """Heal the one non-atomic window in :meth:`compact` (DROP of
+        the old table before RENAME of the rewritten one): if a crash
+        left the artifact missing while a complete ``__compacting``
+        rewrite exists, rename it into place. Called from every entry
+        point that answers "does/what does this artifact hold", so an
+        interrupted compaction can never read as "backfill never ran" —
+        which would advise the operator to re-run the backfill in
+        OVERWRITE mode against appended history that still exists."""
+        t = self.table_name(name)
+        tmp = f"{t}__compacting"
+        if not self.spark.catalog.tableExists(
+            t
+        ) and self.spark.catalog.tableExists(tmp):
+            self.spark.sql(f"ALTER TABLE {tmp} RENAME TO {t}")
+
     def exists(self, name: str) -> bool:
+        self._recover_interrupted_compaction(name)
         return self.spark.catalog.tableExists(self.table_name(name))
 
     def read(self, name: str) -> DataFrame:
+        self._recover_interrupted_compaction(name)
         return self.spark.table(self.table_name(name))
 
     def _write(self, name: str, df: DataFrame, mode: str, table=None):
@@ -189,14 +211,28 @@ class BucketedArtifactStore:
         de-buckets the artifact)."""
         self._write(name, df, "append")
 
+    def _location(self, name: str) -> str:
+        rows = self.spark.sql(
+            f"DESCRIBE TABLE EXTENDED {self.table_name(name)}"
+        ).collect()
+        return next(r["data_type"] for r in rows if r["col_name"] == "Location")
+
     def n_files(self, name: str) -> int:
-        """Physical file count — the quantity compaction bounds."""
-        return len(
-            self.spark.table(self.table_name(name))
-            .select(F.input_file_name())
-            .distinct()
-            .collect()
-        )
+        """Physical data-file count — the quantity compaction bounds.
+        Metadata-only (a Hadoop FileSystem listing of the table
+        location, any scheme): a data scan here would double
+        compaction's read I/O just to report its own result."""
+        self._recover_interrupted_compaction(name)
+        jvm = self.spark._jvm
+        path = jvm.org.apache.hadoop.fs.Path(self._location(name))
+        fs = path.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        it = fs.listFiles(path, True)
+        n = 0
+        while it.hasNext():
+            base = it.next().getPath().getName()
+            if not base.startswith("_") and not base.startswith("."):
+                n += 1
+        return n
 
     def compact(self) -> dict[str, int]:
         """Rewrite every artifact to one file per non-empty bucket,
@@ -214,23 +250,31 @@ class BucketedArtifactStore:
         # many files as it read and compact nothing. With auto bucketed
         # scan off, the read groups every bucket's files into one
         # partition and the writer emits exactly one file per non-empty
-        # bucket.
-        conf = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
-        prev = self.spark.conf.get(conf)
-        self.spark.conf.set(conf, "false")
-        try:
-            for name in ARTIFACT_NAMES:
-                if not self.exists(name):
-                    continue
-                t = self.table_name(name)
-                tmp = f"{t}__compacting"
-                self.spark.sql(f"DROP TABLE IF EXISTS {tmp}")
-                self._write(name, self.spark.table(t), "overwrite", table=tmp)
-                self.spark.sql(f"DROP TABLE {t}")
-                self.spark.sql(f"ALTER TABLE {tmp} RENAME TO {t}")
-                out[name] = self.n_files(name)
-        finally:
-            self.spark.conf.set(conf, prev)
+        # bucket. The override lives on a CLONED session (shared
+        # SparkContext + catalog, private conf), never the caller's:
+        # the service layer plans queries on concurrent threads, and a
+        # session-global flip mid-compaction would silently change
+        # their scan strategies and pinned plan shapes.
+        s = self.spark.newSession()
+        s.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+        )
+        compactor = BucketedArtifactStore(s, self.prefix, self.n_buckets)
+        for name in ARTIFACT_NAMES:
+            if not compactor.exists(name):
+                continue
+            t = self.table_name(name)
+            tmp = f"{t}__compacting"
+            s.sql(f"DROP TABLE IF EXISTS {tmp}")
+            compactor._write(name, s.table(t), "overwrite", table=tmp)
+            s.sql(f"DROP TABLE {t}")
+            s.sql(f"ALTER TABLE {tmp} RENAME TO {t}")
+            # the rewrite happened on the clone: drop the CALLER
+            # session's cached file listing for the table, or its next
+            # read resolves the pre-compaction files and fails with
+            # FAILED_READ_FILE on the swapped-out parquet parts
+            self.spark.catalog.refreshTable(t)
+            out[name] = self.n_files(name)
         return out
 
     def drop(self) -> None:
@@ -319,7 +363,7 @@ def write_incremental_artifacts(
     out_dir: "str | BucketedArtifactStore",
     batch_pred=None,
 ) -> dict[str, int]:
-    """Derive the five history artifacts (``ARTIFACT_NAMES``) from the
+    """Derive the six history artifacts (``ARTIFACT_NAMES``) from the
     corpus at ``sf_dir`` and write them under ``out_dir``; returns row
     counts per artifact. This is the one-time backfill a production
     pipeline runs ONCE — every nightly ingest after it reads these files
@@ -511,7 +555,15 @@ def incremental_status_from_artifacts(
     )
     emb_ids = emb_batch.select(F.col("vec_id").alias("doc_id"))
     return assemble_incremental_status(
-        flags, be, be2, emb_ids, batch_members=batch_members
+        flags,
+        be,
+        be2,
+        emb_ids,
+        batch_members=batch_members,
+        # batch_members above is already .distinct().localCheckpoint()'d
+        # — hand it down as-is (one materialization for the whole
+        # waterfall, not one per cls call; r13 review finding)
+        members_materialized=True,
     )
 
 
@@ -674,7 +726,12 @@ def append_incremental_artifacts(
     (pipeline_incremental_artifact_delta_v2's n_pair_rows; that
     report's keep-list is the four-stage waterfall's, while this
     function appends for whatever ``status`` it is given) and
-    reconciled by the paired round-trip test.
+    reconciled by the paired round-trip test. The sixth — "simhash",
+    one (doc_id, simhash) signature row per kept doc — is the SimHash
+    sibling's history side; it is deliberately billed by NO delta
+    report (the v1/v2 delta operators are frozen benchmark trend
+    members and must not grow columns mid-trend) and is reconciled by
+    the simhash crafted two-day test instead.
     Returns appended row counts per artifact, counted from the
     increment frames THEMSELVES (batch-sized, checkpointed so count
     and write share one execution) — never by re-scanning the grown

@@ -1733,6 +1733,7 @@ def assemble_incremental_status(
     be2: DataFrame,
     emb_ids: DataFrame,
     batch_members: DataFrame | None = None,
+    members_materialized: bool = False,
 ) -> DataFrame:
     """The waterfall tail shared by the in-session and persisted-artifact
     status paths: given the exact-stage ``flags``, the batch-touching
@@ -1753,16 +1754,20 @@ def assemble_incremental_status(
     exact_keep = (F.col("seen") == 0) & (F.col("is_canon") == 1)
     surv1 = flags.filter(exact_keep).select("doc_id", "source")
     # the members frame feeds BOTH cls calls below: materialize the
-    # one-row-per-id form ONCE here and hand it down under the
-    # members_materialized contract — letting each call re-run its own
-    # defensive distinct+checkpoint costs two redundant eager
-    # driver-synchronized jobs per ingest (the ~0.3 s/job scheduling
-    # tax of the round-10 lesson)
-    members = (
-        batch_members.select("doc_id").distinct().localCheckpoint(eager=True)
-        if batch_members is not None
-        else None
-    )
+    # one-row-per-id form ONCE here — or not at all when the caller
+    # already did (members_materialized=True: the artifact path hands
+    # in its own distinct+checkpointed frame) — and hand it down under
+    # the same contract. Letting each cls call re-run its defensive
+    # distinct+checkpoint costs redundant eager driver-synchronized
+    # jobs per ingest (the ~0.3 s/job scheduling tax of the round-10
+    # lesson).
+    members = batch_members
+    if batch_members is not None and not members_materialized:
+        members = (
+            batch_members.select("doc_id")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
     # cls1 feeds TWO branches (the near drop list for the status join
     # and the stage-2 survivor spine) — one eager checkpoint of the
     # increment-sized classification, both consumers filter it

@@ -3454,8 +3454,31 @@ def test_bucketed_artifact_store_round_trip_with_compaction(spark, tmp_path):
             if appended[n]
         )
 
-        # (3) one compaction cycle: same rows, same results, bounded files
+        # (3) one compaction cycle: same rows, same results, and the
+        # file count lands EXACTLY at one file per non-empty bucket —
+        # computed independently via Spark SQL hash() (the same Murmur3
+        # the bucket id uses), so the documented no-op failure mode
+        # (autoBucketedScan elision: one file read per file written)
+        # cannot pass — under it the grown artifacts keep their
+        # backfill+append file counts, which exceed the non-empty
+        # bucket count for every artifact the append touched
         rows_grown = {n: store.read(n).count() for n in ARTIFACT_NAMES}
+        files_grown = {n: store.n_files(n) for n in ARTIFACT_NAMES}
+        from iceberg_explorer_spark.operators.incremental_artifacts import (
+            ARTIFACT_BUCKET_KEYS,
+        )
+
+        expected_buckets = {
+            n: store.read(n)
+            .selectExpr(
+                "pmod(hash("
+                + ", ".join(ARTIFACT_BUCKET_KEYS[n])
+                + f"), {store.n_buckets}) AS b"
+            )
+            .distinct()
+            .count()
+            for n in ARTIFACT_NAMES
+        }
         grown_status = sorted(
             tuple(r)
             for r in incremental_status_from_artifacts(
@@ -3463,9 +3486,15 @@ def test_bucketed_artifact_store_round_trip_with_compaction(spark, tmp_path):
             ).collect()
         )
         compacted_files = store.compact()
+        assert any(
+            files_grown[n] > expected_buckets[n] for n in ARTIFACT_NAMES
+        )  # the cycle genuinely had something to compact
         for n in ARTIFACT_NAMES:
             assert store.read(n).count() == rows_grown[n], n
-            assert compacted_files[n] <= store.n_buckets, n
+            assert compacted_files[n] == expected_buckets[n], (
+                n, compacted_files[n], expected_buckets[n], files_grown[n],
+            )
+            assert store.n_files(n) == expected_buckets[n], n
             # the spec survived: a further append still lands (loudly
             # verified by Spark against the existing bucket spec)
         post = sorted(
@@ -4715,6 +4744,45 @@ def test_incremental_simhash_claims_and_artifact_twin(spark, tmp_path):
         }, day2
     finally:
         invalidate_shared_candidates(d)
+
+
+def test_bucketed_store_recovers_interrupted_compaction(spark, tmp_path):
+    """compact()'s one non-atomic window (DROP of the old table before
+    RENAME of the rewritten one) must SELF-HEAL, never read as
+    'backfill never ran' — that misread would advise the operator to
+    re-run the backfill in OVERWRITE mode against appended history that
+    still exists (r13 review finding). Simulates the crash state
+    directly: the artifact table gone, a complete __compacting rewrite
+    present — every store entry point (exists/read/n_files) recovers it
+    by the metadata-only rename, preserving all rows."""
+    from pyspark.sql import functions as F
+
+    from iceberg_explorer_spark.operators.incremental_artifacts import (
+        BucketedArtifactStore,
+    )
+
+    store = BucketedArtifactStore(spark, "t_art_crash", n_buckets=2)
+    try:
+        df = spark.range(0, 50).select(
+            F.md5(F.col("id").cast("string")).alias("h")
+        )
+        store.write("digests", df)
+        t = store.table_name("digests")
+        # the crash window: rewrite landed in __compacting, old table
+        # already dropped, rename never ran
+        (
+            spark.table(t)
+            .write.mode("overwrite")
+            .bucketBy(2, "h")
+            .sortBy("h")
+            .saveAsTable(f"{t}__compacting")
+        )
+        spark.sql(f"DROP TABLE {t}")
+        assert store.exists("digests")  # recovery, not "backfill never ran"
+        assert store.read("digests").count() == 50
+        assert not spark.catalog.tableExists(f"{t}__compacting")
+    finally:
+        store.drop()
 
 
 def test_incremental_two_day_exact_claims(spark, tmp_path):
