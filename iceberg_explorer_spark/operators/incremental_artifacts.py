@@ -87,11 +87,21 @@ discipline demand is this repo's own (SCALE.md round-11).
 from __future__ import annotations
 
 import os
+import threading
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from iceberg_explorer_spark.sources.registry import load_table
+
+#: Process-wide store lock (re-entrant: compact's swap calls exists()
+#: whose recovery re-takes it). Serializes the three operations whose
+#: interleaving can lose history or throw on a half-swapped catalog:
+#: append vs compact's snapshot→swap window, concurrent recoveries, and
+#: reader recovery vs compact's DROP→RENAME. One lock for all stores in
+#: the process — artifact maintenance is rare and coarse, and per-prefix
+#: granularity would buy nothing but a chance to get the keying wrong.
+_STORE_LOCK = threading.RLock()
 
 #: artifact name -> parquet subdirectory. "pairs" is the cross-modal
 #: (ahash, caption_fp) key table — the fourth incremental sibling's
@@ -167,16 +177,30 @@ class BucketedArtifactStore:
         the old table before RENAME of the rewritten one): if a crash
         left the artifact missing while a complete ``__compacting``
         rewrite exists, rename it into place. Called from every entry
-        point that answers "does/what does this artifact hold", so an
-        interrupted compaction can never read as "backfill never ran" —
-        which would advise the operator to re-run the backfill in
-        OVERWRITE mode against appended history that still exists."""
-        t = self.table_name(name)
-        tmp = f"{t}__compacting"
-        if not self.spark.catalog.tableExists(
-            t
-        ) and self.spark.catalog.tableExists(tmp):
-            self.spark.sql(f"ALTER TABLE {tmp} RENAME TO {t}")
+        point — including the write path, where a direct ``append`` on
+        the crash state would otherwise CREATE a fresh table holding
+        only the increment and permanently strand all history in the
+        ``__compacting`` table — so an interrupted compaction can never
+        read as "backfill never ran" (which would advise the operator
+        to re-run the backfill in OVERWRITE mode against appended
+        history that still exists). Runs under the store lock, with the
+        rename double-checked and race-tolerant: a concurrent
+        :meth:`compact` on another session may legitimately win the
+        rename first (see the concurrency note there)."""
+        with _STORE_LOCK:
+            t = self.table_name(name)
+            tmp = f"{t}__compacting"
+            if not self.spark.catalog.tableExists(
+                t
+            ) and self.spark.catalog.tableExists(tmp):
+                try:
+                    self.spark.sql(f"ALTER TABLE {tmp} RENAME TO {t}")
+                except Exception:
+                    # lost the race to another recoverer/compactor —
+                    # fine iff the artifact now exists; anything else
+                    # is a real failure and must surface
+                    if not self.spark.catalog.tableExists(t):
+                        raise
 
     def exists(self, name: str) -> bool:
         self._recover_interrupted_compaction(name)
@@ -187,6 +211,11 @@ class BucketedArtifactStore:
         return self.spark.table(self.table_name(name))
 
     def _write(self, name: str, df: DataFrame, mode: str, table=None):
+        if table is None:
+            # the real-table path heals a crashed compaction FIRST —
+            # an append must land on the recovered history, never
+            # create a fresh increment-only table beside it
+            self._recover_interrupted_compaction(name)
         key = ARTIFACT_BUCKET_KEYS[name]
         (
             # align write tasks with the bucket hash (same Murmur3
@@ -208,8 +237,14 @@ class BucketedArtifactStore:
     def append(self, name: str, df: DataFrame) -> None:
         """Nightly append; Spark verifies the existing bucket spec
         matches (a mismatched n_buckets fails loudly, never silently
-        de-buckets the artifact)."""
-        self._write(name, df, "append")
+        de-buckets the artifact). Serialized against :meth:`compact`
+        under the store lock: an append committed between compaction's
+        snapshot read and its table swap would be deleted with the old
+        table (plain-parquet managed tables have no optimistic commit
+        protocol to merge it — the Iceberg-native form of this store
+        gets that from rewrite_data_files)."""
+        with _STORE_LOCK:
+            self._write(name, df, "append")
 
     def _location(self, name: str) -> str:
         rows = self.spark.sql(
@@ -221,16 +256,24 @@ class BucketedArtifactStore:
         """Physical data-file count — the quantity compaction bounds.
         Metadata-only (a Hadoop FileSystem listing of the table
         location, any scheme): a data scan here would double
-        compaction's read I/O just to report its own result."""
+        compaction's read I/O just to report its own result. Hidden
+        files are excluded by ANY path segment below the table root
+        (not just the basename): a crashed in-flight write leaves
+        ``_temporary/.../part-*.parquet`` staging leaves whose
+        basenames look like data — counting them would permanently
+        inflate the compaction-trigger metric."""
         self._recover_interrupted_compaction(name)
         jvm = self.spark._jvm
-        path = jvm.org.apache.hadoop.fs.Path(self._location(name))
+        root = self._location(name).rstrip("/")
+        path = jvm.org.apache.hadoop.fs.Path(root)
         fs = path.getFileSystem(self.spark._jsc.hadoopConfiguration())
         it = fs.listFiles(path, True)
         n = 0
         while it.hasNext():
-            base = it.next().getPath().getName()
-            if not base.startswith("_") and not base.startswith("."):
+            rel = it.next().getPath().toString()[len(root):].lstrip("/")
+            if not any(
+                seg.startswith(("_", ".")) for seg in rel.split("/")
+            ):
                 n += 1
         return n
 
@@ -240,7 +283,18 @@ class BucketedArtifactStore:
         Writes via a temp table then a metadata-only rename — reading and
         overwriting the same table in one job is illegal in Spark, and
         a localCheckpoint staging copy would materialize the whole
-        corpus-sized artifact through the driver's block store."""
+        corpus-sized artifact through the driver's block store.
+
+        Concurrency contract: each artifact's snapshot-read → rewrite →
+        swap runs under the process-wide store lock, which
+        :meth:`append` also takes — an append committed between the
+        snapshot and the DROP would otherwise be deleted with the old
+        table (silent history loss; plain-parquet managed tables have
+        no optimistic commit protocol to merge it, unlike the
+        Iceberg-native rewrite_data_files form of this store). Across
+        PROCESSES the lock cannot reach: schedule compaction in the
+        maintenance window between nightly ingests, the same rule every
+        non-transactional table rewrite lives by."""
         out: dict[str, int] = {}
         # force the BUCKETED scan for the rewrite: the optimizer elides
         # the writer's aligning repartition (the source table already
@@ -259,21 +313,27 @@ class BucketedArtifactStore:
         s.conf.set(
             "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
         )
+        # the clone starts in the DEFAULT database — without carrying
+        # the caller's current database over, unqualified {prefix}_*
+        # names resolve elsewhere, exists() returns False for every
+        # artifact and compaction silently no-ops
+        s.catalog.setCurrentDatabase(self.spark.catalog.currentDatabase())
         compactor = BucketedArtifactStore(s, self.prefix, self.n_buckets)
         for name in ARTIFACT_NAMES:
-            if not compactor.exists(name):
-                continue
-            t = self.table_name(name)
-            tmp = f"{t}__compacting"
-            s.sql(f"DROP TABLE IF EXISTS {tmp}")
-            compactor._write(name, s.table(t), "overwrite", table=tmp)
-            s.sql(f"DROP TABLE {t}")
-            s.sql(f"ALTER TABLE {tmp} RENAME TO {t}")
-            # the rewrite happened on the clone: drop the CALLER
-            # session's cached file listing for the table, or its next
-            # read resolves the pre-compaction files and fails with
-            # FAILED_READ_FILE on the swapped-out parquet parts
-            self.spark.catalog.refreshTable(t)
+            with _STORE_LOCK:
+                if not compactor.exists(name):
+                    continue
+                t = self.table_name(name)
+                tmp = f"{t}__compacting"
+                s.sql(f"DROP TABLE IF EXISTS {tmp}")
+                compactor._write(name, s.table(t), "overwrite", table=tmp)
+                s.sql(f"DROP TABLE {t}")
+                s.sql(f"ALTER TABLE {tmp} RENAME TO {t}")
+                # the rewrite happened on the clone: drop the CALLER
+                # session's cached file listing for the table, or its
+                # next read resolves the pre-compaction files and fails
+                # with FAILED_READ_FILE on the swapped-out parquet parts
+                self.spark.catalog.refreshTable(t)
             out[name] = self.n_files(name)
         return out
 
