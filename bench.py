@@ -157,6 +157,7 @@ HEADLINE = [
 EXTENDED: list[str] = [
     # post-r12 operators registered this round
     "dedup_incremental_simhash",  # fifth incremental sibling: SimHash keys (r13)
+    "similarity_ivf_probe_sweep",  # IVF nprobe recall/cost curve, one build (r13)
 ]
 
 #: The EXTENDED set as frozen at the END of round 12 — the cohort the

@@ -412,6 +412,22 @@ Round 13 adds dedup_incremental_simhash (the FIFTH incremental
   SCALE.md row), joins bench EXTENDED per the r10 overlap precedent,
   and is the r14 rotation's first priority (its first driver row).
   Registry: 150 queries / 147 oracle-bearing.
+Round 13 also adds similarity_ivf_probe_sweep (the IVF family's
+  calibration leg, completing the per-index-family sweep symmetry:
+  LSH band layouts r9, semantic tau r9, SimHash Hamming r12, IVF
+  nprobe r13): recall@10 against the exact top-10 AND the probe bill
+  (candidates scanned) for nprobe in (1,2,4,8), all priced from ONE
+  centroid-assignment pass — probed lists are cut to their LOCAL
+  top-k inside the same window that counts the bill, so the
+  per-config merge ranks <= K*k rows and the corpus is never
+  rescanned per setting; the nprobe=IVF_K row probes every list and
+  anchors the curve at recall 1.0. Oracle composes the registered
+  brute-force spec (single source for the denominator). Registered
+  OUT-of-window with the full rigging checklist (oracle +
+  differential + plan pin + crafted strict-recall-growth fixture +
+  3x point + SCALE.md row), joins bench EXTENDED alongside
+  dedup_incremental_simhash, r14-rotation priority with it.
+  Registry: 151 queries / 148 oracle-bearing.
 """
 
 from iceberg_explorer_spark.operators.registry import QUERIES, QuerySpec, query  # noqa: F401

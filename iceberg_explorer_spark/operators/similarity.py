@@ -527,6 +527,208 @@ def similarity_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: nprobe grid for the IVF calibration sweep. The last entry equals
+#: IVF_K deliberately: probing every list degenerates to the exact scan,
+#: so that row is the sweep's built-in exactness anchor (recall must be
+#: 1.0 there — pinned by the crafted-claims test, and the reason the
+#: report needs no separate "ceiling" arm).
+IVF_SWEEP_NPROBES = (1, 2, 4, 8)
+_IVF_SWEEP_K = 10  # top-k per config, same k as the exact baseline
+
+
+def _ivf_probe_sweep_oracle() -> str:
+    """Compose the sweep oracle from the ALREADY-REGISTERED brute-force
+    spec (module executes top-to-bottom, so the spec exists here) — the
+    same single-source rule as ``_recall_report_oracle``: a change to the
+    exact baseline's definition flows into every recall denominator
+    automatically."""
+    from iceberg_explorer_spark.operators.registry import QUERIES as _Q
+
+    bf = _Q["similarity_bruteforce_topk"].oracle
+    values = ", ".join(f"({n})" for n in IVF_SWEEP_NPROBES)
+    return f"""
+    WITH {_ivf_assign_sql_duckdb()},
+    lists AS (SELECT vec_id, embedding, cid FROM ranked WHERE rn = 1),
+    qprobe AS MATERIALIZED (
+      SELECT cid, rn AS probe_rank FROM ranked
+      WHERE vec_id = {QUERY_VEC_ID} AND rn <= {max(IVF_SWEEP_NPROBES)}
+    ),
+    qv AS MATERIALIZED (
+      SELECT embedding AS qe FROM {_EMB_SQL} WHERE vec_id = {QUERY_VEC_ID}
+    ),
+    cand AS MATERIALIZED (
+      SELECT l.vec_id, p.probe_rank,
+             ROUND(list_cosine_similarity(CAST(l.embedding AS DOUBLE[]),
+                                          CAST(qv.qe AS DOUBLE[])), 6)
+               AS cos_sim
+      FROM lists l JOIN qprobe p ON l.cid = p.cid, qv
+      WHERE l.vec_id <> {QUERY_VEC_ID}
+    ),
+    conf AS (SELECT * FROM (VALUES {values}) AS t(nprobe)),
+    bill AS (
+      SELECT c.nprobe,
+             CAST(COUNT(x.vec_id) AS BIGINT) AS n_candidates
+      FROM conf c LEFT JOIN cand x ON x.probe_rank <= c.nprobe
+      GROUP BY c.nprobe
+    ),
+    gr AS (
+      SELECT c.nprobe, x.vec_id,
+             ROW_NUMBER() OVER (PARTITION BY c.nprobe
+                                ORDER BY x.cos_sim DESC, x.vec_id) AS crn
+      FROM conf c JOIN cand x ON x.probe_rank <= c.nprobe
+    ),
+    bf AS MATERIALIZED (SELECT vec_id FROM ({bf}) bf_full),
+    hits AS (
+      SELECT g.nprobe, CAST(COUNT(*) AS BIGINT) AS n_returned,
+             CAST(COUNT(b.vec_id) AS BIGINT) AS n_hits
+      FROM gr g LEFT JOIN bf b ON g.vec_id = b.vec_id
+      WHERE g.crn <= {_IVF_SWEEP_K}
+      GROUP BY g.nprobe
+    )
+    SELECT bl.nprobe, bl.n_candidates,
+           CAST(COALESCE(h.n_returned, 0) AS BIGINT) AS n_returned,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CASE WHEN (SELECT COUNT(*) FROM bf) = 0 THEN 0.0
+                ELSE COALESCE(h.n_hits, 0) * 1.0
+                       / (SELECT COUNT(*) FROM bf)
+           END AS recall
+    FROM bill bl LEFT JOIN hits h ON bl.nprobe = h.nprobe
+    """
+
+
+@query(
+    "similarity_ivf_probe_sweep",
+    oracle=_ivf_probe_sweep_oracle(),
+    doc=f"IVF nprobe calibration sweep: recall@{_IVF_SWEEP_K} against the "
+    f"exact top-{_IVF_SWEEP_K} AND the probe bill (candidates scanned) "
+    f"for every nprobe in {IVF_SWEEP_NPROBES}, all from ONE centroid "
+    "assignment pass — the tuning curve you read to set "
+    "similarity_ivf_topk's IVF_NPROBE, produced the way "
+    "dedup_lsh_band_tuning prices its band layouts: score every config "
+    "from one shared build instead of re-running the index per setting. "
+    f"The {max(IVF_SWEEP_NPROBES)}-probe row probes all {IVF_K} lists — "
+    "the exact scan — so its recall = 1.0 anchors the curve. Scale shape: "
+    "assignment is the same broadcast-centroids map-side pass the top-k "
+    "query uses (the corpus never shuffles to be assigned); each probed "
+    f"list is cut to its LOCAL top-{_IVF_SWEEP_K} first (exact under the "
+    "total order cos DESC, vec_id — a global top-k takes at most k rows "
+    "from any one list), so the per-config merge ranks <= "
+    f"{IVF_K}x{_IVF_SWEEP_K} rows, and the probe bill comes from the "
+    "same window pass (count over the list partition at rank 1), never "
+    "a second corpus scan. nprobe is monotone in recall by construction "
+    "(configs are nested prefixes of the SAME probe ranking) — the "
+    "crafted-claims test pins strict growth on a fixture whose true "
+    "neighbors sit in the second-ranked list. "
+    "reference: no analogue — training-pipeline extension.",
+)
+def similarity_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = _with_normalized(_load_emb(spark, sf_dir))
+    ranked = _ivf_ranked(emb)
+    lists = ranked.filter(F.col("rn") == 1).select("vec_id", "ne", "cid")
+    # the query's probe ranking once, widest config's depth; O(K) rows
+    qprobe = F.broadcast(
+        ranked.filter(
+            (F.col("vec_id") == QUERY_VEC_ID)
+            & (F.col("rn") <= max(IVF_SWEEP_NPROBES))
+        ).select("cid", F.col("rn").alias("probe_rank"))
+    )
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+            F.col("ne").alias("qe")
+        )
+    )
+    cos = F.round(F.expr(_DOT_SPARK.format(a="ne", b="qe")), 6)
+    # ONE window pass over the probed lists gives both the local
+    # per-list top-k (exact pruning: the global top-k takes at most k
+    # rows from any list under the same total order) and the per-list
+    # candidate count the bill needs — same partitioning, no second
+    # corpus scan. The k*K-row result feeds two branches (bill + merge),
+    # so it is materialized once.
+    wl = Window.partitionBy("cid").orderBy(F.col("cos_sim").desc(), "vec_id")
+    cand = (
+        lists.join(qprobe, "cid")
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(q)
+        .select("vec_id", "cid", "probe_rank", cos.alias("cos_sim"))
+        .withColumn("lrn", F.row_number().over(wl))
+        .withColumn(
+            "list_cands", F.count(F.lit(1)).over(Window.partitionBy("cid"))
+        )
+        .filter(F.col("lrn") <= _IVF_SWEEP_K)
+        .localCheckpoint(eager=True)
+    )
+    conf = spark.createDataFrame(
+        [(n,) for n in IVF_SWEEP_NPROBES], "nprobe int"
+    )
+    # probe bill per config: sum the per-list counts carried on each
+    # list's rank-1 row (an empty probed list has no row and correctly
+    # adds 0); LEFT from conf so every config emits a row even with
+    # zero candidates anywhere
+    bill = (
+        conf.join(
+            cand.filter(F.col("lrn") == 1).select(
+                "probe_rank", "list_cands"
+            ),
+            F.col("probe_rank") <= F.col("nprobe"),
+            "left",
+        )
+        .groupBy("nprobe")
+        .agg(
+            F.coalesce(F.sum("list_cands"), F.lit(0))
+            .cast("bigint")
+            .alias("n_candidates")
+        )
+    )
+    # per-config top-k merge over the <= K*k local survivors: configs
+    # are nested prefixes of one probe ranking, so the expansion is a
+    # tiny non-equi join, never a rebuild per setting
+    wg = Window.partitionBy("nprobe").orderBy(
+        F.col("cos_sim").desc(), "vec_id"
+    )
+    topk = (
+        conf.join(cand, F.col("probe_rank") <= F.col("nprobe"))
+        .withColumn("crn", F.row_number().over(wg))
+        .filter(F.col("crn") <= _IVF_SWEEP_K)
+    )
+    # exact baseline built by the registered builder over the SAME
+    # contract-filtered frame; k rows, two consumers (hit join + the
+    # recall denominator), so materialized once
+    bf = (
+        similarity_bruteforce_topk(spark, sf_dir, emb=emb)
+        .select("vec_id")
+        .withColumn("hit", F.lit(1))
+        .localCheckpoint(eager=True)
+    )
+    n_exact = bf.agg(F.count(F.lit(1)).alias("_n_exact"))
+    hits = (
+        topk.join(bf, "vec_id", "left")
+        .groupBy("nprobe")
+        .agg(
+            F.count(F.lit(1)).alias("n_returned"),
+            F.count("hit").alias("n_hits"),
+        )
+    )
+    return (
+        bill.join(hits, "nprobe", "left")
+        .crossJoin(F.broadcast(n_exact))
+        .select(
+            "nprobe",
+            "n_candidates",
+            F.coalesce("n_returned", F.lit(0))
+            .cast("bigint")
+            .alias("n_returned"),
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            F.when(F.col("_n_exact") == 0, F.lit(0.0))
+            .otherwise(
+                F.coalesce("n_hits", F.lit(0)) * 1.0 / F.col("_n_exact")
+            )
+            .alias("recall"),
+        )
+    )
+
+
 def _gemm_schema() -> str:
     return "vec_a long, vec_b long, cos_sim double"
 

@@ -112,6 +112,8 @@ OP_TABLE = {
     "pipeline_incremental_ingest_v2": "documents",
     # round-11 addition (the four-stage capstone's append bill)
     "pipeline_incremental_artifact_delta_v2": "documents",
+    # round-13 addition (IVF nprobe recall/cost curve from one build)
+    "similarity_ivf_probe_sweep": "embeddings",
 }
 
 

@@ -1361,3 +1361,23 @@ def test_incremental_simhash_shared_chain_no_python(spark):
     assert "BatchEvalPython" not in plan
     assert "Scan ExistingRDD" in plan
     assert pi.broadcast_hint_count(df) == 0
+
+
+def test_ivf_probe_sweep_one_assignment_no_python(spark):
+    """similarity_ivf_probe_sweep prices every nprobe config from ONE
+    centroid-assignment pass: the probed-list window survivors and the
+    exact top-k baseline are the only materializations (both consumed
+    as Scan ExistingRDD by their two branches), everything is pure JVM
+    (no MapInPandas, no BatchEvalPython), and the only broadcast hint
+    VISIBLE in the final plan is the 1-row recall denominator — the
+    other four hinted frames (centroids, the query's probe ranking,
+    both query vectors) are all O(K)/O(1) and sit upstream of the two
+    checkpoint boundaries, so their hints are consumed inside the
+    materialization subplans. The corpus-sized frames (lists,
+    candidates) are never hint-forced anywhere."""
+    df = build(spark, "similarity_ivf_probe_sweep")
+    plan = pi.physical_plan(df)
+    assert "MapInPandas" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "Scan ExistingRDD" in plan
+    assert pi.broadcast_hint_count(df) == 1

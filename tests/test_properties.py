@@ -4907,3 +4907,83 @@ def test_append_before_backfill_fails_clearly(spark, tmp_path):
     (art / "digests.parquet").mkdir(parents=True)
     with pytest.raises(AnalysisException):
         append_incremental_artifacts(spark, SF_DIR_SMALL, str(art), status)
+
+
+def test_ivf_probe_sweep_claims(spark, tmp_path):
+    """similarity_ivf_probe_sweep's distinguishing claims on a crafted
+    corpus whose true neighbors straddle the probe ranking: (1) recall
+    grows STRICTLY from nprobe=1 to nprobe=2 — the second-ranked list
+    holds five of the exact top-10, so a sweep that ignores nprobe (all
+    configs scored on the same candidate set) cannot pass; (2) the
+    probe bill is the exact per-config candidate count (5 / 12 / 16 /
+    24), including the +1-per-list centroid members and excluding the
+    query itself; (3) the nprobe=1 row returns FEWER than k rows
+    (n_returned=5) — the short-list path; (4) the nprobe=IVF_K row is
+    the exactness anchor: full-corpus bill and recall 1.0.
+    Oracle-checked end to end on the same fixture.
+
+    Fixture geometry (64-dim, vec_id<8 are the centroids): the query is
+    centroid e0; its probe ranking is list 0 (cos 1) then lists 1..7
+    (cos 0, cid tie-break). List 0 holds 5 vectors at cos~0.98 to the
+    query; list 1 holds 6 vectors at cos~0.44-0.48 (distinct e0
+    weights — no tie at the top-10 cut) PLUS centroid e1; lists 2..7
+    hold their centroid and one orthogonal filler each. Exact top-10 =
+    the 5 list-0 vectors + the 5 highest-weight list-1 vectors."""
+    import duckdb
+
+    from iceberg_explorer_spark.operators import QUERIES
+    from tests.conftest import assert_matches_oracle
+
+    def unit(parts):
+        v = [0.0] * 64
+        for i, w in parts:
+            v[i] = w
+        n = sum(x * x for x in v) ** 0.5
+        return [x / n for x in v]
+
+    rows = [(i, unit([(i, 1.0)]), 0) for i in range(8)]  # centroids e0..e7
+    # list-0 members: near-query, distinct tie-break dims
+    rows += [
+        (10 + j, unit([(0, 1.0), (8 + j, 0.2)]), 0) for j in range(5)
+    ]
+    # list-1 members: assigned to e1 (cos~0.89), cos to query 0.44-0.48
+    rows += [
+        (20 + j, unit([(0, 0.5 + 0.01 * j), (1, 1.0), (30 + j, 0.1)]), 0)
+        for j in range(6)
+    ]
+    # lists 2..7: one orthogonal filler each
+    rows += [(40 + i, unit([(i, 1.0), (50 + i, 0.1)]), 0) for i in range(2, 8)]
+
+    d = str(tmp_path / "ivfsweep")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    spec = QUERIES["similarity_ivf_probe_sweep"]
+    got = {
+        r["nprobe"]: (
+            r["n_candidates"], r["n_returned"], r["n_hits"], r["recall"],
+        )
+        for r in spec.builder(spark, d).collect()
+    }
+    assert got == {
+        1: (5, 5, 5, 0.5),     # list 0 only: all 5 hit, half the exact set
+        2: (12, 10, 10, 1.0),  # + list 1 (6 members + centroid e1)
+        4: (16, 10, 10, 1.0),  # + lists 2,3 (centroid + filler each)
+        8: (24, 10, 10, 1.0),  # full corpus minus the query: exact scan
+    }, got
+
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{d}/{t}.parquet/*.parquet')"
+        )
+    assert_matches_oracle(
+        spec.builder(spark, d), con, spec.oracle,
+        "similarity_ivf_probe_sweep",
+    )
