@@ -4958,10 +4958,6 @@ def test_ivf_probe_sweep_claims(spark, tmp_path):
     spark.createDataFrame(
         rows, "vec_id long, embedding array<float>, label int"
     ).coalesce(1).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
-    spark.createDataFrame(
-        [], "doc_id long, text string, lang string, source string,"
-        " n_chars long"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
 
     spec = QUERIES["similarity_ivf_probe_sweep"]
     got = {
@@ -4978,11 +4974,10 @@ def test_ivf_probe_sweep_claims(spark, tmp_path):
     }, got
 
     con = duckdb.connect()
-    for t in ("documents", "embeddings"):
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('{d}/{t}.parquet/*.parquet')"
-        )
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{d}/embeddings.parquet/*.parquet')"
+    )
     assert_matches_oracle(
         spec.builder(spark, d), con, spec.oracle,
         "similarity_ivf_probe_sweep",
