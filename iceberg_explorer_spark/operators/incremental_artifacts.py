@@ -153,10 +153,21 @@ class BucketedArtifactStore:
 
     The Iceberg-native equivalent is a ``bucket(N, key)`` partition
     transform plus rewrite_data_files; this is the catalog-agnostic
-    Spark form (same contract as sources/bucketing.py)."""
+    Spark form (same contract as sources/bucketing.py).
+
+    The store is generic over an ``artifacts`` spec (name -> bucket key
+    columns); the incremental-dedup six above are the default. The
+    similarity family instantiates it with its IVF list artifact
+    (``similarity.IVF_STORE_ARTIFACTS`` — bucketed by ``cid``, the
+    serve-time probe key, so a query's probe scan bucket-prunes to its
+    nprobe lists)."""
 
     def __init__(
-        self, spark: SparkSession, prefix: str, n_buckets: int = 16
+        self,
+        spark: SparkSession,
+        prefix: str,
+        n_buckets: int = 16,
+        artifacts: "dict[str, tuple[str, ...]] | None" = None,
     ) -> None:
         if not prefix.isidentifier():
             # prefixes are spliced into table names and ALTER TABLE
@@ -166,9 +177,26 @@ class BucketedArtifactStore:
         self.spark = spark
         self.prefix = prefix
         self.n_buckets = n_buckets
+        # ``artifacts``: name -> probe/bucket key columns. The store's
+        # machinery (pre-hash-partitioned writes, probe-key bucketing,
+        # spec-preserving compaction, crash recovery, the store lock)
+        # is layout discipline, not dedup semantics — other families
+        # bring their own spec (similarity's IVF list artifact buckets
+        # by cid, the probe key of every serve-time scan). Default is
+        # the incremental-dedup six, unchanged.
+        self.artifacts = (
+            dict(artifacts) if artifacts is not None
+            else dict(ARTIFACT_BUCKET_KEYS)
+        )
+        for name, key in self.artifacts.items():
+            if not (name.isidentifier() and key):
+                raise ValueError(
+                    f"artifact spec entry {name!r} -> {key!r} must be an "
+                    "identifier with a non-empty bucket key"
+                )
 
     def table_name(self, name: str) -> str:
-        if name not in ARTIFACT_NAMES:
+        if name not in self.artifacts:
             raise KeyError(f"unknown artifact {name!r}")
         return f"{self.prefix}_{name}"
 
@@ -216,7 +244,7 @@ class BucketedArtifactStore:
             # an append must land on the recovered history, never
             # create a fresh increment-only table beside it
             self._recover_interrupted_compaction(name)
-        key = ARTIFACT_BUCKET_KEYS[name]
+        key = self.artifacts[name]
         (
             # align write tasks with the bucket hash (same Murmur3
             # HashPartitioning) so each write lands ONE file per
@@ -318,8 +346,10 @@ class BucketedArtifactStore:
         # names resolve elsewhere, exists() returns False for every
         # artifact and compaction silently no-ops
         s.catalog.setCurrentDatabase(self.spark.catalog.currentDatabase())
-        compactor = BucketedArtifactStore(s, self.prefix, self.n_buckets)
-        for name in ARTIFACT_NAMES:
+        compactor = BucketedArtifactStore(
+            s, self.prefix, self.n_buckets, artifacts=self.artifacts
+        )
+        for name in self.artifacts:
             with _STORE_LOCK:
                 if not compactor.exists(name):
                     continue
@@ -339,7 +369,7 @@ class BucketedArtifactStore:
 
     def drop(self) -> None:
         """Test-lifecycle cleanup."""
-        for name in ARTIFACT_NAMES:
+        for name in self.artifacts:
             self.spark.sql(
                 f"DROP TABLE IF EXISTS {self.table_name(name)}"
             )

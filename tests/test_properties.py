@@ -4982,3 +4982,82 @@ def test_ivf_probe_sweep_claims(spark, tmp_path):
         spec.builder(spark, d), con, spec.oracle,
         "similarity_ivf_probe_sweep",
     )
+
+
+def test_ivf_store_round_trip_pruned_serve(spark):
+    """The persisted IVF index through the similarity family's
+    BucketedArtifactStore spec: (1) serve parity — ivf_topk_from_store
+    returns ROW-IDENTICAL results to the in-session
+    similarity_ivf_topk (same assignment rule, same rank rule, same
+    rounded cosines); (2) the serve plan is the one a 100 TB index
+    needs — zero shuffles, zero Window nodes (assignment is read, not
+    recomputed), and the probe scan BUCKET-PRUNES to at most nprobe of
+    the index's buckets (SelectedBucketsCount); (3) nightly append
+    assigns new vectors against the PERSISTED centroids and an
+    appended exact duplicate of the query vector takes over the top
+    slot at cosine 1.0 from inside a probed list; (4) compaction
+    rewrites back to one file per non-empty bucket and the served
+    results are unchanged through the whole cycle."""
+    import re
+
+    from iceberg_explorer_spark.operators import QUERIES
+    from iceberg_explorer_spark.operators.similarity import (
+        IVF_NPROBE,
+        ivf_append_lists,
+        ivf_backfill_lists,
+        ivf_store,
+        ivf_topk_from_store,
+    )
+    from iceberg_explorer_spark.plans import inspect as pi
+
+    d = "/root/testdata/sf0.01"
+    n_buckets = 4
+    store = ivf_store(spark, "t_ivf_store", n_buckets=n_buckets)
+    try:
+        ivf_backfill_lists(spark, d, store)
+        served = ivf_topk_from_store(spark, store)
+        got = [tuple(r) for r in served.collect()]
+        want = [
+            tuple(r)
+            for r in QUERIES["similarity_ivf_topk"].builder(spark, d).collect()
+        ]
+        assert got == want and got
+
+        plan = pi.physical_plan(served)
+        assert pi.shuffle_count(served) == 0
+        assert "Window" not in plan
+        m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+        assert m, plan
+        assert int(m.group(1)) <= IVF_NPROBE
+        assert int(m.group(2)) == n_buckets
+
+        # nightly append: a new exact copy of the query vector must be
+        # assigned to the query's own (probed) list by the PERSISTED
+        # centroids and take the top slot at rounded cosine 1.0
+        files_before = store.n_files("ivf_lists")
+        new_id = 10_000_000
+        increment = (
+            spark.read.parquet(f"{d}/embeddings.parquet")
+            .filter(F.col("vec_id") == 0)
+            .withColumn("vec_id", F.lit(new_id).cast("long"))
+        )
+        ivf_append_lists(spark, store, increment)
+        assert store.n_files("ivf_lists") <= files_before + n_buckets
+        served2 = [tuple(r) for r in ivf_topk_from_store(spark, store).collect()]
+        assert served2[0][0] == new_id and served2[0][2] == 1.0
+        # previous results shift down one slot, none disappear early
+        assert served2[1:] == got[: len(served2) - 1]
+
+        # compaction: back to one file per non-empty bucket, spec
+        # preserved (pruned serve still works), results unchanged
+        store.compact()
+        assert store.n_files("ivf_lists") <= n_buckets
+        served3 = ivf_topk_from_store(spark, store)
+        assert [tuple(r) for r in served3.collect()] == served2
+        m3 = re.search(
+            r"SelectedBucketsCount: (\d+) out of (\d+)",
+            pi.physical_plan(served3),
+        )
+        assert m3 and int(m3.group(1)) <= IVF_NPROBE
+    finally:
+        store.drop()
