@@ -430,15 +430,18 @@ Round 13 also adds similarity_ivf_probe_sweep (the IVF family's
   Registry: 151 queries / 148 oracle-bearing.
 Round 13 also generalizes BucketedArtifactStore over an artifact spec
   (dedup's six stay the default) and instantiates it for the
-  similarity family: the persisted IVF index — (vec_id, cid, nvec)
-  bucketed by cid — with backfill/append/serve functions
-  (similarity.ivf_backfill_lists / ivf_append_lists /
-  ivf_topk_from_store). Serve is row-identical to similarity_ivf_topk
-  with the production plan: zero shuffles, zero Window nodes, and the
+  similarity family: the persisted IVF index — a cid-bucketed list
+  table (vec_id, cid, nvec) plus a K-row centroid artifact — with
+  backfill/append/serve functions (similarity.ivf_backfill_lists /
+  ivf_append_lists / ivf_topk_from_store). Serve is row-identical to
+  similarity_ivf_topk with the production plan: exactly ONE list-table
+  scan, zero shuffles, zero Window nodes, zero broadcasts (the query
+  vector inlines as literals; production passes it with the request),
   probe scan bucket-PRUNED to the query's nprobe lists
   (SelectedBucketsCount pinned); appends assign increments against
-  the PERSISTED centroids and land hash-aligned (<=1 file per bucket
-  per night); compaction preserves the spec through the full cycle.
+  the PERSISTED centroid artifact (reserved centroid id range refused
+  loudly) and land hash-aligned (<=1 file per bucket per night);
+  compaction preserves the spec through the full cycle.
   Function-level machinery with a pinned round-trip test, not a
   registry query (the serve result is definitionally the registered
   query's — a second oracle would re-prove the same rows).

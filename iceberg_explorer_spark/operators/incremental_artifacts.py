@@ -189,10 +189,19 @@ class BucketedArtifactStore:
             else dict(ARTIFACT_BUCKET_KEYS)
         )
         for name, key in self.artifacts.items():
-            if not (name.isidentifier() and key):
+            # a bare string key ('cid') is the natural mistake and would
+            # surface only at write time as an unresolved-column error on
+            # its CHARACTERS (or silently "work" for 1-char columns) —
+            # require a real column sequence up front
+            if not (
+                name.isidentifier()
+                and isinstance(key, (tuple, list))
+                and key
+                and all(isinstance(c, str) and c for c in key)
+            ):
                 raise ValueError(
-                    f"artifact spec entry {name!r} -> {key!r} must be an "
-                    "identifier with a non-empty bucket key"
+                    f"artifact spec entry {name!r} -> {key!r} must map an "
+                    "identifier to a non-empty tuple of column names"
                 )
 
     def table_name(self, name: str) -> str:

@@ -754,15 +754,19 @@ def similarity_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 # this round (pre-hash-partitioned appends, spec-preserving compaction,
 # crash recovery) with the similarity family's own artifact spec.
 
-#: The similarity family's artifact spec: the persisted IVF index is ONE
-#: table — (vec_id, cid, nvec): every contract-passing vector's list
-#: assignment plus its L2-normalized vector — bucketed by ``cid``, the
-#: serve-time probe key. Bucketing by cid is what turns a query's probe
-#: into LITERAL bucket pruning: the serve scan filters cid IN (<the
-#: nprobe probe lists>), so Spark's bucketed scan reads only the files
-#: of the probed buckets (SelectedBucketsCount in the plan) — nprobe/K
-#: of the INDEX FILES, not just nprobe/K of the rows after a full scan.
-IVF_STORE_ARTIFACTS = {"ivf_lists": ("cid",)}
+#: The similarity family's artifact spec: the persisted IVF index is
+#: TWO tables. ``ivf_lists`` — (vec_id, cid, nvec): every
+#: contract-passing vector's list assignment plus its L2-normalized
+#: vector — bucketed by ``cid``, the serve-time probe key: the serve
+#: scan filters cid IN (<the nprobe probe lists>), so Spark's bucketed
+#: scan reads only the files of the probed buckets
+#: (SelectedBucketsCount in the plan) — nprobe/K of the INDEX FILES,
+#: not just nprobe/K of the rows after a full scan. ``ivf_centroids``
+#: — (cid, cvec): the K coarse centroids as their OWN tiny artifact,
+#: so the probe ranking and the nightly append never touch the
+#: corpus-sized list table just to fetch K rows (filtering the list
+#: table by vec_id would full-scan it: vec_id is not its bucket key).
+IVF_STORE_ARTIFACTS = {"ivf_lists": ("cid",), "ivf_centroids": ("cid",)}
 
 
 def ivf_store(spark: SparkSession, prefix: str, n_buckets: int = 16):
@@ -779,8 +783,10 @@ def ivf_store(spark: SparkSession, prefix: str, n_buckets: int = 16):
 def ivf_backfill_lists(spark: SparkSession, sf_dir: str, store) -> None:
     """One-time index build: assign every contract-passing vector to its
     nearest coarse list (the SAME ``_ivf_ranked`` rule every in-session
-    IVF query uses — the artifact and the queries cannot desync) and
-    write (vec_id, cid, nvec) bucketed by cid."""
+    IVF query uses — the artifact and the queries cannot desync), write
+    (vec_id, cid, nvec) bucketed by cid, and the K centroids to their
+    own tiny artifact (the probe ranking's and the nightly append's
+    K-row read, so neither ever scans the list table for them)."""
     emb = _with_normalized(_load_emb(spark, sf_dir))
     lists = (
         _ivf_ranked(emb)
@@ -788,24 +794,48 @@ def ivf_backfill_lists(spark: SparkSession, sf_dir: str, store) -> None:
         .select("vec_id", "cid", F.col("ne").alias("nvec"))
     )
     store.write("ivf_lists", lists)
+    store.write(
+        "ivf_centroids",
+        emb.filter(F.col("vec_id") < IVF_K).select(
+            F.col("vec_id").alias("cid"), F.col("ne").alias("cvec")
+        ),
+    )
 
 
-def ivf_append_lists(spark: SparkSession, store, new_emb: DataFrame) -> None:
+def ivf_append_lists(store, new_emb: DataFrame) -> None:
     """Nightly index append: assign an increment of raw embeddings rows
-    against the PERSISTED centroids (read from the artifact — a nightly
-    batch need not contain the centroid vectors, unlike the in-session
-    rule that derives them from the frame itself) and append their
-    (vec_id, cid, nvec) rows through the store's hash-aligned writer —
-    at most one new file per bucket per night, same bound as the dedup
-    artifacts. History vectors are never re-read or re-assigned."""
-    art = store.read("ivf_lists")
-    cents = art.filter(F.col("vec_id") < IVF_K).select(
-        F.col("vec_id").alias("cid"), F.col("nvec").alias("ce")
+    against the PERSISTED centroids (the K-row centroid artifact — a
+    nightly batch need not contain the centroid vectors, unlike the
+    in-session rule that derives them from the frame itself) and append
+    their (vec_id, cid, nvec) rows through the store's hash-aligned
+    writer — at most one new file per bucket per night, same bound as
+    the dedup artifacts. History vectors are never re-read or
+    re-assigned.
+
+    Contract: increment vec_ids must be globally NEW and outside the
+    reserved centroid range [0, IVF_K). The range half is enforced here
+    with a loud error — a collision inside it would silently corrupt
+    the centroid set every later serve and append ranks against (two
+    vectors for one cid). Global newness is the ingest pipeline's
+    id-allocation invariant, same as the dedup artifacts' doc_ids; a
+    RETRIED append lands its rows twice (plain-parquet appends have no
+    idempotent commit — the Iceberg-native form of this store gets
+    replace-by-filter for exactly this), so retries must re-run from
+    the pre-append snapshot, the store's standing non-transactional
+    rule."""
+    inc = _with_normalized(_apply_emb_contract(new_emb))
+    # limit(1) short-circuits: one increment-sized probe, no full count
+    if inc.filter(F.col("vec_id") < IVF_K).limit(1).count():
+        raise ValueError(
+            f"increment contains vec_ids in the reserved centroid range "
+            f"[0, {IVF_K}) — appending them would shadow the persisted "
+            "centroids"
+        )
+    cents = store.read("ivf_centroids").select(
+        "cid", F.col("cvec").alias("ce")
     )
     rows = (
-        _ivf_ranked(
-            _with_normalized(_apply_emb_contract(new_emb)), cents=cents
-        )
+        _ivf_ranked(inc, cents=cents)
         .filter(F.col("rn") == 1)
         .select("vec_id", "cid", F.col("ne").alias("nvec"))
     )
@@ -813,43 +843,57 @@ def ivf_append_lists(spark: SparkSession, store, new_emb: DataFrame) -> None:
 
 
 def ivf_topk_from_store(
-    spark: SparkSession,
     store,
     query_vec_id: int = QUERY_VEC_ID,
     nprobe: int = IVF_NPROBE,
     k: int = 10,
+    query_vec: "list[float] | None" = None,
 ) -> DataFrame:
     """Serve similarity_ivf_topk's semantics from the persisted index:
     row-identical to the in-session query (pinned by the round-trip
-    test) with a fundamentally better serve plan — no assignment pass
-    (it is read, not recomputed: zero Window nodes), no shuffle at all
-    (zero Exchange: the probe is a filter on the bucket column and
-    top-k is TakeOrderedAndProject), and the probed lists' FILES are
-    the only index files read (SelectedBucketsCount <= nprobe buckets).
+    test) with the serve plan a production index needs — no assignment
+    pass (it is read, not recomputed: zero Window nodes), no shuffle
+    and no broadcast (the query vector is inlined as a LITERAL array),
+    and exactly ONE scan of the list table, bucket-PRUNED to the
+    probed lists (SelectedBucketsCount <= nprobe buckets).
 
-    The probe ranking round-trips through a driver collect of nprobe
-    ints — deliberate and bounded: ranking O(K) broadcast-able centroid
-    rows is metadata-scale work (the same legitimacy class as the CC
-    convergence check), and handing the cids back as LITERALS is
+    ``query_vec``: the L2-normalized query vector. Production serving
+    passes it (the vector arrives with the request); when omitted, it
+    is looked up from the index by ``query_vec_id`` — a documented
+    DEMO-path convenience that costs one pushed-filter scan of the
+    list table, which is not bucket-prunable by vec_id.
+
+    The probe ranking runs over the K-row centroid artifact and
+    collects nprobe ints — bounded driver work (the CC-convergence
+    legitimacy class), and handing the cids back as LITERALS is
     precisely what lets Spark's bucketed scan prune at planning time;
     keeping them as a joined frame would read every bucket. The rank
     rule (round-6 cosine DESC, cid) and the verify cosine are the same
     expressions as ``_ivf_ranked``/``similarity_ivf_topk`` — dot
     commutativity is exact in FP (elementwise products commute, the
-    fold order is the array order on both sides).
+    fold order is the array order on both sides), and the literal
+    doubles round-trip the stored doubles exactly.
 
     The serve frame is built on a CLONED session with the auto
     bucketed-scan heuristic off — the same Spark subtlety
     ``BucketedArtifactStore.compact`` documents: nothing downstream
     needs the bucket distribution, so the planner plans a plain file
-    scan and with it silently drops bucket PRUNING (the plan reads
-    "Bucketed: false (disabled by query planner)" and every bucket's
-    files). Forcing the bucketed scan restores SelectedBucketsCount at
-    the cost of one read task per probed bucket — acceptable when
-    n_buckets is sized to the workload width (the store's standing
-    sizing rule); the Iceberg-native form gets file-level pruning with
-    free parallelism from a bucket(N, cid) partition transform. The
-    clone never touches the caller's session conf."""
+    scan and with it silently drops bucket PRUNING. Forcing the
+    bucketed scan restores SelectedBucketsCount at the cost of one
+    read task per probed bucket — acceptable when n_buckets is sized
+    to the workload width (the store's standing sizing rule); the
+    Iceberg-native form gets file-level pruning with free parallelism
+    from a bucket(N, cid) partition transform. The clone never touches
+    the caller's session conf."""
+    spark = store.spark
+    if query_vec is None:
+        r = (
+            store.read("ivf_lists")
+            .filter(F.col("vec_id") == query_vec_id)
+            .select("nvec")
+            .collect()
+        )
+        query_vec = list(r[0]["nvec"]) if r else None
     store.read("ivf_lists")  # heal a crashed compaction before serving
     s = spark.newSession()
     s.conf.set(
@@ -857,33 +901,36 @@ def ivf_topk_from_store(
     )
     s.catalog.setCurrentDatabase(spark.catalog.currentDatabase())
     art = s.table(store.table_name("ivf_lists"))
-    q = art.filter(F.col("vec_id") == query_vec_id).select(
-        F.col("nvec").alias("qe")
+    empty = art.filter(F.lit(False)).select(
+        "vec_id",
+        F.col("cid").alias("probe_list"),
+        F.lit(0.0).alias("cos_sim"),
     )
-    cents = art.filter(F.col("vec_id") < IVF_K).select(
-        F.col("vec_id").alias("ccid"), F.col("nvec").alias("ce")
+    if query_vec is None:
+        return empty  # unknown query id: empty result, contract schema
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    cents = (
+        s.table(store.table_name("ivf_centroids"))
+        .withColumn("qe", qlit)
     )
-    csim = F.round(F.expr(_DOT_SPARK.format(a="ce", b="qe")), 6)
+    csim = F.round(F.expr(_DOT_SPARK.format(a="cvec", b="qe")), 6)
     probe_cids = [
-        r["ccid"]
-        for r in cents.crossJoin(F.broadcast(q))
-        .select("ccid", csim.alias("csim"))
-        .orderBy(F.col("csim").desc(), "ccid")
+        r["cid"]
+        for r in cents.select("cid", csim.alias("csim"))
+        .orderBy(F.col("csim").desc(), "cid")
         .limit(nprobe)
         .collect()
     ]
-    base = art.crossJoin(F.broadcast(q))
     if not probe_cids:
-        # unknown query id: empty result with the contract schema
-        base = base.filter(F.lit(False))
-    else:
-        base = base.filter(
+        return empty  # empty centroid artifact
+    cos = F.round(F.expr(_DOT_SPARK.format(a="nvec", b="qe")), 6)
+    return (
+        art.filter(
             F.col("cid").isin([int(c) for c in probe_cids])
             & (F.col("vec_id") != query_vec_id)
         )
-    cos = F.round(F.expr(_DOT_SPARK.format(a="nvec", b="qe")), 6)
-    return (
-        base.select(
+        .withColumn("qe", qlit)
+        .select(
             "vec_id", F.col("cid").alias("probe_list"), cos.alias("cos_sim")
         )
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))

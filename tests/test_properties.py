@@ -4988,20 +4988,29 @@ def test_ivf_store_round_trip_pruned_serve(spark):
     """The persisted IVF index through the similarity family's
     BucketedArtifactStore spec: (1) serve parity — ivf_topk_from_store
     returns ROW-IDENTICAL results to the in-session
-    similarity_ivf_topk (same assignment rule, same rank rule, same
-    rounded cosines); (2) the serve plan is the one a 100 TB index
-    needs — zero shuffles, zero Window nodes (assignment is read, not
-    recomputed), and the probe scan BUCKET-PRUNES to at most nprobe of
-    the index's buckets (SelectedBucketsCount); (3) nightly append
-    assigns new vectors against the PERSISTED centroids and an
-    appended exact duplicate of the query vector takes over the top
-    slot at cosine 1.0 from inside a probed list; (4) compaction
-    rewrites back to one file per non-empty bucket and the served
-    results are unchanged through the whole cycle."""
+    similarity_ivf_topk, through BOTH query paths (id lookup and the
+    production direct-vector path); (2) the serve plan is the one a
+    100 TB index needs — exactly ONE scan of the list table, zero
+    shuffles, zero Window nodes (assignment is read, not recomputed),
+    zero broadcasts (the query vector is inlined as literals), and the
+    probe scan BUCKET-PRUNES to at most nprobe of the index's buckets
+    (SelectedBucketsCount); (3) nightly append assigns new vectors
+    against the PERSISTED centroid artifact — an appended exact
+    duplicate of the query vector takes over the top slot at cosine
+    1.0 from inside a probed list — and rejects increments that would
+    shadow the reserved centroid id range; (4) compaction rewrites
+    back to one file per non-empty bucket and the served results are
+    unchanged through the whole cycle. Also: a bare-string bucket key
+    in the artifacts spec is rejected at construction, not at write
+    time."""
     import re
 
     from iceberg_explorer_spark.operators import QUERIES
+    from iceberg_explorer_spark.operators.incremental_artifacts import (
+        BucketedArtifactStore,
+    )
     from iceberg_explorer_spark.operators.similarity import (
+        IVF_K,
         IVF_NPROBE,
         ivf_append_lists,
         ivf_backfill_lists,
@@ -5010,12 +5019,17 @@ def test_ivf_store_round_trip_pruned_serve(spark):
     )
     from iceberg_explorer_spark.plans import inspect as pi
 
+    with pytest.raises(ValueError, match="tuple of column names"):
+        BucketedArtifactStore(
+            spark, "t_ivf_badspec", artifacts={"ivf_lists": "cid"}
+        )
+
     d = "/root/testdata/sf0.01"
     n_buckets = 4
     store = ivf_store(spark, "t_ivf_store", n_buckets=n_buckets)
     try:
         ivf_backfill_lists(spark, d, store)
-        served = ivf_topk_from_store(spark, store)
+        served = ivf_topk_from_store(store)
         got = [tuple(r) for r in served.collect()]
         want = [
             tuple(r)
@@ -5023,9 +5037,21 @@ def test_ivf_store_round_trip_pruned_serve(spark):
         ]
         assert got == want and got
 
-        plan = pi.physical_plan(served)
-        assert pi.shuffle_count(served) == 0
+        # the production path: the query vector arrives with the
+        # request — same rows, and NO lookup scan anywhere
+        qv = list(
+            store.read("ivf_lists")
+            .filter(F.col("vec_id") == 0)
+            .collect()[0]["nvec"]
+        )
+        direct = ivf_topk_from_store(store, query_vec=qv)
+        assert [tuple(r) for r in direct.collect()] == got
+
+        plan = pi.physical_plan(direct)
+        assert pi.shuffle_count(direct) == 0
         assert "Window" not in plan
+        assert "BroadcastExchange" not in plan
+        assert plan.count("Scan parquet") == 1  # the pruned probe scan
         m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
         assert m, plan
         assert int(m.group(1)) <= IVF_NPROBE
@@ -5033,7 +5059,7 @@ def test_ivf_store_round_trip_pruned_serve(spark):
 
         # nightly append: a new exact copy of the query vector must be
         # assigned to the query's own (probed) list by the PERSISTED
-        # centroids and take the top slot at rounded cosine 1.0
+        # centroid artifact and take the top slot at rounded cosine 1.0
         files_before = store.n_files("ivf_lists")
         new_id = 10_000_000
         increment = (
@@ -5041,22 +5067,30 @@ def test_ivf_store_round_trip_pruned_serve(spark):
             .filter(F.col("vec_id") == 0)
             .withColumn("vec_id", F.lit(new_id).cast("long"))
         )
-        ivf_append_lists(spark, store, increment)
+        ivf_append_lists(store, increment)
         assert store.n_files("ivf_lists") <= files_before + n_buckets
-        served2 = [tuple(r) for r in ivf_topk_from_store(spark, store).collect()]
+        served2 = [tuple(r) for r in ivf_topk_from_store(store).collect()]
         assert served2[0][0] == new_id and served2[0][2] == 1.0
         # previous results shift down one slot, none disappear early
         assert served2[1:] == got[: len(served2) - 1]
+
+        # an increment carrying a reserved centroid-range id is refused
+        # loudly — it would silently shadow a persisted centroid
+        bad = increment.withColumn(
+            "vec_id", F.lit(IVF_K - 1).cast("long")
+        )
+        with pytest.raises(ValueError, match="reserved centroid range"):
+            ivf_append_lists(store, bad)
 
         # compaction: back to one file per non-empty bucket, spec
         # preserved (pruned serve still works), results unchanged
         store.compact()
         assert store.n_files("ivf_lists") <= n_buckets
-        served3 = ivf_topk_from_store(spark, store)
+        served3 = ivf_topk_from_store(store)
         assert [tuple(r) for r in served3.collect()] == served2
         m3 = re.search(
             r"SelectedBucketsCount: (\d+) out of (\d+)",
-            pi.physical_plan(served3),
+            pi.physical_plan(ivf_topk_from_store(store, query_vec=qv)),
         )
         assert m3 and int(m3.group(1)) <= IVF_NPROBE
     finally:
