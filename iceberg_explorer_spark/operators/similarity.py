@@ -786,20 +786,26 @@ def ivf_backfill_lists(spark: SparkSession, sf_dir: str, store) -> None:
     IVF query uses — the artifact and the queries cannot desync), write
     (vec_id, cid, nvec) bucketed by cid, and the K centroids to their
     own tiny artifact (the probe ranking's and the nightly append's
-    K-row read, so neither ever scans the list table for them)."""
+    K-row read, so neither ever scans the list table for them).
+
+    Write order is the crash contract: centroids FIRST, the list table
+    LAST — ``ivf_lists`` is the commit marker every consumer gates on,
+    so a crash between the two writes reads as "backfill never ran"
+    (re-run overwrites both) instead of an index whose serves and
+    appends all fail on a missing centroid table."""
     emb = _with_normalized(_load_emb(spark, sf_dir))
-    lists = (
-        _ivf_ranked(emb)
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cid", F.col("ne").alias("nvec"))
-    )
-    store.write("ivf_lists", lists)
     store.write(
         "ivf_centroids",
         emb.filter(F.col("vec_id") < IVF_K).select(
             F.col("vec_id").alias("cid"), F.col("ne").alias("cvec")
         ),
     )
+    lists = (
+        _ivf_ranked(emb)
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid", F.col("ne").alias("nvec"))
+    )
+    store.write("ivf_lists", lists)
 
 
 def ivf_append_lists(store, new_emb: DataFrame) -> None:
@@ -842,9 +848,33 @@ def ivf_append_lists(store, new_emb: DataFrame) -> None:
     store.append("ivf_lists", rows)
 
 
+def _validate_query_vec(v) -> None:
+    """Loud contract check for a caller-supplied query vector — the
+    literal-inlining serve path has no ``_apply_emb_contract`` scan to
+    catch a malformed vector, and Spark's ``zip_with`` NULL-pads a
+    length mismatch into an all-NULL dot product (k arbitrary rows with
+    NULL cosines — silent garbage, the exact failure class the input
+    contract exists to prevent)."""
+    import math
+
+    if len(v) != DIM or any(
+        x is None or (isinstance(x, float) and x != x) for x in v
+    ):
+        raise ValueError(
+            f"query_vec must be {DIM} non-NULL finite floats, got "
+            f"len={len(v)}"
+        )
+    n = math.sqrt(sum(float(x) * float(x) for x in v))
+    if not abs(n - 1.0) <= 1e-3:  # 'not <=' also catches NaN/inf norms
+        raise ValueError(
+            f"query_vec must be L2-normalized (|v| = {n!r}); the serve "
+            "cosine is a bare dot product over pre-normalized vectors"
+        )
+
+
 def ivf_topk_from_store(
     store,
-    query_vec_id: int = QUERY_VEC_ID,
+    query_vec_id: "int | None" = None,
     nprobe: int = IVF_NPROBE,
     k: int = 10,
     query_vec: "list[float] | None" = None,
@@ -858,10 +888,19 @@ def ivf_topk_from_store(
     probed lists (SelectedBucketsCount <= nprobe buckets).
 
     ``query_vec``: the L2-normalized query vector. Production serving
-    passes it (the vector arrives with the request); when omitted, it
-    is looked up from the index by ``query_vec_id`` — a documented
-    DEMO-path convenience that costs one pushed-filter scan of the
-    list table, which is not bucket-prunable by vec_id.
+    passes it (the vector arrives with the request — validated loudly,
+    see ``_validate_query_vec``); when omitted, it is looked up from
+    the index by ``query_vec_id`` (defaulting to the registry's demo
+    query id) — a documented DEMO-path convenience that costs one
+    pushed-filter scan of the list table, which is not bucket-prunable
+    by vec_id.
+
+    ``query_vec_id``: the stored id to EXCLUDE from results (the
+    in-session query's exclude-the-query-doc rule). On the lookup path
+    it is also the id looked up. On the direct-vector path it is
+    optional: a request vector need not correspond to any stored row,
+    and excluding the default demo id would silently drop an unrelated
+    vector — pass it only when the query genuinely is a stored doc.
 
     The probe ranking runs over the K-row centroid artifact and
     collects nprobe ints — bounded driver work (the CC-convergence
@@ -886,15 +925,24 @@ def ivf_topk_from_store(
     from a bucket(N, cid) partition transform. The clone never touches
     the caller's session conf."""
     spark = store.spark
+    # heal a crashed compaction of EITHER table before any raw
+    # s.table() read — recovery lives on the store's entry points, and
+    # the clone below bypasses them deliberately (it exists only to
+    # carry the scan-strategy conf)
+    store.read("ivf_lists")
+    store.read("ivf_centroids")
     if query_vec is None:
+        qid = QUERY_VEC_ID if query_vec_id is None else query_vec_id
         r = (
             store.read("ivf_lists")
-            .filter(F.col("vec_id") == query_vec_id)
+            .filter(F.col("vec_id") == qid)
             .select("nvec")
             .collect()
         )
         query_vec = list(r[0]["nvec"]) if r else None
-    store.read("ivf_lists")  # heal a crashed compaction before serving
+        query_vec_id = qid
+    else:
+        _validate_query_vec(query_vec)
     s = spark.newSession()
     s.conf.set(
         "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
@@ -923,13 +971,12 @@ def ivf_topk_from_store(
     ]
     if not probe_cids:
         return empty  # empty centroid artifact
+    base = art.filter(F.col("cid").isin([int(c) for c in probe_cids]))
+    if query_vec_id is not None:
+        base = base.filter(F.col("vec_id") != query_vec_id)
     cos = F.round(F.expr(_DOT_SPARK.format(a="nvec", b="qe")), 6)
     return (
-        art.filter(
-            F.col("cid").isin([int(c) for c in probe_cids])
-            & (F.col("vec_id") != query_vec_id)
-        )
-        .withColumn("qe", qlit)
+        base.withColumn("qe", qlit)
         .select(
             "vec_id", F.col("cid").alias("probe_list"), cos.alias("cos_sim")
         )

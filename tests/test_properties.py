@@ -5038,14 +5038,29 @@ def test_ivf_store_round_trip_pruned_serve(spark):
         assert got == want and got
 
         # the production path: the query vector arrives with the
-        # request — same rows, and NO lookup scan anywhere
+        # request — same rows when the caller also names the stored id
+        # to exclude, and NO lookup scan anywhere
         qv = list(
             store.read("ivf_lists")
             .filter(F.col("vec_id") == 0)
             .collect()[0]["nvec"]
         )
-        direct = ivf_topk_from_store(store, query_vec=qv)
+        direct = ivf_topk_from_store(store, query_vec_id=0, query_vec=qv)
         assert [tuple(r) for r in direct.collect()] == got
+
+        # without an id, nothing is excluded: a request vector need not
+        # be a stored row, and vector 0 (an exact self-match here) must
+        # NOT be silently dropped just because it wears the demo id
+        no_excl = ivf_topk_from_store(store, query_vec=qv).collect()
+        assert no_excl[0]["vec_id"] == 0 and no_excl[0]["cos_sim"] == 1.0
+        assert [tuple(r) for r in no_excl[1:]] == got[: len(no_excl) - 1]
+
+        # malformed request vectors fail loudly, never NULL-pad into
+        # silent garbage cosines
+        with pytest.raises(ValueError, match="non-NULL finite floats"):
+            ivf_topk_from_store(store, query_vec=qv[: len(qv) // 2])
+        with pytest.raises(ValueError, match="L2-normalized"):
+            ivf_topk_from_store(store, query_vec=[2.0 * x for x in qv])
 
         plan = pi.physical_plan(direct)
         assert pi.shuffle_count(direct) == 0
