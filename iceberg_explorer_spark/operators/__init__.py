@@ -445,6 +445,22 @@ Round 13 also generalizes BucketedArtifactStore over an artifact spec
   Function-level machinery with a pinned round-trip test, not a
   registry query (the serve result is definitionally the registered
   query's — a second oracle would re-prove the same rows).
+The r14 window plan (written at r13 freeze; execute verbatim if r13
+  comes back green): flagship + the TWO r13 out-of-window newcomers
+  (dedup_incremental_simhash, similarity_ivf_probe_sweep — their
+  FIRST driver rows; after r13 they are the only oracle-bearing
+  queries with zero driver evidence) + the three r10-latest carried
+  over from the r13 tie-break (dedup_embedding_cosine,
+  multimodal_decode_features, similarity_ivf_topk) + the ENTIRE
+  r11-latest cohort, which counts to exactly 44 from
+  CORRECTNESS_r01..r12 plus a green r13 (cohort_retention ...
+  window_running_revenue — count it fresh after the r13 rows land).
+  1 + 2 + 3 + 44 = 50 exactly, no tie-break needed this time. Bench
+  r14 executes the declared v3 FLIP: headline_version -> 3, the
+  GRADUATING_R12 twelve fold into HEADLINE in their frozen order, the
+  v3 overlap keys and the v2 sum drop, and EXTENDED (already holding
+  only the two post-r12 operators) rides on unchanged — per the
+  policy text at bench.py's graduation schedule.
 """
 
 from iceberg_explorer_spark.operators.registry import QUERIES, QuerySpec, query  # noqa: F401
