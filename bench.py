@@ -158,6 +158,7 @@ EXTENDED: list[str] = [
     # post-r12 operators registered this round
     "dedup_incremental_simhash",  # fifth incremental sibling: SimHash keys (r13)
     "similarity_ivf_probe_sweep",  # IVF nprobe recall/cost curve, one build (r13)
+    "similarity_pq_geometry_sweep",  # PQ bytes-vs-recall grid, one scan (r13)
 ]
 
 #: The EXTENDED set as frozen at the END of round 12 — the cohort the

@@ -445,21 +445,37 @@ Round 13 also generalizes BucketedArtifactStore over an artifact spec
   Function-level machinery with a pinned round-trip test, not a
   registry query (the serve result is definitionally the registered
   query's — a second oracle would re-prove the same rows).
+Round 13 also adds similarity_pq_geometry_sweep (the PQ family's
+  calibration leg, finishing the per-index-family sweep symmetry for
+  BOTH ANN index families: IVF tunes nprobe, PQ tunes its code
+  geometry): recall@10 against the exact top-10 for M in (2,4,8)
+  subspaces — 128x/64x/32x compression of the f32 vector — priced
+  from ONE corpus scan (all configs' sub-chunks explode from one
+  pass; encode, LUT and score all key on the config column, the
+  band-tuning rule applied to PQ), with an EXACT two-stage per-config
+  top-k so no window ranks the whole corpus in one partition. The
+  crafted test pins config-column reality (the M=4 row must equal the
+  registered similarity_pq_adc_topk's hit count) and the
+  geometry-invariant anchor (exact duplicates of the query recall at
+  1.0 under every geometry, on a dense fixture built to avoid the
+  zero-chunk phantom-score trap its own docstring records). Full
+  rigging checklist; bench EXTENDED; r14-rotation priority with the
+  other two r13 newcomers. Registry: 152 queries / 149 oracle-bearing.
 The r14 window plan (written at r13 freeze; execute verbatim if r13
-  comes back green): flagship + the TWO r13 out-of-window newcomers
-  (dedup_incremental_simhash, similarity_ivf_probe_sweep — their
-  FIRST driver rows; after r13 they are the only oracle-bearing
-  queries with zero driver evidence) + the three r10-latest carried
-  over from the r13 tie-break (dedup_embedding_cosine,
-  multimodal_decode_features, similarity_ivf_topk) + the ENTIRE
-  r11-latest cohort, which counts to exactly 44 from
-  CORRECTNESS_r01..r12 plus a green r13 (cohort_retention ...
-  window_running_revenue — count it fresh after the r13 rows land).
-  1 + 2 + 3 + 44 = 50 exactly, no tie-break needed this time. Bench
-  r14 executes the declared v3 FLIP: headline_version -> 3, the
+  comes back green): flagship + the THREE r13 out-of-window newcomers
+  (dedup_incremental_simhash, similarity_ivf_probe_sweep,
+  similarity_pq_geometry_sweep — their FIRST driver rows; after r13
+  they are the only oracle-bearing queries with zero driver evidence)
+  + the three r10-latest carried over from the r13 tie-break
+  (dedup_embedding_cosine, multimodal_decode_features,
+  similarity_ivf_topk) + 43 of the 44 r11-latest (count it fresh from
+  CORRECTNESS_r01..r13 after the r13 rows land; leave out the one
+  with the MOST prior green rows, tie-break alphabetical-first-out,
+  and roll it into r15). 1 + 3 + 3 + 43 = 50 exactly. Bench r14
+  executes the declared v3 FLIP: headline_version -> 3, the
   GRADUATING_R12 twelve fold into HEADLINE in their frozen order, the
   v3 overlap keys and the v2 sum drop, and EXTENDED (already holding
-  only the two post-r12 operators) rides on unchanged — per the
+  only the three post-r12 operators) rides on unchanged — per the
   policy text at bench.py's graduation schedule.
 """
 

@@ -1307,6 +1307,248 @@ def similarity_pq_adc_topk(
     )
 
 
+#: geometry grid for the PQ calibration sweep: bytes-per-vector = M
+#: (one byte per subspace at PQ_K=16 codes), so the grid prices the
+#: compression-vs-recall tradeoff 32x / 16x / 8x against the f32
+#: vector. SUB = DIM // M per config; PQ_K codebook entries throughout.
+PQ_SWEEP_MS = (2, 4, 8)
+#: exact two-stage top-k fan-in: local rank within (config, vec_id mod
+#: this) buckets first, global rank over <= configs * buckets * k rows
+#: after — the global top-k is a subset of the local winners for ANY
+#: row partition, so the result is independent of the bucket rule.
+_PQ_SWEEP_BUCKETS = 16
+
+
+def _pq_sweep_oracle() -> str:
+    """Compose the sweep oracle from the registered brute-force spec
+    (the recall denominator's single source, the same rule as
+    ``_recall_report_oracle``/``_ivf_probe_sweep_oracle``)."""
+    from iceberg_explorer_spark.operators.registry import QUERIES as _Q
+
+    bf = _Q["similarity_bruteforce_topk"].oracle
+    values = ", ".join(f"({m})" for m in PQ_SWEEP_MS)
+    return f"""
+    WITH n AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> x / sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                                CAST(embedding AS DOUBLE[]))))
+               AS ne
+      FROM {_EMB_SQL}
+    ),
+    conf AS (SELECT * FROM (VALUES {values}) AS t(m_subspaces)),
+    sub AS (
+      SELECT c.m_subspaces, n.vec_id, mm.i AS m,
+             n.ne[mm.i * ({DIM} / c.m_subspaces) + 1 :
+                  (mm.i + 1) * ({DIM} / c.m_subspaces)] AS chunk
+      FROM n
+      CROSS JOIN conf c
+      JOIN (SELECT UNNEST(range({max(PQ_SWEEP_MS)})) AS i) mm
+        ON mm.i < c.m_subspaces
+    ),
+    cb AS (
+      SELECT m_subspaces, vec_id AS code, m, chunk AS ce
+      FROM sub WHERE vec_id < {PQ_K}
+    ),
+    assign AS (
+      SELECT s.m_subspaces, s.vec_id, s.m, c.code,
+             ROW_NUMBER() OVER (
+               PARTITION BY s.m_subspaces, s.vec_id, s.m
+               ORDER BY ROUND(list_inner_product(s.chunk, c.ce), 6) DESC,
+                        c.code
+             ) AS rn
+      FROM sub s JOIN cb c USING (m_subspaces, m)
+    ),
+    codes AS (
+      SELECT m_subspaces, vec_id, m, code FROM assign WHERE rn = 1
+    ),
+    lut AS (
+      SELECT c.m_subspaces, c.m, c.code,
+             CAST(ROUND(list_inner_product(q.chunk, c.ce) * 1000000)
+                  AS BIGINT) AS contrib_micro
+      FROM cb c
+      JOIN (SELECT m_subspaces, m, chunk FROM sub
+            WHERE vec_id = {QUERY_VEC_ID}) q
+        USING (m_subspaces, m)
+    ),
+    scores AS (
+      SELECT codes.m_subspaces, codes.vec_id,
+             CAST(SUM(l.contrib_micro) AS BIGINT) * 1.0 / 1000000.0
+               AS approx_cos_sim
+      FROM codes JOIN lut l USING (m_subspaces, m, code)
+      WHERE codes.vec_id <> {QUERY_VEC_ID}
+      GROUP BY codes.m_subspaces, codes.vec_id
+    ),
+    topk AS (
+      SELECT m_subspaces, vec_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY m_subspaces
+               ORDER BY approx_cos_sim DESC, vec_id
+             ) AS crn
+      FROM scores
+    ),
+    bf AS MATERIALIZED (SELECT vec_id FROM ({bf}) bf_full),
+    hits AS (
+      SELECT t.m_subspaces, CAST(COUNT(*) AS BIGINT) AS n_returned,
+             CAST(COUNT(b.vec_id) AS BIGINT) AS n_hits
+      FROM topk t LEFT JOIN bf b ON t.vec_id = b.vec_id
+      WHERE t.crn <= 10
+      GROUP BY t.m_subspaces
+    )
+    SELECT c.m_subspaces,
+           CAST(c.m_subspaces AS BIGINT) AS bytes_per_vec,
+           CAST({DIM} * 4 / c.m_subspaces AS BIGINT) AS compression_x,
+           CAST(COALESCE(h.n_returned, 0) AS BIGINT) AS n_returned,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CASE WHEN (SELECT COUNT(*) FROM bf) = 0 THEN 0.0
+                ELSE COALESCE(h.n_hits, 0) * 1.0
+                       / (SELECT COUNT(*) FROM bf)
+           END AS recall
+    FROM conf c LEFT JOIN hits h ON c.m_subspaces = h.m_subspaces
+    """
+
+
+@query(
+    "similarity_pq_geometry_sweep",
+    oracle=_pq_sweep_oracle(),
+    doc=f"PQ geometry calibration sweep: recall@10 against the exact "
+    f"top-10 for every code geometry M in {PQ_SWEEP_MS} (bytes-per-vector"
+    f" = M at {PQ_K} codes/subspace, i.e. 32x/16x/8x compression of the "
+    "f32 vector) — the compression-vs-recall curve THE decision of a "
+    "100 TB ANN build hangs on, priced from ONE corpus scan: every "
+    "config's sub-chunks explode out of the same normalized pass "
+    "(2+4+8 rows per vector), and encode/LUT/score all key on the "
+    "config column, so the whole grid is one pipeline, never a rerun "
+    "per geometry (the dedup_lsh_band_tuning rule applied to PQ). "
+    "Per-config top-k is an EXACT two-stage fan-in: local rank inside "
+    f"(config, vec_id mod {_PQ_SWEEP_BUCKETS}) buckets, then global "
+    f"rank over <= {len(PQ_SWEEP_MS)}x{_PQ_SWEEP_BUCKETS}x10 survivors "
+    "— a global top-k is a subset of local winners under any row "
+    "partition, so a config's window never ranks the whole corpus in "
+    "one partition (the skew a bare partitionBy(config) window has at "
+    "scale). Approximate scores are exact micro-unit BIGINT sums (the "
+    "pq_adc determinism rule); the recall denominator composes the "
+    "registered brute-force spec. "
+    "reference: no analogue — training-pipeline extension.",
+)
+def similarity_pq_geometry_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = _with_normalized(_load_emb(spark, sf_dir))
+    # all configs' sub-chunks from one pass: per vector, for config M,
+    # M structs of (M, m, chunk of DIM/M)
+    chunk_structs = F.array(
+        *[
+            F.struct(
+                F.lit(m_cfg).alias("m_subspaces"),
+                F.lit(m).alias("m"),
+                F.expr(
+                    f"slice(ne, {m * (DIM // m_cfg) + 1}, {DIM // m_cfg})"
+                ).alias("chunk"),
+            )
+            for m_cfg in PQ_SWEEP_MS
+            for m in range(m_cfg)
+        ]
+    )
+    sub = emb.select("vec_id", F.explode(chunk_structs).alias("s")).select(
+        "vec_id",
+        F.col("s.m_subspaces").alias("m_subspaces"),
+        F.col("s.m").alias("m"),
+        F.col("s.chunk").alias("chunk"),
+    )
+    cb = F.broadcast(
+        sub.filter(F.col("vec_id") < PQ_K).select(
+            F.col("vec_id").alias("code"),
+            "m_subspaces",
+            "m",
+            F.col("chunk").alias("ce"),
+        )
+    )
+    dot_r = F.round(F.expr(_DOT_SPARK.format(a="chunk", b="ce")), 6)
+    codes = (
+        sub.join(cb, ["m_subspaces", "m"])
+        .withColumn("dot_r", dot_r)
+        .groupBy("m_subspaces", "vec_id", "m")
+        .agg(F.expr("max_by(code, struct(dot_r, -code))").alias("code"))
+    )
+    lut = F.broadcast(
+        sub.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select("m_subspaces", "m", F.col("chunk").alias("qchunk"))
+        .join(cb, ["m_subspaces", "m"])
+        .select(
+            "m_subspaces",
+            "m",
+            "code",
+            F.round(F.expr(_DOT_SPARK.format(a="qchunk", b="ce")) * 1_000_000)
+            .cast("bigint")
+            .alias("contrib_micro"),
+        )
+    )
+    scores = (
+        codes.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(lut, ["m_subspaces", "m", "code"])
+        .groupBy("m_subspaces", "vec_id")
+        .agg(
+            (F.sum("contrib_micro").cast("bigint") * 1.0 / 1_000_000.0)
+            .alias("approx_cos_sim")
+        )
+    )
+    # exact two-stage per-config top-k (see doc): local winners per
+    # bucket, then the global rank over the tiny survivor set
+    wl = Window.partitionBy(
+        "m_subspaces", F.pmod(F.col("vec_id"), F.lit(_PQ_SWEEP_BUCKETS))
+    ).orderBy(F.col("approx_cos_sim").desc(), "vec_id")
+    wg = Window.partitionBy("m_subspaces").orderBy(
+        F.col("approx_cos_sim").desc(), "vec_id"
+    )
+    topk = (
+        scores.withColumn("lrn", F.row_number().over(wl))
+        .filter(F.col("lrn") <= 10)
+        .withColumn("crn", F.row_number().over(wg))
+        .filter(F.col("crn") <= 10)
+    )
+    bf = (
+        similarity_bruteforce_topk(spark, sf_dir, emb=emb)
+        .select("vec_id")
+        .withColumn("hit", F.lit(1))
+        .localCheckpoint(eager=True)
+    )
+    n_exact = bf.agg(F.count(F.lit(1)).alias("_n_exact"))
+    hits = (
+        topk.join(bf, "vec_id", "left")
+        .groupBy("m_subspaces")
+        .agg(
+            F.count(F.lit(1)).alias("n_returned"),
+            F.count("hit").alias("n_hits"),
+        )
+    )
+    conf = spark.createDataFrame(
+        [(m,) for m in PQ_SWEEP_MS], "m_subspaces int"
+    )
+    return (
+        conf.join(hits, "m_subspaces", "left")
+        .crossJoin(F.broadcast(n_exact))
+        .select(
+            "m_subspaces",
+            F.col("m_subspaces").cast("bigint").alias("bytes_per_vec"),
+            F.lit(DIM * 4)
+            .cast("bigint")
+            .__truediv__(F.col("m_subspaces"))
+            .cast("bigint")
+            .alias("compression_x"),
+            F.coalesce("n_returned", F.lit(0))
+            .cast("bigint")
+            .alias("n_returned"),
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            F.when(F.col("_n_exact") == 0, F.lit(0.0))
+            .otherwise(
+                F.coalesce("n_hits", F.lit(0)) * 1.0 / F.col("_n_exact")
+            )
+            .alias("recall"),
+        )
+    )
+
+
 #: one Lloyd refinement step over the IVF seed centroids. Micro-unit
 #: fixed-point per-dimension sums make the new centroids exact integer math
 #: (a float mean would differ in final ulps across shuffle orders/engines).

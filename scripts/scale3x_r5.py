@@ -114,6 +114,8 @@ OP_TABLE = {
     "pipeline_incremental_artifact_delta_v2": "documents",
     # round-13 addition (IVF nprobe recall/cost curve from one build)
     "similarity_ivf_probe_sweep": "embeddings",
+    # round-13 addition (PQ bytes-vs-recall geometry grid from one scan)
+    "similarity_pq_geometry_sweep": "embeddings",
 }
 
 

@@ -1381,3 +1381,26 @@ def test_ivf_probe_sweep_one_assignment_no_python(spark):
     assert "BatchEvalPython" not in plan
     assert "Scan ExistingRDD" in plan
     assert pi.broadcast_hint_count(df) == 1
+
+
+def test_pq_geometry_sweep_one_scan_no_python(spark):
+    """similarity_pq_geometry_sweep prices the whole geometry grid from
+    one corpus pass: all configs' sub-chunks explode from a single
+    scan and every stage keys on the config column (no per-geometry
+    rerun), pure JVM end to end (no MapInPandas, no BatchEvalPython),
+    the exact baseline consumed as a checkpoint (Scan ExistingRDD).
+    Exactly TWO Window nodes — the exact two-stage per-config top-k
+    (bucketed local rank, then global rank over the survivor set) —
+    and Spark additionally pushes WindowGroupLimit rank-limits to the
+    map side of both. Four broadcast hints, all scale-bounded: the
+    codebook subtree (referenced by the encode and the LUT), the
+    (m, code) LUT, and the 1-row recall denominator; the corpus-sized
+    chunk/code/score frames are never hint-forced."""
+    df = build(spark, "similarity_pq_geometry_sweep")
+    plan = pi.physical_plan(df)
+    assert "MapInPandas" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "Scan ExistingRDD" in plan
+    assert plan.count("Window [") == 2
+    assert "WindowGroupLimit" in plan
+    assert pi.broadcast_hint_count(df) == 4
