@@ -1175,8 +1175,9 @@ def similarity_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: product-quantization geometry: DIM=64 split into PQ_M=4 subspaces of
-#: PQ_SUB=16 dims; PQ_K=16 codes per subspace → 4-byte codes (16× smaller
-#: than the f32 vector). Codebooks are the sub-chunks of the first PQ_K
+#: PQ_SUB=16 dims; PQ_K=16 codes per subspace → 4-byte codes (64× smaller
+#: than the 256-byte f32 vector; an earlier comment said 16× — that is
+#: the DIMENSION ratio 64/4, not the byte ratio). Codebooks are the sub-chunks of the first PQ_K
 #: vectors — the same deterministic seed-pick the IVF coarse quantizer uses
 #: (production would run Lloyd's per subspace on a sample).
 PQ_M = 4
@@ -1308,9 +1309,10 @@ def similarity_pq_adc_topk(
 
 
 #: geometry grid for the PQ calibration sweep: bytes-per-vector = M
-#: (one byte per subspace at PQ_K=16 codes), so the grid prices the
-#: compression-vs-recall tradeoff 32x / 16x / 8x against the f32
-#: vector. SUB = DIM // M per config; PQ_K codebook entries throughout.
+#: (one byte per subspace at PQ_K=16 codes), so against the 256-byte
+#: f32 vector (DIM=64 x 4 bytes) the grid prices the
+#: compression-vs-recall tradeoff at 128x / 64x / 32x.
+#: SUB = DIM // M per config; PQ_K codebook entries throughout.
 PQ_SWEEP_MS = (2, 4, 8)
 #: exact two-stage top-k fan-in: local rank within (config, vec_id mod
 #: this) buckets first, global rank over <= configs * buckets * k rows
@@ -1413,8 +1415,8 @@ def _pq_sweep_oracle() -> str:
     oracle=_pq_sweep_oracle(),
     doc=f"PQ geometry calibration sweep: recall@10 against the exact "
     f"top-10 for every code geometry M in {PQ_SWEEP_MS} (bytes-per-vector"
-    f" = M at {PQ_K} codes/subspace, i.e. 32x/16x/8x compression of the "
-    "f32 vector) — the compression-vs-recall curve THE decision of a "
+    f" = M at {PQ_K} codes/subspace, i.e. 128x/64x/32x compression of "
+    "the 256-byte f32 vector) — the compression-vs-recall curve THE decision of a "
     "100 TB ANN build hangs on, priced from ONE corpus scan: every "
     "config's sub-chunks explode out of the same normalized pass "
     "(2+4+8 rows per vector), and encode/LUT/score all key on the "
@@ -1531,9 +1533,7 @@ def similarity_pq_geometry_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "m_subspaces",
             F.col("m_subspaces").cast("bigint").alias("bytes_per_vec"),
-            F.lit(DIM * 4)
-            .cast("bigint")
-            .__truediv__(F.col("m_subspaces"))
+            (F.lit(DIM * 4).cast("bigint") / F.col("m_subspaces"))
             .cast("bigint")
             .alias("compression_x"),
             F.coalesce("n_returned", F.lit(0))

@@ -1402,5 +1402,7 @@ def test_pq_geometry_sweep_one_scan_no_python(spark):
     assert "BatchEvalPython" not in plan
     assert "Scan ExistingRDD" in plan
     assert plan.count("Window [") == 2
-    assert "WindowGroupLimit" in plan
+    # Partial + Final rank-limit per window: losing either window's
+    # map-side pushdown would void the no-full-corpus-partition claim
+    assert plan.count("WindowGroupLimit") == 4
     assert pi.broadcast_hint_count(df) == 4
