@@ -44,7 +44,6 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -83,8 +82,16 @@ def _dedup_update(
     if seen > 0:
         stages = ["dropped_vs_history"] * len(rows)
     else:
-        # min doc_id keeps — identical tie-break to the batch is_canon
-        stages = ["kept"] + ["dropped_in_batch"] * (len(rows) - 1)
+        # the batch is_canon rule VERBATIM: doc_id == group min keeps.
+        # Not positional first-row-keeps — on a malformed increment
+        # carrying the same doc_id twice, the batch rule marks BOTH
+        # rows kept (both equal the min), and the parity contract says
+        # the runtimes must agree even there
+        min_id = rows["doc_id"].iloc[0]
+        stages = [
+            "kept" if d == min_id else "dropped_in_batch"
+            for d in rows["doc_id"]
+        ]
     state.update((seen + len(rows),))
     yield pd.DataFrame(
         {

@@ -373,18 +373,22 @@ def test_streaming_exact_dedup_two_day_parity(spark, tmp_path):
     t1 = "alpha beta gamma delta"
     t2 = "epsilon zeta eta theta"
     t3 = "iota kappa lambda mu"
+    # day 1: t1 group {1, 2} -> 1 kept, 2 dropped_in_batch; t2 {3}
+    # kept; NULL-text doc 4 -> the sentinel digest group, kept (the
+    # content_digest NULL sentinel must flow through the streaming
+    # groupBy/state path exactly as it does through the artifact)
     day1 = [(1, t1, "en", "a", len(t1)), (2, t1, "en", "a", len(t1)),
-            (3, t2, "en", "b", len(t2))]
-    # day 2: id 11 dups day-1 KEPT (doc 1/t1... t1's kept is 1);
-    # id 12 dups day-1 DROPPED doc 2's text — same digest group t1, so
-    # use a distinct text for the dropped-doc case: day-1 group t2 has
-    # only doc 3 (kept). For the dropped-case, day-1 doc 2 IS t1's
-    # dropped dup — id 11 covers "dup of kept", and a dup of doc 2
-    # is literally the same digest. The distinct two-day claims:
-    # id 11 (t1) -> dropped_vs_history; ids 12/13 (t3, new) -> min 12
-    # kept, 13 dropped_in_batch; id 14 (t2) -> dropped_vs_history.
+            (3, t2, "en", "b", len(t2)), (4, None, "en", "a", 0)]
+    # day 2 claims: id 11 (t1) dups a digest day 1 KEPT a holder of ->
+    # dropped_vs_history; ids 12/13 (t3, never seen) -> min 12 kept,
+    # 13 dropped_in_batch; id 14 (t2) dups day-1's singleton keep ->
+    # dropped_vs_history; id 15 (NULL text) dups the day-1 sentinel
+    # group -> dropped_vs_history. (A dup of day-1's DROPPED doc 2 is
+    # the same t1 digest as id 11 — digest membership, not per-doc
+    # fate, decides, which is exactly what the claim pins.)
     day2 = [(11, t1, "en", "a", len(t1)), (12, t3, "en", "c", len(t3)),
-            (13, t3, "en", "c", len(t3)), (14, t2, "en", "b", len(t2))]
+            (13, t3, "en", "c", len(t3)), (14, t2, "en", "b", len(t2)),
+            (15, None, "en", "c", 0)]
 
     landing = str(tmp_path / "landing")
     os.makedirs(landing)
@@ -410,10 +414,10 @@ def test_streaming_exact_dedup_two_day_parity(spark, tmp_path):
     )
     stages = {r["doc_id"]: r["stage"] for r in got.collect()}
     assert stages == {
-        1: "kept", 2: "dropped_in_batch", 3: "kept",
+        1: "kept", 2: "dropped_in_batch", 3: "kept", 4: "kept",
         11: "dropped_vs_history",
         12: "kept", 13: "dropped_in_batch",
-        14: "dropped_vs_history",
+        14: "dropped_vs_history", 15: "dropped_vs_history",
     }, stages
 
     # parity: the batch rule over the same two days
