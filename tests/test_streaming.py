@@ -448,3 +448,94 @@ def test_streaming_exact_dedup_two_day_parity(spark, tmp_path):
                                 batch_pred=all_true)
     ))
     assert batch_stages == stages
+
+
+@pytest.mark.parametrize("seed", ["g1", "g2", "g3"])
+def test_streaming_exact_dedup_generative_parity(spark, tmp_path, seed):
+    """Generative multi-day parity: THREE deterministic pseudo-random
+    corpora (md5-derived day counts, group sizes, text collisions and
+    NULL-text rows) drained through the streaming twin must match the
+    batch rule replayed day-by-day (history = the union of all prior
+    days' digests, the artifact-append invariant) — parity computed
+    GENERICALLY from the flags, not hand-written stages, so this covers
+    shapes the crafted two-day test does not: digest groups recurring
+    across three days, days where every row is history-claimed, groups
+    larger than two, and NULL-text recurrence."""
+    import hashlib
+    import os
+
+    from pyspark.sql import functions as F
+
+    from iceberg_explorer_spark.operators.dedup import (
+        content_digest,
+        incremental_exact_flags,
+    )
+    from iceberg_explorer_spark.streaming.dedup import (
+        DOCS_SCHEMA,
+        read_documents_stream,
+        streaming_exact_dedup,
+    )
+    from iceberg_explorer_spark.streaming.windows import run_to_memory
+
+    def h(*parts) -> int:
+        return hashlib.md5(":".join(map(str, parts)).encode()).digest()[0]
+
+    n_days = 2 + h(seed, "days") % 2  # 2 or 3 micro-batches
+    days, next_id = [], 1
+    for day in range(n_days):
+        rows = []
+        for g in range(3 + h(seed, day, "groups") % 3):
+            # text pool of 6 — collisions within and across days by
+            # construction; ~1 in 7 groups is the NULL-text sentinel
+            pool = h(seed, day, g, "text") % 7
+            text = None if pool == 6 else f"text pool {pool} body"
+            for _ in range(1 + h(seed, day, g, "size") % 3):
+                rows.append(
+                    (next_id, text, "en", "s",
+                     len(text) if text else 0)
+                )
+                next_id += 1
+        days.append(rows)
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    for i, rows in enumerate(days):
+        f = str(tmp_path / f"d{i}.parquet")
+        spark.createDataFrame(rows, DOCS_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f)
+        part = [
+            p for p in os.listdir(f)
+            if p.endswith(".parquet") and not p.startswith((".", "_"))
+        ][0]
+        dst = os.path.join(landing, f"d{i}.parquet")
+        os.rename(os.path.join(f, part), dst)
+        os.utime(dst, (1_000 * (i + 1), 1_000 * (i + 1)))
+
+    got = run_to_memory(
+        streaming_exact_dedup(read_documents_stream(spark, landing)),
+        f"t_stream_gen_{seed}",
+        output_mode="append",
+    )
+    stream_stages = {r["doc_id"]: r["stage"] for r in got.collect()}
+
+    all_true = lambda c: F.lit(True)  # noqa: E731
+    batch_stages = {}
+    history = spark.createDataFrame([], "h string")
+    for rows in days:
+        d = spark.createDataFrame(rows, DOCS_SCHEMA)
+        flags = incremental_exact_flags(
+            d, history_digests=history, batch_pred=all_true
+        )
+        for r in flags.collect():
+            batch_stages[r["doc_id"]] = (
+                "dropped_vs_history" if r["seen"] == 1
+                else "kept" if r["is_canon"] == 1
+                else "dropped_in_batch"
+            )
+        history = history.unionByName(
+            d.select(content_digest().alias("h"))
+        ).distinct()
+
+    assert len(stream_stages) == sum(len(r) for r in days)
+    assert stream_stages == batch_stages
