@@ -1101,6 +1101,11 @@ DETERMINISM_GRID_OPS = [
     "dedup_simhash_hamming",
     "dedup_incremental_two_day_exact",
     "dedup_simhash_hamming_sweep",
+    # round-13 additions: integer bills/hit counts and ratios of exact
+    # integers (recall = hits/exact) must be partition-invariant; the
+    # PQ sweep's micro-unit BIGINT ADC sums likewise
+    "similarity_ivf_probe_sweep",
+    "similarity_pq_geometry_sweep",
 ]
 
 
