@@ -268,8 +268,14 @@ class BucketedArtifactStore:
         )
 
     def write(self, name: str, df: DataFrame) -> None:
-        """The one-time backfill write (overwrite)."""
-        self._write(name, df, "overwrite")
+        """The one-time backfill write (overwrite). Serialized under the
+        store lock for the same reason as :meth:`append`: an overwrite
+        committed between compaction's snapshot read and its table swap
+        would be DROPPED with the old table and silently reverted to
+        the pre-write snapshot by the rename — the identical lost-update
+        window, just entered from the other side."""
+        with _STORE_LOCK:
+            self._write(name, df, "overwrite")
 
     def append(self, name: str, df: DataFrame) -> None:
         """Nightly append; Spark verifies the existing bucket spec
@@ -298,21 +304,39 @@ class BucketedArtifactStore:
         (not just the basename): a crashed in-flight write leaves
         ``_temporary/.../part-*.parquet`` staging leaves whose
         basenames look like data — counting them would permanently
-        inflate the compaction-trigger metric."""
-        self._recover_interrupted_compaction(name)
-        jvm = self.spark._jvm
-        root = self._location(name).rstrip("/")
-        path = jvm.org.apache.hadoop.fs.Path(root)
-        fs = path.getFileSystem(self.spark._jsc.hadoopConfiguration())
-        it = fs.listFiles(path, True)
-        n = 0
-        while it.hasNext():
-            rel = it.next().getPath().toString()[len(root):].lstrip("/")
-            if not any(
-                seg.startswith(("_", ".")) for seg in rel.split("/")
-            ):
-                n += 1
-        return n
+        inflate the compaction-trigger metric.
+
+        Runs ENTIRELY under the store lock — recovery alone under the
+        lock is not enough: with the lock released between recovery and
+        the DESCRIBE/listing, a concurrent compact's DROP→RENAME window
+        would surface as TABLE_OR_VIEW_NOT_FOUND or a listing of a
+        deleted directory. (The same full-read protection is impossible
+        for :meth:`read`'s LAZY frame — no lock can cover its eventual
+        execution; that is what the maintenance-window rule in
+        :meth:`compact` is for.)"""
+        with _STORE_LOCK:
+            self._recover_interrupted_compaction(name)
+            jvm = self.spark._jvm
+            path = jvm.org.apache.hadoop.fs.Path(
+                self._location(name).rstrip("/")
+            )
+            fs = path.getFileSystem(self.spark._jsc.hadoopConfiguration())
+            # qualify the root through the SAME FileSystem that lists —
+            # the catalog's Location string may be unqualified (no
+            # scheme/port) while listFiles returns fully qualified
+            # paths, and a byte-misaligned prefix slice would silently
+            # misclassify the very _temporary segments the hidden-file
+            # rule exists to exclude
+            root = fs.makeQualified(path).toString().rstrip("/")
+            it = fs.listFiles(path, True)
+            n = 0
+            while it.hasNext():
+                rel = it.next().getPath().toString()[len(root):].lstrip("/")
+                if not any(
+                    seg.startswith(("_", ".")) for seg in rel.split("/")
+                ):
+                    n += 1
+            return n
 
     def compact(self) -> dict[str, int]:
         """Rewrite every artifact to one file per non-empty bucket,
@@ -373,7 +397,11 @@ class BucketedArtifactStore:
                 # next read resolves the pre-compaction files and fails
                 # with FAILED_READ_FILE on the swapped-out parquet parts
                 self.spark.catalog.refreshTable(t)
-            out[name] = self.n_files(name)
+                # count INSIDE the locked block (re-entrant lock): after
+                # release, a waiting append may land before the count,
+                # and the returned dict would misreport the compaction
+                # it documents
+                out[name] = self.n_files(name)
         return out
 
     def drop(self) -> None:
