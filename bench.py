@@ -14,7 +14,7 @@ Output protocol (two lines, the FINAL line is the driver-parseable one):
    "n_extended": N}`` — ``candidate_build``/``probe_build``/
    ``semantic_build`` are the one-time LSH / probe-index / semantic-edge+
    cluster-label materializations at the target SF; ``value``/``n_queries`` cover
-   the comparable HEADLINE set only (``headline_version`` 2 since the r11
+   the comparable HEADLINE set only (``headline_version`` 3 since the r14
    graduation flip — see the HEADLINE GRADUATION POLICY at
    HEADLINE_VERSION); EXTENDED operators are timed identically but summed
    separately so the trend line stays comparable.
@@ -141,33 +141,10 @@ HEADLINE = [
     "multimodal_paired_dedup",    # cross-modal caption-image pair dedup
     "dedup_lsh_band_tuning",      # five-layout LSH sweep, one signature pass
     "similarity_semantic_tau_sweep",  # cosine-threshold calibration grid
-]
-
-#: Queries benchmarked and reported in the per-query detail map but NOT
-#: summed into the headline ``value`` (v1 OR v2): adding new operators to
-#: a trend line mid-trend would read as a regression that is really a
-#: measurement-set change. New operators enter here first (per the r7
-#: deferral note, operators/__init__.py round-8 log); promoting a cohort
-#: into HEADLINE is a deliberate, logged trend reset. Emptied at the r10
-#: graduation; the twelve post-r9 operators that accumulated here through
-#: r12 are now the GRADUATING_R12 cohort below (the declared r13 overlap
-#: round in flight) — EXTENDED holds post-r12 newcomers only, mirroring
-#: the r10 precedent (BENCH_r10: n_extended=5 in-round newcomers rode
-#: EXTENDED while the frozen cohort rode ``graduating``).
-EXTENDED: list[str] = [
-    # post-r12 operators registered this round
-    "dedup_incremental_simhash",  # fifth incremental sibling: SimHash keys (r13)
-    "similarity_ivf_probe_sweep",  # IVF nprobe recall/cost curve, one build (r13)
-    "similarity_pq_geometry_sweep",  # PQ bytes-vs-recall grid, one scan (r13)
-]
-
-#: The EXTENDED set as frozen at the END of round 12 — the cohort the
-#: declared r13 overlap round graduates (order preserved; this exact
-#: order folds into HEADLINE at the r14 flip). Rides format_output's
-#: ``graduating`` parameter for the one overlap round: excluded from
-#: ``value``/``extended_sec``/the slowest map, summed into the additive
-#: ``value_v3``/``n_queries_v3`` keys.
-GRADUATING_R12 = [
+    # --- the r12 cohort, graduated at the r14 trend reset (the r13
+    # overlap round carried these as GRADUATING_R12 under the additive
+    # value_v3 key; headline_version 3 folds them in — see the HEADLINE
+    # GRADUATION POLICY below). Order preserved from the frozen list. ---
     "pipeline_clean_corpus_v2",   # capstone: all four dedup families composed
     "dedup_incremental_near",     # daily-batch near-dup vs corpus artifacts
     "dedup_incremental_semantic",  # daily-batch semantic dedup vs corpus artifacts
@@ -181,6 +158,31 @@ GRADUATING_R12 = [
     "dedup_incremental_two_day_near",   # two-generation component stage (r12)
     "dedup_simhash_hamming_sweep",      # Hamming calibration histogram (r12)
 ]
+
+#: Queries benchmarked and reported in the per-query detail map but NOT
+#: summed into the headline ``value`` (v1 OR v2): adding new operators to
+#: a trend line mid-trend would read as a regression that is really a
+#: measurement-set change. New operators enter here first (per the r7
+#: deferral note, operators/__init__.py round-8 log); promoting a cohort
+#: into HEADLINE is a deliberate, logged trend reset. Emptied at the r10
+#: graduation and again at the r14 flip (the twelve post-r9 operators
+#: that accumulated through r12 rode the r13 overlap as GRADUATING_R12
+#: and are folded into HEADLINE above) — EXTENDED holds post-r12
+#: newcomers only.
+EXTENDED: list[str] = [
+    # post-r12 operators registered this round
+    "dedup_incremental_simhash",  # fifth incremental sibling: SimHash keys (r13)
+    "similarity_ivf_probe_sweep",  # IVF nprobe recall/cost curve, one build (r13)
+    "similarity_pq_geometry_sweep",  # PQ bytes-vs-recall grid, one scan (r13)
+]
+
+#: The EXTENDED set as frozen at the END of round 12 graduated into
+#: HEADLINE at the r14 v3 flip (frozen order preserved in the HEADLINE
+#: tail above). The constant stays as the generic graduation hook — the
+#: NEXT declared overlap round refills it with the then-frozen EXTENDED
+#: cohort and passes it back through format_output's ``graduating``
+#: parameter (empty ⇒ no overlap keys are emitted).
+GRADUATING_R12: list[str] = []
 
 #: HEADLINE GRADUATION POLICY (a logged trend reset, never a silent one).
 #: EXTENDED keeps growing — the 65-query v1 sum cannot stay the only trend
@@ -203,27 +205,27 @@ GRADUATING_R12 = [
 #:     same overlap-round protocol when the next reset is due —
 #:     format_output's ``graduating`` parameter stays as the generic
 #:     mechanism.
-#:   * round 13 (THIS round — the overlap, declared in r12 ahead of the
-#:     final-line byte cap rather than reacting to it): the EXTENDED set
-#:     as frozen at the END of round 12 graduates, riding the
-#:     GRADUATING_R12 constant above. ``value``/``n_queries`` stay the
-#:     v2 trend line (headline_version still 2) and additive
-#:     ``value_v3`` / ``n_queries_v3`` keys carry HEADLINE + the
-#:     graduating cohort via ``graduating=GRADUATING_R12`` — the two
-#:     extra keys are what the slowest-map degradation ladder
-#:     (5→4→3→0 entries) exists to absorb if the line nears 500 bytes.
-#:   * round 14 (the v3 flip): the GRADUATING_R12 cohort folds into
-#:     HEADLINE in its frozen order, ``headline_version`` becomes 3, the
-#:     v3 overlap keys and the v2 sum drop, and EXTENDED (already
-#:     refilled with post-r12 operators only) carries on accumulating
-#:     toward the next declared overlap.
+#:   * round 13 (the second overlap, executed as declared in r12): the
+#:     EXTENDED set as frozen at the END of round 12 rode the
+#:     GRADUATING_R12 constant; ``value``/``n_queries`` stayed the v2
+#:     trend line (headline_version still 2) and additive ``value_v3`` /
+#:     ``n_queries_v3`` keys carried HEADLINE + the graduating cohort
+#:     (BENCH_r13: value 45.17/77, value_v3 53.338/89) — the two series
+#:     share a round, so this reset too is cross-checkable.
+#:   * round 14 (THIS round — the v3 flip, executed as declared in r13;
+#:     dry-run on record in SCALE.md's round-13 addendum: 471 bytes /
+#:     ~60.7 s / 89): the GRADUATING_R12 cohort folds into HEADLINE in
+#:     its frozen order, ``headline_version`` becomes 3, the v3 overlap
+#:     keys and the v2 sum drop, and EXTENDED (already refilled with
+#:     post-r12 operators only) carries on accumulating toward the next
+#:     declared overlap.
 #: ``headline_version`` is emitted starting round 9 so every bench artifact
 #: names the measurement set its ``value`` covers; the driver's
 #: round-over-round comparison must only ever compare equal versions
 #: (r11's value compares to r10's value_v2, never to r10's value).
 #: Mechanics are pinned by tests/test_bench_format.py
 #: (test_headline_version_and_graduation_policy).
-HEADLINE_VERSION = 2
+HEADLINE_VERSION = 3
 
 
 def cpu_probe() -> tuple[float, float]:

@@ -477,6 +477,17 @@ The r14 window plan (written at r13 freeze; execute verbatim if r13
   v3 overlap keys and the v2 sum drop, and EXTENDED (already holding
   only the three post-r12 operators) rides on unchanged — per the
   policy text at bench.py's graduation schedule.
+Round 14 executes that plan verbatim (r13 came back 50/50 green, the
+  tenth consecutive perfect window): _CHECK_WINDOW below is flagship +
+  the three r13 newcomers' first driver rows + the three carried
+  r10-latest + 43 of the 44 r11-latest (counted fresh from
+  CORRECTNESS_r01..r13: exactly 44 queries have latest row r11; two tie
+  at 6 greens — semi_join_active_customers, text_language_id — and
+  alphabetical-first-out rolls semi_join_active_customers to r15).
+  Bench r14 is the declared v3 flip, executed in bench.py:
+  HEADLINE_VERSION = 3, the GRADUATING_R12 twelve in HEADLINE's tail in
+  frozen order, GRADUATING_R12 = [] (the hook stays for the next
+  declared overlap), EXTENDED = the three r13 operators rides on.
 """
 
 from iceberg_explorer_spark.operators.registry import QUERIES, QuerySpec, query  # noqa: F401
@@ -495,65 +506,64 @@ from iceberg_explorer_spark.operators import pipeline  # noqa: E402,F401
 _CHECK_WINDOW = [
     # flagship first (never displaced)
     "pipeline_clean_corpus",
-    # --- the four round-12 operators: FIRST driver rows (VERDICT r12 #1
+    # --- the three round-13 operators: FIRST driver rows (VERDICT r13 #1
     # — the only oracle-bearing queries with zero driver evidence) ---
-    "dedup_simhash_hamming",
-    "dedup_simhash_hamming_sweep",
-    "dedup_incremental_two_day_exact",
-    "dedup_incremental_two_day_near",
-    # --- the two count-1 queries (only green row is r11): second rows ---
-    "pipeline_clean_corpus_v2",
-    "pipeline_incremental_artifact_delta",
-    # --- 43 of the 46 r10-latest (last driver row is r10, counted from
-    # CORRECTNESS_r01..r12). Left out per the written plan: the three
-    # with the MOST prior green rows. Five tie at 6 greens
-    # (dedup_embedding_cosine, multimodal_decode_features,
-    # similarity_ivf_topk, similarity_knn_join, text_token_count);
-    # tie-break is alphabetical-first-out, so dedup_embedding_cosine,
-    # multimodal_decode_features and similarity_ivf_topk roll to r14. ---
-    "anti_join_idle_customers",
-    "asof_join_purchase_click",
-    "conditional_agg_order_status",
-    "cte_above_avg_orders",
-    "dedup_cluster_stats",
-    "dedup_exact",
-    "dedup_keep_best",
-    "dedup_pagerank_step",
-    "dedup_simhash",
-    "dedup_source_minhash_similarity",
-    "dedup_source_overlap_matrix",
-    "events_categorical_drift",
-    "events_funnel",
-    "events_funnel_latency",
-    "events_incremental_rollup",
-    "events_path_topk",
-    "events_rate_spike_zscore",
-    "events_variant_shred",
-    "explode_word_frequencies",
-    "left_join_order_lines",
-    "multimodal_ahash_dedup",
-    "multimodal_image_resize",
-    "null_semantics",
-    "orders_seasonality_index",
-    "parts_abc_pareto",
-    "percentile_order_price",
-    "pipeline_global_shuffle",
-    "pipeline_pack_efficiency",
-    "pipeline_stratified_sample",
-    "range_join_ship_window",
-    "scalar_date_functions",
-    "similarity_bruteforce_topk",
-    "similarity_centroid_drift",
-    "similarity_int8_quantize",
-    "similarity_knn_join",
-    "similarity_lsh_ann",
-    "text_bm25_topk",
-    "text_fingerprint",
-    "text_ngram_entropy",
-    "text_token_count",
-    "text_vocab_growth",
-    "topk_orders",
-    "window_ship_gaps",
+    "dedup_incremental_simhash",
+    "similarity_ivf_probe_sweep",
+    "similarity_pq_geometry_sweep",
+    # --- the three r10-latest carried from the r13 tie-break ---
+    "dedup_embedding_cosine",
+    "multimodal_decode_features",
+    "similarity_ivf_topk",
+    # --- 43 of the 44 r11-latest (last driver row is r11, counted fresh
+    # from CORRECTNESS_r01..r13: exactly 44 queries have latest row r11).
+    # Left out per the written plan: the one with the MOST prior green
+    # rows. Two tie at 6 greens (semi_join_active_customers,
+    # text_language_id); tie-break is alphabetical-first-out, so
+    # semi_join_active_customers rolls to r15. ---
+    "cohort_retention",
+    "cross_join_region_status",
+    "cube_order_status",
+    "dedup_lsh_band_tuning",
+    "dedup_overlap_spectrum",
+    "dedup_semantic_clusters",
+    "distinct_customers_per_priority",
+    "events_distinct_users_salted",
+    "events_rate_per_user_type",
+    "events_session_window",
+    "events_value_outliers_mad",
+    "filter_projection",
+    "full_outer_nation_balance",
+    "grouping_sets_mix",
+    "multimodal_clean_manifest",
+    "multimodal_metadata",
+    "multimodal_paired_dedup",
+    "pipeline_domain_mix",
+    "pipeline_filter_funnel",
+    "pipeline_sequence_pack",
+    "pipeline_temperature_mix",
+    "pipeline_train_val_split",
+    "pivot_status_by_flag",
+    "recursive_calendar_spine",
+    "rollup_quantity",
+    "scalar_regex_conditional",
+    "scalar_string_math",
+    "scalar_subquery_nation_stats",
+    "set_ops_nation_presence",
+    "similarity_all_pairs_topk",
+    "similarity_ivf_balance",
+    "similarity_semantic_decontaminate",
+    "similarity_semantic_tau_sweep",
+    "string_agg_nations_per_region",
+    "subquery_in_having",
+    "text_language_id",
+    "text_pii_redact",
+    "text_quality_score",
+    "text_repetition_filter",
+    "text_unigram_logfreq",
+    "window_ntile_navigation",
+    "window_range_moving_revenue",
+    "window_running_revenue",
 ]
 
 

@@ -97,10 +97,11 @@ def test_extended_registry_membership():
     """Every HEADLINE / EXTENDED / GRADUATING_R12 name must be a
     registered query and the three benchmark sets must be pairwise
     disjoint (overlap would double-count an operator's time in one of
-    the sums). HEADLINE must also be duplicate-free — the r11 graduation
-    folded the r9 cohort in, and a name appearing twice would double its
-    time in `value`. GRADUATING_R12 is the EXTENDED set as frozen at the
-    end of round 12 — exactly twelve, the declared r13 overlap cohort."""
+    the sums). HEADLINE must also be duplicate-free — the r11 and r14
+    graduations folded whole cohorts in, and a name appearing twice
+    would double its time in `value`. GRADUATING_R12 emptied at the r14
+    flip (its twelve now sit in HEADLINE's tail); it stays as the
+    generic hook the next declared overlap round refills."""
     from iceberg_explorer_spark.operators import QUERIES
 
     assert not set(EXTENDED) & set(HEADLINE)
@@ -108,7 +109,7 @@ def test_extended_registry_membership():
     assert not set(GRADUATING_R12) & set(EXTENDED)
     assert len(set(HEADLINE)) == len(HEADLINE)
     assert len(set(EXTENDED)) == len(EXTENDED)
-    assert len(set(GRADUATING_R12)) == len(GRADUATING_R12) == 12
+    assert GRADUATING_R12 == []
     missing = [
         n for n in [*HEADLINE, *EXTENDED, *GRADUATING_R12] if n not in QUERIES
     ]
@@ -171,48 +172,53 @@ def test_slowest_map_excludes_extended_entries():
 
 def test_headline_version_and_graduation_policy():
     """Pins the HEADLINE graduation mechanics declared at
-    bench.HEADLINE_VERSION, now POST the r11 flip: (1) every final line
-    names the measurement set its `value` covers via an integer
-    `headline_version` key, and the version is 2 — the r9 cohort is
-    folded into HEADLINE (all 12 present, exactly once) so `value`
-    compares to BENCH_r10's value_v2 (77 queries), never its v1 value;
-    (2) no graduating cohort is in flight, so NO overlap keys appear in
-    a plain run; (3) the `graduating` parameter remains the generic
-    overlap-round mechanism and now keys the additive sum by the version
-    the cohort BECOMES — under version 2 an overlap emits
-    value_v3/n_queries_v3 (the r13 schedule declared in the policy
-    block), with graduating entries excluded from `value`,
-    `extended_sec` and the slowest map; (4) the v3 schedule itself is
-    declared in the policy text (r13 overlap, r14 flip)."""
+    bench.HEADLINE_VERSION, now POST the r14 v3 flip: (1) every final
+    line names the measurement set its `value` covers via an integer
+    `headline_version` key, and the version is 3 — the r12 cohort
+    (GRADUATING_R12 as frozen at the end of r12) is folded into
+    HEADLINE's tail in its frozen order (all 12 present, exactly once)
+    so `value` compares to BENCH_r13's value_v3 (89 queries), never its
+    v2 value; (2) no graduating cohort is in flight (GRADUATING_R12
+    emptied at the flip), so NO overlap keys appear in a plain run;
+    (3) the `graduating` parameter remains the generic overlap-round
+    mechanism keying the additive sum by the version the cohort BECOMES
+    — under version 3 a future overlap emits value_v4/n_queries_v4,
+    with graduating entries excluded from `value`, `extended_sec` and
+    the slowest map; (4) the executed schedule stays declared in the
+    policy text (r13 overlap, r14 flip) and main() still wires the
+    cohort hook through the graduating parameter."""
     import bench
 
-    # (1) the flip: version 2, the r9 cohort folded in exactly once
-    r9_cohort = [
-        "dedup_containment", "dedup_containment_probe",
-        "events_rate_spike_zscore", "dedup_overlap_spectrum",
-        "similarity_ivf_balance", "dedup_semantic_clusters",
-        "pipeline_filter_funnel", "similarity_semantic_decontaminate",
-        "multimodal_clean_manifest", "multimodal_paired_dedup",
-        "dedup_lsh_band_tuning", "similarity_semantic_tau_sweep",
+    # (1) the flip: version 3, the r12 cohort folded in exactly once,
+    # in the frozen order, at the tail of the r11-era 77
+    r12_cohort = [
+        "pipeline_clean_corpus_v2", "dedup_incremental_near",
+        "dedup_incremental_semantic", "pipeline_incremental_ingest",
+        "pipeline_incremental_artifact_delta", "dedup_incremental_paired",
+        "pipeline_incremental_ingest_v2",
+        "pipeline_incremental_artifact_delta_v2", "dedup_simhash_hamming",
+        "dedup_incremental_two_day_exact", "dedup_incremental_two_day_near",
+        "dedup_simhash_hamming_sweep",
     ]
-    assert bench.HEADLINE_VERSION == 2
-    assert len(HEADLINE) == 77  # 65 v1 + the 12 graduated
-    for name in r9_cohort:
+    assert bench.HEADLINE_VERSION == 3
+    assert len(HEADLINE) == 89  # 77 v2 + the 12 graduated
+    assert HEADLINE[-12:] == r12_cohort  # frozen order, at the tail
+    for name in r12_cohort:
         assert HEADLINE.count(name) == 1, name
     timings = {name: 1.234 for name in HEADLINE}
     _, final = format_output(timings, {}, 0.1, 2, candidate_build=1.337)
     assert len(final) < 500, len(final)
     parsed = json.loads(final)
     assert isinstance(parsed["headline_version"], int)
-    assert parsed["headline_version"] == 2
-    assert parsed["n_queries"] == len(HEADLINE) == 77
+    assert parsed["headline_version"] == 3
+    assert parsed["n_queries"] == len(HEADLINE) == 89
     assert parsed["value"] == round(1.234 * len(HEADLINE), 3)
     # (2) format_output emits overlap keys ONLY when a graduating cohort
     # is passed: a plain run carries none, of ANY version
     assert not [k for k in parsed if k.startswith("value_v")]
     assert not [k for k in parsed if k.startswith("n_queries_v")]
     # (3) the generic overlap mechanism keys by the NEXT version: under
-    # version 2 the r13 overlap emits value_v3/n_queries_v3; graduating
+    # version 3 an overlap emits value_v4/n_queries_v4; graduating
     # entries leave `value`, `extended_sec` and the slowest map untouched
     grad = ["next_grad_a", "next_grad_b"]
     ext = ["ext_newcomer_a"]
@@ -223,30 +229,24 @@ def test_headline_version_and_graduation_policy():
     )
     parsed_next = json.loads(final_next)
     assert parsed_next["value"] == round(1.234 * len(HEADLINE), 3)
-    assert parsed_next["n_queries_v3"] == len(HEADLINE) + len(grad)
-    assert parsed_next["value_v3"] == round(
+    assert parsed_next["n_queries_v4"] == len(HEADLINE) + len(grad)
+    assert parsed_next["value_v4"] == round(
         1.234 * len(HEADLINE) + 2.0 * len(grad), 3
     )
-    assert "value_v2" not in parsed_next  # the old suffix never reappears
+    assert "value_v3" not in parsed_next  # the old suffix never reappears
     assert parsed_next["extended_sec"] == round(10.0 * len(ext), 3)
     assert not set(parsed_next["queries"]) & set(grad)
-    # the r13 overlap at FULL REAL width: HEADLINE + the frozen
-    # GRADUATING_R12 twelve, realistic multi-second timings — the final
-    # line must degrade under the byte cap, never die, and main() wires
-    # exactly this cohort through the graduating parameter
-    _, final_r13 = format_output(
-        {
-            **{n: 9.876 for n in HEADLINE},
-            **{n: 9.876 for n in GRADUATING_R12},
-        },
+    # the post-flip steady state at FULL REAL width: 89 headline names,
+    # realistic multi-second timings, every optional scalar populated —
+    # the final line must stay under the byte cap with a useful map
+    _, final_r14 = format_output(
+        {n: 9.876 for n in HEADLINE},
         {}, 0.1, 2, candidate_build=1.337, probe_build=1.1,
         semantic_build=4.4, status_build=2.2, pairs_build=3.3,
         cpu_probe_sec=0.123, cpu_probe_1t_sec=0.456,
-        graduating=GRADUATING_R12,
     )
-    assert len(final_r13) < 500, len(final_r13)
-    parsed_r13 = json.loads(final_r13)
-    assert parsed_r13["n_queries_v3"] == len(HEADLINE) + len(GRADUATING_R12)
+    assert len(final_r14) < 500, len(final_r14)
+    assert len(json.loads(final_r14)["queries"]) >= 3
     assert "graduating=GRADUATING_R12" in inspect_main_source()
     # the policy text itself must stay in the source next to the constant
     import inspect
@@ -254,7 +254,7 @@ def test_headline_version_and_graduation_policy():
     src = inspect.getsource(bench)
     assert "HEADLINE GRADUATION POLICY" in src
     assert "round 11" in src and "value_v2" in src
-    # (4) the v3 schedule is declared: r13 overlap, r14 flip
+    # (4) the executed v3 schedule stays declared: r13 overlap, r14 flip
     assert "round 13" in src and "value_v3" in src and "round 14" in src
 
 
