@@ -548,6 +548,16 @@ def similarity_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 IVF_SWEEP_NPROBES = (1, 2, 4, 8)
 _IVF_SWEEP_K = 10  # top-k per config, same k as the exact baseline
 
+if max(IVF_SWEEP_NPROBES) != IVF_K:  # real raise — asserts vanish under -O
+    raise AssertionError(
+        f"max(IVF_SWEEP_NPROBES) ({max(IVF_SWEEP_NPROBES)}) must equal "
+        f"IVF_K ({IVF_K}): the widest sweep config probes EVERY list, "
+        "which is what anchors the curve's last row at recall 1.0 — the "
+        "docstring claim and the crafted-claims test both assume it "
+        "(ADVICE r13: a drifting IVF_K must fail loudly at import, not "
+        "silently void the anchor)"
+    )
+
 
 def _ivf_probe_sweep_oracle() -> str:
     """Compose the sweep oracle from the ALREADY-REGISTERED brute-force
@@ -808,7 +818,9 @@ def ivf_backfill_lists(spark: SparkSession, sf_dir: str, store) -> None:
     store.write("ivf_lists", lists)
 
 
-def ivf_append_lists(store, new_emb: DataFrame) -> None:
+def ivf_append_lists(
+    store, new_emb: DataFrame, batch_id: "str | None" = None
+) -> bool:
     """Nightly index append: assign an increment of raw embeddings rows
     against the PERSISTED centroids (the K-row centroid artifact — a
     nightly batch need not contain the centroid vectors, unlike the
@@ -823,13 +835,27 @@ def ivf_append_lists(store, new_emb: DataFrame) -> None:
     with a loud error — a collision inside it would silently corrupt
     the centroid set every later serve and append ranks against (two
     vectors for one cid). Global newness is the ingest pipeline's
-    id-allocation invariant, same as the dedup artifacts' doc_ids; a
-    RETRIED append lands its rows twice (plain-parquet appends have no
-    idempotent commit — the Iceberg-native form of this store gets
-    replace-by-filter for exactly this), so retries must re-run from
-    the pre-append snapshot, the store's standing non-transactional
-    rule."""
-    inc = _with_normalized(_apply_emb_contract(new_emb))
+    id-allocation invariant, same as the dedup artifacts' doc_ids.
+
+    ``batch_id``: the night's stable ingest id, handed to the store's
+    idempotent append (r14) — a RETRIED append of the same batch
+    replays as a no-op (returns False; the store probes its provenance
+    column for the id before landing rows) instead of double-counting
+    list members. Without it the append keeps the pre-r14
+    non-transactional rule (retries re-run from the pre-append
+    snapshot); the Iceberg-native form of the store gets
+    replace-by-filter for this. Returns True iff rows landed."""
+    # Eagerly materialize the contract-filtered increment BEFORE the
+    # range check (ADVICE r13): the check and the append are otherwise
+    # two separate Spark jobs over the same lazy frame, and a
+    # non-deterministic or concurrently-changing source could pass the
+    # limit(1) probe yet materialize reserved-range rows in the append
+    # job — silently shadowing a persisted centroid. The checkpoint
+    # pins ONE snapshot both jobs read; its ~0.3 s driver tax is noise
+    # on a nightly ingest path (and the frame is consumed twice anyway).
+    inc = _with_normalized(_apply_emb_contract(new_emb)).localCheckpoint(
+        eager=True
+    )
     # limit(1) short-circuits: one increment-sized probe, no full count
     if inc.filter(F.col("vec_id") < IVF_K).limit(1).count():
         raise ValueError(
@@ -845,7 +871,33 @@ def ivf_append_lists(store, new_emb: DataFrame) -> None:
         .filter(F.col("rn") == 1)
         .select("vec_id", "cid", F.col("ne").alias("nvec"))
     )
-    store.append("ivf_lists", rows)
+    return store.append("ivf_lists", rows, batch_id=batch_id)
+
+
+#: One configured serve clone per underlying SparkSession (ADVICE r13:
+#: ``spark.newSession()`` per serve leaks a cloned session's JVM-side
+#: state in a long-lived serving process). WeakKeyDictionary so the
+#: cache never keeps a stopped caller session alive; the clone carries
+#: ONLY the scan-strategy conf, and the current database is re-synced
+#: on every serve (it can change between calls).
+_SERVE_SESSIONS: "weakref.WeakKeyDictionary" = None  # initialized below
+
+
+def _serve_session(spark: SparkSession) -> SparkSession:
+    global _SERVE_SESSIONS
+    if _SERVE_SESSIONS is None:
+        import weakref
+
+        _SERVE_SESSIONS = weakref.WeakKeyDictionary()
+    s = _SERVE_SESSIONS.get(spark)
+    if s is None:
+        s = spark.newSession()
+        s.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+        )
+        _SERVE_SESSIONS[spark] = s
+    s.catalog.setCurrentDatabase(spark.catalog.currentDatabase())
+    return s
 
 
 def _validate_query_vec(v) -> None:
@@ -923,7 +975,10 @@ def ivf_topk_from_store(
     to the workload width (the store's standing sizing rule); the
     Iceberg-native form gets file-level pruning with free parallelism
     from a bucket(N, cid) partition transform. The clone never touches
-    the caller's session conf."""
+    the caller's session conf, and it is built ONCE per caller session
+    and reused across serves (``_serve_session`` — ADVICE r13: a
+    per-serve ``newSession()`` leaks clone state in a long-lived
+    serving process)."""
     spark = store.spark
     # heal a crashed compaction of EITHER table before any raw
     # s.table() read — recovery lives on the store's entry points, and
@@ -943,11 +998,14 @@ def ivf_topk_from_store(
         query_vec_id = qid
     else:
         _validate_query_vec(query_vec)
-    s = spark.newSession()
-    s.conf.set(
-        "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
-    )
-    s.catalog.setCurrentDatabase(spark.catalog.currentDatabase())
+    s = _serve_session(spark)
+    # the reused clone caches table file listings across serves (the
+    # point of caching it), but nightly appends land on the CALLER
+    # session — refresh the two index tables so a serve planned after
+    # an append sees the appended files (metadata-only re-listing; a
+    # production server would instead refresh once per index publish)
+    for _n in ("ivf_lists", "ivf_centroids"):
+        s.catalog.refreshTable(store.table_name(_n))
     art = s.table(store.table_name("ivf_lists"))
     empty = art.filter(F.lit(False)).select(
         "vec_id",
@@ -1184,6 +1242,91 @@ PQ_M = 4
 PQ_SUB = 16
 PQ_K = 16
 
+if PQ_SUB != DIM // PQ_M:  # a real raise — asserts vanish under python -O
+    raise AssertionError(
+        f"PQ_SUB ({PQ_SUB}) must equal DIM // PQ_M ({DIM // PQ_M}): the "
+        "registered pq_adc oracle slices chunks of PQ_SUB while the shared "
+        "_pq_scores chain slices DIM // M — a mismatch silently desyncs "
+        "the two spellings of the same geometry"
+    )
+
+
+def _pq_scores(emb: DataFrame, ms: "tuple[int, ...]") -> DataFrame:
+    """The ONE PQ pipeline, geometry-parameterized — encode, LUT and ADC
+    score for every config M in ``ms``, all from a single corpus pass
+    (every config's sub-chunks explode out of the same normalized scan;
+    encode/LUT/score key on the ``m_subspaces`` config column). Returns
+    (m_subspaces, vec_id, approx_cos_sim) for every non-query vector.
+
+    Single source for the PQ rule since the r14 fold (the r13 review
+    postscript's accepted duplication, folded at the v3 flip as VERDICT
+    r13 #3 offered): ``similarity_pq_adc_topk`` is the ``(PQ_M,)``
+    instance of this chain and ``similarity_pq_geometry_sweep`` the
+    ``PQ_SWEEP_MS`` instance, so the registered query and the
+    calibration sweep cannot desync on what "encode then ADC-score"
+    means — one definition of chunking, seed-pick codebooks
+    (vec_id < PQ_K), deterministic argmax tie-break, and the micro-unit
+    BIGINT score sum. Scale shape is the config-keyed band-tuning rule:
+    one scan, two partial-aggregated shuffles (encode argmax, score
+    sum), codebook and LUT broadcast (O(sum(ms) x PQ_K) rows,
+    scale-independent)."""
+    chunk_structs = F.array(
+        *[
+            F.struct(
+                F.lit(m_cfg).alias("m_subspaces"),
+                F.lit(m).alias("m"),
+                F.expr(
+                    f"slice(ne, {m * (DIM // m_cfg) + 1}, {DIM // m_cfg})"
+                ).alias("chunk"),
+            )
+            for m_cfg in ms
+            for m in range(m_cfg)
+        ]
+    )
+    sub = emb.select("vec_id", F.explode(chunk_structs).alias("s")).select(
+        "vec_id",
+        F.col("s.m_subspaces").alias("m_subspaces"),
+        F.col("s.m").alias("m"),
+        F.col("s.chunk").alias("chunk"),
+    )
+    cb = F.broadcast(
+        sub.filter(F.col("vec_id") < PQ_K).select(
+            F.col("vec_id").alias("code"),
+            "m_subspaces",
+            "m",
+            F.col("chunk").alias("ce"),
+        )
+    )
+    dot_r = F.round(F.expr(_DOT_SPARK.format(a="chunk", b="ce")), 6)
+    codes = (
+        sub.join(cb, ["m_subspaces", "m"])
+        .withColumn("dot_r", dot_r)
+        .groupBy("m_subspaces", "vec_id", "m")
+        .agg(F.expr("max_by(code, struct(dot_r, -code))").alias("code"))
+    )
+    lut = F.broadcast(
+        sub.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select("m_subspaces", "m", F.col("chunk").alias("qchunk"))
+        .join(cb, ["m_subspaces", "m"])
+        .select(
+            "m_subspaces",
+            "m",
+            "code",
+            F.round(F.expr(_DOT_SPARK.format(a="qchunk", b="ce")) * 1_000_000)
+            .cast("bigint")
+            .alias("contrib_micro"),
+        )
+    )
+    return (
+        codes.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(lut, ["m_subspaces", "m", "code"])
+        .groupBy("m_subspaces", "vec_id")
+        .agg(
+            (F.sum("contrib_micro").cast("bigint") * 1.0 / 1_000_000.0)
+            .alias("approx_cos_sim")
+        )
+    )
+
 
 @query(
     "similarity_pq_adc_topk",
@@ -1248,61 +1391,15 @@ PQ_K = 16
 def similarity_pq_adc_topk(
     spark: SparkSession, sf_dir: str, *, emb: DataFrame | None = None
 ) -> DataFrame:
+    # the (PQ_M,) instance of the shared geometry-parameterized chain —
+    # see _pq_scores for the r14 fold note (one encode/LUT definition
+    # for the registered query AND the calibration sweep)
     emb = _with_normalized(
         emb if emb is not None else _load_emb(spark, sf_dir)
     )
-    sub_structs = F.array(
-        *[
-            F.struct(
-                F.lit(m).alias("m"),
-                F.expr(f"slice(ne, {m * PQ_SUB + 1}, {PQ_SUB})").alias(
-                    "chunk"
-                ),
-            )
-            for m in range(PQ_M)
-        ]
-    )
-    sub = (
-        emb.select("vec_id", F.explode(sub_structs).alias("s"))
-        .select("vec_id", F.col("s.m").alias("m"), F.col("s.chunk").alias("chunk"))
-    )
-    cb = F.broadcast(
-        sub.filter(F.col("vec_id") < PQ_K).select(
-            F.col("vec_id").alias("code"), "m", F.col("chunk").alias("ce")
-        )
-    )
-    dot_r = F.round(F.expr(_DOT_SPARK.format(a="chunk", b="ce")), 6)
-    codes = (
-        sub.join(cb, "m")
-        .withColumn("dot_r", dot_r)
-        .groupBy("vec_id", "m")
-        .agg(
-            F.expr(
-                "max_by(code, struct(dot_r, -code))"
-            ).alias("code")
-        )
-    )
-    lut = F.broadcast(
-        sub.filter(F.col("vec_id") == QUERY_VEC_ID)
-        .select("m", F.col("chunk").alias("qchunk"))
-        .join(cb, "m")
-        .select(
-            "m",
-            "code",
-            F.round(F.expr(_DOT_SPARK.format(a="qchunk", b="ce")) * 1_000_000)
-            .cast("bigint")
-            .alias("contrib_micro"),
-        )
-    )
     return (
-        codes.filter(F.col("vec_id") != QUERY_VEC_ID)
-        .join(lut, ["m", "code"])
-        .groupBy("vec_id")
-        .agg(
-            (F.sum("contrib_micro").cast("bigint") * 1.0 / 1_000_000.0).alias(
-                "approx_cos_sim"
-            )
-        )
+        _pq_scores(emb, (PQ_M,))
+        .select("vec_id", "approx_cos_sim")
         .orderBy(F.col("approx_cos_sim").desc(), "vec_id")
         .limit(10)
     )
@@ -1437,64 +1534,10 @@ def similarity_pq_geometry_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb = _with_normalized(_load_emb(spark, sf_dir))
-    # all configs' sub-chunks from one pass: per vector, for config M,
-    # M structs of (M, m, chunk of DIM/M)
-    chunk_structs = F.array(
-        *[
-            F.struct(
-                F.lit(m_cfg).alias("m_subspaces"),
-                F.lit(m).alias("m"),
-                F.expr(
-                    f"slice(ne, {m * (DIM // m_cfg) + 1}, {DIM // m_cfg})"
-                ).alias("chunk"),
-            )
-            for m_cfg in PQ_SWEEP_MS
-            for m in range(m_cfg)
-        ]
-    )
-    sub = emb.select("vec_id", F.explode(chunk_structs).alias("s")).select(
-        "vec_id",
-        F.col("s.m_subspaces").alias("m_subspaces"),
-        F.col("s.m").alias("m"),
-        F.col("s.chunk").alias("chunk"),
-    )
-    cb = F.broadcast(
-        sub.filter(F.col("vec_id") < PQ_K).select(
-            F.col("vec_id").alias("code"),
-            "m_subspaces",
-            "m",
-            F.col("chunk").alias("ce"),
-        )
-    )
-    dot_r = F.round(F.expr(_DOT_SPARK.format(a="chunk", b="ce")), 6)
-    codes = (
-        sub.join(cb, ["m_subspaces", "m"])
-        .withColumn("dot_r", dot_r)
-        .groupBy("m_subspaces", "vec_id", "m")
-        .agg(F.expr("max_by(code, struct(dot_r, -code))").alias("code"))
-    )
-    lut = F.broadcast(
-        sub.filter(F.col("vec_id") == QUERY_VEC_ID)
-        .select("m_subspaces", "m", F.col("chunk").alias("qchunk"))
-        .join(cb, ["m_subspaces", "m"])
-        .select(
-            "m_subspaces",
-            "m",
-            "code",
-            F.round(F.expr(_DOT_SPARK.format(a="qchunk", b="ce")) * 1_000_000)
-            .cast("bigint")
-            .alias("contrib_micro"),
-        )
-    )
-    scores = (
-        codes.filter(F.col("vec_id") != QUERY_VEC_ID)
-        .join(lut, ["m_subspaces", "m", "code"])
-        .groupBy("m_subspaces", "vec_id")
-        .agg(
-            (F.sum("contrib_micro").cast("bigint") * 1.0 / 1_000_000.0)
-            .alias("approx_cos_sim")
-        )
-    )
+    # the PQ_SWEEP_MS instance of the shared chain (see _pq_scores):
+    # all configs' sub-chunks from one pass, every stage keyed on the
+    # config column
+    scores = _pq_scores(emb, PQ_SWEEP_MS)
     # exact two-stage per-config top-k (see doc): local winners per
     # bucket, then the global rank over the tiny survivor set
     wl = Window.partitionBy(
