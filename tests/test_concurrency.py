@@ -917,3 +917,111 @@ def test_fingerprint_memo_is_bounded(tmp_path):
     # an evicted (oldest) corpus still fingerprints identically
     first = str(tmp_path / "c0")
     assert dedup._corpus_fingerprint(first) == digests[first]
+
+
+# ---------------------------------------------------------------------------
+# BucketedArtifactStore: idempotent (replayable) appends — r14, the store's
+# retried-append gap (VERDICT r13 #4)
+# ---------------------------------------------------------------------------
+
+
+def test_replayed_store_append_is_noop(spark):
+    """The store's idempotent-append contract: an append carrying a
+    ``batch_id`` lands exactly once — (1) a REPLAY of the same batch
+    (the crashed-and-retried nightly ingest) returns False and adds no
+    rows; (2) a different night's id still lands; (3) provenance
+    survives compaction, so replay detection holds across the
+    maintenance cycle; (4) ``read`` never exposes the provenance
+    column (probe frames/unions stay byte-identical to pre-r14);
+    (5) N concurrent retries of ONE batch land exactly once (the store
+    lock serializes probe+write); (6) a partial multi-artifact night
+    heals on replay — already-landed artifacts no-op, missed ones
+    land; (7) the provenance column is the store's own (a caller
+    frame carrying it is refused loudly); (8) an id-less append keeps
+    the pre-r14 non-transactional semantics (a retry doubles — the
+    documented reason production passes batch ids)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from iceberg_explorer_spark.operators.incremental_artifacts import (
+        _BATCH_COL,
+        BucketedArtifactStore,
+    )
+
+    def digests(lo, hi):
+        return spark.range(lo, hi).select(
+            F.md5(F.col("id").cast("string")).alias("h")
+        )
+
+    store = BucketedArtifactStore(spark, "t_art_replay", n_buckets=2)
+    try:
+        store.write("digests", digests(0, 40))
+        inc1 = digests(1000, 1010)
+        # (1) first landing True, replay False and row-count flat
+        assert store.append("digests", inc1, batch_id="night-1") is True
+        assert store.read("digests").count() == 50
+        assert store.append("digests", inc1, batch_id="night-1") is False
+        assert store.read("digests").count() == 50
+        # (2) a different night still lands
+        assert store.append("digests", digests(2000, 2005),
+                            batch_id="night-2") is True
+        assert store.read("digests").count() == 55
+        # (3) compaction preserves provenance: the replay is still
+        # detected afterwards and adds nothing
+        store.compact()
+        assert store.append("digests", inc1, batch_id="night-1") is False
+        assert store.append("digests", digests(2000, 2005),
+                            batch_id="night-2") is False
+        assert store.read("digests").count() == 55
+        # (4) consumers never see the provenance column
+        assert _BATCH_COL not in store.read("digests").columns
+        # (5) concurrent retries of one batch: exactly one lands
+        inc3 = digests(3000, 3010)
+        results = []
+        threads = [
+            threading.Thread(
+                target=lambda: results.append(
+                    store.append("digests", inc3, batch_id="night-3")
+                )
+            )
+            for _ in range(4)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert sorted(results) == [False, False, False, True]
+        assert store.read("digests").count() == 65
+        # (6) the partial-night heal: night-4 landed digests but
+        # crashed before shingles — the replay no-ops the landed
+        # artifact and lands the missed one
+        store.write(
+            "shingles",
+            spark.range(0, 10).select(
+                F.col("id").alias("doc_id"), F.col("id").alias("hb")
+            ),
+        )
+        assert store.append("digests", digests(4000, 4004),
+                            batch_id="night-4") is True
+        sh_inc = spark.range(100, 104).select(
+            F.col("id").alias("doc_id"), F.col("id").alias("hb")
+        )
+        assert store.append("digests", digests(4000, 4004),
+                            batch_id="night-4") is False
+        assert store.append("shingles", sh_inc, batch_id="night-4") is True
+        assert store.read("digests").count() == 69
+        assert store.read("shingles").count() == 14
+        # (7) the provenance column is the store's own
+        with pytest.raises(ValueError, match="stamps provenance"):
+            store.append(
+                "digests",
+                digests(5000, 5001).withColumn(_BATCH_COL, F.lit("forged")),
+                batch_id="night-5",
+            )
+        # (8) id-less appends keep the documented legacy semantics: a
+        # retry lands twice (what batch ids exist to prevent)
+        assert store.append("digests", digests(6000, 6002)) is True
+        assert store.append("digests", digests(6000, 6002)) is True
+        assert store.read("digests").count() == 73
+    finally:
+        store.drop()
