@@ -539,3 +539,147 @@ def test_streaming_exact_dedup_generative_parity(spark, tmp_path, seed):
 
     assert len(stream_stages) == sum(len(r) for r in days)
     assert stream_stages == batch_stages
+
+
+def test_streaming_simhash_dedup_parity_and_exactly_once(spark, tmp_path):
+    """The streaming SimHash twin (r14 — the twin's second modality):
+    foreachBatch classifies each micro-batch "day" against the
+    persisted signature artifact via the SAME simhash_cls_from_history
+    rule the nightly path runs, and appends kept docs' signatures with
+    the epoch id as the store's idempotence handle. Claims: (1) day-1
+    vs pre-loaded history — a sig-dup of history is vs_corpus, an
+    in-batch sig group keeps its min (component semantics), a novel doc
+    is kept; (2) day-2 vs GROWN state — a dup of day-1's KEPT doc reads
+    vs_corpus because its signature was appended between micro-batches;
+    (3) batch parity — the same days replayed through
+    simhash_cls_from_history with the history union grown by each day's
+    kept signatures produce identical per-doc flags; (4) exactly-once
+    state — re-entering the processor with an already-committed epoch
+    id (Structured Streaming's retry) leaves the signature artifact
+    unchanged (the store detects the replay), while a genuinely new
+    epoch still lands."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from iceberg_explorer_spark.operators.dedup import simhash_signatures
+    from iceberg_explorer_spark.operators.incremental_artifacts import (
+        BucketedArtifactStore,
+        simhash_cls_from_history,
+    )
+    from iceberg_explorer_spark.streaming.dedup import (
+        DOCS_SCHEMA,
+        read_documents_stream,
+        simhash_batch_processor,
+        streaming_simhash_dedup,
+    )
+
+    t_a = " ".join(f"ash{i} oak{i % 5}" for i in range(25))
+    t_b = " ".join(f"elm{i} fir{i % 7}" for i in range(25))
+    t_c = " ".join(f"yew{i} may{i % 3}" for i in range(25))
+    hist_docs = [(3, t_a, "en", "web", len(t_a))]
+    # day 1: 20 sig-dups history 3; {10, 30} batch-only t_b group
+    day1 = [(10, t_b, "en", "s1", len(t_b)),
+            (20, t_a, "en", "s2", len(t_a)),
+            (30, t_b, "en", "s3", len(t_b))]
+    # day 2: 15 dups day-1 KEPT 10 (grown state); {25, 35, 45} novel
+    # t_c group -> min kept, rest in-batch
+    day2 = [(15, t_b, "en", "q1", len(t_b)),
+            (25, t_c, "en", "q2", len(t_c)),
+            (35, t_c, "en", "q3", len(t_c)),
+            (45, t_c, "en", "q4", len(t_c))]
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    for name, rows, mtime in (("day1", day1, 1_000), ("day2", day2, 2_000)):
+        f = str(tmp_path / f"{name}.parquet")
+        spark.createDataFrame(rows, DOCS_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f)
+        part = [
+            p for p in os.listdir(f)
+            if p.endswith(".parquet") and not p.startswith((".", "_"))
+        ][0]
+        dst = os.path.join(landing, f"{name}.parquet")
+        os.rename(os.path.join(f, part), dst)
+        os.utime(dst, (mtime, mtime))
+
+    store = BucketedArtifactStore(
+        spark, "t_stream_simhash", n_buckets=2,
+        artifacts={"simhash": ("doc_id",)},
+    )
+    try:
+        store.write(
+            "simhash",
+            simhash_signatures(spark.createDataFrame(hist_docs, DOCS_SCHEMA)),
+        )
+        results: dict[int, dict] = {}
+
+        def sink(cls, epoch_id):
+            results[int(epoch_id)] = {
+                r["doc_id"]: (r["vs_corpus"], r["in_batch"])
+                for r in cls.collect()
+            }
+
+        q = streaming_simhash_dedup(
+            read_documents_stream(spark, landing), store, sink,
+            str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination(120)
+        assert sorted(results) == [0, 1], results
+        # (1) day 1 against the pre-loaded history
+        assert results[0] == {10: (0, 0), 20: (1, 0), 30: (0, 1)}
+        # (2) day 2 against state GROWN by day-1's kept signature
+        assert results[1] == {
+            15: (1, 0), 25: (0, 0), 35: (0, 1), 45: (0, 1)
+        }
+
+        # (3) batch parity, history grown by each day's kept signatures
+        hist = simhash_signatures(
+            spark.createDataFrame(hist_docs, DOCS_SCHEMA)
+        )
+        for i, rows in enumerate((day1, day2)):
+            d = spark.createDataFrame(rows, DOCS_SCHEMA)
+            cls = simhash_cls_from_history(d, hist).localCheckpoint(
+                eager=True
+            )
+            assert {
+                r["doc_id"]: (r["vs_corpus"], r["in_batch"])
+                for r in cls.collect()
+            } == results[i]
+            kept = cls.filter(
+                (F.col("vs_corpus") == 0) & (F.col("in_batch") == 0)
+            ).select("doc_id")
+            hist = hist.unionByName(
+                simhash_signatures(d.join(kept, "doc_id"))
+            ).distinct()
+
+        # state after the drain: history + day-1 kept (10) + day-2 kept
+        # (25) — exactly one signature row each, no double-landing
+        state = {r["doc_id"] for r in store.read("simhash").collect()}
+        assert state == {3, 10, 25}
+        assert store.read("simhash").count() == 3
+
+        # (4) exactly-once on micro-batch RETRY: re-entering the
+        # processor with epoch 1 (already committed) must leave the
+        # artifact unchanged; a NEW epoch lands its kept signatures
+        replay_sink_calls = []
+        proc = simhash_batch_processor(
+            store, lambda cls, e: replay_sink_calls.append(int(e))
+        )
+        proc(spark.createDataFrame(day2, DOCS_SCHEMA), 1)
+        assert replay_sink_calls == [1]  # sink is at-least-once
+        assert store.read("simhash").count() == 3  # state unchanged
+        t_d = " ".join(f"new{i} word{i % 4}" for i in range(25))
+        proc(
+            spark.createDataFrame(
+                [(99, t_d, "en", "z", len(t_d))], DOCS_SCHEMA
+            ),
+            2,
+        )
+        assert store.read("simhash").count() == 4
+        assert {r["doc_id"] for r in store.read("simhash").collect()} == {
+            3, 10, 25, 99
+        }
+    finally:
+        store.drop()
