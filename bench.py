@@ -170,10 +170,11 @@ HEADLINE = [
 #: and are folded into HEADLINE above) — EXTENDED holds post-r12
 #: newcomers only.
 EXTENDED: list[str] = [
-    # post-r12 operators registered this round
+    # post-r12 operators registered since the r12 freeze
     "dedup_incremental_simhash",  # fifth incremental sibling: SimHash keys (r13)
     "similarity_ivf_probe_sweep",  # IVF nprobe recall/cost curve, one build (r13)
     "similarity_pq_geometry_sweep",  # PQ bytes-vs-recall grid, one scan (r13)
+    "similarity_ivf_pq_topk",     # composed IVF-PQ ANN (FAISS IndexIVFPQ shape, r14)
 ]
 
 #: The EXTENDED set as frozen at the END of round 12 graduated into

@@ -488,6 +488,30 @@ Round 14 executes that plan verbatim (r13 came back 50/50 green, the
   HEADLINE_VERSION = 3, the GRADUATING_R12 twelve in HEADLINE's tail in
   frozen order, GRADUATING_R12 = [] (the hook stays for the next
   declared overlap), EXTENDED = the three r13 operators rides on.
+Round 14 also folds the PQ rule to one geometry-parameterized chain
+  (_pq_scores; similarity_pq_adc_topk is its (PQ_M,) instance, the
+  geometry sweep its PQ_SWEEP_MS instance — VERDICT r13 #3 option (a),
+  executed at the flip as the deferral rationale prescribed), gives
+  BucketedArtifactStore idempotent batch-id appends (a retried nightly
+  ingest replays as a no-op; VERDICT r13 #4), and puts the SimHash
+  modality on the streaming runtime (foreachBatch over the signature
+  artifact as state with epoch-id idempotent appends — VERDICT r13 #5;
+  the shared rule factored to
+  incremental_artifacts.simhash_cls_from_history).
+Round 14 adds similarity_ivf_pq_topk — the composed IVF-PQ ANN (the
+  FAISS IndexIVFPQ architecture): coarse probe prunes to nprobe lists,
+  PQ ADC ranks the candidates over 4-byte codes — built entirely from
+  the two shared single-source chains (_ivf_ranked for
+  assignment/probing, _pq_scores for scoring, encode RESTRICTED to
+  candidates+seeds+query, which is bit-identical to the full-corpus
+  encode because a code depends only on the vector's own chunks and
+  the seed codebook). Registered OUT-of-window with the full rigging
+  checklist (composed oracle from the shared _ivf_assign_sql_duckdb +
+  _PQ_ADC_CTES fragments, auto differential, plan pin, crafted
+  IVF-pruning/dup/restricted-encode-parity claims on an anchored
+  one-hot fixture, 3x point, SCALE.md section), joins bench EXTENDED,
+  and is an r15-rotation priority (its first driver row).
+  Registry: 153 queries / 150 oracle-bearing.
 """
 
 from iceberg_explorer_spark.operators.registry import QUERIES, QuerySpec, query  # noqa: F401

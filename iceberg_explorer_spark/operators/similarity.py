@@ -1328,10 +1328,12 @@ def _pq_scores(emb: DataFrame, ms: "tuple[int, ...]") -> DataFrame:
     )
 
 
-@query(
-    "similarity_pq_adc_topk",
-    oracle=f"""
-    WITH n AS (
+#: The PQ-ADC oracle pipeline as composable CTE text (r14): normalized
+#: vectors -> PQ_SUB-wide sub-chunks -> seed codebook -> per-(vec, m)
+#: argmax codes -> the query's (m, code) -> micro-unit LUT. Single SQL
+#: source for the registered pq_adc oracle AND the composed IVF-PQ
+#: oracle, mirroring the Spark side's one ``_pq_scores`` chain.
+_PQ_ADC_CTES = f"""n AS (
       SELECT vec_id,
              list_transform(CAST(embedding AS DOUBLE[]),
                x -> x / sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
@@ -1364,7 +1366,13 @@ def _pq_scores(emb: DataFrame, ms: "tuple[int, ...]") -> DataFrame:
       FROM cb c
       JOIN (SELECT m, chunk FROM sub WHERE vec_id = {QUERY_VEC_ID}) q
         USING (m)
-    )
+    )"""
+
+
+@query(
+    "similarity_pq_adc_topk",
+    oracle=f"""
+    WITH {_PQ_ADC_CTES}
     SELECT codes.vec_id,
            CAST(SUM(l.contrib_micro) AS BIGINT) * 1.0 / 1000000.0
              AS approx_cos_sim
@@ -1589,6 +1597,102 @@ def similarity_pq_geometry_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .alias("recall"),
         )
+    )
+
+
+@query(
+    "similarity_ivf_pq_topk",
+    oracle=f"""
+    WITH {_ivf_assign_sql_duckdb()},
+    {_PQ_ADC_CTES},
+    qprobe AS MATERIALIZED (SELECT cid FROM ranked
+               WHERE vec_id = {QUERY_VEC_ID} AND rn <= {IVF_NPROBE}),
+    cand AS MATERIALIZED (
+      SELECT r.vec_id, r.cid AS probe_list
+      FROM ranked r JOIN qprobe p ON r.cid = p.cid
+      WHERE r.rn = 1 AND r.vec_id <> {QUERY_VEC_ID}
+    ),
+    scores AS (
+      SELECT codes.vec_id,
+             CAST(SUM(l.contrib_micro) AS BIGINT) * 1.0 / 1000000.0
+               AS approx_cos_sim
+      FROM codes JOIN lut l USING (m, code)
+      WHERE codes.vec_id <> {QUERY_VEC_ID}
+      GROUP BY codes.vec_id
+    )
+    SELECT c.vec_id, c.probe_list, s.approx_cos_sim
+    FROM cand c JOIN scores s ON c.vec_id = s.vec_id
+    ORDER BY s.approx_cos_sim DESC, c.vec_id
+    LIMIT 10
+    """,
+    doc=f"IVF-PQ composed ANN (r14) — the canonical billion-scale index "
+    "architecture (FAISS IndexIVFPQ): the coarse quantizer prunes the "
+    f"corpus to the query's {IVF_NPROBE} probed lists, and candidates "
+    "are ranked by the PQ asymmetric-distance score over "
+    f"{PQ_M}-byte codes instead of the raw vectors — so a serve reads "
+    f"nprobe/{IVF_K} of the index AND {DIM * 4 // PQ_M}x less per "
+    "candidate, the two selectivity arguments this repo's index "
+    "families make individually, composed. Both halves are the shared "
+    "single-source chains: assignment/probing = _ivf_ranked (the rule "
+    "similarity_ivf_topk and the persisted index serve), scoring = "
+    "_pq_scores at the registered PQ_M geometry (the r14-folded chain "
+    "behind similarity_pq_adc_topk and the geometry sweep) — so this "
+    "query cannot desync from either parent, and its encode is "
+    "RESTRICTED to candidates + seeds + query (a vector's code depends "
+    "only on its own chunks and the seed codebook, so restricted codes "
+    "are bit-identical to full-corpus codes — the crafted test pins "
+    "per-row score equality with pq_adc). Determinism: micro-unit "
+    "BIGINT ADC sums, total-order tie-breaks. Plan: one assignment "
+    "pass (broadcast K centroids), candidate frame checkpointed once "
+    "for its two consumers, one restricted encode pass (broadcast "
+    "codebook + LUT), TakeOrderedAndProject top-k. At 100 TB the "
+    "in-session assignment+encode become the ONE-TIME build writing "
+    "cid-bucketed code tables (ivf_backfill_lists's layout with "
+    f"{PQ_M}-byte codes per row instead of {DIM * 4}-byte vectors); a "
+    "serve is then a K-row centroid job + one bucket-pruned scan of "
+    "probed code files + a broadcast LUT — ivf_topk_from_store's plan "
+    "at PQ row width. reference: no analogue — training-pipeline "
+    "extension.",
+)
+def similarity_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _with_normalized(_load_emb(spark, sf_dir))
+    ranked = _ivf_ranked(emb)
+    qprobe = F.broadcast(
+        ranked.filter(
+            (F.col("vec_id") == QUERY_VEC_ID) & (F.col("rn") <= IVF_NPROBE)
+        ).select("cid")
+    )
+    # candidates = members of the probed lists; checkpointed once for
+    # its TWO consumers (the encode-restriction semi-join and the final
+    # probe_list join) — recomputing would re-run the corpus-wide
+    # assignment window per branch
+    cand = (
+        ranked.filter(F.col("rn") == 1)
+        .join(qprobe, "cid")
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", F.col("cid").alias("probe_list"))
+        .localCheckpoint(eager=True)
+    )
+    # restrict the encode to candidates + the seed codebook rows + the
+    # query row: codes depend only on a vector's own chunks and the
+    # seed codebook, so the restricted encode is bit-identical to the
+    # full-corpus one (doc) while scanning nprobe/K of the corpus
+    ids = (
+        cand.select("vec_id")
+        .unionByName(
+            emb.filter(
+                (F.col("vec_id") < PQ_K)
+                | (F.col("vec_id") == QUERY_VEC_ID)
+            ).select("vec_id")
+        )
+        .distinct()
+    )
+    scores = _pq_scores(emb.join(ids, "vec_id", "left_semi"), (PQ_M,))
+    return (
+        cand.join(scores, "vec_id")
+        .select("vec_id", "probe_list", "approx_cos_sim")
+        .orderBy(F.col("approx_cos_sim").desc(), "vec_id")
+        .limit(10)
     )
 
 

@@ -1406,3 +1406,32 @@ def test_pq_geometry_sweep_one_scan_no_python(spark):
     # map-side pushdown would void the no-full-corpus-partition claim
     assert plan.count("WindowGroupLimit") == 4
     assert pi.broadcast_hint_count(df) == 4
+
+
+def test_ivf_pq_topk_composed_plan(spark):
+    """similarity_ivf_pq_topk composes the two index families' plans:
+    the assignment pass runs ONCE inside the checkpointed candidate
+    frame (visible plan: Scan ExistingRDD, ZERO Window nodes — probed
+    candidates are read, not recomputed per consumer), the encode is
+    restricted to candidates+seeds+query, pure JVM end to end, exactly
+    the codebook and LUT broadcast-HINTED — three hint sites, all
+    scale-bounded: the codebook subtree appears twice (referenced by
+    the encode join AND inside the LUT build, same double-count as the
+    geometry sweep's pin) plus the LUT itself; qprobe's hint lives
+    upstream of the checkpoint and legitimately does not surface —
+    no cartesian/nested-loop join, and the top-k is
+    a heap merge. The un-hinted candidate-sized joins (encode
+    restriction semi-join, final probe_list join) may plan
+    SortMergeJoin statically — candidates are nprobe/K of the corpus
+    (scale-DEPENDENT, the no-hint rule) and AQE converts them at
+    runtime (observed BuildLeft broadcast at sf0.01)."""
+    df = build(spark, "similarity_ivf_pq_topk")
+    plan = pi.physical_plan(df)
+    assert "MapInPandas" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Scan ExistingRDD" in plan
+    assert plan.count("Window [") == 0
+    assert pi.broadcast_hint_count(df) == 3
+    assert "TakeOrderedAndProject" in plan

@@ -5273,3 +5273,101 @@ def test_artifact_store_custom_spec_lifecycle(spark):
         assert not spark.catalog.tableExists(f"{t}__compacting")
     finally:
         store.drop()
+
+
+def test_ivf_pq_topk_claims(spark, tmp_path):
+    """similarity_ivf_pq_topk's distinguishing claims on a crafted
+    one-hot corpus (centroids c_j = e_{4j}, codebook entry k = e_{4k},
+    query = vec 0 = e_0, so the query probes lists {0, 1}): (1) IVF
+    pruning is REAL — vec 200 = 0.8*e_16 + 0.6*e_0 carries the MAXIMAL
+    ADC score 1.0 (its subspace-0 chunk argmaxes to the query's own
+    code) but assigns to UNPROBED list 4, so the registered global
+    similarity_pq_adc_topk returns it while the composed op does not;
+    (2) an exact duplicate of the query (vec 100) in the probed list
+    scores the per-subspace-max ADC 1.0 and ranks first; (3) restricted
+    -encode parity — every returned row's score equals the FULL-corpus
+    _pq_scores value for that vec_id (a code depends only on the
+    vector's own chunks and the seed codebook, so restricting the
+    encode to candidates+seeds+query changes nothing); (4) results sit
+    only in probed lists {0, 1} and ranking is (score DESC, vec_id).
+    Fixture notes: seeds 1..15 carry a 0.25*e_1 anchor so NO non-query
+    row has an all-zero subspace-0 chunk aligned with the query's code
+    (the zero-chunk phantom the sweep's doc records would otherwise
+    hand seeds 4..15 the query's own code 0 and its maximal 1.0
+    contribution — the first cut of this fixture hit exactly that);
+    the anchor also puts seeds 8..15 into probed list 1 via exact
+    delta^2 centroid ties broken by min cid, all of which the expected
+    output pins. Oracle-checked on the crafted corpus."""
+    import duckdb
+
+    from iceberg_explorer_spark.operators import QUERIES
+    from iceberg_explorer_spark.operators.similarity import (
+        PQ_M,
+        _load_emb,
+        _pq_scores,
+        _with_normalized,
+    )
+    from tests.conftest import assert_matches_oracle
+
+    def vec(*parts):
+        v = [0.0] * 64
+        for d_, a_ in parts:
+            v[d_] = a_
+        return v
+
+    rows = [(0, vec((0, 1.0)), 0)]  # the query/centroid/codebook seed 0
+    # seeds 1..15: main one-hot at 4k + the 0.25*e_1 anchor
+    rows += [
+        (k, vec((4 * k, 1.0), (1, 0.25)), 0) for k in range(1, 16)
+    ]
+    rows.append((100, vec((0, 1.0)), 0))       # exact dup of the query
+    rows.append((200, vec((16, 0.8), (0, 0.6)), 0))  # max ADC, unprobed list 4
+    rows.append((300, vec((4, 0.8), (5, 0.6)), 0))   # probed-list filler
+    rows.append((301, vec((4, 0.6), (5, 0.8)), 0))   # probed-list filler
+    d = str(tmp_path / "ivfpq")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+
+    spec = QUERIES["similarity_ivf_pq_topk"]
+    got = [tuple(r) for r in spec.builder(spark, d).collect()]
+    # candidates (lists 0 and 1, query excluded): dup 100 (list 0) +
+    # seed 1 + seeds 8..15 (anchor-tied into list 1) + fillers 300/301;
+    # scores: 1.0 for the dup only, 0.0 for the rest; rank = score
+    # DESC, vec_id ASC, cut at 10 (fillers fall off). Vec 200 (ADC 1.0
+    # but list 4) absent.
+    assert got == [
+        (100, 0, 1.0), (1, 1, 0.0), (8, 1, 0.0), (9, 1, 0.0),
+        (10, 1, 0.0), (11, 1, 0.0), (12, 1, 0.0), (13, 1, 0.0),
+        (14, 1, 0.0), (15, 1, 0.0),
+    ], got
+    assert all(pl in (0, 1) for _, pl, _s in got)
+
+    # (1) the registered GLOBAL pq_adc returns 200; the composed op
+    # prunes it away with its unprobed list
+    adc = {
+        r["vec_id"]: r["approx_cos_sim"]
+        for r in QUERIES["similarity_pq_adc_topk"].builder(spark, d).collect()
+    }
+    assert adc[200] == 1.0
+    assert 200 not in {v for v, _pl, _s in got}
+
+    # (3) restricted-encode parity vs the full-corpus chain
+    full = {
+        r["vec_id"]: r["approx_cos_sim"]
+        for r in _pq_scores(
+            _with_normalized(_load_emb(spark, d)), (PQ_M,)
+        ).collect()
+    }
+    for v, _pl, s in got:
+        assert s == full[v], (v, s, full[v])
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{d}/embeddings.parquet/*.parquet')"
+    )
+    assert_matches_oracle(
+        spec.builder(spark, d), con, spec.oracle,
+        "similarity_ivf_pq_topk_crafted",
+    )
