@@ -175,6 +175,7 @@ EXTENDED: list[str] = [
     "similarity_ivf_probe_sweep",  # IVF nprobe recall/cost curve, one build (r13)
     "similarity_pq_geometry_sweep",  # PQ bytes-vs-recall grid, one scan (r13)
     "similarity_ivf_pq_topk",     # composed IVF-PQ ANN (FAISS IndexIVFPQ shape, r14)
+    "text_bigram_lm_score",       # add-one bigram LM quality score (CCNet-ish, r14)
 ]
 
 #: The EXTENDED set as frozen at the END of round 12 graduated into

@@ -512,6 +512,20 @@ Round 14 adds similarity_ivf_pq_topk — the composed IVF-PQ ANN (the
   one-hot fixture, 3x point, SCALE.md section), joins bench EXTENDED,
   and is an r15-rotation priority (its first driver row).
   Registry: 153 queries / 150 oracle-bearing.
+Round 14 also adds text_bigram_lm_score — the CONDITIONAL sibling of
+  text_unigram_logfreq (add-one-smoothed bigram model, mean
+  ln P(w2|w1) per doc): one rung closer to the KenLM-style LM filter
+  CCNet runs, and the first text operator where word ORDER is the
+  signal (the crafted test pins two same-multiset/opposite-order docs
+  scoring differently while the unigram op scores them identically).
+  Token order via posexplode / DuckDB parallel-UNNEST alignment;
+  per-bigram ln P quantized to micro-unit BIGINT in a checkpointed
+  O(distinct bigrams) model table, per-doc exact integer sums (the
+  unigram determinism precedent). Full rigging checklist (oracle +
+  auto differential + plan pin [one per-doc window, model built once,
+  1-row V broadcast] + crafted claims + 3x point + SCALE.md section),
+  joins bench EXTENDED, r15-rotation priority alongside
+  similarity_ivf_pq_topk. Registry: 154 queries / 151 oracle-bearing.
 """
 
 from iceberg_explorer_spark.operators.registry import QUERIES, QuerySpec, query  # noqa: F401

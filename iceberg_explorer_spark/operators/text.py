@@ -509,6 +509,140 @@ def text_unigram_logfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "text_bigram_lm_score",
+    oracle=f"""
+    WITH toks AS (
+      -- parallel UNNESTs align positionally in DuckDB (its WITH
+      -- ORDINALITY): word i pairs with ord i
+      SELECT doc_id, UNNEST(t) AS word,
+             UNNEST(range(1, len(t) + 1)) AS ord
+      FROM (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                           w -> w <> '') AS t
+        FROM documents
+      )
+    ),
+    big AS (
+      SELECT a.doc_id, a.word AS w1, b.word AS w2
+      FROM toks a JOIN toks b
+        ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+    ),
+    bg AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c
+      FROM big GROUP BY w1, w2
+    ),
+    ctx AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS cc FROM bg GROUP BY w1),
+    v AS (SELECT CAST(COUNT(DISTINCT word) AS BIGINT) AS vs FROM toks),
+    q AS (
+      SELECT b.w1, b.w2,
+             CAST(ROUND(ln((b.c + 1.0) / (x.cc + v.vs))
+                        * {LOGFREQ_SCALE}) AS BIGINT) AS q
+      FROM bg b JOIN ctx x USING (w1) CROSS JOIN v
+    ),
+    dbg AS (
+      SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM big GROUP BY doc_id, w1, w2
+    )
+    SELECT d.doc_id,
+           CAST(SUM(d.tf) AS BIGINT) AS n_bigrams,
+           CAST(SUM(d.tf * q.q) AS BIGINT) AS sum_logprob_micro,
+           CAST(SUM(d.tf * q.q) AS DOUBLE) / ({LOGFREQ_SCALE} * SUM(d.tf))
+             AS avg_bigram_logprob
+    FROM dbg d JOIN q USING (w1, w2)
+    GROUP BY d.doc_id
+    """,
+    doc="Bigram language-model familiarity score (r14) — the CONDITIONAL "
+    "sibling of text_unigram_logfreq and one rung closer to the "
+    "KenLM-style LM filter CCNet actually runs: per doc, the mean "
+    "ln P(w2 | w1) of its bigrams under an add-one-smoothed corpus "
+    "bigram model (P = (C(w1,w2)+1) / (C(w1)+V)); repetitive/boilerplate "
+    "text scores high, rare-transition text scores low, and unlike the "
+    "unigram op, sentences of common-but-shuffled words score LOW (word "
+    "ORDER is the signal — pinned by the crafted test). Token order "
+    "comes from posexplode / UNNEST WITH ORDINALITY (the array order of "
+    "the SAME shared whitespace tokenizer), bigrams from lead() within "
+    "each doc. Determinism: each ln P is quantized to micro-unit BIGINT "
+    "in the corpus-wide model table, per-doc reductions are exact "
+    "integer sums divided once (the unigram precedent: float-order "
+    "nondeterminism cannot reach the output). Docs with < 2 tokens have "
+    "no bigrams and are absent, both engines. Plan: the bigram stream "
+    "is a map-side lead over the per-doc window (bounded by doc length "
+    "— no corpus-wide partition); the bigram model is built ONCE and "
+    "checkpointed (O(distinct bigrams) — its two consumers read the "
+    "blocks), the 1-row vocabulary size broadcasts, and the doc-side "
+    "join keys on the high-cardinality (w1, w2) pair (AQE broadcasts "
+    "the model when it fits). At 100 TB the model is the only "
+    "corpus-wide state — distinct bigrams, not rows; production would "
+    "also prune the model tail (min-count) exactly like any KenLM "
+    "build. reference: no analogue — training-pipeline extension.",
+)
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.filter(_tokens(), lambda w: w != "")).alias(
+            "ord", "word"
+        ),
+    )
+    big = (
+        toks.withColumn(
+            "w2",
+            F.lead("word").over(
+                Window.partitionBy("doc_id").orderBy("ord")
+            ),
+        )
+        .filter(F.col("w2").isNotNull())
+        .select("doc_id", F.col("word").alias("w1"), "w2")
+    )
+    # the model table is O(distinct bigrams) — small — and feeds TWO
+    # consumers (the context marginal and the smoothed-probability
+    # join): checkpoint it so the corpus-wide bigram count runs ONCE
+    # (without this the token stream + window re-derive three times);
+    # the token-level `big` itself stays un-materialized, the unigram
+    # op's precedent of re-scanning over pushing a corpus-sized frame
+    # through the driver's block store
+    bg = big.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    ).localCheckpoint(eager=True)
+    ctx = bg.groupBy("w1").agg(F.sum("c").cast("bigint").alias("cc"))
+    v = F.broadcast(
+        toks.agg(
+            F.countDistinct("word").cast("bigint").alias("vs")
+        )
+    )
+    q = (
+        bg.join(ctx, "w1")
+        .crossJoin(v)
+        .select(
+            "w1",
+            "w2",
+            F.round(
+                F.log((F.col("c") + 1.0) / (F.col("cc") + F.col("vs")))
+                * LOGFREQ_SCALE
+            )
+            .cast("bigint")
+            .alias("q"),
+        )
+    )
+    dbg = big.groupBy("doc_id", "w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    return dbg.join(q, ["w1", "w2"]).groupBy("doc_id").agg(
+        F.sum("tf").cast("bigint").alias("n_bigrams"),
+        F.sum(F.col("tf") * F.col("q"))
+        .cast("bigint")
+        .alias("sum_logprob_micro"),
+        (
+            F.sum(F.col("tf") * F.col("q")).cast("double")
+            / (F.lit(LOGFREQ_SCALE) * F.sum("tf"))
+        ).alias("avg_bigram_logprob"),
+    )
+
+
 #: BPE merge-candidate report size
 BPE_TOP_PAIRS = 50
 

@@ -1435,3 +1435,26 @@ def test_ivf_pq_topk_composed_plan(spark):
     assert plan.count("Window [") == 0
     assert pi.broadcast_hint_count(df) == 3
     assert "TakeOrderedAndProject" in plan
+
+
+def test_bigram_lm_score_plan(spark):
+    """text_bigram_lm_score stays JVM-side with the unigram op's
+    two-pass shape: the corpus-wide bigram model is built ONCE and
+    checkpointed (Scan ExistingRDD — its two consumers, the context
+    marginal and the probability join, read the blocks), so exactly
+    ONE per-doc lead() window remains visible (the doc-side bigram
+    stream), partitioned by doc_id — bounded by doc length, never a
+    corpus-wide single partition; every groupBy partial-aggregates
+    map-side; the 1-row vocabulary size is the only broadcast hint
+    (scale-independent); no cartesian product (the cross join is
+    against that 1-row aggregate)."""
+    df = build(spark, "text_bigram_lm_score")
+    plan = pi.physical_plan(df)
+    assert "MapInPandas" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Scan ExistingRDD" in plan
+    assert plan.count("Window [") == 1
+    assert "doc_id" in plan[plan.index("Window ["):][:200]
+    assert pi.has_partial_aggregate(df)
+    assert pi.broadcast_hint_count(df) == 1

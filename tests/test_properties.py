@@ -5371,3 +5371,78 @@ def test_ivf_pq_topk_claims(spark, tmp_path):
         spec.builder(spark, d), con, spec.oracle,
         "similarity_ivf_pq_topk_crafted",
     )
+
+
+def test_bigram_lm_score_claims(spark, tmp_path):
+    """text_bigram_lm_score's distinguishing claims on a crafted corpus:
+    (1) the add-one arithmetic is exact — on six "alpha beta" docs the
+    model is fully hand-computable and each doc's score is
+    ln((C+1)/(ctx+V)) to the micro-unit; (2) word ORDER is the signal —
+    two docs with the IDENTICAL token multiset but opposite orderings
+    score differently (the common-bigram doc higher), while
+    text_unigram_logfreq (order-blind by construction) scores them
+    identically; (3) docs with < 2 tokens (single-token, empty, NULL
+    text) have no bigrams and are ABSENT from the output in both
+    engines. Oracle-checked on the crafted corpus."""
+    import math
+
+    import duckdb
+    import pytest
+
+    from iceberg_explorer_spark.operators import QUERIES
+    from tests.conftest import assert_matches_oracle
+
+    rows = [(i, "alpha beta", "en", "s", 10) for i in range(1, 7)]
+    rows.append((10, "alpha beta alpha beta", "en", "s", 21))
+    rows.append((11, "beta alpha beta alpha", "en", "s", 21))
+    rows.append((20, "solo", "en", "s", 4))
+    rows.append((21, "", "en", "s", 0))
+    rows.append((22, None, "en", "s", 0))
+    d = str(tmp_path / "bigram")
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    spec = QUERIES["text_bigram_lm_score"]
+    got = {r["doc_id"]: r for r in spec.builder(spark, d).collect()}
+
+    # (3) short/empty/NULL docs absent
+    assert set(got) == {1, 2, 3, 4, 5, 6, 10, 11}
+
+    # (1) hand-computed model: tokens = {alpha, beta, solo} -> V = 3;
+    # bigram counts: (alpha,beta) = 6 + 2 + 1 = 9, (beta,alpha) = 1 + 2
+    # = 3; contexts: alpha = 9, beta = 3.
+    p_ab = (9 + 1) / (9 + 3)   # P(beta | alpha)
+    p_ba = (3 + 1) / (3 + 3)   # P(alpha | beta)
+    q_ab = round(math.log(p_ab) * 1_000_000)
+    q_ba = round(math.log(p_ba) * 1_000_000)
+    r1 = got[1]
+    assert r1["n_bigrams"] == 1
+    assert r1["sum_logprob_micro"] == q_ab
+    assert r1["avg_bigram_logprob"] == pytest.approx(
+        math.log(p_ab), abs=2e-6
+    )
+    r10, r11 = got[10], got[11]
+    assert r10["n_bigrams"] == 3 and r11["n_bigrams"] == 3
+    assert r10["sum_logprob_micro"] == 2 * q_ab + q_ba
+    assert r11["sum_logprob_micro"] == q_ab + 2 * q_ba
+
+    # (2) order sensitivity: same multiset, opposite scores — and the
+    # order-blind unigram op CANNOT tell them apart
+    assert r10["avg_bigram_logprob"] > r11["avg_bigram_logprob"]
+    uni = {
+        r["doc_id"]: r["avg_token_logfreq"]
+        for r in QUERIES["text_unigram_logfreq"].builder(spark, d).collect()
+    }
+    assert uni[10] == uni[11]
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    assert_matches_oracle(
+        spec.builder(spark, d), con, spec.oracle,
+        "text_bigram_lm_score_crafted",
+    )
