@@ -526,6 +526,17 @@ Round 14 also adds text_bigram_lm_score — the CONDITIONAL sibling of
   1-row V broadcast] + crafted claims + 3x point + SCALE.md section),
   joins bench EXTENDED, r15-rotation priority alongside
   similarity_ivf_pq_topk. Registry: 154 queries / 151 oracle-bearing.
+Round 14 also persists the IVF-PQ index (the composed query's serving
+  story — the THIRD BucketedArtifactStore spec): a cid-bucketed CODE
+  table (4-byte payload rows) plus centroid and codebook model
+  artifacts; serve = K-row centroid job + driver-side literal-array
+  LUT + ONE bucket-pruned pure-projection scan (zero
+  joins/shuffles/windows/broadcasts; SelectedBucketsCount pinned),
+  row-parity with similarity_ivf_pq_topk pinned EXACTLY (fold-order +
+  HALF_UP-replicating driver LUT); appends encode against the
+  persisted models with idempotent batch-id replay. Function-level
+  machinery with a pinned round-trip (not a registry query — the
+  serve result is definitionally the registered query's).
 """
 
 from iceberg_explorer_spark.operators.registry import QUERIES, QuerySpec, query  # noqa: F401

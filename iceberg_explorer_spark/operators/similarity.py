@@ -1043,6 +1043,234 @@ def ivf_topk_from_store(
     )
 
 
+# ---------------------------------------------------------------------------
+# The persisted IVF-PQ index: similarity_ivf_pq_topk's serving story.
+#
+# Where the persisted IVF index stores each list member's full normalized
+# vector (256 bytes/row), this one stores its PQ CODES (PQ_M bytes of
+# payload/row) — the layout the registered composed query's 100 TB note
+# promises: a serve reads nprobe/K of the index files AND 64x smaller
+# rows, and needs NO join at all (the query's LUT collapses to literal
+# arrays indexed by the code columns — pure projection).
+
+#: Artifact spec: ``ivfpq_codes`` — (vec_id, cid, c0..c{M-1}): each
+#: vector's coarse list + its per-subspace PQ codes, bucketed by
+#: ``cid`` (the serve-time probe key — same pruning argument as
+#: ``ivf_lists``). ``ivf_centroids`` — the K coarse centroids (the
+#: probe ranking's K-row read). ``pq_codebook`` — (code, m, ce): the
+#: M x PQ_K codebook chunks, its own tiny artifact: the serve's LUT
+#: and the nightly append's encode read it O(1) instead of deriving
+#: codebooks from raw vectors the code table deliberately no longer
+#: stores.
+IVFPQ_STORE_ARTIFACTS = {
+    "ivfpq_codes": ("cid",),
+    "ivf_centroids": ("cid",),
+    "pq_codebook": ("m",),
+}
+
+
+def ivfpq_store(spark: SparkSession, prefix: str, n_buckets: int = 16):
+    """A BucketedArtifactStore instantiated with the IVF-PQ spec."""
+    from iceberg_explorer_spark.operators.incremental_artifacts import (
+        BucketedArtifactStore,
+    )
+
+    return BucketedArtifactStore(
+        spark, prefix, n_buckets, artifacts=IVFPQ_STORE_ARTIFACTS
+    )
+
+
+def _pq_codes_wide(codes: DataFrame) -> DataFrame:
+    """(vec_id, c0..c{M-1}) from the long (m_subspaces, vec_id, m, code)
+    encode frame — the storage pivot (exactly one code per (vec, m), so
+    the conditional max is deterministic)."""
+    return codes.groupBy("vec_id").agg(
+        *[
+            F.max(F.when(F.col("m") == m, F.col("code")))
+            .cast("int")
+            .alias(f"c{m}")
+            for m in range(PQ_M)
+        ]
+    )
+
+
+def ivfpq_backfill(spark: SparkSession, sf_dir: str, store) -> None:
+    """One-time IVF-PQ index build: coarse-assign and PQ-encode every
+    contract-passing vector with the SAME shared rules the registered
+    ``similarity_ivf_pq_topk`` runs (``_ivf_ranked`` / ``_pq_chunks`` /
+    ``_pq_codes``), then persist codes bucketed by cid plus the two
+    tiny model artifacts. Write order is the crash contract (the
+    ``ivf_backfill_lists`` rule): model artifacts FIRST, the code
+    table LAST as the commit marker — a crash in between reads as
+    "backfill never ran", never as an index whose serves fail on a
+    missing codebook."""
+    emb = _with_normalized(_load_emb(spark, sf_dir))
+    store.write(
+        "ivf_centroids",
+        emb.filter(F.col("vec_id") < IVF_K).select(
+            F.col("vec_id").alias("cid"), F.col("ne").alias("cvec")
+        ),
+    )
+    sub = _pq_chunks(emb, (PQ_M,))
+    cb = sub.filter(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("code"),
+        "m_subspaces",
+        "m",
+        F.col("chunk").alias("ce"),
+    )
+    store.write("pq_codebook", cb.select("code", "m", "ce"))
+    wide = _pq_codes_wide(_pq_codes(sub, F.broadcast(cb)))
+    lists = (
+        _ivf_ranked(emb).filter(F.col("rn") == 1).select("vec_id", "cid")
+    )
+    store.write("ivfpq_codes", lists.join(wide, "vec_id"))
+
+
+def ivfpq_append(store, new_emb: DataFrame, batch_id: "str | None" = None) -> bool:
+    """Nightly IVF-PQ append: coarse-assign and encode an increment
+    against the PERSISTED centroid and codebook artifacts (two O(1)
+    model reads; history code rows are never touched) and land its
+    (vec_id, cid, c0..c{M-1}) rows hash-aligned through the store's
+    idempotent append — same contract as ``ivf_append_lists``: vec_ids
+    globally new, the reserved centroid range [0, IVF_K) refused
+    loudly on an eagerly-materialized increment, ``batch_id`` makes a
+    crashed-and-retried night a no-op. Returns True iff rows landed."""
+    inc = _with_normalized(_apply_emb_contract(new_emb)).localCheckpoint(
+        eager=True
+    )
+    if inc.filter(F.col("vec_id") < IVF_K).limit(1).count():
+        raise ValueError(
+            f"increment contains vec_ids in the reserved centroid range "
+            f"[0, {IVF_K}) — appending them would shadow the persisted "
+            "centroids"
+        )
+    cents = store.read("ivf_centroids").select(
+        "cid", F.col("cvec").alias("ce")
+    )
+    cb = (
+        store.read("pq_codebook")
+        .withColumn("m_subspaces", F.lit(PQ_M))
+        .select("code", "m_subspaces", "m", "ce")
+    )
+    wide = _pq_codes_wide(
+        _pq_codes(_pq_chunks(inc, (PQ_M,)), F.broadcast(cb))
+    )
+    lists = (
+        _ivf_ranked(inc, cents=cents)
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid")
+    )
+    return store.append(
+        "ivfpq_codes", lists.join(wide, "vec_id"), batch_id=batch_id
+    )
+
+
+def _micro_half_up(x: float) -> int:
+    """Spark ``F.round(x * 1e6)`` parity for the driver-side LUT:
+    HALF_UP = ties away from zero (Python's ``round`` is banker's and
+    would diverge at exact .5 micro boundaries)."""
+    import math
+
+    m = x * 1_000_000.0
+    f = math.floor(m)
+    r = m - f
+    if r > 0.5:
+        return int(f) + 1
+    if r < 0.5:
+        return int(f)
+    return int(f) + 1 if m > 0 else int(f)
+
+
+def ivfpq_topk_from_store(
+    store,
+    query_vec: "list[float]",
+    query_vec_id: "int | None" = None,
+    nprobe: int = IVF_NPROBE,
+    k: int = 10,
+) -> DataFrame:
+    """Serve similarity_ivf_pq_topk's semantics from the persisted
+    code index — row-identical to the registered query (pinned by the
+    round-trip test) with the plan the composed query's 100 TB note
+    promises: a K-row centroid job ranks the probe lists, the query's
+    (subspace, code) LUT is computed DRIVER-side from the O(M x PQ_K)
+    codebook artifact and inlined as LITERAL arrays indexed by the
+    code columns, and the result is ONE bucket-PRUNED scan of the code
+    table with a pure projection — zero joins, zero shuffles, zero
+    Window nodes, zero broadcasts. ``query_vec`` is REQUIRED (the
+    code table deliberately stores no raw vectors to look one up in —
+    that is the 64x row-width win); pass ``query_vec_id`` only to
+    exclude a stored doc, the registered query's rule.
+
+    Driver-side work is O(K + M x PQ_K) (the probe ranking collect and
+    the codebook collect) — the bounded legitimacy class, same as
+    ``ivf_topk_from_store``. LUT float parity with the registered
+    query is exact by construction: the dot is the same
+    products-then-sequential-fold order as ``_DOT_SPARK`` over the
+    identical stored doubles, and the micro quantization replicates
+    Spark's HALF_UP (``_micro_half_up``). Served on the cached cloned
+    session with the auto bucketed-scan heuristic off, tables
+    refreshed per serve (the ``ivf_topk_from_store`` notes apply
+    verbatim)."""
+    _validate_query_vec(query_vec)
+    spark = store.spark
+    for _n in IVFPQ_STORE_ARTIFACTS:
+        store.read(_n)  # heal a crashed compaction before raw reads
+    s = _serve_session(spark)
+    for _n in IVFPQ_STORE_ARTIFACTS:
+        s.catalog.refreshTable(store.table_name(_n))
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    csim = F.round(F.expr(_DOT_SPARK.format(a="cvec", b="qe")), 6)
+    probe_cids = [
+        r["cid"]
+        for r in s.table(store.table_name("ivf_centroids"))
+        .withColumn("qe", qlit)
+        .select("cid", csim.alias("csim"))
+        .orderBy(F.col("csim").desc(), "cid")
+        .limit(nprobe)
+        .collect()
+    ]
+    art = s.table(store.table_name("ivfpq_codes"))
+    empty = art.filter(F.lit(False)).select(
+        "vec_id",
+        F.col("cid").alias("probe_list"),
+        F.lit(0.0).alias("approx_cos_sim"),
+    )
+    if not probe_cids:
+        return empty
+    # the LUT: per subspace, PQ_K micro contributions — O(M x PQ_K)
+    # driver work, inlined as literal arrays so scoring is projection
+    sub_w = DIM // PQ_M
+    contrib = [[0] * PQ_K for _ in range(PQ_M)]
+    for r in s.table(store.table_name("pq_codebook")).collect():
+        m, code, ce = r["m"], r["code"], r["ce"]
+        qchunk = query_vec[m * sub_w : (m + 1) * sub_w]
+        # products first, then a sequential fold — _DOT_SPARK's order
+        prods = [float(a) * float(b) for a, b in zip(qchunk, ce)]
+        acc = 0.0
+        for p in prods:
+            acc += p
+        contrib[m][code] = _micro_half_up(acc)
+    arrs = [
+        F.array(*[F.lit(int(c)) for c in contrib[m]]) for m in range(PQ_M)
+    ]
+    score_micro = None
+    for m in range(PQ_M):
+        term = F.element_at(arrs[m], F.col(f"c{m}") + 1).cast("bigint")
+        score_micro = term if score_micro is None else score_micro + term
+    base = art.filter(F.col("cid").isin([int(c) for c in probe_cids]))
+    if query_vec_id is not None:
+        base = base.filter(F.col("vec_id") != query_vec_id)
+    return (
+        base.select(
+            "vec_id",
+            F.col("cid").alias("probe_list"),
+            (score_micro * 1.0 / 1_000_000.0).alias("approx_cos_sim"),
+        )
+        .orderBy(F.col("approx_cos_sim").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
 def _gemm_schema() -> str:
     return "vec_a long, vec_b long, cos_sim double"
 
@@ -1251,6 +1479,52 @@ if PQ_SUB != DIM // PQ_M:  # a real raise — asserts vanish under python -O
     )
 
 
+def _pq_chunks(emb: DataFrame, ms: "tuple[int, ...]") -> DataFrame:
+    """(vec_id, m_subspaces, m, chunk): every config's sub-chunks of the
+    normalized vectors, exploded from ONE pass — the head of the shared
+    PQ chain, split out (r14) so the persisted-index paths can encode
+    against a PERSISTED codebook instead of the frame's own seeds."""
+    chunk_structs = F.array(
+        *[
+            F.struct(
+                F.lit(m_cfg).alias("m_subspaces"),
+                F.lit(m).alias("m"),
+                F.expr(
+                    f"slice(ne, {m * (DIM // m_cfg) + 1}, {DIM // m_cfg})"
+                ).alias("chunk"),
+            )
+            for m_cfg in ms
+            for m in range(m_cfg)
+        ]
+    )
+    return emb.select("vec_id", F.explode(chunk_structs).alias("s")).select(
+        "vec_id",
+        F.col("s.m_subspaces").alias("m_subspaces"),
+        F.col("s.m").alias("m"),
+        F.col("s.chunk").alias("chunk"),
+    )
+
+
+def _pq_codes(
+    sub: DataFrame, cb: DataFrame
+) -> DataFrame:
+    """(m_subspaces, vec_id, m, code): the per-(vector, subspace) argmax
+    encode of a chunk frame against a (code, m_subspaces, m, ce)
+    codebook — THE one encode rule (deterministic max-dot, min-code
+    tie-break), shared by the in-session chain (codebook = the frame's
+    own seeds) and the persisted-index append path (codebook = the
+    artifact). The caller passes ``cb`` already broadcast-hinted (it is
+    O(sum(ms) x PQ_K) rows everywhere) — hinting again here would nest
+    ResolvedHint nodes and shift the pinned hint counts."""
+    dot_r = F.round(F.expr(_DOT_SPARK.format(a="chunk", b="ce")), 6)
+    return (
+        sub.join(cb, ["m_subspaces", "m"])
+        .withColumn("dot_r", dot_r)
+        .groupBy("m_subspaces", "vec_id", "m")
+        .agg(F.expr("max_by(code, struct(dot_r, -code))").alias("code"))
+    )
+
+
 def _pq_scores(emb: DataFrame, ms: "tuple[int, ...]") -> DataFrame:
     """The ONE PQ pipeline, geometry-parameterized — encode, LUT and ADC
     score for every config M in ``ms``, all from a single corpus pass
@@ -1270,25 +1544,7 @@ def _pq_scores(emb: DataFrame, ms: "tuple[int, ...]") -> DataFrame:
     one scan, two partial-aggregated shuffles (encode argmax, score
     sum), codebook and LUT broadcast (O(sum(ms) x PQ_K) rows,
     scale-independent)."""
-    chunk_structs = F.array(
-        *[
-            F.struct(
-                F.lit(m_cfg).alias("m_subspaces"),
-                F.lit(m).alias("m"),
-                F.expr(
-                    f"slice(ne, {m * (DIM // m_cfg) + 1}, {DIM // m_cfg})"
-                ).alias("chunk"),
-            )
-            for m_cfg in ms
-            for m in range(m_cfg)
-        ]
-    )
-    sub = emb.select("vec_id", F.explode(chunk_structs).alias("s")).select(
-        "vec_id",
-        F.col("s.m_subspaces").alias("m_subspaces"),
-        F.col("s.m").alias("m"),
-        F.col("s.chunk").alias("chunk"),
-    )
+    sub = _pq_chunks(emb, ms)
     cb = F.broadcast(
         sub.filter(F.col("vec_id") < PQ_K).select(
             F.col("vec_id").alias("code"),
@@ -1297,13 +1553,7 @@ def _pq_scores(emb: DataFrame, ms: "tuple[int, ...]") -> DataFrame:
             F.col("chunk").alias("ce"),
         )
     )
-    dot_r = F.round(F.expr(_DOT_SPARK.format(a="chunk", b="ce")), 6)
-    codes = (
-        sub.join(cb, ["m_subspaces", "m"])
-        .withColumn("dot_r", dot_r)
-        .groupBy("m_subspaces", "vec_id", "m")
-        .agg(F.expr("max_by(code, struct(dot_r, -code))").alias("code"))
-    )
+    codes = _pq_codes(sub, cb)
     lut = F.broadcast(
         sub.filter(F.col("vec_id") == QUERY_VEC_ID)
         .select("m_subspaces", "m", F.col("chunk").alias("qchunk"))

@@ -5446,3 +5446,121 @@ def test_bigram_lm_score_claims(spark, tmp_path):
         spec.builder(spark, d), con, spec.oracle,
         "text_bigram_lm_score_crafted",
     )
+
+
+def test_ivfpq_store_round_trip_pruned_serve(spark):
+    """The persisted IVF-PQ code index (r14 — the composed query's
+    serving story): (1) serve parity — ivfpq_topk_from_store returns
+    ROW-IDENTICAL results to the registered similarity_ivf_pq_topk
+    (same probe lists, same micro-quantized ADC scores: the
+    driver-side LUT replicates _DOT_SPARK's fold order and Spark's
+    HALF_UP); (2) the serve plan is pure projection over ONE
+    bucket-pruned scan of the code table — zero shuffles, zero Window
+    nodes, zero broadcasts, zero JOINS (the LUT is literal arrays
+    indexed by the code columns), SelectedBucketsCount <= nprobe;
+    (3) nightly append encodes an increment against the PERSISTED
+    centroid+codebook artifacts — an appended exact duplicate of the
+    query takes the per-subspace-max ADC score from inside a probed
+    list — refuses reserved-range ids, and a replayed batch_id append
+    is a no-op; (4) compaction preserves results through the full
+    cycle."""
+    import re
+
+    import pyspark.sql.functions as F
+
+    from iceberg_explorer_spark.operators import QUERIES
+    from iceberg_explorer_spark.operators.similarity import (
+        IVF_K,
+        IVF_NPROBE,
+        _load_emb,
+        _with_normalized,
+        ivfpq_append,
+        ivfpq_backfill,
+        ivfpq_store,
+        ivfpq_topk_from_store,
+    )
+    from iceberg_explorer_spark.plans import inspect as pi
+
+    d = "/root/testdata/sf0.01"
+    n_buckets = 4
+    store = ivfpq_store(spark, "t_ivfpq_store", n_buckets=n_buckets)
+    try:
+        ivfpq_backfill(spark, d, store)
+        emb = _with_normalized(_load_emb(spark, d))
+        qv = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == 0).first()["ne"]
+        ]
+        served = ivfpq_topk_from_store(store, qv, query_vec_id=0)
+        got = [tuple(r) for r in served.collect()]
+        want = [
+            tuple(r)
+            for r in QUERIES["similarity_ivf_pq_topk"]
+            .builder(spark, d)
+            .collect()
+        ]
+        assert got == want, (got, want)
+
+        # (2) the pure-projection serve plan
+        plan = pi.physical_plan(served)
+        assert pi.shuffle_count(served) == 0
+        assert "Window" not in plan
+        assert "BroadcastExchange" not in plan
+        assert "Join" not in plan
+        assert plan.count("Scan parquet") == 1
+        m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+        assert m, plan
+        assert int(m.group(1)) <= IVF_NPROBE
+        assert int(m.group(2)) == n_buckets
+
+        # (3) append: an exact copy of the query encodes to the
+        # query's own per-subspace argmax codes against the PERSISTED
+        # codebook, so its ADC score is the maximum any vector can
+        # carry; it lands in the query's own (probed) list
+        files_before = store.n_files("ivfpq_codes")
+        new_id = 10_000_000
+        increment = (
+            spark.read.parquet(f"{d}/embeddings.parquet")
+            .filter(F.col("vec_id") == 0)
+            .withColumn("vec_id", F.lit(new_id).cast("long"))
+        )
+        assert ivfpq_append(store, increment, batch_id="night-1") is True
+        assert store.n_files("ivfpq_codes") <= files_before + n_buckets
+        served2 = [
+            tuple(r)
+            for r in ivfpq_topk_from_store(
+                store, qv, query_vec_id=0
+            ).collect()
+        ]
+        max_score = max(s for _v, _pl, s in served2)
+        by_id = {v: (pl, s) for v, pl, s in served2}
+        assert new_id in by_id
+        assert by_id[new_id][1] == max_score
+        # a REPLAYED night is a no-op: same rows served
+        assert ivfpq_append(store, increment, batch_id="night-1") is False
+        assert [
+            tuple(r)
+            for r in ivfpq_topk_from_store(
+                store, qv, query_vec_id=0
+            ).collect()
+        ] == served2
+
+        # reserved centroid range refused loudly
+        bad = increment.withColumn(
+            "vec_id", F.lit(IVF_K - 1).cast("long")
+        )
+        with pytest.raises(ValueError, match="reserved centroid range"):
+            ivfpq_append(store, bad)
+
+        # (4) compaction: results identical through the cycle, files
+        # bounded back to one per non-empty bucket
+        counts = store.compact()
+        assert counts["ivfpq_codes"] <= n_buckets
+        assert [
+            tuple(r)
+            for r in ivfpq_topk_from_store(
+                store, qv, query_vec_id=0
+            ).collect()
+        ] == served2
+    finally:
+        store.drop()
