@@ -845,6 +845,15 @@ def ivf_append_lists(
     non-transactional rule (retries re-run from the pre-append
     snapshot); the Iceberg-native form of the store gets
     replace-by-filter for this. Returns True iff rows landed."""
+    if not store.exists("ivf_lists"):
+        # the list table is the backfill's COMMIT MARKER: appending
+        # here would saveAsTable-CREATE an increment-only table that
+        # every later serve silently treats as the whole index (review
+        # r14 finding — the dedup-six path has the same gate)
+        raise FileNotFoundError(
+            "ivf_lists artifact not found — run ivf_backfill_lists (the "
+            "one-time index build) before appending an increment"
+        )
     # Eagerly materialize the contract-filtered increment BEFORE the
     # range check (ADVICE r13): the check and the append are otherwise
     # two separate Spark jobs over the same lazy frame, and a
@@ -877,27 +886,43 @@ def ivf_append_lists(
 #: One configured serve clone per underlying SparkSession (ADVICE r13:
 #: ``spark.newSession()`` per serve leaks a cloned session's JVM-side
 #: state in a long-lived serving process). WeakKeyDictionary so the
-#: cache never keeps a stopped caller session alive; the clone carries
-#: ONLY the scan-strategy conf, and the current database is re-synced
-#: on every serve (it can change between calls).
+#: cache never keeps a stopped caller session alive; creation is
+#: serialized (the service layer serves on concurrent threads). The
+#: clone carries ONLY the scan-strategy conf — serves resolve tables
+#: by DATABASE-QUALIFIED name (``_serve_table``) instead of mutating
+#: the shared clone's current database per call, which would race
+#: concurrent serves against stores in different databases (review
+#: r14 finding; the pre-r14 per-serve session could not race because
+#: it was private).
 _SERVE_SESSIONS: "weakref.WeakKeyDictionary" = None  # initialized below
+_SERVE_LOCK = __import__("threading").Lock()
 
 
 def _serve_session(spark: SparkSession) -> SparkSession:
     global _SERVE_SESSIONS
-    if _SERVE_SESSIONS is None:
-        import weakref
+    with _SERVE_LOCK:
+        if _SERVE_SESSIONS is None:
+            import weakref
 
-        _SERVE_SESSIONS = weakref.WeakKeyDictionary()
-    s = _SERVE_SESSIONS.get(spark)
-    if s is None:
-        s = spark.newSession()
-        s.conf.set(
-            "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
-        )
-        _SERVE_SESSIONS[spark] = s
-    s.catalog.setCurrentDatabase(spark.catalog.currentDatabase())
-    return s
+            _SERVE_SESSIONS = weakref.WeakKeyDictionary()
+        s = _SERVE_SESSIONS.get(spark)
+        if s is None:
+            s = spark.newSession()
+            s.conf.set(
+                "spark.sql.sources.bucketing.autoBucketedScan.enabled",
+                "false",
+            )
+            _SERVE_SESSIONS[spark] = s
+        return s
+
+
+def _serve_table(store, name: str) -> str:
+    """The store table's database-QUALIFIED identifier, resolved from
+    the CALLER session's current database at call time — thread-safe
+    on the shared serve clone (no current-database mutation) and
+    correct even when different stores live in different databases."""
+    db = store.spark.catalog.currentDatabase()
+    return f"`{db}`.`{store.table_name(name)}`"
 
 
 def _validate_query_vec(v) -> None:
@@ -1005,8 +1030,8 @@ def ivf_topk_from_store(
     # an append sees the appended files (metadata-only re-listing; a
     # production server would instead refresh once per index publish)
     for _n in ("ivf_lists", "ivf_centroids"):
-        s.catalog.refreshTable(store.table_name(_n))
-    art = s.table(store.table_name("ivf_lists"))
+        s.catalog.refreshTable(_serve_table(store, _n))
+    art = s.table(_serve_table(store, "ivf_lists"))
     empty = art.filter(F.lit(False)).select(
         "vec_id",
         F.col("cid").alias("probe_list"),
@@ -1016,7 +1041,7 @@ def ivf_topk_from_store(
         return empty  # unknown query id: empty result, contract schema
     qlit = F.array(*[F.lit(float(x)) for x in query_vec])
     cents = (
-        s.table(store.table_name("ivf_centroids"))
+        s.table(_serve_table(store, "ivf_centroids"))
         .withColumn("qe", qlit)
     )
     csim = F.round(F.expr(_DOT_SPARK.format(a="cvec", b="qe")), 6)
@@ -1135,6 +1160,15 @@ def ivfpq_append(store, new_emb: DataFrame, batch_id: "str | None" = None) -> bo
     globally new, the reserved centroid range [0, IVF_K) refused
     loudly on an eagerly-materialized increment, ``batch_id`` makes a
     crashed-and-retried night a no-op. Returns True iff rows landed."""
+    if not store.exists("ivfpq_codes"):
+        # the code table is the backfill's COMMIT MARKER (same gate as
+        # ivf_append_lists): a crash between the model writes and the
+        # code write must read as "backfill never ran", and an append
+        # must never CREATE an increment-only index beside live models
+        raise FileNotFoundError(
+            "ivfpq_codes artifact not found — run ivfpq_backfill (the "
+            "one-time index build) before appending an increment"
+        )
     inc = _with_normalized(_apply_emb_contract(new_emb)).localCheckpoint(
         eager=True
     )
@@ -1217,19 +1251,19 @@ def ivfpq_topk_from_store(
         store.read(_n)  # heal a crashed compaction before raw reads
     s = _serve_session(spark)
     for _n in IVFPQ_STORE_ARTIFACTS:
-        s.catalog.refreshTable(store.table_name(_n))
+        s.catalog.refreshTable(_serve_table(store, _n))
     qlit = F.array(*[F.lit(float(x)) for x in query_vec])
     csim = F.round(F.expr(_DOT_SPARK.format(a="cvec", b="qe")), 6)
     probe_cids = [
         r["cid"]
-        for r in s.table(store.table_name("ivf_centroids"))
+        for r in s.table(_serve_table(store, "ivf_centroids"))
         .withColumn("qe", qlit)
         .select("cid", csim.alias("csim"))
         .orderBy(F.col("csim").desc(), "cid")
         .limit(nprobe)
         .collect()
     ]
-    art = s.table(store.table_name("ivfpq_codes"))
+    art = s.table(_serve_table(store, "ivfpq_codes"))
     empty = art.filter(F.lit(False)).select(
         "vec_id",
         F.col("cid").alias("probe_list"),
@@ -1241,7 +1275,7 @@ def ivfpq_topk_from_store(
     # driver work, inlined as literal arrays so scoring is projection
     sub_w = DIM // PQ_M
     contrib = [[0] * PQ_K for _ in range(PQ_M)]
-    for r in s.table(store.table_name("pq_codebook")).collect():
+    for r in s.table(_serve_table(store, "pq_codebook")).collect():
         m, code, ce = r["m"], r["code"], r["ce"]
         qchunk = query_vec[m * sub_w : (m + 1) * sub_w]
         # products first, then a sequential fold — _DOT_SPARK's order

@@ -124,7 +124,7 @@ def _dedup_update(
     )
 
 
-def simhash_batch_processor(store, sink):
+def simhash_batch_processor(store, sink, namespace: str = "adhoc"):
     """The foreachBatch body of :func:`streaming_simhash_dedup`,
     exposed so tests can drive micro-batch RETRY semantics directly
     (Structured Streaming re-invokes the processor with the SAME epoch
@@ -153,7 +153,16 @@ def simhash_batch_processor(store, sink):
     case the epoch's own kept docs are now history, so the re-run
     would claim them vs_corpus; sinks that must be idempotent under
     THAT window should key on (epoch_id) and drop replayed epochs,
-    exactly as they would for any foreachBatch sink."""
+    exactly as they would for any foreachBatch sink.
+
+    ``namespace`` scopes the idempotence key (the landed batch_id is
+    ``f"{namespace}-epoch-{epoch_id}"``): epoch ids are unique only
+    WITHIN one checkpoint lineage, so a stream restarted with a fresh
+    checkpoint dir (epochs restart at 0), or a second stream feeding
+    the same store, would otherwise collide with history's "epoch-0"
+    and silently drop its first micro-batches as replays (review r14
+    finding). ``streaming_simhash_dedup`` derives it from the
+    checkpoint path; direct callers pass their own run id."""
     import pyspark.sql.functions as F
 
     from iceberg_explorer_spark.operators.dedup import simhash_signatures
@@ -175,18 +184,37 @@ def simhash_batch_processor(store, sink):
         store.append(
             "simhash",
             simhash_signatures(day_docs.join(kept, "doc_id")),
-            batch_id=f"epoch-{int(epoch_id)}",
+            batch_id=f"{namespace}-epoch-{int(epoch_id)}",
         )
 
     return _process
 
 
-def streaming_simhash_dedup(docs: DataFrame, store, sink, checkpoint_dir):
+def streaming_simhash_dedup(
+    docs: DataFrame,
+    store,
+    sink,
+    checkpoint_dir,
+    trigger: "dict | None" = None,
+):
     """SimHash near-dup dedup on the streaming runtime (r14 — VERDICT
     r13 #5, the twin's second modality): each micro-batch is a "day"
     classified against the persisted signature artifact, kept docs'
-    signatures append for the next day. Returns the started query
-    (drive with ``trigger(availableNow=True)`` in tests).
+    signatures append for the next day. Returns the started query.
+
+    ``trigger``: kwargs for ``DataStreamWriter.trigger`` — defaults to
+    ``{"availableNow": True}`` (drain-and-stop, the test/nightly
+    shape); a live landing path passes e.g.
+    ``{"processingTime": "10 minutes"}`` instead of copy-pasting the
+    writeStream wiring (review r14 finding). The idempotence
+    namespace is derived from ``checkpoint_dir`` (md5 of the path):
+    epoch ids are unique within one checkpoint lineage, so keying the
+    store's batch ids by the lineage keeps a restarted-with-fresh-
+    checkpoint stream (epochs restart at 0) from colliding with an
+    older run's landed epochs. Corollary: do not RECYCLE a checkpoint
+    path for a logically new stream over the same store — the same
+    rule Structured Streaming's own checkpoint semantics already
+    impose.
 
     State-design note — why this is foreachBatch + the artifact store
     rather than a keyed GroupState like the exact twin: a document
@@ -200,10 +228,15 @@ def streaming_simhash_dedup(docs: DataFrame, store, sink, checkpoint_dir):
     epoch-id idempotent append (``simhash_batch_processor``). The
     batch twin stays primary in composed stories (pure JVM end to
     end); this is the landing-zone runtime over the same rule."""
+    import hashlib
+
+    ns = hashlib.md5(str(checkpoint_dir).encode()).hexdigest()[:12]
     return (
-        docs.writeStream.foreachBatch(simhash_batch_processor(store, sink))
+        docs.writeStream.foreachBatch(
+            simhash_batch_processor(store, sink, namespace=ns)
+        )
         .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
+        .trigger(**(trigger if trigger is not None else {"availableNow": True}))
         .start()
     )
 

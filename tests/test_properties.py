@@ -5564,3 +5564,47 @@ def test_ivfpq_store_round_trip_pruned_serve(spark):
         ] == served2
     finally:
         store.drop()
+
+
+def test_index_append_requires_backfill(spark):
+    """The commit-marker gate on both persisted-index append paths
+    (review r14 finding): appending to a store whose code/list table
+    is absent must raise loudly instead of saveAsTable-CREATING an
+    increment-only table that every later serve silently treats as
+    the whole index — including the half-backfilled crash state where
+    the model artifacts exist but the marker table does not."""
+    import pyspark.sql.functions as F
+
+    from iceberg_explorer_spark.operators.similarity import (
+        _load_emb,
+        _with_normalized,
+        ivf_append_lists,
+        ivf_store,
+        ivfpq_append,
+        ivfpq_store,
+    )
+
+    d = "/root/testdata/sf0.001"
+    inc = (
+        spark.read.parquet(f"{d}/embeddings.parquet")
+        .filter(F.col("vec_id") == 20)
+        .withColumn("vec_id", F.lit(20_000_000).cast("long"))
+    )
+    s1 = ivf_store(spark, "t_ivf_nobackfill", n_buckets=2)
+    s2 = ivfpq_store(spark, "t_ivfpq_nobackfill", n_buckets=2)
+    try:
+        with pytest.raises(FileNotFoundError, match="ivf_backfill_lists"):
+            ivf_append_lists(s1, inc)
+        # the half-backfilled crash state: models landed, marker absent
+        emb = _with_normalized(_load_emb(spark, d))
+        s2.write(
+            "ivf_centroids",
+            emb.filter(F.col("vec_id") < 8).select(
+                F.col("vec_id").alias("cid"), F.col("ne").alias("cvec")
+            ),
+        )
+        with pytest.raises(FileNotFoundError, match="ivfpq_backfill"):
+            ivfpq_append(s2, inc)
+    finally:
+        s1.drop()
+        s2.drop()

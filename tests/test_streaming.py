@@ -661,11 +661,20 @@ def test_streaming_simhash_dedup_parity_and_exactly_once(spark, tmp_path):
         assert store.read("simhash").count() == 3
 
         # (4) exactly-once on micro-batch RETRY: re-entering the
-        # processor with epoch 1 (already committed) must leave the
-        # artifact unchanged; a NEW epoch lands its kept signatures
+        # processor with epoch 1 (already committed) IN THE SAME
+        # idempotence namespace (derived from the checkpoint path, as
+        # streaming_simhash_dedup does) must leave the artifact
+        # unchanged; a NEW epoch lands its kept signatures
+        import hashlib
+
+        ns = hashlib.md5(
+            str(tmp_path / "ckpt").encode()
+        ).hexdigest()[:12]
         replay_sink_calls = []
         proc = simhash_batch_processor(
-            store, lambda cls, e: replay_sink_calls.append(int(e))
+            store,
+            lambda cls, e: replay_sink_calls.append(int(e)),
+            namespace=ns,
         )
         proc(spark.createDataFrame(day2, DOCS_SCHEMA), 1)
         assert replay_sink_calls == [1]  # sink is at-least-once
@@ -681,5 +690,19 @@ def test_streaming_simhash_dedup_parity_and_exactly_once(spark, tmp_path):
         assert {r["doc_id"] for r in store.read("simhash").collect()} == {
             3, 10, 25, 99
         }
+        # a logically NEW stream (different checkpoint lineage → a
+        # different namespace) re-using epoch id 1 must NOT be dropped
+        # as a replay of the old run's epoch 1 (review r14 finding)
+        t_e = " ".join(f"other{i} term{i % 3}" for i in range(25))
+        proc2 = simhash_batch_processor(
+            store, lambda cls, e: None, namespace="run2"
+        )
+        proc2(
+            spark.createDataFrame(
+                [(150, t_e, "en", "z", len(t_e))], DOCS_SCHEMA
+            ),
+            1,
+        )
+        assert store.read("simhash").count() == 5
     finally:
         store.drop()
