@@ -537,6 +537,22 @@ Round 14 also persists the IVF-PQ index (the composed query's serving
   persisted models with idempotent batch-id replay. Function-level
   machinery with a pinned round-trip (not a registry query — the
   serve result is definitionally the registered query's).
+Round 14 also adds pipeline_clean_corpus_v3 — the FIVE-family
+  curation capstone: v2 plus the SimHash component stage inserted
+  between near and semantic (syntactic-before-semantic waterfall
+  rule), survivor-aware like the stages v2 added, components from the
+  session-shared banded-Hamming chain at HAM_MAX (zero new kernels;
+  the oracle composes the shared _simhash_cand_ham_sql, which grew a
+  tag parameter because its outer hashed/bands CTEs collide with
+  _LSH_CANDIDATES_SQL's nested names — DuckDB's planner INTERNAL-errors
+  on that shadowing under WITH RECURSIVE instead of resolving it, a
+  recorded engine quirk). Crafted claims: the word-permutation fixture
+  (identical SimHash, distinct digests, disjoint shingles, no
+  embeddings) that ONLY the fifth family fully catches; exact-stage
+  precedence; upstream-count equality + keep-subset vs v2 on the
+  standard corpus. Full rigging checklist; bench EXTENDED;
+  r15-rotation priority with the other two r14 newcomers.
+  Registry: 155 queries / 152 oracle-bearing.
 """
 
 from iceberg_explorer_spark.operators.registry import QUERIES, QuerySpec, query  # noqa: F401

@@ -926,25 +926,32 @@ def _simhash_combine_sql() -> str:
     )
 
 
-def _simhash_sig_sql() -> str:
+def _simhash_sig_sql(tag: str = "") -> str:
     """Oracle fragment: the per-doc SimHash signature CTE chain ending
-    in ``sigs(doc_id, simhash)`` — ONE definition shared by the
+    in ``sigs{tag}(doc_id, simhash)`` — ONE definition shared by the
     fingerprint report (dedup_simhash) and the banded Hamming near-dup
     operator (dedup_simhash_hamming), so the signature rule cannot fork
     between them. ``sigs`` is MATERIALIZED: DuckDB inlines plain CTEs
-    per reference site, and the Hamming operator reads it from six."""
-    return f"""toks AS (
+    per reference site, and the Hamming operator reads it from six.
+    ``tag`` suffixes every CTE name (the ``_cc_closure_sql`` rule) —
+    needed when the chain shares a statement with a fragment whose
+    NESTED WITH reuses a name: the v3 flagship found that an outer
+    MATERIALIZED ``hashed``/``bands`` colliding with
+    ``_LSH_CANDIDATES_SQL``'s inner ones makes DuckDB's planner fail
+    with an INTERNAL 'Recursive CTE scan without recursive CTE node'
+    instead of shadowing cleanly."""
+    return f"""toks{tag} AS (
       SELECT doc_id, UNNEST(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
       FROM documents
     ),
-    hashed AS (
-      SELECT doc_id, ('0x' || substr(md5(word), 1, 15))::BIGINT AS h FROM toks
+    hashed{tag} AS (
+      SELECT doc_id, ('0x' || substr(md5(word), 1, 15))::BIGINT AS h FROM toks{tag}
     ),
-    votes AS (
-      SELECT doc_id, {_simhash_sql_terms()} FROM hashed GROUP BY doc_id
+    votes{tag} AS (
+      SELECT doc_id, {_simhash_sql_terms()} FROM hashed{tag} GROUP BY doc_id
     ),
-    sigs AS MATERIALIZED (
-      SELECT doc_id, {_simhash_combine_sql()} AS simhash FROM votes
+    sigs{tag} AS MATERIALIZED (
+      SELECT doc_id, {_simhash_combine_sql()} AS simhash FROM votes{tag}
     )"""
 
 
@@ -1002,42 +1009,45 @@ def simhash_band_rows(sigs: DataFrame) -> DataFrame:
     )
 
 
-def _simhash_cand_ham_sql() -> str:
+def _simhash_cand_ham_sql(tag: str = "") -> str:
     """Oracle fragment: signatures → banded buckets → candidate pairs →
-    the MATERIALIZED ``hpairs(doc_a, doc_b, hamming)`` table of
+    the MATERIALIZED ``hpairs{tag}(doc_a, doc_b, hamming)`` table of
     UN-thresholded candidate Hamming distances — ONE chain shared by
-    dedup_simhash_hamming (filters at HAM_MAX) and
-    dedup_simhash_hamming_sweep (histograms every distance), so the
-    candidate generation and the distance rule cannot fork between the
-    operator and its calibration sweep."""
+    dedup_simhash_hamming (filters at HAM_MAX),
+    dedup_simhash_hamming_sweep (histograms every distance) and the v3
+    flagship's component stage (tagged: its statement also inlines
+    ``_LSH_CANDIDATES_SQL``, whose nested WITH reuses ``hashed`` and
+    ``bands`` — see ``_simhash_sig_sql``'s tag note), so the candidate
+    generation and the distance rule cannot fork between the operator,
+    its calibration sweep and the flagship."""
     bands = " UNION ALL ".join(
         f"SELECT doc_id, {i} AS band,"
         f" (simhash >> {SIMHASH_BAND_BITS * i}) & {(1 << SIMHASH_BAND_BITS) - 1}"
-        f" AS bkey FROM sigs"
+        f" AS bkey FROM sigs{tag}"
         for i in range(SIMHASH_BANDS)
     )
-    return f"""{_simhash_sig_sql()},
-    bands AS MATERIALIZED (
+    return f"""{_simhash_sig_sql(tag)},
+    bands{tag} AS MATERIALIZED (
       {bands}
     ),
-    buckets AS (
-      SELECT band, bkey FROM bands GROUP BY band, bkey
+    buckets{tag} AS (
+      SELECT band, bkey FROM bands{tag} GROUP BY band, bkey
       HAVING COUNT(*) BETWEEN 2 AND {SIMHASH_MAX_BUCKET}
     ),
-    cands AS (
+    cands{tag} AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a
-      JOIN buckets k ON k.band = a.band AND k.bkey = a.bkey
-      JOIN bands b ON b.band = a.band AND b.bkey = a.bkey
+      FROM bands{tag} a
+      JOIN buckets{tag} k ON k.band = a.band AND k.bkey = a.bkey
+      JOIN bands{tag} b ON b.band = a.band AND b.bkey = a.bkey
            AND b.doc_id > a.doc_id
     ),
-    hpairs AS MATERIALIZED (
+    hpairs{tag} AS MATERIALIZED (
       SELECT c.doc_a, c.doc_b,
              CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT)
                AS hamming
-      FROM cands c
-      JOIN sigs sa ON sa.doc_id = c.doc_a
-      JOIN sigs sb ON sb.doc_id = c.doc_b
+      FROM cands{tag} c
+      JOIN sigs{tag} sa ON sa.doc_id = c.doc_a
+      JOIN sigs{tag} sb ON sb.doc_id = c.doc_b
     )"""
 
 

@@ -1526,6 +1526,311 @@ def pipeline_clean_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _clean_corpus_v3_oracle() -> str:
+    """Oracle for the v3 flagship: the v2 waterfall with the SimHash
+    component stage inserted between near and semantic — composed from
+    the same shared fragments plus the banded-Hamming candidate chain
+    (``_simhash_cand_ham_sql``) and a SECOND tagged CC closure."""
+    from iceberg_explorer_spark.operators.dedup import (
+        _cc_closure_sql,
+        _simhash_cand_ham_sql,
+        SIMHASH_HAM_MAX,
+    )
+    from iceberg_explorer_spark.operators.multimodal import _pair_keys_sql
+    from iceberg_explorer_spark.operators.similarity import (
+        _EMB_SQL,
+        _srp_code_duckdb,
+        NEAR_DUP_TAU,
+    )
+
+    return f"""
+    WITH RECURSIVE base AS (
+      SELECT doc_id, text, lang, source,
+             LEN(regexp_split_to_array(lower(trim(text)), '\\s+')) AS n_words,
+             COALESCE(LENGTH(text) > 0
+               AND LEN(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                   >= {MIN_WORDS}, FALSE) AS quality_ok
+      FROM documents
+    ),
+    exact_canon AS (
+      SELECT MIN(doc_id) AS doc_id FROM base WHERE quality_ok
+      GROUP BY md5(text)
+    ),
+    near_dups AS (
+      SELECT DISTINCT doc_b AS doc_id FROM ({_LSH_CANDIDATES_SQL})
+    ),
+    {_simhash_cand_ham_sql(tag="v3")},
+    hedges AS (
+      SELECT doc_a AS id_a, doc_b AS id_b FROM hpairsv3
+      WHERE hamming <= {SIMHASH_HAM_MAX}
+    ),
+    {_cc_closure_sql("hedges", "id_a", "id_b", "hcc", tag="sh")},
+    surv3 AS (
+      SELECT b.doc_id FROM base b
+      JOIN exact_canon ec ON b.doc_id = ec.doc_id
+      LEFT JOIN near_dups nd ON b.doc_id = nd.doc_id
+      WHERE b.quality_ok AND nd.doc_id IS NULL
+    ),
+    sim_drop AS (
+      SELECT doc_id FROM (
+        SELECT c.node AS doc_id,
+               MIN(c.node) OVER (PARTITION BY c.cluster_id) AS keep_id
+        FROM hcc c JOIN surv3 s ON s.doc_id = c.node
+      ) WHERE doc_id <> keep_id
+    ),
+    surv3b AS (
+      SELECT doc_id FROM surv3
+      WHERE doc_id NOT IN (SELECT doc_id FROM sim_drop)
+    ),
+    coded AS (
+      SELECT vec_id, embedding, {_srp_code_duckdb('embedding')} AS bucket
+      FROM {_EMB_SQL}
+    ),
+    prs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])), 6)
+               AS cos_sim
+      FROM coded a JOIN coded b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ),
+    sedges AS (SELECT id_a, id_b FROM prs WHERE cos_sim >= {NEAR_DUP_TAU}),
+    {_cc_closure_sql("sedges", "id_a", "id_b", "scc")},
+    sem_drop AS (
+      SELECT doc_id FROM (
+        SELECT c.node AS doc_id,
+               MIN(c.node) OVER (PARTITION BY c.cluster_id) AS keep_id
+        FROM scc c JOIN surv3b s ON s.doc_id = c.node
+      ) WHERE doc_id <> keep_id
+    ),
+    surv4 AS (
+      SELECT doc_id FROM surv3b
+      WHERE doc_id NOT IN (SELECT doc_id FROM sem_drop)
+    ),
+    {_pair_keys_sql()},
+    paired_drop AS (
+      SELECT doc_id FROM (
+        SELECT pk.doc_id,
+               MIN(pk.doc_id) OVER (PARTITION BY pk.ahash, pk.caption_fp)
+                 AS keep_id
+        FROM pkeys pk JOIN surv4 s ON s.doc_id = pk.doc_id
+      ) WHERE doc_id <> keep_id
+    ),
+    status AS (
+      SELECT b.source, b.lang, b.n_words, b.text,
+             CASE
+               WHEN NOT b.quality_ok THEN 'quality'
+               WHEN ec.doc_id IS NULL THEN 'exact'
+               WHEN nd.doc_id IS NOT NULL THEN 'near'
+               WHEN hd.doc_id IS NOT NULL THEN 'simhash'
+               WHEN sd.doc_id IS NOT NULL THEN 'semantic'
+               WHEN pd.doc_id IS NOT NULL THEN 'paired'
+               ELSE 'kept'
+             END AS drop_stage
+      FROM base b
+      LEFT JOIN exact_canon ec ON b.doc_id = ec.doc_id
+      LEFT JOIN near_dups nd ON b.doc_id = nd.doc_id
+      LEFT JOIN sim_drop hd ON b.doc_id = hd.doc_id
+      LEFT JOIN sem_drop sd ON b.doc_id = sd.doc_id
+      LEFT JOIN paired_drop pd ON b.doc_id = pd.doc_id
+    )
+    SELECT source, lang,
+           COUNT(*) AS n_docs,
+           COUNT(*) FILTER (WHERE drop_stage = 'quality') AS n_drop_quality,
+           COUNT(*) FILTER (WHERE drop_stage = 'exact') AS n_drop_exact,
+           COUNT(*) FILTER (WHERE drop_stage = 'near') AS n_drop_near,
+           COUNT(*) FILTER (WHERE drop_stage = 'simhash') AS n_drop_simhash,
+           COUNT(*) FILTER (WHERE drop_stage = 'semantic') AS n_drop_semantic,
+           COUNT(*) FILTER (WHERE drop_stage = 'paired') AS n_drop_paired,
+           COUNT(*) FILTER (WHERE drop_stage = 'kept') AS n_kept,
+           CAST(COALESCE(SUM(n_words) FILTER (WHERE drop_stage = 'kept'), 0)
+                AS BIGINT) AS total_words_kept,
+           CAST(COALESCE(SUM(CAST(CEIL(LENGTH(text) / 4.0) AS BIGINT))
+                           FILTER (WHERE drop_stage = 'kept'), 0)
+                AS BIGINT) AS est_bpe_tokens_kept
+    FROM status
+    GROUP BY source, lang
+    """
+
+
+@query(
+    "pipeline_clean_corpus_v3",
+    oracle=_clean_corpus_v3_oracle(),
+    doc="The v3 curation flagship (r14): ALL FIVE dedup families "
+    "composed into one keep-list with per-family drop attribution — v2 "
+    "plus the SimHash modality, inserted between near and semantic "
+    "(syntactic signature dedup before embedding-space dedup, the "
+    "cheap-to-expensive waterfall rule). The SimHash stage is "
+    "COMPONENT-based and SURVIVOR-AWARE like the two stages v2 added: "
+    "connected components over the corpus-wide banded-Hamming graph "
+    "(the session-shared dedup_simhash_hamming chain at HAM_MAX — the "
+    "one candidate definition, so the flagship cannot fork from the "
+    "standalone operator or its sweep), each component keeping the min "
+    "doc_id among members that survived quality/exact/near. Every "
+    "stage's drop list is a shared session artifact (LSH candidates, "
+    "simhash chain, semantic cluster labels, pair keys) — zero new "
+    "kernels; the spine is the same one wide left-join over tiny "
+    "drop/keep lists plus ONE partial-aggregated (source, lang) "
+    "shuffle. Crafted invariants pin v3-keep as a subset of v2-keep "
+    "with the three upstream stage counts identical (the SimHash stage "
+    "can only claim docs v2 attributed to semantic/paired/kept). At "
+    "100 TB each drop list is a parquet artifact and the CC runs over "
+    "the banded candidate graph (never all-pairs), the "
+    "dedup_clusters argument applied to the fifth family. "
+    "reference: no analogue — training-pipeline extension.",
+)
+def pipeline_clean_corpus_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from iceberg_explorer_spark.operators.dedup import (
+        SIMHASH_HAM_MAX,
+        connected_components,
+        shared_simhash_hamming,
+    )
+    from iceberg_explorer_spark.operators.multimodal import paired_pair_keys
+    from iceberg_explorer_spark.operators.similarity import (
+        shared_semantic_labels,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "text",
+        "lang",
+        "source",
+        F.size(_tokens()).alias("n_words"),
+    ).withColumn(
+        "quality_ok",
+        F.coalesce(
+            (F.length("text") > 0)
+            & (F.col("n_words") >= F.lit(MIN_WORDS)),
+            F.lit(False),
+        ),
+    )
+    exact_canon = (
+        base.filter("quality_ok")
+        .select(F.md5("text").alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", F.lit(True).alias("is_canon"))
+        .localCheckpoint(eager=True)
+    )
+    near_dups = (
+        shared_lsh_candidates(spark, sf_dir)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.lit(True).alias("near_drop"))
+    )
+    surv3_ids = (
+        base.filter("quality_ok")
+        .join(exact_canon.select("doc_id"), "doc_id", "left_semi")
+        .join(near_dups.select("doc_id"), "doc_id", "left_anti")
+        .select("doc_id")
+        .localCheckpoint(eager=True)
+    )
+    # SimHash stage: components over the corpus-wide banded-Hamming
+    # graph (the session-shared chain — re-reads during the CC loop are
+    # cache-served), min SURVIVING member per component keeps. comp is
+    # checkpointed for the same two-consumer reason as sem_drops below,
+    # and the loop's interim label persist is released immediately
+    # (the incremental_component_cls discipline).
+    hedges = (
+        shared_simhash_hamming(spark, sf_dir)
+        .filter(F.col("hamming") <= SIMHASH_HAM_MAX)
+        .select("doc_a", "doc_b")
+    )
+    hcc = connected_components(hedges)
+    comp = hcc.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    ).localCheckpoint(eager=True)
+    hcc.cc_persisted_labels.unpersist()
+    sim_members = comp.join(surv3_ids, "doc_id")
+    hw = W.partitionBy("cluster_id")
+    sim_drops = (
+        sim_members.withColumn("keep_id", F.min("doc_id").over(hw))
+        .filter(F.col("doc_id") != F.col("keep_id"))
+        .select("doc_id", F.lit(True).alias("sim_drop"))
+        .localCheckpoint(eager=True)
+    )
+    surv3b_ids = surv3_ids.join(
+        sim_drops.select("doc_id"), "doc_id", "left_anti"
+    ).localCheckpoint(eager=True)
+    sem_members = (
+        shared_semantic_labels(spark, sf_dir)
+        .join(surv3b_ids, F.col("id_a") == F.col("doc_id"))
+        .select("doc_id", "cluster_id")
+    )
+    cw = W.partitionBy("cluster_id")
+    sem_drops = (
+        sem_members.withColumn("keep_id", F.min("doc_id").over(cw))
+        .filter(F.col("doc_id") != F.col("keep_id"))
+        .select("doc_id", F.lit(True).alias("sem_drop"))
+        .localCheckpoint(eager=True)
+    )
+    surv4_ids = surv3b_ids.join(
+        sem_drops.select("doc_id"), "doc_id", "left_anti"
+    )
+    pk = paired_pair_keys(repartition_for_compute(docs)).select(
+        "doc_id", "ahash", "caption_fp"
+    )
+    pk_surv = pk.join(surv4_ids, "doc_id")
+    pw = W.partitionBy("ahash", "caption_fp")
+    paired_drops = (
+        pk_surv.withColumn("keep_id", F.min("doc_id").over(pw))
+        .filter(F.col("doc_id") != F.col("keep_id"))
+        .select("doc_id", F.lit(True).alias("paired_drop"))
+    )
+    status = (
+        base.join(exact_canon, "doc_id", "left")
+        .join(near_dups, "doc_id", "left")
+        .join(sim_drops, "doc_id", "left")
+        .join(sem_drops, "doc_id", "left")
+        .join(paired_drops, "doc_id", "left")
+        .select(
+            "source",
+            "lang",
+            "n_words",
+            "text",
+            F.when(~F.col("quality_ok"), F.lit("quality"))
+            .when(F.col("is_canon").isNull(), F.lit("exact"))
+            .when(F.col("near_drop").isNotNull(), F.lit("near"))
+            .when(F.col("sim_drop").isNotNull(), F.lit("simhash"))
+            .when(F.col("sem_drop").isNotNull(), F.lit("semantic"))
+            .when(F.col("paired_drop").isNotNull(), F.lit("paired"))
+            .otherwise(F.lit("kept"))
+            .alias("drop_stage"),
+        )
+    )
+    kept = F.col("drop_stage") == "kept"
+
+    def _n(stage: str):
+        return F.count(F.when(F.col("drop_stage") == stage, 1)).alias(
+            f"n_drop_{stage}" if stage != "kept" else "n_kept"
+        )
+
+    return status.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        _n("quality"),
+        _n("exact"),
+        _n("near"),
+        _n("simhash"),
+        _n("semantic"),
+        _n("paired"),
+        _n("kept"),
+        F.coalesce(F.sum(F.when(kept, F.col("n_words"))), F.lit(0))
+        .cast("bigint")
+        .alias("total_words_kept"),
+        F.coalesce(
+            F.sum(
+                F.when(kept, F.ceil(F.length("text") / 4.0).cast("bigint"))
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("est_bpe_tokens_kept"),
+    )
+
+
 def _incremental_status_sql() -> str:
     """The capstone oracle's CTE chain through ``status(doc_id, source,
     stage)`` — shared by pipeline_incremental_ingest (per-source stage

@@ -1458,3 +1458,23 @@ def test_bigram_lm_score_plan(spark):
     assert "doc_id" in plan[plan.index("Window ["):][:200]
     assert pi.has_partial_aggregate(df)
     assert pi.broadcast_hint_count(df) == 1
+
+
+def test_clean_corpus_v3_one_kernel_checkpointed_lists(spark):
+    """pipeline_clean_corpus_v3 composes all FIVE dedup families with
+    the v2 plan discipline intact: still exactly ONE Arrow-batched
+    Python kernel (the shared aHash decode — the simhash stage adds
+    zero kernels: its component labels come from the session-shared
+    banded-Hamming chain plus the CC loop, both checkpointed), every
+    stage's drop list is consumed as a materialized checkpoint (Scan
+    ExistingRDD), no corpus-wide Window (the stage windows partition by
+    cluster/pair key over bounded member frames), and nothing is
+    hint-forced to broadcast (every drop list grows with the corpus;
+    AQE converts from measured sizes)."""
+    df = build(spark, "pipeline_clean_corpus_v3")
+    plan = pi.physical_plan(df)
+    assert plan.count("MapInPandas") == 1
+    assert "BatchEvalPython" not in plan
+    assert "Scan ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+    assert pi.broadcast_hint_count(df) == 0

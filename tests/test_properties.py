@@ -5608,3 +5608,138 @@ def test_index_append_requires_backfill(spark):
     finally:
         s1.drop()
         s2.drop()
+
+
+def test_clean_corpus_v3_claims(spark, tmp_path):
+    """pipeline_clean_corpus_v3's distinguishing claims: (1) the
+    SimHash stage catches what NO earlier family can — three docs that
+    are permutations of one 25-word multiset have IDENTICAL SimHash
+    signatures (bag-of-token votes are order-insensitive) but distinct
+    digests (exact blind), disjoint word-trigram shingle sets (LSH
+    near blind — asserted, not assumed), and no embeddings (semantic
+    blind): v2's only partial catch is the cross-modal pair key
+    (order-insensitive caption fingerprint — it happens to claim ONE
+    of the two dups), so v2 keeps two of the three while v3 keeps
+    exactly the min and the simhash stage claims BOTH dups (upstream
+    of paired, which then claims nothing); (2) waterfall ordering — a
+    byte-identical pair still drops at EXACT (the simhash stage never
+    steals an earlier stage's claim even though identical texts are
+    also signature-identical, and the kept twin is the component's
+    surviving min); (3) on the standard corpus
+    the three upstream stage counts (quality/exact/near) are IDENTICAL
+    to v2's per (source, lang) and v3's keep count never exceeds
+    v2's, with the simhash stage's claims exactly the difference
+    flowing out of v2's downstream stages. Oracle-checked on the
+    crafted corpus."""
+    import duckdb
+
+    from iceberg_explorer_spark.operators import QUERIES
+    from iceberg_explorer_spark.operators.dedup import (
+        shared_lsh_candidates,
+        shared_simhash_hamming,
+        SIMHASH_HAM_MAX,
+    )
+    from tests.conftest import assert_matches_oracle
+
+    words = [f"word{i:02d}" for i in range(25)]
+    perm_a = " ".join(words)
+    perm_b = " ".join(reversed(words))
+    perm_c = " ".join(words[0::2] + words[1::2])
+    t_x = " ".join(f"other{i} body{i % 5}" for i in range(25))
+    rows = [
+        (1, t_x, "en", "bg", len(t_x)),         # normal doc
+        (30, perm_a, "en", "sg", len(perm_a)),  # perm group: min, kept
+        (40, perm_b, "en", "sg", len(perm_b)),  # -> simhash drop
+        (50, perm_c, "en", "sg", len(perm_c)),  # -> simhash drop
+        (60, " ".join(f"uniq{i:02d}" for i in range(25)), "en", "se", 0),
+        (61, " ".join(f"uniq{i:02d}" for i in range(25)), "en", "se", 0),
+        (70, "too short", "en", "sq", 9),       # -> quality drop
+    ]
+    d = str(tmp_path / "v3corpus")
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+
+    # the fixture's premises, asserted not assumed: the perm group is
+    # invisible to the LSH near stage (disjoint trigram shingles) and
+    # fully connected at Hamming 0 for the simhash stage
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in shared_lsh_candidates(spark, d).collect()
+    }
+    assert not {p for p in lsh if p[0] in (30, 40, 50) or p[1] in (30, 40, 50)}
+    ham = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in shared_simhash_hamming(spark, d)
+        .filter(f"hamming <= {SIMHASH_HAM_MAX}")
+        .collect()
+    }
+    assert ham[(30, 40)] == 0 and ham[(30, 50)] == 0
+
+    def report(name):
+        return {
+            (r["source"], r["lang"]): r
+            for r in QUERIES[name].builder(spark, d).collect()
+        }
+
+    v2 = report("pipeline_clean_corpus_v2")
+    v3 = report("pipeline_clean_corpus_v3")
+    sg2, sg3 = v2[("sg", "en")], v3[("sg", "en")]
+    # (1) the family-only catch: v2's near/semantic are blind, its
+    # paired key coincidentally claims one dup, two of three stay;
+    # v3's simhash stage (upstream of paired) claims both dups
+    assert (
+        sg2["n_kept"], sg2["n_drop_near"],
+        sg2["n_drop_semantic"], sg2["n_drop_paired"],
+    ) == (2, 0, 0, 1)
+    assert (
+        sg3["n_kept"], sg3["n_drop_simhash"], sg3["n_drop_paired"]
+    ) == (1, 2, 0)
+    # (2) identical texts still drop at exact, never simhash
+    se3 = v3[("se", "en")]
+    assert (se3["n_drop_exact"], se3["n_drop_simhash"], se3["n_kept"]) == (1, 0, 1)
+    assert v3[("sq", "en")]["n_drop_quality"] == 1
+
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{d}/{t}.parquet/*.parquet')"
+        )
+    spec = QUERIES["pipeline_clean_corpus_v3"]
+    assert_matches_oracle(
+        spec.builder(spark, d), con, spec.oracle,
+        "pipeline_clean_corpus_v3_crafted",
+    )
+
+    # (3) upstream-stage equality + keep-subset on the standard corpus
+    d_std = "/root/testdata/sf0.001"
+    v2s = {
+        (r["source"], r["lang"]): r
+        for r in QUERIES["pipeline_clean_corpus_v2"].builder(spark, d_std).collect()
+    }
+    v3s = {
+        (r["source"], r["lang"]): r
+        for r in QUERIES["pipeline_clean_corpus_v3"].builder(spark, d_std).collect()
+    }
+    assert set(v2s) == set(v3s)
+    for key in v2s:
+        a, b = v2s[key], v3s[key]
+        assert a["n_docs"] == b["n_docs"]
+        assert a["n_drop_quality"] == b["n_drop_quality"]
+        assert a["n_drop_exact"] == b["n_drop_exact"]
+        assert a["n_drop_near"] == b["n_drop_near"]
+        assert b["n_kept"] <= a["n_kept"]
+        # the simhash stage's claims flow exactly out of v2's
+        # downstream stages (semantic + paired + kept partitions the
+        # post-near population in both)
+        assert (
+            b["n_drop_simhash"] + b["n_drop_semantic"]
+            + b["n_drop_paired"] + b["n_kept"]
+        ) == (
+            a["n_drop_semantic"] + a["n_drop_paired"] + a["n_kept"]
+        )
