@@ -553,6 +553,23 @@ Round 14 also adds pipeline_clean_corpus_v3 — the FIVE-family
   standard corpus. Full rigging checklist; bench EXTENDED;
   r15-rotation priority with the other two r14 newcomers.
   Registry: 155 queries / 152 oracle-bearing.
+The r15 window plan (written at r14 freeze; execute verbatim if r14
+  comes back green): flagship + the THREE r14 out-of-window newcomers
+  (pipeline_clean_corpus_v3, similarity_ivf_pq_topk,
+  text_bigram_lm_score — their FIRST driver rows; after r14 they are
+  the only oracle-bearing queries with zero driver evidence) +
+  semi_join_active_customers (the one r11-latest, rolled from the r14
+  tie-break) + 45 of the 49 r12-latest (count it fresh from
+  CORRECTNESS_r01..r14 after the r14 rows land; the expected
+  composition is exactly 49 queries with latest row r12 — leave out
+  the FOUR with the MOST prior green rows, tie-break
+  alphabetical-first-out, and roll them into r16).
+  1 + 3 + 1 + 45 = 50 exactly. Bench r15: no graduation event —
+  headline_version stays 3, EXTENDED (the six post-r12 operators:
+  three r13 + three r14) keeps accumulating toward the next declared
+  overlap round, which should be declared one round ahead per the
+  standing policy once EXTENDED's size or the final-line budget calls
+  for it.
 """
 
 from iceberg_explorer_spark.operators.registry import QUERIES, QuerySpec, query  # noqa: F401
