@@ -549,8 +549,16 @@ Round 14 also adds pipeline_clean_corpus_v3 — the FIVE-family
   recorded engine quirk). Crafted claims: the word-permutation fixture
   (identical SimHash, distinct digests, disjoint shingles, no
   embeddings) that ONLY the fifth family fully catches; exact-stage
-  precedence; upstream-count equality + keep-subset vs v2 on the
-  standard corpus. Full rigging checklist; bench EXTENDED;
+  precedence; upstream-count equality + the downstream partition
+  identity vs v2 on the standard corpus; and the survivor-aware
+  RE-KEEPING case (the round's second review pass DISPROVED the naive
+  keep-subset claim by counterexample — dropping a simhash dup can
+  promote a different semantic keeper v2 dropped; pinned as designed
+  behavior, the claim corrected everywhere). The fold: since the
+  review pass, v2 and v3 are the with_simhash=False/True instances of
+  ONE parameterized chain (_clean_corpus_report/_clean_corpus_oracle)
+  — v2's physical plan verified byte-identical (normalized) across
+  the fold. Full rigging checklist; bench EXTENDED;
   r15-rotation priority with the other two r14 newcomers.
   Registry: 155 queries / 152 oracle-bearing.
 The r15 window plan (written at r14 freeze; execute verbatim if r14

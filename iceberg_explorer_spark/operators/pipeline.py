@@ -1230,12 +1230,21 @@ def pipeline_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-def _clean_corpus_v2_oracle() -> str:
-    """Oracle for the v2 flagship, composed lazily from the other
-    families' fragments (imported at call time to keep module import
-    order free of cycles): LSH candidates (dedup), SRP-bucketed cosine
-    closure (similarity), aHash + capped caption fingerprint
-    (multimodal/text)."""
+def _clean_corpus_oracle(with_simhash: bool) -> str:
+    """THE flagship oracle, parameterized by the SimHash stage (the r14
+    fold, prompted by the round's second review pass): v2 is the
+    four-family text, v3 inserts the banded-Hamming component stage
+    between near and semantic. ONE definition of every shared stage —
+    base/quality, exact canon, near list, semantic closure, pair keys,
+    the status precedence and the report tail — so a fix to any of
+    them cannot fork the two flagships (the ``_incremental_status_sql``
+    discipline applied to the batch capstones). Fragments imported at
+    call time to keep module import order free of cycles."""
+    from iceberg_explorer_spark.operators.dedup import (
+        _cc_closure_sql,
+        _simhash_cand_ham_sql,
+        SIMHASH_HAM_MAX,
+    )
     from iceberg_explorer_spark.operators.multimodal import _pair_keys_sql
     from iceberg_explorer_spark.operators.similarity import (
         _EMB_SQL,
@@ -1243,6 +1252,54 @@ def _clean_corpus_v2_oracle() -> str:
         NEAR_DUP_TAU,
     )
 
+    # the v3-only CTE blocks; tag="v3" because _simhash_cand_ham_sql's
+    # outer hashed/bands names collide with _LSH_CANDIDATES_SQL's
+    # nested ones (DuckDB INTERNAL-errors on that shadowing under
+    # WITH RECURSIVE — SCALE.md round-14)
+    sim_ctes = (
+        f"""{_simhash_cand_ham_sql(tag="v3")},
+    hedges AS (
+      SELECT doc_a AS id_a, doc_b AS id_b FROM hpairsv3
+      WHERE hamming <= {SIMHASH_HAM_MAX}
+    ),
+    {_cc_closure_sql("hedges", "id_a", "id_b", "hcc", tag="sh")},
+    """
+        if with_simhash
+        else ""
+    )
+    sim_stage = (
+        """
+    sim_drop AS (
+      SELECT doc_id FROM (
+        SELECT c.node AS doc_id,
+               MIN(c.node) OVER (PARTITION BY c.cluster_id) AS keep_id
+        FROM hcc c JOIN surv3 s ON s.doc_id = c.node
+      ) WHERE doc_id <> keep_id
+    ),
+    surv3b AS (
+      SELECT doc_id FROM surv3
+      WHERE doc_id NOT IN (SELECT doc_id FROM sim_drop)
+    ),"""
+        if with_simhash
+        else ""
+    )
+    surv_sem = "surv3b" if with_simhash else "surv3"
+    sim_join = (
+        "\n      LEFT JOIN sim_drop hd ON b.doc_id = hd.doc_id"
+        if with_simhash
+        else ""
+    )
+    sim_case = (
+        "\n               WHEN hd.doc_id IS NOT NULL THEN 'simhash'"
+        if with_simhash
+        else ""
+    )
+    sim_col = (
+        "\n           COUNT(*) FILTER (WHERE drop_stage = 'simhash')"
+        " AS n_drop_simhash,"
+        if with_simhash
+        else ""
+    )
     return f"""
     WITH RECURSIVE base AS (
       SELECT doc_id, text, lang, source,
@@ -1259,6 +1316,12 @@ def _clean_corpus_v2_oracle() -> str:
     near_dups AS (
       SELECT DISTINCT doc_b AS doc_id FROM ({_LSH_CANDIDATES_SQL})
     ),
+    {sim_ctes}surv3 AS (
+      SELECT b.doc_id FROM base b
+      JOIN exact_canon ec ON b.doc_id = ec.doc_id
+      LEFT JOIN near_dups nd ON b.doc_id = nd.doc_id
+      WHERE b.quality_ok AND nd.doc_id IS NULL
+    ),{sim_stage}
     coded AS (
       SELECT vec_id, embedding, {_srp_code_duckdb('embedding')} AS bucket
       FROM {_EMB_SQL}
@@ -1273,21 +1336,15 @@ def _clean_corpus_v2_oracle() -> str:
     ),
     sedges AS (SELECT id_a, id_b FROM prs WHERE cos_sim >= {NEAR_DUP_TAU}),
     {_cc_closure_sql("sedges", "id_a", "id_b", "scc")},
-    surv3 AS (
-      SELECT b.doc_id FROM base b
-      JOIN exact_canon ec ON b.doc_id = ec.doc_id
-      LEFT JOIN near_dups nd ON b.doc_id = nd.doc_id
-      WHERE b.quality_ok AND nd.doc_id IS NULL
-    ),
     sem_drop AS (
       SELECT doc_id FROM (
         SELECT c.node AS doc_id,
                MIN(c.node) OVER (PARTITION BY c.cluster_id) AS keep_id
-        FROM scc c JOIN surv3 s ON s.doc_id = c.node
+        FROM scc c JOIN {surv_sem} s ON s.doc_id = c.node
       ) WHERE doc_id <> keep_id
     ),
     surv4 AS (
-      SELECT doc_id FROM surv3
+      SELECT doc_id FROM {surv_sem}
       WHERE doc_id NOT IN (SELECT doc_id FROM sem_drop)
     ),
     {_pair_keys_sql()},
@@ -1304,14 +1361,14 @@ def _clean_corpus_v2_oracle() -> str:
              CASE
                WHEN NOT b.quality_ok THEN 'quality'
                WHEN ec.doc_id IS NULL THEN 'exact'
-               WHEN nd.doc_id IS NOT NULL THEN 'near'
+               WHEN nd.doc_id IS NOT NULL THEN 'near'{sim_case}
                WHEN sd.doc_id IS NOT NULL THEN 'semantic'
                WHEN pd.doc_id IS NOT NULL THEN 'paired'
                ELSE 'kept'
              END AS drop_stage
       FROM base b
       LEFT JOIN exact_canon ec ON b.doc_id = ec.doc_id
-      LEFT JOIN near_dups nd ON b.doc_id = nd.doc_id
+      LEFT JOIN near_dups nd ON b.doc_id = nd.doc_id{sim_join}
       LEFT JOIN sem_drop sd ON b.doc_id = sd.doc_id
       LEFT JOIN paired_drop pd ON b.doc_id = pd.doc_id
     )
@@ -1319,7 +1376,7 @@ def _clean_corpus_v2_oracle() -> str:
            COUNT(*) AS n_docs,
            COUNT(*) FILTER (WHERE drop_stage = 'quality') AS n_drop_quality,
            COUNT(*) FILTER (WHERE drop_stage = 'exact') AS n_drop_exact,
-           COUNT(*) FILTER (WHERE drop_stage = 'near') AS n_drop_near,
+           COUNT(*) FILTER (WHERE drop_stage = 'near') AS n_drop_near,{sim_col}
            COUNT(*) FILTER (WHERE drop_stage = 'semantic') AS n_drop_semantic,
            COUNT(*) FILTER (WHERE drop_stage = 'paired') AS n_drop_paired,
            COUNT(*) FILTER (WHERE drop_stage = 'kept') AS n_kept,
@@ -1333,43 +1390,15 @@ def _clean_corpus_v2_oracle() -> str:
     """
 
 
-@query(
-    "pipeline_clean_corpus_v2",
-    oracle=_clean_corpus_v2_oracle(),
-    doc="The v2 curation flagship: ALL FOUR dedup families composed into "
-    "one keep-list with per-family drop attribution. Waterfall order — "
-    "quality gate, exact (min doc per content digest), near (LSH "
-    "candidate drop list), semantic (SemDeDup cosine clusters), "
-    "cross-modal paired (aHash+caption-fingerprint pair groups) — each "
-    "doc is claimed by its FIRST failing stage, so the per-(source, "
-    "lang) report's n_drop_* columns partition n_docs exactly and "
-    "n_kept is the v2 keep-list size (a strict subset of v1's: v1 stops "
-    "at the near stage). Canonical selection in the semantic and paired "
-    "stages is SURVIVOR-AWARE: each group keeps the min doc_id among "
-    "members that passed every earlier stage, so a group whose global "
-    "min already fell to quality/exact/near still keeps one "
-    "representative instead of losing every copy (the same property "
-    "the exact stage gets from restricting its canon to quality "
-    "survivors). SCOPE: the survivor-aware property covers the two "
-    "stages v2 ADDS; the near stage deliberately keeps v1's "
-    "unconditional doc_b drop — near_dups IS v1's list, pinned by both "
-    "v1 parity and the v2-subset-of-v1 invariant, so a near pair whose "
-    "doc_a fell at quality/exact loses its last copy in v2 exactly as "
-    "it does in v1 (disclosed, not fixed: changing it would fork the "
-    "two flagships' near semantics). Zero new kernels: the near list "
-    "reads the session- "
-    "shared LSH candidate checkpoint, the semantic list reads the "
-    "shared cluster-label checkpoint (embeddings vec_id == doc_id, the "
-    "same identity dedup_semantic_keep_best uses), and the pair keys "
-    "reuse the shared aHash kernel + capped caption fingerprint "
-    "(multimodal.paired_pair_keys). One wide left-join spine over four "
-    "TINY drop/keep lists (each a digest/id projection — AQE broadcasts "
-    "them from measured size; at 100 TB each list is a parquet artifact "
-    "and the spine is the only full-corpus pass), then ONE "
-    "partial-aggregated shuffle on (source, lang). reference: no "
-    "analogue — training-pipeline extension.",
-)
-def pipeline_clean_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _clean_corpus_report(
+    spark: SparkSession, sf_dir: str, with_simhash: bool
+) -> DataFrame:
+    """THE flagship builder, parameterized exactly like
+    :func:`_clean_corpus_oracle` — pipeline_clean_corpus_v2 is the
+    ``False`` instance (operation-for-operation the pre-fold v2 plan)
+    and pipeline_clean_corpus_v3 the ``True`` instance. Single source
+    for every shared stage; the inline comments carry each stage's
+    standing rationale."""
     from iceberg_explorer_spark.operators.multimodal import paired_pair_keys
     from iceberg_explorer_spark.operators.similarity import (
         shared_semantic_labels,
@@ -1418,7 +1447,7 @@ def pipeline_clean_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .select("doc_id", F.lit(True).alias("near_drop"))
     )
-    # Canonical selection for the LAST TWO stages is SURVIVOR-AWARE: a
+    # Canonical selection for the LATER stages is SURVIVOR-AWARE: a
     # group's representative is the min doc_id among members that
     # survived every EARLIER stage, not the global group min — otherwise
     # a pair/cluster whose min-id member already fell to quality/exact/
@@ -1426,8 +1455,8 @@ def pipeline_clean_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one (the exact stage has always had this property: exact_canon
     # above restricts to quality survivors). The survivor id-list is the
     # per-stage keep-list artifact a production run materializes anyway;
-    # it feeds TWO branches (semantic members, paired survivors), so one
-    # narrow localCheckpoint per the standing multi-branch discipline.
+    # it feeds TWO branches, so one narrow localCheckpoint per the
+    # standing multi-branch discipline.
     from pyspark.sql import Window as W
 
     surv3_ids = (
@@ -1437,12 +1466,53 @@ def pipeline_clean_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .localCheckpoint(eager=True)
     )
+    if with_simhash:
+        from iceberg_explorer_spark.operators.dedup import (
+            SIMHASH_HAM_MAX,
+            connected_components,
+            shared_simhash_hamming,
+        )
+
+        # SimHash stage (v3): components over the corpus-wide
+        # banded-Hamming graph (the session-shared chain — re-reads
+        # during the CC loop are cache-served), min SURVIVING member
+        # per component keeps. comp's eager checkpoint is load-bearing
+        # for the unpersist ORDER, not a multi-consumer share: it must
+        # materialize BEFORE cc_persisted_labels is released, or
+        # comp's lineage still depends on the released cache and the
+        # whole CC iteration recomputes on first use (the
+        # incremental_component_cls discipline).
+        hedges = (
+            shared_simhash_hamming(spark, sf_dir)
+            .filter(F.col("hamming") <= SIMHASH_HAM_MAX)
+            .select("doc_a", "doc_b")
+        )
+        hcc = connected_components(hedges)
+        comp = hcc.select(
+            F.col("node").alias("doc_id"),
+            F.col("component").alias("cluster_id"),
+        ).localCheckpoint(eager=True)
+        hcc.cc_persisted_labels.unpersist()
+        sim_members = comp.join(surv3_ids, "doc_id")
+        hw = W.partitionBy("cluster_id")
+        sim_drops = (
+            sim_members.withColumn("keep_id", F.min("doc_id").over(hw))
+            .filter(F.col("doc_id") != F.col("keep_id"))
+            .select("doc_id", F.lit(True).alias("sim_drop"))
+            .localCheckpoint(eager=True)
+        )
+        surv_sem_ids = surv3_ids.join(
+            sim_drops.select("doc_id"), "doc_id", "left_anti"
+        ).localCheckpoint(eager=True)
+    else:
+        sim_drops = None
+        surv_sem_ids = surv3_ids
     # semantic: among SURVIVING members of each cluster, keep the min —
     # the member frame is tiny (only docs in multi-member clusters), so
     # the window partitions by cluster over a bounded frame
     sem_members = (
         shared_semantic_labels(spark, sf_dir)
-        .join(surv3_ids, F.col("id_a") == F.col("doc_id"))
+        .join(surv_sem_ids, F.col("id_a") == F.col("doc_id"))
         .select("doc_id", "cluster_id")
     )
     cw = W.partitionBy("cluster_id")
@@ -1455,7 +1525,7 @@ def pipeline_clean_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         # re-running the cluster-min window per branch
         .localCheckpoint(eager=True)
     )
-    surv4_ids = surv3_ids.join(
+    surv4_ids = surv_sem_ids.join(
         sem_drops.select("doc_id"), "doc_id", "left_anti"
     )
     # paired: min SURVIVING member per pair-key group, as a MIN window
@@ -1478,37 +1548,43 @@ def pipeline_clean_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") != F.col("keep_id"))
         .select("doc_id", F.lit(True).alias("paired_drop"))
     )
-    status = (
-        base.join(exact_canon, "doc_id", "left")
-        .join(near_dups, "doc_id", "left")
-        .join(sem_drops, "doc_id", "left")
-        .join(paired_drops, "doc_id", "left")
-        .select(
-            "source",
-            "lang",
-            "n_words",
-            "text",
-            F.when(~F.col("quality_ok"), F.lit("quality"))
-            .when(F.col("is_canon").isNull(), F.lit("exact"))
-            .when(F.col("near_drop").isNotNull(), F.lit("near"))
-            .when(F.col("sem_drop").isNotNull(), F.lit("semantic"))
-            .when(F.col("paired_drop").isNotNull(), F.lit("paired"))
-            .otherwise(F.lit("kept"))
-            .alias("drop_stage"),
-        )
+    spine = base.join(exact_canon, "doc_id", "left").join(
+        near_dups, "doc_id", "left"
+    )
+    if with_simhash:
+        spine = spine.join(sim_drops, "doc_id", "left")
+    spine = spine.join(sem_drops, "doc_id", "left").join(
+        paired_drops, "doc_id", "left"
+    )
+    stage = F.when(~F.col("quality_ok"), F.lit("quality")).when(
+        F.col("is_canon").isNull(), F.lit("exact")
+    ).when(F.col("near_drop").isNotNull(), F.lit("near"))
+    if with_simhash:
+        stage = stage.when(F.col("sim_drop").isNotNull(), F.lit("simhash"))
+    stage = (
+        stage.when(F.col("sem_drop").isNotNull(), F.lit("semantic"))
+        .when(F.col("paired_drop").isNotNull(), F.lit("paired"))
+        .otherwise(F.lit("kept"))
+    )
+    status = spine.select(
+        "source", "lang", "n_words", "text", stage.alias("drop_stage")
     )
     kept = F.col("drop_stage") == "kept"
 
-    def _n(stage: str):
-        return F.count(F.when(F.col("drop_stage") == stage, 1)).alias(
-            f"n_drop_{stage}" if stage != "kept" else "n_kept"
+    def _n(stage_name: str):
+        return F.count(F.when(F.col("drop_stage") == stage_name, 1)).alias(
+            f"n_drop_{stage_name}" if stage_name != "kept" else "n_kept"
         )
 
-    return status.groupBy("source", "lang").agg(
+    aggs = [
         F.count(F.lit(1)).alias("n_docs"),
         _n("quality"),
         _n("exact"),
         _n("near"),
+    ]
+    if with_simhash:
+        aggs.append(_n("simhash"))
+    aggs += [
         _n("semantic"),
         _n("paired"),
         _n("kept"),
@@ -1523,312 +1599,87 @@ def pipeline_clean_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("est_bpe_tokens_kept"),
-    )
+    ]
+    return status.groupBy("source", "lang").agg(*aggs)
 
 
-def _clean_corpus_v3_oracle() -> str:
-    """Oracle for the v3 flagship: the v2 waterfall with the SimHash
-    component stage inserted between near and semantic — composed from
-    the same shared fragments plus the banded-Hamming candidate chain
-    (``_simhash_cand_ham_sql``) and a SECOND tagged CC closure."""
-    from iceberg_explorer_spark.operators.dedup import (
-        _cc_closure_sql,
-        _simhash_cand_ham_sql,
-        SIMHASH_HAM_MAX,
-    )
-    from iceberg_explorer_spark.operators.multimodal import _pair_keys_sql
-    from iceberg_explorer_spark.operators.similarity import (
-        _EMB_SQL,
-        _srp_code_duckdb,
-        NEAR_DUP_TAU,
-    )
-
-    return f"""
-    WITH RECURSIVE base AS (
-      SELECT doc_id, text, lang, source,
-             LEN(regexp_split_to_array(lower(trim(text)), '\\s+')) AS n_words,
-             COALESCE(LENGTH(text) > 0
-               AND LEN(regexp_split_to_array(lower(trim(text)), '\\s+'))
-                   >= {MIN_WORDS}, FALSE) AS quality_ok
-      FROM documents
-    ),
-    exact_canon AS (
-      SELECT MIN(doc_id) AS doc_id FROM base WHERE quality_ok
-      GROUP BY md5(text)
-    ),
-    near_dups AS (
-      SELECT DISTINCT doc_b AS doc_id FROM ({_LSH_CANDIDATES_SQL})
-    ),
-    {_simhash_cand_ham_sql(tag="v3")},
-    hedges AS (
-      SELECT doc_a AS id_a, doc_b AS id_b FROM hpairsv3
-      WHERE hamming <= {SIMHASH_HAM_MAX}
-    ),
-    {_cc_closure_sql("hedges", "id_a", "id_b", "hcc", tag="sh")},
-    surv3 AS (
-      SELECT b.doc_id FROM base b
-      JOIN exact_canon ec ON b.doc_id = ec.doc_id
-      LEFT JOIN near_dups nd ON b.doc_id = nd.doc_id
-      WHERE b.quality_ok AND nd.doc_id IS NULL
-    ),
-    sim_drop AS (
-      SELECT doc_id FROM (
-        SELECT c.node AS doc_id,
-               MIN(c.node) OVER (PARTITION BY c.cluster_id) AS keep_id
-        FROM hcc c JOIN surv3 s ON s.doc_id = c.node
-      ) WHERE doc_id <> keep_id
-    ),
-    surv3b AS (
-      SELECT doc_id FROM surv3
-      WHERE doc_id NOT IN (SELECT doc_id FROM sim_drop)
-    ),
-    coded AS (
-      SELECT vec_id, embedding, {_srp_code_duckdb('embedding')} AS bucket
-      FROM {_EMB_SQL}
-    ),
-    prs AS (
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                          CAST(b.embedding AS DOUBLE[])), 6)
-               AS cos_sim
-      FROM coded a JOIN coded b
-        ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-    ),
-    sedges AS (SELECT id_a, id_b FROM prs WHERE cos_sim >= {NEAR_DUP_TAU}),
-    {_cc_closure_sql("sedges", "id_a", "id_b", "scc")},
-    sem_drop AS (
-      SELECT doc_id FROM (
-        SELECT c.node AS doc_id,
-               MIN(c.node) OVER (PARTITION BY c.cluster_id) AS keep_id
-        FROM scc c JOIN surv3b s ON s.doc_id = c.node
-      ) WHERE doc_id <> keep_id
-    ),
-    surv4 AS (
-      SELECT doc_id FROM surv3b
-      WHERE doc_id NOT IN (SELECT doc_id FROM sem_drop)
-    ),
-    {_pair_keys_sql()},
-    paired_drop AS (
-      SELECT doc_id FROM (
-        SELECT pk.doc_id,
-               MIN(pk.doc_id) OVER (PARTITION BY pk.ahash, pk.caption_fp)
-                 AS keep_id
-        FROM pkeys pk JOIN surv4 s ON s.doc_id = pk.doc_id
-      ) WHERE doc_id <> keep_id
-    ),
-    status AS (
-      SELECT b.source, b.lang, b.n_words, b.text,
-             CASE
-               WHEN NOT b.quality_ok THEN 'quality'
-               WHEN ec.doc_id IS NULL THEN 'exact'
-               WHEN nd.doc_id IS NOT NULL THEN 'near'
-               WHEN hd.doc_id IS NOT NULL THEN 'simhash'
-               WHEN sd.doc_id IS NOT NULL THEN 'semantic'
-               WHEN pd.doc_id IS NOT NULL THEN 'paired'
-               ELSE 'kept'
-             END AS drop_stage
-      FROM base b
-      LEFT JOIN exact_canon ec ON b.doc_id = ec.doc_id
-      LEFT JOIN near_dups nd ON b.doc_id = nd.doc_id
-      LEFT JOIN sim_drop hd ON b.doc_id = hd.doc_id
-      LEFT JOIN sem_drop sd ON b.doc_id = sd.doc_id
-      LEFT JOIN paired_drop pd ON b.doc_id = pd.doc_id
-    )
-    SELECT source, lang,
-           COUNT(*) AS n_docs,
-           COUNT(*) FILTER (WHERE drop_stage = 'quality') AS n_drop_quality,
-           COUNT(*) FILTER (WHERE drop_stage = 'exact') AS n_drop_exact,
-           COUNT(*) FILTER (WHERE drop_stage = 'near') AS n_drop_near,
-           COUNT(*) FILTER (WHERE drop_stage = 'simhash') AS n_drop_simhash,
-           COUNT(*) FILTER (WHERE drop_stage = 'semantic') AS n_drop_semantic,
-           COUNT(*) FILTER (WHERE drop_stage = 'paired') AS n_drop_paired,
-           COUNT(*) FILTER (WHERE drop_stage = 'kept') AS n_kept,
-           CAST(COALESCE(SUM(n_words) FILTER (WHERE drop_stage = 'kept'), 0)
-                AS BIGINT) AS total_words_kept,
-           CAST(COALESCE(SUM(CAST(CEIL(LENGTH(text) / 4.0) AS BIGINT))
-                           FILTER (WHERE drop_stage = 'kept'), 0)
-                AS BIGINT) AS est_bpe_tokens_kept
-    FROM status
-    GROUP BY source, lang
-    """
+@query(
+    "pipeline_clean_corpus_v2",
+    oracle=_clean_corpus_oracle(False),
+    doc="The v2 curation flagship: ALL FOUR dedup families composed into "
+    "one keep-list with per-family drop attribution. Waterfall order — "
+    "quality gate, exact (min doc per content digest), near (LSH "
+    "candidate drop list), semantic (SemDeDup cosine clusters), "
+    "cross-modal paired (aHash+caption-fingerprint pair groups) — each "
+    "doc is claimed by its FIRST failing stage, so the per-(source, "
+    "lang) report's n_drop_* columns partition n_docs exactly and "
+    "n_kept is the v2 keep-list size (a strict subset of v1's: v1 stops "
+    "at the near stage). Canonical selection in the semantic and paired "
+    "stages is SURVIVOR-AWARE: each group keeps the min doc_id among "
+    "members that passed every earlier stage, so a group whose global "
+    "min already fell to quality/exact/near still keeps one "
+    "representative instead of losing every copy (the same property "
+    "the exact stage gets from restricting its canon to quality "
+    "survivors). SCOPE: the survivor-aware property covers the two "
+    "stages v2 ADDS; the near stage deliberately keeps v1's "
+    "unconditional doc_b drop — near_dups IS v1's list, pinned by both "
+    "v1 parity and the v2-subset-of-v1 invariant, so a near pair whose "
+    "doc_a fell at quality/exact loses its last copy in v2 exactly as "
+    "it does in v1 (disclosed, not fixed: changing it would fork the "
+    "two flagships' near semantics). Zero new kernels: the near list "
+    "reads the session- "
+    "shared LSH candidate checkpoint, the semantic list reads the "
+    "shared cluster-label checkpoint (embeddings vec_id == doc_id, the "
+    "same identity dedup_semantic_keep_best uses), and the pair keys "
+    "reuse the shared aHash kernel + capped caption fingerprint "
+    "(multimodal.paired_pair_keys). One wide left-join spine over four "
+    "TINY drop/keep lists (each a digest/id projection — AQE broadcasts "
+    "them from measured size; at 100 TB each list is a parquet artifact "
+    "and the spine is the only full-corpus pass), then ONE "
+    "partial-aggregated shuffle on (source, lang). Since the r14 fold, "
+    "v2 is the with_simhash=False instance of the ONE parameterized "
+    "flagship chain (_clean_corpus_report/_clean_corpus_oracle) it "
+    "shares with v3 — operation-for-operation the pre-fold plan. "
+    "reference: no analogue — training-pipeline extension.",
+)
+def pipeline_clean_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _clean_corpus_report(spark, sf_dir, with_simhash=False)
 
 
 @query(
     "pipeline_clean_corpus_v3",
-    oracle=_clean_corpus_v3_oracle(),
+    oracle=_clean_corpus_oracle(True),
     doc="The v3 curation flagship (r14): ALL FIVE dedup families "
     "composed into one keep-list with per-family drop attribution — v2 "
     "plus the SimHash modality, inserted between near and semantic "
     "(syntactic signature dedup before embedding-space dedup, the "
-    "cheap-to-expensive waterfall rule). The SimHash stage is "
-    "COMPONENT-based and SURVIVOR-AWARE like the two stages v2 added: "
-    "connected components over the corpus-wide banded-Hamming graph "
-    "(the session-shared dedup_simhash_hamming chain at HAM_MAX — the "
-    "one candidate definition, so the flagship cannot fork from the "
-    "standalone operator or its sweep), each component keeping the min "
-    "doc_id among members that survived quality/exact/near. Every "
-    "stage's drop list is a shared session artifact (LSH candidates, "
-    "simhash chain, semantic cluster labels, pair keys) — zero new "
-    "kernels; the spine is the same one wide left-join over tiny "
-    "drop/keep lists plus ONE partial-aggregated (source, lang) "
-    "shuffle. Crafted invariants pin v3-keep as a subset of v2-keep "
-    "with the three upstream stage counts identical (the SimHash stage "
-    "can only claim docs v2 attributed to semantic/paired/kept). At "
-    "100 TB each drop list is a parquet artifact and the CC runs over "
-    "the banded candidate graph (never all-pairs), the "
-    "dedup_clusters argument applied to the fifth family. "
-    "reference: no analogue — training-pipeline extension.",
+    "cheap-to-expensive waterfall rule); the with_simhash=True "
+    "instance of the ONE parameterized flagship chain shared with v2. "
+    "The SimHash stage is COMPONENT-based and SURVIVOR-AWARE like the "
+    "two stages v2 added: connected components over the corpus-wide "
+    "banded-Hamming graph (the session-shared dedup_simhash_hamming "
+    "chain at HAM_MAX — the one candidate definition, so the flagship "
+    "cannot fork from the standalone operator or its sweep), each "
+    "component keeping the min doc_id among members that survived "
+    "quality/exact/near. Versus v2: the three upstream stage counts "
+    "are IDENTICAL by construction (pinned), and per (source, lang) "
+    "the simhash+semantic+paired+kept columns partition exactly the "
+    "population v2 splits into semantic+paired+kept (pinned). v3's "
+    "keep-SET is NOT a subset of v2's, by design: dropping a simhash "
+    "dup can promote a DIFFERENT surviving member as a downstream "
+    "cluster's keeper — survivor-aware re-keeping working as intended, "
+    "pinned by a crafted re-keeping case (the claim a naive subset "
+    "invariant would get wrong; disproven by counterexample in the "
+    "round's review pass). Every stage's drop list is a shared session "
+    "artifact — zero new kernels; the spine is the same one wide "
+    "left-join over tiny drop/keep lists plus ONE partial-aggregated "
+    "(source, lang) shuffle. At 100 TB each drop list is a parquet "
+    "artifact and the CC runs over the banded candidate graph (never "
+    "all-pairs), the dedup_clusters argument applied to the fifth "
+    "family. reference: no analogue — training-pipeline extension.",
 )
 def pipeline_clean_corpus_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
-    from iceberg_explorer_spark.operators.dedup import (
-        SIMHASH_HAM_MAX,
-        connected_components,
-        shared_simhash_hamming,
-    )
-    from iceberg_explorer_spark.operators.multimodal import paired_pair_keys
-    from iceberg_explorer_spark.operators.similarity import (
-        shared_semantic_labels,
-    )
-
-    docs = load_table(spark, sf_dir, "documents")
-    base = docs.select(
-        "doc_id",
-        "text",
-        "lang",
-        "source",
-        F.size(_tokens()).alias("n_words"),
-    ).withColumn(
-        "quality_ok",
-        F.coalesce(
-            (F.length("text") > 0)
-            & (F.col("n_words") >= F.lit(MIN_WORDS)),
-            F.lit(False),
-        ),
-    )
-    exact_canon = (
-        base.filter("quality_ok")
-        .select(F.md5("text").alias("content_hash"), "doc_id")
-        .groupBy("content_hash")
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id", F.lit(True).alias("is_canon"))
-        .localCheckpoint(eager=True)
-    )
-    near_dups = (
-        shared_lsh_candidates(spark, sf_dir)
-        .select(F.col("doc_b").alias("doc_id"))
-        .distinct()
-        .select("doc_id", F.lit(True).alias("near_drop"))
-    )
-    surv3_ids = (
-        base.filter("quality_ok")
-        .join(exact_canon.select("doc_id"), "doc_id", "left_semi")
-        .join(near_dups.select("doc_id"), "doc_id", "left_anti")
-        .select("doc_id")
-        .localCheckpoint(eager=True)
-    )
-    # SimHash stage: components over the corpus-wide banded-Hamming
-    # graph (the session-shared chain — re-reads during the CC loop are
-    # cache-served), min SURVIVING member per component keeps. comp is
-    # checkpointed for the same two-consumer reason as sem_drops below,
-    # and the loop's interim label persist is released immediately
-    # (the incremental_component_cls discipline).
-    hedges = (
-        shared_simhash_hamming(spark, sf_dir)
-        .filter(F.col("hamming") <= SIMHASH_HAM_MAX)
-        .select("doc_a", "doc_b")
-    )
-    hcc = connected_components(hedges)
-    comp = hcc.select(
-        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
-    ).localCheckpoint(eager=True)
-    hcc.cc_persisted_labels.unpersist()
-    sim_members = comp.join(surv3_ids, "doc_id")
-    hw = W.partitionBy("cluster_id")
-    sim_drops = (
-        sim_members.withColumn("keep_id", F.min("doc_id").over(hw))
-        .filter(F.col("doc_id") != F.col("keep_id"))
-        .select("doc_id", F.lit(True).alias("sim_drop"))
-        .localCheckpoint(eager=True)
-    )
-    surv3b_ids = surv3_ids.join(
-        sim_drops.select("doc_id"), "doc_id", "left_anti"
-    ).localCheckpoint(eager=True)
-    sem_members = (
-        shared_semantic_labels(spark, sf_dir)
-        .join(surv3b_ids, F.col("id_a") == F.col("doc_id"))
-        .select("doc_id", "cluster_id")
-    )
-    cw = W.partitionBy("cluster_id")
-    sem_drops = (
-        sem_members.withColumn("keep_id", F.min("doc_id").over(cw))
-        .filter(F.col("doc_id") != F.col("keep_id"))
-        .select("doc_id", F.lit(True).alias("sem_drop"))
-        .localCheckpoint(eager=True)
-    )
-    surv4_ids = surv3b_ids.join(
-        sem_drops.select("doc_id"), "doc_id", "left_anti"
-    )
-    pk = paired_pair_keys(repartition_for_compute(docs)).select(
-        "doc_id", "ahash", "caption_fp"
-    )
-    pk_surv = pk.join(surv4_ids, "doc_id")
-    pw = W.partitionBy("ahash", "caption_fp")
-    paired_drops = (
-        pk_surv.withColumn("keep_id", F.min("doc_id").over(pw))
-        .filter(F.col("doc_id") != F.col("keep_id"))
-        .select("doc_id", F.lit(True).alias("paired_drop"))
-    )
-    status = (
-        base.join(exact_canon, "doc_id", "left")
-        .join(near_dups, "doc_id", "left")
-        .join(sim_drops, "doc_id", "left")
-        .join(sem_drops, "doc_id", "left")
-        .join(paired_drops, "doc_id", "left")
-        .select(
-            "source",
-            "lang",
-            "n_words",
-            "text",
-            F.when(~F.col("quality_ok"), F.lit("quality"))
-            .when(F.col("is_canon").isNull(), F.lit("exact"))
-            .when(F.col("near_drop").isNotNull(), F.lit("near"))
-            .when(F.col("sim_drop").isNotNull(), F.lit("simhash"))
-            .when(F.col("sem_drop").isNotNull(), F.lit("semantic"))
-            .when(F.col("paired_drop").isNotNull(), F.lit("paired"))
-            .otherwise(F.lit("kept"))
-            .alias("drop_stage"),
-        )
-    )
-    kept = F.col("drop_stage") == "kept"
-
-    def _n(stage: str):
-        return F.count(F.when(F.col("drop_stage") == stage, 1)).alias(
-            f"n_drop_{stage}" if stage != "kept" else "n_kept"
-        )
-
-    return status.groupBy("source", "lang").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        _n("quality"),
-        _n("exact"),
-        _n("near"),
-        _n("simhash"),
-        _n("semantic"),
-        _n("paired"),
-        _n("kept"),
-        F.coalesce(F.sum(F.when(kept, F.col("n_words"))), F.lit(0))
-        .cast("bigint")
-        .alias("total_words_kept"),
-        F.coalesce(
-            F.sum(
-                F.when(kept, F.ceil(F.length("text") / 4.0).cast("bigint"))
-            ),
-            F.lit(0),
-        )
-        .cast("bigint")
-        .alias("est_bpe_tokens_kept"),
-    )
+    return _clean_corpus_report(spark, sf_dir, with_simhash=True)
 
 
 def _incremental_status_sql() -> str:

@@ -5627,10 +5627,16 @@ def test_clean_corpus_v3_claims(spark, tmp_path):
     also signature-identical, and the kept twin is the component's
     surviving min); (3) on the standard corpus
     the three upstream stage counts (quality/exact/near) are IDENTICAL
-    to v2's per (source, lang) and v3's keep count never exceeds
-    v2's, with the simhash stage's claims exactly the difference
-    flowing out of v2's downstream stages. Oracle-checked on the
-    crafted corpus."""
+    to v2's per (source, lang) and v3's
+    simhash+semantic+paired+kept columns partition exactly the
+    population v2 splits into semantic+paired+kept; (4) v3's keep-SET
+    is deliberately NOT a subset of v2's — survivor-aware RE-KEEPING:
+    when the simhash stage drops the doc v2 used as a semantic
+    cluster's keeper, v3's semantic stage keeps a DIFFERENT surviving
+    member that v2 dropped (the round's review pass disproved the
+    naive subset claim by this exact counterexample; the behavior is
+    the survivor-aware property working as designed, so it is pinned,
+    not patched away). Oracle-checked on the crafted corpora."""
     import duckdb
 
     from iceberg_explorer_spark.operators import QUERIES
@@ -5733,13 +5739,60 @@ def test_clean_corpus_v3_claims(spark, tmp_path):
         assert a["n_drop_quality"] == b["n_drop_quality"]
         assert a["n_drop_exact"] == b["n_drop_exact"]
         assert a["n_drop_near"] == b["n_drop_near"]
-        assert b["n_kept"] <= a["n_kept"]
-        # the simhash stage's claims flow exactly out of v2's
-        # downstream stages (semantic + paired + kept partitions the
-        # post-near population in both)
+        # the post-near population per group is identical in both, so
+        # v3's four downstream columns partition exactly what v2's
+        # three do (NOTE: no n_kept <= assertion — the keep-set is
+        # deliberately not a subset, see claim (4) below)
         assert (
             b["n_drop_simhash"] + b["n_drop_semantic"]
             + b["n_drop_paired"] + b["n_kept"]
         ) == (
             a["n_drop_semantic"] + a["n_drop_paired"] + a["n_kept"]
+        )
+
+    # (4) survivor-aware RE-KEEPING, the reason keep-subset is NOT an
+    # invariant: docs 3/5 are simhash dups (word perms), docs 5/9 are
+    # semantic dups (identical embeddings, vec_id == doc_id), doc 9
+    # isolated in its own source. v2 keeps 5 as the semantic keeper
+    # and drops 9; v3 drops 5 at simhash, so its semantic stage keeps
+    # 9 — a doc v2 dropped, and source-y's n_kept EXCEEDS v2's.
+    t_z = " ".join(f"zeta{i} leaf{i % 6}" for i in range(25))
+    rows2 = [
+        (3, perm_a, "en", "p", len(perm_a)),
+        (5, perm_b, "en", "p", len(perm_b)),
+        (9, t_z, "en", "y", len(t_z)),
+    ]
+    vec = [1.0] + [0.5] * 63
+    d2 = str(tmp_path / "v3rekeep")
+    spark.createDataFrame(
+        rows2,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d2}/documents.parquet")
+    spark.createDataFrame(
+        [(5, vec, 0), (9, vec, 0)],
+        "vec_id long, embedding array<float>, label int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d2}/embeddings.parquet")
+    v2r = {
+        (r["source"]): r
+        for r in QUERIES["pipeline_clean_corpus_v2"].builder(spark, d2).collect()
+    }
+    v3r = {
+        (r["source"]): r
+        for r in QUERIES["pipeline_clean_corpus_v3"].builder(spark, d2).collect()
+    }
+    assert (v2r["y"]["n_kept"], v2r["y"]["n_drop_semantic"]) == (0, 1)
+    assert (v3r["y"]["n_kept"], v3r["y"]["n_drop_semantic"]) == (1, 0)
+    assert v3r["p"]["n_drop_simhash"] == 1
+    assert v3r["y"]["n_kept"] > v2r["y"]["n_kept"]  # non-subset, pinned
+    # both flagships oracle-checked on the re-keeping corpus too
+    con2 = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con2.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{d2}/{t}.parquet/*.parquet')"
+        )
+    for name in ("pipeline_clean_corpus_v2", "pipeline_clean_corpus_v3"):
+        sp = QUERIES[name]
+        assert_matches_oracle(
+            sp.builder(spark, d2), con2, sp.oracle, f"{name}_rekeep"
         )
