@@ -1215,12 +1215,28 @@ def _micro_half_up(x: float) -> int:
     return int(f) + 1 if m > 0 else int(f)
 
 
+def ivfpq_codebook(store) -> "list[tuple[int, int, list[float]]]":
+    """The collected (m, code, chunk) codebook rows — the per-PUBLISH
+    half of the serve's driver work, hoisted (r14 serve measurement:
+    the per-serve codebook collect was most of the code serve's fixed
+    gap vs the vector serve at small SF). The codebook is immutable
+    between index publishes, so a serving process collects it ONCE per
+    publish and hands it to every ``ivfpq_topk_from_store`` call;
+    O(M x PQ_K) rows, the bounded legitimacy class."""
+    store.read("pq_codebook")  # heal a crashed compaction first
+    return [
+        (r["m"], r["code"], list(r["ce"]))
+        for r in store.spark.table(store.table_name("pq_codebook")).collect()
+    ]
+
+
 def ivfpq_topk_from_store(
     store,
     query_vec: "list[float]",
     query_vec_id: "int | None" = None,
     nprobe: int = IVF_NPROBE,
     k: int = 10,
+    codebook: "list[tuple[int, int, list[float]]] | None" = None,
 ) -> DataFrame:
     """Serve similarity_ivf_pq_topk's semantics from the persisted
     code index — row-identical to the registered query (pinned by the
@@ -1237,7 +1253,11 @@ def ivfpq_topk_from_store(
 
     Driver-side work is O(K + M x PQ_K) (the probe ranking collect and
     the codebook collect) — the bounded legitimacy class, same as
-    ``ivf_topk_from_store``. LUT float parity with the registered
+    ``ivf_topk_from_store``. ``codebook``: pass
+    :func:`ivfpq_codebook`'s result to hoist the per-serve codebook
+    collect to once-per-publish (the measured fixed-cost item; the
+    LUT itself is per-query — it depends on the query vector — and
+    stays in the serve). LUT float parity with the registered
     query is exact by construction: the dot is the same
     products-then-sequential-fold order as ``_DOT_SPARK`` over the
     identical stored doubles, and the micro quantization replicates
@@ -1275,8 +1295,12 @@ def ivfpq_topk_from_store(
     # driver work, inlined as literal arrays so scoring is projection
     sub_w = DIM // PQ_M
     contrib = [[0] * PQ_K for _ in range(PQ_M)]
-    for r in s.table(_serve_table(store, "pq_codebook")).collect():
-        m, code, ce = r["m"], r["code"], r["ce"]
+    if codebook is None:
+        codebook = [
+            (r["m"], r["code"], r["ce"])
+            for r in s.table(_serve_table(store, "pq_codebook")).collect()
+        ]
+    for m, code, ce in codebook:
         qchunk = query_vec[m * sub_w : (m + 1) * sub_w]
         # products first, then a sequential fold — _DOT_SPARK's order
         prods = [float(a) * float(b) for a, b in zip(qchunk, ce)]

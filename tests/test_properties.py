@@ -5500,6 +5500,19 @@ def test_ivfpq_store_round_trip_pruned_serve(spark):
             .collect()
         ]
         assert got == want, (got, want)
+        # the hoisted-codebook production path (ivfpq_codebook collected
+        # once per publish, handed to every serve) is row-identical
+        from iceberg_explorer_spark.operators.similarity import (
+            ivfpq_codebook,
+        )
+
+        cb = ivfpq_codebook(store)
+        assert [
+            tuple(r)
+            for r in ivfpq_topk_from_store(
+                store, qv, query_vec_id=0, codebook=cb
+            ).collect()
+        ] == got
 
         # (2) the pure-projection serve plan
         plan = pi.physical_plan(served)
