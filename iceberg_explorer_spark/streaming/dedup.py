@@ -12,6 +12,20 @@ foreachBatch with epoch-id idempotent appends (exactly-once state, the
 standard foreachBatch pattern on the store's batch-id machinery). Both
 share their rule's single definition with the batch path.
 
+SCOPE (why these two are the streaming stories): they cover the two
+distinct state MECHANISMS streaming dedup can use — keyed GroupState
+for per-key rules, artifact-as-state + foreachBatch for transitive
+rules. The remaining batch modalities (MinHash near, semantic,
+paired) are all transitive/multi-key and would run the SECOND
+mechanism verbatim: their batch rules already exist as
+``incremental_*_from_artifacts`` functions taking a history store, so
+a twin is ``foreachBatch(classify against store, sink, idempotent
+append)`` with a different classify call — mechanically identical to
+``simhash_batch_processor``, no new streaming mechanism, no new state
+design. Registering them would duplicate evidence, not add it; a
+production pipeline picks the modality by swapping the classify
+function.
+
 The batch incremental family classifies each nightly increment against
 persisted digest artifacts (``operators/incremental_artifacts``). The
 exact twin is the SAME seen/canon rule: each micro-batch is a "day",
