@@ -1025,3 +1025,91 @@ def test_replayed_store_append_is_noop(spark):
         assert store.read("digests").count() == 73
     finally:
         store.drop()
+
+
+def test_replayed_append_generative_schedules(spark):
+    """Generative hammer for the idempotent-append contract: three
+    deterministic pseudo-random multi-night SCHEDULES (md5-seeded) of
+    interleaved operations — land a new batch, REPLAY a uniformly
+    chosen earlier batch, or COMPACT — driven against a Python model
+    of what the artifact must contain. Invariants after every step:
+    (1) a replay returns False and the artifact's row count equals the
+    model's (no batch ever double-lands, including replays issued
+    AFTER compaction rewrote the table); (2) a new batch returns True
+    and adds exactly its rows; (3) at the end, the artifact's rows are
+    exactly the union of every landed batch (value-checked, not just
+    counted). This covers shapes the crafted test does not: replays of
+    deep history, multiple compactions between landings, and
+    replay-after-compact-after-replay chains."""
+    import hashlib
+
+    import pyspark.sql.functions as F
+
+    from iceberg_explorer_spark.operators.incremental_artifacts import (
+        BucketedArtifactStore,
+    )
+
+    def h(*parts) -> int:
+        return hashlib.md5(":".join(map(str, parts)).encode()).digest()[0]
+
+    def digests(lo, n):
+        return spark.range(lo, lo + n).select(
+            F.md5(F.col("id").cast("string")).alias("h")
+        )
+
+    for seed in ("s1", "s2", "s3"):
+        store = BucketedArtifactStore(
+            spark, f"t_art_gen_{seed}", n_buckets=2
+        )
+        try:
+            store.write("digests", digests(0, 7))
+            model = {  # batch_id -> (lo, n) of landed rows
+                "__backfill": (0, 7),
+            }
+            landed_order = []
+            next_lo = 1000
+            n_ops = 8 + h(seed, "ops") % 5
+            for step in range(n_ops):
+                kind = h(seed, step, "kind") % 4
+                if kind == 0 and landed_order:
+                    # replay a uniformly chosen earlier batch
+                    bid = landed_order[
+                        h(seed, step, "pick") % len(landed_order)
+                    ]
+                    lo, n = model[bid]
+                    assert (
+                        store.append("digests", digests(lo, n), batch_id=bid)
+                        is False
+                    ), (seed, step, bid)
+                elif kind == 1:
+                    store.compact()
+                else:
+                    bid = f"night-{step}"
+                    n = 3 + h(seed, step, "n") % 5
+                    assert (
+                        store.append(
+                            "digests", digests(next_lo, n), batch_id=bid
+                        )
+                        is True
+                    ), (seed, step, bid)
+                    model[bid] = (next_lo, n)
+                    landed_order.append(bid)
+                    next_lo += 100
+                expected = sum(n for _lo, n in model.values())
+                assert store.read("digests").count() == expected, (
+                    seed, step, kind,
+                )
+            # exact value check: artifact rows == union of landed rows
+            want = None
+            for lo, n in model.values():
+                d = digests(lo, n)
+                want = d if want is None else want.unionByName(d)
+            assert (
+                store.read("digests")
+                .exceptAll(want)
+                .unionByName(want.exceptAll(store.read("digests")))
+                .count()
+                == 0
+            ), seed
+        finally:
+            store.drop()
