@@ -706,3 +706,133 @@ def test_streaming_simhash_dedup_parity_and_exactly_once(spark, tmp_path):
         assert store.read("simhash").count() == 5
     finally:
         store.drop()
+
+
+@pytest.mark.parametrize("seed", ["g1", "g2"])
+def test_streaming_simhash_generative_parity(spark, tmp_path, seed):
+    """Generative multi-day parity for the streaming SimHash twin (the
+    exact twin's generative pin applied to the second modality): a
+    deterministic pseudo-random corpus of word-POOL permutation groups
+    (same multiset -> identical SimHash; permutations -> distinct
+    digests) recurring within and across days is drained through the
+    real file-source stream and must match the batch rule
+    (simhash_cls_from_history with the history union grown by each
+    day's kept signatures) per-doc — parity computed GENERICALLY from
+    the flags, never hand-written stages, so it covers shapes the
+    crafted test does not: groups recurring across three days,
+    multi-member same-day groups, days whose every group is
+    history-claimed, and whatever chance cross-pool Hamming
+    collisions the seed produces (both sides run the same rule, so
+    parity holds regardless). Post-drain state must be exactly
+    history + every day's kept signatures, exactly once."""
+    import hashlib
+    import os
+
+    from pyspark.sql import functions as F
+
+    from iceberg_explorer_spark.operators.dedup import simhash_signatures
+    from iceberg_explorer_spark.operators.incremental_artifacts import (
+        BucketedArtifactStore,
+        simhash_cls_from_history,
+    )
+    from iceberg_explorer_spark.streaming.dedup import (
+        DOCS_SCHEMA,
+        read_documents_stream,
+        streaming_simhash_dedup,
+    )
+
+    def h(*parts) -> int:
+        return hashlib.md5(":".join(map(str, parts)).encode()).digest()[0]
+
+    pools = {
+        p: [f"p{p}w{i:02d}" for i in range(25)] for p in range(4)
+    }
+
+    def perm_text(pool: int, which: int) -> str:
+        w = pools[pool]
+        if which % 3 == 1:
+            w = list(reversed(w))
+        elif which % 3 == 2:
+            w = w[0::2] + w[1::2]
+        return " ".join(w)
+
+    n_days = 2 + h(seed, "days") % 2
+    days, next_id = [], 100
+    for day in range(n_days):
+        rows = []
+        for g in range(2 + h(seed, day, "groups") % 3):
+            pool = h(seed, day, g, "pool") % 4
+            for m in range(1 + h(seed, day, g, "size") % 3):
+                t = perm_text(pool, h(seed, day, g, m, "perm"))
+                rows.append((next_id, t, "en", f"s{pool}", len(t)))
+                next_id += 1
+        days.append(rows)
+    hist_docs = [(3, perm_text(0, 0), "en", "web", 1)]
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    for i, rows in enumerate(days):
+        f = str(tmp_path / f"d{i}.parquet")
+        spark.createDataFrame(rows, DOCS_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f)
+        part = [
+            p for p in os.listdir(f)
+            if p.endswith(".parquet") and not p.startswith((".", "_"))
+        ][0]
+        dst = os.path.join(landing, f"d{i}.parquet")
+        os.rename(os.path.join(f, part), dst)
+        os.utime(dst, (1_000 * (i + 1), 1_000 * (i + 1)))
+
+    store = BucketedArtifactStore(
+        spark, f"t_stream_simgen_{seed}", n_buckets=2,
+        artifacts={"simhash": ("doc_id",)},
+    )
+    try:
+        store.write(
+            "simhash",
+            simhash_signatures(spark.createDataFrame(hist_docs, DOCS_SCHEMA)),
+        )
+        results: dict[int, dict] = {}
+
+        def sink(cls, epoch_id):
+            results[int(epoch_id)] = {
+                r["doc_id"]: (r["vs_corpus"], r["in_batch"])
+                for r in cls.collect()
+            }
+
+        q = streaming_simhash_dedup(
+            read_documents_stream(spark, landing), store, sink,
+            str(tmp_path / f"ckpt_{seed}"),
+        )
+        q.awaitTermination(180)
+        assert sorted(results) == list(range(n_days)), results
+
+        # batch replay with the grown-history rule, parity per day
+        hist = simhash_signatures(
+            spark.createDataFrame(hist_docs, DOCS_SCHEMA)
+        )
+        expected_state = {3}
+        for i, rows in enumerate(days):
+            d = spark.createDataFrame(rows, DOCS_SCHEMA)
+            cls = simhash_cls_from_history(d, hist).localCheckpoint(
+                eager=True
+            )
+            batch_flags = {
+                r["doc_id"]: (r["vs_corpus"], r["in_batch"])
+                for r in cls.collect()
+            }
+            assert batch_flags == results[i], (seed, i)
+            kept = cls.filter(
+                (F.col("vs_corpus") == 0) & (F.col("in_batch") == 0)
+            ).select("doc_id")
+            expected_state |= {r["doc_id"] for r in kept.collect()}
+            hist = hist.unionByName(
+                simhash_signatures(d.join(kept, "doc_id"))
+            ).distinct()
+
+        state = {r["doc_id"] for r in store.read("simhash").collect()}
+        assert state == expected_state, (seed, state, expected_state)
+        assert store.read("simhash").count() == len(expected_state)
+    finally:
+        store.drop()
