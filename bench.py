@@ -20,7 +20,12 @@ Output protocol (two lines, the FINAL line is the driver-parseable one):
    separately so the trend line stays comparable.
    ``cpu_probe_sec``/``cpu_probe_1t_sec`` are the load-calibration
    scalars (see :func:`cpu_probe`) that make bench conditions
-   machine-readable in the artifact itself.
+   machine-readable in the artifact itself;
+   ``cpu_probe_post_sec``/``cpu_probe_post_1t_sec`` repeat the probe
+   immediately AFTER the timed loop so mid-run load drift — the
+   adjudicated cause of round 14's +17% driver headline artifact — is
+   self-diagnosing in-artifact (read the pre/post PAIR; see
+   :func:`format_output`).
 
 Rounds 3-4 recorded ``parsed: null`` driver-side: the single all-queries JSON
 line grew past 2 kB (65 queries) and the driver's tail parse stopped
@@ -287,6 +292,8 @@ def format_output(
     graduating: tuple[str, ...] | list[str] = (),
     cpu_probe_sec: float | None = None,
     cpu_probe_1t_sec: float | None = None,
+    cpu_probe_post_sec: float | None = None,
+    cpu_probe_post_1t_sec: float | None = None,
     status_build: float | None = None,
     pairs_build: float | None = None,
     simhash_build: float | None = None,
@@ -322,7 +329,18 @@ def format_output(
     ``cpu_probe_sec`` / ``cpu_probe_1t_sec`` are the load-calibration
     scalars from :func:`cpu_probe`, measured immediately before the timed
     loop — they ride on BOTH lines so every artifact carries its own
-    bench-conditions context."""
+    bench-conditions context. ``cpu_probe_post_sec`` /
+    ``cpu_probe_post_1t_sec`` are the SAME probe measured immediately
+    AFTER the timed loop (VERDICT r14 #2): round 14's driver artifact
+    showed a +17% headline move that every out-of-artifact signal
+    attributed to co-tenant load arriving mid-run — invisible to a single
+    pre-loop probe (min-of-iters does not help when the load persists
+    across both iterations). Read the PAIR: pre≈post≈floor → timings are
+    trustworthy; post >> pre → load arrived during the loop and `value`
+    overstates the code; pre >> post → the loop started under load that
+    lifted. Telemetry only — the measurement set and protocol are
+    unchanged. The post pair rides the final line too when the <500-byte
+    budget holds; the slowest-map ladder degrades safely if not."""
     ext = set(extended)
     grad = set(graduating)
     headline_timings = {
@@ -350,6 +368,8 @@ def format_output(
             "simhash_build": simhash_build,
             "cpu_probe_sec": cpu_probe_sec,
             "cpu_probe_1t_sec": cpu_probe_1t_sec,
+            "cpu_probe_post_sec": cpu_probe_post_sec,
+            "cpu_probe_post_1t_sec": cpu_probe_post_1t_sec,
         }
     )
     # Degrade, never die: an oversized final line must shrink (fewer
@@ -388,6 +408,10 @@ def format_output(
                 # moves against these — see cpu_probe's docstring
                 "cpu_probe_sec": cpu_probe_sec,
                 "cpu_probe_1t_sec": cpu_probe_1t_sec,
+                # the same probe AFTER the timed loop (VERDICT r14 #2):
+                # post >> pre = load arrived mid-run, value overstates
+                "cpu_probe_post_sec": cpu_probe_post_sec,
+                "cpu_probe_post_1t_sec": cpu_probe_post_1t_sec,
                 # names the measurement set `value` covers — see the
                 # HEADLINE GRADUATION POLICY note at HEADLINE_VERSION
                 "headline_version": HEADLINE_VERSION,
@@ -546,6 +570,11 @@ def main() -> None:
                 t = round(time.perf_counter() - t0, 3)
                 timings[name] = min(timings.get(name, t), t)
 
+        # measure load context again immediately AFTER the timed loop
+        # (VERDICT r14 #2): the pre/post pair brackets the window the
+        # timings were taken in, so mid-run load drift shows in-artifact
+        cpu_probe_post_sec, cpu_probe_post_1t_sec = cpu_probe()
+
         m = re.search(r"sf([0-9.]+)", SF_DIR)
         sf = float(m.group(1).rstrip(".")) if m else None
         detail_line, final_line = format_output(
@@ -560,6 +589,8 @@ def main() -> None:
             semantic_build=semantic_build,
             cpu_probe_sec=cpu_probe_sec,
             cpu_probe_1t_sec=cpu_probe_1t_sec,
+            cpu_probe_post_sec=cpu_probe_post_sec,
+            cpu_probe_post_1t_sec=cpu_probe_post_1t_sec,
             status_build=status_build,
             pairs_build=pairs_build,
             simhash_build=simhash_build,

@@ -57,10 +57,11 @@ def test_final_line_compact_at_current_headline_size():
         {name: 123.456 for name in HEADLINE}, {}, 0.1, 2,
         candidate_build=12.345, probe_build=1.666, semantic_build=1.387,
         cpu_probe_sec=0.299, cpu_probe_1t_sec=0.189, status_build=2.5,
-        pairs_build=1.5,
+        pairs_build=1.5, cpu_probe_post_sec=0.301,
+        cpu_probe_post_1t_sec=0.191,
     )
     assert len(full) < 500
-    assert len(json.loads(full)["queries"]) >= 4
+    assert len(json.loads(full)["queries"]) >= 3
 
 
 def test_extended_queries_excluded_from_trend_value():
@@ -283,12 +284,17 @@ def test_cpu_probe_calibration_keys():
     detail, final = format_output(
         timings, {}, 0.1, 2, cpu_probe_sec=mt, cpu_probe_1t_sec=st,
         status_build=2.5, pairs_build=1.5,
+        cpu_probe_post_sec=mt, cpu_probe_post_1t_sec=st,
     )
     assert len(final) < 500, len(final)
     for line in (detail, final):
         parsed = json.loads(line)
         assert parsed["cpu_probe_sec"] == mt
         assert parsed["cpu_probe_1t_sec"] == st
+        # VERDICT r14 #2: the SAME probe measured after the timed loop
+        # rides both lines so mid-run load drift is self-diagnosing
+        assert parsed["cpu_probe_post_sec"] == mt
+        assert parsed["cpu_probe_post_1t_sec"] == st
     # the one-time incremental-status / pair-key materializations are
     # DETAIL-line-only since r13 (they joined simhash_build there so the
     # overlap round's v3 keys don't push the final line's slowest map to
@@ -299,3 +305,23 @@ def test_cpu_probe_calibration_keys():
     parsed_final = json.loads(final)
     assert "status_build" not in parsed_final
     assert "pairs_build" not in parsed_final
+
+
+def test_cpu_probe_pair_brackets_timed_loop():
+    """Pins VERDICT r14 #2: main() measures the SAME cpu_probe twice —
+    once immediately before the timed loop and once immediately after —
+    so the artifact can distinguish "machine got busy mid-run" (post >>
+    pre, uniform per-query inflation; round 14's +17% driver headline)
+    from "code got slower" (pre ≈ post ≈ floor, targeted per-query
+    moves). Telemetry only: the measurement set and min-of-iters
+    protocol are unchanged, pinned here by the call ordering."""
+    import inspect
+
+    import bench
+
+    src = inspect.getsource(bench.main)
+    pre = src.index("cpu_probe_sec, cpu_probe_1t_sec = cpu_probe()")
+    loop = src.index("for _ in range(ITERS):")
+    post = src.index("cpu_probe_post_sec, cpu_probe_post_1t_sec = cpu_probe()")
+    fmt = src.index("format_output(")
+    assert pre < loop < post < fmt
