@@ -340,7 +340,32 @@ class BucketedArtifactStore:
         the commit phase itself, not the whole job; Iceberg's atomic
         snapshot commit is the form that closes it completely. Without
         ``batch_id`` the append is the pre-r14 non-transactional write
-        (retries must re-run from the pre-append snapshot)."""
+        (retries must re-run from the pre-append snapshot).
+
+        BACKFILL-FIRST (r15, ADVICE r14): a ``batch_id`` append onto a
+        table that does not exist raises — it would skip the replay
+        probe and CREATE an increment-only table that readers would
+        treat as the whole corpus. The gate lives here at the store
+        layer so future artifact specs inherit it instead of each
+        caller re-implementing the existence check (the index stores'
+        r14 commit-marker gates remain as their richer, marker-aware
+        versions). Id-LESS appends keep CREATE-on-append (legacy
+        convenience; no replay probe to corrupt).
+
+        EMPTY batches (r15, ADVICE r14): an increment with no rows
+        lands no provenance, so without special handling its replay
+        would read as first-landed (True) forever — a silent contract
+        degradation for zero-row nights. The store therefore
+        short-circuits: an empty ``batch_id`` increment returns True
+        WITHOUT writing (vacuously landed — there is nothing to
+        double-land, so its replays returning True again is harmless
+        and now the DEFINED behavior, not an accident), and the
+        zero-row commit is skipped entirely. The emptiness probe is a
+        ``limit(1)`` on the increment AFTER the replay probe; nightly
+        callers pass checkpointed/micro-batch frames where that is a
+        block read, and for an expensive uncached frame it costs at
+        most the frame's first-row computation — which the write was
+        about to pay anyway."""
         with _STORE_LOCK:
             self._recover_interrupted_compaction(name)
             t = self.table_name(name)
@@ -361,6 +386,21 @@ class BucketedArtifactStore:
                     .count()
                 ):
                     return False  # replay of an already-landed batch
+            elif batch_id is not None:
+                # backfill-first at the STORE layer (r15, ADVICE r14):
+                # an idempotent append onto a table that does not exist
+                # would skip the replay probe and CREATE an
+                # increment-only table that every reader treats as the
+                # corpus — the hazard the r14 review closed at the
+                # index-store callers, now inherited by any future
+                # artifact spec instead of re-remembered per caller.
+                raise ValueError(
+                    f"artifact table {t} does not exist — run the "
+                    "backfill (write) before idempotent appends; an "
+                    "append-created table would hold ONLY the increment"
+                )
+            if batch_id is not None and df.isEmpty():
+                return True  # vacuously landed; unrecorded by design
             self._write(
                 name,
                 # a pre-column table keeps its schema (a stamped frame

@@ -1224,9 +1224,11 @@ def ivfpq_codebook(store) -> "list[tuple[int, int, list[float]]]":
     publish and hands it to every ``ivfpq_topk_from_store`` call;
     O(M x PQ_K) rows, the bounded legitimacy class."""
     store.read("pq_codebook")  # heal a crashed compaction first
+    # database-QUALIFIED like every other serve-family read (VERDICT r14
+    # nit #2): correct regardless of the reading session's current db
     return [
         (r["m"], r["code"], list(r["ce"]))
-        for r in store.spark.table(store.table_name("pq_codebook")).collect()
+        for r in store.spark.table(_serve_table(store, "pq_codebook")).collect()
     ]
 
 

@@ -138,7 +138,7 @@ def _dedup_update(
     )
 
 
-def simhash_batch_processor(store, sink, namespace: str = "adhoc"):
+def simhash_batch_processor(store, sink, namespace: str):
     """The foreachBatch body of :func:`streaming_simhash_dedup`,
     exposed so tests can drive micro-batch RETRY semantics directly
     (Structured Streaming re-invokes the processor with the SAME epoch
@@ -176,7 +176,11 @@ def simhash_batch_processor(store, sink, namespace: str = "adhoc"):
     the same store, would otherwise collide with history's "epoch-0"
     and silently drop its first micro-batches as replays (review r14
     finding). ``streaming_simhash_dedup`` derives it from the
-    checkpoint path; direct callers pass their own run id."""
+    checkpoint path; direct callers pass their own run id. REQUIRED —
+    no default (r15, ADVICE r14): a shared default ("adhoc") would
+    make any two direct callers (or two runs of one caller) sharing a
+    store collide on ``adhoc-epoch-N`` and silently drop micro-batches
+    as replays, the exact failure the namespace exists to prevent."""
     import pyspark.sql.functions as F
 
     from iceberg_explorer_spark.operators.dedup import simhash_signatures

@@ -1113,3 +1113,63 @@ def test_replayed_append_generative_schedules(spark):
             ), seed
         finally:
             store.drop()
+
+
+def test_store_append_contract_edges_r15(spark):
+    """Pins the r15 store-contract hardening (ADVICE r14, all three
+    items): (1) an EMPTY batch-id increment returns True WITHOUT
+    landing rows or provenance, and — because replay detection is
+    vacuous for a batch that lands nothing — its replay returns True
+    again, now the DEFINED behavior rather than a silent degradation
+    of the True-landed/False-replay contract; (2) a batch-id append
+    onto a NONEXISTENT table raises instead of CREATE-on-appending an
+    increment-only table (the backfill-first contract, inherited at
+    the store layer); (3) id-LESS appends keep the legacy
+    CREATE-on-append convenience, so the gate is scoped to exactly
+    the replay-probe hazard."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from iceberg_explorer_spark.operators.incremental_artifacts import (
+        _BATCH_COL,
+        BucketedArtifactStore,
+    )
+
+    def digests(lo, hi):
+        return spark.range(lo, hi).select(
+            F.md5(F.col("id").cast("string")).alias("h")
+        )
+
+    store = BucketedArtifactStore(spark, "t_art_edges_r15", n_buckets=2)
+    try:
+        # (2) backfill-first: idempotent append before write() raises
+        with pytest.raises(ValueError, match="does not exist"):
+            store.append("digests", digests(0, 3), batch_id="night-0")
+        assert not store.exists("digests")
+        store.write("digests", digests(0, 10))
+        # (1) empty increments: vacuously landed, never recorded
+        empty = digests(0, 10).filter(F.lit(False))
+        assert store.append("digests", empty, batch_id="night-e") is True
+        assert store.read("digests").count() == 10
+        assert (
+            store.spark.table(store.table_name("digests"))
+            .filter(F.col(_BATCH_COL) == "night-e")
+            .count()
+            == 0
+        )  # no provenance row — unrecorded by design
+        assert store.append("digests", empty, batch_id="night-e") is True
+        assert store.read("digests").count() == 10
+        # a non-empty night after the empty one still lands normally
+        assert store.append("digests", digests(100, 105),
+                            batch_id="night-1") is True
+        assert store.append("digests", digests(100, 105),
+                            batch_id="night-1") is False
+        assert store.read("digests").count() == 15
+        # (3) id-less CREATE-on-append convenience is unchanged
+        sh = spark.range(0, 4).select(
+            F.col("id").alias("doc_id"), F.col("id").alias("hb")
+        )
+        store.append("shingles", sh)
+        assert store.read("shingles").count() == 4
+    finally:
+        store.drop()
