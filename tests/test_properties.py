@@ -5809,3 +5809,158 @@ def test_clean_corpus_v3_claims(spark, tmp_path):
         assert_matches_oracle(
             sp.builder(spark, d2), con2, sp.oracle, f"{name}_rekeep"
         )
+
+
+def test_index_store_generative_schedules(spark, tmp_path):
+    """Generative hammer for the persisted ANN index stores (VERDICT
+    r14 #4 — the dedup store got its md5-seeded schedules in r14; the
+    two INDEX stores rested on crafted round-trips): two deterministic
+    pseudo-random SCHEDULES of interleaved operations — land a new
+    nightly batch (on BOTH stores + the corpus), REPLAY a uniformly
+    chosen earlier batch, or COMPACT one store — driven against the
+    IN-SESSION registered queries over the evolving corpus as the
+    model. After EVERY step, both serve forms are row-parity-checked:
+    the vector serve (ivf_topk_from_store, demo-lookup path) against
+    similarity_ivf_topk, and the code serve (ivfpq_topk_from_store,
+    alternating per-serve and hoisted-codebook paths) against
+    similarity_ivf_pq_topk. This reaches shapes the crafted sequences
+    cannot: serves interleaved with compactions of the OTHER store,
+    replay-after-compact chains, and repeated serve-clone reuse across
+    table rewrites — the stale-clone-cache / refresh-ordering class
+    the r14 review caught twice by hand."""
+    import hashlib
+
+    import pyspark.sql.functions as F
+
+    from iceberg_explorer_spark.operators import QUERIES
+    from iceberg_explorer_spark.operators.similarity import (
+        IVF_K,
+        _load_emb,
+        _with_normalized,
+        ivf_append_lists,
+        ivf_backfill_lists,
+        ivf_store,
+        ivf_topk_from_store,
+        ivfpq_append,
+        ivfpq_backfill,
+        ivfpq_codebook,
+        ivfpq_store,
+        ivfpq_topk_from_store,
+    )
+
+    def h(*parts) -> int:
+        return hashlib.md5(":".join(map(str, parts)).encode()).digest()[0]
+
+    base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base_rows = [
+        (r["vec_id"], [float(x) for x in r["embedding"]], r["label"])
+        for r in base.collect()
+        if r["embedding"] is not None
+    ]
+    inc_schema = "vec_id long, embedding array<float>, label int"
+
+    # seeds screened (offline, same hash) so the two schedules jointly
+    # cover: compaction of EACH store, replays issued AFTER a
+    # compaction, and back-to-back replay chains — the generative
+    # driver is the hash, the seed choice just guarantees the mix:
+    #   ix5:  append append c-pq append replay append replay
+    #   ix13: append replay c-ivf c-pq append append replay
+    for seed in ("ix5", "ix13"):
+        corpus_dir = str(tmp_path / f"corpus_{seed}")
+        base.write.mode("overwrite").parquet(f"{corpus_dir}/embeddings.parquet")
+        ivf_s = ivf_store(spark, f"t_ivf_gen_{seed}", n_buckets=4)
+        pq_s = ivfpq_store(spark, f"t_ivfpq_gen_{seed}", n_buckets=4)
+        try:
+            ivf_backfill_lists(spark, corpus_dir, ivf_s)
+            ivfpq_backfill(spark, corpus_dir, pq_s)
+            cb = ivfpq_codebook(pq_s)  # hoisted once per publish
+            qv = [
+                float(x)
+                for x in _with_normalized(_load_emb(spark, corpus_dir))
+                .filter(F.col("vec_id") == 0)
+                .first()["ne"]
+            ]
+
+            def expected():
+                return (
+                    [
+                        tuple(r)
+                        for r in QUERIES["similarity_ivf_topk"]
+                        .builder(spark, corpus_dir)
+                        .collect()
+                    ],
+                    [
+                        tuple(r)
+                        for r in QUERIES["similarity_ivf_pq_topk"]
+                        .builder(spark, corpus_dir)
+                        .collect()
+                    ],
+                )
+
+            def increment_df(pairs):
+                return spark.createDataFrame(
+                    [
+                        (new_id, base_rows[src][1], base_rows[src][2])
+                        for new_id, src in pairs
+                    ],
+                    inc_schema,
+                )
+
+            exp_ivf, exp_pq = expected()
+            assert exp_ivf and exp_pq
+            model = {}  # batch_id -> [(new_id, src_row_index)]
+            landed_order = []
+            next_id = 10_000_000
+            n_ops = 5 + h(seed, "ops") % 3
+            for step in range(n_ops):
+                kind = h(seed, step, "kind") % 4
+                if kind == 0 and landed_order:
+                    bid = landed_order[
+                        h(seed, step, "pick") % len(landed_order)
+                    ]
+                    inc = increment_df(model[bid])
+                    assert ivf_append_lists(ivf_s, inc, batch_id=bid) is False
+                    assert ivfpq_append(pq_s, inc, batch_id=bid) is False
+                elif kind == 1:
+                    (ivf_s if h(seed, step, "which") % 2 else pq_s).compact()
+                else:
+                    bid = f"night-{step}"
+                    n = 2 + h(seed, step, "n") % 3
+                    pairs = [
+                        (
+                            next_id + i,
+                            (IVF_K + h(seed, step, "src", i))
+                            % len(base_rows),
+                        )
+                        for i in range(n)
+                    ]
+                    next_id += 100
+                    inc = increment_df(pairs)
+                    assert ivf_append_lists(ivf_s, inc, batch_id=bid) is True
+                    assert ivfpq_append(pq_s, inc, batch_id=bid) is True
+                    inc.write.mode("append").parquet(
+                        f"{corpus_dir}/embeddings.parquet"
+                    )
+                    model[bid] = pairs
+                    landed_order.append(bid)
+                    exp_ivf, exp_pq = expected()
+                # serve row-parity after EVERY step, both forms
+                got_ivf = [
+                    tuple(r) for r in ivf_topk_from_store(ivf_s).collect()
+                ]
+                assert got_ivf == exp_ivf, (seed, step, kind)
+                got_pq = [
+                    tuple(r)
+                    for r in ivfpq_topk_from_store(
+                        pq_s,
+                        qv,
+                        query_vec_id=0,
+                        codebook=cb
+                        if h(seed, step, "hoist") % 2
+                        else None,
+                    ).collect()
+                ]
+                assert got_pq == exp_pq, (seed, step, kind)
+        finally:
+            ivf_s.drop()
+            pq_s.drop()
