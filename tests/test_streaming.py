@@ -836,3 +836,149 @@ def test_streaming_simhash_generative_parity(spark, tmp_path, seed):
         assert store.read("simhash").count() == len(expected_state)
     finally:
         store.drop()
+
+
+def test_epoch_keyed_sink_idempotence(spark):
+    """epoch_keyed_sink (r15 — VERDICT r14 #5): the executable form of
+    the sink-idempotence contract simhash_batch_processor documents.
+    Claims: (1) a first delivery lands the epoch's classification in
+    the sink artifact (epoch_id column appended; the artifact is
+    auto-backfilled empty on first use) and fires the chained `inner`
+    exactly once; (2) crash BETWEEN sink and state append — the retry
+    re-delivers the same classification, the sink DROPS it (no
+    duplicate rows, inner silent) and the state append still lands:
+    both sides end exactly-once; (3) crash AFTER the state append —
+    the SimHash retry re-classifies IDENTICALLY (asserted directly:
+    the rule's doc_id-stable membership disproves this module's
+    earlier vs_corpus-divergence claim — the r15 review
+    counterexample), so the drop's value there is preventing row
+    DUPLICATION in the durable log, for solo and multi-doc epochs
+    both; (4) keep-first under genuine divergence — a crafted
+    DIFFERENT re-delivery for an already-landed epoch (simulating a
+    classify rule that is not retry-stable) is dropped and the first
+    delivery's rows survive; (5) the landed log reconstructs
+    per-epoch results exactly, and a fresh epoch still lands."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from iceberg_explorer_spark.operators.dedup import simhash_signatures
+    from iceberg_explorer_spark.operators.incremental_artifacts import (
+        BucketedArtifactStore,
+        simhash_cls_from_history,
+    )
+    from iceberg_explorer_spark.streaming.dedup import (
+        DOCS_SCHEMA,
+        epoch_keyed_sink,
+        simhash_batch_processor,
+    )
+
+    t_a = " ".join(f"ivy{i} gum{i % 5}" for i in range(25))
+    t_b = " ".join(f"box{i} bay{i % 7}" for i in range(25))
+    t_c = " ".join(f"nut{i} fig{i % 3}" for i in range(25))
+    hist_docs = [(3, t_a, "en", "web", len(t_a))]
+    day1 = [(10, t_b, "en", "s1", len(t_b)),
+            (20, t_a, "en", "s2", len(t_a))]   # 10 novel-kept, 20 vs hist
+    day2 = [(25, t_c, "en", "q1", len(t_c))]   # novel-kept
+    ns = hashlib.md5(b"sink-contract-run").hexdigest()[:12]
+
+    store = BucketedArtifactStore(
+        spark, "t_sink_epoch", n_buckets=2,
+        artifacts={"simhash": ("doc_id",), "cls_log": ("doc_id",)},
+    )
+    try:
+        store.write(
+            "simhash",
+            simhash_signatures(spark.createDataFrame(hist_docs, DOCS_SCHEMA)),
+        )
+        inner_calls = []
+        sink = epoch_keyed_sink(
+            store, "cls_log", ns,
+            inner=lambda cls, e: inner_calls.append(int(e)),
+        )
+        proc = simhash_batch_processor(store, sink, namespace=ns)
+        d1 = spark.createDataFrame(day1, DOCS_SCHEMA)
+        d2 = spark.createDataFrame(day2, DOCS_SCHEMA)
+
+        # (2) crash BETWEEN sink and state append: the sink ran for
+        # epoch 0 (lands + auto-backfill), the append never did
+        assert not store.exists("cls_log")
+        cls0 = simhash_cls_from_history(d1, store.read("simhash"))
+        assert sink(cls0, 0) is True
+        assert inner_calls == [0]
+        assert store.read("simhash").count() == 1  # state NOT advanced
+        # ... Structured Streaming retries the whole micro-batch:
+        proc(d1, 0)
+        # sink side exactly-once (re-delivery dropped, inner silent)
+        log0 = {
+            r["doc_id"]: (r["vs_corpus"], r["in_batch"])
+            for r in store.read("cls_log").filter(F.col("epoch_id") == 0)
+            .collect()
+        }
+        assert log0 == {10: (0, 0), 20: (1, 0)}
+        assert store.read("cls_log").count() == 2  # no duplicate rows
+        assert inner_calls == [0]
+        # state side landed exactly once on the retry
+        assert {r["doc_id"] for r in store.read("simhash").collect()} == {
+            3, 10,
+        }
+
+        # (3) crash AFTER the state append: epoch 1 completes fully,
+        # then the whole micro-batch is retried
+        proc(d2, 1)
+        assert inner_calls == [0, 1]
+        # the post-append rerun is classification-IDENTICAL: 25's own
+        # signature is history now, but membership is by doc_id and
+        # the duplicate signature rows collapse under distinct — the
+        # corrected ordering-note claim, pinned for the solo epoch...
+        rerun = {
+            r["doc_id"]: (r["vs_corpus"], r["in_batch"])
+            for r in simhash_cls_from_history(
+                d2, store.read("simhash")
+            ).collect()
+        }
+        assert rerun == {25: (0, 0)}
+        # ...and for the multi-doc epoch 0 (both docs post-append)
+        rerun0 = {
+            r["doc_id"]: (r["vs_corpus"], r["in_batch"])
+            for r in simhash_cls_from_history(
+                d1, store.read("simhash")
+            ).collect()
+        }
+        assert rerun0 == {10: (0, 0), 20: (1, 0)}
+        proc(d2, 1)  # the retry: identical content, still must not double
+        proc(d1, 0)  # deep-history retry of the multi-doc epoch
+        log1 = {
+            r["doc_id"]: (r["vs_corpus"], r["in_batch"])
+            for r in store.read("cls_log").filter(F.col("epoch_id") == 1)
+            .collect()
+        }
+        assert log1 == {25: (0, 0)}
+        assert store.read("cls_log").count() == 3  # no duplicated rows
+        assert inner_calls == [0, 1]
+        assert store.read("simhash").count() == 3  # state exactly-once
+
+        # (4) keep-first under genuine divergence: a rule that is NOT
+        # retry-stable would re-deliver a DIFFERENT frame for the same
+        # epoch — the sink must drop it and preserve the first delivery
+        divergent = simhash_cls_from_history(
+            d2, store.read("simhash")
+        ).withColumn("vs_corpus", F.lit(1))
+        assert sink(divergent, 1) is False
+        assert {
+            r["doc_id"]: (r["vs_corpus"], r["in_batch"])
+            for r in store.read("cls_log").filter(F.col("epoch_id") == 1)
+            .collect()
+        } == {25: (0, 0)}  # FIRST delivery preserved
+
+        # (5) a fresh epoch still lands normally
+        t_d = " ".join(f"ash{i} haw{i % 4}" for i in range(25))
+        proc(
+            spark.createDataFrame([(40, t_d, "en", "z1", len(t_d))],
+                                  DOCS_SCHEMA),
+            2,
+        )
+        assert inner_calls == [0, 1, 2]
+        assert store.read("cls_log").count() == 4
+    finally:
+        store.drop()
