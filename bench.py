@@ -182,6 +182,7 @@ EXTENDED: list[str] = [
     "similarity_ivf_pq_topk",     # composed IVF-PQ ANN (FAISS IndexIVFPQ shape, r14)
     "text_bigram_lm_score",       # add-one bigram LM quality score (CCNet-ish, r14)
     "pipeline_clean_corpus_v3",   # five-family curation capstone (+SimHash stage, r14)
+    "similarity_ivf_pq_refine_topk",  # IVF-PQ + exact shortlist refine (r15)
 ]
 
 #: The EXTENDED set as frozen at the END of round 12 graduated into

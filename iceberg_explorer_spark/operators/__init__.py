@@ -578,6 +578,33 @@ The r15 window plan (written at r14 freeze; execute verbatim if r14
   overlap round, which should be declared one round ahead per the
   standing policy once EXTENDED's size or the final-line budget calls
   for it.
+Round 15 executes the r15 window plan verbatim (_CHECK_WINDOW below;
+  the four most-green r12-latest — dedup_minhash_lsh,
+  join_revenue_by_nation, pricing_summary, events_tumbling_window —
+  roll to r16), adds the post-timed-loop cpu-probe pair to bench.py
+  (VERDICT r14 #2, telemetry only), generative schedules for the two
+  persisted ANN index stores (#4), the executable epoch-keyed sink
+  helper with the crash-window pins (#5 — and the r15 review
+  DISPROVED the module's documented post-append divergence claim by
+  executed counterexample: the SimHash retry is classification-stable
+  because membership is doc_id-stable; the ordering note is
+  corrected and the stability pinned), the _serve_table qualification
+  of ivfpq_codebook (#7), and all three ADVICE items (empty-batch
+  vacuous-landing contract, store-layer backfill-first gate for
+  batch-id appends, required streaming namespace).
+Round 15 adds similarity_ivf_pq_refine_topk — the exact-refinement
+  stage over the composed IVF-PQ query (FAISS IndexRefineFlat): the
+  ADC top-REFINE_R shortlist re-ranked with exact cosines via one
+  R-row broadcast join + a 1-row broadcast query vector; rows carry
+  both scores so the absorbed quantization error is auditable.
+  Crafted claims: the operator equals an in-test
+  shortlist+exact-re-rank model row-for-row on the standard corpus;
+  the reorder vs the parent is real (pulled-up rows pinned); the
+  recall residual is REAL (vec 423 — best exact cosine outside the
+  shortlist, higher than a returned row, absent); and a crafted
+  same-code ADC tie (1.0/1.0, exact 0.6 vs 0.8) swaps under refine
+  while the parent orders by vec_id. Full rigging checklist; bench
+  EXTENDED. Registry: 156 queries / 153 oracle-bearing.
 """
 
 from iceberg_explorer_spark.operators.registry import QUERIES, QuerySpec, query  # noqa: F401

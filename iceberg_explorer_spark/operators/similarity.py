@@ -2006,6 +2006,137 @@ def similarity_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Refine shortlist size: the ADC stage keeps its top REFINE_R
+#: candidates (total-ordered: approx score DESC, vec_id), and ONLY
+#: those R rows are re-ranked with exact cosines. Scale-independent by
+#: construction — the exact stage's cost is O(R) raw-vector reads no
+#: matter the corpus size. R > k by 3x so ADC quantization error has
+#: room to misorder near-ties without pushing a true top-k row off the
+#: shortlist entirely (the residual failure mode is documented, not
+#: hidden: a true neighbor ADC-ranked below R stays lost).
+REFINE_R = 30
+
+
+@query(
+    "similarity_ivf_pq_refine_topk",
+    oracle=f"""
+    WITH {_ivf_assign_sql_duckdb()},
+    {_PQ_ADC_CTES},
+    qprobe AS MATERIALIZED (SELECT cid FROM ranked
+               WHERE vec_id = {QUERY_VEC_ID} AND rn <= {IVF_NPROBE}),
+    cand AS MATERIALIZED (
+      SELECT r.vec_id, r.cid AS probe_list
+      FROM ranked r JOIN qprobe p ON r.cid = p.cid
+      WHERE r.rn = 1 AND r.vec_id <> {QUERY_VEC_ID}
+    ),
+    scores AS (
+      SELECT codes.vec_id,
+             CAST(SUM(l.contrib_micro) AS BIGINT) * 1.0 / 1000000.0
+               AS approx_cos_sim
+      FROM codes JOIN lut l USING (m, code)
+      WHERE codes.vec_id <> {QUERY_VEC_ID}
+      GROUP BY codes.vec_id
+    ),
+    shortlist AS MATERIALIZED (
+      SELECT c.vec_id, c.probe_list, s.approx_cos_sim
+      FROM cand c JOIN scores s ON c.vec_id = s.vec_id
+      ORDER BY s.approx_cos_sim DESC, c.vec_id
+      LIMIT {REFINE_R}
+    ),
+    q AS MATERIALIZED (
+      SELECT embedding AS qe FROM {_EMB_SQL} WHERE vec_id = {QUERY_VEC_ID}
+    )
+    SELECT sl.vec_id, sl.probe_list, sl.approx_cos_sim,
+           ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(q.qe AS DOUBLE[])), 6)
+             AS cos_sim
+    FROM shortlist sl JOIN {_EMB_SQL} e ON sl.vec_id = e.vec_id, q
+    ORDER BY cos_sim DESC, sl.vec_id
+    LIMIT 10
+    """,
+    doc=f"IVF-PQ with exact refinement (r15) — the third stage of the "
+    "canonical serving cascade (FAISS IndexRefineFlat over IndexIVFPQ): "
+    "the coarse quantizer prunes to the probed lists, ADC over "
+    f"{PQ_M}-byte codes ranks the candidates, the top {REFINE_R} "
+    "shortlist is re-ranked with EXACT cosines against the raw "
+    "vectors, and the final top-k is exact WITHIN the shortlist — "
+    "recovering the orderings PQ quantization error scrambles among "
+    "near-ties at the cost of O(R) raw-vector reads, independent of "
+    "corpus size. Built from the same two shared chains as its parent "
+    "(_ivf_ranked assignment, _pq_scores ADC at the registered "
+    "geometry) plus one R-row broadcast join back to the vectors, so "
+    "it cannot desync from the composed query it refines; rows carry "
+    "BOTH scores so the quantization error the refine absorbed is "
+    "auditable per result. Determinism: the shortlist cut is "
+    "total-ordered (micro-unit ADC score DESC, vec_id), the exact "
+    "score is the round-6 normalized dot. Plan: the parent's plan + "
+    "one TakeOrderedAndProject(R) + a broadcast-R join and 1-row "
+    "broadcast query vector — zero new shuffles. At 100 TB: the "
+    "shortlist is R rows regardless of scale; the refine stage's "
+    "vector fetches are R point lookups against the vec_id-sorted "
+    "vector table (Iceberg positional reads), which is why serving "
+    "stacks run PQ-for-recall + refine-for-precision instead of wider "
+    "PQ codes. The documented residual: a true neighbor that ADC "
+    "ranks below R is not recoverable — recall is the parent's, only "
+    "precision-at-ties improves. reference: no analogue — "
+    "training-pipeline extension.",
+)
+def similarity_ivf_pq_refine_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = _with_normalized(_load_emb(spark, sf_dir))
+    ranked = _ivf_ranked(emb)
+    qprobe = F.broadcast(
+        ranked.filter(
+            (F.col("vec_id") == QUERY_VEC_ID) & (F.col("rn") <= IVF_NPROBE)
+        ).select("cid")
+    )
+    cand = (
+        ranked.filter(F.col("rn") == 1)
+        .join(qprobe, "cid")
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", F.col("cid").alias("probe_list"))
+        .localCheckpoint(eager=True)
+    )
+    ids = (
+        cand.select("vec_id")
+        .unionByName(
+            emb.filter(
+                (F.col("vec_id") < PQ_K)
+                | (F.col("vec_id") == QUERY_VEC_ID)
+            ).select("vec_id")
+        )
+        .distinct()
+    )
+    scores = _pq_scores(emb.join(ids, "vec_id", "left_semi"), (PQ_M,))
+    shortlist = (
+        cand.join(scores, "vec_id")
+        .select("vec_id", "probe_list", "approx_cos_sim")
+        .orderBy(F.col("approx_cos_sim").desc(), "vec_id")
+        .limit(REFINE_R)
+    )
+    qv = F.broadcast(
+        emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+            F.col("ne").alias("qe")
+        )
+    )
+    return (
+        F.broadcast(shortlist)
+        .join(emb.select("vec_id", "ne"), "vec_id")
+        .crossJoin(qv)
+        .select(
+            "vec_id",
+            "probe_list",
+            "approx_cos_sim",
+            F.round(F.expr(_DOT_SPARK.format(a="ne", b="qe")), 6).alias(
+                "cos_sim"
+            ),
+        )
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(10)
+    )
+
+
 #: one Lloyd refinement step over the IVF seed centroids. Micro-unit
 #: fixed-point per-dimension sums make the new centroids exact integer math
 #: (a float mean would differ in final ulps across shuffle orders/engines).

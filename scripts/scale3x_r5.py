@@ -38,6 +38,7 @@ DEFAULT_OPS = [
 #: which table each op scans (only that table is replicated; the rest
 #: symlink to the 1x files)
 OP_TABLE = {
+    "similarity_ivf_pq_refine_topk": "embeddings",
     "pipeline_clean_corpus_v3": "documents",
     "text_bigram_lm_score": "documents",
     "similarity_ivf_pq_topk": "embeddings",

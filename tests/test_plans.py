@@ -1478,3 +1478,25 @@ def test_clean_corpus_v3_one_kernel_checkpointed_lists(spark):
     assert "Scan ExistingRDD" in plan
     assert "CartesianProduct" not in plan
     assert pi.broadcast_hint_count(df) == 0
+
+
+def test_ivf_pq_refine_topk_plan(spark):
+    """similarity_ivf_pq_refine_topk is the parent composed plan plus a
+    scale-bounded refine tail: still zero Window nodes (assignment
+    lives inside the checkpointed candidate frame, Scan ExistingRDD),
+    pure JVM end to end, TWO TakeOrderedAndProject heaps (the R-row
+    shortlist cut, then the exact top-k), and exactly FIVE broadcast
+    hints — the parent's three (codebook twice + LUT) plus the R-row
+    shortlist and the 1-row query vector, all scale-independent. The
+    only nested-loop join is the 1-row broadcast query-vector cross
+    join (O(R) work); no cartesian product."""
+    df = build(spark, "similarity_ivf_pq_refine_topk")
+    plan = pi.physical_plan(df)
+    assert "MapInPandas" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Scan ExistingRDD" in plan
+    assert plan.count("Window [") == 0
+    assert pi.broadcast_hint_count(df) == 5
+    assert plan.count("TakeOrderedAndProject") == 2
+    assert plan.count("BroadcastNestedLoopJoin") == 1

@@ -5964,3 +5964,134 @@ def test_index_store_generative_schedules(spark, tmp_path):
         finally:
             ivf_s.drop()
             pq_s.drop()
+
+
+def test_ivf_pq_refine_topk_claims(spark, tmp_path):
+    """similarity_ivf_pq_refine_topk's distinguishing claims. On the
+    STANDARD corpus, against an in-test model (numpy exact cosines +
+    the shared ADC chain): (1) the result is EXACTLY the exact-cosine
+    re-rank of the ADC top-REFINE_R shortlist — every returned row sits
+    in the shortlist, approx_cos_sim equals the chain's ADC score, and
+    cos_sim equals the round-6 normalized dot; (2) refine genuinely
+    reorders — the top-10 differs from the parent's, and rows the
+    parent's ADC cut left below rank 10 surface (the precision win);
+    (3) the documented RESIDUAL is real, not hypothetical: a candidate
+    OUTSIDE the shortlist (vec 423 here) carries a higher exact cosine
+    than a returned row and is still absent — recall stays the
+    parent's. On a CRAFTED corpus: (4) two candidates sharing every PQ
+    code (identical ADC score 1.0) but different exact cosines come
+    back exact-DESC (the parent orders the tie by vec_id ASC) — the
+    quantization-blindness refine exists to fix, pinned at the row
+    level; oracle-checked on the crafted corpus too."""
+    import duckdb
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from iceberg_explorer_spark.operators import QUERIES
+    from iceberg_explorer_spark.operators.similarity import (
+        IVF_NPROBE,
+        PQ_M,
+        QUERY_VEC_ID,
+        REFINE_R,
+        _ivf_ranked,
+        _load_emb,
+        _pq_scores,
+        _with_normalized,
+    )
+    from tests.conftest import assert_matches_oracle
+
+    d = "/root/testdata/sf0.01"
+    spec = QUERIES["similarity_ivf_pq_refine_topk"]
+    got = [tuple(r) for r in spec.builder(spark, d).collect()]
+    parent = [
+        tuple(r)
+        for r in QUERIES["similarity_ivf_pq_topk"].builder(spark, d).collect()
+    ]
+
+    # the in-test model: candidates -> ADC -> top-R -> exact re-rank
+    emb = _with_normalized(_load_emb(spark, d))
+    ranked = _ivf_ranked(emb)
+    qprobe = ranked.filter(
+        (F.col("vec_id") == QUERY_VEC_ID) & (F.col("rn") <= IVF_NPROBE)
+    ).select("cid")
+    cand = {
+        r["vec_id"]: r["cid"]
+        for r in ranked.filter(F.col("rn") == 1)
+        .join(qprobe, "cid")
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .collect()
+    }
+    adc = {
+        r["vec_id"]: r["approx_cos_sim"]
+        for r in _pq_scores(emb, (PQ_M,)).collect()
+        if r["vec_id"] in cand
+    }
+    assert len(adc) > REFINE_R  # the shortlist cut is exercised
+    shortlist = [
+        v for v, _s in sorted(adc.items(), key=lambda kv: (-kv[1], kv[0]))
+    ][:REFINE_R]
+    ne = {
+        r["vec_id"]: np.asarray(r["ne"], dtype=np.float64)
+        for r in emb.select("vec_id", "ne").collect()
+    }
+    q = ne[QUERY_VEC_ID]
+    exact = {v: round(float(np.add.reduce(ne[v] * q)), 6) for v in adc}
+    model = sorted(
+        ((v, cand[v], adc[v], exact[v]) for v in shortlist),
+        key=lambda t: (-t[3], t[0]),
+    )[:10]
+    # (1) the operator IS the model, row for row (scores included)
+    assert got == model
+    # (2) the reorder is real: different top-10 than the parent, and
+    # pulled-up rows the parent's cut had below rank 10
+    got_ids = [g[0] for g in got]
+    assert got_ids != [p[0] for p in parent]
+    assert set(got_ids) - {p[0] for p in parent}
+    # (3) the residual: the best exact cosine OUTSIDE the shortlist
+    # beats a returned row yet is absent (recall is the parent's)
+    outside_best_id = max(
+        (v for v in adc if v not in shortlist), key=lambda v: (exact[v], -v)
+    )
+    assert outside_best_id == 423
+    assert exact[outside_best_id] > min(g[3] for g in got)
+    assert outside_best_id not in got_ids
+
+    # (4) crafted same-code tie: X=400 (0.6*e0+0.8*e5) and Y=401
+    # (0.8*e0+0.6*e5) take IDENTICAL codes (chunk0 argmaxes to the
+    # query's own code; zero chunks tie to code 0 whose LUT
+    # contribution is 0 — the documented zero-chunk phantom is inert
+    # here because the query's other chunks are zero too), so ADC ties
+    # at 1.0 and the parent orders X first (vec_id); exact cosines are
+    # 0.6 vs 0.8, so refine returns Y first.
+    def vec(*parts):
+        v = [0.0] * 64
+        for d_, a_ in parts:
+            v[d_] = a_
+        return v
+
+    rows = [(0, vec((0, 1.0)), 0)]
+    rows += [(k, vec((4 * k, 1.0), (1, 0.25)), 0) for k in range(1, 16)]
+    rows.append((400, vec((0, 0.6), (5, 0.8)), 0))
+    rows.append((401, vec((0, 0.8), (5, 0.6)), 0))
+    cd = str(tmp_path / "refine_crafted")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{cd}/embeddings.parquet")
+    crafted = [tuple(r) for r in spec.builder(spark, cd).collect()]
+    assert [c[0] for c in crafted[:2]] == [401, 400]
+    assert crafted[0][2] == crafted[1][2] == 1.0  # the ADC tie
+    assert crafted[0][3] == 0.8 and crafted[1][3] == 0.6
+    crafted_parent = [
+        tuple(r)
+        for r in QUERIES["similarity_ivf_pq_topk"].builder(spark, cd).collect()
+    ]
+    assert [c[0] for c in crafted_parent[:2]] == [400, 401]  # id order
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{cd}/embeddings.parquet/*.parquet')"
+    )
+    assert_matches_oracle(
+        spec.builder(spark, cd), con, spec.oracle,
+        "ivf_pq_refine_crafted",
+    )
