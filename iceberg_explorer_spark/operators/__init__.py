@@ -605,6 +605,18 @@ Round 15 adds similarity_ivf_pq_refine_topk — the exact-refinement
   same-code ADC tie (1.0/1.0, exact 0.6 vs 0.8) swaps under refine
   while the parent orders by vec_id. Full rigging checklist; bench
   EXTENDED. Registry: 156 queries / 153 oracle-bearing.
+Round 15 adds events_scd2_intervals — SCD2/CDC validity-interval
+  compaction from the append-only event log (the warehouse-modeling
+  face of the events family): per-user runs of one event_type
+  collapse to half-open [valid_from, valid_to) intervals, NULL-ended
+  current rows, run event counts. Plan: ONE user_id shuffle serves
+  all three Window passes; the compaction is a boundary-row filter
+  (the lead window sorts |changes| rows, not |events|) — pinned,
+  along with the column-pruned scan. Crafted claims: run-not-distinct
+  semantics (A,A,B,A → 3 intervals), event_id tie-break rendering a
+  zero-width interval, NULL-type run collapse (IS DISTINCT FROM
+  parity), exhaustive half-open chains. Full rigging checklist;
+  bench EXTENDED. Registry: 157 queries / 154 oracle-bearing.
 """
 
 from iceberg_explorer_spark.operators.registry import QUERIES, QuerySpec, query  # noqa: F401

@@ -1500,3 +1500,29 @@ def test_ivf_pq_refine_topk_plan(spark):
     assert pi.broadcast_hint_count(df) == 5
     assert plan.count("TakeOrderedAndProject") == 2
     assert plan.count("BroadcastNestedLoopJoin") == 1
+
+
+def test_scd2_intervals_plan(spark):
+    """events_scd2_intervals costs exactly ONE shuffle (user_id): the
+    lag/row_number pass, the per-user total, and the boundary-row lead
+    pass are three Window nodes all satisfied by the same hash
+    distribution (two sorts — the event-order sort, then the
+    |changes|-sized re-sort AFTER the boundary filter, so the second
+    never sees the full event stream: Filter sits between the Window
+    nodes). No run-keyed groupBy, pure JVM, no hints, and the scan is
+    column-pruned to the four columns the op reads."""
+    df = build(spark, "events_scd2_intervals")
+    plan = pi.physical_plan(df)
+    assert pi.shuffle_count(df) == 1
+    assert plan.count("Window [") == 3
+    assert "MapInPandas" not in plan
+    assert "BatchEvalPython" not in plan
+    assert pi.broadcast_hint_count(df) == 0
+    # the boundary filter precedes (sits below) the lead window's sort
+    lead_sort = plan.index("Sort [user_id")
+    assert "Filter (new_run" in plan[lead_sort:]
+    m = plan[plan.index("ReadSchema"):].splitlines()[0]
+    assert set(
+        c.split(":")[0]
+        for c in m.split("struct<")[1].rstrip(">").split(",")
+    ) == {"event_id", "ts", "user_id", "event_type"}

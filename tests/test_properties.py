@@ -6095,3 +6095,98 @@ def test_ivf_pq_refine_topk_claims(spark, tmp_path):
         spec.builder(spark, cd), con, spec.oracle,
         "ivf_pq_refine_crafted",
     )
+
+
+def test_scd2_intervals_claims(spark, tmp_path):
+    """events_scd2_intervals' distinguishing claims on a crafted event
+    log: (1) RUN semantics, not distinct-type — u1's A,A,B,A stream
+    compacts to THREE intervals (A n=2, B n=1, A n=1), the re-visit
+    opening a new interval; (2) the intervals are half-open and
+    exhaustive — valid_to equals the NEXT interval's valid_from,
+    exactly one NULL-ended current row per user, and per-user
+    n_events sums to the user's event count; (3) a ts TIE is broken
+    by event_id (u2's two same-timestamp events order C before D, so
+    C's interval closes at the tied timestamp — zero-width, the
+    honest rendering of simultaneous changes); (4) consecutive
+    NULL-typed events collapse into ONE NULL run (IS DISTINCT FROM
+    semantics on both engines); (5) users never leak runs into each
+    other (u3's A stream is one interval despite u1's interleaved
+    flips). Oracle-checked on the crafted corpus."""
+    import duckdb
+
+    from iceberg_explorer_spark.operators import QUERIES
+    from tests.conftest import assert_matches_oracle
+
+    US = 1_000_000
+    T0 = 1704067200  # 2024-01-01T00:00:00Z epoch seconds
+
+    def ts(sec):
+        return f"2024-01-01 00:{sec // 60:02d}:{sec % 60:02d}"
+
+    rows = [
+        # u1: A A B A  (interleaved with u3 in event_id order)
+        (1, ts(0), 1, "A", 1.0), (3, ts(60), 1, "A", 1.0),
+        (5, ts(120), 1, "B", 1.0), (7, ts(180), 1, "A", 1.0),
+        # u2: tie at ts(10): event_id 10 (C) before 11 (D), then D again
+        (10, ts(10), 2, "C", 1.0), (11, ts(10), 2, "D", 1.0),
+        (12, ts(70), 2, "D", 1.0),
+        # u3: steady A (+ two NULL-typed events collapsing to one run)
+        (2, ts(30), 3, "A", 1.0), (4, ts(90), 3, "A", 1.0),
+        (6, ts(150), 3, None, 1.0), (8, ts(210), 3, None, 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts_s string, user_id long, event_type string,"
+        " value double",
+    ).select(
+        "event_id",
+        F.col("ts_s").cast("timestamp").alias("ts"),
+        "user_id", "event_type", "value",
+        F.lit("{}").alias("props"),
+    )
+    d = str(tmp_path / "scd2")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+
+    spec = QUERIES["events_scd2_intervals"]
+    got = sorted(
+        (tuple(r) for r in spec.builder(spark, d).collect()),
+        key=lambda t: (t[0], t[2]),
+    )
+
+    def u(sec):
+        return (T0 + sec) * US
+
+    # (1) + (5): u1 three intervals, u3 unbroken by u1's flips
+    assert [g for g in got if g[0] == 1] == [
+        (1, "A", u(0), u(120), 2, False),
+        (1, "B", u(120), u(180), 1, False),
+        (1, "A", u(180), None, 1, True),
+    ]
+    # (3) the tie: C opens at ts(10) and closes at the SAME instant
+    # (event_id orders C first), D runs from the tie onward (n=2)
+    assert [g for g in got if g[0] == 2] == [
+        (2, "C", u(10), u(10), 1, False),
+        (2, "D", u(10), None, 2, True),
+    ]
+    # (4): one A run, then ONE collapsed NULL-typed run
+    assert [g for g in got if g[0] == 3] == [
+        (3, "A", u(30), u(150), 2, False),
+        (3, None, u(150), None, 2, True),
+    ]
+    # (2) half-open exhaustiveness, one current row per user, counts
+    for uid, n_total in ((1, 4), (2, 3), (3, 4)):
+        iv = [g for g in got if g[0] == uid]
+        assert sum(g[4] for g in iv) == n_total
+        assert [g[5] for g in iv].count(True) == 1
+        assert iv[-1][3] is None
+        for a, b in zip(iv, iv[1:]):
+            assert a[3] == b[2]  # valid_to chains to next valid_from
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{d}/events.parquet/*.parquet')"
+    )
+    assert_matches_oracle(
+        spec.builder(spark, d), con, spec.oracle, "scd2_crafted"
+    )
