@@ -184,6 +184,7 @@ EXTENDED: list[str] = [
     "pipeline_clean_corpus_v3",   # five-family curation capstone (+SimHash stage, r14)
     "similarity_ivf_pq_refine_topk",  # IVF-PQ + exact shortlist refine (r15)
     "events_scd2_intervals",      # SCD2/CDC validity-interval compaction (r15)
+    "pipeline_domain_caps",       # closed-form water-filling token budget (r15)
 ]
 
 #: The EXTENDED set as frozen at the END of round 12 graduated into

@@ -617,6 +617,18 @@ Round 15 adds events_scd2_intervals — SCD2/CDC validity-interval
   zero-width interval, NULL-type run collapse (IS DISTINCT FROM
   parity), exhaustive half-open chains. Full rigging checklist;
   bench EXTENDED. Registry: 157 queries / 154 oracle-bearing.
+Round 15 adds pipeline_domain_caps — closed-form water-filling domain
+  token caps (the budgeted complement of domain_mix/temperature_mix):
+  the unique level tau with sum_d min(tokens_d, tau) = budget (total
+  DIV 2) found by sorted prefix-sum algebra — rank i's candidate
+  (budget - below)/k, first candidate at or under its own total wins
+  — over the O(|sources|) frame coalesced to one partition (ONE
+  exchange in the whole plan, pinned). Crafted claims on a skewed
+  fixture (standard corpus is near-uniform → everything-capped
+  branch, stated honestly): tau = 825 vs an independent bisection
+  model, exact conservation to the budget, uncapped-keep-natural /
+  capped-equalize split. Full rigging checklist; bench EXTENDED.
+  Registry: 158 queries / 155 oracle-bearing.
 """
 
 from iceberg_explorer_spark.operators.registry import QUERIES, QuerySpec, query  # noqa: F401

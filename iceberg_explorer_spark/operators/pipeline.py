@@ -2329,3 +2329,129 @@ def pipeline_incremental_artifact_delta_v2(
         .select("doc_id", "source")
     )
     return _artifact_delta_report(spark, sf_dir, kept, pairs=True)
+
+
+@query(
+    "pipeline_domain_caps",
+    oracle="""
+    WITH t AS (
+      SELECT source,
+             CAST(SUM(len(list_filter(string_split(text, ' '),
+                                      w -> w <> ''))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    g AS (
+      SELECT source, n_tokens,
+             CAST(SUM(n_tokens) OVER () AS BIGINT) AS total,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n_src,
+             CAST(ROW_NUMBER() OVER (ORDER BY n_tokens, source) AS BIGINT)
+               AS rn,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+               ORDER BY n_tokens, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS below
+      FROM t
+    ),
+    lv AS (
+      SELECT *, total // 2 AS budget,
+             CAST((total // 2) - below AS DOUBLE) / (n_src - rn + 1) AS cand
+      FROM g
+    ),
+    pick AS (
+      SELECT *, MIN(CASE WHEN cand <= n_tokens THEN rn END) OVER ()
+                  AS pick_rn
+      FROM lv
+    ),
+    tau AS (
+      SELECT *, MAX(CASE WHEN rn = pick_rn THEN cand END) OVER () AS cap
+      FROM pick
+    )
+    SELECT source, n_tokens,
+           ROUND(CAST(n_tokens AS DOUBLE) / total, 6) AS share_before,
+           ROUND(cap, 6) AS cap_level,
+           ROUND(LEAST(CAST(n_tokens AS DOUBLE), cap), 6)
+             AS allocated_tokens,
+           ROUND(LEAST(CAST(n_tokens AS DOUBLE), cap) / budget, 6)
+             AS share_after,
+           n_tokens > cap AS capped
+    FROM tau
+    """,
+    doc="Water-filling domain caps (r15) — the closed-form answer to "
+    "'cap the over-represented domains so the mix fits a token budget "
+    "without starving the small ones': find the unique level tau with "
+    "sum_d min(tokens_d, tau) = budget (here budget = total DIV 2, the "
+    "exact-integer half-corpus), allocate every domain min(its tokens, "
+    "tau), and report before/after shares plus the capped flag. The "
+    "classic iterative water-filling loop is replaced by its sorted "
+    "closed form — ascending prefix sums give each rank a candidate "
+    "level (budget - below)/k, and the FIRST candidate at or under its "
+    "own domain's total is tau — so the whole optimization is one "
+    "corpus-scan token aggregation plus windows over the O(|sources|) "
+    "per-domain frame (coalesced to one partition: no second exchange, "
+    "the temperature-mix plan discipline). Conservation is exact by "
+    "construction: allocations sum to the budget (uncapped domains "
+    "contribute exact integers, the k capped ones k*tau). Determinism: "
+    "BIGINT token sums, integer-DIV budget, tau derived from exact "
+    "integers in one double division, round-6 outputs, (n_tokens, "
+    "source) total order. At 100 TB the shape is unchanged — the heavy "
+    "half is the token aggregation (map-side partial), the optimization "
+    "runs on rows-per-domain, and tau feeds the downstream sampler as "
+    "one broadcast scalar. reference: no analogue — training-pipeline "
+    "extension (the budgeted complement of pipeline_domain_mix / "
+    "temperature_mix, which reweight without a hard budget).",
+)
+def pipeline_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = (
+        docs.select("source", _n_tokens().alias("d"))
+        .groupBy("source")
+        .agg(F.sum("d").cast("bigint").alias("n_tokens"))
+    )
+    w_all = W.partitionBy()
+    w_ord = W.partitionBy().orderBy("n_tokens", "source")
+    g = t.coalesce(1).select(
+        "source",
+        "n_tokens",
+        F.sum("n_tokens").over(w_all).cast("bigint").alias("total"),
+        F.count(F.lit(1)).over(w_all).cast("bigint").alias("n_src"),
+        F.row_number().over(w_ord).cast("bigint").alias("rn"),
+        F.coalesce(
+            F.sum("n_tokens").over(
+                w_ord.rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("below"),
+    )
+    lv = g.withColumn("budget", F.expr("total DIV 2")).withColumn(
+        "cand",
+        (F.col("budget") - F.col("below")).cast("double")
+        / (F.col("n_src") - F.col("rn") + 1),
+    )
+    pick = lv.withColumn(
+        "pick_rn",
+        F.min(
+            F.when(F.col("cand") <= F.col("n_tokens"), F.col("rn"))
+        ).over(w_all),
+    )
+    tau = pick.withColumn(
+        "cap",
+        F.max(
+            F.when(F.col("rn") == F.col("pick_rn"), F.col("cand"))
+        ).over(w_all),
+    )
+    alloc = F.least(F.col("n_tokens").cast("double"), F.col("cap"))
+    return tau.select(
+        "source",
+        "n_tokens",
+        F.round(F.col("n_tokens").cast("double") / F.col("total"), 6).alias(
+            "share_before"
+        ),
+        F.round(F.col("cap"), 6).alias("cap_level"),
+        F.round(alloc, 6).alias("allocated_tokens"),
+        F.round(alloc / F.col("budget"), 6).alias("share_after"),
+        (F.col("n_tokens") > F.col("cap")).alias("capped"),
+    )

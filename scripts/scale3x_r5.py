@@ -40,6 +40,7 @@ DEFAULT_OPS = [
 OP_TABLE = {
     "similarity_ivf_pq_refine_topk": "embeddings",
     "events_scd2_intervals": "events",
+    "pipeline_domain_caps": "documents",
     "pipeline_clean_corpus_v3": "documents",
     "text_bigram_lm_score": "documents",
     "similarity_ivf_pq_topk": "embeddings",

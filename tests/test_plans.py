@@ -1526,3 +1526,20 @@ def test_scd2_intervals_plan(spark):
         c.split(":")[0]
         for c in m.split("struct<")[1].rstrip(">").split(",")
     ) == {"event_id", "ts", "user_id", "event_type"}
+
+
+def test_domain_caps_plan(spark):
+    """pipeline_domain_caps: the heavy half is one partial-aggregated
+    token sum (exactly ONE exchange, the per-source groupBy); the
+    whole water-filling optimization then runs as Window passes over
+    the O(|sources|) frame COALESCED to one partition — no second
+    exchange (the temperature-mix discipline), no broadcast hints, no
+    Python."""
+    df = build(spark, "pipeline_domain_caps")
+    plan = pi.physical_plan(df)
+    assert pi.shuffle_count(df) == 1
+    assert "Coalesce" in plan
+    assert pi.has_partial_aggregate(df)
+    assert pi.broadcast_hint_count(df) == 0
+    assert "MapInPandas" not in plan
+    assert "BatchEvalPython" not in plan

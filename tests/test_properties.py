@@ -6190,3 +6190,82 @@ def test_scd2_intervals_claims(spark, tmp_path):
     assert_matches_oracle(
         spec.builder(spark, d), con, spec.oracle, "scd2_crafted"
     )
+
+
+def test_domain_caps_claims(spark, tmp_path):
+    """pipeline_domain_caps' distinguishing claims on a skewed crafted
+    corpus (token totals 100/200/400/800/1600/3200; budget = total DIV
+    2 = 3150): (1) the closed form finds the TRUE water level — tau =
+    825, verified against an independent bisection model, with the
+    four small domains UNCAPPED (allocation == own tokens, exact
+    integers) and the two big ones capped at the same tau; (2)
+    conservation is exact: allocations sum to the budget; (3) the
+    level separates: every uncapped total <= tau < every capped
+    total; (4) capped domains EQUALIZE (identical post-cap shares)
+    while uncapped ones keep their natural share — the property that
+    distinguishes water-filling from proportional scaling, which
+    would shrink small domains too. Oracle-checked on the crafted
+    corpus. (The standard corpus is near-uniform, so the differential
+    evidence exercises the everything-capped branch; this fixture is
+    the mixed regime.)"""
+    import duckdb
+
+    from iceberg_explorer_spark.operators import QUERIES
+    from tests.conftest import assert_matches_oracle
+
+    totals = {"s100": 100, "s200": 200, "s400": 400,
+              "s800": 800, "s1600": 1600, "s3200": 3200}
+    rows = [
+        (i, " ".join(f"w{i}x{j}" for j in range(n)), "en", src, n * 6)
+        for i, (src, n) in enumerate(sorted(totals.items()))
+    ]
+    d = str(tmp_path / "caps")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    spec = QUERIES["pipeline_domain_caps"]
+    got = {r["source"]: r.asDict() for r in spec.builder(spark, d).collect()}
+    total = sum(totals.values())
+    budget = total // 2
+    assert budget == 3150
+
+    # the independent model: bisection on sum(min(t, tau)) == budget
+    lo, hi = 0.0, float(max(totals.values()))
+    for _ in range(200):
+        mid = (lo + hi) / 2
+        if sum(min(t, mid) for t in totals.values()) < budget:
+            lo = mid
+        else:
+            hi = mid
+    assert abs(hi - 825.0) < 1e-6
+
+    # (1) tau and the cap split
+    for src, t in totals.items():
+        r = got[src]
+        assert r["cap_level"] == 825.0
+        assert r["n_tokens"] == t
+        if t <= 825:
+            assert r["capped"] is False and r["allocated_tokens"] == float(t)
+        else:
+            assert r["capped"] is True and r["allocated_tokens"] == 825.0
+    # (2) conservation: allocations sum to the budget exactly
+    assert abs(sum(r["allocated_tokens"] for r in got.values()) - budget) < 1e-6
+    # (3) the level separates the two classes
+    uncapped = [t for t in totals.values() if t <= 825]
+    capped = [t for t in totals.values() if t > 825]
+    assert max(uncapped) <= 825 < min(capped) and len(capped) == 2
+    # (4) capped domains equalize; uncapped keep natural proportions
+    shares = {s: got[s]["share_after"] for s in totals}
+    assert shares["s1600"] == shares["s3200"]
+    assert abs(shares["s400"] / shares["s200"] - 2.0) < 1e-3
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    assert_matches_oracle(
+        spec.builder(spark, d), con, spec.oracle, "domain_caps_crafted"
+    )
