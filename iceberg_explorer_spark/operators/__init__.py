@@ -629,6 +629,41 @@ Round 15 adds pipeline_domain_caps — closed-form water-filling domain
   model, exact conservation to the budget, uncapped-keep-natural /
   capped-equalize split. Full rigging checklist; bench EXTENDED.
   Registry: 158 queries / 155 oracle-bearing.
+The r16 window plan (written at r15 freeze; execute verbatim if r15
+  comes back green): flagship + the THREE r15 newcomers
+  (similarity_ivf_pq_refine_topk, events_scd2_intervals,
+  pipeline_domain_caps — their FIRST driver rows; after r15 they are
+  the only oracle-bearing queries with zero driver evidence) + the
+  FOUR r12-latest rolled from the r15 tie-break (dedup_minhash_lsh,
+  events_tumbling_window, join_revenue_by_nation, pricing_summary —
+  after r15 they are the stalest rows in the registry and must all
+  come in) + 42 of the 49 r13-latest (count fresh from
+  CORRECTNESS_r01..r15 after the r15 rows land; expected composition
+  is exactly 49 queries with latest row r13 — leave out the SEVEN
+  with the MOST prior green rows, tie-break alphabetical-first-out:
+  expected similarity_knn_join (7), text_token_count (7),
+  events_variant_shred (6), and the first four of the 5-green
+  alphabetical tie — anti_join_idle_customers,
+  asof_join_purchase_click, conditional_agg_order_status,
+  cte_above_avg_orders — all seven roll to r17).
+  1 + 3 + 4 + 42 = 50 exactly.
+BENCH v4 DECLARATION (the one-round-ahead call the policy requires,
+  made at r15 freeze): round 16 is the OVERLAP round — EXTENDED as
+  frozen at the end of r15 (NINE operators: three r13 + three r14 +
+  three r15) rides r16 as GRADUATING_R15, emitting the additive
+  value_v4/n_queries_v4 keys under headline_version 3; round 17
+  flips to headline_version 4 (the nine fold into HEADLINE's tail in
+  frozen order, EXTENDED empties and restarts with post-r15
+  newcomers). Trigger arithmetic: EXTENDED is at nine operators /
+  ~19 s — past the size the r12 cohort graduated at — and the
+  final-line byte ladder already sits at its 3-entry step after the
+  r15 probe-pair keys; during the r16 overlap the v4 keys will push
+  the slowest map to its 0-entry ladder step for that ONE round
+  (planned and accepted: the probe pair STAYS on the final line — it
+  is the self-diagnosing context VERDICT r14 #2 exists for — and the
+  full per-query map rides the detail line / committed BENCH_LOCAL as
+  always; the map returns at the r17 flip when the overlap keys
+  drop).
 """
 
 from iceberg_explorer_spark.operators.registry import QUERIES, QuerySpec, query  # noqa: F401
