@@ -266,12 +266,23 @@ def epoch_keyed_sink(store, artifact: str, namespace: str, inner=None):
     True iff the epoch landed (False = replay dropped)."""
     import pyspark.sql.functions as F
 
+    from iceberg_explorer_spark.operators.incremental_artifacts import (
+        _STORE_LOCK,
+    )
+
     def _sink(cls: DataFrame, epoch_id) -> bool:
         rows = cls.withColumn(
             "epoch_id", F.lit(int(epoch_id)).cast("long")
         )
-        if not store.exists(artifact):
-            store.write(artifact, rows.limit(0))
+        # exists+create under the store's (reentrant) lock: two
+        # concurrent first-epoch sinks sharing a store would otherwise
+        # BOTH see not-exists, and the second's write() — an OVERWRITE
+        # — would wipe the first's already-landed epoch (r15 review
+        # pass; the same lost-update shape the store serializes for
+        # write-vs-compact)
+        with _STORE_LOCK:
+            if not store.exists(artifact):
+                store.write(artifact, rows.limit(0))
         landed = store.append(
             artifact, rows, batch_id=f"{namespace}-sink-epoch-{int(epoch_id)}"
         )

@@ -857,7 +857,11 @@ def test_epoch_keyed_sink_idempotence(spark):
     DIFFERENT re-delivery for an already-landed epoch (simulating a
     classify rule that is not retry-stable) is dropped and the first
     delivery's rows survive; (5) the landed log reconstructs
-    per-epoch results exactly, and a fresh epoch still lands."""
+    per-epoch results exactly, and a fresh epoch still lands; (6)
+    concurrent FIRST use of a fresh artifact by two streams is safe —
+    the auto-backfill's exists+create runs under the store lock, so
+    neither stream's landed epoch is wiped by the other's overwrite
+    (the r15 review-pass race)."""
     import hashlib
 
     from pyspark.sql import functions as F
@@ -884,7 +888,8 @@ def test_epoch_keyed_sink_idempotence(spark):
 
     store = BucketedArtifactStore(
         spark, "t_sink_epoch", n_buckets=2,
-        artifacts={"simhash": ("doc_id",), "cls_log": ("doc_id",)},
+        artifacts={"simhash": ("doc_id",), "cls_log": ("doc_id",),
+                   "cls_race": ("doc_id",)},
     )
     try:
         store.write(
@@ -980,5 +985,34 @@ def test_epoch_keyed_sink_idempotence(spark):
         )
         assert inner_calls == [0, 1, 2]
         assert store.read("cls_log").count() == 4
+
+        # (6) concurrent FIRST use of a fresh artifact: two streams'
+        # sinks (distinct namespaces) race exists+create — the lock
+        # makes the auto-backfill once-only, so NEITHER stream's
+        # landed epoch is wiped by the other's overwrite (r15 review)
+        import threading
+
+        sinks = [
+            epoch_keyed_sink(store, "cls_race", f"race-{i}")
+            for i in range(2)
+        ]
+        cls_a = simhash_cls_from_history(d1, store.read("simhash"))
+        cls_b = simhash_cls_from_history(d2, store.read("simhash"))
+        results = []
+        threads = [
+            threading.Thread(
+                target=lambda s_, c_: results.append(s_(c_, 0)),
+                args=(sinks[i], (cls_a, cls_b)[i]),
+            )
+            for i in range(2)
+        ]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        assert results == [True, True]
+        assert (
+            store.read("cls_race").count() == cls_a.count() + cls_b.count()
+        )
     finally:
         store.drop()
