@@ -1160,9 +1160,11 @@ def events_rate_spike_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(ts, event_id) total order; epoch-micro BIGINT interval bounds. "
     "At 100 TB: per-user partitions are bounded by user activity "
     "(no corpus-wide window), the output is change-compressed "
-    "(|intervals| << |events|), and the same plan incrementalizes by "
-    "unioning the previous current rows with the new day before "
-    "re-compacting only touched users. reference: no analogue — "
+    "(|intervals| << |events|), and the plan incrementalizes by "
+    "unioning each touched user's OPEN interval (as a pseudo-event at "
+    "valid_from carrying its n_events as a weight — counts must sum "
+    "weights there, not rows) with the new day and re-compacting only "
+    "those users. reference: no analogue — "
     "training-pipeline extension (the warehouse-modeling face of the "
     "events family).",
 )

@@ -2388,9 +2388,12 @@ def pipeline_incremental_artifact_delta_v2(
     "own domain's total is tau — so the whole optimization is one "
     "corpus-scan token aggregation plus windows over the O(|sources|) "
     "per-domain frame (coalesced to one partition: no second exchange, "
-    "the temperature-mix plan discipline). Conservation is exact by "
-    "construction: allocations sum to the budget (uncapped domains "
-    "contribute exact integers, the k capped ones k*tau). Determinism: "
+    "the temperature-mix plan discipline). Conservation holds by "
+    "construction: allocations sum to the budget — uncapped domains "
+    "contribute exact integers, the k capped ones k*tau = budget - "
+    "below exactly in real arithmetic, within one double rounding of "
+    "the final division in floats (the claims test bounds it). "
+    "Determinism: "
     "BIGINT token sums, integer-DIV budget, tau derived from exact "
     "integers in one double division, round-6 outputs, (n_tokens, "
     "source) total order. At 100 TB the shape is unchanged — the heavy "

@@ -2070,8 +2070,10 @@ REFINE_R = 30
     "auditable per result. Determinism: the shortlist cut is "
     "total-ordered (micro-unit ADC score DESC, vec_id), the exact "
     "score is the round-6 normalized dot. Plan: the parent's plan + "
-    "one TakeOrderedAndProject(R) + a broadcast-R join and 1-row "
-    "broadcast query vector — zero new shuffles. At 100 TB: the "
+    "the shortlist cut, its broadcast-R join, and the 1-row broadcast "
+    "query vector; the ONE exchange the tail adds is the R-row "
+    "SinglePartition shortlist materialization (scale-independent — "
+    "nothing corpus-sized moves). At 100 TB: the "
     "shortlist is R rows regardless of scale; the refine stage's "
     "vector fetches are R point lookups against the vec_id-sorted "
     "vector table (Iceberg positional reads), which is why serving "

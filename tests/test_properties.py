@@ -6111,7 +6111,11 @@ def test_scd2_intervals_claims(spark, tmp_path):
     NULL-typed events collapse into ONE NULL run (IS DISTINCT FROM
     semantics on both engines); (5) users never leak runs into each
     other (u3's A stream is one interval despite u1's interleaved
-    flips). Oracle-checked on the crafted corpus."""
+    flips); (6) the docstring's incrementalization claim is EXECUTED,
+    not asserted: re-compacting each user's OPEN day-1 interval as a
+    weighted pseudo-event together with the day-2 events reproduces
+    the full recompute row-for-row (closed day-1 intervals untouched,
+    counts summing weights). Oracle-checked on the crafted corpus."""
     import duckdb
 
     from iceberg_explorer_spark.operators import QUERIES
@@ -6190,6 +6194,49 @@ def test_scd2_intervals_claims(spark, tmp_path):
     assert_matches_oracle(
         spec.builder(spark, d), con, spec.oracle, "scd2_crafted"
     )
+
+    # (6) incrementalization, executed: day 1 = events before sec 100,
+    # day 2 = the rest. Python-merge day-1's intervals with day-2's
+    # events (open interval -> weighted pseudo-event) and compare to
+    # the full recompute above.
+    d1dir = str(tmp_path / "scd2_day1")
+    df.filter(F.col("event_id").isin([e for e in (1, 3, 2, 4, 10, 11, 12)
+                                      ])).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{d1dir}/events.parquet")
+    day1_rows = sorted(
+        (tuple(r) for r in spec.builder(spark, d1dir).collect()),
+        key=lambda t: (t[0], t[2]),
+    )
+    day2_events = {  # user -> [(ts_us, event_id, type, weight)]
+        1: [(u(120), 5, "B", 1), (u(180), 7, "A", 1)],
+        3: [(u(150), 6, None, 1), (u(210), 8, None, 1)],
+    }
+    merged = []
+    for uid in sorted({g[0] for g in got}):
+        ivs = [g for g in day1_rows if g[0] == uid]
+        closed = [g for g in ivs if g[3] is not None]
+        open_iv = [g for g in ivs if g[3] is None]
+        stream = [
+            (iv[2], -1, iv[1], iv[4]) for iv in open_iv  # pseudo-event
+        ] + day2_events.get(uid, [])
+        stream.sort(key=lambda t: (t[0], t[1]))
+        if uid not in day2_events:  # untouched user: intervals as-is
+            merged.extend(ivs)
+            continue
+        merged.extend(closed)
+        runs = []
+        for ts_us, _eid, typ, wt in stream:
+            if runs and runs[-1][1] == typ:
+                runs[-1][2] += wt
+            else:
+                runs.append([ts_us, typ, wt])
+        for i, (start, typ, wt) in enumerate(runs):
+            nxt = runs[i + 1][0] if i + 1 < len(runs) else None
+            merged.append(
+                (uid, typ, start, nxt, wt, nxt is None)
+            )
+    assert sorted(merged, key=lambda t: (t[0], t[2])) == got
 
 
 def test_domain_caps_claims(spark, tmp_path):
