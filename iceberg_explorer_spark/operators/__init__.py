@@ -647,6 +647,18 @@ The r16 window plan (written at r15 freeze; execute verbatim if r15
   asof_join_purchase_click, conditional_agg_order_status,
   cte_above_avg_orders — all seven roll to r17).
   1 + 3 + 4 + 42 = 50 exactly.
+Round 15 also ships ivfpq_refine_from_store — the refine query's
+  persisted serve over BOTH indexes (codes for the ADC shortlist,
+  vectors for the exact re-rank): stage 1 is the code serve collected
+  at its ADC top-R (O(R) driver rows, the bounded legitimacy class),
+  stage 2 is ONE bucket-pruned scan of ivf_lists with pushed vec_id
+  filters, literal-map shortlist attachment, and the inlined exact
+  dot — zero joins/shuffles/windows/broadcasts in the returned frame
+  (pinned). Round-trip parity with the registered query through
+  append/replay/compaction of each store; measured sf0.1 min-of-5:
+  5.8x over the in-session query, honestly 1.7x the bare code serve
+  (two sequential driver round-trips — a per-query-class precision
+  knob, not a free default).
 BENCH v4 DECLARATION (the one-round-ahead call the policy requires,
   made at r15 freeze): round 16 is the OVERLAP round — EXTENDED as
   frozen at the end of r15 (NINE operators: three r13 + three r14 +

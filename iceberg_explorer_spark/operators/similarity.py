@@ -50,6 +50,16 @@ NEAR_DUP_TAU = 0.4
 IVF_K = 8  # coarse-quantizer lists
 IVF_NPROBE = 2
 
+#: Refine shortlist size: the ADC stage keeps its top REFINE_R
+#: candidates (total-ordered: approx score DESC, vec_id), and ONLY
+#: those R rows are re-ranked with exact cosines. Scale-independent by
+#: construction — the exact stage's cost is O(R) raw-vector reads no
+#: matter the corpus size. R > k by 3x so ADC quantization error has
+#: room to misorder near-ties without pushing a true top-k row off the
+#: shortlist entirely (the residual failure mode is documented, not
+#: hidden: a true neighbor ADC-ranked below R stays lost).
+REFINE_R = 30
+
 #: The similarity input contract, as DuckDB SQL — the single source every
 #: oracle interpolates (15 sites; a copy-pasted literal would let one
 #: missed site silently run an older contract). Mirrored exactly by
@@ -1331,6 +1341,105 @@ def ivfpq_topk_from_store(
     )
 
 
+def ivfpq_refine_from_store(
+    code_store,
+    vector_store,
+    query_vec: "list[float]",
+    query_vec_id: "int | None" = None,
+    nprobe: int = IVF_NPROBE,
+    k: int = 10,
+    r: int = REFINE_R,
+    codebook: "list[tuple[int, int, list[float]]] | None" = None,
+) -> DataFrame:
+    """Serve similarity_ivf_pq_refine_topk's semantics from the two
+    persisted indexes — row-identical to the registered query (pinned
+    by the round-trip test) with the cascade's production plan:
+
+    1. the code serve (``ivfpq_topk_from_store``) cut at the ADC
+       top-``r`` shortlist and COLLECTED — R rows of (vec_id,
+       probe_list, approx score), the bounded O(R) driver legitimacy
+       class, exactly the ids-and-scores a serving tier hands its
+       refine stage;
+    2. ONE bucket-pruned scan of the VECTOR index (``ivf_lists``),
+       filtered to the shortlist's probe lists (bucket pruning) and
+       vec_ids (pushed filter), with the exact cosine computed as an
+       inlined literal-array dot and the shortlist's own probe_list /
+       approx score attached as literal MAPS keyed by vec_id — zero
+       joins, zero shuffles, zero Window nodes, zero broadcasts in
+       the returned frame.
+
+    The two stores hold the two physical forms of the same corpus
+    (codes for selectivity, vectors for precision); probe_list and
+    approx_cos_sim come from the CODE index's shortlist rather than
+    re-derived from the vector rows, so the serve reports exactly what
+    the first stage claimed even if the stores were published from
+    different snapshots (the round-trip test pins same-snapshot
+    parity with the registered query). Float parity: the literal dot
+    is ``_DOT_SPARK``'s fold order over the stored normalized doubles,
+    identical to the in-session exact stage; the shortlist cut
+    inherits the code serve's exact micro-unit ADC parity.
+
+    ``query_vec`` is REQUIRED (validated by the code serve);
+    ``codebook``: pass :func:`ivfpq_codebook`'s result to hoist the
+    per-serve codebook collect, as with the plain code serve."""
+    shortlist = ivfpq_topk_from_store(
+        code_store,
+        query_vec,
+        query_vec_id=query_vec_id,
+        nprobe=nprobe,
+        k=r,
+        codebook=codebook,
+    ).collect()
+    spark = vector_store.spark
+    vector_store.read("ivf_lists")  # heal a crashed compaction first
+    s = _serve_session(spark)
+    s.catalog.refreshTable(_serve_table(vector_store, "ivf_lists"))
+    art = s.table(_serve_table(vector_store, "ivf_lists"))
+    if not shortlist:
+        return art.filter(F.lit(False)).select(
+            "vec_id",
+            F.col("cid").alias("probe_list"),
+            F.lit(0.0).alias("approx_cos_sim"),
+            F.lit(0.0).alias("cos_sim"),
+        )
+    ids = [int(row["vec_id"]) for row in shortlist]
+    cids = sorted({int(row["probe_list"]) for row in shortlist})
+    probe_map = F.create_map(
+        *[
+            lit
+            for row in shortlist
+            for lit in (
+                F.lit(int(row["vec_id"])),
+                F.lit(int(row["probe_list"])),
+            )
+        ]
+    )
+    approx_map = F.create_map(
+        *[
+            lit
+            for row in shortlist
+            for lit in (
+                F.lit(int(row["vec_id"])),
+                F.lit(float(row["approx_cos_sim"])),
+            )
+        ]
+    )
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    cos = F.round(F.expr(_DOT_SPARK.format(a="nvec", b="qe")), 6)
+    return (
+        art.filter(F.col("cid").isin(cids) & F.col("vec_id").isin(ids))
+        .withColumn("qe", qlit)
+        .select(
+            "vec_id",
+            probe_map[F.col("vec_id")].alias("probe_list"),
+            approx_map[F.col("vec_id")].alias("approx_cos_sim"),
+            cos.alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(k)
+    )
+
+
 def _gemm_schema() -> str:
     return "vec_a long, vec_b long, cos_sim double"
 
@@ -2004,17 +2113,6 @@ def similarity_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("approx_cos_sim").desc(), "vec_id")
         .limit(10)
     )
-
-
-#: Refine shortlist size: the ADC stage keeps its top REFINE_R
-#: candidates (total-ordered: approx score DESC, vec_id), and ONLY
-#: those R rows are re-ranked with exact cosines. Scale-independent by
-#: construction — the exact stage's cost is O(R) raw-vector reads no
-#: matter the corpus size. R > k by 3x so ADC quantization error has
-#: room to misorder near-ties without pushing a true top-k row off the
-#: shortlist entirely (the residual failure mode is documented, not
-#: hidden: a true neighbor ADC-ranked below R stays lost).
-REFINE_R = 30
 
 
 @query(

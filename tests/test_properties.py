@@ -6316,3 +6316,114 @@ def test_domain_caps_claims(spark, tmp_path):
     assert_matches_oracle(
         spec.builder(spark, d), con, spec.oracle, "domain_caps_crafted"
     )
+
+
+def test_ivfpq_refine_store_round_trip(spark):
+    """The refine cascade's serving story (r15 — pairing
+    similarity_ivf_pq_refine_topk with its persisted-index serve, the
+    same discipline as the r13/r14 serves): (1) serve parity —
+    ivfpq_refine_from_store returns ROW-IDENTICAL results to the
+    registered query, through both the per-serve and hoisted-codebook
+    paths; (2) the returned frame is the cascade's production plan —
+    ONE bucket-pruned scan of the VECTOR index (SelectedBucketsCount
+    <= nprobe) with the exact cosine inlined as a literal dot and the
+    code index's shortlist attached as literal maps: zero joins, zero
+    shuffles, zero Window nodes, zero broadcasts (the shortlist stage
+    is the code serve collected at O(R) driver rows — the bounded
+    legitimacy class); (3) a nightly append landed on BOTH stores
+    surfaces in the serve — an exact duplicate of the query takes
+    rank 1 at cosine 1.0 with the maximal ADC score — and replayed
+    appends plus compaction of EACH store leave the served rows
+    identical."""
+    import re
+
+    import pyspark.sql.functions as F
+
+    from iceberg_explorer_spark.operators import QUERIES
+    from iceberg_explorer_spark.operators.similarity import (
+        IVF_NPROBE,
+        _load_emb,
+        _with_normalized,
+        ivf_append_lists,
+        ivf_backfill_lists,
+        ivf_store,
+        ivfpq_append,
+        ivfpq_backfill,
+        ivfpq_codebook,
+        ivfpq_refine_from_store,
+        ivfpq_store,
+    )
+    from iceberg_explorer_spark.plans import inspect as pi
+
+    d = "/root/testdata/sf0.01"
+    n_buckets = 4
+    cs = ivfpq_store(spark, "t_refine_codes", n_buckets=n_buckets)
+    vs = ivf_store(spark, "t_refine_vecs", n_buckets=n_buckets)
+    try:
+        ivfpq_backfill(spark, d, cs)
+        ivf_backfill_lists(spark, d, vs)
+        emb = _with_normalized(_load_emb(spark, d))
+        qv = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == 0).first()["ne"]
+        ]
+        served = ivfpq_refine_from_store(cs, vs, qv, query_vec_id=0)
+        got = [tuple(r) for r in served.collect()]
+        want = [
+            tuple(r)
+            for r in QUERIES["similarity_ivf_pq_refine_topk"]
+            .builder(spark, d)
+            .collect()
+        ]
+        assert got == want and got
+        cb = ivfpq_codebook(cs)
+        assert [
+            tuple(r)
+            for r in ivfpq_refine_from_store(
+                cs, vs, qv, query_vec_id=0, codebook=cb
+            ).collect()
+        ] == got
+
+        # (2) the production plan of the returned frame
+        plan = pi.physical_plan(served)
+        assert pi.shuffle_count(served) == 0
+        assert "Join" not in plan
+        assert "Window" not in plan
+        assert "BroadcastExchange" not in plan
+        assert plan.count("Scan parquet") == 1
+        m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+        assert m, plan
+        assert int(m.group(1)) <= IVF_NPROBE
+        assert int(m.group(2)) == n_buckets
+
+        # (3) nightly append on BOTH stores, replay, compaction
+        new_id = 11_000_000
+        inc = (
+            spark.read.parquet(f"{d}/embeddings.parquet")
+            .filter(F.col("vec_id") == 0)
+            .withColumn("vec_id", F.lit(new_id).cast("long"))
+        )
+        assert ivfpq_append(cs, inc, batch_id="night-1") is True
+        assert ivf_append_lists(vs, inc, batch_id="night-1") is True
+        served2 = [
+            tuple(r)
+            for r in ivfpq_refine_from_store(
+                cs, vs, qv, query_vec_id=0
+            ).collect()
+        ]
+        assert served2[0][0] == new_id
+        assert served2[0][3] == 1.0  # exact cosine of the duplicate
+        assert served2[0][2] == max(s_[2] for s_ in served2)  # max ADC
+        assert ivfpq_append(cs, inc, batch_id="night-1") is False
+        assert ivf_append_lists(vs, inc, batch_id="night-1") is False
+        cs.compact()
+        vs.compact()
+        assert [
+            tuple(r)
+            for r in ivfpq_refine_from_store(
+                cs, vs, qv, query_vec_id=0
+            ).collect()
+        ] == served2
+    finally:
+        cs.drop()
+        vs.drop()
