@@ -1371,10 +1371,14 @@ def ivfpq_refine_from_store(
     The two stores hold the two physical forms of the same corpus
     (codes for selectivity, vectors for precision); probe_list and
     approx_cos_sim come from the CODE index's shortlist rather than
-    re-derived from the vector rows, so the serve reports exactly what
-    the first stage claimed even if the stores were published from
-    different snapshots (the round-trip test pins same-snapshot
-    parity with the registered query). Float parity: the literal dot
+    re-derived from the vector rows. CONTRACT: both indexes must be
+    published/appended from the same corpus snapshot — a shortlist
+    vector the vector index lacks (or assigns to a different list)
+    fails the pruned scan's filters and silently DROPS from the
+    result, so keep the two appends in one ingest transaction (the
+    round-trip test pins same-snapshot parity with the registered
+    query, including through paired appends and per-store
+    compactions). Float parity: the literal dot
     is ``_DOT_SPARK``'s fold order over the stored normalized doubles,
     identical to the in-session exact stage; the shortlist cut
     inherits the code serve's exact micro-unit ADC parity.
