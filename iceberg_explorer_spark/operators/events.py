@@ -1126,7 +1126,15 @@ def events_rate_spike_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH seq AS (
       SELECT user_id, event_type, ts, event_id,
-             CASE WHEN LAG(event_type) OVER w IS DISTINCT FROM event_type
+             -- the first-row clause probes a NEVER-NULL column: for a
+             -- user whose FIRST event is NULL-typed, LAG(event_type)
+             -- IS DISTINCT FROM event_type is FALSE (NULL vs NULL), and
+             -- without it the user's leading NULL run would silently
+             -- vanish from the history (r15 generative-test find — the
+             -- oracle encoded the same flaw, so the differential gate
+             -- could not see it)
+             CASE WHEN LAG(event_id) OVER w IS NULL
+                       OR LAG(event_type) OVER w IS DISTINCT FROM event_type
                   THEN 1 ELSE 0 END AS new_run,
              ROW_NUMBER() OVER w AS rn,
              COUNT(*) OVER (PARTITION BY user_id) AS n_user
@@ -1176,8 +1184,15 @@ def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select("user_id", "event_type", "ts", "event_id")
         .withColumn(
             "new_run",
+            # lag(event_id) NULL == "no previous row": the first event
+            # is ALWAYS a run start, even when its type is NULL and the
+            # type-vs-lag null-safe comparison alone would say "same
+            # run as the (nonexistent) predecessor" (r15 generative
+            # find; the session operator's LAG(ts) IS NULL clause is
+            # the same idiom)
             F.when(
-                ~F.col("event_type").eqNullSafe(
+                F.lag("event_id").over(w).isNull()
+                | ~F.col("event_type").eqNullSafe(
                     F.lag("event_type").over(w)
                 ),
                 1,

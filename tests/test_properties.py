@@ -6109,7 +6109,10 @@ def test_scd2_intervals_claims(spark, tmp_path):
     C's interval closes at the tied timestamp — zero-width, the
     honest rendering of simultaneous changes); (4) consecutive
     NULL-typed events collapse into ONE NULL run (IS DISTINCT FROM
-    semantics on both engines); (5) users never leak runs into each
+    semantics on both engines) — including a user whose FIRST event is
+    NULL-typed, whose leading run the pre-fix rule silently dropped in
+    both engines (the r15 generative find, pinned here by name); (5)
+    users never leak runs into each
     other (u3's A stream is one interval despite u1's interleaved
     flips); (6) the docstring's incrementalization claim is EXECUTED,
     not asserted: re-compacting each user's OPEN day-1 interval as a
@@ -6137,6 +6140,11 @@ def test_scd2_intervals_claims(spark, tmp_path):
         # u3: steady A (+ two NULL-typed events collapsing to one run)
         (2, ts(30), 3, "A", 1.0), (4, ts(90), 3, "A", 1.0),
         (6, ts(150), 3, None, 1.0), (8, ts(210), 3, None, 1.0),
+        # u4: FIRST event NULL-typed — the r15 generative find: without
+        # the first-row clause this leading NULL run vanishes in BOTH
+        # engines (lag NULL IS NOT DISTINCT FROM type NULL)
+        (20, ts(5), 4, None, 1.0), (21, ts(65), 4, None, 1.0),
+        (22, ts(125), 4, "E", 1.0),
     ]
     df = spark.createDataFrame(
         rows,
@@ -6177,8 +6185,13 @@ def test_scd2_intervals_claims(spark, tmp_path):
         (3, "A", u(30), u(150), 2, False),
         (3, None, u(150), None, 2, True),
     ]
+    # the NULL-FIRST user keeps its leading NULL run (r15 find)
+    assert [g for g in got if g[0] == 4] == [
+        (4, None, u(5), u(125), 2, False),
+        (4, "E", u(125), None, 1, True),
+    ]
     # (2) half-open exhaustiveness, one current row per user, counts
-    for uid, n_total in ((1, 4), (2, 3), (3, 4)):
+    for uid, n_total in ((1, 4), (2, 3), (3, 4), (4, 3)):
         iv = [g for g in got if g[0] == uid]
         assert sum(g[4] for g in iv) == n_total
         assert [g[5] for g in iv].count(True) == 1
@@ -6200,7 +6213,8 @@ def test_scd2_intervals_claims(spark, tmp_path):
     # events (open interval -> weighted pseudo-event) and compare to
     # the full recompute above.
     d1dir = str(tmp_path / "scd2_day1")
-    df.filter(F.col("event_id").isin([e for e in (1, 3, 2, 4, 10, 11, 12)
+    df.filter(F.col("event_id").isin([e for e in (1, 3, 2, 4, 10, 11, 12,
+                                                   20, 21)
                                       ])).coalesce(1).write.mode(
         "overwrite"
     ).parquet(f"{d1dir}/events.parquet")
@@ -6211,6 +6225,7 @@ def test_scd2_intervals_claims(spark, tmp_path):
     day2_events = {  # user -> [(ts_us, event_id, type, weight)]
         1: [(u(120), 5, "B", 1), (u(180), 7, "A", 1)],
         3: [(u(150), 6, None, 1), (u(210), 8, None, 1)],
+        4: [(u(125), 22, "E", 1)],
     }
     merged = []
     for uid in sorted({g[0] for g in got}):
@@ -6427,3 +6442,149 @@ def test_ivfpq_refine_store_round_trip(spark):
     finally:
         cs.drop()
         vs.drop()
+
+
+def test_scd2_generative_parity(spark, tmp_path):
+    """Generative hammer for events_scd2_intervals: three md5-seeded
+    random event logs — skewed user populations, deliberate timestamp
+    TIES (1-in-4 events reuse the previous second), NULL-typed events,
+    and single-event users — each checked (a) against the DuckDB
+    oracle (full engine parity on shapes the crafted fixture cannot
+    enumerate) and (b) against the structural invariants that define
+    SCD2 output regardless of input: per user, intervals chain
+    half-open (valid_to == next valid_from), exactly one NULL-ended
+    current row, n_events sums to the user's event count, and
+    consecutive intervals never repeat a type (IS DISTINCT FROM — a
+    repeat would mean a run was split)."""
+    import duckdb
+    import hashlib
+
+    from iceberg_explorer_spark.operators import QUERIES
+    from tests.conftest import assert_matches_oracle
+
+    def h(*parts) -> int:
+        return hashlib.md5(":".join(map(str, parts)).encode()).digest()[0]
+
+    types = ["A", "B", "C", None]
+    spec = QUERIES["events_scd2_intervals"]
+    for seed in ("sg1", "sg2", "sg3"):
+        n = 80 + h(seed, "n") % 40
+        rows, sec = [], 0
+        for i in range(n):
+            if h(seed, i, "tie") % 4 != 0:
+                sec += 1 + h(seed, i, "gap") % 50
+            uid = h(seed, i, "u") % (3 + h(seed, "users") % 5)
+            typ = types[h(seed, i, "t") % len(types)]
+            rows.append(
+                (i, f"2024-01-01 {sec // 3600:02d}:{sec // 60 % 60:02d}:"
+                    f"{sec % 60:02d}", uid, typ, 1.0)
+            )
+        df = spark.createDataFrame(
+            rows, "event_id long, ts_s string, user_id long,"
+            " event_type string, value double",
+        ).select(
+            "event_id", F.col("ts_s").cast("timestamp").alias("ts"),
+            "user_id", "event_type", "value", F.lit("{}").alias("props"),
+        )
+        d = str(tmp_path / f"scd2_{seed}")
+        df.coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{d}/events.parquet/*.parquet')"
+        )
+        assert_matches_oracle(
+            spec.builder(spark, d), con, spec.oracle, f"scd2_gen_{seed}"
+        )
+        got = sorted(
+            (tuple(r) for r in spec.builder(spark, d).collect()),
+            key=lambda t: (t[0], t[2]),
+        )
+        per_user = {}
+        for g in got:
+            per_user.setdefault(g[0], []).append(g)
+        n_by_user = {}
+        for _eid, _ts, uid, _t, _v in rows:
+            n_by_user[uid] = n_by_user.get(uid, 0) + 1
+        assert set(per_user) == set(n_by_user), seed
+        for uid, ivs in per_user.items():
+            assert sum(g[4] for g in ivs) == n_by_user[uid], (seed, uid)
+            assert [g[5] for g in ivs].count(True) == 1
+            assert ivs[-1][3] is None and ivs[-1][5] is True
+            for a, b in zip(ivs, ivs[1:]):
+                assert a[3] == b[2], (seed, uid)
+                assert a[1] != b[1] or (a[1] is None) != (b[1] is None), (
+                    seed, uid,
+                )
+
+
+def test_domain_caps_generative(spark, tmp_path):
+    """Generative hammer for pipeline_domain_caps: three md5-seeded
+    random source-size profiles (heavy-tailed, near-uniform, and
+    one-giant-many-tiny) checked against (a) the DuckDB oracle and
+    (b) an independent bisection model of the water level, plus the
+    definitional invariants: allocations sum to the budget (1e-5 of
+    budget — round-6 outputs), every uncapped domain keeps exactly its
+    own tokens, every capped domain gets exactly tau, and tau
+    separates the two classes."""
+    import duckdb
+    import hashlib
+
+    from iceberg_explorer_spark.operators import QUERIES
+    from tests.conftest import assert_matches_oracle
+
+    def h(*parts) -> int:
+        return hashlib.md5(":".join(map(str, parts)).encode()).digest()[0]
+
+    spec = QUERIES["pipeline_domain_caps"]
+    profiles = {
+        "heavy": lambda i, s: 10 + h(s, i) ** 2 // 8,
+        "uniform": lambda i, s: 40 + h(s, i) % 9,
+        "giant": lambda i, s: 2000 if i == 0 else 5 + h(s, i) % 20,
+    }
+    for pname, size in profiles.items():
+        n_src = 5 + h(pname, "n") % 6
+        totals = {f"s{i:02d}": max(1, size(i, pname)) for i in range(n_src)}
+        rows = [
+            (i, " ".join(f"t{pname}{i}w{j}" for j in range(t)), "en",
+             src, t * 7)
+            for i, (src, t) in enumerate(sorted(totals.items()))
+        ]
+        d = str(tmp_path / f"caps_{pname}")
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{d}/documents.parquet"
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{d}/documents.parquet/*.parquet')"
+        )
+        assert_matches_oracle(
+            spec.builder(spark, d), con, spec.oracle, f"caps_gen_{pname}"
+        )
+        got = {r["source"]: r.asDict() for r in spec.builder(spark, d).collect()}
+        budget = sum(totals.values()) // 2
+        lo, hi = 0.0, float(max(totals.values()))
+        for _ in range(200):
+            mid = (lo + hi) / 2
+            if sum(min(t, mid) for t in totals.values()) < budget:
+                lo = mid
+            else:
+                hi = mid
+        tau = hi
+        for src, t in totals.items():
+            r = got[src]
+            assert abs(r["cap_level"] - tau) < 1e-5, (pname, src, tau)
+            if r["capped"]:
+                assert t > r["cap_level"] - 1e-9
+                assert abs(r["allocated_tokens"] - r["cap_level"]) < 1e-9
+            else:
+                assert r["allocated_tokens"] == float(t)
+        assert (
+            abs(sum(r["allocated_tokens"] for r in got.values()) - budget)
+            < 1e-5 * max(budget, 1)
+        ), pname
