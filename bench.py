@@ -175,7 +175,24 @@ HEADLINE = [
 #: and are folded into HEADLINE above) — EXTENDED holds post-r12
 #: newcomers only.
 EXTENDED: list[str] = [
-    # post-r12 operators registered since the r12 freeze
+    # post-r15 operators only: the nine that accumulated through r15
+    # ride round 16 as GRADUATING_R15 (the declared v4 overlap — see the
+    # HEADLINE GRADUATION POLICY below); EXTENDED restarts empty and
+    # refills with operators registered after the r15 freeze.
+]
+
+#: The EXTENDED set as frozen at the END of round 15 (three r13 + three
+#: r14 + three r15 operators), riding round 16 — the DECLARED v4 overlap
+#: round — through format_output's ``graduating`` parameter: excluded
+#: from ``value``/``extended_sec``, surfaced via the additive
+#: ``value_v4``/``n_queries_v4`` keys under headline_version 3. Round 17
+#: flips: this cohort folds into HEADLINE's tail in this frozen order,
+#: headline_version becomes 4, the constant empties and stays as the
+#: generic graduation hook (empty ⇒ no overlap keys are emitted). The
+#: r12-era predecessor (GRADUATING_R12) executed the identical protocol
+#: at the r13 overlap / r14 flip.
+GRADUATING_R15: list[str] = [
+    # frozen order — this IS the order the r17 flip appends to HEADLINE
     "dedup_incremental_simhash",  # fifth incremental sibling: SimHash keys (r13)
     "similarity_ivf_probe_sweep",  # IVF nprobe recall/cost curve, one build (r13)
     "similarity_pq_geometry_sweep",  # PQ bytes-vs-recall grid, one scan (r13)
@@ -186,14 +203,6 @@ EXTENDED: list[str] = [
     "events_scd2_intervals",      # SCD2/CDC validity-interval compaction (r15)
     "pipeline_domain_caps",       # closed-form water-filling token budget (r15)
 ]
-
-#: The EXTENDED set as frozen at the END of round 12 graduated into
-#: HEADLINE at the r14 v3 flip (frozen order preserved in the HEADLINE
-#: tail above). The constant stays as the generic graduation hook — the
-#: NEXT declared overlap round refills it with the then-frozen EXTENDED
-#: cohort and passes it back through format_output's ``graduating``
-#: parameter (empty ⇒ no overlap keys are emitted).
-GRADUATING_R12: list[str] = []
 
 #: HEADLINE GRADUATION POLICY (a logged trend reset, never a silent one).
 #: EXTENDED keeps growing — the 65-query v1 sum cannot stay the only trend
@@ -223,13 +232,29 @@ GRADUATING_R12: list[str] = []
 #:     ``n_queries_v3`` keys carried HEADLINE + the graduating cohort
 #:     (BENCH_r13: value 45.17/77, value_v3 53.338/89) — the two series
 #:     share a round, so this reset too is cross-checkable.
-#:   * round 14 (THIS round — the v3 flip, executed as declared in r13;
-#:     dry-run on record in SCALE.md's round-13 addendum: 471 bytes /
-#:     ~60.7 s / 89): the GRADUATING_R12 cohort folds into HEADLINE in
-#:     its frozen order, ``headline_version`` becomes 3, the v3 overlap
-#:     keys and the v2 sum drop, and EXTENDED (already refilled with
-#:     post-r12 operators only) carries on accumulating toward the next
-#:     declared overlap.
+#:   * round 14 (the v3 flip, executed as declared in r13; dry-run on
+#:     record in SCALE.md's round-13 addendum: 471 bytes / ~60.7 s / 89):
+#:     the GRADUATING_R12 cohort folded into HEADLINE in its frozen
+#:     order, ``headline_version`` became 3, the v3 overlap keys and the
+#:     v2 sum dropped, and EXTENDED (refilled with post-r12 operators
+#:     only) carried on accumulating toward the next declared overlap.
+#:   * round 16 (THIS round — the third overlap, executed as DECLARED at
+#:     the r15 freeze, operators/__init__.py ledger): EXTENDED as frozen
+#:     at the end of r15 (NINE operators: three r13 + three r14 + three
+#:     r15) rides as GRADUATING_R15; ``value``/``n_queries`` stay the v3
+#:     trend line (headline_version still 3) and additive ``value_v4`` /
+#:     ``n_queries_v4`` keys carry HEADLINE + the graduating cohort. The
+#:     v4 keys push the final line's slowest map to its 0-entry ladder
+#:     step for this ONE round (planned and accepted at declaration: the
+#:     cpu-probe PAIR stays on the final line — it is the
+#:     self-diagnosing context VERDICT r14 #2 exists for — and the full
+#:     per-query map rides the detail line / BENCH_LOCAL as always; the
+#:     map returns at the r17 flip when the overlap keys drop).
+#:   * round 17 (the v4 flip, declared here one round ahead): the
+#:     GRADUATING_R15 cohort folds into HEADLINE's tail in its frozen
+#:     order, ``headline_version`` becomes 4, the v4 overlap keys and
+#:     the v3 sum drop, and EXTENDED (post-r15 newcomers only) carries
+#:     on accumulating toward the next declared overlap.
 #: ``headline_version`` is emitted starting round 9 so every bench artifact
 #: names the measurement set its ``value`` covers; the driver's
 #: round-over-round comparison must only ever compare equal versions
@@ -470,7 +495,7 @@ def main() -> None:
         # single query aborted the bench before printing). Errors are recorded
         # per-query and excluded from the wall-time sum.
         errors: dict[str, str] = {}
-        for name in [*HEADLINE, *EXTENDED, *GRADUATING_R12]:
+        for name in [*HEADLINE, *EXTENDED, *GRADUATING_R15]:
             try:
                 QUERIES[name].builder(spark, warm_dir).write.format(
                     "noop"
@@ -558,7 +583,7 @@ def main() -> None:
 
         timings: dict[str, float] = {}
         for _ in range(ITERS):
-            for name in [*HEADLINE, *EXTENDED, *GRADUATING_R12]:
+            for name in [*HEADLINE, *EXTENDED, *GRADUATING_R15]:
                 if name in errors:
                     continue
                 builder = QUERIES[name].builder
@@ -587,7 +612,7 @@ def main() -> None:
             ITERS,
             candidate_build,
             extended=EXTENDED,
-            graduating=GRADUATING_R12,
+            graduating=GRADUATING_R15,
             probe_build=probe_build,
             semantic_build=semantic_build,
             cpu_probe_sec=cpu_probe_sec,

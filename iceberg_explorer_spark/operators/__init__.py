@@ -676,6 +676,33 @@ BENCH v4 DECLARATION (the one-round-ahead call the policy requires,
   full per-query map rides the detail line / committed BENCH_LOCAL as
   always; the map returns at the r17 flip when the overlap keys
   drop).
+Round 16 executes the r16 window plan verbatim (_CHECK_WINDOW below;
+  the seven most-green r13-latest — similarity_knn_join (7),
+  text_token_count (7), events_variant_shred (6),
+  anti_join_idle_customers, asof_join_purchase_click,
+  conditional_agg_order_status, cte_above_avg_orders (the first four
+  of the 5-green alphabetical tie) — roll to r17) and the DECLARED
+  bench v4 overlap exactly as written: the nine-operator EXTENDED
+  cohort frozen at r15 end rides as bench.GRADUATING_R15 emitting
+  additive value_v4/n_queries_v4 under headline_version 3; EXTENDED
+  restarted empty (refills with post-r15 newcomers only). ROUND 17
+  FLIP (declared here one round ahead, per policy): r17 folds
+  GRADUATING_R15 into HEADLINE's tail in its frozen order, sets
+  HEADLINE_VERSION = 4, drops the v4 overlap keys and empties the
+  hook; r17's `value` compares to BENCH_r16's value_v4 (98 queries),
+  never to its v3 value.
+Round 16 also promotes the seeded generative claim-hammer from
+  post-freeze sweep to the PRE-FREEZE rigging checklist (VERDICT r15
+  #3 — the r15 scd2 NULL-first-run bug lived in BOTH engines, so the
+  differential gate was structurally blind to it): every NEW operator
+  needs a seeded generative parity test against an INDEPENDENT
+  in-test model (not just the DuckDB oracle) green BEFORE the freeze;
+  the rigging checklist is otherwise unchanged. Backfills shipped for
+  the two highest-value r13-r14 operators that rested on crafted
+  fixtures only: similarity_ivf_pq_topk (composed-chain parity vs an
+  independent numpy IVF-PQ model over seeded random corpora) and
+  text_bigram_lm_score (add-one bigram LM parity vs an independent
+  Python counter model over seeded random token streams).
 """
 
 from iceberg_explorer_spark.operators.registry import QUERIES, QuerySpec, query  # noqa: F401
@@ -694,66 +721,69 @@ from iceberg_explorer_spark.operators import pipeline  # noqa: E402,F401
 _CHECK_WINDOW = [
     # flagship first (never displaced)
     "pipeline_clean_corpus",
-    # --- the three round-14 operators: FIRST driver rows (VERDICT r14 #1
-    # — after r14 they are the only oracle-bearing queries with zero
+    # --- the three round-15 operators: FIRST driver rows (VERDICT r15 #1
+    # — after r15 they are the only oracle-bearing queries with zero
     # driver evidence) ---
-    "pipeline_clean_corpus_v3",
-    "similarity_ivf_pq_topk",
-    "text_bigram_lm_score",
-    # --- the one r11-latest, rolled from the r14 tie-break ---
-    "semi_join_active_customers",
-    # --- 45 of the 49 r12-latest (last driver row is r12, counted fresh
-    # from CORRECTNESS_r01..r14: exactly 49 queries have latest row r12,
-    # matching the written r15 plan and the judge's independent count).
-    # Left out per the plan: the FOUR with the MOST prior green rows,
-    # tie-break alphabetical-first-out — dedup_minhash_lsh (10),
-    # join_revenue_by_nation (10), pricing_summary (9),
-    # events_tumbling_window (8) — all four roll to r16. ---
-    "dedup_candidate_triangles",
-    "dedup_clusters",
-    "dedup_containment",
-    "dedup_containment_probe",
-    "dedup_incremental_ingest",
-    "dedup_incremental_near",
-    "dedup_incremental_paired",
-    "dedup_incremental_semantic",
-    "dedup_jaccard_threshold_sweep",
-    "dedup_ngram_jaccard",
-    "dedup_semantic_keep_best",
-    "dedup_span_boilerplate",
-    "events_dau_wau_stickiness",
-    "events_json_extract",
-    "events_markov_transitions",
-    "events_resample_gapfill",
-    "events_sliding_window",
-    "events_user_retention",
-    "group_by_all_status_priority",
-    "lateral_top_orders",
-    "market_basket_part_pairs",
-    "multimodal_audio_energy",
-    "multimodal_frame_sample",
-    "multimodal_patch_tokens",
-    "orders_yoy_growth",
-    "pipeline_chunk_documents",
-    "pipeline_chunk_pack",
-    "pipeline_dataset_card",
-    "pipeline_epoch_plan",
-    "pipeline_incremental_artifact_delta_v2",
-    "pipeline_incremental_ingest",
-    "pipeline_incremental_ingest_v2",
-    "pipeline_token_shards",
-    "rfm_customer_segments",
-    "similarity_ann_recall_report",
-    "similarity_bucket_gemm",
-    "similarity_kmeans_step",
-    "similarity_pq_adc_topk",
-    "text_bpe_pair_freq",
-    "text_decontaminate",
-    "text_length_histogram",
-    "text_tfidf_source_terms",
-    "unpivot_customer_metrics",
-    "window_distribution_functions",
-    "window_top_orders_per_customer",
+    "similarity_ivf_pq_refine_topk",
+    "events_scd2_intervals",
+    "pipeline_domain_caps",
+    # --- the FOUR r12-latest rolled from the r15 tie-break (after r15
+    # they are the stalest rows in the registry; all four come in) ---
+    "dedup_minhash_lsh",
+    "events_tumbling_window",
+    "join_revenue_by_nation",
+    "pricing_summary",
+    # --- 42 of the 49 r13-latest (last driver row is r13, counted fresh
+    # from CORRECTNESS_r01..r15: exactly 49 queries have latest row r13,
+    # matching the written r16 plan and the judge's independent count).
+    # Left out per the plan: the SEVEN with the MOST prior green rows,
+    # tie-break alphabetical-first-out — similarity_knn_join (7),
+    # text_token_count (7), events_variant_shred (6), and the first four
+    # of the 5-green alphabetical tie: anti_join_idle_customers,
+    # asof_join_purchase_click, conditional_agg_order_status,
+    # cte_above_avg_orders — all seven roll to r17. ---
+    "dedup_cluster_stats",
+    "dedup_exact",
+    "dedup_incremental_two_day_exact",
+    "dedup_incremental_two_day_near",
+    "dedup_keep_best",
+    "dedup_pagerank_step",
+    "dedup_simhash",
+    "dedup_simhash_hamming",
+    "dedup_simhash_hamming_sweep",
+    "dedup_source_minhash_similarity",
+    "dedup_source_overlap_matrix",
+    "events_categorical_drift",
+    "events_funnel",
+    "events_funnel_latency",
+    "events_incremental_rollup",
+    "events_path_topk",
+    "events_rate_spike_zscore",
+    "explode_word_frequencies",
+    "left_join_order_lines",
+    "multimodal_ahash_dedup",
+    "multimodal_image_resize",
+    "null_semantics",
+    "orders_seasonality_index",
+    "parts_abc_pareto",
+    "percentile_order_price",
+    "pipeline_clean_corpus_v2",
+    "pipeline_global_shuffle",
+    "pipeline_incremental_artifact_delta",
+    "pipeline_pack_efficiency",
+    "pipeline_stratified_sample",
+    "range_join_ship_window",
+    "scalar_date_functions",
+    "similarity_bruteforce_topk",
+    "similarity_centroid_drift",
+    "similarity_int8_quantize",
+    "similarity_lsh_ann",
+    "text_bm25_topk",
+    "text_fingerprint",
+    "text_ngram_entropy",
+    "text_vocab_growth",
+    "topk_orders",
+    "window_ship_gaps",
 ]
 
 

@@ -14,7 +14,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from bench import EXTENDED, GRADUATING_R12, HEADLINE, format_output  # noqa: E402
+from bench import EXTENDED, GRADUATING_R15, HEADLINE, format_output  # noqa: E402
 
 
 def inspect_main_source() -> str:
@@ -95,24 +95,36 @@ def test_extended_queries_excluded_from_trend_value():
 
 
 def test_extended_registry_membership():
-    """Every HEADLINE / EXTENDED / GRADUATING_R12 name must be a
+    """Every HEADLINE / EXTENDED / GRADUATING_R15 name must be a
     registered query and the three benchmark sets must be pairwise
     disjoint (overlap would double-count an operator's time in one of
     the sums). HEADLINE must also be duplicate-free — the r11 and r14
     graduations folded whole cohorts in, and a name appearing twice
-    would double its time in `value`. GRADUATING_R12 emptied at the r14
-    flip (its twelve now sit in HEADLINE's tail); it stays as the
-    generic hook the next declared overlap round refills."""
+    would double its time in `value`. GRADUATING_R15 holds the NINE
+    operators frozen at the r15 end (three r13 + three r14 + three r15)
+    for the r16 overlap round as declared; EXTENDED restarted empty and
+    refills with post-r15 newcomers only."""
     from iceberg_explorer_spark.operators import QUERIES
 
     assert not set(EXTENDED) & set(HEADLINE)
-    assert not set(GRADUATING_R12) & set(HEADLINE)
-    assert not set(GRADUATING_R12) & set(EXTENDED)
+    assert not set(GRADUATING_R15) & set(HEADLINE)
+    assert not set(GRADUATING_R15) & set(EXTENDED)
     assert len(set(HEADLINE)) == len(HEADLINE)
     assert len(set(EXTENDED)) == len(EXTENDED)
-    assert GRADUATING_R12 == []
+    # the frozen cohort, in the order the r17 flip appends to HEADLINE
+    assert GRADUATING_R15 == [
+        "dedup_incremental_simhash",
+        "similarity_ivf_probe_sweep",
+        "similarity_pq_geometry_sweep",
+        "similarity_ivf_pq_topk",
+        "text_bigram_lm_score",
+        "pipeline_clean_corpus_v3",
+        "similarity_ivf_pq_refine_topk",
+        "events_scd2_intervals",
+        "pipeline_domain_caps",
+    ]
     missing = [
-        n for n in [*HEADLINE, *EXTENDED, *GRADUATING_R12] if n not in QUERIES
+        n for n in [*HEADLINE, *EXTENDED, *GRADUATING_R15] if n not in QUERIES
     ]
     assert not missing, missing
 
@@ -179,15 +191,20 @@ def test_headline_version_and_graduation_policy():
     (GRADUATING_R12 as frozen at the end of r12) is folded into
     HEADLINE's tail in its frozen order (all 12 present, exactly once)
     so `value` compares to BENCH_r13's value_v3 (89 queries), never its
-    v2 value; (2) no graduating cohort is in flight (GRADUATING_R12
-    emptied at the flip), so NO overlap keys appear in a plain run;
-    (3) the `graduating` parameter remains the generic overlap-round
-    mechanism keying the additive sum by the version the cohort BECOMES
-    — under version 3 a future overlap emits value_v4/n_queries_v4,
-    with graduating entries excluded from `value`, `extended_sec` and
-    the slowest map; (4) the executed schedule stays declared in the
-    policy text (r13 overlap, r14 flip) and main() still wires the
-    cohort hook through the graduating parameter."""
+    v2 value; (2) overlap keys appear ONLY when a graduating cohort is
+    passed — a plain run carries none of any version; (3) the
+    `graduating` parameter is the generic overlap-round mechanism
+    keying the additive sum by the version the cohort BECOMES — under
+    version 3 the r16 overlap emits value_v4/n_queries_v4, with
+    graduating entries excluded from `value`, `extended_sec` and the
+    slowest map; (4) the executed + declared schedule stays in the
+    policy text (r13 overlap, r14 flip, r16 overlap, r17 flip) and
+    main() wires the in-flight GRADUATING_R15 cohort through the
+    graduating parameter; (5) the REAL r16 overlap line — 89 headline +
+    the nine real graduating names, every scalar and both probe pairs
+    populated — stays under the byte cap with the v4 keys present (the
+    slowest map is allowed to hit its 0-entry ladder step for this one
+    round, as declared and accepted at the r15 freeze)."""
     import bench
 
     # (1) the flip: version 3, the r12 cohort folded in exactly once,
@@ -248,15 +265,44 @@ def test_headline_version_and_graduation_policy():
     )
     assert len(final_r14) < 500, len(final_r14)
     assert len(json.loads(final_r14)["queries"]) >= 3
-    assert "graduating=GRADUATING_R12" in inspect_main_source()
+    assert "graduating=GRADUATING_R15" in inspect_main_source()
     # the policy text itself must stay in the source next to the constant
     import inspect
 
     src = inspect.getsource(bench)
     assert "HEADLINE GRADUATION POLICY" in src
     assert "round 11" in src and "value_v2" in src
-    # (4) the executed v3 schedule stays declared: r13 overlap, r14 flip
+    # (4) the executed + declared schedule: r13 overlap, r14 flip, r16
+    # overlap (THIS round), r17 flip (declared one round ahead)
     assert "round 13" in src and "value_v3" in src and "round 14" in src
+    assert "round 16" in src and "value_v4" in src and "round 17" in src
+    # (5) the REAL r16 overlap final line: full real names, realistic
+    # worst-case timings, every build scalar + both probe pairs. The v4
+    # keys are present and correct; the line stays under the byte cap
+    # via the slowest-map ladder (0 entries accepted for this ONE round
+    # — the probe pair stays, per the declaration).
+    real = {n: 9.876 for n in [*HEADLINE, *GRADUATING_R15]}
+    _, final_r16 = format_output(
+        real, {}, 0.1, 2, candidate_build=12.345, probe_build=1.666,
+        semantic_build=4.444, extended=EXTENDED,
+        graduating=GRADUATING_R15, cpu_probe_sec=0.299,
+        cpu_probe_1t_sec=0.189, cpu_probe_post_sec=0.301,
+        cpu_probe_post_1t_sec=0.191,
+    )
+    assert len(final_r16) < 500, len(final_r16)
+    parsed_r16 = json.loads(final_r16)
+    assert parsed_r16["headline_version"] == 3
+    assert parsed_r16["n_queries"] == len(HEADLINE)
+    assert parsed_r16["value"] == round(9.876 * len(HEADLINE), 3)
+    assert parsed_r16["n_queries_v4"] == len(HEADLINE) + len(GRADUATING_R15)
+    assert parsed_r16["value_v4"] == round(
+        9.876 * (len(HEADLINE) + len(GRADUATING_R15)), 3
+    )
+    # the probe PAIR survives the ladder step — it is the self-
+    # diagnosing context the final line exists to carry
+    assert parsed_r16["cpu_probe_sec"] == 0.299
+    assert parsed_r16["cpu_probe_post_sec"] == 0.301
+    assert not set(parsed_r16["queries"]) & set(GRADUATING_R15)
 
 
 def test_cpu_probe_calibration_keys():
