@@ -2367,11 +2367,12 @@ def pipeline_incremental_artifact_delta_v2(
       FROM pick
     )
     SELECT source, n_tokens,
-           ROUND(CAST(n_tokens AS DOUBLE) / total, 6) AS share_before,
+           ROUND(CAST(n_tokens AS DOUBLE) / NULLIF(total, 0), 6)
+             AS share_before,
            ROUND(cap, 6) AS cap_level,
            ROUND(LEAST(CAST(n_tokens AS DOUBLE), cap), 6)
              AS allocated_tokens,
-           ROUND(LEAST(CAST(n_tokens AS DOUBLE), cap) / budget, 6)
+           ROUND(LEAST(CAST(n_tokens AS DOUBLE), cap) / NULLIF(budget, 0), 6)
              AS share_after,
            n_tokens > cap AS capped
     FROM tau
@@ -2447,14 +2448,24 @@ def pipeline_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).over(w_all),
     )
     alloc = F.least(F.col("n_tokens").cast("double"), F.col("cap"))
+    # degenerate-corpus guard (r16, ADVICE): an all-empty-text corpus has
+    # total = 0 (and total = 1 has budget = 0) — the shares are then 0/0,
+    # which Spark non-ANSI folds to NULL but DuckDB's IEEE doubles render
+    # NaN. NULLIF on the oracle side + explicit NULL-denominator guards
+    # here keep the two engines identical: both shares are NULL, the cap
+    # algebra itself is well-defined (tau = 0, everything uncapped at 0).
     return tau.select(
         "source",
         "n_tokens",
-        F.round(F.col("n_tokens").cast("double") / F.col("total"), 6).alias(
-            "share_before"
-        ),
+        F.round(
+            F.col("n_tokens").cast("double")
+            / F.nullif(F.col("total"), F.lit(0)),
+            6,
+        ).alias("share_before"),
         F.round(F.col("cap"), 6).alias("cap_level"),
         F.round(alloc, 6).alias("allocated_tokens"),
-        F.round(alloc / F.col("budget"), 6).alias("share_after"),
+        F.round(alloc / F.nullif(F.col("budget"), F.lit(0)), 6).alias(
+            "share_after"
+        ),
         (F.col("n_tokens") > F.col("cap")).alias("capped"),
     )

@@ -1350,6 +1350,7 @@ def ivfpq_refine_from_store(
     k: int = 10,
     r: int = REFINE_R,
     codebook: "list[tuple[int, int, list[float]]] | None" = None,
+    check_snapshot: bool = True,
 ) -> DataFrame:
     """Serve similarity_ivf_pq_refine_topk's semantics from the two
     persisted indexes — row-identical to the registered query (pinned
@@ -1374,11 +1375,21 @@ def ivfpq_refine_from_store(
     re-derived from the vector rows. CONTRACT: both indexes must be
     published/appended from the same corpus snapshot — a shortlist
     vector the vector index lacks (or assigns to a different list)
-    fails the pruned scan's filters and silently DROPS from the
-    result, so keep the two appends in one ingest transaction (the
-    round-trip test pins same-snapshot parity with the registered
-    query, including through paired appends and per-store
-    compactions). Float parity: the literal dot
+    fails the pruned scan's filters and would DROP from the result,
+    so keep the two appends in one ingest transaction (the round-trip
+    test pins same-snapshot parity with the registered query,
+    including through paired appends and per-store compactions).
+    ``check_snapshot`` (default True, r16 hardening) makes a
+    violation LOUD instead of a silent short result: the serve
+    already holds the shortlist ids driver-side, so it runs the
+    pruned scan once as an id projection (bucket-pruned, pushed
+    vec_id filters, <= R rows — the same bounded class as stage 1)
+    and raises ValueError naming the missing vec_ids when the vector
+    index fails to cover the shortlist. Cost is one extra bounded
+    job per serve; pass ``check_snapshot=False`` on a hot path whose
+    ingest transactionality is enforced upstream. The RETURNED frame
+    is unchanged either way (the plan pin covers it).
+    Float parity: the literal dot
     is ``_DOT_SPARK``'s fold order over the stored normalized doubles,
     identical to the in-session exact stage; the shortlist cut
     inherits the code serve's exact micro-unit ADC parity.
@@ -1428,10 +1439,26 @@ def ivfpq_refine_from_store(
             )
         ]
     )
+    pruned = art.filter(F.col("cid").isin(cids) & F.col("vec_id").isin(ids))
+    if check_snapshot:
+        # same-snapshot guard (r16): the pruned scan must cover every
+        # shortlist id — a miss means the two stores were published from
+        # different corpus snapshots, and the refine result would be
+        # silently short/wrong. <= R ids, one bounded column-pruned job.
+        found = {int(row["vec_id"]) for row in pruned.select("vec_id").collect()}
+        missing = sorted(set(ids) - found)
+        if missing:
+            raise ValueError(
+                "ivfpq_refine_from_store: same-snapshot contract violated — "
+                f"{len(missing)} shortlist vec_id(s) absent from the vector "
+                f"index's probed lists (first few: {missing[:5]}). Publish "
+                "both stores from one corpus snapshot (paired appends in "
+                "one ingest transaction)."
+            )
     qlit = F.array(*[F.lit(float(x)) for x in query_vec])
     cos = F.round(F.expr(_DOT_SPARK.format(a="nvec", b="qe")), 6)
     return (
-        art.filter(F.col("cid").isin(cids) & F.col("vec_id").isin(ids))
+        pruned
         .withColumn("qe", qlit)
         .select(
             "vec_id",

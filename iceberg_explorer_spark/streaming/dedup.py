@@ -250,13 +250,19 @@ def epoch_keyed_sink(store, artifact: str, namespace: str, inner=None):
     cleanly — the table exists, the append replays or lands as usual.
 
     ``inner``: optional downstream callable ``(cls_df, epoch_id)``
-    invoked only when the epoch LANDED (first delivery) — chain
-    non-durable consumers (metrics, notifications) here to get
-    effectively-once delivery keyed off the durable landing. Caveat
-    inherited from the store's empty-batch rule: a ZERO-row epoch is
-    vacuously landed and never recorded, so its replay re-fires
-    ``inner`` with the same empty frame — harmless by construction
-    (there is nothing to double-process), documented for exactness.
+    invoked exactly once per NON-EMPTY landed epoch (first delivery) —
+    chain non-durable consumers (metrics, notifications) here to get
+    effectively-once delivery keyed off the durable landing. ZERO-row
+    epochs never fire ``inner`` (r16, VERDICT r15 #5 / ADVICE): the
+    store's empty-batch rule lands them vacuously (True) on EVERY
+    delivery with no provenance recorded, so an inner chained on that
+    True would re-fire per re-delivery — at-least-once, not
+    effectively-once, for any inner with epoch-level side effects (a
+    metrics bump, a notification). Skipping empty frames makes the
+    two contracts exact: the sink's return value keeps the store's
+    vacuous-landing semantics, ``inner`` is effectively-once,
+    unconditionally. The emptiness probe is a ``head(1)`` on the
+    already-classified micro-batch frame, paid only on landed epochs.
 
     ``namespace``: same contract as ``simhash_batch_processor`` —
     REQUIRED, unique per stream lineage; the processor's state appends
@@ -286,7 +292,11 @@ def epoch_keyed_sink(store, artifact: str, namespace: str, inner=None):
         landed = store.append(
             artifact, rows, batch_id=f"{namespace}-sink-epoch-{int(epoch_id)}"
         )
-        if landed and inner is not None:
+        # empty epochs are vacuously landed on EVERY delivery (the
+        # store records no provenance for them), so gating inner on
+        # `landed` alone would re-fire it per re-delivery — skip it
+        # for empty frames to keep inner effectively-once (r16)
+        if landed and inner is not None and cls.head(1):
             inner(cls, epoch_id)
         return landed
 

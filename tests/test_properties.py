@@ -6052,7 +6052,10 @@ def test_ivf_pq_refine_topk_claims(spark, tmp_path):
     outside_best_id = max(
         (v for v in adc if v not in shortlist), key=lambda v: (exact[v], -v)
     )
-    assert outside_best_id == 423
+    # derived from the data above, NOT pinned to a literal: under the
+    # committed sf0.01 corpus this is vec 423, but the claim is the
+    # BEHAVIOR (a better exact cosine exists outside the shortlist and
+    # is absent from the result), which survives testdata regeneration.
     assert exact[outside_best_id] > min(g[3] for g in got)
     assert outside_best_id not in got_ids
 
@@ -6332,6 +6335,34 @@ def test_domain_caps_claims(spark, tmp_path):
         spec.builder(spark, d), con, spec.oracle, "domain_caps_crafted"
     )
 
+    # (5) degenerate corpus (r16, ADVICE): all-empty text -> every
+    # n_tokens is 0, total = 0, budget = 0 DIV 2 = 0. The shares are
+    # 0/0 — without the NULLIF guards Spark non-ANSI folds them to NULL
+    # while DuckDB's IEEE doubles render NaN, a differential-gate
+    # mismatch. Both engines must now agree on NULL shares, a
+    # well-defined cap of 0.0, and 0 allocations.
+    d0 = str(tmp_path / "caps_zero")
+    spark.createDataFrame(
+        [(1, "", "en", "a", 0), (2, "  ", "en", "b", 2)],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d0}/documents.parquet")
+    zero = {r["source"]: r.asDict() for r in spec.builder(spark, d0).collect()}
+    assert set(zero) == {"a", "b"}
+    for r in zero.values():
+        assert r["n_tokens"] == 0
+        assert r["share_before"] is None and r["share_after"] is None
+        assert r["cap_level"] == 0.0 and r["allocated_tokens"] == 0.0
+        assert r["capped"] is False
+    con0 = duckdb.connect()
+    con0.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d0}/documents.parquet/*.parquet')"
+    )
+    assert_matches_oracle(
+        spec.builder(spark, d0), con0, spec.oracle, "domain_caps_zero"
+    )
+
 
 def test_ivfpq_refine_store_round_trip(spark):
     """The refine cascade's serving story (r15 — pairing
@@ -6439,6 +6470,80 @@ def test_ivfpq_refine_store_round_trip(spark):
                 cs, vs, qv, query_vec_id=0
             ).collect()
         ] == served2
+    finally:
+        cs.drop()
+        vs.drop()
+
+
+def test_ivfpq_refine_store_snapshot_guard(spark):
+    """r16 hardening (VERDICT r15 'what's wrong' #2 / ADVICE): a
+    same-snapshot contract violation between the two refine-serve
+    stores must be LOUD, not a silent short result. Crafted
+    cross-snapshot state: an increment appended to the CODE store only
+    — its vec lands in the ADC shortlist (exact duplicate of the query
+    -> maximal ADC score) but the VECTOR index has no such row, so
+    before r16 the pruned scan silently dropped it. Pins: (1) the
+    default serve raises ValueError naming the missing vec_id; (2)
+    check_snapshot=False preserves the documented silent-drop
+    behavior (the result simply lacks the id — the knob for ingest
+    paths whose transactionality is enforced upstream); (3) landing
+    the SAME increment on the vector store heals the serve, the
+    duplicate takes rank 1 at cosine 1.0, and the default
+    check passes quietly again."""
+    import pytest
+
+    from iceberg_explorer_spark.operators.similarity import (
+        _load_emb,
+        _with_normalized,
+        ivf_append_lists,
+        ivf_backfill_lists,
+        ivf_store,
+        ivfpq_append,
+        ivfpq_backfill,
+        ivfpq_refine_from_store,
+        ivfpq_store,
+    )
+
+    d = "/root/testdata/sf0.01"
+    cs = ivfpq_store(spark, "t_refine_guard_codes", n_buckets=4)
+    vs = ivf_store(spark, "t_refine_guard_vecs", n_buckets=4)
+    try:
+        ivfpq_backfill(spark, d, cs)
+        ivf_backfill_lists(spark, d, vs)
+        emb = _with_normalized(_load_emb(spark, d))
+        qv = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == 0).first()["ne"]
+        ]
+        new_id = 12_000_000
+        inc = (
+            spark.read.parquet(f"{d}/embeddings.parquet")
+            .filter(F.col("vec_id") == 0)
+            .withColumn("vec_id", F.lit(new_id).cast("long"))
+        )
+        # desync: the code store sees the increment, the vector store
+        # does not — exactly the state one crashed half of an ingest
+        # transaction leaves behind
+        assert ivfpq_append(cs, inc, batch_id="half-night") is True
+        with pytest.raises(ValueError, match=str(new_id)):
+            ivfpq_refine_from_store(cs, vs, qv, query_vec_id=0).collect()
+        # the opt-out preserves the documented silent-drop contract
+        silent = [
+            tuple(r)
+            for r in ivfpq_refine_from_store(
+                cs, vs, qv, query_vec_id=0, check_snapshot=False
+            ).collect()
+        ]
+        assert silent and new_id not in {s[0] for s in silent}
+        # heal: land the same increment on the vector store
+        assert ivf_append_lists(vs, inc, batch_id="half-night") is True
+        healed = [
+            tuple(r)
+            for r in ivfpq_refine_from_store(
+                cs, vs, qv, query_vec_id=0
+            ).collect()
+        ]
+        assert healed[0][0] == new_id and healed[0][3] == 1.0
     finally:
         cs.drop()
         vs.drop()

@@ -1016,3 +1016,68 @@ def test_epoch_keyed_sink_idempotence(spark):
         )
     finally:
         store.drop()
+
+
+def test_epoch_keyed_sink_empty_epochs(spark):
+    """r16 (VERDICT r15 #5 / ADVICE): the empty-epoch contracts are
+    aligned — the store's vacuous-landing rule returns True for a
+    zero-row epoch on EVERY delivery (no provenance to replay-detect),
+    and the sink now keeps `inner` effectively-once by never firing it
+    for empty frames. Pins: (1) an empty epoch returns landed=True on
+    first delivery AND on re-delivery, with inner silent both times
+    and no rows in the log; (2) a later non-empty epoch fires inner
+    exactly once, its re-delivery is dropped (False, inner silent);
+    (3) a trailing empty re-delivery still never fires inner — the
+    vacuous True is the store's defined behavior, the sink's inner
+    contract is unconditional."""
+    from iceberg_explorer_spark.operators.dedup import simhash_signatures
+    from iceberg_explorer_spark.operators.incremental_artifacts import (
+        BucketedArtifactStore,
+        simhash_cls_from_history,
+    )
+    from iceberg_explorer_spark.streaming.dedup import (
+        DOCS_SCHEMA,
+        epoch_keyed_sink,
+    )
+
+    store = BucketedArtifactStore(
+        spark, "t_sink_empty", n_buckets=2,
+        artifacts={"simhash": ("doc_id",), "cls_log": ("doc_id",)},
+    )
+    try:
+        t_a = " ".join(f"elm{i} oak{i % 5}" for i in range(25))
+        store.write(
+            "simhash",
+            simhash_signatures(
+                spark.createDataFrame([(3, t_a, "en", "web", len(t_a))],
+                                      DOCS_SCHEMA)
+            ),
+        )
+        inner_calls = []
+        sink = epoch_keyed_sink(
+            store, "cls_log", "empty-contract",
+            inner=lambda cls, e: inner_calls.append(int(e)),
+        )
+        empty = simhash_cls_from_history(
+            spark.createDataFrame([], DOCS_SCHEMA), store.read("simhash")
+        )
+        # (1) vacuous landing, both deliveries; inner never fires
+        assert sink(empty, 0) is True
+        assert sink(empty, 0) is True  # re-delivery: True again (defined)
+        assert inner_calls == []
+        assert store.read("cls_log").count() == 0
+        # (2) a non-empty epoch: inner exactly once, replay dropped
+        t_b = " ".join(f"yew{i} ash{i % 7}" for i in range(25))
+        cls1 = simhash_cls_from_history(
+            spark.createDataFrame([(11, t_b, "en", "s1", len(t_b))],
+                                  DOCS_SCHEMA),
+            store.read("simhash"),
+        )
+        assert sink(cls1, 1) is True
+        assert sink(cls1, 1) is False
+        assert inner_calls == [1]
+        # (3) trailing empty re-delivery: still vacuous, still silent
+        assert sink(empty, 0) is True
+        assert inner_calls == [1]
+    finally:
+        store.drop()
