@@ -179,6 +179,9 @@ EXTENDED: list[str] = [
     # ride round 16 as GRADUATING_R15 (the declared v4 overlap — see the
     # HEADLINE GRADUATION POLICY below); EXTENDED restarts empty and
     # refills with operators registered after the r15 freeze.
+    "similarity_bq_hamming_topk",  # 1-bit sign-sketch Hamming cascade (r16)
+    "text_heldout_perplexity",    # train/heldout stupid-backoff LM score (r16)
+    "events_watermark_lateness_audit",  # out-of-orderness vs watermark (r16)
 ]
 
 #: The EXTENDED set as frozen at the END of round 15 (three r13 + three

@@ -703,6 +703,50 @@ Round 16 also promotes the seeded generative claim-hammer from
   independent numpy IVF-PQ model over seeded random corpora) and
   text_bigram_lm_score (add-one bigram LM parity vs an independent
   Python counter model over seeded random token streams).
+Round 16 adds similarity_bq_hamming_topk — the 1-bit binary-quantization
+  cascade (BQ + rescore, the RaBitQ/Milvus-BQ serving shape): sign-bit
+  sketches packed into two 32-bit BIGINT halves (bit 63 deliberately
+  unused — DuckDB's HUGEINT list_sum would diverge from a wrapped
+  1<<63), Hamming-distance shortlist of BQ_R=30 via XOR+popcount, exact
+  cosine re-rank; ONE corpus scan, zero shuffles/windows, two
+  TakeOrderedAndProject heaps, the shortlist carries its vectors so the
+  re-rank needs no second scan. Crafted claims: identical-sketch ties
+  (a vector vs its doubled self) order by vec_id, the re-rank genuinely
+  reorders the Hamming order, a REAL recall residual (better exact
+  cosine outside the shortlist, absent), and a negated vector sits at
+  Hamming = bits-set-in-query + its complement. Seeded generative
+  parity vs an independent pure-Python pack/popcount/re-rank model
+  (pre-freeze rigging, per this round's checklist promotion). Full
+  rigging checklist; bench EXTENDED. Registry: 159 queries / 156
+  oracle-bearing.
+Round 16 adds text_heldout_perplexity — cross-split LM quality scoring
+  (the CCNet shape done honestly: in-corpus scoring can never flag a
+  doc whose transitions ARE the corpus): doc_id % 5 == 0 docs scored
+  under the bigram model the other 80% train, stupid backoff
+  (raw-ratio seen path, alpha=0.4 times add-one unigram for unseen,
+  OOV-safe) with per-doc backoff_ratio as the filter's confidence
+  column; micro-unit BIGINT q-table, exact integer reductions, NULLIF
+  guard makes the empty-train degenerate NULL on both engines. The
+  standard corpus shares its vocabulary across splits (backoff_ratio 0
+  — stated honestly); the crafted fixture pins the backoff path, OOV
+  w2, the split boundary, and empty-train; seeded generative parity vs
+  an independent Counter model with a THIN train split forcing real
+  backoff mass. Full rigging checklist; bench EXTENDED. Registry: 160
+  queries / 157 oracle-bearing.
+Round 16 adds events_watermark_lateness_audit — the measurement face of
+  the streaming module's watermark contracts: per event_type, how far
+  the event-time high-watermark (max event time over strictly earlier
+  event_id arrivals — exactly what withWatermark tracks) had passed
+  each event, clamped at 0; reports out-of-order counts, max/mean
+  lateness, and what 1-minute / 1-hour watermarks would drop
+  (lateness > delay is Spark's drop rule verbatim). Exactly ONE
+  exchange: the groupBy reuses the window's event_type hash
+  distribution. The standard corpus arrives in event_id order (all
+  zeros — stated honestly); the crafted fixture pins clamping,
+  first-arrival zero, threshold edges (> not >=), NULL-typed streams;
+  seeded generative parity vs an independent running-max model over
+  shuffled arrival orders. Full rigging checklist; bench EXTENDED.
+  Registry: 161 queries / 158 oracle-bearing.
 """
 
 from iceberg_explorer_spark.operators.registry import QUERIES, QuerySpec, query  # noqa: F401

@@ -1218,3 +1218,94 @@ def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_events"),
         F.lead("rn").over(w2).isNull().alias("is_current"),
     )
+
+
+#: Watermark candidates audited by the lateness report, in microseconds:
+#: "how many events would withWatermark('1 minute' / '1 hour') drop".
+WM_1M_US = 60_000_000
+WM_1H_US = 3_600_000_000
+
+
+@query(
+    "events_watermark_lateness_audit",
+    oracle=f"""
+    WITH l AS (
+      SELECT event_type,
+             CASE WHEN MAX(EPOCH_US(ts)) OVER w IS NULL THEN 0
+                  ELSE GREATEST(MAX(EPOCH_US(ts)) OVER w - EPOCH_US(ts), 0)
+             END AS late_us
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_out_of_order,
+           CAST(MAX(late_us) AS BIGINT) AS max_lateness_us,
+           CAST(SUM(late_us) AS DOUBLE) / (1000000.0 * COUNT(*))
+             AS avg_lateness_sec,
+           CAST(SUM(CASE WHEN late_us > {WM_1M_US} THEN 1 ELSE 0 END)
+             AS BIGINT) AS dropped_wm_1m,
+           CAST(SUM(CASE WHEN late_us > {WM_1H_US} THEN 1 ELSE 0 END)
+             AS BIGINT) AS dropped_wm_1h
+    FROM l GROUP BY event_type
+    """,
+    doc="Watermark lateness audit (r16) — the batch answer to the ONE "
+    "question every Structured Streaming deployment must answer before "
+    "setting withWatermark: how out-of-order does each event stream "
+    "actually arrive, and what would a given delay threshold DROP? "
+    "Arrival order is the append log's event_id (the ingest sequence); "
+    "an event's lateness is how far the stream's event-time "
+    "high-watermark — max event time over STRICTLY EARLIER arrivals, "
+    "exactly the quantity Spark's watermark tracks — had already "
+    "passed it, clamped at 0 for in-order arrivals (the first arrival "
+    "per type is 0 by the NULL-frame case, never NULL). Per type the "
+    "audit reports the out-of-order count, max and mean lateness, and "
+    "the events a 1-minute / 1-hour watermark would discard (lateness "
+    "> delay is precisely Spark's drop rule), so the streaming "
+    "module's watermark choices are sized from measured data instead "
+    "of folklore. Determinism: epoch-micro BIGINT lateness, exact "
+    "integer counts, the one mean divided last; event_id is unique so "
+    "the arrival order is total. Plan: exactly ONE shuffle — the "
+    "running-max window hash-partitions on event_type and the groupBy "
+    "reuses that distribution (objectHashAgg over the window output, "
+    "no second exchange), with the scan pruned to the three columns "
+    "read. At 100 TB arrival streams are per ingest partition, so the "
+    "audit keys on (event_type) here and (source partition) there — "
+    "same single-exchange shape, partitions bounded by a day's "
+    "arrivals, no global order anywhere. reference: no analogue — "
+    "training-pipeline extension (the measurement face of "
+    "streaming/dedup.py's watermark contracts).",
+)
+def events_watermark_lateness_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    prev_max = F.max(F.unix_micros("ts")).over(w)
+    late = F.when(prev_max.isNull(), F.lit(0)).otherwise(
+        F.greatest(prev_max - F.unix_micros("ts"), F.lit(0))
+    )
+    l = ev.select("event_type", late.alias("late_us"))
+    return l.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.when(F.col("late_us") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_out_of_order"),
+        F.max("late_us").cast("bigint").alias("max_lateness_us"),
+        (
+            F.sum("late_us").cast("double")
+            / (F.lit(1_000_000.0) * F.count(F.lit(1)))
+        ).alias("avg_lateness_sec"),
+        F.sum(F.when(F.col("late_us") > WM_1M_US, 1).otherwise(0))
+        .cast("bigint")
+        .alias("dropped_wm_1m"),
+        F.sum(F.when(F.col("late_us") > WM_1H_US, 1).otherwise(0))
+        .cast("bigint")
+        .alias("dropped_wm_1h"),
+    )

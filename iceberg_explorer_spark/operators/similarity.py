@@ -2268,6 +2268,132 @@ def similarity_ivf_pq_refine_topk(
     )
 
 
+#: Binary-quantization shortlist size (the Hamming stage's cut, re-ranked
+#: exactly). Same magnitude as REFINE_R: the BQ sketch is coarser than PQ
+#: codes (1 bit/dim vs 8), so it leans on the exact stage for precision.
+BQ_R = 30
+
+#: The sign-bit sketch packer, parameterized by the slice offset: bits
+#: 0..31 of one BIGINT half from 32 consecutive dimensions of the
+#: normalized vector (bit i set iff the dimension is > 0). Bit 63 is
+#: deliberately never used — DuckDB's list_sum widens BIGINT to HUGEINT,
+#: so a two's-complement-wrapped 1<<63 would diverge between engines;
+#: two 32-bit halves keep every packed value exactly representable (and
+#: positive) in BOTH integer models.
+_BQ_PACK_SPARK = (
+    "aggregate(zip_with(slice(ne, {off}, 32), sequence(0, 31),"
+    " (x, i) -> IF(x > CAST(0 AS DOUBLE),"
+    " shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))),"
+    " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+)
+
+
+@query(
+    "similarity_bq_hamming_topk",
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> x / sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                                CAST(embedding AS DOUBLE[]))))
+               AS ne
+      FROM {_EMB_SQL}
+    ),
+    sk AS (
+      SELECT vec_id, ne,
+             CAST(list_sum(list_transform(range(0, 32),
+               i -> CASE WHEN ne[i + 1] > 0
+                         THEN (CAST(1 AS BIGINT) << i) ELSE 0 END))
+               AS BIGINT) AS lo,
+             CAST(list_sum(list_transform(range(0, 32),
+               i -> CASE WHEN ne[i + 33] > 0
+                         THEN (CAST(1 AS BIGINT) << i) ELSE 0 END))
+               AS BIGINT) AS hi
+      FROM n
+    ),
+    q AS (SELECT lo AS qlo, hi AS qhi, ne AS qne FROM sk
+          WHERE vec_id = {QUERY_VEC_ID}),
+    h AS (
+      SELECT s.vec_id, s.ne,
+             CAST(bit_count(xor(s.lo, q.qlo))
+                  + bit_count(xor(s.hi, q.qhi)) AS BIGINT) AS hamming_dist
+      FROM sk s, q
+      WHERE s.vec_id <> {QUERY_VEC_ID}
+    ),
+    sl AS (SELECT * FROM h ORDER BY hamming_dist, vec_id LIMIT {BQ_R})
+    SELECT sl.vec_id, sl.hamming_dist,
+           ROUND(list_inner_product(sl.ne, q.qne), 6) AS cos_sim
+    FROM sl, q
+    ORDER BY cos_sim DESC, sl.vec_id
+    LIMIT 10
+    """,
+    doc=f"Binary-quantization ANN cascade (r16) — the 1-bit sibling of "
+    "the PQ family and the serving shape modern vector stores ship as "
+    "'BQ + rescore' (RaBitQ / Milvus BQ / pgvector binary_quantize): "
+    "each vector collapses to its SIGN BITS (bit d = normalized dim d "
+    f"> 0), packed here into two 32-bit BIGINT halves ({DIM} dims -> 8 "
+    "bytes/vector, 32x smaller than the f32 row and codebook-free, "
+    "unlike PQ); candidates are ranked by Hamming distance — two XORs "
+    f"and two popcounts per pair — the top {BQ_R} shortlist is "
+    "re-ranked with exact cosines, and ties break by vec_id at both "
+    "stages. Recall is the sketch's (the crafted test pins a REAL "
+    "residual: a better exact cosine outside the Hamming shortlist "
+    "stays absent), precision inside the shortlist is exact — the "
+    "IndexRefineFlat pattern at 1 bit. Determinism: sign bits are "
+    "scale-invariant (sign(ne) == sign(raw), so engine ulp drift in "
+    "the normalization cannot flip a bit), exact-integer Hamming, "
+    "round-6 exact cosines, total-order tie-breaks. Plan: ONE corpus "
+    "scan, zero shuffles and zero Window nodes — the 1-row query "
+    "sketch broadcast-cross-joins in, both cuts are heap-based "
+    "TakeOrderedAndProject (the shortlist carries its ne through, so "
+    "the rerank needs NO second scan or join). At 100 TB the sketches "
+    "persist as two BIGINT columns in the vector index (the ivf_lists "
+    "store pattern: computed once at ingest, 16 bytes/row scanned "
+    "instead of 256), the Hamming scan is SIMD popcount over packed "
+    "words, and the exact stage point-reads {BQ_R} raw rows — the "
+    "refine-serve cascade with a 32x cheaper first stage. reference: "
+    "no analogue — training-pipeline extension (the third compression "
+    "point on the int8 -> PQ -> binary curve this repo's similarity "
+    "family prices).",
+)
+def similarity_bq_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _with_normalized(_load_emb(spark, sf_dir))
+    sk = emb.select(
+        "vec_id",
+        "ne",
+        F.expr(_BQ_PACK_SPARK.format(off=1)).alias("lo"),
+        F.expr(_BQ_PACK_SPARK.format(off=33)).alias("hi"),
+    )
+    q = F.broadcast(
+        sk.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+            F.col("lo").alias("qlo"),
+            F.col("hi").alias("qhi"),
+            F.col("ne").alias("qne"),
+        )
+    )
+    ham = (
+        F.bit_count(F.expr("lo ^ qlo")) + F.bit_count(F.expr("hi ^ qhi"))
+    ).cast("bigint")
+    shortlist = (
+        sk.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(q)
+        .withColumn("hamming_dist", ham)
+        .orderBy("hamming_dist", "vec_id")
+        .limit(BQ_R)
+    )
+    return (
+        shortlist.select(
+            "vec_id",
+            "hamming_dist",
+            F.round(F.expr(_DOT_SPARK.format(a="ne", b="qne")), 6).alias(
+                "cos_sim"
+            ),
+        )
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(10)
+    )
+
+
 #: one Lloyd refinement step over the IVF seed centroids. Micro-unit
 #: fixed-point per-dimension sums make the new centroids exact integer math
 #: (a float mean would differ in final ulps across shuffle orders/engines).

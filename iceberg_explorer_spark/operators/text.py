@@ -643,6 +643,225 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Heldout split: doc_id % HELDOUT_MOD == 0 is the scored split, the
+#: rest train the model — a deterministic, engine-agnostic 20% split.
+HELDOUT_MOD = 5
+
+#: Stupid-backoff discount (Brants et al. 2007, "Large Language Models in
+#: Machine Translation"): an unseen bigram backs off to alpha * P_uni(w2).
+BACKOFF_ALPHA = 0.4
+
+
+@query(
+    "text_heldout_perplexity",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(t) AS word,
+             UNNEST(range(1, len(t) + 1)) AS ord
+      FROM (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                           w -> w <> '') AS t
+        FROM documents
+      )
+    ),
+    tr AS (SELECT * FROM toks WHERE doc_id % {HELDOUT_MOD} <> 0),
+    he AS (SELECT * FROM toks WHERE doc_id % {HELDOUT_MOD} = 0),
+    bg AS (
+      SELECT a.word AS w1, b.word AS w2, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tr a JOIN tr b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+      GROUP BY a.word, b.word
+    ),
+    ctx AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS cc FROM bg GROUP BY w1),
+    uni AS (
+      SELECT word AS w2u, CAST(COUNT(*) AS BIGINT) AS u
+      FROM tr GROUP BY word
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS t,
+             CAST(COUNT(DISTINCT word) AS BIGINT) AS v
+      FROM tr
+    ),
+    dbg AS (
+      SELECT a.doc_id, a.word AS w1, b.word AS w2,
+             CAST(COUNT(*) AS BIGINT) AS tf
+      FROM he a JOIN he b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+      GROUP BY a.doc_id, a.word, b.word
+    ),
+    qs AS (
+      SELECT w1, w2,
+             CAST(ROUND(ln(c * 1.0 / cc) * {LOGFREQ_SCALE}) AS BIGINT) AS qm
+      FROM bg JOIN ctx USING (w1)
+    ),
+    qu AS (
+      SELECT w2u,
+             CAST(ROUND(ln({BACKOFF_ALPHA} * (u + 1.0)
+                           / NULLIF(tot.t + tot.v, 0))
+                        * {LOGFREQ_SCALE}) AS BIGINT) AS qm
+      FROM uni CROSS JOIN tot
+    ),
+    tt AS (
+      SELECT t, v,
+             CAST(ROUND(ln({BACKOFF_ALPHA} * 1.0 / NULLIF(t + v, 0))
+                        * {LOGFREQ_SCALE}) AS BIGINT) AS qoov
+      FROM tot
+    )
+    SELECT d.doc_id,
+           CAST(SUM(d.tf) AS BIGINT) AS n_bigrams,
+           CAST(SUM(d.tf * COALESCE(qs.qm, qu.qm, tt.qoov)) AS BIGINT)
+             AS sum_logscore_micro,
+           CAST(SUM(d.tf * COALESCE(qs.qm, qu.qm, tt.qoov)) AS DOUBLE)
+             / ({LOGFREQ_SCALE} * SUM(d.tf)) AS avg_bigram_logscore,
+           CAST(SUM(CASE WHEN qs.qm IS NULL THEN d.tf ELSE 0 END) AS DOUBLE)
+             / SUM(d.tf) AS backoff_ratio
+    FROM dbg d
+    LEFT JOIN qs USING (w1, w2)
+    LEFT JOIN qu ON qu.w2u = d.w2
+    CROSS JOIN tt
+    GROUP BY d.doc_id
+    """,
+    doc="Heldout perplexity under a train-split bigram LM with stupid "
+    "backoff (r16) — the CROSS-SPLIT form of text_bigram_lm_score and "
+    "the shape LM-based quality filters actually run in production "
+    "(CCNet scores Common Crawl under a model trained on Wikipedia, "
+    "not on itself — in-corpus scoring can never flag a doc whose "
+    f"transitions ARE the corpus): docs with doc_id % {HELDOUT_MOD} "
+    "== 0 are scored under the model the OTHER docs train. Seen "
+    "bigrams score ln(C(w1,w2)/C(w1·)) (raw ratio — stupid backoff "
+    f"does not discount the seen path), unseen ones back off to "
+    f"ln({BACKOFF_ALPHA} * P_uni(w2)) with an add-one unigram (so OOV "
+    "w2 is defined), and backoff_ratio reports how much of each doc "
+    "the model had never seen — the filter's own confidence column. "
+    "Determinism: every ln is quantized to micro-unit BIGINT in the "
+    "O(distinct heldout bigram types) q-table, per-doc reductions are "
+    "exact integer sums divided once (the bigram-op precedent); an "
+    "EMPTY train split yields NULL scores on both engines (NULLIF "
+    "guard) rather than a Spark-NULL/DuckDB-inf divergence. Docs with "
+    "< 2 tokens are absent, both engines. Plan: BOTH score tables are "
+    "MODEL-sized — seen-bigram scores quantize inside the O(distinct "
+    "train bigrams) checkpointed table, backoff scores inside the "
+    "O(train vocab) unigram table, and the OOV floor rides the 1-row "
+    "(T, V) broadcast — so the heldout stream is touched exactly once "
+    "(one bounded per-doc window, one groupBy, left joins that AQE "
+    "broadcasts when the model fits) and scoring cost scales with the "
+    "heldout slice, not the train corpus. At 100 TB the train model "
+    "persists as an artifact (the KenLM binary's role) and the split "
+    "lives in the table layout (a split column or partition) rather "
+    "than this modulo, which Parquet cannot push. reference: no "
+    "analogue — training-pipeline extension.",
+)
+def text_heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.filter(_tokens(), lambda w: w != "")).alias(
+            "ord", "word"
+        ),
+    )
+
+    def bigrams(t):
+        return (
+            t.withColumn(
+                "w2",
+                F.lead("word").over(
+                    Window.partitionBy("doc_id").orderBy("ord")
+                ),
+            )
+            .filter(F.col("w2").isNotNull())
+            .select("doc_id", F.col("word").alias("w1"), "w2")
+        )
+
+    tr = toks.filter(F.col("doc_id") % HELDOUT_MOD != 0)
+    he = toks.filter(F.col("doc_id") % HELDOUT_MOD == 0)
+    # the train model: O(distinct bigrams), two consumers (context
+    # marginal + the q-table join) — checkpoint once, the bigram-op
+    # discipline
+    bg = (
+        bigrams(tr)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    ctx = bg.groupBy("w1").agg(F.sum("c").cast("bigint").alias("cc"))
+    uni = tr.groupBy("word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("u")
+    ).localCheckpoint(eager=True)
+    # totals derive from the unigram table (T = sum of counts, V = its
+    # row count) — no second train-token scan; uni is checkpointed for
+    # its two consumers (this aggregate + the backoff score table)
+    tot = F.broadcast(
+        uni.agg(
+            F.sum("u").cast("bigint").alias("t"),
+            F.count(F.lit(1)).cast("bigint").alias("v"),
+        )
+    )
+    dbg = bigrams(he).groupBy("doc_id", "w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    # every score table is MODEL-sized (doc): seen-bigram scores over
+    # the checkpointed bigram table, backoff scores over the unigram
+    # vocab, the OOV floor on the 1-row totals — the heldout stream is
+    # then touched once, by the left joins below
+    qs = bg.join(ctx, "w1").select(
+        "w1",
+        "w2",
+        F.round(F.log(F.col("c") * 1.0 / F.col("cc")) * LOGFREQ_SCALE)
+        .cast("bigint")
+        .alias("qs_qm"),
+    )
+    qu = uni.crossJoin(tot).select(
+        F.col("word").alias("w2"),
+        F.round(
+            F.log(
+                BACKOFF_ALPHA
+                * (F.col("u") + 1.0)
+                / F.nullif(F.col("t") + F.col("v"), F.lit(0))
+            )
+            * LOGFREQ_SCALE
+        )
+        .cast("bigint")
+        .alias("qu_qm"),
+    )
+    tt = tot.select(
+        F.round(
+            F.log(
+                F.lit(BACKOFF_ALPHA)
+                * 1.0
+                / F.nullif(F.col("t") + F.col("v"), F.lit(0))
+            )
+            * LOGFREQ_SCALE
+        )
+        .cast("bigint")
+        .alias("qoov")
+    )
+    qm = F.coalesce(F.col("qs_qm"), F.col("qu_qm"), F.col("qoov"))
+    return (
+        dbg.join(qs, ["w1", "w2"], "left")
+        .join(qu, "w2", "left")
+        .crossJoin(F.broadcast(tt))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_bigrams"),
+            F.sum(F.col("tf") * qm)
+            .cast("bigint")
+            .alias("sum_logscore_micro"),
+            (
+                F.sum(F.col("tf") * qm).cast("double")
+                / (F.lit(LOGFREQ_SCALE) * F.sum("tf"))
+            ).alias("avg_bigram_logscore"),
+            (
+                F.sum(
+                    F.when(F.col("qs_qm").isNull(), F.col("tf")).otherwise(0)
+                )
+                .cast("double")
+                / F.sum("tf")
+            ).alias("backoff_ratio"),
+        )
+    )
+
+
 #: BPE merge-candidate report size
 BPE_TOP_PAIRS = 50
 

@@ -38,6 +38,9 @@ DEFAULT_OPS = [
 #: which table each op scans (only that table is replicated; the rest
 #: symlink to the 1x files)
 OP_TABLE = {
+    "similarity_bq_hamming_topk": "embeddings",
+    "text_heldout_perplexity": "documents",
+    "events_watermark_lateness_audit": "events",
     "similarity_ivf_pq_refine_topk": "embeddings",
     "events_scd2_intervals": "events",
     "pipeline_domain_caps": "documents",

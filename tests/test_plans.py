@@ -1528,6 +1528,77 @@ def test_scd2_intervals_plan(spark):
     ) == {"event_id", "ts", "user_id", "event_type"}
 
 
+def test_bq_hamming_topk_plan(spark):
+    """similarity_bq_hamming_topk is the cheapest cascade in the
+    similarity family and its plan must stay that way: ONE parquet scan
+    feeds the whole cascade's compute (the only other scan is the
+    pushed-filter read of the query row for the 1-row broadcast), ZERO
+    shuffles, ZERO Window nodes, two TakeOrderedAndProject heaps (the
+    Hamming shortlist cut carries its vectors, so the exact re-rank
+    needs NO join back to the corpus), exactly one broadcast hint (the
+    query sketch) whose only join is the 1-row BroadcastNestedLoopJoin
+    cross, pure JVM, and the scan pruned to (vec_id, embedding)."""
+    df = build(spark, "similarity_bq_hamming_topk")
+    plan = pi.physical_plan(df)
+    assert pi.shuffle_count(df) == 0
+    assert plan.count("Window [") == 0
+    assert plan.count("TakeOrderedAndProject") == 2
+    assert pi.broadcast_hint_count(df) == 1
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "CartesianProduct" not in plan
+    assert "MapInPandas" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("Scan parquet") == 2
+    m = plan[plan.index("ReadSchema"):].splitlines()[0]
+    assert set(
+        c.split(":")[0]
+        for c in m.split("struct<")[1].split(">")[0].split(",")
+    ) == {"vec_id", "embedding"}
+
+
+def test_heldout_perplexity_plan(spark):
+    """text_heldout_perplexity: the model is one-time eager work
+    (checkpointed bigram + unigram tables — Scan ExistingRDD in the
+    final plan), so the RETURNED plan scans parquet exactly ONCE (the
+    heldout side; the split modulo cannot push to parquet, which is
+    why the doc sends 100 TB users to a split column). One bounded
+    per-doc Window, the 1-row totals broadcast plus the OOV-floor
+    broadcast, pure JVM, and partial aggregation on the doc-side
+    reductions."""
+    df = build(spark, "text_heldout_perplexity")
+    plan = pi.physical_plan(df)
+    assert plan.count("Scan parquet") == 1
+    assert "Scan ExistingRDD" in plan
+    assert plan.count("Window [") == 1
+    assert pi.shuffle_count(df) <= 4
+    assert pi.broadcast_hint_count(df) == 2
+    assert pi.has_partial_aggregate(df)
+    assert "MapInPandas" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_watermark_lateness_audit_plan(spark):
+    """events_watermark_lateness_audit costs exactly ONE shuffle: the
+    running-max window hash-partitions on event_type and the groupBy's
+    final aggregate reuses that distribution (partial+final HashAggregate
+    directly over the Window output, no second exchange). One Window
+    node, no hints, pure JVM, scan pruned to the three columns read."""
+    df = build(spark, "events_watermark_lateness_audit")
+    plan = pi.physical_plan(df)
+    assert pi.shuffle_count(df) == 1
+    assert plan.count("Window [") == 1
+    assert pi.has_partial_aggregate(df)
+    assert pi.broadcast_hint_count(df) == 0
+    assert "MapInPandas" not in plan
+    assert "BatchEvalPython" not in plan
+    m = plan[plan.index("ReadSchema"):].splitlines()[0]
+    assert set(
+        c.split(":")[0]
+        for c in m.split("struct<")[1].split(">")[0].split(",")
+    ) == {"event_id", "ts", "event_type"}
+
+
 def test_domain_caps_plan(spark):
     """pipeline_domain_caps: the heavy half is one partial-aggregated
     token sum (exactly ONE exchange, the per-source groupBy); the

@@ -6964,3 +6964,593 @@ def test_bigram_lm_generative_parity(spark, tmp_path):
         assert_matches_oracle(
             spec.builder(spark, d), con, spec.oracle, f"lm_gen_{seed}"
         )
+
+
+def _r16_micro(x):
+    """Spark F.round(double).cast(bigint): BigDecimal HALF_UP over the
+    shortest decimal repr (Double.toString == Python repr)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return int(Decimal(repr(float(x))).quantize(Decimal("1"), ROUND_HALF_UP))
+
+
+def _r16_r6(x):
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(float(x))).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+    )
+
+
+def _r16_sdot(a, b):
+    """The _DOT_SPARK left fold, exactly."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += x * y
+    return acc
+
+
+def _bq_model(vecs, query_vec_id=0, r=30, k=10):
+    """Independent BQ cascade model: sign-bit pack, XOR/popcount Hamming,
+    (hamming, vec_id) shortlist cut, exact-cosine re-rank."""
+    ne = {}
+    for i, v in vecs.items():
+        nrm = _r16_sdot(v, v) ** 0.5
+        ne[i] = [x / nrm for x in v]
+
+    def pack(vals):
+        lo = sum(1 << i for i in range(32) if vals[i] > 0)
+        hi = sum(1 << i for i in range(32) if vals[i + 32] > 0)
+        return lo, hi
+
+    sk = {i: pack(n) for i, n in ne.items()}
+    qlo, qhi = sk[query_vec_id]
+    ham = {
+        i: bin((s[0] ^ qlo)).count("1") + bin((s[1] ^ qhi)).count("1")
+        for i, s in sk.items()
+        if i != query_vec_id
+    }
+    shortlist = sorted(ham, key=lambda i: (ham[i], i))[:r]
+    rer = [
+        (i, ham[i], _r16_r6(_r16_sdot(ne[i], ne[query_vec_id])))
+        for i in shortlist
+    ]
+    return sorted(rer, key=lambda t: (-t[2], t[0]))[:k], ham
+
+
+def test_bq_hamming_topk_claims(spark, tmp_path):
+    """similarity_bq_hamming_topk's distinguishing claims. Fixture 1 —
+    32 vectors sharing the QUERY'S EXACT SKETCH (same sign pattern,
+    different magnitudes, deliberately non-monotone cosines): (1) the
+    Hamming stage ties at 0 and cuts by vec_id, so ids 10..39 form the
+    shortlist and ids 40/41 are out; (2) the recall residual is REAL —
+    vec 41 carries the best exact cosine in the family yet is absent
+    (recall is the sketch's, the cascade's defining trade); (3) the
+    exact re-rank genuinely reorders (result order != shortlist/vec_id
+    order); (4) row-for-row parity with the independent model. Fixture
+    2 — tiny corpus where every row returns: a clone at Hamming 0 /
+    cosine 1.0, the NEGATION at Hamming 16 (its 8 positive and the
+    query's 8 positive dims all flip; zero dims contribute nothing —
+    sign(0) is not a bit), an orthogonal positive vector also at 16,
+    pinning the sketch geometry end-to-end. Oracle-checked on both."""
+    import duckdb
+
+    from iceberg_explorer_spark.operators import QUERIES
+    from iceberg_explorer_spark.operators.similarity import DIM
+    from tests.conftest import assert_matches_oracle
+
+    spec = QUERIES["similarity_bq_hamming_topk"]
+
+    def vec(pairs):
+        v = [0.0] * DIM
+        for d, a in pairs:
+            v[d] = a
+        return v
+
+    # fixture 1: the query's sign pattern is +: dims 0..7, -: dims 8..15
+    q = vec([(d, 1.0) for d in range(8)] + [(d, -1.0) for d in range(8, 16)])
+    vecs = {0: q}
+    for j, i in enumerate(range(10, 42)):
+        # same SIGNS as the query but never parallel to it: magnitudes
+        # differ across the two sign blocks and wobble with j so the
+        # cosine is NON-monotone in vec_id
+        a = 2.0 + (j % 7) * 0.25
+        b = 0.25 + (j % 5) * 0.5
+        vecs[i] = vec(
+            [(d, a) for d in range(4)]
+            + [(d, 0.5) for d in range(4, 8)]
+            + [(d, -b) for d in range(8, 12)]
+            + [(d, -3.0) for d in range(12, 16)]
+        )
+    vecs[41] = [2.0 * x for x in q]  # exact direction: cosine 1.0, id 41
+    d1 = str(tmp_path / "bq_family")
+    spark.createDataFrame(
+        [(i, v, 0) for i, v in vecs.items()],
+        "vec_id long, embedding array<float>, label int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d1}/embeddings.parquet")
+
+    model, ham = _bq_model(vecs)
+    got = [tuple(r) for r in spec.builder(spark, d1).collect()]
+    assert got == model  # (4) row-for-row with the independent model
+    got_ids = [g[0] for g in got]
+    assert all(h == 0 for h in ham.values())  # the family really ties
+    assert 41 not in got_ids and 40 not in got_ids  # (1) vec_id cut
+    exact41 = _r16_r6(1.0)
+    assert exact41 > min(g[2] for g in got)  # (2) residual is real
+    assert got_ids != sorted(got_ids)  # (3) re-rank reorders
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{d1}/embeddings.parquet/*.parquet')"
+    )
+    assert_matches_oracle(spec.builder(spark, d1), con, spec.oracle, "bq_f1")
+
+    # fixture 2: sketch geometry, every row visible
+    tiny = {
+        0: q,
+        5: [-x for x in q],                      # negation
+        6: vec([(d, 1.0) for d in range(16, 24)]),  # orthogonal positives
+        7: [0.5 * x for x in q],                 # clone (scaled)
+    }
+    d2 = str(tmp_path / "bq_tiny")
+    spark.createDataFrame(
+        [(i, v, 0) for i, v in tiny.items()],
+        "vec_id long, embedding array<float>, label int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d2}/embeddings.parquet")
+    got2 = [tuple(r) for r in spec.builder(spark, d2).collect()]
+    assert got2 == [(7, 0, 1.0), (6, 16, 0.0), (5, 16, -1.0)]
+    con2 = duckdb.connect()
+    con2.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{d2}/embeddings.parquet/*.parquet')"
+    )
+    assert_matches_oracle(spec.builder(spark, d2), con2, spec.oracle, "bq_f2")
+
+
+def test_bq_hamming_generative_parity(spark, tmp_path):
+    """Seeded generative hammer for similarity_bq_hamming_topk (the
+    r16 pre-freeze rigging requirement): md5-driven corpora on the
+    1/64 float32 grid (plenty of genuine sign collisions and Hamming
+    ties) against the independent pack/popcount/re-rank model and the
+    DuckDB oracle. Invariants: Hamming values returned lie in [0, 64],
+    rows order by (cos_sim desc, vec_id), and every returned id is in
+    the model's shortlist."""
+    import duckdb
+    import hashlib
+
+    from iceberg_explorer_spark.operators import QUERIES
+    from iceberg_explorer_spark.operators.similarity import BQ_R, DIM
+    from tests.conftest import assert_matches_oracle
+
+    def h(*parts) -> int:
+        return hashlib.md5(":".join(map(str, parts)).encode()).digest()[0]
+
+    spec = QUERIES["similarity_bq_hamming_topk"]
+    for seed in ("bq1", "bq2", "bq3"):
+        n = 44 + h(seed, "n") % 20
+        vecs = {}
+        for i in range(n):
+            v = [(h(seed, i, d) - 128) / 64.0 for d in range(DIM)]
+            if all(x == 0.0 for x in v):
+                v[0] = 1.0 / 64.0
+            vecs[i] = v
+        d = str(tmp_path / f"bqg_{seed}")
+        spark.createDataFrame(
+            [(i, v, i % 2) for i, v in vecs.items()],
+            "vec_id long, embedding array<float>, label int",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{d}/embeddings.parquet"
+        )
+        model, ham = _bq_model(vecs, r=BQ_R)
+        got = [tuple(r) for r in spec.builder(spark, d).collect()]
+        assert got == model, (seed, got[:3], model[:3])
+        assert all(0 <= g[1] <= 64 for g in got), seed
+        assert all(
+            (a[2], -a[0]) >= (b[2], -b[0]) for a, b in zip(got, got[1:])
+        ), seed
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{d}/embeddings.parquet/*.parquet')"
+        )
+        assert_matches_oracle(
+            spec.builder(spark, d), con, spec.oracle, f"bq_gen_{seed}"
+        )
+
+
+def _heldout_model(toks, mod=5, alpha=0.4, scale=1_000_000):
+    """Independent stupid-backoff model: Counter tables, decimal HALF_UP
+    micro quantization, exact integer per-doc sums."""
+    import math
+    from collections import Counter
+
+    tr = {i: w for i, w in toks.items() if i % mod != 0}
+    he = {i: w for i, w in toks.items() if i % mod == 0}
+    bg, uni = Counter(), Counter()
+    for w in tr.values():
+        bg.update(zip(w, w[1:]))
+        uni.update(w)
+    ctx = Counter()
+    for (w1, _), c in bg.items():
+        ctx[w1] += c
+    t, v = sum(uni.values()), len(uni)
+    qs = {p: _r16_micro(math.log(c / ctx[p[0]]) * scale) for p, c in bg.items()}
+    qu = (
+        {w: _r16_micro(math.log(alpha * (u + 1.0) / (t + v)) * scale)
+         for w, u in uni.items()}
+        if t + v
+        else {}
+    )
+    qoov = _r16_micro(math.log(alpha * 1.0 / (t + v)) * scale) if t + v else None
+    out = {}
+    for i, w in he.items():
+        pairs = list(zip(w, w[1:]))
+        if not pairs:
+            continue
+        qm = [qs.get(p, qu.get(p[1], qoov)) for p in pairs]
+        nb = len(pairs)
+        backoff = sum(1 for p in pairs if p not in qs)
+        s = None if any(x is None for x in qm) else sum(qm)
+        out[i] = (
+            nb,
+            s,
+            None if s is None else s / (scale * nb),
+            backoff / nb,
+        )
+    return out
+
+
+def test_heldout_perplexity_claims(spark, tmp_path):
+    """text_heldout_perplexity's distinguishing claims on a crafted
+    corpus whose train split (doc_ids 1,2,3) is 'a b a b a c' + 'a b'
+    + 'c a' and heldout split (doc_ids 0,5,10,15) exercises every
+    scoring path: (1) a seen bigram scores the RAW ratio ln(C(ab)/C(a·))
+    — stupid backoff does not discount the seen path; (2) an unseen
+    pair of seen words (b,c) backs off to ln(0.4 * (C(c)+1)/(T+V)) —
+    and the score is INDEPENDENT of w1 (same value under a different
+    left context, pinned); (3) an OOV w2 ('zzz') takes the add-one
+    floor ln(0.4 * 1/(T+V)); (4) backoff_ratio counts backed-off
+    OCCURRENCES over bigram occurrences; (5) word ORDER distinguishes:
+    'b a' scores differently from 'a b' (same multiset); (6) heldout
+    docs with < 2 tokens are absent; (7) an EMPTY train split (every
+    doc_id % 5 == 0) yields NULL scores on both engines, not
+    Spark-NULL vs DuckDB-inf. Oracle-checked on both fixtures, parity
+    with the independent model on the main one."""
+    import math
+
+    import duckdb
+
+    from iceberg_explorer_spark.operators import QUERIES
+    from tests.conftest import assert_matches_oracle
+
+    spec = QUERIES["text_heldout_perplexity"]
+    toks = {
+        1: ["a", "b", "a", "b", "a", "c"],
+        2: ["a", "b"],
+        3: ["c", "a"],
+        0: ["a", "b", "c"],        # seen pair (a,b) + unseen pair (b,c)
+        5: ["c", "b", "zzz"],      # unseen (c,b): w1-independence; OOV zzz
+        10: ["b", "a"],            # order flip of the seen (a,b)
+        15: ["solo"],              # < 2 tokens: absent
+    }
+    rows = [
+        (i, " ".join(w), "en", "s", len(" ".join(w)))
+        for i, w in toks.items()
+    ]
+    d = str(tmp_path / "heldout")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    model = _heldout_model(toks)
+    got = {
+        r["doc_id"]: (
+            r["n_bigrams"],
+            r["sum_logscore_micro"],
+            r["avg_bigram_logscore"],
+            r["backoff_ratio"],
+        )
+        for r in spec.builder(spark, d).collect()
+    }
+    assert set(got) == {0, 5, 10} == set(model)  # (6)
+    for i in model:
+        assert got[i] == model[i], i
+
+    # hand-derived checks: train model is C(a,b)=3, C(b,a)=2, C(a,c)=1,
+    # C(c,a)=1; C(a·)=4, C(b·)=2, C(c·)=1; uni a=4,b=3,c=2; T=10, V=3
+    q_ab = _r16_micro(math.log(3 / 4) * 1_000_000)
+    q_bc = _r16_micro(math.log(0.4 * (2 + 1) / 13) * 1_000_000)
+    q_ba = _r16_micro(math.log(2 / 2) * 1_000_000)
+    q_cb = _r16_micro(math.log(0.4 * (3 + 1) / 13) * 1_000_000)
+    q_oov = _r16_micro(math.log(0.4 * 1 / 13) * 1_000_000)
+    assert got[0] == (2, q_ab + q_bc, (q_ab + q_bc) / 2e6, 0.5)  # (1)(2)(4)
+    assert got[5] == (2, q_cb + q_oov, (q_cb + q_oov) / 2e6, 1.0)  # (2)(3)
+    assert got[10] == (1, q_ba, q_ba / 1e6, 0.0)
+    assert got[10][1] != got[0][1] and q_ba == 0  # (5): ln(2/2) == 0
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    assert_matches_oracle(
+        spec.builder(spark, d), con, spec.oracle, "heldout_crafted"
+    )
+
+    # (7) empty train: every doc_id is a multiple of 5
+    d0 = str(tmp_path / "heldout_empty_train")
+    spark.createDataFrame(
+        [(0, "a b c", "en", "s", 5), (5, "b a", "en", "s", 3)],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d0}/documents.parquet")
+    got0 = {
+        r["doc_id"]: tuple(r)[1:] for r in spec.builder(spark, d0).collect()
+    }
+    assert set(got0) == {0, 5}
+    for i, (nb, s, avg, ratio) in got0.items():
+        assert s is None and avg is None, i
+        assert ratio == 1.0 and nb >= 1, i
+    con0 = duckdb.connect()
+    con0.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d0}/documents.parquet/*.parquet')"
+    )
+    assert_matches_oracle(
+        spec.builder(spark, d0), con0, spec.oracle, "heldout_empty_train"
+    )
+
+
+def test_heldout_perplexity_generative_parity(spark, tmp_path):
+    """Seeded generative hammer for text_heldout_perplexity (r16
+    pre-freeze rigging): md5-driven corpora with a deliberately THIN
+    train split (only doc_ids 1 and 2 train) and a heldout vocabulary
+    that half-overlaps the train one — so seen, backed-off and OOV
+    paths all carry real mass — against the independent counter model
+    and the DuckDB oracle. Invariants: n_bigrams == tokens - 1,
+    backoff_ratio in [0, 1], and every score is <= 0 (probabilities
+    and 0.4-discounted probabilities never exceed 1)."""
+    import duckdb
+    import hashlib
+
+    from iceberg_explorer_spark.operators import QUERIES
+    from tests.conftest import assert_matches_oracle
+
+    def h(*parts) -> int:
+        return hashlib.md5(":".join(map(str, parts)).encode()).digest()[0]
+
+    train_vocab = [f"t{k}" for k in range(6)]
+    held_vocab = train_vocab[:3] + ["x0", "x1", "x2"]  # half OOV
+    spec = QUERIES["text_heldout_perplexity"]
+    for seed in ("hp1", "hp2", "hp3"):
+        toks = {}
+        for i in (1, 2):  # the thin train split
+            toks[i] = [
+                train_vocab[h(seed, i, j) % len(train_vocab)]
+                for j in range(12 + h(seed, i, "n") % 8)
+            ]
+        for i in (0, 5, 10, 15):  # heldout, incl. possible tiny docs
+            ln = h(seed, i, "len") % 12
+            toks[i] = [
+                held_vocab[h(seed, i, j, "w") % len(held_vocab)]
+                for j in range(ln)
+            ]
+        rows = [
+            (i, " ".join(w), "en", "g", len(" ".join(w)))
+            for i, w in toks.items()
+        ]
+        d = str(tmp_path / f"hpg_{seed}")
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{d}/documents.parquet"
+        )
+        model = _heldout_model(toks)
+        got = {
+            r["doc_id"]: (
+                r["n_bigrams"],
+                r["sum_logscore_micro"],
+                r["avg_bigram_logscore"],
+                r["backoff_ratio"],
+            )
+            for r in spec.builder(spark, d).collect()
+        }
+        assert set(got) == set(model), seed
+        for i in model:
+            assert got[i] == model[i], (seed, i)
+            assert got[i][0] == len(toks[i]) - 1, (seed, i)
+            assert 0.0 <= got[i][3] <= 1.0, (seed, i)
+            assert got[i][1] <= 0, (seed, i)
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{d}/documents.parquet/*.parquet')"
+        )
+        assert_matches_oracle(
+            spec.builder(spark, d), con, spec.oracle, f"hp_gen_{seed}"
+        )
+
+
+def _watermark_model(events):
+    """Independent lateness model: per event_type, running max of event
+    time over strictly earlier event_id arrivals; report tuple per type.
+    ``events``: list of (event_id, ts_us, event_type)."""
+    out = {}
+    for et in {e[2] for e in events}:
+        stream = sorted((e for e in events if e[2] == et), key=lambda e: e[0])
+        hw, lates = None, []
+        for _eid, ts_us, _et in stream:
+            lates.append(0 if hw is None else max(hw - ts_us, 0))
+            hw = ts_us if hw is None else max(hw, ts_us)
+        n = len(lates)
+        out[et] = (
+            n,
+            sum(1 for x in lates if x > 0),
+            max(lates),
+            sum(lates) / (1_000_000.0 * n),
+            sum(1 for x in lates if x > 60_000_000),
+            sum(1 for x in lates if x > 3_600_000_000),
+        )
+    return out
+
+
+def test_watermark_lateness_audit_claims(spark, tmp_path):
+    """events_watermark_lateness_audit's distinguishing claims on a
+    crafted arrival log: (1) lateness is measured against the
+    high-watermark of STRICTLY EARLIER arrivals — the first arrival
+    per type is 0, an arrival equal to the current watermark is 0
+    (clamped, not negative), and the watermark never retreats (after a
+    late event, lateness is still measured against the old max); (2)
+    the drop thresholds are STRICT (>): an event late by exactly 60 s
+    survives the 1-minute watermark, 61 s does not, 3601 s crosses
+    both; (3) a NULL event_type is its own stream; (4) an in-order
+    type reports all zeros. Hand-derived expectations + the
+    independent model + the DuckDB oracle."""
+    import duckdb
+
+    from iceberg_explorer_spark.operators import QUERIES
+    from tests.conftest import assert_matches_oracle
+
+    spec = QUERIES["events_watermark_lateness_audit"]
+    base = 1_700_000_000  # seconds
+    # (event_id, ts_sec_offset, event_type)
+    raw = [
+        (1, 100, "A"),    # first: 0
+        (2, 50, "A"),     # 50 s late
+        (3, 200, "A"),    # in order: 0
+        (4, 200, "A"),    # equals watermark: clamped 0
+        (5, 140, "A"),    # 60 s late EXACTLY: survives wm_1m
+        (6, 139, "A"),    # 61 s late: dropped at 1m, kept at 1h
+        (7, 300, "A"),    # advances
+        (8, -3301, "A"),  # 3601 s late vs 300: dropped at both
+        (10, 10, "B"),    # in-order stream: all zeros
+        (11, 20, "B"),
+        (12, 30, "B"),
+        (20, 500, None),  # NULL type is its own stream
+        (21, 400, None),  # 100 s late
+    ]
+    rows = [
+        (eid, base + off, i % 3, et, 1.0, "{}")
+        for i, (eid, off, et) in enumerate(raw)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts_s long, user_id long, event_type string,"
+        " value double, props string",
+    ).select(
+        "event_id",
+        F.timestamp_seconds(F.col("ts_s")).alias("ts"),
+        "user_id", "event_type", "value", "props",
+    )
+    d = str(tmp_path / "wm_crafted")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+
+    model = _watermark_model(
+        [(eid, (base + off) * 1_000_000, et) for eid, off, et in raw]
+    )
+    got = {
+        r["event_type"]: (
+            r["n_events"], r["n_out_of_order"], r["max_lateness_us"],
+            r["avg_lateness_sec"], r["dropped_wm_1m"], r["dropped_wm_1h"],
+        )
+        for r in spec.builder(spark, d).collect()
+    }
+    assert got == model
+    # hand-derived: type A lates are 0,50,0,0,60,61,0,3601 (seconds)
+    lates_a = [0, 50, 0, 0, 60, 61, 0, 3601]
+    assert got["A"] == (
+        8, 4, 3_601_000_000,
+        sum(lates_a) / 8.0, 2, 1,
+    )
+    assert got["B"] == (3, 0, 0, 0.0, 0, 0)
+    assert got[None] == (2, 1, 100_000_000, 50.0, 1, 0)
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{d}/events.parquet/*.parquet')"
+    )
+    assert_matches_oracle(
+        spec.builder(spark, d), con, spec.oracle, "wm_crafted"
+    )
+
+
+def test_watermark_lateness_generative_parity(spark, tmp_path):
+    """Seeded generative hammer for events_watermark_lateness_audit
+    (r16 pre-freeze rigging): md5-driven event logs whose ARRIVAL
+    order (event_id) is decoupled from event time — random timestamps
+    with second-level ties, several types including NULL, skewed
+    stream sizes — against the independent running-max model and the
+    DuckDB oracle. Invariants: dropped_wm_1h <= dropped_wm_1m <=
+    n_out_of_order <= n_events, and max_lateness_us == 0 iff
+    n_out_of_order == 0."""
+    import duckdb
+    import hashlib
+
+    from iceberg_explorer_spark.operators import QUERIES
+    from tests.conftest import assert_matches_oracle
+
+    def h(*parts) -> int:
+        return hashlib.md5(":".join(map(str, parts)).encode()).digest()[0]
+
+    types = ["A", "B", "C", None]
+    spec = QUERIES["events_watermark_lateness_audit"]
+    base = 1_700_000_000
+    for seed in ("wm1", "wm2", "wm3"):
+        n = 90 + h(seed, "n") % 40
+        raw = []
+        for i in range(n):
+            et = types[h(seed, i, "t") % len(types)]
+            # event time jumps around arrival order: mix small steps,
+            # big forward leaps and deep backward drops (hour+ scale)
+            off = (
+                h(seed, i, "a") * 97
+                + h(seed, i, "b") * 31
+                - h(seed, i, "c") * 64
+            )
+            raw.append((i, base + off, et))
+        rows = [
+            (eid, ts_s, eid % 7, et, 1.0, "{}")
+            for eid, ts_s, et in raw
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts_s long, user_id long, event_type string,"
+            " value double, props string",
+        ).select(
+            "event_id",
+            F.timestamp_seconds(F.col("ts_s")).alias("ts"),
+            "user_id", "event_type", "value", "props",
+        )
+        d = str(tmp_path / f"wmg_{seed}")
+        df.coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+
+        model = _watermark_model(
+            [(eid, ts_s * 1_000_000, et) for eid, ts_s, et in raw]
+        )
+        got = {
+            r["event_type"]: (
+                r["n_events"], r["n_out_of_order"], r["max_lateness_us"],
+                r["avg_lateness_sec"], r["dropped_wm_1m"],
+                r["dropped_wm_1h"],
+            )
+            for r in spec.builder(spark, d).collect()
+        }
+        assert got == model, seed
+        for et, (ne, ooo, mx, _avg, d1m, d1h) in got.items():
+            assert d1h <= d1m <= ooo <= ne, (seed, et)
+            assert (mx == 0) == (ooo == 0), (seed, et)
+        # the generator really produced out-of-order mass
+        assert any(v[1] > 0 for v in got.values()), seed
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{d}/events.parquet/*.parquet')"
+        )
+        assert_matches_oracle(
+            spec.builder(spark, d), con, spec.oracle, f"wm_gen_{seed}"
+        )
