@@ -747,6 +747,19 @@ Round 16 adds events_watermark_lateness_audit — the measurement face of
   seeded generative parity vs an independent running-max model over
   shuffled arrival orders. Full rigging checklist; bench EXTENDED.
   Registry: 161 queries / 158 oracle-bearing.
+Round 16 also ships the persisted BQ index (bq_backfill / bq_append /
+  bq_topk_from_store): ONE vec_id-bucketed artifact (vec_id, lo, hi,
+  nvec) carrying both physical forms of the corpus — stage 1
+  column-prunes to the 16-byte sketch read, stage 2 bucket-prunes the
+  shortlist point-reads by the vec_id bucket key — so unlike the
+  refine cascade there is no cross-store same-snapshot contract; the
+  residual between-reads window is guarded by the same loud coverage
+  check (check_snapshot, default ON). Appends are a pure map (no
+  centroid/codebook artifact — BQ is training-free), idempotent via
+  store batch-ids, backfill-first-gated. Measured sf0.1 min-of-5:
+  serve 0.53 s vs in-session 0.89 s (1.67x; the honest argument is
+  16 B/row at scale, not this SF). Round-trip pinned through
+  append/replay/compaction.
 """
 
 from iceberg_explorer_spark.operators.registry import QUERIES, QuerySpec, query  # noqa: F401

@@ -2394,6 +2394,194 @@ def similarity_bq_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# The persisted BQ index: similarity_bq_hamming_topk's serving story.
+#
+# The registered query recomputes sketches per query — correct for the
+# oracle registry, wrong as a serving story: sign bits never change after
+# ingest, so a production index computes them ONCE and every query scans
+# 16 bytes/row. One artifact holds both physical forms of the corpus —
+# the packed sketch halves (the Hamming stage's 16-byte read, via parquet
+# COLUMN pruning) and the normalized vector (the exact stage's point
+# read) — so unlike the two-store refine cascade there is no cross-store
+# same-snapshot contract to violate: one table, one snapshot.
+
+#: The BQ artifact spec: ``bq_index`` — (vec_id, lo, hi, nvec), bucketed
+#: by ``vec_id``: the exact stage point-reads the shortlist ids, and a
+#: vec_id bucket key makes those reads bucket-PRUNED (the ivf_lists
+#: table cannot serve them pruned — its bucket key is cid).
+BQ_STORE_ARTIFACTS = {"bq_index": ("vec_id",)}
+
+
+def bq_store(spark: SparkSession, prefix: str, n_buckets: int = 16):
+    """A BucketedArtifactStore instantiated with the BQ artifact spec."""
+    from iceberg_explorer_spark.operators.incremental_artifacts import (
+        BucketedArtifactStore,
+    )
+
+    return BucketedArtifactStore(
+        spark, prefix, n_buckets, artifacts=BQ_STORE_ARTIFACTS
+    )
+
+
+def _bq_sketched(emb: DataFrame) -> DataFrame:
+    """(vec_id, lo, hi, nvec) rows from a normalized frame — THE one
+    sketch rule (the registered query's _BQ_PACK_SPARK expressions), so
+    the artifact and the query cannot desync on what a sign bit is."""
+    return emb.select(
+        "vec_id",
+        F.expr(_BQ_PACK_SPARK.format(off=1)).alias("lo"),
+        F.expr(_BQ_PACK_SPARK.format(off=33)).alias("hi"),
+        F.col("ne").alias("nvec"),
+    )
+
+
+def bq_backfill(spark: SparkSession, sf_dir: str, store) -> None:
+    """One-time index build: pack every contract-passing vector's sign
+    sketch next to its normalized vector, bucketed by vec_id. Single
+    artifact — the write IS the commit marker."""
+    store.write("bq_index", _bq_sketched(_with_normalized(_load_emb(spark, sf_dir))))
+
+
+def bq_append(store, new_emb: DataFrame, batch_id: "str | None" = None) -> bool:
+    """Nightly index append: sketch an increment of raw embedding rows
+    and land them through the store's hash-aligned writer (at most one
+    new file per bucket per night). Sign bits depend only on the row
+    itself — no centroid or codebook artifact to read, so the append is
+    a pure map over the increment. Backfill-first and ``batch_id``
+    replay-idempotence come from the store layer (r15's gate: an
+    idempotent append onto a missing table raises rather than creating
+    an increment-only 'corpus'). Increment vec_ids must be globally NEW
+    — the ingest id-allocation invariant, as for every other artifact.
+    Returns True iff rows landed."""
+    return store.append(
+        "bq_index",
+        _bq_sketched(_with_normalized(_apply_emb_contract(new_emb))),
+        batch_id=batch_id,
+    )
+
+
+def _bq_pack_py(v: "list[float]") -> "tuple[int, int]":
+    """Driver-side sign-sketch pack of a query vector — the Python twin
+    of _BQ_PACK_SPARK (bit i of each half set iff the dim is > 0; signs
+    are scale-invariant under L2 normalization, so packing the caller's
+    normalized vector equals packing the stored one bit-for-bit)."""
+    lo = sum(1 << i for i in range(32) if v[i] > 0)
+    hi = sum(1 << i for i in range(32) if v[i + 32] > 0)
+    return lo, hi
+
+
+def _bq_hamming_frame(art: DataFrame, qlo: int, qhi: int,
+                      query_vec_id: "int | None") -> DataFrame:
+    """Stage 1 of the BQ serve, pre-cut: the Hamming scan over the
+    sketch columns ONLY — split out so the column-pruning pin can
+    inspect exactly the frame the serve executes (ReadSchema must be
+    (vec_id, lo, hi): 16 payload bytes/row, never the vectors)."""
+    base = art.select("vec_id", "lo", "hi")
+    if query_vec_id is not None:
+        base = base.filter(F.col("vec_id") != int(query_vec_id))
+    ham = (
+        F.bit_count(F.expr(f"lo ^ CAST({int(qlo)} AS BIGINT)"))
+        + F.bit_count(F.expr(f"hi ^ CAST({int(qhi)} AS BIGINT)"))
+    ).cast("bigint")
+    return base.select("vec_id", ham.alias("hamming_dist"))
+
+
+def bq_topk_from_store(
+    store,
+    query_vec: "list[float]",
+    query_vec_id: "int | None" = None,
+    r: int = BQ_R,
+    k: int = 10,
+    check_snapshot: bool = True,
+) -> DataFrame:
+    """Serve similarity_bq_hamming_topk's semantics from the persisted
+    index — row-identical to the registered query (pinned by the
+    round-trip test) with the cascade's production plan:
+
+    1. the Hamming stage: ONE scan of the index COLUMN-PRUNED to
+       (vec_id, lo, hi) — 16 payload bytes/row, the whole point of BQ —
+       against the query sketch packed driver-side (two literal BIGINTs,
+       no job), heap-cut to the top-``r`` by (hamming, vec_id) and
+       COLLECTED: r rows, the bounded O(R) driver legitimacy class;
+    2. the exact stage: ONE bucket-pruned scan of the SAME artifact
+       (vec_id is the bucket key, so the shortlist point-reads prune to
+       the ids' buckets — SelectedBucketsCount in the plan), reading
+       (vec_id, nvec) with the Hamming distances attached as a literal
+       map and the exact cosine as an inlined literal-array dot — zero
+       joins, zero shuffles, zero Window nodes, zero broadcasts in the
+       returned frame.
+
+    Both stages read the ONE artifact, so there is no cross-store
+    same-snapshot contract (the refine cascade's failure class);
+    ``check_snapshot`` (default True) still guards the residual window —
+    a compaction or append landing BETWEEN the two reads — by verifying
+    the pruned scan covers every shortlist id (one extra bounded job;
+    raises ValueError naming the missing ids). ``query_vec`` is
+    REQUIRED and must be L2-normalized (``_validate_query_vec`` — sign
+    bits are normalization-invariant, the cosine is not);
+    ``query_vec_id`` is the stored id to EXCLUDE (the registered
+    query's exclude-the-query-doc rule) — omit it for request vectors
+    that are not stored rows."""
+    _validate_query_vec(query_vec)
+    spark = store.spark
+    store.read("bq_index")  # heal a crashed compaction first
+    s = _serve_session(spark)
+    s.catalog.refreshTable(_serve_table(store, "bq_index"))
+    art = s.table(_serve_table(store, "bq_index"))
+    qlo, qhi = _bq_pack_py([float(x) for x in query_vec])
+    shortlist = (
+        _bq_hamming_frame(art, qlo, qhi, query_vec_id)
+        .orderBy("hamming_dist", "vec_id")
+        .limit(r)
+        .collect()
+    )
+    if not shortlist:
+        return art.filter(F.lit(False)).select(
+            "vec_id",
+            F.lit(0).cast("bigint").alias("hamming_dist"),
+            F.lit(0.0).alias("cos_sim"),
+        )
+    ids = [int(row["vec_id"]) for row in shortlist]
+    ham_map = F.create_map(
+        *[
+            lit
+            for row in shortlist
+            for lit in (
+                F.lit(int(row["vec_id"])),
+                F.lit(int(row["hamming_dist"])),
+            )
+        ]
+    )
+    pruned = art.filter(F.col("vec_id").isin(ids))
+    if check_snapshot:
+        found = {
+            int(row["vec_id"])
+            for row in pruned.select("vec_id").collect()
+        }
+        missing = sorted(set(ids) - found)
+        if missing:
+            raise ValueError(
+                "bq_topk_from_store: a concurrent rewrite landed between "
+                f"the two serve reads — {len(missing)} shortlist "
+                f"vec_id(s) absent from the point-read scan (first few: "
+                f"{missing[:5]}). Retry the serve against the settled "
+                "snapshot."
+            )
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    cos = F.round(F.expr(_DOT_SPARK.format(a="nvec", b="qe")), 6)
+    return (
+        pruned.withColumn("qe", qlit)
+        .select(
+            "vec_id",
+            ham_map[F.col("vec_id")].cast("bigint").alias("hamming_dist"),
+            cos.alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(k)
+    )
+
+
 #: one Lloyd refinement step over the IVF seed centroids. Micro-unit
 #: fixed-point per-dimension sums make the new centroids exact integer math
 #: (a float mean would differ in final ulps across shuffle orders/engines).

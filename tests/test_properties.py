@@ -7554,3 +7554,132 @@ def test_watermark_lateness_generative_parity(spark, tmp_path):
         assert_matches_oracle(
             spec.builder(spark, d), con, spec.oracle, f"wm_gen_{seed}"
         )
+
+
+def test_bq_store_round_trip(spark):
+    """The BQ cascade's serving story (r16 — pairing
+    similarity_bq_hamming_topk with its persisted index, the same
+    discipline as the IVF/PQ/refine serves): (1) serve parity —
+    bq_topk_from_store returns ROW-IDENTICAL results to the registered
+    query, with and without the default snapshot check; (2) the
+    returned frame is the cascade's production plan — ONE scan of the
+    single artifact, bucket-PRUNED to the shortlist ids' buckets
+    (SelectedBucketsCount < total at a small r), Hamming distances as
+    literal maps, the exact cosine inlined: zero joins, zero shuffles,
+    zero Window nodes, zero broadcasts; (3) stage 1's Hamming frame is
+    COLUMN-PRUNED to (vec_id, lo, hi) — the 16-byte read that is BQ's
+    whole point, never the vectors; (4) a nightly append surfaces in
+    the serve (an exact duplicate of the query takes rank 1 at Hamming
+    0 / cosine 1.0), a replayed append is dropped, and compaction
+    leaves the served rows identical; (5) a malformed or unnormalized
+    query vector is refused loudly."""
+    import re
+
+    import pytest
+
+    from iceberg_explorer_spark.operators import QUERIES
+    from iceberg_explorer_spark.operators.similarity import (
+        _bq_hamming_frame,
+        _bq_pack_py,
+        _load_emb,
+        _serve_session,
+        _serve_table,
+        _with_normalized,
+        bq_append,
+        bq_backfill,
+        bq_store,
+        bq_topk_from_store,
+    )
+    from iceberg_explorer_spark.plans import inspect as pi
+
+    d = "/root/testdata/sf0.01"
+    n_buckets = 4
+    st = bq_store(spark, "t_bq_rt", n_buckets=n_buckets)
+    try:
+        # backfill-first gate at the store layer: an idempotent append
+        # before the backfill must refuse
+        inc0 = spark.range(0).selectExpr(
+            "id AS vec_id",
+            "CAST(array() AS array<float>) AS embedding",
+            "CAST(0 AS int) AS label",
+        )
+        with pytest.raises(ValueError, match="does not exist"):
+            bq_append(st, inc0, batch_id="too-early")
+
+        bq_backfill(spark, d, st)
+        emb = _with_normalized(_load_emb(spark, d))
+        qv = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == 0).first()["ne"]
+        ]
+        served = bq_topk_from_store(st, qv, query_vec_id=0)
+        got = [tuple(r) for r in served.collect()]
+        want = [
+            tuple(r)
+            for r in QUERIES["similarity_bq_hamming_topk"]
+            .builder(spark, d)
+            .collect()
+        ]
+        assert got == want and got
+        assert [
+            tuple(r)
+            for r in bq_topk_from_store(
+                st, qv, query_vec_id=0, check_snapshot=False
+            ).collect()
+        ] == got
+
+        # (2) the production plan of the returned frame
+        plan = pi.physical_plan(served)
+        assert pi.shuffle_count(served) == 0
+        assert "Join" not in plan
+        assert "Window" not in plan
+        assert "BroadcastExchange" not in plan
+        assert plan.count("Scan parquet") == 1
+        # bucket pruning bites at a small shortlist: 3 ids cover at
+        # most 3 of the 4 buckets
+        small = bq_topk_from_store(st, qv, query_vec_id=0, r=3, k=3)
+        m = re.search(
+            r"SelectedBucketsCount: (\d+) out of (\d+)",
+            pi.physical_plan(small),
+        )
+        assert m, pi.physical_plan(small)
+        assert int(m.group(1)) <= 3 < int(m.group(2)) == n_buckets
+
+        # (3) stage 1 reads sketches only
+        s = _serve_session(spark)
+        art = s.table(_serve_table(st, "bq_index"))
+        qlo, qhi = _bq_pack_py(qv)
+        h_plan = pi.physical_plan(_bq_hamming_frame(art, qlo, qhi, 0))
+        mm = h_plan[h_plan.index("ReadSchema"):].splitlines()[0]
+        assert set(
+            c.split(":")[0]
+            for c in mm.split("struct<")[1].split(">")[0].split(",")
+        ) == {"vec_id", "lo", "hi"}
+
+        # (4) nightly append, replay, compaction
+        new_id = 14_000_000
+        inc = (
+            spark.read.parquet(f"{d}/embeddings.parquet")
+            .filter(F.col("vec_id") == 0)
+            .withColumn("vec_id", F.lit(new_id).cast("long"))
+        )
+        assert bq_append(st, inc, batch_id="night-1") is True
+        served2 = [
+            tuple(r)
+            for r in bq_topk_from_store(st, qv, query_vec_id=0).collect()
+        ]
+        assert served2[0] == (new_id, 0, 1.0)
+        assert bq_append(st, inc, batch_id="night-1") is False
+        st.compact()
+        assert [
+            tuple(r)
+            for r in bq_topk_from_store(st, qv, query_vec_id=0).collect()
+        ] == served2
+
+        # (5) loud input contract
+        with pytest.raises(ValueError, match="normalized"):
+            bq_topk_from_store(st, [2.0] * 64)
+        with pytest.raises(ValueError, match="finite"):
+            bq_topk_from_store(st, [float("nan")] * 64)
+    finally:
+        st.drop()
