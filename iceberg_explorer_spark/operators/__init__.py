@@ -760,6 +760,50 @@ Round 16 also ships the persisted BQ index (bq_backfill / bq_append /
   serve 0.53 s vs in-session 0.89 s (1.67x; the honest argument is
   16 B/row at scale, not this SF). Round-trip pinned through
   append/replay/compaction.
+Round 16 adds similarity_bq_r_sweep — the BQ family's calibration leg
+  (the tuning symmetry the other ANN families carry: probe sweep
+  prices nprobe, geometry sweep prices code bytes, this prices BQ_R):
+  recall@10 of the cascade at shortlist sizes (10, 30, 100) from ONE
+  scored pass — cascade recall at R equals |true top-10 ∩ Hamming
+  top-R| / |top-10| exactly (shortlisted true neighbors always survive
+  the exact re-rank), so the sweep never runs the cascade per rung;
+  hamming_cut reports the radius each R implies. NO structural
+  saturation rung exists (unlike nprobe=K) — the measured curve is the
+  finding: 0.3/0.6/0.9 at sf0.01, the 64-bit sign sketch is honestly
+  coarse. Plan: two heap cuts over the scored pass (zero corpus-wide
+  windows; the row_number runs on the heap-cut 100-row frame), tiny
+  broadcast sides, O(sum Rs) rows after the heaps. Full rigging
+  checklist; bench EXTENDED. Registry: 162 queries / 159
+  oracle-bearing.
+The r17 window plan (written at r16 freeze; execute verbatim if r16
+  comes back green): flagship + the THREE r16 newcomers
+  (similarity_bq_hamming_topk, text_heldout_perplexity,
+  events_watermark_lateness_audit — their FIRST driver rows; after
+  r16 they are the only oracle-bearing queries with zero driver
+  evidence) + the SEVEN r13-latest rolled from the r16 tie-break
+  (similarity_knn_join, text_token_count, events_variant_shred,
+  anti_join_idle_customers, asof_join_purchase_click,
+  conditional_agg_order_status, cte_above_avg_orders — after r16 they
+  are the stalest rows in the registry and must all come in) + 39 of
+  the 49 r14-latest (count fresh from CORRECTNESS_r01..r16 after the
+  r16 rows land; expected composition is exactly 49 queries with
+  latest row r14 — leave out the TEN with the MOST prior green rows,
+  tie-break alphabetical-first-out: the 7-green tie is 13 wide, so the
+  first ten alphabetically go — cube_order_status,
+  dedup_embedding_cosine, filter_projection,
+  multimodal_decode_features, pivot_status_by_flag,
+  recursive_calendar_spine, rollup_quantity,
+  scalar_subquery_nation_stats, similarity_ivf_topk, text_language_id
+  — all ten roll to r18; window_ntile_navigation,
+  window_range_moving_revenue and window_running_revenue are the
+  7-green survivors that stay in).
+  1 + 3 + 7 + 39 = 50 exactly. Bench r17: execute the DECLARED v4
+  flip (see the BENCH v4 DECLARATION above and bench.py's policy
+  text): fold GRADUATING_R15 into HEADLINE's tail in its frozen
+  order, set HEADLINE_VERSION = 4, drop the v4 overlap keys, empty
+  the hook; EXTENDED (the three r16 operators) keeps accumulating
+  toward the next declared overlap. r17's value compares to
+  BENCH_r16's value_v4 (98), never its v3 value.
 """
 
 from iceberg_explorer_spark.operators.registry import QUERIES, QuerySpec, query  # noqa: F401

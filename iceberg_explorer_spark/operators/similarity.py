@@ -2394,6 +2394,178 @@ def similarity_bq_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: The BQ calibration grid: shortlist sizes priced by the sweep.
+#: Unlike the IVF probe sweep there is NO structural saturation rung
+#: (nprobe=K provably reaches recall 1.0; no fixed R does, because the
+#: corpus grows with SF while R does not) — the sweep's recall column
+#: is the finding itself, and n_candidates (min(shortlist_r,
+#: corpus-1)) makes an unsaturated or exhausted curve readable as such. Measured on the sf0.01
+#: corpus the curve is 0.3 / 0.6 / 0.9: a 64-bit sign sketch is COARSE,
+#: which is exactly the number a BQ_R choice should be read against.
+BQ_SWEEP_RS = (10, 30, 100)
+
+
+@query(
+    "similarity_bq_r_sweep",
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> x / sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                                CAST(embedding AS DOUBLE[]))))
+               AS ne
+      FROM {_EMB_SQL}
+    ),
+    sk AS (
+      SELECT vec_id, ne,
+             CAST(list_sum(list_transform(range(0, 32),
+               i -> CASE WHEN ne[i + 1] > 0
+                         THEN (CAST(1 AS BIGINT) << i) ELSE 0 END))
+               AS BIGINT) AS lo,
+             CAST(list_sum(list_transform(range(0, 32),
+               i -> CASE WHEN ne[i + 33] > 0
+                         THEN (CAST(1 AS BIGINT) << i) ELSE 0 END))
+               AS BIGINT) AS hi
+      FROM n
+    ),
+    q AS (SELECT lo AS qlo, hi AS qhi, ne AS qne FROM sk
+          WHERE vec_id = {QUERY_VEC_ID}),
+    scored AS (
+      SELECT s.vec_id,
+             CAST(bit_count(xor(s.lo, q.qlo))
+                  + bit_count(xor(s.hi, q.qhi)) AS BIGINT) AS ham,
+             ROUND(list_inner_product(s.ne, q.qne), 6) AS cos
+      FROM sk s, q
+      WHERE s.vec_id <> {QUERY_VEC_ID}
+    ),
+    t10 AS (SELECT vec_id FROM scored ORDER BY cos DESC, vec_id LIMIT 10),
+    d AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM t10),
+    ranked AS (
+      SELECT vec_id, ham, ROW_NUMBER() OVER (ORDER BY ham, vec_id) AS rk
+      FROM (SELECT * FROM scored
+            ORDER BY ham, vec_id LIMIT {max(BQ_SWEEP_RS)})
+    )
+    SELECT rs.shortlist_r,
+           CAST(COUNT(*) AS BIGINT) AS n_candidates,
+           CAST(MAX(r.ham) AS BIGINT) AS hamming_cut,
+           CAST(SUM(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_hits,
+           CAST(SUM(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS DOUBLE) / d.nt AS recall_at_10
+    FROM ranked r
+    JOIN (VALUES {", ".join(f"({x})" for x in BQ_SWEEP_RS)})
+      AS rs(shortlist_r) ON r.rk <= rs.shortlist_r
+    LEFT JOIN t10 t USING (vec_id)
+    CROSS JOIN d
+    GROUP BY rs.shortlist_r, d.nt
+    """,
+    doc=f"BQ shortlist-size calibration sweep (r16) — the tuning leg the "
+    "other two ANN families already carry (similarity_ivf_probe_sweep "
+    "prices nprobe, similarity_pq_geometry_sweep prices code bytes; "
+    f"this prices BQ_R): recall@10 of the BQ cascade at shortlist sizes "
+    f"{BQ_SWEEP_RS}, from ONE scored pass. Because the exact re-rank "
+    "keeps the best cosines WITHIN the shortlist, cascade recall@10 at "
+    "size R equals |true top-10 ∩ Hamming top-R| / |true top-10| "
+    "exactly (only 9 vectors can out-rank the 10th true neighbor, so "
+    "shortlisted true neighbors always survive the re-rank) — the "
+    "sweep never has to run the cascade R times. hamming_cut reports "
+    "the Hamming radius each R implies — the quantity a threshold- "
+    "based (radius) variant would tune instead. Unlike the probe "
+    "sweep's nprobe=K rung there is NO structural recall-1.0 anchor "
+    "(no fixed R saturates a growing corpus): the measured curve IS "
+    "the finding — 0.3/0.6/0.9 on the sf0.01 corpus, a 64-bit sign "
+    "sketch is honestly coarse — and n_candidates (min(shortlist_r, "
+    "corpus-1)) keeps an unsaturated or exhausted curve readable as "
+    "such. "
+    "Determinism: round-6 cosines, exact-integer Hamming, "
+    "(ham, vec_id) / (cos DESC, vec_id) total orders, integer hit "
+    "counts divided once. Plan: the scored pass is scanned by two "
+    "heap cuts (TakeOrderedAndProject — no corpus-wide Window "
+    "anywhere); the true-top-10 and the candidate count are tiny "
+    "broadcast sides; the per-R fan-out EXPLODES the 100-row ranked "
+    "frame, so everything after the heaps is O(sum(Rs)) rows. At 100 "
+    "TB both heaps are map-side partial top-k + one merge of "
+    f"{max(BQ_SWEEP_RS)} rows/partition — the standard distributed "
+    "top-k shape — and the sweep reads the persisted sketch columns "
+    "(16 B/row) once. reference: no analogue — training-pipeline "
+    "extension.",
+)
+def similarity_bq_r_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = _with_normalized(_load_emb(spark, sf_dir))
+    sk = emb.select(
+        "vec_id",
+        "ne",
+        F.expr(_BQ_PACK_SPARK.format(off=1)).alias("lo"),
+        F.expr(_BQ_PACK_SPARK.format(off=33)).alias("hi"),
+    )
+    q = F.broadcast(
+        sk.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+            F.col("lo").alias("qlo"),
+            F.col("hi").alias("qhi"),
+            F.col("ne").alias("qne"),
+        )
+    )
+    ham = (
+        F.bit_count(F.expr("lo ^ qlo")) + F.bit_count(F.expr("hi ^ qhi"))
+    ).cast("bigint")
+    scored = (
+        sk.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(q)
+        .select(
+            "vec_id",
+            ham.alias("ham"),
+            F.round(F.expr(_DOT_SPARK.format(a="ne", b="qne")), 6).alias(
+                "cos"
+            ),
+        )
+    )
+    t10 = F.broadcast(
+        scored.orderBy(F.col("cos").desc(), "vec_id")
+        .limit(10)
+        .select("vec_id", F.lit(1).alias("hit"))
+    )
+    d = F.broadcast(t10.agg(F.count(F.lit(1)).cast("bigint").alias("nt")))
+    # the max(Rs)-row shortlist, ranked: the row_number Window runs on
+    # a frame the heap already cut to 100 rows — never the corpus
+    ranked = (
+        scored.orderBy("ham", "vec_id")
+        .limit(max(BQ_SWEEP_RS))
+        .withColumn(
+            "rk", F.row_number().over(Window.orderBy("ham", "vec_id"))
+        )
+        .join(t10, "vec_id", "left")
+    )
+    return (
+        ranked.withColumn(
+            "shortlist_r",
+            F.explode(F.array(*[F.lit(r) for r in BQ_SWEEP_RS])),
+        )
+        .filter(F.col("rk") <= F.col("shortlist_r"))
+        .crossJoin(d)
+        .groupBy("shortlist_r", "nt")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+            F.max("ham").cast("bigint").alias("hamming_cut"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_hits"),
+            (
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
+                / F.first("nt")
+            ).alias("recall_at_10"),
+        )
+        .select(
+            "shortlist_r",
+            "n_candidates",
+            "hamming_cut",
+            "n_hits",
+            "recall_at_10",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # The persisted BQ index: similarity_bq_hamming_topk's serving story.
 #

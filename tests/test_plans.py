@@ -1556,6 +1556,27 @@ def test_bq_hamming_topk_plan(spark):
     ) == {"vec_id", "embedding"}
 
 
+def test_bq_r_sweep_plan(spark):
+    """similarity_bq_r_sweep: the scored pass is consumed by heap cuts
+    only (the true-top-10 cut and the max(R)-row shortlist cut, both
+    TakeOrderedAndProject), and the single Window node ranks the
+    ALREADY-CUT 100-row frame — a TakeOrderedAndProject sits BELOW it,
+    so the row_number never sees the corpus. Zero shuffles, tiny
+    broadcast sides only, pure JVM."""
+    df = build(spark, "similarity_bq_r_sweep")
+    plan = pi.physical_plan(df)
+    assert pi.shuffle_count(df) == 0
+    assert plan.count("TakeOrderedAndProject") >= 2
+    assert plan.count("Window [") == 1
+    # the Window consumes the heap-cut frame: a TakeOrderedAndProject
+    # (the max(R) shortlist cut) sits BELOW the Window node
+    w = plan.index("Window [")
+    assert "TakeOrderedAndProject" in plan[w:]
+    assert "MapInPandas" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_heldout_perplexity_plan(spark):
     """text_heldout_perplexity: the model is one-time eager work
     (checkpointed bigram + unigram tables — Scan ExistingRDD in the

@@ -7683,3 +7683,158 @@ def test_bq_store_round_trip(spark):
             bq_topk_from_store(st, [float("nan")] * 64)
     finally:
         st.drop()
+
+
+def _bq_sweep_model(vecs, rs=(10, 30, 100), query_vec_id=0):
+    """Independent sweep model: true top-10 by exact cosine, Hamming
+    shortlist prefix membership per R."""
+    ne = {}
+    for i, v in vecs.items():
+        nrm = _r16_sdot(v, v) ** 0.5
+        ne[i] = [x / nrm for x in v]
+
+    def pack(vals):
+        lo = sum(1 << i for i in range(32) if vals[i] > 0)
+        hi = sum(1 << i for i in range(32) if vals[i + 32] > 0)
+        return lo, hi
+
+    sk = {i: pack(n) for i, n in ne.items()}
+    qlo, qhi = sk[query_vec_id]
+    cand = [i for i in vecs if i != query_vec_id]
+    ham = {
+        i: bin(sk[i][0] ^ qlo).count("1") + bin(sk[i][1] ^ qhi).count("1")
+        for i in cand
+    }
+    cos = {i: _r16_r6(_r16_sdot(ne[i], ne[query_vec_id])) for i in cand}
+    t10 = sorted(cand, key=lambda i: (-cos[i], i))[:10]
+    by_ham = sorted(cand, key=lambda i: (ham[i], i))
+    out = []
+    for r in rs:
+        prefix = by_ham[:r]
+        hits = sum(1 for i in prefix if i in t10)
+        out.append(
+            (r, len(prefix), max(ham[i] for i in prefix), hits,
+             hits / len(t10))
+        )
+    return sorted(out)
+
+
+def test_bq_r_sweep_claims(spark, tmp_path):
+    """similarity_bq_r_sweep's distinguishing claims, on the same
+    identical-sketch family fixture as the cascade's claims test (32
+    vectors tying at Hamming 0, the best-cosine member at the highest
+    vec_id): (1) the sweep equals the independent model row-for-row;
+    (2) recall INCREASES with R for a real reason — vec 41 (cosine
+    1.0, Hamming rank 32 by the vec_id tie-break) is missed at R=10
+    and R=30 but captured at R=100, so recall@10 steps up at the last
+    rung — the exact recall-vs-R trade the sweep exists to price; (3)
+    recall is monotonically non-decreasing in R and n_candidates ==
+    min(R, corpus-1); (4) on a corpus the widest rung exhausts,
+    recall hits 1.0 (every candidate shortlisted implies the cascade
+    IS the exact search). Oracle-checked."""
+    import duckdb
+
+    from iceberg_explorer_spark.operators import QUERIES
+    from iceberg_explorer_spark.operators.similarity import DIM
+    from tests.conftest import assert_matches_oracle
+
+    spec = QUERIES["similarity_bq_r_sweep"]
+
+    def vec(pairs):
+        v = [0.0] * DIM
+        for d, a in pairs:
+            v[d] = a
+        return v
+
+    q = vec([(d, 1.0) for d in range(8)] + [(d, -1.0) for d in range(8, 16)])
+    vecs = {0: q}
+    for j, i in enumerate(range(10, 42)):
+        a = 2.0 + (j % 7) * 0.25
+        b = 0.25 + (j % 5) * 0.5
+        vecs[i] = vec(
+            [(d, a) for d in range(4)]
+            + [(d, 0.5) for d in range(4, 8)]
+            + [(d, -b) for d in range(8, 12)]
+            + [(d, -3.0) for d in range(12, 16)]
+        )
+    vecs[41] = [2.0 * x for x in q]
+    d1 = str(tmp_path / "bqsweep")
+    spark.createDataFrame(
+        [(i, v, 0) for i, v in vecs.items()],
+        "vec_id long, embedding array<float>, label int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d1}/embeddings.parquet")
+
+    model = _bq_sweep_model(vecs)
+    got = sorted(tuple(r) for r in spec.builder(spark, d1).collect())
+    assert got == model
+    by_r = {g[0]: g for g in got}
+    # (2) the step up: 41 is Hamming-rank 32 (vec_id tie-break), so the
+    # true best neighbor is missed until the R=100 rung
+    assert by_r[10][4] < 1.0 and by_r[30][4] < 1.0
+    assert by_r[100][4] == 1.0  # (4): 32 candidates, R=100 exhausts
+    assert by_r[100][1] == len(vecs) - 1
+    # (3) monotone recall, n_candidates == min(R, corpus-1)
+    rec = [by_r[r][4] for r in (10, 30, 100)]
+    assert rec == sorted(rec)
+    for r in (10, 30, 100):
+        assert by_r[r][1] == min(r, len(vecs) - 1)
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{d1}/embeddings.parquet/*.parquet')"
+    )
+    assert_matches_oracle(
+        spec.builder(spark, d1), con, spec.oracle, "bq_sweep_crafted"
+    )
+
+
+def test_bq_r_sweep_generative_parity(spark, tmp_path):
+    """Seeded generative hammer for similarity_bq_r_sweep (r16
+    pre-freeze rigging): the same md5 grid corpora as the cascade's
+    hammer, against the independent sweep model and the oracle, with
+    the structural invariants (monotone recall, n_candidates ==
+    min(R, corpus-1), hamming_cut non-decreasing in R) asserted per
+    seed."""
+    import duckdb
+    import hashlib
+
+    from iceberg_explorer_spark.operators import QUERIES
+    from iceberg_explorer_spark.operators.similarity import DIM
+    from tests.conftest import assert_matches_oracle
+
+    def h(*parts) -> int:
+        return hashlib.md5(":".join(map(str, parts)).encode()).digest()[0]
+
+    spec = QUERIES["similarity_bq_r_sweep"]
+    for seed in ("bs1", "bs2", "bs3"):
+        n = 44 + h(seed, "n") % 20
+        vecs = {}
+        for i in range(n):
+            v = [(h(seed, i, d) - 128) / 64.0 for d in range(DIM)]
+            if all(x == 0.0 for x in v):
+                v[0] = 1.0 / 64.0
+            vecs[i] = v
+        d = str(tmp_path / f"bqsg_{seed}")
+        spark.createDataFrame(
+            [(i, v, i % 2) for i, v in vecs.items()],
+            "vec_id long, embedding array<float>, label int",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{d}/embeddings.parquet"
+        )
+        model = _bq_sweep_model(vecs)
+        got = sorted(tuple(r) for r in spec.builder(spark, d).collect())
+        assert got == model, (seed, got, model)
+        rec = [g[4] for g in got]
+        cuts = [g[2] for g in got]
+        assert rec == sorted(rec) and cuts == sorted(cuts), seed
+        for g in got:
+            assert g[1] == min(g[0], n - 1), seed
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{d}/embeddings.parquet/*.parquet')"
+        )
+        assert_matches_oracle(
+            spec.builder(spark, d), con, spec.oracle, f"bqs_gen_{seed}"
+        )
