@@ -5836,7 +5836,13 @@ def test_index_store_generative_schedules(spark, tmp_path):
     evolving corpus, so the cascade's same-snapshot contract is
     exercised across paired appends, replays, and per-store
     compactions under the same random interleavings (its crafted
-    round-trip covers only the straight-line sequence)."""
+    round-trip covers only the straight-line sequence).
+
+    r16 (the round's own serve): the BQ store joins too — every
+    nightly batch lands on all THREE stores (paired), replays replay
+    everywhere, the compact step picks among three stores, and
+    bq_topk_from_store is row-parity-checked against
+    similarity_bq_hamming_topk after every step."""
     import hashlib
 
     import pyspark.sql.functions as F
@@ -5846,6 +5852,10 @@ def test_index_store_generative_schedules(spark, tmp_path):
         IVF_K,
         _load_emb,
         _with_normalized,
+        bq_append,
+        bq_backfill,
+        bq_store,
+        bq_topk_from_store,
         ivf_append_lists,
         ivf_backfill_lists,
         ivf_store,
@@ -5880,9 +5890,11 @@ def test_index_store_generative_schedules(spark, tmp_path):
         base.write.mode("overwrite").parquet(f"{corpus_dir}/embeddings.parquet")
         ivf_s = ivf_store(spark, f"t_ivf_gen_{seed}", n_buckets=4)
         pq_s = ivfpq_store(spark, f"t_ivfpq_gen_{seed}", n_buckets=4)
+        bq_s = bq_store(spark, f"t_bq_gen_{seed}", n_buckets=4)
         try:
             ivf_backfill_lists(spark, corpus_dir, ivf_s)
             ivfpq_backfill(spark, corpus_dir, pq_s)
+            bq_backfill(spark, corpus_dir, bq_s)
             cb = ivfpq_codebook(pq_s)  # hoisted once per publish
             qv = [
                 float(x)
@@ -5911,6 +5923,12 @@ def test_index_store_generative_schedules(spark, tmp_path):
                         .builder(spark, corpus_dir)
                         .collect()
                     ],
+                    [
+                        tuple(r)
+                        for r in QUERIES["similarity_bq_hamming_topk"]
+                        .builder(spark, corpus_dir)
+                        .collect()
+                    ],
                 )
 
             def increment_df(pairs):
@@ -5922,8 +5940,8 @@ def test_index_store_generative_schedules(spark, tmp_path):
                     inc_schema,
                 )
 
-            exp_ivf, exp_pq, exp_ref = expected()
-            assert exp_ivf and exp_pq and exp_ref
+            exp_ivf, exp_pq, exp_ref, exp_bq = expected()
+            assert exp_ivf and exp_pq and exp_ref and exp_bq
             model = {}  # batch_id -> [(new_id, src_row_index)]
             landed_order = []
             next_id = 10_000_000
@@ -5937,8 +5955,9 @@ def test_index_store_generative_schedules(spark, tmp_path):
                     inc = increment_df(model[bid])
                     assert ivf_append_lists(ivf_s, inc, batch_id=bid) is False
                     assert ivfpq_append(pq_s, inc, batch_id=bid) is False
+                    assert bq_append(bq_s, inc, batch_id=bid) is False
                 elif kind == 1:
-                    (ivf_s if h(seed, step, "which") % 2 else pq_s).compact()
+                    (ivf_s, pq_s, bq_s)[h(seed, step, "which") % 3].compact()
                 else:
                     bid = f"night-{step}"
                     n = 2 + h(seed, step, "n") % 3
@@ -5954,12 +5973,13 @@ def test_index_store_generative_schedules(spark, tmp_path):
                     inc = increment_df(pairs)
                     assert ivf_append_lists(ivf_s, inc, batch_id=bid) is True
                     assert ivfpq_append(pq_s, inc, batch_id=bid) is True
+                    assert bq_append(bq_s, inc, batch_id=bid) is True
                     inc.write.mode("append").parquet(
                         f"{corpus_dir}/embeddings.parquet"
                     )
                     model[bid] = pairs
                     landed_order.append(bid)
-                    exp_ivf, exp_pq, exp_ref = expected()
+                    exp_ivf, exp_pq, exp_ref, exp_bq = expected()
                 # serve row-parity after EVERY step, both forms
                 got_ivf = [
                     tuple(r) for r in ivf_topk_from_store(ivf_s).collect()
@@ -5993,9 +6013,18 @@ def test_index_store_generative_schedules(spark, tmp_path):
                     ).collect()
                 ]
                 assert got_ref == exp_ref, (seed, step, kind)
+                # r16: the BQ serve over its single artifact
+                got_bq = [
+                    tuple(r)
+                    for r in bq_topk_from_store(
+                        bq_s, qv, query_vec_id=0
+                    ).collect()
+                ]
+                assert got_bq == exp_bq, (seed, step, kind)
         finally:
             ivf_s.drop()
             pq_s.drop()
+            bq_s.drop()
 
 
 def test_ivf_pq_refine_topk_claims(spark, tmp_path):
