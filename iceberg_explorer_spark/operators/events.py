@@ -1256,21 +1256,27 @@ WM_1H_US = 3_600_000_000
     "setting withWatermark: how out-of-order does each event stream "
     "actually arrive, and what would a given delay threshold DROP? "
     "Arrival order is the append log's event_id (the ingest sequence); "
-    "an event's lateness is how far the stream's event-time "
-    "high-watermark — max event time over STRICTLY EARLIER arrivals, "
-    "exactly the quantity Spark's watermark tracks — had already "
-    "passed it, clamped at 0 for in-order arrivals (the first arrival "
-    "per type is 0 by the NULL-frame case, never NULL). Per type the "
-    "audit reports the out-of-order count, max and mean lateness, and "
-    "the events a 1-minute / 1-hour watermark would discard (lateness "
-    "> delay is precisely Spark's drop rule), so the streaming "
-    "module's watermark choices are sized from measured data instead "
-    "of folklore. Determinism: epoch-micro BIGINT lateness, exact "
-    "integer counts, the one mean divided last; event_id is unique so "
-    "the arrival order is total. Plan: exactly ONE shuffle — the "
-    "running-max window hash-partitions on event_type and the groupBy "
-    "reuses that distribution (objectHashAgg over the window output, "
-    "no second exchange), with the scan pruned to the three columns "
+    "an event's lateness is how far its OWN stream's event-time "
+    "high-watermark — max event time over STRICTLY EARLIER arrivals — "
+    "had already passed it, clamped at 0 for in-order arrivals (the "
+    "first arrival per type is 0 by the NULL-frame case, never NULL). "
+    "Per type the audit reports the out-of-order count, max and mean "
+    "lateness, and the events a 1-minute / 1-hour watermark would "
+    "discard (lateness > delay is Spark's drop rule verbatim). "
+    "Honesty about scope: Spark tracks ONE GLOBAL watermark per query, "
+    "not one per type — so these drop counts are EXACT for a query "
+    "consuming that type's stream alone (the per-source-job layout), "
+    "and a LOWER BOUND for a mixed query, where another type's "
+    "arrivals can only advance the watermark further; the global "
+    "audit is this plan with the partition key removed, and the "
+    "per-type decomposition is precisely what tells you WHICH stream "
+    "forces the mixed query's delay. Determinism: epoch-micro BIGINT "
+    "lateness, exact integer counts, the one mean divided last; "
+    "event_id is unique so the arrival order is total. Plan: exactly "
+    "ONE shuffle — the running-max window hash-partitions on "
+    "event_type and the groupBy reuses that distribution "
+    "(partial+final HashAggregate directly over the Window output, no "
+    "second exchange), with the scan pruned to the three columns "
     "read. At 100 TB arrival streams are per ingest partition, so the "
     "audit keys on (event_type) here and (source partition) there — "
     "same single-exchange shape, partitions bounded by a day's "

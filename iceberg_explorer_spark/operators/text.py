@@ -732,9 +732,11 @@ BACKOFF_ALPHA = 0.4
     f"ln({BACKOFF_ALPHA} * P_uni(w2)) with an add-one unigram (so OOV "
     "w2 is defined), and backoff_ratio reports how much of each doc "
     "the model had never seen — the filter's own confidence column. "
-    "Determinism: every ln is quantized to micro-unit BIGINT in the "
-    "O(distinct heldout bigram types) q-table, per-doc reductions are "
-    "exact integer sums divided once (the bigram-op precedent); an "
+    "Determinism: every ln is quantized to micro-unit BIGINT inside "
+    "the model-side score tables (seen pairs in the train-bigram "
+    "table, backoff per train word, one OOV floor scalar), per-doc "
+    "reductions are exact integer sums divided once (the bigram-op "
+    "precedent); an "
     "EMPTY train split yields NULL scores on both engines (NULLIF "
     "guard) rather than a Spark-NULL/DuckDB-inf divergence. Docs with "
     "< 2 tokens are absent, both engines. Plan: BOTH score tables are "

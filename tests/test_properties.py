@@ -7807,6 +7807,22 @@ def test_bq_r_sweep_claims(spark, tmp_path):
     assert rec == sorted(rec)
     for r in (10, 30, 100):
         assert by_r[r][1] == min(r, len(vecs) - 1)
+    # (5) the sweep's membership identity is EXECUTED, not just argued:
+    # literally run the cascade at each R (the independent _bq_model)
+    # and count its returned ids against the true top-10 — recall@10
+    # from the identity must equal recall@10 of the executed cascade,
+    # ties and vec_id cut included
+    ne = {}
+    for i, v in vecs.items():
+        nrm = _r16_sdot(v, v) ** 0.5
+        ne[i] = [x / nrm for x in v]
+    cand = [i for i in vecs if i != 0]
+    cos = {i: _r16_r6(_r16_sdot(ne[i], ne[0])) for i in cand}
+    true10 = set(sorted(cand, key=lambda i: (-cos[i], i))[:10])
+    for r in (10, 30, 100):
+        cascade_out, _ = _bq_model(vecs, r=r, k=10)
+        executed = sum(1 for t in cascade_out if t[0] in true10) / len(true10)
+        assert by_r[r][4] == executed, r
 
     con = duckdb.connect()
     con.execute(
