@@ -775,6 +775,18 @@ Round 16 adds similarity_bq_r_sweep — the BQ family's calibration leg
   broadcast sides, O(sum Rs) rows after the heaps. Full rigging
   checklist; bench EXTENDED. Registry: 162 queries / 159
   oracle-bearing.
+Round 16 also ships the persisted bigram LM (lm_backfill / lm_append /
+  lm_score_from_store): the heldout op's model as its SUFFICIENT
+  STATISTICS — count-delta rows bucketed by their group key (scores are
+  not mergeable; counts are) — with nightly delta appends, per-serve
+  zero-exchange bucketed SUM merges (pinned; the serve stays on the
+  caller session because the groupBy consumes the bucket distribution),
+  scoring through the same shared _lm_score_docs rule as the registered
+  query (refactored first, behavior-pinned). Round-trip executes
+  mergeability (backfill+deltas == union rebuild, bit-identical),
+  crash-between-appends retry healing, heldout-contamination refusal,
+  compaction stability. Measured sf0.1 min-of-5: serve 1.01 s vs
+  registered 1.60 s; backfill 12.2 s one-time.
 The r17 window plan (written at r16 freeze; execute verbatim if r16
   comes back green): flagship + the THREE r16 newcomers
   (similarity_bq_hamming_topk, text_heldout_perplexity,

@@ -753,59 +753,87 @@ BACKOFF_ALPHA = 0.4
     "analogue — training-pipeline extension.",
 )
 def text_heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
+    bg, uni = _lm_counts(docs.filter(F.col("doc_id") % HELDOUT_MOD != 0))
+    # the train model: O(distinct bigrams) / O(vocab), each with two
+    # consumers (context marginal + q-table; totals + backoff table) —
+    # checkpoint once, the bigram-op discipline
+    return _lm_score_docs(
+        docs.filter(F.col("doc_id") % HELDOUT_MOD == 0),
+        bg.localCheckpoint(eager=True),
+        uni.localCheckpoint(eager=True),
+    )
+
+
+def _lm_tokens(docs: DataFrame) -> DataFrame:
+    return docs.select(
         "doc_id",
         F.posexplode(F.filter(_tokens(), lambda w: w != "")).alias(
             "ord", "word"
         ),
     )
 
-    def bigrams(t):
-        return (
-            t.withColumn(
-                "w2",
-                F.lead("word").over(
-                    Window.partitionBy("doc_id").orderBy("ord")
-                ),
-            )
-            .filter(F.col("w2").isNotNull())
-            .select("doc_id", F.col("word").alias("w1"), "w2")
-        )
 
-    tr = toks.filter(F.col("doc_id") % HELDOUT_MOD != 0)
-    he = toks.filter(F.col("doc_id") % HELDOUT_MOD == 0)
-    # the train model: O(distinct bigrams), two consumers (context
-    # marginal + the q-table join) — checkpoint once, the bigram-op
-    # discipline
+def _lm_bigrams(toks: DataFrame) -> DataFrame:
+    return (
+        toks.withColumn(
+            "w2",
+            F.lead("word").over(W.partitionBy("doc_id").orderBy("ord")),
+        )
+        .filter(F.col("w2").isNotNull())
+        .select("doc_id", F.col("word").alias("w1"), "w2")
+    )
+
+
+def _lm_counts(docs: DataFrame) -> "tuple[DataFrame, DataFrame]":
+    """The bigram LM's sufficient statistics from a docs frame — THE one
+    counting rule (shared by the registered heldout query, the persisted
+    model's backfill, and its nightly delta appends, so none can desync):
+    ``(w1, w2, c)`` bigram counts and ``(word, u)`` unigram counts, both
+    exact BIGINTs. Everything else the model needs (context marginals,
+    T, V, the smoothed scores) DERIVES from these two tables, which is
+    what makes them mergeable: counts of a union corpus are the SUM of
+    per-batch counts — the events_incremental_rollup property, applied
+    to language modeling."""
+    toks = _lm_tokens(docs)
     bg = (
-        bigrams(tr)
+        _lm_bigrams(toks)
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-        .localCheckpoint(eager=True)
     )
-    ctx = bg.groupBy("w1").agg(F.sum("c").cast("bigint").alias("cc"))
-    uni = tr.groupBy("word").agg(
+    uni = toks.groupBy("word").agg(
         F.count(F.lit(1)).cast("bigint").alias("u")
-    ).localCheckpoint(eager=True)
+    )
+    return bg, uni
+
+
+def _lm_score_docs(
+    docs: DataFrame, bg: DataFrame, uni: DataFrame
+) -> DataFrame:
+    """Score a docs frame under a bigram model given as its sufficient
+    statistics — THE one scoring rule (shared by the registered heldout
+    query and ``lm_score_from_store``): stupid backoff with add-one
+    unigrams and the OOV floor, every ln quantized to micro-unit BIGINT
+    inside the model-sized tables, per-doc exact integer reductions.
+    ``bg``/``uni`` should arrive checkpointed (registered op) or as
+    cheap re-scannable aggregations (the store serve) — each is
+    consumed twice."""
     # totals derive from the unigram table (T = sum of counts, V = its
-    # row count) — no second train-token scan; uni is checkpointed for
-    # its two consumers (this aggregate + the backoff score table)
+    # row count) — never a second corpus scan
     tot = F.broadcast(
         uni.agg(
             F.sum("u").cast("bigint").alias("t"),
             F.count(F.lit(1)).cast("bigint").alias("v"),
         )
     )
-    dbg = bigrams(he).groupBy("doc_id", "w1", "w2").agg(
+    dbg = _lm_bigrams(_lm_tokens(docs)).groupBy("doc_id", "w1", "w2").agg(
         F.count(F.lit(1)).cast("bigint").alias("tf")
     )
+    ctx = bg.groupBy("w1").agg(F.sum("c").cast("bigint").alias("cc"))
     # every score table is MODEL-sized (doc): seen-bigram scores over
-    # the checkpointed bigram table, backoff scores over the unigram
-    # vocab, the OOV floor on the 1-row totals — the heldout stream is
-    # then touched once, by the left joins below
+    # the bigram table, backoff scores over the unigram vocab, the OOV
+    # floor on the 1-row totals — the scored stream is then touched
+    # once, by the left joins below
     qs = bg.join(ctx, "w1").select(
         "w1",
         "w2",
@@ -862,6 +890,118 @@ def text_heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("backoff_ratio"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# The persisted bigram LM: text_heldout_perplexity's serving story — the
+# executable form of its doc's "the train model persists as an artifact
+# (the KenLM binary's role)". The artifacts hold the model's SUFFICIENT
+# STATISTICS (count rows), not derived scores: counts are mergeable —
+# counts of a union corpus are the sum of per-batch counts — so a nightly
+# train-corpus ingest appends its per-batch count DELTAS as rows and the
+# serve re-derives marginals/totals/scores from the summed counts, the
+# events_incremental_rollup pattern applied to language modeling. (Scores
+# are NOT mergeable: ln(c/cc) of a union is not a function of per-batch
+# ln values — persisting them would bake in a model no append could
+# maintain.)
+
+#: The LM artifact spec: bigram count deltas bucketed by w1 (the context
+#: marginal and the score join both key on it — and a groupBy whose keys
+#: include the bucket key runs WITHOUT an exchange on the forced
+#: bucketed scan), unigram count deltas bucketed by word.
+LM_STORE_ARTIFACTS = {"lm_bigrams": ("w1",), "lm_unigrams": ("word",)}
+
+
+def lm_store(spark: SparkSession, prefix: str, n_buckets: int = 16):
+    """A BucketedArtifactStore instantiated with the LM artifact spec."""
+    from iceberg_explorer_spark.operators.incremental_artifacts import (
+        BucketedArtifactStore,
+    )
+
+    return BucketedArtifactStore(
+        spark, prefix, n_buckets, artifacts=LM_STORE_ARTIFACTS
+    )
+
+
+def lm_backfill(spark: SparkSession, sf_dir: str, store) -> None:
+    """One-time model build: count the corpus's TRAIN split (doc_id %
+    HELDOUT_MOD != 0 — the registered query's model, so the round-trip
+    is checkable row-for-row) through the ONE shared counting rule and
+    write both count tables. Write order is the crash contract:
+    unigrams FIRST, bigrams LAST — ``lm_bigrams`` is the commit marker
+    the serve and the appends gate on, so a crash between the writes
+    reads as "backfill never ran"."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % HELDOUT_MOD != 0
+    )
+    bg, uni = _lm_counts(docs)
+    store.write("lm_unigrams", uni)
+    store.write("lm_bigrams", bg)
+
+
+def lm_append(store, docs: DataFrame, batch_id: "str | None" = None) -> bool:
+    """Nightly model growth: count an increment of TRAIN docs and append
+    the per-batch deltas to both count tables under ONE batch id. The
+    store's idempotence is per artifact, which here is a FEATURE: a
+    crash between the two appends leaves the night half-landed, and the
+    RETRY heals it — the bigram replay is dropped (False) while the
+    unigram append completes (True), or vice versa; after any number of
+    retries each table holds the night's delta exactly once. Returns
+    True iff rows landed on at least one table (False = both replayed).
+    Backfill-first is enforced by the commit-marker probe here plus the
+    store-layer gate. Increment doc_ids must be train-split ids
+    globally new to the corpus — the ingest id-allocation invariant;
+    rows with doc_id % HELDOUT_MOD == 0 are REFUSED loudly (appending
+    heldout docs into the model would contaminate the very split the
+    score exists to keep honest)."""
+    if not store.exists("lm_bigrams"):
+        raise FileNotFoundError(
+            "lm_bigrams artifact not found — run lm_backfill (the "
+            "one-time model build) before appending an increment"
+        )
+    docs = docs.localCheckpoint(eager=True)  # one snapshot for gate + counts
+    if docs.filter(F.col("doc_id") % HELDOUT_MOD == 0).limit(1).count():
+        raise ValueError(
+            f"increment contains doc_ids with doc_id % {HELDOUT_MOD} == 0 "
+            "(the heldout split) — training on the scored split would "
+            "contaminate the score"
+        )
+    bg, uni = _lm_counts(docs)
+    landed_uni = store.append("lm_unigrams", uni, batch_id=batch_id)
+    landed_bg = store.append("lm_bigrams", bg, batch_id=batch_id)
+    return landed_uni or landed_bg
+
+
+def lm_score_from_store(store, docs: DataFrame) -> DataFrame:
+    """Score an arbitrary docs frame under the PERSISTED model —
+    row-identical to ``text_heldout_perplexity`` when scoring the
+    corpus's heldout split against the backfilled model (pinned by the
+    round-trip test), through the same shared ``_lm_score_docs`` rule.
+    The model merge is the serve plan's whole point: SUM the count
+    deltas per key — and because both artifacts are bucketed BY their
+    group key, the merge aggregations run with ZERO exchanges (pinned;
+    this serve deliberately stays on the CALLER session, unlike the
+    ANN serves: their probe scans need the forced-bucketed-scan clone
+    because nothing downstream consumes the distribution, while here
+    the groupBy CONSUMES it, so Spark's own heuristic keeps the
+    bucketed scan — and the scored ``docs`` frame belongs to the
+    caller session, which a cross-session join must not mix). The
+    nightly-growing model is re-derived per serve at O(model) cost
+    with no shuffle, no corpus scan, and no rebuild job. Scores
+    quantize AFTER the merge, so a serve against backfill+deltas is
+    bit-identical to one against a from-scratch rebuild of the union
+    corpus (the mergeability test executes exactly that comparison)."""
+    bg = (
+        store.read("lm_bigrams")  # heals a crashed compaction too
+        .groupBy("w1", "w2")
+        .agg(F.sum("c").cast("bigint").alias("c"))
+    )
+    uni = (
+        store.read("lm_unigrams")
+        .groupBy("word")
+        .agg(F.sum("u").cast("bigint").alias("u"))
+    )
+    return _lm_score_docs(docs, bg, uni)
 
 
 #: BPE merge-candidate report size

@@ -7883,3 +7883,157 @@ def test_bq_r_sweep_generative_parity(spark, tmp_path):
         assert_matches_oracle(
             spec.builder(spark, d), con, spec.oracle, f"bqs_gen_{seed}"
         )
+
+
+def test_lm_store_round_trip(spark, tmp_path):
+    """The persisted bigram LM (r16 — text_heldout_perplexity's serving
+    story, the text family's first store citizen): (1) serve parity —
+    lm_score_from_store over the backfilled model returns ROW-IDENTICAL
+    results to the registered query on the corpus's heldout split; (2)
+    MERGEABILITY is executed, not argued — after a nightly count-delta
+    append, the serve is bit-identical to a from-scratch rebuild over
+    the union corpus (counts merge by SUM; scores quantize after the
+    merge), and genuinely different from the pre-append serve; (3) the
+    model-merge aggregations run with ZERO exchanges (both artifacts
+    bucketed by their group key — the groupBy consumes the bucket
+    distribution); (4) a replayed append is dropped per artifact, and a
+    CRASH BETWEEN the two artifact appends heals on retry — the
+    half-landed night completes exactly once per table; (5) compaction
+    of both artifacts leaves served scores identical; (6) the
+    backfill-first gate refuses pre-backfill appends and the
+    contamination gate refuses heldout-split doc_ids loudly; (7) an
+    empty increment is vacuously landed (the store rule) and changes
+    nothing."""
+    import pytest
+
+    from iceberg_explorer_spark.operators import QUERIES
+    from iceberg_explorer_spark.operators.text import (
+        HELDOUT_MOD,
+        _lm_counts,
+        lm_append,
+        lm_backfill,
+        lm_score_from_store,
+        lm_store,
+    )
+    from iceberg_explorer_spark.plans import inspect as pi
+    from iceberg_explorer_spark.sources.registry import load_table
+
+    d = "/root/testdata/sf0.01"
+    st = lm_store(spark, "t_lm_rt", n_buckets=4)
+    doc_schema = (
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    )
+    try:
+        # (6) backfill-first: the commit-marker probe refuses loudly
+        with pytest.raises(FileNotFoundError, match="lm_backfill"):
+            lm_append(
+                st,
+                spark.createDataFrame([], doc_schema),
+                batch_id="too-early",
+            )
+
+        lm_backfill(spark, d, st)
+        docs = load_table(spark, d, "documents")
+        he = docs.filter(F.col("doc_id") % HELDOUT_MOD == 0)
+        base = sorted(tuple(r) for r in lm_score_from_store(st, he).collect())
+        want = sorted(
+            tuple(r)
+            for r in QUERIES["text_heldout_perplexity"]
+            .builder(spark, d)
+            .collect()
+        )
+        assert base == want and base  # (1)
+
+        # (3) zero-exchange model merges
+        for name, keys in (("lm_bigrams", ["w1", "w2"]),
+                           ("lm_unigrams", ["word"])):
+            merged = st.spark.table(st.table_name(name)).groupBy(*keys).agg(
+                F.count(F.lit(1)).alias("n")
+            )
+            assert pi.shuffle_count(merged) == 0, name
+
+        # (2) mergeability, executed: append one night, compare to a
+        # from-scratch rebuild over the union corpus
+        inc = spark.createDataFrame(
+            [
+                (21_000_001, "alpha beta alpha gamma", "en", "night", 22),
+                (21_000_002, "beta beta zeta", "en", "night", 14),
+            ],
+            doc_schema,
+        )
+        assert lm_append(st, inc, batch_id="night-1") is True
+        merged_scores = sorted(
+            tuple(r) for r in lm_score_from_store(st, he).collect()
+        )
+        union_dir = str(tmp_path / "lm_union")
+        docs.filter(F.col("doc_id") % HELDOUT_MOD != 0).unionByName(
+            inc
+        ).write.mode("overwrite").parquet(f"{union_dir}/documents.parquet")
+        st2 = lm_store(spark, "t_lm_rt2", n_buckets=4)
+        try:
+            lm_backfill(spark, union_dir, st2)
+            rebuilt = sorted(
+                tuple(r) for r in lm_score_from_store(st2, he).collect()
+            )
+        finally:
+            st2.drop()
+        assert merged_scores == rebuilt
+        assert merged_scores != base  # the night genuinely moved scores
+
+        # (4) replay dropped; half-landed night heals on retry
+        assert lm_append(st, inc, batch_id="night-1") is False
+        inc2 = spark.createDataFrame(
+            [(21_000_003, "zeta zeta alpha", "en", "night", 15)], doc_schema
+        )
+        bg2, uni2 = _lm_counts(inc2)
+        # simulate the crash: night-2's unigram append landed, the
+        # bigram append never ran
+        assert st.append("lm_unigrams", uni2, batch_id="night-2") is True
+        healed = lm_append(st, inc2, batch_id="night-2")
+        assert healed is True  # the retry lands the missing half
+        # each table holds night-2 exactly once: a fresh rebuild over
+        # base + night-1 + night-2 agrees with the healed store
+        union2 = str(tmp_path / "lm_union2")
+        docs.filter(F.col("doc_id") % HELDOUT_MOD != 0).unionByName(
+            inc
+        ).unionByName(inc2).write.mode("overwrite").parquet(
+            f"{union2}/documents.parquet"
+        )
+        st3 = lm_store(spark, "t_lm_rt3", n_buckets=4)
+        try:
+            lm_backfill(spark, union2, st3)
+            rebuilt2 = sorted(
+                tuple(r) for r in lm_score_from_store(st3, he).collect()
+            )
+        finally:
+            st3.drop()
+        healed_scores = sorted(
+            tuple(r) for r in lm_score_from_store(st, he).collect()
+        )
+        assert healed_scores == rebuilt2
+
+        # (5) compaction changes nothing
+        st.compact()
+        assert sorted(
+            tuple(r) for r in lm_score_from_store(st, he).collect()
+        ) == healed_scores
+
+        # (6) contamination gate
+        with pytest.raises(ValueError, match="contaminate"):
+            lm_append(
+                st,
+                spark.createDataFrame(
+                    [(21_000_005, "x y", "en", "s", 3)], doc_schema
+                ),
+                batch_id="night-3",
+            )
+        # (7) empty increment: vacuous landing, scores unchanged
+        assert lm_append(
+            st, spark.createDataFrame([], doc_schema), batch_id="night-4"
+        ) is True
+        assert sorted(
+            tuple(r) for r in lm_score_from_store(st, he).collect()
+        ) == healed_scores
+    finally:
+        st.drop()
