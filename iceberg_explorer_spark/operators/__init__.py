@@ -788,28 +788,29 @@ Round 16 also ships the persisted bigram LM (lm_backfill / lm_append /
   compaction stability. Measured sf0.1 min-of-5: serve 1.01 s vs
   registered 1.60 s; backfill 12.2 s one-time.
 The r17 window plan (written at r16 freeze; execute verbatim if r16
-  comes back green): flagship + the THREE r16 newcomers
-  (similarity_bq_hamming_topk, text_heldout_perplexity,
-  events_watermark_lateness_audit — their FIRST driver rows; after
-  r16 they are the only oracle-bearing queries with zero driver
-  evidence) + the SEVEN r13-latest rolled from the r16 tie-break
-  (similarity_knn_join, text_token_count, events_variant_shred,
-  anti_join_idle_customers, asof_join_purchase_click,
-  conditional_agg_order_status, cte_above_avg_orders — after r16 they
-  are the stalest rows in the registry and must all come in) + 39 of
-  the 49 r14-latest (count fresh from CORRECTNESS_r01..r16 after the
-  r16 rows land; expected composition is exactly 49 queries with
-  latest row r14 — leave out the TEN with the MOST prior green rows,
-  tie-break alphabetical-first-out: the 7-green tie is 13 wide, so the
-  first ten alphabetically go — cube_order_status,
+  comes back green): flagship + the FOUR r16 newcomers
+  (similarity_bq_hamming_topk, similarity_bq_r_sweep,
+  text_heldout_perplexity, events_watermark_lateness_audit — their
+  FIRST driver rows; after r16 they are the only oracle-bearing
+  queries with zero driver evidence) + the SEVEN r13-latest rolled
+  from the r16 tie-break (similarity_knn_join, text_token_count,
+  events_variant_shred, anti_join_idle_customers,
+  asof_join_purchase_click, conditional_agg_order_status,
+  cte_above_avg_orders — after r16 they are the stalest rows in the
+  registry and must all come in) + 38 of the 49 r14-latest (count
+  fresh from CORRECTNESS_r01..r16 after the r16 rows land; expected
+  composition is exactly 49 queries with latest row r14 — leave out
+  the ELEVEN with the MOST prior green rows, tie-break
+  alphabetical-first-out: the 7-green tie is 13 wide, so the first
+  eleven alphabetically go — cube_order_status,
   dedup_embedding_cosine, filter_projection,
   multimodal_decode_features, pivot_status_by_flag,
   recursive_calendar_spine, rollup_quantity,
-  scalar_subquery_nation_stats, similarity_ivf_topk, text_language_id
-  — all ten roll to r18; window_ntile_navigation,
+  scalar_subquery_nation_stats, similarity_ivf_topk,
+  text_language_id, window_ntile_navigation — all eleven roll to r18;
   window_range_moving_revenue and window_running_revenue are the
   7-green survivors that stay in).
-  1 + 3 + 7 + 39 = 50 exactly. Bench r17: execute the DECLARED v4
+  1 + 4 + 7 + 38 = 50 exactly. Bench r17: execute the DECLARED v4
   flip (see the BENCH v4 DECLARATION above and bench.py's policy
   text): fold GRADUATING_R15 into HEADLINE's tail in its frozen
   order, set HEADLINE_VERSION = 4, drop the v4 overlap keys, empty
