@@ -947,13 +947,20 @@ def lm_append(store, docs: DataFrame, batch_id: "str | None" = None) -> bool:
     RETRY heals it — the bigram replay is dropped (False) while the
     unigram append completes (True), or vice versa; after any number of
     retries each table holds the night's delta exactly once. Returns
-    True iff rows landed on at least one table (False = both replayed).
-    Backfill-first is enforced by the commit-marker probe here plus the
-    store-layer gate. Increment doc_ids must be train-split ids
-    globally new to the corpus — the ingest id-allocation invariant;
-    rows with doc_id % HELDOUT_MOD == 0 are REFUSED loudly (appending
-    heldout docs into the model would contaminate the very split the
-    score exists to keep honest)."""
+    True iff rows landed on at least one table (False = the night had
+    already landed in full and this call changed nothing). The empty-
+    bigram edge is handled explicitly: an increment of only 1-token
+    docs has an EMPTY bigram delta, which the store vacuously "lands"
+    (True) on EVERY call — counting that True toward the return value
+    would make a fully-replayed such night read as landed forever (the
+    r15 epoch-sink lesson, resurfacing one layer up), so the bigram
+    half only counts when the delta has rows. Backfill-first is
+    enforced by the commit-marker probe here plus the store-layer
+    gate. Increment doc_ids must be train-split ids globally new to
+    the corpus — the ingest id-allocation invariant; rows with
+    doc_id % HELDOUT_MOD == 0 are REFUSED loudly (appending heldout
+    docs into the model would contaminate the very split the score
+    exists to keep honest)."""
     if not store.exists("lm_bigrams"):
         raise FileNotFoundError(
             "lm_bigrams artifact not found — run lm_backfill (the "
@@ -969,7 +976,9 @@ def lm_append(store, docs: DataFrame, batch_id: "str | None" = None) -> bool:
     bg, uni = _lm_counts(docs)
     landed_uni = store.append("lm_unigrams", uni, batch_id=batch_id)
     landed_bg = store.append("lm_bigrams", bg, batch_id=batch_id)
-    return landed_uni or landed_bg
+    # a vacuously-landed EMPTY bigram delta must not read as "rows
+    # landed" (one bounded job over the checkpointed increment)
+    return landed_uni or (landed_bg and bool(bg.head(1)))
 
 
 def lm_score_from_store(store, docs: DataFrame) -> DataFrame:

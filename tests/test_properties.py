@@ -8035,5 +8035,16 @@ def test_lm_store_round_trip(spark, tmp_path):
         assert sorted(
             tuple(r) for r in lm_score_from_store(st, he).collect()
         ) == healed_scores
+        # (8) the empty-BIGRAM edge (second r16 review sweep — the r15
+        # epoch-sink lesson one layer up): an increment of only 1-token
+        # docs lands its unigrams but has an EMPTY bigram delta; the
+        # first delivery is landed (True), and its REPLAY must read
+        # False even though the store vacuously "lands" the empty
+        # bigram half on every call
+        solo = spark.createDataFrame(
+            [(21_000_007, "lonely", "en", "night", 6)], doc_schema
+        )
+        assert lm_append(st, solo, batch_id="night-5") is True
+        assert lm_append(st, solo, batch_id="night-5") is False
     finally:
         st.drop()
