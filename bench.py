@@ -181,6 +181,7 @@ EXTENDED: list[str] = [
     # refills with operators registered after the r15 freeze.
     "similarity_bq_hamming_topk",  # 1-bit sign-sketch Hamming cascade (r16)
     "similarity_bq_r_sweep",      # BQ shortlist-size recall calibration (r16)
+    "similarity_mrl_truncation_sweep",  # MRL prefix-dim recall curve (r16)
     "text_heldout_perplexity",    # train/heldout stupid-backoff LM score (r16)
     "events_watermark_lateness_audit",  # out-of-orderness vs watermark (r16)
 ]

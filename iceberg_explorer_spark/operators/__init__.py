@@ -787,30 +787,46 @@ Round 16 also ships the persisted bigram LM (lm_backfill / lm_append /
   crash-between-appends retry healing, heldout-contamination refusal,
   compaction stability. Measured sf0.1 min-of-5: serve 1.01 s vs
   registered 1.60 s; backfill 12.2 s one-time.
+Round 16 adds similarity_mrl_truncation_sweep — the FOURTH point on
+  the embedding-compression curve (int8 -> PQ -> BQ -> Matryoshka
+  prefix truncation): recall@10 of renormalized prefix-cosine
+  retrieval at (8, 16, 32, 64) dims from ONE pass, exact two-stage
+  per-config top-k (the geometry sweep's fan-in), all-zero prefixes
+  NULL-filtered identically on both engines, the d=64 rung the
+  STRUCTURAL saturation anchor (recall 1.0 — restoring the
+  saturate-the-last-rung rule BQ's sweep honestly lacks). Degenerate
+  honesty: the synthetic corpus is not MRL-trained, so low-d recall is
+  near-random and even non-monotone (sf0.001: 0.2/0.1/0.0/1.0) — the
+  crafted prefix-informative fixture supplies the regime the op
+  prices, pinning the trade both ways (a false prefix-neighbor
+  retrieved at d=8; a true orthogonal-prefix neighbor missed at d=8,
+  recovered at d=64). 3x point: 2.35 -> 2.23 s (flat). Full rigging
+  checklist incl. the pre-freeze generative hammer; bench EXTENDED.
+  Registry: 163 queries / 160 oracle-bearing.
 The r17 window plan (written at r16 freeze; execute verbatim if r16
-  comes back green): flagship + the FOUR r16 newcomers
+  comes back green): flagship + the FIVE r16 newcomers
   (similarity_bq_hamming_topk, similarity_bq_r_sweep,
-  text_heldout_perplexity, events_watermark_lateness_audit — their
-  FIRST driver rows; after r16 they are the only oracle-bearing
-  queries with zero driver evidence) + the SEVEN r13-latest rolled
-  from the r16 tie-break (similarity_knn_join, text_token_count,
-  events_variant_shred, anti_join_idle_customers,
-  asof_join_purchase_click, conditional_agg_order_status,
-  cte_above_avg_orders — after r16 they are the stalest rows in the
-  registry and must all come in) + 38 of the 49 r14-latest (count
-  fresh from CORRECTNESS_r01..r16 after the r16 rows land; expected
-  composition is exactly 49 queries with latest row r14 — leave out
-  the ELEVEN with the MOST prior green rows, tie-break
-  alphabetical-first-out: the 7-green tie is 13 wide, so the first
-  eleven alphabetically go — cube_order_status,
+  similarity_mrl_truncation_sweep, text_heldout_perplexity,
+  events_watermark_lateness_audit — their FIRST driver rows; after
+  r16 they are the only oracle-bearing queries with zero driver
+  evidence) + the SEVEN r13-latest rolled from the r16 tie-break
+  (similarity_knn_join, text_token_count, events_variant_shred,
+  anti_join_idle_customers, asof_join_purchase_click,
+  conditional_agg_order_status, cte_above_avg_orders — after r16 they
+  are the stalest rows in the registry and must all come in) + 37 of
+  the 49 r14-latest (count fresh from CORRECTNESS_r01..r16 after the
+  r16 rows land; expected composition is exactly 49 queries with
+  latest row r14 — leave out the TWELVE with the MOST prior green
+  rows, tie-break alphabetical-first-out: the 7-green tie is 13 wide,
+  so the first twelve alphabetically go — cube_order_status,
   dedup_embedding_cosine, filter_projection,
   multimodal_decode_features, pivot_status_by_flag,
   recursive_calendar_spine, rollup_quantity,
   scalar_subquery_nation_stats, similarity_ivf_topk,
-  text_language_id, window_ntile_navigation — all eleven roll to r18;
-  window_range_moving_revenue and window_running_revenue are the
-  7-green survivors that stay in).
-  1 + 4 + 7 + 38 = 50 exactly. Bench r17: execute the DECLARED v4
+  text_language_id, window_ntile_navigation,
+  window_range_moving_revenue — all twelve roll to r18;
+  window_running_revenue is the one 7-green survivor that stays in).
+  1 + 5 + 7 + 37 = 50 exactly. Bench r17: execute the DECLARED v4
   flip (see the BENCH v4 DECLARATION above and bench.py's policy
   text): fold GRADUATING_R15 into HEADLINE's tail in its frozen
   order, set HEADLINE_VERSION = 4, drop the v4 overlap keys, empty

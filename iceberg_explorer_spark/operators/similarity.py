@@ -2566,6 +2566,221 @@ def similarity_bq_r_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: The MRL truncation grid: prefix lengths priced by the sweep. The last
+#: rung is DIM itself — the structural saturation anchor (the probe
+#: sweep's nprobe=K rule): at d = DIM the "truncated" cosine is the full
+#: cosine up to one round-6 quantization of the ~1.0 norm ratio, so the
+#: final row measures 1.0 recall everywhere we have run it.
+MRL_DIMS = (8, 16, 32, DIM)
+
+_MRL_BUCKETS = 16
+
+
+def _mrl_prefix_cos_sql(d: int, a: str = "ne", b: str = "qne") -> str:
+    """Renormalized prefix cosine at ``d`` dims as a Spark SQL string —
+    the MRL serving rule (prefixes are re-normalized before the dot, as
+    Matryoshka-trained embeddings are used in practice). NULL when
+    either prefix is all-zero (cosine undefined; both engines filter
+    those rows rather than disagreeing on inf/NaN)."""
+    pd_ = (
+        f"aggregate(zip_with(slice({a}, 1, {d}), slice({b}, 1, {d}),"
+        " (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    na = (
+        f"sqrt(aggregate(slice({a}, 1, {d}), CAST(0 AS DOUBLE),"
+        " (acc, e) -> acc + e * e))"
+    )
+    nb = (
+        f"sqrt(aggregate(slice({b}, 1, {d}), CAST(0 AS DOUBLE),"
+        " (acc, e) -> acc + e * e))"
+    )
+    return (
+        f"CASE WHEN {na} * {nb} > CAST(0 AS DOUBLE)"
+        f" THEN round({pd_} / ({na} * {nb}), 6) END"
+    )
+
+
+def _mrl_sweep_oracle() -> str:
+    """Compose the sweep oracle from the registered brute-force spec
+    (the recall denominator's single source — the geometry/probe sweep
+    rule)."""
+    from iceberg_explorer_spark.operators.registry import QUERIES as _Q
+
+    bf = _Q["similarity_bruteforce_topk"].oracle
+    values = ", ".join(f"({d})" for d in MRL_DIMS)
+    return f"""
+    WITH n AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> x / sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                                CAST(embedding AS DOUBLE[]))))
+               AS ne
+      FROM {_EMB_SQL}
+    ),
+    conf AS (SELECT * FROM (VALUES {values}) AS t(trunc_dim)),
+    q AS (SELECT ne AS qne FROM n WHERE vec_id = {QUERY_VEC_ID}),
+    scored AS (
+      SELECT c.trunc_dim, e.vec_id,
+             CASE WHEN sqrt(list_inner_product(e.ne[1 : c.trunc_dim],
+                                               e.ne[1 : c.trunc_dim]))
+                     * sqrt(list_inner_product(q.qne[1 : c.trunc_dim],
+                                               q.qne[1 : c.trunc_dim])) > 0
+                  THEN ROUND(
+                    list_inner_product(e.ne[1 : c.trunc_dim],
+                                       q.qne[1 : c.trunc_dim])
+                    / (sqrt(list_inner_product(e.ne[1 : c.trunc_dim],
+                                               e.ne[1 : c.trunc_dim]))
+                       * sqrt(list_inner_product(q.qne[1 : c.trunc_dim],
+                                                 q.qne[1 : c.trunc_dim]))),
+                    6)
+             END AS tcos
+      FROM n e CROSS JOIN conf c, q
+      WHERE e.vec_id <> {QUERY_VEC_ID}
+    ),
+    ranked AS (
+      SELECT trunc_dim, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY trunc_dim
+                                ORDER BY tcos DESC, vec_id) AS rn
+      FROM scored WHERE tcos IS NOT NULL
+    ),
+    topk AS (SELECT trunc_dim, vec_id FROM ranked WHERE rn <= 10),
+    bf AS ({bf}),
+    bfids AS (SELECT vec_id FROM bf),
+    ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM bfids),
+    hits AS (
+      SELECT t.trunc_dim,
+             CAST(COUNT(*) AS BIGINT) AS n_returned,
+             CAST(SUM(CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_hits
+      FROM topk t LEFT JOIN bfids b USING (vec_id)
+      GROUP BY t.trunc_dim
+    )
+    SELECT c.trunc_dim,
+           CAST(c.trunc_dim * 4 AS BIGINT) AS bytes_per_vec,
+           CAST({DIM} / c.trunc_dim AS BIGINT) AS compression_x,
+           CAST(COALESCE(h.n_returned, 0) AS BIGINT) AS n_returned,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CASE WHEN ex.n_exact = 0 THEN 0.0
+                ELSE COALESCE(h.n_hits, 0) * 1.0 / ex.n_exact
+           END AS recall
+    FROM conf c LEFT JOIN hits h USING (trunc_dim) CROSS JOIN ex
+    """
+
+
+@query(
+    "similarity_mrl_truncation_sweep",
+    oracle=_mrl_sweep_oracle(),
+    doc=f"Matryoshka (MRL) truncation calibration sweep (r16) — the "
+    "FOURTH point on this repo's embedding-compression curve (int8 -> "
+    "PQ codes -> binary sketches -> prefix truncation): recall@10 of "
+    f"RENORMALIZED prefix-cosine retrieval at {MRL_DIMS} dims, the "
+    "cost lever Matryoshka-trained embeddings exist for (serve on the "
+    "first d dims at d/DIM of the scan bytes, no codebook, no "
+    "re-encode — truncation is a projection). Each config's truncated "
+    "cosine comes from ONE corpus pass (per-config prefix dots explode "
+    "from the same normalized scan); all-zero prefixes have undefined "
+    "cosine and are filtered identically on both engines (NULL, never "
+    "an engine-specific inf/NaN). Per-config top-k is the EXACT "
+    f"two-stage fan-in (local rank inside (config, vec_id mod "
+    f"{_MRL_BUCKETS}) buckets, then global rank over <= "
+    f"{len(MRL_DIMS)}x{_MRL_BUCKETS}x10 survivors) — no corpus-wide "
+    "single-partition window; the recall denominator composes the "
+    f"registered brute-force spec. The d = {DIM} rung is the "
+    "STRUCTURAL saturation anchor (the probe sweep's nprobe=K rule): "
+    "the full-prefix cosine equals the exact cosine up to one round-6 "
+    "quantization of the ~1.0 norm ratio — measured 1.0 on the demo "
+    "corpora and every generative seed. Degenerate honesty: the "
+    "synthetic corpus is NOT Matryoshka-trained, so its prefixes carry "
+    "no privileged information and low-d recall is near-random and "
+    "even NON-monotone (sf0.001 measures 0.2/0.1/0.0/1.0) — which is "
+    "itself the sweep's most useful lesson (never truncate embeddings "
+    "that were not trained for it); the crafted fixture builds "
+    "prefix-informative vectors and shows the curve an MRL model "
+    "yields. Determinism: round-6 scores, "
+    "(tcos DESC, vec_id) total order, exact integer hit counts divided "
+    "once. At 100 TB the sweep reads the vector index once per config "
+    "width it prices — and the PRODUCTION win it measures is that a "
+    "d=16 serve reads 64 bytes/row instead of 256. reference: no "
+    "analogue — training-pipeline extension.",
+)
+def similarity_mrl_truncation_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = _with_normalized(_load_emb(spark, sf_dir))
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+            F.col("ne").alias("qne")
+        )
+    )
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("trunc_dim"),
+                F.expr(_mrl_prefix_cos_sql(d)).alias("tcos"),
+            )
+            for d in MRL_DIMS
+        ]
+    )
+    scored = (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(q)
+        .select("vec_id", F.explode(structs).alias("s"))
+        .select("vec_id", F.col("s.trunc_dim").alias("trunc_dim"),
+                F.col("s.tcos").alias("tcos"))
+        .filter(F.col("tcos").isNotNull())
+    )
+    wl = Window.partitionBy(
+        "trunc_dim", F.pmod(F.col("vec_id"), F.lit(_MRL_BUCKETS))
+    ).orderBy(F.col("tcos").desc(), "vec_id")
+    wg = Window.partitionBy("trunc_dim").orderBy(
+        F.col("tcos").desc(), "vec_id"
+    )
+    topk = (
+        scored.withColumn("lrn", F.row_number().over(wl))
+        .filter(F.col("lrn") <= 10)
+        .withColumn("crn", F.row_number().over(wg))
+        .filter(F.col("crn") <= 10)
+    )
+    bf = (
+        similarity_bruteforce_topk(spark, sf_dir, emb=emb)
+        .select("vec_id")
+        .withColumn("hit", F.lit(1))
+        .localCheckpoint(eager=True)
+    )
+    n_exact = bf.agg(F.count(F.lit(1)).alias("_n_exact"))
+    hits = (
+        topk.join(bf, "vec_id", "left")
+        .groupBy("trunc_dim")
+        .agg(
+            F.count(F.lit(1)).alias("n_returned"),
+            F.count("hit").alias("n_hits"),
+        )
+    )
+    conf = spark.createDataFrame([(d,) for d in MRL_DIMS], "trunc_dim int")
+    return (
+        conf.join(hits, "trunc_dim", "left")
+        .crossJoin(F.broadcast(n_exact))
+        .select(
+            "trunc_dim",
+            (F.col("trunc_dim") * 4).cast("bigint").alias("bytes_per_vec"),
+            (F.lit(DIM) / F.col("trunc_dim"))
+            .cast("bigint")
+            .alias("compression_x"),
+            F.coalesce("n_returned", F.lit(0))
+            .cast("bigint")
+            .alias("n_returned"),
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            F.when(F.col("_n_exact") == 0, F.lit(0.0))
+            .otherwise(
+                F.coalesce("n_hits", F.lit(0)) * 1.0 / F.col("_n_exact")
+            )
+            .alias("recall"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # The persisted BQ index: similarity_bq_hamming_topk's serving story.
 #

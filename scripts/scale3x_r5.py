@@ -40,6 +40,7 @@ DEFAULT_OPS = [
 OP_TABLE = {
     "similarity_bq_hamming_topk": "embeddings",
     "similarity_bq_r_sweep": "embeddings",
+    "similarity_mrl_truncation_sweep": "embeddings",
     "text_heldout_perplexity": "documents",
     "events_watermark_lateness_audit": "events",
     "similarity_ivf_pq_refine_topk": "embeddings",

@@ -1577,6 +1577,26 @@ def test_bq_r_sweep_plan(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_mrl_truncation_sweep_plan(spark):
+    """similarity_mrl_truncation_sweep: every config's truncated cosine
+    explodes from ONE normalized pass; per-config top-k is the exact
+    two-stage fan-in — the local-rank Window keys on (config, vec_id
+    mod bucket) and the global-rank Window sees only the bounded
+    survivor set, so no Window ranks the corpus in one partition. The
+    exact-baseline checkpoint shows as Scan ExistingRDD; pure JVM; the
+    only nested-loop joins are the 1-row broadcast query vector and
+    the 1-row exact-count attach."""
+    df = build(spark, "similarity_mrl_truncation_sweep")
+    plan = pi.physical_plan(df)
+    assert plan.count("Window [") == 2
+    assert "pmod" in plan  # the local stage's salt key
+    assert "Scan ExistingRDD" in plan
+    assert pi.shuffle_count(df) <= 4
+    assert "MapInPandas" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_heldout_perplexity_plan(spark):
     """text_heldout_perplexity: the model is one-time eager work
     (checkpointed bigram + unigram tables — Scan ExistingRDD in the

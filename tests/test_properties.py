@@ -8048,3 +8048,185 @@ def test_lm_store_round_trip(spark, tmp_path):
         assert lm_append(st, solo, batch_id="night-5") is False
     finally:
         st.drop()
+
+
+def _mrl_model(vecs, dims=(8, 16, 32, 64), query_vec_id=0):
+    """Independent MRL sweep model: renormalized prefix cosines with the
+    zero-prefix NULL filter, per-config top-10, hits vs the exact
+    top-10."""
+    ne = {}
+    for i, v in vecs.items():
+        nrm = _r16_sdot(v, v) ** 0.5
+        ne[i] = [x / nrm for x in v]
+    cand = [i for i in vecs if i != query_vec_id]
+    cos = {i: _r16_r6(_r16_sdot(ne[i], ne[query_vec_id])) for i in cand}
+    t10 = set(sorted(cand, key=lambda i: (-cos[i], i))[:10])
+    n_exact = len(t10)
+    out = []
+    for d in dims:
+        qp = ne[query_vec_id][:d]
+        nq = _r16_sdot(qp, qp) ** 0.5
+        tcos = {}
+        for i in cand:
+            p = ne[i][:d]
+            na = _r16_sdot(p, p) ** 0.5
+            if na * nq > 0:
+                tcos[i] = _r16_r6(_r16_sdot(p, qp) / (na * nq))
+        top = sorted(tcos, key=lambda i: (-tcos[i], i))[:10]
+        hits = sum(1 for i in top if i in t10)
+        out.append(
+            (d, d * 4, 64 // d, len(top), hits,
+             0.0 if n_exact == 0 else hits / n_exact)
+        )
+    return sorted(out), t10, cos
+
+
+def test_mrl_truncation_sweep_claims(spark, tmp_path):
+    """similarity_mrl_truncation_sweep's distinguishing claims on a
+    PREFIX-INFORMATIVE crafted corpus (what an actual Matryoshka-trained
+    model produces — the synthetic corpus is not MRL-trained, so this
+    fixture supplies the regime the op prices): (1) row-for-row parity
+    with the independent model; (2) the truncation trade is REAL both
+    ways — a false prefix-neighbor (first 4 dims identical to the
+    query, tail divergent) is retrieved at d=8 despite not being a true
+    neighbor, and a true neighbor with an orthogonal prefix (tail
+    carries its similarity) is missed at d=8 and recovered at d=64; (3)
+    an all-zero-prefix vector has UNDEFINED truncated cosine at d=8
+    (filtered on both engines, never an inf/NaN) yet participates at
+    d=64; (4) the d=64 rung is the structural saturation anchor: recall
+    1.0. Oracle-checked."""
+    import duckdb
+
+    from iceberg_explorer_spark.operators import QUERIES
+    from iceberg_explorer_spark.operators.similarity import DIM
+    from tests.conftest import assert_matches_oracle
+
+    spec = QUERIES["similarity_mrl_truncation_sweep"]
+
+    def vec(pairs):
+        v = [0.0] * DIM
+        for d, a in pairs:
+            v[d] = a
+        return v
+
+    # the query: informative prefix (dims 0..3) AND informative tail
+    # (dims 16..23)
+    q = vec([(d, 1.0) for d in range(4)] + [(d, 1.0) for d in range(16, 24)])
+    vecs = {0: q}
+    # A (20): the false prefix-neighbor — prefix identical, tail opposite
+    vecs[20] = vec(
+        [(d, 1.0) for d in range(4)] + [(d, -1.0) for d in range(16, 24)]
+    )
+    # B (21): the true neighbor with an orthogonal prefix — prefix mass
+    # on dims 4..7 (dot 0 with q's prefix), tail equal to q's
+    vecs[21] = vec(
+        [(d, 1.0) for d in range(4, 8)] + [(d, 1.0) for d in range(16, 24)]
+    )
+    # C (22): all-zero FIRST 8 dims — undefined prefix cosine at d=8
+    vecs[22] = vec([(d, 1.0) for d in range(16, 24)])
+    # filler: moderate prefix alignment, tails scattered away from q
+    for j, i in enumerate(range(30, 46)):
+        vecs[i] = vec(
+            [(d, 0.5 + 0.1 * (j % 3)) for d in range(4)]
+            + [(d, 1.0) for d in range(24 + (j % 4) * 8,
+                                       24 + (j % 4) * 8 + 8)]
+        )
+    d1 = str(tmp_path / "mrl_crafted")
+    spark.createDataFrame(
+        [(i, v, 0) for i, v in vecs.items()],
+        "vec_id long, embedding array<float>, label int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d1}/embeddings.parquet")
+
+    model, t10, cos = _mrl_model(vecs)
+    got = sorted(tuple(r) for r in spec.builder(spark, d1).collect())
+    assert got == model  # (1)
+    by_d = {g[0]: g for g in got}
+    assert by_d[64][5] == 1.0  # (4)
+    assert by_d[8][5] < 1.0  # the prefix genuinely loses recall
+    # (2) the trade, both directions — via the model's internals
+    _, _, _ = model, t10, cos
+    qp = [x for x in vecs[0][:8]]
+    # A is retrieved at d=8 (top prefix cosine) but is not a true
+    # neighbor; B is a true neighbor missed at d=8
+    def prefix_top(d):
+        ne = {}
+        for i, v in vecs.items():
+            nrm = _r16_sdot(v, v) ** 0.5
+            ne[i] = [x / nrm for x in v]
+        qpf = ne[0][:d]
+        nq = _r16_sdot(qpf, qpf) ** 0.5
+        tc = {}
+        for i in vecs:
+            if i == 0:
+                continue
+            p = ne[i][:d]
+            na = _r16_sdot(p, p) ** 0.5
+            if na * nq > 0:
+                tc[i] = _r16_r6(_r16_sdot(p, qpf) / (na * nq))
+        return sorted(tc, key=lambda i: (-tc[i], i))[:10], tc
+
+    top8, tc8 = prefix_top(8)
+    assert 20 in top8 and 20 not in t10  # false prefix-neighbor in
+    assert 21 in t10 and 21 not in top8  # true neighbor missed
+    assert 22 not in tc8  # (3) zero prefix filtered at d=8
+    top64, tc64 = prefix_top(64)
+    assert 21 in top64 and 22 in tc64  # both recovered at full width
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{d1}/embeddings.parquet/*.parquet')"
+    )
+    assert_matches_oracle(
+        spec.builder(spark, d1), con, spec.oracle, "mrl_crafted"
+    )
+
+
+def test_mrl_truncation_sweep_generative_parity(spark, tmp_path):
+    """Seeded generative hammer for similarity_mrl_truncation_sweep
+    (r16 pre-freeze rigging): md5 grid corpora vs the independent
+    model and the oracle; invariants per seed — the d=64 rung anchors
+    recall 1.0 (structural: the full prefix IS the exact cosine up to
+    the ~1.0 norm-ratio quantization), n_returned == min(10,
+    |non-null candidates|), and recall values live in [0, 1]."""
+    import duckdb
+    import hashlib
+
+    from iceberg_explorer_spark.operators import QUERIES
+    from iceberg_explorer_spark.operators.similarity import DIM
+    from tests.conftest import assert_matches_oracle
+
+    def h(*parts) -> int:
+        return hashlib.md5(":".join(map(str, parts)).encode()).digest()[0]
+
+    spec = QUERIES["similarity_mrl_truncation_sweep"]
+    for seed in ("mr1", "mr2", "mr3"):
+        n = 40 + h(seed, "n") % 20
+        vecs = {}
+        for i in range(n):
+            v = [(h(seed, i, d) - 128) / 64.0 for d in range(DIM)]
+            if all(x == 0.0 for x in v):
+                v[0] = 1.0 / 64.0
+            vecs[i] = v
+        d = str(tmp_path / f"mrlg_{seed}")
+        spark.createDataFrame(
+            [(i, v, i % 2) for i, v in vecs.items()],
+            "vec_id long, embedding array<float>, label int",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{d}/embeddings.parquet"
+        )
+        model, _t10, _cos = _mrl_model(vecs)
+        got = sorted(tuple(r) for r in spec.builder(spark, d).collect())
+        assert got == model, (seed, got, model)
+        by_d = {g[0]: g for g in got}
+        assert by_d[64][5] == 1.0, seed
+        for g in got:
+            assert 0.0 <= g[5] <= 1.0 and g[3] <= 10, seed
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{d}/embeddings.parquet/*.parquet')"
+        )
+        assert_matches_oracle(
+            spec.builder(spark, d), con, spec.oracle, f"mrl_gen_{seed}"
+        )
