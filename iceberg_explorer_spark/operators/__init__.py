@@ -816,21 +816,31 @@ The r17 window plan (written at r16 freeze; execute verbatim if r16
   are the stalest rows in the registry and must all come in) + 37 of
   the 49 r14-latest (count fresh from CORRECTNESS_r01..r16 after the
   r16 rows land; expected composition is exactly 49 queries with
-  latest row r14 — leave out the TWELVE with the MOST prior green
-  rows, tie-break alphabetical-first-out: the 7-green tie is 13 wide,
-  so the first twelve alphabetically go — cube_order_status,
+  latest row r14 — leave out the TWELVE with the MOST prior GREEN
+  rows, tie-break alphabetical-first-out. CORRECTED AT r17 START per
+  the r16 verdict: the original text here counted driver ROWS — red
+  r1 rows included — as greens, contradicting the rule's own wording
+  and the r16 precedent. The derivation is now mechanized in
+  scripts/rotation_plan.py (the listing below quotes its output; the
+  judge can re-run it): the true 7-green set is only four wide
+  (dedup_embedding_cosine, multimodal_decode_features,
+  similarity_ivf_topk, text_language_id) and the 13-wide tie sits at
+  SIX greens, so the leave-out is those four plus the first eight
+  alphabetically of the 6-green tie — cube_order_status,
   dedup_embedding_cosine, filter_projection,
-  multimodal_decode_features, pivot_status_by_flag,
+  multimodal_decode_features, multimodal_metadata,
+  pipeline_domain_mix, pivot_status_by_flag,
   recursive_calendar_spine, rollup_quantity,
   scalar_subquery_nation_stats, similarity_ivf_topk,
-  text_language_id, window_ntile_navigation,
-  window_range_moving_revenue — all twelve roll to r18;
-  window_running_revenue is the one 7-green survivor that stays in).
+  text_language_id — all twelve roll to r18; the remaining five of
+  the 6-green tie (text_pii_redact, text_repetition_filter,
+  window_ntile_navigation, window_range_moving_revenue,
+  window_running_revenue) stay IN).
   1 + 5 + 7 + 37 = 50 exactly. Bench r17: execute the DECLARED v4
   flip (see the BENCH v4 DECLARATION above and bench.py's policy
   text): fold GRADUATING_R15 into HEADLINE's tail in its frozen
   order, set HEADLINE_VERSION = 4, drop the v4 overlap keys, empty
-  the hook; EXTENDED (the three r16 operators) keeps accumulating
+  the hook; EXTENDED (the five r16 operators) keeps accumulating
   toward the next declared overlap. r17's value compares to
   BENCH_r16's value_v4 (98), never its v3 value.
 """
@@ -851,69 +861,69 @@ from iceberg_explorer_spark.operators import pipeline  # noqa: E402,F401
 _CHECK_WINDOW = [
     # flagship first (never displaced)
     "pipeline_clean_corpus",
-    # --- the three round-15 operators: FIRST driver rows (VERDICT r15 #1
-    # — after r15 they are the only oracle-bearing queries with zero
+    # --- the FIVE round-16 operators: FIRST driver rows (VERDICT r16 #4
+    # — after r16 they are the only oracle-bearing queries with zero
     # driver evidence) ---
-    "similarity_ivf_pq_refine_topk",
-    "events_scd2_intervals",
-    "pipeline_domain_caps",
-    # --- the FOUR r12-latest rolled from the r15 tie-break (after r15
-    # they are the stalest rows in the registry; all four come in) ---
-    "dedup_minhash_lsh",
-    "events_tumbling_window",
-    "join_revenue_by_nation",
-    "pricing_summary",
-    # --- 42 of the 49 r13-latest (last driver row is r13, counted fresh
-    # from CORRECTNESS_r01..r15: exactly 49 queries have latest row r13,
-    # matching the written r16 plan and the judge's independent count).
-    # Left out per the plan: the SEVEN with the MOST prior green rows,
-    # tie-break alphabetical-first-out — similarity_knn_join (7),
-    # text_token_count (7), events_variant_shred (6), and the first four
-    # of the 5-green alphabetical tie: anti_join_idle_customers,
-    # asof_join_purchase_click, conditional_agg_order_status,
-    # cte_above_avg_orders — all seven roll to r17. ---
-    "dedup_cluster_stats",
-    "dedup_exact",
-    "dedup_incremental_two_day_exact",
-    "dedup_incremental_two_day_near",
-    "dedup_keep_best",
-    "dedup_pagerank_step",
-    "dedup_simhash",
-    "dedup_simhash_hamming",
-    "dedup_simhash_hamming_sweep",
-    "dedup_source_minhash_similarity",
-    "dedup_source_overlap_matrix",
-    "events_categorical_drift",
-    "events_funnel",
-    "events_funnel_latency",
-    "events_incremental_rollup",
-    "events_path_topk",
-    "events_rate_spike_zscore",
-    "explode_word_frequencies",
-    "left_join_order_lines",
-    "multimodal_ahash_dedup",
-    "multimodal_image_resize",
-    "null_semantics",
-    "orders_seasonality_index",
-    "parts_abc_pareto",
-    "percentile_order_price",
-    "pipeline_clean_corpus_v2",
-    "pipeline_global_shuffle",
-    "pipeline_incremental_artifact_delta",
-    "pipeline_pack_efficiency",
-    "pipeline_stratified_sample",
-    "range_join_ship_window",
-    "scalar_date_functions",
-    "similarity_bruteforce_topk",
-    "similarity_centroid_drift",
-    "similarity_int8_quantize",
-    "similarity_lsh_ann",
-    "text_bm25_topk",
-    "text_fingerprint",
-    "text_ngram_entropy",
-    "text_vocab_growth",
-    "topk_orders",
-    "window_ship_gaps",
+    "similarity_bq_hamming_topk",
+    "similarity_bq_r_sweep",
+    "similarity_mrl_truncation_sweep",
+    "text_heldout_perplexity",
+    "events_watermark_lateness_audit",
+    # --- the SEVEN r13-latest rolled from the r16 tie-break (after r16
+    # they are the stalest rows in the registry; all seven come in) ---
+    "anti_join_idle_customers",
+    "asof_join_purchase_click",
+    "conditional_agg_order_status",
+    "cte_above_avg_orders",
+    "events_variant_shred",
+    "similarity_knn_join",
+    "text_token_count",
+    # --- 37 of the 49 r14-latest (derived by scripts/rotation_plan.py
+    # from CORRECTNESS_r01..r16: exactly 49 queries have latest row r14).
+    # Left out per the corrected plan (GREEN rows, not driver rows): the
+    # four 7-green (dedup_embedding_cosine, multimodal_decode_features,
+    # similarity_ivf_topk, text_language_id) + the first eight
+    # alphabetically of the 13-wide 6-green tie (cube_order_status,
+    # filter_projection, multimodal_metadata, pipeline_domain_mix,
+    # pivot_status_by_flag, recursive_calendar_spine, rollup_quantity,
+    # scalar_subquery_nation_stats) — all twelve roll to r18. ---
+    "cohort_retention",
+    "cross_join_region_status",
+    "dedup_incremental_simhash",
+    "dedup_lsh_band_tuning",
+    "dedup_overlap_spectrum",
+    "dedup_semantic_clusters",
+    "distinct_customers_per_priority",
+    "events_distinct_users_salted",
+    "events_rate_per_user_type",
+    "events_session_window",
+    "events_value_outliers_mad",
+    "full_outer_nation_balance",
+    "grouping_sets_mix",
+    "multimodal_clean_manifest",
+    "multimodal_paired_dedup",
+    "pipeline_filter_funnel",
+    "pipeline_sequence_pack",
+    "pipeline_temperature_mix",
+    "pipeline_train_val_split",
+    "scalar_regex_conditional",
+    "scalar_string_math",
+    "set_ops_nation_presence",
+    "similarity_all_pairs_topk",
+    "similarity_ivf_balance",
+    "similarity_ivf_probe_sweep",
+    "similarity_pq_geometry_sweep",
+    "similarity_semantic_decontaminate",
+    "similarity_semantic_tau_sweep",
+    "string_agg_nations_per_region",
+    "subquery_in_having",
+    "text_pii_redact",
+    "text_quality_score",
+    "text_repetition_filter",
+    "text_unigram_logfreq",
+    "window_ntile_navigation",
+    "window_range_moving_revenue",
+    "window_running_revenue",
 ]
 
 
