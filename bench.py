@@ -14,7 +14,7 @@ Output protocol (two lines, the FINAL line is the driver-parseable one):
    "n_extended": N}`` — ``candidate_build``/``probe_build``/
    ``semantic_build`` are the one-time LSH / probe-index / semantic-edge+
    cluster-label materializations at the target SF; ``value``/``n_queries`` cover
-   the comparable HEADLINE set only (``headline_version`` 3 since the r14
+   the comparable HEADLINE set only (``headline_version`` 4 since the r17
    graduation flip — see the HEADLINE GRADUATION POLICY at
    HEADLINE_VERSION); EXTENDED operators are timed identically but summed
    separately so the trend line stays comparable.
@@ -162,6 +162,19 @@ HEADLINE = [
     "dedup_incremental_two_day_exact",  # two-generation exact ingest (r12)
     "dedup_incremental_two_day_near",   # two-generation component stage (r12)
     "dedup_simhash_hamming_sweep",      # Hamming calibration histogram (r12)
+    # --- the r15 cohort, graduated at the r17 trend reset (the r16
+    # overlap round carried these as GRADUATING_R15 under the additive
+    # value_v4 key; headline_version 4 folds them in — see the HEADLINE
+    # GRADUATION POLICY below). Order preserved from the frozen list. ---
+    "dedup_incremental_simhash",  # fifth incremental sibling: SimHash keys (r13)
+    "similarity_ivf_probe_sweep",  # IVF nprobe recall/cost curve, one build (r13)
+    "similarity_pq_geometry_sweep",  # PQ bytes-vs-recall grid, one scan (r13)
+    "similarity_ivf_pq_topk",     # composed IVF-PQ ANN (FAISS IndexIVFPQ shape, r14)
+    "text_bigram_lm_score",       # add-one bigram LM quality score (CCNet-ish, r14)
+    "pipeline_clean_corpus_v3",   # five-family curation capstone (+SimHash stage, r14)
+    "similarity_ivf_pq_refine_topk",  # IVF-PQ + exact shortlist refine (r15)
+    "events_scd2_intervals",      # SCD2/CDC validity-interval compaction (r15)
+    "pipeline_domain_caps",       # closed-form water-filling token budget (r15)
 ]
 
 #: Queries benchmarked and reported in the per-query detail map but NOT
@@ -176,9 +189,10 @@ HEADLINE = [
 #: newcomers only.
 EXTENDED: list[str] = [
     # post-r15 operators only: the nine that accumulated through r15
-    # ride round 16 as GRADUATING_R15 (the declared v4 overlap — see the
-    # HEADLINE GRADUATION POLICY below); EXTENDED restarts empty and
-    # refills with operators registered after the r15 freeze.
+    # rode round 16 as GRADUATING_R15 and graduated into HEADLINE at the
+    # r17 flip (the declared v4 protocol — see the HEADLINE GRADUATION
+    # POLICY below); EXTENDED holds operators registered after the r15
+    # freeze.
     "similarity_bq_hamming_topk",  # 1-bit sign-sketch Hamming cascade (r16)
     "similarity_bq_r_sweep",      # BQ shortlist-size recall calibration (r16)
     "similarity_mrl_truncation_sweep",  # MRL prefix-dim recall curve (r16)
@@ -186,28 +200,18 @@ EXTENDED: list[str] = [
     "events_watermark_lateness_audit",  # out-of-orderness vs watermark (r16)
 ]
 
-#: The EXTENDED set as frozen at the END of round 15 (three r13 + three
-#: r14 + three r15 operators), riding round 16 — the DECLARED v4 overlap
-#: round — through format_output's ``graduating`` parameter: excluded
-#: from ``value``/``extended_sec``, surfaced via the additive
-#: ``value_v4``/``n_queries_v4`` keys under headline_version 3. Round 17
-#: flips: this cohort folds into HEADLINE's tail in this frozen order,
-#: headline_version becomes 4, the constant empties and stays as the
-#: generic graduation hook (empty ⇒ no overlap keys are emitted). The
-#: r12-era predecessor (GRADUATING_R12) executed the identical protocol
-#: at the r13 overlap / r14 flip.
-GRADUATING_R15: list[str] = [
-    # frozen order — this IS the order the r17 flip appends to HEADLINE
-    "dedup_incremental_simhash",  # fifth incremental sibling: SimHash keys (r13)
-    "similarity_ivf_probe_sweep",  # IVF nprobe recall/cost curve, one build (r13)
-    "similarity_pq_geometry_sweep",  # PQ bytes-vs-recall grid, one scan (r13)
-    "similarity_ivf_pq_topk",     # composed IVF-PQ ANN (FAISS IndexIVFPQ shape, r14)
-    "text_bigram_lm_score",       # add-one bigram LM quality score (CCNet-ish, r14)
-    "pipeline_clean_corpus_v3",   # five-family curation capstone (+SimHash stage, r14)
-    "similarity_ivf_pq_refine_topk",  # IVF-PQ + exact shortlist refine (r15)
-    "events_scd2_intervals",      # SCD2/CDC validity-interval compaction (r15)
-    "pipeline_domain_caps",       # closed-form water-filling token budget (r15)
-]
+#: The generic graduation hook. The EXTENDED set as frozen at the END of
+#: round 15 (three r13 + three r14 + three r15 operators) rode round 16 —
+#: the DECLARED v4 overlap round — through format_output's ``graduating``
+#: parameter: excluded from ``value``/``extended_sec``, surfaced via the
+#: additive ``value_v4``/``n_queries_v4`` keys under headline_version 3.
+#: Round 17 FLIPPED as declared: the cohort folded into HEADLINE's tail
+#: in its frozen order, headline_version became 4, and this constant is
+#: now EMPTY (empty ⇒ no overlap keys are emitted) until the next
+#: declared overlap round refreezes it. The r12-era predecessor
+#: (GRADUATING_R12) executed the identical protocol at the r13 overlap /
+#: r14 flip.
+GRADUATING_R15: list[str] = []
 
 #: HEADLINE GRADUATION POLICY (a logged trend reset, never a silent one).
 #: EXTENDED keeps growing — the 65-query v1 sum cannot stay the only trend
@@ -255,18 +259,22 @@ GRADUATING_R15: list[str] = [
 #:     self-diagnosing context VERDICT r14 #2 exists for — and the full
 #:     per-query map rides the detail line / BENCH_LOCAL as always; the
 #:     map returns at the r17 flip when the overlap keys drop).
-#:   * round 17 (the v4 flip, declared here one round ahead): the
-#:     GRADUATING_R15 cohort folds into HEADLINE's tail in its frozen
-#:     order, ``headline_version`` becomes 4, the v4 overlap keys and
-#:     the v3 sum drop, and EXTENDED (post-r15 newcomers only) carries
-#:     on accumulating toward the next declared overlap.
+#:   * round 17 (THIS round — the v4 flip, executed exactly as declared
+#:     at the r16 freeze): the GRADUATING_R15 cohort folded into
+#:     HEADLINE's tail in its frozen order, ``headline_version`` is 4,
+#:     the v4 overlap keys and the v3 sum dropped (r17's value compares
+#:     to BENCH_r16's value_v4 = 72.877/98, never its v3 value), the
+#:     hook emptied, and EXTENDED (the five r16 operators, post-r15
+#:     newcomers only) carries on accumulating toward the next declared
+#:     overlap. The slowest map returns to the final line now that the
+#:     overlap keys are gone.
 #: ``headline_version`` is emitted starting round 9 so every bench artifact
 #: names the measurement set its ``value`` covers; the driver's
 #: round-over-round comparison must only ever compare equal versions
 #: (r11's value compares to r10's value_v2, never to r10's value).
 #: Mechanics are pinned by tests/test_bench_format.py
 #: (test_headline_version_and_graduation_policy).
-HEADLINE_VERSION = 3
+HEADLINE_VERSION = 4
 
 
 def cpu_probe() -> tuple[float, float]:

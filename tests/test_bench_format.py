@@ -98,12 +98,12 @@ def test_extended_registry_membership():
     """Every HEADLINE / EXTENDED / GRADUATING_R15 name must be a
     registered query and the three benchmark sets must be pairwise
     disjoint (overlap would double-count an operator's time in one of
-    the sums). HEADLINE must also be duplicate-free — the r11 and r14
-    graduations folded whole cohorts in, and a name appearing twice
-    would double its time in `value`. GRADUATING_R15 holds the NINE
-    operators frozen at the r15 end (three r13 + three r14 + three r15)
-    for the r16 overlap round as declared; EXTENDED restarted empty and
-    refills with post-r15 newcomers only."""
+    the sums). HEADLINE must also be duplicate-free — the r11, r14 and
+    r17 graduations folded whole cohorts in, and a name appearing twice
+    would double its time in `value`. GRADUATING_R15 emptied at the r17
+    flip (its nine names folded into HEADLINE's tail in the frozen
+    order) and stays as the generic hook; EXTENDED holds post-r15
+    newcomers only."""
     from iceberg_explorer_spark.operators import QUERIES
 
     assert not set(EXTENDED) & set(HEADLINE)
@@ -111,18 +111,8 @@ def test_extended_registry_membership():
     assert not set(GRADUATING_R15) & set(EXTENDED)
     assert len(set(HEADLINE)) == len(HEADLINE)
     assert len(set(EXTENDED)) == len(EXTENDED)
-    # the frozen cohort, in the order the r17 flip appends to HEADLINE
-    assert GRADUATING_R15 == [
-        "dedup_incremental_simhash",
-        "similarity_ivf_probe_sweep",
-        "similarity_pq_geometry_sweep",
-        "similarity_ivf_pq_topk",
-        "text_bigram_lm_score",
-        "pipeline_clean_corpus_v3",
-        "similarity_ivf_pq_refine_topk",
-        "events_scd2_intervals",
-        "pipeline_domain_caps",
-    ]
+    # the hook is EMPTY post-flip (empty ⇒ no overlap keys are emitted)
+    assert GRADUATING_R15 == []
     missing = [
         n for n in [*HEADLINE, *EXTENDED, *GRADUATING_R15] if n not in QUERIES
     ]
@@ -185,58 +175,64 @@ def test_slowest_map_excludes_extended_entries():
 
 def test_headline_version_and_graduation_policy():
     """Pins the HEADLINE graduation mechanics declared at
-    bench.HEADLINE_VERSION, now POST the r14 v3 flip: (1) every final
+    bench.HEADLINE_VERSION, now POST the r17 v4 flip: (1) every final
     line names the measurement set its `value` covers via an integer
-    `headline_version` key, and the version is 3 — the r12 cohort
-    (GRADUATING_R12 as frozen at the end of r12) is folded into
-    HEADLINE's tail in its frozen order (all 12 present, exactly once)
-    so `value` compares to BENCH_r13's value_v3 (89 queries), never its
-    v2 value; (2) overlap keys appear ONLY when a graduating cohort is
-    passed — a plain run carries none of any version; (3) the
+    `headline_version` key, and the version is 4 — the r15 cohort
+    (GRADUATING_R15 as frozen at the end of r15) is folded into
+    HEADLINE's tail in its frozen order (all 9 present, exactly once)
+    so `value` compares to BENCH_r16's value_v4 (98 queries), never its
+    v3 value; (2) overlap keys appear ONLY when a graduating cohort is
+    passed — a plain run carries none of any version, and the emptied
+    GRADUATING_R15 hook means a real r17 run carries none; (3) the
     `graduating` parameter is the generic overlap-round mechanism
     keying the additive sum by the version the cohort BECOMES — under
-    version 3 the r16 overlap emits value_v4/n_queries_v4, with
+    version 4 the next overlap emits value_v5/n_queries_v5, with
     graduating entries excluded from `value`, `extended_sec` and the
-    slowest map; (4) the executed + declared schedule stays in the
-    policy text (r13 overlap, r14 flip, r16 overlap, r17 flip) and
-    main() wires the in-flight GRADUATING_R15 cohort through the
-    graduating parameter; (5) the REAL r16 overlap line — 89 headline +
-    the nine real graduating names, every scalar and both probe pairs
-    populated — stays under the byte cap with the v4 keys present (the
-    slowest map is allowed to hit its 0-entry ladder step for this one
-    round, as declared and accepted at the r15 freeze)."""
+    slowest map; (4) the executed schedule stays in the policy text
+    (r13 overlap, r14 flip, r16 overlap, r17 flip) and main() keeps the
+    hook wired through the graduating parameter; (5) the post-flip
+    steady state at FULL REAL width — 98 headline names, every scalar
+    and both probe pairs populated — stays under the byte cap with the
+    slowest map back on the line (the 0-entry ladder step was accepted
+    for the r16 overlap round ONLY)."""
     import bench
 
-    # (1) the flip: version 3, the r12 cohort folded in exactly once,
-    # in the frozen order, at the tail of the r11-era 77
-    r12_cohort = [
-        "pipeline_clean_corpus_v2", "dedup_incremental_near",
-        "dedup_incremental_semantic", "pipeline_incremental_ingest",
-        "pipeline_incremental_artifact_delta", "dedup_incremental_paired",
-        "pipeline_incremental_ingest_v2",
-        "pipeline_incremental_artifact_delta_v2", "dedup_simhash_hamming",
-        "dedup_incremental_two_day_exact", "dedup_incremental_two_day_near",
-        "dedup_simhash_hamming_sweep",
+    # (1) the flip: version 4, the r15 cohort folded in exactly once,
+    # in the frozen order, at the tail of the r14-era 89
+    r15_cohort = [
+        "dedup_incremental_simhash", "similarity_ivf_probe_sweep",
+        "similarity_pq_geometry_sweep", "similarity_ivf_pq_topk",
+        "text_bigram_lm_score", "pipeline_clean_corpus_v3",
+        "similarity_ivf_pq_refine_topk", "events_scd2_intervals",
+        "pipeline_domain_caps",
     ]
-    assert bench.HEADLINE_VERSION == 3
-    assert len(HEADLINE) == 89  # 77 v2 + the 12 graduated
-    assert HEADLINE[-12:] == r12_cohort  # frozen order, at the tail
-    for name in r12_cohort:
+    assert bench.HEADLINE_VERSION == 4
+    assert len(HEADLINE) == 98  # 89 v3 + the 9 graduated
+    assert HEADLINE[-9:] == r15_cohort  # frozen order, at the tail
+    for name in r15_cohort:
         assert HEADLINE.count(name) == 1, name
+    # the r14-era v3 prefix is untouched by the fold (trend comparability)
+    r12_cohort_tail = [
+        "dedup_simhash_hamming", "dedup_incremental_two_day_exact",
+        "dedup_incremental_two_day_near", "dedup_simhash_hamming_sweep",
+    ]
+    assert HEADLINE[85:89] == r12_cohort_tail
     timings = {name: 1.234 for name in HEADLINE}
     _, final = format_output(timings, {}, 0.1, 2, candidate_build=1.337)
     assert len(final) < 500, len(final)
     parsed = json.loads(final)
     assert isinstance(parsed["headline_version"], int)
-    assert parsed["headline_version"] == 3
-    assert parsed["n_queries"] == len(HEADLINE) == 89
+    assert parsed["headline_version"] == 4
+    assert parsed["n_queries"] == len(HEADLINE) == 98
     assert parsed["value"] == round(1.234 * len(HEADLINE), 3)
     # (2) format_output emits overlap keys ONLY when a graduating cohort
-    # is passed: a plain run carries none, of ANY version
+    # is passed: a plain run carries none, of ANY version — and the
+    # emptied hook keeps a real r17 run plain
     assert not [k for k in parsed if k.startswith("value_v")]
     assert not [k for k in parsed if k.startswith("n_queries_v")]
+    assert GRADUATING_R15 == []
     # (3) the generic overlap mechanism keys by the NEXT version: under
-    # version 3 an overlap emits value_v4/n_queries_v4; graduating
+    # version 4 an overlap emits value_v5/n_queries_v5; graduating
     # entries leave `value`, `extended_sec` and the slowest map untouched
     grad = ["next_grad_a", "next_grad_b"]
     ext = ["ext_newcomer_a"]
@@ -247,24 +243,13 @@ def test_headline_version_and_graduation_policy():
     )
     parsed_next = json.loads(final_next)
     assert parsed_next["value"] == round(1.234 * len(HEADLINE), 3)
-    assert parsed_next["n_queries_v4"] == len(HEADLINE) + len(grad)
-    assert parsed_next["value_v4"] == round(
+    assert parsed_next["n_queries_v5"] == len(HEADLINE) + len(grad)
+    assert parsed_next["value_v5"] == round(
         1.234 * len(HEADLINE) + 2.0 * len(grad), 3
     )
-    assert "value_v3" not in parsed_next  # the old suffix never reappears
+    assert "value_v4" not in parsed_next  # the old suffix never reappears
     assert parsed_next["extended_sec"] == round(10.0 * len(ext), 3)
     assert not set(parsed_next["queries"]) & set(grad)
-    # the post-flip steady state at FULL REAL width: 89 headline names,
-    # realistic multi-second timings, every optional scalar populated —
-    # the final line must stay under the byte cap with a useful map
-    _, final_r14 = format_output(
-        {n: 9.876 for n in HEADLINE},
-        {}, 0.1, 2, candidate_build=1.337, probe_build=1.1,
-        semantic_build=4.4, status_build=2.2, pairs_build=3.3,
-        cpu_probe_sec=0.123, cpu_probe_1t_sec=0.456,
-    )
-    assert len(final_r14) < 500, len(final_r14)
-    assert len(json.loads(final_r14)["queries"]) >= 3
     assert "graduating=GRADUATING_R15" in inspect_main_source()
     # the policy text itself must stay in the source next to the constant
     import inspect
@@ -272,37 +257,33 @@ def test_headline_version_and_graduation_policy():
     src = inspect.getsource(bench)
     assert "HEADLINE GRADUATION POLICY" in src
     assert "round 11" in src and "value_v2" in src
-    # (4) the executed + declared schedule: r13 overlap, r14 flip, r16
-    # overlap (THIS round), r17 flip (declared one round ahead)
+    # (4) the executed schedule: r13 overlap, r14 flip, r16 overlap,
+    # r17 flip (THIS round, executed as declared)
     assert "round 13" in src and "value_v3" in src and "round 14" in src
     assert "round 16" in src and "value_v4" in src and "round 17" in src
-    # (5) the REAL r16 overlap final line: full real names, realistic
-    # worst-case timings, every build scalar + both probe pairs. The v4
-    # keys are present and correct; the line stays under the byte cap
-    # via the slowest-map ladder (0 entries accepted for this ONE round
-    # — the probe pair stays, per the declaration).
-    real = {n: 9.876 for n in [*HEADLINE, *GRADUATING_R15]}
-    _, final_r16 = format_output(
+    # (5) the post-flip steady state at FULL REAL width: 98 headline
+    # names + the five EXTENDED newcomers, realistic worst-case timings,
+    # every build scalar and both probe pairs populated — the final line
+    # must stay under the byte cap with the slowest map BACK on the line
+    real = {n: 9.876 for n in [*HEADLINE, *EXTENDED]}
+    _, final_r17 = format_output(
         real, {}, 0.1, 2, candidate_build=12.345, probe_build=1.666,
         semantic_build=4.444, extended=EXTENDED,
         graduating=GRADUATING_R15, cpu_probe_sec=0.299,
         cpu_probe_1t_sec=0.189, cpu_probe_post_sec=0.301,
         cpu_probe_post_1t_sec=0.191,
     )
-    assert len(final_r16) < 500, len(final_r16)
-    parsed_r16 = json.loads(final_r16)
-    assert parsed_r16["headline_version"] == 3
-    assert parsed_r16["n_queries"] == len(HEADLINE)
-    assert parsed_r16["value"] == round(9.876 * len(HEADLINE), 3)
-    assert parsed_r16["n_queries_v4"] == len(HEADLINE) + len(GRADUATING_R15)
-    assert parsed_r16["value_v4"] == round(
-        9.876 * (len(HEADLINE) + len(GRADUATING_R15)), 3
-    )
-    # the probe PAIR survives the ladder step — it is the self-
-    # diagnosing context the final line exists to carry
-    assert parsed_r16["cpu_probe_sec"] == 0.299
-    assert parsed_r16["cpu_probe_post_sec"] == 0.301
-    assert not set(parsed_r16["queries"]) & set(GRADUATING_R15)
+    assert len(final_r17) < 500, len(final_r17)
+    parsed_r17 = json.loads(final_r17)
+    assert parsed_r17["headline_version"] == 4
+    assert parsed_r17["n_queries"] == len(HEADLINE)
+    assert parsed_r17["value"] == round(9.876 * len(HEADLINE), 3)
+    assert not [k for k in parsed_r17 if k.startswith("value_v")]
+    assert parsed_r17["extended_sec"] == round(9.876 * len(EXTENDED), 3)
+    assert len(parsed_r17["queries"]) >= 3  # the map is back
+    assert parsed_r17["cpu_probe_sec"] == 0.299
+    assert parsed_r17["cpu_probe_post_sec"] == 0.301
+    assert not set(parsed_r17["queries"]) & set(EXTENDED)
 
 
 def test_cpu_probe_calibration_keys():
