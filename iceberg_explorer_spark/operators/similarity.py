@@ -1388,7 +1388,13 @@ def ivfpq_refine_from_store(
     index fails to cover the shortlist. Cost is one extra bounded
     job per serve; pass ``check_snapshot=False`` on a hot path whose
     ingest transactionality is enforced upstream. The RETURNED frame
-    is unchanged either way (the plan pin covers it).
+    is unchanged either way (the plan pin covers it). The check
+    NARROWS the desync window rather than closing it: it executes
+    eagerly at call time while the returned frame is lazy, so a
+    rewrite landing after the check but before the caller
+    materializes can still read the newer snapshot — materialize
+    promptly inside the ingest schedule's quiesce window when a fully
+    settled read matters (ADVICE r16).
     Float parity: the literal dot
     is ``_DOT_SPARK``'s fold order over the stored normalized doubles,
     identical to the in-session exact stage; the shortlist cut
@@ -2350,7 +2356,7 @@ _BQ_PACK_SPARK = (
     "persist as two BIGINT columns in the vector index (the ivf_lists "
     "store pattern: computed once at ingest, 16 bytes/row scanned "
     "instead of 256), the Hamming scan is SIMD popcount over packed "
-    "words, and the exact stage point-reads {BQ_R} raw rows — the "
+    f"words, and the exact stage point-reads {BQ_R} raw rows — the "
     "refine-serve cascade with a 32x cheaper first stage. reference: "
     "no analogue — training-pipeline extension (the third compression "
     "point on the int8 -> PQ -> binary curve this repo's similarity "
@@ -2901,10 +2907,16 @@ def bq_topk_from_store(
 
     Both stages read the ONE artifact, so there is no cross-store
     same-snapshot contract (the refine cascade's failure class);
-    ``check_snapshot`` (default True) still guards the residual window —
-    a compaction or append landing BETWEEN the two reads — by verifying
+    ``check_snapshot`` (default True) NARROWS the residual window — a
+    compaction or append landing BETWEEN the two reads — by verifying
     the pruned scan covers every shortlist id (one extra bounded job;
-    raises ValueError naming the missing ids). ``query_vec`` is
+    raises ValueError naming the missing ids). Narrows, not closes: the
+    check executes eagerly at call time while the returned frame is
+    lazy, so a rewrite landing after the check but before the CALLER
+    materializes the result can still read the newer snapshot — callers
+    needing a fully settled read should materialize (collect/checkpoint)
+    immediately after the call, inside whatever quiesce window their
+    ingest schedule provides (ADVICE r16). ``query_vec`` is
     REQUIRED and must be L2-normalized (``_validate_query_vec`` — sign
     bits are normalization-invariant, the cosine is not);
     ``query_vec_id`` is the stored id to EXCLUDE (the registered

@@ -949,12 +949,16 @@ def lm_append(store, docs: DataFrame, batch_id: "str | None" = None) -> bool:
     retries each table holds the night's delta exactly once. Returns
     True iff rows landed on at least one table (False = the night had
     already landed in full and this call changed nothing). The empty-
-    bigram edge is handled explicitly: an increment of only 1-token
-    docs has an EMPTY bigram delta, which the store vacuously "lands"
-    (True) on EVERY call — counting that True toward the return value
-    would make a fully-replayed such night read as landed forever (the
-    r15 epoch-sink lesson, resurfacing one layer up), so the bigram
-    half only counts when the delta has rows. Backfill-first is
+    delta edge is handled explicitly ON BOTH HALVES: an increment of
+    only 1-token docs has an EMPTY bigram delta, and a fully-empty
+    increment (zero docs / all-empty texts) has an EMPTY unigram delta
+    too — either of which the store vacuously "lands" (True) on EVERY
+    call, so counting a vacuous True toward the return value would make
+    a fully-replayed such night read as landed forever (the r15
+    epoch-sink lesson, resurfacing one layer up; the unigram half was
+    the ADVICE r16 hole). Each half therefore only counts when its
+    delta has rows — both probes are model-sized and bounded.
+    Backfill-first is
     enforced by the commit-marker probe here plus the store-layer
     gate. Increment doc_ids must be train-split ids globally new to
     the corpus — the ingest id-allocation invariant; rows with
@@ -976,9 +980,9 @@ def lm_append(store, docs: DataFrame, batch_id: "str | None" = None) -> bool:
     bg, uni = _lm_counts(docs)
     landed_uni = store.append("lm_unigrams", uni, batch_id=batch_id)
     landed_bg = store.append("lm_bigrams", bg, batch_id=batch_id)
-    # a vacuously-landed EMPTY bigram delta must not read as "rows
-    # landed" (one bounded job over the checkpointed increment)
-    return landed_uni or (landed_bg and bool(bg.head(1)))
+    # a vacuously-landed EMPTY delta — on EITHER half — must not read
+    # as "rows landed" (two bounded model-sized probes)
+    return (landed_uni and bool(uni.head(1))) or (landed_bg and bool(bg.head(1)))
 
 
 def lm_score_from_store(store, docs: DataFrame) -> DataFrame:

@@ -8028,10 +8028,17 @@ def test_lm_store_round_trip(spark, tmp_path):
                 ),
                 batch_id="night-3",
             )
-        # (7) empty increment: vacuous landing, scores unchanged
+        # (7) fully-empty increment: NO rows landed — the return contract
+        # is 'True iff rows landed', and a vacuously-landed empty UNIGRAM
+        # delta must not read as landed (ADVICE r16: the unigram mirror
+        # of the empty-bigram hole below — before the guard this replayed
+        # as True on EVERY call, forever), scores unchanged
         assert lm_append(
             st, spark.createDataFrame([], doc_schema), batch_id="night-4"
-        ) is True
+        ) is False
+        assert lm_append(
+            st, spark.createDataFrame([], doc_schema), batch_id="night-4"
+        ) is False
         assert sorted(
             tuple(r) for r in lm_score_from_store(st, he).collect()
         ) == healed_scores
