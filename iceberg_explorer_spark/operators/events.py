@@ -1270,7 +1270,12 @@ WM_1H_US = 3_600_000_000
     "arrivals can only advance the watermark further; the global "
     "audit is this plan with the partition key removed, and the "
     "per-type decomposition is precisely what tells you WHICH stream "
-    "forces the mixed query's delay. Determinism: epoch-micro BIGINT "
+    "forces the mixed query's delay. The bound is EXECUTED, not just "
+    "stated (r17): the claims test runs the global-watermark form on "
+    "the crafted log + every generative seed and asserts per-event "
+    "lateness domination and per-type drop-count domination, with a "
+    "crafted in-order stream the global watermark drops at 1m "
+    "(tests/test_properties.py, _global_watermark_audit). Determinism: epoch-micro BIGINT "
     "lateness, exact integer counts, the one mean divided last; "
     "event_id is unique so the arrival order is total. Plan: exactly "
     "ONE shuffle — the running-max window hash-partitions on "

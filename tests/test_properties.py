@@ -7426,6 +7426,55 @@ def _watermark_model(events):
     return out
 
 
+def _watermark_lateness_per_event(events, global_wm):
+    """Per-EVENT lateness map {event_id: late_us} under either scope:
+    ``global_wm=False`` tracks one running max per event_type (the
+    audit's per-stream scope); ``global_wm=True`` tracks Spark's ONE
+    query-wide watermark — the running max over ALL strictly earlier
+    arrivals regardless of type."""
+    lates, hw = {}, {}
+    for eid, ts_us, et in sorted(events):
+        key = None if global_wm else et
+        prev = hw.get(key)
+        lates[eid] = 0 if prev is None else max(prev - ts_us, 0)
+        hw[key] = ts_us if prev is None else max(prev, ts_us)
+    return lates
+
+
+def _global_watermark_audit(spark, sf_dir):
+    """The audit with the partition key REMOVED — the mixed-query form
+    the operator's doc describes: lateness vs Spark's one GLOBAL
+    watermark (running max over ALL earlier arrivals), still reported
+    per type. Test-only: the unpartitioned Window is a deliberate
+    single-partition plan, fine on crafted/generative logs."""
+    from pyspark.sql import Window as W
+
+    from iceberg_explorer_spark.operators.events import WM_1H_US, WM_1M_US
+    from iceberg_explorer_spark.sources.registry import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.orderBy("event_id").rowsBetween(W.unboundedPreceding, -1)
+    prev_max = F.max(F.unix_micros("ts")).over(w)
+    late = F.when(prev_max.isNull(), F.lit(0)).otherwise(
+        F.greatest(prev_max - F.unix_micros("ts"), F.lit(0))
+    )
+    return (
+        ev.select("event_type", late.alias("late_us"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("late_us") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_out_of_order"),
+            F.sum(F.when(F.col("late_us") > WM_1M_US, 1).otherwise(0))
+            .cast("bigint")
+            .alias("dropped_wm_1m"),
+            F.sum(F.when(F.col("late_us") > WM_1H_US, 1).otherwise(0))
+            .cast("bigint")
+            .alias("dropped_wm_1h"),
+        )
+    )
+
+
 def test_watermark_lateness_audit_claims(spark, tmp_path):
     """events_watermark_lateness_audit's distinguishing claims on a
     crafted arrival log: (1) lateness is measured against the
@@ -7506,6 +7555,42 @@ def test_watermark_lateness_audit_claims(spark, tmp_path):
         spec.builder(spark, d), con, spec.oracle, "wm_crafted"
     )
 
+    # (5) the doc's LOWER-BOUND claim, EXECUTED (VERDICT r16 #5): under
+    # Spark's one GLOBAL watermark (partition key removed) another
+    # type's arrivals can only advance the watermark, so per-event
+    # global lateness dominates per-stream lateness and every per-type
+    # drop count is >= the per-stream audit's.
+    events_us = [(eid, (base + off) * 1_000_000, et) for eid, off, et in raw]
+    per_stream = _watermark_lateness_per_event(events_us, global_wm=False)
+    per_global = _watermark_lateness_per_event(events_us, global_wm=True)
+    for eid in per_stream:  # per-EVENT domination
+        assert per_stream[eid] <= per_global[eid], eid
+    glob = {
+        r["event_type"]: (
+            r["n_out_of_order"], r["dropped_wm_1m"], r["dropped_wm_1h"]
+        )
+        for r in _global_watermark_audit(spark, d).collect()
+    }
+    for et, (ne, ooo, _mx, _avg, d1m, d1h) in got.items():
+        assert ooo <= glob[et][0], et
+        assert d1m <= glob[et][1], et
+        assert d1h <= glob[et][2], et
+    # the crafted arrivals where the bound is STRICT: type B's in-order
+    # stream (per-stream all zeros) arrives AFTER type A advanced the
+    # global watermark to +300 s, so globally all three B events are
+    # 270-290 s late — the global watermark drops at 1m what B's own
+    # stream would keep (the per-source-job layout's whole argument)
+    assert got["B"][4] == 0 and glob["B"][1] == 3
+    assert glob["B"] == (3, 3, 0)
+    # spark global audit == the independent global model, per type
+    for et in got:
+        ids = [e[0] for e in events_us if e[2] == et]
+        assert glob[et] == (
+            sum(1 for i in ids if per_global[i] > 0),
+            sum(1 for i in ids if per_global[i] > 60_000_000),
+            sum(1 for i in ids if per_global[i] > 3_600_000_000),
+        ), et
+
 
 def test_watermark_lateness_generative_parity(spark, tmp_path):
     """Seeded generative hammer for events_watermark_lateness_audit
@@ -7574,6 +7659,25 @@ def test_watermark_lateness_generative_parity(spark, tmp_path):
             assert (mx == 0) == (ooo == 0), (seed, et)
         # the generator really produced out-of-order mass
         assert any(v[1] > 0 for v in got.values()), seed
+        # the lower-bound claim holds on every seed (VERDICT r16 #5):
+        # per-stream drop counts never exceed the global-watermark
+        # audit's, per type and threshold
+        events_us = [(eid, ts_s * 1_000_000, et) for eid, ts_s, et in raw]
+        per_stream = _watermark_lateness_per_event(events_us, global_wm=False)
+        per_global = _watermark_lateness_per_event(events_us, global_wm=True)
+        assert all(
+            per_stream[eid] <= per_global[eid] for eid in per_stream
+        ), seed
+        glob = {
+            r["event_type"]: (
+                r["n_out_of_order"], r["dropped_wm_1m"], r["dropped_wm_1h"]
+            )
+            for r in _global_watermark_audit(spark, d).collect()
+        }
+        for et, (_ne, ooo, _mx, _avg, d1m, d1h) in got.items():
+            assert ooo <= glob[et][0], (seed, et)
+            assert d1m <= glob[et][1], (seed, et)
+            assert d1h <= glob[et][2], (seed, et)
 
         con = duckdb.connect()
         con.execute(
