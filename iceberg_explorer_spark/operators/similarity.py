@@ -2787,6 +2787,117 @@ def similarity_mrl_truncation_sweep(
     )
 
 
+#: The MRL serving prefix width and shortlist size: the d=16 rung of
+#: similarity_mrl_truncation_sweep's curve (4x fewer scan bytes than the
+#: full vector), refined through the same shortlist budget as the BQ
+#: cascade so the two first stages price against each other directly.
+MRL_SERVE_DIM = 16
+MRL_R = 30
+
+
+@query(
+    "similarity_mrl_prefix_topk",
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> x / sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                                CAST(embedding AS DOUBLE[]))))
+               AS ne
+      FROM {_EMB_SQL}
+    ),
+    q AS (SELECT ne AS qne FROM n WHERE vec_id = {QUERY_VEC_ID}),
+    t AS (
+      SELECT e.vec_id, e.ne,
+             CASE WHEN sqrt(list_inner_product(e.ne[1 : {MRL_SERVE_DIM}],
+                                               e.ne[1 : {MRL_SERVE_DIM}]))
+                     * sqrt(list_inner_product(q.qne[1 : {MRL_SERVE_DIM}],
+                                               q.qne[1 : {MRL_SERVE_DIM}]))
+                    > 0
+                  THEN ROUND(
+                    list_inner_product(e.ne[1 : {MRL_SERVE_DIM}],
+                                       q.qne[1 : {MRL_SERVE_DIM}])
+                    / (sqrt(list_inner_product(e.ne[1 : {MRL_SERVE_DIM}],
+                                               e.ne[1 : {MRL_SERVE_DIM}]))
+                       * sqrt(list_inner_product(q.qne[1 : {MRL_SERVE_DIM}],
+                                                 q.qne[1 : {MRL_SERVE_DIM}]))),
+                    6)
+             END AS prefix_cos
+      FROM n e, q
+      WHERE e.vec_id <> {QUERY_VEC_ID}
+    ),
+    sl AS (SELECT * FROM t WHERE prefix_cos IS NOT NULL
+           ORDER BY prefix_cos DESC, vec_id LIMIT {MRL_R}),
+    ranked AS (
+      SELECT sl.vec_id, sl.prefix_cos,
+             ROUND(list_inner_product(sl.ne, q.qne), 6) AS cos_sim
+      FROM sl, q
+    )
+    SELECT vec_id, prefix_cos, cos_sim FROM ranked
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT 10
+    """,
+    doc=f"Matryoshka prefix-shortlist cascade (r17) — the SERVING form "
+    "of the trade similarity_mrl_truncation_sweep prices (the sweep "
+    "answers 'what does truncation cost'; this answers 'then retrieve "
+    f"with it'): stage 1 ranks by RENORMALIZED d={MRL_SERVE_DIM} "
+    f"prefix cosine (the sweep's exact scoring rule at its d="
+    f"{MRL_SERVE_DIM} rung — one shared expression, so the two cannot "
+    f"desync) and heap-cuts a {MRL_R}-row shortlist; stage 2 re-ranks "
+    "the shortlist by exact full-dim cosine — the IndexRefineFlat "
+    "pattern with truncation instead of quantization as the cheap "
+    "stage (the BQ cascade's shape at the FOURTH compression point; "
+    f"same {MRL_R}-row budget, so the two first stages price against "
+    "each other directly). Recall is the prefix shortlist's (the "
+    "documented residual: a better exact cosine outside the prefix "
+    "top-R stays absent); precision inside the shortlist is exact. "
+    "All-zero prefixes have undefined prefix cosine and are NULL-"
+    "filtered out of stage 1 identically on both engines — such rows "
+    "are unreachable at this rung, exactly as in the sweep. "
+    "Determinism: round-6 scores at both stages, (prefix_cos DESC, "
+    "vec_id) then (cos_sim DESC, vec_id) total orders. Plan: ONE "
+    "corpus scan, zero shuffles and zero Window nodes — the 1-row "
+    "query broadcast-cross-joins in, both cuts are heap-based "
+    "TakeOrderedAndProject, and the shortlist carries its ne through "
+    "so the rerank needs NO second scan or join. At 100 TB the prefix "
+    "persists as its OWN column in the mrl_index store (Parquet "
+    "cannot column-prune an array prefix — the sweep's stated "
+    "unservable win, closed by mrl_topk_from_store below): stage 1 "
+    f"column-prunes to (vec_id, pvec) = {MRL_SERVE_DIM * 8} payload "
+    f"bytes/row instead of {64 * 8}, stage 2 point-reads the "
+    "shortlist bucket-pruned. reference: no analogue — training-"
+    "pipeline extension (the compression-curve family).",
+)
+def similarity_mrl_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _with_normalized(_load_emb(spark, sf_dir))
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+            F.col("ne").alias("qne")
+        )
+    )
+    shortlist = (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(q)
+        .withColumn(
+            "prefix_cos", F.expr(_mrl_prefix_cos_sql(MRL_SERVE_DIM))
+        )
+        .filter(F.col("prefix_cos").isNotNull())
+        .orderBy(F.col("prefix_cos").desc(), "vec_id")
+        .limit(MRL_R)
+    )
+    return (
+        shortlist.select(
+            "vec_id",
+            "prefix_cos",
+            F.round(F.expr(_DOT_SPARK.format(a="ne", b="qne")), 6).alias(
+                "cos_sim"
+            ),
+        )
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(10)
+    )
+
+
 # ---------------------------------------------------------------------------
 # The persisted BQ index: similarity_bq_hamming_topk's serving story.
 #
@@ -2974,6 +3085,209 @@ def bq_topk_from_store(
         .select(
             "vec_id",
             ham_map[F.col("vec_id")].cast("bigint").alias("hamming_dist"),
+            cos.alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# The persisted MRL index: similarity_mrl_prefix_topk's serving story
+# (VERDICT r16 #6 — the one compression point without a serving leg).
+#
+# The sweep's doc states the production win honestly: a d=16 serve
+# should read 16 dims/row, but Parquet cannot column-prune an ARRAY
+# prefix — slicing nvec still reads all 64 dims. The index therefore
+# materializes the prefix as its OWN column at ingest: one artifact
+# holds (vec_id, pvec, nvec), so stage 1 column-prunes to (vec_id,
+# pvec) and stage 2 point-reads nvec bucket-pruned — the BQ store's
+# one-table/one-snapshot shape with truncation as the cheap stage.
+# pvec is stored UN-renormalized (= slice(ne, 1, 16) verbatim): the
+# prefix-cosine expression then evaluates the SAME doubles in the SAME
+# fold order as the in-session query and the sweep's d=16 rung, so
+# serve scores are bit-identical, not merely close (renormalizing at
+# ingest would distribute the division per element and shift ulps).
+
+#: The MRL artifact spec: ``mrl_index`` — (vec_id, pvec, nvec),
+#: bucketed by ``vec_id`` so the exact stage's shortlist point-reads
+#: prune to the ids' buckets, as in the BQ store.
+MRL_STORE_ARTIFACTS = {"mrl_index": ("vec_id",)}
+
+
+def mrl_store(spark: SparkSession, prefix: str, n_buckets: int = 16):
+    """A BucketedArtifactStore instantiated with the MRL artifact spec."""
+    from iceberg_explorer_spark.operators.incremental_artifacts import (
+        BucketedArtifactStore,
+    )
+
+    return BucketedArtifactStore(
+        spark, prefix, n_buckets, artifacts=MRL_STORE_ARTIFACTS
+    )
+
+
+def _mrl_prefixed(emb: DataFrame) -> DataFrame:
+    """(vec_id, pvec, nvec) rows from a normalized frame — pvec is the
+    raw d=MRL_SERVE_DIM prefix of the normalized vector (the ONE slice
+    rule the registered query and the sweep evaluate in-session, so the
+    artifact cannot desync on what the prefix is)."""
+    return emb.select(
+        "vec_id",
+        F.expr(f"slice(ne, 1, {MRL_SERVE_DIM})").alias("pvec"),
+        F.col("ne").alias("nvec"),
+    )
+
+
+def mrl_backfill(spark: SparkSession, sf_dir: str, store) -> None:
+    """One-time index build: persist every contract-passing vector's
+    d=MRL_SERVE_DIM prefix next to its full normalized vector, bucketed
+    by vec_id. Single artifact — the write IS the commit marker."""
+    store.write(
+        "mrl_index", _mrl_prefixed(_with_normalized(_load_emb(spark, sf_dir)))
+    )
+
+
+def mrl_append(store, new_emb: DataFrame, batch_id: "str | None" = None) -> bool:
+    """Nightly index append: slice an increment of raw embedding rows
+    and land them through the store's hash-aligned writer (at most one
+    new file per bucket per night). Truncation is a projection — no
+    centroid or codebook artifact to read, so the append is a pure map
+    over the increment, as for the BQ store. Backfill-first and
+    ``batch_id`` replay-idempotence come from the store layer.
+    Increment vec_ids must be globally NEW — the ingest id-allocation
+    invariant. Returns True iff rows landed."""
+    return store.append(
+        "mrl_index",
+        _mrl_prefixed(_with_normalized(_apply_emb_contract(new_emb))),
+        batch_id=batch_id,
+    )
+
+
+def _mrl_prefix_frame(art: DataFrame, query_vec: "list[float]",
+                      query_vec_id: "int | None") -> DataFrame:
+    """Stage 1 of the MRL serve, pre-cut: the prefix-cosine scan over
+    (vec_id, pvec) ONLY — split out so the column-pruning pin can
+    inspect exactly the frame the serve executes (ReadSchema must be
+    (vec_id, pvec): 16 dims/row, never the full vectors). The query
+    prefix rides as a literal array (no broadcast, no job); the scoring
+    expression is the sweep's ``_mrl_prefix_cos_sql`` over the stored
+    slice, so a stored query row scores bit-identically to the
+    registered query's stage 1."""
+    base = art.select("vec_id", "pvec")
+    if query_vec_id is not None:
+        base = base.filter(F.col("vec_id") != int(query_vec_id))
+    qlit = F.array(
+        *[F.lit(float(x)) for x in query_vec[:MRL_SERVE_DIM]]
+    )
+    return (
+        base.withColumn("qpv", qlit)
+        .select(
+            "vec_id",
+            F.expr(
+                _mrl_prefix_cos_sql(MRL_SERVE_DIM, a="pvec", b="qpv")
+            ).alias("prefix_cos"),
+        )
+        .filter(F.col("prefix_cos").isNotNull())
+    )
+
+
+def mrl_topk_from_store(
+    store,
+    query_vec: "list[float]",
+    query_vec_id: "int | None" = None,
+    r: int = MRL_R,
+    k: int = 10,
+    check_snapshot: bool = True,
+) -> DataFrame:
+    """Serve similarity_mrl_prefix_topk's semantics from the persisted
+    index — row-identical to the registered query (pinned by the
+    round-trip test) with the cascade's production plan:
+
+    1. the prefix stage: ONE scan of the index COLUMN-PRUNED to
+       (vec_id, pvec) — 16 dims/row instead of 64, the
+       win Parquet's inability to prune an array prefix denies the
+       in-session form — scored by the sweep's renormalized prefix
+       cosine against the query prefix as a literal array, heap-cut to
+       the top-``r`` by (prefix_cos DESC, vec_id) and COLLECTED: r
+       rows, the bounded O(R) driver legitimacy class;
+    2. the exact stage: ONE bucket-pruned scan of the SAME artifact
+       (vec_id is the bucket key — SelectedBucketsCount in the plan)
+       reading (vec_id, nvec), with the prefix scores attached as a
+       literal map and the exact cosine as an inlined literal-array
+       dot — zero joins, zero shuffles, zero Window nodes, zero
+       broadcasts in the returned frame.
+
+    Both stages read the ONE artifact, so there is no cross-store
+    same-snapshot contract; ``check_snapshot`` (default True) NARROWS
+    the residual window — a compaction or append landing BETWEEN the
+    two reads — by verifying the pruned scan covers every shortlist id
+    (one extra bounded job; raises ValueError naming the missing ids).
+    Narrows, not closes: the check executes eagerly while the returned
+    frame is lazy — materialize promptly when a fully settled read
+    matters, as for the BQ serve. ``query_vec`` is REQUIRED and must be
+    L2-normalized (``_validate_query_vec``); a query whose
+    d=16 prefix is all-zero is REFUSED loudly (its prefix
+    cosine is undefined, so stage 1 would return an arbitrary empty
+    shortlist — the same honesty as the NULL filter, surfaced instead
+    of silently served); ``query_vec_id`` is the stored id to EXCLUDE —
+    omit it for request vectors that are not stored rows."""
+    _validate_query_vec(query_vec)
+    if not any(float(x) != 0.0 for x in query_vec[:MRL_SERVE_DIM]):
+        raise ValueError(
+            f"query_vec's first {MRL_SERVE_DIM} dims are all zero — the "
+            "renormalized prefix cosine is undefined for this query at "
+            "this rung; serve it with a full-width method instead"
+        )
+    spark = store.spark
+    store.read("mrl_index")  # heal a crashed compaction first
+    s = _serve_session(spark)
+    s.catalog.refreshTable(_serve_table(store, "mrl_index"))
+    art = s.table(_serve_table(store, "mrl_index"))
+    shortlist = (
+        _mrl_prefix_frame(art, [float(x) for x in query_vec], query_vec_id)
+        .orderBy(F.col("prefix_cos").desc(), "vec_id")
+        .limit(r)
+        .collect()
+    )
+    if not shortlist:
+        return art.filter(F.lit(False)).select(
+            "vec_id",
+            F.lit(0.0).alias("prefix_cos"),
+            F.lit(0.0).alias("cos_sim"),
+        )
+    ids = [int(row["vec_id"]) for row in shortlist]
+    pcos_map = F.create_map(
+        *[
+            lit
+            for row in shortlist
+            for lit in (
+                F.lit(int(row["vec_id"])),
+                F.lit(float(row["prefix_cos"])),
+            )
+        ]
+    )
+    pruned = art.filter(F.col("vec_id").isin(ids))
+    if check_snapshot:
+        found = {
+            int(row["vec_id"])
+            for row in pruned.select("vec_id").collect()
+        }
+        missing = sorted(set(ids) - found)
+        if missing:
+            raise ValueError(
+                "mrl_topk_from_store: a concurrent rewrite landed between "
+                f"the two serve reads — {len(missing)} shortlist "
+                f"vec_id(s) absent from the point-read scan (first few: "
+                f"{missing[:5]}). Retry the serve against the settled "
+                "snapshot."
+            )
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    cos = F.round(F.expr(_DOT_SPARK.format(a="nvec", b="qe")), 6)
+    return (
+        pruned.withColumn("qe", qlit)
+        .select(
+            "vec_id",
+            pcos_map[F.col("vec_id")].cast("double").alias("prefix_cos"),
             cos.alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc(), "vec_id")

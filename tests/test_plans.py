@@ -1597,6 +1597,34 @@ def test_mrl_truncation_sweep_plan(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_mrl_prefix_topk_plan(spark):
+    """similarity_mrl_prefix_topk (r17) mirrors the BQ cascade's plan —
+    the cheapest-cascade shape with truncation as the cheap stage: ONE
+    parquet scan feeds the whole cascade (the only other scan is the
+    pushed-filter read of the query row for the 1-row broadcast), ZERO
+    shuffles, ZERO Window nodes, two TakeOrderedAndProject heaps (the
+    prefix shortlist cut carries its ne, so the exact re-rank needs NO
+    join back to the corpus), exactly one broadcast hint whose only
+    join is the 1-row BroadcastNestedLoopJoin cross, pure JVM, and the
+    scan pruned to (vec_id, embedding)."""
+    df = build(spark, "similarity_mrl_prefix_topk")
+    plan = pi.physical_plan(df)
+    assert pi.shuffle_count(df) == 0
+    assert plan.count("Window [") == 0
+    assert plan.count("TakeOrderedAndProject") == 2
+    assert pi.broadcast_hint_count(df) == 1
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "CartesianProduct" not in plan
+    assert "MapInPandas" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("Scan parquet") == 2
+    m = plan[plan.index("ReadSchema"):].splitlines()[0]
+    assert set(
+        c.split(":")[0]
+        for c in m.split("struct<")[1].split(">")[0].split(",")
+    ) == {"vec_id", "embedding"}
+
+
 def test_heldout_perplexity_plan(spark):
     """text_heldout_perplexity: the model is one-time eager work
     (checkpointed bigram + unigram tables — Scan ExistingRDD in the

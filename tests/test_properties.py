@@ -8341,3 +8341,175 @@ def test_mrl_truncation_sweep_generative_parity(spark, tmp_path):
         assert_matches_oracle(
             spec.builder(spark, d), con, spec.oracle, f"mrl_gen_{seed}"
         )
+
+
+def _mrl_cascade_model(vecs, r=30, k=10, query_vec_id=0, d=16):
+    """Independent model for similarity_mrl_prefix_topk: renormalized
+    d-prefix cosine shortlist (zero prefixes excluded), exact rerank.
+    Returns (rows, shortlist, tcos, cos): rows are the (vec_id,
+    prefix_cos, cos_sim) result tuples."""
+    ne = {}
+    for i, v in vecs.items():
+        nrm = _r16_sdot(v, v) ** 0.5
+        ne[i] = [x / nrm for x in v]
+    cand = [i for i in vecs if i != query_vec_id]
+    qp = ne[query_vec_id][:d]
+    nq = _r16_sdot(qp, qp) ** 0.5
+    tcos = {}
+    for i in cand:
+        p = ne[i][:d]
+        na = _r16_sdot(p, p) ** 0.5
+        if na * nq > 0:
+            tcos[i] = _r16_r6(_r16_sdot(p, qp) / (na * nq))
+    shortlist = sorted(tcos, key=lambda i: (-tcos[i], i))[:r]
+    cos = {i: _r16_r6(_r16_sdot(ne[i], ne[query_vec_id])) for i in cand}
+    top = sorted(shortlist, key=lambda i: (-cos[i], i))[:k]
+    return [(i, tcos[i], cos[i]) for i in top], shortlist, tcos, cos
+
+
+def test_mrl_prefix_topk_claims(spark, tmp_path):
+    """similarity_mrl_prefix_topk's distinguishing claims on a crafted
+    corpus built so every stage decides something (r17 — the serving
+    cascade of the sweep's d=16 rung): (1) row parity with the
+    independent model; (2) the exact stage genuinely RERANKS — the
+    false prefix-neighbor (prefix identical to the query, tail
+    opposite) tops stage 1 at prefix_cos 1.0 yet is dropped from the
+    returned k entirely (its exact cosine is negative, below every
+    returned row's); (3) the documented residual is
+    REAL — the best exact candidate among stage-1-eligible vectors
+    (better than every returned row) carries an ORTHOGONAL prefix
+    (prefix_cos 0.0), sits below every positive-prefix filler in
+    stage-1 order, misses the R-row shortlist, and is absent from the
+    result; (4) an all-zero-prefix vector is
+    unreachable at this rung (NULL-filtered out of stage 1) even
+    though its exact cosine would rank it; (5) oracle-checked."""
+    import duckdb
+
+    from iceberg_explorer_spark.operators import QUERIES
+    from iceberg_explorer_spark.operators.similarity import DIM, MRL_R
+    from tests.conftest import assert_matches_oracle
+
+    spec = QUERIES["similarity_mrl_prefix_topk"]
+
+    def vec(pairs):
+        v = [0.0] * DIM
+        for d_, a in pairs:
+            v[d_] = a
+        return v
+
+    # query: informative prefix (dims 0..3) AND informative tail
+    # (dims 24..31 — beyond the d=16 serving prefix)
+    q = vec([(d, 1.0) for d in range(4)] + [(d, 1.0) for d in range(24, 32)])
+    vecs = {0: q}
+    # A (20): false prefix-neighbor — prefix identical, tail opposite
+    vecs[20] = vec(
+        [(d, 1.0) for d in range(4)] + [(d, -1.0) for d in range(24, 32)]
+    )
+    # B (21): the residual — best exact candidate (tail equal to q's,
+    # more tail mass) with an ORTHOGONAL prefix (dims 4..7)
+    vecs[21] = vec(
+        [(d, 0.25) for d in range(4, 8)] + [(d, 1.0) for d in range(24, 32)]
+    )
+    # C (22): all-zero d=16 prefix, tail equal to q's — unreachable
+    vecs[22] = vec([(d, 1.0) for d in range(24, 32)])
+    # fillers 30..64 (35 > MRL_R): positive-but-imperfect prefix cosine
+    # (the prefix direction is deliberately NOT proportional to the
+    # query's, so no filler ties A's 1.0), orthogonal scattered tails —
+    # they fill the shortlist above B's 0.0
+    for j, i in enumerate(range(30, 65)):
+        vecs[i] = vec(
+            [(0, 1.0), (1, 0.5), (2, 0.25 + 0.25 * (j % 3)), (3, 0.125)]
+            + [(d, 1.0) for d in range(32 + (j % 4) * 8,
+                                       32 + (j % 4) * 8 + 8)]
+        )
+    assert len(vecs) - 1 > MRL_R
+    d1 = str(tmp_path / "mrlc_crafted")
+    spark.createDataFrame(
+        [(i, v, 0) for i, v in vecs.items()],
+        "vec_id long, embedding array<float>, label int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d1}/embeddings.parquet")
+
+    rows, shortlist, tcos, cos = _mrl_cascade_model(vecs)
+    got = [tuple(r) for r in spec.builder(spark, d1).collect()]
+    assert got == rows  # (1)
+    # (2) rerank: A tops stage 1 (prefix_cos 1.0, ahead of every
+    # filler) yet the exact stage drops it out of the returned k
+    # entirely — its exact cosine is NEGATIVE (opposite tail), below
+    # every returned row's
+    assert tcos[20] == 1.0 and shortlist[0] == 20
+    assert 20 not in {g[0] for g in got}
+    assert cos[20] < 0 and all(g[2] > cos[20] for g in got)
+    # (3) the residual: B is the best exact candidate among all
+    # stage-1-ELIGIBLE vectors (defined prefix), better than every
+    # returned row, yet its orthogonal prefix (0.0) keeps it below the
+    # positive-prefix fillers and out of the R-row shortlist
+    assert cos[21] == max(cos[i] for i in tcos)
+    assert all(cos[21] > g[2] for g in got)
+    assert tcos[21] == 0.0 and 21 not in shortlist
+    assert 21 not in {g[0] for g in got}
+    # (4) zero prefix: C has no stage-1 score at all, despite a high
+    # exact cosine
+    assert 22 not in tcos and cos[22] > 0.5
+    assert 22 not in {g[0] for g in got}
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{d1}/embeddings.parquet/*.parquet')"
+    )
+    assert_matches_oracle(
+        spec.builder(spark, d1), con, spec.oracle, "mrlc_crafted"
+    )
+
+
+def test_mrl_prefix_topk_generative_parity(spark, tmp_path):
+    """Seeded generative hammer for similarity_mrl_prefix_topk (the
+    pre-freeze rigging rule promoted in r15): md5 grid corpora vs the
+    independent cascade model and the oracle. Invariants per seed:
+    every returned row sits in the model's prefix shortlist, result
+    size is min(10, |shortlist|), prefix_cos and cos_sim live in
+    [-1, 1], and the returned rows are (cos_sim DESC, vec_id)-sorted."""
+    import duckdb
+    import hashlib
+
+    from iceberg_explorer_spark.operators import QUERIES
+    from iceberg_explorer_spark.operators.similarity import DIM
+    from tests.conftest import assert_matches_oracle
+
+    def h(*parts) -> int:
+        return hashlib.md5(":".join(map(str, parts)).encode()).digest()[0]
+
+    spec = QUERIES["similarity_mrl_prefix_topk"]
+    for seed in ("mc1", "mc2", "mc3"):
+        n = 40 + h(seed, "n") % 20
+        vecs = {}
+        for i in range(n):
+            # values on a 1/64 grid: exactly representable in float32,
+            # so the model's doubles match the stored corpus bit-level
+            v = [(h(seed, i, d) - 128) / 64.0 for d in range(DIM)]
+            if all(x == 0.0 for x in v):
+                v[0] = 1.0 / 64.0
+            vecs[i] = v
+        d = str(tmp_path / f"mclg_{seed}")
+        spark.createDataFrame(
+            [(i, v, i % 2) for i, v in vecs.items()],
+            "vec_id long, embedding array<float>, label int",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{d}/embeddings.parquet"
+        )
+        rows, shortlist, _tcos, _cos = _mrl_cascade_model(vecs)
+        got = [tuple(r) for r in spec.builder(spark, d).collect()]
+        assert got == rows, (seed, got, rows)
+        sl = set(shortlist)
+        assert all(g[0] in sl for g in got), seed
+        assert len(got) == min(10, len(shortlist)), seed
+        for g in got:
+            assert -1.0 <= g[1] <= 1.0 and -1.0 <= g[2] <= 1.0, seed
+        assert got == sorted(got, key=lambda g: (-g[2], g[0])), seed
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{d}/embeddings.parquet/*.parquet')"
+        )
+        assert_matches_oracle(
+            spec.builder(spark, d), con, spec.oracle, f"mclg_{seed}"
+        )
