@@ -5839,10 +5839,15 @@ def test_index_store_generative_schedules(spark, tmp_path):
     round-trip covers only the straight-line sequence).
 
     r16 (the round's own serve): the BQ store joins too — every
-    nightly batch lands on all THREE stores (paired), replays replay
-    everywhere, the compact step picks among three stores, and
+    nightly batch lands on all the stores (paired), replays replay
+    everywhere, the compact step picks among the stores, and
     bq_topk_from_store is row-parity-checked against
-    similarity_bq_hamming_topk after every step."""
+    similarity_bq_hamming_topk after every step.
+
+    r17 (the round's own serve): the MRL store is the FOURTH member —
+    mrl_append rides every nightly batch and replay, compaction picks
+    among four stores, and mrl_topk_from_store is row-parity-checked
+    against similarity_mrl_prefix_topk after every step."""
     import hashlib
 
     import pyspark.sql.functions as F
@@ -5866,6 +5871,10 @@ def test_index_store_generative_schedules(spark, tmp_path):
         ivfpq_refine_from_store,
         ivfpq_store,
         ivfpq_topk_from_store,
+        mrl_append,
+        mrl_backfill,
+        mrl_store,
+        mrl_topk_from_store,
     )
 
     def h(*parts) -> int:
@@ -5891,10 +5900,12 @@ def test_index_store_generative_schedules(spark, tmp_path):
         ivf_s = ivf_store(spark, f"t_ivf_gen_{seed}", n_buckets=4)
         pq_s = ivfpq_store(spark, f"t_ivfpq_gen_{seed}", n_buckets=4)
         bq_s = bq_store(spark, f"t_bq_gen_{seed}", n_buckets=4)
+        mrl_s = mrl_store(spark, f"t_mrl_gen_{seed}", n_buckets=4)
         try:
             ivf_backfill_lists(spark, corpus_dir, ivf_s)
             ivfpq_backfill(spark, corpus_dir, pq_s)
             bq_backfill(spark, corpus_dir, bq_s)
+            mrl_backfill(spark, corpus_dir, mrl_s)
             cb = ivfpq_codebook(pq_s)  # hoisted once per publish
             qv = [
                 float(x)
@@ -5929,6 +5940,12 @@ def test_index_store_generative_schedules(spark, tmp_path):
                         .builder(spark, corpus_dir)
                         .collect()
                     ],
+                    [
+                        tuple(r)
+                        for r in QUERIES["similarity_mrl_prefix_topk"]
+                        .builder(spark, corpus_dir)
+                        .collect()
+                    ],
                 )
 
             def increment_df(pairs):
@@ -5940,8 +5957,8 @@ def test_index_store_generative_schedules(spark, tmp_path):
                     inc_schema,
                 )
 
-            exp_ivf, exp_pq, exp_ref, exp_bq = expected()
-            assert exp_ivf and exp_pq and exp_ref and exp_bq
+            exp_ivf, exp_pq, exp_ref, exp_bq, exp_mrl = expected()
+            assert exp_ivf and exp_pq and exp_ref and exp_bq and exp_mrl
             model = {}  # batch_id -> [(new_id, src_row_index)]
             landed_order = []
             next_id = 10_000_000
@@ -5956,8 +5973,11 @@ def test_index_store_generative_schedules(spark, tmp_path):
                     assert ivf_append_lists(ivf_s, inc, batch_id=bid) is False
                     assert ivfpq_append(pq_s, inc, batch_id=bid) is False
                     assert bq_append(bq_s, inc, batch_id=bid) is False
+                    assert mrl_append(mrl_s, inc, batch_id=bid) is False
                 elif kind == 1:
-                    (ivf_s, pq_s, bq_s)[h(seed, step, "which") % 3].compact()
+                    (ivf_s, pq_s, bq_s, mrl_s)[
+                        h(seed, step, "which") % 4
+                    ].compact()
                 else:
                     bid = f"night-{step}"
                     n = 2 + h(seed, step, "n") % 3
@@ -5974,12 +5994,13 @@ def test_index_store_generative_schedules(spark, tmp_path):
                     assert ivf_append_lists(ivf_s, inc, batch_id=bid) is True
                     assert ivfpq_append(pq_s, inc, batch_id=bid) is True
                     assert bq_append(bq_s, inc, batch_id=bid) is True
+                    assert mrl_append(mrl_s, inc, batch_id=bid) is True
                     inc.write.mode("append").parquet(
                         f"{corpus_dir}/embeddings.parquet"
                     )
                     model[bid] = pairs
                     landed_order.append(bid)
-                    exp_ivf, exp_pq, exp_ref, exp_bq = expected()
+                    exp_ivf, exp_pq, exp_ref, exp_bq, exp_mrl = expected()
                 # serve row-parity after EVERY step, both forms
                 got_ivf = [
                     tuple(r) for r in ivf_topk_from_store(ivf_s).collect()
@@ -6021,10 +6042,19 @@ def test_index_store_generative_schedules(spark, tmp_path):
                     ).collect()
                 ]
                 assert got_bq == exp_bq, (seed, step, kind)
+                # r17: the MRL serve over its single artifact
+                got_mrl = [
+                    tuple(r)
+                    for r in mrl_topk_from_store(
+                        mrl_s, qv, query_vec_id=0
+                    ).collect()
+                ]
+                assert got_mrl == exp_mrl, (seed, step, kind)
         finally:
             ivf_s.drop()
             pq_s.drop()
             bq_s.drop()
+            mrl_s.drop()
 
 
 def test_ivf_pq_refine_topk_claims(spark, tmp_path):
@@ -7814,6 +7844,161 @@ def test_bq_store_round_trip(spark):
             bq_topk_from_store(st, [2.0] * 64)
         with pytest.raises(ValueError, match="finite"):
             bq_topk_from_store(st, [float("nan")] * 64)
+    finally:
+        st.drop()
+
+
+def test_mrl_store_round_trip(spark):
+    """The MRL cascade's serving story (r17 — VERDICT r16 #6: the one
+    compression point without a persisted serving leg; pairing
+    similarity_mrl_prefix_topk with its index, the BQ store's
+    discipline): (1) serve parity — mrl_topk_from_store returns
+    ROW-IDENTICAL results to the registered query, with and without
+    the default snapshot check; (2) the returned frame is the
+    production plan — ONE scan of the single artifact, bucket-PRUNED
+    to the shortlist ids' buckets, prefix scores as a literal map, the
+    exact cosine inlined: zero joins, zero shuffles, zero Window
+    nodes, zero broadcasts; (3) stage 1's prefix frame is
+    COLUMN-PRUNED to (vec_id, pvec) — the 16-dims-per-row read that is
+    the index's whole point (Parquet cannot prune an array prefix, so
+    ONLY the store can serve this); (4) the d=16 RUNG ROUND-TRIP: with
+    r=10 the serve's hit count against the exact top-10 equals the
+    registered sweep's n_hits at trunc_dim=16 — the store serves
+    exactly the rung the sweep priced; (5) a nightly append surfaces
+    in the serve (an exact duplicate of the query takes rank 1 at
+    prefix_cos 1.0 / cos_sim 1.0), a replayed append is dropped, and
+    compaction leaves the served rows identical; (6) malformed,
+    unnormalized, or zero-prefix query vectors are refused loudly."""
+    import re
+
+    import pytest
+
+    from iceberg_explorer_spark.operators import QUERIES
+    from iceberg_explorer_spark.operators.similarity import (
+        _load_emb,
+        _mrl_prefix_frame,
+        _serve_session,
+        _serve_table,
+        _with_normalized,
+        mrl_append,
+        mrl_backfill,
+        mrl_store,
+        mrl_topk_from_store,
+    )
+    from iceberg_explorer_spark.plans import inspect as pi
+
+    d = "/root/testdata/sf0.01"
+    n_buckets = 4
+    st = mrl_store(spark, "t_mrl_rt", n_buckets=n_buckets)
+    try:
+        # backfill-first gate at the store layer
+        inc0 = spark.range(0).selectExpr(
+            "id AS vec_id",
+            "CAST(array() AS array<float>) AS embedding",
+            "CAST(0 AS int) AS label",
+        )
+        with pytest.raises(ValueError, match="does not exist"):
+            mrl_append(st, inc0, batch_id="too-early")
+
+        mrl_backfill(spark, d, st)
+        emb = _with_normalized(_load_emb(spark, d))
+        qv = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == 0).first()["ne"]
+        ]
+        served = mrl_topk_from_store(st, qv, query_vec_id=0)
+        got = [tuple(r) for r in served.collect()]
+        want = [
+            tuple(r)
+            for r in QUERIES["similarity_mrl_prefix_topk"]
+            .builder(spark, d)
+            .collect()
+        ]
+        assert got == want and got
+        assert [
+            tuple(r)
+            for r in mrl_topk_from_store(
+                st, qv, query_vec_id=0, check_snapshot=False
+            ).collect()
+        ] == got
+
+        # (2) the production plan of the returned frame
+        plan = pi.physical_plan(served)
+        assert pi.shuffle_count(served) == 0
+        assert "Join" not in plan
+        assert "Window" not in plan
+        assert "BroadcastExchange" not in plan
+        assert plan.count("Scan parquet") == 1
+        small = mrl_topk_from_store(st, qv, query_vec_id=0, r=3, k=3)
+        m = re.search(
+            r"SelectedBucketsCount: (\d+) out of (\d+)",
+            pi.physical_plan(small),
+        )
+        assert m, pi.physical_plan(small)
+        assert int(m.group(1)) <= 3 < int(m.group(2)) == n_buckets
+
+        # (3) stage 1 reads the prefix column only
+        s = _serve_session(spark)
+        art = s.table(_serve_table(st, "mrl_index"))
+        p_plan = pi.physical_plan(_mrl_prefix_frame(art, qv, 0))
+        mm = p_plan[p_plan.index("ReadSchema"):].splitlines()[0]
+        assert set(
+            c.split(":")[0]
+            for c in mm.split("struct<")[1].split(">")[0].split(",")
+        ) == {"vec_id", "pvec"}
+
+        # (4) the d=16 rung round-trip against the registered sweep
+        sweep = {
+            r["trunc_dim"]: r
+            for r in QUERIES["similarity_mrl_truncation_sweep"]
+            .builder(spark, d)
+            .collect()
+        }
+        bf_ids = {
+            r["vec_id"]
+            for r in QUERIES["similarity_bruteforce_topk"]
+            .builder(spark, d)
+            .collect()
+        }
+        served10 = {
+            r["vec_id"]
+            for r in mrl_topk_from_store(
+                st, qv, query_vec_id=0, r=10, k=10
+            ).collect()
+        }
+        assert len(served10 & bf_ids) == sweep[16]["n_hits"]
+
+        # (5) nightly append, replay, compaction
+        new_id = 15_000_000
+        inc = (
+            spark.read.parquet(f"{d}/embeddings.parquet")
+            .filter(F.col("vec_id") == 0)
+            .withColumn("vec_id", F.lit(new_id).cast("long"))
+        )
+        assert mrl_append(st, inc, batch_id="night-1") is True
+        served2 = [
+            tuple(r)
+            for r in mrl_topk_from_store(st, qv, query_vec_id=0).collect()
+        ]
+        assert served2[0] == (new_id, 1.0, 1.0)
+        assert mrl_append(st, inc, batch_id="night-1") is False
+        st.compact()
+        assert [
+            tuple(r)
+            for r in mrl_topk_from_store(st, qv, query_vec_id=0).collect()
+        ] == served2
+
+        # (6) loud input contracts
+        with pytest.raises(ValueError, match="normalized"):
+            mrl_topk_from_store(st, [2.0] * 64)
+        with pytest.raises(ValueError, match="finite"):
+            mrl_topk_from_store(st, [float("nan")] * 64)
+        zp = [0.0] * 16 + qv[16:]
+        import math
+
+        nz = math.sqrt(sum(x * x for x in zp))
+        with pytest.raises(ValueError, match="all zero"):
+            mrl_topk_from_store(st, [x / nz for x in zp])
     finally:
         st.drop()
 
