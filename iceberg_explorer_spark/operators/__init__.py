@@ -803,6 +803,28 @@ Round 16 adds similarity_mrl_truncation_sweep — the FOURTH point on
   recovered at d=64). 3x point: 2.35 -> 2.23 s (flat). Full rigging
   checklist incl. the pre-freeze generative hammer; bench EXTENDED.
   Registry: 163 queries / 160 oracle-bearing.
+Round 17 executed every r16 verdict/advice item (corrected window
+  derivation below + scripts/rotation_plan.py mechanizing it; the
+  bench v4 flip; the watermark global-lower-bound EXECUTED in the
+  claims test; lm_append's unigram empty-delta guard; the BQ doc
+  f-string; the narrows-not-closes check_snapshot docstrings) and
+  added the MRL serving leg (VERDICT #6) as a full citizen pair:
+  similarity_mrl_prefix_topk — the d=16 prefix-shortlist cascade
+  (stage 1 = the sweep's renormalized prefix cosine at its d=16 rung
+  via the SAME expression, 30-row heap shortlist; stage 2 exact
+  full-dim rerank; the BQ cascade's one-scan/zero-shuffle/two-heap
+  plan, pinned) with oracle + crafted claims (stage-1 winner dropped
+  by rerank, orthogonal-prefix residual real, zero-prefix rows
+  unreachable) + generative parity — and the persisted mrl_index
+  (vec_id, pvec, nvec bucketed by vec_id: the prefix as its OWN
+  column, closing the sweep's stated Parquet-cannot-prune-an-array-
+  prefix gap; stage 1 column-pruned to 16 dims/row, stage 2
+  bucket-pruned point reads, pvec stored un-renormalized for
+  bit-identical serve scores; pure-map appends; round-trip incl. the
+  d=16 RUNG round-trip vs the sweep's n_hits; FOURTH member of the
+  generative store schedules). Measured sf0.1 min-of-5: serve 0.576 s
+  vs registered 0.897 s; backfill 6.95 s one-time; 3x point 1.56 ->
+  1.27 s (flat). Registry: 164 queries / 161 oracle-bearing.
 The r17 window plan (written at r16 freeze; execute verbatim if r16
   comes back green): flagship + the FIVE r16 newcomers
   (similarity_bq_hamming_topk, similarity_bq_r_sweep,
