@@ -824,7 +824,20 @@ Round 17 executed every r16 verdict/advice item (corrected window
   d=16 RUNG round-trip vs the sweep's n_hits; FOURTH member of the
   generative store schedules). Measured sf0.1 min-of-5: serve 0.576 s
   vs registered 0.897 s; backfill 6.95 s one-time; 3x point 1.56 ->
-  1.27 s (flat). Registry: 164 queries / 161 oracle-bearing.
+  1.27 s (flat).
+Round 17 also adds similarity_mrl_r_sweep — the MRL_R calibration leg
+  completing the family symmetry (every cascade ships with the sweep
+  that prices its budget knob): recall@10 at R in (10, 30, 100) from
+  ONE scored pass via the BQ sweep's membership identity (EXECUTED vs
+  the literal cascade in the generative test), prefix_cos_cut the
+  radius each R implies. Honest findings: zero-prefix vectors are
+  structurally unreachable at EVERY R (caps recall below 1.0 —
+  crafted-pinned, the asymmetry vs BQ where every vector has a
+  sketch), and the untrained-corpus curve 0.1/0.3/0.7 at sf0.01 sits
+  strictly BELOW the BQ sketch's 0.3/0.6/0.9 at identical budgets —
+  the never-truncate-untrained lesson priced at the cascade level.
+  3x point 2.82 -> 2.26 s (flat). Full rigging checklist; bench
+  EXTENDED. Registry: 165 queries / 162 oracle-bearing.
 The r17 window plan (written at r16 freeze; execute verbatim if r16
   comes back green): flagship + the FIVE r16 newcomers
   (similarity_bq_hamming_topk, similarity_bq_r_sweep,

@@ -2572,6 +2572,189 @@ def similarity_bq_r_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: The MRL serving prefix width and shortlist size: the d=16 rung of
+#: similarity_mrl_truncation_sweep's curve (4x fewer scan bytes than the
+#: full vector), refined through the same shortlist budget as the BQ
+#: cascade so the two first stages price against each other directly.
+MRL_SERVE_DIM = 16
+MRL_R = 30
+
+
+#: The MRL cascade's shortlist calibration grid — deliberately the BQ
+#: sweep's rungs, so the two cheap stages' recall-vs-R curves read off
+#: against each other at identical budgets.
+MRL_SWEEP_RS = (10, 30, 100)
+
+
+def _mrl_r_sweep_oracle() -> str:
+    """The MRL shortlist sweep's oracle, composed from the same prefix
+    rule as the cascade (d fixed at MRL_SERVE_DIM)."""
+    values = ", ".join(f"({x})" for x in MRL_SWEEP_RS)
+    return f"""
+    WITH n AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> x / sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                                CAST(embedding AS DOUBLE[]))))
+               AS ne
+      FROM {{emb}}
+    ),
+    q AS (SELECT ne AS qne FROM n WHERE vec_id = {QUERY_VEC_ID}),
+    scored AS (
+      SELECT e.vec_id,
+             CASE WHEN sqrt(list_inner_product(e.ne[1 : {MRL_SERVE_DIM}],
+                                               e.ne[1 : {MRL_SERVE_DIM}]))
+                     * sqrt(list_inner_product(q.qne[1 : {MRL_SERVE_DIM}],
+                                               q.qne[1 : {MRL_SERVE_DIM}]))
+                    > 0
+                  THEN ROUND(
+                    list_inner_product(e.ne[1 : {MRL_SERVE_DIM}],
+                                       q.qne[1 : {MRL_SERVE_DIM}])
+                    / (sqrt(list_inner_product(e.ne[1 : {MRL_SERVE_DIM}],
+                                               e.ne[1 : {MRL_SERVE_DIM}]))
+                       * sqrt(list_inner_product(q.qne[1 : {MRL_SERVE_DIM}],
+                                                 q.qne[1 : {MRL_SERVE_DIM}]))),
+                    6)
+             END AS tcos,
+             ROUND(list_inner_product(e.ne, q.qne), 6) AS cos
+      FROM n e, q
+      WHERE e.vec_id <> {QUERY_VEC_ID}
+    ),
+    t10 AS (SELECT vec_id FROM scored ORDER BY cos DESC, vec_id LIMIT 10),
+    d AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM t10),
+    ranked AS (
+      SELECT vec_id, tcos,
+             ROW_NUMBER() OVER (ORDER BY tcos DESC, vec_id) AS rk
+      FROM (SELECT * FROM scored WHERE tcos IS NOT NULL
+            ORDER BY tcos DESC, vec_id LIMIT {max(MRL_SWEEP_RS)})
+    )
+    SELECT rs.shortlist_r,
+           CAST(COUNT(*) AS BIGINT) AS n_candidates,
+           MIN(r.tcos) AS prefix_cos_cut,
+           CAST(SUM(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_hits,
+           CAST(SUM(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS DOUBLE) / d.nt AS recall_at_10
+    FROM ranked r
+    JOIN (VALUES {values})
+      AS rs(shortlist_r) ON r.rk <= rs.shortlist_r
+    LEFT JOIN t10 t USING (vec_id)
+    CROSS JOIN d
+    GROUP BY rs.shortlist_r, d.nt
+    """.format(emb=_EMB_SQL)
+
+
+@query(
+    "similarity_mrl_r_sweep",
+    oracle=_mrl_r_sweep_oracle(),
+    doc=f"MRL shortlist-size calibration sweep (r17) — the tuning leg "
+    "for similarity_mrl_prefix_topk, completing the family symmetry "
+    "(every cascade in this repo ships with the sweep that prices its "
+    "budget knob: nprobe, code bytes, BQ_R, now MRL_R): recall@10 of "
+    f"the d={MRL_SERVE_DIM} prefix cascade at shortlist sizes "
+    f"{MRL_SWEEP_RS}, from ONE scored pass. The BQ sweep's membership "
+    "identity holds verbatim — the exact re-rank keeps the best "
+    "cosines within the shortlist, so cascade recall@10 at size R "
+    "equals |true top-10 ∩ prefix top-R| / |true top-10| exactly, and "
+    "the sweep never runs the cascade R times. prefix_cos_cut reports "
+    "the prefix-cosine radius each R implies — the threshold a "
+    "radius-based variant would tune instead. Two honest asymmetries "
+    "vs the BQ sweep: (a) zero-prefix vectors are structurally "
+    "UNREACHABLE at every R (they have no prefix score at all — the "
+    "cascade's NULL filter), so a true neighbor with an all-zero "
+    "prefix caps recall below 1.0 at EVERY rung, which the crafted "
+    "test pins and n_candidates (min(R, non-null candidates)) makes "
+    "readable; (b) as with BQ there is NO structural saturation rung "
+    "— no fixed R saturates a growing corpus — so the measured curve "
+    "IS the finding, and on the untrained synthetic corpus it is "
+    "BLUNT: 0.1/0.3/0.7 at sf0.01, strictly below the BQ sketch's "
+    "0.3/0.6/0.9 at identical budgets — an untrained 16-dim prefix "
+    "is a WEAKER first stage than a 64-bit sign sketch that at least "
+    "samples every dimension, which is the truncation sweep's "
+    "never-truncate-untrained lesson priced at the cascade level "
+    "(on an MRL-trained model the comparison is expected to invert; "
+    "this sweep is the instrument that would show it). "
+    "Determinism: round-6 scores, (tcos DESC, vec_id) / "
+    "(cos DESC, vec_id) total orders, integer hit counts divided "
+    "once. Plan: the scored pass is consumed by two heap cuts "
+    "(TakeOrderedAndProject — no corpus-wide Window anywhere); the "
+    "true-top-10 and the count are tiny broadcast sides; the one "
+    f"row_number Window ranks the heap-cut {max(MRL_SWEEP_RS)}-row "
+    "frame; the per-R fan-out explodes that frame, so everything "
+    "after the heaps is O(sum(Rs)) rows. At 100 TB both heaps are "
+    "map-side partial top-k + one merge, and the scored pass reads "
+    f"the mrl_index's (vec_id, pvec) columns ({MRL_SERVE_DIM} dims/"
+    "row) once. reference: no analogue — training-pipeline extension.",
+)
+def similarity_mrl_r_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = _with_normalized(_load_emb(spark, sf_dir))
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+            F.col("ne").alias("qne")
+        )
+    )
+    scored = (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(q)
+        .select(
+            "vec_id",
+            F.expr(_mrl_prefix_cos_sql(MRL_SERVE_DIM)).alias("tcos"),
+            F.round(F.expr(_DOT_SPARK.format(a="ne", b="qne")), 6).alias(
+                "cos"
+            ),
+        )
+    )
+    t10 = F.broadcast(
+        scored.orderBy(F.col("cos").desc(), "vec_id")
+        .limit(10)
+        .select("vec_id", F.lit(1).alias("hit"))
+    )
+    d = F.broadcast(t10.agg(F.count(F.lit(1)).cast("bigint").alias("nt")))
+    # the max(Rs)-row shortlist, ranked: the row_number Window runs on
+    # a frame the heap already cut — never the corpus
+    ranked = (
+        scored.filter(F.col("tcos").isNotNull())
+        .orderBy(F.col("tcos").desc(), "vec_id")
+        .limit(max(MRL_SWEEP_RS))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.col("tcos").desc(), "vec_id")
+            ),
+        )
+        .join(t10, "vec_id", "left")
+    )
+    return (
+        ranked.withColumn(
+            "shortlist_r",
+            F.explode(F.array(*[F.lit(r) for r in MRL_SWEEP_RS])),
+        )
+        .filter(F.col("rk") <= F.col("shortlist_r"))
+        .crossJoin(d)
+        .groupBy("shortlist_r", "nt")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+            F.min("tcos").alias("prefix_cos_cut"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_hits"),
+            (
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
+                / F.first("nt")
+            ).alias("recall_at_10"),
+        )
+        .select(
+            "shortlist_r",
+            "n_candidates",
+            "prefix_cos_cut",
+            "n_hits",
+            "recall_at_10",
+        )
+    )
+
+
 #: The MRL truncation grid: prefix lengths priced by the sweep. The last
 #: rung is DIM itself — the structural saturation anchor (the probe
 #: sweep's nprobe=K rule): at d = DIM the "truncated" cosine is the full
@@ -2785,14 +2968,6 @@ def similarity_mrl_truncation_sweep(
             .alias("recall"),
         )
     )
-
-
-#: The MRL serving prefix width and shortlist size: the d=16 rung of
-#: similarity_mrl_truncation_sweep's curve (4x fewer scan bytes than the
-#: full vector), refined through the same shortlist budget as the BQ
-#: cascade so the two first stages price against each other directly.
-MRL_SERVE_DIM = 16
-MRL_R = 30
 
 
 @query(

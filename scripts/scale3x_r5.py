@@ -39,6 +39,7 @@ DEFAULT_OPS = [
 #: symlink to the 1x files)
 OP_TABLE = {
     "similarity_mrl_prefix_topk": "embeddings",
+    "similarity_mrl_r_sweep": "embeddings",
     "similarity_bq_hamming_topk": "embeddings",
     "similarity_bq_r_sweep": "embeddings",
     "similarity_mrl_truncation_sweep": "embeddings",

@@ -1577,6 +1577,25 @@ def test_bq_r_sweep_plan(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_mrl_r_sweep_plan(spark):
+    """similarity_mrl_r_sweep (r17) mirrors the BQ sweep's plan: the
+    scored pass is consumed by heap cuts only (the true-top-10 cut and
+    the max(R)-row shortlist cut, both TakeOrderedAndProject), and the
+    single Window node ranks the ALREADY-CUT frame — a
+    TakeOrderedAndProject sits BELOW it, so the row_number never sees
+    the corpus. Zero shuffles, tiny broadcast sides only, pure JVM."""
+    df = build(spark, "similarity_mrl_r_sweep")
+    plan = pi.physical_plan(df)
+    assert pi.shuffle_count(df) == 0
+    assert plan.count("TakeOrderedAndProject") >= 2
+    assert plan.count("Window [") == 1
+    w = plan.index("Window [")
+    assert "TakeOrderedAndProject" in plan[w:]
+    assert "MapInPandas" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_mrl_truncation_sweep_plan(spark):
     """similarity_mrl_truncation_sweep: every config's truncated cosine
     explodes from ONE normalized pass; per-config top-k is the exact

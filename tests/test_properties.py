@@ -7848,6 +7848,185 @@ def test_bq_store_round_trip(spark):
         st.drop()
 
 
+def _mrl_r_sweep_model(vecs, rs=(10, 30, 100), query_vec_id=0, d=16):
+    """Independent model for similarity_mrl_r_sweep: renormalized
+    d-prefix cosine ranking (zero prefixes excluded), per-R prefix
+    shortlist membership vs the exact top-10."""
+    ne = {}
+    for i, v in vecs.items():
+        nrm = _r16_sdot(v, v) ** 0.5
+        ne[i] = [x / nrm for x in v]
+    cand = [i for i in vecs if i != query_vec_id]
+    qp = ne[query_vec_id][:d]
+    nq = _r16_sdot(qp, qp) ** 0.5
+    tcos = {}
+    for i in cand:
+        p = ne[i][:d]
+        na = _r16_sdot(p, p) ** 0.5
+        if na * nq > 0:
+            tcos[i] = _r16_r6(_r16_sdot(p, qp) / (na * nq))
+    cos = {i: _r16_r6(_r16_sdot(ne[i], ne[query_vec_id])) for i in cand}
+    t10 = set(sorted(cand, key=lambda i: (-cos[i], i))[:10])
+    by_t = sorted(tcos, key=lambda i: (-tcos[i], i))
+    out = []
+    for r in rs:
+        prefix = by_t[:r]
+        if not prefix:
+            continue
+        hits = sum(1 for i in prefix if i in t10)
+        out.append(
+            (r, len(prefix), min(tcos[i] for i in prefix), hits,
+             hits / len(t10))
+        )
+    return sorted(out), tcos, cos, t10
+
+
+def test_mrl_r_sweep_claims(spark, tmp_path):
+    """similarity_mrl_r_sweep's distinguishing claims on the cascade
+    claims test's crafted corpus (every stage decides something there
+    too): (1) row parity with the independent model; (2) recall steps
+    UP at the widest rung for a real reason — the orthogonal-prefix
+    true neighbor (vec 21, prefix_cos 0.0) ranks below all 36
+    positive-prefix candidates, is missed at R=10 and R=30, and is
+    captured at R=100: the exact recall-vs-R trade the sweep prices;
+    (3) the zero-prefix blind spot CAPS recall below 1.0 at EVERY rung
+    — vec 22 is in the true top-10 but has no prefix score, so even
+    the R that exhausts every scored candidate cannot reach it (the
+    honest asymmetry vs the BQ sweep, where every vector has a
+    sketch); (4) recall is monotone in R and n_candidates ==
+    min(R, |non-null candidates|); (5) prefix_cos_cut is the MIN
+    prefix cosine inside each shortlist, non-increasing in R.
+    Oracle-checked."""
+    import duckdb
+
+    from iceberg_explorer_spark.operators import QUERIES
+    from iceberg_explorer_spark.operators.similarity import DIM
+    from tests.conftest import assert_matches_oracle
+
+    spec = QUERIES["similarity_mrl_r_sweep"]
+
+    def vec(pairs):
+        v = [0.0] * DIM
+        for d_, a in pairs:
+            v[d_] = a
+        return v
+
+    q = vec([(d, 1.0) for d in range(4)] + [(d, 1.0) for d in range(24, 32)])
+    vecs = {0: q}
+    vecs[20] = vec(
+        [(d, 1.0) for d in range(4)] + [(d, -1.0) for d in range(24, 32)]
+    )
+    vecs[21] = vec(
+        [(d, 0.25) for d in range(4, 8)] + [(d, 1.0) for d in range(24, 32)]
+    )
+    vecs[22] = vec([(d, 1.0) for d in range(24, 32)])
+    for j, i in enumerate(range(30, 65)):
+        vecs[i] = vec(
+            [(0, 1.0), (1, 0.5), (2, 0.25 + 0.25 * (j % 3)), (3, 0.125)]
+            + [(d, 1.0) for d in range(32 + (j % 4) * 8,
+                                       32 + (j % 4) * 8 + 8)]
+        )
+    d1 = str(tmp_path / "mrlrs_crafted")
+    spark.createDataFrame(
+        [(i, v, 0) for i, v in vecs.items()],
+        "vec_id long, embedding array<float>, label int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d1}/embeddings.parquet")
+
+    rows, tcos, cos, t10 = _mrl_r_sweep_model(vecs)
+    got = sorted(tuple(r) for r in spec.builder(spark, d1).collect())
+    assert got == rows  # (1)
+    by_r = {g[0]: g for g in got}
+    # (2) vec 21: true neighbor, prefix rank below every positive filler
+    assert 21 in t10 and tcos[21] == 0.0
+    rank21 = sorted(tcos, key=lambda i: (-tcos[i], i)).index(21) + 1
+    assert 30 < rank21 <= 100
+    assert by_r[100][3] > by_r[30][3]
+    # (3) vec 22: in the true top-10, structurally unreachable
+    assert 22 in t10 and 22 not in tcos
+    n_scored = len(tcos)
+    assert by_r[100][1] == min(100, n_scored)  # R=100 exhausts the scored
+    assert by_r[100][4] < 1.0  # ...and still cannot reach 1.0
+    # (4) monotone recall, candidate counts
+    assert by_r[10][4] <= by_r[30][4] <= by_r[100][4]
+    for r in (10, 30, 100):
+        assert by_r[r][1] == min(r, n_scored)
+    # (5) the cut is the shortlist's min prefix cosine, non-increasing
+    assert by_r[10][2] >= by_r[30][2] >= by_r[100][2]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{d1}/embeddings.parquet/*.parquet')"
+    )
+    assert_matches_oracle(
+        spec.builder(spark, d1), con, spec.oracle, "mrlrs_crafted"
+    )
+
+
+def test_mrl_r_sweep_generative_parity(spark, tmp_path):
+    """Seeded generative hammer for similarity_mrl_r_sweep: md5 grid
+    corpora (1/64 grid — float32-exact) vs the independent model and
+    the oracle. Invariants per seed: recall monotone non-decreasing in
+    R, n_candidates == min(R, scored candidates), prefix_cos_cut
+    non-increasing in R, recall values in [0, 1], and the membership
+    identity against the registered CASCADE at its own R: the
+    cascade's returned ids ∩ exact top-10 == n_hits at the cascade's
+    shortlist size (the sweep never runs the cascade — this executes
+    the identity it relies on)."""
+    import duckdb
+    import hashlib
+
+    from iceberg_explorer_spark.operators import QUERIES
+    from iceberg_explorer_spark.operators.similarity import DIM, MRL_R
+    from tests.conftest import assert_matches_oracle
+
+    def h(*parts) -> int:
+        return hashlib.md5(":".join(map(str, parts)).encode()).digest()[0]
+
+    spec = QUERIES["similarity_mrl_r_sweep"]
+    for seed in ("mr_r1", "mr_r2", "mr_r3"):
+        n = 40 + h(seed, "n") % 20
+        vecs = {}
+        for i in range(n):
+            v = [(h(seed, i, d) - 128) / 64.0 for d in range(DIM)]
+            if all(x == 0.0 for x in v):
+                v[0] = 1.0 / 64.0
+            vecs[i] = v
+        d = str(tmp_path / f"mrlrsg_{seed}")
+        spark.createDataFrame(
+            [(i, v, i % 2) for i, v in vecs.items()],
+            "vec_id long, embedding array<float>, label int",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{d}/embeddings.parquet"
+        )
+        rows, tcos, cos, t10 = _mrl_r_sweep_model(vecs)
+        got = sorted(tuple(r) for r in spec.builder(spark, d).collect())
+        assert got == rows, (seed, got, rows)
+        by_r = {g[0]: g for g in got}
+        rs = sorted(by_r)
+        for a, b in zip(rs, rs[1:]):
+            assert by_r[a][4] <= by_r[b][4], seed
+            assert by_r[a][2] >= by_r[b][2], seed
+        for r in rs:
+            assert by_r[r][1] == min(r, len(tcos)), seed
+            assert 0.0 <= by_r[r][4] <= 1.0, seed
+        # the membership identity, EXECUTED vs the literal cascade
+        cascade_ids = {
+            r["vec_id"]
+            for r in QUERIES["similarity_mrl_prefix_topk"]
+            .builder(spark, d)
+            .collect()
+        }
+        assert len(cascade_ids & t10) == by_r[MRL_R][3], seed
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{d}/embeddings.parquet/*.parquet')"
+        )
+        assert_matches_oracle(
+            spec.builder(spark, d), con, spec.oracle, f"mrlrsg_{seed}"
+        )
+
+
 def test_mrl_store_round_trip(spark):
     """The MRL cascade's serving story (r17 — VERDICT r16 #6: the one
     compression point without a persisted serving leg; pairing
