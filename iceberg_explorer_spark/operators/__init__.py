@@ -838,6 +838,24 @@ Round 17 also adds similarity_mrl_r_sweep — the MRL_R calibration leg
   the never-truncate-untrained lesson priced at the cascade level.
   3x point 2.82 -> 2.26 s (flat). Full rigging checklist; bench
   EXTENDED. Registry: 165 queries / 162 oracle-bearing.
+Round 17 adds the persisted INVERTED INDEX — text_bm25_topk's serving
+  story and the repo's first TERM-bucket-pruned serve: word-bucketed
+  postings (word, doc_id, tf, dl) + mergeable (n_docs, corpus_len)
+  count-delta stats (the LM store's sufficient-statistics pattern —
+  idf and length normalization depend on corpus totals, so serve-time
+  scoring from SUM-merged counts keeps nightly appends exact). df is
+  DERIVED from the pruned postings (cannot desync; executed equality
+  per term). Serve: bucket-pruned to the query terms' buckets
+  (SelectedBucketsCount <= |terms|), df branch column-pruned with
+  zero exchange, ONE data exchange over postings(q)-sized rows,
+  arbitrary lowercase term sets (malformed terms refused loudly),
+  bit-level parity via the registered query's own BIGINT expressions.
+  Appends carry the empty-delta guard on BOTH halves from day one;
+  an all-empty-text night genuinely moves every idf (executed).
+  Round-trip + seeded generative schedules (serve vs the registered
+  query over the evolving corpus after every append/replay/compact).
+  Measured sf0.1 min-of-5: serve 0.932 s vs registered 1.159 s;
+  backfill 9.15 s one-time.
 The r17 window plan (written at r16 freeze; execute verbatim if r16
   comes back green): flagship + the FIVE r16 newcomers
   (similarity_bq_hamming_topk, similarity_bq_r_sweep,

@@ -1356,6 +1356,192 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# The persisted inverted index: text_bm25_topk's serving story (r17).
+#
+# The registered query is correct for the registry but wrong as a
+# serving story: it re-tokenizes the WHOLE corpus per query and
+# collapses to the query's terms only after the explode. A production
+# retrieval index inverts that once at ingest: a postings table
+# (word, doc_id, tf, dl) BUCKETED BY WORD — the serve's probe key, so
+# a query's scan bucket-prunes to its terms' buckets and reads
+# O(postings(query terms)) rows, never the corpus — plus a
+# SUFFICIENT-STATISTICS side table (n_docs, corpus_len) as mergeable
+# count-delta rows (the bigram-LM store's pattern: counts merge,
+# scores don't — BM25's idf and length normalization both depend on
+# corpus totals, so scoring at serve time from merged counts is what
+# keeps nightly appends exact rather than approximately-stale).
+# df per term is NOT stored: it is COUNT(*) of the term's pruned
+# postings, so it can never desync from the postings themselves.
+
+#: The inverted-index artifact spec. ``part`` on the stats table is a
+#: constant bucket key — the table is O(appends) rows of deltas whose
+#: only consumer is a 1-row SUM.
+BM25_STORE_ARTIFACTS = {"bm25_postings": ("word",), "bm25_stats": ("part",)}
+
+
+def bm25_store(spark: SparkSession, prefix: str, n_buckets: int = 16):
+    """A BucketedArtifactStore instantiated with the inverted-index
+    artifact spec."""
+    from iceberg_explorer_spark.operators.incremental_artifacts import (
+        BucketedArtifactStore,
+    )
+
+    return BucketedArtifactStore(
+        spark, prefix, n_buckets, artifacts=BM25_STORE_ARTIFACTS
+    )
+
+
+def _bm25_postings(docs: DataFrame) -> "tuple[DataFrame, DataFrame]":
+    """(postings, stats) from a docs frame — THE one tokenize rule the
+    registered query uses (``_tokens`` + empty filter), so the index
+    and the query cannot desync on what a term or a doc length is.
+    postings: (word, doc_id, tf, dl); stats: one (part, n_docs,
+    corpus_len) row counting EVERY doc — empty-text docs carry no
+    postings but still lengthen nothing and count toward n_docs,
+    exactly as the registered corpus CTE counts them."""
+    dl = docs.select(
+        "doc_id",
+        F.filter(_tokens(), lambda w: w != "").alias("words"),
+    ).select("doc_id", F.size("words").alias("dl"), "words")
+    postings = (
+        dl.select("doc_id", "dl", F.explode("words").alias("word"))
+        .groupBy("word", "doc_id", "dl")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        .select("word", "doc_id", "tf", "dl")
+    )
+    stats = dl.agg(
+        F.lit(0).alias("part"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("bigint").alias("corpus_len"),
+    )
+    return postings, stats
+
+
+def bm25_backfill(spark: SparkSession, sf_dir: str, store) -> None:
+    """One-time index build over the documents table. Write order is
+    the crash contract: postings FIRST, stats LAST — ``bm25_stats`` is
+    the commit marker the appends gate on, so a crash between the
+    writes reads as "backfill never ran"."""
+    postings, stats = _bm25_postings(load_table(spark, sf_dir, "documents"))
+    store.write("bm25_postings", postings)
+    store.write("bm25_stats", stats)
+
+
+def bm25_append(store, docs: DataFrame, batch_id: "str | None" = None) -> bool:
+    """Nightly index growth: tokenize an increment of NEW docs and land
+    its postings plus one corpus-stats delta row under ONE batch id.
+    Per-artifact idempotence heals a crash between the two appends on
+    retry, as for the LM store. Returns True iff rows landed: both
+    halves carry the empty-delta guard (the r17 lm_append lesson
+    applied from the start) — an all-empty-text increment has an EMPTY
+    postings delta but its stats row still lands (those docs change
+    n_docs, which changes every idf), while a ZERO-doc increment lands
+    nothing and replays False forever. Increment doc_ids must be
+    globally NEW — the ingest id-allocation invariant (a re-ingested
+    doc would double-count its tf and df)."""
+    if not store.exists("bm25_stats"):
+        raise FileNotFoundError(
+            "bm25_stats artifact not found — run bm25_backfill (the "
+            "one-time index build) before appending an increment"
+        )
+    docs = docs.localCheckpoint(eager=True)  # one snapshot for both counts
+    postings, stats = _bm25_postings(docs)
+    nonempty = bool(docs.head(1))
+    landed_p = store.append("bm25_postings", postings, batch_id=batch_id)
+    landed_s = store.append(
+        "bm25_stats",
+        stats if nonempty else stats.filter(F.lit(False)),
+        batch_id=batch_id,
+    )
+    return (landed_p and bool(postings.head(1))) or (landed_s and nonempty)
+
+
+def bm25_topk_from_store(
+    store,
+    terms: "tuple[str, ...] | list[str] | None" = None,
+    k: int = BM25_TOP_K,
+) -> DataFrame:
+    """Serve text_bm25_topk's semantics from the persisted inverted
+    index — row-identical to the registered query for the registered
+    term set (pinned by the round-trip test), for ANY lowercase term
+    set, with the plan a retrieval index exists for: the postings scan
+    BUCKET-PRUNES to the query terms' buckets (word is the bucket key
+    — SelectedBucketsCount ≤ |terms| in the plan), so the serve reads
+    O(postings(query terms)) rows plus the O(appends)-row stats table,
+    never the corpus; df per term is COUNT(*) over the pruned postings
+    (derived, so it cannot desync from the index), idf and the exact
+    BIGINT term scores are the registered query's own expressions over
+    the SUM-merged corpus totals, and the top-k is a heap. Because the
+    stats are sufficient statistics merged per serve, a serve against
+    backfill+deltas is bit-identical to one against a from-scratch
+    rebuild of the union corpus (the mergeability test executes that
+    comparison). Terms must be non-empty lowercase whitespace-free
+    strings — anything else cannot match the tokenizer's output and
+    would silently score nothing, so it is REFUSED loudly."""
+    terms = list(BM25_TERMS) if terms is None else list(terms)
+    if not terms or any(
+        not isinstance(t, str) or not t or t != t.lower() or t.split() != [t]
+        for t in terms
+    ):
+        raise ValueError(
+            "terms must be non-empty lowercase whitespace-free strings "
+            f"(the tokenizer lowercases and splits on whitespace); got {terms!r}"
+        )
+    from iceberg_explorer_spark.operators.similarity import (
+        _serve_session,
+        _serve_table,
+    )
+
+    spark = store.spark
+    store.read("bm25_postings")  # heal a crashed compaction first
+    store.read("bm25_stats")
+    s = _serve_session(spark)
+    s.catalog.refreshTable(_serve_table(store, "bm25_postings"))
+    s.catalog.refreshTable(_serve_table(store, "bm25_stats"))
+    post = s.table(_serve_table(store, "bm25_postings")).filter(
+        F.col("word").isin(*terms)
+    )
+    corpus = F.broadcast(
+        s.table(_serve_table(store, "bm25_stats")).agg(
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            F.sum("corpus_len").cast("bigint").alias("corpus_len"),
+        )
+    )
+    idf = (
+        post.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(corpus)
+        .select(
+            "word",
+            F.round(
+                F.log(
+                    1
+                    + (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                )
+                * IDF_SCALE
+            )
+            .cast("bigint")
+            .alias("idf_q"),
+        )
+    )
+    scored = (
+        post.join(F.broadcast(idf), "word")
+        .crossJoin(corpus)
+        .select("doc_id", _bm25_term_score_q().alias("term_score_q"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_hit"),
+            F.sum("term_score_q").cast("bigint").alias("score_q"),
+        )
+        .orderBy(F.col("score_q").desc(), "doc_id")
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
 #: ingest shards for the novelty-saturation curve (hash-split on doc_id)
 VOCAB_N_BATCHES = 8
 

@@ -8369,9 +8369,10 @@ def test_lm_store_round_trip(spark, tmp_path):
     half-landed night completes exactly once per table; (5) compaction
     of both artifacts leaves served scores identical; (6) the
     backfill-first gate refuses pre-backfill appends and the
-    contamination gate refuses heldout-split doc_ids loudly; (7) an
-    empty increment is vacuously landed (the store rule) and changes
-    nothing."""
+    contamination gate refuses heldout-split doc_ids loudly; (7) a
+    fully-empty increment lands NO rows — it returns False on every
+    call (ADVICE r16: both halves carry the empty-delta guard) and
+    changes nothing."""
     import pytest
 
     from iceberg_explorer_spark.operators import QUERIES
@@ -8523,6 +8524,304 @@ def test_lm_store_round_trip(spark, tmp_path):
         assert lm_append(st, solo, batch_id="night-5") is False
     finally:
         st.drop()
+
+
+def _bm25_model(doc_texts, terms, k=10):
+    """Independent BM25 model mirroring the registered query's exact
+    integer arithmetic: idf micro-quantized HALF_UP, the through-
+    multiplied per-(doc, term) score as one BIGINT-product division
+    rounded HALF_UP, summed per doc. ``doc_texts``: {doc_id: text}."""
+    import math
+    import re as _re
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def _r0(x):
+        return int(
+            Decimal(repr(float(x))).quantize(Decimal("1"), ROUND_HALF_UP)
+        )
+
+    toks = {
+        i: [w for w in _re.split(r"\s+", t.lower().strip()) if w]
+        for i, t in doc_texts.items()
+    }
+    dl = {i: len(ws) for i, ws in toks.items()}
+    n_docs = len(toks)
+    corpus_len = sum(dl.values())
+    tf = {}
+    for i, ws in toks.items():
+        for w in ws:
+            if w in terms:
+                tf[(i, w)] = tf.get((i, w), 0) + 1
+    df = {t: sum(1 for (i, w) in tf if w == t) for t in terms}
+    idf_q = {
+        t: _r0(math.log(1 + (n_docs - df[t] + 0.5) / (df[t] + 0.5)) * 1e6)
+        for t in terms
+        if df[t] > 0
+    }
+    scores = {}
+    for (i, w), f in tf.items():
+        num = float(idf_q[w] * 22 * corpus_len * f)
+        den = 10 * corpus_len * f + 3 * corpus_len + 9 * dl[i] * n_docs
+        scores.setdefault(i, [0, 0])
+        scores[i][0] += 1
+        scores[i][1] += _r0(num / den)
+    rows = [(i, n, s) for i, (n, s) in scores.items()]
+    return sorted(rows, key=lambda r: (-r[2], r[0]))[:k]
+
+
+def test_bm25_store_round_trip(spark):
+    """The persisted inverted index (r17 — text_bm25_topk's serving
+    story, the text family's second store citizen and the repo's first
+    TERM-bucket-pruned serve): (1) serve parity — bm25_topk_from_store
+    over the backfilled index returns ROW-IDENTICAL results to the
+    registered query for the registered term set; (2) the postings
+    scan BUCKET-PRUNES to the query terms' buckets
+    (SelectedBucketsCount ≤ |terms|) and df is DERIVED from the pruned
+    postings (count of the term's rows — executed equality against the
+    raw postings), so it cannot desync from the index; (3)
+    MERGEABILITY is executed — after a nightly append the serve is
+    bit-identical to a from-scratch rebuild over the union corpus
+    (count-delta stats merged by SUM, scores quantized after the
+    merge) and genuinely different from the pre-append serve; (4) an
+    all-EMPTY-TEXT increment carries no postings yet still lands (its
+    docs change n_docs, which changes every idf — the serve's scores
+    MOVE, executed), while a ZERO-doc increment lands nothing and
+    replays False; a replayed append is dropped; compaction of both
+    artifacts leaves served rows identical; (5) custom term sets serve
+    against the independent exact-integer model; (6) the
+    backfill-first gate and the malformed-terms contract refuse
+    loudly."""
+    import pytest
+
+    from iceberg_explorer_spark.operators import QUERIES
+    from iceberg_explorer_spark.operators.text import (
+        BM25_TERMS,
+        bm25_append,
+        bm25_backfill,
+        bm25_store,
+        bm25_topk_from_store,
+    )
+    from iceberg_explorer_spark.plans import inspect as pi
+    from iceberg_explorer_spark.sources.registry import load_table
+
+    d = "/root/testdata/sf0.01"
+    n_buckets = 8
+    st = bm25_store(spark, "t_bm25_rt", n_buckets=n_buckets)
+    doc_schema = (
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    )
+    try:
+        # (6) backfill-first: the commit-marker probe refuses loudly
+        with pytest.raises(FileNotFoundError, match="bm25_backfill"):
+            bm25_append(
+                st,
+                spark.createDataFrame([], doc_schema),
+                batch_id="too-early",
+            )
+
+        bm25_backfill(spark, d, st)
+        served = bm25_topk_from_store(st)
+        got = [tuple(r) for r in served.collect()]
+        want = [
+            tuple(r)
+            for r in QUERIES["text_bm25_topk"].builder(spark, d).collect()
+        ]
+        assert got == want and got  # (1)
+
+        # (2) term-bucket pruning + derived df
+        import re
+
+        plan = pi.physical_plan(served)
+        m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+        assert m, plan
+        assert int(m.group(1)) <= len(BM25_TERMS) < int(m.group(2)) == n_buckets
+        raw = st.read("bm25_postings")
+        for t in BM25_TERMS:
+            df_store = raw.filter(F.col("word") == t).count()
+            docs_with = (
+                load_table(spark, d, "documents")
+                .filter(
+                    F.array_contains(
+                        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), t
+                    )
+                )
+                .count()
+            )
+            assert df_store == docs_with, t
+
+        # (3) mergeability: append night-1, compare to a union rebuild
+        inc_rows = [
+            (30_000_000 + j,
+             " ".join(["vector"] * (j + 1) + ["merge", "novel"]),
+             "en", "night", 42)
+            for j in range(4)
+        ]
+        inc = spark.createDataFrame(inc_rows, doc_schema)
+        assert bm25_append(st, inc, batch_id="night-1") is True
+        got2 = [tuple(r) for r in bm25_topk_from_store(st).collect()]
+        assert got2 != got  # the append genuinely moved the ranking
+        st2 = bm25_store(spark, "t_bm25_rb", n_buckets=n_buckets)
+        try:
+            docs_union = load_table(spark, d, "documents").unionByName(inc)
+            postings_u, stats_u = __import__(
+                "iceberg_explorer_spark.operators.text", fromlist=["x"]
+            )._bm25_postings(docs_union)
+            st2.write("bm25_postings", postings_u)
+            st2.write("bm25_stats", stats_u)
+            rebuilt = [tuple(r) for r in bm25_topk_from_store(st2).collect()]
+            assert rebuilt == got2  # bit-identical serve
+        finally:
+            st2.drop()
+
+        # (4) empty-text docs: no postings, but idf MOVES
+        empties = spark.createDataFrame(
+            [(31_000_000 + j, "   ", "en", "pad", 3) for j in range(500)],
+            doc_schema,
+        )
+        assert bm25_append(st, empties, batch_id="night-2") is True
+        got3 = [tuple(r) for r in bm25_topk_from_store(st).collect()]
+        assert got3 != got2  # n_docs changed every idf
+        assert {g[0] for g in got3} == {g[0] for g in got2}  # same docs hit
+        # zero-doc increment: nothing lands, ever
+        assert bm25_append(
+            st, spark.createDataFrame([], doc_schema), batch_id="night-3"
+        ) is False
+        assert bm25_append(
+            st, spark.createDataFrame([], doc_schema), batch_id="night-3"
+        ) is False
+        # replay of a real night is dropped
+        assert bm25_append(st, inc, batch_id="night-1") is False
+        assert [
+            tuple(r) for r in bm25_topk_from_store(st).collect()
+        ] == got3
+        st.compact()
+        assert [
+            tuple(r) for r in bm25_topk_from_store(st).collect()
+        ] == got3
+
+        # (5) custom terms vs the independent exact-integer model
+        all_docs = {
+            r["doc_id"]: r["text"]
+            for r in load_table(spark, d, "documents")
+            .select("doc_id", "text")
+            .collect()
+        }
+        for r in inc_rows:
+            all_docs[r[0]] = r[1]
+        for r in range(500):
+            all_docs[31_000_000 + r] = "   "
+        for terms in (["vector", "novel"], ["data", "index", "scan"]):
+            got_t = [
+                tuple(r)
+                for r in bm25_topk_from_store(st, terms=terms).collect()
+            ]
+            assert got_t == _bm25_model(all_docs, set(terms)), terms
+
+        # (6) malformed terms refused loudly
+        for bad in ([], ["Vector"], ["two words"], [""], [None]):
+            with pytest.raises(ValueError, match="lowercase"):
+                bm25_topk_from_store(st, terms=bad)
+    finally:
+        st.drop()
+
+
+def test_bm25_store_generative_schedules(spark, tmp_path):
+    """Seeded generative hammer for the inverted-index store (the
+    pre-freeze rigging rule): md5-driven schedules of interleaved
+    operations — land a nightly doc batch (store + corpus), REPLAY a
+    uniformly chosen earlier batch, or COMPACT — with the serve
+    row-parity-checked against the REGISTERED query over the evolving
+    corpus after EVERY step (the registered form re-tokenizes the
+    union corpus from scratch, so each check executes mergeability
+    across whatever append/replay/compact history the hash produced).
+    Batches deliberately mix term-bearing, novel-vocabulary and
+    empty-text docs so n_docs and df move independently."""
+    import hashlib
+
+    from iceberg_explorer_spark.operators import QUERIES
+    from iceberg_explorer_spark.operators.text import (
+        bm25_append,
+        bm25_backfill,
+        bm25_store,
+        bm25_topk_from_store,
+    )
+
+    def h(*parts) -> int:
+        return hashlib.md5(":".join(map(str, parts)).encode()).digest()[0]
+
+    doc_schema = (
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    )
+    words = ["vector", "merge", "scan", "index", "columnar", "night", "x9"]
+    for seed in ("bm1", "bm2"):
+        corpus_dir = str(tmp_path / f"bm25corpus_{seed}")
+        base = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        base.write.mode("overwrite").parquet(f"{corpus_dir}/documents.parquet")
+        st = bm25_store(spark, f"t_bm25_gen_{seed}", n_buckets=4)
+        try:
+            bm25_backfill(spark, corpus_dir, st)
+
+            def expected():
+                return [
+                    tuple(r)
+                    for r in QUERIES["text_bm25_topk"]
+                    .builder(spark, corpus_dir)
+                    .collect()
+                ]
+
+            def batch_df(pairs):
+                return spark.createDataFrame(
+                    [
+                        (
+                            did,
+                            " ".join(
+                                words[h(seed, did, j) % len(words)]
+                                for j in range(h(seed, did, "len") % 9)
+                            ),
+                            "en",
+                            "night",
+                            7,
+                        )
+                        for did in pairs
+                    ],
+                    doc_schema,
+                )
+
+            exp = expected()
+            model = {}
+            landed = []
+            next_id = 40_000_000
+            for step in range(5 + h(seed, "ops") % 3):
+                kind = h(seed, step, "kind") % 4
+                if kind == 0 and landed:
+                    bid = landed[h(seed, step, "pick") % len(landed)]
+                    assert bm25_append(
+                        st, batch_df(model[bid]), batch_id=bid
+                    ) is False
+                elif kind == 1:
+                    st.compact()
+                else:
+                    bid = f"night-{step}"
+                    ids = [next_id + i for i in range(2 + h(seed, step) % 3)]
+                    next_id += 100
+                    inc = batch_df(ids)
+                    assert bm25_append(st, inc, batch_id=bid) is True
+                    inc.write.mode("append").parquet(
+                        f"{corpus_dir}/documents.parquet"
+                    )
+                    model[bid] = ids
+                    landed.append(bid)
+                    exp = expected()
+                got = [
+                    tuple(r) for r in bm25_topk_from_store(st).collect()
+                ]
+                assert got == exp, (seed, step, kind)
+        finally:
+            st.drop()
 
 
 def _mrl_model(vecs, dims=(8, 16, 32, 64), query_vec_id=0):
