@@ -270,6 +270,12 @@ GRADUATING_R15: list[str] = []
 #:     newcomers only) carries on accumulating toward the next declared
 #:     overlap. The slowest map returns to the final line now that the
 #:     overlap keys are gone.
+#:   * round 19 (the fourth overlap, declared one round ahead at the
+#:     r17 freeze): the EXTENDED set as frozen at the END of round 18
+#:     rides as GRADUATING_R18 through the same hook;
+#:     ``value``/``n_queries`` stay the v4 trend line and additive
+#:     ``value_v5``/``n_queries_v5`` keys carry HEADLINE + the
+#:     graduating cohort. Round 20 executes the v5 flip.
 #: ``headline_version`` is emitted starting round 9 so every bench artifact
 #: names the measurement set its ``value`` covers; the driver's
 #: round-over-round comparison must only ever compare equal versions

@@ -896,6 +896,37 @@ The r17 window plan (written at r16 freeze; execute verbatim if r16
   the hook; EXTENDED (the five r16 operators) keeps accumulating
   toward the next declared overlap. r17's value compares to
   BENCH_r16's value_v4 (98), never its v3 value.
+The r18 window plan (written at r17 freeze; execute verbatim if r17
+  comes back green; derived by scripts/rotation_plan.py — re-run it
+  against CORRECTNESS_r01..r17 once the r17 rows land and confirm the
+  cohort arithmetic below before editing _CHECK_WINDOW): flagship +
+  the TWO r17 newcomers (similarity_mrl_prefix_topk,
+  similarity_mrl_r_sweep — their FIRST driver rows; after r17 they
+  are the only oracle-bearing queries with zero driver evidence) +
+  the TWELVE r14-latest rolled from the corrected r17 leave-out
+  (cube_order_status, dedup_embedding_cosine, filter_projection,
+  multimodal_decode_features, multimodal_metadata,
+  pipeline_domain_mix, pivot_status_by_flag,
+  recursive_calendar_spine, rollup_quantity,
+  scalar_subquery_nation_stats, similarity_ivf_topk,
+  text_language_id — after r17 they are the stalest rows in the
+  registry and must all come in) + 35 of the 49 r15-latest (the r17
+  window touches no r15-latest query, so their green counts are
+  already final: leave out the FOURTEEN with the MOST prior GREEN
+  rows, tie-break alphabetical-first-out — the 8-green three
+  (dedup_clusters, dedup_ngram_jaccard, similarity_bucket_gemm), the
+  7-green four (pipeline_token_shards, semi_join_active_customers,
+  text_decontaminate, window_top_orders_per_customer), the 6-green
+  two (events_json_extract, multimodal_frame_sample), and the first
+  five alphabetically of the 5-green tie (dedup_candidate_triangles,
+  dedup_incremental_ingest, dedup_jaccard_threshold_sweep,
+  dedup_semantic_keep_best, dedup_span_boilerplate) — all fourteen
+  roll to r19). 1 + 2 + 12 + 35 = 50 exactly. Bench r18: plain v4
+  round — no overlap keys; EXTENDED (the five r16 + two r17
+  operators) keeps accumulating. NEXT OVERLAP DECLARED one round
+  ahead per policy: round 19 rides the EXTENDED set as frozen at the
+  END of r18 as GRADUATING_R18 (additive value_v5/n_queries_v5 under
+  headline_version 4), and round 20 executes the v5 flip.
 """
 
 from iceberg_explorer_spark.operators.registry import QUERIES, QuerySpec, query  # noqa: F401
