@@ -1275,7 +1275,8 @@ WM_1H_US = 3_600_000_000
     "the crafted log + every generative seed and asserts per-event "
     "lateness domination and per-type drop-count domination, with a "
     "crafted in-order stream the global watermark drops at 1m "
-    "(tests/test_properties.py, _global_watermark_audit). Determinism: epoch-micro BIGINT "
+    "(tests/test_properties.py, _global_watermark_audit). "
+    "Determinism: epoch-micro BIGINT "
     "lateness, exact integer counts, the one mean divided last; "
     "event_id is unique so the arrival order is total. Plan: exactly "
     "ONE shuffle — the running-max window hash-partitions on "

@@ -1475,9 +1475,11 @@ def bm25_topk_from_store(
     stats are sufficient statistics merged per serve, a serve against
     backfill+deltas is bit-identical to one against a from-scratch
     rebuild of the union corpus (the mergeability test executes that
-    comparison). Terms must be non-empty lowercase whitespace-free
-    strings — anything else cannot match the tokenizer's output and
-    would silently score nothing, so it is REFUSED loudly."""
+    comparison). Terms must be DISTINCT non-empty lowercase
+    whitespace-free strings — anything else either cannot match the
+    tokenizer's output (and would silently score nothing) or would
+    silently collapse under the isin filter while classic BM25 weights
+    repeats per occurrence, so both are REFUSED loudly."""
     terms = list(BM25_TERMS) if terms is None else list(terms)
     if not terms or any(
         not isinstance(t, str) or not t or t != t.lower() or t.split() != [t]
@@ -1487,6 +1489,11 @@ def bm25_topk_from_store(
             "terms must be non-empty lowercase whitespace-free strings "
             f"(the tokenizer lowercases and splits on whitespace); got {terms!r}"
         )
+    if len(set(terms)) != len(terms):
+        # a repeated term would SILENTLY collapse to one (the isin
+        # filter dedups) while classic BM25 weights it per occurrence —
+        # refuse the ambiguity instead of picking a side quietly
+        raise ValueError(f"terms must be distinct; got {terms!r}")
     from iceberg_explorer_spark.operators.similarity import (
         _serve_session,
         _serve_table,

@@ -8596,6 +8596,7 @@ def test_bm25_store_round_trip(spark):
     from iceberg_explorer_spark.operators import QUERIES
     from iceberg_explorer_spark.operators.text import (
         BM25_TERMS,
+        _bm25_postings,
         bm25_append,
         bm25_backfill,
         bm25_store,
@@ -8664,9 +8665,7 @@ def test_bm25_store_round_trip(spark):
         st2 = bm25_store(spark, "t_bm25_rb", n_buckets=n_buckets)
         try:
             docs_union = load_table(spark, d, "documents").unionByName(inc)
-            postings_u, stats_u = __import__(
-                "iceberg_explorer_spark.operators.text", fromlist=["x"]
-            )._bm25_postings(docs_union)
+            postings_u, stats_u = _bm25_postings(docs_union)
             st2.write("bm25_postings", postings_u)
             st2.write("bm25_stats", stats_u)
             rebuilt = [tuple(r) for r in bm25_topk_from_store(st2).collect()]
@@ -8722,6 +8721,10 @@ def test_bm25_store_round_trip(spark):
         for bad in ([], ["Vector"], ["two words"], [""], [None]):
             with pytest.raises(ValueError, match="lowercase"):
                 bm25_topk_from_store(st, terms=bad)
+        # a repeated term would silently collapse under isin while
+        # classic BM25 weights repeats — refused, not guessed at
+        with pytest.raises(ValueError, match="distinct"):
+            bm25_topk_from_store(st, terms=["scan", "scan"])
     finally:
         st.drop()
 
