@@ -200,6 +200,7 @@ EXTENDED: list[str] = [
     "events_watermark_lateness_audit",  # out-of-orderness vs watermark (r16)
     "similarity_mrl_prefix_topk",  # MRL d=16 prefix-shortlist cascade (r17)
     "similarity_mrl_r_sweep",     # MRL shortlist-size recall calibration (r17)
+    "events_watermark_delay_sweep",  # watermark-delay drop-rate calibration (r17)
 ]
 
 #: The generic graduation hook. The EXTENDED set as frozen at the END of

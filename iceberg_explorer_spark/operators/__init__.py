@@ -856,6 +856,21 @@ Round 17 adds the persisted INVERTED INDEX — text_bm25_topk's serving
   query over the evolving corpus after every append/replay/compact).
   Measured sf0.1 min-of-5: serve 0.932 s vs registered 1.159 s;
   backfill 9.15 s one-time.
+Round 17 adds events_watermark_delay_sweep — the delay calibration
+  leg for the r16 lateness audit (family symmetry again: the audit
+  reports what two fixed thresholds would drop; this prices the whole
+  knob): n_dropped / n_late_kept / drop_rate at withWatermark delays
+  (0, 10, 60, 600, 3600) s under the audit's exact per-stream
+  lateness rule, computed as CONDITIONAL aggregations in one
+  partial+final pass (the grid multiplies nothing — the one Generate
+  unfolds the 1-row aggregate, pinned). Rung 0 is the structural
+  anchor (== the audit's summed n_out_of_order) and the 60/3600
+  rungs equal the audit's dropped_wm_1m/1h sums — both identities
+  EXECUTED cross-operator in the claims AND generative tests, plus
+  conservation (dropped + late_kept == out-of-order at every rung)
+  and strict-threshold carry-over. 3x point 3.51 -> 2.52 s (flat).
+  Full rigging checklist; bench EXTENDED. Registry: 166 queries /
+  163 oracle-bearing.
 The r17 window plan (written at r16 freeze; execute verbatim if r16
   comes back green): flagship + the FIVE r16 newcomers
   (similarity_bq_hamming_topk, similarity_bq_r_sweep,

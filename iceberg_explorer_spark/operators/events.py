@@ -1321,3 +1321,123 @@ def events_watermark_lateness_audit(
         .cast("bigint")
         .alias("dropped_wm_1h"),
     )
+
+
+#: The watermark-delay calibration grid, in whole seconds. Rung 0 is
+#: the STRUCTURAL anchor: a zero watermark drops exactly the
+#: out-of-order events (n_dropped == the audit's summed
+#: n_out_of_order — the cross-operator identity the claims test
+#: executes); 60 and 3600 coincide with the audit's two fixed
+#: thresholds, so the sweep and the audit must agree rung-for-rung.
+WM_SWEEP_DELAYS_SEC = (0, 10, 60, 600, 3600)
+
+
+@query(
+    "events_watermark_delay_sweep",
+    oracle=f"""
+    WITH l AS (
+      SELECT event_type,
+             CASE WHEN MAX(EPOCH_US(ts)) OVER w IS NULL THEN 0
+                  ELSE GREATEST(MAX(EPOCH_US(ts)) OVER w - EPOCH_US(ts), 0)
+             END AS late_us
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    grid AS (SELECT * FROM (VALUES {", ".join(f"({d})" for d in WM_SWEEP_DELAYS_SEC)})
+             AS g(delay_sec)),
+    agg AS (
+      SELECT g.delay_sec,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CASE WHEN late_us > g.delay_sec * CAST(1000000 AS BIGINT)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+             CAST(SUM(CASE WHEN late_us > 0 AND late_us <=
+                             g.delay_sec * CAST(1000000 AS BIGINT)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_late_kept
+      FROM l CROSS JOIN grid g
+      GROUP BY g.delay_sec
+    )
+    SELECT CAST(delay_sec AS BIGINT) AS delay_sec, n_dropped, n_late_kept,
+           CAST(n_dropped AS DOUBLE) / n_events AS drop_rate
+    FROM agg
+    """,
+    doc="Watermark-delay calibration sweep (r17) — the tuning leg for "
+    "events_watermark_lateness_audit, completing the family symmetry "
+    "(the audit reports what two fixed thresholds WOULD drop; this "
+    "prices the whole knob): events dropped / late-but-kept / drop "
+    f"rate at withWatermark delays of {WM_SWEEP_DELAYS_SEC} seconds, "
+    "under the audit's exact per-stream lateness rule (running "
+    "event-time max over STRICTLY EARLIER arrivals by event_id, "
+    "clamped at 0 — one shared formulation, so the two operators "
+    "cannot desync; the same GLOBAL-vs-per-stream scope honesty "
+    "applies verbatim: per-stream drops are exact for per-source-job "
+    "queries and a lower bound for mixed ones). Rung 0 is the "
+    "structural anchor — a zero delay drops exactly the out-of-order "
+    "events — and the 60/3600 rungs must equal the audit's summed "
+    "dropped_wm_1m/dropped_wm_1h: both identities are EXECUTED "
+    "cross-operator in the claims test. n_dropped is monotone "
+    "non-increasing and n_late_kept monotone non-decreasing in the "
+    "delay (every row an out-of-order event moves through exactly one "
+    "of the two counters). Determinism: exact BIGINT lateness and "
+    "counts, the one rate divided last. Plan: exactly ONE exchange — "
+    "the audit's running-max window — then ONE global partial+final "
+    "aggregate computing every rung's counters in a single pass "
+    "(conditional aggregation, NOT an explode: the grid multiplies "
+    "nothing), and the per-rung rows unfold from the 1-row aggregate "
+    "via a 5-element inline array. At 100 TB this is the audit's scan "
+    "plus five integer columns of map-side partial state; the rung "
+    "grid is free. reference: no analogue — training-pipeline "
+    "extension (the streaming-deployment tuning face of the "
+    "watermark contracts).",
+)
+def events_watermark_delay_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    prev_max = F.max(F.unix_micros("ts")).over(w)
+    late = F.when(prev_max.isNull(), F.lit(0)).otherwise(
+        F.greatest(prev_max - F.unix_micros("ts"), F.lit(0))
+    )
+    l = ev.select(late.alias("late_us"))
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_events")]
+    for d in WM_SWEEP_DELAYS_SEC:
+        us = d * 1_000_000
+        aggs.append(
+            F.sum(F.when(F.col("late_us") > us, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"drop_{d}")
+        )
+        aggs.append(
+            F.sum(
+                F.when(
+                    (F.col("late_us") > 0) & (F.col("late_us") <= us), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias(f"kept_{d}")
+        )
+    one = l.agg(*aggs)
+    rungs = F.array(
+        *[
+            F.struct(
+                F.lit(d).cast("bigint").alias("delay_sec"),
+                F.col(f"drop_{d}").alias("n_dropped"),
+                F.col(f"kept_{d}").alias("n_late_kept"),
+                (F.col(f"drop_{d}").cast("double") / F.col("n_events")).alias(
+                    "drop_rate"
+                ),
+            )
+            for d in WM_SWEEP_DELAYS_SEC
+        ]
+    )
+    return one.select(F.explode(rungs).alias("r")).select(
+        F.col("r.delay_sec").alias("delay_sec"),
+        F.col("r.n_dropped").alias("n_dropped"),
+        F.col("r.n_late_kept").alias("n_late_kept"),
+        F.col("r.drop_rate").alias("drop_rate"),
+    )

@@ -45,6 +45,7 @@ OP_TABLE = {
     "similarity_mrl_truncation_sweep": "embeddings",
     "text_heldout_perplexity": "documents",
     "events_watermark_lateness_audit": "events",
+    "events_watermark_delay_sweep": "events",
     "similarity_ivf_pq_refine_topk": "embeddings",
     "events_scd2_intervals": "events",
     "pipeline_domain_caps": "documents",

@@ -7719,6 +7719,170 @@ def test_watermark_lateness_generative_parity(spark, tmp_path):
         )
 
 
+def _wm_delay_sweep_model(events, delays=(0, 10, 60, 600, 3600)):
+    """Independent model for events_watermark_delay_sweep: per-stream
+    lateness (the audit's rule), then per-delay counters."""
+    lates = list(
+        _watermark_lateness_per_event(events, global_wm=False).values()
+    )
+    n = len(lates)
+    out = []
+    for d in delays:
+        us = d * 1_000_000
+        dropped = sum(1 for x in lates if x > us)
+        kept = sum(1 for x in lates if 0 < x <= us)
+        out.append((d, dropped, kept, dropped / n))
+    return sorted(out)
+
+
+def test_watermark_delay_sweep_claims(spark, tmp_path):
+    """events_watermark_delay_sweep's distinguishing claims on the
+    audit claims test's crafted arrival log: (1) row parity with the
+    independent model; (2) the CROSS-OPERATOR identities are executed
+    — rung 0 equals the audit's summed n_out_of_order (the structural
+    anchor: a zero watermark drops exactly the out-of-order events)
+    and rungs 60/3600 equal the audit's summed dropped_wm_1m /
+    dropped_wm_1h; (3) conservation — every out-of-order event sits in
+    exactly one counter per rung (n_dropped + n_late_kept == rung 0's
+    n_dropped at every delay), n_dropped monotone non-increasing and
+    n_late_kept monotone non-decreasing in the delay; (4) the strict
+    (>) threshold carries over — the crafted 60-s-late arrival is KEPT
+    at the 60 s rung; (5) oracle-checked."""
+    import duckdb
+
+    from iceberg_explorer_spark.operators import QUERIES
+    from tests.conftest import assert_matches_oracle
+
+    spec = QUERIES["events_watermark_delay_sweep"]
+    base = 1_700_000_000
+    raw = [
+        (1, 100, "A"), (2, 50, "A"), (3, 200, "A"), (4, 200, "A"),
+        (5, 140, "A"), (6, 139, "A"), (7, 300, "A"), (8, -3301, "A"),
+        (10, 10, "B"), (11, 20, "B"), (12, 30, "B"),
+        (20, 500, None), (21, 400, None),
+    ]
+    rows = [
+        (eid, base + off, i % 3, et, 1.0, "{}")
+        for i, (eid, off, et) in enumerate(raw)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts_s long, user_id long, event_type string,"
+        " value double, props string",
+    ).select(
+        "event_id",
+        F.timestamp_seconds(F.col("ts_s")).alias("ts"),
+        "user_id", "event_type", "value", "props",
+    )
+    d = str(tmp_path / "wds_crafted")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+
+    events_us = [(eid, (base + off) * 1_000_000, et) for eid, off, et in raw]
+    model = _wm_delay_sweep_model(events_us)
+    got = sorted(tuple(r) for r in spec.builder(spark, d).collect())
+    assert got == model  # (1)
+    by_d = {g[0]: g for g in got}
+    # (2) cross-operator identities vs the registered audit
+    audit = QUERIES["events_watermark_lateness_audit"].builder(
+        spark, d
+    ).collect()
+    assert by_d[0][1] == sum(r["n_out_of_order"] for r in audit)
+    assert by_d[60][1] == sum(r["dropped_wm_1m"] for r in audit)
+    assert by_d[3600][1] == sum(r["dropped_wm_1h"] for r in audit)
+    # (3) conservation + monotonicity
+    for d_ in (0, 10, 60, 600, 3600):
+        assert by_d[d_][1] + by_d[d_][2] == by_d[0][1]
+    ds = sorted(by_d)
+    for a, b in zip(ds, ds[1:]):
+        assert by_d[a][1] >= by_d[b][1]
+        assert by_d[a][2] <= by_d[b][2]
+    # (4) strict threshold: lates are 0,50,0,0,60,61,0,3601,0,0,0,0,100
+    # — at 60 s exactly two drop (61 and 3601; the 60-s-late one KEPT)
+    assert by_d[60][1] == 3  # 61, 3601, 100
+    assert by_d[60][2] == 2  # 50 and 60 are late but kept
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{d}/events.parquet/*.parquet')"
+    )
+    assert_matches_oracle(
+        spec.builder(spark, d), con, spec.oracle, "wds_crafted"
+    )
+
+
+def test_watermark_delay_sweep_generative_parity(spark, tmp_path):
+    """Seeded generative hammer for events_watermark_delay_sweep: the
+    audit generative test's arrival-log generator vs the independent
+    model and the oracle, plus per-seed invariants — conservation
+    (n_dropped + n_late_kept == the out-of-order total at every rung),
+    monotone counters, drop_rate in [0, 1], and the rung-0/60/3600
+    cross-operator identities vs the registered audit."""
+    import duckdb
+    import hashlib
+
+    from iceberg_explorer_spark.operators import QUERIES
+    from tests.conftest import assert_matches_oracle
+
+    def h(*parts) -> int:
+        return hashlib.md5(":".join(map(str, parts)).encode()).digest()[0]
+
+    types = ["A", "B", "C", None]
+    spec = QUERIES["events_watermark_delay_sweep"]
+    base = 1_700_000_000
+    for seed in ("wd1", "wd2", "wd3"):
+        n = 90 + h(seed, "n") % 40
+        raw = []
+        for i in range(n):
+            et = types[h(seed, i, "t") % len(types)]
+            off = (
+                h(seed, i, "a") * 97
+                + h(seed, i, "b") * 31
+                - h(seed, i, "c") * 64
+            )
+            raw.append((i, base + off, et))
+        rows = [
+            (eid, ts_s, eid % 7, et, 1.0, "{}") for eid, ts_s, et in raw
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts_s long, user_id long, event_type string,"
+            " value double, props string",
+        ).select(
+            "event_id",
+            F.timestamp_seconds(F.col("ts_s")).alias("ts"),
+            "user_id", "event_type", "value", "props",
+        )
+        d = str(tmp_path / f"wdsg_{seed}")
+        df.coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+
+        events_us = [(eid, ts_s * 1_000_000, et) for eid, ts_s, et in raw]
+        model = _wm_delay_sweep_model(events_us)
+        got = sorted(tuple(r) for r in spec.builder(spark, d).collect())
+        assert got == model, seed
+        by_d = {g[0]: g for g in got}
+        for d_, dropped, kept, rate in got:
+            assert dropped + kept == by_d[0][1], (seed, d_)
+            assert 0.0 <= rate <= 1.0, (seed, d_)
+        ds = sorted(by_d)
+        for a, b in zip(ds, ds[1:]):
+            assert by_d[a][1] >= by_d[b][1], seed
+            assert by_d[a][2] <= by_d[b][2], seed
+        audit = QUERIES["events_watermark_lateness_audit"].builder(
+            spark, d
+        ).collect()
+        assert by_d[0][1] == sum(r["n_out_of_order"] for r in audit), seed
+        assert by_d[60][1] == sum(r["dropped_wm_1m"] for r in audit), seed
+        assert by_d[3600][1] == sum(r["dropped_wm_1h"] for r in audit), seed
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{d}/events.parquet/*.parquet')"
+        )
+        assert_matches_oracle(
+            spec.builder(spark, d), con, spec.oracle, f"wds_gen_{seed}"
+        )
+
+
 def test_bq_store_round_trip(spark):
     """The BQ cascade's serving story (r16 — pairing
     similarity_bq_hamming_topk with its persisted index, the same
