@@ -915,28 +915,33 @@ The r18 window plan (written at r17 freeze; execute verbatim if r17
   comes back green; derived by scripts/rotation_plan.py — re-run it
   against CORRECTNESS_r01..r17 once the r17 rows land and confirm the
   cohort arithmetic below before editing _CHECK_WINDOW): flagship +
-  the TWO r17 newcomers (similarity_mrl_prefix_topk,
-  similarity_mrl_r_sweep — their FIRST driver rows; after r17 they
-  are the only oracle-bearing queries with zero driver evidence) +
-  the TWELVE r14-latest rolled from the corrected r17 leave-out
+  the THREE r17 newcomers (similarity_mrl_prefix_topk,
+  similarity_mrl_r_sweep, events_watermark_delay_sweep — their FIRST
+  driver rows; after r17 they are the only oracle-bearing queries
+  with zero driver evidence) + the TWELVE r14-latest rolled from the
+  corrected r17 leave-out
   (cube_order_status, dedup_embedding_cosine, filter_projection,
   multimodal_decode_features, multimodal_metadata,
   pipeline_domain_mix, pivot_status_by_flag,
   recursive_calendar_spine, rollup_quantity,
   scalar_subquery_nation_stats, similarity_ivf_topk,
   text_language_id — after r17 they are the stalest rows in the
-  registry and must all come in) + 35 of the 49 r15-latest (the r17
+  registry and must all come in) + 34 of the 49 r15-latest (the r17
   window touches no r15-latest query, so their green counts are
-  already final: leave out the FOURTEEN with the MOST prior GREEN
+  already final: leave out the FIFTEEN with the MOST prior GREEN
   rows, tie-break alphabetical-first-out — the 8-green three
   (dedup_clusters, dedup_ngram_jaccard, similarity_bucket_gemm), the
   7-green four (pipeline_token_shards, semi_join_active_customers,
   text_decontaminate, window_top_orders_per_customer), the 6-green
   two (events_json_extract, multimodal_frame_sample), and the first
-  five alphabetically of the 5-green tie (dedup_candidate_triangles,
+  six alphabetically of the 5-green tie (dedup_candidate_triangles,
   dedup_incremental_ingest, dedup_jaccard_threshold_sweep,
-  dedup_semantic_keep_best, dedup_span_boilerplate) — all fourteen
-  roll to r19). 1 + 2 + 12 + 35 = 50 exactly. Bench r18: plain v4
+  dedup_semantic_keep_best, dedup_span_boilerplate,
+  events_dau_wau_stickiness) — all fifteen roll to r19; this
+  paragraph originally said TWO newcomers / 35-of-49 and was
+  corrected in-round when events_watermark_delay_sweep registered
+  after the first draft, re-derived by the script). 1 + 3 + 12 + 34
+  = 50 exactly. Bench r18: plain v4
   round — no overlap keys; EXTENDED (the five r16 + two r17
   operators) keeps accumulating. NEXT OVERLAP DECLARED one round
   ahead per policy: round 19 rides the EXTENDED set as frozen at the
