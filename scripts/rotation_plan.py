@@ -145,7 +145,19 @@ def main() -> None:
         action="store_true",
         help="keep rows-only (oracle=None) queries in the cohorts",
     )
+    ap.add_argument(
+        "--emit-window",
+        nargs="*",
+        metavar="NEWCOMER",
+        default=None,
+        help="print the full window as a paste-ready _CHECK_WINDOW "
+        "body: flagship, the named newcomers (in the given order), "
+        "the whole stalest cohort, then the fill — each group "
+        "alphabetical. Implies --newcomers len(args).",
+    )
     args = ap.parse_args()
+    if args.emit_window is not None:
+        args.newcomers = len(args.emit_window)
 
     history = load_history(args.repo)
     if not args.no_registry_filter:
@@ -195,6 +207,18 @@ def main() -> None:
     print("\n# leave-out list (paste into the ledger):")
     for q in out:
         print(f"#   {q}")
+
+    if args.emit_window is not None:
+        window = [
+            "pipeline_clean_corpus",
+            *args.emit_window,
+            *sorted(stalest),
+            *sorted(keep),
+        ]
+        assert len(window) == len(set(window)), "window has duplicates"
+        print(f"\n# _CHECK_WINDOW body ({len(window)} entries):")
+        for q in window:
+            print(f'    "{q}",')
 
 
 if __name__ == "__main__":
