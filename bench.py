@@ -201,6 +201,7 @@ EXTENDED: list[str] = [
     "similarity_mrl_prefix_topk",  # MRL d=16 prefix-shortlist cascade (r17)
     "similarity_mrl_r_sweep",     # MRL shortlist-size recall calibration (r17)
     "events_watermark_delay_sweep",  # watermark-delay drop-rate calibration (r17)
+    "events_session_gap_sweep",   # sessionization-gap calibration (r17)
 ]
 
 #: The generic graduation hook. The EXTENDED set as frozen at the END of

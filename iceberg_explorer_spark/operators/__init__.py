@@ -869,8 +869,22 @@ Round 17 adds events_watermark_delay_sweep — the delay calibration
   EXECUTED cross-operator in the claims AND generative tests, plus
   conservation (dropped + late_kept == out-of-order at every rung)
   and strict-threshold carry-over. 3x point 3.51 -> 2.52 s (flat).
-  Full rigging checklist; bench EXTENDED. Registry: 166 queries /
-  163 oracle-bearing.
+  Full rigging checklist; bench EXTENDED.
+Round 17 adds events_session_gap_sweep — the sessionizer's
+  calibration leg (events_session_window hard-codes a 10-minute gap;
+  this prices the knob): n_sessions / n_boundaries /
+  avg_session_events at gaps (60, 600, 1800, 3600, 86400) s from ONE
+  inter-event-delta pass via the identity n_sessions(G) = n_users +
+  |deltas > G| — the sweep never sessionizes per rung. Same
+  one-keyed-exchange + conditional-aggregation plan as the delay
+  sweep (pinned). The 600 s rung equals events_session_window's row
+  count EXACTLY (strict > boundary, same per-user total order) —
+  executed cross-operator in claims AND generative tests, plus the
+  strict-edge pin (a delta of exactly 60 s does not split at the
+  60 s rung), conservation (n_boundaries == n_sessions - n_users),
+  monotonicity, and a crafted widest-rung saturation. 3x point
+  1.32 -> 0.76 s (flat). Full rigging checklist; bench EXTENDED.
+  Registry: 167 queries / 164 oracle-bearing.
 The r17 window plan (written at r16 freeze; execute verbatim if r16
   comes back green): flagship + the FIVE r16 newcomers
   (similarity_bq_hamming_topk, similarity_bq_r_sweep,
@@ -915,33 +929,32 @@ The r18 window plan (written at r17 freeze; execute verbatim if r17
   comes back green; derived by scripts/rotation_plan.py — re-run it
   against CORRECTNESS_r01..r17 once the r17 rows land and confirm the
   cohort arithmetic below before editing _CHECK_WINDOW): flagship +
-  the THREE r17 newcomers (similarity_mrl_prefix_topk,
-  similarity_mrl_r_sweep, events_watermark_delay_sweep — their FIRST
-  driver rows; after r17 they are the only oracle-bearing queries
-  with zero driver evidence) + the TWELVE r14-latest rolled from the
-  corrected r17 leave-out
+  the FOUR r17 newcomers (similarity_mrl_prefix_topk,
+  similarity_mrl_r_sweep, events_watermark_delay_sweep,
+  events_session_gap_sweep — their FIRST driver rows; after r17 they
+  are the only oracle-bearing queries with zero driver evidence) +
+  the TWELVE r14-latest rolled from the corrected r17 leave-out
   (cube_order_status, dedup_embedding_cosine, filter_projection,
   multimodal_decode_features, multimodal_metadata,
   pipeline_domain_mix, pivot_status_by_flag,
   recursive_calendar_spine, rollup_quantity,
   scalar_subquery_nation_stats, similarity_ivf_topk,
   text_language_id — after r17 they are the stalest rows in the
-  registry and must all come in) + 34 of the 49 r15-latest (the r17
+  registry and must all come in) + 33 of the 49 r15-latest (the r17
   window touches no r15-latest query, so their green counts are
-  already final: leave out the FIFTEEN with the MOST prior GREEN
+  already final: leave out the SIXTEEN with the MOST prior GREEN
   rows, tie-break alphabetical-first-out — the 8-green three
   (dedup_clusters, dedup_ngram_jaccard, similarity_bucket_gemm), the
   7-green four (pipeline_token_shards, semi_join_active_customers,
   text_decontaminate, window_top_orders_per_customer), the 6-green
   two (events_json_extract, multimodal_frame_sample), and the first
-  six alphabetically of the 5-green tie (dedup_candidate_triangles,
+  seven alphabetically of the 5-green tie (dedup_candidate_triangles,
   dedup_incremental_ingest, dedup_jaccard_threshold_sweep,
   dedup_semantic_keep_best, dedup_span_boilerplate,
-  events_dau_wau_stickiness) — all fifteen roll to r19; this
-  paragraph originally said TWO newcomers / 35-of-49 and was
-  corrected in-round when events_watermark_delay_sweep registered
-  after the first draft, re-derived by the script). 1 + 3 + 12 + 34
-  = 50 exactly. Bench r18: plain v4
+  events_dau_wau_stickiness, events_markov_transitions) — all
+  sixteen roll to r19; this paragraph originally said TWO newcomers /
+  35-of-49 and was re-derived by the script as each later r17
+  newcomer registered). 1 + 4 + 12 + 33 = 50 exactly. Bench r18: plain v4
   round — no overlap keys; EXTENDED (the five r16 + two r17
   operators) keeps accumulating. NEXT OVERLAP DECLARED one round
   ahead per policy: round 19 rides the EXTENDED set as frozen at the

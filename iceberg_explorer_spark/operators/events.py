@@ -1441,3 +1441,111 @@ def events_watermark_delay_sweep(
         F.col("r.n_late_kept").alias("n_late_kept"),
         F.col("r.drop_rate").alias("drop_rate"),
     )
+
+
+#: The sessionization-gap calibration grid, in whole seconds. 600 s is
+#: the registered sessionizer's own 10-minute knob — at that rung
+#: n_sessions must equal events_session_window's row count (the
+#: cross-operator identity the claims test executes).
+SESSION_GAP_SWEEP_SEC = (60, 600, 1800, 3600, 86400)
+
+
+@query(
+    "events_session_gap_sweep",
+    oracle=f"""
+    WITH d AS (
+      SELECT user_id,
+             EPOCH_US(ts) - LAG(EPOCH_US(ts)) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS delta_us
+      FROM events
+    ),
+    grid AS (SELECT * FROM (VALUES {", ".join(f"({g})" for g in SESSION_GAP_SWEEP_SEC)})
+             AS g(gap_sec)),
+    agg AS (
+      SELECT g.gap_sec,
+             CAST(SUM(CASE WHEN delta_us IS NULL OR delta_us >
+                             g.gap_sec * CAST(1000000 AS BIGINT)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+             CAST(SUM(CASE WHEN delta_us >
+                             g.gap_sec * CAST(1000000 AS BIGINT)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_boundaries,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM d CROSS JOIN grid g
+      GROUP BY g.gap_sec
+    )
+    SELECT CAST(gap_sec AS BIGINT) AS gap_sec, n_sessions, n_boundaries,
+           CAST(n_events AS DOUBLE) / n_sessions AS avg_session_events
+    FROM agg
+    """,
+    doc="Sessionization-gap calibration sweep (r17) — the tuning leg "
+    "for events_session_window (the sessionizer hard-codes a "
+    "10-minute inactivity gap; this prices the knob): session count, "
+    "session boundaries crossed, and mean events-per-session at "
+    f"inactivity gaps of {SESSION_GAP_SWEEP_SEC} seconds, from ONE "
+    "inter-event-delta pass. The identity doing the work: a user's "
+    "session count at gap G is 1 + |deltas > G|, so summing over "
+    "users needs only the delta distribution — n_sessions(G) = "
+    "n_users + |deltas > G| — and the sweep never sessionizes R "
+    "times (the delay sweep's trick with LAG instead of a running "
+    "max). The boundary rule is the sessionizer's own STRICT "
+    "comparison (delta > G starts a session; a delta of exactly G "
+    "stays inside — the claims test pins the edge), over the same "
+    "(ts, event_id) per-user total order, so the 600 s rung must "
+    "equal events_session_window's row count exactly — the "
+    "cross-operator identity, EXECUTED in the claims and generative "
+    "tests. n_sessions and n_boundaries are monotone non-increasing "
+    "in G (n_boundaries = n_sessions - n_users at every rung) and "
+    "avg_session_events monotone non-decreasing. Determinism: exact "
+    "BIGINT deltas and counts, the one mean divided last. Plan: "
+    "exactly ONE exchange — the per-user LAG window — then ONE "
+    "global partial+final conditional aggregation for every rung in "
+    "a single pass (the grid multiplies nothing; the one Generate "
+    "unfolds the 1-row aggregate into five rung rows). At 100 TB "
+    "this is one keyed exchange plus ten integer columns of "
+    "map-side partial state; production keying is (user, day) as "
+    "for the other events ops. reference: no analogue — "
+    "training-pipeline extension (the session-boundary face of the "
+    "events-warehouse family).",
+)
+def events_session_gap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    delta = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    d = ev.select(delta.alias("delta_us"))
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_events")]
+    for g in SESSION_GAP_SWEEP_SEC:
+        us = g * 1_000_000
+        aggs.append(
+            F.sum(
+                F.when(
+                    F.col("delta_us").isNull() | (F.col("delta_us") > us), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias(f"sess_{g}")
+        )
+        aggs.append(
+            F.sum(F.when(F.col("delta_us") > us, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"bnd_{g}")
+        )
+    one = d.agg(*aggs)
+    rungs = F.array(
+        *[
+            F.struct(
+                F.lit(g).cast("bigint").alias("gap_sec"),
+                F.col(f"sess_{g}").alias("n_sessions"),
+                F.col(f"bnd_{g}").alias("n_boundaries"),
+                (
+                    F.col("n_events").cast("double") / F.col(f"sess_{g}")
+                ).alias("avg_session_events"),
+            )
+            for g in SESSION_GAP_SWEEP_SEC
+        ]
+    )
+    return one.select(F.explode(rungs).alias("r")).select(
+        F.col("r.gap_sec").alias("gap_sec"),
+        F.col("r.n_sessions").alias("n_sessions"),
+        F.col("r.n_boundaries").alias("n_boundaries"),
+        F.col("r.avg_session_events").alias("avg_session_events"),
+    )

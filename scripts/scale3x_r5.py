@@ -46,6 +46,7 @@ OP_TABLE = {
     "text_heldout_perplexity": "documents",
     "events_watermark_lateness_audit": "events",
     "events_watermark_delay_sweep": "events",
+    "events_session_gap_sweep": "events",
     "similarity_ivf_pq_refine_topk": "embeddings",
     "events_scd2_intervals": "events",
     "pipeline_domain_caps": "documents",

@@ -1714,6 +1714,30 @@ def test_watermark_delay_sweep_plan(spark):
     ) == {"event_id", "ts", "event_type"}
 
 
+def test_session_gap_sweep_plan(spark):
+    """events_session_gap_sweep (r17) mirrors the delay sweep's shape:
+    ONE keyed exchange (the per-user LAG window), then ONE global
+    partial+final conditional aggregation computing every rung in a
+    single pass — the grid multiplies nothing; the one Generate node
+    unfolds the 1-ROW aggregate into five rung rows. One Window node,
+    no hints, pure JVM, scan pruned to the three columns read."""
+    df = build(spark, "events_session_gap_sweep")
+    plan = pi.physical_plan(df)
+    assert pi.shuffle_count(df) == 2  # window + SinglePartition fold
+    assert plan.count("Window [") == 1
+    assert pi.has_partial_aggregate(df)
+    assert pi.broadcast_hint_count(df) == 0
+    g = plan.index("Generate")
+    assert "HashAggregate" in plan[g:]
+    assert "MapInPandas" not in plan
+    assert "BatchEvalPython" not in plan
+    m = plan[plan.index("ReadSchema"):].splitlines()[0]
+    assert set(
+        c.split(":")[0]
+        for c in m.split("struct<")[1].split(">")[0].split(",")
+    ) == {"event_id", "ts", "user_id"}
+
+
 def test_domain_caps_plan(spark):
     """pipeline_domain_caps: the heavy half is one partial-aggregated
     token sum (exactly ONE exchange, the per-source groupBy); the

@@ -7883,6 +7883,181 @@ def test_watermark_delay_sweep_generative_parity(spark, tmp_path):
         )
 
 
+def _session_gap_sweep_model(events, gaps=(60, 600, 1800, 3600, 86400)):
+    """Independent model for events_session_gap_sweep: per-user sorted
+    inter-event deltas, per-gap session counts via the
+    n_users + |deltas > G| identity. ``events``: list of (event_id,
+    ts_us, user_id)."""
+    by_user = {}
+    for eid, ts_us, uid in events:
+        by_user.setdefault(uid, []).append((ts_us, eid))
+    deltas = []
+    for uid, evs in by_user.items():
+        evs.sort()
+        for (a, _), (b, _) in zip(evs, evs[1:]):
+            deltas.append(b - a)
+    n_users, n_events = len(by_user), len(events)
+    out = []
+    for g in gaps:
+        us = g * 1_000_000
+        b = sum(1 for d in deltas if d > us)
+        out.append((g, n_users + b, b, n_events / (n_users + b)))
+    return sorted(out)
+
+
+def test_session_gap_sweep_claims(spark, tmp_path):
+    """events_session_gap_sweep's distinguishing claims on a crafted
+    log: (1) row parity with the independent model; (2) the
+    CROSS-OPERATOR identity is executed — the 600 s rung's n_sessions
+    equals events_session_window's row count exactly (same strict
+    boundary rule, same per-user total order); (3) the boundary is
+    STRICT — a crafted delta of exactly 60 s does NOT split at the
+    60 s rung (the sessionizer's own `>` comparison); (4)
+    n_boundaries == n_sessions - n_users at every rung, n_sessions
+    monotone non-increasing and avg_session_events monotone
+    non-decreasing in the gap; (5) the widest rung saturates on this
+    crafted log (every delta <= 1 day -> n_sessions == n_users);
+    (6) oracle-checked."""
+    import duckdb
+
+    from iceberg_explorer_spark.operators import QUERIES
+    from tests.conftest import assert_matches_oracle
+
+    spec = QUERIES["events_session_gap_sweep"]
+    base = 1_700_000_000
+    # (event_id, ts_off_sec, user_id): user 1 has deltas of exactly
+    # 60 s (strict edge: no split at the 60 rung), 61 s (splits at 60,
+    # not at 600), and 1801 s (splits at 60/600/1800); user 2 is a
+    # single event; user 3 has two simultaneous events (delta 0:
+    # never split).
+    raw = [
+        (1, 0, 1), (2, 60, 1), (3, 121, 1), (4, 1922, 1),
+        (10, 50, 2),
+        (20, 100, 3), (21, 100, 3),
+    ]
+    rows = [
+        (eid, base + off, uid, "click", 1.0, "{}")
+        for eid, off, uid in raw
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts_s long, user_id long, event_type string,"
+        " value double, props string",
+    ).select(
+        "event_id",
+        F.timestamp_seconds(F.col("ts_s")).alias("ts"),
+        "user_id", "event_type", "value", "props",
+    )
+    d = str(tmp_path / "sgs_crafted")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+
+    events_us = [
+        (eid, (base + off) * 1_000_000, uid) for eid, off, uid in raw
+    ]
+    model = _session_gap_sweep_model(events_us)
+    got = sorted(tuple(r) for r in spec.builder(spark, d).collect())
+    assert got == model  # (1)
+    by_g = {g[0]: g for g in got}
+    # (2) the registered sessionizer agrees at its own knob
+    n_sessions_600 = QUERIES["events_session_window"].builder(
+        spark, d
+    ).count()
+    assert by_g[600][1] == n_sessions_600
+    # (3) strict boundary: deltas are 60/61/1801 (u1), none (u2), 0
+    # (u3) -> at 60 s only 61 and 1801 split: 3 users + 2 = 5 sessions
+    assert by_g[60][1] == 5 and by_g[60][2] == 2
+    # at 600: only 1801 splits
+    assert by_g[600][1] == 4 and by_g[600][2] == 1
+    # at 1800: 1801 still splits; at 3600 nothing does
+    assert by_g[1800][1] == 4 and by_g[3600][1] == 3
+    # (4) invariants
+    n_users = 3
+    for g, ns, nb, avg in got:
+        assert nb == ns - n_users, g
+    gs = sorted(by_g)
+    for a, b in zip(gs, gs[1:]):
+        assert by_g[a][1] >= by_g[b][1]
+        assert by_g[a][3] <= by_g[b][3]
+    # (5) saturation: every delta <= 1 day
+    assert by_g[86400][1] == n_users and by_g[86400][2] == 0
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{d}/events.parquet/*.parquet')"
+    )
+    assert_matches_oracle(
+        spec.builder(spark, d), con, spec.oracle, "sgs_crafted"
+    )
+
+
+def test_session_gap_sweep_generative_parity(spark, tmp_path):
+    """Seeded generative hammer for events_session_gap_sweep: md5
+    arrival logs with second-level ties, bursty and sparse users vs
+    the independent model and the oracle; per-seed invariants —
+    n_boundaries == n_sessions - n_users at every rung, monotone
+    counters, and the 600 s cross-operator identity vs the registered
+    sessionizer."""
+    import duckdb
+    import hashlib
+
+    from iceberg_explorer_spark.operators import QUERIES
+    from tests.conftest import assert_matches_oracle
+
+    def h(*parts) -> int:
+        return hashlib.md5(":".join(map(str, parts)).encode()).digest()[0]
+
+    spec = QUERIES["events_session_gap_sweep"]
+    base = 1_700_000_000
+    for seed in ("sg1", "sg2", "sg3"):
+        n = 90 + h(seed, "n") % 40
+        raw = []
+        t = base
+        for i in range(n):
+            uid = h(seed, i, "u") % 7
+            # mixed inter-arrival scales: seconds, minutes, hours
+            t += (h(seed, i, "d") % 5) * (10 ** (h(seed, i, "m") % 4))
+            raw.append((i, t, uid))
+        rows = [
+            (eid, ts_s, uid, "click", 1.0, "{}") for eid, ts_s, uid in raw
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts_s long, user_id long, event_type string,"
+            " value double, props string",
+        ).select(
+            "event_id",
+            F.timestamp_seconds(F.col("ts_s")).alias("ts"),
+            "user_id", "event_type", "value", "props",
+        )
+        d = str(tmp_path / f"sgsg_{seed}")
+        df.coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+
+        events_us = [(eid, ts_s * 1_000_000, uid) for eid, ts_s, uid in raw]
+        model = _session_gap_sweep_model(events_us)
+        got = sorted(tuple(r) for r in spec.builder(spark, d).collect())
+        assert got == model, seed
+        by_g = {g[0]: g for g in got}
+        n_users = len({uid for _, _, uid in raw})
+        for g, ns, nb, avg in got:
+            assert nb == ns - n_users, (seed, g)
+            assert avg > 0, (seed, g)
+        gs = sorted(by_g)
+        for a, b in zip(gs, gs[1:]):
+            assert by_g[a][1] >= by_g[b][1], seed
+            assert by_g[a][3] <= by_g[b][3], seed
+        assert by_g[600][1] == QUERIES["events_session_window"].builder(
+            spark, d
+        ).count(), seed
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{d}/events.parquet/*.parquet')"
+        )
+        assert_matches_oracle(
+            spec.builder(spark, d), con, spec.oracle, f"sgs_gen_{seed}"
+        )
+
+
 def test_bq_store_round_trip(spark):
     """The BQ cascade's serving story (r16 — pairing
     similarity_bq_hamming_topk with its persisted index, the same
