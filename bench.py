@@ -427,7 +427,12 @@ def format_output(
     # slowest-queries entries), not raise — raising here after a full
     # multi-minute run would lose the entire perf record, the exact
     # failure this protocol exists to prevent.
-    for top_n in (5, 4, 3, 0):
+    # 2 and 1 added at r17: a pass whose three slowest carry the
+    # family's longest names (similarity_ivf_pq_refine_topk et al.)
+    # jumped straight from 3 entries to the 0-entry step — a 1-2 entry
+    # map still names the slowest query, which is the context the
+    # final line exists to carry
+    for top_n in (5, 4, 3, 2, 1, 0):
         # slowest ranked within the HEADLINE set only: the map sits next
         # to the headline-only `value`, and letting multi-second EXTENDED
         # entries fill it would make the named slowest unexplainable from

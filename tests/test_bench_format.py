@@ -127,11 +127,13 @@ def test_final_line_compact_even_at_200_queries_with_errors():
     parsed = json.loads(final)
     assert parsed["n_queries"] == 200 and parsed["errors"] == 30
     # whatever slowest-map size fits the 500-byte budget (5 normally,
-    # degrading stepwise — these 40-char synthetic names + the full key
-    # set land at 0), the entries reported really are the slowest, in
-    # rank order; the REAL headline names fit >= 4 entries, pinned below
+    # degrading stepwise through 2/1 — added at r17 when a real pass's
+    # long slowest names jumped 3 -> 0 — these 40-char synthetic names
+    # + the full key set land at 2), the entries reported really are
+    # the slowest, in rank order; the REAL headline names fit >= 4
+    # entries, pinned below
     slowest = set(parsed["queries"])
-    assert len(slowest) in (0, 3, 4, 5)
+    assert len(slowest) in (0, 1, 2, 3, 4, 5)
     ranked = sorted(timings, key=lambda k: -timings[k])
     assert slowest == set(ranked[: len(slowest)])
     assert json.loads(detail)["errors"] == errors
