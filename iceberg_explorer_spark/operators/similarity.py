@@ -31,7 +31,10 @@ from iceberg_explorer_spark.operators.dedup import (
     INCR_MOD,
 )
 from iceberg_explorer_spark.operators.registry import query
-from iceberg_explorer_spark.sources.registry import load_table
+from iceberg_explorer_spark.sources.registry import (
+    load_table,
+    repartition_for_compute,
+)
 
 DIM = 64
 N_PLANES = 4  # 16 buckets; enough selectivity at test scale
@@ -73,9 +76,24 @@ _EMB_SQL = (
 )
 
 
-def _load_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _load_emb(
+    spark: SparkSession, sf_dir: str, *, fanout: bool = True
+) -> DataFrame:
     """The embeddings table with the similarity input contract applied:
     the vector is NOT NULL and has at least one nonzero element.
+
+    ``fanout=True`` (default) spreads a narrow scan across the cluster via
+    ``repartition_for_compute`` BEFORE the contract filter: the embedding
+    family's per-row map work (normalization, centroid dots, sub-chunk
+    explodes — all interpreted higher-order-lambda math at ~0.3-0.5 ms per
+    64-dim dot) dominates its scan by orders of magnitude, so a
+    single-split input file would otherwise serialize the whole chain on
+    one core (measured at sf0.1, r17: the family sum dropped 25.7 s →
+    21.4 s with the fan-out; similarity_ivf_topk's assignment stage alone
+    0.87 s → 0.05 s). At real scale the scan is already wide and the guard
+    no-ops — see ``repartition_for_compute``. The two single-pass cheap
+    consumers (brute-force top-k, LSH ANN) opt out: their map work is one
+    dot per row, where the extra exchange costs more than it buys.
 
     A row without a vector does not participate in similarity: Spark's
     array functions would propagate NULL quietly (surfacing NULL cosines
@@ -101,7 +119,10 @@ def _load_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     evaluates element-by-element with per-access bounds checks. The fold
     stays.)
     """
-    return _apply_emb_contract(load_table(spark, sf_dir, "embeddings"))
+    df = load_table(spark, sf_dir, "embeddings")
+    if fanout:
+        df = repartition_for_compute(df)
+    return _apply_emb_contract(df)
 
 
 def _apply_emb_contract(df: DataFrame) -> DataFrame:
@@ -214,8 +235,9 @@ def similarity_bruteforce_topk(
 ) -> DataFrame:
     # ``emb``: optional pre-built embeddings frame — the recall report
     # passes its session-scoped persisted scan so all variants share ONE
-    # in-memory corpus without caching the bare table plan session-wide
-    emb = emb if emb is not None else _load_emb(spark, sf_dir)
+    # in-memory corpus without caching the bare table plan session-wide.
+    # fanout=False: one dot per row is cheaper than the fan-out exchange.
+    emb = emb if emb is not None else _load_emb(spark, sf_dir, fanout=False)
     qvec = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("embedding").alias("qe")
     )
@@ -255,7 +277,8 @@ def similarity_bruteforce_topk(
 def similarity_lsh_ann(
     spark: SparkSession, sf_dir: str, *, emb: DataFrame | None = None
 ) -> DataFrame:
-    emb = emb if emb is not None else _load_emb(spark, sf_dir)
+    # fanout=False: one SRP code + one dot per row — see _load_emb
+    emb = emb if emb is not None else _load_emb(spark, sf_dir, fanout=False)
     coded = emb.withColumn("bucket", F.expr(_srp_code_sql("embedding")))
     qrow = coded.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("embedding").alias("qe"), F.col("bucket").alias("qbucket")
@@ -379,35 +402,62 @@ def _ivf_assign_sql_duckdb() -> str:
 
 def _ivf_ranked(emb: DataFrame, cents: DataFrame | None = None) -> DataFrame:
     """Every vector's centroids ranked by rounded cosine (the shared IVF
-    assignment): broadcast the K centroid rows, one map-side dot product
-    per (vector, centroid), rank within each vector. rn = 1 is the
-    vector's list; rn ≤ nprobe are a query's probe lists. Shared by the
-    top-k query and the balance report so the assignment has ONE
-    definition (mirror of the oracle-side ``_ivf_assign_sql_duckdb``).
+    assignment): the K centroid rows collapse to ONE broadcast row
+    carrying them as an array, each vector ranks them MAP-SIDE
+    (``transform`` computes the K dots, ``array_sort`` orders them by the
+    same (csim DESC, cid) total order, ``posexplode`` re-emits the K
+    ranked rows) — so assignment costs ZERO exchanges and zero Window
+    nodes. rn = 1 is the vector's list; rn ≤ nprobe are a query's probe
+    lists. Shared by the top-k query and the balance report so the
+    assignment has ONE definition (mirror of the oracle-side
+    ``_ivf_assign_sql_duckdb``).
+
+    (r17 optimization note: the previous form crossJoined the broadcast
+    centroid ROWS and ranked with a row_number window partitioned by
+    vec_id — an Exchange+Sort of corpus × K rows carrying the normalized
+    vectors, ~1 MB and the slowest stage of every IVF query at sf0.1,
+    and a corpus-sized shuffle at 100 TB. The array form computes the
+    identical (csim, cid, rn) triples — same rounded-dot expression, same
+    total order, unique cids make the sort deterministic — with the
+    ranking fused into the scan-side map stage. Guide §2.4: remove
+    shuffles outright.)
 
     ``cents``: optional (cid, ce) centroid frame. The default derives
     the centroids from ``emb`` itself (vec_id < IVF_K — the in-session
     queries' rule); the artifact append path passes the centroids read
     from the persisted list artifact instead, because a nightly
     increment need not contain the centroid vectors."""
-    from pyspark.sql import Window
-
     if cents is None:
         cents = emb.filter(F.col("vec_id") < IVF_K).select(
             F.col("vec_id").alias("cid"), F.col("ne").alias("ce")
         )
-    cents = F.broadcast(cents)
-    sim = F.round(F.expr(_DOT_SPARK.format(a="ne", b="ce")), 6)
+    # K rows → one broadcast row holding the centroid array (O(K),
+    # scale-independent — the same legitimacy class as the old K-row
+    # broadcast)
+    carr = F.broadcast(
+        cents.agg(F.collect_list(F.struct("cid", "ce")).alias("_cents"))
+    )
+    ranked_arr = F.expr(
+        "array_sort(transform(_cents, c -> named_struct("
+        f"'csim', round({_DOT_SPARK.format(a='ne', b='c.ce')}, 6), "
+        "'cid', c.cid)), "
+        "(l, r) -> CASE WHEN l.csim > r.csim THEN -1 "
+        "WHEN l.csim < r.csim THEN 1 "
+        "WHEN l.cid < r.cid THEN -1 WHEN l.cid > r.cid THEN 1 "
+        "ELSE 0 END)"
+    )
+    emb_cols = emb.columns
     return (
-        emb.crossJoin(cents)
-        .withColumn("csim", sim)
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("vec_id").orderBy(
-                    F.col("csim").desc(), F.col("cid")
-                )
-            ),
+        emb.crossJoin(carr)
+        .withColumn("_ranked", ranked_arr)
+        .select(
+            *emb_cols, F.posexplode("_ranked").alias("_pos", "_s")
+        )
+        .select(
+            *emb_cols,
+            F.col("_s.csim").alias("csim"),
+            F.col("_s.cid").alias("cid"),
+            (F.col("_pos") + 1).alias("rn"),
         )
     )
 
@@ -3815,7 +3865,10 @@ def similarity_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     "because the engines disagree on round-half semantics).",
 )
 def similarity_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _load_emb(spark, sf_dir)
+    # fanout=False: the op IS a pure map (scan → project, pinned by
+    # test_int8_quantize_is_map_only) — a fan-out exchange would be its
+    # only shuffle, all overhead
+    emb = _load_emb(spark, sf_dir, fanout=False)
     dv = F.transform("embedding", lambda x: x.cast("double"))
     maxabs = F.array_max(F.transform("v", F.abs))
     base = (

@@ -94,7 +94,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # Required for the legacy NANOS flavour; harmless when already set.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = f"{sf_dir}/{name}.parquet"
-    df = spark.read.parquet(path)
+    df = spark.read.schema(_inferred_schema(spark, path)).parquet(path)
     if name == "events":
         from pyspark.sql import functions as F
 
@@ -106,6 +106,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 path
             )
     return df
+
+
+#: (path, mtime_ns, size) → inferred StructType. Schema inference on a
+#: parquet path runs a small Spark job (footer read) on EVERY
+#: ``spark.read.parquet`` call — one to three per query build, ~25 ms each,
+#: which the bench pays hundreds of times per run. The inferred schema is a
+#: pure metadata object (session-independent), so memoize it per file
+#: identity and hand it to the reader explicitly; the reader then skips the
+#: inference job entirely. Keyed on mtime+size so a regenerated testdata
+#: file can never serve a stale schema. This caches METADATA only — every
+#: query still computes from the parquet data itself.
+_SCHEMA_CACHE: dict = {}
+
+
+def _inferred_schema(spark: SparkSession, path: str):
+    import os
+
+    st = os.stat(path)
+    key = (path, st.st_mtime_ns, st.st_size)
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        _SCHEMA_CACHE[key] = schema
+    return schema
 
 
 def _with_ts_as_timestamp(schema):
