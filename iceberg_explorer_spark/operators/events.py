@@ -19,7 +19,10 @@ from pyspark.sql import functions as F
 
 from iceberg_explorer_spark.functions.deterministic import sum_money
 from iceberg_explorer_spark.operators.registry import query
-from iceberg_explorer_spark.sources.registry import load_table
+from iceberg_explorer_spark.sources.registry import (
+    load_table,
+    repartition_for_compute,
+)
 
 FIVE_MIN_US = 300_000_000
 TEN_MIN_US = 600_000_000
@@ -161,7 +164,11 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "disagree on fractional and non-numeric values).",
 )
 def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    # fan the scan out before the per-row JSON parse: get_json_object over
+    # every props string is the op's dominant cost and runs pre-shuffle
+    # (interleaved 5-iter min at sf0.1: 0.59 s vs 1.19 s single-split);
+    # no-op at real scale where the scan is already wide
+    ev = repartition_for_compute(load_table(spark, sf_dir, "events"))
     ks = F.get_json_object("props", "$.k")
     k = F.when(ks.rlike("^-?[0-9]+$"), ks.cast("int"))
     return ev.groupBy("event_type").agg(

@@ -1879,7 +1879,10 @@ def incremental_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     be2 = shared_semantic_edges(spark, sf_dir).filter(
         (F.col("id_a") % INCR_MOD == 0) | (F.col("id_b") % INCR_MOD == 0)
     ).select("id_a", "id_b")
-    emb_ids = _load_emb(spark, sf_dir).select(F.col("vec_id").alias("doc_id"))
+    # fanout=False: a bare id projection — nothing to parallelize
+    emb_ids = _load_emb(spark, sf_dir, fanout=False).select(
+        F.col("vec_id").alias("doc_id")
+    )
     return assemble_incremental_status(flags, be, be2, emb_ids)
 
 
@@ -2089,7 +2092,8 @@ def _artifact_delta_report(
     # side there, so without the reduction the full embeddings table
     # would shuffle; this is the oracle's kemb shape
     emb = (
-        _load_emb(spark, sf_dir)
+        # fanout=False: a bare id projection — nothing to parallelize
+        _load_emb(spark, sf_dir, fanout=False)
         .select(F.col("vec_id").alias("doc_id"))
         .join(kept.select("doc_id"), "doc_id", "left_semi")
         .withColumn("has_emb", F.lit(1))

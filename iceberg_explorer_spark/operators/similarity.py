@@ -1580,7 +1580,13 @@ def _bucket_pairs_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rounding is left to callers (JVM-side F.round, HALF_UP) so numpy's
     banker's rounding never touches the cross-engine contract.
     """
-    return _bucket_pairs_gemm_coded(_coded_vectors(_load_emb(spark, sf_dir)))
+    # fanout=False: the GEMM chain's first real operator is the
+    # groupBy(bucket) exchange, which re-shuffles immediately — a fan-out
+    # spread before it is pure overhead (interleaved 5-iter min at sf0.1:
+    # knn 1.05 vs 1.21 s, bucket_gemm 0.63 vs 0.74 s)
+    return _bucket_pairs_gemm_coded(
+        _coded_vectors(_load_emb(spark, sf_dir, fanout=False))
+    )
 
 
 def _coded_vectors(emb: DataFrame) -> DataFrame:

@@ -561,14 +561,17 @@ def text_unigram_logfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text scores high, rare-transition text scores low, and unlike the "
     "unigram op, sentences of common-but-shuffled words score LOW (word "
     "ORDER is the signal — pinned by the crafted test). Token order "
-    "comes from posexplode / UNNEST WITH ORDINALITY (the array order of "
-    "the SAME shared whitespace tokenizer), bigrams from lead() within "
-    "each doc. Determinism: each ln P is quantized to micro-unit BIGINT "
+    "comes from the token array itself (the array order of the SAME "
+    "shared whitespace tokenizer; the oracle's UNNEST WITH ORDINALITY "
+    "mirrors it), bigrams zip the array with itself shifted by one — a "
+    "row-local map (r17; formerly a per-doc lead() window whose "
+    "Exchange+Sort shuffled the whole token stream per derivation). "
+    "Determinism: each ln P is quantized to micro-unit BIGINT "
     "in the corpus-wide model table, per-doc reductions are exact "
     "integer sums divided once (the unigram precedent: float-order "
     "nondeterminism cannot reach the output). Docs with < 2 tokens have "
     "no bigrams and are absent, both engines. Plan: the bigram stream "
-    "is a map-side lead over the per-doc window (bounded by doc length "
+    "is a zero-exchange map over the token array (bounded by doc length "
     "— no corpus-wide partition); the bigram model is built ONCE and "
     "checkpointed (O(distinct bigrams) — its two consumers read the "
     "blocks), the 1-row vocabulary size broadcasts, and the doc-side "
@@ -579,8 +582,10 @@ def text_unigram_logfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
     "build. reference: no analogue — training-pipeline extension.",
 )
 def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
+    # NO fan-out here: measured r17 (interleaved 5-iter min, sf0.1), a
+    # RoundRobin spread of the docs scan regressed this op 1.59 -> 1.84 s
+    # (the tokenize stages look heavy but are shuffle-plumbing-bound, not
+    # CPU-bound; extra partitions just multiply task/coalesce overhead)
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
@@ -588,16 +593,11 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ord", "word"
         ),
     )
-    big = (
-        toks.withColumn(
-            "w2",
-            F.lead("word").over(
-                Window.partitionBy("doc_id").orderBy("ord")
-            ),
-        )
-        .filter(F.col("w2").isNotNull())
-        .select("doc_id", F.col("word").alias("w1"), "w2")
-    )
+    # map-side bigrams from the token array (r17) — identical rows to
+    # the former per-doc lead() window without its Exchange(doc_id)+Sort
+    # of the whole token stream, PER derivation (this op derives the
+    # stream twice: the model build and the doc-side tf count)
+    big = _lm_bigrams(docs)
     # the model table is O(distinct bigrams) — small — and feeds TWO
     # consumers (the context marginal and the smoothed-probability
     # join): checkpoint it so the corpus-wide bigram count runs ONCE
@@ -744,7 +744,8 @@ BACKOFF_ALPHA = 0.4
     "train bigrams) checkpointed table, backoff scores inside the "
     "O(train vocab) unigram table, and the OOV floor rides the 1-row "
     "(T, V) broadcast — so the heldout stream is touched exactly once "
-    "(one bounded per-doc window, one groupBy, left joins that AQE "
+    "(a zero-exchange bigram zip over the token array, one groupBy, "
+    "left joins that AQE "
     "broadcasts when the model fits) and scoring cost scales with the "
     "heldout slice, not the train corpus. At 100 TB the train model "
     "persists as an artifact (the KenLM binary's role) and the split "
@@ -753,6 +754,7 @@ BACKOFF_ALPHA = 0.4
     "analogue — training-pipeline extension.",
 )
 def text_heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NO fan-out (measured regression — see text_bigram_lm_score's note)
     docs = load_table(spark, sf_dir, "documents")
     bg, uni = _lm_counts(docs.filter(F.col("doc_id") % HELDOUT_MOD != 0))
     # the train model: O(distinct bigrams) / O(vocab), each with two
@@ -774,14 +776,32 @@ def _lm_tokens(docs: DataFrame) -> DataFrame:
     )
 
 
-def _lm_bigrams(toks: DataFrame) -> DataFrame:
+#: Adjacent-pair structs of a token ARRAY column named ``_t`` — the
+#: map-side bigram rule (r17): zip the array with itself shifted by one.
+#: ``greatest(size - 1, 0)`` keeps the slice length legal for 0/1-token
+#: docs (both yield an empty pair array — a doc with < 2 tokens has no
+#: bigrams, same as the old lead() form). Replaces the per-doc lead()
+#: window, whose Exchange(doc_id)+Sort shuffled the ENTIRE token stream
+#: once per derivation — the bigram stream is a row-local function of
+#: the token array, so it needs no data movement at all (guide §2.4).
+_BIGRAM_PAIRS = (
+    "zip_with(slice(_t, 1, greatest(size(_t) - 1, 0)),"
+    " slice(_t, 2, greatest(size(_t) - 1, 0)),"
+    " (a, b) -> named_struct('w1', a, 'w2', b))"
+)
+
+
+def _lm_bigrams(docs: DataFrame) -> DataFrame:
+    """(doc_id, w1, w2): each doc's adjacent-token pairs, exploded
+    map-side from the token array (see ``_BIGRAM_PAIRS``) — zero
+    exchanges, identical rows to the former lead()-window derivation."""
     return (
-        toks.withColumn(
-            "w2",
-            F.lead("word").over(W.partitionBy("doc_id").orderBy("ord")),
+        docs.select(
+            "doc_id",
+            F.filter(_tokens(), lambda w: w != "").alias("_t"),
         )
-        .filter(F.col("w2").isNotNull())
-        .select("doc_id", F.col("word").alias("w1"), "w2")
+        .select("doc_id", F.explode(F.expr(_BIGRAM_PAIRS)).alias("_p"))
+        .select("doc_id", F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
     )
 
 
@@ -797,7 +817,7 @@ def _lm_counts(docs: DataFrame) -> "tuple[DataFrame, DataFrame]":
     to language modeling."""
     toks = _lm_tokens(docs)
     bg = (
-        _lm_bigrams(toks)
+        _lm_bigrams(docs)
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     )
@@ -826,7 +846,7 @@ def _lm_score_docs(
             F.count(F.lit(1)).cast("bigint").alias("v"),
         )
     )
-    dbg = _lm_bigrams(_lm_tokens(docs)).groupBy("doc_id", "w1", "w2").agg(
+    dbg = _lm_bigrams(docs).groupBy("doc_id", "w1", "w2").agg(
         F.count(F.lit(1)).cast("bigint").alias("tf")
     )
     ctx = bg.groupBy("w1").agg(F.sum("c").cast("bigint").alias("cc"))

@@ -42,6 +42,13 @@ def default_conf(cpus: str | int | None = None) -> dict[str, str]:
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
+        # AQE's post-shuffle coalesce floor (minPartitionSize) stays at its
+        # 1 MB default: r17 A/B'd 16k/64k/256k floors — interleaved
+        # same-session batteries suggested ~3% wins, but the full 107-query
+        # bench regressed broadly (+10 s) under 256k (more post-shuffle
+        # partitions multiply task/coalesce overhead across EVERY stage of
+        # EVERY query; the CPU-dense stages that profit are better served
+        # by the targeted scan fan-out guard). Measured, rejected.
         # Initial shuffle parallelism (AQE coalesces down as needed)
         "spark.sql.shuffle.partitions": n,
         # Pushdown / pruning are default-on; keep explicit for documentation

@@ -1445,21 +1445,20 @@ def test_bigram_lm_score_plan(spark):
     """text_bigram_lm_score stays JVM-side with the unigram op's
     two-pass shape: the corpus-wide bigram model is built ONCE and
     checkpointed (Scan ExistingRDD — its two consumers, the context
-    marginal and the probability join, read the blocks), so exactly
-    ONE per-doc lead() window remains visible (the doc-side bigram
-    stream), partitioned by doc_id — bounded by doc length, never a
-    corpus-wide single partition; every groupBy partial-aggregates
-    map-side; the 1-row vocabulary size is the only broadcast hint
-    (scale-independent); no cartesian product (the cross join is
-    against that 1-row aggregate)."""
+    marginal and the probability join, read the blocks); the doc-side
+    bigram stream is a ZERO-window map over the token array (r17: the
+    former per-doc lead() window's Exchange(doc_id)+Sort shuffled the
+    whole token stream — the adjacent-pair zip is row-local); every
+    groupBy partial-aggregates map-side; the 1-row vocabulary size is
+    the only broadcast hint (scale-independent); no cartesian product
+    (the cross join is against that 1-row aggregate)."""
     df = build(spark, "text_bigram_lm_score")
     plan = pi.physical_plan(df)
     assert "MapInPandas" not in plan
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "Scan ExistingRDD" in plan
-    assert plan.count("Window [") == 1
-    assert "doc_id" in plan[plan.index("Window ["):][:200]
+    assert plan.count("Window [") == 0
     assert pi.has_partial_aggregate(df)
     assert pi.broadcast_hint_count(df) == 1
 
@@ -1663,16 +1662,24 @@ def test_heldout_perplexity_plan(spark):
     (checkpointed bigram + unigram tables — Scan ExistingRDD in the
     final plan), so the RETURNED plan scans parquet exactly ONCE (the
     heldout side; the split modulo cannot push to parquet, which is
-    why the doc sends 100 TB users to a split column). One bounded
-    per-doc Window, the 1-row totals broadcast plus the OOV-floor
-    broadcast, pure JVM, and partial aggregation on the doc-side
-    reductions."""
+    why the doc sends 100 TB users to a split column). Zero Window
+    nodes (r17: the doc-side bigram stream is a row-local zip over the
+    token array, not a lead() window), the 1-row totals broadcast plus
+    the OOV-floor broadcast, pure JVM, and partial aggregation on the
+    doc-side reductions."""
     df = build(spark, "text_heldout_perplexity")
     plan = pi.physical_plan(df)
     assert plan.count("Scan parquet") == 1
     assert "Scan ExistingRDD" in plan
-    assert plan.count("Window [") == 1
-    assert pi.shuffle_count(df) <= 4
+    assert plan.count("Window [") == 0
+    # 5 key shuffles: doc-side (doc_id,w1,w2) partial-agg, ctx (w1), the
+    # final per-doc groupBy, and two 1-row SinglePartition merges. The
+    # former lead() window's Exchange(doc_id) used to double as the
+    # doc-side agg's distribution (subset-key reuse), so the count is
+    # unchanged-in-kind: the zip swaps a SORTED token-stream exchange for
+    # a partial-aggregated tuple exchange — fewer bytes, no sort, at any
+    # scale
+    assert pi.shuffle_count(df) <= 5
     assert pi.broadcast_hint_count(df) == 2
     assert pi.has_partial_aggregate(df)
     assert "MapInPandas" not in plan
