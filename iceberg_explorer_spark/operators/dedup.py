@@ -32,7 +32,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from iceberg_explorer_spark.operators.registry import query
-from iceberg_explorer_spark.sources.registry import load_table
+from iceberg_explorer_spark.sources.registry import (
+    load_table,
+    repartition_for_compute,
+)
 
 N_HASHES = 12
 N_BANDS = 4  # 3 rows per band
@@ -858,6 +861,11 @@ def shared_hashed_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         sf_dir,
         "shingles",
+        # (r17: fanning this table out before the checkpoint was A/B'd —
+        # interleaved, cache-invalidated, twice — and REJECTED: consumers
+        # summed 8-10% slower with a 32-partition checkpoint; the verify
+        # joins and signature aggs are shuffle-plumbing-bound here, and
+        # extra partitions multiply per-stage task overhead)
         lambda: hashed_shingles(spark, sf_dir),
     )
 
