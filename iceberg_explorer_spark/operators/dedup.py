@@ -33,8 +33,8 @@ from pyspark.sql import functions as F
 
 from iceberg_explorer_spark.operators.registry import query
 from iceberg_explorer_spark.sources.registry import (
+    eager_checkpoints,
     load_table,
-    repartition_for_compute,
 )
 
 N_HASHES = 12
@@ -3842,19 +3842,19 @@ def dedup_incremental_two_day_near(
         d1(F.col("doc_a")) | d1(F.col("doc_b"))
         | d2(F.col("doc_a")) | d2(F.col("doc_b"))
     )
-    be = (
+    be_lazy = (
         jaccard_verify(bc, sh, threshold=INCR_NEAR_TAU)
         .select(F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"))
-        .localCheckpoint(eager=True)
     )
     docs = load_table(spark, sf_dir, "documents")
     # ONE spine checkpoint serves both generations (filters over it are
-    # within-job); the two days' id sets are DISJOINT (%10==0 vs ==5)
-    batch = (
-        docs.filter(d1(F.col("doc_id")) | d2(F.col("doc_id")))
-        .select("doc_id", "source")
-        .localCheckpoint(eager=True)
-    )
+    # within-job); the two days' id sets are DISJOINT (%10==0 vs ==5).
+    # The edge table and the spine are INDEPENDENT — materialize both
+    # concurrently (guide §2.6; see eager_checkpoints)
+    batch_lazy = docs.filter(
+        d1(F.col("doc_id")) | d2(F.col("doc_id"))
+    ).select("doc_id", "source")
+    be, batch = eager_checkpoints(be_lazy, batch_lazy)
     batch1 = batch.filter(d1(F.col("doc_id")))
     batch2 = batch.filter(d2(F.col("doc_id")))
     a1, b1 = d1(F.col("id_a")), d1(F.col("id_b"))

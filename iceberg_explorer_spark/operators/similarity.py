@@ -32,6 +32,7 @@ from iceberg_explorer_spark.operators.dedup import (
 )
 from iceberg_explorer_spark.operators.registry import query
 from iceberg_explorer_spark.sources.registry import (
+    eager_checkpoints,
     load_table,
     repartition_for_compute,
 )
@@ -730,7 +731,7 @@ def similarity_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus scan. The k*K-row result feeds two branches (bill + merge),
     # so it is materialized once.
     wl = Window.partitionBy("cid").orderBy(F.col("cos_sim").desc(), "vec_id")
-    cand = (
+    cand_lazy = (
         lists.join(qprobe, "cid")
         .filter(F.col("vec_id") != QUERY_VEC_ID)
         .crossJoin(q)
@@ -740,8 +741,18 @@ def similarity_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "list_cands", F.count(F.lit(1)).over(Window.partitionBy("cid"))
         )
         .filter(F.col("lrn") <= _IVF_SWEEP_K)
-        .localCheckpoint(eager=True)
     )
+    # exact baseline built by the registered builder over the SAME
+    # contract-filtered frame; k rows, two consumers (hit join + the
+    # recall denominator). The candidate frame and the exact baseline
+    # are INDEPENDENT — materialize both concurrently (guide §2.6; see
+    # eager_checkpoints)
+    bf_lazy = (
+        similarity_bruteforce_topk(spark, sf_dir, emb=emb)
+        .select("vec_id")
+        .withColumn("hit", F.lit(1))
+    )
+    cand, bf = eager_checkpoints(cand_lazy, bf_lazy)
     conf = spark.createDataFrame(
         [(n,) for n in IVF_SWEEP_NPROBES], "nprobe int"
     )
@@ -774,15 +785,6 @@ def similarity_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         conf.join(cand, F.col("probe_rank") <= F.col("nprobe"))
         .withColumn("crn", F.row_number().over(wg))
         .filter(F.col("crn") <= _IVF_SWEEP_K)
-    )
-    # exact baseline built by the registered builder over the SAME
-    # contract-filtered frame; k rows, two consumers (hit join + the
-    # recall denominator), so materialized once
-    bf = (
-        similarity_bruteforce_topk(spark, sf_dir, emb=emb)
-        .select("vec_id")
-        .withColumn("hit", F.lit(1))
-        .localCheckpoint(eager=True)
     )
     n_exact = bf.agg(F.count(F.lit(1)).alias("_n_exact"))
     hits = (
@@ -4470,7 +4472,8 @@ def dedup_incremental_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("id_a") % INCR_MOD == 0) | (F.col("id_b") % INCR_MOD == 0)
     ).select("id_a", "id_b")
     batch = (
-        _load_emb(spark, sf_dir)
+        # fanout=False: a bare id projection — nothing to parallelize
+        _load_emb(spark, sf_dir, fanout=False)
         .filter(F.col("vec_id") % INCR_MOD == 0)
         .select(F.col("vec_id").alias("doc_id"))
         .join(

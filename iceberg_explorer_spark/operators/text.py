@@ -13,7 +13,10 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from iceberg_explorer_spark.operators.registry import query
-from iceberg_explorer_spark.sources.registry import load_table
+from iceberg_explorer_spark.sources.registry import (
+    eager_checkpoints,
+    load_table,
+)
 
 PROFILE_TOP_N = 10
 PUNCT_CLASS = r"[.,!?;:]"
@@ -759,11 +762,12 @@ def text_heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     bg, uni = _lm_counts(docs.filter(F.col("doc_id") % HELDOUT_MOD != 0))
     # the train model: O(distinct bigrams) / O(vocab), each with two
     # consumers (context marginal + q-table; totals + backoff table) —
-    # checkpoint once, the bigram-op discipline
+    # checkpoint once, the bigram-op discipline; the two independent
+    # model tables materialize CONCURRENTLY (guide §2.6, r17: 1.73 →
+    # 1.60 s — back-to-back jobs idled the machine through each tail)
+    bg_ck, uni_ck = eager_checkpoints(bg, uni)
     return _lm_score_docs(
-        docs.filter(F.col("doc_id") % HELDOUT_MOD == 0),
-        bg.localCheckpoint(eager=True),
-        uni.localCheckpoint(eager=True),
+        docs.filter(F.col("doc_id") % HELDOUT_MOD == 0), bg_ck, uni_ck
     )
 
 

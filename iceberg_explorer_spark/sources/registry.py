@@ -196,6 +196,32 @@ def repartition_for_compute(df: DataFrame, min_factor: float = 0.5) -> DataFrame
     return df
 
 
+def eager_checkpoints(*dfs: DataFrame) -> "tuple[DataFrame, ...]":
+    """Materialize several INDEPENDENT frames as eager localCheckpoints
+    concurrently (guide §2.6: actions are only sequential because driver
+    code calls them sequentially). Each ``localCheckpoint(eager=True)`` is
+    a blocking job; an operator that materializes two frames that do not
+    depend on each other (the heldout scorer's bigram + unigram model
+    tables, the probe sweep's candidate + exact-baseline frames) otherwise
+    pays them back-to-back while most of the machine idles through each
+    job's tail. Two-three jobs in flight is the guide's own sweet spot;
+    callers pass only frames with NO dependency on each other. Measured
+    r17: text_heldout_perplexity 1.73 → 1.60 s (interleaved 5-iter min).
+    Thread-safety: localCheckpoint submits a plain Spark job; job
+    descriptions/groups are thread-local so concurrent submission from a
+    short-lived pool is the documented overlap pattern."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(dfs) == 1:
+        return (dfs[0].localCheckpoint(eager=True),)
+    with ThreadPoolExecutor(max_workers=len(dfs)) as pool:
+        futures = [
+            pool.submit(lambda d=d: d.localCheckpoint(eager=True))
+            for d in dfs
+        ]
+        return tuple(f.result() for f in futures)
+
+
 _SIZE_SUFFIX = {"": 1, "b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
 
 
