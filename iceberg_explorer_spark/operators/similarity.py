@@ -1791,54 +1791,126 @@ def _pq_codes(
 
 def _pq_scores(emb: DataFrame, ms: "tuple[int, ...]") -> DataFrame:
     """The ONE PQ pipeline, geometry-parameterized — encode, LUT and ADC
-    score for every config M in ``ms``, all from a single corpus pass
-    (every config's sub-chunks explode out of the same normalized scan;
-    encode/LUT/score key on the ``m_subspaces`` config column). Returns
-    (m_subspaces, vec_id, approx_cos_sim) for every non-query vector.
+    score for every config M in ``ms``, all from a single corpus pass.
+    Returns (m_subspaces, vec_id, approx_cos_sim) for every non-query
+    vector.
 
-    Single source for the PQ rule since the r14 fold (the r13 review
-    postscript's accepted duplication, folded at the v3 flip as VERDICT
-    r13 #3 offered): ``similarity_pq_adc_topk`` is the ``(PQ_M,)``
-    instance of this chain and ``similarity_pq_geometry_sweep`` the
-    ``PQ_SWEEP_MS`` instance, so the registered query and the
-    calibration sweep cannot desync on what "encode then ADC-score"
-    means — one definition of chunking, seed-pick codebooks
-    (vec_id < PQ_K), deterministic argmax tie-break, and the micro-unit
-    BIGINT score sum. Scale shape is the config-keyed band-tuning rule:
-    one scan, two partial-aggregated shuffles (encode argmax, score
-    sum), codebook and LUT broadcast (O(sum(ms) x PQ_K) rows,
-    scale-independent)."""
-    sub = _pq_chunks(emb, ms)
-    cb = F.broadcast(
-        sub.filter(F.col("vec_id") < PQ_K).select(
-            F.col("vec_id").alias("code"),
-            "m_subspaces",
-            "m",
-            F.col("chunk").alias("ce"),
+    Single source for the PQ rule since the r14 fold:
+    ``similarity_pq_adc_topk`` is the ``(PQ_M,)`` instance of this chain
+    and ``similarity_pq_geometry_sweep`` the ``PQ_SWEEP_MS`` instance, so
+    the registered query and the calibration sweep cannot desync on what
+    "encode then ADC-score" means — one definition of chunking, seed-pick
+    codebooks (vec_id < PQ_K), deterministic argmax tie-break
+    (round-6 dot DESC, code ASC), and the micro-unit BIGINT score sum.
+
+    r17 shape (the ``_ivf_ranked`` de-windowing applied to PQ): the
+    codebook and the query LUT collapse into ONE broadcast row carrying
+    two lookup maps — ``cbm[ms*100+m] -> sorted (code, ce) entries`` and
+    ``lutm[(ms*100+m)*100+code] -> contrib_micro`` — and each VECTOR
+    computes its whole score map-side: per (config, m), argmax over the
+    16 codebook entries via the same total order, then the exact BIGINT
+    fold of the m LUT hits, in fixed expression order (BIGINT addition
+    is associative/commutative, so the fold equals the old partial-agg
+    sum bit-for-bit). The previous shape exploded corpus × codes rows
+    through a join and paid TWO corpus-keyed partial-agg exchanges
+    (encode argmax, score sum); this one pays ZERO — the corpus never
+    shuffles to be scored, at any scale (guide §2.4). Row-identity with
+    the old chain is pinned by the unchanged oracles and the pq_adc
+    score-equality crafted test. The ``isNotNull`` filter reproduces the
+    old inner-join semantics on degenerate corpora (no query row / no
+    seed rows -> zero rows, not NULL scores)."""
+    seeds = emb.filter(
+        (F.col("vec_id") < PQ_K) | (F.col("vec_id") == QUERY_VEC_ID)
+    ).select("vec_id", "ne")
+    chunk_structs = F.array(
+        *[
+            F.struct(
+                F.lit(mc * 100 + m).alias("key"),
+                F.expr(
+                    f"slice(ne, {m * (DIM // mc) + 1}, {DIM // mc})"
+                ).alias("chunk"),
+            )
+            for mc in ms
+            for m in range(mc)
+        ]
+    )
+    sub = seeds.select("vec_id", F.explode(chunk_structs).alias("s")).select(
+        "vec_id", F.col("s.key").alias("key"), F.col("s.chunk").alias("chunk")
+    )
+    cb_rows = sub.filter(F.col("vec_id") < PQ_K).select(
+        "key", F.col("vec_id").alias("code"), F.col("chunk").alias("ce")
+    )
+    cbm = (
+        cb_rows.groupBy("key")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("code", "ce"))).alias(
+                "entries"
+            )
+        )
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("key", "entries"))
+            ).alias("cbm")
         )
     )
-    codes = _pq_codes(sub, cb)
-    lut = F.broadcast(
+    lutm = (
         sub.filter(F.col("vec_id") == QUERY_VEC_ID)
-        .select("m_subspaces", "m", F.col("chunk").alias("qchunk"))
-        .join(cb, ["m_subspaces", "m"])
+        .select("key", F.col("chunk").alias("qchunk"))
+        .join(cb_rows, "key")
         .select(
-            "m_subspaces",
-            "m",
-            "code",
+            (F.col("key") * 100 + F.col("code")).alias("lkey"),
             F.round(F.expr(_DOT_SPARK.format(a="qchunk", b="ce")) * 1_000_000)
             .cast("bigint")
             .alias("contrib_micro"),
         )
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("lkey", "contrib_micro"))
+            ).alias("lutm")
+        )
+    )
+    maps = F.broadcast(cbm.crossJoin(lutm))
+
+    def _score_expr(mc: int) -> str:
+        terms = []
+        for m in range(mc):
+            key = mc * 100 + m
+            chunk = f"slice(ne, {m * (DIM // mc) + 1}, {DIM // mc})"
+            dot = _DOT_SPARK.format(a=chunk, b="e.ce")
+            code = (
+                f"array_sort(transform(element_at(cbm, {key}), e -> "
+                f"named_struct('d', round({dot}, 6), 'code', e.code)), "
+                "(l, r) -> CASE WHEN l.d > r.d THEN -1 "
+                "WHEN l.d < r.d THEN 1 "
+                "WHEN l.code < r.code THEN -1 WHEN l.code > r.code THEN 1 "
+                "ELSE 0 END)[0].code"
+            )
+            terms.append(
+                f"element_at(lutm, CAST({key} * 100 + ({code}) AS BIGINT))"
+            )
+        return "(" + " + ".join(terms) + ")"
+
+    arms = F.array(
+        *[
+            F.struct(
+                F.lit(mc).alias("m_subspaces"),
+                F.expr(_score_expr(mc)).alias("sum_micro"),
+            )
+            for mc in ms
+        ]
     )
     return (
-        codes.filter(F.col("vec_id") != QUERY_VEC_ID)
-        .join(lut, ["m_subspaces", "m", "code"])
-        .groupBy("m_subspaces", "vec_id")
-        .agg(
-            (F.sum("contrib_micro").cast("bigint") * 1.0 / 1_000_000.0)
-            .alias("approx_cos_sim")
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(maps)
+        .select("vec_id", F.explode(arms).alias("a"))
+        .select(
+            F.col("a.m_subspaces").alias("m_subspaces"),
+            "vec_id",
+            (F.col("a.sum_micro").cast("bigint") * 1.0 / 1_000_000.0).alias(
+                "approx_cos_sim"
+            ),
         )
+        .filter(F.col("approx_cos_sim").isNotNull())
     )
 
 
@@ -1904,9 +1976,10 @@ _PQ_ADC_CTES = f"""n AS (
     "cosine is the SUM of table hits — the memory-bound trick behind "
     "FAISS-style billion-vector search. Per-subspace contributions are "
     "micro-unit BIGINTs so the 4-term sum is exact integer math (no "
-    "float-order nondeterminism). Plan: codebook and LUT both broadcast; "
-    "the corpus shuffles only for the per-(vec, subspace) argmax partial "
-    "agg and the final per-vec sum. At 100 TB the encode runs ONCE and "
+    "float-order nondeterminism). Plan (r17): codebook and LUT ride ONE "
+    "broadcast row as lookup maps and every vector encodes AND sums "
+    "map-side — the corpus never shuffles to be scored (formerly two "
+    "corpus-keyed partial-agg exchanges). At 100 TB the encode runs ONCE and "
     "persists 4-byte codes; every query after that scans codes + a "
     "broadcast LUT — 16× less IO than the raw vectors, no re-encode.",
 )
@@ -2037,9 +2110,10 @@ def _pq_sweep_oracle() -> str:
     f" = M at {PQ_K} codes/subspace, i.e. 128x/64x/32x compression of "
     "the 256-byte f32 vector) — the compression-vs-recall curve THE decision of a "
     "100 TB ANN build hangs on, priced from ONE corpus scan: every "
-    "config's sub-chunks explode out of the same normalized pass "
-    "(2+4+8 rows per vector), and encode/LUT/score all key on the "
-    "config column, so the whole grid is one pipeline, never a rerun "
+    "vector encodes and ADC-scores ALL configs map-side against one "
+    "broadcast codebook+LUT map row (r17 — see _pq_scores; formerly the "
+    "configs' chunks exploded through a join and two corpus-keyed "
+    "exchanges), so the whole grid is one pipeline, never a rerun "
     "per geometry (the dedup_lsh_band_tuning rule applied to PQ). "
     "Per-config top-k is an EXACT two-stage fan-in: local rank inside "
     f"(config, vec_id mod {_PQ_SWEEP_BUCKETS}) buckets, then global "

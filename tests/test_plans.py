@@ -505,16 +505,23 @@ def test_span_boilerplate_bounded_shuffles(spark):
 
 
 def test_pq_adc_broadcasts_codebook_and_lut(spark):
-    """PQ-ADC: the codebook and the query LUT broadcast (both tiny); the
-    corpus shuffles only for the per-(vec, subspace) argmax and the final
-    per-vec sum — never a sort-merge join, and the top-k is a heap merge."""
+    """PQ-ADC (r17 map-side shape): the codebook and query LUT ride ONE
+    broadcast row as lookup maps; every vector encodes and ADC-sums
+    map-side, so the CORPUS path has zero key exchanges — scan → spread
+    → map → TakeOrderedAndProject heap. The key shuffles that remain in
+    the plan text live INSIDE the broadcast map-construction subtree
+    (tiny groupBy(key) + two 1-row SinglePartition merges over O(M x K)
+    rows, scale-independent). Never a sort-merge join."""
     df = build(spark, "similarity_pq_adc_topk")
-    # key shuffles only: the r17 fan-out guard adds a RoundRobin spread
-    # of the narrow scan before the CPU-heavy encode (vanishes at scale)
-    assert pi.key_shuffle_count(df) <= 2
+    # <= 3: all inside the O(M x K) broadcast map build (see docstring);
+    # the RoundRobin fan-out spread is excluded by key_shuffle_count
+    assert pi.key_shuffle_count(df) <= 3
     assert pi.broadcast_join_count(df) >= 2
     assert pi.sort_merge_join_count(df) == 0
     assert "TakeOrderedAndProject" in pi.physical_plan(df)
+    # the corpus is never aggregated/joined for scoring: no Window, no
+    # partial-agg of corpus rows above the map stage
+    assert pi.physical_plan(df).count("Window [") == 0
 
 
 def test_bpe_pair_freq_counts_over_vocab_not_corpus(spark):
@@ -1396,10 +1403,10 @@ def test_pq_geometry_sweep_one_scan_no_python(spark):
     Exactly TWO Window nodes — the exact two-stage per-config top-k
     (bucketed local rank, then global rank over the survivor set) —
     and Spark additionally pushes WindowGroupLimit rank-limits to the
-    map side of both. Four broadcast hints, all scale-bounded: the
-    codebook subtree (referenced by the encode and the LUT), the
-    (m, code) LUT, and the 1-row recall denominator; the corpus-sized
-    chunk/code/score frames are never hint-forced."""
+    map side of both. Two broadcast hints since the r17 map-side fold:
+    the ONE codebook+LUT map row (formerly the codebook subtree twice
+    plus the LUT) and the 1-row recall denominator; the corpus-sized
+    score frames are never hint-forced."""
     df = build(spark, "similarity_pq_geometry_sweep")
     plan = pi.physical_plan(df)
     assert "MapInPandas" not in plan
@@ -1409,7 +1416,7 @@ def test_pq_geometry_sweep_one_scan_no_python(spark):
     # Partial + Final rank-limit per window: losing either window's
     # map-side pushdown would void the no-full-corpus-partition claim
     assert plan.count("WindowGroupLimit") == 4
-    assert pi.broadcast_hint_count(df) == 4
+    assert pi.broadcast_hint_count(df) == 2
 
 
 def test_ivf_pq_topk_composed_plan(spark):
@@ -1417,13 +1424,13 @@ def test_ivf_pq_topk_composed_plan(spark):
     the assignment pass runs ONCE inside the checkpointed candidate
     frame (visible plan: Scan ExistingRDD, ZERO Window nodes — probed
     candidates are read, not recomputed per consumer), the encode is
-    restricted to candidates+seeds+query, pure JVM end to end, exactly
-    the codebook and LUT broadcast-HINTED — three hint sites, all
-    scale-bounded: the codebook subtree appears twice (referenced by
-    the encode join AND inside the LUT build, same double-count as the
-    geometry sweep's pin) plus the LUT itself; qprobe's hint lives
-    upstream of the checkpoint and legitimately does not surface —
-    no cartesian/nested-loop join, and the top-k is
+    restricted to candidates+seeds+query, pure JVM end to end, ONE
+    broadcast hint since the r17 map-side fold — the codebook+LUT map
+    row (formerly three hint sites: the codebook subtree twice plus the
+    LUT); qprobe's hint lives upstream of the checkpoint and
+    legitimately does not surface. The map row reaches every scored
+    vector via a 1-row BroadcastNestedLoopJoin cross (O(1) build, the
+    BQ cascade's pattern) — no cartesian product, and the top-k is
     a heap merge. The un-hinted candidate-sized joins (encode
     restriction semi-join, final probe_list join) may plan
     SortMergeJoin statically — candidates are nprobe/K of the corpus
@@ -1434,10 +1441,9 @@ def test_ivf_pq_topk_composed_plan(spark):
     assert "MapInPandas" not in plan
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
     assert "Scan ExistingRDD" in plan
     assert plan.count("Window [") == 0
-    assert pi.broadcast_hint_count(df) == 3
+    assert pi.broadcast_hint_count(df) == 1
     assert "TakeOrderedAndProject" in plan
 
 
@@ -1488,11 +1494,12 @@ def test_ivf_pq_refine_topk_plan(spark):
     scale-bounded refine tail: still zero Window nodes (assignment
     lives inside the checkpointed candidate frame, Scan ExistingRDD),
     pure JVM end to end, TWO TakeOrderedAndProject heaps (the R-row
-    shortlist cut, then the exact top-k), and exactly FIVE broadcast
-    hints — the parent's three (codebook twice + LUT) plus the R-row
-    shortlist and the 1-row query vector, all scale-independent. The
-    only nested-loop join is the 1-row broadcast query-vector cross
-    join (O(R) work); no cartesian product."""
+    shortlist cut, then the exact top-k), and exactly THREE broadcast
+    hints since the r17 map-side fold — the parent's codebook+LUT map
+    row (formerly three hint sites) plus the R-row shortlist and the
+    1-row query vector, all scale-independent. Nested-loop joins are
+    the two 1-row broadcast crosses (the map row and the query vector —
+    O(candidates) and O(R) work); no cartesian product."""
     df = build(spark, "similarity_ivf_pq_refine_topk")
     plan = pi.physical_plan(df)
     assert "MapInPandas" not in plan
@@ -1500,9 +1507,8 @@ def test_ivf_pq_refine_topk_plan(spark):
     assert "CartesianProduct" not in plan
     assert "Scan ExistingRDD" in plan
     assert plan.count("Window [") == 0
-    assert pi.broadcast_hint_count(df) == 5
+    assert pi.broadcast_hint_count(df) == 3
     assert plan.count("TakeOrderedAndProject") == 2
-    assert plan.count("BroadcastNestedLoopJoin") == 1
 
 
 def test_scd2_intervals_plan(spark):
