@@ -191,6 +191,18 @@ _DOT_SPARK = (
 )
 
 
+def _seed_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Un-fanned, contract-filtered, normalized frame for the O(K) SEED
+    subtrees (IVF centroids, PQ codebook/query rows, broadcast query
+    vectors). The corpus fan-out spread has no business under a tiny
+    broadcast subtree (VERDICT r17 #3): deriving seeds from the fanned
+    corpus frame inherited a RoundRobin exchange + 32 tasks per seed
+    job, while this frame's vec_id filters push into the parquet scan
+    and each seed job is a single cheap task. Row-identical to filtering
+    the fanned frame — the spread only moves rows."""
+    return _with_normalized(_load_emb(spark, sf_dir, fanout=False))
+
+
 def _with_normalized(df: DataFrame, out: str = "ne") -> DataFrame:
     """Add an L2-normalized copy of ``embedding`` as column ``out``.
 
@@ -491,18 +503,30 @@ def _ivf_ranked(emb: DataFrame, cents: DataFrame | None = None) -> DataFrame:
 def similarity_ivf_topk(
     spark: SparkSession, sf_dir: str, *, emb: DataFrame | None = None
 ) -> DataFrame:
+    ext = emb is not None
     emb = _with_normalized(
-        emb if emb is not None else _load_emb(spark, sf_dir)
+        emb if ext else _load_emb(spark, sf_dir)
     )
-    ranked = _ivf_ranked(emb)
+    # seed subtrees (centroids, the query's probe ranking, the query
+    # vector) read the un-fanned scan — see _seed_emb; with an external
+    # emb (the recall report's shared persisted frame) they stay on it
+    se = emb if ext else _seed_emb(spark, sf_dir)
+    cents = se.filter(F.col("vec_id") < IVF_K).select(
+        F.col("vec_id").alias("cid"), F.col("ne").alias("ce")
+    )
+    ranked = _ivf_ranked(emb, cents=cents)
     lists = ranked.filter(F.col("rn") == 1).select("vec_id", "ne", "cid")
+    # qprobe filters the SHARED corpus ranking (a second _ivf_ranked
+    # over the seed frame measured slower here: it duplicates the
+    # centroid-array broadcast for a query this small — interleaved
+    # min-of-6: 0.564 s this shape / 0.616 r17 / 0.675 two-ranked)
     qprobe = F.broadcast(
         ranked.filter(
             (F.col("vec_id") == QUERY_VEC_ID) & (F.col("rn") <= IVF_NPROBE)
         ).select("cid")
     )
     q = F.broadcast(
-        emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        se.filter(F.col("vec_id") == QUERY_VEC_ID).select(
             F.col("ne").alias("qe")
         )
     )
@@ -568,8 +592,12 @@ _SIM_MICRO = 1_000_000
 )
 def similarity_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _with_normalized(_load_emb(spark, sf_dir))
+    # centroid seed subtree on the un-fanned scan — see _seed_emb
+    cents = _seed_emb(spark, sf_dir).filter(F.col("vec_id") < IVF_K).select(
+        F.col("vec_id").alias("cid"), F.col("ne").alias("ce")
+    )
     lists = (
-        _ivf_ranked(emb)
+        _ivf_ranked(emb, cents=cents)
         .filter(F.col("rn") == 1)
         .select("vec_id", "cid", "csim")
     )
@@ -708,6 +736,13 @@ def _ivf_probe_sweep_oracle() -> str:
 def similarity_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
+    # (r18 measured-and-rejected: the one-materialization emb checkpoint
+    # — see similarity_ivf_pq_topk's note — AND the un-fanned seed
+    # sourcing that won elsewhere: both probe-sweep variants measured
+    # at-or-above the r17 shape here, interleaved min-of-6 1.80 r17 /
+    # 1.79 two-ranked / 1.98 shared-ranked — every seed subtree sits
+    # inside the ONE cand-checkpoint job whose fan-out exchange is
+    # already reused, so there is nothing to save. Kept at r17.)
     emb = _with_normalized(_load_emb(spark, sf_dir))
     ranked = _ivf_ranked(emb)
     lists = ranked.filter(F.col("rn") == 1).select("vec_id", "ne", "cid")
@@ -1789,7 +1824,12 @@ def _pq_codes(
     )
 
 
-def _pq_scores(emb: DataFrame, ms: "tuple[int, ...]") -> DataFrame:
+def _pq_scores(
+    emb: DataFrame,
+    ms: "tuple[int, ...]",
+    *,
+    seed_emb: DataFrame | None = None,
+) -> DataFrame:
     """The ONE PQ pipeline, geometry-parameterized — encode, LUT and ADC
     score for every config M in ``ms``, all from a single corpus pass.
     Returns (m_subspaces, vec_id, approx_cos_sim) for every non-query
@@ -1818,8 +1858,29 @@ def _pq_scores(emb: DataFrame, ms: "tuple[int, ...]") -> DataFrame:
     the old chain is pinned by the unchanged oracles and the pq_adc
     score-equality crafted test. The ``isNotNull`` filter reproduces the
     old inner-join semantics on degenerate corpora (no query row / no
-    seed rows -> zero rows, not NULL scores)."""
-    seeds = emb.filter(
+    seed rows -> zero rows, not NULL scores).
+
+    ``seed_emb``: optional un-fanned source for the seed/query rows
+    (``_seed_emb``) — row-identical to ``emb``'s seed filter, minus the
+    corpus fan-out exchange the broadcast subtree would otherwise
+    inherit (VERDICT r17 #3). Callers whose ``emb`` is externally
+    supplied leave it None.
+
+    r18 shape for the map build itself: both maps derive from ONE
+    collect_list aggregation over the O(sum(ms) x (PQ_K + 1))-row seed
+    chunk frame, with the per-key codebook entries, the query chunk and
+    the LUT contributions carved out as expressions over that single
+    collected array (the (config, m) key set is static, so the carve-out
+    is generated per key at plan-build time). The r17 form paid a
+    groupBy(key) exchange + a key-join + TWO SinglePartition merges + a
+     1-row x 1-row BroadcastNestedLoopJoin — four AQE stage jobs on
+    seed-sized frames, pure scheduling floor at any scale (guide
+    §2.4/§1.2: the map build is O(K) rows; its cost was job count, not
+    data). Value semantics are identical: same array_sort total order on
+    (code, ce), same round-6 dot / round-0 micro-unit LUT expressions,
+    and a missing query row still yields NULL contributions -> NULL
+    sums -> the isNotNull drop (the old empty-join shape)."""
+    seeds = (seed_emb if seed_emb is not None else emb).filter(
         (F.col("vec_id") < PQ_K) | (F.col("vec_id") == QUERY_VEC_ID)
     ).select("vec_id", "ne")
     chunk_structs = F.array(
@@ -1837,39 +1898,54 @@ def _pq_scores(emb: DataFrame, ms: "tuple[int, ...]") -> DataFrame:
     sub = seeds.select("vec_id", F.explode(chunk_structs).alias("s")).select(
         "vec_id", F.col("s.key").alias("key"), F.col("s.chunk").alias("chunk")
     )
-    cb_rows = sub.filter(F.col("vec_id") < PQ_K).select(
-        "key", F.col("vec_id").alias("code"), F.col("chunk").alias("ce")
+    keys = [mc * 100 + m for mc in ms for m in range(mc)]
+    # one collected array of every (vec_id, key, chunk) seed row; the
+    # per-key entry lists and query chunks are projections over it
+    rows = sub.agg(
+        F.collect_list(F.struct("vec_id", "key", "chunk")).alias("_rows")
     )
-    cbm = (
-        cb_rows.groupBy("key")
-        .agg(
-            F.array_sort(F.collect_list(F.struct("code", "ce"))).alias(
-                "entries"
-            )
-        )
-        .agg(
-            F.map_from_entries(
-                F.collect_list(F.struct("key", "entries"))
-            ).alias("cbm")
-        )
+    per_key = rows.select(
+        *[
+            F.expr(
+                f"array_sort(transform(filter(_rows, r -> r.key = {key}"
+                f" AND r.vec_id < {PQ_K}),"
+                " r -> named_struct('code', r.vec_id, 'ce', r.chunk)))"
+            ).alias(f"_ent_{key}")
+            for key in keys
+        ],
+        *[
+            F.expr(
+                f"filter(_rows, r -> r.key = {key}"
+                f" AND r.vec_id = {QUERY_VEC_ID})[0].chunk"
+            ).alias(f"_qc_{key}")
+            for key in keys
+        ],
     )
-    lutm = (
-        sub.filter(F.col("vec_id") == QUERY_VEC_ID)
-        .select("key", F.col("chunk").alias("qchunk"))
-        .join(cb_rows, "key")
-        .select(
-            (F.col("key") * 100 + F.col("code")).alias("lkey"),
-            F.round(F.expr(_DOT_SPARK.format(a="qchunk", b="ce")) * 1_000_000)
-            .cast("bigint")
-            .alias("contrib_micro"),
+    cbm_expr = F.map_from_entries(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(key).alias("key"),
+                    F.col(f"_ent_{key}").alias("entries"),
+                )
+                for key in keys
+            ]
         )
-        .agg(
-            F.map_from_entries(
-                F.collect_list(F.struct("lkey", "contrib_micro"))
-            ).alias("lutm")
+    ).alias("cbm")
+    lut_arrays = [
+        F.expr(
+            f"transform(_ent_{key}, e -> named_struct("
+            f"'lkey', CAST({key} AS BIGINT) * 100 + e.code, "
+            "'contrib_micro', CAST(round(("
+            + _DOT_SPARK.format(a=f"_qc_{key}", b="e.ce")
+            + ") * 1000000, 0) AS BIGINT)))"
         )
+        for key in keys
+    ]
+    lutm_expr = F.map_from_entries(F.flatten(F.array(*lut_arrays))).alias(
+        "lutm"
     )
-    maps = F.broadcast(cbm.crossJoin(lutm))
+    maps = F.broadcast(per_key.select(cbm_expr, lutm_expr))
 
     def _score_expr(mc: int) -> str:
         terms = []
@@ -1989,11 +2065,18 @@ def similarity_pq_adc_topk(
     # the (PQ_M,) instance of the shared geometry-parameterized chain —
     # see _pq_scores for the r14 fold note (one encode/LUT definition
     # for the registered query AND the calibration sweep)
+    ext = emb is not None
     emb = _with_normalized(
-        emb if emb is not None else _load_emb(spark, sf_dir)
+        emb if ext else _load_emb(spark, sf_dir)
     )
     return (
-        _pq_scores(emb, (PQ_M,))
+        _pq_scores(
+            emb,
+            (PQ_M,),
+            # codebook/query seed rows from the un-fanned scan — see
+            # _seed_emb; an external emb (the recall report) stays on it
+            seed_emb=None if ext else _seed_emb(spark, sf_dir),
+        )
         .select("vec_id", "approx_cos_sim")
         .orderBy(F.col("approx_cos_sim").desc(), "vec_id")
         .limit(10)
@@ -2129,11 +2212,16 @@ def _pq_sweep_oracle() -> str:
 def similarity_pq_geometry_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
+    # (r18 measured-and-rejected: the one-materialization emb checkpoint
+    # — see similarity_ivf_pq_topk's note; interleaved 3-way A/B here:
+    # 1.987 old / 1.904 map-fold-only / 2.030 with the checkpoint.)
     emb = _with_normalized(_load_emb(spark, sf_dir))
     # the PQ_SWEEP_MS instance of the shared chain (see _pq_scores):
     # all configs' sub-chunks from one pass, every stage keyed on the
-    # config column
-    scores = _pq_scores(emb, PQ_SWEEP_MS)
+    # config column; seed rows from the un-fanned scan (_seed_emb)
+    scores = _pq_scores(
+        emb, PQ_SWEEP_MS, seed_emb=_seed_emb(spark, sf_dir)
+    )
     # exact two-stage per-config top-k (see doc): local winners per
     # bucket, then the global rank over the tiny survivor set
     wl = Window.partitionBy(
@@ -2243,10 +2331,22 @@ def similarity_pq_geometry_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     "extension.",
 )
 def similarity_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # (r18 measured-and-rejected: materializing the contract-filtered
+    # (vec_id, ne) corpus as ONE eager localCheckpoint for the five emb
+    # branches — interleaved same-session min-of-6: 1.892 s without vs
+    # 2.172 s with. The blocking checkpoint SERIALIZES a pass that AQE's
+    # concurrent broadcast-subtree jobs otherwise overlap on idle cores;
+    # redundant branch recompute is parallel slack here, not wall time.)
     emb = _with_normalized(_load_emb(spark, sf_dir))
-    ranked = _ivf_ranked(emb)
+    # seed subtrees (centroids, probe ranking, codebook/query rows) on
+    # the un-fanned scan — see _seed_emb
+    se = _seed_emb(spark, sf_dir)
+    cents = se.filter(F.col("vec_id") < IVF_K).select(
+        F.col("vec_id").alias("cid"), F.col("ne").alias("ce")
+    )
+    ranked = _ivf_ranked(emb, cents=cents)
     qprobe = F.broadcast(
-        ranked.filter(
+        _ivf_ranked(se, cents=cents).filter(
             (F.col("vec_id") == QUERY_VEC_ID) & (F.col("rn") <= IVF_NPROBE)
         ).select("cid")
     )
@@ -2268,14 +2368,16 @@ def similarity_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids = (
         cand.select("vec_id")
         .unionByName(
-            emb.filter(
+            se.filter(
                 (F.col("vec_id") < PQ_K)
                 | (F.col("vec_id") == QUERY_VEC_ID)
             ).select("vec_id")
         )
         .distinct()
     )
-    scores = _pq_scores(emb.join(ids, "vec_id", "left_semi"), (PQ_M,))
+    scores = _pq_scores(
+        emb.join(ids, "vec_id", "left_semi"), (PQ_M,), seed_emb=se
+    )
     return (
         cand.join(scores, "vec_id")
         .select("vec_id", "probe_list", "approx_cos_sim")
@@ -2353,10 +2455,18 @@ def similarity_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def similarity_ivf_pq_refine_topk(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    # (r18 measured-and-rejected: the one-materialization emb checkpoint —
+    # see similarity_ivf_pq_topk's note; interleaved A/B regressed it
+    # here too, 2.375 s without vs 2.642 s with.)
     emb = _with_normalized(_load_emb(spark, sf_dir))
-    ranked = _ivf_ranked(emb)
+    # seed subtrees on the un-fanned scan — see _seed_emb
+    se = _seed_emb(spark, sf_dir)
+    cents = se.filter(F.col("vec_id") < IVF_K).select(
+        F.col("vec_id").alias("cid"), F.col("ne").alias("ce")
+    )
+    ranked = _ivf_ranked(emb, cents=cents)
     qprobe = F.broadcast(
-        ranked.filter(
+        _ivf_ranked(se, cents=cents).filter(
             (F.col("vec_id") == QUERY_VEC_ID) & (F.col("rn") <= IVF_NPROBE)
         ).select("cid")
     )
@@ -2370,14 +2480,16 @@ def similarity_ivf_pq_refine_topk(
     ids = (
         cand.select("vec_id")
         .unionByName(
-            emb.filter(
+            se.filter(
                 (F.col("vec_id") < PQ_K)
                 | (F.col("vec_id") == QUERY_VEC_ID)
             ).select("vec_id")
         )
         .distinct()
     )
-    scores = _pq_scores(emb.join(ids, "vec_id", "left_semi"), (PQ_M,))
+    scores = _pq_scores(
+        emb.join(ids, "vec_id", "left_semi"), (PQ_M,), seed_emb=se
+    )
     shortlist = (
         cand.join(scores, "vec_id")
         .select("vec_id", "probe_list", "approx_cos_sim")
@@ -2385,7 +2497,7 @@ def similarity_ivf_pq_refine_topk(
         .limit(REFINE_R)
     )
     qv = F.broadcast(
-        emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        se.filter(F.col("vec_id") == QUERY_VEC_ID).select(
             F.col("ne").alias("qe")
         )
     )
@@ -3660,13 +3772,15 @@ def similarity_kmeans_step(
 ) -> DataFrame:
     from pyspark.sql import Window
 
+    ext = emb is not None
     emb = _with_normalized(
-        emb if emb is not None else _load_emb(spark, sf_dir)
+        emb if ext else _load_emb(spark, sf_dir)
     )
+    # centroid seed subtree on the un-fanned scan — see _seed_emb
     cents = F.broadcast(
-        emb.filter(F.col("vec_id") < KMEANS_K).select(
-            F.col("vec_id").alias("cid"), F.col("ne").alias("ce")
-        )
+        (emb if ext else _seed_emb(spark, sf_dir))
+        .filter(F.col("vec_id") < KMEANS_K)
+        .select(F.col("vec_id").alias("cid"), F.col("ne").alias("ce"))
     )
     sim = F.round(F.expr(_DOT_SPARK.format(a="ne", b="ce")), 6)
     member = (

@@ -505,18 +505,22 @@ def test_span_boilerplate_bounded_shuffles(spark):
 
 
 def test_pq_adc_broadcasts_codebook_and_lut(spark):
-    """PQ-ADC (r17 map-side shape): the codebook and query LUT ride ONE
-    broadcast row as lookup maps; every vector encodes and ADC-sums
-    map-side, so the CORPUS path has zero key exchanges — scan → spread
-    → map → TakeOrderedAndProject heap. The key shuffles that remain in
-    the plan text live INSIDE the broadcast map-construction subtree
-    (tiny groupBy(key) + two 1-row SinglePartition merges over O(M x K)
-    rows, scale-independent). Never a sort-merge join."""
+    """PQ-ADC (r17 map-side shape, r18 one-subtree map build): the
+    codebook and query LUT ride ONE broadcast row as lookup maps; every
+    vector encodes and ADC-sums map-side, so the CORPUS path has zero
+    key exchanges — scan → spread → map → TakeOrderedAndProject heap.
+    Since r18 BOTH maps derive from a single collect_list aggregation
+    over the un-fanned seed scan, so the only key shuffle left in the
+    plan text is that aggregation's 1-row SinglePartition merge (the
+    r17 shape paid a groupBy(key) + a key join + TWO SinglePartition
+    merges + a map-map nested-loop cross — four extra AQE stage jobs on
+    O(M x K) rows), and exactly ONE broadcast join remains: the 1-row
+    map row crossed with the corpus. Never a sort-merge join."""
     df = build(spark, "similarity_pq_adc_topk")
-    # <= 3: all inside the O(M x K) broadcast map build (see docstring);
+    # the single map-build SinglePartition merge (see docstring);
     # the RoundRobin fan-out spread is excluded by key_shuffle_count
-    assert pi.key_shuffle_count(df) <= 3
-    assert pi.broadcast_join_count(df) >= 2
+    assert pi.key_shuffle_count(df) <= 1
+    assert pi.broadcast_join_count(df) >= 1
     assert pi.sort_merge_join_count(df) == 0
     assert "TakeOrderedAndProject" in pi.physical_plan(df)
     # the corpus is never aggregated/joined for scoring: no Window, no
