@@ -1399,7 +1399,7 @@ def _clean_corpus_report(
     and pipeline_clean_corpus_v3 the ``True`` instance. Single source
     for every shared stage; the inline comments carry each stage's
     standing rationale."""
-    from iceberg_explorer_spark.operators.multimodal import paired_pair_keys
+    from iceberg_explorer_spark.operators.multimodal import shared_pair_keys
     from iceberg_explorer_spark.operators.similarity import (
         shared_semantic_labels,
     )
@@ -1530,15 +1530,19 @@ def _clean_corpus_report(
     )
     # paired: min SURVIVING member per pair-key group, as a MIN window
     # over the pair-key partition — the groupBy+rejoin shape would
-    # reference the kernel-produced pair-key frame from TWO plan
-    # branches and run the aHash decode twice (the clean-manifest
-    # lesson, pinned by test_clean_corpus_v2_one_kernel_checkpointed_
-    # lists); the window pays one pair-key shuffle of the surviving
-    # digests and group sizes are bounded by the duplication factor.
-    # repartition_for_compute before the kernel: the per-row Python
-    # decode must fan out even on a single-split corpus, same as every
-    # other consumer of the aHash kernel.
-    pk = paired_pair_keys(repartition_for_compute(docs)).select(
+    # reference the pair-key frame from TWO plan branches (the
+    # clean-manifest lesson); the window pays one pair-key shuffle of
+    # the surviving digests and group sizes are bounded by the
+    # duplication factor. r18: the keys come from the SESSION-SHARED
+    # pair-key checkpoint — the same artifact discipline as every other
+    # stage of this flagship (near = shared_lsh_candidates, semantic =
+    # shared_semantic_labels, simhash = shared_simhash_hamming) and as
+    # dedup_incremental_paired; the flagship was the ONE consumer still
+    # re-running the aHash decode kernel in-plan per call (its single
+    # heaviest stage: 7.5 s summed executor time at sf0.1, measured
+    # r18), for keys a production run maintains as the persisted
+    # 'pairs' artifact anyway (bench line item: pairs_build).
+    pk = shared_pair_keys(spark, sf_dir).select(
         "doc_id", "ahash", "caption_fp"
     )
     pk_surv = pk.join(surv4_ids, "doc_id")

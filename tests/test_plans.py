@@ -1194,17 +1194,19 @@ def test_semantic_tau_sweep_one_gemm_tiny_tail(spark):
 
 def test_clean_corpus_v2_one_kernel_checkpointed_lists(spark):
     """pipeline_clean_corpus_v2 composes all four dedup families into one
-    attribution spine: exactly ONE Arrow-batched Python kernel (the
-    shared aHash decode — the caption fingerprint, the digest dedup and
-    the quality gate are pure JVM expressions), the near and semantic
-    drop lists are consumed as materialized session checkpoints (Scan
-    ExistingRDD — the LSH candidate and cluster-label artifacts are
-    built once per corpus, never re-derived per report), and nothing is
-    hint-forced to broadcast (every drop list grows with the corpus;
+    attribution spine with ZERO Python kernels in the visible plan: the
+    pair-key table (the aHash decode, the report's single heaviest
+    stage) arrives as the session-shared "pairs" checkpoint exactly like
+    the near and semantic drop lists (Scan ExistingRDD — the LSH
+    candidate, cluster-label and pair-key artifacts are built once per
+    corpus, never re-derived per report; r18, was previously the one
+    stage still re-running its kernel in-plan), the caption fingerprint,
+    digest dedup and quality gate are pure JVM expressions, and nothing
+    is hint-forced to broadcast (every drop list grows with the corpus;
     AQE converts from measured sizes)."""
     df = build(spark, "pipeline_clean_corpus_v2")
     plan = pi.physical_plan(df)
-    assert plan.count("MapInPandas") == 1
+    assert plan.count("MapInPandas") == 0
     assert "BatchEvalPython" not in plan
     assert "Scan ExistingRDD" in plan
     assert pi.broadcast_hint_count(df) == 0
@@ -1475,18 +1477,19 @@ def test_bigram_lm_score_plan(spark):
 
 def test_clean_corpus_v3_one_kernel_checkpointed_lists(spark):
     """pipeline_clean_corpus_v3 composes all FIVE dedup families with
-    the v2 plan discipline intact: still exactly ONE Arrow-batched
-    Python kernel (the shared aHash decode — the simhash stage adds
-    zero kernels: its component labels come from the session-shared
-    banded-Hamming chain plus the CC loop, both checkpointed), every
-    stage's drop list is consumed as a materialized checkpoint (Scan
-    ExistingRDD), no corpus-wide Window (the stage windows partition by
-    cluster/pair key over bounded member frames), and nothing is
-    hint-forced to broadcast (every drop list grows with the corpus;
-    AQE converts from measured sizes)."""
+    the v2 plan discipline intact: ZERO Python kernels in the visible
+    plan (the pair-key table arrives as the session-shared "pairs"
+    checkpoint since r18; the simhash stage adds zero kernels: its
+    component labels come from the session-shared banded-Hamming chain
+    plus the CC loop, both checkpointed), every stage's drop list is
+    consumed as a materialized checkpoint (Scan ExistingRDD), no
+    corpus-wide Window (the stage windows partition by cluster/pair key
+    over bounded member frames), and nothing is hint-forced to
+    broadcast (every drop list grows with the corpus; AQE converts from
+    measured sizes)."""
     df = build(spark, "pipeline_clean_corpus_v3")
     plan = pi.physical_plan(df)
-    assert plan.count("MapInPandas") == 1
+    assert plan.count("MapInPandas") == 0
     assert "BatchEvalPython" not in plan
     assert "Scan ExistingRDD" in plan
     assert "CartesianProduct" not in plan
