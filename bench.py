@@ -348,6 +348,8 @@ def format_output(
     status_build: float | None = None,
     pairs_build: float | None = None,
     simhash_build: float | None = None,
+    lsh_cc_build: float | None = None,
+    simhash_cc_build: float | None = None,
 ) -> tuple[str, str]:
     """Build the two output lines. The FINAL line is the driver-parseable
     one and must stay compact (< 500 bytes — enforced here, because rounds
@@ -417,6 +419,12 @@ def format_output(
             "status_build": status_build,
             "pairs_build": pairs_build,
             "simhash_build": simhash_build,
+            # r18 additions (additive keys, detail-line only like the
+            # rest of the one-time builds): the per-modality cluster-
+            # label artifacts the graph families now read instead of
+            # re-running CC per call
+            "lsh_cc_build": lsh_cc_build,
+            "simhash_cc_build": simhash_cc_build,
             "cpu_probe_sec": cpu_probe_sec,
             "cpu_probe_1t_sec": cpu_probe_1t_sec,
             "cpu_probe_post_sec": cpu_probe_post_sec,
@@ -546,12 +554,16 @@ def main() -> None:
         status_build: float | None = None
         pairs_build: float | None = None
         simhash_build: float | None = None
+        lsh_cc_build: float | None = None
+        simhash_cc_build: float | None = None
         try:
             from iceberg_explorer_spark.operators.dedup import (
                 invalidate_shared_candidates,
                 shared_lsh_candidates,
+                shared_lsh_labels,
                 shared_probe_candidates,
                 shared_simhash_hamming,
+                shared_simhash_labels,
             )
             from iceberg_explorer_spark.operators.multimodal import (
                 shared_pair_keys,
@@ -582,6 +594,13 @@ def main() -> None:
                 # signature pass serving the pair operator AND its
                 # calibration sweep)
                 ("simhash_build", shared_simhash_hamming),
+                # r18: the per-modality cluster-label artifacts (CC over
+                # the warm candidate tables above — marginal cost is the
+                # label propagation only). lsh_cc serves dedup_clusters/
+                # keep_best/cluster_stats; simhash_cc serves
+                # pipeline_clean_corpus_v3's simhash stage.
+                ("lsh_cc_build", shared_lsh_labels),
+                ("simhash_cc_build", shared_simhash_labels),
             ]
             timings_by_key: dict[str, float] = {}
             for err_key, builder_fn in builds:
@@ -602,6 +621,8 @@ def main() -> None:
             status_build = timings_by_key.get("status_build")
             pairs_build = timings_by_key.get("pairs_build")
             simhash_build = timings_by_key.get("simhash_build")
+            lsh_cc_build = timings_by_key.get("lsh_cc_build")
+            simhash_cc_build = timings_by_key.get("simhash_cc_build")
         except Exception as exc:  # noqa: BLE001 — the import guard
             errors["candidate_build"] = f"{type(exc).__name__}: {exc}"[:500]
 
@@ -650,6 +671,8 @@ def main() -> None:
             status_build=status_build,
             pairs_build=pairs_build,
             simhash_build=simhash_build,
+            lsh_cc_build=lsh_cc_build,
+            simhash_cc_build=simhash_cc_build,
         )
         # Detail line: the complete per-query map, own line, parse-optional.
         print(detail_line)

@@ -1122,6 +1122,41 @@ def shared_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def shared_simhash_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Component labels (doc_id, cluster_id) over the corpus-wide
+    banded-Hamming graph at the HAM_MAX contract, materialized ONCE per
+    corpus per session (kind="simhash_cc") — the SimHash member of the
+    per-modality cluster-label artifact family (semantic_cc, lsh_cc).
+    pipeline_clean_corpus_v3's simhash stage re-ran this O(diameter)-
+    round propagation in-plan per call before r18 (its largest
+    marginal cost over v2: ~10 s summed executor time per call at
+    sf0.1); now the report reads the stored assignment like every
+    other stage. Cleanup hook releases the loop's interim persist once
+    the checkpoint holds the labels."""
+    edges_src = shared_simhash_hamming(spark, sf_dir)
+    temp: list[DataFrame] = []
+
+    def _build() -> DataFrame:
+        cc = connected_components(
+            edges_src.filter(F.col("hamming") <= SIMHASH_HAM_MAX).select(
+                "doc_a", "doc_b"
+            )
+        )
+        temp.append(cc.cc_persisted_labels)
+        return cc.select(
+            F.col("node").alias("doc_id"),
+            F.col("component").alias("cluster_id"),
+        )
+
+    def _cleanup() -> None:
+        for df in temp:
+            df.unpersist()
+
+    return _shared_candidates(
+        spark, sf_dir, "simhash_cc", _build, cleanup=_cleanup
+    )
+
+
 def simhash_candidate_hamming(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1783,14 +1818,40 @@ def dedup_overlap_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     "iterates labels instead.",
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # the union reads the edge list twice and the propagation loop reads it
-    # every round — the session-shared checkpoint materializes the LSH
-    # candidate pipeline exactly once for the whole graph family
-    edges = shared_lsh_candidates(spark, sf_dir).select("doc_a", "doc_b")
-    out = connected_components(edges).select(
-        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    return shared_lsh_labels(spark, sf_dir)
+
+
+def shared_lsh_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster labels (doc_id, cluster_id) over the LSH candidate graph,
+    materialized ONCE per corpus per session (kind="lsh_cc" in the keyed
+    cache) — the MinHash twin of ``shared_semantic_labels`` and the same
+    production shape: cluster the corpus once, then every dedup decision
+    and report reads the stored assignment. THREE registered queries
+    consumed this label table and each re-ran the CC loop per call
+    before r18 (dedup_clusters, dedup_keep_best, dedup_cluster_stats);
+    now the propagation runs once per corpus. connected_components
+    returns its final label table persisted (the loop's own caching);
+    once the cache's eager checkpoint holds a copy that interim persist
+    is dead weight — released via the cleanup hook, same discipline as
+    the semantic builder."""
+    edges_src = shared_lsh_candidates(spark, sf_dir)
+    temp: list[DataFrame] = []
+
+    def _build() -> DataFrame:
+        cc = connected_components(edges_src.select("doc_a", "doc_b"))
+        temp.append(cc.cc_persisted_labels)
+        return cc.select(
+            F.col("node").alias("doc_id"),
+            F.col("component").alias("cluster_id"),
+        )
+
+    def _cleanup() -> None:
+        for df in temp:
+            df.unpersist()
+
+    return _shared_candidates(
+        spark, sf_dir, "lsh_cc", _build, cleanup=_cleanup
     )
-    return out
 
 
 def connected_components(

@@ -1468,31 +1468,19 @@ def _clean_corpus_report(
     )
     if with_simhash:
         from iceberg_explorer_spark.operators.dedup import (
-            SIMHASH_HAM_MAX,
-            connected_components,
-            shared_simhash_hamming,
+            shared_simhash_labels,
         )
 
-        # SimHash stage (v3): components over the corpus-wide
-        # banded-Hamming graph (the session-shared chain — re-reads
-        # during the CC loop are cache-served), min SURVIVING member
-        # per component keeps. comp's eager checkpoint is load-bearing
-        # for the unpersist ORDER, not a multi-consumer share: it must
-        # materialize BEFORE cc_persisted_labels is released, or
-        # comp's lineage still depends on the released cache and the
-        # whole CC iteration recomputes on first use (the
-        # incremental_component_cls discipline).
-        hedges = (
-            shared_simhash_hamming(spark, sf_dir)
-            .filter(F.col("hamming") <= SIMHASH_HAM_MAX)
-            .select("doc_a", "doc_b")
-        )
-        hcc = connected_components(hedges)
-        comp = hcc.select(
-            F.col("node").alias("doc_id"),
-            F.col("component").alias("cluster_id"),
-        ).localCheckpoint(eager=True)
-        hcc.cc_persisted_labels.unpersist()
+        # SimHash stage (v3): min SURVIVING member per component of the
+        # corpus-wide banded-Hamming graph. r18: the component labels
+        # come from the SESSION-SHARED simhash_cc artifact — the same
+        # per-modality label discipline as the semantic stage
+        # (shared_semantic_labels); the report was re-running the
+        # O(diameter)-round CC propagation in-plan per call (~10 s
+        # summed executor time at sf0.1, its largest marginal cost
+        # over v2) for labels a production run maintains as the stored
+        # cluster assignment anyway.
+        comp = shared_simhash_labels(spark, sf_dir)
         sim_members = comp.join(surv3_ids, "doc_id")
         hw = W.partitionBy("cluster_id")
         sim_drops = (

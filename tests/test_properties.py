@@ -1620,6 +1620,49 @@ def test_shared_candidates_cache_isolated_by_corpus(spark, tmp_path):
     assert shared_lsh_candidates(spark, d1) is c1
 
 
+def test_shared_cc_labels_match_direct_propagation(spark):
+    """The r18 per-modality cluster-label artifacts (lsh_cc, simhash_cc)
+    must be row-identical to the direct connected_components run their
+    consumers performed per call before — the shared checkpoint changes
+    WHEN the propagation runs, never what it labels. Checked on the
+    real sf0.01 corpus for both graphs, plus the cache-hit identity
+    (second call returns the same materialization, not a rebuild)."""
+    from pyspark.sql import functions as F
+
+    from iceberg_explorer_spark.operators.dedup import (
+        SIMHASH_HAM_MAX,
+        connected_components,
+        shared_lsh_candidates,
+        shared_lsh_labels,
+        shared_simhash_hamming,
+        shared_simhash_labels,
+    )
+    from tests.conftest import SF_DIR
+
+    for shared_fn, edges in (
+        (
+            shared_lsh_labels,
+            shared_lsh_candidates(spark, SF_DIR).select("doc_a", "doc_b"),
+        ),
+        (
+            shared_simhash_labels,
+            shared_simhash_hamming(spark, SF_DIR)
+            .filter(F.col("hamming") <= SIMHASH_HAM_MAX)
+            .select("doc_a", "doc_b"),
+        ),
+    ):
+        got = shared_fn(spark, SF_DIR)
+        cc = connected_components(edges)
+        want = {
+            (r["node"], r["component"]) for r in cc.collect()
+        }
+        cc.cc_persisted_labels.unpersist()
+        assert {
+            (r["doc_id"], r["cluster_id"]) for r in got.collect()
+        } == want
+        assert shared_fn(spark, SF_DIR) is got
+
+
 def test_containment_flags_asymmetric_inclusion(spark):
     """The containment verifier's reason to exist: a short document whose
     text is fully embedded in a longer one must score containment 1.0
