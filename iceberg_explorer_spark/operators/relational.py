@@ -1455,6 +1455,19 @@ def market_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.size("parts") >= 2) & (F.size("parts") <= MAX_BASKET)
         )
     )
+    # AQE sizes the basket exchange from its PRE-explosion bytes, so at
+    # test SF the quadratic pair expansion ran on 3-4 coalesced
+    # partitions (guide §2.5: the estimate cannot see the B²/2 blowup
+    # downstream). Spread the narrow post-agg frame before the
+    # expansion — repartition_for_compute's scan-width guard makes this
+    # a no-op at real scale, where the basket table is naturally wide
+    # and AQE's byte-based sizing is correct. Measured r18 (interleaved
+    # min): see OPTIMIZATION_r18.md.
+    from iceberg_explorer_spark.sources.registry import (
+        repartition_for_compute,
+    )
+
+    baskets = repartition_for_compute(baskets)
     pairs = baskets.select(
         F.explode(
             F.expr(

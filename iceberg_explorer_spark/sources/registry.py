@@ -163,11 +163,16 @@ def repartition_for_compute(df: DataFrame, min_factor: float = 0.5) -> DataFrame
     a no-op, so the guard never adds a shuffle where data size provides
     parallelism naturally.
 
-    Only for operators whose per-row PYTHON compute dominates the scan
-    (mapInPandas decode) — measured at sf0.1, JVM-expression map work
-    (shingling, text scoring, hashing) is cheap enough that the extra
-    exchange costs more than single-core execution of the pre-shuffle
-    stage, so those paths keep the native scan partitioning.
+    Contract (the measured rule, r17/r18): only for operators whose
+    CPU-DENSE work before the next exchange dominates the scan —
+    Python kernels (the mapInPandas aHash decode) AND heavy JVM
+    expression chains (the embedding contract+normalize lambdas, JSON
+    extraction, quadratic array pair expansion). Cheap consumers
+    measured WORSE with the spread and keep the native partitioning:
+    bare id projections, single-expression maps, shingling, text
+    scoring, the GEMM chain (pinned fanout=False at its call site).
+    Every decision is a per-call-site measurement at sf0.1, recorded in
+    a comment where the call (or its absence) lives.
 
     The scan width is estimated from ``df.inputFiles()`` + the
     ``files.maxPartitionBytes`` split math — never ``df.rdd`` (touching
