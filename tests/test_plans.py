@@ -610,12 +610,16 @@ def test_unpivot_is_zero_shuffle_expand(spark):
 
 def test_market_basket_no_self_join(spark):
     """Pair expansion is an in-array nested transform on the collected
-    basket, not a self-join: two partial-aggregated shuffles, no join
-    anywhere, and the top-k is a heap merge (benched ~2× the self-join
-    shape)."""
+    basket, not a self-join: two partial-aggregated KEY shuffles, no
+    join anywhere, and the top-k is a heap merge (benched ~2× the
+    self-join shape). The scale-guarded RoundRobin spread between the
+    basket aggregate and the expansion (r18 — AQE coalesces the
+    pre-explosion exchange below core count at test SF) is excluded by
+    key_shuffle_count, the same accounting as every other fan-out
+    pin."""
     df = build(spark, "market_basket_part_pairs")
     plan = pi.physical_plan(df)
-    assert pi.shuffle_count(df) <= 2
+    assert pi.key_shuffle_count(df) <= 2
     assert "Join" not in plan
     assert pi.has_partial_aggregate(df)
     assert "TakeOrderedAndProject" in plan
@@ -1073,11 +1077,19 @@ def test_no_operator_plans_row_at_a_time_python(spark):
     and GEMM tiers). A future operator that slips a plain @udf into a
     hot path fails here by name rather than surfacing as a silent
     100 TB regression."""
-    offenders = []
-    for name, spec in QUERIES.items():
+    from concurrent.futures import ThreadPoolExecutor
+
+    # every registered query's plan, built and printed concurrently —
+    # the work is driver-JVM-side plan analysis, which threads fine and
+    # releases the GIL at the py4j boundary; the checked property per
+    # query is unchanged (guide §2.6 overlap, ~3x on this 167-plan loop)
+    def check(item):
+        name, spec = item
         plan = pi.physical_plan(spec.builder(spark, SF_DIR_SMALL))
-        if "BatchEvalPython" in plan:
-            offenders.append(name)
+        return name if "BatchEvalPython" in plan else None
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        offenders = [n for n in pool.map(check, QUERIES.items()) if n]
     assert offenders == [], offenders
 
 

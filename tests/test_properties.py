@@ -1213,11 +1213,13 @@ def test_document_ops_adversarial_corpus(spark, tmp_path):
         )
     ]
     assert len(doc_ops) >= 25, doc_ops  # the sweep must stay broad
-    from tests.conftest import assert_matches_oracle
+    from tests.conftest import assert_all_match_oracle
 
-    for name in doc_ops:
-        spec = QUERIES[name]
-        assert_matches_oracle(spec.builder(spark, d), con, spec.oracle, name)
+    assert_all_match_oracle(
+        spark, con,
+        [(n, QUERIES[n].oracle) for n in doc_ops],
+        lambda n: QUERIES[n].builder(spark, d),
+    )
 
 
 def test_embedding_ops_adversarial_corpus(spark, tmp_path):
@@ -1279,11 +1281,13 @@ def test_embedding_ops_adversarial_corpus(spark, tmp_path):
         )
     ]
     assert len(emb_ops) >= 8, emb_ops
-    from tests.conftest import assert_matches_oracle
+    from tests.conftest import assert_all_match_oracle
 
-    for name in emb_ops:
-        spec = QUERIES[name]
-        assert_matches_oracle(spec.builder(spark, d), con, spec.oracle, name)
+    assert_all_match_oracle(
+        spark, con,
+        [(n, QUERIES[n].oracle) for n in emb_ops],
+        lambda n: QUERIES[n].builder(spark, d),
+    )
 
 
 def test_event_ops_adversarial_corpus(spark, tmp_path):
@@ -1369,11 +1373,13 @@ def test_event_ops_adversarial_corpus(spark, tmp_path):
         )
     ]
     assert len(ev_ops) >= 12, ev_ops
-    from tests.conftest import assert_matches_oracle
+    from tests.conftest import assert_all_match_oracle
 
-    for name in ev_ops:
-        spec = QUERIES[name]
-        assert_matches_oracle(spec.builder(spark, d), con, spec.oracle, name)
+    assert_all_match_oracle(
+        spark, con,
+        [(n, QUERIES[n].oracle) for n in ev_ops],
+        lambda n: QUERIES[n].builder(spark, d),
+    )
 
 
 def test_relational_ops_adversarial_corpus(spark, tmp_path):
@@ -1482,11 +1488,13 @@ def test_relational_ops_adversarial_corpus(spark, tmp_path):
         and not any(_re.search(rf"\b{t}\b", spec.oracle) for t in other_tables)
     ]
     assert len(rel_ops) >= 35, rel_ops
-    from tests.conftest import assert_matches_oracle
+    from tests.conftest import assert_all_match_oracle
 
-    for name in rel_ops:
-        spec = QUERIES[name]
-        assert_matches_oracle(spec.builder(spark, d), con, spec.oracle, name)
+    assert_all_match_oracle(
+        spark, con,
+        [(n, QUERIES[n].oracle) for n in rel_ops],
+        lambda n: QUERIES[n].builder(spark, d),
+    )
 
 
 def test_cross_table_ops_adversarial_corpus(spark, tmp_path):
@@ -3226,9 +3234,13 @@ def test_multitable_ops_adversarial_corpus(spark, tmp_path):
         )
     ]
     assert len(ops) >= 4, ops  # the sweep must stay broad
-    for name in ops:
-        spec = QUERIES[name]
-        assert_matches_oracle(spec.builder(spark, d), con, spec.oracle, name)
+    from tests.conftest import assert_all_match_oracle
+
+    assert_all_match_oracle(
+        spark, con,
+        [(n, QUERIES[n].oracle) for n in ops],
+        lambda n: QUERIES[n].builder(spark, d),
+    )
 
 
 def test_incremental_artifact_round_trip(spark, tmp_path):
@@ -5937,13 +5949,26 @@ def test_index_store_generative_schedules(spark, tmp_path):
     # driver is the hash, the seed choice just guarantees the mix:
     #   ix5:  append append c-pq append replay append replay
     #   ix13: append replay c-ivf c-pq append append replay
-    for seed in ("ix5", "ix13"):
+    # The two schedules are fully independent (own stores, own corpus
+    # dir, own model) — run them CONCURRENTLY (guide §2.6): each
+    # schedule's internal order is untouched, only the two independent
+    # sagas overlap, same assertions per step.
+    def run_schedule(seed):
         corpus_dir = str(tmp_path / f"corpus_{seed}")
         base.write.mode("overwrite").parquet(f"{corpus_dir}/embeddings.parquet")
         ivf_s = ivf_store(spark, f"t_ivf_gen_{seed}", n_buckets=4)
         pq_s = ivfpq_store(spark, f"t_ivfpq_gen_{seed}", n_buckets=4)
         bq_s = bq_store(spark, f"t_bq_gen_{seed}", n_buckets=4)
         mrl_s = mrl_store(spark, f"t_mrl_gen_{seed}", n_buckets=4)
+        from concurrent.futures import ThreadPoolExecutor
+
+        # The five model queries / five serves are independent actions
+        # on tiny data: their cost is the sequential job-scheduling
+        # floor, not compute — submit them concurrently (guide §2.6;
+        # the same overlap the service layer and eager_checkpoints
+        # use). Results are unchanged: each collect is its own action
+        # on an immutable corpus snapshot.
+        pool = ThreadPoolExecutor(max_workers=5)
         try:
             ivf_backfill_lists(spark, corpus_dir, ivf_s)
             ivfpq_backfill(spark, corpus_dir, pq_s)
@@ -5958,38 +5983,24 @@ def test_index_store_generative_schedules(spark, tmp_path):
             ]
 
             def expected():
-                return (
-                    [
-                        tuple(r)
-                        for r in QUERIES["similarity_ivf_topk"]
-                        .builder(spark, corpus_dir)
-                        .collect()
-                    ],
-                    [
-                        tuple(r)
-                        for r in QUERIES["similarity_ivf_pq_topk"]
-                        .builder(spark, corpus_dir)
-                        .collect()
-                    ],
-                    [
-                        tuple(r)
-                        for r in QUERIES["similarity_ivf_pq_refine_topk"]
-                        .builder(spark, corpus_dir)
-                        .collect()
-                    ],
-                    [
-                        tuple(r)
-                        for r in QUERIES["similarity_bq_hamming_topk"]
-                        .builder(spark, corpus_dir)
-                        .collect()
-                    ],
-                    [
-                        tuple(r)
-                        for r in QUERIES["similarity_mrl_prefix_topk"]
-                        .builder(spark, corpus_dir)
-                        .collect()
-                    ],
-                )
+                futs = [
+                    pool.submit(
+                        lambda n=n: [
+                            tuple(r)
+                            for r in QUERIES[n]
+                            .builder(spark, corpus_dir)
+                            .collect()
+                        ]
+                    )
+                    for n in (
+                        "similarity_ivf_topk",
+                        "similarity_ivf_pq_topk",
+                        "similarity_ivf_pq_refine_topk",
+                        "similarity_bq_hamming_topk",
+                        "similarity_mrl_prefix_topk",
+                    )
+                ]
+                return tuple(f.result() for f in futs)
 
             def increment_df(pairs):
                 return spark.createDataFrame(
@@ -6044,60 +6055,63 @@ def test_index_store_generative_schedules(spark, tmp_path):
                     model[bid] = pairs
                     landed_order.append(bid)
                     exp_ivf, exp_pq, exp_ref, exp_bq, exp_mrl = expected()
-                # serve row-parity after EVERY step, both forms
-                got_ivf = [
-                    tuple(r) for r in ivf_topk_from_store(ivf_s).collect()
-                ]
-                assert got_ivf == exp_ivf, (seed, step, kind)
-                got_pq = [
-                    tuple(r)
-                    for r in ivfpq_topk_from_store(
-                        pq_s,
-                        qv,
-                        query_vec_id=0,
-                        codebook=cb
-                        if h(seed, step, "hoist") % 2
-                        else None,
-                    ).collect()
-                ]
-                assert got_pq == exp_pq, (seed, step, kind)
+                # serve row-parity after EVERY step, all five forms —
+                # collected concurrently (same §2.6 overlap as
+                # expected(); the serve DataFrames are built serially
+                # below, only the independent collect actions overlap)
+                serve_ivf = ivf_topk_from_store(ivf_s)
+                serve_pq = ivfpq_topk_from_store(
+                    pq_s,
+                    qv,
+                    query_vec_id=0,
+                    codebook=cb if h(seed, step, "hoist") % 2 else None,
+                )
                 # r16: the refine cascade over BOTH stores, same
                 # alternation, default same-snapshot check ON — paired
                 # appends keep the contract satisfiable at every step
-                got_ref = [
-                    tuple(r)
-                    for r in ivfpq_refine_from_store(
-                        pq_s,
-                        ivf_s,
-                        qv,
-                        query_vec_id=0,
-                        codebook=cb
-                        if h(seed, step, "hoist-ref") % 2
-                        else None,
-                    ).collect()
+                serve_ref = ivfpq_refine_from_store(
+                    pq_s,
+                    ivf_s,
+                    qv,
+                    query_vec_id=0,
+                    codebook=cb
+                    if h(seed, step, "hoist-ref") % 2
+                    else None,
+                )
+                # r16/r17: the BQ and MRL serves over their artifacts
+                serve_bq = bq_topk_from_store(bq_s, qv, query_vec_id=0)
+                serve_mrl = mrl_topk_from_store(mrl_s, qv, query_vec_id=0)
+                futs = [
+                    pool.submit(
+                        lambda d=d: [tuple(r) for r in d.collect()]
+                    )
+                    for d in (
+                        serve_ivf,
+                        serve_pq,
+                        serve_ref,
+                        serve_bq,
+                        serve_mrl,
+                    )
                 ]
+                got_ivf, got_pq, got_ref, got_bq, got_mrl = (
+                    f.result() for f in futs
+                )
+                assert got_ivf == exp_ivf, (seed, step, kind)
+                assert got_pq == exp_pq, (seed, step, kind)
                 assert got_ref == exp_ref, (seed, step, kind)
-                # r16: the BQ serve over its single artifact
-                got_bq = [
-                    tuple(r)
-                    for r in bq_topk_from_store(
-                        bq_s, qv, query_vec_id=0
-                    ).collect()
-                ]
                 assert got_bq == exp_bq, (seed, step, kind)
-                # r17: the MRL serve over its single artifact
-                got_mrl = [
-                    tuple(r)
-                    for r in mrl_topk_from_store(
-                        mrl_s, qv, query_vec_id=0
-                    ).collect()
-                ]
                 assert got_mrl == exp_mrl, (seed, step, kind)
         finally:
+            pool.shutdown()
             ivf_s.drop()
             pq_s.drop()
             bq_s.drop()
             mrl_s.drop()
+
+    from concurrent.futures import ThreadPoolExecutor as _TPE
+
+    with _TPE(max_workers=2) as sched_pool:
+        list(sched_pool.map(run_schedule, ("ix5", "ix13")))
 
 
 def test_ivf_pq_refine_topk_claims(spark, tmp_path):

@@ -77,14 +77,28 @@ class TestLeaveOut:
 
 
 class TestRealArtifacts:
-    """The corrected r17 derivation against the repo's real artifacts."""
+    """The corrected r17 derivation against the repo's real artifacts.
+
+    The r17-era pins run on the history AS OF r16 (rows ≤ r16) — the
+    state the corrected r17 plan was derived from; the r17 driver rows
+    landing in the repo must not retroactively change what that
+    derivation was. The executed r18 window is pinned separately below
+    against the FULL history."""
 
     @pytest.fixture(scope="class")
-    def history(self):
+    def full_history(self):
         h = rotation_plan.load_history(REPO)
         bearing = rotation_plan.oracle_bearing_names()
         assert bearing is not None
         return {n: r for n, r in h.items() if n in bearing}
+
+    @pytest.fixture(scope="class")
+    def history(self, full_history):
+        return {
+            n: {rnd: ok for rnd, ok in rows.items() if rnd <= 16}
+            for n, rows in full_history.items()
+            if any(rnd <= 16 for rnd in rows)
+        }
 
     def test_r14_cohort_is_49_wide(self, history):
         by_latest = rotation_plan.cohorts(history)
@@ -133,23 +147,31 @@ class TestRealArtifacts:
             "text_language_id",
         ]
 
-    def test_check_window_matches_derivation(self, history):
-        """The pinned r17 window IS flagship+newcomers+stalest+fill."""
+    def test_check_window_matches_derivation(self, full_history):
+        """The pinned r18 window IS flagship+newcomers+stalest+fill,
+        derived from the FULL history (rows through r17): the four r17
+        newcomers (zero driver rows), the whole 12-wide r14-latest
+        stalest cohort, and the r15-latest fill minus its 16-name
+        leave-out."""
         from iceberg_explorer_spark.operators import _CHECK_WINDOW
 
-        by_latest = rotation_plan.cohorts(history)
-        out = set(rotation_plan.leave_out(history, by_latest[14], 12))
+        by_latest = rotation_plan.cohorts(full_history)
+        assert len(by_latest[14]) == 12
+        assert len(by_latest[15]) == 49
+        out = set(rotation_plan.leave_out(full_history, by_latest[15], 16))
+        newcomers = {
+            "similarity_mrl_prefix_topk",
+            "similarity_mrl_r_sweep",
+            "events_watermark_delay_sweep",
+            "events_session_gap_sweep",
+        }
+        for q in newcomers:  # genuinely zero driver rows
+            assert q not in full_history
         expected = (
             {"pipeline_clean_corpus"}
-            | {
-                "similarity_bq_hamming_topk",
-                "similarity_bq_r_sweep",
-                "similarity_mrl_truncation_sweep",
-                "text_heldout_perplexity",
-                "events_watermark_lateness_audit",
-            }
-            | set(by_latest[13])
-            | (set(by_latest[14]) - out)
+            | newcomers
+            | set(by_latest[14])
+            | (set(by_latest[15]) - out)
         )
         assert len(_CHECK_WINDOW) == 50
         assert set(_CHECK_WINDOW) == expected
