@@ -19,6 +19,12 @@ SF_DIR_SMALL = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="session")
 def spark():
+    # (r18 measured-and-rejected: shuffle.partitions=4 for the test
+    # session, meant to cut streaming state-store tasks/commits per
+    # microbatch — the streaming file measured 223 s at 8 partitions vs
+    # 253 s at 4 on back-to-back runs, i.e. no win outside host noise;
+    # the per-microbatch cost is commit-log/driver overhead, not state
+    # task count.)
     s = build_session(app_name="iceberg_explorer_spark_tests", cpus=8)
     yield s
     s.stop()
